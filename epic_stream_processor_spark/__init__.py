@@ -1,0 +1,29 @@
+"""epic_stream_processor_spark — a PySpark-native analytics engine.
+
+A from-scratch rebuild of the query / data-processing capabilities of
+``infinitron/epic-stream-processor`` (reference: /root/reference), expressed
+Spark-first: DataFrame/SQL logical plans optimized by Catalyst, Structured
+Streaming micro-batches for the stream path, and Arrow-batched pandas UDFs
+only where built-in operators genuinely cannot express the semantics.
+
+Layout
+------
+- ``schemas``     : StructType schemas for the domain tables (image epochs,
+                    watchlist, pixel store, image metadata).
+- ``functions/``  : column-expression libraries (geometry, arrays, hashing,
+                    text) — everything Catalyst-visible, codegen-friendly.
+- ``operators/``  : composite DataFrame→DataFrame operators (FOV filtering,
+                    patch explosion/validation, pixel gather, watchlist CRUD,
+                    dedup, similarity search, multimodal plumbing).
+- ``sources/``    : batch fixture derivations + streaming sources (file
+                    replay; UDS-protocol-compatible custom DataSource).
+- ``plans/``      : the named query registry (Spark impl + DuckDB oracle SQL
+                    side by side) consumed by ``__spark_entry__.py``.
+- ``streaming/``  : Structured Streaming pipeline wrappers (foreachBatch
+                    dual-sink, 5 s trigger parity with the reference).
+
+Scale design notes (100 TB target) are in ``ARCHITECTURE.md`` at the repo
+root; every operator's docstring states its shuffle/broadcast behavior.
+"""
+
+__version__ = "0.1.0"

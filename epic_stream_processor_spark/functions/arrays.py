@@ -1,0 +1,78 @@
+"""Array aggregation — the engine's core analytic aggregate.
+
+``array_element_sum`` re-expresses the reference's plpgsql UDAF
+(``sql_scripts/functions.sql:2-28``): element-wise sum of double[] across
+rows with NULL→coalesce and ragged arrays padded with zero (result length =
+max length in group).
+
+Two implementations:
+
+1. :func:`array_element_sum` — posexplode → groupBy(pos) → sum → re-gather.
+   This is the scale path: the per-position partial sums combine map-side
+   (partial aggregation), so a group of a billion arrays shuffles only
+   n_positions rows per map task, not the arrays themselves. Ragged/NULL
+   semantics fall out naturally: missing positions simply contribute no row.
+
+2. :func:`array_element_sum_expr` — single-expression fold
+   (``aggregate`` + ``zip_with`` with padding) usable inside any groupBy via
+   ``collect_list``. Only safe when per-group cardinality is modest (the
+   collect_list materializes the group) — documented as the small-group path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def array_element_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    array_col: str,
+    out_col: str = "arr_sum",
+) -> DataFrame:
+    """Element-wise array sum per group (scale path, shuffle = one round).
+
+    Semantics parity with the reference UDAF (functions.sql:10-16): NULL
+    arrays are skipped (coalesce), shorter arrays pad with 0 — because
+    grouping by exploded position sums whatever is present at each position.
+    Groups whose every array is NULL/empty yield an empty array.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    exploded = df.select(*gcols, F.posexplode_outer(array_col).alias("pos", "val")).where(
+        F.col("pos").isNotNull()
+    )
+    per_pos = exploded.groupBy(*group_cols, "pos").agg(F.sum("val").alias("val"))
+    return (
+        per_pos.groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("_pv"))
+        .select(
+            *group_cols,
+            F.transform("_pv", lambda s: s["val"]).alias(out_col),
+        )
+    )
+
+
+def array_element_sum_expr(list_of_arrays: Column) -> Column:
+    """Fold an ``array<array<double>>`` into its element-wise sum.
+
+    Pads the accumulator/operand to the longer length before ``zip_with``
+    (zip_with alone truncates — reference pads with 0, functions.sql:10-16)
+    and coalesces NULL operands.
+    """
+    def step(acc: Column, x: Column) -> Column:
+        x_ = F.coalesce(x, F.array().cast("array<double>"))
+        n = F.greatest(F.size(acc), F.size(x_))
+        pad = lambda a: F.concat(  # noqa: E731
+            a,
+            F.array_repeat(F.lit(0.0), n - F.size(a)),
+        )
+        return F.zip_with(pad(acc), pad(x_), lambda a, b: a + b)
+
+    return F.aggregate(
+        F.filter(list_of_arrays, lambda a: a.isNotNull()),
+        F.array().cast("array<double>"),
+        step,
+    )

@@ -1,0 +1,92 @@
+"""Sky/pixel geometry as pure Column expressions.
+
+Re-expresses the reference's coordinate math (behavioral citations):
+- linear world→pixel  : reference ``epic_services/watch_dog.py:274-293`` (C1)
+- nearest-pixel snap  : reference ``epic_services/watch_dog.py:281-286`` (C2)
+- FOV radius predicate: reference ``epic_services/watch_dog.py:317-333``, max
+  radius ``xdim*0.5*cos(elev)`` at ``watch_dog.py:270`` (P3)
+- l/m direction cosines: reference ``_utils/Utils.py:62-72`` (C6) — computed
+  arithmetically per pixel instead of materializing the lru_cached grid; the
+  grid lookup is a memoization artifact of eager NumPy execution that
+  Catalyst's constant folding makes unnecessary.
+- EWKT / point strings: reference ``watch_dog.py:457-477`` (C8).
+
+Everything here is whole-stage-codegen-eligible JVM arithmetic: zero Python
+in the hot path, so it scales linearly with executor count and survives a
+100× scale-up (no shuffle, no UDF serialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def nearest_pix(p: Column) -> Column:
+    """Reference's snap-to-pixel: ``floor(p + min(frac(p), 0.5))``.
+
+    Half values round up (2.5→3). Behavioral twin of
+    ``watch_dog.py:281-286``. Returns LongType.
+    """
+    frac = p - F.floor(p)
+    return F.floor(p + F.least(frac, F.lit(0.5))).cast("long")
+
+
+def ra2x(ra: Column, ra0: Column, dx: Column, x0: Column) -> Column:
+    """Linear (plate carrée) RA→x, 1-based fractional pixel (C1)."""
+    return (ra - ra0) / dx + x0
+
+
+def dec2y(dec: Column, dec0: Column, dy: Column, y0: Column) -> Column:
+    """Linear Dec→y, 1-based fractional pixel (C1)."""
+    return (dec - dec0) / dy + y0
+
+
+def x2ra(x: Column, ra0: Column, dx: Column, x0: Column) -> Column:
+    """Inverse of :func:`ra2x` for integer pixel centers (O4 round-trip)."""
+    return (x.cast("double") - x0) * dx + ra0
+
+
+def y2dec(y: Column, dec0: Column, dy: Column, y0: Column) -> Column:
+    return (y.cast("double") - y0) * dy + dec0
+
+
+def fov_sq_dist(x: Column, y: Column, cx: Column, cy: Column) -> Column:
+    """Squared pixel distance from FOV center — integer-exact when x,y are
+    integer pixel coords, so the FOV predicate is deterministic across
+    engines (no sqrt)."""
+    return (x - cx) * (x - cx) + (y - cy) * (y - cy)
+
+
+def in_fov(x: Column, y: Column, xdim: Column, ydim: Column, max_rad: Column) -> Column:
+    """P3+P5: non-negative coords and within the FOV circle centered at
+    (xdim/2, ydim/2). ``max_rad`` is ``xdim*0.5*cos(elev)``
+    (``watch_dog.py:270``)."""
+    cx = xdim.cast("double") / F.lit(2.0)
+    cy = ydim.cast("double") / F.lit(2.0)
+    sq = fov_sq_dist(x.cast("double"), y.cast("double"), cx, cy)
+    return (x >= 0) & (y >= 0) & (sq <= max_rad * max_rad)
+
+
+def pixel_l(x: Column, xdim: Column) -> Column:
+    """l direction cosine: ``x*(2/xdim) - 1`` (C6, Utils.py:62-72).
+
+    Expressed as ``x/(xdim/2) - 1`` — for power-of-two grids this is exact
+    dyadic arithmetic, bit-stable across engines."""
+    return x.cast("double") / (xdim.cast("double") / F.lit(2.0)) - F.lit(1.0)
+
+
+def pixel_m(y: Column, ydim: Column) -> Column:
+    return y.cast("double") / (ydim.cast("double") / F.lit(2.0)) - F.lit(1.0)
+
+
+def ewkt_point(ra: Column, dec: Column) -> Column:
+    """PostGIS EWKT export string ``SRID=4326;POINT(ra dec)``
+    (``watch_dog.py:457-460``). Derivation-at-export only — internal
+    representation stays typed doubles."""
+    return F.format_string("SRID=4326;POINT(%s %s)", ra, dec)
+
+
+def point_string(x: Column, y: Column) -> Column:
+    """Postgres point literal ``(x,y)`` (``watch_dog.py:471-477``)."""
+    return F.format_string("(%s,%s)", x, y)

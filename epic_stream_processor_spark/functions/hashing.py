@@ -1,0 +1,41 @@
+"""Engine-portable deterministic hashing primitives.
+
+Built on md5 (identical output in Spark, DuckDB, Python's hashlib) rather
+than Spark's xxhash64/murmur (engine-specific), so every hash-derived
+operator (MinHash, SimHash, LSH banding, fingerprints) is verifiable against
+a DuckDB oracle bit-for-bit.
+
+``stable_hash64(s)`` = first 15 hex chars of md5(s) as a non-negative int
+(60 bits). Seeded variants prepend ``"<seed>:"``.
+
+Performance note: md5 is heavier than xxhash64 but still JVM-side (no Python
+round-trip) and embarrassingly parallel; for 100 TB-scale dedup the hash cost
+is dwarfed by the shuffle of the candidate-pair join. Swap to
+``F.xxhash64`` when oracle parity isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_HEX_CHARS = 15  # 60 bits < 2^63, safe for BIGINT in both engines
+
+
+def stable_hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash of a string column (JVM-side md5+conv)."""
+    return F.conv(F.substring(F.md5(col), 1, HASH_HEX_CHARS), 16, 10).cast("long")
+
+
+def seeded_hash64(col: Column, seed: int) -> Column:
+    """Independent hash family member: md5("<seed>:" || s)."""
+    return stable_hash64(F.concat(F.lit(f"{seed}:"), col))
+
+
+def stable_hash64_sql(expr: str) -> str:
+    """DuckDB oracle twin of :func:`stable_hash64`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, {HASH_HEX_CHARS})) AS BIGINT)"
+
+
+def seeded_hash64_sql(expr: str, seed: int) -> str:
+    return stable_hash64_sql(f"'{seed}:' || {expr}")

@@ -1,0 +1,113 @@
+"""Text-analysis column expressions for LLM-data-pipeline operators.
+
+Tokenization, shingling, quality heuristics, language ID, and document
+fingerprints — all as built-in-function compositions (JVM-side, whole-stage
+codegen) so they stream through 100 TB of documents without a Python worker
+in the path.
+
+Semantics are chosen to be expressible identically in ANSI-ish SQL so each
+operator has a DuckDB oracle (see plans/oracles in ``plans/queries.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small multilingual stopword sample used by the language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+}
+
+PUNCT_CLASS = r"[.,;:!?()\[\]'\"-]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, k: int = 2) -> Column:
+    """Distinct k-word shingles (space-joined), the MinHash input set.
+
+    Uses 1-based ``element_at`` so the DuckDB oracle (1-based lists) is a
+    literal transliteration.
+    """
+    w = tokens(text)
+    cnt = F.size(w) - F.lit(k - 1)
+    # guard: F.sequence(1, 0) would count *down*; short docs get no shingles
+    sh = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + F.lit(j)).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+    return F.array_distinct(sh)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    n = F.length(text)
+    np = n - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(np.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are common-English stopwords."""
+    sw = stopwords or ["the", "a", "and", "of", "to", "in"]
+    w = tokens(text)
+    n = F.size(w)
+    nsw = F.size(F.filter(w, lambda t: F.lower(t).isin(sw)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(nsw.cast("double") / n.cast("double"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards moderate length and
+    word diversity, penalizes punctuation soup. Deterministic integer/dyadic
+    arithmetic where possible."""
+    w = tokens(text)
+    n = F.size(w)
+    distinct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(w)).cast("double") / n.cast("double")
+    )
+    len_term = F.least(n.cast("double") / F.lit(64.0), F.lit(1.0))
+    return (distinct_ratio + len_term) / F.lit(2.0)
+
+
+def lang_guess(text: Column) -> Column:
+    """Marker-token language heuristic: the language with the most marker
+    hits wins; ties and zero-hit docs → 'und'. Deterministic tie-break by
+    language code order."""
+    w = F.transform(tokens(text), F.lower)
+    scores = [
+        (lang, F.size(F.filter(w, lambda t: t.isin(markers))))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed so earlier language codes win ties via later .when override
+    for lang, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(text: Column, prefix_tokens: int = 8) -> Column:
+    """Content fingerprint: md5 of the first N whitespace-normalized tokens.
+
+    The reference has no document ops; this is the LLM-pipeline extension's
+    near-dup blocking key (prefix fingerprinting), chosen md5-based for
+    oracle parity."""
+    w = tokens(text)
+    return F.md5(F.concat_ws(" ", F.slice(w, 1, prefix_tokens)))

@@ -1,0 +1,1 @@
+"""Composite DataFrame→DataFrame operators."""

@@ -1,0 +1,199 @@
+"""The core EPIC dataflow: stream × watchlist → enrich → explode → gather.
+
+Re-expresses the reference's imperative NumPy pipeline
+(``epic_services/watch_dog.py:359-498``) as a declarative Catalyst plan:
+
+    image_epochs ⋈ broadcast(active_watchlist)      (J1+J2: stream-static
+        |                                            broadcast interval join)
+    world→pixel + snap (C1/C2) → FOV filter (P3/P5)  source-level predicates
+        |                                            *before* the n² explode
+    explode patch offsets (O3)                       1 row → patch_type² rows
+        |
+    per-pixel revalidation + whole-patch ALL (O4/A2) window `min(valid)`
+        |
+    pixel gather (O5) + assembly (O6)                row-local array ops
+
+Scale notes (100 TB):
+- The watchlist is a tiny slowly-changing dimension → ``F.broadcast``; the
+  join is map-side, zero shuffle. At 1000 executors each task joins its
+  image rows locally.
+- All predicates run *before* the patch explosion (the reference does the
+  same at watch_dog.py:383-403 vs :405-415) so the n² blowup applies only to
+  in-FOV sources. Catalyst keeps this ordering; the explicit structure
+  documents it.
+- O4's whole-patch ALL is a window over (epoch, source) — partition-local
+  after the explode since explode preserves partitioning; AQE handles any
+  skew from hot epochs.
+- The gather is per-row array arithmetic (the cube lives in the row) — no
+  shuffle; on a real cube column it is `element_at(cube, flat_idx)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geometry import dec2y, nearest_pix, pixel_l, pixel_m, ra2x, x2ra, y2dec
+from ..sources.fixtures import MAX_RAD_SQ, SPEC_LEN, XDIM, YDIM, cube_val
+
+
+def active_watchlist(watchlist: DataFrame, now: Column) -> DataFrame:
+    """P1+P2: temporal-validity filter + projection
+    (reference ``watch_dog.py:95-137``): active = t_start < now ≤ t_end and
+    status 'watching'."""
+    return watchlist.where(
+        (F.col("watch_status") == "watching")
+        & (F.col("t_start") < now)
+        & (F.col("t_end") >= now)
+    ).select("id", "source_name", "ra", "dec", "patch_type", "t_start", "t_end")
+
+
+def join_epochs_watchlist(epochs: DataFrame, watchlist: DataFrame) -> DataFrame:
+    """J1+J2: broadcast stream-static join with the interval predicate
+    ``t_start < t_obs ≤ t_end`` (reference holds the watchlist in memory and
+    applies validity at refresh time, watch_dog.py:103-117; we fuse both
+    into one join condition)."""
+    w = F.broadcast(
+        watchlist.where(F.col("watch_status") == "watching").select(
+            F.col("id").alias("src_id"),
+            "source_name",
+            F.col("ra").alias("src_ra"),
+            F.col("dec").alias("src_dec"),
+            "patch_type",
+            "t_start",
+            "t_end",
+        )
+    )
+    cond = (F.col("t_start") < F.col("t_obs")) & (F.col("t_obs") <= F.col("t_end"))
+    return epochs.join(w, on=cond, how="inner").drop("t_start", "t_end")
+
+
+def to_pixel_coords(joined: DataFrame) -> DataFrame:
+    """O1/O2: resolve source position → pixel coords with snap (C1/C2).
+
+    Static sources only on this path; solar-system ephemeris (C4) is the
+    pandas-UDF variant in ``functions/astro.py``."""
+    xf = ra2x(F.col("src_ra"), F.col("ra0"), F.col("dx"), F.col("x0"))
+    yf = dec2y(F.col("src_dec"), F.col("dec0"), F.col("dy"), F.col("y0"))
+    return joined.withColumn("xp", nearest_pix(xf)).withColumn("yp", nearest_pix(yf))
+
+
+def filter_fov_sources(df: DataFrame) -> DataFrame:
+    """P3+P5 at source level, *before* the O3 explode. Integer-exact squared
+    radius (fixture max_rad = 32 exactly, elevation_limit = 0)."""
+    sq = (F.col("xp") - 32) * (F.col("xp") - 32) + (F.col("yp") - 32) * (
+        F.col("yp") - 32
+    )
+    return df.where((F.col("xp") >= 0) & (F.col("yp") >= 0) & (sq <= F.lit(MAX_RAD_SQ)))
+
+
+def explode_patches(df: DataFrame) -> DataFrame:
+    """O3: one source row → patch_type² pixel rows via two generator nodes
+    (reference: np.repeat + cached meshgrid offsets, watch_dog.py:386-415,
+    Utils.py:21-59). `sequence` is constant-folded per patch size — the
+    lru_cache equivalent is free in Catalyst."""
+    df = df.withColumn("_h", F.floor(F.col("patch_type") / F.lit(2)).cast("long"))
+    df = df.withColumn("ox", F.explode(F.sequence(-F.col("_h"), F.col("_h"))))
+    df = df.withColumn("oy", F.explode(F.sequence(-F.col("_h"), F.col("_h"))))
+    return (
+        df.withColumn("px", F.col("xp") + F.col("ox"))
+        .withColumn("py", F.col("yp") + F.col("oy"))
+        .drop("_h")
+    )
+
+
+def validate_patches(df: DataFrame) -> DataFrame:
+    """O4 + A2: per-pixel FOV/bounds revalidation, then whole-patch ALL.
+
+    The reference round-trips pix→world (NaN ⇒ off sky) and drops whole
+    patches via group-aligned np.all (watch_dog.py:417-440). The linear WCS
+    never yields NaN, so off-image bounds + the FOV circle carry the same
+    semantics; the patch-level ALL is `min(valid) over (epoch, source)`.
+    """
+    sq = (F.col("px") - 32) * (F.col("px") - 32) + (F.col("py") - 32) * (
+        F.col("py") - 32
+    )
+    valid = (
+        (F.col("px") >= 1)
+        & (F.col("py") >= 1)
+        & (F.col("px") <= F.col("naxis1").cast("long"))
+        & (F.col("py") <= F.col("naxis2").cast("long"))
+        & (sq <= F.lit(MAX_RAD_SQ))
+    )
+    w = Window.partitionBy("epoch_id", "src_id")
+    return (
+        df.withColumn("_valid", valid.cast("int"))
+        .withColumn("patch_ok", F.min("_valid").over(w))
+        .where(F.col("patch_ok") == 1)
+        .drop("_valid", "patch_ok")
+    )
+
+
+def gather_pixels(df: DataFrame) -> DataFrame:
+    """O5+O6: gather the 16-element spectrum at each (px,py) and derive the
+    output columns (l/m cosines, pixel sky position, offsets).
+
+    flat index for spectral slot s at 1-based (px,py):
+        ((s*ydim + (py-1)) * xdim + (px-1))
+    matching the reference's cube[:, :, :, y-1, x-1] fancy-index
+    (watch_dog.py:444-455) on the row-major [cplx,pol,chan,y,x] layout.
+    """
+    flat0 = (F.col("py") - 1) * F.lit(XDIM) + (F.col("px") - 1)
+    spectrum = F.transform(
+        F.sequence(F.lit(0), F.lit(SPEC_LEN - 1)),
+        lambda s: cube_val(
+            F.col("epoch_id"), s.cast("long") * F.lit(YDIM * XDIM) + flat0
+        ),
+    )
+    return df.select(
+        "epoch_id",
+        "t_obs",
+        "src_id",
+        "source_name",
+        F.col("px").alias("pixel_coord_x"),
+        F.col("py").alias("pixel_coord_y"),
+        spectrum.alias("pixel_values"),
+        x2ra(F.col("px"), F.col("ra0"), F.col("dx"), F.col("x0")).alias("pix_ra"),
+        y2dec(F.col("py"), F.col("dec0"), F.col("dy"), F.col("y0")).alias("pix_dec"),
+        pixel_l(F.col("px"), F.lit(XDIM)).alias("pixel_l"),
+        pixel_m(F.col("py"), F.lit(YDIM)).alias("pixel_m"),
+        F.col("ox").cast("long").alias("pix_ofst_x"),
+        F.col("oy").cast("long").alias("pix_ofst_y"),
+    )
+
+
+def pixel_pipeline(epochs: DataFrame, watchlist: DataFrame) -> DataFrame:
+    """Full O1→O6 chain: epochs × watchlist → validated gathered pixels."""
+    df = join_epochs_watchlist(epochs, watchlist)
+    df = to_pixel_coords(df)
+    df = filter_fov_sources(df)
+    df = explode_patches(df)
+    df = validate_patches(df)
+    return gather_pixels(df)
+
+
+def img_metadata(epochs: DataFrame, pixels: DataFrame) -> DataFrame:
+    """C7+A3: per-epoch metadata row for epochs that produced pixels
+    (reference ``watch_dog.py:335-351``; chan0 = crval3 − cdelt3·crpix3 at
+    :344). `sort_array(collect_set(...))` gives the deterministic twin of
+    np.unique (watch_dog.py:481)."""
+    produced = pixels.groupBy("epoch_id").agg(
+        F.sort_array(F.collect_set("source_name")).alias("source_names")
+    )
+    return (
+        epochs.join(produced, "epoch_id")
+        .select(
+            "epoch_id",
+            F.col("t_obs").alias("img_time"),
+            "n_chan",
+            "n_pol",
+            (F.col("crval3") - F.col("cdelt3") * F.col("crpix3")).alias("chan0"),
+            F.col("cdelt3").alias("chan_bw"),
+            F.lit("0.0.2").alias("epic_version"),
+            F.col("naxis1").alias("img_size_x"),
+            F.col("naxis2").alias("img_size_y"),
+            F.col("inttime").alias("int_time"),
+            "filename",
+            "source_names",
+        )
+    )

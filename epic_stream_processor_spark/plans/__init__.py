@@ -1,0 +1,3 @@
+"""Named query registry: Spark implementation + DuckDB oracle side by side."""
+
+from .registry import QUERIES, QueryDef  # noqa: F401

@@ -1,0 +1,271 @@
+"""Domain-pipeline queries (the reference's operator core, SURVEY §2.1-2.10).
+
+Each entry pairs the Spark DataFrame implementation (built from
+``operators/epic_pipeline.py``) with a DuckDB oracle that is a literal SQL
+transliteration of the same fixture derivations + operator semantics.
+Determinism contract: all floats are either exact (integer-valued, dyadic)
+or produced by the identical expression tree on identical inputs — no
+tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.arrays import array_element_sum
+from ..operators.epic_pipeline import (
+    active_watchlist,
+    explode_patches,
+    filter_fov_sources,
+    img_metadata,
+    join_epochs_watchlist,
+    pixel_pipeline,
+    to_pixel_coords,
+)
+from ..session import configure_for_parity
+from ..sources import fixtures as FX
+from ..sources.fixtures import IMAGE_EPOCHS_CTE, NOW_LITERAL, WATCHLIST_CTE
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE chain (lockstep twin of operators/epic_pipeline.py)
+# ---------------------------------------------------------------------------
+
+PIPELINE_CTES = f"""WITH {WATCHLIST_CTE.strip()},
+{IMAGE_EPOCHS_CTE.strip()},
+joined AS (
+  SELECT e.*, w.id AS src_id, w.source_name,
+         w.ra AS src_ra, w.dec AS src_dec, w.patch_type
+  FROM image_epochs e
+  JOIN watchlist w
+    ON w.watch_status = 'watching'
+   AND w.t_start < e.t_obs AND e.t_obs <= w.t_end
+),
+src_pix AS (
+  SELECT *,
+    CAST(floor(xf + least(xf - floor(xf), 0.5)) AS BIGINT) AS xp,
+    CAST(floor(yf + least(yf - floor(yf), 0.5)) AS BIGINT) AS yp
+  FROM (
+    SELECT *, (src_ra - ra0) / dx + x0 AS xf, (src_dec - dec0) / dy + y0 AS yf
+    FROM joined
+  )
+),
+fov_sources AS (
+  SELECT * FROM src_pix
+  WHERE xp >= 0 AND yp >= 0
+    AND (xp - 32) * (xp - 32) + (yp - 32) * (yp - 32) <= 1024
+),
+patch1 AS (
+  SELECT *, unnest(range(-(patch_type // 2), (patch_type // 2) + 1)) AS ox
+  FROM fov_sources
+),
+patch2 AS (
+  SELECT *, unnest(range(-(patch_type // 2), (patch_type // 2) + 1)) AS oy
+  FROM patch1
+),
+patch_pix AS (
+  SELECT *, xp + ox AS px, yp + oy AS py FROM patch2
+),
+validated AS (
+  SELECT *,
+    min(CASE WHEN px >= 1 AND py >= 1 AND px <= naxis1 AND py <= naxis2
+              AND (px - 32) * (px - 32) + (py - 32) * (py - 32) <= 1024
+         THEN 1 ELSE 0 END)
+      OVER (PARTITION BY epoch_id, src_id) AS patch_ok
+  FROM patch_pix
+),
+good_pix AS (SELECT * FROM validated WHERE patch_ok = 1),
+gathered AS (
+  SELECT epoch_id, t_obs, src_id, source_name,
+    px AS pixel_coord_x, py AS pixel_coord_y,
+    list_transform(range(0, 16),
+      s -> CAST((epoch_id * 31 + (s * 4096 + (py - 1) * 64 + (px - 1)) * 7) % 997
+                AS DOUBLE)) AS pixel_values,
+    (CAST(px AS DOUBLE) - x0) * dx + ra0 AS pix_ra,
+    (CAST(py AS DOUBLE) - y0) * dy + dec0 AS pix_dec,
+    CAST(px AS DOUBLE) / 32.0 - 1.0 AS pixel_l,
+    CAST(py AS DOUBLE) / 32.0 - 1.0 AS pixel_m,
+    ox AS pix_ofst_x, oy AS pix_ofst_y
+  FROM good_pix
+)"""
+
+
+def _fx(spark: SparkSession, sf_dir: str):
+    configure_for_parity(spark)
+    return FX.image_epochs(spark, sf_dir), FX.watchlist(spark, sf_dir)
+
+
+# --- P1/P2: temporal-validity watchlist filter ------------------------------
+
+def q_watchlist_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2 (reference watch_dog.py:95-137): active watchlist at NOW."""
+    _, wl = _fx(spark, sf_dir)
+    return active_watchlist(wl, F.lit(NOW_LITERAL).cast("timestamp_ntz")).select(
+        "id", "source_name", "ra", "dec", F.col("patch_type").cast("long").alias("patch_type")
+    )
+
+
+ORACLE_WATCHLIST_ACTIVE = f"""WITH {WATCHLIST_CTE.strip()}
+SELECT id, source_name, ra, dec, CAST(patch_type AS BIGINT) AS patch_type
+FROM watchlist
+WHERE watch_status = 'watching'
+  AND t_start < TIMESTAMP '{NOW_LITERAL}'
+  AND t_end >= TIMESTAMP '{NOW_LITERAL}'
+"""
+
+
+# --- J1/J2 + C1/C2 + P3/P5: stream-static interval join + FOV ---------------
+
+def q_source_fov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast interval join (J1+J2) → world→pixel (C1/C2) → FOV (P3/P5)."""
+    ep, wl = _fx(spark, sf_dir)
+    df = filter_fov_sources(to_pixel_coords(join_epochs_watchlist(ep, wl)))
+    return df.select(
+        "epoch_id", "t_obs", "src_id", "source_name", "xp", "yp",
+        F.col("patch_type").cast("long").alias("patch_type"),
+    )
+
+
+ORACLE_SOURCE_FOV = f"""{PIPELINE_CTES}
+SELECT epoch_id, t_obs, src_id, source_name, xp, yp,
+       CAST(patch_type AS BIGINT) AS patch_type
+FROM fov_sources
+"""
+
+
+# --- O3+O4+A2: patch explosion + whole-patch validation ---------------------
+
+def q_patch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixels per (epoch, source) after explode+validate: always patch²."""
+    ep, wl = _fx(spark, sf_dir)
+    px = pixel_pipeline(ep, wl)
+    return px.groupBy("epoch_id", "src_id", "source_name").agg(
+        F.count(F.lit(1)).alias("n_pix")
+    )
+
+
+ORACLE_PATCH_COUNTS = f"""{PIPELINE_CTES}
+SELECT epoch_id, src_id, source_name, count(*) AS n_pix
+FROM gathered
+GROUP BY epoch_id, src_id, source_name
+"""
+
+
+# --- O5+O6: full pixel-store output -----------------------------------------
+
+def q_pixel_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epic_pixels fact table (one row per epoch×source×patch pixel)."""
+    ep, wl = _fx(spark, sf_dir)
+    return pixel_pipeline(ep, wl)
+
+
+ORACLE_PIXEL_GATHER = f"""{PIPELINE_CTES}
+SELECT epoch_id, t_obs, src_id, source_name, pixel_coord_x, pixel_coord_y,
+       pixel_values, pix_ra, pix_dec, pixel_l, pixel_m, pix_ofst_x, pix_ofst_y
+FROM gathered
+"""
+
+
+# --- C7+A3: image metadata table --------------------------------------------
+
+def q_img_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ep, wl = _fx(spark, sf_dir)
+    px = pixel_pipeline(ep, wl)
+    return img_metadata(ep, px).select(
+        "epoch_id", "img_time",
+        F.col("n_chan").cast("long").alias("n_chan"),
+        F.col("n_pol").cast("long").alias("n_pol"),
+        "chan0", "chan_bw", "epic_version",
+        F.col("img_size_x").cast("long").alias("img_size_x"),
+        F.col("img_size_y").cast("long").alias("img_size_y"),
+        "int_time", "filename", "source_names",
+    )
+
+
+ORACLE_IMG_METADATA = f"""{PIPELINE_CTES},
+produced AS (
+  SELECT epoch_id, list_sort(list(DISTINCT source_name)) AS source_names
+  FROM gathered GROUP BY epoch_id
+)
+SELECT e.epoch_id, e.t_obs AS img_time,
+       CAST(e.n_chan AS BIGINT) AS n_chan, CAST(e.n_pol AS BIGINT) AS n_pol,
+       e.crval3 - e.cdelt3 * e.crpix3 AS chan0, e.cdelt3 AS chan_bw,
+       '0.0.2' AS epic_version,
+       CAST(e.naxis1 AS BIGINT) AS img_size_x, CAST(e.naxis2 AS BIGINT) AS img_size_y,
+       e.inttime AS int_time, e.filename, p.source_names
+FROM image_epochs e JOIN produced p USING (epoch_id)
+"""
+
+
+# --- A1: array_element_sum — the flagship light curve -----------------------
+
+def q_light_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-integrated spectra per source per epoch — the reference's core
+    downstream analytic (SELECT array_element_sum(pixel_values) ... GROUP BY,
+    sql_scripts/functions.sql:24-28)."""
+    ep, wl = _fx(spark, sf_dir)
+    px = pixel_pipeline(ep, wl)
+    sums = array_element_sum(px, ["source_name", "t_obs"], "pixel_values", "spectrum_sum")
+    counts = px.groupBy("source_name", "t_obs").agg(F.count(F.lit(1)).alias("n_pix"))
+    return sums.join(counts, ["source_name", "t_obs"]).select(
+        "source_name", "t_obs", "n_pix", "spectrum_sum"
+    )
+
+
+ORACLE_LIGHT_CURVE = f"""{PIPELINE_CTES},
+exploded AS (
+  SELECT source_name, t_obs,
+         unnest(pixel_values) AS v,
+         unnest(range(0, len(pixel_values))) AS pos
+  FROM gathered
+),
+per_pos AS (
+  SELECT source_name, t_obs, pos, sum(v) AS sv
+  FROM exploded GROUP BY source_name, t_obs, pos
+),
+lc AS (
+  SELECT source_name, t_obs, list(sv ORDER BY pos) AS spectrum_sum
+  FROM per_pos GROUP BY source_name, t_obs
+),
+npix AS (
+  SELECT source_name, t_obs, count(*) AS n_pix FROM gathered
+  GROUP BY source_name, t_obs
+)
+SELECT l.source_name, l.t_obs, n.n_pix, l.spectrum_sum
+FROM lc l JOIN npix n USING (source_name, t_obs)
+"""
+
+
+# --- A1 standalone: ragged/NULL semantics fixture ---------------------------
+
+def q_array_element_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF parity fixture: ragged arrays + NULLs from events
+    (reference functions.sql:10-16 semantics: NULL→coalesce, pad-with-0)."""
+    configure_for_parity(spark)
+    e = FX.load_table(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("long")
+    arr = F.when(eid % 7 == 0, F.lit(None).cast("array<double>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), (eid % 5).cast("int")),
+            lambda i: ((eid + i.cast("long") * 3) % 11).cast("double"),
+        )
+    )
+    df = e.select((F.col("user_id") % 10).cast("long").alias("grp"), arr.alias("arr"))
+    return array_element_sum(df, ["grp"], "arr", "arr_sum")
+
+
+ORACLE_ARRAY_ELEMENT_SUM = """WITH src AS (
+  SELECT CAST(user_id % 10 AS BIGINT) AS grp,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE list_transform(range(0, CAST(event_id % 5 AS BIGINT) + 1),
+                     i -> CAST((CAST(event_id AS BIGINT) + i * 3) % 11 AS DOUBLE))
+         END AS arr
+  FROM events
+),
+exploded AS (
+  SELECT grp, unnest(arr) AS v, unnest(range(0, len(arr))) AS pos
+  FROM src WHERE arr IS NOT NULL
+),
+per_pos AS (SELECT grp, pos, sum(v) AS sv FROM exploded GROUP BY grp, pos)
+SELECT grp, list(sv ORDER BY pos) AS arr_sum FROM per_pos GROUP BY grp
+"""

@@ -1,0 +1,412 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — over the ``documents`` and ``embeddings`` tables.
+
+All hash-derived values use the md5-based portable hash
+(``functions/hashing.py``) and all float folds are sequential, so every
+query here except the mapInPandas multimodal stub has an exact DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.hashing import seeded_hash64_sql, stable_hash64_sql
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators.multimodal import decode_media, docs_as_media
+from ..session import configure_for_parity
+from ..sources.fixtures import load_table
+
+# DuckDB token/shingle helpers (lockstep with functions/text.py)
+_SQL_WORDS = "str_split_regex(trim(text), '\\s+')"
+_SQL_SHINGLES_2 = (
+    "list_distinct(list_transform(range(1, greatest(len(w) - 1, 0) + 1), "
+    "i -> w[i] || ' ' || w[i + 1]))"
+)
+_SQL_SHINGLES_3 = (
+    "list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1), "
+    "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))"
+)
+
+
+# --- Exact dedup ------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+ORACLE_DEDUP_EXACT = """SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# --- Prefix-fingerprint near-dup blocking -----------------------------------
+
+def q_dedup_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key dedup: md5 of the first 8 tokens groups near-identical
+    prefixes (cheap first stage of a near-dup funnel)."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id"), T.doc_fingerprint(F.col("text"), 8).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_DEDUP_PREFIX = f"""WITH words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+)
+SELECT md5(array_to_string(w[1:8], ' ')) AS fingerprint,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_docs
+FROM words
+GROUP BY 1
+"""
+
+
+# --- MinHash signatures + LSH pairs -----------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, num_hashes=4, shingle_k=2)
+
+
+def _mh_sql(i: int) -> str:
+    return f"min({seeded_hash64_sql('shingle', i)}) AS mh{i}"
+
+
+ORACLE_MINHASH_SIGNATURES = f"""WITH words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES_2}) AS shingle FROM words
+)
+SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (2 bands × 2 rows) → candidate pairs with agreeing-band
+    count. The O(n²) problem becomes an equi-join on the band key."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=4, shingle_k=2)
+    return D.minhash_lsh_pairs(sigs, num_hashes=4, band_size=2)
+
+
+_BAND0 = stable_hash64_sql(
+    "concat_ws('_', '0', CAST(mh0 AS VARCHAR), CAST(mh1 AS VARCHAR))"
+)
+_BAND1 = stable_hash64_sql(
+    "concat_ws('_', '1', CAST(mh2 AS VARCHAR), CAST(mh3 AS VARCHAR))"
+)
+
+ORACLE_MINHASH_LSH_PAIRS = f"""WITH words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES_2}) AS shingle FROM words
+),
+sigs AS (
+  SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, {_BAND0} AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, {_BAND1} AS band_key FROM sigs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+FROM bands a JOIN bands b USING (band, band_key)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verify stage: exact 3-gram Jaccard on the LSH candidate pairs."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=4, shingle_k=2)
+    pairs = D.minhash_lsh_pairs(sigs, num_hashes=4, band_size=2)
+    return D.ngram_jaccard(docs, pairs, shingle_k=3).select(
+        "id_a", "id_b", "n_inter", "n_union", "jaccard"
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""WITH words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+),
+shingles2 AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES_2}) AS shingle FROM words
+),
+sigs AS (
+  SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+  FROM shingles2 GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, {_BAND0} AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, {_BAND1} AS band_key FROM sigs
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sh3 AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES_3}) AS shingle FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh3 a ON a.doc_id = p.id_a
+  JOIN sh3 b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS n_union,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+"""
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=16)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    recon = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN {2 ** b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_WORDS})) AS tok FROM documents
+),
+th AS (SELECT doc_id, {stable_hash64_sql('tok')} AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM votes
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle(16)
+
+
+# --- Text analysis ----------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality heuristics (ratios of exact integers)."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens(F.col("text"))
+    n = F.size(w)
+    nd = F.size(F.array_distinct(w))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct_tokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(nd.cast("double") / n.cast("double"))
+        .alias("distinct_ratio"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""WITH words AS (
+  SELECT doc_id, length(text) AS n_chars_calc,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+       CASE WHEN len(w) = 0 THEN 0.0
+            ELSE CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+       END AS distinct_ratio
+FROM words
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic vs the labeled lang column."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pred = T.lang_guess(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def _lang_oracle() -> str:
+    langs = sorted(T.LANG_MARKERS.items())
+    score = {
+        lang: f"len(list_filter(wl, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in langs
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang, _ in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang, _ in langs
+    ) + " ELSE 'und' END"
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""WITH words AS (
+  SELECT doc_id, lang, list_transform({_SQL_WORDS}, t -> lower(t)) AS wl
+  FROM documents
+),
+scored AS (SELECT doc_id, lang, {scores_sql} FROM words),
+best AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, lang, {case} AS lang_pred,
+       ({case}) = lang AS is_match
+FROM best
+"""
+
+
+ORACLE_LANG_ID = _lang_oracle()
+
+
+# --- Similarity search ------------------------------------------------------
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: probes = vec_id % 100 = 0."""
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    out = S.knn_cosine_bruteforce(emb, probes, k=5)
+    return out.select("probe_id", "cand_id", "cos_sim", F.col("rank").alias("rnk"))
+
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+ORACLE_KNN_COSINE = f"""WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 100 = 0
+),
+cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT probe_id, cand_id, {_cos_sql('pv', 'cv')} AS cos_sim
+  FROM probes, cand WHERE cand_id != probe_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT probe_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (nprobe=1): centroids = vec_id % 97 = 0."""
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    centroids = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    out = S.knn_cosine_ivf(emb, probes, centroids, k=5)
+    return out.select("probe_id", "cand_id", "cos_sim", F.col("rank").alias("rnk"))
+
+
+ORACLE_KNN_COSINE_IVF = f"""WITH cents AS (
+  SELECT vec_id AS cluster_id, embedding AS centv FROM embeddings WHERE vec_id % 97 = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.centv')} DESC,
+                                       c.cluster_id ASC) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+),
+probe_assigned AS (
+  SELECT vec_id AS probe_id, embedding AS pv, cluster_id
+  FROM assigned WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.probe_id, a.vec_id AS cand_id, {_cos_sql('p.pv', 'a.embedding')} AS cos_sim
+  FROM probe_assigned p JOIN assigned a USING (cluster_id)
+  WHERE a.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT probe_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        S.l2_norm(F.col("embedding")).alias("l2_norm"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+ORACLE_EMBEDDING_NORMS = f"""SELECT
+  vec_id,
+  CAST(len(embedding) AS BIGINT) AS dim,
+  sqrt({_DOT.format(a='embedding', b='embedding')}) AS l2_norm,
+  CAST(label AS BIGINT) AS label
+FROM embeddings
+"""
+
+
+# --- Multimodal plumbing (rows-only: mapInPandas stub decode) ---------------
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → Arrow-batched mapInPandas decode (stub codec).
+
+    Not SQL-expressible (python worker stage) → driver records a rows-only
+    check; pytest covers value determinism.
+    """
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(docs_as_media(docs))

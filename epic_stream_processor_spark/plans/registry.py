@@ -1,0 +1,137 @@
+"""The named-query registry consumed by ``__spark_entry__.py``.
+
+Each :class:`QueryDef` pairs a Spark callable ``(spark, sf_dir) → DataFrame``
+with its DuckDB oracle SQL (``None`` → driver records a rows-only check).
+``bench=True`` marks the headline queries ``bench.py`` times at sf0.1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import epic, llm, relational
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str
+    bench: bool = False
+
+
+QUERIES: dict[str, QueryDef] = {
+    # --- domain pipeline (SURVEY §2.1-2.10) ---
+    "epic_watchlist_active": QueryDef(
+        epic.q_watchlist_active, epic.ORACLE_WATCHLIST_ACTIVE,
+        "P1/P2 temporal-validity watchlist filter (watch_dog.py:95-137)",
+    ),
+    "epic_source_fov": QueryDef(
+        epic.q_source_fov, epic.ORACLE_SOURCE_FOV,
+        "J1/J2 broadcast interval join + C1/C2 world→pixel + P3/P5 FOV",
+    ),
+    "epic_patch_counts": QueryDef(
+        epic.q_patch_counts, epic.ORACLE_PATCH_COUNTS,
+        "O3 patch explosion + O4/A2 whole-patch validation",
+    ),
+    "epic_pixel_gather": QueryDef(
+        epic.q_pixel_gather, epic.ORACLE_PIXEL_GATHER,
+        "O5 cube gather + O6 output assembly (epic_pixels fact table)",
+        bench=True,
+    ),
+    "epic_img_metadata": QueryDef(
+        epic.q_img_metadata, epic.ORACLE_IMG_METADATA,
+        "C7 header scalars + A3 collect_set (epic_img_metadata table)",
+    ),
+    "epic_light_curve": QueryDef(
+        epic.q_light_curve, epic.ORACLE_LIGHT_CURVE,
+        "A1 array_element_sum light curve (functions.sql:24-28) — flagship",
+        bench=True,
+    ),
+    "epic_array_element_sum": QueryDef(
+        epic.q_array_element_sum, epic.ORACLE_ARRAY_ELEMENT_SUM,
+        "A1 ragged/NULL UDAF semantics fixture (functions.sql:10-16)",
+    ),
+    # --- relational surface ---
+    "q1_pricing_summary": QueryDef(
+        relational.q1_pricing_summary, relational.ORACLE_Q1,
+        "TPC-H Q1 shape: wide grouped aggregation", bench=True,
+    ),
+    "q3_top_orders": QueryDef(
+        relational.q3_top_orders, relational.ORACLE_Q3,
+        "3-way join + agg + deterministic top-k", bench=True,
+    ),
+    "q5_region_revenue": QueryDef(
+        relational.q5_region_revenue, relational.ORACLE_Q5,
+        "6-way join with broadcast dims", bench=True,
+    ),
+    "q_window_top_customers": QueryDef(
+        relational.q_window_top_customers, relational.ORACLE_WINDOW_TOP_CUSTOMERS,
+        "ranking window (row_number per partition)",
+    ),
+    "q_events_hourly": QueryDef(
+        relational.q_events_hourly, relational.ORACLE_EVENTS_HOURLY,
+        "event-time tumbling 1h aggregation (batch twin of streaming agg)",
+        bench=True,
+    ),
+    "q_top_orders_by_price": QueryDef(
+        relational.q_top_orders_by_price, relational.ORACLE_TOP_ORDERS_BY_PRICE,
+        "global sort + limit with unique tiebreak",
+    ),
+    "q_part_brand_stats": QueryDef(
+        relational.q_part_brand_stats, relational.ORACLE_PART_BRAND_STATS,
+        "distinct-count + min/max + cents-exact sums",
+    ),
+    # --- LLM-data-pipeline extensions ---
+    "dedup_exact": QueryDef(
+        llm.q_dedup_exact, llm.ORACLE_DEDUP_EXACT,
+        "exact dedup by content hash", bench=True,
+    ),
+    "dedup_prefix_fingerprint": QueryDef(
+        llm.q_dedup_prefix_fingerprint, llm.ORACLE_DEDUP_PREFIX,
+        "prefix-fingerprint blocking keys",
+    ),
+    "minhash_signatures": QueryDef(
+        llm.q_minhash_signatures, llm.ORACLE_MINHASH_SIGNATURES,
+        "MinHash signatures over word shingles", bench=True,
+    ),
+    "minhash_lsh_pairs": QueryDef(
+        llm.q_minhash_lsh_pairs, llm.ORACLE_MINHASH_LSH_PAIRS,
+        "LSH banding → candidate near-dup pairs",
+    ),
+    "ngram_jaccard": QueryDef(
+        llm.q_ngram_jaccard, llm.ORACLE_NGRAM_JACCARD,
+        "exact 3-gram Jaccard verify on LSH candidates",
+    ),
+    "simhash": QueryDef(
+        llm.q_simhash, llm.ORACLE_SIMHASH,
+        "16-bit SimHash per document",
+    ),
+    "text_stats": QueryDef(
+        llm.q_text_stats, llm.ORACLE_TEXT_STATS,
+        "token counts + distinct-token quality ratio",
+    ),
+    "lang_id": QueryDef(
+        llm.q_lang_id, llm.ORACLE_LANG_ID,
+        "marker-token language-ID heuristic",
+    ),
+    "knn_cosine": QueryDef(
+        llm.q_knn_cosine, llm.ORACLE_KNN_COSINE,
+        "brute-force cosine top-5 (broadcast probes)", bench=True,
+    ),
+    "knn_cosine_ivf": QueryDef(
+        llm.q_knn_cosine_ivf, llm.ORACLE_KNN_COSINE_IVF,
+        "IVF-bucketed approximate top-5 (nprobe=1)",
+    ),
+    "embedding_norms": QueryDef(
+        llm.q_embedding_norms, llm.ORACLE_EMBEDDING_NORMS,
+        "sequential-fold L2 norms (oracle-exact float path)",
+    ),
+    "multimodal_decode": QueryDef(
+        llm.q_multimodal_decode, None,
+        "binary payload → mapInPandas stub decode (rows-only check)",
+    ),
+}

@@ -1,0 +1,294 @@
+"""Relational analytics queries over the TPC-H-ish tables.
+
+These prove the general query surface (multi-way joins, aggregation,
+windows, sort/limit, event-time bucketing) and serve as the benchmark
+headliners. Determinism across engines:
+
+- Money/measure sums use the **integer-cents trick**: each row's double is
+  rounded to an integer sub-unit (both engines see bit-identical row values,
+  so the rounding is deterministic), summed exactly as BIGINT, and converted
+  back to double at the end — eliminating float-sum order nondeterminism.
+- Sorts/limits always carry a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_for_parity
+from ..sources.fixtures import load_table
+
+
+def _cents(c: Column, scale: int = 100) -> Column:
+    return F.round(c * scale).cast("long")
+
+
+# --- Q1-style pricing summary (scan + filter + grouped agg) -----------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single wide aggregation over lineitem.
+
+    Scale: pure map-side partial agg → tiny shuffle (one row per
+    (returnflag, linestatus) per task). The shipdate filter is pushed to the
+    parquet scan; only 7 columns are read.
+    """
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias(
+                "sum_base_price"
+            ),
+            (F.sum(_cents(disc_price)).cast("double") / 100.0).alias("sum_disc_price"),
+            (F.sum(_cents(charge)).cast("double") / 100.0).alias("sum_charge"),
+            (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100.0 / cnt).alias(
+                "avg_qty"
+            ),
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0 / cnt).alias(
+                "avg_price"
+            ),
+            (
+                F.sum(_cents(F.col("l_discount"), 10000)).cast("double") / 10000.0 / cnt
+            ).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """SELECT
+  l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+  CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style shipping priority (join + agg + top-k) ------------------------
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem → revenue per order → top 10.
+
+    Scale: orders/lineitem join shuffles on orderkey (co-partitioned by
+    AQE); customer side filtered early. Top-k is a global sort of the small
+    aggregated result, with unique tiebreak.
+    """
+    configure_for_parity(spark)
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+    )
+    rev_cents = F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((rev_cents.cast("double") / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """SELECT
+  l_orderkey, o_orderdate, o_orderpriority,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5-style local-supplier revenue (6-way join) ---------------------------
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier.
+
+    Scale: region/nation/supplier are broadcast dims (tiny); the only big
+    shuffles are orders⋈lineitem on orderkey and the final group on n_name.
+    Catalyst reorders the join tree; the explicit broadcast hints pin the
+    dim sides.
+    """
+    configure_for_parity(spark)
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    rev_cents = F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg((rev_cents.cast("double") / 100.0).alias("revenue"))
+    )
+
+
+ORACLE_Q5 = """SELECT
+  n_name,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- Window/ranking ---------------------------------------------------------
+
+def q_window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation by account balance (ranking window)."""
+    configure_for_parity(spark)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "c_acctbal",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+ORACLE_WINDOW_TOP_CUSTOMERS = """SELECT
+  c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+  CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+)
+WHERE rnk <= 3
+"""
+
+
+# --- Event-time bucketing (streaming-shaped agg in batch) -------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation over the events stream table —
+    the batch twin of the Structured Streaming windowed agg
+    (streaming/pipeline.py runs the same plan with a watermark)."""
+    configure_for_parity(spark)
+    e = load_table(spark, sf_dir, "events")
+    # hour truncation via wall-clock fields on TIMESTAMP_NTZ: unlike
+    # date_trunc (which round-trips through LTZ and the session/process
+    # timezone), make_timestamp_ntz is timezone-free on both engines.
+    hour_ts = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)")
+    return (
+        e.groupBy(
+            hour_ts.alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"), 10000)).cast("double") / 10000.0).alias(
+                "sum_value"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = """SELECT
+  date_trunc('hour', ts) AS hour_ts, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value,
+  count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --- Sort / limit / distinct ------------------------------------------------
+
+def q_top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with unique tiebreak (sort+limit surface)."""
+    configure_for_parity(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+ORACLE_TOP_ORDERS_BY_PRICE = """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count + avg over part (dimension-table analytics)."""
+    configure_for_parity(spark)
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_type").alias("n_types"),
+        (F.sum(_cents(F.col("p_retailprice"))).cast("double") / 100.0).alias(
+            "sum_retail"
+        ),
+        F.min("p_size").cast("long").alias("min_size"),
+        F.max("p_size").cast("long").alias("max_size"),
+    )
+
+
+ORACLE_PART_BRAND_STATS = """SELECT
+  p_brand,
+  count(*) AS n_parts,
+  count(DISTINCT p_type) AS n_types,
+  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_retail,
+  CAST(min(p_size) AS BIGINT) AS min_size,
+  CAST(max(p_size) AS BIGINT) AS max_size
+FROM part
+GROUP BY p_brand
+"""

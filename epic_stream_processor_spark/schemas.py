@@ -1,0 +1,118 @@
+"""StructType schemas for the domain data model.
+
+Derived from the reference's wire format + DDL (behavioral spec only):
+- image epoch:  protobuf ``epic_image`` + FITS header keys actually read
+  (reference ``epic_services/watch_dog.py:247-272,335-351``,
+  ``epic_grpc/epic_image.proto:26-29``).
+- watchlist:    Postgres ``epic_watchdog``
+  (reference ``epic_orm/pg_pixel_storage.py:57-74``).
+- pixel store:  Postgres ``epic_pixels``
+  (reference ``epic_orm/pg_pixel_storage.py:27-38``).
+- img metadata: Postgres ``epic_img_metadata``
+  (reference ``epic_orm/pg_pixel_storage.py:41-54``).
+
+Geometry columns are typed structs (x/y, ra/dec) rather than the reference's
+``"(x,y)"`` / EWKT string encodings — strings are derived only at export
+(see ``functions.geometry.ewkt_point``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# One row per image epoch arriving on the stream. The cube is carried as a
+# row-major flattened float array + shape so a single epoch is one Row and
+# the gather (O5) is a row-local array op — no shuffle needed to read pixels.
+IMAGE_EPOCH_SCHEMA = StructType(
+    [
+        StructField("epoch_id", LongType(), False),
+        StructField("t_obs", TimestampType(), False),
+        StructField("filename", StringType(), False),
+        # WCS linear terms (plate carrée fast path; full WCS via pandas UDF)
+        StructField("ra0", DoubleType(), False),   # CRVAL1
+        StructField("dec0", DoubleType(), False),  # CRVAL2
+        StructField("x0", DoubleType(), False),    # CRPIX1 (1-based)
+        StructField("y0", DoubleType(), False),    # CRPIX2
+        StructField("dx", DoubleType(), False),    # CDELT1 (deg/px, <0 for RA)
+        StructField("dy", DoubleType(), False),    # CDELT2
+        # Spectral axis
+        StructField("crval3", DoubleType(), False),
+        StructField("cdelt3", DoubleType(), False),
+        StructField("crpix3", DoubleType(), False),
+        # Dimensions
+        StructField("naxis1", IntegerType(), False),
+        StructField("naxis2", IntegerType(), False),
+        StructField("n_chan", IntegerType(), False),
+        StructField("n_pol", IntegerType(), False),
+        StructField("n_cplx", IntegerType(), False),
+        StructField("inttime", DoubleType(), False),
+        # Flattened cube [n_cplx, n_pol, n_chan, y, x] row-major; nullable so
+        # functionally-defined fixtures can omit it.
+        StructField("cube", ArrayType(FloatType()), True),
+        StructField("cube_shape", ArrayType(IntegerType()), True),
+    ]
+)
+
+# Slowly-changing watchlist dimension (reference table `epic_watchdog`).
+WATCHLIST_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("source_name", StringType(), False),
+        StructField("ra", DoubleType(), False),
+        StructField("dec", DoubleType(), False),
+        StructField("event_time", TimestampType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("t_start", TimestampType(), False),
+        StructField("t_end", TimestampType(), True),
+        StructField("watch_mode", StringType(), True),   # continuous|timed
+        StructField("patch_type", IntegerType(), False),  # patch edge n
+        StructField("reason", StringType(), True),
+        StructField("author", StringType(), True),
+        StructField("watch_status", StringType(), False),  # watching|watched
+        StructField("voevent", StringType(), True),
+    ]
+)
+
+# Append-only pixel fact table: one row per (epoch, source, patch pixel).
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),  # epoch uuid (FK to metadata)
+        StructField("pixel_coord_x", LongType(), False),  # 1-based
+        StructField("pixel_coord_y", LongType(), False),
+        StructField("pixel_values", ArrayType(DoubleType()), False),
+        StructField("ra", DoubleType(), False),
+        StructField("dec", DoubleType(), False),
+        StructField("source_names", StringType(), False),
+        StructField("pixel_l", DoubleType(), False),
+        StructField("pixel_m", DoubleType(), False),
+        StructField("pix_ofst_x", LongType(), False),
+        StructField("pix_ofst_y", LongType(), False),
+    ]
+)
+
+IMG_METADATA_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("img_time", TimestampType(), False),
+        StructField("n_chan", IntegerType(), False),
+        StructField("n_pol", IntegerType(), False),
+        StructField("chan0", DoubleType(), False),
+        StructField("chan_bw", DoubleType(), False),
+        StructField("epic_version", StringType(), False),
+        StructField("img_size_x", IntegerType(), False),
+        StructField("img_size_y", IntegerType(), False),
+        StructField("int_time", DoubleType(), False),
+        StructField("filename", StringType(), False),
+        StructField("source_names", ArrayType(StringType()), False),
+    ]
+)

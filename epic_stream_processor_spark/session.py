@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[32]``; the configs below are the ones that also
+matter on a real cluster (AQE, shuffle partitioning, Arrow). Nothing here is
+required for correctness — queries set the few semantics-relevant confs
+(session time zone) themselves so they behave identically under the driver's
+own session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "epic-stream-processor-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # One shuffle partition per core locally; on a cluster this would be
+        # sized to ~128 MB of shuffle data per partition (AQE coalesces down).
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def configure_for_parity(spark: SparkSession) -> SparkSession:
+    """Set the runtime confs a query needs for engine-portable semantics.
+
+    Called at the top of every registered query so results are identical no
+    matter which session the driver hands us. UTC keeps timestamp collection
+    and date_trunc aligned with DuckDB's naive-timestamp arithmetic.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

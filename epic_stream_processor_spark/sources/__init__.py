@@ -1,0 +1,1 @@
+"""Batch fixture derivations and streaming sources."""

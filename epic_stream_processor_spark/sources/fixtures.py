@@ -1,0 +1,182 @@
+"""Deterministic domain fixtures derived from the driver's synthetic tables.
+
+The driver provides TPC-H-ish parquet (TESTDATA.md) but no astronomy tables,
+so the domain pipeline's inputs are *derived* from them with engine-portable
+arithmetic: ``watchlist`` from ``nation`` (25 slowly-changing dimension
+rows), ``image_epochs`` from a modular sample of ``events`` (the stream),
+and the image cube defined *functionally* — ``cube_val(epoch_id, flat_idx)``
+is an integer-valued double, so gathered spectra and their sums are exact
+(no float nondeterminism between Spark and the DuckDB oracle).
+
+Every derivation here has a literal SQL transliteration in
+``plans/queries.py``'s oracle strings; keep the two in lockstep.
+
+Fixture geometry (mirrors the reference's defaults — 64×64 grid,
+``create_pixel_tables.sql:33``; plate-carrée WCS so the linear C1 path is
+exact; elevation_limit=0 ⇒ max_rad = xdim/2 = 32, ``watch_dog.py:237,270``):
+
+- grid 64×64, CRPIX=(32,32), CDELT=(-1.444, 1.444), CRVAL=(180, 0)
+- cube axes [n_cplx=2, n_pol=2, n_chan=4, y=64, x=64]
+- spectrum length per pixel = n_cplx*n_pol*n_chan = 16
+- cube_val(eid, f) = double((eid*31 + f*7) % 997)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Fixed "now" for watchlist temporal-validity checks (events span Jan 2024).
+NOW_LITERAL = "2024-01-10 12:00:00"
+EPOCH_MOD = 50           # events sampled into image epochs: event_id % 50 = 0
+XDIM = 64
+YDIM = 64
+N_CHAN = 4
+N_POL = 2
+N_CPLX = 2
+SPEC_LEN = N_CPLX * N_POL * N_CHAN  # 16
+MAX_RAD_SQ = 32 * 32     # elevation_limit = 0 → max_rad = xdim/2
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark rejects
+    by default. Read nanos as long (legacy conf) and truncate to micros —
+    exactly what DuckDB does natively — so both engines see identical
+    timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # TIMESTAMP_NTZ end to end: parquet ms-timestamps already load as NTZ in
+    # Spark 4, and NTZ collects as a naive datetime with no local-timezone
+    # conversion — bit-identical to DuckDB no matter the driver's TZ. The
+    # LTZ→NTZ cast below is evaluated under UTC (set here, defensively).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return e
+
+
+def watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watchlist dimension derived from ``nation``.
+
+    25 rows: RA fans across 0..324°, Dec across ±72°, so a deterministic
+    subset lands inside the 64×64 FOV. Validity windows cover the events'
+    January 2024 span, with one not-yet-active row (nk%11==4 → +40 days) and
+    a few already-'watched' rows (nk%7==3) to exercise P1/P2 filters.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("long")
+    # TIMESTAMP_NTZ literals: naive wall-clock arithmetic, immune to the
+    # driver process's TZ (see load_events note).
+    t_start = F.expr(
+        "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0, 0, 0, "
+        "cast(n_nationkey % 5 + if(n_nationkey % 11 = 4, 40, 0) as int))"
+    )
+    t_end = F.expr(
+        "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0, 0, 0, "
+        "cast(n_nationkey % 5 + if(n_nationkey % 11 = 4, 40, 0) + 20 as int))"
+    )
+    return n.select(
+        nk.alias("id"),
+        F.col("n_name").alias("source_name"),
+        (nk.cast("double") * F.lit(13.5)).alias("ra"),
+        (nk.cast("double") * F.lit(6.0) - F.lit(72.0)).alias("dec"),
+        t_start.alias("t_start"),
+        t_end.alias("t_end"),
+        F.when(nk % 2 == 0, F.lit(5)).otherwise(F.lit(3)).cast("int").alias("patch_type"),
+        F.when(nk % 7 == 3, F.lit("watched")).otherwise(F.lit("watching")).alias(
+            "watch_status"
+        ),
+        F.when(nk % 2 == 0, F.lit("continuous")).otherwise(F.lit("timed")).alias(
+            "watch_mode"
+        ),
+    )
+
+
+def image_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-epoch stream derived from ``events`` (1 epoch per 50 events).
+
+    Carries the FITS-header-derived scalars of FIXTURES.md §2; the cube is
+    functionally defined (see module docstring) so epochs stay narrow. In
+    production this DataFrame comes from the streaming source with a real
+    ``cube`` array column — see ``sources/replay.py``.
+    """
+    e = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("long")
+    return e.where(eid % EPOCH_MOD == 0).select(
+        eid.alias("epoch_id"),
+        F.col("ts").alias("t_obs"),
+        F.lit(180.0).alias("ra0"),
+        F.lit(0.0).alias("dec0"),
+        F.lit(32.0).alias("x0"),
+        F.lit(32.0).alias("y0"),
+        F.lit(-1.444).alias("dx"),
+        F.lit(1.444).alias("dy"),
+        (F.lit(50000000.0) + (eid % 10).cast("double") * F.lit(100000.0)).alias(
+            "crval3"
+        ),
+        F.lit(25000.0).alias("cdelt3"),
+        F.lit(2.0).alias("crpix3"),
+        F.lit(XDIM).alias("naxis1"),
+        F.lit(YDIM).alias("naxis2"),
+        F.lit(N_CHAN).alias("n_chan"),
+        F.lit(N_POL).alias("n_pol"),
+        F.lit(N_CPLX).alias("n_cplx"),
+        F.lit(1.0).alias("inttime"),
+        F.concat(F.lit("EPIC_"), eid.cast("string"), F.lit(".fits")).alias("filename"),
+    )
+
+
+def cube_val(epoch_id, flat_idx):
+    """Functional cube: integer-valued double, exact under summation."""
+    return ((epoch_id * F.lit(31) + flat_idx * F.lit(7)) % F.lit(997)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle CTE twins (keep in lockstep with the builders above).
+# ---------------------------------------------------------------------------
+
+WATCHLIST_CTE = """
+watchlist AS (
+  SELECT
+    CAST(n_nationkey AS BIGINT) AS id,
+    n_name AS source_name,
+    CAST(n_nationkey AS DOUBLE) * 13.5 AS ra,
+    CAST(n_nationkey AS DOUBLE) * 6.0 - 72.0 AS dec,
+    TIMESTAMP '2024-01-01 00:00:00'
+      + INTERVAL 1 DAY * (n_nationkey % 5
+          + CASE WHEN n_nationkey % 11 = 4 THEN 40 ELSE 0 END) AS t_start,
+    TIMESTAMP '2024-01-01 00:00:00'
+      + INTERVAL 1 DAY * (n_nationkey % 5
+          + CASE WHEN n_nationkey % 11 = 4 THEN 40 ELSE 0 END + 20) AS t_end,
+    CAST(CASE WHEN n_nationkey % 2 = 0 THEN 5 ELSE 3 END AS INT) AS patch_type,
+    CASE WHEN n_nationkey % 7 = 3 THEN 'watched' ELSE 'watching' END AS watch_status,
+    CASE WHEN n_nationkey % 2 = 0 THEN 'continuous' ELSE 'timed' END AS watch_mode
+  FROM nation
+)
+"""
+
+IMAGE_EPOCHS_CTE = f"""
+image_epochs AS (
+  SELECT
+    CAST(event_id AS BIGINT) AS epoch_id,
+    ts AS t_obs,
+    180.0 AS ra0, 0.0 AS dec0, 32.0 AS x0, 32.0 AS y0,
+    -1.444 AS dx, 1.444 AS dy,
+    50000000.0 + CAST(event_id % 10 AS DOUBLE) * 100000.0 AS crval3,
+    25000.0 AS cdelt3, 2.0 AS crpix3,
+    {XDIM} AS naxis1, {YDIM} AS naxis2,
+    {N_CHAN} AS n_chan, {N_POL} AS n_pol, {N_CPLX} AS n_cplx,
+    1.0 AS inttime,
+    'EPIC_' || CAST(CAST(event_id AS BIGINT) AS VARCHAR) || '.fits' AS filename
+  FROM events
+  WHERE event_id % {EPOCH_MOD} = 0
+)
+"""
