@@ -1,0 +1,130 @@
+"""Watchlist CRUD + temporal state transitions (O7, SURVEY §2.10).
+
+Re-expresses the reference's watchlist subsystem (behavioral citations):
+- add with dup-check     : ``watch_dog.py:144-219`` (P8 guard :160-168)
+- list active sources    : ``pg_pixel_storage.py:101-125`` (S8)
+- expiry transition      : ``watch_dog.py:103-133`` — sources whose validity
+  window passed flip ``watching → watched``.
+- continuous mode        : ``t_end = now + ~99 years`` — the *intent* of the
+  reference (its condition at watch_dog.py:63-64 is inverted; the CLI does
+  it right at ``__main__.py:213-214``). We implement the intent.
+
+Storage: a parquet-backed table (`WatchlistStore`) with full-rewrite
+updates — the watchlist is a tiny slowly-changing dimension (tens…thousands
+of rows), so rewriting it per change is cheap at any scale; on a real
+deployment this would be a Delta table with MERGE.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import WATCHLIST_SCHEMA
+
+CONTINUOUS_YEARS = 99  # reference __main__.py:213-214
+
+
+class WatchlistStore:
+    """Parquet-backed watchlist with reference CRUD semantics."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def init_empty(self) -> None:
+        self.spark.createDataFrame([], WATCHLIST_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _write(self, df: DataFrame) -> None:
+        # tiny dimension table → single-file rewrite; Delta MERGE in prod
+        out = df.select(*[f.name for f in WATCHLIST_SCHEMA.fields])
+        self.spark.createDataFrame(
+            out.collect(), WATCHLIST_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(self.path)
+
+    def add_source(
+        self,
+        source_name: str,
+        ra: float,
+        dec: float,
+        t_start: Optional[_dt.datetime] = None,
+        t_end: Optional[_dt.datetime] = None,
+        watch_mode: str = "continuous",
+        patch_type: int = 5,
+        author: str = "batch",
+        reason: str = "Detection of FRBs",
+        event_time: Optional[_dt.datetime] = None,
+        event_type: str = "Manual trigger",
+        voevent: Optional[str] = None,
+    ) -> int:
+        """Insert with uniqueness guard (P8): raises if source_name exists.
+
+        continuous mode ⇒ t_end = t_start + 99 years (the corrected intent).
+        Returns the assigned id (max+1 — SERIAL equivalent).
+        """
+        cur = self.read()
+        if cur.where(F.col("source_name") == source_name).limit(1).count() > 0:
+            raise ValueError(
+                f"A source with name {source_name!r} already exists in the watchlist"
+            )
+        now = _dt.datetime.utcnow().replace(tzinfo=None)
+        t_start = t_start or now
+        if watch_mode == "continuous" or t_end is None:
+            t_end = t_start + _dt.timedelta(days=365 * CONTINUOUS_YEARS)
+        new_id = (cur.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0] or 0) + 1
+        row = [
+            (
+                int(new_id), source_name, float(ra), float(dec),
+                event_time or now, event_type, t_start, t_end,
+                watch_mode, int(patch_type), reason, author, "watching", voevent,
+            )
+        ]
+        new_df = self.spark.createDataFrame(row, WATCHLIST_SCHEMA)
+        self._write(self.read().unionByName(new_df))
+        return int(new_id)
+
+    def list_watch_sources(self) -> DataFrame:
+        """S8 projection: the columns the ingest pipeline consumes."""
+        return self.read().where(F.col("watch_status") == "watching").select(
+            "id",
+            "source_name",
+            "ra",
+            "dec",
+            "t_start",
+            "t_end",
+            "watch_mode",
+            "patch_type",
+            "watch_status",
+        )
+
+    def expire_sources(self, now: Optional[_dt.datetime] = None) -> int:
+        """T3 transition: rows with ``t_end <= now`` flip watching→watched.
+        Returns the number of expired rows."""
+        now = now or _dt.datetime.utcnow().replace(tzinfo=None)
+        cur = self.read()
+        expired = (F.col("watch_status") == "watching") & (
+            F.col("t_end") <= F.lit(now)
+        )
+        n = cur.where(expired).count()
+        if n:
+            self._write(
+                cur.withColumn(
+                    "watch_status",
+                    F.when(expired, F.lit("watched")).otherwise(F.col("watch_status")),
+                )
+            )
+        return int(n)
+
+
+def dedup_guard(candidates: DataFrame, existing: DataFrame, key: str = "source_name") -> DataFrame:
+    """P8 as a relational operator: candidates not already present
+    (left-anti join — broadcastable guard at any scale)."""
+    return candidates.join(F.broadcast(existing.select(key).distinct()), key, "left_anti")

@@ -269,3 +269,101 @@ exploded AS (
 per_pos AS (SELECT grp, pos, sum(v) AS sv FROM exploded GROUP BY grp, pos)
 SELECT grp, list(sv ORDER BY pos) AS arr_sum FROM per_pos GROUP BY grp
 """
+
+
+# --- O5 faithful variant: materialized cube column + element_at gather ------
+
+def q_cube_gather_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gather from a *materialized* cube array column via element_at — the
+    production shape of O5 (reference fancy-index cube[:, :, :, y-1, x-1],
+    watch_dog.py:444-455). The cube lives in the row, so the gather is a
+    row-local array op: zero shuffle, scales with executor count.
+
+    Geometry for this fixture: 16×16 grid, n_cplx=2, n_pol=1, n_chan=4 ⇒
+    cube length 2048, spectrum length 8. Watched pixel per source s:
+    (s%16+1, (s*3)%16+1), 1-based.
+    """
+    configure_for_parity(spark)
+    ep = FX.image_epochs(spark, sf_dir)
+    wl = FX.watchlist(spark, sf_dir)
+    cube = F.transform(
+        F.sequence(F.lit(0), F.lit(2047)),
+        lambda i: FX.cube_val(F.col("epoch_id"), i.cast("long")),
+    )
+    epc = ep.select("epoch_id", "t_obs", cube.alias("cube")).where(
+        F.col("epoch_id") % 200 == 0
+    )
+    w = F.broadcast(
+        wl.where(F.col("watch_status") == "watching").select(
+            F.col("id").alias("src_id"),
+            "source_name",
+            ((F.col("id") % 16) + 1).alias("xp"),
+            (((F.col("id") * 3) % 16) + 1).alias("yp"),
+        )
+    )
+    joined = epc.crossJoin(w)
+    flat0 = (F.col("yp") - 1) * F.lit(16) + (F.col("xp") - 1)
+    spectrum = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda s: F.element_at(
+            F.col("cube"), (s.cast("long") * F.lit(256) + flat0 + 1).cast("int")
+        ),
+    )
+    return joined.select(
+        "epoch_id", "t_obs", "src_id", "source_name",
+        F.col("xp").cast("long").alias("xp"), F.col("yp").cast("long").alias("yp"),
+        spectrum.alias("pixel_values"),
+    )
+
+
+ORACLE_CUBE_GATHER_REAL = f"""WITH {WATCHLIST_CTE.strip()},
+{IMAGE_EPOCHS_CTE.strip()},
+epc AS (
+  SELECT epoch_id, t_obs,
+         list_transform(range(0, 2048),
+           i -> CAST((epoch_id * 31 + i * 7) % 997 AS DOUBLE)) AS cube
+  FROM image_epochs WHERE epoch_id % 200 = 0
+),
+w AS (
+  SELECT id AS src_id, source_name,
+         (id % 16) + 1 AS xp, ((id * 3) % 16) + 1 AS yp
+  FROM watchlist WHERE watch_status = 'watching'
+)
+SELECT epoch_id, t_obs, src_id, source_name,
+       CAST(xp AS BIGINT) AS xp, CAST(yp AS BIGINT) AS yp,
+       list_transform(range(0, 8),
+         s -> cube[CAST(s * 256 + (yp - 1) * 16 + (xp - 1) + 1 AS BIGINT)]) AS pixel_values
+FROM epc, w
+"""
+
+
+# --- P8: watchlist dedup guard (anti-join) ----------------------------------
+
+def q_watchlist_dedup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness guard as a relational operator (reference rejects inserts
+    whose source name exists, watch_dog.py:160-168): candidate names
+    (region names + 2 colliding nation names) anti-joined against the
+    watchlist → only genuinely-new names survive."""
+    from ..operators.watchlist import dedup_guard
+
+    configure_for_parity(spark)
+    wl = FX.watchlist(spark, sf_dir)
+    region = FX.load_table(spark, sf_dir, "region")
+    nation = FX.load_table(spark, sf_dir, "nation")
+    cands = region.select(F.col("r_name").alias("source_name")).unionByName(
+        nation.where(F.col("n_nationkey") < 2).select(
+            F.col("n_name").alias("source_name")
+        )
+    )
+    return dedup_guard(cands, wl.select("source_name"))
+
+
+ORACLE_WATCHLIST_DEDUP_GUARD = f"""WITH {WATCHLIST_CTE.strip()},
+cands AS (
+  SELECT r_name AS source_name FROM region
+  UNION ALL
+  SELECT n_name FROM nation WHERE n_nationkey < 2
+)
+SELECT source_name FROM cands
+WHERE source_name NOT IN (SELECT source_name FROM watchlist)
+"""

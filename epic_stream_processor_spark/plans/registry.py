@@ -55,6 +55,14 @@ QUERIES: dict[str, QueryDef] = {
         epic.q_array_element_sum, epic.ORACLE_ARRAY_ELEMENT_SUM,
         "A1 ragged/NULL UDAF semantics fixture (functions.sql:10-16)",
     ),
+    "epic_cube_gather_real": QueryDef(
+        epic.q_cube_gather_real, epic.ORACLE_CUBE_GATHER_REAL,
+        "O5 with a materialized cube column: element_at flat-index gather",
+    ),
+    "epic_watchlist_dedup_guard": QueryDef(
+        epic.q_watchlist_dedup_guard, epic.ORACLE_WATCHLIST_DEDUP_GUARD,
+        "P8 uniqueness guard as broadcast anti-join",
+    ),
     # --- relational surface ---
     "q1_pricing_summary": QueryDef(
         relational.q1_pricing_summary, relational.ORACLE_Q1,
@@ -84,6 +92,18 @@ QUERIES: dict[str, QueryDef] = {
     "q_part_brand_stats": QueryDef(
         relational.q_part_brand_stats, relational.ORACLE_PART_BRAND_STATS,
         "distinct-count + min/max + cents-exact sums",
+    ),
+    "q_json_extract": QueryDef(
+        relational.q_json_extract, relational.ORACLE_JSON_EXTRACT,
+        "C13 JSON decode (get_json_object) + integer aggregates",
+    ),
+    "q_sessionize": QueryDef(
+        relational.q_sessionize, relational.ORACLE_SESSIONIZE,
+        "gap-based sessionization: lag + running sum + re-agg", bench=True,
+    ),
+    "q_nation_setops": QueryDef(
+        relational.q_nation_setops, relational.ORACLE_NATION_SETOPS,
+        "UNION ALL / INTERSECT / EXCEPT set operations",
     ),
     # --- LLM-data-pipeline extensions ---
     "dedup_exact": QueryDef(

@@ -292,3 +292,121 @@ ORACLE_PART_BRAND_STATS = """SELECT
 FROM part
 GROUP BY p_brand
 """
+
+
+# --- C13: JSON extraction (events.props) ------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode at the source boundary (C13, reference uds_server.py:93-95
+    json.loads of headers/configs): extract props.k, aggregate per type.
+    Integer-only outputs → exact."""
+    configure_for_parity(spark)
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+    )
+
+
+ORACLE_JSON_EXTRACT = """SELECT
+  event_type,
+  count(*) AS n_events,
+  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- Sessionization (lag + running sum — analytic windows beyond ranking) ---
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30 min silence starts a new session.
+
+    Exercises lag + conditional flag + running sum + re-aggregation — the
+    classic streaming-analytics window stack, here in batch. All outputs are
+    ints/NTZ timestamps → exact.
+    Scale: single shuffle on user_id; windows are partition-local.
+    """
+    configure_for_parity(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL '30' MINUTE")),
+        1,
+    ).otherwise(0)
+    sess = F.sum("_new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("_new_sess", gap_flag)
+        .withColumn("session_idx", sess)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_first"),
+            F.max("ts").alias("t_last"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS t_first, max(ts) AS t_last
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+# --- Set operations ----------------------------------------------------------
+
+def q_nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT surface: nations by customer/supplier presence."""
+    configure_for_parity(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("membership", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("membership", F.lit("customers_only"))
+    supp_only = s.subtract(c).withColumn("membership", F.lit("suppliers_only"))
+    return both.unionByName(cust_only).unionByName(supp_only)
+
+
+ORACLE_NATION_SETOPS = """WITH c AS (
+  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+),
+s AS (
+  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+)
+SELECT nationkey, 'both' AS membership
+FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'customers_only'
+FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'suppliers_only'
+FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+"""

