@@ -18,21 +18,57 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
 
 from epic_stream_processor_spark.plans import QUERIES  # noqa: E402
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on Python workers no matter where the
+    driver process was launched from: zip it once and addPyFile it.
+    (Catalyst-only queries don't need this; pandas-UDF / custom-DataSource
+    stages do — cloudpickle references module names.)"""
+    if getattr(spark, "_epic_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(_REPO_DIR, "epic_stream_processor_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "epic_stream_processor_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _REPO_DIR))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context
+    spark._epic_pkg_shipped = True
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full EPIC pipeline (stream×watchlist → FOV →
     patch explode → validate → gather) + array_element_sum light curve,
     on /root/testdata/sf0.001."""
+    _ship_package(spark)
     return QUERIES["epic_light_curve"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in QUERIES.items()}
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(q.fn) for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,153 @@
+"""Custom PySpark DataSource ("epic"): reads raw epic_image spool files.
+
+The Spark-native replacement for the reference's UDS server ingest (S1/S3):
+receivers dump each wire payload as one ``.epic`` file into a spool
+directory (object storage at scale); this DataSource decodes them into
+image-epoch rows inside the partition readers — the decode (protobuf parse,
+FITS header parse, ndarray reconstruct) runs distributed on executors, not
+on a single receiver thread like the reference.
+
+Batch: ``spark.read.format("epic").load(spool_dir)`` — one partition per
+file (images are ~MB-scale; at 100 TB the spool is millions of files and
+Spark's task scheduler is the right granularity).
+
+Streaming: ``spark.readStream.format("epic").load(spool_dir)`` — offsets
+are indices into the lexicographically-sorted file list (receivers name
+files monotonically); each micro-batch reads the newly-arrived files.
+
+Registration: ``spark.dataSource.register(EpicDataSource)``. Executors must
+be able to import this package (``__spark_entry__`` ships a package zip via
+``addPyFile``; clusters use ``--py-files``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EPIC_SPOOL_SCHEMA = StructType(
+    [
+        StructField("epoch_id", LongType()),
+        StructField("t_obs_str", StringType()),
+        StructField("filename", StringType()),
+        StructField("ra0", DoubleType()),
+        StructField("dec0", DoubleType()),
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("dx", DoubleType()),
+        StructField("dy", DoubleType()),
+        StructField("crval3", DoubleType()),
+        StructField("cdelt3", DoubleType()),
+        StructField("crpix3", DoubleType()),
+        StructField("naxis1", IntegerType()),
+        StructField("naxis2", IntegerType()),
+        StructField("n_chan", IntegerType()),
+        StructField("n_pol", IntegerType()),
+        StructField("n_cplx", IntegerType()),
+        StructField("inttime", DoubleType()),
+        StructField("xdim", IntegerType()),
+        StructField("ydim", IntegerType()),
+        StructField("cube", ArrayType(FloatType())),
+        StructField("cube_shape", ArrayType(IntegerType())),
+    ]
+)
+
+_FIELD_ORDER = [f.name for f in EPIC_SPOOL_SCHEMA.fields]
+
+
+def _list_epic_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".epic") and not f.startswith(".")
+    )
+
+
+def _decode_file(fpath: str) -> tuple:
+    # worker-side: local imports keep the closure self-contained
+    from epic_stream_processor_spark.sources import wire
+    from epic_stream_processor_spark.sources.uds import epoch_row
+
+    with open(fpath, "rb") as fh:
+        payload = fh.read()
+    primary_hdr, img_hdr, cube = wire.decode_image(payload)
+    row = epoch_row(primary_hdr, img_hdr, cube)
+    return tuple(row[k] for k in _FIELD_ORDER)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, files: Sequence[str]):
+        self.files = list(files)
+
+
+class EpicBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("epic datasource requires a path")
+        self.files = _list_epic_files(self.path)
+
+    def partitions(self):
+        return [_FilePartition([f]) for f in self.files] or [_FilePartition([])]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        for f in partition.files:
+            yield _decode_file(f)
+
+
+class EpicStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("epic datasource requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_list_epic_files(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_epic_files(self.path)[start["index"] : end["index"]]
+        return [_FilePartition(files)] if files else [_FilePartition([])]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        for f in partition.files:
+            yield _decode_file(f)
+
+    def commit(self, end: dict) -> None:
+        pass  # spool files are immutable; retention is the operator's call
+
+
+class EpicDataSource(DataSource):
+    """``spark.dataSource.register(EpicDataSource)`` → format "epic"."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "epic"
+
+    def schema(self):
+        return EPIC_SPOOL_SCHEMA
+
+    def reader(self, schema) -> EpicBatchReader:
+        return EpicBatchReader(self.options)
+
+    def streamReader(self, schema) -> EpicStreamReader:
+        return EpicStreamReader(self.options)

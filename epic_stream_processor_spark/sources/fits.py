@@ -1,0 +1,76 @@
+"""Minimal FITS header card codec (public FITS standard, 80-char cards).
+
+The reference parses FITS headers with ``astropy.io.fits.Header.fromstring``
+(``watch_dog.py:244-245``) and reads a fixed key set
+(``watch_dog.py:247-272,335-351``). astropy isn't in this container, so this
+module implements just enough of the public FITS card grammar
+(``KEYWORD = value / comment``, fixed 80-char records, END terminator) to
+round-trip those keys. Swap for astropy via ``functions/astro.py`` when
+available.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def parse_header(header_str: str) -> dict[str, Any]:
+    """Parse a FITS header string (concatenated 80-char cards) to a dict."""
+    out: dict[str, Any] = {}
+    for i in range(0, len(header_str), 80):
+        card = header_str[i : i + 80]
+        key = card[:8].strip()
+        if not key or key == "END":
+            if key == "END":
+                break
+            continue
+        if key in ("COMMENT", "HISTORY") or card[8:10] != "= ":
+            continue
+        body = card[10:]
+        slash = _value_end(body)
+        raw = body[:slash].strip()
+        out[key] = _parse_value(raw)
+    return out
+
+
+def _value_end(body: str) -> int:
+    """Index of the value/comment separator, respecting quoted strings."""
+    in_str = False
+    for i, ch in enumerate(body):
+        if ch == "'":
+            in_str = not in_str
+        elif ch == "/" and not in_str:
+            return i
+    return len(body)
+
+
+def _parse_value(raw: str) -> Any:
+    if raw.startswith("'"):
+        return raw.strip("'").rstrip()
+    if raw == "T":
+        return True
+    if raw == "F":
+        return False
+    try:
+        if any(c in raw for c in ".eE") and not raw.lstrip("+-").isdigit():
+            return float(raw)
+        return int(raw)
+    except ValueError:
+        return raw
+
+
+def format_header(cards: dict[str, Any]) -> str:
+    """Serialize a dict to a FITS header string (for producers/fixtures)."""
+    out = []
+    for key, val in cards.items():
+        if isinstance(val, bool):
+            v = "T" if val else "F"
+            body = f"= {v:>20}"
+        elif isinstance(val, (int, float)):
+            body = f"= {val!r:>20}"
+        else:
+            body = f"= '{val}'"
+        card = f"{key:<8}{body}"
+        out.append(card[:80].ljust(80))
+    out.append("END".ljust(80))
+    return "".join(out)

@@ -1,0 +1,198 @@
+"""Unix-domain-socket ingest: server, producer, and parquet spool bridge.
+
+Protocol parity with the reference's primary ingest path
+(``epic_services/uds_server.py:197-289``, ``uds_client.py:45-98``):
+
+1. client connects to the (abstract-namespace) UDS address;
+2. handshake: client sends JSON ``["<processor>", payload_size]``
+   (≤256 bytes); server replies ``b"proceed"``;
+3. client streams exactly ``payload_size`` bytes (the epic_image message);
+   server recv-loops in 1 MiB chunks until complete;
+4. server decodes (``wire.decode_image``) and dispatches to the processor.
+
+Divergences from the reference, on purpose:
+- the accept loop actually runs handlers concurrently (the reference's
+  ``submit().result()`` at uds_server.py:216 serializes despite its pool);
+- decoded epochs are spooled to parquet (one file per flush) that a
+  Structured Streaming file source tails — the Spark-native replacement for
+  the in-process streamz pipeline. At cluster scale the spool directory is
+  object storage and any number of receiver processes append to it; Spark's
+  file source handles discovery/exactly-once via the checkpoint log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import threading
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Optional
+
+import numpy as np
+
+from . import wire
+from .fits import parse_header
+
+HANDSHAKE_MAX = 256         # uds_server.py:222
+RECV_CHUNK = 1 << 20        # uds_server.py:242
+DEFAULT_PROCESSOR = "epic_image"
+
+
+def stream_data_uds(
+    primary_hdr: str,
+    img_hdr: str,
+    data: np.ndarray,
+    addr: str,
+    processor: str = DEFAULT_PROCESSOR,
+    timeout: float = 60.0,
+) -> None:
+    """Producer API — twin of ``uds_client.stream_data_uds`` (:45-59)."""
+    payload = wire.encode_image(primary_hdr, img_hdr, data)
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as sk:
+        sk.settimeout(timeout)
+        sk.connect(addr)
+        sk.sendall(json.dumps([processor, len(payload)]).encode("utf-8"))
+        resp = sk.recv(HANDSHAKE_MAX)
+        if resp != b"proceed":
+            raise RuntimeError(f"handshake rejected: {resp!r}")
+        sk.sendall(payload)
+
+
+class ThreadedUDSServer:
+    """Accept loop + handshake + recv-until-payload, dispatching decoded
+    images to a processor callback. Genuinely concurrent (fixes the
+    reference's serialized ``submit().result()``)."""
+
+    def __init__(
+        self,
+        addr: str,
+        processor: Callable[[str, str, np.ndarray], None],
+        max_conn: int = 5,
+        workers: int = 10,
+        client_timeout: float = 60.0,
+    ):
+        self.addr = addr
+        self.processor = processor
+        self.max_conn = max_conn
+        self.client_timeout = client_timeout
+        self._pool = ThreadPoolExecutor(workers)
+        self._sock: Optional[socket.socket] = None
+        self._accept_thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    def start(self) -> None:
+        if os.path.exists(self.addr):
+            os.unlink(self.addr)
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.bind(self.addr)
+        self._sock.listen(self.max_conn)
+        self._sock.settimeout(0.2)
+        self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._accept_thread.start()
+
+    def _accept_loop(self) -> None:
+        assert self._sock is not None
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            self._pool.submit(self._handle, conn)  # concurrent, no .result()
+
+    def _handle(self, conn: socket.socket) -> None:
+        try:
+            conn.settimeout(self.client_timeout)
+            hs = conn.recv(HANDSHAKE_MAX)
+            name, payload_size = json.loads(hs.decode("utf-8"))
+            if name != DEFAULT_PROCESSOR:
+                conn.sendall(b"reject")
+                return
+            conn.sendall(b"proceed")
+            chunks: list[bytes] = []
+            remaining = int(payload_size)
+            while remaining > 0:
+                chunk = conn.recv(min(RECV_CHUNK, remaining))
+                if not chunk:
+                    raise ConnectionError("client closed mid-payload")
+                chunks.append(chunk)
+                remaining -= len(chunk)
+            primary_hdr, img_hdr, cube = wire.decode_image(b"".join(chunks))
+            self.processor(primary_hdr, img_hdr, cube)
+        except Exception:
+            pass  # at-most-once parity: a bad message drops (T4); sink-side
+            # checkpointing makes everything after the spool exactly-once
+        finally:
+            conn.close()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._accept_thread:
+            self._accept_thread.join(timeout=2)
+        if self._sock:
+            self._sock.close()
+        self._pool.shutdown(wait=True)
+        if os.path.exists(self.addr):
+            os.unlink(self.addr)
+
+
+class ParquetSpool:
+    """Processor callback that turns decoded images into image-epoch rows in
+    a parquet spool directory (the Structured Streaming file source tails
+    it). One parquet file per image keeps end-to-end latency at one trigger
+    interval; a production receiver would buffer ~5 s per flush (the
+    reference's micro-batch window)."""
+
+    def __init__(self, spool_dir: str):
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._lock = threading.Lock()
+        self._n = 0
+
+    def __call__(self, primary_hdr: str, img_hdr: str, cube: np.ndarray) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        row = epoch_row(primary_hdr, img_hdr, cube)
+        table = pa.Table.from_pylist([row])
+        with self._lock:
+            self._n += 1
+            name = f"part-{self._n:06d}-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.spool_dir, "." + name)
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self.spool_dir, name))  # atomic publish
+
+
+def epoch_row(primary_hdr: str, img_hdr: str, cube: np.ndarray) -> dict:
+    """FITS headers + cube → one image-epoch row (the keys the reference
+    reads: watch_dog.py:247-272,335-351)."""
+    p = parse_header(primary_hdr)
+    h = parse_header(img_hdr)
+    shape = list(cube.shape)  # [n_cplx, n_pol, n_chan, y, x]
+    return {
+        "epoch_id": int(p.get("EPOCHID", 0)),
+        "t_obs_str": str(h.get("DATETIME", "")),
+        "filename": str(h.get("FILENAME", "")),
+        "ra0": float(h.get("CRVAL1", 0.0)),
+        "dec0": float(h.get("CRVAL2", 0.0)),
+        "x0": float(h.get("CRPIX1", 0.0)),
+        "y0": float(h.get("CRPIX2", 0.0)),
+        "dx": float(h.get("CDELT1", 1.0)),
+        "dy": float(h.get("CDELT2", 1.0)),
+        "crval3": float(h.get("CRVAL3", 0.0)),
+        "cdelt3": float(h.get("CDELT3", 0.0)),
+        "crpix3": float(h.get("CRPIX3", 0.0)),
+        "naxis1": int(h.get("NAXIS1", shape[-1])),
+        "naxis2": int(h.get("NAXIS2", shape[-2])),
+        "n_chan": int(shape[2]),
+        "n_pol": int(shape[1]),
+        "n_cplx": int(shape[0]),
+        "inttime": float(p.get("INTTIM", 0.0)),
+        "xdim": int(p.get("GRIDDIMX", shape[-1])),
+        "ydim": int(p.get("GRIDDIMY", shape[-2])),
+        "cube": np.ascontiguousarray(cube, dtype=np.float32).ravel().tolist(),
+        "cube_shape": [int(s) for s in shape],
+    }

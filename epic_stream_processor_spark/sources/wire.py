@@ -1,0 +1,127 @@
+"""Wire-format codec for the reference's ingest protocol.
+
+Protocol parity targets (behavioral spec, reference citations):
+- protobuf message ``epic_image { string header = 1; bytes image_cube = 2; }``
+  (``epic_grpc/epic_image.proto:26-29``). The protobuf runtime isn't in this
+  container, so the two-field message is encoded/decoded directly against
+  the public protobuf wire format (tag-length-value, varint lengths) —
+  byte-compatible with any real protobuf implementation of that schema.
+- header payload: JSON triple ``[primary_hdr, img_hdr, buffer_metadata]``
+  where buffer_metadata = ``{"dtype", "shape", "strides"}``
+  (``epic_services/uds_client.py:49-58``).
+- ndarray reconstruction: ``np.frombuffer(dtype)`` + integrity check
+  ``size == prod(shape)`` + ``as_strided(shape, strides)``
+  (``epic_services/uds_server.py:94-108``) — zero-copy.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Tuple
+
+import numpy as np
+
+_TAG_HEADER = 0x0A      # field 1, wire type 2 (length-delimited)
+_TAG_IMAGE_CUBE = 0x12  # field 2, wire type 2
+
+
+def _write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def encode_epic_image(header: str, image_cube: bytes) -> bytes:
+    """Serialize an ``epic_image`` message (protobuf wire format)."""
+    h = header.encode("utf-8")
+    return (
+        bytes([_TAG_HEADER]) + _write_varint(len(h)) + h
+        + bytes([_TAG_IMAGE_CUBE]) + _write_varint(len(image_cube)) + image_cube
+    )
+
+
+def decode_epic_image(payload: bytes) -> Tuple[str, bytes]:
+    """Parse an ``epic_image`` message; tolerates any field order."""
+    header = ""
+    cube = b""
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        tag = payload[pos]
+        pos += 1
+        length, pos = _read_varint(payload, pos)
+        chunk = payload[pos : pos + length]
+        if len(chunk) != length:
+            raise ValueError("truncated epic_image payload")
+        pos += length
+        if tag == _TAG_HEADER:
+            header = chunk.decode("utf-8")
+        elif tag == _TAG_IMAGE_CUBE:
+            cube = chunk
+        else:
+            raise ValueError(f"unknown epic_image field tag 0x{tag:02x}")
+    return header, cube
+
+
+def pack_header(primary_hdr: str, img_hdr: str, arr: np.ndarray) -> str:
+    """Producer-side header triple with self-describing buffer metadata
+    (twin of ``uds_client.py:49-58``)."""
+    meta = dict(dtype=str(arr.dtype), shape=arr.shape, strides=arr.strides)
+    return json.dumps([primary_hdr, img_hdr, meta])
+
+
+def unpack_header(header: str) -> Tuple[str, str, dict]:
+    primary_hdr, img_hdr, meta = json.loads(header)
+    return primary_hdr, img_hdr, meta
+
+
+def reconstruct_ndarray(cube_bytes: bytes, meta: dict[str, Any]) -> np.ndarray:
+    """Zero-copy ndarray reconstruction with the reference's integrity check
+    (P9, ``uds_server.py:100-104``)."""
+    dtype = np.dtype(meta["dtype"])
+    arr = np.frombuffer(cube_bytes, dtype=dtype)
+    shape = tuple(int(s) for s in meta["shape"])
+    strides = tuple(int(s) for s in meta["strides"])
+    if arr.size != int(np.prod(shape)):
+        raise ValueError(
+            f"Mismatch in the expected shape {shape} and the buffer size {arr.size}"
+        )
+    # bounds-check the strided view (the reference trusts the wire; we don't:
+    # hostile strides would read out of the buffer)
+    lo = sum(min(0, (n - 1) * st) for n, st in zip(shape, strides))
+    hi = sum(max(0, (n - 1) * st) for n, st in zip(shape, strides)) + dtype.itemsize
+    if lo < 0 or hi > len(cube_bytes):
+        raise ValueError(f"strides {strides} escape the {len(cube_bytes)}-byte buffer")
+    return np.lib.stride_tricks.as_strided(arr, shape, strides)
+
+
+def encode_image(primary_hdr: str, img_hdr: str, data: np.ndarray) -> bytes:
+    """Full producer path: headers + ndarray → epic_image bytes."""
+    return encode_epic_image(pack_header(primary_hdr, img_hdr, data), data.tobytes())
+
+
+def decode_image(payload: bytes) -> Tuple[str, str, np.ndarray]:
+    """Full consumer path: epic_image bytes → (primary_hdr, img_hdr, cube)."""
+    header, cube_bytes = decode_epic_image(payload)
+    primary_hdr, img_hdr, meta = unpack_header(header)
+    return primary_hdr, img_hdr, reconstruct_ndarray(cube_bytes, meta)

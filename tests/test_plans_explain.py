@@ -1,0 +1,52 @@
+"""Physical-plan assertions: the plans we designed are the plans we get.
+
+Scale properties are invisible to result-compare tests; these lock them in:
+- the watchlist join is a *broadcast* join (no shuffle of image rows);
+- Q1's shipdate filter reaches the parquet scan (PushedFilters) and the
+  scan reads only the needed columns (column pruning);
+- the light-curve aggregation does partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.plans import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pixel_pipeline_broadcasts_watchlist(spark):
+    df = QUERIES["epic_source_fov"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = QUERIES["q1_pricing_summary"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    # column pruning: unused wide columns must not be read
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = QUERIES["q5_region_revenue"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_light_curve_partial_aggregation(spark):
+    df = QUERIES["epic_light_curve"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # partial_sum before the exchange = map-side combine of spectra sums
+    assert "partial_sum" in plan, plan
+
+
+def test_knn_broadcasts_probes_not_corpus(spark):
+    df = QUERIES["knn_cosine"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan

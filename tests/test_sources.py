@@ -1,0 +1,154 @@
+"""Wire codec, FITS parser, UDS server roundtrip, and the epic DataSource."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pytest
+
+from epic_stream_processor_spark.sources import wire
+from epic_stream_processor_spark.sources.fits import format_header, parse_header
+from epic_stream_processor_spark.sources.uds import (
+    ParquetSpool,
+    ThreadedUDSServer,
+    epoch_row,
+    stream_data_uds,
+)
+
+
+def _headers(epoch_id=7):
+    primary = format_header(
+        {"EPOCHID": epoch_id, "GRIDDIMX": 8, "GRIDDIMY": 8, "INTTIM": 1.0}
+    )
+    img = format_header(
+        {
+            "DATETIME": "2024-01-01T00:00:01.000000",
+            "FILENAME": f"EPIC_{epoch_id}.fits",
+            "CRVAL1": 180.0, "CRVAL2": 0.0, "CRPIX1": 4.0, "CRPIX2": 4.0,
+            "CDELT1": -1.0, "CDELT2": 1.0,
+            "CRVAL3": 50e6, "CDELT3": 25e3, "CRPIX3": 2.0,
+            "NAXIS1": 8, "NAXIS2": 8,
+        }
+    )
+    return primary, img
+
+
+def _cube(seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.random((2, 2, 4, 8, 8), dtype=np.float32)
+
+
+def test_wire_roundtrip():
+    primary, img = _headers()
+    cube = _cube(1)
+    payload = wire.encode_image(primary, img, cube)
+    p2, i2, c2 = wire.decode_image(payload)
+    assert (p2, i2) == (primary, img)
+    np.testing.assert_array_equal(c2, cube)
+
+
+def test_wire_integrity_check():
+    header = wire.pack_header("p", "i", _cube(2))
+    bad = wire.encode_epic_image(header, b"\x00" * 16)  # wrong size
+    with pytest.raises(ValueError, match="Mismatch"):
+        wire.decode_image(bad)
+
+
+def test_wire_hostile_strides_rejected():
+    cube = _cube(3)
+    meta = dict(dtype="float32", shape=list(cube.shape), strides=[10**6] * 5)
+    with pytest.raises(ValueError, match="escape"):
+        wire.reconstruct_ndarray(cube.tobytes(), meta)
+
+
+def test_fits_roundtrip():
+    cards = {"CRVAL1": 180.0, "NAXIS1": 64, "FILENAME": "x.fits", "SIMPLE": True}
+    parsed = parse_header(format_header(cards))
+    assert parsed == cards
+
+
+def test_epoch_row_gather_matches_numpy():
+    primary, img = _headers()
+    cube = _cube(4)
+    row = epoch_row(primary, img, cube)
+    assert row["cube_shape"] == [2, 2, 4, 8, 8]
+    flat = np.array(row["cube"], dtype=np.float32).reshape(cube.shape)
+    np.testing.assert_array_equal(flat, cube)
+    # the engine's flat-index gather == the reference's fancy index
+    x, y = 3, 5  # 1-based
+    want = cube[:, :, :, y - 1, x - 1].ravel()
+    xdim, ydim = 8, 8
+    spec_len = 2 * 2 * 4
+    got = [
+        row["cube"][s * ydim * xdim + (y - 1) * xdim + (x - 1)]
+        for s in range(spec_len)
+    ]
+    np.testing.assert_array_equal(np.array(got, dtype=np.float32), want)
+
+
+def test_uds_server_to_spool_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        addr = os.path.join(tmp, "epic.sock")
+        spool = ParquetSpool(os.path.join(tmp, "spool"))
+        server = ThreadedUDSServer(addr, spool)
+        server.start()
+        try:
+            cubes = [_cube(s) for s in range(3)]
+            for i, c in enumerate(cubes):
+                primary, img = _headers(epoch_id=i)
+                stream_data_uds(primary, img, c, addr)
+            deadline = time.time() + 15
+            while time.time() < deadline:
+                files = [f for f in os.listdir(spool.spool_dir) if f.endswith(".parquet")]
+                if len(files) == 3:
+                    break
+                time.sleep(0.1)
+            assert len(files) == 3
+        finally:
+            server.stop()
+        df = spark.read.parquet(spool.spool_dir)
+        assert df.count() == 3
+        got = {r["epoch_id"]: r for r in df.collect()}
+        for i, c in enumerate(cubes):
+            np.testing.assert_array_equal(
+                np.array(got[i]["cube"], dtype=np.float32),
+                c.ravel(),
+            )
+
+
+def test_epic_datasource_batch_and_stream(spark):
+    from epic_stream_processor_spark.sources.datasource import EpicDataSource
+
+    spark.dataSource.register(EpicDataSource)
+    with tempfile.TemporaryDirectory() as tmp:
+        spool = os.path.join(tmp, "spool")
+        os.makedirs(spool)
+        for i in range(3):
+            primary, img = _headers(epoch_id=i)
+            payload = wire.encode_image(primary, img, _cube(10 + i))
+            with open(os.path.join(spool, f"img-{i:04d}.epic"), "wb") as fh:
+                fh.write(payload)
+
+        df = spark.read.format("epic").load(spool)
+        assert df.count() == 3
+        assert sorted(r["epoch_id"] for r in df.select("epoch_id").collect()) == [0, 1, 2]
+        row = df.where("epoch_id = 1").collect()[0]
+        np.testing.assert_array_equal(
+            np.array(row["cube"], dtype=np.float32), _cube(11).ravel()
+        )
+
+        out = os.path.join(tmp, "out")
+        q = (
+            spark.readStream.format("epic")
+            .load(spool)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 3
