@@ -1,0 +1,221 @@
+"""CLI — behavioral twin of the reference's ``__main__.py`` command surface.
+
+Commands (reference: ``epic-stream-processor watch|start``,
+``__main__.py:22-231``):
+
+- ``watch``   : add a source to the watchlist (sexagesimal or degree
+                coordinates, human-readable watch duration, continuous ⇒
+                99-year validity — the corrected intent of the reference's
+                inverted condition at watch_dog.py:63-64).
+- ``list``    : show active watchlist rows.
+- ``expire``  : run the watching→watched transition.
+- ``serve``   : UDS ingest server → parquet spool.
+- ``replay``  : synthetic producer (S5 dummy stream: n images at a fixed
+                cadence, reference client.py:108-114).
+- ``stream``  : run the Structured Streaming pipeline over a spool.
+
+Coordinate / duration parsing is pure Python (public formulas) — astropy's
+SkyCoord is not required for the hms/deg math the CLI needs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import re
+import sys
+import time
+
+
+def parse_ra_deg(text: str) -> float:
+    """RA: degrees ('83.63'), 'HhMmSs' ('5h34m31.9s'), or colon sexagesimal
+    ('5:34:31.9', hours). Hour-angle → degrees ×15."""
+    t = text.strip().lower()
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)h(?:(\d+(?:\.\d+)?)m)?(?:(\d+(?:\.\d+)?)s)?", t)
+    if m:
+        h = float(m.group(1)) + float(m.group(2) or 0) / 60 + float(m.group(3) or 0) / 3600
+        return h * 15.0
+    if ":" in t:
+        parts = [float(p) for p in t.split(":")]
+        h = parts[0] + parts[1] / 60 + (parts[2] if len(parts) > 2 else 0) / 3600
+        return h * 15.0
+    return float(t)
+
+
+def parse_dec_deg(text: str) -> float:
+    """Dec: degrees ('22.01'), 'DdMmSs' ('22d00m52.2s'), or colon
+    sexagesimal ('-5:22:31'). Sign applies to the whole value."""
+    t = text.strip().lower()
+    sign = -1.0 if t.startswith("-") else 1.0
+    t = t.lstrip("+-")
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)d(?:(\d+(?:\.\d+)?)m)?(?:(\d+(?:\.\d+)?)s)?", t)
+    if m:
+        d = float(m.group(1)) + float(m.group(2) or 0) / 60 + float(m.group(3) or 0) / 3600
+        return sign * d
+    if ":" in t:
+        parts = [float(p) for p in t.split(":")]
+        d = parts[0] + parts[1] / 60 + (parts[2] if len(parts) > 2 else 0) / 3600
+        return sign * d
+    return sign * float(t)
+
+
+_DUR_UNITS = {"d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 1e-3, "us": 1e-6}
+
+
+def parse_duration(text: str) -> dt.timedelta:
+    """Human-readable durations: '7d', '6d23h59m59s9ms1us' (C11 — the
+    reference uses the `humanreadable` package, __main__.py:199-211)."""
+    t = text.strip().lower()
+    matches = list(re.finditer(r"(\d+(?:\.\d+)?)(us|ms|[dhms])", t))
+    if not matches or "".join(m.group(0) for m in matches) != t:
+        raise ValueError(f"unparseable duration: {text!r}")
+    seconds = sum(float(m.group(1)) * _DUR_UNITS[m.group(2)] for m in matches)
+    return dt.timedelta(seconds=seconds)
+
+
+def _get_spark():
+    from .session import get_spark
+
+    return get_spark("epic-cli")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="epic-stream-processor-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("watch", help="add a source to the watchlist")
+    w.add_argument("--watchlist", required=True, help="watchlist parquet dir")
+    w.add_argument("-n", "--name", required=True)
+    w.add_argument("-ra", required=True, help="RA (deg, XhYmZs, or H:M:S)")
+    w.add_argument("-dec", required=True, help="Dec (deg, XdYmZs, or D:M:S)")
+    w.add_argument("--duration", default=None, help="e.g. 7d, 6h30m; omit ⇒ continuous")
+    w.add_argument("--patch", default="5", help="patch size: 5 or '3x3'")
+    w.add_argument("--author", default="cli")
+    w.add_argument("--reason", default="Detection of FRBs")
+
+    sub.add_parser("list", help="list active watchlist").add_argument(
+        "--watchlist", required=True
+    )
+    sub.add_parser("expire", help="expire stale sources").add_argument(
+        "--watchlist", required=True
+    )
+
+    s = sub.add_parser("serve", help="UDS ingest server → parquet spool")
+    s.add_argument("--addr", required=True, help="unix socket path")
+    s.add_argument("--spool", required=True, help="output spool dir")
+
+    r = sub.add_parser("replay", help="synthetic producer (dummy stream)")
+    r.add_argument("--addr", required=True)
+    r.add_argument("--n-images", type=int, default=10)
+    r.add_argument("--cadence", type=float, default=1.0)
+    r.add_argument("--grid", type=int, default=64)
+
+    st = sub.add_parser("stream", help="run the streaming pipeline")
+    st.add_argument("--epochs", required=True, help="spool/epochs parquet dir")
+    st.add_argument("--watchlist", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--trigger-seconds", type=int, default=5)
+    st.add_argument("--available-now", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "watch":
+        from .operators.watchlist import WatchlistStore
+
+        spark = _get_spark()
+        store = WatchlistStore(spark, args.watchlist)
+        try:
+            store.read()
+        except Exception:
+            store.init_empty()
+        t_start = dt.datetime.utcnow()
+        kwargs = dict(watch_mode="continuous", t_end=None)
+        if args.duration:
+            kwargs = dict(
+                watch_mode="timed", t_end=t_start + parse_duration(args.duration)
+            )
+        sid = store.add_source(
+            args.name,
+            ra=parse_ra_deg(args.ra),
+            dec=parse_dec_deg(args.dec),
+            t_start=t_start,
+            patch_type=args.patch,
+            author=args.author,
+            reason=args.reason,
+            **kwargs,
+        )
+        print(f"watching source {args.name!r} (id={sid})")
+    elif args.cmd == "list":
+        from .operators.watchlist import WatchlistStore
+
+        WatchlistStore(_get_spark(), args.watchlist).list_watch_sources().show(
+            100, truncate=False
+        )
+    elif args.cmd == "expire":
+        from .operators.watchlist import WatchlistStore
+
+        n = WatchlistStore(_get_spark(), args.watchlist).expire_sources()
+        print(f"expired {n} source(s)")
+    elif args.cmd == "serve":
+        from .sources.uds import ParquetSpool, ThreadedUDSServer
+
+        server = ThreadedUDSServer(args.addr, ParquetSpool(args.spool))
+        server.start()
+        print(f"serving on {args.addr} → {args.spool} (ctrl-c to stop)")
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            server.stop()
+    elif args.cmd == "replay":
+        import numpy as np
+
+        from .sources.fits import format_header
+        from .sources.uds import stream_data_uds
+
+        rng = np.random.default_rng(42)
+        g = args.grid
+        for i in range(args.n_images):
+            t = dt.datetime.utcnow()
+            primary = format_header(
+                {"EPOCHID": i, "GRIDDIMX": g, "GRIDDIMY": g, "INTTIM": 1.0}
+            )
+            img = format_header(
+                {
+                    "DATETIME": t.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                    "FILENAME": f"EPIC_{t.timestamp():.6f}.fits",
+                    "CRVAL1": 180.0, "CRVAL2": 0.0,
+                    "CRPIX1": g / 2.0, "CRPIX2": g / 2.0,
+                    "CDELT1": -1.444, "CDELT2": 1.444,
+                    "CRVAL3": 50e6, "CDELT3": 25e3, "CRPIX3": 2.0,
+                    "NAXIS1": g, "NAXIS2": g,
+                }
+            )
+            cube = rng.random((2, 2, 4, g, g), dtype=np.float32)
+            stream_data_uds(primary, img, cube, args.addr)
+            print(f"sent image {i + 1}/{args.n_images}")
+            if i + 1 < args.n_images:
+                time.sleep(args.cadence)
+    elif args.cmd == "stream":
+        from .streaming.pipeline import StreamConfig, run_stream
+
+        spark = _get_spark()
+        q = run_stream(
+            spark,
+            StreamConfig(
+                epochs_path=args.epochs,
+                watchlist_path=args.watchlist,
+                out_pixels=f"{args.out}/epic_pixels",
+                out_metadata=f"{args.out}/epic_img_metadata",
+                checkpoint=args.checkpoint,
+                trigger_seconds=args.trigger_seconds,
+                available_now=args.available_now,
+            ),
+        )
+        q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,149 @@
+"""Astronomy UDFs: full WCS transforms (C3) and solar-system ephemeris (C4).
+
+The reference's only two non-arithmetic computations:
+- ``wcs.all_world2pix`` / ``all_pix2world`` (astropy WCS, nonlinear
+  projections; NaN off-sky) — reference ``watch_dog.py:268,377-382,418-420``.
+- ephemeris positions for solar-system bodies at the LWA-SV site —
+  reference ``_utils/Utils.py:75-85``, ``watch_dog.py:500-509``.
+
+Both are vectorized pandas UDFs (Arrow batches — the 10-100× path vs
+row-at-a-time UDFs). astropy is not installed in this container, so:
+- the WCS UDFs fall back to the *linear* plate-carrée transform (C1) —
+  exactly what the reference's own ``is_skycoord_fov`` does
+  (watch_dog.py:303-314); the pipeline default is the linear path and these
+  UDFs are the opt-in high-fidelity variant;
+- the ephemeris raises a clear error without astropy (no deterministic fake
+  could be honest here).
+
+The UDF bodies are closure-self-contained (no module refs) so they pickle
+by value and run on any executor.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+# LWA Sevilleta site (public coordinates, hardcoded by the reference at
+# _utils/Utils.py:77): lon, lat, height.
+LWASV_LON_DEG = -106.885783
+LWASV_LAT_DEG = 34.348358
+LWASV_HEIGHT_M = 1477.8
+
+SOLAR_SYSTEM_BODIES = [
+    "sun", "moon", "mercury", "venus", "mars",
+    "jupiter", "saturn", "uranus", "neptune",
+]
+
+
+def have_astropy() -> bool:
+    try:
+        import astropy  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_PIX_SCHEMA = StructType(
+    [StructField("x", DoubleType()), StructField("y", DoubleType())]
+)
+_SKY_SCHEMA = StructType(
+    [StructField("ra", DoubleType()), StructField("dec", DoubleType())]
+)
+
+
+def make_world2pix_udf(img_header: dict):
+    """Vectorized world→pixel UDF for one image geometry (1-based pixels,
+    matching ``wcs.all_world2pix(ra, dec, 1)``).
+
+    With astropy: full nonlinear WCS from the FITS header dict.
+    Without: linear CRPIX/CDELT/CRVAL transform (plate carrée fast path).
+    """
+    hdr = dict(img_header)
+
+    @pandas_udf(_PIX_SCHEMA)
+    def world2pix(ra: pd.Series, dec: pd.Series) -> pd.DataFrame:
+        try:
+            from astropy.wcs import WCS
+
+            w = WCS(hdr, naxis=2)
+            x, y = w.all_world2pix(ra.to_numpy(), dec.to_numpy(), 1)
+            return pd.DataFrame({"x": x, "y": y})
+        except ImportError:
+            x = (ra - hdr["CRVAL1"]) / hdr["CDELT1"] + hdr["CRPIX1"]
+            y = (dec - hdr["CRVAL2"]) / hdr["CDELT2"] + hdr["CRPIX2"]
+            return pd.DataFrame({"x": x, "y": y})
+
+    return world2pix
+
+
+def make_pix2world_udf(img_header: dict):
+    """Inverse transform (O4's off-sky round-trip: NaN ⇒ drop)."""
+    hdr = dict(img_header)
+
+    @pandas_udf(_SKY_SCHEMA)
+    def pix2world(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        try:
+            from astropy.wcs import WCS
+
+            w = WCS(hdr, naxis=2)
+            ra, dec = w.all_pix2world(x.to_numpy(), y.to_numpy(), 1)
+            return pd.DataFrame({"ra": ra, "dec": dec})
+        except ImportError:
+            ra = (x - hdr["CRPIX1"]) * hdr["CDELT1"] + hdr["CRVAL1"]
+            dec = (y - hdr["CRPIX2"]) * hdr["CDELT2"] + hdr["CRVAL2"]
+            return pd.DataFrame({"ra": ra, "dec": dec})
+
+    return pix2world
+
+
+@pandas_udf(_SKY_SCHEMA)
+def ephemeris_skypos(body: pd.Series, t_obs_iso: pd.Series) -> pd.DataFrame:
+    """Per-epoch (RA, Dec) of a solar-system body as seen from LWA-SV
+    (twin of ``DynSources.get_lwasv_skypos``, _utils/Utils.py:75-85).
+    Requires astropy; raises a clear error otherwise."""
+    try:
+        from astropy.coordinates import EarthLocation, get_body
+        from astropy.time import Time
+        import astropy.units as u
+    except ImportError as e:  # pragma: no cover - env without astropy
+        raise NotImplementedError(
+            "ephemeris positions require astropy (not present in this "
+            "container); watch only static sources, or install astropy"
+        ) from e
+    site = EarthLocation(
+        lat=LWASV_LAT_DEG * u.deg, lon=LWASV_LON_DEG * u.deg,
+        height=LWASV_HEIGHT_M * u.m,
+    )
+    out_ra, out_dec = [], []
+    for b, t in zip(body, t_obs_iso):
+        pos = get_body(b, Time(t), location=site)
+        out_ra.append(float(pos.ra.deg))
+        out_dec.append(float(pos.dec.deg))
+    return pd.DataFrame({"ra": out_ra, "dec": out_dec})
+
+
+def resolve_positions(df, source_col: str = "source_name"):
+    """O1: static sources keep catalog (ra, dec); solar-system bodies get
+    per-epoch ephemeris (reference watch_dog.py:375,500-509). Requires
+    astropy for dynamic bodies — callers filter them out otherwise."""
+    from pyspark.sql import functions as F
+
+    is_body = F.lower(F.col(source_col)).isin(SOLAR_SYSTEM_BODIES)
+    eph = ephemeris_skypos(
+        F.lower(F.col(source_col)),
+        F.date_format(F.col("t_obs"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+    )
+    return df.withColumn(
+        "_pos",
+        F.when(is_body, eph).otherwise(F.struct(F.col("ra"), F.col("dec"))),
+    ).withColumn("ra", F.col("_pos.ra")).withColumn("dec", F.col("_pos.dec")).drop("_pos")

@@ -90,3 +90,14 @@ def ewkt_point(ra: Column, dec: Column) -> Column:
 def point_string(x: Column, y: Column) -> Column:
     """Postgres point literal ``(x,y)`` (``watch_dog.py:471-477``)."""
     return F.format_string("(%s,%s)", x, y)
+
+
+def normalize_patch_type(patch) -> Column:
+    """C9: accept ``5`` or ``"3x3"`` patch specs → int edge length
+    (reference ``watch_dog.py:366-373``, ``_utils/Utils.py:40-43``)."""
+    s = patch.cast("string")
+    return (
+        F.when(s.contains("x"), F.split(s, "x").getItem(0))
+        .otherwise(s)
+        .cast("int")
+    )

@@ -58,7 +58,7 @@ class WatchlistStore:
         t_start: Optional[_dt.datetime] = None,
         t_end: Optional[_dt.datetime] = None,
         watch_mode: str = "continuous",
-        patch_type: int = 5,
+        patch_type: "int | str" = 5,
         author: str = "batch",
         reason: str = "Detection of FRBs",
         event_time: Optional[_dt.datetime] = None,
@@ -70,6 +70,9 @@ class WatchlistStore:
         continuous mode ⇒ t_end = t_start + 99 years (the corrected intent).
         Returns the assigned id (max+1 — SERIAL equivalent).
         """
+        # C9: accept "3x3"-style patch specs (reference watch_dog.py:366-373)
+        if isinstance(patch_type, str):
+            patch_type = int(patch_type.split("x")[0])
         cur = self.read()
         if cur.where(F.col("source_name") == source_name).limit(1).count() > 0:
             raise ValueError(

@@ -367,3 +367,34 @@ cands AS (
 SELECT source_name FROM cands
 WHERE source_name NOT IN (SELECT source_name FROM watchlist)
 """
+
+
+# --- C8: geometry export strings (EWKT / point literals) --------------------
+
+def q_pixel_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-format parity (reference stores PostGIS EWKT + '(x,y)' point
+    strings, watch_dog.py:457-477): derive the string encodings at the edge
+    while keeping typed doubles internally. Cross-engine double→string
+    equality verified for the full pixel value domain."""
+    from ..functions.geometry import ewkt_point, point_string
+
+    ep, wl = _fx(spark, sf_dir)
+    px = pixel_pipeline(ep, wl)
+    return px.select(
+        "epoch_id",
+        "source_name",
+        point_string(F.col("pixel_coord_x"), F.col("pixel_coord_y")).alias(
+            "pixel_coord"
+        ),
+        ewkt_point(F.col("pix_ra"), F.col("pix_dec")).alias("pixel_skypos"),
+        point_string(F.col("pixel_l"), F.col("pixel_m")).alias("pixel_lm"),
+    )
+
+
+ORACLE_PIXEL_EXPORT = f"""{PIPELINE_CTES}
+SELECT epoch_id, source_name,
+  '(' || CAST(pixel_coord_x AS VARCHAR) || ',' || CAST(pixel_coord_y AS VARCHAR) || ')' AS pixel_coord,
+  'SRID=4326;POINT(' || CAST(pix_ra AS VARCHAR) || ' ' || CAST(pix_dec AS VARCHAR) || ')' AS pixel_skypos,
+  '(' || CAST(pixel_l AS VARCHAR) || ',' || CAST(pixel_m AS VARCHAR) || ')' AS pixel_lm
+FROM gathered
+"""

@@ -410,3 +410,47 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(docs_as_media(docs))
+
+
+# --- Embedding-cosine near-duplicates ---------------------------------------
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: label-blocked candidate generation (the
+    IVF/LSH stand-in — an equi-join, never a cross join) + exact cosine
+    verify at threshold 0.30. Sequential-fold floats → oracle-exact."""
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, "lbl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("lbl").cast("long").alias("lbl"),
+            S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.30)
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""WITH a AS (
+  SELECT vec_id AS id_a, label AS lbl, embedding AS va FROM embeddings
+),
+b AS (
+  SELECT vec_id AS id_b, label AS lbl, embedding AS vb FROM embeddings
+)
+SELECT id_a, id_b, CAST(lbl AS BIGINT) AS lbl,
+       {_cos_sql('va', 'vb')} AS cos_sim
+FROM a JOIN b USING (lbl)
+WHERE id_a < id_b AND {_cos_sql('va', 'vb')} >= 0.30
+"""

@@ -63,6 +63,10 @@ QUERIES: dict[str, QueryDef] = {
         epic.q_watchlist_dedup_guard, epic.ORACLE_WATCHLIST_DEDUP_GUARD,
         "P8 uniqueness guard as broadcast anti-join",
     ),
+    "epic_pixel_export": QueryDef(
+        epic.q_pixel_export, epic.ORACLE_PIXEL_EXPORT,
+        "C8 EWKT / point-literal string export parity (watch_dog.py:457-477)",
+    ),
     # --- relational surface ---
     "q1_pricing_summary": QueryDef(
         relational.q1_pricing_summary, relational.ORACLE_Q1,
@@ -104,6 +108,10 @@ QUERIES: dict[str, QueryDef] = {
     "q_nation_setops": QueryDef(
         relational.q_nation_setops, relational.ORACLE_NATION_SETOPS,
         "UNION ALL / INTERSECT / EXCEPT set operations",
+    ),
+    "q6_forecast_revenue": QueryDef(
+        relational.q6_forecast_revenue, relational.ORACLE_Q6,
+        "TPC-H Q6 shape: full-pushdown scan-filter-agg", bench=True,
     ),
     # --- LLM-data-pipeline extensions ---
     "dedup_exact": QueryDef(
@@ -153,5 +161,9 @@ QUERIES: dict[str, QueryDef] = {
     "multimodal_decode": QueryDef(
         llm.q_multimodal_decode, None,
         "binary payload → mapInPandas stub decode (rows-only check)",
+    ),
+    "embedding_near_dup": QueryDef(
+        llm.q_embedding_near_dup, llm.ORACLE_EMBEDDING_NEAR_DUP,
+        "embedding-cosine near-dup pairs (blocked candidates + exact verify)",
     ),
 }

@@ -410,3 +410,36 @@ UNION ALL
 SELECT nationkey, 'suppliers_only'
 FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
 """
+
+
+# --- Q6-style forecasting revenue (pure scan-filter-agg) --------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan + conjunctive filter + single aggregate —
+    the pushdown showcase (all three predicates reach the parquet scan)."""
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        (
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).cast("double")
+            / 100.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_Q6 = """SELECT
+  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""

@@ -68,13 +68,20 @@ def run_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # T3/T6: watchlist refresh per micro-batch (reference: 5 s scheduler)
         wl = spark.read.parquet(cfg.watchlist_path)
-        px = transform(pixel_pipeline(batch_df, wl))
+        # C12: one uuid per image epoch — the FK joining pixels↔metadata
+        # (reference watch_dog.py:338,484-489). Minted once and joined into
+        # both outputs so the key is consistent across tables.
+        ids = (
+            batch_df.select("epoch_id").distinct().withColumn("id", F.expr("uuid()"))
+        ).cache()
+        px = transform(pixel_pipeline(batch_df, wl)).join(ids, "epoch_id")
         px = px.withColumn("_batch_id", F.lit(batch_id))
         px.write.mode("append").parquet(cfg.out_pixels)
-        meta = img_metadata(batch_df, px.drop("_batch_id"))
+        meta = img_metadata(batch_df, px.drop("_batch_id", "id")).join(ids, "epoch_id")
         meta.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
             cfg.out_metadata
         )
+        ids.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

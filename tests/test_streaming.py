@@ -41,8 +41,13 @@ def test_stream_matches_batch(spark):
         got_px = spark.read.parquet(f"{tmp}/pixels").drop("_batch_id")
         want_px = pixel_pipeline(epochs, wl)
         assert got_px.count() == want_px.count() > 0
-        # exact content equality (set compare over canonical strings)
-        key = [F.col(c).cast("string") for c in sorted(got_px.columns) if c != "pixel_values"]
+        # exact content equality (set compare over canonical strings);
+        # `id` is the per-run uuid (C12) — nondeterministic, checked below
+        key = [
+            F.col(c).cast("string")
+            for c in sorted(want_px.columns)
+            if c != "pixel_values"
+        ]
         got = {tuple(r) for r in got_px.select(*key).collect()}
         want = {tuple(r) for r in want_px.select(*key).collect()}
         assert got == want
@@ -50,6 +55,15 @@ def test_stream_matches_batch(spark):
         got_meta = spark.read.parquet(f"{tmp}/metadata").drop("_batch_id")
         want_meta = img_metadata(epochs, want_px)
         assert got_meta.count() == want_meta.count() > 0
+
+        # C12 FK invariant: exactly one uuid per epoch, and the pixel-table
+        # uuids join 1:1 with the metadata-table uuids (watch_dog.py:484-489)
+        px_ids = got_px.select("epoch_id", "id").distinct()
+        meta_ids = got_meta.select("epoch_id", "id").distinct()
+        assert px_ids.count() == px_ids.select("epoch_id").distinct().count()
+        assert {tuple(r) for r in px_ids.collect()} == {
+            tuple(r) for r in meta_ids.collect()
+        }
 
 
 def test_events_windowed_stream(spark):
