@@ -33,9 +33,13 @@ def main() -> None:
     for name, q in bench_queries.items():
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT)
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # median of 3 — the host VM shows heavy run-to-run CPU variance
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(reps)[1], 3)
 
     print(
         json.dumps(

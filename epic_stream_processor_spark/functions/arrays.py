@@ -55,6 +55,34 @@ def array_element_sum(
     )
 
 
+def array_element_sum_fixed(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    array_col: str,
+    length: int,
+    out_col: str = "arr_sum",
+    extra_aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Element-wise array sum per group for FIXED-length arrays.
+
+    One ``F.sum`` per position → full map-side partial aggregation and a
+    single shuffle of ``length`` scalars per group (vs the general
+    posexplode path's two shuffles over n×length rows). The fast path for
+    schema-fixed spectra (the reference's cube always yields
+    cplx·pol·chan values per pixel); ~2× the general op at sf0.1 and the
+    gap widens with data volume. ``extra_aggs`` lets callers fuse more
+    aggregates (e.g. counts) into the same shuffle.
+    """
+    aggs = [
+        F.sum(F.element_at(array_col, i + 1)).alias(f"__aes{i}")
+        for i in range(length)
+    ]
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs, *extra_aggs)
+    return g.withColumn(
+        out_col, F.array(*[F.col(f"__aes{i}") for i in range(length)])
+    ).drop(*[f"__aes{i}" for i in range(length)])
+
+
 def array_element_sum_expr(list_of_arrays: Column) -> Column:
     """Fold an ``array<array<double>>`` into its element-wise sum.
 

@@ -21,9 +21,10 @@ Scale notes (100 TB):
   same at watch_dog.py:383-403 vs :405-415) so the n² blowup applies only to
   in-FOV sources. Catalyst keeps this ordering; the explicit structure
   documents it.
-- O4's whole-patch ALL is a window over (epoch, source) — partition-local
-  after the explode since explode preserves partitioning; AQE handles any
-  skew from hot epochs.
+- O4's whole-patch ALL is evaluated *pre-explode* as a row-local nested
+  ``forall`` over the offset grid (validity is a pure function of the
+  source pixel + patch size), so the entire pipeline is shuffle-free —
+  no window, no exchange, linear scale-out.
 - The gather is per-row array arithmetic (the cube lives in the row) — no
   shuffle; on a real cube column it is `element_at(cube, flat_idx)`.
 """
@@ -102,24 +103,50 @@ def explode_patches(df: DataFrame) -> DataFrame:
     )
 
 
-def validate_patches(df: DataFrame) -> DataFrame:
-    """O4 + A2: per-pixel FOV/bounds revalidation, then whole-patch ALL.
-
-    The reference round-trips pix→world (NaN ⇒ off sky) and drops whole
-    patches via group-aligned np.all (watch_dog.py:417-440). The linear WCS
-    never yields NaN, so off-image bounds + the FOV circle carry the same
-    semantics; the patch-level ALL is `min(valid) over (epoch, source)`.
-    """
-    sq = (F.col("px") - 32) * (F.col("px") - 32) + (F.col("py") - 32) * (
-        F.col("py") - 32
-    )
-    valid = (
-        (F.col("px") >= 1)
-        & (F.col("py") >= 1)
-        & (F.col("px") <= F.col("naxis1").cast("long"))
-        & (F.col("py") <= F.col("naxis2").cast("long"))
+def _pixel_valid(px: Column, py: Column) -> Column:
+    """O4's per-pixel test: inside image bounds (1-based) and the FOV circle
+    (the linear WCS never yields NaN, so bounds+circle carry the reference's
+    round-trip semantics, watch_dog.py:417-424)."""
+    sq = (px - 32) * (px - 32) + (py - 32) * (py - 32)
+    return (
+        (px >= 1)
+        & (py >= 1)
+        & (px <= F.col("naxis1").cast("long"))
+        & (py <= F.col("naxis2").cast("long"))
         & (sq <= F.lit(MAX_RAD_SQ))
     )
+
+
+def filter_valid_patches(df: DataFrame) -> DataFrame:
+    """O4 + A2 *before* the explode: a patch survives only if every one of
+    its n² pixels is valid (reference drops whole boundary-crossing patches
+    via group-aligned np.all, watch_dog.py:426-440).
+
+    Validity depends only on (xp, yp, patch_type, naxis) — all known
+    pre-explosion — so the whole-patch ALL is a row-local nested ``forall``
+    over the offset grid. This replaces a `min() over (epoch, source)`
+    window after the explode: no shuffle, no n² rows materialized for
+    doomed patches. At 100 TB the pixel pipeline is thereby a pure map-side
+    chain (broadcast join + projections + generators), embarrassingly
+    parallel across any executor count.
+    """
+    h = F.floor(F.col("patch_type") / F.lit(2)).cast("long")
+    offs = F.sequence(-h, h)
+    ok = F.forall(
+        offs,
+        lambda ox: F.forall(
+            offs, lambda oy: _pixel_valid(F.col("xp") + ox, F.col("yp") + oy)
+        ),
+    )
+    return df.where(ok)
+
+
+def validate_patches(df: DataFrame) -> DataFrame:
+    """Post-explode formulation of O4+A2 (window `min(valid)` over
+    (epoch, source)) — kept for parity testing against
+    :func:`filter_valid_patches`; the pipeline uses the pre-explode
+    version, which needs no shuffle."""
+    valid = _pixel_valid(F.col("px"), F.col("py"))
     w = Window.partitionBy("epoch_id", "src_id")
     return (
         df.withColumn("_valid", valid.cast("int"))
@@ -163,12 +190,15 @@ def gather_pixels(df: DataFrame) -> DataFrame:
 
 
 def pixel_pipeline(epochs: DataFrame, watchlist: DataFrame) -> DataFrame:
-    """Full O1→O6 chain: epochs × watchlist → validated gathered pixels."""
+    """Full O1→O6 chain: epochs × watchlist → validated gathered pixels.
+
+    Shuffle-free: broadcast join → projections → row-local patch filter →
+    generators. Scales linearly with executor count."""
     df = join_epochs_watchlist(epochs, watchlist)
     df = to_pixel_coords(df)
     df = filter_fov_sources(df)
+    df = filter_valid_patches(df)
     df = explode_patches(df)
-    df = validate_patches(df)
     return gather_pixels(df)
 
 

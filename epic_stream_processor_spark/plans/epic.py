@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.arrays import array_element_sum
+from ..functions.arrays import array_element_sum, array_element_sum_fixed
 from ..operators.epic_pipeline import (
     active_watchlist,
     explode_patches,
@@ -205,11 +205,18 @@ def q_light_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql_scripts/functions.sql:24-28)."""
     ep, wl = _fx(spark, sf_dir)
     px = pixel_pipeline(ep, wl)
-    sums = array_element_sum(px, ["source_name", "t_obs"], "pixel_values", "spectrum_sum")
-    counts = px.groupBy("source_name", "t_obs").agg(F.count(F.lit(1)).alias("n_pix"))
-    return sums.join(counts, ["source_name", "t_obs"]).select(
-        "source_name", "t_obs", "n_pix", "spectrum_sum"
-    )
+    # Spectrum length is schema-fixed (cplx·pol·chan = 16) → the fixed-width
+    # fast path: ONE shuffle with map-side partial agg, n_pix fused into the
+    # same aggregation (no second branch, no join). The general ragged op
+    # (functions/arrays.array_element_sum) stays for variable-length input.
+    return array_element_sum_fixed(
+        px,
+        ["source_name", "t_obs"],
+        "pixel_values",
+        FX.SPEC_LEN,
+        "spectrum_sum",
+        extra_aggs=[F.count(F.lit(1)).alias("n_pix")],
+    ).select("source_name", "t_obs", "n_pix", "spectrum_sum")
 
 
 ORACLE_LIGHT_CURVE = f"""{PIPELINE_CTES},

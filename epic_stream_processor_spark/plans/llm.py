@@ -80,7 +80,7 @@ GROUP BY 1
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_signatures(docs, num_hashes=4, shingle_k=2)
+    return D.minhash_signatures(docs, num_hashes=4, shingle_k=2, parallelism=64)
 
 
 def _mh_sql(i: int) -> str:
@@ -103,7 +103,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. The O(n²) problem becomes an equi-join on the band key."""
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, num_hashes=4, shingle_k=2)
+    sigs = D.minhash_signatures(docs, num_hashes=4, shingle_k=2, parallelism=64)
     return D.minhash_lsh_pairs(sigs, num_hashes=4, band_size=2)
 
 
@@ -140,7 +140,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verify stage: exact 3-gram Jaccard on the LSH candidate pairs."""
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, num_hashes=4, shingle_k=2)
+    sigs = D.minhash_signatures(docs, num_hashes=4, shingle_k=2, parallelism=64)
     pairs = D.minhash_lsh_pairs(sigs, num_hashes=4, band_size=2)
     return D.ngram_jaccard(docs, pairs, shingle_k=3).select(
         "id_a", "id_b", "n_inter", "n_union", "jaccard"

@@ -110,7 +110,13 @@ def image_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     eid = F.col("event_id").cast("long")
-    return e.where(eid % EPOCH_MOD == 0).select(
+    # The sf* fixture is a single parquet file → a single scan task, which
+    # would serialize the whole (map-side) pixel pipeline on one core. A
+    # narrow repartition of the post-filter epoch rows restores parallelism;
+    # a real deployment's streaming source already arrives partitioned, so
+    # this shuffle exists only in the file-replay fixture path.
+    e = e.where(eid % EPOCH_MOD == 0).repartition(64, "event_id")
+    return e.select(
         eid.alias("epoch_id"),
         F.col("ts").alias("t_obs"),
         F.lit(180.0).alias("ra0"),
