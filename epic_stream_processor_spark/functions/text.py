@@ -103,6 +103,68 @@ def lang_guess(text: Column) -> Column:
     return out
 
 
+# Polynomial rolling-hash parameters (Rabin-Karp family). th < P and
+# B < 2^9 keep every intermediate product under 2^39 — exact in BIGINT
+# arithmetic on both engines.
+RH_BASE = 293
+RH_MOD = 1_000_000_007
+
+
+def _token_rh(t: Column) -> Column:
+    """Token hash reduced into the rolling-hash field: md5-based 60-bit
+    hash mod P (portable across engines)."""
+    return (
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % F.lit(RH_MOD)
+    )
+
+
+def gram_rolling_hashes(text: Column) -> Column:
+    """Positional 3-gram polynomial rolling hashes (one per token position).
+
+    gram_h(i) = ((th(w_i)·B + th(w_{i+1})) mod P · B + th(w_{i+2})) mod P —
+    the Rabin-Karp polynomial closed-form, row-local, order-preserving
+    (unlike the distinct shingle set used for MinHash).
+    """
+    w = tokens(text)
+    cnt = F.size(w) - F.lit(2)
+    return F.when(cnt < 1, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: (
+                (
+                    _token_rh(F.element_at(w, i.cast("int"))) * F.lit(RH_BASE)
+                    + _token_rh(F.element_at(w, (i + 1).cast("int")))
+                )
+                % F.lit(RH_MOD)
+                * F.lit(RH_BASE)
+                + _token_rh(F.element_at(w, (i + 2).cast("int")))
+            )
+            % F.lit(RH_MOD),
+        )
+    )
+
+
+def winnow_fingerprints(text: Column, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — public algorithm): from every ``window`` consecutive
+    rolling k-gram hashes keep the minimum; the distinct sorted selection
+    is the document's fingerprint set. Guarantees every match of length ≥
+    window+k-1 tokens shares a fingerprint. Fully row-local (no shuffle);
+    docs shorter than one window contribute their global-min hash.
+    """
+    g = gram_rolling_hashes(text)
+    m = F.size(g)
+    wins = F.when(m < 1, F.array().cast("array<long>")).otherwise(
+        F.when(m < window, F.array(F.array_min(g))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m - F.lit(window - 1)),
+                lambda j: F.array_min(F.slice(g, j.cast("int"), window)),
+            )
+        )
+    )
+    return F.sort_array(F.array_distinct(wins))
+
+
 def doc_fingerprint(text: Column, prefix_tokens: int = 8) -> Column:
     """Content fingerprint: md5 of the first N whitespace-normalized tokens.
 

@@ -100,3 +100,94 @@ def decode_media(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                 yield decode_batch(pdf.iloc[start : start + batch_rows])
 
     return media.mapInPandas(gen, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("thumb", BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize/thumbnail via mapInPandas (stubbed codec, real plumbing).
+
+    The stub "resize" takes a deterministic byte stride through the payload
+    sized to target_w·target_h — stands in for PIL's ``Image.resize``; the
+    schema, Arrow batch shape, and binary-out path are production-real.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        n_out = target_w * target_h
+
+        for pdf in batches:
+            thumbs = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if len(b) == 0:
+                    thumbs.append(b"")
+                    continue
+                stride = max(len(b) // n_out, 1)
+                thumbs.append(b[::stride][:n_out])
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "thumb": thumbs,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+FRAME_BYTES = 256  # stub "frame" granularity for the fake video container
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_offset", LongType(), False),
+        StructField("frame_len", LongType(), False),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_samples: int = 4) -> DataFrame:
+    """Evenly-spaced frame sampling for video payloads (1 row per frame).
+
+    Frame geometry is pure arithmetic on the payload length — total frames
+    = ceil(byte_len / FRAME_BYTES); sample k picks frame
+    floor(k·total/n_samples), deduplicated — so the mapInPandas output is
+    deterministically checkable against a SQL oracle even though the codec
+    is stubbed. Production replaces the offset math with container parsing
+    (pyav keyframe index) and emits decoded frames; the explode-shaped
+    (1 → n rows) mapInPandas plumbing is the part that carries over.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        fb = FRAME_BYTES
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_offset": [], "frame_len": []}
+            for mid, blen in zip(pdf["media_id"], pdf["byte_len"]):
+                total = max((int(blen) + fb - 1) // fb, 1)
+                picked = sorted({k * total // n_samples for k in range(n_samples)})
+                for idx in picked:
+                    off = idx * fb
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_offset"].append(off)
+                    out["frame_len"].append(min(fb, max(int(blen) - off, 0)))
+            yield _pd.DataFrame(out)
+
+    return media.select("media_id", "byte_len").mapInPandas(gen, schema=FRAMES_SCHEMA)

@@ -405,3 +405,53 @@ SELECT epoch_id, source_name,
   '(' || CAST(pixel_l AS VARCHAR) || ',' || CAST(pixel_m AS VARCHAR) || ')' AS pixel_lm
 FROM gathered
 """
+
+
+# --- detect_transient: the reference's extension hook, made real ------------
+
+def q_detect_transient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference ships ``detect_transient`` as an identity placeholder on
+    the stream (service_hub.py:73-75). This is the real operator: per-source
+    integrated power per epoch, flag epochs whose power exceeds 1.5× the
+    source's mean — a light-curve outburst detector.
+
+    Exactness: powers are sums of integer-valued doubles (< 2^53), so every
+    aggregation order is exact; avg and the 1.5× threshold are identical
+    expressions on identical operands in both engines.
+
+    Scale: one groupBy on (source, epoch) with map-side partial agg, then a
+    window keyed by source. With few hot sources the per-source mean is a
+    tiny second aggregate — at 1000 executors broadcast it back instead of
+    windowing if source cardinality is low.
+    """
+    from pyspark.sql import Window
+
+    ep, wl = _fx(spark, sf_dir)
+    px = pixel_pipeline(ep, wl)
+    row_power = F.aggregate(
+        "pixel_values", F.lit(0.0), lambda a, x: a + x
+    )
+    per = px.groupBy("source_name", "t_obs").agg(F.sum(row_power).alias("power"))
+    w = Window.partitionBy("source_name")
+    st = per.withColumn("avg_power", F.avg("power").over(w))
+    return st.where(F.col("power") > F.lit(1.5) * F.col("avg_power")).select(
+        "source_name",
+        "t_obs",
+        "power",
+        "avg_power",
+        (F.col("power") / F.col("avg_power")).alias("ratio"),
+    )
+
+
+ORACLE_DETECT_TRANSIENT = f"""{PIPELINE_CTES},
+per AS (
+  SELECT source_name, t_obs,
+         sum(list_aggregate(pixel_values, 'sum')) AS power
+  FROM gathered GROUP BY source_name, t_obs
+),
+st AS (
+  SELECT *, avg(power) OVER (PARTITION BY source_name) AS avg_power FROM per
+)
+SELECT source_name, t_obs, power, avg_power, power / avg_power AS ratio
+FROM st WHERE power > 1.5 * avg_power
+"""

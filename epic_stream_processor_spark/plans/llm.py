@@ -454,3 +454,144 @@ SELECT id_a, id_b, CAST(lbl AS BIGINT) AS lbl,
 FROM a JOIN b USING (lbl)
 WHERE id_a < id_b AND {_cos_sql('va', 'vb')} >= 0.30
 """
+
+
+# --- Winnowing fingerprints (rolling-hash document fingerprinting) ----------
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003):
+    positional 3-gram Rabin-Karp rolling hashes → per-window minima →
+    distinct sorted fingerprint set. Row-local; at 100 TB the follow-up
+    containment join explodes fingerprints and equi-joins on the hash."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = T.winnow_fingerprints(F.col("text"), window=4)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprints"),
+        F.size(fp).cast("long").alias("n_fp"),
+    )
+
+
+_RH_TH = (
+    f"CAST(('0x' || substr(md5({{t}}), 1, 15)) AS BIGINT) % {T.RH_MOD}"
+)
+_RH_GRAM = (
+    f"((({_RH_TH.format(t='w[i]')}) * {T.RH_BASE} + ({_RH_TH.format(t='w[i+1]')}))"
+    f" % {T.RH_MOD} * {T.RH_BASE} + ({_RH_TH.format(t='w[i+2]')})) % {T.RH_MOD}"
+)
+
+ORACLE_WINNOW_FINGERPRINTS = f"""WITH words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(w) - 2 < 1 THEN CAST([] AS BIGINT[])
+         ELSE list_transform(range(1, len(w) - 1), i -> {_RH_GRAM})
+    END AS g
+  FROM words
+),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(g) < 1 THEN CAST([] AS BIGINT[])
+         WHEN len(g) < 4 THEN [list_aggregate(g, 'min')]
+         ELSE list_transform(range(1, len(g) - 2),
+                             j -> list_aggregate(g[j:j+3], 'min'))
+    END AS wmins
+  FROM grams
+)
+SELECT doc_id, list_sort(list_distinct(wmins)) AS fingerprints,
+       CAST(len(list_distinct(wmins)) AS BIGINT) AS n_fp
+FROM wins
+"""
+
+
+# --- Document quality scoring ------------------------------------------------
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio, and
+    the composite score — all integer ratios / identical-expression doubles,
+    so the oracle matches bit-for-bit."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).cast("long").alias("n_tokens"),
+        T.punct_ratio(t).alias("punct_ratio"),
+        T.stopword_ratio(t).alias("stopword_ratio"),
+        T.quality_score(t).alias("quality_score"),
+    )
+
+
+_SW = ", ".join(repr(s) for s in ["the", "a", "and", "of", "to", "in"])
+
+ORACLE_DOC_QUALITY = f"""WITH words AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(length(text) - length(regexp_replace(text,
+                 '[.,;:!?()\\[\\]''"-]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE)
+  END AS punct_ratio,
+  CASE WHEN len(w) = 0 THEN 0.0
+       ELSE CAST(len(list_filter(w, t -> lower(t) IN ({_SW}))) AS DOUBLE)
+            / CAST(len(w) AS DOUBLE)
+  END AS stopword_ratio,
+  (CASE WHEN len(w) = 0 THEN 0.0
+        ELSE CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+   END
+   + least(CAST(len(w) AS DOUBLE) / 64.0, 1.0)) / 2.0 AS quality_score
+FROM words
+"""
+
+
+# --- Multimodal: frame sampling + resize ------------------------------------
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through real mapInPandas plumbing. The stub's
+    frame geometry is pure byte-length arithmetic, so the 1→n explode-shaped
+    Python stage is hash-checked against a SQL oracle — proving batch shape,
+    schema, and row multiplication are exactly right."""
+    from ..operators.multimodal import docs_as_media, frame_sample
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(docs_as_media(docs), n_samples=4)
+
+
+ORACLE_FRAME_SAMPLE = """WITH media AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS byte_len
+  FROM documents
+),
+geom AS (
+  SELECT media_id, byte_len,
+         greatest((byte_len + 255) // 256, 1) AS total
+  FROM media
+),
+picks AS (
+  SELECT media_id, byte_len,
+         unnest(list_sort(list_distinct(
+           list_transform(range(0, 4), k -> k * total // 4)))) AS frame_idx
+  FROM geom
+)
+SELECT media_id, frame_idx,
+       frame_idx * 256 AS frame_offset,
+       least(256, greatest(byte_len - frame_idx * 256, 0)) AS frame_len
+FROM picks
+"""
+
+
+def q_resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize via mapInPandas (stub codec, binary-out plumbing).
+    Rows-only check: thumb bytes come from the stubbed stride resize."""
+    from ..operators.multimodal import docs_as_media, resize_media
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(docs_as_media(docs), target_w=16, target_h=16)

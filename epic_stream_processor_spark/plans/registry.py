@@ -67,6 +67,10 @@ QUERIES: dict[str, QueryDef] = {
         epic.q_pixel_export, epic.ORACLE_PIXEL_EXPORT,
         "C8 EWKT / point-literal string export parity (watch_dog.py:457-477)",
     ),
+    "epic_detect_transient": QueryDef(
+        epic.q_detect_transient, epic.ORACLE_DETECT_TRANSIENT,
+        "detect_transient hook (service_hub.py:73-75) as a real outburst detector",
+    ),
     # --- relational surface ---
     "q1_pricing_summary": QueryDef(
         relational.q1_pricing_summary, relational.ORACLE_Q1,
@@ -112,6 +116,10 @@ QUERIES: dict[str, QueryDef] = {
     "q6_forecast_revenue": QueryDef(
         relational.q6_forecast_revenue, relational.ORACLE_Q6,
         "TPC-H Q6 shape: full-pushdown scan-filter-agg", bench=True,
+    ),
+    "q_rollup_pricing": QueryDef(
+        relational.q_rollup_pricing, relational.ORACLE_ROLLUP_PRICING,
+        "ROLLUP grouping sets with cents-exact sums",
     ),
     # --- LLM-data-pipeline extensions ---
     "dedup_exact": QueryDef(
@@ -165,5 +173,21 @@ QUERIES: dict[str, QueryDef] = {
     "embedding_near_dup": QueryDef(
         llm.q_embedding_near_dup, llm.ORACLE_EMBEDDING_NEAR_DUP,
         "embedding-cosine near-dup pairs (blocked candidates + exact verify)",
+    ),
+    "winnow_fingerprints": QueryDef(
+        llm.q_winnow_fingerprints, llm.ORACLE_WINNOW_FINGERPRINTS,
+        "winnowing rolling-hash document fingerprints (SIGMOD 2003)",
+    ),
+    "doc_quality": QueryDef(
+        llm.q_doc_quality, llm.ORACLE_DOC_QUALITY,
+        "quality scoring: length/punct/stopword ratios + composite",
+    ),
+    "frame_sample": QueryDef(
+        llm.q_frame_sample, llm.ORACLE_FRAME_SAMPLE,
+        "video frame sampling: 1→n mapInPandas, oracle-checked geometry",
+    ),
+    "resize_media": QueryDef(
+        llm.q_resize_media, None,
+        "thumbnail resize via mapInPandas (stub codec, rows-only check)",
     ),
 }

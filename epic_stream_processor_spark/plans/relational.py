@@ -443,3 +443,39 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
 """
+
+
+# --- ROLLUP pricing summary (grouping sets) ---------------------------------
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal rows at every level in
+    one pass (Catalyst expands grouping sets without re-scanning). Cents-
+    exact sums; NULL grouping slots coalesced to 'ALL' for a stable key."""
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias(
+                "sum_price"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_items",
+        )
+    )
+
+
+ORACLE_ROLLUP_PRICING = """SELECT
+  coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS sum_price,
+  count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""

@@ -1,0 +1,109 @@
+"""Operator-level unit tests: patch-validation equivalence, winnowing
+fingerprints, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.operators.epic_pipeline import (
+    explode_patches,
+    filter_fov_sources,
+    filter_valid_patches,
+    gather_pixels,
+    join_epochs_watchlist,
+    to_pixel_coords,
+    validate_patches,
+)
+from epic_stream_processor_spark.operators.multimodal import (
+    docs_as_media,
+    frame_sample,
+    resize_media,
+)
+from epic_stream_processor_spark.sources import fixtures as FX
+
+
+def test_patch_filter_formulations_agree(spark):
+    """The pre-explode row-local forall (shuffle-free pipeline path) must
+    keep exactly the patches the post-explode window formulation keeps."""
+    ep = FX.image_epochs(spark, SF_DIR)
+    wl = FX.watchlist(spark, SF_DIR)
+    base = filter_fov_sources(to_pixel_coords(join_epochs_watchlist(ep, wl)))
+
+    fast = gather_pixels(explode_patches(filter_valid_patches(base)))
+    slow = gather_pixels(validate_patches(explode_patches(base)))
+
+    cols = ["epoch_id", "src_id", "pixel_coord_x", "pixel_coord_y"]
+    got = {tuple(r) for r in fast.select(*cols).collect()}
+    want = {tuple(r) for r in slow.select(*cols).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_pipeline_plan_is_shuffle_free(spark):
+    """The pixel pipeline must contain no Exchange beyond the fixture's
+    deliberate scan-parallelism repartition — no window, no aggregation."""
+    ep = FX.image_epochs(spark, SF_DIR)
+    wl = FX.watchlist(spark, SF_DIR)
+    from epic_stream_processor_spark.operators.epic_pipeline import (
+        pixel_pipeline,
+    )
+
+    plan = pixel_pipeline(ep, wl)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    # exactly one Exchange: the REPARTITION_BY_NUM in the epoch fixture;
+    # broadcast of the watchlist appears as BroadcastExchange (allowed)
+    assert [e for e in exchanges if e.startswith("hashpartitioning")] != [], plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Containment property: a doc sharing a ≥ window+k-1 token run with
+    another must share ≥1 fingerprint; fingerprints are sorted distinct."""
+    from epic_stream_processor_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"prefix one two {shared} suffix"),
+        (2, f"{shared} completely different tail words here"),
+        (3, "unrelated content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), 4).alias("fp")
+        ).collect()
+    }
+    assert set(out[1]) & set(out[2]), "shared run must share a fingerprint"
+    for fp in out.values():
+        assert fp == sorted(set(fp))
+
+
+def test_multimodal_resize_shapes(spark):
+    docs = FX.load_table(spark, SF_DIR, "documents").limit(50)
+    out = resize_media(docs_as_media(docs), target_w=8, target_h=8).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 8
+        assert 0 < len(r["thumb"]) <= 64
+
+
+def test_multimodal_frame_sample_counts(spark):
+    docs = FX.load_table(spark, SF_DIR, "documents").limit(50)
+    media = docs_as_media(docs)
+    out = frame_sample(media, n_samples=4)
+    per = (
+        out.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(per) == 50
+    # ≤ 4 samples, ≥ 1; frame_len bounded by FRAME_BYTES
+    assert all(1 <= r["n"] <= 4 for r in per)
+    assert out.where(
+        (F.col("frame_len") < 0) | (F.col("frame_len") > 256)
+    ).count() == 0

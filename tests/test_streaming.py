@@ -86,3 +86,55 @@ def test_events_windowed_stream(spark):
         assert set(out.columns) == {
             "window_start", "window_end", "event_type", "n_events", "sum_value"
         }
+
+
+def test_stateful_running_transients(spark):
+    """applyInPandasWithState carries (n_epochs, total_power) per source
+    across micro-batches: feed two batches sequentially and check the
+    running counts/means evolve instead of resetting."""
+    from pyspark.sql import functions as F2
+
+    from epic_stream_processor_spark.streaming.stateful import (
+        run_transient_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        epochs = FX.image_epochs(spark, SF_DIR)
+        wl = FX.watchlist(spark, SF_DIR)
+        wl.write.mode("overwrite").parquet(f"{tmp}/watchlist")
+
+        ids = sorted(r[0] for r in epochs.select("epoch_id").collect())
+        mid = ids[len(ids) // 2]
+        first = epochs.where(F2.col("epoch_id") <= mid)
+        second = epochs.where(F2.col("epoch_id") > mid)
+        assert first.count() > 0 and second.count() > 0
+
+        first.write.mode("overwrite").parquet(f"{tmp}/epochs")
+        q = run_transient_stream(
+            spark, f"{tmp}/epochs", f"{tmp}/watchlist",
+            f"{tmp}/out", f"{tmp}/ckpt", available_now=True,
+        )
+        q.awaitTermination(120)
+        second.write.mode("append").parquet(f"{tmp}/epochs")
+        q = run_transient_stream(
+            spark, f"{tmp}/epochs", f"{tmp}/watchlist",
+            f"{tmp}/out", f"{tmp}/ckpt", available_now=True,
+        )
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(f"{tmp}/out")
+        assert out.count() > 0
+        assert set(out.columns) == {
+            "source_name", "t_obs", "power", "run_mean", "n_seen",
+            "is_transient",
+        }
+        # state carried over: for each source, n_seen strictly increases
+        # with t_obs across the two batches (no reset to 0 mid-stream)
+        pdf = out.toPandas().sort_values(["source_name", "t_obs"])
+        for src, grp in pdf.groupby("source_name"):
+            seen = list(grp["n_seen"])
+            assert seen == sorted(seen)
+            assert seen[0] == 0 and seen[-1] == len(seen) - 1
+        # first-ever epoch per source has no running mean; later ones do
+        assert pdf[pdf["n_seen"] == 0]["run_mean"].isna().all()
+        assert pdf[pdf["n_seen"] > 0]["run_mean"].notna().all()
