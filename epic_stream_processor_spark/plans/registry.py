@@ -121,6 +121,18 @@ QUERIES: dict[str, QueryDef] = {
         relational.q_rollup_pricing, relational.ORACLE_ROLLUP_PRICING,
         "ROLLUP grouping sets with cents-exact sums",
     ),
+    "q4_order_priority": QueryDef(
+        relational.q4_order_priority, relational.ORACLE_Q4,
+        "EXISTS → left-semi join + priority counts",
+    ),
+    "q13_customer_distribution": QueryDef(
+        relational.q13_customer_distribution, relational.ORACLE_Q13,
+        "LEFT OUTER join preserving zero-order customers + re-agg",
+    ),
+    "q17_small_quantity_revenue": QueryDef(
+        relational.q17_small_quantity_revenue, relational.ORACLE_Q17,
+        "correlated scalar subquery decorrelated to agg+join",
+    ),
     # --- LLM-data-pipeline extensions ---
     "dedup_exact": QueryDef(
         llm.q_dedup_exact, llm.ORACLE_DEDUP_EXACT,

@@ -479,3 +479,118 @@ ORACLE_ROLLUP_PRICING = """SELECT
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+# --- Q4-style EXISTS semi-join ----------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (no row multiplication, the
+    build side streams). Counts orders per priority having a late lineitem."""
+    configure_for_parity(spark)
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    # the synthetic lineitem has no commit/receipt dates; 'returned' (R)
+    # lineitems stand in as the EXISTS predicate
+    late = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(late, o["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q13-style outer-join distribution --------------------------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving zero-order customers,
+    then a distribution over per-customer counts. Two shuffles (join +
+    re-agg); the second input is tiny (one row per customer)."""
+    configure_for_parity(spark)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # synthetic orders carry no comment column; exclude URGENT orders to
+    # keep a non-trivial ON-clause predicate in the outer join
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+ORACLE_Q13 = """SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey
+   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- Q17-style correlated scalar subquery -----------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part average quantity (correlated scalar
+    subquery) decorrelated into an aggregate + equi-join — the plan Catalyst
+    and every modern engine produce. Cents-exact revenue; the 0.2·avg
+    threshold is the identical double expression in both engines."""
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    avg_qty = l.groupBy("l_partkey").agg(
+        (
+            F.sum(_cents(F.col("l_quantity"))).cast("double")
+            / (100.0 * F.count(F.lit(1)).cast("double"))
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias(
+                "total_price"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q17 = """WITH avg_qty AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(count(*) AS DOUBLE)) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS total_price,
+  count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+JOIN avg_qty USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""

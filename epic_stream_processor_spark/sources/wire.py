@@ -125,3 +125,38 @@ def decode_image(payload: bytes) -> Tuple[str, str, np.ndarray]:
     header, cube_bytes = decode_epic_image(payload)
     primary_hdr, img_hdr, meta = unpack_header(header)
     return primary_hdr, img_hdr, reconstruct_ndarray(cube_bytes, meta)
+
+
+# --- S2: chunked client-streaming framing (gRPC path parity) ----------------
+
+GRPC_CHUNK_SIZE = 64 * 1024  # reference default (epic_services/client.py:70)
+
+
+def chunk_image(
+    header: str, image_cube: bytes, chunk_size: int = GRPC_CHUNK_SIZE
+):
+    """Split one image into the reference's client-streaming chunk sequence:
+    the header rides ONLY on the first chunk; every chunk carries ≤
+    ``chunk_size`` bytes of cube (``epic_services/client.py:66-84``). Yields
+    encoded two-field messages (same wire format as the unary path)."""
+    n = max(len(image_cube), 1)
+    first = True
+    for off in range(0, n, chunk_size):
+        yield encode_epic_image(
+            header if first else "", image_cube[off : off + chunk_size]
+        )
+        first = False
+
+
+def reassemble_chunks(messages) -> Tuple[str, bytes]:
+    """Server-side reassembly: header from the first chunk, cube =
+    concatenation of all chunk payloads (``epic_services/server.py:109-118``
+    uses ``b"".join``)."""
+    header = ""
+    parts = []
+    for i, msg in enumerate(messages):
+        h, body = decode_epic_image(msg)
+        if i == 0:
+            header = h
+        parts.append(body)
+    return header, b"".join(parts)

@@ -152,3 +152,33 @@ def test_epic_datasource_batch_and_stream(spark):
         )
         q.awaitTermination(120)
         assert spark.read.parquet(out).count() == 3
+
+
+def test_chunked_streaming_roundtrip():
+    """S2 parity: header only on the first chunk; reassembly = b''.join."""
+    import numpy as np
+
+    from epic_stream_processor_spark.sources.wire import (
+        GRPC_CHUNK_SIZE,
+        chunk_image,
+        decode_epic_image,
+        encode_image,
+        reassemble_chunks,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(7)
+    cube = rng.random((2, 2, 4, 16, 16), dtype=np.float32)
+    payload = encode_image("PRIMARY", "IMG", cube)
+    header, body = decode_epic_image(payload)
+
+    msgs = list(chunk_image(header, body, chunk_size=1000))
+    assert len(msgs) == (len(body) + 999) // 1000
+    # header rides only on chunk 0
+    assert decode_epic_image(msgs[0])[0] == header
+    assert all(decode_epic_image(m)[0] == "" for m in msgs[1:])
+
+    h2, b2 = reassemble_chunks(msgs)
+    assert h2 == header and b2 == body
+    # default chunk size matches the reference's 64 KiB
+    assert GRPC_CHUNK_SIZE == 65536
