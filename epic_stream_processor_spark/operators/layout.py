@@ -1,0 +1,70 @@
+"""Physical-layout operators: bucketing for co-located joins, salting for
+skew — the cluster-scale machinery local tests can still prove.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle. Two
+standing answers, both exercised here with plan-shape tests
+(``tests/test_layout.py``):
+
+- **Bucketing**: write both tables bucketed (and sorted) by the join key
+  into the warehouse; Spark's scan then reports the hash partitioning and
+  the sort-merge join needs NO Exchange on either side. One-time layout
+  cost, every subsequent join is shuffle-free.
+- **Salting**: when one key dominates (hot epoch, boilerplate doc), split
+  it across N sub-keys: fact rows get a random salt, the dimension is
+  exploded N ways, and the join key becomes (key, salt). Trades N× dim
+  duplication for an even shuffle. AQE's skew-join does this adaptively
+  for sort-merge joins; explicit salting covers aggregations and the cases
+  AQE can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (+sorted) managed table. Subsequent
+    equi-joins between tables bucketed on the same key with the same bucket
+    count run with zero Exchange nodes."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket key (shuffle-free)."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: fact rows get salt = pmod(hash(row), N)
+    via a *deterministic* spread column, the dim side is exploded N ways,
+    and the join runs on (key, salt).
+
+    Result equals ``fact.join(dim, on)`` exactly — every fact row still
+    matches its dim row exactly once (the dim copy with its salt). Use when
+    one join key holds a large fraction of the fact table; the hot key's
+    rows spread over N tasks instead of one straggler.
+    """
+    f = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    )
+    d = dim.withColumn(
+        "_salt_i", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt_i").cast("long")).drop("_salt_i")
+    return f.join(d, [on, "_salt"]).drop("_salt")

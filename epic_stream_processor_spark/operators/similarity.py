@@ -52,9 +52,12 @@ def knn_cosine_bruteforce(
 ) -> DataFrame:
     """Broadcast-probes brute-force top-k cosine.
 
-    Plan: corpus ⋈ broadcast(probes) [no shuffle of the corpus] → score →
-    window top-k per probe (ties broken by candidate id). Self-matches are
-    excluded.
+    Plan: corpus ⋈ broadcast(probes) [no shuffle of the corpus scan] →
+    score map-side → ONE probe-keyed shuffle of the scored pairs into the
+    top-k window (ties broken by candidate id). Self-matches are excluded.
+    Scored-pair volume is |probes|·|corpus| — fine for bounded probe sets;
+    for large probe workloads use the IVF variant, whose equi-join on
+    cluster id cuts both the scoring and the shuffle by the cluster count.
     """
     p = F.broadcast(
         probes.select(

@@ -133,6 +133,10 @@ QUERIES: dict[str, QueryDef] = {
         relational.q17_small_quantity_revenue, relational.ORACLE_Q17,
         "correlated scalar subquery decorrelated to agg+join",
     ),
+    "q_asof_prior_purchase": QueryDef(
+        relational.q_asof_prior_purchase, relational.ORACLE_ASOF_PRIOR_PURCHASE,
+        "as-of join (union + last-ignorenulls window) vs native ASOF JOIN",
+    ),
     # --- LLM-data-pipeline extensions ---
     "dedup_exact": QueryDef(
         llm.q_dedup_exact, llm.ORACLE_DEDUP_EXACT,

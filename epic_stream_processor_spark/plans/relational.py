@@ -594,3 +594,54 @@ JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
 JOIN avg_qty USING (l_partkey)
 WHERE l_quantity < 0.2 * avg_qty
 """
+
+
+# --- ASOF join: most recent prior purchase per user --------------------------
+
+def q_asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks; DuckDB runs its native
+    ASOF JOIN as the oracle): every event gains the latest strictly-earlier
+    purchase by the same user. Single key-shuffle union-window plan —
+    ``operators/timeseries.asof_join``."""
+    from ..operators.timeseries import asof_join
+
+    configure_for_parity(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.expr("max_by(value, event_id)").alias("p_value"),
+        )
+    )
+    return asof_join(
+        e,
+        purchases,
+        key="user_id",
+        value_cols=["p_event_id", "p_value"],
+        strict=True,
+    ).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        "p_event_id", "p_value",
+    )
+
+
+ORACLE_ASOF_PRIOR_PURCHASE = """WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+  FROM events
+),
+purchases AS (
+  SELECT user_id, ts,
+         max(event_id) AS p_event_id,
+         arg_max(value, event_id) AS p_value
+  FROM ev WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+       p.p_event_id, p.p_value
+FROM ev e ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+"""

@@ -1,0 +1,73 @@
+"""Physical-layout machinery: bucketed co-located joins, skew salting."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.operators.layout import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from epic_stream_processor_spark.sources.fixtures import load_table
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-bucketed tables sort-merge join with zero Exchange on either
+    side — the layout that makes repeated fact-fact joins affordable."""
+    o = load_table(spark, SF_DIR, "orders")
+    l = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force a non-broadcast join so the bucketing is what's tested
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            for name, df in [("t_orders_b", o), ("t_lineitem_b", l)]:
+                df.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy(
+                    "o_orderkey"
+                ).option("path", f"{tmp}/{name}").saveAsTable(name)
+            j = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan
+            # sanity: result matches the plain join
+            plain = o.join(l, "o_orderkey")
+            assert j.count() == plain.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_orders_b")
+            spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_write_bucketed_helper(spark):
+    n = load_table(spark, SF_DIR, "nation")
+    with tempfile.TemporaryDirectory():
+        try:
+            write_bucketed(n, "t_nation_b", "n_nationkey", n_buckets=2)
+            assert spark.table("t_nation_b").count() == n.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_nation_b")
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    dim = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    salted = salted_join(fact, dim, "l_orderkey", n_salts=4)
+    plain = fact.join(dim, "l_orderkey")
+    assert salted.count() == plain.count() > 0
+    cols = ["l_orderkey", "l_linenumber", "o_orderpriority"]
+    got = {tuple(r) for r in salted.select(*cols).collect()}
+    want = {tuple(r) for r in plain.select(*cols).collect()}
+    assert got == want
+    # the salt spreads each key across multiple sub-keys
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
