@@ -41,13 +41,18 @@ def array_element_sum(
     Groups whose every array is NULL/empty yield an empty array.
     """
     gcols = [F.col(c) for c in group_cols]
-    exploded = df.select(*gcols, F.posexplode_outer(array_col).alias("pos", "val")).where(
-        F.col("pos").isNotNull()
-    )
+    # posexplode_outer keeps one (NULL, NULL) row for NULL/empty arrays so
+    # all-NULL groups still SURFACE (with an empty result array — the
+    # reference aggregate's initcond '{}', functions.sql:19-22) instead of
+    # silently vanishing from the output.
+    exploded = df.select(*gcols, F.posexplode_outer(array_col).alias("pos", "val"))
     per_pos = exploded.groupBy(*group_cols, "pos").agg(F.sum("val").alias("val"))
+    pv = F.when(
+        F.col("pos").isNotNull(), F.struct("pos", "val")
+    )  # NULL → dropped by collect_list
     return (
         per_pos.groupBy(*group_cols)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("_pv"))
+        .agg(F.array_sort(F.collect_list(pv)).alias("_pv"))
         .select(
             *group_cols,
             F.transform("_pv", lambda s: s["val"]).alias(out_col),

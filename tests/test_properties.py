@@ -1,0 +1,190 @@
+"""Property-based and randomized-oracle tests for the subtle operators
+(SURVEY §7 "what's hard": FOV-edge patches, ragged array_element_sum,
+half-toward-even rounding, wire codec roundtrips)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+
+# --- pure-Python properties (no Spark: run wide) ----------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    shape=st.tuples(
+        st.integers(1, 3), st.integers(1, 3), st.integers(1, 5),
+        st.integers(1, 16), st.integers(1, 16),
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wire_roundtrip_any_shape(shape, seed):
+    from epic_stream_processor_spark.sources.wire import (
+        decode_image,
+        encode_image,
+    )
+
+    rng = np.random.default_rng(seed)
+    cube = rng.random(shape, dtype=np.float32)
+    ph, ih, out = decode_image(encode_image("P", "I", cube))
+    assert (ph, ih) == ("P", "I")
+    assert out.shape == cube.shape and out.dtype == cube.dtype
+    assert np.array_equal(out, cube)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    d=st.integers(0, 6), h=st.integers(0, 23), m=st.integers(0, 59),
+    s=st.integers(0, 59), ms=st.integers(0, 999),
+)
+def test_duration_parse_roundtrip(d, h, m, s, ms):
+    from epic_stream_processor_spark.__main__ import parse_duration
+
+    text = f"{d}d{h}h{m}m{s}s{ms}ms"
+    td = parse_duration(text)
+    want = ((d * 24 + h) * 60 + m) * 60 + s + ms / 1000.0
+    assert math.isclose(td.total_seconds(), want, rel_tol=0, abs_tol=1e-6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    hh=st.integers(0, 23), mm=st.integers(0, 59),
+    ss=st.floats(0, 59.99, allow_nan=False),
+)
+def test_ra_parsing_consistency(hh, mm, ss):
+    """'HhMmSs' and 'H:M:S' must agree and land in [0, 360)."""
+    from epic_stream_processor_spark.__main__ import parse_ra_deg
+
+    a = parse_ra_deg(f"{hh}h{mm}m{ss:.3f}s")
+    b = parse_ra_deg(f"{hh}:{mm}:{ss:.3f}")
+    assert math.isclose(a, b, abs_tol=1e-9)
+    assert 0.0 <= a < 360.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    payload_len=st.integers(0, 300_000),
+    chunk=st.integers(1, 100_000),
+)
+def test_chunking_reassembles_exactly(payload_len, chunk):
+    from epic_stream_processor_spark.sources.wire import (
+        chunk_image,
+        reassemble_chunks,
+    )
+
+    body = bytes(range(256)) * (payload_len // 256 + 1)
+    body = body[:payload_len]
+    h, b = reassemble_chunks(chunk_image("HDR", body, chunk_size=chunk))
+    assert h == "HDR" and b == body
+
+
+# --- randomized Spark-vs-NumPy oracles (one vectorized pass each) -----------
+
+def test_patch_validity_matches_bruteforce(spark):
+    """FOV-edge property: the row-local forall patch filter must agree with
+    a NumPy brute-force check over every pixel of every patch, for random
+    sources hugging the FOV boundary."""
+    from epic_stream_processor_spark.operators.epic_pipeline import (
+        filter_valid_patches,
+    )
+
+    rng = np.random.default_rng(42)
+    n = 600
+    naxis = 64
+    max_rad_sq = 1024
+    rows = [
+        (
+            int(i),
+            int(rng.integers(-3, naxis + 4)),   # xp: beyond-edge to beyond-edge
+            int(rng.integers(-3, naxis + 4)),
+            int(rng.choice([1, 3, 5, 7])),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["rid", "xp", "yp", "patch_type"]).withColumn(
+        "naxis1", F.lit(naxis)
+    ).withColumn("naxis2", F.lit(naxis))
+    got = {r["rid"] for r in filter_valid_patches(df).collect()}
+
+    want = set()
+    for rid, xp, yp, pt in rows:
+        h = pt // 2
+        ok = True
+        for ox in range(-h, h + 1):
+            for oy in range(-h, h + 1):
+                px, py = xp + ox, yp + oy
+                if not (
+                    1 <= px <= naxis
+                    and 1 <= py <= naxis
+                    and (px - 32) ** 2 + (py - 32) ** 2 <= max_rad_sq
+                ):
+                    ok = False
+        if ok:
+            want.add(rid)
+    assert got == want and 0 < len(want) < n
+
+
+def test_array_element_sum_matches_numpy(spark):
+    """Ragged + NULL semantics (reference functions.sql:10-16): NULL arrays
+    skipped, short arrays zero-padded, all-NULL groups → empty array."""
+    from epic_stream_processor_spark.functions.arrays import array_element_sum
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        grp = int(rng.integers(0, 12))
+        if rng.random() < 0.15:
+            arr = None
+        else:
+            arr = [float(v) for v in rng.integers(-50, 50, rng.integers(0, 6))]
+        rows.append((grp, arr))
+    # one guaranteed all-NULL group
+    rows += [(99, None), (99, None)]
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [StructField("grp", LongType()), StructField("arr", ArrayType(DoubleType()))]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["grp"]: list(r["out"])
+        for r in array_element_sum(df, ["grp"], "arr", "out").collect()
+    }
+
+    want: dict[int, list[float]] = {}
+    for grp, arr in rows:
+        if arr is None:
+            want.setdefault(grp, [])
+            continue
+        cur = want.setdefault(grp, [])
+        if len(arr) > len(cur):
+            cur += [0.0] * (len(arr) - len(cur))
+        for i, v in enumerate(arr):
+            cur[i] += v
+    assert got == want
+
+
+def test_nearest_pix_matches_reference_formula(spark):
+    """Half-toward-floor snap (watch_dog.py:281-286):
+    floor(p + min(frac(p), 0.5)) — including the x.5 midpoints."""
+    from epic_stream_processor_spark.functions.geometry import nearest_pix
+
+    vals = [x / 4.0 for x in range(-40, 41)] + [0.4999999, 31.5, 31.4999, 63.5]
+    df = spark.createDataFrame([(v,) for v in vals], ["p"])
+    got = {
+        r["p"]: r["snap"]
+        for r in df.select("p", nearest_pix(F.col("p")).cast("long").alias("snap")).collect()
+    }
+    for v in vals:
+        frac = v - math.floor(v)
+        want = math.floor(v + min(frac, 0.5))
+        assert got[v] == want, (v, got[v], want)

@@ -138,3 +138,41 @@ def test_stateful_running_transients(spark):
         # first-ever epoch per source has no running mean; later ones do
         assert pdf[pdf["n_seen"] == 0]["run_mean"].isna().all()
         assert pdf[pdf["n_seen"] > 0]["run_mean"].notna().all()
+
+
+def test_ingest_throughput_beats_reference_cadence(spark):
+    """BASELINE throughput target: the reference sustains 1 image/s
+    (client.py:108-114 cadence). The streaming pipeline must replay the
+    whole fixture epoch set far faster than that — loose 5×-margin bound
+    so the assertion survives noisy-host variance."""
+    import time
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # replicate the epoch set so per-query startup overhead (~5 s for
+        # one availableNow micro-batch) amortizes and the rate reflects
+        # pipeline throughput, not stream bring-up
+        base = FX.image_epochs(spark, SF_DIR)
+        epochs = base.crossJoin(
+            spark.range(50).select(F.col("id").alias("_rep"))
+        ).withColumn(
+            "epoch_id", F.col("epoch_id") * 100 + F.col("_rep")
+        ).drop("_rep")
+        n = epochs.count()
+        assert n >= 1000
+        epochs.write.mode("overwrite").parquet(f"{tmp}/epochs")
+        FX.watchlist(spark, SF_DIR).write.mode("overwrite").parquet(
+            f"{tmp}/watchlist"
+        )
+        cfg = StreamConfig(
+            epochs_path=f"{tmp}/epochs",
+            watchlist_path=f"{tmp}/watchlist",
+            out_pixels=f"{tmp}/pixels",
+            out_metadata=f"{tmp}/metadata",
+            checkpoint=f"{tmp}/ckpt",
+            available_now=True,
+        )
+        t0 = time.perf_counter()
+        run_stream(spark, cfg).awaitTermination(300)
+        wall = time.perf_counter() - t0
+        rate = n / wall
+        assert rate > 20.0, f"{rate:.1f} imgs/s for {n} epochs in {wall:.1f}s"
