@@ -134,16 +134,27 @@ def ephemeris_skypos(body: pd.Series, t_obs_iso: pd.Series) -> pd.DataFrame:
 
 def resolve_positions(df, source_col: str = "source_name"):
     """O1: static sources keep catalog (ra, dec); solar-system bodies get
-    per-epoch ephemeris (reference watch_dog.py:375,500-509). Requires
-    astropy for dynamic bodies — callers filter them out otherwise."""
+    per-epoch ephemeris (reference watch_dog.py:375,500-509).
+
+    Split-union rather than ``when(is_body, udf)``: a CASE branch does NOT
+    stop Spark from feeding every row through the pandas UDF, so the static
+    path would needlessly pay (and, without astropy, hit) the ephemeris
+    worker. With the split, the UDF plan sees only body rows — zero rows ⇒
+    the worker function never runs, so static-only watchlists work in
+    astropy-less environments too."""
     from pyspark.sql import functions as F
 
     is_body = F.lower(F.col(source_col)).isin(SOLAR_SYSTEM_BODIES)
+    statics = df.where(~is_body)
+    bodies = df.where(is_body)
     eph = ephemeris_skypos(
         F.lower(F.col(source_col)),
         F.date_format(F.col("t_obs"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
     )
-    return df.withColumn(
-        "_pos",
-        F.when(is_body, eph).otherwise(F.struct(F.col("ra"), F.col("dec"))),
-    ).withColumn("ra", F.col("_pos.ra")).withColumn("dec", F.col("_pos.dec")).drop("_pos")
+    resolved_bodies = (
+        bodies.withColumn("_pos", eph)
+        .withColumn("ra", F.col("_pos.ra"))
+        .withColumn("dec", F.col("_pos.dec"))
+        .drop("_pos")
+    )
+    return statics.unionByName(resolved_bodies)

@@ -118,41 +118,30 @@ def _token_rh(t: Column) -> Column:
     )
 
 
-def gram_rolling_hashes(text: Column) -> Column:
-    """Positional 3-gram polynomial rolling hashes (one per token position).
-
-    gram_h(i) = ((th(w_i)·B + th(w_{i+1})) mod P · B + th(w_{i+2})) mod P —
-    the Rabin-Karp polynomial closed-form, row-local, order-preserving
-    (unlike the distinct shingle set used for MinHash).
-    """
-    w = tokens(text)
-    cnt = F.size(w) - F.lit(2)
+def _grams_from_token_hashes(th: Column) -> Column:
+    """Positional 3-gram polynomial rolling hashes from a *column-bound*
+    token-hash array: gram_h(i) = ((th_i·B + th_{i+1}) mod P · B + th_{i+2})
+    mod P — Rabin-Karp closed form, arithmetic only."""
+    cnt = F.size(th) - F.lit(2)
     return F.when(cnt < 1, F.array().cast("array<long>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), cnt),
             lambda i: (
                 (
-                    _token_rh(F.element_at(w, i.cast("int"))) * F.lit(RH_BASE)
-                    + _token_rh(F.element_at(w, (i + 1).cast("int")))
+                    F.element_at(th, i.cast("int")) * F.lit(RH_BASE)
+                    + F.element_at(th, (i + 1).cast("int"))
                 )
                 % F.lit(RH_MOD)
                 * F.lit(RH_BASE)
-                + _token_rh(F.element_at(w, (i + 2).cast("int")))
+                + F.element_at(th, (i + 2).cast("int"))
             )
             % F.lit(RH_MOD),
         )
     )
 
 
-def winnow_fingerprints(text: Column, window: int = 4) -> Column:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    SIGMOD 2003 — public algorithm): from every ``window`` consecutive
-    rolling k-gram hashes keep the minimum; the distinct sorted selection
-    is the document's fingerprint set. Guarantees every match of length ≥
-    window+k-1 tokens shares a fingerprint. Fully row-local (no shuffle);
-    docs shorter than one window contribute their global-min hash.
-    """
-    g = gram_rolling_hashes(text)
+def _winnow_from_grams(g: Column, window: int) -> Column:
+    """Window-minimum selection over a *column-bound* gram-hash array."""
     m = F.size(g)
     wins = F.when(m < 1, F.array().cast("array<long>")).otherwise(
         F.when(m < window, F.array(F.array_min(g))).otherwise(
@@ -163,6 +152,35 @@ def winnow_fingerprints(text: Column, window: int = 4) -> Column:
         )
     )
     return F.sort_array(F.array_distinct(wins))
+
+
+def winnow_fingerprints_df(
+    df,
+    text_col: str = "text",
+    out_col: str = "fingerprints",
+    window: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — public algorithm): from every ``window`` consecutive
+    rolling 3-gram hashes keep the minimum; the distinct sorted selection
+    is the document's fingerprint set. Guarantees every match of length ≥
+    window+2 tokens shares a fingerprint. Fully row-local (no shuffle);
+    docs shorter than one window contribute their global-min hash.
+
+    DataFrame-level on purpose: tokens → token hashes → gram hashes →
+    window minima are staged through separate projections so each array
+    binds to a column and is computed ONCE per row. Folding the whole thing
+    into one column expression re-evaluates the gram array inside every
+    window lambda — O(m²) md5 calls per document (hours at corpus scale vs
+    seconds staged).
+    """
+    stages = (
+        df.withColumn("_wf_toks", tokens(F.col(text_col)))
+        .withColumn("_wf_th", F.transform(F.col("_wf_toks"), _token_rh))
+        .withColumn("_wf_g", _grams_from_token_hashes(F.col("_wf_th")))
+        .withColumn(out_col, _winnow_from_grams(F.col("_wf_g"), window))
+    )
+    return stages.drop("_wf_toks", "_wf_th", "_wf_g")
 
 
 def doc_fingerprint(text: Column, prefix_tokens: int = 8) -> Column:

@@ -44,10 +44,16 @@ class WatchlistStore:
         return self.spark.read.parquet(self.path)
 
     def _write(self, df: DataFrame) -> None:
-        # tiny dimension table → single-file rewrite; Delta MERGE in prod
-        out = df.select(*[f.name for f in WATCHLIST_SCHEMA.fields])
+        # tiny dimension table → single-file rewrite; Delta MERGE in prod.
+        # Schema-preserving: store-created tables carry the full
+        # WATCHLIST_SCHEMA; externally-supplied watchlists (e.g. fixtures)
+        # may be a column subset — keep whatever shape the table has.
+        cols = [
+            f.name for f in WATCHLIST_SCHEMA.fields if f.name in df.columns
+        ] + [c for c in df.columns if c not in {f.name for f in WATCHLIST_SCHEMA.fields}]
+        out = df.select(*cols)
         self.spark.createDataFrame(
-            out.collect(), WATCHLIST_SCHEMA
+            out.collect(), out.schema
         ).coalesce(1).write.mode("overwrite").parquet(self.path)
 
     def add_source(
@@ -113,8 +119,10 @@ class WatchlistStore:
         Returns the number of expired rows."""
         now = now or _dt.datetime.utcnow().replace(tzinfo=None)
         cur = self.read()
+        # NTZ-cast the literal: the stored t_end is TIMESTAMP_NTZ and the
+        # comparison must be wall-clock, independent of driver TZ
         expired = (F.col("watch_status") == "watching") & (
-            F.col("t_end") <= F.lit(now)
+            F.col("t_end") <= F.lit(now).cast("timestamp_ntz")
         )
         n = cur.where(expired).count()
         if n:

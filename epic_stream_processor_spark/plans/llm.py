@@ -464,12 +464,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct sorted fingerprint set. Row-local; at 100 TB the follow-up
     containment join explodes fingerprints and equi-joins on the hash."""
     configure_for_parity(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    fp = T.winnow_fingerprints(F.col("text"), window=4)
-    return docs.select(
+    docs = load_table(spark, sf_dir, "documents").repartition(64, "doc_id")
+    staged = T.winnow_fingerprints_df(docs, "text", "fingerprints", window=4)
+    return staged.select(
         "doc_id",
-        fp.alias("fingerprints"),
-        F.size(fp).cast("long").alias("n_fp"),
+        "fingerprints",
+        F.size("fingerprints").cast("long").alias("n_fp"),
     )
 
 

@@ -136,6 +136,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_asof_prior_purchase": QueryDef(
         relational.q_asof_prior_purchase, relational.ORACLE_ASOF_PRIOR_PURCHASE,
         "as-of join (union + last-ignorenulls window) vs native ASOF JOIN",
+        bench=True,
     ),
     # --- LLM-data-pipeline extensions ---
     "dedup_exact": QueryDef(
@@ -193,6 +194,7 @@ QUERIES: dict[str, QueryDef] = {
     "winnow_fingerprints": QueryDef(
         llm.q_winnow_fingerprints, llm.ORACLE_WINNOW_FINGERPRINTS,
         "winnowing rolling-hash document fingerprints (SIGMOD 2003)",
+        bench=True,
     ),
     "doc_quality": QueryDef(
         llm.q_doc_quality, llm.ORACLE_DOC_QUALITY,

@@ -42,6 +42,12 @@ class StreamConfig:
     checkpoint: str
     trigger_seconds: int = 5  # reference cadence (service_hub.py:38-42)
     available_now: bool = False
+    # T3: run the watching→watched expiry transition after each batch
+    # (reference does this inside the 5-s refresh job, watch_dog.py:121-133).
+    # Expiry clock = max t_obs seen (event time), so historical replays stay
+    # deterministic; live mode advances with the stream. Off by default —
+    # replay comparisons want a frozen dimension.
+    expire_watchlist: bool = False
 
 
 def detect_transient(df: DataFrame) -> DataFrame:
@@ -82,6 +88,12 @@ def run_stream(
             cfg.out_metadata
         )
         ids.unpersist()
+        if cfg.expire_watchlist:
+            from ..operators.watchlist import WatchlistStore
+
+            high = batch_df.agg(F.max("t_obs")).first()[0]
+            if high is not None:
+                WatchlistStore(spark, cfg.watchlist_path).expire_sources(now=high)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -63,7 +63,9 @@ def test_pipeline_plan_is_shuffle_free(spark):
 def test_winnow_fingerprints_properties(spark):
     """Containment property: a doc sharing a ≥ window+k-1 token run with
     another must share ≥1 fingerprint; fingerprints are sorted distinct."""
-    from epic_stream_processor_spark.functions.text import winnow_fingerprints
+    from epic_stream_processor_spark.functions.text import (
+        winnow_fingerprints_df,
+    )
 
     shared = "alpha beta gamma delta epsilon zeta eta theta"
     rows = [
@@ -74,9 +76,9 @@ def test_winnow_fingerprints_properties(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {
         r["doc_id"]: r["fp"]
-        for r in df.select(
-            "doc_id", winnow_fingerprints(F.col("text"), 4).alias("fp")
-        ).collect()
+        for r in winnow_fingerprints_df(df, "text", "fp", window=4)
+        .select("doc_id", "fp")
+        .collect()
     }
     assert set(out[1]) & set(out[2]), "shared run must share a fingerprint"
     for fp in out.values():
@@ -107,3 +109,51 @@ def test_multimodal_frame_sample_counts(spark):
     assert out.where(
         (F.col("frame_len") < 0) | (F.col("frame_len") > 256)
     ).count() == 0
+
+
+def test_wcs_pandas_udf_linear_fallback(spark):
+    """C3 plumbing: the world→pixel pandas UDF runs (Arrow batch path) and,
+    without astropy, reproduces the linear C1 transform exactly — the
+    reference's own is_skycoord_fov fast path (watch_dog.py:303-314)."""
+    from epic_stream_processor_spark.functions.astro import (
+        have_astropy,
+        make_pix2world_udf,
+        make_world2pix_udf,
+    )
+
+    hdr = {"CRVAL1": 180.0, "CRVAL2": 0.0, "CRPIX1": 32.0, "CRPIX2": 32.0,
+           "CDELT1": -1.444, "CDELT2": 1.444}
+    w2p = make_world2pix_udf(hdr)
+    p2w = make_pix2world_udf(hdr)
+    df = spark.createDataFrame(
+        [(180.0, 0.0), (175.668, 4.332), (190.0, -10.0)], ["ra", "dec"]
+    )
+    out = df.select(
+        "ra", "dec", w2p(F.col("ra"), F.col("dec")).alias("pix")
+    ).select("ra", "dec", "pix.x", "pix.y")
+    rows = {(r["ra"], r["dec"]): (r["x"], r["y"]) for r in out.collect()}
+    if not have_astropy():
+        for (ra, dec), (x, y) in rows.items():
+            assert abs(x - ((ra - 180.0) / -1.444 + 32.0)) < 1e-9
+            assert abs(y - ((dec - 0.0) / 1.444 + 32.0)) < 1e-9
+    # inverse round-trips
+    back = (
+        out.select("x", "y", p2w(F.col("x"), F.col("y")).alias("sky"))
+        .select("sky.ra", "sky.dec", "x", "y")
+        .collect()
+    )
+    for r in back:
+        assert abs(r["ra"] - ((r["x"] - 32.0) * -1.444 + 180.0)) < 1e-6 or have_astropy()
+
+
+def test_resolve_positions_static_path(spark):
+    """O1: non-solar-system sources keep their catalog (ra, dec) untouched
+    (the ephemeris branch needs astropy and never fires for static names)."""
+    from epic_stream_processor_spark.functions.astro import resolve_positions
+
+    df = spark.createDataFrame(
+        [("Crab", 83.63, 22.01, "2024-01-01T00:00:00.000000")],
+        ["source_name", "ra", "dec", "t_obs_str"],
+    ).withColumn("t_obs", F.col("t_obs_str").cast("timestamp_ntz"))
+    out = resolve_positions(df).select("source_name", "ra", "dec").collect()
+    assert out[0]["ra"] == 83.63 and out[0]["dec"] == 22.01

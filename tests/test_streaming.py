@@ -176,3 +176,40 @@ def test_ingest_throughput_beats_reference_cadence(spark):
         wall = time.perf_counter() - t0
         rate = n / wall
         assert rate > 20.0, f"{rate:.1f} imgs/s for {n} epochs in {wall:.1f}s"
+
+
+def test_stream_expires_watchlist_event_time(spark):
+    """T3: with expire_watchlist on, sources whose validity window closed
+    (relative to the stream's max t_obs) flip watching→watched after the
+    batch — the reference's refresh-job transition (watch_dog.py:121-133)
+    driven by event time so replays stay deterministic."""
+    with tempfile.TemporaryDirectory() as tmp:
+        epochs = FX.image_epochs(spark, SF_DIR)
+        wl = FX.watchlist(spark, SF_DIR)
+        epochs.write.mode("overwrite").parquet(f"{tmp}/epochs")
+        wl.write.mode("overwrite").parquet(f"{tmp}/watchlist")
+
+        high = epochs.agg(F.max("t_obs")).first()[0]
+        n_should_expire = wl.where(
+            (F.col("watch_status") == "watching") & (F.col("t_end") <= F.lit(high))
+        ).count()
+        assert n_should_expire > 0  # fixture has short-validity rows
+
+        cfg = StreamConfig(
+            epochs_path=f"{tmp}/epochs",
+            watchlist_path=f"{tmp}/watchlist",
+            out_pixels=f"{tmp}/pixels",
+            out_metadata=f"{tmp}/metadata",
+            checkpoint=f"{tmp}/ckpt",
+            available_now=True,
+            expire_watchlist=True,
+        )
+        run_stream(spark, cfg).awaitTermination(120)
+
+        after = spark.read.parquet(f"{tmp}/watchlist")
+        still = after.where(
+            (F.col("watch_status") == "watching") & (F.col("t_end") <= F.lit(high))
+        ).count()
+        assert still == 0
+        # nothing else changed
+        assert after.count() == wl.count()
