@@ -156,22 +156,41 @@ def validate_patches(df: DataFrame) -> DataFrame:
     )
 
 
-def gather_pixels(df: DataFrame) -> DataFrame:
-    """O5+O6: gather the 16-element spectrum at each (px,py) and derive the
+def gather_pixels(df: DataFrame, cube_col: str | None = None) -> DataFrame:
+    """O5+O6: gather the per-pixel spectrum at each (px,py) and derive the
     output columns (l/m cosines, pixel sky position, offsets).
 
     flat index for spectral slot s at 1-based (px,py):
         ((s*ydim + (py-1)) * xdim + (px-1))
     matching the reference's cube[:, :, :, y-1, x-1] fancy-index
     (watch_dog.py:444-455) on the row-major [cplx,pol,chan,y,x] layout.
+
+    ``cube_col``: name of a materialized flat ``array<float>`` cube column
+    (the production ingest shape) — gather becomes ``element_at`` on the
+    row's own cube, still row-local, zero shuffle. Default ``None`` uses
+    the fixtures' functional cube.
     """
     flat0 = (F.col("py") - 1) * F.lit(XDIM) + (F.col("px") - 1)
-    spectrum = F.transform(
-        F.sequence(F.lit(0), F.lit(SPEC_LEN - 1)),
-        lambda s: cube_val(
-            F.col("epoch_id"), s.cast("long") * F.lit(YDIM * XDIM) + flat0
-        ),
-    )
+    if cube_col is None:
+        spectrum = F.transform(
+            F.sequence(F.lit(0), F.lit(SPEC_LEN - 1)),
+            lambda s: cube_val(
+                F.col("epoch_id"), s.cast("long") * F.lit(YDIM * XDIM) + flat0
+            ),
+        )
+    else:
+        n_spec = (
+            F.col("n_cplx").cast("int")
+            * F.col("n_pol").cast("int")
+            * F.col("n_chan").cast("int")
+        )
+        plane = F.col("naxis2").cast("long") * F.col("naxis1").cast("long")
+        spectrum = F.transform(
+            F.sequence(F.lit(0), n_spec - F.lit(1)),
+            lambda s: F.element_at(
+                F.col(cube_col), (s.cast("long") * plane + flat0 + 1).cast("int")
+            ).cast("double"),
+        )
     return df.select(
         "epoch_id",
         "t_obs",
@@ -182,24 +201,29 @@ def gather_pixels(df: DataFrame) -> DataFrame:
         spectrum.alias("pixel_values"),
         x2ra(F.col("px"), F.col("ra0"), F.col("dx"), F.col("x0")).alias("pix_ra"),
         y2dec(F.col("py"), F.col("dec0"), F.col("dy"), F.col("y0")).alias("pix_dec"),
-        pixel_l(F.col("px"), F.lit(XDIM)).alias("pixel_l"),
-        pixel_m(F.col("py"), F.lit(YDIM)).alias("pixel_m"),
+        # grid dims from the row (identical to the fixture literals when
+        # naxis = 64, so oracle expressions stay value-equal)
+        pixel_l(F.col("px"), F.col("naxis1")).alias("pixel_l"),
+        pixel_m(F.col("py"), F.col("naxis2")).alias("pixel_m"),
         F.col("ox").cast("long").alias("pix_ofst_x"),
         F.col("oy").cast("long").alias("pix_ofst_y"),
     )
 
 
-def pixel_pipeline(epochs: DataFrame, watchlist: DataFrame) -> DataFrame:
+def pixel_pipeline(
+    epochs: DataFrame, watchlist: DataFrame, cube_col: str | None = None
+) -> DataFrame:
     """Full O1→O6 chain: epochs × watchlist → validated gathered pixels.
 
     Shuffle-free: broadcast join → projections → row-local patch filter →
-    generators. Scales linearly with executor count."""
+    generators. Scales linearly with executor count. ``cube_col`` switches
+    O5 to element_at gathering from a materialized cube column."""
     df = join_epochs_watchlist(epochs, watchlist)
     df = to_pixel_coords(df)
     df = filter_fov_sources(df)
     df = filter_valid_patches(df)
     df = explode_patches(df)
-    return gather_pixels(df)
+    return gather_pixels(df, cube_col=cube_col)
 
 
 def img_metadata(epochs: DataFrame, pixels: DataFrame) -> DataFrame:

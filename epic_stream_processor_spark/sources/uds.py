@@ -196,3 +196,26 @@ def epoch_row(primary_hdr: str, img_hdr: str, cube: np.ndarray) -> dict:
         "cube": np.ascontiguousarray(cube, dtype=np.float32).ravel().tolist(),
         "cube_shape": [int(s) for s in shape],
     }
+
+
+def spool_to_epochs(df):
+    """Adapt ParquetSpool rows (wire-decoded images) to the pixel pipeline's
+    epoch schema: parse the FITS DATETIME string (C7,
+    ``watch_dog.py:339-341``) and keep the materialized cube for
+    element_at gathering (O5)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("epoch_id").cast("long").alias("epoch_id"),
+        F.to_timestamp(F.col("t_obs_str"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .cast("timestamp_ntz")
+        .alias("t_obs"),
+        "ra0", "dec0", "x0", "y0", "dx", "dy",
+        "crval3", "cdelt3", "crpix3",
+        F.col("naxis1").cast("int").alias("naxis1"),
+        F.col("naxis2").cast("int").alias("naxis2"),
+        F.col("n_chan").cast("int").alias("n_chan"),
+        F.col("n_pol").cast("int").alias("n_pol"),
+        F.col("n_cplx").cast("int").alias("n_cplx"),
+        "inttime", "filename", "cube",
+    )

@@ -48,12 +48,57 @@ class StreamConfig:
     # deterministic; live mode advances with the stream. Off by default —
     # replay comparisons want a frozen dimension.
     expire_watchlist: bool = False
+    # name of a materialized cube array column (production ingest via the
+    # UDS spool); None = the fixtures' functional cube
+    cube_col: Optional[str] = None
 
 
 def detect_transient(df: DataFrame) -> DataFrame:
     """Extension hook — identity placeholder, mirroring
     ``service_hub.py:73-75``. Swap in a real DataFrame→DataFrame transform."""
     return df
+
+
+def make_process_batch(
+    spark: SparkSession,
+    cfg: StreamConfig,
+    transform: Callable[[DataFrame], DataFrame] = detect_transient,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body, exposed so tests can drive it directly
+    (e.g. replaying a batch id to prove idempotence)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # T3/T6: watchlist refresh per micro-batch (reference: 5 s scheduler)
+        wl = spark.read.parquet(cfg.watchlist_path)
+        # C12: one uuid per image epoch — the FK joining pixels↔metadata
+        # (reference watch_dog.py:338,484-489). Minted once and joined into
+        # both outputs so the key is consistent across tables.
+        ids = (
+            batch_df.select("epoch_id").distinct().withColumn("id", F.expr("uuid()"))
+        ).cache()
+        # T4 exactly-once: each batch lands in its own partition directory
+        # with OVERWRITE — a batch re-run after a crash (checkpoint replay)
+        # rewrites the same directory instead of double-appending. Readers
+        # see `_batch_id` as an ordinary partition column.
+        px = transform(
+            pixel_pipeline(batch_df, wl, cube_col=cfg.cube_col)
+        ).join(ids, "epoch_id")
+        px.write.mode("overwrite").parquet(
+            f"{cfg.out_pixels}/_batch_id={batch_id}"
+        )
+        meta = img_metadata(batch_df, px.drop("id")).join(ids, "epoch_id")
+        meta.write.mode("overwrite").parquet(
+            f"{cfg.out_metadata}/_batch_id={batch_id}"
+        )
+        ids.unpersist()
+        if cfg.expire_watchlist:
+            from ..operators.watchlist import WatchlistStore
+
+            high = batch_df.agg(F.max("t_obs")).first()[0]
+            if high is not None:
+                WatchlistStore(spark, cfg.watchlist_path).expire_sources(now=high)
+
+    return process_batch
 
 
 def run_stream(
@@ -71,29 +116,7 @@ def run_stream(
         reader = reader.schema(static.schema)
     stream = reader.parquet(cfg.epochs_path)
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # T3/T6: watchlist refresh per micro-batch (reference: 5 s scheduler)
-        wl = spark.read.parquet(cfg.watchlist_path)
-        # C12: one uuid per image epoch — the FK joining pixels↔metadata
-        # (reference watch_dog.py:338,484-489). Minted once and joined into
-        # both outputs so the key is consistent across tables.
-        ids = (
-            batch_df.select("epoch_id").distinct().withColumn("id", F.expr("uuid()"))
-        ).cache()
-        px = transform(pixel_pipeline(batch_df, wl)).join(ids, "epoch_id")
-        px = px.withColumn("_batch_id", F.lit(batch_id))
-        px.write.mode("append").parquet(cfg.out_pixels)
-        meta = img_metadata(batch_df, px.drop("_batch_id", "id")).join(ids, "epoch_id")
-        meta.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            cfg.out_metadata
-        )
-        ids.unpersist()
-        if cfg.expire_watchlist:
-            from ..operators.watchlist import WatchlistStore
-
-            high = batch_df.agg(F.max("t_obs")).first()[0]
-            if high is not None:
-                WatchlistStore(spark, cfg.watchlist_path).expire_sources(now=high)
+    process_batch = make_process_batch(spark, cfg, transform)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -1,0 +1,135 @@
+"""Full-system test: UDS socket → parquet spool → Structured Streaming →
+pixel/metadata tables, with spectra verified against NumPy fancy-indexing
+(the reference's cube[:, :, :, y-1, x-1] gather, watch_dog.py:444-455)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from epic_stream_processor_spark.operators.watchlist import WatchlistStore
+from epic_stream_processor_spark.sources.fits import format_header
+from epic_stream_processor_spark.sources.uds import (
+    ParquetSpool,
+    ThreadedUDSServer,
+    spool_to_epochs,
+    stream_data_uds,
+)
+from epic_stream_processor_spark.streaming.pipeline import (
+    StreamConfig,
+    run_stream,
+)
+
+GRID = 64
+N_IMAGES = 4
+
+
+def _image(epoch_id: int, t: dt.datetime, rng) -> tuple[str, str, np.ndarray]:
+    primary = format_header(
+        {"EPOCHID": epoch_id, "GRIDDIMX": GRID, "GRIDDIMY": GRID, "INTTIM": 1.0}
+    )
+    img = format_header(
+        {
+            "DATETIME": t.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+            "FILENAME": f"EPIC_{epoch_id}.fits",
+            "CRVAL1": 180.0, "CRVAL2": 0.0,
+            "CRPIX1": GRID / 2.0, "CRPIX2": GRID / 2.0,
+            "CDELT1": -1.444, "CDELT2": 1.444,
+            "CRVAL3": 50e6, "CDELT3": 25e3, "CRPIX3": 2.0,
+            "NAXIS1": GRID, "NAXIS2": GRID,
+        }
+    )
+    cube = rng.random((2, 2, 4, GRID, GRID), dtype=np.float32)
+    return primary, img, cube
+
+
+def test_socket_to_tables_end_to_end(spark):
+    rng = np.random.default_rng(123)
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # 1. watchlist: two sources inside the FOV, valid around t0
+        store = WatchlistStore(spark, f"{tmp}/watchlist")
+        store.init_empty()
+        # center pixel (32,32) ⇒ ra=180, dec=0; offset source 4px away
+        store.add_source(
+            "CENTER", ra=180.0, dec=0.0,
+            t_start=t0 - dt.timedelta(days=1), watch_mode="continuous",
+            patch_type=5,
+        )
+        store.add_source(
+            "OFFSET", ra=180.0 - 4 * 1.444, dec=4 * 1.444,
+            t_start=t0 - dt.timedelta(days=1), watch_mode="continuous",
+            patch_type=3,
+        )
+
+        # 2. socket ingest: producer → UDS server → parquet spool
+        addr = os.path.join(tmp, "epic.sock")
+        spool = ParquetSpool(os.path.join(tmp, "spool"))
+        server = ThreadedUDSServer(addr, spool)
+        server.start()
+        cubes = {}
+        try:
+            for i in range(N_IMAGES):
+                primary, img, cube = _image(i, t0 + dt.timedelta(seconds=i), rng)
+                cubes[i] = cube
+                stream_data_uds(primary, img, cube, addr)
+            deadline = time.time() + 20
+            while time.time() < deadline:
+                n = len(
+                    [f for f in os.listdir(spool.spool_dir) if f.endswith(".parquet")]
+                )
+                if n == N_IMAGES:
+                    break
+                time.sleep(0.1)
+            assert n == N_IMAGES
+        finally:
+            server.stop()
+
+        # 3. streaming pipeline over the spool (real cube gather)
+        epochs_path = f"{tmp}/epochs"
+        spool_to_epochs(spark.read.parquet(spool.spool_dir)).write.mode(
+            "overwrite"
+        ).parquet(epochs_path)
+        cfg = StreamConfig(
+            epochs_path=epochs_path,
+            watchlist_path=f"{tmp}/watchlist",
+            out_pixels=f"{tmp}/pixels",
+            out_metadata=f"{tmp}/metadata",
+            checkpoint=f"{tmp}/ckpt",
+            available_now=True,
+            cube_col="cube",
+        )
+        run_stream(spark, cfg).awaitTermination(180)
+
+        px = spark.read.parquet(f"{tmp}/pixels")
+        meta = spark.read.parquet(f"{tmp}/metadata")
+
+        # 4. row accounting: per image, 5² + 3² pixels; one metadata row each
+        assert px.count() == N_IMAGES * (25 + 9)
+        assert meta.count() == N_IMAGES
+        names = {
+            tuple(r["source_names"])
+            for r in meta.select("source_names").collect()
+        }
+        assert names == {("CENTER", "OFFSET")}
+
+        # 5. spectra: compare the gathered center-pixel spectrum against
+        # NumPy fancy-indexing of the very cube that went over the socket
+        rows = px.where(
+            (F.col("source_name") == "CENTER")
+            & (F.col("pix_ofst_x") == 0)
+            & (F.col("pix_ofst_y") == 0)
+        ).collect()
+        assert len(rows) == N_IMAGES
+        for r in rows:
+            eid = r["epoch_id"]
+            x, y = r["pixel_coord_x"], r["pixel_coord_y"]
+            want = cubes[eid][:, :, :, y - 1, x - 1].ravel()
+            got = np.array(r["pixel_values"], dtype=np.float32)
+            np.testing.assert_array_equal(got, want)

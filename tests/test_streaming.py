@@ -213,3 +213,37 @@ def test_stream_expires_watchlist_event_time(spark):
         assert still == 0
         # nothing else changed
         assert after.count() == wl.count()
+
+
+def test_batch_replay_is_idempotent(spark):
+    """T4 exactly-once: re-running a batch id (checkpoint replay after a
+    crash) must not duplicate rows — each batch overwrites its own
+    partition directory."""
+    from epic_stream_processor_spark.streaming.pipeline import (
+        make_process_batch,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        epochs = FX.image_epochs(spark, SF_DIR)
+        FX.watchlist(spark, SF_DIR).write.mode("overwrite").parquet(
+            f"{tmp}/watchlist"
+        )
+        cfg = StreamConfig(
+            epochs_path=f"{tmp}/epochs",
+            watchlist_path=f"{tmp}/watchlist",
+            out_pixels=f"{tmp}/pixels",
+            out_metadata=f"{tmp}/metadata",
+            checkpoint=f"{tmp}/ckpt",
+        )
+        pb = make_process_batch(spark, cfg)
+        pb(epochs, 0)
+        n_px = spark.read.parquet(f"{tmp}/pixels").count()
+        n_meta = spark.read.parquet(f"{tmp}/metadata").count()
+        assert n_px > 0 and n_meta > 0
+        # crash-replay the same batch
+        pb(epochs, 0)
+        assert spark.read.parquet(f"{tmp}/pixels").count() == n_px
+        assert spark.read.parquet(f"{tmp}/metadata").count() == n_meta
+        # a NEW batch id adds its own partition
+        pb(epochs, 1)
+        assert spark.read.parquet(f"{tmp}/pixels").count() == 2 * n_px
