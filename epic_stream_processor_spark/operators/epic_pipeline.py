@@ -31,11 +31,13 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.geometry import dec2y, nearest_pix, pixel_l, pixel_m, ra2x, x2ra, y2dec
-from ..sources.fixtures import MAX_RAD_SQ, SPEC_LEN, XDIM, YDIM, cube_val
+from ..sources.fixtures import SPEC_LEN, XDIM, YDIM, cube_val
 
 
 def active_watchlist(watchlist: DataFrame, now: Column) -> DataFrame:
@@ -79,13 +81,35 @@ def to_pixel_coords(joined: DataFrame) -> DataFrame:
     return joined.withColumn("xp", nearest_pix(xf)).withColumn("yp", nearest_pix(yf))
 
 
-def filter_fov_sources(df: DataFrame) -> DataFrame:
-    """P3+P5 at source level, *before* the O3 explode. Integer-exact squared
-    radius (fixture max_rad = 32 exactly, elevation_limit = 0)."""
-    sq = (F.col("xp") - 32) * (F.col("xp") - 32) + (F.col("yp") - 32) * (
-        F.col("yp") - 32
+def _fov_radius_sq(elevation_limit_deg: float) -> Column:
+    """max_rad = xdim·0.5·cos(elevation_limit) (reference watch_dog.py:270;
+    30° on the UDS ingest path, uds_server.py:117). Squared, grid-derived —
+    exact 1024.0 for the 64-grid fixtures at the 0° default."""
+    c = math.cos(math.radians(elevation_limit_deg))
+    r = F.col("naxis1").cast("double") * F.lit(0.5 * c)
+    return r * r
+
+
+def _fov_center_sq_dist(px: Column, py: Column) -> Column:
+    cx = F.col("naxis1").cast("double") / F.lit(2.0)
+    cy = F.col("naxis2").cast("double") / F.lit(2.0)
+    dx_ = px.cast("double") - cx
+    dy_ = py.cast("double") - cy
+    return dx_ * dx_ + dy_ * dy_
+
+
+def filter_fov_sources(
+    df: DataFrame, elevation_limit_deg: float = 0.0
+) -> DataFrame:
+    """P3+P5 at source level, *before* the O3 explode. Center and radius
+    derive from the row's own grid dims — exact for integer pixel coords
+    (all operands are exactly-representable doubles)."""
+    sq = _fov_center_sq_dist(F.col("xp"), F.col("yp"))
+    return df.where(
+        (F.col("xp") >= 0)
+        & (F.col("yp") >= 0)
+        & (sq <= _fov_radius_sq(elevation_limit_deg))
     )
-    return df.where((F.col("xp") >= 0) & (F.col("yp") >= 0) & (sq <= F.lit(MAX_RAD_SQ)))
 
 
 def explode_patches(df: DataFrame) -> DataFrame:
@@ -103,21 +127,25 @@ def explode_patches(df: DataFrame) -> DataFrame:
     )
 
 
-def _pixel_valid(px: Column, py: Column) -> Column:
+def _pixel_valid(
+    px: Column, py: Column, elevation_limit_deg: float = 0.0
+) -> Column:
     """O4's per-pixel test: inside image bounds (1-based) and the FOV circle
     (the linear WCS never yields NaN, so bounds+circle carry the reference's
     round-trip semantics, watch_dog.py:417-424)."""
-    sq = (px - 32) * (px - 32) + (py - 32) * (py - 32)
+    sq = _fov_center_sq_dist(px, py)
     return (
         (px >= 1)
         & (py >= 1)
         & (px <= F.col("naxis1").cast("long"))
         & (py <= F.col("naxis2").cast("long"))
-        & (sq <= F.lit(MAX_RAD_SQ))
+        & (sq <= _fov_radius_sq(elevation_limit_deg))
     )
 
 
-def filter_valid_patches(df: DataFrame) -> DataFrame:
+def filter_valid_patches(
+    df: DataFrame, elevation_limit_deg: float = 0.0
+) -> DataFrame:
     """O4 + A2 *before* the explode: a patch survives only if every one of
     its n² pixels is valid (reference drops whole boundary-crossing patches
     via group-aligned np.all, watch_dog.py:426-440).
@@ -135,7 +163,10 @@ def filter_valid_patches(df: DataFrame) -> DataFrame:
     ok = F.forall(
         offs,
         lambda ox: F.forall(
-            offs, lambda oy: _pixel_valid(F.col("xp") + ox, F.col("yp") + oy)
+            offs,
+            lambda oy: _pixel_valid(
+                F.col("xp") + ox, F.col("yp") + oy, elevation_limit_deg
+            ),
         ),
     )
     return df.where(ok)
@@ -211,17 +242,22 @@ def gather_pixels(df: DataFrame, cube_col: str | None = None) -> DataFrame:
 
 
 def pixel_pipeline(
-    epochs: DataFrame, watchlist: DataFrame, cube_col: str | None = None
+    epochs: DataFrame,
+    watchlist: DataFrame,
+    cube_col: str | None = None,
+    elevation_limit_deg: float = 0.0,
 ) -> DataFrame:
     """Full O1→O6 chain: epochs × watchlist → validated gathered pixels.
 
     Shuffle-free: broadcast join → projections → row-local patch filter →
     generators. Scales linearly with executor count. ``cube_col`` switches
-    O5 to element_at gathering from a materialized cube column."""
+    O5 to element_at gathering from a materialized cube column;
+    ``elevation_limit_deg`` shrinks the FOV circle (reference default 0°,
+    30° on its UDS path)."""
     df = join_epochs_watchlist(epochs, watchlist)
     df = to_pixel_coords(df)
-    df = filter_fov_sources(df)
-    df = filter_valid_patches(df)
+    df = filter_fov_sources(df, elevation_limit_deg)
+    df = filter_valid_patches(df, elevation_limit_deg)
     df = explode_patches(df)
     return gather_pixels(df, cube_col=cube_col)
 

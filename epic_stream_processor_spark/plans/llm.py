@@ -595,3 +595,40 @@ def q_resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
     return resize_media(docs_as_media(docs), target_w=16, target_h=16)
+
+
+# --- BPE-ish regex token counting -------------------------------------------
+
+# Engine-portable token classes (no lookarounds — RE2-safe): letter runs,
+# digit runs, single non-space symbols. A GPT-2-style byte-pair pre-tokenizer
+# splits on exactly these boundaries before merges.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    pre-tokenization (letter runs / digit runs / symbols) — the count a
+    byte-pair encoder's pre-tokenizer would produce before merges. Pure
+    regexp_extract_all, JVM-side."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = f"""WITH words AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+    AS n_bpe_tokens
+FROM words
+"""

@@ -200,6 +200,10 @@ QUERIES: dict[str, QueryDef] = {
         llm.q_doc_quality, llm.ORACLE_DOC_QUALITY,
         "quality scoring: length/punct/stopword ratios + composite",
     ),
+    "token_counts": QueryDef(
+        llm.q_token_counts, llm.ORACLE_TOKEN_COUNTS,
+        "whitespace + BPE-ish regex token counting",
+    ),
     "frame_sample": QueryDef(
         llm.q_frame_sample, llm.ORACLE_FRAME_SAMPLE,
         "video frame sampling: 1→n mapInPandas, oracle-checked geometry",

@@ -157,3 +157,23 @@ def test_resolve_positions_static_path(spark):
     ).withColumn("t_obs", F.col("t_obs_str").cast("timestamp_ntz"))
     out = resolve_positions(df).select("source_name", "ra", "dec").collect()
     assert out[0]["ra"] == 83.63 and out[0]["dec"] == 22.01
+
+
+def test_elevation_limit_shrinks_fov(spark):
+    """P3 with the reference's 30° UDS-path elevation limit
+    (uds_server.py:117): max_rad = 32·cos(30°) ≈ 27.7 — edge sources that
+    pass at 0° are rejected at 30°."""
+    import math
+
+    from epic_stream_processor_spark.operators.epic_pipeline import (
+        filter_fov_sources,
+    )
+
+    rows = [(i, x, 32, 64, 64) for i, x in enumerate(range(0, 65))]
+    df = spark.createDataFrame(rows, ["rid", "xp", "yp", "naxis1", "naxis2"])
+    open_fov = {r["xp"] for r in filter_fov_sources(df, 0.0).collect()}
+    tight = {r["xp"] for r in filter_fov_sources(df, 30.0).collect()}
+    assert tight < open_fov
+    r30 = 32 * math.cos(math.radians(30.0))
+    assert all(abs(x - 32) <= r30 for x in tight)
+    assert any(abs(x - 32) > r30 for x in open_fov)
