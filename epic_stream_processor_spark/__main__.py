@@ -103,6 +103,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("serve", help="UDS ingest server → parquet spool")
     s.add_argument("--addr", required=True, help="unix socket path")
     s.add_argument("--spool", required=True, help="output spool dir")
+    s.add_argument(
+        "--watchlist",
+        default=None,
+        help="watchlist parquet dir; enables remote 'watch_source' commands",
+    )
 
     r = sub.add_parser("replay", help="synthetic producer (dummy stream)")
     r.add_argument("--addr", required=True)
@@ -158,9 +163,25 @@ def main(argv: list[str] | None = None) -> int:
         n = WatchlistStore(_get_spark(), args.watchlist).expire_sources()
         print(f"expired {n} source(s)")
     elif args.cmd == "serve":
-        from .sources.uds import ParquetSpool, ThreadedUDSServer
+        from .sources.uds import (
+            ParquetSpool,
+            ThreadedUDSServer,
+            make_watch_source_processor,
+        )
 
-        server = ThreadedUDSServer(args.addr, ParquetSpool(args.spool))
+        extra = None
+        if args.watchlist:
+            from .operators.watchlist import WatchlistStore
+
+            store = WatchlistStore(_get_spark(), args.watchlist)
+            try:
+                store.read()
+            except Exception:
+                store.init_empty()
+            extra = {"watch_source": make_watch_source_processor(store)}
+        server = ThreadedUDSServer(
+            args.addr, ParquetSpool(args.spool), extra_processors=extra
+        )
         server.start()
         print(f"serving on {args.addr} → {args.spool} (ctrl-c to stop)")
         try:

@@ -61,9 +61,10 @@ def stream_data_uds(
 
 
 class ThreadedUDSServer:
-    """Accept loop + handshake + recv-until-payload, dispatching decoded
-    images to a processor callback. Genuinely concurrent (fixes the
-    reference's serialized ``submit().result()``)."""
+    """Accept loop + handshake + recv-until-payload, dispatching raw
+    payloads by processor name (the reference's two: ``epic_image`` and
+    ``watch_source``, uds_server.py:84-137). Genuinely concurrent (fixes
+    the reference's serialized ``submit().result()``)."""
 
     def __init__(
         self,
@@ -72,15 +73,25 @@ class ThreadedUDSServer:
         max_conn: int = 5,
         workers: int = 10,
         client_timeout: float = 60.0,
+        extra_processors: Optional[dict] = None,
     ):
         self.addr = addr
         self.processor = processor
         self.max_conn = max_conn
         self.client_timeout = client_timeout
+        # name → Callable[[bytes], Optional[bytes]] (raw payload → reply)
+        self._dispatch: dict = {DEFAULT_PROCESSOR: self._image_payload}
+        if extra_processors:
+            self._dispatch.update(extra_processors)
         self._pool = ThreadPoolExecutor(workers)
         self._sock: Optional[socket.socket] = None
         self._accept_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+
+    def _image_payload(self, payload: bytes) -> Optional[bytes]:
+        primary_hdr, img_hdr, cube = wire.decode_image(payload)
+        self.processor(primary_hdr, img_hdr, cube)
+        return None
 
     def start(self) -> None:
         if os.path.exists(self.addr):
@@ -108,7 +119,8 @@ class ThreadedUDSServer:
             conn.settimeout(self.client_timeout)
             hs = conn.recv(HANDSHAKE_MAX)
             name, payload_size = json.loads(hs.decode("utf-8"))
-            if name != DEFAULT_PROCESSOR:
+            handler = self._dispatch.get(name)
+            if handler is None:
                 conn.sendall(b"reject")
                 return
             conn.sendall(b"proceed")
@@ -120,8 +132,9 @@ class ThreadedUDSServer:
                     raise ConnectionError("client closed mid-payload")
                 chunks.append(chunk)
                 remaining -= len(chunk)
-            primary_hdr, img_hdr, cube = wire.decode_image(b"".join(chunks))
-            self.processor(primary_hdr, img_hdr, cube)
+            reply = handler(b"".join(chunks))
+            if reply:
+                conn.sendall(reply)
         except Exception:
             pass  # at-most-once parity: a bad message drops (T4); sink-side
             # checkpointing makes everything after the spool exactly-once
@@ -219,3 +232,62 @@ def spool_to_epochs(df):
         F.col("n_cplx").cast("int").alias("n_cplx"),
         "inttime", "filename", "cube",
     )
+
+
+# --- watch_source processor (remote watchlist commands over the socket) -----
+
+WATCH_REQUIRED_PARAMS = ("source_name", "ra", "dec", "author")
+
+
+def make_watch_source_processor(store) -> Callable[[bytes], bytes]:
+    """Handler for the reference's ``watch_source`` UDS processor
+    (uds_server.py:122-137): payload = JSON watch config; required-param
+    validation implemented for real (the reference's loop tests membership
+    against the wrong list and validates nothing — we spec the intent);
+    reply = JSON status. ``store`` is a
+    :class:`~...operators.watchlist.WatchlistStore`.
+    """
+    import datetime as _dt
+
+    def handle(payload: bytes) -> bytes:
+        try:
+            cfg = json.loads(payload.decode("utf-8"))
+            missing = [p for p in WATCH_REQUIRED_PARAMS if p not in cfg]
+            if missing:
+                return json.dumps(
+                    {"status": "error", "error": f"missing params: {missing}"}
+                ).encode("utf-8")
+            kwargs = dict(
+                source_name=str(cfg["source_name"]),
+                ra=float(cfg["ra"]),
+                dec=float(cfg["dec"]),
+                author=str(cfg["author"]),
+                watch_mode=str(cfg.get("watch_mode", "continuous")),
+                patch_type=cfg.get("patch_type", 5),
+                reason=str(cfg.get("reason", "Detection of FRBs")),
+            )
+            if cfg.get("t_start"):
+                kwargs["t_start"] = _dt.datetime.fromisoformat(cfg["t_start"])
+            if cfg.get("t_end"):
+                kwargs["t_end"] = _dt.datetime.fromisoformat(cfg["t_end"])
+                kwargs.setdefault("watch_mode", "timed")
+            sid = store.add_source(**kwargs)
+            return json.dumps({"status": "added", "id": int(sid)}).encode("utf-8")
+        except Exception as e:  # reply instead of dropping the connection
+            return json.dumps({"status": "error", "error": str(e)}).encode("utf-8")
+
+    return handle
+
+
+def send_watch_request(addr: str, config: dict, timeout: float = 60.0) -> dict:
+    """Client twin of ``uds_client.send_man_watch_req`` (:101-151): send a
+    watch config over the socket, return the parsed JSON reply."""
+    payload = json.dumps(config).encode("utf-8")
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as sk:
+        sk.settimeout(timeout)
+        sk.connect(addr)
+        sk.sendall(json.dumps(["watch_source", len(payload)]).encode("utf-8"))
+        if sk.recv(HANDSHAKE_MAX) != b"proceed":
+            raise RuntimeError("handshake rejected")
+        sk.sendall(payload)
+        return json.loads(sk.recv(HANDSHAKE_MAX * 16).decode("utf-8"))

@@ -182,3 +182,46 @@ def test_chunked_streaming_roundtrip():
     assert h2 == header and b2 == body
     # default chunk size matches the reference's 64 KiB
     assert GRPC_CHUNK_SIZE == 65536
+
+
+def test_watch_source_over_socket(spark):
+    """O7 remote path: watch commands over the UDS socket — valid configs
+    land in the watchlist, invalid ones get a real validation error (the
+    reference's validation is a no-op bug; we implement the intent)."""
+    from epic_stream_processor_spark.operators.watchlist import WatchlistStore
+    from epic_stream_processor_spark.sources.uds import (
+        make_watch_source_processor,
+        send_watch_request,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = WatchlistStore(spark, f"{tmp}/wl")
+        store.init_empty()
+        addr = os.path.join(tmp, "epic.sock")
+        server = ThreadedUDSServer(
+            addr,
+            ParquetSpool(os.path.join(tmp, "spool")),
+            extra_processors={"watch_source": make_watch_source_processor(store)},
+        )
+        server.start()
+        try:
+            ok = send_watch_request(
+                addr,
+                {"source_name": "FRB 20180916B", "ra": 29.5, "dec": 65.7,
+                 "author": "remote", "t_start": "2024-01-01T00:00:00"},
+            )
+            assert ok["status"] == "added" and ok["id"] == 1
+            bad = send_watch_request(
+                addr, {"source_name": "NoCoords", "author": "remote"}
+            )
+            assert bad["status"] == "error" and "ra" in bad["error"]
+            dup = send_watch_request(
+                addr,
+                {"source_name": "FRB 20180916B", "ra": 29.5, "dec": 65.7,
+                 "author": "remote"},
+            )
+            assert dup["status"] == "error"
+        finally:
+            server.stop()
+        rows = store.list_watch_sources().collect()
+        assert [r["source_name"] for r in rows] == ["FRB 20180916B"]
