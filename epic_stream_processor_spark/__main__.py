@@ -166,6 +166,7 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.uds import (
             ParquetSpool,
             ThreadedUDSServer,
+            make_fetch_watchlist_processor,
             make_watch_source_processor,
         )
 
@@ -178,7 +179,10 @@ def main(argv: list[str] | None = None) -> int:
                 store.read()
             except Exception:
                 store.init_empty()
-            extra = {"watch_source": make_watch_source_processor(store)}
+            extra = {
+                "watch_source": make_watch_source_processor(store),
+                "fetch_watchlist": make_fetch_watchlist_processor(store),
+            }
         server = ThreadedUDSServer(
             args.addr, ParquetSpool(args.spool), extra_processors=extra
         )

@@ -291,3 +291,44 @@ def send_watch_request(addr: str, config: dict, timeout: float = 60.0) -> dict:
             raise RuntimeError("handshake rejected")
         sk.sendall(payload)
         return json.loads(sk.recv(HANDSHAKE_MAX * 16).decode("utf-8"))
+
+
+def make_fetch_watchlist_processor(store) -> Callable[[bytes], bytes]:
+    """Handler for the reference's ``fetch_watchlist`` RPC (server.py:54-55
+    returns the in-memory watch_df as JSON): reply = JSON rows of the
+    active watchlist."""
+
+    def handle(payload: bytes) -> bytes:
+        rows = [
+            {
+                "id": r["id"],
+                "source_name": r["source_name"],
+                "ra": r["ra"],
+                "dec": r["dec"],
+                "patch_type": r["patch_type"],
+            }
+            for r in store.list_watch_sources().collect()
+        ]
+        return json.dumps({"status": "ok", "watchlist": rows}).encode("utf-8")
+
+    return handle
+
+
+def fetch_watchlist(addr: str, timeout: float = 60.0) -> list[dict]:
+    """Client twin of the fetch_watchlist RPC consumer
+    (test_esp_client.py:1-9): returns the active watchlist rows."""
+    payload = b"{}"
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as sk:
+        sk.settimeout(timeout)
+        sk.connect(addr)
+        sk.sendall(json.dumps(["fetch_watchlist", len(payload)]).encode("utf-8"))
+        if sk.recv(HANDSHAKE_MAX) != b"proceed":
+            raise RuntimeError("handshake rejected")
+        sk.sendall(payload)
+        chunks = []
+        while True:
+            b = sk.recv(RECV_CHUNK)
+            if not b:
+                break
+            chunks.append(b)
+        return json.loads(b"".join(chunks).decode("utf-8"))["watchlist"]

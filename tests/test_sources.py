@@ -190,6 +190,8 @@ def test_watch_source_over_socket(spark):
     reference's validation is a no-op bug; we implement the intent)."""
     from epic_stream_processor_spark.operators.watchlist import WatchlistStore
     from epic_stream_processor_spark.sources.uds import (
+        fetch_watchlist,
+        make_fetch_watchlist_processor,
         make_watch_source_processor,
         send_watch_request,
     )
@@ -201,7 +203,10 @@ def test_watch_source_over_socket(spark):
         server = ThreadedUDSServer(
             addr,
             ParquetSpool(os.path.join(tmp, "spool")),
-            extra_processors={"watch_source": make_watch_source_processor(store)},
+            extra_processors={
+                "watch_source": make_watch_source_processor(store),
+                "fetch_watchlist": make_fetch_watchlist_processor(store),
+            },
         )
         server.start()
         try:
@@ -221,6 +226,9 @@ def test_watch_source_over_socket(spark):
                  "author": "remote"},
             )
             assert dup["status"] == "error"
+            wl = fetch_watchlist(addr)
+            assert [w["source_name"] for w in wl] == ["FRB 20180916B"]
+            assert wl[0]["ra"] == 29.5
         finally:
             server.stop()
         rows = store.list_watch_sources().collect()
