@@ -182,20 +182,35 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     """Per-doc SimHash over distinct tokens (md5-based bit votes).
 
     bit b of the hash = sign of Σ_tokens (±1 by token-hash bit b). Fully
-    map-side after one explode+groupBy(doc) shuffle; integer arithmetic only.
+    ROW-LOCAL: the token-hash array binds to a column once, each bit's vote
+    is an integer fold over it — zero shuffle, like the MinHash signatures.
+    Token-less docs are dropped (scan-level filter, matching the
+    explode+groupBy formulation this replaced).
     """
-    tok = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
-    ).withColumn("th", stable_hash64(F.col("tok")))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
+
+    def vote(b: int):
+        return F.aggregate(
+            F.col("_th"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        term = F.when(vote(b) >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+    return (
+        docs.where(F.size(tokens(F.col(text_col))) >= 1)
+        .withColumn(
+            "_th",
+            F.transform(
+                F.array_distinct(tokens(F.col(text_col))),
+                lambda t: stable_hash64(t),
+            ),
+        )
+        .select(F.col(id_col), sim.cast("long").alias("simhash"))
+    )

@@ -105,11 +105,20 @@ def ivf_assign(
         "cluster_id",
         cosine(F.col(vec_col), F.col("centroid_vec")).alias("c_sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cluster_id").asc())
+    # argmax via max_by over a (sim, -cluster_id) struct: deterministic
+    # tie-break toward the smaller cluster id, and — unlike a row_number
+    # window — the aggregation combines MAP-SIDE, so the shuffle carries one
+    # row per vector rather than one per (vector, centroid).
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "c_sim")
+        scored.groupBy(id_col)
+        .agg(
+            F.expr("max_by(cluster_id, struct(c_sim, -cluster_id))").alias(
+                "cluster_id"
+            ),
+            # every row in the group carries the same corpus vector
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(id_col, vec_col, "cluster_id")
     )
 
 
