@@ -161,3 +161,69 @@ def knn_cosine_ivf(
         .where(F.col("rank") <= k)
         .select("probe_id", "cand_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def kmeans_lite(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic mini k-means for IVF index building (Lloyd's
+    iterations, public algorithm) — the iterative-driver-loop pattern on
+    DataFrames.
+
+    - init: the first ``k`` vectors by id (deterministic, no RNG);
+    - assign: broadcast centroids → map-side max-cosine argmax
+      (:func:`ivf_assign`);
+    - update: fixed-width per-dimension mean via one groupBy — map-side
+      partial agg, shuffle = k rows × dim doubles;
+    - the tiny centroid frame round-trips through the driver each
+      iteration (k·dim doubles — the standard Spark k-means shape; the
+      corpus itself never moves).
+
+    Returns the final centroids as (centroid_id, embedding, n_members).
+    """
+    w = Window.orderBy(F.col(id_col).asc())
+    centroids = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w).alias("centroid_id"),
+            F.col(vec_col).alias(vec_col),
+        )
+    )
+    dims = list(range(dim))
+    spark = vectors.sparkSession
+    last = None
+    for _ in range(n_iter):
+        assigned = ivf_assign(vectors, centroids, vec_col, id_col)
+        means = [
+            F.avg(F.element_at(F.col(vec_col), d + 1)).alias(f"_m{d}")
+            for d in dims
+        ]
+        upd = (
+            assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"), *means)
+            .select(
+                F.col("cluster_id").alias("centroid_id"),
+                F.array(*[F.col(f"_m{d}") for d in dims])
+                .cast("array<float>")
+                .alias(vec_col),
+                "n_members",
+            )
+        )
+        # materialize the k tiny centroid rows through the driver so each
+        # iteration's plan starts fresh (lazy lineage would otherwise
+        # recompute every prior assignment inside the next one)
+        last = upd.collect()
+        centroids = spark.createDataFrame(
+            [(r["centroid_id"], r[vec_col]) for r in last],
+            f"centroid_id long, {vec_col} array<float>",
+        )
+    return spark.createDataFrame(
+        [(r["centroid_id"], r[vec_col], r["n_members"]) for r in last],
+        f"centroid_id long, {vec_col} array<float>, n_members long",
+    )

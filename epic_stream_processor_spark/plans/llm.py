@@ -632,3 +632,15 @@ SELECT doc_id,
     AS n_bpe_tokens
 FROM words
 """
+
+
+# --- Iterative k-means (IVF index build) ------------------------------------
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini k-means (3 Lloyd iterations, deterministic first-k init) over
+    the embeddings — the iterative-algorithm pattern: corpus stays put,
+    k·dim centroid doubles round-trip through the driver per iteration.
+    Rows-only check (cross-engine float means drift by summation order)."""
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_lite(emb, k=8, n_iter=3, dim=64)

