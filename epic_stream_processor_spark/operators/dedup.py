@@ -178,6 +178,68 @@ def ngram_jaccard(
     return out
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over candidate pairs → duplicate clusters.
+
+    Completes the dedup funnel (signatures → LSH pairs → verify →
+    **clusters**): transitive closure of the pair graph, labelling every
+    document with the minimum doc id of its component (the canonical
+    keeper). Iterative min-label propagation (hash-min, the MapReduce CC
+    algorithm of Rastogi et al., ICDE 2013):
+
+    - each round: one equi-join edges⋈labels + one groupBy-min — both
+      map-side-combinable shuffles on the node id;
+    - labels only ever decrease, so convergence = "no label changed",
+      checked with a co-partitioned self-join count;
+    - rounds needed = component diameter; duplicate clusters are
+      near-cliques from LSH banding, so 2-3 rounds in practice;
+    - each round's labels are ``localCheckpoint``ed to truncate lineage
+      (the standard iterative-algorithm requirement on Spark).
+
+    ``nodes`` supplies the full vertex set so edge-less documents come out
+    as singleton clusters (cluster_id = own id).
+
+    Returns (doc_id, cluster_id).
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("_old")), "node"
+            )
+            .where(F.col("label") < F.col("_old"))
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Per-doc SimHash over distinct tokens (md5-based bit votes).
 

@@ -1,0 +1,74 @@
+"""Deterministic corpus sampling / split assignment.
+
+At 100 TB you never sample with an RNG: `rand()` is neither reproducible
+across reruns nor stable under repartitioning. The standard trick is
+hash-mod bucketing on a stable key — a pure map-side projection (zero
+shuffle, no state), reproducible on any engine, and the same row always
+lands in the same bucket/split no matter how the data is partitioned.
+Built on the md5-portable hash (``functions/hashing.py``) so a DuckDB
+oracle verifies the assignment bit-for-bit.
+
+Extension surface beyond the reference (which never samples; closest is
+the watchlist uniqueness guard P8) — part of the driver-mandated
+training-data-pipeline operator set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import stable_hash64
+
+DEFAULT_BUCKETS = 100
+
+
+def hash_bucket(
+    key: Column, salt: str = "sample", n_buckets: int = DEFAULT_BUCKETS
+) -> Column:
+    """Stable bucket in [0, n_buckets) from a key column + salt.
+
+    Different salts give independent bucketings (new salt = fresh draw),
+    which is how you take a *second* sample disjoint in distribution from
+    the first.
+    """
+    return stable_hash64(F.concat(F.lit(f"{salt}:"), key.cast("string"))) % n_buckets
+
+
+def hash_sample(
+    df: DataFrame,
+    pct: int,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Keep ~pct% of rows deterministically (bucket < pct).
+
+    A scan-level filter Catalyst evaluates before anything downstream —
+    sampling 1% of 100 TB costs one pass of hashing, no shuffle.
+    """
+    return df.where(hash_bucket(F.col(key_col), salt, n_buckets) < pct)
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, int],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a named split by cumulative hash-bucket ranges.
+
+    ``splits`` maps name → percentage (must sum to 100), e.g.
+    ``{"train": 98, "val": 1, "test": 1}``. Row-local, reproducible, and
+    leak-free: a key can never appear in two splits, across any rerun or
+    engine.
+    """
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must sum to 100: {splits}")
+    bucket = hash_bucket(F.col(key_col), salt, 100)
+    expr = None
+    hi = 0
+    for name, pct in splits.items():
+        hi += pct
+        branch = F.when(bucket < hi, F.lit(name))
+        expr = branch if expr is None else expr.when(bucket < hi, F.lit(name))
+    return df.withColumn("bucket", bucket).withColumn("split", expr)

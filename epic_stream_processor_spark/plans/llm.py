@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..functions.hashing import seeded_hash64_sql, stable_hash64_sql
 from ..operators import dedup as D
+from ..operators import sampling as SA
 from ..operators import similarity as S
 from ..operators.multimodal import decode_media, docs_as_media
 from ..session import configure_for_parity
@@ -631,6 +632,82 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
     AS n_bpe_tokens
 FROM words
+"""
+
+
+# --- Duplicate clusters (connected components over LSH pairs) ---------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal stage of the dedup funnel: transitive closure of the LSH
+    candidate-pair graph. Every document labelled with its component's min
+    doc_id (the canonical keeper); edge-less docs are singletons. Oracle =
+    DuckDB recursive CTE over the same pair graph."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=4, shingle_k=2, parallelism=64)
+    pairs = D.minhash_lsh_pairs(sigs, num_hashes=4, band_size=2)
+    return D.dedup_clusters(pairs, docs.select("doc_id"))
+
+
+ORACLE_DEDUP_CLUSTERS = f"""WITH RECURSIVE words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES_2}) AS shingle FROM words
+),
+sigs AS (
+  SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, {_BAND0} AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, {_BAND1} AS band_key FROM sigs
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+# --- Deterministic hash sampling / split assignment --------------------------
+
+def q_corpus_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-mod bucketing on doc_id: reproducible 98/1/1 train/val/test
+    assignment plus the raw bucket — zero shuffle, rerun- and
+    partitioning-stable (rand() is neither)."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.hash_split(
+        docs, {"train": 98, "val": 1, "test": 1}, key_col="doc_id"
+    ).select("doc_id", "bucket", "split")
+
+
+_SQL_BUCKET = stable_hash64_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+
+ORACLE_CORPUS_SAMPLE_SPLIT = f"""WITH b AS (
+  SELECT doc_id, {_SQL_BUCKET} AS bucket FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val'
+            WHEN bucket < 100 THEN 'test' END AS split
+FROM b
 """
 
 

@@ -216,4 +216,12 @@ QUERIES: dict[str, QueryDef] = {
         llm.q_kmeans_centroids, None,
         "iterative k-means IVF index build (rows-only: float-mean drift)",
     ),
+    "dedup_clusters": QueryDef(
+        llm.q_dedup_clusters, llm.ORACLE_DEDUP_CLUSTERS,
+        "connected components over LSH pairs vs recursive-CTE oracle",
+    ),
+    "corpus_sample_split": QueryDef(
+        llm.q_corpus_sample_split, llm.ORACLE_CORPUS_SAMPLE_SPLIT,
+        "deterministic hash-bucket train/val/test split",
+    ),
 }

@@ -179,6 +179,49 @@ def test_elevation_limit_shrinks_fov(spark):
     assert any(abs(x - 32) > r30 for x in open_fov)
 
 
+def test_dedup_clusters_transitive_closure(spark):
+    """Chain a-b, b-c plus isolated d: {a,b,c} collapse to min id a; d is
+    a singleton — transitivity that pairwise LSH output alone lacks."""
+    from epic_stream_processor_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 10, 11]], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10}
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    """Every row gets exactly one split, assignment is stable across two
+    invocations, and bad percentages are rejected."""
+    import pytest
+
+    from epic_stream_processor_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = docs.count()
+    out = hash_split(docs, {"train": 98, "val": 1, "test": 1})
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(0 <= r["bucket"] < 100 and r["split"] is not None for r in rows)
+    again = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert {r["doc_id"]: r["split"] for r in rows} == again
+    counts = {r["split"] for r in rows}
+    assert "train" in counts
+    sampled = hash_sample(docs, 10).count()
+    assert 0 < sampled < n
+    with pytest.raises(ValueError):
+        hash_split(docs, {"train": 90, "val": 5})
+
+
 def test_kmeans_lite_converges_and_partitions(spark):
     """Lloyd iterations on the embeddings: k centroids, every vector
     assigned, members sum to corpus size, and the final assignment is
