@@ -133,6 +133,14 @@ QUERIES: dict[str, QueryDef] = {
         relational.q17_small_quantity_revenue, relational.ORACLE_Q17,
         "correlated scalar subquery decorrelated to agg+join",
     ),
+    "q22_dormant_customers": QueryDef(
+        relational.q22_dormant_customers, relational.ORACLE_Q22,
+        "scalar-subquery + anti-join: high-balance customers with no recent order",
+    ),
+    "q12_priority_lines": QueryDef(
+        relational.q12_priority_lines, relational.ORACLE_Q12,
+        "conditional aggregation (CASE-in-SUM) over lineitem ⋈ orders",
+    ),
     "q_asof_prior_purchase": QueryDef(
         relational.q_asof_prior_purchase, relational.ORACLE_ASOF_PRIOR_PURCHASE,
         "as-of join (union + last-ignorenulls window) vs native ASOF JOIN",

@@ -645,3 +645,104 @@ SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
 FROM ev e ASOF LEFT JOIN purchases p
   ON e.user_id = p.user_id AND e.ts > p.ts
 """
+
+
+# --- Q22-style anti join (dormant high-balance customers) -------------------
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no recent order, per nation —
+    TPC-H Q22's shape: scalar-aggregate subquery + LEFT ANTI join.
+
+    Determinism: the "above average" test is pure BIGINT —
+    ``cents(balance) · n > Σ cents(balance)`` — so no float average ever
+    exists to drift between engines.
+
+    Scale: the one-row stats frame and nation are broadcast; the anti join
+    shuffles on custkey (orders pre-filtered at the scan by the date
+    predicate, so the build side is the small recent slice).
+    """
+    configure_for_parity(spark)
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    stats = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("_total_cents"),
+        F.count(F.lit(1)).alias("_n_pos"),
+    )
+    rich = c.crossJoin(F.broadcast(stats)).where(
+        _cents(F.col("c_acctbal")) * F.col("_n_pos") > F.col("_total_cents")
+    )
+    dormant = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        dormant.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (F.sum(_cents(F.col("c_acctbal"))).cast("double") / 100.0).alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+ORACLE_Q22 = """WITH stats AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS total_cents,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name,
+       count(*) AS n_custs,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+FROM customer
+CROSS JOIN stats
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > total_cents
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY n_name
+"""
+
+
+# --- Q12-style conditional aggregation --------------------------------------
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders, one year of shipments, counting urgent vs other
+    order priorities per return flag — TPC-H Q12's CASE-inside-SUM shape,
+    all-integer so it is engine-exact by construction.
+
+    Scale: the shipdate range predicate prunes the lineitem scan; the join
+    shuffles both sides on orderkey; the two conditional sums ride the same
+    map-side partial aggregation.
+    """
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """SELECT
+  l_returnflag,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_returnflag
+"""

@@ -50,3 +50,13 @@ def test_knn_broadcasts_probes_not_corpus(spark):
     df = QUERIES["knn_cosine"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_q22_anti_join_and_scan_pruned_orders(spark):
+    """The dormant-customer query must plan a hash LEFT ANTI join (not a
+    nested-loop) and push the order-date cutoff into the orders scan."""
+    df = QUERIES["q22_dormant_customers"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan.split("LeftAnti")[0][-200:], plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
