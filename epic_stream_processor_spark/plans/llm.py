@@ -9,7 +9,7 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -632,6 +632,55 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
     AS n_bpe_tokens
 FROM words
+"""
+
+
+# --- Top terms per document (integer-exact tf/df core of TF-IDF) ------------
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by term frequency, with corpus document
+    frequency — the integer core of TF-IDF (the log weight is omitted on
+    purpose: ``ln`` differs in the last ulp across engines, while tf/df
+    ranks are engine-exact; rank ties break on the term string).
+
+    Scale: two map-side-combinable shuffles (doc-term tf, term df) + one
+    term-keyed join; stopword-like head terms skew the df join → AQE
+    skew handling. The per-doc window sees ≤ vocabulary-of-one-doc rows.
+    """
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+ORACLE_TOP_TERMS = f"""WITH words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE trim(text) <> ''
+),
+terms AS (SELECT doc_id, unnest(w) AS term FROM words),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
 """
 
 

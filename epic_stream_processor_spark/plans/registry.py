@@ -224,6 +224,10 @@ QUERIES: dict[str, QueryDef] = {
         llm.q_kmeans_centroids, None,
         "iterative k-means IVF index build (rows-only: float-mean drift)",
     ),
+    "top_terms": QueryDef(
+        llm.q_top_terms, llm.ORACLE_TOP_TERMS,
+        "top-3 terms per doc by tf with corpus df (integer TF-IDF core)",
+    ),
     "dedup_clusters": QueryDef(
         llm.q_dedup_clusters, llm.ORACLE_DEDUP_CLUSTERS,
         "connected components over LSH pairs vs recursive-CTE oracle",

@@ -170,3 +170,41 @@ def run_events_windowed_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming exact dedup: first-seen document per content hash wins.
+
+    The batch operator (``operators/dedup.exact_dedup``) groups; a stream
+    can't wait for the group to close, so it keeps the 32-byte content
+    hash as state (``dropDuplicates``) and emits only first arrivals —
+    how a continuously-ingesting corpus stays deduplicated without
+    re-scanning history.
+
+    State is one hash per distinct document, unbounded by design: the
+    corpus has no event time to watermark on (use
+    ``dropDuplicatesWithinWatermark`` when ingest carries one). At 100 TB
+    the state is hash-partitioned across executors by the dedup key and
+    RocksDB-backed state stores keep it off-heap.
+    """
+    static = spark.read.parquet(docs_path)
+    stream = spark.readStream.schema(static.schema).parquet(docs_path)
+    deduped = (
+        stream.withColumn("content_hash", F.md5(F.col("text")))
+        .dropDuplicates(["content_hash"])
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -247,3 +247,26 @@ def test_batch_replay_is_idempotent(spark):
         # a NEW batch id adds its own partition
         pb(epochs, 1)
         assert spark.read.parquet(f"{tmp}/pixels").count() == 2 * n_px
+
+
+def test_dedup_stream_first_seen_wins(spark, tmp_path):
+    """Streaming exact dedup emits one row per distinct content hash and
+    they cover exactly the batch operator's groups."""
+    from epic_stream_processor_spark.operators.dedup import exact_dedup
+    from epic_stream_processor_spark.streaming.pipeline import run_dedup_stream
+
+    docs_path = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.parquet(docs_path)
+    out = str(tmp_path / "deduped")
+    q = run_dedup_stream(
+        spark, docs_path, out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    batch_groups = exact_dedup(spark.read.parquet(docs_path))
+    assert got.count() == batch_groups.count()
+    assert (
+        got.select("content_hash").distinct().count() == got.count()
+    ), "a content hash surfaced twice"
+    joined = got.join(batch_groups, "content_hash", "left_anti")
+    assert joined.count() == 0, "stream emitted a hash the batch op lacks"
