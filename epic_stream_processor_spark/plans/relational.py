@@ -315,7 +315,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSON_EXTRACT = """SELECT
   event_type,
   count(*) AS n_events,
-  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
   count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
@@ -371,7 +371,7 @@ sessions AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx, count(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
        min(ts) AS t_first, max(ts) AS t_last
 FROM sessions
 GROUP BY user_id, session_idx
@@ -738,8 +738,8 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """SELECT
   l_returnflag,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
