@@ -23,12 +23,16 @@ from pyspark.sql import functions as F
 
 
 def nearest_pix(p: Column) -> Column:
-    """Reference's snap-to-pixel: ``floor(p + min(frac(p), 0.5))``.
+    """Reference's snap-to-pixel: ``floor(p + min(modf(p)[0], 0.5))``.
 
     Half values round up (2.5→3). Behavioral twin of
-    ``watch_dog.py:281-286``. Returns LongType.
+    ``watch_dog.py:281-286``: ``np.modf``'s fractional part KEEPS the sign
+    of ``p`` (modf(-0.4) → -0.4, where ``p - floor(p)`` would give +0.6),
+    so p = -0.4 snaps to -1 exactly as the reference does (the x ≥ 0 filter
+    then drops it) — mirrored here via ``p - trunc(p)``. Returns LongType.
     """
-    frac = p - F.floor(p)
+    trunc = F.when(p < 0, F.ceil(p)).otherwise(F.floor(p)).cast("double")
+    frac = p - trunc
     return F.floor(p + F.least(frac, F.lit(0.5))).cast("long")
 
 

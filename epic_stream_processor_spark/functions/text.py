@@ -159,6 +159,7 @@ def winnow_fingerprints_df(
     text_col: str = "text",
     out_col: str = "fingerprints",
     window: int = 4,
+    parallelism: int | None = None,
 ):
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — public algorithm): from every ``window`` consecutive
@@ -173,7 +174,16 @@ def winnow_fingerprints_df(
     into one column expression re-evaluates the gram array inside every
     window lambda — O(m²) md5 calls per document (hours at corpus scale vs
     seconds staged).
+
+    ``parallelism``: optional key-hash repartition before the md5-heavy
+    projection, for inputs that arrive as a handful of parquet files (one
+    scan task each — the CPUs idle). Default ``None`` adds NO exchange:
+    at real scale the scan is already wide and a row-local operator must
+    not shuffle the corpus.
     """
+    if parallelism:
+        id_cols = [c for c in ("doc_id", "id") if c in df.columns]
+        df = df.repartition(parallelism, *id_cols) if id_cols else df.repartition(parallelism)
     stages = (
         df.withColumn("_wf_toks", tokens(F.col(text_col)))
         .withColumn("_wf_th", F.transform(F.col("_wf_toks"), _token_rh))

@@ -182,7 +182,7 @@ def dedup_clusters(
     pairs: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 10,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over candidate pairs → duplicate clusters.
 
@@ -210,6 +210,11 @@ def dedup_clusters(
     ``nodes`` supplies the full vertex set so edge-less documents come out
     as singleton clusters (cluster_id = own id).
 
+    ``max_iter`` is a SAFETY CAP, not a result knob: the loop runs until the
+    fixpoint and raises if the cap is hit first — silently returning
+    part-propagated labels would be a wrong answer with no signal (the
+    sf0.1 fixture's longest chain already needs 9 rounds).
+
     Returns (doc_id, cluster_id).
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -226,6 +231,7 @@ def dedup_clusters(
         ).collect()[0]["t"]
 
     prev_total = _total(labels)
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(
             labels.select(F.col("node").alias("src"), "label"), "src"
@@ -241,8 +247,15 @@ def dedup_clusters(
         old.unpersist()
         total = _total(labels)
         if total == prev_total:
+            converged = True
             break
         prev_total = total
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds the cap); raise max_iter — "
+            "part-propagated labels would be silently wrong"
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

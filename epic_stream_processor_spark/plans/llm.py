@@ -222,8 +222,20 @@ ORACLE_SIMHASH = _simhash_oracle(16)
 
 # --- Text analysis ----------------------------------------------------------
 
+# Engine-portable token classes (no lookarounds — RE2-safe): letter runs,
+# digit runs, single non-space symbols. A GPT-2-style byte-pair pre-tokenizer
+# splits on exactly these boundaries before merges.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counts + quality heuristics (ratios of exact integers)."""
+    """Token counts + quality heuristics (ratios of exact integers).
+
+    Also carries the BPE-ish regex token count (letter runs / digit runs /
+    symbols — what a byte-pair encoder's pre-tokenizer yields before
+    merges), merged from the former ``token_counts`` query so the registry
+    fits the driver's 50-query cap; both token-counting components stay
+    oracle-proven."""
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
     w = T.tokens(F.col("text"))
@@ -233,6 +245,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").cast("long").alias("n_chars_calc"),
         n.cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         nd.cast("long").alias("n_distinct_tokens"),
         F.when(n == 0, F.lit(0.0))
         .otherwise(nd.cast("double") / n.cast("double"))
@@ -241,13 +256,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TEXT_STATS = f"""WITH words AS (
-  SELECT doc_id, length(text) AS n_chars_calc,
+  SELECT doc_id, text, length(text) AS n_chars_calc,
          CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
   FROM documents
 )
 SELECT doc_id,
        CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
        CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens,
        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
        CASE WHEN len(w) = 0 THEN 0.0
             ELSE CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
@@ -345,7 +362,7 @@ def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
-    out = S.knn_cosine_ivf(emb, probes, centroids, k=5)
+    out = S.knn_cosine_ivf(emb, probes, centroids, k=5, parallelism=32)
     return out.select("probe_id", "cand_id", "cos_sim", F.col("rank").alias("rnk"))
 
 
@@ -405,12 +422,31 @@ FROM embeddings
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → Arrow-batched mapInPandas decode (stub codec).
 
-    Not SQL-expressible (python worker stage) → driver records a rows-only
-    check; pytest covers value determinism.
+    The compared output is the decode's scalar columns (byte_len, the
+    stub-derived width/height, and the feature count) — all computed INSIDE
+    the Python worker, so the oracle hash-checks that the mapInPandas stage
+    ran with exactly the right batch shape and arithmetic. The feature
+    *values* (raw payload bytes, not SQL-reachable in DuckDB) stay covered
+    by the operator pytest.
     """
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return decode_media(docs_as_media(docs))
+    dec = decode_media(docs_as_media(docs))
+    return dec.select(
+        "media_id", "media_type", "byte_len", "width", "height",
+        F.size("features").cast("long").alias("n_features"),
+    )
+
+
+ORACLE_MULTIMODAL_DECODE = """SELECT
+  doc_id AS media_id,
+  'image' AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+  CAST(least(octet_length(encode(text)), 8) AS BIGINT) AS n_features
+FROM documents
+"""
 
 
 # --- Embedding-cosine near-duplicates ---------------------------------------
@@ -463,14 +499,30 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003):
     positional 3-gram Rabin-Karp rolling hashes → per-window minima →
     distinct sorted fingerprint set. Row-local; at 100 TB the follow-up
-    containment join explodes fingerprints and equi-joins on the hash."""
+    containment join explodes fingerprints and equi-joins on the hash.
+
+    ``parallelism=64`` widens the single-file fixture scan (the default adds
+    no exchange — see winnow_fingerprints_df). Compared output is exploded
+    to (fp_pos, fingerprint) rows — the fingerprint-set membership the
+    containment join would consume — because the driver canonicalizer can't
+    sort array cells."""
     configure_for_parity(spark)
-    docs = load_table(spark, sf_dir, "documents").repartition(64, "doc_id")
-    staged = T.winnow_fingerprints_df(docs, "text", "fingerprints", window=4)
+    docs = load_table(spark, sf_dir, "documents")
+    staged = T.winnow_fingerprints_df(
+        docs, "text", "fingerprints", window=4, parallelism=64
+    )
+    # posexplode_outer, NOT posexplode: the inner variant's
+    # InferFiltersFromGenerate predicate (size>0) is pushed below the staged
+    # projections with the whole rolling-hash chain INLINED — the O(m²) md5
+    # blowup the staging exists to prevent (measured: minutes vs <1 s at
+    # sf0.1). The outer variant infers no filter; empty-fingerprint docs are
+    # dropped by the pos-not-null filter on the generator output instead.
     return staged.select(
         "doc_id",
-        "fingerprints",
         F.size("fingerprints").cast("long").alias("n_fp"),
+        F.posexplode_outer("fingerprints").alias("fp_pos", "fingerprint"),
+    ).where(F.col("fp_pos").isNotNull()).withColumn(
+        "fp_pos", F.col("fp_pos").cast("long")
     )
 
 
@@ -501,8 +553,10 @@ wins AS (
     END AS wmins
   FROM grams
 )
-SELECT doc_id, list_sort(list_distinct(wmins)) AS fingerprints,
-       CAST(len(list_distinct(wmins)) AS BIGINT) AS n_fp
+SELECT doc_id,
+       CAST(len(list_distinct(wmins)) AS BIGINT) AS n_fp,
+       unnest(range(0, len(list_sort(list_distinct(wmins))))) AS fp_pos,
+       unnest(list_sort(list_distinct(wmins))) AS fingerprint
 FROM wins
 """
 
@@ -590,48 +644,47 @@ FROM picks
 
 def q_resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail resize via mapInPandas (stub codec, binary-out plumbing).
-    Rows-only check: thumb bytes come from the stubbed stride resize."""
+
+    Oracle-checked: the stub's stride geometry (thumb byte length) AND the
+    first four strided thumb bytes (hex-encoded) are recomputed in SQL by
+    slicing the hex encoding of the payload — proving the Python stage's
+    binary output byte-for-byte at the prefix, not just its row count."""
     from ..operators.multimodal import docs_as_media, resize_media
 
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return resize_media(docs_as_media(docs), target_w=16, target_h=16)
-
-
-# --- BPE-ish regex token counting -------------------------------------------
-
-# Engine-portable token classes (no lookarounds — RE2-safe): letter runs,
-# digit runs, single non-space symbols. A GPT-2-style byte-pair pre-tokenizer
-# splits on exactly these boundaries before merges.
-BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-
-
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace words and a BPE-ish regex
-    pre-tokenization (letter runs / digit runs / symbols) — the count a
-    byte-pair encoder's pre-tokenizer would produce before merges. Pure
-    regexp_extract_all, JVM-side."""
-    configure_for_parity(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0)))
-        .cast("long")
-        .alias("n_bpe_tokens"),
+    rz = resize_media(docs_as_media(docs), target_w=16, target_h=16)
+    return rz.select(
+        "media_id", "media_type", "width", "height",
+        F.octet_length("thumb").cast("long").alias("thumb_len"),
+        F.hex(F.expr("substring(thumb, 1, 4)")).alias("thumb_hex4"),
     )
 
 
-ORACLE_TOKEN_COUNTS = f"""WITH words AS (
-  SELECT doc_id, text,
-         CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
+# stride = max(byte_len // 256, 1); thumb = payload[::stride][:256]; the
+# first 4 thumb bytes live at payload offsets 0, stride, 2·stride, 3·stride.
+# DuckDB can't slice BLOBs, but slicing the hex STRING of the payload at
+# 2·offset is byte-identical.
+ORACLE_RESIZE_MEDIA = """WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         hex(encode(text)) AS hx
   FROM documents
+),
+g AS (
+  SELECT media_id, byte_len, hx,
+         greatest(byte_len // 256, 1) AS stride
+  FROM m
 )
-SELECT doc_id,
-  CAST(len(w) AS BIGINT) AS n_ws_tokens,
-  CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
-    AS n_bpe_tokens
-FROM words
+SELECT media_id, 'image' AS media_type,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(CASE WHEN byte_len = 0 THEN 0
+                 ELSE least((byte_len + stride - 1) // stride, 256)
+            END AS BIGINT) AS thumb_len,
+       substring(hx, 0 * stride * 2 + 1, 2) || substring(hx, 1 * stride * 2 + 1, 2)
+         || substring(hx, 2 * stride * 2 + 1, 2) || substring(hx, 3 * stride * 2 + 1, 2)
+         AS thumb_hex4
+FROM g
 """
 
 
@@ -766,7 +819,15 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mini k-means (3 Lloyd iterations, deterministic first-k init) over
     the embeddings — the iterative-algorithm pattern: corpus stays put,
     k·dim centroid doubles round-trip through the driver per iteration.
-    Rows-only check (cross-engine float means drift by summation order)."""
+    Rows-only check (cross-engine float means drift by summation order);
+    compared output is exploded to (dim_pos, dim_val) rows so the driver
+    canonicalizer can handle it."""
     configure_for_parity(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.kmeans_lite(emb, k=8, n_iter=3, dim=64)
+    cents = S.kmeans_lite(emb, k=8, n_iter=3, dim=64)
+    return cents.select(
+        "centroid_id", "n_members",
+        F.posexplode_outer("embedding").alias("dim_pos", "dim_val"),
+    ).where(F.col("dim_pos").isNotNull()).withColumn(
+        "dim_pos", F.col("dim_pos").cast("long")
+    )

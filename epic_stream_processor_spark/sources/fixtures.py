@@ -177,10 +177,12 @@ image_epochs AS (
     180.0 AS ra0, 0.0 AS dec0, 32.0 AS x0, 32.0 AS y0,
     -1.444 AS dx, 1.444 AS dy,
     50000000.0 + CAST(event_id % 10 AS DOUBLE) * 100000.0 AS crval3,
-    25000.0 AS cdelt3, 2.0 AS crpix3,
+    -- plain literals stay DECIMAL in DuckDB; cast the two that pass through
+    -- to compared outputs (chan_bw, int_time) so both engines emit DOUBLE
+    CAST(25000.0 AS DOUBLE) AS cdelt3, 2.0 AS crpix3,
     {XDIM} AS naxis1, {YDIM} AS naxis2,
     {N_CHAN} AS n_chan, {N_POL} AS n_pol, {N_CPLX} AS n_cplx,
-    1.0 AS inttime,
+    CAST(1.0 AS DOUBLE) AS inttime,
     'EPIC_' || CAST(CAST(event_id AS BIGINT) AS VARCHAR) || '.fits' AS filename
   FROM events
   WHERE event_id % {EPOCH_MOD} = 0

@@ -257,12 +257,13 @@ def make_watch_source_processor(store) -> Callable[[bytes], bytes]:
                 return json.dumps(
                     {"status": "error", "error": f"missing params: {missing}"}
                 ).encode("utf-8")
+            explicit_mode = cfg.get("watch_mode")
             kwargs = dict(
                 source_name=str(cfg["source_name"]),
                 ra=float(cfg["ra"]),
                 dec=float(cfg["dec"]),
                 author=str(cfg["author"]),
-                watch_mode=str(cfg.get("watch_mode", "continuous")),
+                watch_mode=str(explicit_mode) if explicit_mode else "continuous",
                 patch_type=cfg.get("patch_type", 5),
                 reason=str(cfg.get("reason", "Detection of FRBs")),
             )
@@ -270,7 +271,11 @@ def make_watch_source_processor(store) -> Callable[[bytes], bytes]:
                 kwargs["t_start"] = _dt.datetime.fromisoformat(cfg["t_start"])
             if cfg.get("t_end"):
                 kwargs["t_end"] = _dt.datetime.fromisoformat(cfg["t_end"])
-                kwargs.setdefault("watch_mode", "timed")
+                # a t_end with no explicit mode means a timed watch; without
+                # this the continuous default would overwrite the client's
+                # t_end with +99 years and the source would never expire
+                if explicit_mode is None:
+                    kwargs["watch_mode"] = "timed"
             sid = store.add_source(**kwargs)
             return json.dumps({"status": "added", "id": int(sid)}).encode("utf-8")
         except Exception as e:  # reply instead of dropping the connection

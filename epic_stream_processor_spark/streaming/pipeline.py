@@ -70,27 +70,30 @@ def make_process_batch(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # T3/T6: watchlist refresh per micro-batch (reference: 5 s scheduler)
         wl = spark.read.parquet(cfg.watchlist_path)
-        # C12: one uuid per image epoch — the FK joining pixels↔metadata
-        # (reference watch_dog.py:338,484-489). Minted once and joined into
-        # both outputs so the key is consistent across tables.
-        ids = (
-            batch_df.select("epoch_id").distinct().withColumn("id", F.expr("uuid()"))
-        ).cache()
+        # C12: one id per image epoch — the FK joining pixels↔metadata
+        # (reference watch_dog.py:338,484-489). DERIVED (md5 of
+        # batch_id:epoch_id), not minted with uuid(): a cached
+        # nondeterministic id would silently regenerate — breaking the FK
+        # between the two writes — on cache eviction, executor loss, or
+        # checkpoint-replayed batch re-runs. Deterministic ⇒ durable and
+        # idempotent by construction, no cache or join needed.
+        epoch_uuid = F.md5(
+            F.concat_ws(":", F.lit(str(batch_id)), F.col("epoch_id").cast("string"))
+        )
         # T4 exactly-once: each batch lands in its own partition directory
         # with OVERWRITE — a batch re-run after a crash (checkpoint replay)
         # rewrites the same directory instead of double-appending. Readers
         # see `_batch_id` as an ordinary partition column.
         px = transform(
             pixel_pipeline(batch_df, wl, cube_col=cfg.cube_col)
-        ).join(ids, "epoch_id")
+        ).withColumn("id", epoch_uuid)
         px.write.mode("overwrite").parquet(
             f"{cfg.out_pixels}/_batch_id={batch_id}"
         )
-        meta = img_metadata(batch_df, px.drop("id")).join(ids, "epoch_id")
+        meta = img_metadata(batch_df, px.drop("id")).withColumn("id", epoch_uuid)
         meta.write.mode("overwrite").parquet(
             f"{cfg.out_metadata}/_batch_id={batch_id}"
         )
-        ids.unpersist()
         if cfg.expire_watchlist:
             from ..operators.watchlist import WatchlistStore
 

@@ -195,6 +195,29 @@ def test_dedup_clusters_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_long_chain_and_convergence_guard(spark):
+    """VERDICT r2 defect #4: a duplicate chain longer than the old silent
+    cap (10 rounds) must still produce CORRECT labels — and an insufficient
+    cap must raise, never return part-propagated labels."""
+    import pytest
+
+    from epic_stream_processor_spark.operators.dedup import dedup_clusters
+
+    # path graph 0-1-2-...-14: diameter 14 > the old max_iter=10
+    n = 15
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, nodes).collect()
+    }
+    assert got == {i: 0 for i in range(n)}, got
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(pairs, nodes, max_iter=5)
+
+
 def test_hash_split_deterministic_and_exhaustive(spark):
     """Every row gets exactly one split, assignment is stable across two
     invocations, and bad percentages are rejected."""

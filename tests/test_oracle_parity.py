@@ -84,3 +84,40 @@ def test_rows_only_query_runs(spark, name):
     sdf = q.fn(spark, SF_DIR)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
+
+
+# Value canonicalization stringifies ints, so a DuckDB HUGEINT (e.g. an
+# un-cast sum()) or DECIMAL literal passthrough would compare equal locally
+# yet hash-mismatch under the driver's pandas-based canonicalizer. This
+# type-level gate catches those leaks without running the queries.
+DUCK_TO_SPARK_TYPES = {
+    "BIGINT": {"bigint"},
+    "DOUBLE": {"double"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "TIMESTAMP": {"timestamp_ntz"},
+    "TIMESTAMP_NS": {"timestamp_ntz"},
+    "DATE": {"date"},
+    "BLOB": {"binary"},
+}
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_column_types_align(spark, duck, name):
+    q = QUERIES[name]
+    spark_types = dict(q.fn(spark, SF_DIR).dtypes)  # plan-only, no execution
+    duck_types = {
+        r[0]: r[1] for r in duck.execute(f"DESCRIBE {q.oracle}").fetchall()
+    }
+    assert set(spark_types) == set(duck_types), (
+        f"{name}: column sets differ: {sorted(spark_types)} vs {sorted(duck_types)}"
+    )
+    for col, dt in duck_types.items():
+        allowed = DUCK_TO_SPARK_TYPES.get(dt)
+        assert allowed is not None, (
+            f"{name}.{col}: oracle type {dt} has no exact Spark twin — "
+            f"cast it (HUGEINT sums → BIGINT, DECIMAL literals → DOUBLE)"
+        )
+        assert spark_types[col] in allowed, (
+            f"{name}.{col}: spark {spark_types[col]} vs duckdb {dt}"
+        )

@@ -52,6 +52,53 @@ def test_knn_broadcasts_probes_not_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_winnow_default_adds_no_exchange(spark):
+    """Row-local operator contract: with the default parallelism=None the
+    winnowing plan contains NO Exchange (the fixture-only repartition is an
+    opt-in parameter, VERDICT r2 perf finding #1)."""
+    from epic_stream_processor_spark.functions.text import winnow_fingerprints_df
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(winnow_fingerprints_df(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_winnow_query_stays_staged_no_md5_inlining(spark):
+    """Regression: posexplode (inner) triggers InferFiltersFromGenerate,
+    whose pushed-down size()>0 predicate INLINES the whole rolling-hash
+    chain below the staged projections — O(m²) md5 per document (measured
+    minutes vs <1 s at sf0.1). The registry query must keep exactly one md5
+    site in the optimized plan."""
+    from epic_stream_processor_spark.plans import QUERIES
+
+    df = QUERIES["winnow_fingerprints"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") == 1, f"md5 inlined {opt.count('md5')}× in plan"
+
+
+def test_kmeans_and_ivf_assignment_is_shuffle_free(spark):
+    """The literal-argmax cluster assignment must be a pure map-side
+    projection: no Window (VERDICT r2 perf finding #2 — the old seed
+    selection funneled the corpus through an unpartitioned row_number), no
+    Exchange, no join for the assignment itself."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.similarity import (
+        assign_cluster_col,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.limit(4).collect()
+    cent = [(i + 1, r["embedding"]) for i, r in enumerate(rows)]
+    assigned = emb.select(
+        "vec_id", assign_cluster_col(F.col("embedding"), cent).alias("cluster_id")
+    )
+    plan = _plan(assigned)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_q22_anti_join_and_scan_pruned_orders(spark):
     """The dormant-customer query must plan a hash LEFT ANTI join (not a
     nested-loop) and push the order-date cutoff into the orders scan."""

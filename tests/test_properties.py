@@ -175,16 +175,22 @@ def test_array_element_sum_matches_numpy(spark):
 
 def test_nearest_pix_matches_reference_formula(spark):
     """Half-toward-floor snap (watch_dog.py:281-286):
-    floor(p + min(frac(p), 0.5)) — including the x.5 midpoints."""
+    floor(p + min(modf(p)[0], 0.5)) — np.modf's SIGNED fraction, so
+    negative fractional pixels snap down (−0.4 → −1, then dropped by the
+    x ≥ 0 filter) exactly as the reference; includes the x.5 midpoints."""
     from epic_stream_processor_spark.functions.geometry import nearest_pix
 
-    vals = [x / 4.0 for x in range(-40, 41)] + [0.4999999, 31.5, 31.4999, 63.5]
+    vals = [x / 4.0 for x in range(-40, 41)] + [
+        0.4999999, 31.5, 31.4999, 63.5, -0.4, -0.5, -0.1, -2.5, -31.75,
+    ]
     df = spark.createDataFrame([(v,) for v in vals], ["p"])
     got = {
         r["p"]: r["snap"]
         for r in df.select("p", nearest_pix(F.col("p")).cast("long").alias("snap")).collect()
     }
     for v in vals:
-        frac = v - math.floor(v)
+        frac = math.modf(v)[0]  # signed fraction, as np.modf
         want = math.floor(v + min(frac, 0.5))
         assert got[v] == want, (v, got[v], want)
+    # the divergence cases that motivated trunc-over-floor (VERDICT r2 #6)
+    assert got[-0.4] == -1 and got[-0.1] == -1 and got[-2.5] == -3

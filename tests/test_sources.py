@@ -233,3 +233,45 @@ def test_watch_source_over_socket(spark):
             server.stop()
         rows = store.list_watch_sources().collect()
         assert [r["source_name"] for r in rows] == ["FRB 20180916B"]
+
+
+def test_watch_source_honors_explicit_t_end(spark):
+    """A remote watch request carrying t_end but NO watch_mode must become a
+    timed watch that expires at the client's t_end — not a continuous watch
+    whose t_end gets overwritten with +99 years (VERDICT r2 defect #5: the
+    old setdefault was dead because watch_mode was always pre-set)."""
+    import datetime as dt
+
+    from epic_stream_processor_spark.operators.watchlist import WatchlistStore
+    from epic_stream_processor_spark.sources.uds import (
+        make_watch_source_processor,
+        send_watch_request,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = WatchlistStore(spark, f"{tmp}/wl")
+        store.init_empty()
+        addr = os.path.join(tmp, "epic.sock")
+        server = ThreadedUDSServer(
+            addr,
+            ParquetSpool(os.path.join(tmp, "spool")),
+            extra_processors={"watch_source": make_watch_source_processor(store)},
+        )
+        server.start()
+        try:
+            ok = send_watch_request(
+                addr,
+                {"source_name": "SGR 1935+2154", "ra": 293.7, "dec": 21.9,
+                 "author": "remote",
+                 "t_start": "2024-01-01T00:00:00",
+                 "t_end": "2024-02-01T00:00:00"},
+            )
+            assert ok["status"] == "added"
+        finally:
+            server.stop()
+        row = store.read().where("source_name = 'SGR 1935+2154'").collect()[0]
+        assert row["watch_mode"] == "timed"
+        assert row["t_end"] == dt.datetime(2024, 2, 1)  # NOT +99 years
+        # and the source actually expires at that t_end
+        n = store.expire_sources(now=dt.datetime(2024, 2, 2))
+        assert n == 1

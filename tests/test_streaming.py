@@ -249,6 +249,55 @@ def test_batch_replay_is_idempotent(spark):
         assert spark.read.parquet(f"{tmp}/pixels").count() == 2 * n_px
 
 
+def test_epoch_id_fk_is_deterministic_across_replay(spark):
+    """C12 FK durability (VERDICT r2 defect #7): the per-epoch id must be
+    DERIVED, not minted — a replayed batch (or a recomputed plan after cache
+    eviction) must produce byte-identical ids, and pixels↔metadata must
+    agree on them within every run."""
+    from epic_stream_processor_spark.streaming.pipeline import (
+        make_process_batch,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        epochs = FX.image_epochs(spark, SF_DIR)
+        FX.watchlist(spark, SF_DIR).write.mode("overwrite").parquet(
+            f"{tmp}/watchlist"
+        )
+        cfg = StreamConfig(
+            epochs_path=f"{tmp}/epochs",
+            watchlist_path=f"{tmp}/watchlist",
+            out_pixels=f"{tmp}/pixels",
+            out_metadata=f"{tmp}/metadata",
+            checkpoint=f"{tmp}/ckpt",
+        )
+        pb = make_process_batch(spark, cfg)
+        pb(epochs, 0)
+        ids1 = {
+            r["epoch_id"]: r["id"]
+            for r in spark.read.parquet(f"{tmp}/pixels")
+            .select("epoch_id", "id").distinct().collect()
+        }
+        meta_ids = {
+            r["epoch_id"]: r["id"]
+            for r in spark.read.parquet(f"{tmp}/metadata")
+            .select("epoch_id", "id").collect()
+        }
+        # FK invariant: both tables carry the same id per epoch
+        assert ids1 == meta_ids
+        # one id per epoch (no per-partition regeneration)
+        assert len(ids1) == spark.read.parquet(f"{tmp}/pixels").select(
+            "epoch_id"
+        ).distinct().count()
+        # crash-replay: identical ids, not fresh uuids
+        pb(epochs, 0)
+        ids2 = {
+            r["epoch_id"]: r["id"]
+            for r in spark.read.parquet(f"{tmp}/pixels")
+            .select("epoch_id", "id").distinct().collect()
+        }
+        assert ids2 == ids1
+
+
 def test_dedup_stream_first_seen_wins(spark, tmp_path):
     """Streaming exact dedup emits one row per distinct content hash and
     they cover exactly the batch operator's groups."""

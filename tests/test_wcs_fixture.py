@@ -1,0 +1,193 @@
+"""C3/C4 semantics pinned without astropy in the container.
+
+A fake ``astropy`` (implementing exactly the call surface the UDFs use:
+``WCS(hdr, naxis=2)``, ``all_world2pix(ra, dec, 1)``, ``get_body``,
+``EarthLocation``, ``Time``, ``units``) is injected into ``sys.modules``
+and the pandas-UDF *bodies* are driven directly via ``.func`` on pandas
+Series — so the astropy branch (reference ``watch_dog.py:377-382``,
+``_utils/Utils.py:75-85``) executes for real and its wiring (header dict →
+WCS, 1-based origin, ISO timestamp parsing, site coordinates) is
+regression-locked. The fake's transform carries a sin/cos warp term the
+linear fallback lacks, so these tests fail if the branch silently falls
+back to linear. The Arrow/worker plumbing of the same UDFs is covered by
+``test_operators.test_wcs_pandas_udf_linear_fallback``.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+HDR = {
+    "CRVAL1": 180.0, "CRVAL2": 0.0,
+    "CRPIX1": 32.0, "CRPIX2": 32.0,
+    "CDELT1": -1.444, "CDELT2": 1.444,
+}
+
+
+def _fake_astropy_modules():
+    """Build the fake astropy module tree (deterministic, warped)."""
+    astropy = types.ModuleType("astropy")
+
+    wcs_mod = types.ModuleType("astropy.wcs")
+
+    class WCS:
+        def __init__(self, hdr, naxis=None):
+            assert naxis == 2, "UDFs must build a 2-axis WCS"
+            self.h = dict(hdr)
+
+        def all_world2pix(self, ra, dec, origin):
+            assert origin == 1, "reference uses 1-based pixel origin"
+            h = self.h
+            ra = np.asarray(ra, dtype="float64")
+            dec = np.asarray(dec, dtype="float64")
+            x = (ra - h["CRVAL1"]) / h["CDELT1"] + h["CRPIX1"] \
+                + 0.25 * np.sin(np.deg2rad(dec))
+            y = (dec - h["CRVAL2"]) / h["CDELT2"] + h["CRPIX2"] \
+                + 0.25 * np.cos(np.deg2rad(ra))
+            return x, y
+
+        def all_pix2world(self, x, y, origin):
+            assert origin == 1
+            h = self.h
+            x = np.asarray(x, dtype="float64")
+            y = np.asarray(y, dtype="float64")
+            ra = (x - h["CRPIX1"]) * h["CDELT1"] + h["CRVAL1"] + 0.125 * np.sin(y)
+            dec = (y - h["CRPIX2"]) * h["CDELT2"] + h["CRVAL2"] + 0.125 * np.cos(x)
+            return ra, dec
+
+    wcs_mod.WCS = WCS
+
+    units = types.ModuleType("astropy.units")
+    units.deg = 1.0  # float multiplication keeps the numeric value
+    units.m = 1.0
+
+    time_mod = types.ModuleType("astropy.time")
+
+    class Time:
+        def __init__(self, t):
+            self.t = str(t)
+
+    time_mod.Time = Time
+
+    coords = types.ModuleType("astropy.coordinates")
+
+    class _Angle:
+        def __init__(self, deg):
+            self.deg = deg
+
+    class _Pos:
+        def __init__(self, ra, dec):
+            self.ra = _Angle(ra)
+            self.dec = _Angle(dec)
+
+    class EarthLocation:
+        last = None
+
+        def __init__(self, lat=None, lon=None, height=None):
+            self.lat, self.lon, self.height = lat, lon, height
+            EarthLocation.last = self
+
+    def get_body(body, time, location=None):
+        # deterministic fake ephemeris: ra from the body name, dec from the
+        # ISO hour — checks that lower-cased names and microsecond ISO
+        # strings arrive exactly as the reference formats them
+        ra = float(sum(ord(c) for c in body) % 360)
+        dec = float(int(time.t[11:13]) - 12)
+        return _Pos(ra, dec)
+
+    coords.EarthLocation = EarthLocation
+    coords.get_body = get_body
+
+    astropy.wcs = wcs_mod
+    astropy.units = units
+    astropy.time = time_mod
+    astropy.coordinates = coords
+    return {
+        "astropy": astropy,
+        "astropy.wcs": wcs_mod,
+        "astropy.units": units,
+        "astropy.time": time_mod,
+        "astropy.coordinates": coords,
+    }
+
+
+@pytest.fixture()
+def fake_astropy(monkeypatch):
+    mods = _fake_astropy_modules()
+    for name, mod in mods.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+    yield mods
+
+
+def _udf_body(udf):
+    """The underlying Python function of a pandas_udf."""
+    return udf.func
+
+
+def test_world2pix_astropy_branch(fake_astropy):
+    from epic_stream_processor_spark.functions.astro import make_world2pix_udf
+
+    w2p = _udf_body(make_world2pix_udf(HDR))
+    ra = pd.Series([180.0, 175.668, 190.0, 100.0])
+    dec = pd.Series([0.0, 4.332, -10.0, 45.0])
+    out = w2p(ra, dec)
+    for i in range(len(ra)):
+        exp_x = (ra[i] - 180.0) / -1.444 + 32.0 \
+            + 0.25 * math.sin(math.radians(dec[i]))
+        exp_y = (dec[i] - 0.0) / 1.444 + 32.0 \
+            + 0.25 * math.cos(math.radians(ra[i]))
+        assert abs(out["x"][i] - exp_x) < 1e-9, (i, out["x"][i], exp_x)
+        assert abs(out["y"][i] - exp_y) < 1e-9
+    # the warp term distinguishes this from the linear fallback
+    assert abs(out["x"][3] - ((100.0 - 180.0) / -1.444 + 32.0)) > 0.1
+
+
+def test_pix2world_astropy_branch(fake_astropy):
+    from epic_stream_processor_spark.functions.astro import make_pix2world_udf
+
+    p2w = _udf_body(make_pix2world_udf(HDR))
+    x = pd.Series([32.0, 10.0, 55.5])
+    y = pd.Series([32.0, 20.0, 1.25])
+    out = p2w(x, y)
+    for i in range(len(x)):
+        exp_ra = (x[i] - 32.0) * -1.444 + 180.0 + 0.125 * math.sin(y[i])
+        exp_dec = (y[i] - 32.0) * 1.444 + 0.0 + 0.125 * math.cos(x[i])
+        assert abs(out["ra"][i] - exp_ra) < 1e-9
+        assert abs(out["dec"][i] - exp_dec) < 1e-9
+
+
+def test_ephemeris_astropy_branch(fake_astropy):
+    from epic_stream_processor_spark.functions import astro
+
+    eph = _udf_body(astro.ephemeris_skypos)
+    body = pd.Series(["jupiter", "sun"])
+    iso = pd.Series(["2024-01-10T15:30:00.000000", "2024-01-10T03:00:00.000000"])
+    out = eph(body, iso)
+    assert out["ra"][0] == float(sum(ord(c) for c in "jupiter") % 360)
+    assert out["dec"][0] == 3.0   # hour 15 - 12
+    assert out["ra"][1] == float(sum(ord(c) for c in "sun") % 360)
+    assert out["dec"][1] == -9.0  # hour 03 - 12
+    # the site must be the reference's LWA-SV coordinates (Utils.py:77)
+    site = fake_astropy["astropy.coordinates"].EarthLocation.last
+    assert site is not None
+    assert abs(site.lat - astro.LWASV_LAT_DEG) < 1e-9
+    assert abs(site.lon - astro.LWASV_LON_DEG) < 1e-9
+    assert abs(site.height - astro.LWASV_HEIGHT_M) < 1e-9
+
+
+def test_ephemeris_raises_cleanly_without_astropy():
+    """The honest-failure contract: no astropy → NotImplementedError with
+    remediation, not a silent fake."""
+    from epic_stream_processor_spark.functions import astro
+
+    if astro.have_astropy():  # pragma: no cover - container has no astropy
+        pytest.skip("real astropy present")
+    eph = _udf_body(astro.ephemeris_skypos)
+    with pytest.raises(NotImplementedError, match="astropy"):
+        eph(pd.Series(["mars"]), pd.Series(["2024-01-01T00:00:00.000000"]))
