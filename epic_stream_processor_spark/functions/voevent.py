@@ -1,0 +1,144 @@
+"""VOEvent 2.0 surface for the watchlist (upgrade over the reference).
+
+The reference stores a ``voevent`` XML column (``epic_orm/
+pg_pixel_storage.py:74``, XMLType at ``epic_orm/pg_types.py:10-38``) and
+defaults it to ``<?xml version='1.0'?><Empty></Empty>``
+(``watch_dog.py:157``), but its external-trigger entry point
+``add_voevent_and_watch`` raises NotImplementedError
+(``watch_dog.py:139-141``). This module implements the intent: parse the
+minimal observation-location subset of the public VOEvent 2.0 schema
+(IVOA REC-VOEvent-2.0: Who/Author/contactName, WhereWhen Position2D in
+deg, ISOTime, Why/Inference/Name) into watch parameters, and emit the
+same subset from a watchlist row — so a GCN/broker feed can drive the
+watchlist and stored XML can round-trip.
+
+Pure stdlib ``xml.etree``; namespace-agnostic tag matching (brokers vary
+in prefixing). Parsing/emission happen at the CRUD edge (driver-side, tiny
+dimension table) — never in the scan path.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+VOEVENT_NS = "http://www.ivoa.net/xml/VOEvent/v2.0"
+EMPTY_VOEVENT = "<?xml version='1.0'?><Empty></Empty>"  # watch_dog.py:157
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _find(root: ET.Element, *path: str) -> Optional[ET.Element]:
+    """Namespace-agnostic descent by local tag names."""
+    node = root
+    for name in path:
+        node = next(
+            (c for c in node if _local(c.tag) == name), None
+        )
+        if node is None:
+            return None
+    return node
+
+
+def parse_voevent(xml: str) -> dict:
+    """Extract watch parameters from a VOEvent 2.0 document.
+
+    Returns keys: source_name, ra, dec, author, event_time (naive UTC
+    datetime or None), event_type, ivorn. Raises ValueError on documents
+    without a sky position (nothing to watch).
+    """
+    root = ET.fromstring(xml)
+    ivorn = root.get("ivorn", "")
+
+    pos = _find(
+        root, "WhereWhen", "ObsDataLocation", "ObservationLocation",
+        "AstroCoords", "Position2D", "Value2",
+    )
+    if pos is None:
+        raise ValueError("VOEvent carries no Position2D sky position")
+    c1 = _find(pos, "C1")
+    c2 = _find(pos, "C2")
+    if c1 is None or c2 is None:
+        raise ValueError("Position2D lacks C1/C2 coordinates")
+
+    name_el = _find(root, "Why", "Inference", "Name")
+    source_name = (
+        name_el.text.strip()
+        if name_el is not None and name_el.text
+        else (ivorn.rsplit("#", 1)[-1] or "voevent-source")
+    )
+
+    author_el = _find(root, "Who", "Author", "contactName")
+    author = (
+        author_el.text.strip()
+        if author_el is not None and author_el.text
+        else "voevent"
+    )
+
+    time_el = _find(
+        root, "WhereWhen", "ObsDataLocation", "ObservationLocation",
+        "AstroCoords", "Time", "TimeInstant", "ISOTime",
+    )
+    event_time = None
+    if time_el is not None and time_el.text:
+        event_time = _dt.datetime.fromisoformat(
+            time_el.text.strip().replace("Z", "")
+        )
+
+    return {
+        "source_name": source_name,
+        "ra": float(c1.text),
+        "dec": float(c2.text),
+        "author": author,
+        "event_time": event_time,
+        "event_type": root.get("role", "observation"),
+        "ivorn": ivorn,
+    }
+
+
+def emit_voevent(
+    source_name: str,
+    ra: float,
+    dec: float,
+    author: str = "epic-stream-processor",
+    event_time: Optional[_dt.datetime] = None,
+    ivorn: Optional[str] = None,
+) -> str:
+    """Build the minimal VOEvent 2.0 document :func:`parse_voevent` reads —
+    emit/parse round-trip is exact on these fields."""
+    root = ET.Element(
+        "voe:VOEvent",
+        {
+            "xmlns:voe": VOEVENT_NS,
+            "version": "2.0",
+            "role": "observation",
+            "ivorn": ivorn or f"ivo://epic.stream.processor/watch#{source_name}",
+        },
+    )
+    who = ET.SubElement(root, "Who")
+    ET.SubElement(ET.SubElement(who, "Author"), "contactName").text = author
+    ww = ET.SubElement(root, "WhereWhen")
+    loc = ET.SubElement(
+        ET.SubElement(ww, "ObsDataLocation"), "ObservationLocation"
+    )
+    coords = ET.SubElement(
+        loc, "AstroCoords", {"coord_system_id": "UTC-ICRS-TOPO"}
+    )
+    if event_time is not None:
+        t = ET.SubElement(
+            ET.SubElement(ET.SubElement(coords, "Time"), "TimeInstant"),
+            "ISOTime",
+        )
+        t.text = event_time.isoformat()
+    pos = ET.SubElement(coords, "Position2D", {"unit": "deg"})
+    ET.SubElement(pos, "Name1").text = "RA"
+    ET.SubElement(pos, "Name2").text = "Dec"
+    val = ET.SubElement(pos, "Value2")
+    ET.SubElement(val, "C1").text = repr(float(ra))
+    ET.SubElement(val, "C2").text = repr(float(dec))
+    why = ET.SubElement(root, "Why")
+    ET.SubElement(ET.SubElement(why, "Inference"), "Name").text = source_name
+    return ET.tostring(root, encoding="unicode")

@@ -100,6 +100,47 @@ class WatchlistStore:
         self._write(self.read().unionByName(new_df))
         return int(new_id)
 
+    def add_voevent_and_watch(self, voevent_xml: str, **overrides) -> int:
+        """External-trigger entry point, implemented for real (the
+        reference's raises NotImplementedError, watch_dog.py:139-141):
+        parse a VOEvent 2.0 document into watch parameters, store the
+        original XML in the ``voevent`` column, return the new id.
+        ``overrides`` (patch_type, watch_mode, t_end, ...) win over parsed
+        values."""
+        from ..functions.voevent import parse_voevent
+
+        ev = parse_voevent(voevent_xml)
+        kwargs = dict(
+            source_name=ev["source_name"],
+            ra=ev["ra"],
+            dec=ev["dec"],
+            author=ev["author"],
+            event_time=ev["event_time"],
+            event_type=ev["event_type"],
+            voevent=voevent_xml,
+        )
+        kwargs.update(overrides)
+        return self.add_source(**kwargs)
+
+    def emit_voevent(self, source_name: str) -> str:
+        """VOEvent 2.0 export for a watched source: the stored document if
+        one came in with the watch, else one built from the row."""
+        from ..functions.voevent import EMPTY_VOEVENT, emit_voevent
+
+        rows = self.read().where(F.col("source_name") == source_name).collect()
+        if not rows:
+            raise KeyError(f"no watchlist row for {source_name!r}")
+        r = rows[0]
+        if r["voevent"] and r["voevent"] != EMPTY_VOEVENT:
+            return r["voevent"]
+        return emit_voevent(
+            source_name=r["source_name"],
+            ra=r["ra"],
+            dec=r["dec"],
+            author=r["author"],
+            event_time=r["event_time"],
+        )
+
     def list_watch_sources(self) -> DataFrame:
         """S8 projection: the columns the ingest pipeline consumes."""
         return self.read().where(F.col("watch_status") == "watching").select(

@@ -1,0 +1,190 @@
+"""gRPC ingest surface (S2 — deprecated upstream, implemented for parity).
+
+Behavioral twin of the reference's gRPC service
+(``epic_services/server.py:26-161``; RPC surface
+``epic_grpc/epic_image.proto:3-8``):
+
+- ``filter_and_save(epic_image)`` — unary: one message carries the full
+  JSON header list and the raw cube bytes;
+- ``filter_and_save_chunk(stream epic_image)`` — client-streaming: the
+  header rides on the FIRST chunk, the cube is the concatenation of every
+  chunk's ``image_cube`` (``server.py:100-123`` reassembles with
+  ``b"".join`` + ``np.frombuffer`` + ``as_strided``);
+- ``fetch_watchlist(empty) → watchlist`` — active watchlist as JSON
+  (``server.py:54-55``);
+- ``watch_source(watchsourceinfo) → status`` — JSON watch config; the
+  reference's required-param loop tests membership against the wrong list
+  and validates nothing (``server.py:60-63``), so like the UDS twin we
+  implement the intent and actually validate.
+
+The container has no ``grpcio``, so the split mirrors ``functions/astro``:
+the SERVICER — where all semantics live — is a plain class whose methods
+duck-type the protoc-generated request classes (identical field names:
+``header``, ``image_cube``, ``srcinfo_json``), making it drop-in under a
+real gRPC server and fully testable without one. Only :func:`serve`, the
+transport binding, is import-gated.
+
+Scale note: like the UDS path, the receiver's only job is to land decoded
+epochs in the parquet spool; Spark's streaming file source handles
+discovery and exactly-once from there, so any number of gRPC receiver
+processes can feed one pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from . import wire
+
+# ---------------------------------------------------------------------------
+# Message twins — duck-typed stand-ins for the protoc-generated classes
+# (epic_image.proto:10-29). Field names match the proto exactly, so code
+# written against these runs unchanged against epic_image_pb2 objects.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EpicImage:
+    header: str = ""
+    image_cube: bytes = b""
+
+
+@dataclass
+class Empty:
+    pass
+
+
+@dataclass
+class Status:
+    msg: str = ""
+
+
+@dataclass
+class Watchlist:
+    pd_json: str = ""
+
+
+@dataclass
+class WatchSourceInfo:
+    srcinfo_json: str = ""
+
+
+@dataclass
+class _NullContext:
+    """Stands in for grpc.ServicerContext in direct (transport-less) calls."""
+
+    code: Optional[str] = None
+    details_: str = ""
+    trailing: dict = field(default_factory=dict)
+
+
+WATCH_REQUIRED_PARAMS = ("source_name", "ra", "dec", "author")
+
+
+class EpicPostProcessServicer:
+    """The ``epic_post_process`` servicer (proto service, epic_image.proto:3).
+
+    ``sink``: callable ``(primary_hdr, img_hdr, cube_ndarray) → None`` —
+    typically :class:`~.uds.ParquetSpool`, the same sink the UDS server
+    feeds, so both transports land in one spool directory.
+    ``store``: optional WatchlistStore for the watchlist RPCs.
+    """
+
+    def __init__(
+        self,
+        sink: Callable[[str, str, np.ndarray], None],
+        store=None,
+    ):
+        self.sink = sink
+        self.store = store
+
+    # -- image ingest -------------------------------------------------------
+
+    def filter_and_save(self, request: EpicImage, context=None) -> Empty:
+        """Unary ingest (server.py:74-87): header JSON list + raw cube."""
+        primary_hdr, img_hdr, meta = wire.unpack_header(request.header)
+        cube = wire.reconstruct_ndarray(request.image_cube, meta)
+        self.sink(primary_hdr, img_hdr, cube)
+        return Empty()
+
+    def filter_and_save_chunk(
+        self, request_iterator: Iterable[EpicImage], context=None
+    ) -> Empty:
+        """Client-streaming ingest (server.py:89-123): header from the first
+        chunk, cube bytes concatenated across chunks in arrival order."""
+        header = ""
+        parts: list[bytes] = []
+        for i, msg in enumerate(request_iterator):
+            if i == 0:
+                header = msg.header
+            parts.append(msg.image_cube)
+        if not header:
+            raise ValueError("first chunk carried no header")
+        primary_hdr, img_hdr, meta = wire.unpack_header(header)
+        cube = wire.reconstruct_ndarray(b"".join(parts), meta)
+        self.sink(primary_hdr, img_hdr, cube)
+        return Empty()
+
+    # -- watchlist RPCs ------------------------------------------------------
+
+    def fetch_watchlist(self, request: Empty, context=None) -> Watchlist:
+        """Active watchlist as JSON rows (server.py:54-55 serializes the
+        in-memory watch_df; we serialize the store's active projection)."""
+        rows = [
+            {
+                "id": r["id"],
+                "source_name": r["source_name"],
+                "ra": r["ra"],
+                "dec": r["dec"],
+                "patch_type": r["patch_type"],
+            }
+            for r in self.store.list_watch_sources().collect()
+        ]
+        return Watchlist(pd_json=json.dumps(rows))
+
+    def watch_source(self, request: WatchSourceInfo, context=None) -> Status:
+        """Add a watch source from a JSON config (server.py:57-72), with the
+        validation the reference intended, and the same explicit-``t_end``
+        handling as the UDS twin (a t_end with no mode ⇒ timed watch)."""
+        from .uds import make_watch_source_processor
+
+        reply = json.loads(
+            make_watch_source_processor(self.store)(
+                request.srcinfo_json.encode("utf-8")
+            ).decode("utf-8")
+        )
+        if reply["status"] == "added":
+            return Status(msg="added")
+        return Status(msg=f"error: {reply.get('error', 'unknown')}")
+
+
+def serve(
+    servicer: EpicPostProcessServicer,
+    address: str = "0.0.0.0:2023",
+    max_workers: int = 20,
+):
+    """Bind the servicer to a real gRPC server (server.py:163-176).
+
+    Requires ``grpcio`` plus the protoc-generated stubs
+    (``python -m grpc_tools.protoc -I. --python_out=. --grpc_python_out=.
+    epic_image.proto`` — the command the reference documents in its proto
+    file). Neither ships in this container, so this is import-gated the way
+    the astropy paths are; the servicer above carries all the semantics.
+    """
+    try:
+        import grpc  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "serving over gRPC requires grpcio (and the protoc-generated "
+            "epic_image stubs); the UDS transport (sources/uds.py) is the "
+            "primary, dependency-free ingest path"
+        ) from e
+    raise RuntimeError(
+        "grpcio is present but the generated epic_image_pb2_grpc stubs are "
+        "not; generate them from epic_image.proto and register "
+        "EpicPostProcessServicer with add_epic_post_processServicer_to_server"
+    )  # pragma: no cover - container never has grpcio

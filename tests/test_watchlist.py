@@ -45,3 +45,46 @@ def test_watchlist_crud_roundtrip(spark):
         assert [r["source_name"] for r in remaining] == ["Crab"]
         full = {r["source_name"]: r["watch_status"] for r in store.read().collect()}
         assert full == {"Crab": "watching", "FRB20180916B": "watched"}
+
+
+def test_voevent_parse_emit_roundtrip():
+    """VOEvent 2.0 emit → parse is exact on the watch-relevant fields."""
+    from epic_stream_processor_spark.functions.voevent import (
+        emit_voevent,
+        parse_voevent,
+    )
+
+    t = dt.datetime(2024, 1, 5, 12, 30, 15)
+    xml = emit_voevent("FRB 20240105A", 83.625, 22.0125, author="gcn", event_time=t)
+    ev = parse_voevent(xml)
+    assert ev["source_name"] == "FRB 20240105A"
+    assert ev["ra"] == 83.625 and ev["dec"] == 22.0125
+    assert ev["author"] == "gcn" and ev["event_time"] == t
+    with pytest.raises(ValueError, match="Position2D"):
+        parse_voevent("<?xml version='1.0'?><Empty></Empty>")
+
+
+def test_add_voevent_and_watch(spark):
+    """The reference's NotImplementedError entry point (watch_dog.py:139-141)
+    implemented: a VOEvent drives the watchlist, the original XML is stored,
+    and emit returns it verbatim."""
+    from epic_stream_processor_spark.functions.voevent import emit_voevent
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = WatchlistStore(spark, f"{tmp}/watchlist")
+        store.init_empty()
+        xml = emit_voevent(
+            "SGR 1935+2154", 293.732, 21.8967, author="gcn",
+            event_time=dt.datetime(2024, 1, 2, 3, 4, 5),
+        )
+        sid = store.add_voevent_and_watch(xml, patch_type="3x3")
+        row = store.read().where(f"id = {sid}").collect()[0]
+        assert row["source_name"] == "SGR 1935+2154"
+        assert row["ra"] == 293.732 and row["dec"] == 21.8967
+        assert row["patch_type"] == 3          # override + C9 normalization
+        assert row["voevent"] == xml           # original XML stored (pg_types XMLType parity)
+        assert store.emit_voevent("SGR 1935+2154") == xml
+        # a row watched without a VOEvent still exports one
+        store.add_source("Crab", 83.63, 22.01, author="manual")
+        out = store.emit_voevent("Crab")
+        assert "<C1>83.63</C1>" in out and "Crab" in out
