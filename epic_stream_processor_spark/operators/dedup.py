@@ -261,6 +261,69 @@ def dedup_clusters(
     )
 
 
+def winnow_containment(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidates by shared winnowing fingerprints — the
+    containment join the fingerprint stage exists to feed (Schleimer et
+    al., SIGMOD 2003 §4: matches of length ≥ window+2 tokens are
+    GUARANTEED to share a fingerprint, so real containment never slips
+    past the join).
+
+    Plan shape at 100 TB: explode each document's fingerprint set (row
+    count = Σ|fp|, bounded by token count / window), equi-join on the
+    60-bit hash — never all-pairs — then one groupBy on the pair key.
+    Score = |shared| / min(|A|, |B|) (containment: catches a small doc
+    embedded in a big one, where Jaccard dilutes). Boilerplate
+    fingerprints shared by thousands of docs make hot join keys — the
+    standard mitigations apply (AQE skew join; drop fingerprints with
+    document frequency above a cap, exactly as search engines drop
+    stop-shingles).
+
+    Returns (id_a, id_b, n_shared, n_a, n_b, containment) for pairs at or
+    above ``threshold``.
+    """
+    from ..functions.text import winnow_fingerprints_df
+
+    fps = winnow_fingerprints_df(
+        docs.select(id_col, text_col), text_col, "_fps", window,
+        parallelism=parallelism,
+    )
+    flat = fps.select(
+        F.col(id_col).alias("_id"),
+        F.size("_fps").alias("_n"),
+        F.explode_outer("_fps").alias("fp"),
+    ).where(F.col("fp").isNotNull())
+    a = flat.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "fp"
+    )
+    b = flat.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "fp"
+    )
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    return pairs.select(
+        "id_a", "id_b", "n_shared", "n_a", "n_b",
+        (
+            F.col("n_shared").cast("double")
+            / F.least("n_a", "n_b").cast("double")
+        ).alias("containment"),
+    ).where(F.col("containment") >= threshold)
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Per-doc SimHash over distinct tokens (md5-based bit votes).
 

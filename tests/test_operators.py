@@ -267,3 +267,29 @@ def test_kmeans_lite_converges_and_partitions(spark):
         for r in assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert sum(counts.values()) == n
+
+
+def test_winnow_containment_finds_embedded_duplicate(spark):
+    """The fingerprint containment join: a document whose text is a
+    verbatim slice of a bigger one shares ~all its fingerprints
+    (guaranteed for matches ≥ window+2 tokens, SIGMOD 2003 §4); an
+    unrelated document shares none."""
+    from epic_stream_processor_spark.operators.dedup import winnow_containment
+
+    big = " ".join(f"tok{i}" for i in range(60))
+    contained = " ".join(f"tok{i}" for i in range(20, 45))  # slice of big
+    other = " ".join(f"zzz{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, big), (2, contained), (3, other)], "doc_id long, text string"
+    )
+    out = winnow_containment(docs, threshold=0.5)
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert (1, 2) in rows, rows
+    r = rows[(1, 2)]
+    assert r["containment"] >= 0.9  # slice shares nearly all of its fps
+    assert r["n_a"] > r["n_b"]
+    assert all(3 not in k for k in rows)
+    # plan hygiene: equi-join on the fingerprint hash, never a cross join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -4,10 +4,14 @@ Scale properties are invisible to result-compare tests; these lock them in:
 - the watchlist join is a *broadcast* join (no shuffle of image rows);
 - Q1's shipdate filter reaches the parquet scan (PushedFilters) and the
   scan reads only the needed columns (column pruning);
-- the light-curve aggregation does partial (map-side) aggregation.
+- the light-curve aggregation does partial (map-side) aggregation;
+- NO registered query ever plans a CartesianProduct, and nested-loop
+  joins appear only where a broadcast bound makes them safe by design.
 """
 
 from __future__ import annotations
+
+import pytest
 
 from conftest import SF_DIR
 
@@ -97,6 +101,32 @@ def test_kmeans_and_ivf_assignment_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
+
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin —
+# every one is bounded by a broadcast of a provably tiny side:
+# the epic pipeline's non-equi temporal interval join against the ~25-row
+# watchlist, knn's broadcast-probes scoring, and q22's decorrelated
+# scalar subquery (a 1-row aggregate broadcast under a > condition).
+BNLJ_ALLOWED = {
+    "epic_source_fov", "epic_patch_counts", "epic_pixel_gather",
+    "epic_img_metadata", "epic_light_curve", "epic_pixel_export",
+    "epic_detect_transient", "epic_cube_gather_real", "knn_cosine",
+    "q22_dormant_customers",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unbounded_join_anywhere(spark, name):
+    """Fleet-wide scale guard: a CartesianProduct in ANY registered query
+    is an instant fail (at 100 TB it's a non-starter), and nested-loop
+    joins may appear only on the explicit-broadcast allowlist above."""
+    plan = _plan(QUERIES[name].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans an unlisted nested-loop join"
+        )
 
 
 def test_q22_anti_join_and_scan_pruned_orders(spark):
