@@ -43,12 +43,54 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """SQL text for an unrolled fixed-width dot product (opt-in).
+
+    Higher-order functions (``zip_with``/``aggregate``) are CodegenFallback
+    in Spark: every evaluation interprets the lambda per element and
+    allocates the zipped intermediate array. When the embedding width is
+    known, the same arithmetic unrolls to a flat ``Σ a[i]·b[i]`` expression
+    tree that whole-stage codegen can compile. Emitted as SQL text (one JVM
+    parse) rather than ``dim``-hundreds of py4j Column calls.
+
+    MEASURED CAVEAT (sf0.1, local[32], 3-rep min): unrolling REGRESSED
+    every registry query it was tried on (knn +20 %, ivf +52 %, near-dup
+    +10 %, kmeans +12 %) — at bench row counts the fixed per-query cost of
+    parsing/optimizing/codegen-ing a ~130-node tree per site outweighs the
+    per-row interpretation it saves. That is why no registry call site
+    passes ``dim``. The helper stays for genuinely large row counts, where
+    per-row cost dominates fixed plan cost; measure before enabling.
+
+    Bit-exactness: per-element cast to double then a LEFT-ASSOCIATED sum
+    ``((x1+x2)+x3)+…`` — precisely the oracle's ``list_reduce`` shape
+    (no 0.0 seed), so unrolled dots are bit-identical to the fold's.
+
+    ``a``/``b`` are SQL fragments (column names or e.g. ``c.cv`` inside a
+    lambda); elements are 1-indexed via ``element_at`` to match both the
+    fold and the DuckDB oracle.
+    """
+    return " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE)"
+        f" * CAST(element_at({b}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+
+
+def dot_fixed(a: str, b: str, dim: int) -> Column:
+    return F.expr(dot_fixed_sql(a, b, dim))
+
+
+def l2_norm_fixed(a: str, dim: int) -> Column:
+    return F.expr(f"SQRT({dot_fixed_sql(a, a, dim)})")
+
+
 def knn_cosine_bruteforce(
     corpus: DataFrame,
     probes: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Broadcast-probes brute-force top-k cosine.
 
@@ -58,20 +100,46 @@ def knn_cosine_bruteforce(
     Scored-pair volume is |probes|·|corpus| — fine for bounded probe sets;
     for large probe workloads use the IVF variant, whose equi-join on
     cluster id cuts both the scoring and the shuffle by the cluster count.
+
+    Each side's L2 norm is staged in its own pre-join projection (norms are
+    per-ROW, the dot is per-PAIR), so the |P|·|N| hot loop runs one fold per
+    pair instead of three. The join is a CollapseProject barrier, so the
+    staging sticks; operand sequences are unchanged, so the cosines stay
+    bit-identical to the oracle's. With ``dim`` given, the per-pair dot is
+    additionally unrolled into codegen (:func:`dot_fixed_sql`) — opt-in
+    only: measured slower at bench scale (see that helper's caveat).
     """
+    norm = (
+        (lambda: l2_norm_fixed(vec_col, dim))
+        if dim is not None
+        else (lambda: l2_norm(F.col(vec_col)))
+    )
     p = F.broadcast(
         probes.select(
-            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            norm().alias("probe_norm"),
         )
     )
+    pair_dot = (
+        dot_fixed("probe_vec", "cand_vec", dim)
+        if dim is not None
+        else dot(F.col("probe_vec"), F.col("cand_vec"))
+    )
     scored = (
-        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+        corpus.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cand_vec"),
+            norm().alias("cand_norm"),
+        )
         .crossJoin(p)
         .where(F.col("cand_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "cand_id",
-            cosine(F.col("probe_vec"), F.col("cand_vec")).alias("cos_sim"),
+            (pair_dot / (F.col("probe_norm") * F.col("cand_norm"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -91,7 +159,14 @@ def knn_cosine_bruteforce(
 MAX_LITERAL_CENTROIDS = 1024
 
 
-def assign_cluster_col(vec: Column, centroid_rows: list) -> Column:
+def assign_cluster_col(
+    vec: Column,
+    centroid_rows: list,
+    vnorm: Column | None = None,
+    vec_name: str | None = None,
+    vnorm_name: str | None = None,
+    dim: int | None = None,
+) -> Column:
     """Row-local max-cosine centroid id from driver-held centroids.
 
     ``centroid_rows``: list of (cluster_id, vector) pairs. The centroids are
@@ -111,6 +186,22 @@ def assign_cluster_col(vec: Column, centroid_rows: list) -> Column:
     on the driver with the SAME left-to-right fold and IEEE-754 sqrt both
     engines use — identical operands ⇒ identical double — which cuts the
     per-(row, centroid) work from three dim-length folds to one.
+
+    ``vnorm``: optionally the row vector's own L2 norm as a pre-staged
+    column, cutting the remaining per-(row, centroid) work to ONE fold (the
+    dot). Identical operands ⇒ identical double, so passing it never changes
+    the argmax. Caveat for callers: CollapseProject re-inlines a staged
+    column referenced only once back INSIDE the transform lambda (measured:
+    the fold then runs per centroid again) — the staging only sticks when
+    the same norm column is *also* genuinely consumed downstream (as the
+    pairwise-cosine norm, say), which is exactly how ``knn_cosine_ivf``
+    uses it.
+
+    ``vec_name``/``vnorm_name``/``dim``: when the vector column's NAME and
+    fixed width are known, the per-centroid dot is emitted UNROLLED inside
+    the transform lambda (see :func:`dot_fixed_sql`) — bit-identical, but
+    measured SLOWER at bench scale (see the caveat on ``dot_fixed_sql``),
+    so no registry call site enables it.
     """
     import math
 
@@ -126,11 +217,26 @@ def assign_cluster_col(vec: Column, centroid_rows: list) -> Column:
             f"named_struct('cid', CAST({int(cid)} AS BIGINT), "
             f"'cv', array({arr}), 'cnorm', CAST('{cnorm!r}' AS DOUBLE))"
         )
-    cents = F.expr("array(" + ",".join(parts) + ")")
+    cents_sql = "array(" + ",".join(parts) + ")"
+    if dim is not None and vec_name is not None:
+        dot_sql = dot_fixed_sql(vec_name, "c.cv", dim)
+        vn_sql = (
+            vnorm_name
+            if vnorm_name is not None
+            else f"SQRT({dot_fixed_sql(vec_name, vec_name, dim)})"
+        )
+        return F.expr(
+            f"CAST(-(array_max(transform({cents_sql}, "
+            f"c -> named_struct("
+            f"'s', ({dot_sql}) / ({vn_sql} * c.cnorm), "
+            f"'negid', -c.cid))).negid) AS BIGINT)"
+        )
+    cents = F.expr(cents_sql)
+    vn = l2_norm(vec) if vnorm is None else vnorm
     scored = F.transform(
         cents,
         lambda c: F.struct(
-            (dot(vec, c["cv"]) / (l2_norm(vec) * c["cnorm"])).alias("s"),
+            (dot(vec, c["cv"]) / (vn * c["cnorm"])).alias("s"),
             (-c["cid"]).alias("negid"),
         ),
     )
@@ -203,6 +309,7 @@ def knn_cosine_ivf(
     id_col: str = "vec_id",
     k: int = 5,
     parallelism: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-restricted top-k: probe searches only its own cluster (nprobe=1).
 
@@ -226,25 +333,52 @@ def knn_cosine_ivf(
         .limit(MAX_LITERAL_CENTROIDS + 1)
         .collect()
     )
+    # Each row's L2 norm is computed ONCE, then consumed twice: by the
+    # assignment argmax (÷ per-centroid) and by the scored join's pairwise
+    # cosine. The double reference is what keeps CollapseProject from
+    # re-inlining the fold into the argmax lambda (see assign_cluster_col),
+    # and it cuts per-row assignment work to one fold per centroid plus one
+    # per row, and per-pair scoring work to the dot alone.
+    norm = (
+        (lambda: l2_norm_fixed(vec_col, dim))
+        if dim is not None
+        else (lambda: l2_norm(F.col(vec_col)))
+    )
     if len(rows) <= MAX_LITERAL_CENTROIDS:
+        cent_rows = [(r["cluster_id"], r["cv"]) for r in rows]
         acol = assign_cluster_col(
-            F.col(vec_col), [(r["cluster_id"], r["cv"]) for r in rows]
+            F.col(vec_col), cent_rows, F.col("_vnorm"),
+            vec_name=vec_col, vnorm_name="_vnorm", dim=dim,
         )
-        assigned = corpus.select(F.col(id_col), F.col(vec_col), acol.alias("cluster_id"))
-        probe_assigned = probes.select(
+        assigned = corpus.withColumn("_vnorm", norm()).select(
+            F.col(id_col), F.col(vec_col), F.col("_vnorm"), acol.alias("cluster_id")
+        )
+        probe_assigned = probes.withColumn("_vnorm", norm()).select(
             F.col(id_col).alias("probe_id"),
             F.col(vec_col).alias("probe_vec"),
+            F.col("_vnorm").alias("probe_norm"),
             acol.alias("cluster_id"),
         )
     else:
-        assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+        assigned = ivf_assign(corpus, centroids, vec_col, id_col).withColumn(
+            "_vnorm", norm()
+        )
         probe_assigned = ivf_assign(probes, centroids, vec_col, id_col).select(
             F.col(id_col).alias("probe_id"),
             F.col(vec_col).alias("probe_vec"),
+            norm().alias("probe_norm"),
             "cluster_id",
         )
     cand = assigned.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"), "cluster_id"
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col("_vnorm").alias("cand_norm"),
+        "cluster_id",
+    )
+    pair_dot = (
+        dot_fixed("probe_vec", "cand_vec", dim)
+        if dim is not None
+        else dot(F.col("probe_vec"), F.col("cand_vec"))
     )
     scored = (
         probe_assigned.join(cand, "cluster_id")
@@ -252,7 +386,9 @@ def knn_cosine_ivf(
         .select(
             "probe_id",
             "cand_id",
-            cosine(F.col("probe_vec"), F.col("cand_vec")).alias("cos_sim"),
+            (pair_dot / (F.col("probe_norm") * F.col("cand_norm"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(

@@ -457,15 +457,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify at threshold 0.30. Sequential-fold floats → oracle-exact."""
     configure_for_parity(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    # per-row L2 norms staged below the join (a CollapseProject barrier):
+    # the per-pair verify then costs one fold (the dot), not three —
+    # identical operand sequences, so cosines stay bit-equal to the oracle
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("va"),
+        S.l2_norm(F.col("embedding")).alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("vb"),
+        S.l2_norm(F.col("embedding")).alias("nb"),
     )
     return (
         a.join(b, "lbl")
@@ -474,7 +479,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             F.col("lbl").cast("long").alias("lbl"),
-            S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+            (
+                S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.30)
     )
