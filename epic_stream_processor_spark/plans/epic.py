@@ -23,7 +23,7 @@ from ..operators.epic_pipeline import (
     pixel_pipeline,
     to_pixel_coords,
 )
-from ..session import configure_for_parity
+from ..session import configure_for_parity, session_key
 from ..sources import fixtures as FX
 from ..sources.fixtures import IMAGE_EPOCHS_CTE, NOW_LITERAL, WATCHLIST_CTE
 
@@ -92,9 +92,32 @@ gathered AS (
 )"""
 
 
+# Prepared-plan cache. Building the O1→O6 pipeline DataFrame costs ~0.5 s of
+# driver-side expression construction and analysis (measured at sf0.1), and
+# six registered queries share the identical prefix. DataFrames are immutable,
+# so reusing the prepared plan per (session, sf_dir) is the DataFrame analog
+# of prepared-statement caching — downstream operators stack on top of the
+# shared prefix without re-deriving it. Only the default-argument pipeline is
+# cached; variant calls (cube_col=..., elevation_limit...) build normally.
+_PREPARED: dict = {}
+
+
 def _fx(spark: SparkSession, sf_dir: str):
     configure_for_parity(spark)
-    return FX.image_epochs(spark, sf_dir), FX.watchlist(spark, sf_dir)
+    key = (session_key(spark), sf_dir, "fx")
+    if key not in _PREPARED:
+        _PREPARED[key] = (
+            FX.image_epochs(spark, sf_dir),
+            FX.watchlist(spark, sf_dir),
+        )
+    return _PREPARED[key]
+
+
+def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (session_key(spark), sf_dir, "pipeline")
+    if key not in _PREPARED:
+        _PREPARED[key] = pixel_pipeline(*_fx(spark, sf_dir))
+    return _PREPARED[key]
 
 
 # --- P1/P2: temporal-validity watchlist filter ------------------------------
@@ -139,8 +162,7 @@ FROM fov_sources
 
 def q_patch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels per (epoch, source) after explode+validate: always patch²."""
-    ep, wl = _fx(spark, sf_dir)
-    px = pixel_pipeline(ep, wl)
+    px = _pipeline(spark, sf_dir)
     return px.groupBy("epoch_id", "src_id", "source_name").agg(
         F.count(F.lit(1)).alias("n_pix")
     )
@@ -163,8 +185,7 @@ def q_pixel_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a top-level column. The operator itself (pixel_pipeline) still carries
     the array; only the registry-level SELECT reshapes.
     """
-    ep, wl = _fx(spark, sf_dir)
-    px = pixel_pipeline(ep, wl)
+    px = _pipeline(spark, sf_dir)
     # posexplode_outer (not posexplode): the inner variant triggers
     # InferFiltersFromGenerate, whose size()>0 predicate gets pushed below
     # the projections with the whole gather expression INLINED — the outer
@@ -190,8 +211,8 @@ FROM gathered
 # --- C7+A3: image metadata table --------------------------------------------
 
 def q_img_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ep, wl = _fx(spark, sf_dir)
-    px = pixel_pipeline(ep, wl)
+    ep, _ = _fx(spark, sf_dir)
+    px = _pipeline(spark, sf_dir)
     return img_metadata(ep, px).select(
         "epoch_id", "img_time",
         F.col("n_chan").cast("long").alias("n_chan"),
@@ -228,8 +249,7 @@ def q_light_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-integrated spectra per source per epoch — the reference's core
     downstream analytic (SELECT array_element_sum(pixel_values) ... GROUP BY,
     sql_scripts/functions.sql:24-28)."""
-    ep, wl = _fx(spark, sf_dir)
-    px = pixel_pipeline(ep, wl)
+    px = _pipeline(spark, sf_dir)
     # Spectrum length is schema-fixed (cplx·pol·chan = 16) → the fixed-width
     # fast path: ONE shuffle with map-side partial agg, n_pix fused into the
     # same aggregation (no second branch, no join). The general ragged op
@@ -428,8 +448,7 @@ def q_pixel_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality verified for the full pixel value domain."""
     from ..functions.geometry import ewkt_point, point_string
 
-    ep, wl = _fx(spark, sf_dir)
-    px = pixel_pipeline(ep, wl)
+    px = _pipeline(spark, sf_dir)
     return px.select(
         "epoch_id",
         "source_name",
@@ -469,8 +488,7 @@ def q_detect_transient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ep, wl = _fx(spark, sf_dir)
-    px = pixel_pipeline(ep, wl)
+    px = _pipeline(spark, sf_dir)
     row_power = F.aggregate(
         "pixel_values", F.lit(0.0), lambda a, x: a + x
     )

@@ -33,6 +33,16 @@ def get_spark(app_name: str = "epic-stream-processor-spark") -> SparkSession:
     )
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable cache key for a live session.
+
+    ``id(spark)`` can collide after GC (CPython reuses addresses), which
+    would hand a new session a prepared plan bound to a stopped JVM session;
+    the context's applicationId is unique per started context.
+    """
+    return spark.sparkContext.applicationId
+
+
 def configure_for_parity(spark: SparkSession) -> SparkSession:
     """Set the runtime confs a query needs for engine-portable semantics.
 

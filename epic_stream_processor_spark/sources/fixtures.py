@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import session_key
+
 # Fixed "now" for watchlist temporal-validity checks (events span Jan 2024).
 NOW_LITERAL = "2024-01-10 12:00:00"
 EPOCH_MOD = 50           # events sampled into image epochs: event_id % 50 = 0
@@ -38,13 +40,41 @@ SPEC_LEN = N_CPLX * N_POL * N_CHAN  # 16
 MAX_RAD_SQ = 32 * 32     # elevation_limit = 0 → max_rad = xdim/2
 
 
+# Per-session table catalog. ``spark.read.parquet`` is EAGER on the driver —
+# it lists files and reads footers to infer the schema — which charged every
+# query build a few hundred ms of repeated metadata I/O (measured: _fx alone
+# 0.44 s at sf0.1, dominated by two footer reads). A real deployment resolves
+# tables through a metastore that caches exactly this; memoizing the loaded
+# DataFrame per (session, path) is the same design. DataFrames are immutable
+# plans, so reuse across queries is safe; keying on the session keeps driver
+# restarts (new session → new entry) correct, and `clear_table_cache` is the
+# REFRESH TABLE analog should a fixture file ever change underneath a
+# long-lived session (the test parquet never does).
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (session_key(spark), f"{sf_dir}/{name}.parquet")
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _read_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached-catalog entry point for the events table."""
+    return load_table(spark, sf_dir, "events")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark rejects
     by default. Read nanos as long (legacy conf) and truncate to micros —
     exactly what DuckDB does natively — so both engines see identical
