@@ -401,6 +401,149 @@ def knn_cosine_ivf(
     )
 
 
+def random_hyperplanes(
+    n_planes: int, dim: int, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-bit (SRP) LSH.
+
+    Standard-normal directions make the sign bits unbiased estimators of
+    angular similarity: P[sign(p·a) == sign(p·b)] = 1 − θ(a,b)/π (the
+    classic random-projection LSH result). Seeded, so every run of an
+    incremental pipeline buckets new documents identically to old ones.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def srp_lsh_pairs(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    seed: int = 7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Signed-random-projection LSH candidate pairs — ANN blocking with no
+    label column (the generic twin of the label-blocked near-dup plan).
+
+    Plan shape (the part that has to survive 100 TB):
+    - bits: row-local — every vector dots against ``n_bands·band_bits``
+      driver-held hyperplane literals (same literal-embedding trick as the
+      IVF centroids), packs each band's signs into a BIGINT bucket key, and
+      explodes to one (band, key) row per band. Zero shuffle, no UDFs.
+    - candidates: self-equi-join on (band, key) with ``id_a < id_b``,
+      deduped across bands by the terminal groupBy. NEVER all-pairs: only
+      same-bucket rows meet, exactly like :func:`minhash_lsh_pairs`.
+    - skew: a hot bucket (e.g. the all-zeros key near the origin) makes a
+      quadratic blow-up INSIDE one bucket. ``max_bucket`` drops buckets
+      with more members than the cap (standard LSH practice — an
+      over-full bucket carries almost no discriminative signal anyway);
+      AQE's skew-join split handles the moderate cases.
+
+    Tuning: P[pair shares ≥1 band] = 1 − (1 − s^band_bits)^n_bands where
+    s = 1 − θ/π. Defaults (8 bands × 8 bits) put the S-curve knee around
+    cosine ≈ 0.8 — near-duplicate territory. Verify candidates with exact
+    cosine downstream (callers join back to the vectors), as
+    ``ngram_jaccard`` does for MinHash candidates.
+
+    Returns (id_a, id_b, n_bands_agree).
+    """
+    planes = random_hyperplanes(n_bands * band_bits, dim, seed)
+    # The planes ride along as ONE array<array<double>> literal (the IVF
+    # centroid trick); every band key derives from it by index, so the
+    # ~n_planes·dim-double literal appears exactly once in the plan. Keys:
+    # band b packs bits i∈[0,band_bits) where bit i = sign(plane_{b·B+i}·v).
+    plane_sql = "array(" + ",".join(
+        "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in p) + ")"
+        for p in planes
+    ) + ")"
+    keys = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> "
+        f"aggregate(sequence(0, {band_bits - 1}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + IF("
+        f"aggregate(zip_with("
+        f"element_at({plane_sql}, CAST(b * {band_bits} + i + 1 AS INT)), "
+        f"CAST({vec_col} AS ARRAY<DOUBLE>), (p, x) -> p * x), "
+        f"CAST(0.0 AS DOUBLE), (s, t) -> s + t) >= 0.0, "
+        f"CAST(shiftleft(1, i) AS BIGINT), CAST(0 AS BIGINT))))"
+    )
+    bucketed = vectors.select(
+        F.col(id_col), F.posexplode_outer(keys).alias("band", "band_key")
+    ).where(F.col("band").isNotNull())
+    if max_bucket is not None:
+        counts = bucketed.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        bucketed = bucketed.join(
+            counts.where(F.col("_n") <= max_bucket).drop("_n"),
+            ["band", "band_key"],
+        )
+    a = bucketed.select("band", "band_key", F.col(id_col).alias("id_a"))
+    b_ = bucketed.select("band", "band_key", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b_, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_agree"))
+    )
+
+
+def srp_near_dup(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    seed: int = 7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SRP-LSH candidates → exact-cosine verify at ``threshold``.
+
+    Verification joins the candidate pairs back to the vectors on each id
+    (two keyed equi-joins against pre-staged (id, vec, norm) projections —
+    norms computed once per row, not per pair) and keeps pairs with true
+    cosine ≥ threshold. Precision is exact by construction; recall is the
+    LSH S-curve at the chosen banding.
+    """
+    pairs = srp_lsh_pairs(
+        vectors, vec_col, id_col, dim, n_bands, band_bits, seed, max_bucket
+    )
+    staged = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_norm"),
+    )
+    va = staged.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    vb = staged.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_bands_agree",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def kmeans_lite(
     vectors: DataFrame,
     k: int = 8,

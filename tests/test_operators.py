@@ -293,3 +293,62 @@ def test_winnow_containment_finds_embedded_duplicate(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_srp_lsh_near_dup_planted_pairs(spark):
+    """SRP-LSH must (a) never report a pair below threshold — precision is
+    exact by construction (candidates are verified with true cosine) — and
+    (b) find planted near-duplicates: at cosine ≈ 0.999 the 8×8 banding's
+    collision probability is 1 − (1 − s⁸)⁸ ≈ 1 − 1e-7, so missing ANY
+    planted pair is a bug, not bad luck."""
+    import numpy as np
+
+    from epic_stream_processor_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        # planted near-dup: tiny perturbation => cosine ~0.9998
+        w = v + 0.01 * rng.standard_normal(64)
+        rows.append((i * 2 + 1, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.srp_near_dup(df, threshold=0.95, dim=64).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    planted = {(i * 2, i * 2 + 1) for i in range(20)}
+    assert planted <= got, f"missing planted pairs: {planted - got}"
+    # precision: every reported cosine really is >= threshold
+    assert all(r.cos_sim >= 0.95 for r in out)
+
+
+def test_srp_lsh_candidates_deterministic_and_blocked(spark):
+    """Same seed ⇒ identical candidate set (incremental pipelines bucket
+    new data compatibly), and the candidate count stays far below all-pairs
+    (the operator is blocking, not quadratic)."""
+    from epic_stream_processor_spark.operators import similarity as S
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    c1 = S.srp_lsh_pairs(emb, dim=64).collect()
+    c2 = S.srp_lsh_pairs(emb, dim=64).collect()
+    s1 = {(r.id_a, r.id_b) for r in c1}
+    s2 = {(r.id_a, r.id_b) for r in c2}
+    assert s1 == s2
+    assert 0 < len(s1) < n * (n - 1) // 2 * 0.2, (
+        f"{len(s1)} candidates of {n*(n-1)//2} pairs — blocking not effective"
+    )
+
+
+def test_srp_lsh_max_bucket_caps_hot_buckets(spark):
+    """A degenerate corpus (many identical vectors) creates one hot bucket;
+    max_bucket must drop it rather than emit its quadratic pair set."""
+    from epic_stream_processor_spark.operators import similarity as S
+
+    rows = [(i, [1.0] * 64) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = S.srp_lsh_pairs(df, dim=64, max_bucket=10).count()
+    uncapped = S.srp_lsh_pairs(df, dim=64).count()
+    assert uncapped == 100 * 99 // 2
+    assert capped == 0
