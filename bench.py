@@ -29,20 +29,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
-    timings: dict[str, float] = {}
-    for name, q in bench_queries.items():
-        df = q.fn(spark, sf_dir)
-        # warm twice: run 1 compiles the plan, run 2 lets C2 JIT settle on
-        # the hash-heavy codegen — medians then measure steady state
-        df.write.format("noop").mode("overwrite").save()
+
+    def run_once(q) -> float:
+        t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # median of 3 — the host VM shows heavy run-to-run CPU variance
-        reps = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            reps.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(reps)[1], 3)
+        return time.perf_counter() - t0
+
+    # Warm sweeps: sweep 1 compiles plans, sweep 2 lets the C2 JIT settle on
+    # the hash-heavy codegen — the timed sweeps then measure steady state.
+    for _ in range(2):
+        for q in bench_queries.values():
+            run_once(q)
+    # The host VM shows heavy BURSTY run-to-run interference (multi-second
+    # stall windows). Back-to-back reps of one query land every rep of that
+    # query inside a single stall window, so one query per run used to come
+    # out 10-50× slow. Interleave instead: 3 full round-robin sweeps, then
+    # per-query median across sweeps — a stall window now inflates one sweep
+    # of MANY queries and the medians survive it. 5 sweeps so a stall
+    # spanning two adjacent sweeps still leaves a clean majority.
+    reps: dict[str, list[float]] = {n: [] for n in bench_queries}
+    for _ in range(5):
+        for name, q in bench_queries.items():
+            reps[name].append(run_once(q))
+    timings = {n: round(sorted(r)[2], 3) for n, r in reps.items()}
 
     print(
         json.dumps(
