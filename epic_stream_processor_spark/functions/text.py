@@ -57,6 +57,56 @@ def word_shingles(text: Column, k: int = 2) -> Column:
     return F.array_distinct(sh)
 
 
+def ngrams_from_tokens(w: Column, k: int) -> Column:
+    """Raw (non-distinct, space-joined) word k-grams from a *column-bound*
+    token array. Column-bound on purpose: callers stage the token array
+    through ``withColumn`` so it is computed once per row (see
+    ``winnow_fingerprints_df`` on why inlining re-evaluates)."""
+    cnt = F.size(w) - F.lit(k - 1)
+    return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + F.lit(j)).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def ngram_hashes_from_tokens(w: Column, k: int) -> Column:
+    """Distinct 60-bit md5 hashes of the word k-grams (engine-portable; the
+    DuckDB twin is ``stable_hash64_sql(array_to_string(w[i:i+k-1], ' '))``)."""
+    from .hashing import stable_hash64
+
+    return F.array_distinct(F.transform(ngrams_from_tokens(w, k), stable_hash64))
+
+
+def dup_ngram_ratio_from_tokens(w: Column, k: int = 2) -> Column:
+    """Repeated-k-gram fraction (Gopher-style repetition signal, Rae et al.
+    2021 table A1 — public heuristic): 1 − distinct/total k-grams, 0 for
+    docs too short to have one. Integer counts → exact double division."""
+    g = ngrams_from_tokens(w, k)
+    n = F.size(g)
+    nd = F.size(F.array_distinct(g))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - nd).cast("double") / n.cast("double")
+    )
+
+
+def top_token_ratio_from_tokens(w: Column) -> Column:
+    """Fraction of the doc taken by its single most frequent token (the
+    other Gopher repetition axis). O(n·d) row-local nested lambda — fine for
+    web-scale docs (d ≤ n ≤ ~10⁵); a pathological single giant doc would
+    explode+groupBy instead."""
+    n = F.size(w)
+    counts = F.transform(
+        F.array_distinct(w), lambda t: F.size(F.filter(w, lambda x: x == t))
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.array_max(counts).cast("double") / n.cast("double")
+    )
+
+
 def punct_ratio(text: Column) -> Column:
     """Punctuation chars / total chars (0 for empty)."""
     n = F.length(text)

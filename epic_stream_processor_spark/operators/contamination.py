@@ -1,0 +1,155 @@
+"""Benchmark decontamination and boilerplate detection for training corpora.
+
+Two corpus-hygiene operators every large-scale LLM data pipeline runs before
+training (no counterpart in the reference, which is a streaming image
+service — these extend the engine the way SURVEY §2's LLM section does):
+
+- :func:`decontaminate` — flag training documents that share any word
+  13-gram with a held-out benchmark/eval set (the public GPT-3 appendix-C /
+  PaLM decontamination recipe: 13-gram collision).
+- :func:`boilerplate_ngrams` — per-document boilerplate load, where a
+  boilerplate n-gram is one appearing in at least ``pct``% of all documents
+  (the corpus-frequency cleaning idea behind C4/CCNet line dedup, applied
+  at n-gram granularity since this corpus has no line structure).
+
+Scale design (the 100 TB question):
+
+- The benchmark side of decontamination is small by construction (eval sets
+  are MBs, the corpus is TBs) → its exploded gram set broadcasts; the
+  training corpus is never shuffled. Hit counts per doc are a tiny frame
+  (only contaminated docs) → broadcast back for the final left join. Zero
+  full-corpus exchanges end-to-end.
+- Boilerplate df-counting is one gram-keyed shuffle with map-side partial
+  aggregation (unavoidable: document frequency is a corpus-global fact).
+  The surviving boilerplate set is provably small — grams with df ≥ p·N
+  number at most (avg_grams_per_doc)/p regardless of corpus size (Σdf is
+  bounded by total gram occurrences) — so it broadcasts back and the
+  per-doc scoring join is again shuffle-free.
+
+All hashing is md5-based (`functions/hashing.py`) so every output is
+DuckDB-oracle checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def ngram_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 13
+) -> DataFrame:
+    """(id, grams, n_grams) with ``grams`` the distinct 60-bit hashes of the
+    doc's word k-grams. Staged through withColumn so the token array binds
+    to a column and is computed once per row (the winnowing lesson)."""
+    return (
+        docs.withColumn("_ct_toks", T.tokens(F.col(text_col)))
+        .withColumn("_ct_grams", T.ngram_hashes_from_tokens(F.col("_ct_toks"), k))
+        .select(
+            id_col,
+            F.col("_ct_grams").alias("grams"),
+            F.size("_ct_grams").cast("long").alias("n_grams"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+) -> DataFrame:
+    """Benchmark-overlap contamination check (13-gram collision).
+
+    Returns one row per training document: (id, n_grams, n_hit_grams,
+    n_bench_docs, contaminated) where n_hit_grams counts the doc's distinct
+    k-grams that appear in ANY benchmark document and n_bench_docs counts
+    how many distinct benchmark docs it collides with.
+
+    Plan shape: benchmark grams explode → broadcast; train grams explode →
+    equi-join on the 60-bit hash (never all-pairs); per-doc hit counts are
+    a tiny aggregate (contaminated docs only) broadcast back onto the
+    row-local train profile. The corpus never shuffles.
+    """
+    tg = ngram_profile(train, text_col, id_col, k)
+    bg = ngram_profile(bench, text_col, id_col, k)
+    bench_flat = bg.select(
+        F.col(id_col).alias("bench_id"), F.explode("grams").alias("g")
+    )
+    train_flat = tg.select(id_col, F.explode("grams").alias("g"))
+    hits = (
+        train_flat.join(F.broadcast(bench_flat), "g")
+        .groupBy(id_col)
+        .agg(
+            # per-doc grams are already distinct, but one train gram can
+            # match many bench rows — count distinct, not raw join rows
+            F.countDistinct("g").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    return tg.select(id_col, "n_grams").join(
+        F.broadcast(hits), id_col, "left"
+    ).select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+        F.coalesce("n_bench_docs", F.lit(0)).cast("long").alias("n_bench_docs"),
+        (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    pct: int = 1,
+) -> DataFrame:
+    """Per-document boilerplate load: the fraction of a doc's distinct
+    k-grams that are corpus boilerplate (document frequency ≥ ``pct``% of
+    all docs). Integer threshold arithmetic (df·100 ≥ n_docs·pct) so both
+    engines compare exactly.
+
+    Returns (id, n_grams, n_boiler_grams, boiler_ratio).
+    """
+    prof = ngram_profile(docs, text_col, id_col, k)
+    # explode_outer: zero-gram docs keep a row so they come out with a 0
+    # count rather than vanishing from the result
+    flat = prof.select(id_col, "n_grams", F.explode_outer("grams").alias("g"))
+    df_counts = flat.where(F.col("g").isNotNull()).groupBy("g").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") * 100 >= F.col("n_docs") * pct)
+        .select("g", F.lit(1).alias("_hit"))
+    )
+    # One aggregation does all the per-doc work. explode is row-local, so a
+    # doc's gram rows never leave their partition and the map-side partial
+    # agg collapses them to ONE row per doc before the shuffle — the only
+    # corpus-wide exchange left is the df count above. (Joining a per-doc
+    # count frame back onto prof instead would either broadcast an N-row
+    # frame or shuffle the whole corpus — both wrong at scale.)
+    return (
+        flat.join(F.broadcast(boiler), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_boiler_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_boiler_grams",
+            F.when(F.col("n_grams") <= 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_boiler_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            )
+            .alias("boiler_ratio"),
+        )
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions.hashing import seeded_hash64_sql, stable_hash64_sql
+from ..operators import contamination as CT
 from ..operators import dedup as D
 from ..operators import sampling as SA
 from ..operators import similarity as S
@@ -571,18 +572,27 @@ FROM wins
 # --- Document quality scoring ------------------------------------------------
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristics: length, punctuation ratio, stopword ratio, and
-    the composite score — all integer ratios / identical-expression doubles,
-    so the oracle matches bit-for-bit."""
+    """Quality heuristics: length, punctuation ratio, stopword ratio, the
+    composite score, and the two Gopher-style repetition signals (repeated
+    2-gram fraction, top-token dominance — Rae et al. 2021, table A1) — all
+    integer ratios / identical-expression doubles, so the oracle matches
+    bit-for-bit. The token array is staged through a column so it is
+    computed once per row (the winnowing lesson)."""
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
-        "doc_id",
-        T.token_count(t).cast("long").alias("n_tokens"),
-        T.punct_ratio(t).alias("punct_ratio"),
-        T.stopword_ratio(t).alias("stopword_ratio"),
-        T.quality_score(t).alias("quality_score"),
+    w = F.col("_dq_toks")
+    return (
+        docs.withColumn("_dq_toks", T.tokens(t))
+        .select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_tokens"),
+            T.punct_ratio(t).alias("punct_ratio"),
+            T.stopword_ratio(t).alias("stopword_ratio"),
+            T.quality_score(t).alias("quality_score"),
+            T.dup_ngram_ratio_from_tokens(w, 2).alias("dup_2gram_ratio"),
+            T.top_token_ratio_from_tokens(w).alias("top_token_ratio"),
+        )
     )
 
 
@@ -607,8 +617,22 @@ SELECT doc_id,
   (CASE WHEN len(w) = 0 THEN 0.0
         ELSE CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
    END
-   + least(CAST(len(w) AS DOUBLE) / 64.0, 1.0)) / 2.0 AS quality_score
-FROM words
+   + least(CAST(len(w) AS DOUBLE) / 64.0, 1.0)) / 2.0 AS quality_score,
+  CASE WHEN len(g2) = 0 THEN 0.0
+       ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+            / CAST(len(g2) AS DOUBLE)
+  END AS dup_2gram_ratio,
+  CASE WHEN len(w) = 0 THEN 0.0
+       ELSE CAST(list_max(list_transform(list_distinct(w),
+                 t -> len(list_filter(w, x -> x = t)))) AS DOUBLE)
+            / CAST(len(w) AS DOUBLE)
+  END AS top_token_ratio
+FROM (
+  SELECT doc_id, text, w,
+         list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+           i -> w[i] || ' ' || w[i + 1]) AS g2
+  FROM words
+)
 """
 
 
@@ -838,3 +862,161 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("dim_pos").isNotNull()).withColumn(
         "dim_pos", F.col("dim_pos").cast("long")
     )
+
+
+# --- Benchmark decontamination (13-gram collision) ---------------------------
+
+_SQL_GRAM13_HASHES = (
+    "list_distinct(list_transform(range(1, greatest(len(w) - 12, 0) + 1), "
+    "i -> " + stable_hash64_sql("array_to_string(w[i:i+12], ' ')") + "))"
+)
+
+
+def q_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the public GPT-3 appendix-C / PaLM recipe):
+    flag training docs sharing any word 13-gram with the held-out benchmark
+    slice (doc_id % 20 == 0 plays the eval set). Benchmark grams broadcast;
+    the training corpus never shuffles (operators/contamination.py)."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return CT.decontaminate(train, bench, k=13)
+
+
+ORACLE_DECONTAMINATE_13GRAM = f"""WITH words AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
+  FROM documents
+),
+prof AS (
+  SELECT doc_id, {_SQL_GRAM13_HASHES} AS grams FROM words
+),
+bench_flat AS (
+  SELECT doc_id AS bench_id, unnest(grams) AS g FROM prof WHERE doc_id % 20 = 0
+),
+train_flat AS (
+  SELECT doc_id, unnest(grams) AS g FROM prof WHERE doc_id % 20 <> 0
+),
+hits AS (
+  SELECT t.doc_id,
+         count(DISTINCT t.g) AS n_hit_grams,
+         count(DISTINCT b.bench_id) AS n_bench_docs
+  FROM train_flat t JOIN bench_flat b ON t.g = b.g
+  GROUP BY t.doc_id
+)
+SELECT p.doc_id, CAST(len(p.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+       CAST(coalesce(h.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+       coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+FROM prof p LEFT JOIN hits h USING (doc_id)
+WHERE p.doc_id % 20 <> 0
+"""
+
+
+# --- Boilerplate n-gram load (C4/CCNet-style corpus-frequency cleaning) ------
+
+_SQL_GRAM3_HASHES = (
+    "list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1), "
+    "i -> " + stable_hash64_sql("array_to_string(w[i:i+2], ' ')") + "))"
+)
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate load: fraction of the doc's distinct 3-grams with
+    corpus document-frequency >= 1% (integer threshold arithmetic). One
+    gram-keyed df shuffle; the boilerplate set broadcasts back
+    (operators/contamination.py has the scale analysis)."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return CT.boilerplate_ngrams(docs, k=3, pct=1)
+
+
+ORACLE_BOILERPLATE_NGRAMS = f"""WITH words AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
+  FROM documents
+),
+prof AS (
+  SELECT doc_id, {_SQL_GRAM3_HASHES} AS grams FROM words
+),
+flat AS (SELECT doc_id, unnest(grams) AS g FROM prof),
+dfc AS (SELECT g, count(*) AS df FROM flat GROUP BY g),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+boiler AS (SELECT g FROM dfc, nd WHERE df * 100 >= n_docs * 1),
+per_doc AS (
+  SELECT f.doc_id, count(*) AS n_boiler
+  FROM flat f JOIN boiler b USING (g) GROUP BY f.doc_id
+)
+SELECT p.doc_id, CAST(len(p.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(d.n_boiler, 0) AS BIGINT) AS n_boiler_grams,
+       CASE WHEN len(p.grams) = 0 THEN 0.0
+            ELSE CAST(coalesce(d.n_boiler, 0) AS DOUBLE)
+                 / CAST(len(p.grams) AS DOUBLE)
+       END AS boiler_ratio
+FROM prof p LEFT JOIN per_doc d USING (doc_id)
+"""
+
+
+# --- PII scrubbing (regex detect + redact) -----------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+]+@[A-Za-z0-9.]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE = "555-[0-9]{4}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over a deterministically PII-injected text
+    (the raw corpus is synthetic word salad with no PII, so the fixture
+    plants one email and one phone per doc — proving the regexes actually
+    match and the scrub actually removes). Row-local regexp ops: zero
+    shuffle, whole-stage codegen, trivially 100 TB-safe."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.withColumn("_pii_text", pii_text)
+    t = F.col("_pii_text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, _PII_EMAIL, "[EMAIL]"), _PII_PHONE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+ORACLE_PII_SCRUB = """WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+]+@[A-Za-z0-9.]+[.][A-Za-z][A-Za-z]+', '[EMAIL]', 'g'),
+           '555-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
+  FROM p
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+]+@[A-Za-z0-9.]+[.][A-Za-z][A-Za-z]+')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+       CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+       md5(scrubbed) AS scrubbed_md5
+FROM s
+"""

@@ -94,10 +94,6 @@ QUERIES: dict[str, QueryDef] = {
         "event-time tumbling 1h aggregation (batch twin of streaming agg)",
         bench=True,
     ),
-    "q_top_orders_by_price": QueryDef(
-        relational.q_top_orders_by_price, relational.ORACLE_TOP_ORDERS_BY_PRICE,
-        "global sort + limit with unique tiebreak",
-    ),
     "q_part_brand_stats": QueryDef(
         relational.q_part_brand_stats, relational.ORACLE_PART_BRAND_STATS,
         "distinct-count + min/max + cents-exact sums",
@@ -234,12 +230,37 @@ QUERIES: dict[str, QueryDef] = {
         llm.q_dedup_clusters, llm.ORACLE_DEDUP_CLUSTERS,
         "connected components over LSH pairs vs recursive-CTE oracle",
     ),
+    "decontaminate_13gram": QueryDef(
+        llm.q_decontaminate_13gram, llm.ORACLE_DECONTAMINATE_13GRAM,
+        "benchmark decontamination: word-13-gram collision vs held-out slice",
+    ),
 }
 
 # The external driver records at most 50 query rows (verified empirically:
 # rounds 1-2 each cut the registry at entry #50 in insertion order, dropping
 # corpus_sample_split). Keep the registry AT 50 so every query gets a row.
 assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIES)}"
+
+# Oracle-backed queries that do NOT fit the driver's 50-row cap: identical
+# local rigor (tests/test_oracle_parity.py runs the same exact compare and
+# type-alignment gate over these), no driver row. Displaced/overflow entries
+# live here rather than silently past the cap (the corpus_sample_split
+# lesson: entry #51 produced no row at all for two rounds).
+EXTRA_PARITY: dict[str, QueryDef] = {
+    "q_top_orders_by_price": QueryDef(
+        relational.q_top_orders_by_price, relational.ORACLE_TOP_ORDERS_BY_PRICE,
+        "global sort + limit with unique tiebreak (displaced by "
+        "decontaminate_13gram; top-k also driver-proven via q3_top_orders)",
+    ),
+    "boilerplate_ngrams": QueryDef(
+        llm.q_boilerplate_ngrams, llm.ORACLE_BOILERPLATE_NGRAMS,
+        "per-doc boilerplate n-gram load (corpus df >= 1%), C4/CCNet-style",
+    ),
+    "pii_scrub": QueryDef(
+        llm.q_pii_scrub, llm.ORACLE_PII_SCRUB,
+        "PII regex detect + redact over deterministically-injected fixtures",
+    ),
+}
 
 
 def _prepared(fn: Callable[[SparkSession, str], DataFrame]):
@@ -268,4 +289,7 @@ def _prepared(fn: Callable[[SparkSession, str], DataFrame]):
 
 QUERIES = {
     name: replace(q, fn=_prepared(q.fn)) for name, q in QUERIES.items()
+}
+EXTRA_PARITY = {
+    name: replace(q, fn=_prepared(q.fn)) for name, q in EXTRA_PARITY.items()
 }

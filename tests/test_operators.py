@@ -352,3 +352,46 @@ def test_srp_lsh_max_bucket_caps_hot_buckets(spark):
     uncapped = S.srp_lsh_pairs(df, dim=64).count()
     assert uncapped == 100 * 99 // 2
     assert capped == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc sharing a full 13-gram with a bench doc is flagged; a
+    disjoint doc is not; counts are exact."""
+    from epic_stream_processor_spark.operators.contamination import decontaminate
+
+    span = " ".join(f"w{i}" for i in range(13))
+    other = " ".join(f"x{i}" for i in range(13))
+    bench = spark.createDataFrame(
+        [(100, f"intro {span} outro")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, f"prefix {span} suffix"), (2, other)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in decontaminate(train, bench).collect()}
+    assert out[1].contaminated and out[1].n_hit_grams == 1
+    assert out[1].n_bench_docs == 1
+    assert not out[2].contaminated and out[2].n_hit_grams == 0
+    # n_grams = tokens - 12: doc 1 has 15 tokens → 3, doc 2 has 13 → 1
+    assert out[1].n_grams == 3 and out[2].n_grams == 1
+
+
+def test_boilerplate_ngrams_identifies_common_grams(spark):
+    """A 3-gram present in every doc is boilerplate at pct=50; a unique
+    tail gram is not. Zero-gram docs survive with a 0 count."""
+    from epic_stream_processor_spark.operators.contamination import (
+        boilerplate_ngrams,
+    )
+
+    common = "alpha beta gamma"
+    rows = [(i, f"{common} unique{i} tail{i} end{i}") for i in range(10)]
+    rows.append((99, ""))  # zero-gram doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_ngrams(docs, k=3, pct=50).collect()}
+    assert len(out) == 11
+    # every real doc: 6 tokens -> 4 grams, exactly 1 of which (the shared
+    # prefix) clears the 50% df threshold
+    for i in range(10):
+        assert out[i].n_grams == 4 and out[i].n_boiler_grams == 1
+        assert out[i].boiler_ratio == 0.25
+    assert out[99].n_grams == 0 and out[99].n_boiler_grams == 0
+    assert out[99].boiler_ratio == 0.0

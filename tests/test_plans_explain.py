@@ -16,6 +16,7 @@ import pytest
 from conftest import SF_DIR
 
 from epic_stream_processor_spark.plans import QUERIES
+from epic_stream_processor_spark.plans.registry import EXTRA_PARITY
 
 
 def _plan(df) -> str:
@@ -106,22 +107,25 @@ def test_kmeans_and_ivf_assignment_is_shuffle_free(spark):
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin —
 # every one is bounded by a broadcast of a provably tiny side:
 # the epic pipeline's non-equi temporal interval join against the ~25-row
-# watchlist, knn's broadcast-probes scoring, and q22's decorrelated
-# scalar subquery (a 1-row aggregate broadcast under a > condition).
+# watchlist, knn's broadcast-probes scoring, q22's decorrelated
+# scalar subquery (a 1-row aggregate broadcast under a > condition), and
+# boilerplate's df-threshold compare against a broadcast 1-row corpus count.
 BNLJ_ALLOWED = {
     "epic_source_fov", "epic_patch_counts", "epic_pixel_gather",
     "epic_img_metadata", "epic_light_curve", "epic_pixel_export",
     "epic_detect_transient", "epic_cube_gather_real", "knn_cosine",
-    "q22_dormant_customers",
+    "q22_dormant_customers", "boilerplate_ngrams",
 }
 
+ALL_GUARDED = {**QUERIES, **EXTRA_PARITY}
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+
+@pytest.mark.parametrize("name", sorted(ALL_GUARDED))
 def test_no_unbounded_join_anywhere(spark, name):
     """Fleet-wide scale guard: a CartesianProduct in ANY registered query
     is an instant fail (at 100 TB it's a non-starter), and nested-loop
     joins may appear only on the explicit-broadcast allowlist above."""
-    plan = _plan(QUERIES[name].fn(spark, SF_DIR))
+    plan = _plan(ALL_GUARDED[name].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
@@ -137,3 +141,20 @@ def test_q22_anti_join_and_scan_pruned_orders(spark):
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan.split("LeftAnti")[0][-200:], plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_not_corpus(spark):
+    """Decontamination scale contract: the benchmark gram set and the tiny
+    hit aggregate broadcast; the training corpus is never sort-merge
+    shuffled through a join."""
+    plan = _plan(QUERIES["decontaminate_13gram"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_scrub_is_pure_scan(spark):
+    """Row-local contract: no Exchange, no Join — regex ops stream through
+    the scan inside whole-stage codegen."""
+    plan = _plan(EXTRA_PARITY["pii_scrub"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
