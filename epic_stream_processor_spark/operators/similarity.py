@@ -607,3 +607,36 @@ def kmeans_lite(
         [(r["centroid_id"], r[vec_col], r["n_members"]) for r in last],
         f"centroid_id long, {vec_col} array<float>, n_members long",
     )
+
+
+def quantization_scale(d: Column) -> Column:
+    """Symmetric int8 scale for a *double* array column: max|x|/127, 1.0 for
+    the zero vector. Callers MUST stage this through withColumn before
+    feeding it to :func:`quantize_with_scale` — referencing it inside the
+    per-element lambda would inline this O(dim) reduction into every element
+    (O(dim²) per row, the winnowing lesson).
+
+    The ANN scale story: int8 vectors are 4× smaller than float32 — 4× less
+    scan I/O, shuffle volume, and broadcast size for every downstream
+    similarity operator — and the integer dot products stay exact in BIGINT
+    (64·127² ≪ 2⁶³), so candidate scoring is drift-free; only the final
+    re-rank needs the float vectors.
+    """
+    mx = F.array_max(F.transform(d, F.abs))
+    return F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+
+
+def quantize_with_scale(d: Column, scale: Column) -> Column:
+    """q_i = floor(x_i/scale + 0.5) — explicit floor(+0.5) half-up so both
+    engines round identically (no dependence on either engine's round() tie
+    mode). |q_i| ≤ 127. ``scale`` must be a staged plain column."""
+    return F.transform(d, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Integer dot product of two quantized vectors — exact BIGINT fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -1020,3 +1020,63 @@ SELECT doc_id,
        md5(scrubbed) AS scrubbed_md5
 FROM s
 """
+
+
+# --- int8 embedding quantization (ANN memory/bandwidth scale path) -----------
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale, integer checksums of
+    the quantized vector (exact BIGINT folds), and the reconstruction-error
+    L2 (sequential double fold). 4× less scan/shuffle/broadcast for every
+    downstream similarity op; drift-free integer candidate scoring. Each
+    derived array is staged through withColumn so it is computed once per
+    row (see operators/similarity.quantization_scale)."""
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.col("_qz_d")
+    sc = F.col("_qz_scale")
+    q = F.col("_qz_q")
+    err_sq = F.zip_with(d, q, lambda x, qi: (x - qi * sc) * (x - qi * sc))
+    return (
+        emb.withColumn("_qz_d", F.col("embedding").cast("array<double>"))
+        .withColumn("_qz_scale", S.quantization_scale(d))
+        .withColumn("_qz_q", S.quantize_with_scale(d, sc))
+        .select(
+            "vec_id",
+            sc.alias("scale"),
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias(
+                "q_l1"
+            ),
+            F.sqrt(
+                F.aggregate(err_sq, F.lit(0.0), lambda a, x: a + x)
+            ).alias("err_l2"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, dv,
+         CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+  FROM (
+    SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS mx FROM d
+  )
+),
+q AS (
+  SELECT vec_id, dv, scale,
+         list_transform(dv, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+  list_reduce(qv, (x, y) -> x + y) AS q_sum,
+  list_reduce(list_transform(qv, x -> abs(x)), (x, y) -> x + y) AS q_l1,
+  sqrt(list_reduce(
+    list_transform(range(1, len(dv) + 1),
+      i -> (dv[i] - qv[i] * scale) * (dv[i] - qv[i] * scale)),
+    (x, y) -> x + y)) AS err_l2
+FROM q
+"""

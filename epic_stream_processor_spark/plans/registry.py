@@ -260,6 +260,11 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         llm.q_pii_scrub, llm.ORACLE_PII_SCRUB,
         "PII regex detect + redact over deterministically-injected fixtures",
     ),
+    "embedding_quantize": QueryDef(
+        llm.q_embedding_quantize, llm.ORACLE_EMBEDDING_QUANTIZE,
+        "symmetric int8 quantization: scale + exact integer checksums + "
+        "reconstruction-error L2 (4x smaller ANN working set)",
+    ),
 }
 
 

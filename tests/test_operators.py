@@ -395,3 +395,47 @@ def test_boilerplate_ngrams_identifies_common_grams(spark):
         assert out[i].boiler_ratio == 0.25
     assert out[99].n_grams == 0 and out[99].n_boiler_grams == 0
     assert out[99].boiler_ratio == 0.0
+
+
+def test_int8_quantized_topk_recall(spark):
+    """The int8 ANN path must preserve ranking: for a probe vector, top-5
+    by quantized integer dot (rescaled) overlaps top-5 by exact float
+    cosine in >= 4 of 5 positions, and the integer scoring is exact BIGINT
+    (no drift)."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators import similarity as S
+
+    emb = (
+        FX.load_table(spark, SF_DIR, "embeddings")
+        .withColumn("_d", F.col("embedding").cast("array<double>"))
+        .withColumn("_scale", S.quantization_scale(F.col("_d")))
+        .withColumn("_q", S.quantize_with_scale(F.col("_d"), F.col("_scale")))
+        .select("vec_id", "_d", "_scale", "_q")
+        .cache()
+    )
+    probe = emb.where(F.col("vec_id") == 0).collect()[0]
+    pd_, ps, pq = probe["_d"], probe["_scale"], probe["_q"]
+
+    exact = (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (S.dot(F.col("_d"), F.array(*[F.lit(x) for x in pd_]))
+             / S.l2_norm(F.col("_d"))).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id").limit(5).collect()
+    )
+    approx = (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (S.dot_int(F.col("_q"), F.array(*[F.lit(int(x)) for x in pq]))
+             .cast("double") * F.col("_scale") * F.lit(ps)
+             / (S.l2_norm(F.col("_d")))).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id").limit(5).collect()
+    )
+    e_ids = {r.vec_id for r in exact}
+    a_ids = {r.vec_id for r in approx}
+    assert len(e_ids & a_ids) >= 4, (e_ids, a_ids)
