@@ -211,3 +211,53 @@ def run_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_corpus_ingest_stream(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    checkpoint: str,
+    min_quality: float = 0.5,
+    available_now: bool = True,
+):
+    """The full training-data ingestion pipeline as ONE continuous stream:
+    quality gate → first-seen exact dedup → deterministic train/val/test
+    split — what a corpus builder runs 24/7 as crawl shards land, composed
+    from the same column expressions the batch operators use (quality_score,
+    md5 content hash, hash_split buckets), so stream output == batch output
+    on identical input (pinned by test).
+
+    Stage order matters at scale: the quality gate is stateless and runs
+    FIRST so rejected documents never enter the dedup state store; dedup
+    state is one 32-byte hash per surviving distinct doc (hash-partitioned,
+    RocksDB-backed at scale); the split is a pure projection. One stateful
+    stage, zero joins, no shuffle beyond the dedup key partitioning.
+    """
+    from ..functions.text import quality_score
+    from ..operators.sampling import hash_bucket
+
+    static = spark.read.parquet(docs_path)
+    stream = spark.readStream.schema(static.schema).parquet(docs_path)
+    gated = (
+        stream.withColumn("quality_score", quality_score(F.col("text")))
+        .where(F.col("quality_score") >= F.lit(min_quality))
+        .withColumn("content_hash", F.md5(F.col("text")))
+        .dropDuplicates(["content_hash"])
+        .withColumn("bucket", hash_bucket(F.col("doc_id"), "split", 100))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 98, F.lit("train"))
+            .when(F.col("bucket") < 99, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+    )
+    writer = (
+        gated.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

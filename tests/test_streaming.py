@@ -319,3 +319,44 @@ def test_dedup_stream_first_seen_wins(spark, tmp_path):
     ), "a content hash surfaced twice"
     joined = got.join(batch_groups, "content_hash", "left_anti")
     assert joined.count() == 0, "stream emitted a hash the batch op lacks"
+
+
+def test_corpus_ingest_stream_matches_batch_composition(spark, tmp_path):
+    """The composed streaming corpus pipeline (quality gate → first-seen
+    dedup → hash split) must agree with composing the batch operators on
+    the same input: identical surviving doc set per split, identical
+    buckets, and every survivor clears the quality bar."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.functions.text import quality_score
+    from epic_stream_processor_spark.operators.sampling import hash_split
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_corpus_ingest_stream,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.parquet(docs_path)
+    out = str(tmp_path / "corpus")
+    q = run_corpus_ingest_stream(
+        spark, docs_path, out, str(tmp_path / "ckpt"),
+        min_quality=0.5, available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    docs = spark.read.parquet(docs_path)
+    batch = hash_split(
+        docs.withColumn("quality_score", quality_score(F.col("text")))
+        .where(F.col("quality_score") >= 0.5)
+        .withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["content_hash"]),
+        {"train": 98, "val": 1, "test": 1},
+    )
+    g = {(r.doc_id, r.bucket, r.split) for r in
+         got.select("doc_id", "bucket", "split").collect()}
+    w = {(r.doc_id, r.bucket, r.split) for r in
+         batch.select("doc_id", "bucket", "split").collect()}
+    assert g == w and len(g) > 0
+    assert got.where(F.col("quality_score") < 0.5).count() == 0
+    # this corpus has all-distinct texts, so dedup must pass all survivors
+    assert got.count() == got.select("content_hash").distinct().count()
