@@ -261,3 +261,58 @@ def run_corpus_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_corpus_ingest_decontaminated(
+    spark: SparkSession,
+    docs_path: str,
+    bench_path: str,
+    out_path: str,
+    checkpoint: str,
+    min_quality: float = 0.5,
+    k: int = 13,
+    available_now: bool = True,
+):
+    """Corpus ingestion with a benchmark-decontamination stage: quality gate
+    → first-seen dedup (streaming DSL, stateful) → per-micro-batch
+    decontamination against the static benchmark set → split → append.
+
+    The decontamination stage reuses the BATCH operator verbatim inside
+    ``foreachBatch`` — each micro-batch is a small DataFrame, the benchmark
+    side is static and broadcast, so the stream-static gram join is
+    stateless and bounded per trigger (the same J1 broadcast stream-static
+    shape the image pipeline uses for its watchlist). Contaminated docs
+    never reach the training corpus.
+    """
+    from ..functions.text import quality_score
+    from ..operators.contamination import decontaminate
+    from ..operators.sampling import hash_split
+
+    bench = spark.read.parquet(bench_path)
+
+    static = spark.read.parquet(docs_path)
+    stream = spark.readStream.schema(static.schema).parquet(docs_path)
+    gated = (
+        stream.withColumn("quality_score", quality_score(F.col("text")))
+        .where(F.col("quality_score") >= F.lit(min_quality))
+        .withColumn("content_hash", F.md5(F.col("text")))
+        .dropDuplicates(["content_hash"])
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        verdicts = decontaminate(batch_df, bench, k=k).where(
+            ~F.col("contaminated")
+        )
+        clean = batch_df.join(
+            F.broadcast(verdicts.select("doc_id")), "doc_id", "left_semi"
+        )
+        hash_split(clean, {"train": 98, "val": 1, "test": 1}).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    writer = gated.writeStream.outputMode("append").foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -360,3 +360,41 @@ def test_corpus_ingest_stream_matches_batch_composition(spark, tmp_path):
     assert got.where(F.col("quality_score") < 0.5).count() == 0
     # this corpus has all-distinct texts, so dedup must pass all survivors
     assert got.count() == got.select("content_hash").distinct().count()
+
+
+def test_corpus_ingest_decontaminated_stream(spark, tmp_path):
+    """The decontaminating ingest stream must drop exactly the docs the
+    batch decontaminate operator flags (and only those), after the same
+    quality gate."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.functions.text import quality_score
+    from epic_stream_processor_spark.operators.contamination import decontaminate
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_corpus_ingest_decontaminated,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench_path = str(tmp_path / "bench")
+    train_path = str(tmp_path / "train")
+    docs.where(F.col("doc_id") % 20 == 0).write.parquet(bench_path)
+    docs.where(F.col("doc_id") % 20 != 0).write.parquet(train_path)
+    out = str(tmp_path / "clean")
+
+    q = run_corpus_ingest_decontaminated(
+        spark, train_path, bench_path, out, str(tmp_path / "ckpt"),
+        min_quality=0.5, available_now=True,
+    )
+    q.awaitTermination(120)
+    got_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    gated = (
+        docs.where(F.col("doc_id") % 20 != 0)
+        .withColumn("qs", quality_score(F.col("text")))
+        .where(F.col("qs") >= 0.5)
+    )
+    verdicts = decontaminate(gated, docs.where(F.col("doc_id") % 20 == 0))
+    want_ids = {r.doc_id for r in verdicts.where(~F.col("contaminated")).collect()}
+    assert got_ids == want_ids and len(got_ids) > 0
+    n_dirty = verdicts.where(F.col("contaminated")).count()
+    assert gated.count() - len(want_ids) == n_dirty
