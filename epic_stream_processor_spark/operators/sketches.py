@@ -1,0 +1,76 @@
+"""Sketch-based corpus statistics — the approximate scale path for stats
+that are exact-expensive at 100 TB.
+
+Exact distinct counts and exact quantiles over a 100 TB corpus each cost a
+full shuffle of the key space (distinct tokens can be billions of rows).
+The sketch versions are one pass, map-side mergeable, and bounded-memory:
+
+- ``approx_count_distinct`` — HyperLogLog++ (Heule et al. 2013; Spark's
+  built-in implementation), relative error ~1.04/√(2^p), configurable via
+  ``rsd``.
+- ``percentile_approx`` — Greenwald-Khanna-style mergeable quantile sketch
+  (Spark built-in), bounded rank error 1/accuracy.
+
+These are deliberately NOT oracle-checked: sketch internals are
+engine-specific (DuckDB's approx_distinct uses a different HLL seed/width),
+so cross-engine equality is undefined. The contract tested instead
+(tests/test_operators.py) is the published ERROR BOUND against the exact
+answer at sf0.01 — the property a user actually relies on.
+
+Sources consulted: Spark SQL function docs (public API); HLL++ and GK are
+published algorithms. Reference repo has no statistics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_token_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """One-pass corpus profile: total token occurrences (exact — counting
+    is cheap), approximate distinct tokens (HLL++), and approximate doc
+    length quantiles (p50/p90/p99).
+
+    Plan shape: explode tokens → ONE aggregation with map-side partial
+    sketches (HLL registers and GK summaries merge associatively), so the
+    shuffle moves one sketch per partition, not one row per token — the
+    whole point at corpus scale.
+    """
+    from ..functions.text import tokens
+
+    # token array staged once per row (the winnowing lesson); doc-level
+    # stats aggregate BEFORE the explode so quantiles weight each doc once,
+    # not once per token
+    staged = docs.withColumn("_sk_toks", tokens(F.col(text_col)))
+    doc_stats = staged.select(F.size("_sk_toks").alias("n_tokens")).agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.percentile_approx(
+            "n_tokens", [0.5, 0.9, 0.99], 10000
+        ).alias("len_quantiles"),
+    )
+    tok_stats = staged.select(F.explode("_sk_toks").alias("tok")).agg(
+        F.approx_count_distinct("tok", rsd=rsd).alias("approx_distinct_tokens"),
+    )
+    # two 1-row aggregates — the join is a broadcast of a single row
+    return doc_stats.crossJoin(F.broadcast(tok_stats)).select(
+        "total_tokens",
+        "approx_distinct_tokens",
+        F.element_at("len_quantiles", 1).alias("len_p50"),
+        F.element_at("len_quantiles", 2).alias("len_p90"),
+        F.element_at("len_quantiles", 3).alias("len_p99"),
+    )
+
+
+def approx_distinct_by(
+    df: DataFrame, key: Column | str, value: Column | str, rsd: float = 0.02
+) -> DataFrame:
+    """Approximate distinct ``value`` per ``key`` group (e.g. distinct
+    tokens per language) — grouped HLL++, one shuffle of partial sketches."""
+    return df.groupBy(key).agg(
+        F.approx_count_distinct(value, rsd=rsd).alias("approx_distinct")
+    )

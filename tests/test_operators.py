@@ -439,3 +439,45 @@ def test_int8_quantized_topk_recall(spark):
     e_ids = {r.vec_id for r in exact}
     a_ids = {r.vec_id for r in approx}
     assert len(e_ids & a_ids) >= 4, (e_ids, a_ids)
+
+
+def test_corpus_token_sketch_error_bounds(spark):
+    """Sketches aren't oracle-comparable (engine-specific internals); the
+    contract is the published error bound vs the exact answer: HLL++ rsd=2%
+    distinct tokens within 5x rsd; GK quantiles within rank tolerance;
+    total_tokens exact."""
+    from epic_stream_processor_spark.functions.text import tokens
+    from epic_stream_processor_spark.operators.sketches import (
+        approx_distinct_by,
+        corpus_token_sketch,
+    )
+
+    docs = FX.load_table(spark, SF_DIR, "documents")
+    got = corpus_token_sketch(docs).collect()[0]
+
+    staged = docs.withColumn("_t", tokens(F.col("text")))
+    exact_total = staged.select(F.sum(F.size("_t"))).collect()[0][0]
+    exact_distinct = (
+        staged.select(F.explode("_t").alias("tok")).distinct().count()
+    )
+    lens = sorted(r[0] for r in staged.select(F.size("_t")).collect())
+    assert got.total_tokens == exact_total
+    assert abs(got.approx_distinct_tokens - exact_distinct) <= 0.10 * exact_distinct
+    n = len(lens)
+    for field, q in (("len_p50", 0.5), ("len_p90", 0.9), ("len_p99", 0.99)):
+        lo = lens[max(0, int((q - 0.02) * n) - 1)]
+        hi = lens[min(n - 1, int((q + 0.02) * n))]
+        assert lo <= got[field] <= hi, (field, got[field], lo, hi)
+
+    # grouped HLL: distinct tokens per language bucket
+    lang = docs.withColumn("lang_len", F.length("text") % 3)
+    per = {
+        r["lang_len"]: r["approx_distinct"]
+        for r in approx_distinct_by(
+            lang.withColumn("_t", tokens(F.col("text"))).select(
+                "lang_len", F.explode("_t").alias("tok")
+            ),
+            "lang_len", "tok",
+        ).collect()
+    }
+    assert len(per) == 3 and all(v > 0 for v in per.values())
