@@ -68,3 +68,46 @@ def salted_join(
         "_salt_i", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt_i").cast("long")).drop("_salt_i")
     return f.join(d, [on, "_salt"]).drop("_salt")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a small-files parquet directory (the classic streaming-sink
+    pathology: one file per micro-batch per partition) into ~target-sized
+    files, optionally clustering rows by ``sort_cols`` for downstream scan
+    locality (sorted files → tighter min/max row-group stats → better
+    skipping).
+
+    File count derives from the ACTUAL on-disk bytes (filesystem listing,
+    no data pass), so the op is one read + one write with a single round
+    of exchange — at 100 TB this runs per partition-directory (e.g. per
+    `_batch_id` or per date), never over the whole table at once.
+
+    Returns the number of output files requested.
+    """
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, total // (target_file_mb * 1024**2) + (
+        1 if total % (target_file_mb * 1024**2) else 0
+    ))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        # repartitionByRange + sortWithinPartitions = globally clustered
+        # output without a total sort
+        df = df.repartitionByRange(int(n_files), *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.coalesce(int(n_files))
+    df.write.mode("overwrite").parquet(out_path)
+    return int(n_files)

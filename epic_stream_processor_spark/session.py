@@ -52,3 +52,46 @@ def configure_for_parity(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+def cluster_conf(
+    input_tb: float,
+    executors: int,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """Recommended Spark confs for running this engine's plans at cluster
+    scale — the local[32] defaults in :func:`get_spark`, re-derived for a
+    real deployment. Pure arithmetic (no session needed) so it is testable
+    and reviewable; pass the result to ``SparkSession.builder.config``.
+
+    Sizing rules encoded (all standard public Spark tuning guidance):
+    - shuffle partitions ≈ max(total cores × 2, shuffle bytes /
+      target_partition_mb) — ×2 for stragglers; AQE coalesces the excess
+      at runtime, so oversizing is cheap and undersizing (spill) is not.
+      Shuffle volume is estimated at ~40% of input (post filter/project
+      for this engine's headline plans; override when measured).
+    - maxPartitionBytes stays at target_partition_mb so scan tasks fit the
+      per-core memory share with headroom for the hash side of joins.
+    - AQE on (coalesce + skew-join): the engine's hot keys (LSH bands,
+      boilerplate grams) rely on runtime skew splitting.
+    - broadcast threshold sized to ~1/16 of executor memory per core so
+      the watchlist/benchmark/boilerplate broadcasts this engine leans on
+      stay automatic without risking executor OOM.
+    """
+    total_cores = executors * cores_per_executor
+    shuffle_bytes = input_tb * 1024**4 * 0.40
+    by_size = int(shuffle_bytes / (target_partition_mb * 1024**2)) + 1
+    shuffle_partitions = max(total_cores * 2, by_size)
+    bcast_mb = max(10, int(executor_mem_gb * 1024 / cores_per_executor / 16))
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024**2),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(bcast_mb * 1024**2),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }

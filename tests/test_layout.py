@@ -71,3 +71,49 @@ def test_salted_join_equals_plain_join(spark):
     # the salt spreads each key across multiple sub-keys
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Many tiny files → few target-sized files, content identical; the
+    sorted variant clusters rows (each output file covers a disjoint key
+    range for row-group skipping)."""
+    import os
+
+    from epic_stream_processor_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(40).write.parquet(src)  # simulate 40 micro-batch files
+    n_small = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_small >= 32
+
+    out = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, out, target_file_mb=128)
+    n_big = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n == 1 and n_big == 1  # 500 docs ≪ 128 MB
+    a = {r.doc_id for r in spark.read.parquet(out).collect()}
+    b = {r.doc_id for r in docs.collect()}
+    assert a == b
+
+    out2 = str(tmp_path / "clustered")
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    li.repartition(20).write.parquet(str(tmp_path / "small2"))
+    n2 = compact_parquet(
+        spark, str(tmp_path / "small2"), out2, target_file_mb=1,
+        sort_cols=["l_orderkey"],
+    )
+    assert n2 > 3  # the multi-file clustered path is actually exercised
+    # range-partitioned + sorted: per-file key ranges must not overlap
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(os.listdir(out2)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out2, f), columns=["l_orderkey"])
+            ids = t.column("l_orderkey").to_pylist()
+            if ids:
+                ranges.append((min(ids), max(ids)))
+    assert len(ranges) > 3
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"

@@ -481,3 +481,22 @@ def test_corpus_token_sketch_error_bounds(spark):
         ).collect()
     }
     assert len(per) == 3 and all(v > 0 for v in per.values())
+
+
+def test_cluster_conf_sizing_invariants():
+    """The 100 TB / 1000-executor sizing must come out self-consistent:
+    partitions track shuffle volume (not just cores), every partition fits
+    target size, broadcasts stay well under the per-core memory share."""
+    from epic_stream_processor_spark.session import cluster_conf
+
+    c = cluster_conf(input_tb=100, executors=1000, cores_per_executor=4)
+    parts = int(c["spark.sql.shuffle.partitions"])
+    # 40% of 100 TB through 128 MB partitions ≈ 343k partitions — the
+    # volume term must dominate the 8k core floor
+    assert parts > 100_000
+    assert (100 * 1024**4 * 0.40) / parts <= 128 * 1024**2
+    bcast = int(c["spark.sql.autoBroadcastJoinThreshold"])
+    assert bcast <= 16 * 1024**3 // 4 // 4  # ≤ 1/4 of a core's share
+    # small cluster degenerates to the core floor, never below
+    c2 = cluster_conf(input_tb=0.001, executors=4, cores_per_executor=8)
+    assert int(c2["spark.sql.shuffle.partitions"]) == 64
