@@ -1080,3 +1080,86 @@ SELECT vec_id, scale,
     (x, y) -> x + y)) AS err_l2
 FROM q
 """
+
+
+# --- Quantized integer k-means (oracle-exact iterative index build) ----------
+
+_KQ_DIST = (
+    "list_reduce(list_transform(range(1, len(q.qv) + 1), "
+    "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), (x, y) -> x + y)"
+)
+
+
+def _kq_iteration(i: int, prev_c: str) -> str:
+    """One unrolled Lloyd iteration in DuckDB SQL: assignment (integer L2
+    argmin, ties to the lower centroid id), per-dim BIGINT sums, integer
+    centroid update floor(s/n + 0.5); empty clusters keep their centroid."""
+    return f"""a{i} AS (
+  SELECT vec_id, qv, centroid_id FROM (
+    SELECT q.vec_id, q.qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_KQ_DIST}, c.centroid_id) AS rn
+    FROM q, {prev_c} c
+  ) WHERE rn = 1
+),
+n{i} AS (SELECT centroid_id, count(*) AS n FROM a{i} GROUP BY centroid_id),
+s{i} AS (
+  SELECT centroid_id, d, sum(v) AS s
+  FROM (SELECT centroid_id, unnest(qv) AS v,
+               unnest(range(1, len(qv) + 1)) AS d
+        FROM a{i})
+  GROUP BY centroid_id, d
+),
+u{i} AS (
+  SELECT centroid_id,
+         list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY d) AS cv
+  FROM s{i} JOIN n{i} USING (centroid_id) GROUP BY centroid_id
+),
+c{i} AS (
+  SELECT p.centroid_id, coalesce(u{i}.cv, p.cv) AS cv
+  FROM {prev_c} p LEFT JOIN u{i} USING (centroid_id)
+)"""
+
+
+def q_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means made oracle-EXACT by running Lloyd's algorithm in
+    pure integer arithmetic over globally-quantized vectors (see
+    operators/similarity.kmeans_quantized — also the honest 10⁹-vector
+    design: quantize once, iterate in int space, dequantize at the end).
+    Replaces the float-mean formulation that could only be rows-only
+    checked. Output exploded to (pos, qc) rows for the driver canonicalizer
+    (outer + pos-not-null: see q_pixel_gather on InferFiltersFromGenerate).
+    """
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_quantized(emb, k=8, n_iter=2)
+    return cents.select(
+        "centroid_id", "n_members", "scale",
+        F.posexplode_outer("qcentroid").alias("pos", "qc"),
+    ).where(F.col("pos").isNotNull()).withColumn("pos", F.col("pos").cast("long"))
+
+
+ORACLE_KMEANS_QUANTIZED = f"""WITH g AS (
+  SELECT max(list_max(list_transform(embedding,
+         x -> abs(CAST(x AS DOUBLE))))) AS gmax
+  FROM embeddings
+),
+sc AS (SELECT CASE WHEN gmax = 0 THEN 1.0 ELSE gmax / 127.0 END AS scale FROM g),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv
+  FROM embeddings, sc
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)
+),
+{_kq_iteration(1, "c0")},
+{_kq_iteration(2, "c1")}
+SELECT c2.centroid_id, CAST(coalesce(n2.n, 0) AS BIGINT) AS n_members,
+       sc.scale,
+       unnest(range(0, len(c2.cv))) AS pos,
+       unnest(c2.cv) AS qc
+FROM c2 LEFT JOIN n2 USING (centroid_id), sc
+"""

@@ -218,9 +218,10 @@ QUERIES: dict[str, QueryDef] = {
         llm.q_resize_media, llm.ORACLE_RESIZE_MEDIA,
         "thumbnail resize via mapInPandas; stride geometry + byte prefix oracle-checked",
     ),
-    "kmeans_centroids": QueryDef(
-        llm.q_kmeans_centroids, None,
-        "iterative k-means IVF index build (rows-only: float-mean drift)",
+    "kmeans_quantized": QueryDef(
+        llm.q_kmeans_quantized, llm.ORACLE_KMEANS_QUANTIZED,
+        "iterative Lloyd k-means in exact integer arithmetic over "
+        "globally-quantized vectors — oracle-backed (2 unrolled iterations)",
     ),
     "top_terms": QueryDef(
         llm.q_top_terms, llm.ORACLE_TOP_TERMS,
@@ -264,6 +265,11 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         llm.q_embedding_quantize, llm.ORACLE_EMBEDDING_QUANTIZE,
         "symmetric int8 quantization: scale + exact integer checksums + "
         "reconstruction-error L2 (4x smaller ANN working set)",
+    ),
+    "kmeans_centroids": QueryDef(
+        llm.q_kmeans_centroids, None,
+        "float-mean Lloyd k-means (rows-only: cross-engine summation-order "
+        "drift — the exact formulation is driver-checked as kmeans_quantized)",
     ),
 }
 

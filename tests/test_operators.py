@@ -500,3 +500,26 @@ def test_cluster_conf_sizing_invariants():
     # small cluster degenerates to the core floor, never below
     c2 = cluster_conf(input_tb=0.001, executors=4, cores_per_executor=8)
     assert int(c2["spark.sql.shuffle.partitions"]) == 64
+
+
+def test_kmeans_quantized_empty_cluster_keeps_centroid(spark):
+    """Degenerate corpus (two tight groups, k=3): the starved centroid must
+    keep its seed vector (deterministically, matching the oracle's LEFT
+    JOIN + coalesce) instead of dividing by zero or vanishing."""
+    from epic_stream_processor_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    rows = [(i, [100.0, 100.0]) for i in range(3)] + [
+        (i, [-100.0, -100.0]) for i in range(3, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.centroid_id: r for r in kmeans_quantized(df, k=3, n_iter=2).collect()}
+    assert len(out) == 3
+    assert sum(r.n_members for r in out.values()) == 6
+    # seeds 1-3 all start in the positive group; the two non-winning seeds
+    # either keep members (identical points split by lowest-id tie-break)
+    # or keep their seed centroid — no NaNs, no missing ids
+    for r in out.values():
+        assert len(r.qcentroid) == 2
+        assert all(abs(c) <= 127 for c in r.qcentroid)
