@@ -76,28 +76,39 @@ def decontaminate(
     """
     tg = ngram_profile(train, text_col, id_col, k)
     bg = ngram_profile(bench, text_col, id_col, k)
+    # explode_outer everywhere, NEVER explode: the inner variant's
+    # InferFiltersFromGenerate pushes a size()>0 predicate below the staged
+    # projections with the whole gram-hash chain INLINED, re-evaluating the
+    # k-gram md5s per OUTPUT row (measured 24.3 s vs 0.8 s for this explode
+    # alone at sf0.1 — the winnowing lesson, pinned by a plan test).
+    # Zero-gram docs also stay representable (g = NULL row).
     bench_flat = bg.select(
-        F.col(id_col).alias("bench_id"), F.explode("grams").alias("g")
-    )
-    train_flat = tg.select(id_col, F.explode("grams").alias("g"))
-    hits = (
-        train_flat.join(F.broadcast(bench_flat), "g")
+        F.col(id_col).alias("bench_id"), F.explode_outer("grams").alias("g")
+    ).where(F.col("g").isNotNull())
+    train_flat = tg.select(id_col, "n_grams", F.explode_outer("grams").alias("g"))
+    # ONE aggregation does all per-doc work (n_grams rides through the
+    # explode) — no re-join against the profile, so the gram chain is
+    # evaluated exactly once per side. A NULL join key matches nothing and
+    # countDistinct skips NULLs, so unmatched and zero-gram docs come out 0.
+    return (
+        train_flat.join(F.broadcast(bench_flat), "g", "left")
         .groupBy(id_col)
         .agg(
+            F.first("n_grams").alias("n_grams"),
             # per-doc grams are already distinct, but one train gram can
             # match many bench rows — count distinct, not raw join rows
-            F.countDistinct("g").alias("n_hit_grams"),
+            F.countDistinct(
+                F.when(F.col("bench_id").isNotNull(), F.col("g"))
+            ).alias("n_hit_grams"),
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
-    )
-    return tg.select(id_col, "n_grams").join(
-        F.broadcast(hits), id_col, "left"
-    ).select(
-        id_col,
-        "n_grams",
-        F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
-        F.coalesce("n_bench_docs", F.lit(0)).cast("long").alias("n_bench_docs"),
-        (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        .select(
+            id_col,
+            "n_grams",
+            F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+            F.col("n_bench_docs").cast("long").alias("n_bench_docs"),
+            (F.col("n_hit_grams") > 0).alias("contaminated"),
+        )
     )
 
 
