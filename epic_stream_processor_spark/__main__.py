@@ -115,6 +115,19 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--cadence", type=float, default=1.0)
     r.add_argument("--grid", type=int, default=64)
 
+    ci = sub.add_parser(
+        "corpus-ingest",
+        help="streaming corpus pipeline: quality gate → dedup → split "
+             "(optionally benchmark-decontaminated)",
+    )
+    ci.add_argument("--docs", required=True, help="documents drop dir (parquet)")
+    ci.add_argument("--out", required=True)
+    ci.add_argument("--checkpoint", required=True)
+    ci.add_argument("--min-quality", type=float, default=0.5)
+    ci.add_argument("--benchmark", help="parquet dir of the held-out eval set; "
+                    "enables 13-gram decontamination")
+    ci.add_argument("--available-now", action="store_true")
+
     st = sub.add_parser("stream", help="run the streaming pipeline")
     st.add_argument("--epochs", required=True, help="spool/epochs parquet dir")
     st.add_argument("--watchlist", required=True)
@@ -222,6 +235,24 @@ def main(argv: list[str] | None = None) -> int:
             print(f"sent image {i + 1}/{args.n_images}")
             if i + 1 < args.n_images:
                 time.sleep(args.cadence)
+    elif args.cmd == "corpus-ingest":
+        from .streaming.pipeline import (
+            run_corpus_ingest_decontaminated,
+            run_corpus_ingest_stream,
+        )
+
+        spark = _get_spark()
+        if args.benchmark:
+            q = run_corpus_ingest_decontaminated(
+                spark, args.docs, args.benchmark, args.out, args.checkpoint,
+                min_quality=args.min_quality, available_now=args.available_now,
+            )
+        else:
+            q = run_corpus_ingest_stream(
+                spark, args.docs, args.out, args.checkpoint,
+                min_quality=args.min_quality, available_now=args.available_now,
+            )
+        q.awaitTermination()
     elif args.cmd == "stream":
         from .streaming.pipeline import StreamConfig, run_stream
 

@@ -234,6 +234,7 @@ QUERIES: dict[str, QueryDef] = {
     "decontaminate_13gram": QueryDef(
         llm.q_decontaminate_13gram, llm.ORACLE_DECONTAMINATE_13GRAM,
         "benchmark decontamination: word-13-gram collision vs held-out slice",
+        bench=True,
     ),
 }
 

@@ -1,0 +1,78 @@
+"""Corpus table loaders for the formats training data actually arrives in.
+
+Parquet is the engine's native format (columnar, predicate pushdown, column
+pruning); JSONL is the de-facto interchange format for LLM corpora (one
+JSON object per line — what crawls and dataset dumps ship as); CSV covers
+tabular exports. The non-parquet paths ALWAYS take an explicit schema:
+schema inference is a full extra pass over the data (JSON) or a sampling
+job (CSV) — a non-starter at 100 TB, and silently type-unstable (a shard
+whose doc_ids all look numeric infers differently than one that doesn't).
+
+Batch and streaming readers share the same schema contract, so a JSONL
+drop directory can feed ``streaming/pipeline.run_corpus_ingest_stream``
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), nullable=False),
+        StructField("text", StringType(), nullable=True),
+    ]
+)
+
+
+def load_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Load a documents table from ``path`` in ``fmt`` ∈ {parquet, jsonl,
+    csv}. Non-parquet formats read with the explicit schema (default: the
+    canonical documents schema) — never inference."""
+    schema = schema or DOCUMENTS_SCHEMA
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        return spark.read.schema(schema).json(path)
+    if fmt == "csv":
+        return spark.read.schema(schema).option("header", "true").csv(path)
+    raise ValueError(f"unsupported corpus format: {fmt!r}")
+
+
+def stream_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`load_corpus` (file-source micro-batches
+    over a drop directory). Streaming readers REQUIRE a schema in every
+    format; parquet borrows it from the existing files when not given."""
+    if fmt == "parquet":
+        schema = schema or spark.read.parquet(path).schema
+        return spark.readStream.schema(schema).parquet(path)
+    schema = schema or DOCUMENTS_SCHEMA
+    if fmt == "jsonl":
+        return spark.readStream.schema(schema).json(path)
+    if fmt == "csv":
+        return (
+            spark.readStream.schema(schema).option("header", "true").csv(path)
+        )
+    raise ValueError(f"unsupported corpus format: {fmt!r}")
+
+
+def normalize_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Ingest-edge text normalization: NULL text → empty string, stray
+    carriage returns and NULs dropped, whitespace runs collapsed, edges
+    trimmed. Row-local column expressions — streams through the scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.regexp_replace(t, "[\\r\\x00]", "")
+    t = F.trim(F.regexp_replace(t, "\\s+", " "))
+    return df.withColumn(text_col, t)

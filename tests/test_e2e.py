@@ -133,3 +133,25 @@ def test_socket_to_tables_end_to_end(spark):
             want = cubes[eid][:, :, :, y - 1, x - 1].ravel()
             got = np.array(r["pixel_values"], dtype=np.float32)
             np.testing.assert_array_equal(got, want)
+
+
+def test_cli_corpus_ingest(spark, tmp_path):
+    """CLI surface: `corpus-ingest` runs the streaming pipeline end-to-end
+    from argv and lands a split, deduplicated, quality-gated corpus."""
+    from conftest import SF_DIR
+
+    from epic_stream_processor_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.parquet(docs_path)
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "corpus-ingest", "--docs", docs_path, "--out", out,
+        "--checkpoint", str(tmp_path / "ckpt"), "--available-now",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert set(r.split for r in got.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }

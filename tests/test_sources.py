@@ -275,3 +275,58 @@ def test_watch_source_honors_explicit_t_end(spark):
         # and the source actually expires at that t_end
         n = store.expire_sources(now=dt.datetime(2024, 2, 2))
         assert n == 1
+
+
+def test_load_corpus_formats_agree(spark, tmp_path):
+    """JSONL and CSV corpus drops must load to the same table as parquet
+    (explicit schema — no inference pass), batch and streaming."""
+    from conftest import SF_DIR
+
+    from epic_stream_processor_spark.sources.corpus import (
+        load_corpus,
+        normalize_corpus,
+        stream_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = {(r.doc_id, r.text) for r in docs.collect()}
+
+    jdir = str(tmp_path / "jsonl")
+    docs.write.json(jdir)
+    got_j = {
+        (r.doc_id, r.text)
+        for r in load_corpus(spark, jdir, "jsonl").collect()
+    }
+    assert got_j == want
+
+    cdir = str(tmp_path / "csv")
+    docs.write.option("header", "true").csv(cdir)
+    got_c = {
+        (r.doc_id, r.text)
+        for r in load_corpus(spark, cdir, "csv").collect()
+    }
+    assert got_c == want
+
+    # streaming twin over the jsonl drop dir
+    out = str(tmp_path / "out")
+    q = (
+        stream_corpus(spark, jdir, "jsonl")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_s = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    assert got_s == want
+
+    # normalization: NULL→'', CR/NUL stripped, runs collapsed
+    raw = spark.createDataFrame(
+        [(1, "a\r\nb"), (2, None), (3, "  x \t y  ")],
+        "doc_id long, text string",
+    )
+    norm = {r.doc_id: r.text for r in normalize_corpus(raw).collect()}
+    assert norm == {1: "a b", 2: "", 3: "x y"}
