@@ -251,3 +251,42 @@ def doc_fingerprint(text: Column, prefix_tokens: int = 8) -> Column:
     oracle parity."""
     w = tokens(text)
     return F.md5(F.concat_ws(" ", F.slice(w, 1, prefix_tokens)))
+
+
+def token_hashes(w: Column) -> Column:
+    """60-bit md5 hash per token — STAGE this through withColumn before
+    feeding :func:`feature_hash_embedding` (inlining it would recompute the
+    md5 array once per output dimension — the winnowing lesson)."""
+    from .hashing import stable_hash64
+
+    return F.transform(w, lambda t: stable_hash64(t))
+
+
+def feature_hash_embedding(th: Column, dim: int = 64) -> Column:
+    """Feature-hashing text embedding (the hashing trick, Weinberger et al.
+    2009 — public algorithm): token → hash bucket in [0, dim), signed by
+    the hash's next bit, accumulated into a dense ``array<double>``. A
+    deterministic, vocabulary-free text→vector path that feeds this
+    engine's similarity/ANN operators directly.
+
+    ``th`` is a *column-bound* token-hash array (:func:`token_hashes`,
+    staged by the caller). Row-local O(dim·n) per doc; integer-only
+    arithmetic throughout — bucket = h % dim, sign from the next modular
+    bit (h % 2dim < dim), NO float division of the 60-bit hash (a double
+    cannot hold it exactly) — so the final doubles are exact in both
+    engines. Signed buckets make the embedding an unbiased sketch of the
+    token-count vector (E[⟨φ(a),φ(b)⟩] = ⟨a,b⟩ — the hashing-trick
+    guarantee).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                h % dim == d,
+                F.when(h % (2 * dim) < dim, 1).otherwise(-1),
+            ).otherwise(0),
+        ).cast("double"),
+    )

@@ -1163,3 +1163,45 @@ SELECT c2.centroid_id, CAST(coalesce(n2.n, 0) AS BIGINT) AS n_members,
        unnest(c2.cv) AS qc
 FROM c2 LEFT JOIN n2 USING (centroid_id), sc
 """
+
+
+# --- Feature-hashing text embeddings (hashing trick) -------------------------
+
+def q_text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free text→vector embeddings via the hashing trick
+    (Weinberger et al. 2009): signed md5-bucket counts, integer-exact.
+    Token hashes staged once per row; output exploded to (pos, dim_val)."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_fh_toks", T.tokens(F.col("text")))
+        .withColumn("_fh_th", T.token_hashes(F.col("_fh_toks")))
+        .withColumn("_fh_emb", T.feature_hash_embedding(F.col("_fh_th"), 16))
+        .select(
+            "doc_id",
+            F.posexplode_outer("_fh_emb").alias("pos", "dim_val"),
+        )
+        .where(F.col("pos").isNotNull())
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+_FH_CELL = (
+    "CASE WHEN len(th) = 0 THEN 0.0 ELSE CAST(list_reduce(list_transform(th, "
+    "h -> CASE WHEN h % 16 = d THEN CASE WHEN h % 32 < 16 THEN 1 ELSE -1 END "
+    "ELSE 0 END), (x, y) -> x + y) AS DOUBLE) END"
+)
+
+ORACLE_TEXT_EMBED_HASH = f"""WITH words AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
+  FROM documents
+),
+thc AS (
+  SELECT doc_id, list_transform(w, t -> {stable_hash64_sql('t')}) AS th
+  FROM words
+)
+SELECT doc_id, unnest(range(0, 16)) AS pos,
+       unnest(list_transform(range(0, 16), d -> {_FH_CELL})) AS dim_val
+FROM thc
+"""

@@ -272,6 +272,11 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "float-mean Lloyd k-means (rows-only: cross-engine summation-order "
         "drift — the exact formulation is driver-checked as kmeans_quantized)",
     ),
+    "text_embed_hash": QueryDef(
+        llm.q_text_embed_hash, llm.ORACLE_TEXT_EMBED_HASH,
+        "feature-hashing text embeddings (signed md5 buckets, integer-exact "
+        "— the vocabulary-free text→vector path into the ANN operators)",
+    ),
 }
 
 

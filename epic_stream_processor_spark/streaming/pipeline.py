@@ -316,3 +316,39 @@ def run_corpus_ingest_decontaminated(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_dedup_stream_watermarked(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    checkpoint: str,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Bounded-state streaming dedup for ingest streams that carry an event
+    time: ``dropDuplicatesWithinWatermark`` drops a content hash's state
+    once the watermark passes it, so state is O(docs per watermark window)
+    instead of O(all distinct docs ever) — the unbounded-state caveat of
+    :func:`run_dedup_stream` resolved whenever the source provides a
+    timestamp (crawl fetch time, queue enqueue time). Duplicates separated
+    by more than the watermark are deliberately NOT deduped — that is the
+    contract a bounded-state dedup sells, stated rather than hidden.
+    """
+    static = spark.read.parquet(docs_path)
+    stream = spark.readStream.schema(static.schema).parquet(docs_path)
+    deduped = (
+        stream.withColumn("content_hash", F.md5(F.col("text")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

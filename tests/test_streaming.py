@@ -398,3 +398,35 @@ def test_corpus_ingest_decontaminated_stream(spark, tmp_path):
     assert got_ids == want_ids and len(got_ids) > 0
     n_dirty = verdicts.where(F.col("contaminated")).count()
     assert gated.count() - len(want_ids) == n_dirty
+
+
+def test_dedup_stream_watermarked_bounds_state(spark, tmp_path):
+    """Watermarked dedup: duplicates inside the watermark window are
+    removed; state is keyed + windowed (the bounded-state upgrade over
+    first-seen dedup's grow-forever hash set)."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_dedup_stream_watermarked,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(200)
+        .withColumn(
+            "ingest_ts",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double")),
+        )
+    )
+    dup = docs.unionByName(docs)  # every doc twice, same event time
+    src = str(tmp_path / "src")
+    dup.write.parquet(src)
+    out = str(tmp_path / "out")
+    q = run_dedup_stream_watermarked(
+        spark, src, out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("content_hash").distinct().count() == 200
