@@ -1,0 +1,108 @@
+"""Document chunking and sequence packing — the training-prep tail of the
+corpus pipeline (no counterpart in the reference; same extension surface as
+SURVEY §2's LLM section).
+
+- :func:`chunk_documents` — split each document into fixed-size token
+  windows with overlap (context-window preparation). Pure row-local
+  explode: one doc row → ⌈n/stride⌉ chunk rows, no shuffle.
+- :func:`pack_sequences` — greedy fixed-budget packing of (short) docs
+  into training sequences. Global greedy packing is inherently sequential,
+  so the scalable formulation packs WITHIN deterministic hash buckets:
+  rows are hash-bucketed (corpus-size-independent distribution), ordered
+  by id inside each bucket, and assigned pack_id = floor(cumulative
+  tokens / budget). One window per bucket — parallelism = bucket count,
+  no global sort, rerun-stable. The price is stated, not hidden: packs
+  never cross buckets, so per-bucket tail sequences may be underfull
+  (bounded by one partial pack per bucket).
+
+Both are integer/token-count arithmetic end-to-end → DuckDB-oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.sampling import hash_bucket
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per (doc, chunk): token window [start, start+chunk_tokens)
+    with stride chunk_tokens−overlap; short docs yield one chunk. Returns
+    (id, chunk_id, chunk_text, n_chunk_tokens).
+
+    Row-local: the token array is staged once, chunk starts come from a
+    ``sequence``, and the explode is the OUTER variant (the inner one
+    re-evaluates the staged chain per output row — the winnowing lesson).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens: {overlap}, {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    staged = docs.withColumn("_ch_toks", T.tokens(F.col(text_col)))
+    n = F.size("_ch_toks")
+    # 1-based start positions: 1, 1+stride, ... while start <= max(n-overlap, 1)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    chunks = staged.withColumn(
+        "_ch_chunks",
+        F.transform(
+            starts,
+            lambda s: F.slice(F.col("_ch_toks"), s, chunk_tokens),
+        ),
+    )
+    return (
+        chunks.select(
+            id_col,
+            F.posexplode_outer("_ch_chunks").alias("chunk_id", "_ch_arr"),
+        )
+        .where(F.col("chunk_id").isNotNull())
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(" ", "_ch_arr").alias("chunk_text"),
+            F.size("_ch_arr").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each doc a (bucket, pack_id) training-sequence slot:
+    pack_id = floor((cumsum(n_tokens) − n_tokens) / budget) over docs
+    ordered by id within their hash bucket. Docs longer than the budget
+    get a pack of their own (chunk first if that matters). Returns
+    (id, n_tokens, bucket, pack_id).
+
+    Scale: ONE window per hash bucket — the running sum never sees more
+    than corpus/n_buckets rows per partition, n_buckets scales with the
+    cluster, and bucket assignment is the same salted md5 used for splits
+    (rerun- and engine-stable, no rand()).
+    """
+    staged = docs.select(
+        id_col,
+        T.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        hash_bucket(F.col(id_col), "pack", n_buckets).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
+    cum = F.sum("n_tokens").over(w)
+    return staged.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("long").alias(
+            "pack_id"
+        ),
+    )

@@ -1205,3 +1205,62 @@ SELECT doc_id, unnest(range(0, 16)) AS pos,
        unnest(list_transform(range(0, 16), d -> {_FH_CELL})) AS dim_val
 FROM thc
 """
+
+
+# --- Document chunking + sequence packing (training prep) --------------------
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows, 8-token overlap — one
+    row per chunk, row-local (operators/chunking.py)."""
+    from ..operators.chunking import chunk_documents
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""WITH words AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, w,
+         range(1, greatest(len(w) - 8, 1) + 1, 24) AS starts
+  FROM words
+)
+SELECT doc_id,
+       unnest(range(0, len(starts))) AS chunk_id,
+       unnest(list_transform(starts,
+              s -> array_to_string(w[s:s+31], ' '))) AS chunk_text,
+       unnest(list_transform(starts,
+              s -> CAST(len(w[s:s+31]) AS BIGINT))) AS n_chunk_tokens
+FROM staged
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing into 256-token budgets within 64
+    deterministic hash buckets (operators/chunking.py has the scale
+    contract: one bounded window per bucket, no global sort)."""
+    from ..operators.chunking import pack_sequences
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256, n_buckets=64)
+
+
+_PACK_BUCKET = stable_hash64_sql("'pack:' || CAST(doc_id AS VARCHAR)") + " % 64"
+
+ORACLE_PACK_SEQUENCES = f"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(CASE WHEN trim(text) = '' THEN []
+                       ELSE {_SQL_WORDS} END) AS BIGINT) AS n_tokens,
+         {_PACK_BUCKET} AS bucket
+  FROM documents
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+                   - n_tokens) / 256) AS BIGINT) AS pack_id
+FROM t
+"""

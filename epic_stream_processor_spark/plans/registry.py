@@ -277,6 +277,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "feature-hashing text embeddings (signed md5 buckets, integer-exact "
         "— the vocabulary-free text→vector path into the ANN operators)",
     ),
+    "chunk_documents": QueryDef(
+        llm.q_chunk_documents, llm.ORACLE_CHUNK_DOCUMENTS,
+        "context-window chunking: 32-token windows, 8 overlap, row-local",
+    ),
+    "pack_sequences": QueryDef(
+        llm.q_pack_sequences, llm.ORACLE_PACK_SEQUENCES,
+        "offset sequence packing into 256-token budgets within hash buckets",
+    ),
 }
 
 

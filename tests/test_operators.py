@@ -523,3 +523,44 @@ def test_kmeans_quantized_empty_cluster_keeps_centroid(spark):
     for r in out.values():
         assert len(r.qcentroid) == 2
         assert all(abs(c) <= 127 for c in r.qcentroid)
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    """Chunks with the overlap stripped must reassemble the original
+    token stream exactly; every chunk fits the window."""
+    from epic_stream_processor_spark.operators.chunking import chunk_documents
+
+    docs = FX.load_table(spark, SF_DIR, "documents").limit(80)
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    want = {
+        r.doc_id: r.text.split() for r in docs.collect() if r.text.strip()
+    }
+    got: dict = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_id)):
+        toks = r.chunk_text.split() if r.chunk_text else []
+        assert len(toks) == r.n_chunk_tokens <= 32
+        keep = toks if r.chunk_id == 0 else toks[8:]
+        got.setdefault(r.doc_id, []).extend(keep)
+    for doc_id, w in want.items():
+        assert got[doc_id] == w, doc_id
+
+
+def test_pack_sequences_budget_and_stability(spark):
+    """Offset packing: consecutive docs in a bucket share a pack until the
+    budget boundary; assignment is rerun-stable and every pack's START
+    offsets stay inside one budget stride."""
+    from epic_stream_processor_spark.operators.chunking import pack_sequences
+
+    docs = FX.load_table(spark, SF_DIR, "documents")
+    a = pack_sequences(docs, budget=256, n_buckets=8).collect()
+    b = pack_sequences(docs, budget=256, n_buckets=8).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    by_bucket: dict = {}
+    for r in sorted(a, key=lambda r: (r.bucket, r.doc_id)):
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(by_bucket) == 8
+    for rows in by_bucket.values():
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // 256
+            cum += r.n_tokens
