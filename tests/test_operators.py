@@ -564,3 +564,39 @@ def test_pack_sequences_budget_and_stability(spark):
         for r in rows:
             assert r.pack_id == cum // 256
             cum += r.n_tokens
+
+
+def test_text_to_vector_to_ann_composition(spark):
+    """End-to-end: raw text → feature-hash embeddings → SRP-LSH blocking →
+    exact-cosine verify. Planted near-duplicate texts must surface as a
+    candidate pair with high cosine; the pipeline never leaves the engine."""
+    from epic_stream_processor_spark.functions.text import (
+        feature_hash_embedding,
+        token_hashes,
+        tokens,
+    )
+    from epic_stream_processor_spark.operators import similarity as S
+
+    base = " ".join(f"tok{i % 23}" for i in range(200))
+    near = base + " extra tail words"
+    far = " ".join(f"other{i % 17}" for i in range(180))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, far + " y")],
+        "doc_id long, text string",
+    )
+    emb = (
+        docs.withColumn("_t", tokens(F.col("text")))
+        .withColumn("_th", token_hashes(F.col("_t")))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            feature_hash_embedding(F.col("_th"), 64)
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.srp_near_dup(emb, dim=64, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.9
+    assert (1, 3) not in pairs and (2, 3) not in pairs
