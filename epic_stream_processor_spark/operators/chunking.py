@@ -106,3 +106,59 @@ def pack_sequences(
             "pack_id"
         ),
     )
+
+
+def pack_sequences_ffd(
+    docs: DataFrame,
+    budget: int = 256,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-fit-decreasing sequence packing — the tighter (and inherently
+    sequential) packer, as a per-bucket ``applyInPandas`` operator: the
+    SURVEY-style custom-operator tier for semantics the DataFrame algebra
+    can't express (a data-dependent greedy loop).
+
+    Each hash bucket's docs are packed independently: sort by
+    (n_tokens desc, id), drop each doc into the first pack with room,
+    open a new pack otherwise (oversized docs get a pack of their own).
+    Deterministic: bucket assignment is the salted md5, the sort key is
+    total, and the greedy loop is pure. Parallelism = bucket count; each
+    Python worker sees corpus/n_buckets rows via Arrow batches. Returns
+    (id, n_tokens, bucket, pack_id).
+
+    Compared to :func:`pack_sequences` (offset packing, pure column
+    algebra): FFD wastes less budget (no straddling docs) at the cost of a
+    Python stage — pick by whether packing efficiency or a pure-JVM plan
+    matters more.
+    """
+    import pandas as pd
+
+    staged = docs.select(
+        id_col,
+        T.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        hash_bucket(F.col(id_col), "pack", n_buckets).alias("bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        pack_room: list = []  # remaining tokens per open pack
+        assigned = []
+        for n in pdf["n_tokens"]:
+            for i, room in enumerate(pack_room):
+                if n <= room:
+                    pack_room[i] = room - n
+                    assigned.append(i)
+                    break
+            else:
+                pack_room.append(max(budget - n, 0))
+                assigned.append(len(pack_room) - 1)
+        pdf["pack_id"] = pd.Series(assigned, dtype="int64")
+        return pdf
+
+    return staged.groupBy("bucket").applyInPandas(
+        pack, schema=f"{id_col} long, n_tokens long, bucket long, pack_id long"
+    )

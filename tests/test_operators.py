@@ -600,3 +600,28 @@ def test_text_to_vector_to_ann_composition(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.9
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_pack_sequences_ffd_budget_invariants(spark):
+    """FFD packing: every pack fits the budget (except single oversized
+    docs), every doc is packed exactly once, deterministic across runs,
+    and never looser than offset packing."""
+    from epic_stream_processor_spark.operators.chunking import (
+        pack_sequences,
+        pack_sequences_ffd,
+    )
+
+    docs = FX.load_table(spark, SF_DIR, "documents")
+    a = pack_sequences_ffd(docs, budget=256, n_buckets=8).collect()
+    b = pack_sequences_ffd(docs, budget=256, n_buckets=8).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    assert len(a) == docs.count()
+    per_pack: dict = {}
+    for r in a:
+        per_pack.setdefault((r.bucket, r.pack_id), []).append(r.n_tokens)
+    for toks in per_pack.values():
+        assert sum(toks) <= 256 or len(toks) == 1
+    n_ffd = len(per_pack)
+    offset = pack_sequences(docs, budget=256, n_buckets=8).collect()
+    n_offset = len({(r.bucket, r.pack_id) for r in offset})
+    assert n_ffd <= n_offset + 8  # FFD at least as tight modulo bucket tails

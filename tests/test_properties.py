@@ -235,3 +235,31 @@ def test_decontaminate_matches_python_reference(spark):
         for r in out.collect()
     }
     assert got == expected
+
+
+def test_chunking_reassembly_randomized(spark):
+    """Randomized oracle for chunk_documents across window geometries:
+    overlap-stripped chunks must reassemble each doc's token stream for
+    several (chunk, overlap) shapes including stride-1 and no-overlap."""
+    import random
+
+    from epic_stream_processor_spark.operators.chunking import chunk_documents
+
+    rng = random.Random(77)
+    docs = [
+        (i, " ".join(f"t{rng.randint(0, 9)}" for _ in range(rng.randint(0, 40))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk_tokens, overlap in [(8, 0), (8, 4), (5, 4), (16, 1)]:
+        rows = chunk_documents(df, chunk_tokens, overlap).collect()
+        got: dict = {}
+        for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)):
+            toks = r.chunk_text.split() if r.chunk_text else []
+            assert len(toks) <= chunk_tokens
+            got.setdefault(r.doc_id, []).extend(
+                toks if r.chunk_id == 0 else toks[overlap:]
+            )
+        for i, t in docs:
+            want = t.split()
+            assert got.get(i, []) == want, (chunk_tokens, overlap, i)

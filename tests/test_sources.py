@@ -330,3 +330,12 @@ def test_load_corpus_formats_agree(spark, tmp_path):
     )
     norm = {r.doc_id: r.text for r in normalize_corpus(raw).collect()}
     assert norm == {1: "a b", 2: "", 3: "x y"}
+
+
+def test_load_corpus_rejects_unknown_format(spark):
+    import pytest as _pytest
+
+    from epic_stream_processor_spark.sources.corpus import load_corpus
+
+    with _pytest.raises(ValueError, match="unsupported corpus format"):
+        load_corpus(spark, "/nonexistent", "avro")
