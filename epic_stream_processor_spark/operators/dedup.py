@@ -360,3 +360,36 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
         )
         .select(F.col(id_col), sim.cast("long").alias("simhash"))
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The full near-dedup funnel materialized: MinHash signatures → LSH
+    candidate pairs → exact n-gram Jaccard verify → connected components →
+    keep the lowest-id doc per cluster. Returns the deduplicated corpus
+    (original columns, keepers only).
+
+    Every stage is the already-proven operator; this is the composition a
+    corpus builder actually runs. Scale shape: row-local signatures, band
+    equi-join (never all-pairs), verification on candidates only, hash-min
+    label propagation with O(diameter) rounds, and a final broadcast ANTI
+    join of the DROP set — most of a web corpus is unique, so the keepers
+    are nearly the whole corpus (never broadcast that side) while the
+    duplicates-to-drop are the small side by construction.
+    """
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
+                              num_hashes=num_hashes)
+    pairs = minhash_lsh_pairs(sigs, num_hashes=num_hashes, band_size=band_size)
+    verified = ngram_jaccard(docs, pairs, text_col=text_col, id_col=id_col)
+    dup_edges = verified.where(F.col("jaccard") >= jaccard_threshold).select(
+        "id_a", "id_b"
+    )
+    clusters = dedup_clusters(dup_edges, docs.select(id_col), id_col=id_col)
+    drops = clusters.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(F.broadcast(drops), id_col, "left_anti")

@@ -213,6 +213,7 @@ QUERIES: dict[str, QueryDef] = {
     "frame_sample": QueryDef(
         llm.q_frame_sample, llm.ORACLE_FRAME_SAMPLE,
         "video frame sampling: 1→n mapInPandas, oracle-checked geometry",
+        bench=True,  # perf-tracks the Arrow/Python-worker path
     ),
     "resize_media": QueryDef(
         llm.q_resize_media, llm.ORACLE_RESIZE_MEDIA,

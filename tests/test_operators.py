@@ -625,3 +625,36 @@ def test_pack_sequences_ffd_budget_invariants(spark):
     offset = pack_sequences(docs, budget=256, n_buckets=8).collect()
     n_offset = len({(r.bucket, r.pack_id) for r in offset})
     assert n_ffd <= n_offset + 8  # FFD at least as tight modulo bucket tails
+
+
+def test_dedup_corpus_composition(spark):
+    """The materialized near-dedup funnel: output has exactly one doc per
+    cluster (the lowest id), everything else unchanged; unique docs all
+    survive. Cross-checked against composing the stage operators by hand."""
+    from epic_stream_processor_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_corpus,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    docs = FX.load_table(spark, SF_DIR, "documents")
+    out = dedup_corpus(docs, jaccard_threshold=0.5)
+    got_ids = {r.doc_id for r in out.select("doc_id").collect()}
+
+    sigs = minhash_signatures(docs)
+    pairs = minhash_lsh_pairs(sigs)
+    edges = ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b"
+    )
+    clusters = dedup_clusters(edges, docs.select("doc_id"))
+    want_ids = {
+        r.doc_id for r in clusters.where(
+            F.col("doc_id") == F.col("cluster_id")
+        ).collect()
+    }
+    assert got_ids == want_ids
+    assert 0 < len(got_ids) < docs.count()  # something was actually dropped
+    # schema preserved
+    assert out.columns == docs.columns
