@@ -263,6 +263,30 @@ def run_corpus_ingest_stream(
     return writer.start()
 
 
+def make_corpus_sink(bench: DataFrame, out_path: str, k: int = 13):
+    """The decontaminate+split foreachBatch body, exposed for direct tests
+    (replaying a batch id must be a no-op). T4 exactly-once: each batch
+    lands in its own `_batch_id=N` partition directory with OVERWRITE, so a
+    checkpoint-replayed batch rewrites the same directory instead of
+    double-appending — the same idempotence contract as the image
+    pipeline's dual sink."""
+    from ..operators.contamination import decontaminate
+    from ..operators.sampling import hash_split
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = decontaminate(batch_df, bench, k=k).where(
+            ~F.col("contaminated")
+        )
+        clean = batch_df.join(
+            F.broadcast(verdicts.select("doc_id")), "doc_id", "left_semi"
+        )
+        hash_split(clean, {"train": 98, "val": 1, "test": 1}).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/_batch_id={batch_id}")
+
+    return sink
+
+
 def run_corpus_ingest_decontaminated(
     spark: SparkSession,
     docs_path: str,
@@ -285,8 +309,6 @@ def run_corpus_ingest_decontaminated(
     never reach the training corpus.
     """
     from ..functions.text import quality_score
-    from ..operators.contamination import decontaminate
-    from ..operators.sampling import hash_split
 
     bench = spark.read.parquet(bench_path)
 
@@ -299,16 +321,7 @@ def run_corpus_ingest_decontaminated(
         .dropDuplicates(["content_hash"])
     )
 
-    def sink(batch_df, batch_id: int) -> None:
-        verdicts = decontaminate(batch_df, bench, k=k).where(
-            ~F.col("contaminated")
-        )
-        clean = batch_df.join(
-            F.broadcast(verdicts.select("doc_id")), "doc_id", "left_semi"
-        )
-        hash_split(clean, {"train": 98, "val": 1, "test": 1}).write.mode(
-            "append"
-        ).parquet(out_path)
+    sink = make_corpus_sink(bench, out_path, k=k)
 
     writer = gated.writeStream.outputMode("append").foreachBatch(sink).option(
         "checkpointLocation", checkpoint

@@ -430,3 +430,24 @@ def test_dedup_stream_watermarked_bounds_state(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 200
     assert got.select("content_hash").distinct().count() == 200
+
+
+def test_corpus_sink_batch_replay_is_idempotent(spark, tmp_path):
+    """T4 for the corpus pipeline: re-running a batch id (checkpoint
+    replay after a crash) rewrites its partition directory instead of
+    double-appending."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.streaming.pipeline import make_corpus_sink
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    batch = docs.where(F.col("doc_id") % 20 != 0).limit(100)
+    out = str(tmp_path / "corpus")
+    sink = make_corpus_sink(bench, out)
+    sink(batch, 7)
+    first = spark.read.parquet(out).count()
+    sink(batch, 7)  # replay the same batch id
+    assert spark.read.parquet(out).count() == first > 0
+    sink(batch.limit(40), 8)  # a new batch appends its own directory
+    assert spark.read.parquet(out).count() > first
