@@ -263,3 +263,29 @@ def test_chunking_reassembly_randomized(spark):
         for i, t in docs:
             want = t.split()
             assert got.get(i, []) == want, (chunk_tokens, overlap, i)
+
+
+def test_quantization_error_bound_randomized(spark):
+    """int8 quantization contract on random vectors: every element
+    reconstructs within scale/2 (half-up rounding bound), |q| <= 127, and
+    the zero vector gets scale 1.0 with all-zero codes."""
+    import random
+
+    from epic_stream_processor_spark.operators import similarity as S
+
+    rng = random.Random(99)
+    rows = [
+        (i, [rng.uniform(-10, 10) for _ in range(16)]) for i in range(50)
+    ] + [(999, [0.0] * 16)]
+    df = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .withColumn("_scale", S.quantization_scale(F.col("embedding")))
+        .withColumn("_q", S.quantize_with_scale(F.col("embedding"), F.col("_scale")))
+    )
+    for r in df.collect():
+        s = r["_scale"]
+        for x, q in zip(r["embedding"], r["_q"]):
+            assert abs(q) <= 127
+            assert abs(x - q * s) <= s / 2 + 1e-12, (r["vec_id"], x, q, s)
+        if r["vec_id"] == 999:
+            assert s == 1.0 and all(q == 0 for q in r["_q"])
