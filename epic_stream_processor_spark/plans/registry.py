@@ -286,6 +286,10 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         llm.q_pack_sequences, llm.ORACLE_PACK_SEQUENCES,
         "offset sequence packing into 256-token budgets within hash buckets",
     ),
+    "q_moving_avg_revenue": QueryDef(
+        relational.q_moving_avg_revenue, relational.ORACLE_MOVING_AVG_REVENUE,
+        "bounded ROWS-frame moving sum/avg (trailing 3 orders per customer)",
+    ),
 }
 
 

@@ -746,3 +746,49 @@ WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
 GROUP BY l_returnflag
 """
+
+
+# --- Moving aggregate over a bounded ROWS frame ------------------------------
+
+def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-order moving revenue per customer (ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW) — the bounded-frame window shape (§2.5)
+    the ranking/sessionize queries don't cover. Integer-cents sums inside
+    the frame; the moving average divides two exact integers, so doubles
+    match DuckDB bit-for-bit. Deterministic frame order via the
+    (o_orderdate, o_orderkey) total key."""
+    configure_for_parity(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, 0)
+    )
+    mov_cents = F.sum(_cents(F.col("o_totalprice"))).over(w)
+    n_win = F.count(F.lit(1)).over(w)
+    return o.where(F.col("o_custkey") % 50 == 0).select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderdate",
+        (mov_cents.cast("double") / 100.0).alias("mov_revenue"),
+        (mov_cents.cast("double") / 100.0 / n_win.cast("double")).alias(
+            "mov_avg_revenue"
+        ),
+    )
+
+
+ORACLE_MOVING_AVG_REVENUE = """SELECT
+  CAST(o_custkey AS BIGINT) AS o_custkey,
+  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  o_orderdate,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       OVER w AS DOUBLE) / 100.0 AS mov_revenue,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       OVER w AS DOUBLE) / 100.0
+    / CAST(count(*) OVER w AS DOUBLE) AS mov_avg_revenue
+FROM orders
+WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
