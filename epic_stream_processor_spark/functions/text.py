@@ -26,8 +26,11 @@ PUNCT_CLASS = r"[.,;:!?()\[\]'\"-]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization; empty string → empty array."""
-    t = F.trim(text)
+    """Whitespace tokenization; empty string AND NULL → empty array (a
+    JSONL shard with a missing "text" field reads as NULL — every token
+    consumer must see a well-defined empty doc, not NULL propagation
+    through counts and pack assignments)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )

@@ -82,9 +82,13 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign each doc a (bucket, pack_id) training-sequence slot:
     pack_id = floor((cumsum(n_tokens) − n_tokens) / budget) over docs
-    ordered by id within their hash bucket. Docs longer than the budget
-    get a pack of their own (chunk first if that matters). Returns
-    (id, n_tokens, bucket, pack_id).
+    ordered by id within their hash bucket — i.e. a doc belongs to the
+    pack its START offset falls in. Offset packing is the pure column
+    algebra formulation, and its contract is offset-based: a doc can
+    STRADDLE a budget boundary (its pack then exceeds the budget by the
+    overhang), and an oversized doc overflows the pack it starts in. Use
+    :func:`pack_sequences_ffd` when strict per-pack budget fit matters.
+    Returns (id, n_tokens, bucket, pack_id).
 
     Scale: ONE window per hash bucket — the running sum never sees more
     than corpus/n_buckets rows per partition, n_buckets scales with the

@@ -16,9 +16,9 @@ Scale design (the 100 TB question):
 
 - The benchmark side of decontamination is small by construction (eval sets
   are MBs, the corpus is TBs) → its exploded gram set broadcasts; the
-  training corpus is never shuffled. Hit counts per doc are a tiny frame
-  (only contaminated docs) → broadcast back for the final left join. Zero
-  full-corpus exchanges end-to-end.
+  training corpus is never shuffled. Per-doc results come from ONE
+  aggregation whose map-side partials collapse each doc's co-partitioned
+  gram rows before the only (per-doc-row-sized) exchange.
 - Boilerplate df-counting is one gram-keyed shuffle with map-side partial
   aggregation (unavoidable: document frequency is a corpus-global fact).
   The surviving boilerplate set is provably small — grams with df ≥ p·N
@@ -61,6 +61,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 13,
+    bench_profile: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-overlap contamination check (13-gram collision).
 
@@ -75,7 +76,11 @@ def decontaminate(
     row-local train profile. The corpus never shuffles.
     """
     tg = ngram_profile(train, text_col, id_col, k)
-    bg = ngram_profile(bench, text_col, id_col, k)
+    # streaming callers pass a persisted ngram_profile(bench) so the static
+    # benchmark is tokenized+hashed once, not once per micro-batch trigger
+    bg = bench_profile if bench_profile is not None else ngram_profile(
+        bench, text_col, id_col, k
+    )
     # explode_outer everywhere, NEVER explode: the inner variant's
     # InferFiltersFromGenerate pushes a size()>0 predicate below the staged
     # projections with the whole gram-hash chain INLINED, re-evaluating the

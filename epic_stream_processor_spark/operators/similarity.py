@@ -701,6 +701,10 @@ def kmeans_quantized(
             ),
         )
         .select(id_col, "scale", F.col("_kq_q").alias("qv"))
+        # the iterative driver loop actions this frame once per iteration
+        # plus the seed collect — persist so the corpus is scanned and
+        # quantized once, not once per action
+        .persist()
     )
 
     seed = q.orderBy(F.col(id_col).asc()).limit(k).collect()
@@ -727,20 +731,18 @@ def kmeans_quantized(
         assigned = q.withColumn(
             "cluster_id", F.least(*dist_structs).getField("cid")
         )
+        # ONE aggregation job per iteration: every member contributes one
+        # row per dimension, so count(*) at any d IS the member count — no
+        # separate counts job re-scanning the corpus
         sums = (
             assigned.select(
                 "cluster_id", F.posexplode("qv").alias("d", "v")
             )
             .groupBy("cluster_id", "d")
-            .agg(F.sum("v").alias("s"))
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        ns = {
-            r["cluster_id"]: r["n"]
-            for r in assigned.groupBy("cluster_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        ns = {r["cluster_id"]: r["n"] for r in sums if r["d"] == 0}
         new_cents = {cid: list(cv) for cid, cv in cents.items()}
         per: dict[int, dict[int, int]] = {}
         for r in sums:
@@ -754,6 +756,7 @@ def kmeans_quantized(
         cents = new_cents
         counts = {cid: ns.get(cid, 0) for cid in cents}
 
+    q.unpersist()
     rows = [
         (cid, counts.get(cid, 0), float(scale_val), cents[cid])
         for cid in sorted(cents)

@@ -32,14 +32,18 @@ def corpus_token_sketch(
     text_col: str = "text",
     rsd: float = 0.02,
 ) -> DataFrame:
-    """One-pass corpus profile: total token occurrences (exact — counting
-    is cheap), approximate distinct tokens (HLL++), and approximate doc
+    """Corpus profile: total token occurrences (exact — counting is
+    cheap), approximate distinct tokens (HLL++), and approximate doc
     length quantiles (p50/p90/p99).
 
-    Plan shape: explode tokens → ONE aggregation with map-side partial
-    sketches (HLL registers and GK summaries merge associatively), so the
-    shuffle moves one sketch per partition, not one row per token — the
-    whole point at corpus scale.
+    Plan shape: TWO aggregation jobs over the staged token frame — doc
+    granularity for the quantiles (aggregating after the explode would
+    weight each doc by its token count), token granularity for the HLL —
+    each with map-side partial sketches (HLL registers and GK summaries
+    merge associatively), so each shuffle moves one sketch per partition,
+    not one row per token. The corpus is scanned twice; at real scale
+    persist the staged frame or accept the second scan — the shuffle, not
+    the scan, is what the sketches exist to avoid.
     """
     from ..functions.text import tokens
 

@@ -8,9 +8,12 @@ schema inference is a full extra pass over the data (JSON) or a sampling
 job (CSV) — a non-starter at 100 TB, and silently type-unstable (a shard
 whose doc_ids all look numeric infers differently than one that doesn't).
 
-Batch and streaming readers share the same schema contract, so a JSONL
-drop directory can feed ``streaming/pipeline.run_corpus_ingest_stream``
-unchanged.
+Batch and streaming readers share the same schema contract;
+``streaming/pipeline.run_corpus_ingest_stream`` (and the decontaminated
+variant) route through :func:`stream_corpus` via their ``fmt``/``schema``
+parameters, so a JSONL or CSV drop directory feeds them directly — and a
+24/7 pipeline on a non-parquet drop dir can start on an EMPTY directory
+(the explicit schema removes the need to borrow one from existing files).
 """
 
 from __future__ import annotations

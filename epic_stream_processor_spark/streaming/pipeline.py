@@ -220,6 +220,8 @@ def run_corpus_ingest_stream(
     checkpoint: str,
     min_quality: float = 0.5,
     available_now: bool = True,
+    fmt: str = "parquet",
+    schema=None,
 ):
     """The full training-data ingestion pipeline as ONE continuous stream:
     quality gate → first-seen exact dedup → deterministic train/val/test
@@ -236,9 +238,9 @@ def run_corpus_ingest_stream(
     """
     from ..functions.text import quality_score
     from ..operators.sampling import hash_bucket
+    from ..sources.corpus import stream_corpus
 
-    static = spark.read.parquet(docs_path)
-    stream = spark.readStream.schema(static.schema).parquet(docs_path)
+    stream = stream_corpus(spark, docs_path, fmt, schema)
     gated = (
         stream.withColumn("quality_score", quality_score(F.col("text")))
         .where(F.col("quality_score") >= F.lit(min_quality))
@@ -269,16 +271,26 @@ def make_corpus_sink(bench: DataFrame, out_path: str, k: int = 13):
     lands in its own `_batch_id=N` partition directory with OVERWRITE, so a
     checkpoint-replayed batch rewrites the same directory instead of
     double-appending — the same idempotence contract as the image
-    pipeline's dual sink."""
-    from ..operators.contamination import decontaminate
+    pipeline's dual sink.
+
+    The static benchmark's 13-gram profile is computed ONCE here and
+    persisted — without this every micro-batch trigger re-tokenizes and
+    re-hashes the whole benchmark (1440 redundant jobs/day at a 1-minute
+    trigger)."""
+    from ..operators.contamination import decontaminate, ngram_profile
     from ..operators.sampling import hash_split
 
+    bench_profile = ngram_profile(bench, k=k).persist()
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        verdicts = decontaminate(batch_df, bench, k=k).where(
-            ~F.col("contaminated")
-        )
+        # broadcast the CONTAMINATED set (small by construction — same
+        # rule as dedup_corpus: never broadcast the keepers, who are
+        # nearly the whole batch) and anti-join it away
+        dirty = decontaminate(
+            batch_df, bench, k=k, bench_profile=bench_profile
+        ).where(F.col("contaminated"))
         clean = batch_df.join(
-            F.broadcast(verdicts.select("doc_id")), "doc_id", "left_semi"
+            F.broadcast(dirty.select("doc_id")), "doc_id", "left_anti"
         )
         hash_split(clean, {"train": 98, "val": 1, "test": 1}).write.mode(
             "overwrite"
@@ -296,6 +308,8 @@ def run_corpus_ingest_decontaminated(
     min_quality: float = 0.5,
     k: int = 13,
     available_now: bool = True,
+    fmt: str = "parquet",
+    schema=None,
 ):
     """Corpus ingestion with a benchmark-decontamination stage: quality gate
     → first-seen dedup (streaming DSL, stateful) → per-micro-batch
@@ -309,11 +323,11 @@ def run_corpus_ingest_decontaminated(
     never reach the training corpus.
     """
     from ..functions.text import quality_score
+    from ..sources.corpus import stream_corpus
 
     bench = spark.read.parquet(bench_path)
 
-    static = spark.read.parquet(docs_path)
-    stream = spark.readStream.schema(static.schema).parquet(docs_path)
+    stream = stream_corpus(spark, docs_path, fmt, schema)
     gated = (
         stream.withColumn("quality_score", quality_score(F.col("text")))
         .where(F.col("quality_score") >= F.lit(min_quality))

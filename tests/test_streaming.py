@@ -451,3 +451,28 @@ def test_corpus_sink_batch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == first > 0
     sink(batch.limit(40), 8)  # a new batch appends its own directory
     assert spark.read.parquet(out).count() > first
+
+
+def test_corpus_ingest_stream_from_jsonl(spark, tmp_path):
+    """The ingest pipeline consumes a JSONL drop dir directly (fmt param →
+    stream_corpus, explicit schema, no parquet detour)."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_corpus_ingest_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    jdir = str(tmp_path / "drop")
+    docs.write.json(jdir)
+    out = str(tmp_path / "out")
+    q = run_corpus_ingest_stream(
+        spark, jdir, out, str(tmp_path / "ckpt"),
+        min_quality=0.5, available_now=True, fmt="jsonl",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert got.where(F.col("quality_score") < 0.5).count() == 0
