@@ -25,7 +25,7 @@ from epic_stream_processor_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("epic-bench")
+    spark = get_spark("epic-bench", profile="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = {n: q for n, q in QUERIES.items() if q.bench}

@@ -163,6 +163,10 @@ def pack_sequences_ffd(
         pdf["pack_id"] = pd.Series(assigned, dtype="int64")
         return pdf
 
+    # id type follows the input (string URLs, ints, ...) — the packer never
+    # touches the id beyond sorting, so any orderable type passes through
+    id_type = staged.schema[id_col].dataType.simpleString()
     return staged.groupBy("bucket").applyInPandas(
-        pack, schema=f"{id_col} long, n_tokens long, bucket long, pack_id long"
+        pack,
+        schema=f"{id_col} {id_type}, n_tokens long, bucket long, pack_id long",
     )

@@ -90,13 +90,18 @@ def compact_parquet(
 
     Returns the number of output files requested.
     """
-    import os
-
+    # Size via the Hadoop FileSystem API so hdfs:// / s3a:// paths (the
+    # actual 100 TB deployment context) are listed correctly — os.walk would
+    # silently report 0 bytes there and coalesce the directory to ONE file.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
     n_files = max(1, total // (target_file_mb * 1024**2) + (
         1 if total % (target_file_mb * 1024**2) else 0
     ))

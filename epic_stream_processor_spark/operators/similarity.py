@@ -708,8 +708,15 @@ def kmeans_quantized(
     )
 
     seed = q.orderBy(F.col(id_col).asc()).limit(k).collect()
+    if not seed:
+        # empty corpus: no centroids to fit (and F.least below needs >=1 arg)
+        q.unpersist()
+        return spark.createDataFrame(
+            [],
+            "centroid_id long, n_members long, scale double, qcentroid array<bigint>",
+        )
     cents = {i + 1: list(r["qv"]) for i, r in enumerate(seed)}
-    scale_val = seed[0]["scale"] if seed else 1.0
+    scale_val = seed[0]["scale"]
 
     counts: dict[int, int] = {}
     for _ in range(n_iter):
@@ -728,9 +735,14 @@ def kmeans_quantized(
             )
             for cid, cv in sorted(cents.items())
         ]
-        assigned = q.withColumn(
-            "cluster_id", F.least(*dist_structs).getField("cid")
+        # F.least requires >=2 args; a 1-vector corpus (or k=1) has a
+        # single centroid and the assignment is constant
+        best = (
+            dist_structs[0]
+            if len(dist_structs) == 1
+            else F.least(*dist_structs)
         )
+        assigned = q.withColumn("cluster_id", best.getField("cid"))
         # ONE aggregation job per iteration: every member contributes one
         # row per dimension, so count(*) at any d IS the member count — no
         # separate counts job re-scanning the corpus

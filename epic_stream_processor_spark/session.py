@@ -14,31 +14,69 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "epic-stream-processor-spark") -> SparkSession:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
-        # One shuffle partition per core locally; on a cluster this would be
-        # sized to ~128 MB of shuffle data per partition (AQE coalesces down).
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        # Local fixtures are single ~1-10 MB parquet files: at the 128 MB
-        # default every scan is ONE task and 31 cores idle through the
-        # decode. 2 MB splits fan the scan out (row-group granularity);
-        # measured −30% on the scan-bound headliners at sf0.1. On a real
-        # deployment cluster_conf() derives the 128 MB production value —
-        # this is the same keep-the-cores-busy rule applied to local data.
-        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+def profile_confs(profile: str, cpus: int) -> dict[str, str]:
+    """Conf dict for a session profile. Pure function so it is unit-testable
+    without starting a JVM (sessions are per-JVM singletons, so you cannot
+    observe two profiles' confs from one test process otherwise).
+
+    Profiles:
+    - ``local`` (library/CLI default): AQE + Arrow + UTC, one shuffle
+      partition per core, and Spark's stock 128 MB scan splits. This is what
+      ``corpus-ingest`` and any embedding user gets — no fixture-tuned knobs.
+    - ``bench``: ``local`` plus 2 MB scan splits. Local fixtures are single
+      ~1-10 MB parquet files: at the 128 MB default every scan is ONE task
+      and 31 cores idle through the decode; 2 MB splits fan the scan out
+      (row-group granularity), measured −30% on scan-bound headliners at
+      sf0.1. Fixture-only tuning — never shipped in ``local``/``cluster``.
+    - ``cluster``: :func:`cluster_conf` values, sized from
+      ``SPARK_GRAFT_INPUT_TB`` / ``SPARK_GRAFT_EXECUTORS`` /
+      ``SPARK_GRAFT_EXEC_CORES`` / ``SPARK_GRAFT_EXEC_MEM_GB`` env vars.
+    """
+    base = {
+        # One shuffle partition per core locally; on a cluster this is
+        # sized to ~128 MB of shuffle data per partition (AQE coalesces).
+        "spark.sql.shuffle.partitions": str(cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.ui.enabled": "false",
+    }
+    if profile == "bench":
+        base["spark.sql.files.maxPartitionBytes"] = str(2 * 1024 * 1024)
+        base["spark.sql.files.openCostInBytes"] = str(512 * 1024)
+    elif profile == "cluster":
+        base.update(
+            cluster_conf(
+                input_tb=float(os.environ.get("SPARK_GRAFT_INPUT_TB", "1")),
+                executors=int(os.environ.get("SPARK_GRAFT_EXECUTORS", "8")),
+                cores_per_executor=int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4")),
+                executor_mem_gb=int(os.environ.get("SPARK_GRAFT_EXEC_MEM_GB", "16")),
+            )
+        )
+    elif profile != "local":
+        raise ValueError(f"unknown session profile {profile!r}")
+    return base
+
+
+def get_spark(
+    app_name: str = "epic-stream-processor-spark", profile: str | None = None
+) -> SparkSession:
+    """Session factory. ``profile`` defaults to ``$SPARK_GRAFT_PROFILE`` or
+    ``local``; tests/bench pass ``bench`` explicitly. The ``cluster`` profile
+    does not force a local master — spark-submit supplies it there.
+    """
+    profile = profile or os.environ.get("SPARK_GRAFT_PROFILE", "local")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.appName(app_name)
+    if profile != "cluster":
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g")
+        )
+    for k, v in profile_confs(profile, cpus).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
 
 
 def session_key(spark: SparkSession) -> str:

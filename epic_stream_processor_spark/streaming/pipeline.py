@@ -227,8 +227,17 @@ def run_corpus_ingest_stream(
     quality gate → first-seen exact dedup → deterministic train/val/test
     split — what a corpus builder runs 24/7 as crawl shards land, composed
     from the same column expressions the batch operators use (quality_score,
-    md5 content hash, hash_split buckets), so stream output == batch output
-    on identical input (pinned by test).
+    md5 content hash, hash_split buckets).
+
+    Equivalence contract vs the batch composition (pinned by tests): the
+    SET of surviving content hashes is identical, every survivor clears the
+    quality gate, and each survivor's bucket/split is the pure hash of its
+    own doc_id. WHICH doc_id survives per duplicate content hash is
+    first-seen (arbitrary within a micro-batch — ``dropDuplicates`` keeps
+    an arbitrary row, in stream and batch alike), so row-level doc_id
+    equality between stream and batch is NOT promised when duplicate texts
+    exist. Callers needing a canonical survivor should run the batch
+    ``dedup_corpus`` (min-doc_id keeper) over the deduped output.
 
     Stage order matters at scale: the quality gate is stateless and runs
     FIRST so rejected documents never enter the dedup state store; dedup

@@ -18,7 +18,7 @@ TABLES = [
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("epic-tests")
+    s = get_spark("epic-tests", profile="bench")
     yield s
 
 

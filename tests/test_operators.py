@@ -525,6 +525,78 @@ def test_kmeans_quantized_empty_cluster_keeps_centroid(spark):
         assert all(abs(c) <= 127 for c in r.qcentroid)
 
 
+def test_kmeans_quantized_single_vector_and_empty(spark):
+    """k=1 / single-vector corpora must not hit F.least's >=2-arg floor,
+    and an empty corpus returns an empty (schema-stable) frame instead of
+    calling F.least() with no args."""
+    from epic_stream_processor_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    one = spark.createDataFrame(
+        [(1, [3.0, -4.0])], "vec_id long, embedding array<float>"
+    )
+    out = kmeans_quantized(one, k=1, n_iter=2).collect()
+    assert len(out) == 1 and out[0].n_members == 1
+
+    empty = one.where("vec_id < 0")
+    eout = kmeans_quantized(empty, k=4, n_iter=2)
+    assert eout.count() == 0
+    assert [f.name for f in eout.schema.fields] == [
+        "centroid_id", "n_members", "scale", "qcentroid",
+    ]
+
+
+def test_pack_sequences_ffd_string_ids(spark):
+    """Doc ids that aren't longs (string URLs) must pass through the FFD
+    packer unchanged — the output schema follows the input id type."""
+    from epic_stream_processor_spark.operators.chunking import (
+        pack_sequences_ffd,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"https://example.com/{i}", "tok " * (i % 7 + 1)) for i in range(40)],
+        "doc_id string, text string",
+    )
+    out = pack_sequences_ffd(docs, budget=16, n_buckets=4)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == {
+        f"https://example.com/{i}" for i in range(40)
+    }
+
+
+def test_session_profiles():
+    """The library/CLI default profile must NOT carry the 2 MB fixture scan
+    splits (ADVICE r3: a 100 GB corpus would get ~51k scan tasks); bench
+    keeps them; cluster derives from cluster_conf."""
+    import os
+
+    from epic_stream_processor_spark.session import profile_confs
+
+    local = profile_confs("local", 32)
+    assert "spark.sql.files.maxPartitionBytes" not in local
+    assert local["spark.sql.adaptive.enabled"] == "true"
+
+    bench = profile_confs("bench", 32)
+    assert bench["spark.sql.files.maxPartitionBytes"] == str(2 * 1024 * 1024)
+
+    os.environ["SPARK_GRAFT_INPUT_TB"] = "100"
+    os.environ["SPARK_GRAFT_EXECUTORS"] = "1000"
+    try:
+        clust = profile_confs("cluster", 32)
+    finally:
+        del os.environ["SPARK_GRAFT_INPUT_TB"]
+        del os.environ["SPARK_GRAFT_EXECUTORS"]
+    assert int(clust["spark.sql.shuffle.partitions"]) > 100_000
+    assert clust["spark.sql.files.maxPartitionBytes"] == str(128 * 1024**2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_confs("nope", 32)
+
+
 def test_chunk_documents_reconstructs_text(spark):
     """Chunks with the overlap stripped must reassemble the original
     token stream exactly; every chunk fits the window."""

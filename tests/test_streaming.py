@@ -362,6 +362,55 @@ def test_corpus_ingest_stream_matches_batch_composition(spark, tmp_path):
     assert got.count() == got.select("content_hash").distinct().count()
 
 
+def test_corpus_ingest_stream_duplicate_texts_contract(spark, tmp_path):
+    """With genuine duplicate texts in the corpus, the ingest stream's
+    contract is hash-set equivalence, not row-level survivor identity:
+    exactly one survivor per content hash, the surviving hash set equals
+    the batch composition's, and each survivor's bucket/split is the pure
+    hash of its OWN doc_id (whichever doc won)."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.functions.text import quality_score
+    from epic_stream_processor_spark.operators.sampling import hash_bucket
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_corpus_ingest_stream,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    # clone every text under a different doc_id -> every hash has 2 claimants
+    dup = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        *[c for c in base.columns if c != "doc_id"],
+    )
+    docs_path = str(tmp_path / "docs")
+    base.unionByName(dup).write.parquet(docs_path)
+
+    out = str(tmp_path / "corpus")
+    q = run_corpus_ingest_stream(
+        spark, docs_path, out, str(tmp_path / "ckpt"),
+        min_quality=0.5, available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    want_hashes = {
+        r.h
+        for r in base.withColumn("qs", quality_score(F.col("text")))
+        .where(F.col("qs") >= 0.5)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    got_hashes = [r.content_hash for r in got.select("content_hash").collect()]
+    assert len(got_hashes) == len(set(got_hashes)), "a hash surfaced twice"
+    assert set(got_hashes) == want_hashes and len(want_hashes) > 0
+    # survivor's bucket/split must be derived from its own doc_id
+    bad = got.where(
+        F.col("bucket") != hash_bucket(F.col("doc_id"), "split", 100)
+    ).count()
+    assert bad == 0
+
+
 def test_corpus_ingest_decontaminated_stream(spark, tmp_path):
     """The decontaminating ingest stream must drop exactly the docs the
     batch decontaminate operator flags (and only those), after the same
