@@ -474,17 +474,28 @@ FROM gathered
 def q_detect_transient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference ships ``detect_transient`` as an identity placeholder on
     the stream (service_hub.py:73-75). This is the real operator: per-source
-    integrated power per epoch, flag epochs whose power exceeds 1.5× the
-    source's mean — a light-curve outburst detector.
+    integrated power per epoch, flag epochs whose power sits more than 2
+    standard deviations above the source's mean — a light-curve outburst
+    detector. (A fixed 1.5× multiple never fires on realistic sky noise —
+    the fixture's power ratios span 0.92–1.08 — so the threshold adapts to
+    each source's measured variance, as a real detector must.)
 
-    Exactness: powers are sums of integer-valued doubles (< 2^53), so every
-    aggregation order is exact; avg and the 1.5× threshold are identical
-    expressions on identical operands in both engines.
+    Exactness: powers are sums of integer-valued doubles (< 2^53), so they
+    cast to exact integers and the 2σ predicate
+
+        (n·p − S)² · (n−1)  >  4 · n · (n·Q − S²),   n·p > S
+
+    (the square of ``p − mean > 2·sd`` cleared of divisions, with S = Σp,
+    Q = Σp²) evaluates in EXACT decimal/int128 arithmetic in both engines —
+    no float rounding can flip a boundary row. ``avg_power`` = S/n and
+    ``ratio`` are correctly-rounded doubles of exact integers, identical
+    across engines.
 
     Scale: one groupBy on (source, epoch) with map-side partial agg, then a
-    window keyed by source. With few hot sources the per-source mean is a
-    tiny second aggregate — at 1000 executors broadcast it back instead of
-    windowing if source cardinality is low.
+    window keyed by source carrying three exact partials (n, S, Q). With few
+    hot sources the per-source moments are a tiny second aggregate — at 1000
+    executors broadcast them back instead of windowing if source cardinality
+    is low.
     """
     from pyspark.sql import Window
 
@@ -493,14 +504,32 @@ def q_detect_transient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pixel_values", F.lit(0.0), lambda a, x: a + x
     )
     per = px.groupBy("source_name", "t_obs").agg(F.sum(row_power).alias("power"))
+    # decimal(38,0) keeps every product exact far beyond long range (the
+    # dev²·(n−1) term passes 2^63 around n≈10k epochs/source)
+    p_d = F.col("power").cast("decimal(19,0)")
     w = Window.partitionBy("source_name")
-    st = per.withColumn("avg_power", F.avg("power").over(w))
-    return st.where(F.col("power") > F.lit(1.5) * F.col("avg_power")).select(
+    st = (
+        per.withColumn("n", F.count(F.lit(1)).over(w).cast("decimal(19,0)"))
+        .withColumn("s", F.sum(p_d).over(w))
+        .withColumn("q", F.sum(p_d * p_d).over(w))
+    )
+    dev = (F.col("n") * p_d - F.col("s")).cast("decimal(38,0)")
+    lhs = dev * dev * (F.col("n") - 1).cast("decimal(38,0)")
+    rhs = (
+        F.lit(4).cast("decimal(38,0)")
+        * F.col("n").cast("decimal(38,0)")
+        * (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("decimal(38,0)")
+    )
+    flagged = st.where((F.col("n") >= 2) & (dev > 0) & (lhs > rhs))
+    # divide as doubles (operands are exact ≤2^53): one correctly-rounded
+    # step, identical to the oracle — decimal division would round twice
+    avg_power = F.col("s").cast("double") / F.col("n").cast("double")
+    return flagged.select(
         "source_name",
         "t_obs",
         "power",
-        "avg_power",
-        (F.col("power") / F.col("avg_power")).alias("ratio"),
+        avg_power.alias("avg_power"),
+        (F.col("power") / avg_power).alias("ratio"),
     )
 
 
@@ -511,8 +540,18 @@ per AS (
   FROM gathered GROUP BY source_name, t_obs
 ),
 st AS (
-  SELECT *, avg(power) OVER (PARTITION BY source_name) AS avg_power FROM per
+  SELECT *,
+    count(*) OVER w AS n,
+    sum(CAST(power AS BIGINT)) OVER w AS s,
+    sum(CAST(power AS BIGINT) * CAST(power AS BIGINT)) OVER w AS q
+  FROM per WINDOW w AS (PARTITION BY source_name)
+),
+dv AS (
+  SELECT *, n * CAST(power AS BIGINT) - s AS dev FROM st
 )
-SELECT source_name, t_obs, power, avg_power, power / avg_power AS ratio
-FROM st WHERE power > 1.5 * avg_power
+SELECT source_name, t_obs, power,
+  CAST(s AS DOUBLE) / n AS avg_power,
+  power / (CAST(s AS DOUBLE) / n) AS ratio
+FROM dv
+WHERE n >= 2 AND dev > 0 AND dev * dev * (n - 1) > 4 * n * (n * q - s * s)
 """

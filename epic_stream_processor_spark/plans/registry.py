@@ -52,10 +52,6 @@ QUERIES: dict[str, QueryDef] = {
         "A1 array_element_sum light curve (functions.sql:24-28) — flagship",
         bench=True,
     ),
-    "epic_array_element_sum": QueryDef(
-        epic.q_array_element_sum, epic.ORACLE_ARRAY_ELEMENT_SUM,
-        "A1 ragged/NULL UDAF semantics fixture (functions.sql:10-16)",
-    ),
     "epic_cube_gather_real": QueryDef(
         epic.q_cube_gather_real, epic.ORACLE_CUBE_GATHER_REAL,
         "O5 with a materialized cube column: element_at flat-index gather",
@@ -94,10 +90,6 @@ QUERIES: dict[str, QueryDef] = {
         "event-time tumbling 1h aggregation (batch twin of streaming agg)",
         bench=True,
     ),
-    "q_part_brand_stats": QueryDef(
-        relational.q_part_brand_stats, relational.ORACLE_PART_BRAND_STATS,
-        "distinct-count + min/max + cents-exact sums",
-    ),
     "q_json_extract": QueryDef(
         relational.q_json_extract, relational.ORACLE_JSON_EXTRACT,
         "C13 JSON decode (get_json_object) + integer aggregates",
@@ -105,10 +97,6 @@ QUERIES: dict[str, QueryDef] = {
     "q_sessionize": QueryDef(
         relational.q_sessionize, relational.ORACLE_SESSIONIZE,
         "gap-based sessionization: lag + running sum + re-agg", bench=True,
-    ),
-    "q_nation_setops": QueryDef(
-        relational.q_nation_setops, relational.ORACLE_NATION_SETOPS,
-        "UNION ALL / INTERSECT / EXCEPT set operations",
     ),
     "q6_forecast_revenue": QueryDef(
         relational.q6_forecast_revenue, relational.ORACLE_Q6,
@@ -237,6 +225,21 @@ QUERIES: dict[str, QueryDef] = {
         "benchmark decontamination: word-13-gram collision vs held-out slice",
         bench=True,
     ),
+    # --- rotated in from EXTRA_PARITY (round 4) so long-displaced queries
+    # earn driver evidence; the rotated-out rows keep identical local rigor ---
+    "pii_scrub": QueryDef(
+        llm.q_pii_scrub, llm.ORACLE_PII_SCRUB,
+        "PII regex detect + redact over deterministically-injected fixtures",
+    ),
+    "embedding_quantize": QueryDef(
+        llm.q_embedding_quantize, llm.ORACLE_EMBEDDING_QUANTIZE,
+        "symmetric int8 quantization: scale + exact integer checksums + "
+        "reconstruction-error L2 (4x smaller ANN working set)",
+    ),
+    "chunk_documents": QueryDef(
+        llm.q_chunk_documents, llm.ORACLE_CHUNK_DOCUMENTS,
+        "context-window chunking: 32-token windows, 8 overlap, row-local",
+    ),
 }
 
 # The external driver records at most 50 query rows (verified empirically:
@@ -259,15 +262,6 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         llm.q_boilerplate_ngrams, llm.ORACLE_BOILERPLATE_NGRAMS,
         "per-doc boilerplate n-gram load (corpus df >= 1%), C4/CCNet-style",
     ),
-    "pii_scrub": QueryDef(
-        llm.q_pii_scrub, llm.ORACLE_PII_SCRUB,
-        "PII regex detect + redact over deterministically-injected fixtures",
-    ),
-    "embedding_quantize": QueryDef(
-        llm.q_embedding_quantize, llm.ORACLE_EMBEDDING_QUANTIZE,
-        "symmetric int8 quantization: scale + exact integer checksums + "
-        "reconstruction-error L2 (4x smaller ANN working set)",
-    ),
     "kmeans_centroids": QueryDef(
         llm.q_kmeans_centroids, None,
         "float-mean Lloyd k-means (rows-only: cross-engine summation-order "
@@ -278,9 +272,20 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "feature-hashing text embeddings (signed md5 buckets, integer-exact "
         "— the vocabulary-free text→vector path into the ANN operators)",
     ),
-    "chunk_documents": QueryDef(
-        llm.q_chunk_documents, llm.ORACLE_CHUNK_DOCUMENTS,
-        "context-window chunking: 32-token windows, 8 overlap, row-local",
+    # --- rotated out of driver slots in round 4 (each had 3 green rows);
+    # identical local rigor via the parity suite ---
+    "epic_array_element_sum": QueryDef(
+        epic.q_array_element_sum, epic.ORACLE_ARRAY_ELEMENT_SUM,
+        "A1 ragged/NULL UDAF semantics fixture (functions.sql:10-16; A1 "
+        "stays driver-proven via epic_light_curve)",
+    ),
+    "q_nation_setops": QueryDef(
+        relational.q_nation_setops, relational.ORACLE_NATION_SETOPS,
+        "UNION ALL / INTERSECT / EXCEPT set operations",
+    ),
+    "q_part_brand_stats": QueryDef(
+        relational.q_part_brand_stats, relational.ORACLE_PART_BRAND_STATS,
+        "distinct-count + min/max + cents-exact sums",
     ),
     "pack_sequences": QueryDef(
         llm.q_pack_sequences, llm.ORACLE_PACK_SEQUENCES,

@@ -90,6 +90,33 @@ def test_rows_only_query_runs(spark, name):
     assert len(sdf.schema.fields) > 0
 
 
+def test_detect_transient_fires_at_driver_sf(spark):
+    """A 0-row result trivially hash-matches any oracle — the detection
+    predicate is only *proven* when it both fires and rejects. At the
+    driver's sf0.01 the 2σ detector must flag ≥1 outburst while rejecting
+    the overwhelming majority of (source, epoch) rows."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.plans.epic import (
+        _pipeline,
+        q_detect_transient,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    flagged = q_detect_transient(spark, sf_dir).collect()
+    assert len(flagged) >= 1, "detector never fires at driver SF"
+    row_power = F.aggregate("pixel_values", F.lit(0.0), lambda a, x: a + x)
+    n_epochs = (
+        _pipeline(spark, sf_dir)
+        .groupBy("source_name", "t_obs")
+        .agg(F.sum(row_power))
+        .count()
+    )
+    assert len(flagged) < n_epochs * 0.05, "detector fires indiscriminately"
+    for r in flagged:
+        assert r.ratio > 1.0 and r.power > r.avg_power
+
+
 # Value canonicalization stringifies ints, so a DuckDB HUGEINT (e.g. an
 # un-cast sum()) or DECIMAL literal passthrough would compare equal locally
 # yet hash-mismatch under the driver's pandas-based canonicalizer. This
