@@ -1,11 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Treats image/audio/video as ``binary`` columns with a typed metadata struct,
-processed via Arrow-batched ``mapInPandas`` — the Spark-side plumbing
-(schema, batch shape, partitioning) is real and tested; the actual codec
-step is STUBBED (this container has no image/audio libraries) behind
-``decode_stub``, a deterministic fake that derives "features" from the raw
-bytes. Swap ``_decode_batch``'s body for PIL/libav calls in production.
+processed via Arrow-batched ``mapInPandas``. Two codec tiers:
+
+- **Real (stdlib-only): 24-bpp uncompressed BMP** — ``docs_as_bmp`` writes
+  genuine BMP files (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows,
+  4-byte row padding, BGR triples) and ``decode_bmp`` parses them back
+  header-first. No image library needed; the full container format is
+  public (Windows BMP, documented in every imaging text).
+- **Stubbed**: formats that need PIL/libav (JPEG/PNG/audio/video) fall to
+  ``decode_media``'s deterministic fake, clearly labeled. Swap its body
+  for real codec calls in production.
 
 Scale notes: mapInPandas streams Arrow batches through the Python worker —
 budget ``spark.sql.execution.arrow.maxRecordsPerBatch`` against payload size
@@ -100,6 +105,170 @@ def decode_media(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                 yield decode_batch(pdf.iloc[start : start + batch_rows])
 
     return media.mapInPandas(gen, schema=DECODED_SCHEMA)
+
+
+# --- Real BMP codec (stdlib struct only) ------------------------------------
+
+BMP_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("byte_len", LongType(), False),  # BMP file size
+        StructField("n_pixels", LongType(), True),
+        StructField("gray_hex8", StringType(), True),  # first ≤8 pixels, hex
+        StructField("gray", BinaryType(), True),  # full decoded pixel bytes
+    ]
+)
+
+
+def encode_bmp_gray(data: bytes, width: int) -> bytes:
+    """Write a real 24-bpp uncompressed BMP whose pixels are the grayscale
+    bytes of ``data`` laid out row-major top-down (tail zero-padded to fill
+    the last row). Pure stdlib: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER
+    (40 B), rows stored bottom-up, each row padded to a 4-byte boundary,
+    pixels as BGR triples with B=G=R=gray."""
+    import struct as _struct
+
+    w = max(int(width), 1)
+    h = max((len(data) + w - 1) // w, 1)
+    stride = (w * 3 + 3) // 4 * 4
+    size = 14 + 40 + h * stride
+    out = bytearray()
+    out += _struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    out += _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * stride,
+                        2835, 2835, 0, 0)
+    pad = b"\x00" * (stride - w * 3)
+    for r in range(h - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        base = r * w
+        for x in range(w):
+            g = data[base + x] if base + x < len(data) else 0
+            row += bytes((g, g, g))  # B, G, R
+        out += row + pad
+    return bytes(out)
+
+
+def docs_as_bmp(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture adapter: render each document's UTF-8 bytes as a real BMP
+    image (width = id % 13 + 4, so row padding of 0-3 bytes and multi-row
+    layouts are all exercised). The payload is a genuine openable .bmp."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct  # noqa: F401  (self-contained closure)
+
+        import pandas as _pd
+
+        def enc(data: bytes, width: int) -> bytes:
+            w = max(int(width), 1)
+            h = max((len(data) + w - 1) // w, 1)
+            stride = (w * 3 + 3) // 4 * 4
+            size = 14 + 40 + h * stride
+            out = bytearray()
+            out += _struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+            out += _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                h * stride, 2835, 2835, 0, 0)
+            pad = b"\x00" * (stride - w * 3)
+            for r in range(h - 1, -1, -1):
+                row = bytearray()
+                base = r * w
+                for x in range(w):
+                    g = data[base + x] if base + x < len(data) else 0
+                    row += bytes((g, g, g))
+                out += row + pad
+            return bytes(out)
+
+        for pdf in batches:
+            ids, texts = pdf.iloc[:, 0], pdf.iloc[:, 1]
+            payloads = [
+                enc((t or "").encode("utf-8"), int(mid) % 13 + 4)
+                for mid, t in zip(ids, texts)
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids.astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    # positional column access in the worker (pdf[0]/pdf[1]) keeps the
+    # closure independent of caller column names
+    return (
+        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def decode_bmp(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL image decode (no stub): parse each payload as an uncompressed
+    24-bpp BMP — magic, file size, pixel offset, width/height from the
+    BITMAPINFOHEADER, bottom-up row order, 4-byte row padding — and emit the
+    top-down grayscale pixel bytes (blue channel). Rows whose payload is not
+    a decodable BMP come back with NULL dimensions/pixels instead of
+    failing the stage (bad files are data, not bugs, at corpus scale)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def dec(payload: bytes):
+            b = bytes(payload)
+            if len(b) < 54 or b[:2] != b"BM":
+                return None
+            size, _r1, _r2, off = _struct.unpack_from("<IHHI", b, 2)
+            hsz, w, h, _planes, bpp, comp = _struct.unpack_from("<IiiHHI", b, 14)
+            if hsz < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                return None
+            bottom_up = h > 0
+            h = abs(h)
+            stride = (w * 3 + 3) // 4 * 4
+            if off + h * stride > len(b):
+                return None
+            gray = bytearray(w * h)
+            for r in range(h):
+                src = (h - 1 - r) if bottom_up else r
+                base = off + src * stride
+                row = b[base : base + w * 3 : 3]  # blue channel
+                gray[r * w : (r + 1) * w] = row
+            return w, h, len(b), bytes(gray)
+
+        def decode_batch(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            out = {
+                "media_id": pdf["media_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                "width": [], "height": [], "byte_len": [],
+                "n_pixels": [], "gray_hex8": [], "gray": [],
+            }
+            for payload in pdf["payload"]:
+                got = dec(payload)
+                if got is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["byte_len"].append(len(bytes(payload)))
+                    out["n_pixels"].append(None)
+                    out["gray_hex8"].append(None)
+                    out["gray"].append(None)
+                else:
+                    w, h, blen, gray = got
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["byte_len"].append(blen)
+                    out["n_pixels"].append(w * h)
+                    out["gray_hex8"].append(gray[: min(8, w * h)].hex().upper())
+                    out["gray"].append(gray)
+            return _pd.DataFrame(out)
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                yield decode_batch(pdf.iloc[start : start + batch_rows])
+
+    return media.mapInPandas(gen, schema=BMP_DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

@@ -418,35 +418,56 @@ FROM embeddings
 """
 
 
-# --- Multimodal plumbing (rows-only: mapInPandas stub decode) ---------------
+# --- Multimodal: REAL BMP codec round trip ----------------------------------
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload → Arrow-batched mapInPandas decode (stub codec).
+    """REAL image decode, no stub: each document's bytes are written as a
+    genuine 24-bpp BMP (``docs_as_bmp``: real BITMAPFILEHEADER/INFOHEADER,
+    bottom-up rows, 4-byte row padding) and ``decode_bmp`` parses width,
+    height, file size, and the pixel bytes back out of the binary payload
+    inside the Arrow-batched Python stage.
 
-    The compared output is the decode's scalar columns (byte_len, the
-    stub-derived width/height, and the feature count) — all computed INSIDE
-    the Python worker, so the oracle hash-checks that the mapInPandas stage
-    ran with exactly the right batch shape and arithmetic. The feature
-    *values* (raw payload bytes, not SQL-reachable in DuckDB) stay covered
-    by the operator pytest.
+    The oracle recomputes every output — including the first 8 decoded
+    pixel bytes — from the BMP format's published layout rules, so an
+    encoder or decoder bug anywhere (row order, padding arithmetic, channel
+    order, header field offsets) breaks the hash match.
     """
+    from ..operators.multimodal import decode_bmp, docs_as_bmp
+
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
-    dec = decode_media(docs_as_media(docs))
+    dec = decode_bmp(docs_as_bmp(docs))
     return dec.select(
-        "media_id", "media_type", "byte_len", "width", "height",
-        F.size("features").cast("long").alias("n_features"),
+        "media_id", "media_type", "width", "height", "byte_len",
+        "n_pixels", "gray_hex8",
     )
 
 
-ORACLE_MULTIMODAL_DECODE = """SELECT
-  doc_id AS media_id,
+# width is the adapter's id%13+4; height = ceil(text_bytes/width) (min 1);
+# file size = 54-byte headers + height·row_stride with stride padded to 4;
+# the first ≤8 decoded pixels are the first ≤8 text bytes zero-padded to
+# the pixel count — all derivable in SQL from the documents table.
+ORACLE_MULTIMODAL_DECODE = """WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         hex(encode(text)) AS hx,
+         CAST(doc_id % 13 + 4 AS BIGINT) AS w
+  FROM documents
+),
+g AS (
+  SELECT media_id, n, hx, w,
+         greatest((n + w - 1) // w, 1) AS h,
+         (w * 3 + 3) // 4 * 4 AS stride
+  FROM m
+)
+SELECT media_id,
   'image' AS media_type,
-  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
-  CAST(least(octet_length(encode(text)), 8) AS BIGINT) AS n_features
-FROM documents
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(54 + h * stride AS BIGINT) AS byte_len,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  rpad(substring(hx, 1, 2 * least(8, w * h)), CAST(2 * least(8, w * h) AS INTEGER), '0') AS gray_hex8
+FROM g
 """
 
 

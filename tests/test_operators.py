@@ -597,6 +597,75 @@ def test_session_profiles():
         profile_confs("nope", 32)
 
 
+def test_bmp_codec_round_trip(spark):
+    """Real BMP encode→decode round trip on the documents fixture: decoded
+    grayscale bytes must equal the original text bytes plus zero padding,
+    for widths covering every 4-byte row-padding residue (w*3 % 4 ∈
+    {0,1,2,3} across id%13+4 ∈ [4,16])."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.multimodal import (
+        decode_bmp,
+        docs_as_bmp,
+    )
+
+    docs = FX.load_table(spark, SF_DIR, "documents").limit(60)
+    dec = decode_bmp(docs_as_bmp(docs)).join(
+        docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+    )
+    rows = dec.collect()
+    assert len(rows) == 60
+    widths = set()
+    for r in rows:
+        data = (r.text or "").encode("utf-8")
+        w = r.media_id % 13 + 4
+        h = max((len(data) + w - 1) // w, 1)
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert bytes(r.gray) == data + b"\x00" * (w * h - len(data))
+        assert r.byte_len == 54 + h * ((w * 3 + 3) // 4 * 4)
+        widths.add(w % 4)
+    assert widths == {0, 1, 2, 3}, "fixture missed a row-padding residue"
+
+
+def test_bmp_encoder_golden_layout():
+    """Pin the encoder to the published BMP layout: a 2×2 image must be 70
+    bytes (54 header + 2 rows of 8: 6 pixel bytes + 2 pad), magic 'BM',
+    pixel offset 54, header size 40, bpp 24, rows bottom-up in BGR."""
+    import struct
+
+    from epic_stream_processor_spark.operators.multimodal import (
+        encode_bmp_gray,
+    )
+
+    b = encode_bmp_gray(bytes([10, 20, 30, 40]), width=2)
+    assert len(b) == 70 and b[:2] == b"BM"
+    size, _, _, off = struct.unpack_from("<IHHI", b, 2)
+    hsz, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    assert (size, off, hsz, w, h, planes, bpp, comp) == (70, 54, 40, 2, 2, 1, 24, 0)
+    # bottom-up: file row 0 is image row 1 (pixels 30,40), padded to 8 bytes
+    assert b[54:62] == bytes([30, 30, 30, 40, 40, 40, 0, 0])
+    assert b[62:70] == bytes([10, 10, 10, 20, 20, 20, 0, 0])
+
+
+def test_bmp_decoder_rejects_non_bmp(spark):
+    """Garbage payloads (no magic / truncated / wrong bpp) decode to NULL
+    dims instead of failing the stage — bad files are data at corpus
+    scale, not exceptions."""
+    from epic_stream_processor_spark.operators.multimodal import decode_bmp
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"not a bmp at all, just text padded to length....", 48),
+            (2, "image", b"BM" + b"\x00" * 20, 22),  # truncated header
+        ],
+        "media_id long, media_type string, payload binary, byte_len long",
+    )
+    rows = {r.media_id: r for r in decode_bmp(media).collect()}
+    assert rows[1].width is None and rows[1].gray is None
+    assert rows[2].width is None
+    assert rows[1].byte_len == 48  # raw length still reported
+
+
 def test_chunk_documents_reconstructs_text(spark):
     """Chunks with the overlap stripped must reassemble the original
     token stream exactly; every chunk fits the window."""
