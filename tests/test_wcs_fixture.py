@@ -7,15 +7,26 @@ and the pandas-UDF *bodies* are driven directly via ``.func`` on pandas
 Series — so the astropy branch (reference ``watch_dog.py:377-382``,
 ``_utils/Utils.py:75-85``) executes for real and its wiring (header dict →
 WCS, 1-based origin, ISO timestamp parsing, site coordinates) is
-regression-locked. The fake's transform carries a sin/cos warp term the
-linear fallback lacks, so these tests fail if the branch silently falls
-back to linear. The Arrow/worker plumbing of the same UDFs is covered by
-``test_operators.test_wcs_pandas_udf_linear_fallback``.
+regression-locked.
+
+The fake WCS is NOT an invented warp: it implements the published SIN
+(orthographic, slant-free) projection from the FITS WCS standard —
+Calabretta & Greisen, "Representations of celestial coordinates in FITS"
+(Paper II), A&A 395, 1077 (2002): the celestial→native spherical rotation
+of eq. (5) with the zenithal native pole at CRVAL and LONPOLE = 180°, and
+the SIN radial function R_θ = (180/π)·cosθ of §5.1.5. The golden values in
+the tests are hard-coded literals derived from those equations (each
+re-derivable by hand from the paper), NOT recomputed through the fake — so
+the test catches a bug in the fake itself, and the same literals validate
+REAL astropy whenever it is present (these headers carry CTYPE
+'RA---SIN'/'DEC--SIN', which real ``all_world2pix`` handles identically).
+A silent linear fallback diverges from the goldens by 0.9–7 px on the
+RA-offset points and fails loudly. The Arrow/worker plumbing of the same
+UDFs is covered by ``test_operators.test_wcs_pandas_udf_linear_fallback``.
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import types
 
@@ -23,15 +34,18 @@ import numpy as np
 import pandas as pd
 import pytest
 
+# An off-center SIN projection: nonlinearity is O(px) at these field angles.
 HDR = {
-    "CRVAL1": 180.0, "CRVAL2": 0.0,
+    "CTYPE1": "RA---SIN", "CTYPE2": "DEC--SIN",
+    "CRVAL1": 180.0, "CRVAL2": 45.0,
     "CRPIX1": 32.0, "CRPIX2": 32.0,
     "CDELT1": -1.444, "CDELT2": 1.444,
+    "CUNIT1": "deg", "CUNIT2": "deg",
 }
 
 
 def _fake_astropy_modules():
-    """Build the fake astropy module tree (deterministic, warped)."""
+    """Fake astropy implementing the real Paper II SIN projection."""
     astropy = types.ModuleType("astropy")
 
     wcs_mod = types.ModuleType("astropy.wcs")
@@ -39,27 +53,54 @@ def _fake_astropy_modules():
     class WCS:
         def __init__(self, hdr, naxis=None):
             assert naxis == 2, "UDFs must build a 2-axis WCS"
+            assert hdr.get("CTYPE1", "").endswith("SIN"), (
+                "fixture header must request the SIN projection"
+            )
             self.h = dict(hdr)
 
         def all_world2pix(self, ra, dec, origin):
             assert origin == 1, "reference uses 1-based pixel origin"
             h = self.h
-            ra = np.asarray(ra, dtype="float64")
-            dec = np.asarray(dec, dtype="float64")
-            x = (ra - h["CRVAL1"]) / h["CDELT1"] + h["CRPIX1"] \
-                + 0.25 * np.sin(np.deg2rad(dec))
-            y = (dec - h["CRVAL2"]) / h["CDELT2"] + h["CRPIX2"] \
-                + 0.25 * np.cos(np.deg2rad(ra))
-            return x, y
+            a = np.deg2rad(np.asarray(ra, dtype="float64"))
+            d = np.deg2rad(np.asarray(dec, dtype="float64"))
+            a0 = np.deg2rad(h["CRVAL1"])
+            d0 = np.deg2rad(h["CRVAL2"])
+            # Paper II eq. (5), native pole at CRVAL, phi_p = LONPOLE = 180°
+            theta = np.arcsin(
+                np.sin(d) * np.sin(d0) + np.cos(d) * np.cos(d0) * np.cos(a - a0)
+            )
+            phi = np.pi + np.arctan2(
+                -np.cos(d) * np.sin(a - a0),
+                np.sin(d) * np.cos(d0) - np.cos(d) * np.sin(d0) * np.cos(a - a0),
+            )
+            # §5.1.5 SIN: R_theta = (180/pi) cos(theta); x = R sinφ, y = -R cosφ
+            r = np.rad2deg(np.cos(theta))
+            x = r * np.sin(phi)
+            y = -r * np.cos(phi)
+            return x / h["CDELT1"] + h["CRPIX1"], y / h["CDELT2"] + h["CRPIX2"]
 
-        def all_pix2world(self, x, y, origin):
+        def all_pix2world(self, px, py, origin):
             assert origin == 1
             h = self.h
-            x = np.asarray(x, dtype="float64")
-            y = np.asarray(y, dtype="float64")
-            ra = (x - h["CRPIX1"]) * h["CDELT1"] + h["CRVAL1"] + 0.125 * np.sin(y)
-            dec = (y - h["CRPIX2"]) * h["CDELT2"] + h["CRVAL2"] + 0.125 * np.cos(x)
-            return ra, dec
+            x = (np.asarray(px, dtype="float64") - h["CRPIX1"]) * h["CDELT1"]
+            y = (np.asarray(py, dtype="float64") - h["CRPIX2"]) * h["CDELT2"]
+            a0 = np.deg2rad(h["CRVAL1"])
+            d0 = np.deg2rad(h["CRVAL2"])
+            # SIN inverse (§5.1.5): theta = acos(pi/180 · R), phi = arg(-y, x)
+            r = np.hypot(x, y)
+            theta = np.arccos(np.deg2rad(r))
+            dphi = np.arctan2(x, -y) - np.pi
+            # Paper II eq. (2): native → celestial rotation
+            dec = np.arcsin(
+                np.sin(theta) * np.sin(d0)
+                + np.cos(theta) * np.cos(d0) * np.cos(dphi)
+            )
+            ra = a0 + np.arctan2(
+                -np.cos(theta) * np.sin(dphi),
+                np.sin(theta) * np.cos(d0)
+                - np.cos(theta) * np.sin(d0) * np.cos(dphi),
+            )
+            return np.rad2deg(ra), np.rad2deg(dec)
 
     wcs_mod.WCS = WCS
 
@@ -130,36 +171,60 @@ def _udf_body(udf):
     return udf.func
 
 
+# Golden (ra, dec) → (px, py) pairs for HDR's SIN projection, derived by
+# hand from Paper II eq. (5) + §5.1.5 (see module docstring). The last two
+# columns show what the LINEAR fallback would give — the off-center rows
+# differ from it by 0.9–7 px, so a silent fallback cannot pass.
+W2P_GOLDEN = [
+    # ra, dec, px_golden, py_golden, px_linear, py_linear
+    (180.0, 45.0, 32.0, 32.0, 32.0, 32.0),
+    (190.0, 45.0, 27.127961950760504, 32.30140292026344, 25.0748, 32.0),
+    (180.0, 50.0, 32.0, 35.45821067851021, 32.0, 35.4626),
+    (172.5, 38.0, 36.081175323309445, 27.35355218250878, 37.1939, 27.1524),
+    (200.0, 60.0, 25.214573850062216, 43.11557658277753, 18.1496, 42.3878),
+]
+
+
 def test_world2pix_astropy_branch(fake_astropy):
     from epic_stream_processor_spark.functions.astro import make_world2pix_udf
 
     w2p = _udf_body(make_world2pix_udf(HDR))
-    ra = pd.Series([180.0, 175.668, 190.0, 100.0])
-    dec = pd.Series([0.0, 4.332, -10.0, 45.0])
+    ra = pd.Series([g[0] for g in W2P_GOLDEN])
+    dec = pd.Series([g[1] for g in W2P_GOLDEN])
     out = w2p(ra, dec)
-    for i in range(len(ra)):
-        exp_x = (ra[i] - 180.0) / -1.444 + 32.0 \
-            + 0.25 * math.sin(math.radians(dec[i]))
-        exp_y = (dec[i] - 0.0) / 1.444 + 32.0 \
-            + 0.25 * math.cos(math.radians(ra[i]))
-        assert abs(out["x"][i] - exp_x) < 1e-9, (i, out["x"][i], exp_x)
-        assert abs(out["y"][i] - exp_y) < 1e-9
-    # the warp term distinguishes this from the linear fallback
-    assert abs(out["x"][3] - ((100.0 - 180.0) / -1.444 + 32.0)) > 0.1
+    for i, (_, _, gx, gy, lx, ly) in enumerate(W2P_GOLDEN):
+        assert abs(out["x"][i] - gx) < 1e-9, (i, out["x"][i], gx)
+        assert abs(out["y"][i] - gy) < 1e-9, (i, out["y"][i], gy)
+    # RA-offset rows must NOT be explainable by the linear fallback (pure-dec
+    # offsets are nearly linear in SIN — row 2 diverges only ~0.004 px)
+    for i in (1, 3, 4):
+        _, _, gx, gy, lx, ly = W2P_GOLDEN[i]
+        assert abs(out["x"][i] - lx) + abs(out["y"][i] - ly) > 0.25
 
 
 def test_pix2world_astropy_branch(fake_astropy):
-    from epic_stream_processor_spark.functions.astro import make_pix2world_udf
+    from epic_stream_processor_spark.functions.astro import (
+        make_pix2world_udf,
+        make_world2pix_udf,
+    )
 
     p2w = _udf_body(make_pix2world_udf(HDR))
-    x = pd.Series([32.0, 10.0, 55.5])
-    y = pd.Series([32.0, 20.0, 1.25])
-    out = p2w(x, y)
-    for i in range(len(x)):
-        exp_ra = (x[i] - 32.0) * -1.444 + 180.0 + 0.125 * math.sin(y[i])
-        exp_dec = (y[i] - 32.0) * 1.444 + 0.0 + 0.125 * math.cos(x[i])
-        assert abs(out["ra"][i] - exp_ra) < 1e-9
-        assert abs(out["dec"][i] - exp_dec) < 1e-9
+    # golden inverse: the forward goldens must invert to their skypos
+    px = pd.Series([g[2] for g in W2P_GOLDEN])
+    py = pd.Series([g[3] for g in W2P_GOLDEN])
+    out = p2w(px, py)
+    for i, (gra, gdec, *_rest) in enumerate(W2P_GOLDEN):
+        assert abs(out["ra"][i] - gra) < 1e-9, (i, out["ra"][i], gra)
+        assert abs(out["dec"][i] - gdec) < 1e-9
+
+    # and an independent grid round-trips through both UDF bodies
+    w2p = _udf_body(make_world2pix_udf(HDR))
+    ra = pd.Series([183.3, 176.1, 180.0, 188.8])
+    dec = pd.Series([41.0, 47.5, 52.25, 39.9])
+    fwd = w2p(ra, dec)
+    back = p2w(fwd["x"], fwd["y"])
+    assert np.allclose(back["ra"], ra, atol=1e-9)
+    assert np.allclose(back["dec"], dec, atol=1e-9)
 
 
 def test_ephemeris_astropy_branch(fake_astropy):
