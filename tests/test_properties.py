@@ -289,3 +289,115 @@ def test_quantization_error_bound_randomized(spark):
             assert abs(x - q * s) <= s / 2 + 1e-12, (r["vec_id"], x, q, s)
         if r["vec_id"] == 999:
             assert s == 1.0 and all(q == 0 for q in r["_q"])
+
+
+def test_dedup_clusters_chain_diameter_beyond_cap(spark):
+    """Adversarial topology: a pure path graph 0-1-2-...-59 has diameter
+    59, so hash-min label propagation needs ~59 rounds. At the default
+    max_iter=50 safety cap the operator must RAISE (part-propagated labels
+    would be a silently wrong answer); with the cap lifted it must
+    converge with every node labelled 0."""
+    from epic_stream_processor_spark.operators.dedup import dedup_clusters
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, nodes)  # default max_iter=50 < diameter
+
+    out = {r.doc_id: r.cluster_id for r in
+           dedup_clusters(pairs, nodes, max_iter=70).collect()}
+    assert len(out) == n
+    assert all(v == 0 for v in out.values()), "chain not fully propagated"
+
+
+def test_lsh_hot_band_skew_funnel(spark):
+    """Boilerplate skew: 40 identical documents land in ONE LSH band
+    bucket (a single band key carrying 40 ids while every other key holds
+    1), producing C(40,2)=780 candidate pairs from that key alone. The
+    funnel must stay exact under the hot key: the verify stage confirms
+    all 780 pairs at jaccard 1.0, no cross-cluster false pair appears, and
+    connected components collapse the 40 docs into one cluster."""
+    from epic_stream_processor_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    boiler = "subscribe to our newsletter for updates terms of service apply"
+    # distinct docs share NO shingle (fully unique tokens), so any pair
+    # among them would be a genuine LSH false positive
+    rows = [(i, boiler) for i in range(40)] + [
+        (100 + i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f")
+        for i in range(160)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(docs)
+    pairs = minhash_lsh_pairs(sigs).cache()
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got_pairs == {
+        (a, b) for a in range(40) for b in range(40) if a < b
+    }, "hot bucket must yield exactly the boilerplate pairs"
+
+    # the skew is real: one band key holds 40 ids, the median key 1
+    per_key = (
+        sigs.selectExpr(
+            "doc_id",
+            "concat_ws('_', '0', cast(mh0 as string), cast(mh1 as string)) AS k",
+        )
+        .groupBy("k").count().collect()
+    )
+    counts = sorted(r["count"] for r in per_key)
+    assert counts[-1] == 40 and counts[len(counts) // 2] == 1
+
+    verified = ngram_jaccard(docs, pairs)
+    assert verified.where(F.col("jaccard") < 1.0).count() == 0
+
+    clusters = dedup_clusters(pairs, docs)
+    by_cluster: dict = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert by_cluster[0] == set(range(40))
+    assert all(len(v) == 1 for c, v in by_cluster.items() if c != 0)
+    pairs.unpersist()
+
+
+def test_salted_join_spreads_hot_key_exactly(spark):
+    """The skew mitigation itself: join the pair-side occurrences (each
+    boilerplate doc id appears 39×, a hot key; every other id 0-1×)
+    against per-doc stats with the salted join. The result must equal the
+    plain join EXACTLY, and the hot key's fact rows must spread across
+    most of the salt space (≥ 4 of 8 salts) instead of one straggler
+    partition."""
+    from epic_stream_processor_spark.operators.layout import salted_join
+
+    # pair occurrences with a built-in hot key: doc 7 appears 200 times
+    fact_rows = [(7, i) for i in range(200)] + [
+        (i % 50, 1000 + i) for i in range(100)
+    ]
+    fact = spark.createDataFrame(fact_rows, "doc_id long, pair_seq long")
+    dim = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "doc_id long, n_sh long"
+    )
+
+    got = sorted(
+        tuple(r) for r in salted_join(fact, dim, "doc_id").collect()
+    )
+    want = sorted(tuple(r) for r in fact.join(dim, "doc_id").collect())
+    assert got == want and len(got) == 300
+
+    # deterministic spread: same salt expression the operator uses
+    spread = (
+        fact.where(F.col("doc_id") == 7)
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("doc_id"), F.col("pair_seq")), F.lit(8)),
+        )
+        .select("_salt").distinct().count()
+    )
+    assert spread >= 4, f"hot key uses only {spread} of 8 salts"
