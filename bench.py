@@ -2,11 +2,28 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <scale factor>}
+     "queries": {name: sec, ...}, "sf": <scale factor>,
+     "sf1": {...}, "streaming": {...}}
 
 Execution is measured with a `noop` sink (full plan runs, results are
 materialized and discarded executor-side) so driver-collect overhead doesn't
 pollute engine time.
+
+Beyond the driver's required sf0.1 suite, two scale-evidence sections ride
+along in the same JSON line (each skippable by env var, and guarded so a
+failure never loses the core numbers):
+
+- ``sf1``: the same queries at 10× data. The tier is built once from the
+  driver's own sf0.1 parquet by ``tools/scaleup.py`` (key-remapped 10×
+  replication, FK-safe, dup/ANN workloads kept linear) and cached under
+  ``.data/sf1``. Disable with SPARK_GRAFT_BENCH_SF1=0. ``ratio`` is
+  per-query sf1/sf0.1 wall time on 32 cores — ≤10 means at-or-better than
+  linear scaling; ``notes`` flags the queries whose *workload* grows
+  faster than the data by design.
+- ``streaming``: measured end-to-end ingest (UDS socket → parquet spool →
+  streaming pixel pipeline → dual sinks) in images/s with per-micro-batch
+  latency, against the reference's ~1 image/s cadence. Disable with
+  SPARK_GRAFT_BENCH_STREAM=0.
 """
 
 from __future__ import annotations
@@ -15,11 +32,49 @@ import json
 import os
 import sys
 import time
+import traceback
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 from epic_stream_processor_spark.plans import QUERIES  # noqa: E402
 from epic_stream_processor_spark.session import get_spark  # noqa: E402
+
+# Workloads that intentionally grow faster than the data, so their sf1/sf0.1
+# wall-time ratio is NOT a scaling defect. Brute-force kNN scores
+# probes × corpus and the probe set is a fixed fraction of the corpus
+# (vec_id % 100 = 0) ⇒ 100× scoring work at 10× data; knn_cosine_ivf is the
+# linear-scaling twin that exists precisely for this reason.
+SUPERLINEAR_BY_DESIGN = {
+    "knn_cosine": "probes x corpus brute force: 100x work at 10x data "
+    "(IVF twin is the scale path)",
+}
+
+
+def bench_tier(spark, sf_dir: str, bench_queries, warm: int, sweeps: int):
+    """Interleaved round-robin sweeps with per-query medians.
+
+    The host VM shows heavy BURSTY run-to-run interference (multi-second
+    stall windows). Back-to-back reps of one query land every rep of that
+    query inside a single stall window, so one query per run used to come
+    out 10-50× slow. Interleave instead: full round-robin sweeps, then
+    per-query median across sweeps — a stall window now inflates one sweep
+    of MANY queries and the medians survive it.
+    """
+
+    def run_once(q) -> float:
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    for _ in range(warm):
+        for q in bench_queries.values():
+            run_once(q)
+    reps: dict[str, list[float]] = {n: [] for n in bench_queries}
+    for _ in range(sweeps):
+        for name, q in bench_queries.items():
+            reps[name].append(run_once(q))
+    return {n: round(sorted(r)[sweeps // 2], 3) for n, r in reps.items()}
 
 
 def main() -> None:
@@ -30,40 +85,55 @@ def main() -> None:
 
     bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
 
-    def run_once(q) -> float:
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-
     # Warm sweeps: sweep 1 compiles plans, sweep 2 lets the C2 JIT settle on
     # the hash-heavy codegen — the timed sweeps then measure steady state.
-    for _ in range(2):
-        for q in bench_queries.values():
-            run_once(q)
-    # The host VM shows heavy BURSTY run-to-run interference (multi-second
-    # stall windows). Back-to-back reps of one query land every rep of that
-    # query inside a single stall window, so one query per run used to come
-    # out 10-50× slow. Interleave instead: 3 full round-robin sweeps, then
-    # per-query median across sweeps — a stall window now inflates one sweep
-    # of MANY queries and the medians survive it. 5 sweeps so a stall
-    # spanning two adjacent sweeps still leaves a clean majority.
-    reps: dict[str, list[float]] = {n: [] for n in bench_queries}
-    for _ in range(5):
-        for name, q in bench_queries.items():
-            reps[name].append(run_once(q))
-    timings = {n: round(sorted(r)[2], 3) for n, r in reps.items()}
+    timings = bench_tier(spark, sf_dir, bench_queries, warm=2, sweeps=5)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time (noop sink, warm)",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline query wall time (noop sink, warm)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        try:
+            from epic_stream_processor_spark.tools.scaleup import make_scaled_dir
+
+            sf1_dir = os.environ.get(
+                "SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".data", "sf1")
+            )
+            t0 = time.perf_counter()
+            make_scaled_dir(spark, sf_dir, sf1_dir, copies=10)
+            gen_s = round(time.perf_counter() - t0, 1)
+            t1 = bench_tier(spark, sf1_dir, bench_queries, warm=1, sweeps=3)
+            out["sf1"] = {
+                "queries": t1,
+                "total": round(sum(t1.values()), 3),
+                "copies": 10,
+                "generation_sec": gen_s,
+                "ratio": {
+                    n: round(t1[n] / timings[n], 1)
+                    for n in t1
+                    if timings.get(n)
+                },
+                "notes": SUPERLINEAR_BY_DESIGN,
             }
-        )
-    )
+        except Exception:
+            out["sf1"] = {"error": traceback.format_exc(limit=3)}
+
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") != "0":
+        try:
+            from epic_stream_processor_spark.tools.stream_bench import (
+                measure_ingest,
+            )
+
+            out["streaming"] = measure_ingest(spark)
+        except Exception:
+            out["streaming"] = {"error": traceback.format_exc(limit=3)}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -23,11 +23,13 @@ def profile_confs(profile: str, cpus: int) -> dict[str, str]:
     - ``local`` (library/CLI default): AQE + Arrow + UTC, one shuffle
       partition per core, and Spark's stock 128 MB scan splits. This is what
       ``corpus-ingest`` and any embedding user gets — no fixture-tuned knobs.
-    - ``bench``: ``local`` plus 2 MB scan splits. Local fixtures are single
-      ~1-10 MB parquet files: at the 128 MB default every scan is ONE task
-      and 31 cores idle through the decode; 2 MB splits fan the scan out
-      (row-group granularity), measured −30% on scan-bound headliners at
-      sf0.1. Fixture-only tuning — never shipped in ``local``/``cluster``.
+    - ``bench``: alias of ``local``. It historically added 2 MB scan splits
+      to fan out single-file fixture scans, but a round-4 controlled A/B
+      over the full 16-query headline roster (5-sweep medians, same host,
+      back-to-back processes) measured the override as a net ~11% LOSS
+      (9.22 s stock vs 10.34 s with 2 MB splits, stock faster on 12/16
+      queries) — so it was retired and the bench now measures exactly the
+      plan the library ships. The name survives so callers need no change.
     - ``cluster``: :func:`cluster_conf` values, sized from
       ``SPARK_GRAFT_INPUT_TB`` / ``SPARK_GRAFT_EXECUTORS`` /
       ``SPARK_GRAFT_EXEC_CORES`` / ``SPARK_GRAFT_EXEC_MEM_GB`` env vars.
@@ -44,8 +46,7 @@ def profile_confs(profile: str, cpus: int) -> dict[str, str]:
         "spark.ui.enabled": "false",
     }
     if profile == "bench":
-        base["spark.sql.files.maxPartitionBytes"] = str(2 * 1024 * 1024)
-        base["spark.sql.files.openCostInBytes"] = str(512 * 1024)
+        pass  # alias of local — see docstring for the retirement measurement
     elif profile == "cluster":
         base.update(
             cluster_conf(

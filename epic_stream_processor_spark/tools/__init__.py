@@ -1,0 +1,1 @@
+"""Operational tooling: fixture scale-up for the scale-tier bench."""

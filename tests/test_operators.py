@@ -567,9 +567,11 @@ def test_pack_sequences_ffd_string_ids(spark):
 
 
 def test_session_profiles():
-    """The library/CLI default profile must NOT carry the 2 MB fixture scan
-    splits (ADVICE r3: a 100 GB corpus would get ~51k scan tasks); bench
-    keeps them; cluster derives from cluster_conf."""
+    """The library/CLI default profile must NOT carry fixture-tuned scan
+    splits (ADVICE r3: a 100 GB corpus would get ~51k scan tasks at 2 MB).
+    Round 4 retired the 2 MB override from ``bench`` too (measured net loss
+    in a full-roster A/B), so bench must now equal local; cluster derives
+    from cluster_conf."""
     import os
 
     from epic_stream_processor_spark.session import profile_confs
@@ -579,7 +581,7 @@ def test_session_profiles():
     assert local["spark.sql.adaptive.enabled"] == "true"
 
     bench = profile_confs("bench", 32)
-    assert bench["spark.sql.files.maxPartitionBytes"] == str(2 * 1024 * 1024)
+    assert bench == local
 
     os.environ["SPARK_GRAFT_INPUT_TB"] = "100"
     os.environ["SPARK_GRAFT_EXECUTORS"] = "1000"

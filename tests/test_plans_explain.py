@@ -160,6 +160,6 @@ def test_decontaminate_broadcasts_benchmark_not_corpus(spark):
 def test_pii_scrub_is_pure_scan(spark):
     """Row-local contract: no Exchange, no Join — regex ops stream through
     the scan inside whole-stage codegen."""
-    plan = _plan(EXTRA_PARITY["pii_scrub"].fn(spark, SF_DIR))
+    plan = _plan(QUERIES["pii_scrub"].fn(spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
