@@ -1,0 +1,96 @@
+"""Executed-plan I/O metrics per query: scan input and shuffle volume.
+
+Wall-clock ratios alone can hide a quadratic shuffle behind fast local
+disks, so the scale study also measures what actually moved: per-query
+``inputBytes`` (scan) and ``shuffleWriteBytes`` (every Exchange) summed
+from Spark's own stage metrics, at sf0.1 and at the 10× tier. A query
+whose shuffle bytes grow ~10× for 10× data has no hidden blow-up; one
+whose shuffle grows ~100× is quadratic no matter how quick it looks
+locally.
+
+Implementation: the driver's status REST API (``/api/v1``) — the same
+numbers the Spark UI shows, which exist precisely for this kind of
+introspection. Stage deltas are attributed to a query by snapshotting the
+completed-stage set around each run. Requires a session with
+``spark.ui.enabled=true`` (the bench session disables the UI, so
+``main()`` builds its own).
+
+Run:  python -m epic_stream_processor_spark.tools.planmetrics
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+from pyspark.sql import SparkSession
+
+
+def _stages(spark: SparkSession) -> dict[tuple[int, int], dict]:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        stages = json.load(resp)
+    return {(s["stageId"], s["attemptId"]): s for s in stages}
+
+
+def measure_io(spark: SparkSession, fn, sf_dir: str) -> dict:
+    """Run ``fn(spark, sf_dir)`` to a noop sink; return bytes moved."""
+    before = _stages(spark)
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    after = _stages(spark)
+    new = [s for k, s in after.items() if k not in before]
+    return {
+        "input_bytes": sum(s.get("inputBytes", 0) for s in new),
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+        "n_stages": len(new),
+    }
+
+
+def main() -> None:  # pragma: no cover - measurement CLI
+    import os
+
+    from ..plans import QUERIES
+    from ..session import profile_confs
+
+    builder = (
+        SparkSession.builder.appName("planmetrics")
+        .master("local[32]")
+        .config("spark.driver.memory", "16g")
+    )
+    for k, v in profile_confs("bench", 32).items():
+        builder = builder.config(k, v)
+    spark = builder.config("spark.ui.enabled", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tiers = {
+        "sf0.1": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "sf1": os.environ.get(
+            "SPARK_GRAFT_SF1_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".data", "sf1"),
+        ),
+    }
+    bench = {n: q for n, q in QUERIES.items() if q.bench}
+    out: dict = {}
+    for tier, sf_dir in tiers.items():
+        for name, q in bench.items():
+            out.setdefault(name, {})[tier] = measure_io(spark, q.fn, sf_dir)
+    for name, m in out.items():
+        a, b = m["sf0.1"], m["sf1"]
+        m["shuffle_ratio"] = (
+            round(b["shuffle_write_bytes"] / a["shuffle_write_bytes"], 1)
+            if a["shuffle_write_bytes"]
+            else None
+        )
+        m["input_ratio"] = (
+            round(b["input_bytes"] / a["input_bytes"], 1)
+            if a["input_bytes"]
+            else None
+        )
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,129 @@
+"""Scale-tier generator and streaming-ingest bench (tools/).
+
+These are the instruments behind the BENCH JSON's scale evidence, so they
+get the same rigor as operators: the scaled fixture must preserve schemas,
+referential integrity, and *workload shape* (dup structure linear, epoch
+density constant), and the ingest bench must push real bytes through the
+real socket → spool → stream path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+from epic_stream_processor_spark.tools.scaleup import make_scaled_dir
+
+
+@pytest.fixture(scope="module")
+def scaled_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("scaled") / "sf2x")
+    make_scaled_dir(spark, SF_DIR, out, copies=2)
+    return out
+
+
+def test_scaleup_row_counts_and_schema(spark, scaled_dir):
+    for table in ("lineitem", "orders", "customer", "events",
+                  "documents", "embeddings", "part", "supplier"):
+        src = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        got = spark.read.parquet(f"{scaled_dir}/{table}.parquet")
+        assert got.count() == 2 * src.count(), table
+    for table in ("region", "nation"):  # fixed dims, TPC-H style
+        src = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        got = spark.read.parquet(f"{scaled_dir}/{table}.parquet")
+        assert got.count() == src.count(), table
+        assert got.schema == src.schema, table
+
+
+def test_scaleup_fk_integrity(spark, scaled_dir):
+    """Every FK edge the relational queries join on must stay closed."""
+    li = spark.read.parquet(f"{scaled_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{scaled_dir}/orders.parquet")
+    c = spark.read.parquet(f"{scaled_dir}/customer.parquet")
+    p = spark.read.parquet(f"{scaled_dir}/part.parquet")
+    assert (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count() == 0
+    )
+    assert li.join(p, li.l_partkey == p.p_partkey, "left_anti").count() == 0
+    assert o.join(c, o.o_custkey == c.c_custkey, "left_anti").count() == 0
+    # keys are disjoint across copies → no accidental key collisions
+    assert o.select("o_orderkey").distinct().count() == o.count()
+
+
+def test_scaleup_epoch_density_preserved(spark, scaled_dir):
+    """EVENT_BASE is a multiple of EPOCH_MOD=50, so the domain pipeline
+    sees exactly copies× the image epochs (fixtures.py derivation)."""
+    src_n = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("event_id") % 50 == 0).count()
+    )
+    got_n = (
+        spark.read.parquet(f"{scaled_dir}/events.parquet")
+        .where(F.col("event_id") % 50 == 0).count()
+    )
+    assert got_n == 2 * src_n
+
+
+def test_scaleup_text_copies_share_no_shingles(spark, scaled_dir):
+    """A verbatim N× text replica would square the LSH candidate-pair
+    stage; the copy-tag rewrite must zero cross-copy word-2-shingle
+    overlap while keeping within-copy text deterministic."""
+    from epic_stream_processor_spark.tools.scaleup import DOC_BASE
+
+    docs = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+    pair = (
+        docs.where(F.col("doc_id").isin(7, DOC_BASE + 7))
+        .select("doc_id", "text", "n_chars")
+        .collect()
+    )
+    assert len(pair) == 2
+    by_id = {r.doc_id: r for r in pair}
+    w0 = by_id[7].text.split(" ")
+    w1 = by_id[DOC_BASE + 7].text.split(" ")
+    sh0 = {tuple(w0[i:i + 2]) for i in range(len(w0) - 1)}
+    sh1 = {tuple(w1[i:i + 2]) for i in range(len(w1) - 1)}
+    assert not (sh0 & sh1)
+    # n_chars recomputed for the rewritten text
+    assert by_id[DOC_BASE + 7].n_chars == len(by_id[DOC_BASE + 7].text)
+
+
+def test_scaleup_embeddings_dither_is_small(spark, scaled_dir):
+    from epic_stream_processor_spark.tools.scaleup import VEC_BASE
+
+    emb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
+    rows = emb.where(F.col("vec_id").isin(3, VEC_BASE + 3)).collect()
+    by_id = {r.vec_id: r.embedding for r in rows}
+    deltas = [
+        abs(a - b) for a, b in zip(by_id[3], by_id[VEC_BASE + 3])
+    ]
+    assert max(deltas) <= 3.1e-3  # dither bound: ±3e-3 per element
+    assert max(deltas) > 0  # but not an exact replica (no ANN ties)
+
+
+def test_scaleup_is_idempotent(spark, scaled_dir):
+    """A second call with the same (src, copies) must be a no-op: the
+    bench regenerates only after deletion or a source swap."""
+    mtime = os.path.getmtime(f"{scaled_dir}/lineitem.parquet")
+    make_scaled_dir(spark, SF_DIR, scaled_dir, copies=2)
+    assert os.path.getmtime(f"{scaled_dir}/lineitem.parquet") == mtime
+
+
+def test_stream_bench_measures_real_pipeline(spark, tmp_path):
+    """Small end-to-end run of the ingest bench: real sockets, real cubes,
+    real micro-batches — the numbers it reports must be self-consistent."""
+    from epic_stream_processor_spark.tools.stream_bench import measure_ingest
+
+    out = measure_ingest(
+        spark, n_images=8, producers=2, files_per_trigger=4,
+        workdir=str(tmp_path / "sb"),
+    )
+    assert out["n_images"] == 8
+    assert out["images_per_sec_socket"] > 0
+    assert out["images_per_sec_pipeline"] > 0
+    assert out["n_batches"] >= 2  # maxFilesPerTrigger honored
+    assert out["batch_latency_ms_mean"] > 0
+    # the derived reference gate (BASELINE.md): ≥1 image/s sustained
+    assert out["images_per_sec_pipeline"] >= out["baseline_images_per_sec"]
