@@ -355,20 +355,44 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def _ivf_modulus(n: int) -> int:
+    """Centroid-selection modulus, sized so nlist grows ~√n.
+
+    A fixed modulus makes nlist ∝ n, which turns the assignment stage
+    (n × nlist cosines) quadratic in the corpus — measured as 100× work at
+    10× data before this fix. Real IVF sizes nlist ≈ √n so assignment and
+    per-cluster probe search stay balanced at ~n^1.5 total. The formula is
+    pure IEEE arithmetic (sqrt is correctly rounded in both engines), and
+    the oracle computes the identical expression from COUNT(*), so parity
+    holds at every scale, not just the driver's.
+    """
+    import math
+
+    return max(1, int(math.floor(97.0 * math.sqrt(n / 2000.0))))
+
+
 def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (nprobe=1): centroids = vec_id % 97 = 0."""
+    """IVF-bucketed ANN (nprobe=1): centroids = vec_id % m = 0 with the
+    √n-scaled modulus m (``_ivf_modulus``) — nlist ≈ √n like a real IVF
+    index, so neither assignment nor probe search goes quadratic."""
     configure_for_parity(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    m = _ivf_modulus(emb.count())
     probes = emb.where(F.col("vec_id") % 100 == 0)
-    centroids = emb.where(F.col("vec_id") % 97 == 0).select(
+    centroids = emb.where(F.col("vec_id") % m == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
     out = S.knn_cosine_ivf(emb, probes, centroids, k=5, parallelism=32)
     return out.select("probe_id", "cand_id", "cos_sim", F.col("rank").alias("rnk"))
 
 
-ORACLE_KNN_COSINE_IVF = f"""WITH cents AS (
-  SELECT vec_id AS cluster_id, embedding AS centv FROM embeddings WHERE vec_id % 97 = 0
+ORACLE_KNN_COSINE_IVF = f"""WITH m AS (
+  SELECT GREATEST(CAST(FLOOR(97.0 * SQRT(COUNT(*) / 2000.0)) AS BIGINT), 1) AS m
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cluster_id, embedding AS centv
+  FROM embeddings, m WHERE vec_id % m.m = 0
 ),
 assigned AS (
   SELECT vec_id, embedding, cluster_id FROM (

@@ -127,3 +127,19 @@ def test_stream_bench_measures_real_pipeline(spark, tmp_path):
     assert out["batch_latency_ms_mean"] > 0
     # the derived reference gate (BASELINE.md): ≥1 image/s sustained
     assert out["images_per_sec_pipeline"] >= out["baseline_images_per_sec"]
+
+
+def test_ivf_modulus_scales_nlist_as_sqrt():
+    """nlist must grow ~√n, not ∝ n: a fixed modulus made the IVF
+    assignment stage quadratic (caught by the 10× scale tier — see
+    SCALING.md §2). Pins the count-derived values the oracle SQL computes
+    with the identical FLOOR(97·SQRT(n/2000)) expression."""
+    from epic_stream_processor_spark.plans.llm import _ivf_modulus
+
+    assert _ivf_modulus(500) == 48    # sf0.01
+    assert _ivf_modulus(2000) == 97   # sf0.1 (the original fixed value)
+    assert _ivf_modulus(20000) == 306  # 10× tier
+    assert _ivf_modulus(0) == 1       # empty corpus: no modulo-by-zero
+    # nlist = n/m grows ~√n: 10× data → ~3.2× centroids, not 10×
+    nlist_01, nlist_1 = 2000 / 97, 20000 / 306
+    assert 2.5 < nlist_1 / nlist_01 < 4
