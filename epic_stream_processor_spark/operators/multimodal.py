@@ -3,12 +3,13 @@
 Treats image/audio/video as ``binary`` columns with a typed metadata struct,
 processed via Arrow-batched ``mapInPandas``. Two codec tiers:
 
-- **Real (stdlib-only): 24-bpp uncompressed BMP** — ``docs_as_bmp`` writes
-  genuine BMP files (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows,
-  4-byte row padding, BGR triples) and ``decode_bmp`` parses them back
-  header-first. No image library needed; the full container format is
-  public (Windows BMP, documented in every imaging text).
-- **Stubbed**: formats that need PIL/libav (JPEG/PNG/audio/video) fall to
+- **Real (stdlib-only)**: 24-bpp uncompressed BMP for images
+  (``docs_as_bmp``/``decode_bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER,
+  bottom-up rows, 4-byte row padding, BGR triples) and RIFF/WAVE 16-bit
+  PCM for audio (``docs_as_wav``/``decode_wav``: chunk-walked RIFF
+  container, fmt/data chunks). No media library needed; both container
+  formats are public and documented everywhere.
+- **Stubbed**: formats that need PIL/libav (JPEG/PNG/MP3/video) fall to
   ``decode_media``'s deterministic fake, clearly labeled. Swap its body
   for real codec calls in production.
 
@@ -269,6 +270,134 @@ def decode_bmp(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                 yield decode_batch(pdf.iloc[start : start + batch_rows])
 
     return media.mapInPandas(gen, schema=BMP_DECODED_SCHEMA)
+
+
+# --- Real WAV codec (stdlib struct only) ------------------------------------
+
+WAV_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("byte_len", LongType(), False),  # WAV file size
+        StructField("sample_rate", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("bits", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("pcm_hex16", StringType(), True),  # first ≤8 samples, hex
+    ]
+)
+
+
+def docs_as_wav(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture adapter for the audio modality: render each document's UTF-8
+    bytes as a genuine RIFF/WAVE file — 16-bit PCM mono, one sample per
+    text byte (``(byte − 128) · 256``, full int16 swing), sample rate
+    ``8000 + id % 5 · 2000`` so header parsing sees five distinct rates.
+    The payload is a real playable .wav (RIFF + fmt + data chunks)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def enc(data: bytes, sr: int) -> bytes:
+            pcm = b"".join(
+                _struct.pack("<h", (b - 128) * 256) for b in data
+            )
+            out = bytearray()
+            out += _struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+            out += _struct.pack(
+                "<4sIHHIIHH", b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16
+            )
+            out += _struct.pack("<4sI", b"data", len(pcm)) + pcm
+            return bytes(out)
+
+        for pdf in batches:
+            ids, texts = pdf.iloc[:, 0], pdf.iloc[:, 1]
+            payloads = [
+                enc((t or "").encode("utf-8"), 8000 + int(mid) % 5 * 2000)
+                for mid, t in zip(ids, texts)
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids.astype("int64"),
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return (
+        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def decode_wav(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL audio decode (no stub): walk the RIFF chunk list — magic, chunk
+    sizes, ``fmt `` fields (PCM format tag, channels, rate, bit depth),
+    ``data`` chunk — and emit sample count, duration, and the first ≤8
+    samples' raw little-endian bytes. Chunk-walking (not fixed offsets)
+    handles WAVs with extra chunks (LIST/INFO) like real tooling does.
+    Undecodable payloads come back NULL instead of failing the stage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def dec(payload: bytes):
+            b = bytes(payload)
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            fmt = data = None
+            off = 12
+            while off + 8 <= len(b):
+                cid, csz = _struct.unpack_from("<4sI", b, off)
+                body = b[off + 8 : off + 8 + csz]
+                if cid == b"fmt " and csz >= 16:
+                    fmt = _struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                off += 8 + csz + (csz & 1)  # RIFF chunks are word-aligned
+            if fmt is None or data is None or fmt[0] != 1:  # PCM only
+                return None
+            _tag, ch, sr, _br, block, bits = fmt
+            if ch < 1 or sr <= 0 or block < 1:
+                return None
+            n = len(data) // block
+            return (
+                len(b), sr, ch, bits, n, n * 1000 // sr,
+                data[: 2 * min(8, n)].hex().upper(),
+            )
+
+        def decode_batch(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            cols = ("byte_len", "sample_rate", "channels", "bits",
+                    "n_samples", "duration_ms", "pcm_hex16")
+            out = {
+                "media_id": pdf["media_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                **{c: [] for c in cols},
+            }
+            for payload in pdf["payload"]:
+                got = dec(payload)
+                if got is None:
+                    out["byte_len"].append(len(bytes(payload)))
+                    for c in cols[1:]:
+                        out[c].append(None)
+                else:
+                    for c, v in zip(cols, got):
+                        out[c].append(v)
+            return _pd.DataFrame(out)
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                yield decode_batch(pdf.iloc[start : start + batch_rows])
+
+    return media.mapInPandas(gen, schema=WAV_DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

@@ -495,6 +495,56 @@ FROM g
 """
 
 
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no stub: each document's bytes become a genuine
+    RIFF/WAVE 16-bit PCM mono file (``docs_as_wav``: real RIFF + fmt +
+    data chunks, five distinct sample rates) and ``decode_wav`` chunk-walks
+    the container back out inside the Arrow-batched Python stage.
+
+    The oracle recomputes every output — including the first 8 samples'
+    little-endian PCM bytes — from the WAV layout rules and the
+    byte→sample mapping ``(b − 128)·256`` (whose int16 LE encoding is
+    ``00`` + the byte with its high nibble rotated by 8 — a pure
+    ``translate`` over the hex string), so a header-offset, chunk-size,
+    byte-order, or sample-mapping bug anywhere breaks the hash match.
+    """
+    from ..operators.multimodal import decode_wav, docs_as_wav
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav(docs_as_wav(docs)).select(
+        "media_id", "media_type", "byte_len", "sample_rate", "channels",
+        "bits", "n_samples", "duration_ms", "pcm_hex16",
+    )
+
+
+# file size = 44-byte RIFF+fmt+data headers + 2 bytes per sample (one
+# sample per text byte); sample rate = 8000 + id%5·2000; duration =
+# n·1000 // rate; sample hex = '00' + high-nibble-rotated byte hex.
+ORACLE_WAV_DECODE = """WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         hex(encode(text)) AS hx,
+         CAST(8000 + doc_id % 5 * 2000 AS BIGINT) AS sr
+  FROM documents
+)
+SELECT media_id,
+  'audio' AS media_type,
+  CAST(44 + 2 * n AS BIGINT) AS byte_len,
+  sr AS sample_rate,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(16 AS BIGINT) AS bits,
+  n AS n_samples,
+  n * 1000 // sr AS duration_ms,
+  array_to_string(list_transform(range(CAST(least(8, n) AS BIGINT)), i ->
+    '00'
+    || translate(substring(hx, CAST(2 * i + 1 AS INT), 1),
+                 '0123456789ABCDEF', '89ABCDEF01234567')
+    || substring(hx, CAST(2 * i + 2 AS INT), 1)), '') AS pcm_hex16
+FROM m
+"""
+
+
 # --- Embedding-cosine near-duplicates ---------------------------------------
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

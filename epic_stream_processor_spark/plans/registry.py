@@ -295,6 +295,11 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         relational.q_moving_avg_revenue, relational.ORACLE_MOVING_AVG_REVENUE,
         "bounded ROWS-frame moving sum/avg (trailing 3 orders per customer)",
     ),
+    "wav_decode": QueryDef(
+        llm.q_wav_decode, llm.ORACLE_WAV_DECODE,
+        "REAL audio decode: RIFF/WAVE 16-bit PCM encode + chunk-walked "
+        "decode, oracle recomputes headers, duration, and sample bytes",
+    ),
 }
 
 

@@ -801,3 +801,84 @@ def test_dedup_corpus_composition(spark):
     assert 0 < len(got_ids) < docs.count()  # something was actually dropped
     # schema preserved
     assert out.columns == docs.columns
+
+
+def test_wav_codec_round_trip_via_stdlib_wave(spark):
+    """Real WAV encode→decode: the encoder's payloads must be readable by
+    Python's own stdlib ``wave`` module (independent of our decoder), and
+    our chunk-walking decoder must agree with it sample-for-sample."""
+    import io
+    import struct
+    import wave
+
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.multimodal import (
+        decode_wav,
+        docs_as_wav,
+    )
+
+    docs = FX.load_table(spark, SF_DIR, "documents").limit(40)
+    media = docs_as_wav(docs)
+    dec = decode_wav(media).join(
+        docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+    )
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    rows = dec.collect()
+    assert len(rows) == 40
+    rates = set()
+    for r in rows:
+        data = (r.text or "").encode("utf-8")
+        # independent read through the stdlib codec
+        with wave.open(io.BytesIO(payloads[r.media_id])) as wf:
+            assert wf.getnchannels() == r.channels == 1
+            assert wf.getsampwidth() * 8 == r.bits == 16
+            assert wf.getframerate() == r.sample_rate
+            assert wf.getnframes() == r.n_samples == len(data)
+            frames = wf.readframes(8)
+        assert frames.hex().upper() == r.pcm_hex16
+        # sample mapping: (byte - 128) * 256, int16 LE
+        want = b"".join(
+            struct.pack("<h", (b - 128) * 256) for b in data[:8]
+        )
+        assert frames == want
+        assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+        assert r.byte_len == 44 + 2 * r.n_samples
+        rates.add(r.sample_rate)
+    assert rates == {8000, 10000, 12000, 14000, 16000}
+
+
+def test_wav_decoder_walks_extra_chunks_and_rejects_garbage(spark):
+    """Chunk-walking contract: a WAV with a LIST chunk between fmt and data
+    still decodes (fixed-offset parsers break here); non-RIFF payloads and
+    non-PCM format tags come back NULL, not as stage failures."""
+    import struct
+
+    from epic_stream_processor_spark.operators.multimodal import decode_wav
+
+    pcm = struct.pack("<4h", -32768, 0, 256, 32512)
+    with_list = (
+        struct.pack("<4sI4s", b"RIFF", 36 + 12 + len(pcm), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        + struct.pack("<4sI", b"data", len(pcm)) + pcm
+    )
+    mulaw = (
+        struct.pack("<4sI4s", b"RIFF", 36 + 4, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, 8000, 8000, 1, 8)
+        + struct.pack("<4sI", b"data", 4) + b"\x00\x01\x02\x03"
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "audio", with_list, len(with_list)),
+            (2, "audio", b"garbage bytes, no RIFF magic here at all", 40),
+            (3, "audio", mulaw, len(mulaw)),  # format tag 7 = mu-law, not PCM
+        ],
+        "media_id long, media_type string, payload binary, byte_len long",
+    )
+    got = {r.media_id: r for r in decode_wav(media).collect()}
+    assert got[1].n_samples == 4
+    assert got[1].sample_rate == 8000
+    assert got[1].pcm_hex16 == pcm.hex().upper()
+    assert got[2].n_samples is None and got[2].sample_rate is None
+    assert got[3].n_samples is None  # PCM-only decoder refuses mu-law
