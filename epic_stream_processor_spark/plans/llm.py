@@ -545,6 +545,73 @@ FROM m
 """
 
 
+def q_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container parsing, no stub: each document's bytes become
+    a genuine AVI (``docs_as_avi``: RIFF('AVI ') with real hdrl avih/strh/
+    strf headers and a movi list of uncompressed 24-bpp '00db' frames, four
+    distinct frame rates) and ``parse_avi_frames`` walks the chunk tree to
+    recover geometry, timebase, and every frame's true file offset, then
+    samples 4 evenly-spaced frames.
+
+    The oracle recomputes everything — frame count, the 232 + 32·idx
+    payload offsets implied by the fixed header layout, the µs-per-frame
+    timebase, and the first 8 payload bytes (gray BGR triples of the
+    document bytes) — from the container's layout rules, so a header-size,
+    chunk-walk, offset, or pixel-expansion bug anywhere breaks the match.
+    """
+    from ..operators.multimodal import docs_as_avi, parse_avi_frames
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_avi_frames(docs_as_avi(docs)).select(
+        "media_id", "n_frames", "width", "height", "us_per_frame",
+        "frame_idx", "frame_offset", "frame_len", "frame_hex8",
+    )
+
+
+# header prefix is constant by construction: RIFF(12) + hdrl LIST(200) +
+# movi LIST header(12) = 224, then 32-byte frame chunks ('00db' + size +
+# 24-byte payload) ⇒ payload f at 232 + 32f. 8 doc bytes per frame, each
+# expanded to a gray BGR triple; the first 8 payload bytes are therefore
+# p0 p0 p0 p1 p1 p1 p2 p2 with pi the frame's i-th doc byte (zero-padded).
+ORACLE_AVI_FRAME_SAMPLE = """WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         hex(encode(text)) AS hx,
+         1000000 // (5 + doc_id % 4) AS usf
+  FROM documents
+),
+geom AS (
+  SELECT media_id, n, hx, usf,
+         greatest((n + 7) // 8, 1) AS total
+  FROM m
+),
+picks AS (
+  SELECT media_id, n, hx, usf, total,
+         unnest(list_sort(list_distinct(
+           list_transform(range(0, 4), k -> k * total // 4)))) AS f
+  FROM geom
+),
+px AS (
+  SELECT *,
+    CASE WHEN 8*f + 0 < n THEN substring(hx, CAST(2*(8*f+0)+1 AS INT), 2) ELSE '00' END AS p0,
+    CASE WHEN 8*f + 1 < n THEN substring(hx, CAST(2*(8*f+1)+1 AS INT), 2) ELSE '00' END AS p1,
+    CASE WHEN 8*f + 2 < n THEN substring(hx, CAST(2*(8*f+2)+1 AS INT), 2) ELSE '00' END AS p2
+  FROM picks
+)
+SELECT media_id,
+  total AS n_frames,
+  CAST(4 AS BIGINT) AS width,
+  CAST(2 AS BIGINT) AS height,
+  CAST(usf AS BIGINT) AS us_per_frame,
+  f AS frame_idx,
+  232 + 32 * f AS frame_offset,
+  CAST(24 AS BIGINT) AS frame_len,
+  repeat(p0, 3) || repeat(p1, 3) || repeat(p2, 2) AS frame_hex8
+FROM px
+"""
+
+
 # --- Embedding-cosine near-duplicates ---------------------------------------
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

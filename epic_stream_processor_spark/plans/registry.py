@@ -300,6 +300,11 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "REAL audio decode: RIFF/WAVE 16-bit PCM encode + chunk-walked "
         "decode, oracle recomputes headers, duration, and sample bytes",
     ),
+    "avi_frame_sample": QueryDef(
+        llm.q_avi_frame_sample, llm.ORACLE_AVI_FRAME_SAMPLE,
+        "REAL video container parse: AVI hdrl/movi chunk walk recovers "
+        "geometry, timebase, and true frame offsets; 4 sampled frames",
+    ),
 }
 
 

@@ -882,3 +882,55 @@ def test_wav_decoder_walks_extra_chunks_and_rejects_garbage(spark):
     assert got[1].pcm_hex16 == pcm.hex().upper()
     assert got[2].n_samples is None and got[2].sample_rate is None
     assert got[3].n_samples is None  # PCM-only decoder refuses mu-law
+
+
+def test_avi_codec_golden_layout_and_walk(spark):
+    """Pin the AVI encoder to the published RIFF layout (frame 0 payload at
+    byte 232, 32-byte frame chunks) and the parser's chunk-walking: '00dc'
+    (compressed) frame ids are collected too, garbage and movi-less RIFFs
+    come back as one NULL row each."""
+    import struct
+
+    from epic_stream_processor_spark.operators.multimodal import (
+        docs_as_avi,
+        parse_avi_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "0123456789abcdef___exactly three frames!")], ["doc_id", "text"]
+    )
+    media = docs_as_avi(docs)
+    b = bytes(media.collect()[0].payload)
+    # golden header layout
+    assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    assert struct.unpack_from("<I", b, 4)[0] == len(b) - 8
+    assert b[12:16] == b"LIST" and b[20:24] == b"hdrl"
+    assert b[224:228] == b"00db"
+    assert struct.unpack_from("<I", b, 228)[0] == 24
+    n_bytes = len("0123456789abcdef___exactly three frames!".encode())
+    n_frames = (n_bytes + 7) // 8
+    assert len(b) == 232 + 32 * n_frames - 8  # last frame: 24 payload, no pad
+    # pixel expansion: byte '0' (0x30) → BGR triple 303030
+    assert b[232:238] == bytes.fromhex("303030313131")
+
+    frames = parse_avi_frames(media).collect()
+    assert {r.frame_offset for r in frames} <= {232 + 32 * i for i in range(n_frames)}
+    assert all(r.n_frames == n_frames and r.frame_len == 24 for r in frames)
+
+    # robustness: 00dc frames, garbage, and headerless RIFF
+    dc = bytearray(b)
+    dc[224:228] = b"00dc"  # compressed-frame fourcc still walks
+    bad = spark.createDataFrame(
+        [
+            (1, "video", bytes(dc), len(dc)),
+            (2, "video", b"RIFF\x04\x00\x00\x00AVI ", 12),  # no hdrl/movi
+            (3, "video", b"complete garbage, not even RIFF", 31),
+        ],
+        "media_id long, media_type string, payload binary, byte_len long",
+    )
+    got = {}
+    for r in parse_avi_frames(bad).collect():
+        got.setdefault(r.media_id, []).append(r)
+    assert len(got[1]) >= 1 and got[1][0].n_frames == n_frames
+    assert len(got[2]) == 1 and got[2][0].n_frames is None
+    assert len(got[3]) == 1 and got[3][0].n_frames is None
