@@ -1,0 +1,419 @@
+"""Corpus-curation queries: repetition quality signals, sampling, domain
+caps, inverted index, and semantic dedup.
+
+These extend the LLM-data-pipeline surface (``plans/llm.py``) with the
+curation recipes large-scale training pipelines run between raw crawl and
+tokenization:
+
+- **Repetition metrics** follow the Gopher quality rules (Rae et al. 2021,
+  "Scaling Language Models", appendix A1.1): fraction of tokens in the most
+  frequent token, fraction of tokens inside duplicated 5-grams, distinct
+  token ratio, and mean word length — each a deterministic integer ratio.
+- **Stratified sampling** draws an exact per-stratum fraction with a
+  deterministic md5 order — the reproducible-subset primitive (no RNG, so
+  re-runs and engines agree bit-for-bit).
+- **Domain caps** bound any one source's share of the corpus (the
+  Common-Crawl "per-domain cap" recipe) with the same hash-order rule.
+- **Inverted index** builds term → posting-list (sorted doc ids) with
+  document frequency — the retrieval-side artifact of the same corpus.
+- **Semantic dedup** is SemDeDup-shaped (Abbas et al. 2023): prune, within
+  a cluster, every vector that has a higher-cosine twin with a smaller id.
+  Clusters are the fixture's ``label`` column (the k-means stage is
+  driver-proven separately as ``kmeans_quantized``); cosine is compared in
+  exact integer arithmetic over int8-quantized embeddings, so the survivor
+  set is engine-exact.
+
+Determinism rules are the house ones: integer counts and cents-style exact
+ratios (single final double division), md5 ordering, unique tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..session import configure_for_parity
+from ..sources.fixtures import load_table
+
+_SQL_WORDS = "str_split_regex(trim(text), '\\s+')"
+
+
+# --- Gopher-style repetition metrics ----------------------------------------
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals (Gopher A1.1 adapted to the
+    fixture's single-line documents):
+
+    - ``top_token_frac``: tokens in the most frequent token / all tokens
+      (Gopher rejects > 0.2 for the top 2-gram; fixture docs are short so
+      the unigram version is the meaningful one)
+    - ``dup_5gram_frac``: tokens inside 5-grams that occur more than once
+      / all 5-gram slots (Gopher's duplicate-n-gram family)
+    - ``distinct_ratio``: distinct tokens / tokens
+    - ``mean_word_len``: Gopher keeps documents with mean word length 3-10
+    - ``quality_pass``: the conjunctive gate over the above
+
+    All four ratios divide two exactly-counted BIGINTs once, so both
+    engines produce bit-identical doubles.
+
+    Scale: two shuffles with map-side partials (doc×token counts, doc×gram
+    counts), both keyed by doc_id-prefixed composites — no skew beyond
+    normal token Zipf, handled by AQE. The 5-gram array is built row-local
+    and exploded with ``explode_outer`` (the InferFiltersFromGenerate
+    re-evaluation trap — see winnowing — never fires on outer generates).
+    """
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("ws"))
+
+    word_counts = (
+        toks.select("doc_id", F.explode_outer("ws").alias("term"))
+        .where(F.col("term").isNotNull())
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wstats = word_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+        F.sum(F.col("c") * F.length(F.col("term"))).alias("n_chars_in_tokens"),
+    )
+
+    grams = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("ws") - 4, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("ws", i, 5)),
+        ).alias("gs"),
+    )
+    gram_counts = (
+        grams.select("doc_id", F.explode_outer("gs").alias("g"))
+        .where(F.col("g").isNotNull())
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gstats = gram_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_gram_slots"
+        ),
+    )
+
+    top_frac = F.col("top_c").cast("double") / F.col("n_tokens").cast("double")
+    dup_frac = F.when(F.col("n_grams") > 0,
+                      F.col("dup_gram_slots").cast("double")
+                      / F.col("n_grams").cast("double")).otherwise(F.lit(0.0))
+    distinct_ratio = (
+        F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    )
+    mean_len = (
+        F.col("n_chars_in_tokens").cast("double") / F.col("n_tokens").cast("double")
+    )
+    return (
+        wstats.join(gstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_token_frac"),
+            dup_frac.alias("dup_5gram_frac"),
+            distinct_ratio.alias("distinct_ratio"),
+            mean_len.alias("mean_word_len"),
+            (
+                (top_frac <= 0.2)
+                & (dup_frac <= 0.3)
+                & (mean_len >= 3.0)
+                & (mean_len <= 10.0)
+            ).alias("quality_pass"),
+        )
+    )
+
+
+ORACLE_REPETITION_METRICS = f"""WITH words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE len(trim(text)) > 0
+),
+tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+wc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+wstats AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c,
+         sum(c * len(term)) AS n_chars_in_tokens
+  FROM wc GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                        i -> array_to_string(w[i:i+4], ' ')) AS gs
+  FROM words
+),
+gtok AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+gc AS (SELECT doc_id, g, count(*) AS c FROM gtok GROUP BY doc_id, g),
+gstats AS (
+  SELECT doc_id, sum(c) AS n_grams,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_gram_slots
+  FROM gc GROUP BY doc_id
+)
+SELECT
+  w.doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+  CASE WHEN n_grams > 0
+       THEN CAST(dup_gram_slots AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       ELSE 0.0 END AS dup_5gram_frac,
+  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+  CAST(n_chars_in_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_word_len,
+  (CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
+   AND (CASE WHEN n_grams > 0
+             THEN CAST(dup_gram_slots AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             ELSE 0.0 END) <= 0.3
+   AND CAST(n_chars_in_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+   AND CAST(n_chars_in_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0
+  ) AS quality_pass
+FROM wstats w JOIN gstats g ON w.doc_id = g.doc_id
+"""
+
+
+# --- Stratified sampling ----------------------------------------------------
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20% per-language stratified sample, deterministic: within each
+    stratum docs are ordered by md5(doc_id) (doc_id tiebreak) and the first
+    ⌈n/5⌉ are kept. Integer ceiling — no float sampling, no RNG.
+
+    Scale: one shuffle on the stratum key; per-stratum windows never see
+    more than a stratum. For heavily-skewed strata the same recipe runs on
+    a salted composite with a second pass — the operators/layout.py salted
+    pattern; at the fixture's 5 langs the plain window is the right plan.
+    """
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    cw = Window.partitionBy("lang")
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(cw))
+        .where(F.col("rn") <= (F.col("n_stratum") + 4) / F.lit(5))
+        .select(
+            "doc_id", "lang", F.col("rn").cast("long").alias("stratum_rank")
+        )
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_stratum
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS stratum_rank
+FROM ranked WHERE rn <= (n_stratum + 4) // 5
+"""
+
+
+# --- Per-domain caps --------------------------------------------------------
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source (domain) at 20 documents, keeping a deterministic
+    md5-ordered prefix — the per-domain cap step of crawl curation. Output
+    is the survivor set with its per-domain rank and the domain's original
+    size (so downstream can audit what the cap removed).
+
+    Scale: identical window shape to stratified sampling — one shuffle on
+    the domain key; a skewed mega-domain is exactly what the cap bounds.
+    """
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    cw = Window.partitionBy("source")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("domain_total", F.count(F.lit(1)).over(cw))
+        .where(F.col("rn") <= 20)
+        .select(
+            "doc_id",
+            "source",
+            F.col("rn").cast("long").alias("domain_rank"),
+            F.col("domain_total").cast("long").alias("domain_total"),
+        )
+    )
+
+
+ORACLE_DOMAIN_CAP = """WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY source) AS domain_total
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS domain_rank,
+       CAST(domain_total AS BIGINT) AS domain_total
+FROM ranked WHERE rn <= 20
+"""
+
+
+# --- Inverted index ---------------------------------------------------------
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → (document frequency, first-10 sorted posting list) for terms
+    in ≥ 10 documents — the retrieval-index artifact over the corpus.
+
+    Scale: distinct (doc, term) then one term-keyed shuffle with map-side
+    partial collect; posting lists are truncated to a bounded prefix so no
+    single term (stopword) materializes an unbounded list — the full-list
+    variant would instead write per-term shards.
+    """
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode_outer(T.tokens(F.col("text"))).alias("term"))
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("posting10"),
+        )
+        .where(F.col("df") >= 10)
+    )
+
+
+ORACLE_INVERTED_INDEX = f"""WITH words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE len(trim(text)) > 0
+),
+pairs AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM words)
+SELECT term, count(*) AS df,
+       (list_sort(list(doc_id)))[1:10] AS posting10
+FROM pairs GROUP BY term HAVING count(*) >= 10
+"""
+
+
+# --- Semantic dedup (SemDeDup-shaped) ---------------------------------------
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) survivor set: within each cluster
+    (the fixture's ``label`` — the k-means stage is proven separately),
+    drop every vector that has a cosine ≥ 0.35 twin with a smaller vec_id.
+
+    Cosine is decided in exact integer arithmetic over int8-quantized
+    embeddings: keep b iff no a < b in-cluster with
+    ``dot > 0 ∧ dot²·10⁴ ≥ 1225·‖a‖²·‖b‖²`` (1225 = (0.35·100)²); every
+    quantity is a BIGINT fold, so both engines agree exactly.
+
+    Scale: candidate generation is a cluster-keyed equi-join (SemDeDup's
+    whole point — pairs only within a cluster, never corpus×corpus);
+    survivors come from one anti-join on the dup id set. Quantized dots
+    are 4× cheaper to move than floats and the fold stays JVM-side.
+    """
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x * 127).cast("long")
+        ).alias("qv"),
+    )
+    a = q.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
+        F.col("qv").alias("qa"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl"),
+        F.col("qv").alias("qb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        a.join(b, "lbl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .withColumn("na2", sq("qa"))
+        .withColumn("nb2", sq("qb"))
+        .where(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") * 10000
+               >= F.lit(1225) * F.col("na2") * F.col("nb2"))
+        )
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        q.join(dups, q.vec_id == dups.dup_id, "left_anti")
+        .select("vec_id", F.col("label").cast("long").alias("label"))
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(x * 127) AS BIGINT)) AS qv
+  FROM embeddings
+),
+pairs AS (
+  SELECT b.vec_id AS dup_id
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) > 0
+    AND list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
+      * list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
+      * 10000
+      >= 1225
+      * list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * a.qv[i]))
+      * list_sum(list_transform(range(1, len(a.qv) + 1), i -> b.qv[i] * b.qv[i]))
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label FROM q
+WHERE vec_id NOT IN (SELECT dup_id FROM pairs)
+"""
+
+
+# --- Token-count histogram --------------------------------------------------
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram (8-token buckets, capped at bucket 12)
+    — the planning input for context-window chunking and sequence packing
+    (how much padding would budget B cost?). Pure integer arithmetic.
+
+    Scale: row-local bucket assignment, one map-side-combinable shuffle of
+    ≤ 13 rows.
+    """
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(T.token_count(F.col("text")) / 8), F.lit(12))
+    return (
+        docs.select(bucket.cast("long").alias("bucket"),
+                    T.token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_TOKEN_HISTOGRAM = """WITH t AS (
+  SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT least(n_tokens // 8, 12) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY bucket ORDER BY bucket
+"""

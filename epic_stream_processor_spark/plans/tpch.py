@@ -1,0 +1,871 @@
+"""The remaining TPC-H query shapes (Q2, Q7-Q11, Q14-Q16, Q18-Q21).
+
+Together with ``relational.py`` (Q1, Q3-Q6, Q12, Q13, Q17, Q22) this
+completes all 22 TPC-H query *shapes* over the driver's TPC-H-ish fixture.
+The fixture schema is narrower than real TPC-H — notably there is **no
+partsupp table** and no l_commitdate/l_receiptdate/l_shipmode columns — so
+the affected queries are adapted while keeping the canonical *plan shape*
+that makes each query a distinct optimizer exercise:
+
+- Q2's part↔supplier relationship is derived from the distinct
+  (l_partkey, l_suppkey) edges in lineitem (the fixture's only such edge
+  set); the min-cost attribute is s_acctbal instead of ps_supplycost.
+- Q9's supply cost is proxied as 10% of p_retailprice (documented in the
+  oracle too, so both engines compute identical integer cents).
+- Q11's inventory value is lineitem quantity × p_retailprice over the same
+  edge set.
+- Q16's "customer complaints" supplier exclusion becomes s_acctbal < 0
+  (the fixture has genuinely-negative balances).
+- Q20/Q21's date logic uses l_shipdate vs o_orderdate (+interval) since
+  commit/receipt dates don't exist.
+
+Determinism follows the house rules (module docstring of
+``relational.py``): money sums go through integer cents, ratios divide two
+exactly-summed cents totals, and every sort/limit carries a unique
+tiebreak.
+
+Scale notes are per-query docstrings; the common theme: nation/region are
+broadcast always, supplier/part/customer are left to AQE's size-based
+broadcast→shuffle transition (measured flipping correctly at the sf1 tier —
+SCALING.md §3), and every semi/anti "EXISTS" decorrelates to a key-equi
+join, never a per-row subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_for_parity
+from ..sources.fixtures import load_table
+from .relational import _cents
+
+
+def _ts(lit: str) -> Column:
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+def _part_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (partkey, suppkey) pairs — the fixture's partsupp stand-in.
+
+    Scale: one hash-shuffle on the composite key with map-side partial
+    distinct; at 100 TB this is the same plan as a partsupp scan would be
+    (the edge set is bounded by |part|×|supp-per-part|, not |lineitem|).
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+
+
+# --- Q2: minimum-cost supplier per part in a region -------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery decorrelated to a per-part
+    min + join-back.
+
+    For EUROPE suppliers of size-15 STANDARD parts, keep only the
+    supplier(s) attaining the per-part minimum account balance.
+
+    Scale: the candidate set (filtered parts ⋈ edges ⋈ suppliers) is tiny
+    relative to lineitem; the per-part min is a map-side-partial groupBy on
+    p_partkey, and the join-back is on the same key — AQE co-partitions
+    both sides, so the decorrelation costs one small shuffle.
+    """
+    configure_for_parity(spark)
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    )
+    cand = (
+        _part_supp_edges(spark, sf_dir)
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    min_bal = cand.groupBy(F.col("p_partkey").alias("mb_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            min_bal,
+            (F.col("p_partkey") == F.col("mb_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+ORACLE_Q2 = """WITH edges AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+cand AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+  FROM edges
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM cand c
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- Q7: volume shipping between two nations --------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: lineitem ⋈ supplier-nation ⋈ orders ⋈ customer-nation
+    revenue flow between NATION_1 and NATION_2, both directions, by ship
+    year.
+
+    Scale: the only big-big join is lineitem⋈orders on orderkey (AQE
+    co-partitions); supplier and the two broadcast nation copies filter the
+    stream early so the orders join input is already nation-pair-pruned.
+    """
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_Q7 = """SELECT
+  supp_nation, cust_nation, l_year,
+  CAST(sum(vol_cents) AS DOUBLE) / 100.0 AS revenue
+FROM (
+  SELECT
+    n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q8: national market share ----------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold into
+    ASIA, per order year — a conditional-sum ÷ sum ratio over a 7-table
+    join.
+
+    Determinism: numerator and denominator are independently exact cents
+    BIGINTs; the single final division is reproducible.
+
+    Scale: part filter prunes lineitem via the partkey join before the
+    orders join; region/nation broadcast; ratio is computed per-year on the
+    already-aggregated (tiny) frame.
+    """
+    configure_for_parity(spark)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
+            .alias("nation_cents"),
+            F.sum(vol).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_cents").cast("double") / F.col("total_cents").cast("double"))
+            .alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_Q8 = """SELECT
+  o_year,
+  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents ELSE 0 END) AS DOUBLE)
+    / CAST(sum(vol_cents) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT
+    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_cents,
+    n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --- Q9: product type profit by nation and year -----------------------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' parts by supplier nation × order
+    year. Supply cost is proxied as 10% of p_retailprice (no partsupp);
+    both engines round each term to cents independently, so the per-row
+    profit is integer-exact.
+
+    Scale: the p_name LIKE filter prunes at the part join; one
+    orderkey-join shuffle; the group-by result is |nation|×|year| rows.
+    """
+    configure_for_parity(spark)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit_cents = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - _cents(F.col("p_retailprice") * 0.1 * F.col("l_quantity"))
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_cents).cast("double") / 100.0).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE_Q9 = """SELECT
+  n_name AS nation,
+  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(sum(
+    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+    - CAST(round(p_retailprice * 0.1 * l_quantity * 100) AS BIGINT)
+  ) AS DOUBLE) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# --- Q10: returned item reporting -------------------------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in
+    1997-Q1.
+
+    Scale: order-date filter prunes orders before the lineitem join;
+    returnflag filter is pushed to the lineitem scan; the top-20 is a
+    TakeOrdered over the per-customer aggregate.
+    """
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-04-01 00:00:00"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((rev.cast("double") / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """SELECT
+  c_custkey, c_name, c_acctbal, n_name,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- Q11: important inventory value -----------------------------------------
+
+def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_5-supplied inventory value
+    exceeds 0.2% of the national total — a HAVING against a scalar
+    subquery. (Real Q11 scales its 0.01% threshold by 1/SF; 0.2% plays
+    that role for this fixture's 2,000-part catalog.)
+
+    Inventory value is Σ quantity × p_retailprice over lineitem (no
+    partsupp). The threshold compares BIGINT cents exactly:
+    500 × part_value > total_value.
+
+    Scale: per-part value is one partkey shuffle with map-side partials;
+    the national total is a 1-row aggregate broadcast back (literally a
+    BroadcastNestedLoopJoin of a single row — bounded by construction).
+    """
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    )
+    vals = (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(_cents(F.col("l_quantity") * F.col("p_retailprice"))).alias(
+                "value_cents"
+            )
+        )
+    )
+    total = vals.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        vals.join(F.broadcast(total))
+        .where(F.col("value_cents") * 500 > F.col("total_cents"))
+        .select(
+            "p_partkey",
+            (F.col("value_cents").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+ORACLE_Q11 = """WITH vals AS (
+  SELECT
+    p_partkey,
+    sum(CAST(round(l_quantity * p_retailprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY p_partkey
+)
+SELECT p_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+FROM vals
+WHERE value_cents * 500 > (SELECT sum(value_cents) FROM vals)
+ORDER BY value DESC, p_partkey
+"""
+
+
+# --- Q14: promotion effect --------------------------------------------------
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: % of September-1997 revenue from PROMO parts — a
+    conditional-sum ratio in a single aggregate.
+
+    Scale: shipdate filter pushes to the lineitem scan; one broadcast-able
+    part join (AQE decides past the threshold); 1-row result.
+    """
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-10-01 00:00:00"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(vol).alias("total_cents"),
+        )
+        .select(
+            (
+                F.lit(100.0)
+                * F.col("promo_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_Q14 = """SELECT
+  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol_cents ELSE 0 END) AS DOUBLE)
+    / CAST(sum(vol_cents) AS DOUBLE) AS promo_revenue_pct
+FROM (
+  SELECT
+    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_cents,
+    p_type
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+)
+"""
+
+
+# --- Q15: top supplier ------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) attaining the maximum quarterly revenue
+    — the revenue view + scalar-max subquery, decorrelated to a 1-row
+    broadcast join. Cents-exact revenue makes the max (and equality against
+    it) deterministic.
+
+    Scale: per-supplier revenue is one suppkey shuffle; the max is a 1-row
+    aggregate broadcast back.
+    """
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "rev_cents"
+            )
+        )
+    )
+    top = revenue.agg(F.max("rev_cents").alias("max_cents"))
+    return (
+        revenue.join(F.broadcast(top))
+        .where(F.col("rev_cents") == F.col("max_cents"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents").cast("double") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q15 = """WITH revenue AS (
+  SELECT
+    l_suppkey AS supplier_no,
+    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_cents AS DOUBLE) / 100.0 AS total_revenue
+FROM revenue
+JOIN supplier ON supplier_no = s_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q16: supplier-part relationship counts ---------------------------------
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for selected sizes, excluding one brand and blacklisted suppliers
+    (NOT IN subquery → broadcast anti-join; the fixture's stand-in for the
+    "complaints" comment filter is s_acctbal < 0, which is non-empty).
+
+    Scale: the edge set is partkey-pruned before the distinct-count
+    shuffle; the supplier blacklist is tiny and broadcast; count-distinct
+    shuffles (group, suppkey) once — the standard two-phase plan.
+    """
+    configure_for_parity(spark)
+    sizes = [1, 5, 9, 14, 19, 23, 36, 45]
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(sizes)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    return (
+        _part_supp_edges(spark, sf_dir)
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_Q16 = """SELECT
+  p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+  count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- Q18: large-volume customers --------------------------------------------
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 150, with their
+    customers — the IN-(grouped-subquery) pattern decorrelated to an
+    aggregate + semi-equivalent inner join.
+
+    Scale: the qty-per-order aggregate is one orderkey shuffle with
+    map-side partials; the surviving key set is small and joins back on
+    the same key (no second shuffle under AQE reuse).
+    """
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100.0).alias(
+                "total_qty"
+            )
+        )
+        .where(F.col("total_qty") > 150.0)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("big_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_Q18 = """WITH big AS (
+  SELECT
+    l_orderkey AS big_orderkey,
+    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING total_qty > 150.0
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = big_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- Q19: discounted revenue (disjunctive predicates) -----------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three conjunctive
+    brand/size/quantity envelopes — the disjunctive-pushdown exercise
+    (Catalyst extracts the common partkey equi-join and evaluates the OR
+    as a post-join filter; the common l_quantity <= 35 bound is pushed to
+    the scan).
+    """
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 15))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 20))
+            & (F.col("l_quantity").between(10, 25))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(20, 35))
+        )
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .cast("double")
+                / 100.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q19 = """SELECT
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+# --- Q20: suppliers with excess shipped quantity ----------------------------
+
+def q20_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_7 suppliers who shipped > 50 units of any
+    'small…' part during 1997 — the nested IN-subquery chain decorrelated
+    to (parts filter → per-(supp, part) qty agg → HAVING → distinct supp
+    keys → semi join).
+
+    Scale: the part filter prunes before the (suppkey, partkey) agg
+    shuffle; the surviving supplier key set is tiny and drives a broadcast
+    left-semi join against the nation-filtered supplier dim.
+    """
+    configure_for_parity(spark)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    )
+    qual = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg((F.sum(_cents(F.col("l_quantity"))).cast("double") / 100.0).alias("qty"))
+        .where(F.col("qty") > 50.0)
+        .select(F.col("l_suppkey").alias("qual_suppkey"))
+        .distinct()
+    )
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qual),
+            F.col("s_suppkey") == F.col("qual_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q20 = """SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 50.0
+  )
+ORDER BY s_suppkey
+"""
+
+
+# --- Q21: suppliers who kept orders waiting ---------------------------------
+
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: NATION_9 suppliers who were the *sole* late shipper
+    on a multi-supplier finalized order. "Late" is l_shipdate more than 60
+    days after o_orderdate (the fixture has no commit/receipt dates).
+
+    The EXISTS (another supplier shipped on the order) and NOT EXISTS (no
+    *other* supplier shipped late) decorrelate to a left-semi and a
+    left-anti self-join on orderkey with a suppkey-inequality residual —
+    the canonical Spark formulation.
+
+    Scale: both self-joins are orderkey-equi (AQE co-partitions all three
+    legs on the same key; the inequality is a cheap residual filter); the
+    per-supplier count is a final tiny aggregate.
+    """
+    configure_for_parity(spark)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    l1 = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_orderkey").alias("w_orderkey"),
+            F.col("l_suppkey").alias("w_suppkey"),
+            "s_name",
+        )
+        .distinct()
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).distinct()
+    l3 = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+        .distinct()
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("w_orderkey") == F.col("o2_orderkey"))
+            & (F.col("w_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("w_orderkey") == F.col("o3_orderkey"))
+            & (F.col("w_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_Q21 = """WITH l1 AS (
+  SELECT DISTINCT l_orderkey AS w_orderkey, l_suppkey AS w_suppkey, s_name
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE o_orderstatus = 'F'
+    AND n_name = 'NATION_9'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM l1
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = w_orderkey AND l2.l_suppkey <> w_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+    WHERE l3.l_orderkey = w_orderkey AND l3.l_suppkey <> w_suppkey
+      AND o3.o_orderstatus = 'F'
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""

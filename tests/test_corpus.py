@@ -1,0 +1,109 @@
+"""Invariant tests for plans/corpus.py and plan-shape pins for plans/tpch.py.
+
+Exact-value correctness is covered by the oracle parity suite; these pin
+the *semantic invariants* a user relies on (sample sizes are exact, caps
+bind, canonical keepers survive) and the physical plan shapes the scale
+story depends on.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from epic_stream_processor_spark.plans import corpus, tpch
+
+from conftest import SF_DIR
+
+
+def test_stratified_sample_exact_fraction(spark):
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r["lang"]: r["n"]
+        for r in corpus.q_stratified_sample(spark, SF_DIR)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(kept) == set(totals)
+    for lang, n in totals.items():
+        assert kept[lang] == math.ceil(n / 5), (lang, n, kept[lang])
+
+
+def test_domain_cap_binds(spark):
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    out = corpus.q_domain_cap(spark, SF_DIR)
+    per_source = {
+        r["source"]: (r["n"], r["max_rank"], r["total"])
+        for r in out.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("domain_rank").alias("max_rank"),
+            F.first("domain_total").alias("total"),
+        )
+        .collect()
+    }
+    for source, n_total in totals.items():
+        n_kept, max_rank, reported_total = per_source[source]
+        assert n_kept == min(20, n_total)
+        assert max_rank <= 20
+        assert reported_total == n_total
+
+
+def test_semantic_dedup_keeps_cluster_minimum(spark):
+    """The smallest vec_id in every cluster can have no smaller-id twin, so
+    it must always survive — the canonical-keeper contract."""
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    min_ids = {
+        r["m"]
+        for r in emb.groupBy("label").agg(F.min("vec_id").alias("m")).collect()
+    }
+    survivors = {
+        r["vec_id"] for r in corpus.q_semantic_dedup(spark, SF_DIR).collect()
+    }
+    assert min_ids <= survivors
+    assert survivors <= {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+
+def test_repetition_metrics_bounds(spark):
+    rows = corpus.q_repetition_metrics(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0.0 < r["top_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_5gram_frac"] <= 1.0
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+        assert r["mean_word_len"] > 0.0
+        expect = (
+            r["top_token_frac"] <= 0.2
+            and r["dup_5gram_frac"] <= 0.3
+            and 3.0 <= r["mean_word_len"] <= 10.0
+        )
+        assert r["quality_pass"] == expect
+
+
+def test_q21_plans_semi_and_anti_joins(spark):
+    """Q21's EXISTS/NOT-EXISTS must decorrelate to hash semi + anti joins —
+    a nested-loop fallback here would be quadratic in lineitem at scale."""
+    plan = (
+        tpch.q21_waiting_orders(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan

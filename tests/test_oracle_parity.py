@@ -130,6 +130,7 @@ DUCK_TO_SPARK_TYPES = {
     "TIMESTAMP_NS": {"timestamp_ntz"},
     "DATE": {"date"},
     "BLOB": {"binary"},
+    "BIGINT[]": {"array<bigint>"},
 }
 
 
