@@ -82,12 +82,18 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.length(F.col("term"))).alias("n_chars_in_tokens"),
     )
 
+    # Guard for < 5-word docs: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (unlike DuckDB's empty range), and slice(ws, 0, 5) then throws
+    # INVALID_PARAMETER_VALUE.START at runtime.
     grams = toks.select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("ws") - 4, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice("ws", i, 5)),
-        ).alias("gs"),
+        F.when(
+            F.size("ws") >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 4),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, 5)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("gs"),
     )
     gram_counts = (
         grams.select("doc_id", F.explode_outer("gs").alias("g"))
@@ -113,7 +119,7 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars_in_tokens").cast("double") / F.col("n_tokens").cast("double")
     )
     return (
-        wstats.join(gstats, "doc_id")
+        wstats.join(gstats, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -170,7 +176,7 @@ SELECT
    AND CAST(n_chars_in_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
    AND CAST(n_chars_in_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0
   ) AS quality_pass
-FROM wstats w JOIN gstats g ON w.doc_id = g.doc_id
+FROM wstats w LEFT JOIN gstats g ON w.doc_id = g.doc_id
 """
 
 

@@ -107,3 +107,49 @@ def test_q21_plans_semi_and_anti_joins(spark):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_repetition_metrics_short_docs(spark, tmp_path):
+    """Docs with < 5 words must not crash the gram stage (Spark's
+    sequence(1, 0) is a descending [1, 0], and slice(ws, 0, 5) throws) and
+    must appear in the output with dup_5gram_frac = 0 — full oracle parity
+    on a fixture the driver tables don't cover."""
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "one",
+                "two words",
+                "a a a a a a a a",
+                "the quick brown fox jumps over the lazy dog",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [3, 9, 15, 43],
+        }
+    )
+    pq = tmp_path / "documents.parquet"
+    docs.to_parquet(pq)
+    out = corpus.q_repetition_metrics(spark, str(tmp_path)).orderBy("doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["dup_5gram_frac"] == 0.0  # no 5-grams at all
+    assert rows[2]["dup_5gram_frac"] == 0.0
+    assert rows[3]["dup_5gram_frac"] == 1.0  # every 5-gram is 'a a a a a'
+    assert rows[3]["top_token_frac"] == 1.0
+    assert not rows[3]["quality_pass"]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    oracle = {
+        r[0]: r
+        for r in con.execute(corpus.ORACLE_REPETITION_METRICS).fetchall()
+    }
+    ocols = [d[0] for d in con.execute(corpus.ORACLE_REPETITION_METRICS).description]
+    for doc_id, r in rows.items():
+        expect = dict(zip(ocols, oracle[doc_id]))
+        for col in out.columns:
+            assert r[col] == expect[col], (doc_id, col, r[col], expect[col])
