@@ -207,12 +207,72 @@ def _winnow_from_grams(g: Column, window: int) -> Column:
     return F.sort_array(F.array_distinct(wins))
 
 
+def _winnow_arrow_df(df, text_col: str, out_col: str, window: int):
+    """Arrow-vectorized winnowing: identical fingerprints to the staged
+    expression path (hashlib md5 == JVM md5; the Rabin-Karp arithmetic is
+    exact int64 — every intermediate < 2^39; see ``functions/pytext.py``),
+    computed per batch with numpy sliding-window minima instead of the
+    interpreted transform+slice HOF chain. Pinned bit-exact by
+    ``tests/test_operators.py``."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema) + [T.StructField(out_col, T.ArrayType(T.LongType()))]
+    )
+    in_cols = df.columns
+    mod, base, win = RH_MOD, RH_BASE, window  # plain ints → pickled by value
+
+    # Fully self-contained closure (the multimodal/decode_media precedent:
+    # no module-by-reference captures, so drivers launched from a foreign
+    # cwd need no worker PYTHONPATH). Tokenizer/hash inlined per the pytext
+    # contract; pinned equal to the expression path by the bit-exact test.
+    def compute(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        split_ws = re.compile("[ \t\n\x0b\f\r]+").split
+        md5 = hashlib.md5
+        for pdf in batches:
+            fps = []
+            for text in pdf[text_col].values:
+                if isinstance(text, str) and text.strip(" "):
+                    words = split_ws(text.strip(" "))
+                else:
+                    words = []
+                th = np.array(
+                    [
+                        (int.from_bytes(md5(w.encode("utf-8")).digest()[:8], "big") >> 4)
+                        % mod
+                        for w in words
+                    ],
+                    dtype=np.int64,
+                )
+                if th.size < 3:
+                    fps.append([])
+                    continue
+                g = ((th[:-2] * base + th[1:-1]) % mod * base + th[2:]) % mod
+                if g.size < win:
+                    wins = g.min(keepdims=True)
+                else:
+                    wins = np.lib.stride_tricks.sliding_window_view(g, win).min(axis=1)
+                fps.append(np.unique(wins).tolist())
+            out = pdf.copy()
+            out[out_col] = pd.Series(fps, index=pdf.index, dtype="object")
+            yield out[in_cols + [out_col]]
+
+    return df.mapInPandas(compute, out_schema)
+
+
 def winnow_fingerprints_df(
     df,
     text_col: str = "text",
     out_col: str = "fingerprints",
     window: int = 4,
     parallelism: int | None = None,
+    arrow: bool = False,
 ):
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — public algorithm): from every ``window`` consecutive
@@ -233,10 +293,24 @@ def winnow_fingerprints_df(
     scan task each — the CPUs idle). Default ``None`` adds NO exchange:
     at real scale the scan is already wide and a row-local operator must
     not shuffle the corpus.
+
+    ``arrow=True`` computes the identical fingerprints in an Arrow-batched
+    pandas stage (:func:`_winnow_arrow_df`) — numpy sliding-window minima
+    over the same exact int64 arithmetic, bit-exact with the expression
+    path. Measured crossover: the expression path (1 md5/token, partially
+    codegen) wins below ~10× fixture scale (0.76 s vs 1.06 s at the 10×
+    tier); Arrow wins at the 100× tier (4.65 s vs 5.54 s) where the
+    interpreted window-min chain saturates cores. Default stays the
+    expression path — the shipped and benched plan — because the win at
+    depth is marginal (1.2×) while the small-input regression is not;
+    contrast MinHash, whose 4-md5-per-shingle fold made Arrow a 5.3× win
+    (``operators/dedup.py``).
     """
     if parallelism:
         id_cols = [c for c in ("doc_id", "id") if c in df.columns]
         df = df.repartition(parallelism, *id_cols) if id_cols else df.repartition(parallelism)
+    if arrow:
+        return _winnow_arrow_df(df, text_col, out_col, window)
     stages = (
         df.withColumn("_wf_toks", tokens(F.col(text_col)))
         .withColumn("_wf_th", F.transform(F.col("_wf_toks"), _token_rh))

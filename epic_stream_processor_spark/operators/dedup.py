@@ -23,6 +23,7 @@ Scale notes (100 TB of documents):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import seeded_hash64, stable_hash64
 from ..functions.text import tokens, word_shingles
@@ -46,6 +47,74 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _minhash_arrow(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """Arrow-vectorized MinHash: identical values to the expression path
+    (hashlib md5 == JVM md5; see ``functions/pytext.py``), computed in a
+    ``mapInPandas`` stage instead of an interpreted per-element HOF chain.
+    Pinned bit-exact by ``tests/test_operators.py``
+    (test_minhash_arrow_is_bit_exact_with_expression_path)."""
+    out_schema = T.StructType(
+        [docs.schema[id_col]]
+        + [T.StructField(f"mh{i}", T.LongType()) for i in range(num_hashes)]
+    )
+    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+    sentinel = 1 << 62
+
+    # Fully self-contained closure (the multimodal/decode_media precedent):
+    # cloudpickle serializes it by value; a reference to pytext.py_tokens
+    # would pickle by module path and break drivers launched from a foreign
+    # cwd whose workers can't import this package. The inlined tokenizer
+    # below is the pytext contract verbatim (Java \s class, space-only trim,
+    # first-60-bits-of-md5) and is pinned equal by the bit-exact test.
+    def compute(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        split_ws = re.compile("[ \t\n\x0b\f\r]+").split
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids = []
+            mins_cols = [[] for _ in range(num_hashes)]
+            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if not isinstance(text, str):
+                    continue
+                t = text.strip(" ")
+                words = split_ws(t) if t else []
+                n = len(words) - shingle_k + 1
+                if n < 1:
+                    continue  # the expression path's size(tokens) >= k filter
+                # min over the multiset == min over the distinct set
+                mins = [sentinel] * num_hashes
+                seen = set()
+                for j in range(n):
+                    sh = " ".join(words[j : j + shingle_k])
+                    if sh in seen:
+                        continue
+                    seen.add(sh)
+                    bs = sh.encode("utf-8")
+                    for i in range(num_hashes):
+                        h = int.from_bytes(md5(prefixes[i] + bs).digest()[:8], "big") >> 4
+                        if h < mins[i]:
+                            mins[i] = h
+                ids.append(did)
+                for i in range(num_hashes):
+                    mins_cols[i].append(mins[i])
+            out = {id_col: ids}
+            for i in range(num_hashes):
+                out[f"mh{i}"] = pd.Series(mins_cols[i], dtype="int64")
+            yield pd.DataFrame(out, columns=[id_col] + [f"mh{i}" for i in range(num_hashes)])
+
+    return docs.select(id_col, text_col).mapInPandas(compute, out_schema)
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -53,6 +122,7 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = 2,
     parallelism: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature over distinct word shingles.
 
@@ -68,7 +138,19 @@ def minhash_signatures(
     (the scan gives one task per file and the CPUs idle); at real scale the
     scan is already wide and the default ``None`` avoids shuffling the
     corpus.
+
+    ``arrow=True`` (default) computes the identical signatures in an
+    Arrow-batched pandas stage (:func:`_minhash_arrow`): Spark evaluates
+    HOF lambdas interpreted per element, so the 4×|shingles| md5+conv
+    chain dominates at scale (measured 57× wall at the 100× tier);
+    hashlib md5 over the same bytes is bit-identical and skips the
+    interpreter. ``arrow=False`` keeps the pure-expression path (the
+    oracle-transliteration reference).
     """
+    if arrow:
+        if parallelism:
+            docs = docs.repartition(parallelism, id_col)
+        return _minhash_arrow(docs, text_col, id_col, num_hashes, shingle_k)
     # Cheap scan-level pre-filter: a doc has ≥1 shingle iff it has ≥k
     # tokens. Filtering on token count (one split) instead of on the built
     # shingle array matters: Catalyst pushes filters below a repartition

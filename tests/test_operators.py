@@ -934,3 +934,65 @@ def test_avi_codec_golden_layout_and_walk(spark):
     assert len(got[1]) >= 1 and got[1][0].n_frames == n_frames
     assert len(got[2]) == 1 and got[2][0].n_frames is None
     assert len(got[3]) == 1 and got[3][0].n_frames is None
+
+
+# --- Arrow fast paths: bit-exact with the expression paths ------------------
+
+_EDGE_DOCS = [
+    (1, None),                      # NULL text
+    (2, ""),                        # empty
+    (3, "   "),                     # spaces only (trim → empty doc)
+    (4, "one"),                     # below shingle/gram width
+    (5, "one two"),                 # exactly one 2-shingle
+    (6, "a b c"),                   # one 3-gram
+    (7, "a\tb\nc d e f g h"),       # Java \s class members as separators
+    (8, "dup dup dup dup dup"),     # duplicate shingles (distinct-set law)
+    (9, "tail space \t"),           # trailing tab survives trim → empty token
+    (10, "café naïve 世界 tokens"),  # non-ASCII UTF-8
+]
+
+
+def test_minhash_arrow_is_bit_exact_with_expression_path(spark):
+    """hashlib md5 == JVM md5 over the same UTF-8 bytes, so the Arrow
+    MinHash must produce IDENTICAL 60-bit values, not merely close ones —
+    any drift would silently break oracle parity at larger tiers (the IVF
+    precedent)."""
+    from epic_stream_processor_spark.operators import dedup as D
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = sorted(tuple(r) for r in D.minhash_signatures(docs, arrow=True).collect())
+    b = sorted(tuple(r) for r in D.minhash_signatures(docs, arrow=False).collect())
+    assert a == b and len(a) > 0
+
+    edge = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    ea = sorted(tuple(r) for r in D.minhash_signatures(edge, arrow=True).collect())
+    eb = sorted(tuple(r) for r in D.minhash_signatures(edge, arrow=False).collect())
+    assert ea == eb
+    # docs with <2 tokens are dropped by BOTH paths (incl. whitespace-only
+    # edge cases whose space-trim leaves tab/newline tokens)
+    assert {r[0] for r in ea} == {5, 6, 7, 8, 9, 10}
+
+
+def test_winnow_arrow_is_bit_exact_with_expression_path(spark):
+    """The numpy sliding-window winnow twin replays the exact Rabin-Karp
+    int64 arithmetic (every intermediate < 2^39), so fingerprint SETS must
+    match element-for-element."""
+    from epic_stream_processor_spark.functions import text as T
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    def norm(df):
+        return sorted(
+            (r["doc_id"], tuple(r["fingerprints"]))
+            for r in df.select("doc_id", "fingerprints").collect()
+        )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert norm(T.winnow_fingerprints_df(docs, arrow=True)) == norm(
+        T.winnow_fingerprints_df(docs, arrow=False)
+    )
+    edge = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    ea = norm(T.winnow_fingerprints_df(edge, arrow=True))
+    assert ea == norm(T.winnow_fingerprints_df(edge, arrow=False))
+    # short docs (< 3 tokens incl. empty/NULL) get empty fingerprint sets
+    assert dict(ea)[1] == () and dict(ea)[4] == ()
