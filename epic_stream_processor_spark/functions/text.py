@@ -210,7 +210,7 @@ def _winnow_from_grams(g: Column, window: int) -> Column:
 def _winnow_arrow_df(df, text_col: str, out_col: str, window: int):
     """Arrow-vectorized winnowing: identical fingerprints to the staged
     expression path (hashlib md5 == JVM md5; the Rabin-Karp arithmetic is
-    exact int64 — every intermediate < 2^39; see ``functions/pytext.py``),
+    exact int64 — every intermediate < 2^39),
     computed per batch with numpy sliding-window minima instead of the
     interpreted transform+slice HOF chain. Pinned bit-exact by
     ``tests/test_operators.py``."""
@@ -224,8 +224,9 @@ def _winnow_arrow_df(df, text_col: str, out_col: str, window: int):
 
     # Fully self-contained closure (the multimodal/decode_media precedent:
     # no module-by-reference captures, so drivers launched from a foreign
-    # cwd need no worker PYTHONPATH). Tokenizer/hash inlined per the pytext
-    # contract; pinned equal to the expression path by the bit-exact test.
+    # cwd need no worker PYTHONPATH). Tokenizer contract inlined (Java \s
+    # class, space-only trim, first-60-bits-of-md5); pinned equal to the
+    # expression path by the bit-exact test.
     def compute(batches):
         import hashlib
         import re

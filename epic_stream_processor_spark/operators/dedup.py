@@ -55,7 +55,7 @@ def _minhash_arrow(
     shingle_k: int,
 ) -> DataFrame:
     """Arrow-vectorized MinHash: identical values to the expression path
-    (hashlib md5 == JVM md5; see ``functions/pytext.py``), computed in a
+    (hashlib md5 == JVM md5 over the same UTF-8 bytes), computed in a
     ``mapInPandas`` stage instead of an interpreted per-element HOF chain.
     Pinned bit-exact by ``tests/test_operators.py``
     (test_minhash_arrow_is_bit_exact_with_expression_path)."""
@@ -67,11 +67,12 @@ def _minhash_arrow(
     sentinel = 1 << 62
 
     # Fully self-contained closure (the multimodal/decode_media precedent):
-    # cloudpickle serializes it by value; a reference to pytext.py_tokens
+    # cloudpickle serializes it by value; a module-level helper reference
     # would pickle by module path and break drivers launched from a foreign
     # cwd whose workers can't import this package. The inlined tokenizer
-    # below is the pytext contract verbatim (Java \s class, space-only trim,
-    # first-60-bits-of-md5) and is pinned equal by the bit-exact test.
+    # matches functions/text.tokens exactly (Java \s class, space-only
+    # trim, first-60-bits-of-md5) and is pinned equal by the bit-exact
+    # test.
     def compute(batches):
         import hashlib
         import re
