@@ -7,13 +7,18 @@ The reference's only two non-arithmetic computations:
   reference ``_utils/Utils.py:75-85``, ``watch_dog.py:500-509``.
 
 Both are vectorized pandas UDFs (Arrow batches — the 10-100× path vs
-row-at-a-time UDFs). astropy is not installed in this container, so:
-- the WCS UDFs fall back to the *linear* plate-carrée transform (C1) —
-  exactly what the reference's own ``is_skycoord_fov`` does
-  (watch_dog.py:303-314); the pipeline default is the linear path and these
-  UDFs are the opt-in high-fidelity variant;
-- the ephemeris raises a clear error without astropy (no deterministic fake
-  could be honest here).
+row-at-a-time UDFs). astropy is preferred when installed (full generality:
+SIP distortion, every projection); it is absent from this container, so:
+- the WCS UDFs run the projection natively for zenithal headers
+  (SIN/TAN/ARC/ZEA/STG — ``functions/wcs_native.py``, the published
+  Calabretta & Greisen 2002 math in numpy, golden-pinned), and fall back to
+  the *linear* plate-carrée transform (C1) only for headers with no
+  projection — exactly what the reference's own ``is_skycoord_fov`` does
+  (watch_dog.py:303-314);
+- the ephemeris computes sun/moon apparent topocentric positions natively
+  (``functions/ephemeris_native.py``, Meeus algorithms, golden-pinned
+  against the book's worked examples) and raises a clear error only for
+  the planets, whose full-precision series (VSOP87) are astropy territory.
 
 The UDF bodies are closure-self-contained (no module refs) so they pickle
 by value and run on any executor.
@@ -31,6 +36,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from .wcs_native import build_pix2world, build_world2pix, projection_code
 
 # LWA Sevilleta site (public coordinates, hardcoded by the reference at
 # _utils/Utils.py:77): lon, lat, height.
@@ -65,10 +72,21 @@ def make_world2pix_udf(img_header: dict):
     """Vectorized world→pixel UDF for one image geometry (1-based pixels,
     matching ``wcs.all_world2pix(ra, dec, 1)``).
 
-    With astropy: full nonlinear WCS from the FITS header dict.
-    Without: linear CRPIX/CDELT/CRVAL transform (plate carrée fast path).
+    Branch order (decided per batch, costs one import probe):
+    1. astropy when installed — full generality (SIP distortion, every
+       projection);
+    2. the native zenithal projection (``wcs_native``, published Paper II
+       math) when CTYPE names a supported code — this is the real nonlinear
+       path in astropy-less deployments, golden-pinned against the same
+       literals that validate astropy;
+    3. the linear CRPIX/CDELT/CRVAL transform for projection-less headers
+       (the reference's own ``is_skycoord_fov`` fast path).
+
+    The native closure is built driver-side and pickles **by value**, so
+    executors never import this package (test-pinned).
     """
     hdr = dict(img_header)
+    native = build_world2pix(hdr) if projection_code(hdr) else None
 
     @pandas_udf(_PIX_SCHEMA)
     def world2pix(ra: pd.Series, dec: pd.Series) -> pd.DataFrame:
@@ -79,6 +97,9 @@ def make_world2pix_udf(img_header: dict):
             x, y = w.all_world2pix(ra.to_numpy(), dec.to_numpy(), 1)
             return pd.DataFrame({"x": x, "y": y})
         except ImportError:
+            if native is not None:
+                x, y = native(ra.to_numpy(), dec.to_numpy())
+                return pd.DataFrame({"x": x, "y": y})
             x = (ra - hdr["CRVAL1"]) / hdr["CDELT1"] + hdr["CRPIX1"]
             y = (dec - hdr["CRVAL2"]) / hdr["CDELT2"] + hdr["CRPIX2"]
             return pd.DataFrame({"x": x, "y": y})
@@ -87,8 +108,10 @@ def make_world2pix_udf(img_header: dict):
 
 
 def make_pix2world_udf(img_header: dict):
-    """Inverse transform (O4's off-sky round-trip: NaN ⇒ drop)."""
+    """Inverse transform (O4's off-sky round-trip: NaN ⇒ drop). Same
+    branch order as :func:`make_world2pix_udf`."""
     hdr = dict(img_header)
+    native = build_pix2world(hdr) if projection_code(hdr) else None
 
     @pandas_udf(_SKY_SCHEMA)
     def pix2world(x: pd.Series, y: pd.Series) -> pd.DataFrame:
@@ -99,6 +122,9 @@ def make_pix2world_udf(img_header: dict):
             ra, dec = w.all_pix2world(x.to_numpy(), y.to_numpy(), 1)
             return pd.DataFrame({"ra": ra, "dec": dec})
         except ImportError:
+            if native is not None:
+                ra, dec = native(x.to_numpy(), y.to_numpy())
+                return pd.DataFrame({"ra": ra, "dec": dec})
             ra = (x - hdr["CRPIX1"]) * hdr["CDELT1"] + hdr["CRVAL1"]
             dec = (y - hdr["CRPIX2"]) * hdr["CDELT2"] + hdr["CRVAL2"]
             return pd.DataFrame({"ra": ra, "dec": dec})

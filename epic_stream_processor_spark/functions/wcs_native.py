@@ -1,0 +1,205 @@
+"""Native FITS-WCS zenithal projections — no astropy required.
+
+The reference pipeline's only nonlinear coordinate step is
+``astropy.wcs.WCS.all_world2pix`` / ``all_pix2world`` over EPIC image
+headers (reference ``watch_dog.py:268,377-382,418-420``). astropy is not
+installed in this container, so until now the nonlinear path could only be
+exercised against an injected fake. This module implements the published
+math directly, in vectorized numpy, making the high-fidelity branch real
+everywhere:
+
+- celestial ↔ native spherical rotation: Calabretta & Greisen,
+  "Representations of celestial coordinates in FITS" (Paper II),
+  A&A 395, 1077 (2002), eqs. (2) and (5), with the zenithal native pole at
+  (CRVAL1, CRVAL2) and ``LONPOLE`` (default 180°) honored from the header;
+- the zenithal radial functions of Paper II §5.1:
+  SIN (§5.1.5, orthographic, slant-free), TAN (§5.1.3, gnomonic),
+  ARC (§5.1.2, equidistant), ZEA (§5.1.4, equal-area),
+  STG (§5.1.1, stereographic);
+- the linear layer: CRPIX offset then either the CDELT diagonal scale or a
+  full ``CD`` matrix (Paper I, Greisen & Calabretta 2002, eq. 3) — the CD
+  inverse is the exact 2×2 analytic inverse.
+
+Conventions matched to ``wcs.all_world2pix(ra, dec, 1)``:
+
+- pixel coordinates are 1-based (FITS convention);
+- intermediate world coordinates are in degrees; for zenithal projections
+  x = R_θ sin φ, y = −R_θ cos φ (Paper II eqs. 12-13);
+- points with no valid projection (behind the SIN/TAN tangent hemisphere,
+  θ ≤ 0) map to NaN, which is what the pipeline's off-sky NaN⇒drop step
+  (P6, reference ``watch_dog.py:418-425``) relies on.
+
+Structure note: the math lives in *nested closures* returned by
+:func:`build_world2pix` / :func:`build_pix2world`. Nested functions are
+serialized **by value** (code + captured plain floats), so a pandas UDF
+capturing one runs on any executor without this package on the worker's
+import path — the same self-containment contract as the multimodal and
+MinHash Arrow stages. The module-level :func:`world2pix` / :func:`pix2world`
+are thin driver-side wrappers over the same closures (single source of
+truth).
+
+Validation (``tests/test_wcs_fixture.py``): the same hand-derived golden
+literals from Paper II that pin the injected-fake tests also pin this
+module, plus 1e-9 round-trip closure on random grids for every supported
+projection and CD≡diag(CDELT) equivalence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: Zenithal projection codes implemented natively (Paper II §5.1).
+SUPPORTED_PROJECTIONS = frozenset({"SIN", "TAN", "ARC", "ZEA", "STG"})
+
+
+def projection_code(hdr: dict) -> str | None:
+    """The 3-letter projection code from CTYPE1/CTYPE2 if this module can
+    handle it natively, else None (callers fall back to the linear C1
+    transform, exactly as before). A header with no CTYPE — common in
+    synthetic fixtures — is linear by construction."""
+    c1 = str(hdr.get("CTYPE1", "") or "")
+    c2 = str(hdr.get("CTYPE2", "") or "")
+    if len(c1) < 8 or len(c2) < 8:
+        return None
+    code1, code2 = c1[5:8].upper(), c2[5:8].upper()
+    if code1 != code2 or code1 not in SUPPORTED_PROJECTIONS:
+        return None
+    return code1
+
+
+def _header_params(hdr: dict):
+    """Plain-float parameter tuple for the closures: (code, a0, d0, phi_p,
+    crpix1, crpix2, m, minv) with m/minv as 2×2 nested float tuples.
+
+    CD matrix wins if present (Paper I eq. 3); otherwise diag(CDELT).
+    """
+    code = projection_code(hdr)
+    if code is None:
+        raise ValueError("header has no natively supported projection")
+    crpix1, crpix2 = float(hdr["CRPIX1"]), float(hdr["CRPIX2"])
+    if "CD1_1" in hdr:
+        m = (
+            (float(hdr["CD1_1"]), float(hdr.get("CD1_2", 0.0))),
+            (float(hdr.get("CD2_1", 0.0)), float(hdr["CD2_2"])),
+        )
+    else:
+        m = ((float(hdr["CDELT1"]), 0.0), (0.0, float(hdr["CDELT2"])))
+    det = m[0][0] * m[1][1] - m[0][1] * m[1][0]
+    if det == 0.0:
+        raise ValueError("singular WCS linear transform (CD/CDELT)")
+    minv = (
+        (m[1][1] / det, -m[0][1] / det),
+        (-m[1][0] / det, m[0][0] / det),
+    )
+    a0 = np.deg2rad(float(hdr["CRVAL1"]))
+    d0 = np.deg2rad(float(hdr["CRVAL2"]))
+    phi_p = np.deg2rad(float(hdr.get("LONPOLE", 180.0)))
+    return code, a0, d0, phi_p, crpix1, crpix2, m, minv
+
+
+def build_world2pix(hdr: dict):
+    """Self-contained vectorized ``(ra_deg, dec_deg) -> (px, py)`` closure
+    for one header (1-based pixels). Captures only plain floats/strings, so
+    it pickles by value into any executor."""
+    code, a0, d0, phi_p, crpix1, crpix2, _, minv = _header_params(hdr)
+    (i00, i01), (i10, i11) = minv
+
+    def w2p(ra, dec):
+        import numpy as np
+
+        rad = np.pi / 180.0
+        deg = 180.0 / np.pi
+        a = np.asarray(ra, dtype="float64") * rad
+        d = np.asarray(dec, dtype="float64") * rad
+        da = a - a0
+        # Paper II eq. (5): celestial → native, zenithal pole at CRVAL
+        theta = np.arcsin(
+            np.clip(
+                np.sin(d) * np.sin(d0) + np.cos(d) * np.cos(d0) * np.cos(da),
+                -1.0,
+                1.0,
+            )
+        )
+        phi = phi_p + np.arctan2(
+            -np.cos(d) * np.sin(da),
+            np.sin(d) * np.cos(d0) - np.cos(d) * np.sin(d0) * np.cos(da),
+        )
+        # Paper II §5.1 radial functions, R_θ in degrees; NaN = off-sky
+        if code == "SIN":
+            r = np.where(np.sin(theta) < 0.0, np.nan, deg * np.cos(theta))
+        elif code == "TAN":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = deg * np.cos(theta) / np.sin(theta)
+            r = np.where(np.sin(theta) <= 0.0, np.nan, r)
+        elif code == "ARC":
+            r = 90.0 - deg * theta
+        elif code == "ZEA":
+            r = 2.0 * deg * np.sin((np.pi / 2.0 - theta) / 2.0)
+        else:  # STG
+            r = 2.0 * deg * np.tan((np.pi / 2.0 - theta) / 2.0)
+        # Paper II eqs. (12)-(13), then the inverse linear layer
+        x = r * np.sin(phi)
+        y = -r * np.cos(phi)
+        return i00 * x + i01 * y + crpix1, i10 * x + i11 * y + crpix2
+
+    return w2p
+
+
+def build_pix2world(hdr: dict):
+    """Self-contained vectorized ``(px, py) -> (ra_deg, dec_deg)`` inverse
+    closure (1-based pixels). Invalid radii (e.g. R > 180/π for SIN) come
+    back NaN — the off-sky signal P6 filters on."""
+    code, a0, d0, phi_p, crpix1, crpix2, m, _ = _header_params(hdr)
+    (m00, m01), (m10, m11) = m
+
+    def p2w(px, py):
+        import numpy as np
+
+        rad = np.pi / 180.0
+        dp1 = np.asarray(px, dtype="float64") - crpix1
+        dp2 = np.asarray(py, dtype="float64") - crpix2
+        x = m00 * dp1 + m01 * dp2
+        y = m10 * dp1 + m11 * dp2
+        r = np.hypot(x, y)
+        # inverse radial functions (Paper II §5.1)
+        with np.errstate(invalid="ignore"):
+            if code == "SIN":
+                theta = np.arccos(r * rad)
+            elif code == "TAN":
+                theta = np.arctan2(np.ones_like(r), r * rad)
+            elif code == "ARC":
+                theta = (90.0 - r) * rad
+            elif code == "ZEA":
+                theta = np.pi / 2.0 - 2.0 * np.arcsin(r * rad / 2.0)
+            else:  # STG
+                theta = np.pi / 2.0 - 2.0 * np.arctan(r * rad / 2.0)
+            phi = np.arctan2(x, -y)
+            # Paper II eq. (2): native → celestial
+            dphi = phi - phi_p
+            dec = np.arcsin(
+                np.clip(
+                    np.sin(theta) * np.sin(d0)
+                    + np.cos(theta) * np.cos(d0) * np.cos(dphi),
+                    -1.0,
+                    1.0,
+                )
+            )
+            ra = a0 + np.arctan2(
+                -np.cos(theta) * np.sin(dphi),
+                np.sin(theta) * np.cos(d0)
+                - np.cos(theta) * np.sin(d0) * np.cos(dphi),
+            )
+        return ra / rad, dec / rad
+
+    return p2w
+
+
+def world2pix(hdr: dict, ra, dec):
+    """Driver-side convenience: ``all_world2pix(ra, dec, 1)`` twin for a
+    supported zenithal header (distortion-free)."""
+    return build_world2pix(hdr)(ra, dec)
+
+
+def pix2world(hdr: dict, px, py):
+    """Driver-side convenience: ``all_pix2world(x, y, 1)`` twin."""
+    return build_pix2world(hdr)(px, py)

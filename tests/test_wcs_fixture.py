@@ -246,6 +246,125 @@ def test_ephemeris_astropy_branch(fake_astropy):
     assert abs(site.height - astro.LWASV_HEIGHT_M) < 1e-9
 
 
+# --- Native WCS (functions/wcs_native.py): the real nonlinear path -------
+#
+# Same published goldens, no astropy (real or fake) anywhere: the module
+# implements Paper II itself, so the astropy-less container now executes a
+# genuine SIN projection instead of a fixture fake.
+
+
+def test_native_wcs_matches_published_goldens():
+    from epic_stream_processor_spark.functions import wcs_native as W
+
+    ra = np.array([g[0] for g in W2P_GOLDEN])
+    dec = np.array([g[1] for g in W2P_GOLDEN])
+    x, y = W.world2pix(HDR, ra, dec)
+    for i, (_, _, gx, gy, lx, ly) in enumerate(W2P_GOLDEN):
+        assert abs(x[i] - gx) < 1e-9 and abs(y[i] - gy) < 1e-9, (i, x[i], y[i])
+    # and NOT the linear plate-carrée answer on the off-center rows
+    for i in (1, 3, 4):
+        _, _, _, _, lx, ly = W2P_GOLDEN[i]
+        assert abs(x[i] - lx) + abs(y[i] - ly) > 0.25
+    # golden inverse
+    rb, db = W.pix2world(HDR, x, y)
+    assert np.allclose(rb, ra, atol=1e-9) and np.allclose(db, dec, atol=1e-9)
+
+
+def test_native_wcs_round_trip_every_projection_and_cd_matrix():
+    from epic_stream_processor_spark.functions import wcs_native as W
+
+    rng = np.random.default_rng(7)
+    ra = 180.0 + rng.uniform(-30, 30, 300)
+    dec = 45.0 + rng.uniform(-25, 25, 300)
+    for code in sorted(W.SUPPORTED_PROJECTIONS):
+        h = dict(HDR, CTYPE1="RA---" + code, CTYPE2="DEC--" + code)
+        px, py = W.world2pix(h, ra, dec)
+        r2, d2 = W.pix2world(h, px, py)
+        assert np.allclose(r2, ra, atol=1e-9), code
+        assert np.allclose(d2, dec, atol=1e-9), code
+    # a CD matrix equal to diag(CDELT) must be the identical transform
+    hcd = {k: v for k, v in HDR.items() if not k.startswith("CDELT")}
+    hcd.update({"CD1_1": HDR["CDELT1"], "CD2_2": HDR["CDELT2"]})
+    xa, ya = W.world2pix(HDR, ra, dec)
+    xb, yb = W.world2pix(hcd, ra, dec)
+    assert np.allclose(xa, xb) and np.allclose(ya, yb)
+    # off-hemisphere SIN points are NaN (the P6 off-sky drop signal)
+    xn, yn = W.world2pix(HDR, np.array([0.0]), np.array([-45.0]))
+    assert np.isnan(xn[0]) and np.isnan(yn[0])
+
+
+def test_native_wcs_udf_runs_on_spark_without_astropy(spark):
+    """End-to-end: a SIN header's pandas UDF executes the NATIVE nonlinear
+    branch on real executors (no astropy in the container) and reproduces
+    the published goldens — C3 is no longer fixture-only."""
+    import pyspark.sql.functions as F
+
+    from epic_stream_processor_spark.functions.astro import (
+        have_astropy,
+        make_pix2world_udf,
+        make_world2pix_udf,
+    )
+
+    if have_astropy():  # pragma: no cover - container has no astropy
+        pytest.skip("real astropy present: branch 1 shadows the native path")
+    w2p = make_world2pix_udf(HDR)
+    p2w = make_pix2world_udf(HDR)
+    df = spark.createDataFrame(
+        [(float(g[0]), float(g[1])) for g in W2P_GOLDEN] + [(0.0, -45.0)],
+        ["ra", "dec"],
+    )
+    out = (
+        df.select("ra", "dec", w2p(F.col("ra"), F.col("dec")).alias("pix"))
+        .select("ra", "dec", "pix.x", "pix.y")
+        .collect()
+    )
+    got = {(r["ra"], r["dec"]): (r["x"], r["y"]) for r in out}
+    for gra, gdec, gx, gy, _, _ in W2P_GOLDEN:
+        x, y = got[(gra, gdec)]
+        assert abs(x - gx) < 1e-9 and abs(y - gy) < 1e-9
+    ax, ay = got[(0.0, -45.0)]  # anti-center: off the SIN hemisphere
+    assert ax is None or np.isnan(ax)
+    back = (
+        df.where(F.col("dec") > 0)
+        .select(w2p(F.col("ra"), F.col("dec")).alias("pix"), "ra", "dec")
+        .select(p2w(F.col("pix.x"), F.col("pix.y")).alias("sky"), "ra", "dec")
+        .select("sky.ra", "sky.dec", F.col("ra").alias("ra0"), F.col("dec").alias("dec0"))
+        .collect()
+    )
+    for r in back:
+        assert abs(r["ra"] - r["ra0"]) < 1e-9 and abs(r["dec"] - r["dec0"]) < 1e-9
+
+
+def test_native_wcs_closures_pickle_by_value():
+    """The worker-safety contract: the built closures must deserialize and
+    run in a process where this package is NOT importable (the driver runs
+    queries from a foreign cwd; executors inherit no repo PYTHONPATH)."""
+    import pickle
+    import sys
+
+    from pyspark import cloudpickle
+
+    from epic_stream_processor_spark.functions import wcs_native as W
+
+    fwd = cloudpickle.dumps(W.build_world2pix(HDR))
+    inv = cloudpickle.dumps(W.build_pix2world(HDR))
+    ra = np.array([g[0] for g in W2P_GOLDEN])
+    dec = np.array([g[1] for g in W2P_GOLDEN])
+    saved = {
+        k: sys.modules.pop(k)
+        for k in list(sys.modules)
+        if k.startswith("epic_stream_processor_spark")
+    }
+    try:
+        x, y = pickle.loads(fwd)(ra, dec)
+        r2, d2 = pickle.loads(inv)(x, y)
+    finally:
+        sys.modules.update(saved)
+    for i, (_, _, gx, gy, _, _) in enumerate(W2P_GOLDEN):
+        assert abs(x[i] - gx) < 1e-9 and abs(y[i] - gy) < 1e-9
+    assert np.allclose(r2, ra, atol=1e-9) and np.allclose(d2, dec, atol=1e-9)
+
+
 def test_ephemeris_raises_cleanly_without_astropy():
     """The honest-failure contract: no astropy → NotImplementedError with
     remediation, not a silent fake."""
