@@ -136,15 +136,18 @@ def make_pix2world_udf(img_header: dict):
 def ephemeris_skypos(body: pd.Series, t_obs_iso: pd.Series) -> pd.DataFrame:
     """Per-epoch (RA, Dec) of a solar-system body as seen from LWA-SV
     (twin of ``DynSources.get_lwasv_skypos``, _utils/Utils.py:75-85).
-    Requires astropy; raises a clear error otherwise."""
+    This executor-side variant requires astropy; without it,
+    :func:`resolve_positions` serves sun/moon from the native driver-side
+    ephemeris instead (``functions/ephemeris_native.py``)."""
     try:
         from astropy.coordinates import EarthLocation, get_body
         from astropy.time import Time
         import astropy.units as u
     except ImportError as e:  # pragma: no cover - env without astropy
         raise NotImplementedError(
-            "ephemeris positions require astropy (not present in this "
-            "container); watch only static sources, or install astropy"
+            "the ephemeris UDF requires astropy (not present in this "
+            "container); sun/moon watchlists are resolved natively by "
+            "resolve_positions — only the planets need astropy"
         ) from e
     site = EarthLocation(
         lat=LWASV_LAT_DEG * u.deg, lon=LWASV_LON_DEG * u.deg,
@@ -164,23 +167,77 @@ def resolve_positions(df, source_col: str = "source_name"):
 
     Split-union rather than ``when(is_body, udf)``: a CASE branch does NOT
     stop Spark from feeding every row through the pandas UDF, so the static
-    path would needlessly pay (and, without astropy, hit) the ephemeris
-    worker. With the split, the UDF plan sees only body rows — zero rows ⇒
-    the worker function never runs, so static-only watchlists work in
-    astropy-less environments too."""
+    path would needlessly pay the ephemeris worker. With the split, the
+    body plan sees only body rows — zero rows ⇒ neither branch's machinery
+    runs, so static-only watchlists work everywhere.
+
+    Body branch, in preference order:
+    - astropy installed → executor-side pandas UDF (full body list);
+    - no astropy → native driver-side ephemeris for sun/moon
+      (``functions/ephemeris_native.py``, Meeus algorithms, golden-pinned):
+      the distinct (body, epoch) domain — bounded by watchlist size ×
+      epochs per micro-batch, a few hundred rows — is collected, positioned
+      in one vectorized numpy call, and broadcast-joined back. No per-row
+      Python, and executors never import this package. Planets without
+      astropy raise a clear error at plan-construction time.
+    """
     from pyspark.sql import functions as F
 
     is_body = F.lower(F.col(source_col)).isin(SOLAR_SYSTEM_BODIES)
     statics = df.where(~is_body)
     bodies = df.where(is_body)
-    eph = ephemeris_skypos(
-        F.lower(F.col(source_col)),
-        F.date_format(F.col("t_obs"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
-    )
-    resolved_bodies = (
-        bodies.withColumn("_pos", eph)
-        .withColumn("ra", F.col("_pos.ra"))
-        .withColumn("dec", F.col("_pos.dec"))
-        .drop("_pos")
-    )
+    if have_astropy():  # pragma: no cover - container has no astropy
+        eph = ephemeris_skypos(
+            F.lower(F.col(source_col)),
+            F.date_format(F.col("t_obs"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        )
+        resolved_bodies = (
+            bodies.withColumn("_pos", eph)
+            .withColumn("ra", F.col("_pos.ra"))
+            .withColumn("dec", F.col("_pos.dec"))
+            .drop("_pos")
+        )
+    else:
+        resolved_bodies = _resolve_bodies_native(bodies, source_col)
     return statics.unionByName(resolved_bodies)
+
+
+def _resolve_bodies_native(bodies, source_col: str):
+    """Sun/moon positions via the native ephemeris, joined back broadcast.
+
+    The collect is tiny by construction (distinct watchlist-body × epoch);
+    the join key is (lower(name), formatted epoch) so every body row gets
+    exactly one position. Unsupported bodies surface as a
+    NotImplementedError from :func:`ephemeris_native.body_skypos` while the
+    plan is being built — not as an executor-side crash mid-stream.
+    """
+    from pyspark.sql import functions as F
+
+    from .ephemeris_native import body_skypos
+
+    iso = F.date_format(F.col("t_obs"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    keyed = bodies.withColumn("_body", F.lower(F.col(source_col))).withColumn(
+        "_iso", iso
+    )
+    domain = keyed.select("_body", "_iso").distinct().collect()
+    if not domain:
+        return bodies
+    names = [r["_body"] for r in domain]
+    isos = [r["_iso"] for r in domain]
+    ra, dec = body_skypos(
+        names, isos, LWASV_LAT_DEG, LWASV_LON_DEG, LWASV_HEIGHT_M
+    )
+    pos = bodies.sparkSession.createDataFrame(
+        [
+            (n, t, float(r), float(d))
+            for n, t, r, d in zip(names, isos, ra, dec)
+        ],
+        "_body string, _iso string, _ra double, _dec double",
+    )
+    out_cols = bodies.columns
+    return (
+        keyed.join(F.broadcast(pos), ["_body", "_iso"])
+        .withColumn("ra", F.col("_ra"))
+        .withColumn("dec", F.col("_dec"))
+        .select(*out_cols)
+    )

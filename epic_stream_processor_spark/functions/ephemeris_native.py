@@ -1,0 +1,467 @@
+"""Native sun/moon ephemeris — no astropy required.
+
+The reference resolves solar-system watchlist targets with astropy's
+``get_body`` at the LWA-SV site (``_utils/Utils.py:75-85``,
+``watch_dog.py:500-509``). astropy is absent from this container, so until
+now the ephemeris branch could only raise. This module implements the
+published algorithms for the two bodies an all-sky EPIC watchlist actually
+tracks (the sun drives the science case; the moon is the other
+naked-sky mover), from Jean Meeus, *Astronomical Algorithms* (2nd ed.,
+1998) — all public, each function golden-pinned against the book's own
+worked examples:
+
+- ch. 7  Julian day                       (example 7.a)
+- ch. 12 sidereal time                    (examples 12.a, 12.b)
+- ch. 22 nutation, truncated ±0.5″ form   (example 22.a within 0.6″)
+- ch. 25 solar coordinates, low accuracy  (example 25.a: 0.01° claim)
+- ch. 47 lunar coordinates, full tables   (example 47.a: ~0.004° geocentric)
+- ch. 11 geocentric site quantities       (example 11.a: Palomar)
+- ch. 40 topocentric correction           (exact formulas; invariant-tested)
+
+UTC→TT uses the Espenak–Meeus ΔT polynomial for 2005–2050 (public, the
+NASA eclipse-site fit), clamped outside that range; a 3 s ΔT error moves
+the moon ~1.6″, far inside the accuracy claims. Overall topocentric
+accuracy: sun ≤ ~0.01°, moon ≤ ~0.01° — EPIC's pixel scale is ~1.4°/px
+(64-px all-sky images), so the residual is ≤ 1/100 px.
+
+Everything is vectorized numpy over arrays of Julian dates and runs
+**driver-side**: ``resolve_positions`` collects the distinct
+(body, epoch) domain — bounded by watchlist × epochs per micro-batch, a
+few hundred rows — computes positions in one numpy call, and broadcast-
+joins them back. No Python runs per pixel row, and executors never need
+this module importable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_RAD = np.pi / 180.0
+
+#: Bodies this module can position natively (the rest need astropy).
+NATIVE_BODIES = frozenset({"sun", "moon"})
+
+
+# --- time scales ----------------------------------------------------------
+
+
+def julian_day_utc(iso: "np.ndarray | list[str]") -> np.ndarray:
+    """JD(UTC) from ISO-8601 strings (naive, UTC by pipeline convention).
+
+    Uses the Unix-epoch identity JD = unix/86400 + 2440587.5 (equivalent to
+    Meeus eq. 7.1 for the Gregorian calendar; example 7.a: 1957-10-04.81
+    → 2436116.31).
+    """
+    import datetime as dt
+
+    out = np.empty(len(iso), dtype="float64")
+    for i, s in enumerate(iso):
+        t = dt.datetime.fromisoformat(str(s)).replace(tzinfo=dt.timezone.utc)
+        out[i] = t.timestamp() / 86400.0 + 2440587.5
+    return out
+
+
+def delta_t_seconds(jd: np.ndarray) -> np.ndarray:
+    """TT − UTC in seconds: Espenak–Meeus polynomial fit for 2005–2050
+    (ΔT = 62.92 + 0.32217 t + 0.005589 t², t = year − 2000), with the
+    year clamped to that range — outside it the watchdog's epochs are
+    synthetic anyway and a few seconds of ΔT is ≪ the accuracy claims."""
+    year = 2000.0 + (jd - 2451545.0) / 365.25
+    t = np.clip(year, 2005.0, 2050.0) - 2000.0
+    return 62.92 + 0.32217 * t + 0.005589 * t * t
+
+
+# --- nutation & obliquity (ch. 22) ----------------------------------------
+
+
+def nutation(T: np.ndarray):
+    """(Δψ, Δε) in degrees — Meeus's truncated ±0.5″ formulas (ch. 22).
+
+    Example 22.a (1987 Apr 10.0 TD): full-series Δψ = −3.788″,
+    Δε = +9.443″; this form lands within 0.6″ of both (test-pinned).
+    """
+    om = (125.04452 - 1934.136261 * T) * _RAD
+    ls = (280.4665 + 36000.7698 * T) * _RAD
+    lm = (218.3165 + 481267.8813 * T) * _RAD
+    dpsi = (
+        -17.20 * np.sin(om)
+        - 1.32 * np.sin(2 * ls)
+        - 0.23 * np.sin(2 * lm)
+        + 0.21 * np.sin(2 * om)
+    ) / 3600.0
+    deps = (
+        9.20 * np.cos(om)
+        + 0.57 * np.cos(2 * ls)
+        + 0.10 * np.cos(2 * lm)
+        - 0.09 * np.cos(2 * om)
+    ) / 3600.0
+    return dpsi, deps
+
+
+def mean_obliquity(T: np.ndarray) -> np.ndarray:
+    """ε0 in degrees (Meeus eq. 22.2): 23°26′21.448″ − 46.8150″T
+    − 0.00059″T² + 0.001813″T³."""
+    return (
+        23.0
+        + 26.0 / 60.0
+        + (21.448 - 46.8150 * T - 0.00059 * T * T + 0.001813 * T**3) / 3600.0
+    )
+
+
+# --- sun (ch. 25, low accuracy) -------------------------------------------
+
+
+def sun_apparent(jd_tt: np.ndarray):
+    """Apparent geocentric (ra, dec, distance_au) of the sun, degrees.
+
+    Meeus ch. 25 "low accuracy" (0.01°): mean elements → equation of
+    center → true longitude → the −0.00569° − 0.00478° sin Ω apparent
+    shortcut (aberration + nutation folded in), with ε corrected by
+    +0.00256° cos Ω to match. Example 25.a (1992 Oct 13.0 TD):
+    α = 198.38083°, δ = −7.78507°, R = 0.99766 au (test-pinned).
+    """
+    T = (np.asarray(jd_tt, dtype="float64") - 2451545.0) / 36525.0
+    L0 = 280.46646 + 36000.76983 * T + 0.0003032 * T * T
+    M = (357.52911 + 35999.05029 * T - 0.0001537 * T * T) * _RAD
+    e = 0.016708634 - 0.000042037 * T - 0.0000001267 * T * T
+    C = (
+        (1.914602 - 0.004817 * T - 0.000014 * T * T) * np.sin(M)
+        + (0.019993 - 0.000101 * T) * np.sin(2 * M)
+        + 0.000289 * np.sin(3 * M)
+    )
+    true_lon = L0 + C
+    nu = M + C * _RAD
+    R = 1.000001018 * (1 - e * e) / (1 + e * np.cos(nu))
+    om = (125.04 - 1934.136 * T) * _RAD
+    lam = (true_lon - 0.00569 - 0.00478 * np.sin(om)) * _RAD
+    eps = (mean_obliquity(T) + 0.00256 * np.cos(om)) * _RAD
+    ra = np.arctan2(np.cos(eps) * np.sin(lam), np.cos(lam)) / _RAD % 360.0
+    dec = np.arcsin(np.sin(eps) * np.sin(lam)) / _RAD
+    return ra, dec, R
+
+
+# --- moon (ch. 47, full periodic tables) ----------------------------------
+
+# Table 47.a — arguments (D, M, M', F), Σl coefficient (1e-6 deg),
+# Σr coefficient (1e-3 km). Meeus pp. 339-340; the abridged ELP-2000/82.
+_MOON_LR = (
+    (0, 0, 1, 0, 6288774, -20905355),
+    (2, 0, -1, 0, 1274027, -3699111),
+    (2, 0, 0, 0, 658314, -2955968),
+    (0, 0, 2, 0, 213618, -569925),
+    (0, 1, 0, 0, -185116, 48888),
+    (0, 0, 0, 2, -114332, -3149),
+    (2, 0, -2, 0, 58793, 246158),
+    (2, -1, -1, 0, 57066, -152138),
+    (2, 0, 1, 0, 53322, -170733),
+    (2, -1, 0, 0, 45758, -204586),
+    (0, 1, -1, 0, -40923, -129620),
+    (1, 0, 0, 0, -34720, 108743),
+    (0, 1, 1, 0, -30383, 104755),
+    (2, 0, 0, -2, 15327, 10321),
+    (0, 0, 1, 2, -12528, 0),
+    (0, 0, 1, -2, 10980, 79661),
+    (4, 0, -1, 0, 10675, -34782),
+    (0, 0, 3, 0, 10034, -23210),
+    (4, 0, -2, 0, 8548, -21636),
+    (2, 1, -1, 0, -7888, 24208),
+    (2, 1, 0, 0, -6766, 30824),
+    (1, 0, -1, 0, -5163, -8379),
+    (1, 1, 0, 0, 4987, -16675),
+    (2, -1, 1, 0, 4036, -12831),
+    (2, 0, 2, 0, 3994, -10445),
+    (4, 0, 0, 0, 3861, -11650),
+    (2, 0, -3, 0, 3665, 14403),
+    (0, 1, -2, 0, -2689, -7003),
+    (2, 0, -1, 2, -2602, 0),
+    (2, -1, -2, 0, 2390, 10056),
+    (1, 0, 1, 0, -2348, 6322),
+    (2, -2, 0, 0, 2236, -9884),
+    (0, 1, 2, 0, -2120, 5751),
+    (0, 2, 0, 0, -2069, 0),
+    (2, -2, -1, 0, 2048, -4950),
+    (2, 0, 1, -2, -1773, 4130),
+    (2, 0, 0, 2, -1595, 0),
+    (4, -1, -1, 0, 1215, -3958),
+    (0, 0, 2, 2, -1110, 0),
+    (3, 0, -1, 0, -892, 3258),
+    (2, 1, 1, 0, -810, 2616),
+    (4, -1, -2, 0, 759, -1897),
+    (0, 2, -1, 0, -713, -2117),
+    (2, 2, -1, 0, -700, 2354),
+    (2, 1, -2, 0, 691, 0),
+    (2, -1, 0, -2, 596, 0),
+    (4, 0, 1, 0, 549, -1423),
+    (0, 0, 4, 0, 537, -1117),
+    (4, -1, 0, 0, 520, -1571),
+    (1, 0, -2, 0, -487, -1739),
+    (2, 1, 0, -2, -399, 0),
+    (0, 0, 2, -2, -381, -4421),
+    (1, 1, 1, 0, 351, 0),
+    (3, 0, -2, 0, -340, 0),
+    (4, 0, -3, 0, 330, 0),
+    (2, -1, 2, 0, 327, 0),
+    (0, 2, 1, 0, -323, 1165),
+    (1, 1, -1, 0, 299, 0),
+    (2, 0, 3, 0, 294, 0),
+    (2, 0, -1, -2, 0, 8752),
+)
+
+# Table 47.b — arguments (D, M, M', F), Σb coefficient (1e-6 deg).
+_MOON_B = (
+    (0, 0, 0, 1, 5128122),
+    (0, 0, 1, 1, 280602),
+    (0, 0, 1, -1, 277693),
+    (2, 0, 0, -1, 173237),
+    (2, 0, -1, 1, 55413),
+    (2, 0, -1, -1, 46271),
+    (2, 0, 0, 1, 32573),
+    (0, 0, 2, 1, 17198),
+    (2, 0, 1, -1, 9266),
+    (0, 0, 2, -1, 8822),
+    (2, -1, 0, -1, 8216),
+    (2, 0, -2, -1, 4324),
+    (2, 0, 1, 1, 4200),
+    (2, 1, 0, -1, -3359),
+    (2, -1, -1, 1, 2463),
+    (2, -1, 0, 1, 2211),
+    (2, -1, -1, -1, 2065),
+    (0, 1, -1, -1, -1870),
+    (4, 0, -1, -1, 1828),
+    (0, 1, 0, 1, -1794),
+    (0, 0, 0, 3, -1749),
+    (0, 1, -1, 1, -1565),
+    (1, 0, 0, 1, -1491),
+    (0, 1, 1, 1, -1475),
+    (0, 1, 1, -1, -1410),
+    (0, 1, 0, -1, -1344),
+    (1, 0, 0, -1, -1335),
+    (0, 0, 3, 1, 1107),
+    (4, 0, 0, -1, 1021),
+    (4, 0, -1, 1, 833),
+    (0, 0, 1, -3, 777),
+    (4, 0, -2, 1, 671),
+    (2, 0, 0, -3, 607),
+    (2, 0, 2, -1, 596),
+    (2, -1, 1, -1, 491),
+    (2, 0, -2, 1, -451),
+    (0, 0, 3, -1, 439),
+    (2, 0, 2, 1, 422),
+    (2, 0, -3, -1, 421),
+    (2, 1, -1, 1, -366),
+    (2, 1, 0, 1, -351),
+    (4, 0, 0, 1, 331),
+    (2, -1, 1, 1, 315),
+    (2, -2, 0, -1, 302),
+    (0, 0, 1, 3, -283),
+    (2, 1, 1, -1, -229),
+    (1, 1, 0, -1, 223),
+    (1, 1, 0, 1, 223),
+    (0, 1, -2, -1, -220),
+    (2, 1, -1, -1, -220),
+    (1, 0, 1, 1, -185),
+    (2, -1, -2, -1, 181),
+    (0, 1, 2, 1, -177),
+    (4, 0, -2, -1, 176),
+    (4, -1, -1, -1, 166),
+    (1, 0, 1, -1, -164),
+    (4, 0, 1, -1, 132),
+    (1, 0, -1, -1, -119),
+    (4, -1, 0, -1, 115),
+    (2, -2, 0, 1, 107),
+)
+
+
+def moon_apparent(jd_tt: np.ndarray):
+    """Apparent geocentric (ra, dec, distance_km, horizontal_parallax_deg)
+    of the moon, degrees.
+
+    Meeus ch. 47 (the abridged ELP-2000/82 tables 47.a/47.b in full, with
+    the A1/A2/A3 additive terms and E-eccentricity damping), apparent
+    longitude via ch. 22 nutation. Example 47.a (1992 Apr 12.0 TD):
+    λ = 133.162655°, β = −3.229126°, Δ = 368409.7 km, apparent
+    α = 134.688470°, δ = 13.768368°, π = 0.991990° (all test-pinned).
+    """
+    T = (np.asarray(jd_tt, dtype="float64") - 2451545.0) / 36525.0
+    T2, T3, T4 = T * T, T**3, T**4
+    Lp = (
+        218.3164477 + 481267.88123421 * T - 0.0015786 * T2
+        + T3 / 538841.0 - T4 / 65194000.0
+    )
+    D = (
+        297.8501921 + 445267.1114034 * T - 0.0018819 * T2
+        + T3 / 545868.0 - T4 / 113065000.0
+    )
+    M = 357.5291092 + 35999.0502909 * T - 0.0001536 * T2 + T3 / 24490000.0
+    Mp = (
+        134.9633964 + 477198.8675055 * T + 0.0087414 * T2
+        + T3 / 69699.0 - T4 / 14712000.0
+    )
+    F = (
+        93.2720950 + 483202.0175233 * T - 0.0036539 * T2
+        - T3 / 3526000.0 + T4 / 863310000.0
+    )
+    A1 = (119.75 + 131.849 * T) * _RAD
+    A2 = (53.09 + 479264.290 * T) * _RAD
+    A3 = (313.45 + 481266.484 * T) * _RAD
+    E = 1.0 - 0.002516 * T - 0.0000074 * T2
+    E2 = E * E
+
+    Dr, Mr, Mpr, Fr = D * _RAD, M * _RAD, Mp * _RAD, F * _RAD
+    sl = np.zeros_like(T)
+    sr = np.zeros_like(T)
+    for d, m, mp, f, cl, cr in _MOON_LR:
+        arg = d * Dr + m * Mr + mp * Mpr + f * Fr
+        damp = E if abs(m) == 1 else (E2 if abs(m) == 2 else 1.0)
+        if cl:
+            sl = sl + cl * damp * np.sin(arg)
+        if cr:
+            sr = sr + cr * damp * np.cos(arg)
+    sb = np.zeros_like(T)
+    for d, m, mp, f, cb in _MOON_B:
+        arg = d * Dr + m * Mr + mp * Mpr + f * Fr
+        damp = E if abs(m) == 1 else (E2 if abs(m) == 2 else 1.0)
+        sb = sb + cb * damp * np.sin(arg)
+    # additive terms (Venus, Jupiter, flattening — Meeus p. 338)
+    sl = sl + 3958 * np.sin(A1) + 1962 * np.sin((Lp - F) * _RAD) + 318 * np.sin(A2)
+    sb = (
+        sb
+        - 2235 * np.sin(Lp * _RAD)
+        + 382 * np.sin(A3)
+        + 175 * np.sin(A1 - Fr)
+        + 175 * np.sin(A1 + Fr)
+        + 127 * np.sin((Lp - Mp) * _RAD)
+        - 115 * np.sin((Lp + Mp) * _RAD)
+    )
+
+    lam = Lp + sl / 1e6  # geocentric longitude, deg
+    beta = sb / 1e6  # geocentric latitude, deg
+    dist = 385000.56 + sr / 1e3  # km
+    parallax = np.arcsin(6378.14 / dist) / _RAD
+
+    dpsi, deps = nutation(T)
+    lam_app = (lam + dpsi) * _RAD
+    b = beta * _RAD
+    eps = (mean_obliquity(T) + deps) * _RAD
+    ra = (
+        np.arctan2(
+            np.sin(lam_app) * np.cos(eps) - np.tan(b) * np.sin(eps),
+            np.cos(lam_app),
+        )
+        / _RAD
+        % 360.0
+    )
+    dec = (
+        np.arcsin(
+            np.sin(b) * np.cos(eps) + np.cos(b) * np.sin(eps) * np.sin(lam_app)
+        )
+        / _RAD
+    )
+    return ra, dec, dist, parallax
+
+
+# --- sidereal time (ch. 12) and topocentric correction (chs. 11, 40) ------
+
+
+def sidereal_mean_deg(jd_ut: np.ndarray) -> np.ndarray:
+    """Mean Greenwich sidereal time in degrees (Meeus eq. 12.4).
+
+    Example 12.a: 1987 Apr 10.0 UT → 197.693195°; example 12.b:
+    1987 Apr 10 19:21 UT → 128.737873° (both test-pinned).
+    """
+    jd = np.asarray(jd_ut, dtype="float64")
+    T = (jd - 2451545.0) / 36525.0
+    th = (
+        280.46061837
+        + 360.98564736629 * (jd - 2451545.0)
+        + 0.000387933 * T * T
+        - T**3 / 38710000.0
+    )
+    return th % 360.0
+
+
+def site_rho(lat_deg: float, height_m: float):
+    """(ρ sin φ′, ρ cos φ′) for a geodetic site (Meeus ch. 11, IAU 1976
+    ellipsoid). Example 11.a (Palomar, φ = 33.356111°, H = 1706 m):
+    0.546861 / 0.836339 (test-pinned)."""
+    phi = lat_deg * _RAD
+    u = np.arctan(0.99664719 * np.tan(phi))
+    h = height_m / 6378140.0
+    return (
+        0.99664719 * np.sin(u) + h * np.sin(phi),
+        np.cos(u) + h * np.cos(phi),
+    )
+
+
+def topocentric_radec(
+    ra_deg,
+    dec_deg,
+    parallax_deg,
+    jd_ut,
+    lat_deg: float,
+    lon_east_deg: float,
+    height_m: float,
+):
+    """Geocentric → topocentric (ra, dec) via Meeus eqs. 40.6-40.7 (exact,
+    not the small-angle form). ``lon_east_deg`` is astronomer-east-positive
+    (the repo's site constants); Meeus's west-positive L is its negation.
+    """
+    ra = np.asarray(ra_deg, dtype="float64") * _RAD
+    dec = np.asarray(dec_deg, dtype="float64") * _RAD
+    pi_ = np.asarray(parallax_deg, dtype="float64") * _RAD
+    rsp, rcp = site_rho(lat_deg, height_m)
+    # local hour angle: H = θ0 − L_west − α
+    H = (sidereal_mean_deg(jd_ut) - (-lon_east_deg)) * _RAD - ra
+    sinpi = np.sin(pi_)
+    A = np.cos(dec) * np.sin(H)
+    B = np.cos(dec) * np.cos(H) - rcp * sinpi
+    C = np.sin(dec) - rsp * sinpi
+    q = np.sqrt(A * A + B * B + C * C)
+    Hp = np.arctan2(A, B)
+    ra_top = (ra + (H - Hp)) / _RAD % 360.0
+    dec_top = np.arcsin(C / q) / _RAD
+    return ra_top, dec_top
+
+
+# --- the user surface ------------------------------------------------------
+
+
+def body_skypos(
+    bodies,
+    iso_utc,
+    lat_deg: float,
+    lon_east_deg: float,
+    height_m: float,
+):
+    """Topocentric apparent (ra, dec) arrays for sun/moon at ISO-UTC epochs
+    from a geodetic site — the native twin of the reference's
+    ``DynSources.get_lwasv_skypos`` for the natively supported bodies.
+
+    Raises NotImplementedError listing any body outside
+    :data:`NATIVE_BODIES` (planets need astropy's VSOP-class series).
+    """
+    names = [str(b).lower() for b in bodies]
+    unsupported = sorted(set(names) - NATIVE_BODIES)
+    if unsupported:
+        raise NotImplementedError(
+            f"native ephemeris supports {sorted(NATIVE_BODIES)}; "
+            f"{unsupported} need astropy (not present in this container)"
+        )
+    jd_ut = julian_day_utc(list(iso_utc))
+    jd_tt = jd_ut + delta_t_seconds(jd_ut) / 86400.0
+    ra = np.empty(len(names))
+    dec = np.empty(len(names))
+    is_sun = np.array([n == "sun" for n in names])
+    if is_sun.any():
+        r, d, dist_au = sun_apparent(jd_tt[is_sun])
+        # solar horizontal parallax: 8.794″ / R_au (Meeus ch. 40)
+        par = (8.794 / 3600.0) / dist_au
+        ra[is_sun], dec[is_sun] = topocentric_radec(
+            r, d, par, jd_ut[is_sun], lat_deg, lon_east_deg, height_m
+        )
+    if (~is_sun).any():
+        r, d, _, par = moon_apparent(jd_tt[~is_sun])
+        ra[~is_sun], dec[~is_sun] = topocentric_radec(
+            r, d, par, jd_ut[~is_sun], lat_deg, lon_east_deg, height_m
+        )
+    return ra, dec

@@ -1,0 +1,168 @@
+"""Native sun/moon ephemeris (C4) — golden-pinned against the published
+worked examples in Meeus, *Astronomical Algorithms* (2nd ed.), and wired
+into ``resolve_positions`` (O1) for astropy-less deployments.
+
+Tolerances are the book's own printed precision (1e-5 deg ≈ 0.04″) where
+the algorithm is exact-to-print, and the documented truncation error where
+it is not (nutation ±0.6″; moon apparent RA carries that nutation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from epic_stream_processor_spark.functions import ephemeris_native as E
+
+JD_25A = 2448908.5  # 1992 Oct 13.0 TD (example 25.a)
+JD_47A = 2448724.5  # 1992 Apr 12.0 TD (example 47.a)
+
+
+def test_sun_apparent_example_25a():
+    ra, dec, r = E.sun_apparent(np.array([JD_25A]))
+    assert abs(ra[0] - 198.38083) < 1e-4
+    assert abs(dec[0] - (-7.78507)) < 1e-4
+    assert abs(r[0] - 0.99766) < 1e-5
+
+
+def test_moon_apparent_example_47a():
+    ra, dec, dist, par = E.moon_apparent(np.array([JD_47A]))
+    # apparent place carries the truncated nutation: allow 0.5″ = 1.4e-4°
+    assert abs(ra[0] - 134.688470) < 1.5e-4
+    assert abs(dec[0] - 13.768368) < 1.5e-4
+    assert abs(dist[0] - 368409.7) < 0.1
+    assert abs(par[0] - 0.991990) < 1e-6
+
+
+def test_sidereal_examples_12a_12b():
+    assert abs(E.sidereal_mean_deg(np.array([2446895.5]))[0] - 197.693195) < 1e-5
+    jd_12b = 2446895.5 + (19.0 + 21.0 / 60.0) / 24.0
+    assert abs(E.sidereal_mean_deg(np.array([jd_12b]))[0] - 128.737873) < 1e-5
+
+
+def test_site_rho_example_11a_palomar():
+    rsp, rcp = E.site_rho(33.356111, 1706.0)
+    assert abs(rsp - 0.546861) < 1e-6
+    assert abs(rcp - 0.836339) < 1e-6
+
+
+def test_nutation_within_truncation_bound_of_example_22a():
+    dpsi, deps = E.nutation(np.array([-0.127296372348]))
+    assert abs(dpsi[0] * 3600 - (-3.788)) < 0.6
+    assert abs(deps[0] * 3600 - 9.443) < 0.6
+
+
+def test_julian_day_example_7a():
+    # 1957 Oct 4.81 UT (Sputnik): JD 2436116.31
+    jd = E.julian_day_utc(["1957-10-04T19:26:24"])
+    assert abs(jd[0] - 2436116.31) < 1e-6
+
+
+def _angsep_deg(ra1, dec1, ra2, dec2):
+    a1, d1, a2, d2 = (np.deg2rad(v) for v in (ra1, dec1, ra2, dec2))
+    return np.rad2deg(
+        np.arccos(
+            np.clip(
+                np.sin(d1) * np.sin(d2)
+                + np.cos(d1) * np.cos(d2) * np.cos(a1 - a2),
+                -1,
+                1,
+            )
+        )
+    )
+
+
+def test_topocentric_shift_bounded_by_parallax_and_zero_on_axis():
+    """Exact-formula invariants (Meeus ch. 40): the geocentric→topocentric
+    displacement never exceeds the horizontal parallax, reaches most of it
+    somewhere on a full-day grid (moon near the horizon), and the RA
+    component vanishes on the meridian (H = 0)."""
+    jd_ut = 2460676.5 + np.linspace(0, 1, 97)  # 2025-01-01, 15-min grid
+    dt = E.delta_t_seconds(jd_ut) / 86400.0
+    ra, dec, dist, par = E.moon_apparent(jd_ut + dt)
+    rt, dt_ = E.topocentric_radec(ra, dec, par, jd_ut, 34.348358, -106.885783, 1477.8)
+    sep = _angsep_deg(ra, dec, rt, dt_)
+    assert np.all(sep <= par * 1.0000001)
+    assert sep.max() > 0.80 * par.max()
+    # H = 0 ⇒ Δra = 0 exactly (sin H = 0 in eq. 40.6)
+    H = (E.sidereal_mean_deg(jd_ut) + (-106.885783)) - ra
+    i = int(np.argmin(np.abs((H + 180.0) % 360.0 - 180.0)))
+    dra = abs((rt[i] - ra[i] + 180.0) % 360.0 - 180.0)
+    assert dra < np.cos(np.deg2rad(dec[i])) ** -1 * par[i] * 0.02
+
+
+def test_body_skypos_sun_crosses_equator_at_equinox():
+    """Public almanac fact: at the 2025 March equinox (2025-03-20 ~09:01
+    UTC) the sun's declination passes through zero — a UTC-in, ΔT-applied,
+    end-to-end check that needs no astropy."""
+    ra, dec = E.body_skypos(
+        ["sun", "sun", "sun"],
+        ["2025-03-19T09:01:00", "2025-03-20T09:01:00", "2025-03-21T09:01:00"],
+        34.348358,
+        -106.885783,
+        1477.8,
+    )
+    assert dec[0] < -0.2 and dec[2] > 0.2
+    assert abs(dec[1]) < 0.05
+    assert abs(ra[1]) < 1.0 or ra[1] > 359.0  # RA wraps through 0h
+
+
+def test_body_skypos_rejects_planets_without_astropy():
+    with pytest.raises(NotImplementedError, match="jupiter"):
+        E.body_skypos(
+            ["jupiter"], ["2025-01-01T00:00:00"], 34.0, -106.0, 1000.0
+        )
+
+
+def test_resolve_positions_native_sun_moon(spark):
+    """O1's ephemeris branch end-to-end on Spark without astropy: sun and
+    moon rows get per-epoch positions equal to the driver-side native
+    computation; static rows keep their catalog values; planets raise at
+    plan-construction time."""
+    from epic_stream_processor_spark.functions import astro
+
+    if astro.have_astropy():  # pragma: no cover
+        pytest.skip("real astropy present: the UDF branch shadows native")
+    df = spark.createDataFrame(
+        [
+            ("Crab", 83.63, 22.01, "2025-01-01T06:00:00"),
+            ("Sun", 0.0, 0.0, "2025-01-01T06:00:00"),
+            ("moon", 0.0, 0.0, "2025-01-01T06:00:00"),
+            ("Sun", 0.0, 0.0, "2025-01-01T18:00:00"),
+        ],
+        ["source_name", "ra", "dec", "t_str"],
+    ).withColumn("t_obs", F.col("t_str").cast("timestamp_ntz")).drop("t_str")
+    out = {
+        (r["source_name"], r["t_obs"].isoformat()): (r["ra"], r["dec"])
+        for r in astro.resolve_positions(df).collect()
+    }
+    assert len(out) == 4
+    assert out[("Crab", "2025-01-01T06:00:00")] == (83.63, 22.01)
+    exp_ra, exp_dec = E.body_skypos(
+        ["sun", "moon", "sun"],
+        [
+            "2025-01-01T06:00:00.000000",
+            "2025-01-01T06:00:00.000000",
+            "2025-01-01T18:00:00.000000",
+        ],
+        astro.LWASV_LAT_DEG,
+        astro.LWASV_LON_DEG,
+        astro.LWASV_HEIGHT_M,
+    )
+    got = [
+        out[("Sun", "2025-01-01T06:00:00")],
+        out[("moon", "2025-01-01T06:00:00")],
+        out[("Sun", "2025-01-01T18:00:00")],
+    ]
+    for (gra, gdec), era, edec in zip(got, exp_ra, exp_dec):
+        assert abs(gra - era) < 1e-12 and abs(gdec - edec) < 1e-12
+    # distinct epochs must resolve to distinct sun positions (~1°/day RA)
+    assert got[0] != got[2]
+
+    bad = spark.createDataFrame(
+        [("mars", 0.0, 0.0, "2025-01-01T00:00:00")],
+        ["source_name", "ra", "dec", "t_str"],
+    ).withColumn("t_obs", F.col("t_str").cast("timestamp_ntz")).drop("t_str")
+    with pytest.raises(NotImplementedError, match="mars"):
+        astro.resolve_positions(bad)
