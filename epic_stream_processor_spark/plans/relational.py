@@ -129,10 +129,18 @@ LIMIT 10
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier.
 
-    Scale: region/nation/supplier are broadcast dims (tiny); the only big
-    shuffles are orders⋈lineitem on orderkey and the final group on n_name.
-    Catalyst reorders the join tree; the explicit broadcast hints pin the
-    dim sides.
+    Scale: region/nation/supplier are broadcast dims (tiny); the join
+    *order* restricts orders to ASIA customers BEFORE the lineitem join, so
+    the one unavoidable big shuffle (lineitem on orderkey) meets a build
+    side already cut to date-window × region selectivity (~3% of orders)
+    and the wide post-join rows never re-shuffle on custkey. Catalyst
+    cannot derive this reorder itself (no CBO stats; the
+    s_nationkey = c_nationkey cycle blocks simple pushdown). Measured,
+    same-host interleaved A/Bs, median of 7-9 reps: at the 100× tier
+    7.67/4.52 s (old order) → 3.58/3.90 s with far smaller variance; ~even
+    at 10×; +0.3 s at sf0.1 where everything broadcasts and the extra
+    exchange is pure stage latency — the fixture pays a fixed overhead for
+    the plan that wins where it matters (SCALING.md §5b).
     """
     configure_for_parity(spark)
     r = F.broadcast(
@@ -147,13 +155,17 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem")
     rev_cents = F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    cn = c.join(n, F.col("c_nationkey") == F.col("n_nationkey")).join(
+        r, F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    oc = o.join(cn, F.col("o_custkey") == F.col("c_custkey"))
     return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .where(F.col("s_nationkey") == F.col("c_nationkey"))
-        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        l.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
         .groupBy("n_name")
         .agg((rev_cents.cast("double") / 100.0).alias("revenue"))
     )
