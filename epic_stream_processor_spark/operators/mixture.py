@@ -1,0 +1,156 @@
+"""Domain-mixture construction: temperature sampling + fractional epochs.
+
+Every large-scale training corpus is a *mixture*: domains (web crawl,
+code, books, wiki, …) are not fed at their natural frequencies but at
+reweighted rates — the temperature-sampling recipe published with
+multilingual BERT / XLM-R (q_i ∝ p_i^α) and the per-domain epoch counts
+published for GPT-3 / LLaMA (some domains repeated 2-3×, others sampled
+down to a fraction). This module turns a per-domain *rate* (expected
+epochs per document, possibly fractional, possibly > 1) into a
+materialized mixture deterministically:
+
+- ``temperature_rates`` — the driver-side arithmetic: domain counts →
+  per-domain expected-epoch rates for a target corpus size at temperature
+  ``alpha`` (α = 1 natural frequencies, α = 0 uniform over domains).
+- ``apply_mixture_epochs`` — the distributed operator: every doc gets
+  ``floor(rate)`` full copies plus one more iff its stable 60-bit hash
+  falls under ``frac(rate) · 2^60``. No RNG: the same doc always gets the
+  same epoch count across reruns, engines, and repartitioning (the
+  ``hash_sample`` idiom, ``operators/sampling.py``). The per-domain
+  (full_copies, threshold) pair is computed in Python as exact integers,
+  so the Spark CASE and the DuckDB oracle CASE compare identical longs —
+  no float crosses an engine boundary.
+
+Scale (100 TB): the whole operator is a row-local projection + an
+``explode_outer`` of an int sequence — zero shuffle, zero state. The
+explode multiplies rows by the mixture's mean rate, which is the *point*;
+sub-1.0 domains are dropped at scan level before any downstream stage.
+``explode_outer`` + ``isNotNull`` rather than inner ``explode`` keeps
+InferFiltersFromGenerate from cloning the hash expression below the
+generate (the winnowing/decontamination lesson).
+
+Extension surface beyond the reference (closest: none — the reference
+never samples); part of the training-data-pipeline operator set the
+driver mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import stable_hash64
+
+_HASH_SPACE = 1 << 60  # stable_hash64 is 60-bit
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float, target_total: float
+) -> dict[str, float]:
+    """Per-domain expected-epoch rates for temperature-α mixture sampling.
+
+    ``q_i ∝ p_i^α`` (p_i = natural share), scaled so the expected output
+    size is ``target_total`` docs: rate_i = q_i · target_total / n_i.
+    α = 1 reproduces natural frequencies (every rate equal); α = 0 gives
+    every domain the same share of the output regardless of size; α in
+    between up-weights the tail — the published multilingual recipe.
+    """
+    if not counts:
+        return {}
+    if min(counts.values()) <= 0:
+        raise ValueError(f"domain counts must be positive: {counts}")
+    total = sum(counts.values())
+    q = {d: (n / total) ** alpha for d, n in counts.items()}
+    z = sum(q.values())
+    return {d: q[d] / z * target_total / counts[d] for d in counts}
+
+
+def _integer_mixture(rates: dict[str, float]) -> dict[str, tuple[int, int]]:
+    """domain → (full_copies, extra_copy_threshold) as exact integers.
+
+    threshold = round(frac(rate) · 2^60): the one float→int conversion,
+    done once in Python, so both engines compare the same literal.
+    """
+    out = {}
+    for d, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative mixture rate for {d!r}: {r}")
+        full = int(r)
+        out[d] = (full, min(int(round((r - full) * _HASH_SPACE)), _HASH_SPACE))
+    return out
+
+
+def apply_mixture_epochs(
+    docs: DataFrame,
+    rates: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Materialize a domain mixture: one output row per (doc, epoch).
+
+    Output = input columns + ``epoch`` (1-based). A doc in a rate-2.25
+    domain appears 2 or 3 times (3 for the deterministic 25% of hashes);
+    a rate-0.4 domain keeps 40% of docs once; unlisted domains get
+    ``default_rate`` (0 ⇒ dropped). Reproducible across engines — the
+    DuckDB oracle compares bit-for-bit.
+    """
+    mix = _integer_mixture({**rates})
+    dfull, dthr = _integer_mixture({"_": default_rate})["_"]
+
+    full_col = F.lit(dfull)
+    thr_col = F.lit(dthr)
+    for d, (full, thr) in mix.items():
+        cond = F.col(domain_col) == d
+        full_col = F.when(cond, F.lit(full)).otherwise(full_col)
+        thr_col = F.when(cond, F.lit(thr)).otherwise(thr_col)
+
+    h = stable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    n = (full_col + (h < thr_col).cast("int")).alias("_n_copies")
+    return (
+        docs.withColumn("_n_copies", n)
+        .withColumn(
+            "epoch",
+            F.explode_outer(
+                F.when(
+                    F.col("_n_copies") > 0,
+                    F.sequence(F.lit(1), F.col("_n_copies")),
+                )
+            ),
+        )
+        .where(F.col("epoch").isNotNull())
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .drop("_n_copies")
+    )
+
+
+def mixture_oracle_sql(
+    rates: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+    table: str = "documents",
+    select_cols: str = "doc_id, source",
+) -> str:
+    """DuckDB twin of :func:`apply_mixture_epochs` (same integer literals)."""
+    mix = _integer_mixture({**rates})
+    dfull, dthr = _integer_mixture({"_": default_rate})["_"]
+    full_case = " ".join(
+        f"WHEN '{d}' THEN {full}" for d, (full, _) in mix.items()
+    )
+    thr_case = " ".join(f"WHEN '{d}' THEN {thr}" for d, (_, thr) in mix.items())
+    return f"""
+WITH base AS (
+  SELECT {select_cols},
+    CASE {domain_col} {full_case} ELSE {dfull} END
+      + CASE WHEN CAST(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)
+             < CASE {domain_col} {thr_case} ELSE {dthr} END
+        THEN 1 ELSE 0 END AS n_copies
+  FROM {table}
+)
+SELECT {select_cols}, CAST(epoch AS BIGINT) AS epoch
+FROM base, LATERAL unnest(range(1, n_copies + 1)) AS t(epoch)
+"""

@@ -1426,3 +1426,33 @@ SELECT doc_id, n_tokens, bucket,
                    - n_tokens) / 256) AS BIGINT) AS pack_id
 FROM t
 """
+
+
+MIXTURE_RATES = {"src0": 2.25, "src1": 1.0, "src2": 0.5, "src3": 0.125}
+MIXTURE_DEFAULT = 0.75
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture materialization (operators/mixture.py): per-domain
+    fractional epoch rates — 2.25 epochs for src0, down-sampling for the
+    tail — applied as deterministic hash replication/sampling. Row-local
+    explode, zero shuffle; the per-doc epoch count is identical across
+    engines (integer thresholds, no float crosses the boundary)."""
+    from ..operators.mixture import apply_mixture_epochs
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return apply_mixture_epochs(
+        docs, MIXTURE_RATES, default_rate=MIXTURE_DEFAULT
+    )
+
+
+def _mixture_oracle() -> str:
+    from ..operators.mixture import mixture_oracle_sql
+
+    return mixture_oracle_sql(
+        MIXTURE_RATES, default_rate=MIXTURE_DEFAULT
+    )
+
+
+ORACLE_CORPUS_MIXTURE = _mixture_oracle()

@@ -256,6 +256,12 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # live here rather than silently past the cap (the corpus_sample_split
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
+    "corpus_mixture_epochs": QueryDef(
+        llm.q_corpus_mixture, llm.ORACLE_CORPUS_MIXTURE,
+        "domain-mixture materialization: temperature/epoch rates applied as "
+        "deterministic hash replication (2.25 epochs for src0 down to 1/8 "
+        "sampling) — row-local explode, integer-exact across engines",
+    ),
     "q_top_orders_by_price": QueryDef(
         relational.q_top_orders_by_price, relational.ORACLE_TOP_ORDERS_BY_PRICE,
         "global sort + limit with unique tiebreak (displaced by "

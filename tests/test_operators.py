@@ -996,3 +996,71 @@ def test_winnow_arrow_is_bit_exact_with_expression_path(spark):
     assert ea == norm(T.winnow_fingerprints_df(edge, arrow=False))
     # short docs (< 3 tokens incl. empty/NULL) get empty fingerprint sets
     assert dict(ea)[1] == () and dict(ea)[4] == ()
+
+
+# --- domain mixture (operators/mixture.py) ---------------------------------
+
+
+def test_temperature_rates_math():
+    """α=1 → natural frequencies (all rates equal); α=0 → equal domain
+    shares (rate ∝ 1/n); in between the tail is up-weighted. Expected
+    output size is preserved at every α."""
+    from epic_stream_processor_spark.operators.mixture import temperature_rates
+
+    counts = {"big": 900, "small": 100}
+    nat = temperature_rates(counts, 1.0, 1000)
+    assert abs(nat["big"] - 1.0) < 1e-12 and abs(nat["small"] - 1.0) < 1e-12
+    uni = temperature_rates(counts, 0.0, 1000)
+    assert abs(uni["big"] - 500 / 900) < 1e-12
+    assert abs(uni["small"] - 500 / 100) < 1e-12
+    mid = temperature_rates(counts, 0.3, 1000)
+    assert nat["small"] < mid["small"] < uni["small"]
+    for r in (nat, uni, mid):
+        assert abs(sum(r[d] * counts[d] for d in counts) - 1000) < 1e-6
+
+
+def test_apply_mixture_epochs_deterministic_counts(spark):
+    """Every doc appears exactly floor(rate) or ceil(rate) times, the
+    choice is a pure function of its hash (recomputed here in Python), and
+    epochs are 1..n with no gaps."""
+    import hashlib
+
+    from epic_stream_processor_spark.operators.mixture import (
+        apply_mixture_epochs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(200)],
+        "doc_id long, source string",
+    )
+    rates = {"a": 1.75, "b": 0.25}
+    out = apply_mixture_epochs(docs, rates).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i in range(200):
+        rate = rates["a" if i % 2 else "b"]
+        h = int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:15], 16)
+        expect = int(rate) + (1 if h < round((rate % 1) * (1 << 60)) else 0)
+        got = sorted(by_doc.get(i, []))
+        assert got == list(range(1, expect + 1)), (i, rate, got, expect)
+    # aggregate sanity: realized size tracks expectation
+    n_a = sum(len(v) for k, v in by_doc.items() if k % 2)
+    n_b = sum(len(v) for k, v in by_doc.items() if not k % 2)
+    assert 140 <= n_a <= 210 and 10 <= n_b <= 40
+
+
+def test_apply_mixture_epochs_is_shuffle_free(spark):
+    """The mixture operator must stay a scan-level projection: no Exchange
+    anywhere in the plan (the 100 TB contract in the module docstring)."""
+    from epic_stream_processor_spark.operators.mixture import (
+        apply_mixture_epochs,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    plan = (
+        apply_mixture_epochs(docs, {"src0": 2.5}, default_rate=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
