@@ -245,6 +245,120 @@ def make_assign_norm_udf(centroid_rows: list):
     return assign
 
 
+def make_topn_assign_udf(centroid_rows: list, nprobe: int):
+    """Multi-probe twin of :func:`make_assign_norm_udf`: per vector the
+    TOP-``nprobe`` centroid ids (ordered by cosine desc, id asc — the
+    identical total order the oracle's ``row_number`` uses, NaN greatest)
+    plus the row norm, as ``struct<cluster_ids: array<long>, vnorm:
+    double>``.
+
+    Same bit-exactness contract: dimension-at-a-time accumulation in the
+    SQL fold's order, driver-side sequential centroid norms, stable
+    argsort on the negated similarity (centroids pre-sorted by id, so
+    stability IS the id-ascending tie-break). Used probe-side only —
+    corpus rows keep the single-cluster argmax; multiplying the *corpus*
+    by nprobe is the classic IVF mistake.
+    """
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted(
+        ((int(c), [float(x) for x in v]) for c, v in centroid_rows),
+        key=lambda t: t[0],
+    )
+    cids = [c for c, _ in cents]
+    cvecs = [v for _, v in cents]
+    cnorms = []
+    for v in cvecs:
+        acc = 0.0
+        for x in v:  # sequential fold, mirroring F.aggregate/list_reduce
+            acc += x * x
+        cnorms.append(math.sqrt(acc))
+    p = int(nprobe)
+
+    @pandas_udf("cluster_ids array<long>, vnorm double")
+    def assign_topn(vs: pd.Series) -> pd.DataFrame:
+        import collections
+
+        import numpy as np
+        import pandas as _pd
+
+        cid_arr = np.array(cids, dtype=np.int64)
+        C = np.array(cvecs, dtype=np.float64)
+        cn = np.array(cnorms, dtype=np.float64)
+        out_cids = [None] * len(vs)
+        out_norm = [None] * len(vs)
+        groups = collections.defaultdict(list)
+        for i, v in enumerate(vs):
+            groups[-1 if v is None else len(v)].append(i)
+        for length, idxs in groups.items():
+            if length <= 0:
+                continue
+            V = np.array([vs.iloc[i] for i in idxs], dtype=np.float64)
+            vacc = np.zeros(len(idxs))
+            for j in range(length):  # same add order as the SQL fold
+                vacc = vacc + V[:, j] * V[:, j]
+            vn = np.sqrt(vacc)
+            for i_local, i in enumerate(idxs):
+                out_norm[i] = float(vn[i_local])
+            if length != C.shape[1]:
+                continue  # dim mismatch: NULL cluster list (malformed input)
+            acc = np.zeros((len(idxs), len(cid_arr)))
+            for j in range(length):
+                acc = acc + V[:, j : j + 1] * C[:, j][None, :]
+            sim = acc / (vn[:, None] * cn[None, :])
+            # SQL ORDER BY sim DESC treats NaN as greatest; argsort would
+            # put NaN last, so map it to +inf first
+            key = np.where(np.isnan(sim), np.inf, sim)
+            for i_local, i in enumerate(idxs):
+                sel = np.argsort(-key[i_local], kind="stable")[:p]
+                out_cids[i] = [int(c) for c in cid_arr[sel]]
+        return _pd.DataFrame({"cluster_ids": out_cids, "vnorm": out_norm})
+
+    return assign_topn
+
+
+def assign_topn_col(
+    vec: Column,
+    centroid_rows: list,
+    nprobe: int,
+    vnorm: Column | None = None,
+) -> Column:
+    """Expression-path twin of :func:`make_topn_assign_udf`: array of the
+    top-``nprobe`` centroid ids. ``reverse(array_sort(...))`` over the
+    same (sim, -cid) structs the argmax path builds — Spark's natural
+    struct order sorts NaN greatest and breaks similarity ties toward the
+    smaller cluster id, exactly like ``row_number(ORDER BY sim DESC,
+    cid ASC)``; the first element is always :func:`assign_cluster_col`'s
+    argmax (pinned by test)."""
+    import math
+
+    parts = []
+    for cid, cv in centroid_rows:
+        vals = [float(v) for v in cv]
+        acc = 0.0
+        for v in vals:  # sequential fold, mirroring F.aggregate/list_reduce
+            acc += v * v
+        cnorm = math.sqrt(acc)
+        arr = ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals)
+        parts.append(
+            f"named_struct('cid', CAST({int(cid)} AS BIGINT), "
+            f"'cv', array({arr}), 'cnorm', CAST('{cnorm!r}' AS DOUBLE))"
+        )
+    cents = F.expr("array(" + ",".join(parts) + ")")
+    vn = l2_norm(vec) if vnorm is None else vnorm
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            (dot(vec, c["cv"]) / (vn * c["cnorm"])).alias("s"),
+            (-c["cid"]).alias("negid"),
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, int(nprobe))
+    return F.transform(top, lambda c: (-c["negid"]).cast("long"))
+
+
 def assign_cluster_col(
     vec: Column,
     centroid_rows: list,
@@ -397,8 +511,10 @@ def knn_cosine_ivf(
     parallelism: int | None = None,
     dim: int | None = None,
     arrow_assign: bool = True,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-restricted top-k: probe searches only its own cluster (nprobe=1).
+    """IVF-restricted top-k: each probe searches its ``nprobe`` closest
+    clusters (default 1).
 
     Approximate by design; the equi-join on cluster_id replaces the cross
     product, which is what survives a 1000-executor corpus. Centroids are
@@ -409,6 +525,21 @@ def knn_cosine_ivf(
     ``arrow_assign=False`` selects the pure-expression literal argmax
     (:func:`assign_cluster_col`). Oversized centroid sets fall back to the
     join-based :func:`ivf_assign`.
+
+    ``nprobe > 1`` is the published recall knob (IVF indexes à la Faiss):
+    the PROBE side fans out to its top-n clusters (cosine desc, id asc —
+    the oracle's exact total order) and the candidate join unions those
+    clusters; the corpus side always stays single-cluster, so index size
+    and the shuffle carry no nprobe factor and probe cost grows linearly
+    in nprobe × cluster size. Measured recall@5 vs brute force at sf0.1
+    (2000 vectors, 20 probes, 21 modulo-picked centroids): 15% at
+    nprobe=1 → 27% at nprobe=2 → 48% at nprobe=4; with per-label mean
+    centroids (a trained index) 21% → 34% → 56%. The absolute level is a
+    property of the synthetic fixture — its embeddings have weak cluster
+    structure, so true neighbors spread nearly uniformly across clusters,
+    IVF's worst case — but the near-linear recall-vs-nprobe slope is
+    exactly the published IVF trade and is what
+    ``tests/test_operators.py`` pins (monotone, with floors).
 
     ``parallelism``: optional corpus repartition before the fold-heavy
     assignment projection — for fixtures that arrive as one parquet file
@@ -444,14 +575,27 @@ def knn_cosine_ivf(
                 F.col("_an.vnorm").alias("_vnorm"),
                 F.col("_an.cluster_id").alias("cluster_id"),
             )
-            probe_assigned = probes.withColumn(
-                "_an", audf(F.col(vec_col))
-            ).select(
-                F.col(id_col).alias("probe_id"),
-                F.col(vec_col).alias("probe_vec"),
-                F.col("_an.vnorm").alias("probe_norm"),
-                F.col("_an.cluster_id").alias("cluster_id"),
-            )
+            if nprobe > 1:
+                audf_n = make_topn_assign_udf(cent_rows, nprobe)
+                probe_assigned = (
+                    probes.withColumn("_an", audf_n(F.col(vec_col)))
+                    .select(
+                        F.col(id_col).alias("probe_id"),
+                        F.col(vec_col).alias("probe_vec"),
+                        F.col("_an.vnorm").alias("probe_norm"),
+                        F.explode_outer("_an.cluster_ids").alias("cluster_id"),
+                    )
+                    .where(F.col("cluster_id").isNotNull())
+                )
+            else:
+                probe_assigned = probes.withColumn(
+                    "_an", audf(F.col(vec_col))
+                ).select(
+                    F.col(id_col).alias("probe_id"),
+                    F.col(vec_col).alias("probe_vec"),
+                    F.col("_an.vnorm").alias("probe_norm"),
+                    F.col("_an.cluster_id").alias("cluster_id"),
+                )
         else:
             acol = assign_cluster_col(
                 F.col(vec_col), cent_rows, F.col("_vnorm"),
@@ -461,22 +605,65 @@ def knn_cosine_ivf(
                 F.col(id_col), F.col(vec_col), F.col("_vnorm"),
                 acol.alias("cluster_id"),
             )
-            probe_assigned = probes.withColumn("_vnorm", norm()).select(
-                F.col(id_col).alias("probe_id"),
-                F.col(vec_col).alias("probe_vec"),
-                F.col("_vnorm").alias("probe_norm"),
-                acol.alias("cluster_id"),
-            )
+            if nprobe > 1:
+                acol_n = assign_topn_col(F.col(vec_col), cent_rows, nprobe)
+                probe_assigned = (
+                    probes.withColumn("_vnorm", norm())
+                    .select(
+                        F.col(id_col).alias("probe_id"),
+                        F.col(vec_col).alias("probe_vec"),
+                        F.col("_vnorm").alias("probe_norm"),
+                        F.explode_outer(acol_n).alias("cluster_id"),
+                    )
+                    .where(F.col("cluster_id").isNotNull())
+                )
+            else:
+                probe_assigned = probes.withColumn("_vnorm", norm()).select(
+                    F.col(id_col).alias("probe_id"),
+                    F.col(vec_col).alias("probe_vec"),
+                    F.col("_vnorm").alias("probe_norm"),
+                    acol.alias("cluster_id"),
+                )
     else:
         assigned = ivf_assign(corpus, centroids, vec_col, id_col).withColumn(
             "_vnorm", norm()
         )
-        probe_assigned = ivf_assign(probes, centroids, vec_col, id_col).select(
-            F.col(id_col).alias("probe_id"),
-            F.col(vec_col).alias("probe_vec"),
-            norm().alias("probe_norm"),
-            "cluster_id",
-        )
+        if nprobe > 1:
+            # probes are small by contract: broadcast-score against the
+            # centroid set and keep each probe's top-n clusters
+            c = F.broadcast(
+                centroids.select(
+                    F.col("centroid_id").alias("cluster_id"),
+                    F.col(vec_col).alias("centroid_vec"),
+                )
+            )
+            wprobe = Window.partitionBy("probe_id").orderBy(
+                F.col("_c_sim").desc(), F.col("cluster_id").asc()
+            )
+            probe_assigned = (
+                probes.select(
+                    F.col(id_col).alias("probe_id"),
+                    F.col(vec_col).alias("probe_vec"),
+                    norm().alias("probe_norm"),
+                )
+                .crossJoin(c)
+                .withColumn(
+                    "_c_sim",
+                    cosine(F.col("probe_vec"), F.col("centroid_vec")),
+                )
+                .withColumn("_rn", F.row_number().over(wprobe))
+                .where(F.col("_rn") <= nprobe)
+                .select("probe_id", "probe_vec", "probe_norm", "cluster_id")
+            )
+        else:
+            probe_assigned = ivf_assign(
+                probes, centroids, vec_col, id_col
+            ).select(
+                F.col(id_col).alias("probe_id"),
+                F.col(vec_col).alias("probe_vec"),
+                norm().alias("probe_norm"),
+                "cluster_id",
+            )
     cand = assigned.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),

@@ -1456,3 +1456,57 @@ def _mixture_oracle() -> str:
 
 
 ORACLE_CORPUS_MIXTURE = _mixture_oracle()
+
+
+def q_knn_cosine_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (nprobe=2): each probe searches its two closest
+    clusters — the published recall knob; candidate set doubles, corpus
+    assignment and index size unchanged."""
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = _ivf_modulus(emb.count())
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    centroids = emb.where(F.col("vec_id") % m == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    out = S.knn_cosine_ivf(emb, probes, centroids, k=5, nprobe=2)
+    return out.select(
+        "probe_id", "cand_id", "cos_sim", F.col("rank").alias("rnk")
+    )
+
+
+ORACLE_KNN_COSINE_IVF_NPROBE2 = f"""WITH m AS (
+  SELECT GREATEST(CAST(FLOOR(97.0 * SQRT(COUNT(*) / 2000.0)) AS BIGINT), 1) AS m
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cluster_id, embedding AS centv
+  FROM embeddings, m WHERE vec_id % m.m = 0
+),
+ranked_assign AS (
+  SELECT e.vec_id, e.embedding, c.cluster_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cos_sql('e.embedding', 'c.centv')} DESC,
+                                     c.cluster_id ASC) AS rn
+  FROM embeddings e, cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id FROM ranked_assign WHERE rn = 1
+),
+probe_assigned AS (
+  SELECT vec_id AS probe_id, embedding AS pv, cluster_id
+  FROM ranked_assign WHERE rn <= 2 AND vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.probe_id, a.vec_id AS cand_id, {_cos_sql('p.pv', 'a.embedding')} AS cos_sim
+  FROM probe_assigned p JOIN assigned a USING (cluster_id)
+  WHERE a.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT probe_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""

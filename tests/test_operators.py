@@ -1064,3 +1064,75 @@ def test_apply_mixture_epochs_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# --- multi-probe IVF (nprobe > 1) ------------------------------------------
+
+
+def test_topn_assign_paths_bit_exact_and_consistent_with_argmax(spark):
+    """The Arrow top-n assignment, the expression top-n, and the scalar
+    argmax must agree exactly: topn[0] == argmax for every vector, and the
+    two top-n paths produce identical arrays (same total order: cosine
+    desc, centroid id asc)."""
+    from pyspark.sql import functions as F
+
+    import epic_stream_processor_spark.operators.similarity as S
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id") % 48 == 0).collect()
+    ]
+    audf = S.make_topn_assign_udf(cent_rows, 3)
+    arrow = {
+        r["vec_id"]: tuple(r["t"]["cluster_ids"])
+        for r in emb.select("vec_id", audf(F.col("embedding")).alias("t")).collect()
+    }
+    expr_col = S.assign_topn_col(F.col("embedding"), cent_rows, 3)
+    exprs = {
+        r["vec_id"]: tuple(r["t"])
+        for r in emb.select("vec_id", expr_col.alias("t")).collect()
+    }
+    argmax = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id",
+            S.assign_cluster_col(F.col("embedding"), cent_rows).alias("c"),
+        ).collect()
+    }
+    assert arrow == exprs
+    assert len(arrow) > 0
+    for vid, tops in arrow.items():
+        assert len(tops) == 3 and len(set(tops)) == 3
+        assert tops[0] == argmax[vid]
+
+
+def test_ivf_nprobe_recall_is_monotone(spark):
+    """The published IVF trade: more probed clusters ⇒ recall@k vs brute
+    force can only grow (candidate sets are supersets). Floors are loose —
+    the synthetic fixture has weak cluster structure (see the operator
+    docstring) — but the monotone slope is the contract."""
+    from pyspark.sql import functions as F
+
+    import epic_stream_processor_spark.operators.similarity as S
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    cents = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    truth = {}
+    for r in S.knn_cosine_bruteforce(emb, probes, k=5).collect():
+        truth.setdefault(r["probe_id"], set()).add(r["cand_id"])
+    tot = sum(len(v) for v in truth.values())
+    recall = {}
+    for p in (1, 2, 4):
+        got = {}
+        for r in S.knn_cosine_ivf(emb, probes, cents, k=5, nprobe=p).collect():
+            got.setdefault(r["probe_id"], set()).add(r["cand_id"])
+        recall[p] = sum(len(truth[q] & got.get(q, set())) for q in truth) / tot
+    assert recall[1] <= recall[2] <= recall[4], recall
+    assert recall[4] > recall[1], recall
+    assert recall[4] >= 0.3, recall
