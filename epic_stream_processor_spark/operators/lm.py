@@ -1,0 +1,166 @@
+"""Corpus-trained language-model quality scoring (the CCNet/Gopher recipe).
+
+The published web-curation pipelines score every document with a language
+model trained on a trusted corpus and filter on perplexity (CCNet: KenLM
+5-gram; Gopher/C4 keep simpler distributional rules). This module
+implements the engine-native version: a unigram LM with add-one smoothing
+and an OOV bucket, trained on the corpus itself in one aggregation pass,
+then applied as a broadcast join — the largest model that makes sense
+without an external LM dependency, and the exact shape a KenLM-backed
+variant would slot into (swap the vocab table for the external model's
+scores; the join/aggregation plumbing is identical).
+
+Determinism contract: per-token log-probabilities are quantized to
+**integer micro-nats** (round(1e6 · ln p)) before any aggregation, so the
+per-doc total is a BIGINT sum — order-independent, partition-independent,
+and oracle-comparable. The only float step is each engine's own ``ln`` of
+identical integer operands; libm vs JVM ``Math.log`` agree to ≤ 1 ulp,
+which flips a micro-nat rounding only when the true value sits within
+~1e-10 of a .5 boundary — documented residual risk, never observed in the
+parity suite.
+
+Scale (100 TB): training is one token-keyed shuffle with map-side partial
+counts (the wordcount shape) followed by a global top-V (TakeOrdered — V
+rows to the driver, V ≤ 50k); scoring is explode → broadcast-join (the
+vocab table is V rows — MBs) → one doc-keyed shuffle for the re-sum, the
+same budget as decontamination. Nothing is quadratic; the vocab broadcast
+is bounded by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+DEFAULT_VOCAB = 50_000
+MICRO = 1_000_000
+
+
+def train_unigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB,
+) -> tuple[DataFrame, int, int]:
+    """(vocab_df, n_vocab_tokens, vocab_len): top-``vocab_size`` tokens by
+    (count desc, token asc — deterministic across engines) with their
+    corpus counts. The two integers parameterize the smoothing denominator
+    and travel as exact literals into :func:`score_unigram_nll`."""
+    counts = (
+        docs.select(F.explode_outer(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(
+        vocab_size
+    )
+    stats = vocab.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    return vocab, int(stats["n"]), int(stats["v"])
+
+
+def score_unigram_nll(
+    docs: DataFrame,
+    vocab: DataFrame,
+    n_vocab_tokens: int,
+    vocab_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc negative log-likelihood under the add-one unigram LM.
+
+    p(tok ∈ vocab) = (c+1)/D, p(OOV) = 1/D with D = N_v + V + 1 (add-one
+    over the vocab plus a single OOV bucket — a proper distribution).
+    Output: ``id_col``, ``n_tokens``, ``nll_micro`` (BIGINT total
+    micro-nats, exact), ``avg_nll_micro`` (BIGINT, 0 for empty docs) —
+    perplexity = exp(avg_nll_micro / 1e6) if you want the classic number;
+    filtering should threshold the integer directly.
+    """
+    d = n_vocab_tokens + vocab_len + 1
+    lp = vocab.select(
+        "tok",
+        F.round(
+            (F.log(F.col("c").cast("double") + 1.0) - F.log(F.lit(float(d))))
+            * MICRO
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    # the OOV bucket's log-prob, same quantization, computed in the same
+    # engine (one-row aggregate keeps the ln JVM-side, like the vocab's)
+    oov = F.round(-F.log(F.lit(float(d))) * MICRO).cast("long")
+    toks = docs.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    )
+    scored = toks.join(F.broadcast(lp), "tok", "left").select(
+        id_col,
+        F.when(F.col("tok").isNull(), F.lit(0).cast("long"))
+        .otherwise(-F.coalesce(F.col("lp_micro"), oov))
+        .alias("nll"),
+        F.when(F.col("tok").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("t"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("t").cast("long").alias("n_tokens"),
+        F.sum("nll").cast("long").alias("nll_micro"),
+        F.when(F.sum("t") > 0, F.round(F.sum("nll") / F.sum("t")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("avg_nll_micro"),
+    )
+
+
+def unigram_nll_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = DEFAULT_VOCAB,
+) -> DataFrame:
+    """Train-and-score in one call (self-scoring corpus quality: docs made
+    of rare tokens surface with high NLL — the distributional outlier
+    filter). For the CCNet shape — score crawl docs under a *trusted* LM —
+    call :func:`train_unigram_lm` on the trusted corpus and
+    :func:`score_unigram_nll` on the crawl."""
+    vocab, n, v = train_unigram_lm(docs, text_col, vocab_size)
+    return score_unigram_nll(docs, vocab, n, v, text_col, id_col)
+
+
+def unigram_nll_oracle_sql(
+    vocab_size: int = DEFAULT_VOCAB, table: str = "documents"
+) -> str:
+    """DuckDB twin (same integer counts, same micro-nat quantization)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split_regex(trim(text), '\\s+')) AS tok
+  FROM {table} WHERE trim(coalesce(text, '')) <> ''
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT {vocab_size}),
+stats AS (
+  SELECT coalesce(sum(c), 0) + count(*) + 1 AS d FROM vocab
+),
+lp AS (
+  SELECT tok,
+         CAST(round((ln(CAST(c AS DOUBLE) + 1.0) - ln(CAST(d AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+  FROM vocab, stats
+),
+scored AS (
+  SELECT t.doc_id,
+         coalesce(lp.lp_micro,
+                  (SELECT CAST(round(-ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT) FROM stats)) AS lpm
+  FROM toks t LEFT JOIN lp ON t.tok = lp.tok
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(-lpm) AS BIGINT) AS nll_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.nll_micro, 0) AS nll_micro,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN CAST(round(CAST(p.nll_micro AS DOUBLE) / p.n_tokens) AS BIGINT)
+            ELSE 0 END AS avg_nll_micro
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -1510,3 +1510,23 @@ ranked AS (
 SELECT probe_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= 5
 """
+
+
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM quality scores (operators/lm.py): add-one
+    smoothing + OOV bucket, integer micro-nat quantization — the CCNet
+    perplexity-filter shape with an engine-native model."""
+    from ..operators.lm import unigram_nll_scores
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_nll_scores(docs)
+
+
+def _unigram_oracle() -> str:
+    from ..operators.lm import unigram_nll_oracle_sql
+
+    return unigram_nll_oracle_sql()
+
+
+ORACLE_UNIGRAM_NLL = _unigram_oracle()

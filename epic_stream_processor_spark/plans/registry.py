@@ -256,6 +256,11 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # live here rather than silently past the cap (the corpus_sample_split
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
+    "unigram_nll": QueryDef(
+        llm.q_unigram_nll, llm.ORACLE_UNIGRAM_NLL,
+        "corpus-trained unigram-LM quality scores (CCNet perplexity-filter "
+        "shape): add-one smoothing, OOV bucket, integer micro-nat sums",
+    ),
     "knn_cosine_ivf_nprobe2": QueryDef(
         llm.q_knn_cosine_ivf_nprobe2, llm.ORACLE_KNN_COSINE_IVF_NPROBE2,
         "multi-probe IVF ANN (nprobe=2): each probe unions its two closest "

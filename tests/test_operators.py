@@ -1136,3 +1136,47 @@ def test_ivf_nprobe_recall_is_monotone(spark):
     assert recall[1] <= recall[2] <= recall[4], recall
     assert recall[4] > recall[1], recall
     assert recall[4] >= 0.3, recall
+
+
+# --- unigram LM quality scoring (operators/lm.py) --------------------------
+
+
+def test_unigram_nll_semantics(spark):
+    """Rare-token docs score strictly higher than common-token docs; empty
+    and NULL docs score (0, 0, 0); OOV tokens get the OOV bucket (worse
+    than any in-vocab token); total = sum of per-token micro-nats."""
+    from epic_stream_processor_spark.operators.lm import (
+        score_unigram_nll,
+        train_unigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the the the the"),
+            (2, "rare1 rare2"),
+            (3, ""),
+            (4, None),
+            (5, "the rare1"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab, n, v = train_unigram_lm(docs, vocab_size=2)
+    vrows = {r["tok"]: r["c"] for r in vocab.collect()}
+    assert vrows == {"the": 9, "rare1": 2}  # top-2 by count, tie tok asc
+    assert n == 11 and v == 2
+    out = {r["doc_id"]: r for r in score_unigram_nll(docs, vocab, n, v).collect()}
+    assert len(out) == 5
+    assert (out[3]["n_tokens"], out[3]["nll_micro"], out[3]["avg_nll_micro"]) == (0, 0, 0)
+    assert (out[4]["n_tokens"], out[4]["nll_micro"], out[4]["avg_nll_micro"]) == (0, 0, 0)
+    # per-token costs: the < rare1 (in-vocab, rarer) < rare2 (OOV)
+    import math
+
+    d = n + v + 1
+    c_the = round(-(math.log(10) - math.log(d)) * 1e6)
+    c_rare1 = round(-(math.log(3) - math.log(d)) * 1e6)
+    c_oov = round(math.log(d) * 1e6)
+    assert c_the < c_rare1 < c_oov
+    assert out[1]["nll_micro"] == 8 * c_the
+    assert out[2]["nll_micro"] == c_rare1 + c_oov
+    assert out[5]["nll_micro"] == c_the + c_rare1
+    assert out[1]["avg_nll_micro"] < out[5]["avg_nll_micro"] < out[2]["avg_nll_micro"]
