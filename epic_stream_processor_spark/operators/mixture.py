@@ -95,6 +95,12 @@ def apply_mixture_epochs(
     ``default_rate`` (0 ⇒ dropped). Reproducible across engines — the
     DuckDB oracle compares bit-for-bit.
     """
+    for reserved in ("epoch", "_n_copies"):
+        if reserved in docs.columns:
+            raise ValueError(
+                f"input already has a {reserved!r} column; rename it before "
+                "applying the mixture"
+            )
     mix = _integer_mixture({**rates})
     dfull, dthr = _integer_mixture({"_": default_rate})["_"]
 

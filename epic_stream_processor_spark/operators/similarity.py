@@ -546,6 +546,8 @@ def knn_cosine_ivf(
     (one scan task). Default ``None`` adds no exchange: a real corpus scan
     is already wide and the map-side assignment must not shuffle it.
     """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if parallelism:
         corpus = corpus.repartition(parallelism, id_col)
     rows = (
