@@ -401,3 +401,58 @@ def test_salted_join_spreads_hot_key_exactly(spark):
         .select("_salt").distinct().count()
     )
     assert spread >= 4, f"hot key uses only {spread} of 8 salts"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    crval1=st.floats(0.5, 359.5),
+    crval2=st.floats(-85.0, 85.0),
+    cdelt=st.floats(0.05, 3.0),
+    code=st.sampled_from(["SIN", "TAN", "ARC", "ZEA", "STG"]),
+    dra=st.floats(-20.0, 20.0),
+    ddec=st.floats(-20.0, 20.0),
+)
+def test_wcs_native_roundtrip_property(crval1, crval2, cdelt, code, dra, ddec):
+    """For any zenithal header and any sky point within 20° of the
+    reference pixel, world→pix→world closes to 1e-8° (driver-side numpy,
+    no Spark needed — pure math law)."""
+    from epic_stream_processor_spark.functions import wcs_native as W
+
+    dec = crval2 + ddec
+    if not -89.5 < dec < 89.5:
+        return
+    hdr = {
+        "CTYPE1": f"RA---{code}", "CTYPE2": f"DEC--{code}",
+        "CRVAL1": crval1, "CRVAL2": crval2,
+        "CRPIX1": 32.0, "CRPIX2": 32.0,
+        "CDELT1": -cdelt, "CDELT2": cdelt,
+    }
+    ra = crval1 + dra
+    x, y = W.world2pix(hdr, np.array([ra]), np.array([dec]))
+    if np.isnan(x[0]):  # legitimately off the projection's valid region
+        return
+    r2, d2 = W.pix2world(hdr, x, y)
+    dlon = abs((r2[0] - ra + 180.0) % 360.0 - 180.0) * math.cos(
+        math.radians(dec)
+    )
+    assert dlon < 1e-8 and abs(d2[0] - dec) < 1e-8
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    r_a=st.floats(0.0, 3.0),
+    r_b=st.floats(0.0, 3.0),
+    default=st.floats(0.0, 2.0),
+)
+def test_mixture_integerization_law(r_a, r_b, default):
+    """The (full, threshold) integerization preserves the expected epoch
+    count exactly: full + threshold/2^60 == rate (to float precision), for
+    any non-negative rate."""
+    from epic_stream_processor_spark.operators.mixture import (
+        _integer_mixture,
+    )
+
+    for r in (r_a, r_b, default):
+        full, thr = _integer_mixture({"d": r})["d"]
+        assert full == int(r) and 0 <= thr <= 1 << 60
+        assert abs((full + thr / (1 << 60)) - r) < 1e-15
