@@ -1,0 +1,206 @@
+"""Corpus-trained byte-pair-encoding tokenizer (Sennrich et al., ACL 2016).
+
+Every modern training pipeline tokenizes with a *learned* subword
+vocabulary; the published learner is iterative BPE: count adjacent symbol
+pairs across the corpus (weighted by word frequency), merge the most
+frequent pair everywhere, repeat. This module implements the learner and
+the tokenizer engine-natively and *deterministically* — same corpus in,
+same merge table out, on any engine, any partitioning.
+
+Representation: a word becomes its **marked form** — every symbol is
+prefixed by a sentinel character (default ``\\x01``, must not occur in the
+corpus): ``"low"`` → ``"\\x01l\\x01o\\x01w"``. Merging pair (a, b) is then
+one ``replace(marked, M+a+M+b, M+ab)``: the sentinel anchors matches to
+symbol *starts* (no false matches inside longer symbols), and both
+engines' ``replace`` scans left-to-right non-overlapping — exactly the
+greedy merge order the reference algorithm specifies. Word-internal BPE
+(no end-of-word marker) — the published variant minus the ``</w>``
+bookkeeping, stated here so nobody mistakes it for the full Sennrich
+setup.
+
+Determinism/oracle contract: pair selection is ``ORDER BY count DESC,
+left ASC, right ASC`` — integer counts and binary string collation agree
+across Spark and DuckDB, so a k-unrolled SQL oracle reproduces the merge
+table exactly (the ``kmeans_quantized`` precedent for iterative
+algorithms).
+
+Scale (100 TB): the learner never iterates over the *corpus* — it runs on
+the distinct-word frequency table (one wordcount shuffle to build; ~100M
+rows for web-scale corpora, trivially distributed). Each merge step is
+one pair-count shuffle with map-side partials plus a TakeOrdered(1) — a
+single row to the driver per step (the kmeans one-row-per-iteration
+budget). Tokenization is k chained row-local ``replace`` calls — zero
+shuffle, embarrassingly parallel. Real tokenizer trainings also cap the
+word table (sample or min-frequency) — pass ``min_count``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+MARK = "\x01"
+
+
+def _marked(col):
+    """Word → marked symbol string (every char sentinel-prefixed)."""
+    return F.regexp_replace(col, "(.)", MARK + "$1")
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(word, cnt) distinct-word frequencies — the learner's working set.
+    One shuffle with map-side partials; ``min_count`` caps the tail the
+    way production BPE trainings do."""
+    wc = (
+        docs.select(F.explode_outer(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if min_count > 1:
+        wc = wc.where(F.col("cnt") >= min_count)
+    return wc
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> list[tuple[int, str, str]]:
+    """Learn ``num_merges`` BPE merges; returns [(rank, left, right), …].
+
+    Each iteration: adjacent-pair counts over the marked word table
+    (weighted by word frequency, distinct-set law does NOT apply — a pair
+    occurring twice in one word counts twice, per the reference
+    algorithm), top pair by (count desc, left asc, right asc), then one
+    row-local replace. Stops early when no pair remains.
+    """
+    wc = word_counts(docs, text_col, min_count)
+    marked = wc.select(_marked(F.col("w")).alias("m"), "cnt")
+    marked.persist()
+    merges: list[tuple[int, str, str]] = []
+    try:
+        for rank in range(num_merges):
+            syms = F.slice(
+                F.split(F.col("m"), MARK),
+                2,
+                F.size(F.split(F.col("m"), MARK)),
+            )
+            pairs = (
+                marked.withColumn("_syms", syms)
+                .where(F.size("_syms") >= 2)
+                .select(
+                    F.explode(
+                        F.arrays_zip(
+                            F.expr("slice(_syms, 1, size(_syms) - 1)"),
+                            F.expr("slice(_syms, 2, size(_syms) - 1)"),
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+            )
+            top = (
+                pairs.select(
+                    F.col("p")["0"].alias("l"), F.col("p")["1"].alias("r"), "cnt"
+                )
+                .groupBy("l", "r")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right = top[0]["l"], top[0]["r"]
+            merges.append((rank, left, right))
+            nxt = marked.select(
+                F.replace(
+                    F.col("m"),
+                    F.lit(MARK + left + MARK + right),
+                    F.lit(MARK + left + right),
+                ).alias("m"),
+                "cnt",
+            )
+            nxt.persist()
+            marked.unpersist()
+            marked = nxt
+    finally:
+        marked.unpersist()
+    return merges
+
+
+def bpe_tokenize_col(word, merges: list[tuple[int, str, str]]):
+    """Column expression: word → array of BPE tokens under the learned
+    merge table — k chained row-local replaces on the marked form, then a
+    sentinel split. Zero shuffle, zero Python."""
+    m = _marked(word)
+    for _, left, right in merges:
+        m = F.replace(
+            m,
+            F.lit(MARK + left + MARK + right),
+            F.lit(MARK + left + right),
+        )
+    arr = F.split(m, MARK)
+    return F.slice(arr, 2, F.size(arr))
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, cnt) vocabulary of the corpus under the learned merges —
+    the trained tokenizer's output distribution (deterministic, oracle-
+    comparable)."""
+    wc = word_counts(docs, text_col)
+    return (
+        wc.select(
+            F.explode(bpe_tokenize_col(F.col("w"), merges)).alias("token"),
+            "cnt",
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def bpe_vocab_oracle_sql(num_merges: int, table: str = "documents") -> str:
+    """DuckDB twin of train_bpe + bpe_vocab with ``num_merges`` unrolled
+    levels (the kmeans_quantized precedent for iterative algorithms): each
+    level recomputes the same weighted pair counts, picks the same
+    (count desc, left asc, right asc) top pair via scalar subqueries, and
+    applies the same sentinel-anchored greedy replace."""
+    parts = [
+        f"""WITH wc AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(str_split_regex(trim(text), '\\s+')) AS w
+    FROM {table} WHERE trim(coalesce(text, '')) <> ''
+  ) WHERE w <> '' GROUP BY w
+),
+m0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS m, cnt FROM wc)"""
+    ]
+    for i in range(num_merges):
+        parts.append(
+            f"""pairs{i} AS (
+  SELECT struct_extract(z, 1) AS l, struct_extract(z, 2) AS r, sum(cnt) AS c FROM (
+    SELECT unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS z, cnt FROM (
+      SELECT str_split(m, chr(1))[2:] AS s, cnt FROM m{i}
+    ) WHERE len(s) >= 2
+  ) GROUP BY 1, 2
+),
+t{i} AS (SELECT l, r FROM pairs{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+m{i + 1} AS (
+  SELECT replace(m,
+                 chr(1) || (SELECT l FROM t{i}) || chr(1) || (SELECT r FROM t{i}),
+                 chr(1) || (SELECT l FROM t{i}) || (SELECT r FROM t{i})) AS m,
+         cnt
+  FROM m{i}
+)"""
+        )
+    final = f"""SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+  SELECT unnest(str_split(m, chr(1))[2:]) AS token, cnt FROM m{num_merges}
+) GROUP BY token"""
+    return ",\n".join(parts) + "\n" + final

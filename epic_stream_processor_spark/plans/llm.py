@@ -1530,3 +1530,23 @@ def _unigram_oracle() -> str:
 
 
 ORACLE_UNIGRAM_NLL = _unigram_oracle()
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE tokenizer (operators/bpe.py): learn 3 merges
+    (Sennrich iterative pair-merge, deterministic tie-break), tokenize the
+    corpus under them, return the (token, cnt) vocabulary."""
+    from ..operators.bpe import bpe_vocab, train_bpe
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_vocab(docs, train_bpe(docs, 3))
+
+
+def _bpe_oracle() -> str:
+    from ..operators.bpe import bpe_vocab_oracle_sql
+
+    return bpe_vocab_oracle_sql(3)
+
+
+ORACLE_BPE_VOCAB = _bpe_oracle()

@@ -256,6 +256,12 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # live here rather than silently past the cap (the corpus_sample_split
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
+    "bpe_vocab": QueryDef(
+        llm.q_bpe_vocab, llm.ORACLE_BPE_VOCAB,
+        "corpus-trained BPE tokenizer (Sennrich iterative pair-merge, 3 "
+        "merges, deterministic tie-break) — (token, cnt) vocabulary vs a "
+        "3-level-unrolled SQL oracle",
+    ),
     "unigram_nll": QueryDef(
         llm.q_unigram_nll, llm.ORACLE_UNIGRAM_NLL,
         "corpus-trained unigram-LM quality scores (CCNet perplexity-filter "

@@ -1180,3 +1180,46 @@ def test_unigram_nll_semantics(spark):
     assert out[2]["nll_micro"] == c_rare1 + c_oov
     assert out[5]["nll_micro"] == c_the + c_rare1
     assert out[1]["avg_nll_micro"] < out[5]["avg_nll_micro"] < out[2]["avg_nll_micro"]
+
+
+# --- BPE tokenizer training (operators/bpe.py) -----------------------------
+
+
+def test_bpe_matches_published_worked_example(spark):
+    """The Sennrich et al. reference vocabulary {low:5, lower:2, newest:6,
+    widest:3} (word-internal variant): hand-derived merges are
+    (e,s) -> (es,t) -> (l,o) with ties broken by (count desc, left asc),
+    and 'lowest' tokenizes to [lo, w, est]."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators import bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe.train_bpe(docs, 3)
+    assert merges == [(0, "e", "s"), (1, "es", "t"), (2, "l", "o")]
+    tok = (
+        spark.createDataFrame([("lowest",)], "w string")
+        .select(bpe.bpe_tokenize_col(F.col("w"), merges).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert tok == ["lo", "w", "est"]
+    vocab = {r["token"]: r["cnt"] for r in bpe.bpe_vocab(docs, merges).collect()}
+    assert vocab["est"] == 9 and vocab["lo"] == 7 and vocab["w"] == 16
+    # tokens always reassemble their words (lossless segmentation law)
+    wc = bpe.word_counts(docs)
+    joined = wc.select(
+        "w", F.concat_ws("", bpe.bpe_tokenize_col(F.col("w"), merges)).alias("j")
+    )
+    assert joined.where(F.col("w") != F.col("j")).count() == 0
+
+
+def test_bpe_early_stop_and_empty(spark):
+    """Single-char words yield no pairs: training stops early with fewer
+    merges than requested; an empty corpus learns nothing."""
+    from epic_stream_processor_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    assert bpe.train_bpe(docs, 5) == []
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe.train_bpe(empty, 2) == []
