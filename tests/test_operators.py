@@ -1223,3 +1223,26 @@ def test_bpe_early_stop_and_empty(spark):
     assert bpe.train_bpe(docs, 5) == []
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bpe.train_bpe(empty, 2) == []
+
+
+def test_ngram_profile_arrow_is_bit_exact_with_expression_path(spark):
+    """hashlib md5 == JVM md5 and first-occurrence distinct ==
+    array_distinct, so the Arrow gram profile must produce IDENTICAL
+    arrays — order included (the MinHash precedent)."""
+    from epic_stream_processor_spark.operators import contamination as C
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    def norm(df):
+        return sorted(
+            (r[0], tuple(r["grams"]), r["n_grams"]) for r in df.collect()
+        )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for k in (3, 13):
+        assert norm(C.ngram_profile(docs, k=k, arrow=True)) == norm(
+            C.ngram_profile(docs, k=k, arrow=False)
+        )
+    edge = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    ea = norm(C.ngram_profile(edge, arrow=True))
+    assert ea == norm(C.ngram_profile(edge, arrow=False))
+    assert dict((i, g) for i, g, _ in ea)[1] == ()  # NULL text -> no grams

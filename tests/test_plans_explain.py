@@ -145,16 +145,19 @@ def test_q22_anti_join_and_scan_pruned_orders(spark):
 
 def test_decontaminate_broadcasts_benchmark_not_corpus(spark):
     """Decontamination scale contract: the benchmark gram set broadcasts
-    and the training corpus is never sort-merge shuffled through a join;
-    the gram-hash chain is evaluated exactly once per side (md5 site pin —
-    the inner-explode InferFiltersFromGenerate inlining measured 30x slower
-    at sf0.1)."""
+    and the training corpus is never sort-merge shuffled through a join.
+    Both gram profiles run as Arrow ``mapInPandas`` stages (bit-exact with
+    the expression path — see operators/contamination.py), so the expression
+    md5 chain must appear ZERO times — a nonzero count means the
+    InferFiltersFromGenerate inlining (measured 30x slower at sf0.1) or a
+    silent fallback to the expression path crept back in."""
     df = QUERIES["decontaminate_13gram"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "SortMergeJoin" not in plan, plan
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert opt.count("md5") == 2, f"md5 evaluated {opt.count('md5')}x (want 2)"
+    assert opt.count("MapInPandas") == 2, opt
+    assert opt.count("md5") == 0, f"md5 evaluated {opt.count('md5')}x (want 0)"
 
 
 def test_pii_scrub_is_pure_scan(spark):
