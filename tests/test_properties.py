@@ -456,3 +456,59 @@ def test_mixture_integerization_law(r_a, r_b, default):
         full, thr = _integer_mixture({"d": r})["d"]
         assert full == int(r) and 0 <= thr <= 1 << 60
         assert abs((full + thr / (1 << 60)) - r) < 1e-15
+
+
+def _bpe_reference(word_freqs: dict, num_merges: int):
+    """Independent pure-Python BPE (the textbook algorithm, no marked
+    strings): returns the merge list [(l, r), ...]."""
+    vocab = {tuple(w): c for w, c in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pair_counts = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        # (count desc, left asc, right asc)
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p[0], p[1]))
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    reps=st.lists(st.integers(1, 4), min_size=12, max_size=12),
+)
+def test_bpe_matches_independent_reference(spark, words, reps):
+    """train_bpe's merge sequence equals a from-scratch textbook BPE
+    (greedy left-to-right merge, count-desc/lexicographic tie-break) on
+    arbitrary corpora — the sentinel-replace trick is an implementation
+    detail, not a semantics change."""
+    from epic_stream_processor_spark.operators import bpe
+
+    freqs = {}
+    for w, r in zip(words, reps):
+        freqs[w] = freqs.get(w, 0) + r
+    text = " ".join(w for w, c in freqs.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [(l, r) for _, l, r in bpe.train_bpe(docs, 3)]
+    assert got == _bpe_reference(freqs, 3)
