@@ -249,3 +249,56 @@ def boilerplate_ngrams(
             .alias("boiler_ratio"),
         )
     )
+
+
+def blocklist_profile(
+    docs: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style word-blocklist filtering (the public "bad words" gate:
+    C4 drops any page containing ANY listed word). Returns per doc:
+    (id, n_tokens, n_blocked, keep) with ``n_blocked`` the number of token
+    OCCURRENCES whose lowercase form is listed and ``keep`` the C4 rule
+    (no hit at all).
+
+    Row-local by construction: the blocklist folds into the plan as one
+    array literal (real lists are hundreds to a few thousand words — KBs),
+    so the filter is a pure scan projection — zero shuffle, zero state,
+    and the scan's predicate pushdown is untouched. Case-insensitive via
+    lower() on the token side only (callers pass a lowercase list; raises
+    otherwise, because silently lowercasing the list would mask dupes).
+    """
+    lowered = list(blocklist)
+    if any(w != w.lower() for w in lowered):
+        raise ValueError("blocklist must be lowercase")
+    if not lowered:
+        raise ValueError("empty blocklist")
+    lit = F.array(*[F.lit(w) for w in lowered])
+    toks = T.tokens(F.col(text_col))
+    blocked = F.filter(
+        toks, lambda t: F.array_contains(lit, F.lower(t))
+    )
+    return docs.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(blocked).cast("long").alias("n_blocked"),
+        (F.size(blocked) == 0).alias("keep"),
+    )
+
+
+def blocklist_oracle_sql(
+    blocklist: list[str], table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`blocklist_profile`."""
+    arr = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in blocklist) + "]"
+    words = "CASE WHEN trim(coalesce(text, '')) = '' THEN [] ELSE str_split_regex(trim(text), '\\s+') END"
+    return f"""
+WITH t AS (SELECT doc_id, {words} AS w FROM {table})
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(w, x -> list_contains({arr}, lower(x)))) AS BIGINT) AS n_blocked,
+       len(list_filter(w, x -> list_contains({arr}, lower(x)))) = 0 AS keep
+FROM t
+"""

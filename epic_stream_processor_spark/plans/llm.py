@@ -1550,3 +1550,26 @@ def _bpe_oracle() -> str:
 
 
 ORACLE_BPE_VOCAB = _bpe_oracle()
+
+
+BLOCKLIST = ["merge", "spill", "skew"]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style word-blocklist gate (operators/contamination.py): per-doc
+    blocked-token occurrence count and the drop-on-any-hit keep flag —
+    row-local, blocklist folded in as an array literal."""
+    from ..operators.contamination import blocklist_profile
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_profile(docs, BLOCKLIST)
+
+
+def _blocklist_oracle() -> str:
+    from ..operators.contamination import blocklist_oracle_sql
+
+    return blocklist_oracle_sql(BLOCKLIST)
+
+
+ORACLE_BLOCKLIST_FILTER = _blocklist_oracle()

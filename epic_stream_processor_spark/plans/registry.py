@@ -256,6 +256,11 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # live here rather than silently past the cap (the corpus_sample_split
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
+    "blocklist_filter": QueryDef(
+        llm.q_blocklist_filter, llm.ORACLE_BLOCKLIST_FILTER,
+        "C4-style word-blocklist gate: blocked-occurrence count + "
+        "drop-on-any-hit keep flag, row-local array-literal matching",
+    ),
     "bpe_vocab": QueryDef(
         llm.q_bpe_vocab, llm.ORACLE_BPE_VOCAB,
         "corpus-trained BPE tokenizer (Sennrich iterative pair-merge, 3 "

@@ -1246,3 +1246,36 @@ def test_ngram_profile_arrow_is_bit_exact_with_expression_path(spark):
     ea = norm(C.ngram_profile(edge, arrow=True))
     assert ea == norm(C.ngram_profile(edge, arrow=False))
     assert dict((i, g) for i, g, _ in ea)[1] == ()  # NULL text -> no grams
+
+
+def test_blocklist_profile_semantics(spark):
+    """C4 rule: ANY hit drops the doc; occurrences (not distinct words)
+    are counted; matching is case-insensitive on the corpus side; empty
+    and NULL docs pass trivially; non-lowercase or empty lists are
+    rejected loudly."""
+    import pytest as _pytest
+
+    from epic_stream_processor_spark.operators.contamination import (
+        blocklist_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good text only"),
+            (2, "bad BAD bad words"),
+            (3, None),
+            (4, ""),
+            (5, "one bad apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_profile(docs, ["bad"]).collect()}
+    assert out[1]["n_blocked"] == 0 and out[1]["keep"]
+    assert out[2]["n_blocked"] == 3 and not out[2]["keep"]  # BAD counted too
+    assert out[3]["n_tokens"] == 0 and out[3]["keep"]
+    assert out[4]["n_tokens"] == 0 and out[4]["keep"]
+    assert out[5]["n_blocked"] == 1 and not out[5]["keep"]
+    with _pytest.raises(ValueError, match="lowercase"):
+        blocklist_profile(docs, ["Bad"])
+    with _pytest.raises(ValueError, match="empty"):
+        blocklist_profile(docs, [])
