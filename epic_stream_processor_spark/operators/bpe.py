@@ -57,6 +57,11 @@ def word_counts(
     wc = (
         docs.select(F.explode_outer(tokens(F.col(text_col))).alias("w"))
         .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        # a word containing the sentinel would silently corrupt the marked
+        # representation; real text never carries \x01, so drop (don't
+        # crash the whole training on) the pathological token — mirrored
+        # in the oracle so the contract stays engine-exact
+        .where(~F.col("w").contains(MARK))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
@@ -178,7 +183,7 @@ def bpe_vocab_oracle_sql(num_merges: int, table: str = "documents") -> str:
   SELECT w, count(*) AS cnt FROM (
     SELECT unnest(str_split_regex(trim(text), '\\s+')) AS w
     FROM {table} WHERE trim(coalesce(text, '')) <> ''
-  ) WHERE w <> '' GROUP BY w
+  ) WHERE w <> '' AND NOT contains(w, chr(1)) GROUP BY w
 ),
 m0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS m, cnt FROM wc)"""
     ]
