@@ -256,6 +256,11 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # live here rather than silently past the cap (the corpus_sample_split
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
+    "q_session_windows": QueryDef(
+        relational.q_session_windows, relational.ORACLE_SESSION_WINDOWS,
+        "native session_window sessionization vs the first-principles "
+        "gaps-and-islands oracle; streaming twin pinned stream==batch",
+    ),
     "blocklist_filter": QueryDef(
         llm.q_blocklist_filter, llm.ORACLE_BLOCKLIST_FILTER,
         "C4-style word-blocklist gate: blocked-occurrence count + "

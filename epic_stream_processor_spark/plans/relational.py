@@ -804,3 +804,54 @@ WINDOW w AS (PARTITION BY o_custkey
              ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization — Spark's built-in
+    streaming-capable session aggregation, validated against the
+    first-principles gaps-and-islands formulation (``q_sessionize``'s
+    oracle recipe: windows merge while the gap is ≤ 30 min — boundary
+    probe-tested — and the session end is last event + gap).
+
+    Scale: one shuffle on the grouping key; session merge is
+    partition-local state, and the same expression runs in Structured
+    Streaming with a watermark (``tests/test_streaming.py`` pins
+    stream == batch).
+    """
+    configure_for_parity(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOWS = """WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS s_start,
+       max(ts) + INTERVAL '30 minutes' AS s_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""

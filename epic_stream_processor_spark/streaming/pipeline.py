@@ -388,3 +388,50 @@ def run_dedup_stream_watermarked(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_session_window_stream(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    gap: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Native ``session_window`` sessionization as a continuous query —
+    the streaming twin of ``plans/relational.q_session_windows`` (whose
+    gaps-and-islands DuckDB oracle validates the semantics). Sessions
+    merge while the event gap is ≤ ``gap``; a session row is emitted in
+    append mode once the watermark passes its end, so the sink only ever
+    holds CLOSED sessions (exactly the at-scale contract: state per open
+    session, bounded by the watermark; no unbounded keep-everything
+    store). ``tests/test_streaming.py`` pins every emitted row equal to
+    the batch result.
+    """
+    static = spark.read.parquet(events_path)
+    stream = spark.readStream.schema(static.schema).parquet(events_path)
+    ts = F.col("ts")
+    if dict(static.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) as long
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    agg = (
+        stream.withColumn("ts", ts.cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -525,3 +525,53 @@ def test_corpus_ingest_stream_from_jsonl(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() > 0
     assert got.where(F.col("quality_score") < 0.5).count() == 0
+
+
+def test_session_window_stream_matches_batch(spark):
+    """Native session_window in a continuous query: every emitted (closed)
+    session row must EQUAL the corresponding batch-computed session — the
+    stream computes the same sessions, it just withholds ones the
+    watermark hasn't passed."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F2
+
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_session_window_stream,
+    )
+
+    with _tf.TemporaryDirectory() as tmp:
+        ev = FX.load_events(spark, SF_DIR)
+        ev.write.mode("overwrite").parquet(f"{tmp}/events")
+        q = run_session_window_stream(
+            spark,
+            events_path=f"{tmp}/events",
+            out_path=f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{tmp}/out").collect()
+        }
+        assert len(got) > 0
+        batch = {
+            tuple(r)
+            for r in (
+                spark.read.parquet(f"{tmp}/events")
+                .withColumn("ts", F2.col("ts").cast("timestamp"))
+                .groupBy("user_id", F2.session_window("ts", "30 minutes").alias("sw"))
+                .agg(F2.count(F2.lit(1)).alias("n_events"))
+                .select(
+                    "user_id",
+                    F2.col("sw.start").alias("s_start"),
+                    F2.col("sw.end").alias("s_end"),
+                    "n_events",
+                )
+            ).collect()
+        }
+        assert got <= batch  # emitted ⇒ identical to batch
+        # and the stream emitted the overwhelming majority (only sessions
+        # within the watermark of the stream's end stay open)
+        assert len(got) > 0.8 * len(batch), (len(got), len(batch))
