@@ -1,0 +1,173 @@
+"""BM25 ranked retrieval (Robertson & Spärck Jones / Okapi BM25 — public).
+
+The lexical complement to the ANN operators: score every document against
+a bag-of-words query with the standard BM25 formula
+
+    score(d) = Σ_t idf_t · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+    idf_t    = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)
+
+and return the top-k. This is the published Okapi form with the
+Lucene-style non-negative idf.
+
+Determinism contract (the unigram_nll precedent): corpus statistics
+(N, total token count, per-term document frequencies) are exact integers,
+collected once; the per-doc score is a fixed left-to-right sum over the
+query terms of an expression built from those integers, identical in both
+engines; the final score is quantized to integer micro-units before
+ranking so the oracle compares BIGINTs (ties broken by doc_id). Residual
+float risk is each engine's own ``ln``/division over identical operands —
+≤ 1 ulp, absorbed by the micro quantum except within ~1e-10 of a rounding
+boundary.
+
+Scale (100 TB): scoring is ROW-LOCAL — per query term one
+``size(filter(tokens, = term))`` over the doc's own token array; no
+inverted index is materialized and the corpus never shuffles. The only
+pre-pass is the stats aggregation (map-side partials; df per term is a
+conditional count in the same pass). Top-k is TakeOrdered over scored
+rows. For interactive many-query serving you would build the inverted
+index instead (``top_terms`` has the tf/df core); for the batch
+one-query-over-everything shape — relevance labeling, corpus slicing —
+row-local scoring IS the scalable plan: one scan, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import tokens
+
+MICRO = 1_000_000
+
+
+def bm25_corpus_stats(
+    docs: DataFrame, terms: list[str], text_col: str = "text"
+) -> tuple[int, int, dict[str, int]]:
+    """(n_docs, total_tokens, {term: df}) in ONE aggregation pass —
+    exact integers, the whole determinism story."""
+    toks = tokens(F.col(text_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(toks)).alias("tot"),
+    ] + [
+        F.sum(F.array_contains(toks, t).cast("int")).alias(f"df{i}")
+        for i, t in enumerate(terms)
+    ]
+    row = docs.agg(*aggs).collect()[0]
+    return (
+        int(row["n"]),
+        int(row["tot"]),
+        {t: int(row[f"df{i}"]) for i, t in enumerate(terms)},
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against ``terms`` (deduplicated,
+    order-preserving). Output: (id, dl, score_micro, rnk)."""
+    seen: dict[str, None] = {}
+    for t in terms:
+        seen.setdefault(t)
+    terms = list(seen)
+    if not terms:
+        raise ValueError("empty query")
+    n, tot, dfs = bm25_corpus_stats(docs, terms, text_col)
+    if n == 0:
+        raise ValueError("empty corpus")
+    toks = tokens(F.col(text_col))
+    dl = F.size(toks).cast("double")
+    avgdl = F.lit(float(tot)) / F.lit(float(n))
+    score = None
+    for t in terms:
+        df_t = dfs[t]
+        idf = F.log(
+            (F.lit(float(n)) - F.lit(float(df_t)) + F.lit(0.5))
+            / (F.lit(float(df_t)) + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        part = (idf * (tf * (k1 + 1.0))) / (
+            tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl)
+        )
+        score = part if score is None else score + part
+    return (
+        docs.select(
+            id_col,
+            F.size(toks).cast("long").alias("dl"),
+            F.round(score * MICRO).cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+        # rank over the k surviving rows only — the single-partition window
+        # is fine on ≤ k rows and never sees the corpus
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("score_micro").desc(), F.col(id_col).asc()
+                )
+            )
+            .cast("long"),
+        )
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: same integer statistics computed in-query, same
+    term-ordered sum, same micro quantization and tiebreak."""
+    seen: dict[str, None] = {}
+    for t in terms:
+        seen.setdefault(t)
+    terms = list(seen)
+    words = (
+        "CASE WHEN trim(coalesce(text, '')) = '' THEN [] "
+        "ELSE str_split_regex(trim(text), '\\s+') END"
+    )
+    quoted = [t.replace("'", "''") for t in terms]
+    df_cols = ", ".join(
+        f"sum(CAST(list_contains(w, '{t}') AS INT)) AS df{i}"
+        for i, t in enumerate(quoted)
+    )
+    parts = []
+    for i in range(len(terms)):
+        t = quoted[i]
+        idf = (
+            f"ln((CAST(s.n AS DOUBLE) - CAST(s.df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(s.df{i} AS DOUBLE) + 0.5) + 1.0)"
+        )
+        tf = f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE)"
+        part = (
+            f"({idf} * ({tf} * ({k1} + 1.0))) / "
+            f"({tf} + {k1} * (1.0 - {b} + {b} * CAST(len(w) AS DOUBLE)"
+            f" / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE))))"
+        )
+        parts.append(part)
+    score = " + ".join(f"({p})" for p in parts)
+    return f"""
+WITH t AS (SELECT doc_id, {words} AS w FROM {table}),
+s AS (SELECT count(*) AS n, sum(len(w)) AS tot, {df_cols} FROM t),
+scored AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         CAST(round(({score}) * {MICRO}) AS BIGINT) AS score_micro
+  FROM t, s
+),
+top AS (
+  SELECT * FROM scored ORDER BY score_micro DESC, doc_id ASC LIMIT {k}
+)
+SELECT doc_id, dl, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk
+FROM top
+"""

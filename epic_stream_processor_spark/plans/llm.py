@@ -1573,3 +1573,26 @@ def _blocklist_oracle() -> str:
 
 
 ORACLE_BLOCKLIST_FILTER = _blocklist_oracle()
+
+
+BM25_TERMS = ["spark", "shuffle", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.py): top-50 docs for a
+    fixed 3-term query — row-local scoring from one-pass integer corpus
+    stats, micro-quantized scores, deterministic tiebreak."""
+    from ..operators.retrieval import bm25_scores
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, BM25_TERMS)
+
+
+def _bm25_oracle() -> str:
+    from ..operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(BM25_TERMS)
+
+
+ORACLE_BM25_SEARCH = _bm25_oracle()

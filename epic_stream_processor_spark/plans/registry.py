@@ -256,6 +256,11 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # live here rather than silently past the cap (the corpus_sample_split
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
+    "bm25_search": QueryDef(
+        llm.q_bm25_search, llm.ORACLE_BM25_SEARCH,
+        "BM25 ranked retrieval: row-local Okapi scoring from one-pass "
+        "integer corpus stats, micro-quantized, top-50 with tiebreak",
+    ),
     "q_session_windows": QueryDef(
         relational.q_session_windows, relational.ORACLE_SESSION_WINDOWS,
         "native session_window sessionization vs the first-principles "

@@ -1279,3 +1279,42 @@ def test_blocklist_profile_semantics(spark):
         blocklist_profile(docs, ["Bad"])
     with _pytest.raises(ValueError, match="empty"):
         blocklist_profile(docs, [])
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc corpus against hand-evaluated Okapi formula values:
+    the term-frequency saturation and length normalization must match the
+    published equation exactly (micro-nat quantized)."""
+    import math
+
+    from epic_stream_processor_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat dog dog bird fish"),
+            (3, "fish fish fish"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(docs, ["cat", "dog"], k=3).collect()}
+    n, tot = 3, 12
+    avgdl = tot / n
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl, df):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return (idf * (tf * (k1 + 1.0))) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+
+    exp1 = round((s(3, 4, 2) + s(1, 4, 2)) * 1e6)
+    exp2 = round((s(1, 5, 2) + s(2, 5, 2)) * 1e6)
+    assert out[1]["score_micro"] == exp1
+    assert out[2]["score_micro"] == exp2
+    assert out[3]["score_micro"] == 0  # no query term
+    assert out[1]["rnk"] < out[2]["rnk"] < out[3]["rnk"]
+    # duplicate terms in the query are deduplicated, not double-counted
+    dup = {r["doc_id"]: r["score_micro"]
+           for r in bm25_scores(docs, ["cat", "cat", "dog"], k=3).collect()}
+    assert dup[1] == exp1
