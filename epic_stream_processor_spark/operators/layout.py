@@ -116,3 +116,95 @@ def compact_parquet(
         df = df.coalesce(int(n_files))
     df.write.mode("overwrite").parquet(out_path)
     return int(n_files)
+
+
+def zorder_col(
+    cols: list[Column],
+    mins: list[int],
+    maxs: list[int],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) key over integer columns: each value is scaled to
+    a ``bits``-wide rank within its column's [min, max] range (exact
+    integer arithmetic — both engines agree bit-for-bit), then the ranks'
+    bits are interleaved. Rows close in every dimension land close in the
+    1-D sort order, which is what multi-column data skipping needs: sort
+    by one column and the other's min/max row-group stats are useless;
+    sort by the Z-value and BOTH columns' ranges stay tight per file
+    (the published space-filling-curve layout idea behind Delta/Iceberg
+    Z-ordering).
+
+    ``mins``/``maxs`` come from the caller (one cheap agg); NULLs rank 0.
+    Driver-side constants keep the expression pure column arithmetic —
+    row-local, zero shuffle, whole-stage codegen.
+    """
+    if not (len(cols) == len(mins) == len(maxs)):
+        raise ValueError("cols/mins/maxs must align")
+    n = len(cols)
+    ranks = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = max(int(hi) - int(lo), 0) + 1
+        # rank = (v - lo) * 2^bits / span, clamped by construction
+        r = F.floor(
+            (F.coalesce(c.cast("long"), F.lit(int(lo))) - F.lit(int(lo)))
+            * F.lit(1 << bits)
+            / F.lit(span)
+        ).cast("long")
+        ranks.append(r)
+    z = F.lit(0).cast("long")
+    # interleave: output bit (b*n + i) = bit b of rank i (LSB-first)
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            z = z + (
+                F.shiftleft(
+                    F.shiftright(r, b).bitwiseAND(F.lit(1)), b * n + i
+                )
+            )
+    return z
+
+
+def compact_parquet_zorder(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    zorder_by: list[str],
+    target_file_mb: int = 128,
+    bits: int = 8,
+    n_files: int | None = None,
+) -> int:
+    """Z-order-clustered compaction: like :func:`compact_parquet` with
+    ``sort_cols``, but ordering by the Morton key of ``zorder_by`` so
+    min/max skipping works on EVERY listed column. One stats agg + one
+    range exchange; file count from on-disk bytes as before, or pinned
+    explicitly with ``n_files`` (tests / fixed-layout deployments)."""
+    if n_files is None and target_file_mb <= 0:
+        raise ValueError("target_file_mb must be positive (or pass n_files)")
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in zorder_by:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    mins = [int(row[f"lo_{c}"]) for c in zorder_by]
+    maxs = [int(row[f"hi_{c}"]) for c in zorder_by]
+    z = zorder_col([F.col(c) for c in zorder_by], mins, maxs, bits)
+    if n_files is None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        total = 0
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                total += st.getLen()
+        n_files = max(1, total // (target_file_mb * 1024**2) + (
+            1 if total % (target_file_mb * 1024**2) else 0
+        ))
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(int(n_files), F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode("overwrite").parquet(out_path)
+    return int(n_files)

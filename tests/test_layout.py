@@ -117,3 +117,87 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+
+def test_zorder_key_matches_bit_interleave_reference(spark):
+    """The Morton key must equal a from-scratch Python bit-interleave of
+    the scaled ranks for random inputs (exact integer law)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.layout import zorder_col
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 999), rng.randint(-500, 499)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    bits = 8
+    out = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id",
+            zorder_col([F.col("a"), F.col("b")], [0, -500], [999, 499], bits).alias("z"),
+        ).collect()
+    }
+
+    def ref(a, b):
+        ra = (a - 0) * (1 << bits) // 1000
+        rb = (b + 500) * (1 << bits) // 1000
+        z = 0
+        for bit in range(bits):
+            z |= ((ra >> bit) & 1) << (bit * 2)
+            z |= ((rb >> bit) & 1) << (bit * 2 + 1)
+        return z
+
+    for i, a, b in rows:
+        assert out[i] == ref(a, b), (i, a, b, out[i], ref(a, b))
+
+
+def test_zorder_compaction_tightens_both_columns(spark, tmp_path):
+    """The point of Z-ordering: after compaction, per-file min/max spans
+    are tight on BOTH clustered columns, where a single-column sort leaves
+    the second column's stats useless (span ≈ full domain in every file)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.layout import (
+        compact_parquet,
+        compact_parquet_zorder,
+    )
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    src = str(tmp_path / "src")
+    grid.repartition(16).write.parquet(src)
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            row = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            spans.append(row["hi"] - row["lo"])
+        assert len(spans) >= 4, "need several files for the comparison"
+        return sum(spans) / len(spans)
+
+    # power-of-two file count: range cuts align with Z-curve quadrants
+    zout = str(tmp_path / "z")
+    compact_parquet_zorder(spark, src, zout, ["x", "y"], bits=6, n_files=8)
+    # the single-column baseline: same file count, clustered on x alone
+    xout = str(tmp_path / "xsort")
+    (
+        spark.read.parquet(src)
+        .repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(xout)
+    )
+
+    # x-sorted files: x tight but y spans the whole domain in every file
+    assert mean_span(xout, "y") > 0.9 * (n - 1)
+    # z-ordered files: BOTH dimensions materially tighter than the domain
+    # (aligned 8-way Z split = half-quadrants: spans 31/15 or 15/31)
+    assert mean_span(zout, "x") < 0.6 * (n - 1)
+    assert mean_span(zout, "y") < 0.6 * (n - 1)
