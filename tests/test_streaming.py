@@ -575,3 +575,54 @@ def test_session_window_stream_matches_batch(spark):
         # and the stream emitted the overwhelming majority (only sessions
         # within the watermark of the stream's end stay open)
         assert len(got) > 0.8 * len(batch), (len(got), len(batch))
+
+
+def test_corpus_ingest_survives_checkpoint_restart_exactly_once(spark, tmp_path):
+    """T4's strongest form: stop the ingest stream mid-corpus, land more
+    shards, RESTART from the same checkpoint — the combined output must
+    contain every qualifying doc exactly once (no loss, no duplicates),
+    and the cross-shard duplicate landed after the restart must still lose
+    to the first-seen copy recorded in the state store before the stop."""
+    from pyspark.sql import functions as F2
+
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_corpus_ingest_stream,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # shard 1: distinct high-quality docs (long enough to clear the gate)
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    first = [(i, base % i) for i in range(40)]
+    mk(first).write.mode("append").parquet(docs_path)
+    q = run_corpus_ingest_stream(
+        spark, docs_path, out, ckpt, min_quality=0.0, available_now=True
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    # shard 2 lands AFTER the stream stopped: 40 new docs + 1 duplicate
+    # of doc 7's text under a new id
+    second = [(100 + i, base % (100 + i)) for i in range(40)]
+    second.append((999, base % 7))
+    mk(second).write.mode("append").parquet(docs_path)
+
+    q2 = run_corpus_ingest_stream(
+        spark, docs_path, out, ckpt, min_quality=0.0, available_now=True
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # exactly once: every distinct text once, nothing lost, nothing doubled
+    assert got.count() == 80
+    assert got.select("content_hash").distinct().count() == 80
+    # the restart did NOT re-emit shard-1 docs
+    assert got.where(F2.col("doc_id") < 100).count() == 40
+    # the cross-restart duplicate lost to the pre-stop first-seen copy
+    assert got.where(F2.col("doc_id") == 999).count() == 0
+    assert got.where(F2.col("doc_id") == 7).count() == 1
