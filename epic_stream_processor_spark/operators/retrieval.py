@@ -80,7 +80,13 @@ def bm25_scores(
     n, tot, dfs = bm25_corpus_stats(docs, terms, text_col)
     if n == 0:
         raise ValueError("empty corpus")
-    toks = tokens(F.col(text_col))
+    # stage the token array ONCE: every tf and the length reference the
+    # same column, and CollapseProject keeps a multi-referenced expensive
+    # expression staged (the winnowing lesson) — without this the
+    # tokenizer inlines once per term (measured 10 split sites for a
+    # 3-term query; 1 after staging, plan-tested)
+    staged = docs.withColumn("_bm25_toks", tokens(F.col(text_col)))
+    toks = F.col("_bm25_toks")
     dl = F.size(toks).cast("double")
     avgdl = F.lit(float(tot)) / F.lit(float(n))
     score = None
@@ -97,7 +103,7 @@ def bm25_scores(
         )
         score = part if score is None else score + part
     return (
-        docs.select(
+        staged.select(
             id_col,
             F.size(toks).cast("long").alias("dl"),
             F.round(score * MICRO).cast("long").alias("score_micro"),

@@ -166,3 +166,14 @@ def test_pii_scrub_is_pure_scan(spark):
     plan = _plan(QUERIES["pii_scrub"].fn(spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_bm25_tokenizes_once(spark):
+    """BM25's token array must be staged and shared: one split site in
+    the optimized plan, not one per query term (CollapseProject keeps a
+    multi-referenced expensive expression staged)."""
+    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY
+
+    df = EXTRA_PARITY["bm25_search"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") <= 2, opt.count("split(")
