@@ -276,15 +276,19 @@ def blocklist_profile(
     if not lowered:
         raise ValueError("empty blocklist")
     lit = F.array(*[F.lit(w) for w in lowered])
-    toks = T.tokens(F.col(text_col))
-    blocked = F.filter(
-        toks, lambda t: F.array_contains(lit, F.lower(t))
-    )
-    return docs.select(
-        id_col,
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(blocked).cast("long").alias("n_blocked"),
-        (F.size(blocked) == 0).alias("keep"),
+    # stage tokens and the blocked count so the tokenizer runs once per
+    # row (the BM25 staging lesson: unshared expressions inline per use)
+    toks = F.col("_bl_toks")
+    blocked = F.filter(toks, lambda t: F.array_contains(lit, F.lower(t)))
+    return (
+        docs.withColumn("_bl_toks", T.tokens(F.col(text_col)))
+        .withColumn("_bl_n_blocked", F.size(blocked).cast("long"))
+        .select(
+            id_col,
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.col("_bl_n_blocked").alias("n_blocked"),
+            (F.col("_bl_n_blocked") == 0).alias("keep"),
+        )
     )
 
 
