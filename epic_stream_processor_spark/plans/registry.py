@@ -260,6 +260,7 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         llm.q_bm25_search, llm.ORACLE_BM25_SEARCH,
         "BM25 ranked retrieval: row-local Okapi scoring from one-pass "
         "integer corpus stats, micro-quantized, top-50 with tiebreak",
+        bench=True,
     ),
     "q_session_windows": QueryDef(
         relational.q_session_windows, relational.ORACLE_SESSION_WINDOWS,
@@ -281,6 +282,7 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         llm.q_unigram_nll, llm.ORACLE_UNIGRAM_NLL,
         "corpus-trained unigram-LM quality scores (CCNet perplexity-filter "
         "shape): add-one smoothing, OOV bucket, integer micro-nat sums",
+        bench=True,
     ),
     "knn_cosine_ivf_nprobe2": QueryDef(
         llm.q_knn_cosine_ivf_nprobe2, llm.ORACLE_KNN_COSINE_IVF_NPROBE2,
