@@ -11,10 +11,13 @@ row-at-a-time UDFs). astropy is preferred when installed (full generality:
 SIP distortion, every projection); it is absent from this container, so:
 - the WCS UDFs run the projection natively for zenithal headers
   (SIN/TAN/ARC/ZEA/STG — ``functions/wcs_native.py``, the published
-  Calabretta & Greisen 2002 math in numpy, golden-pinned), and fall back to
-  the *linear* plate-carrée transform (C1) only for headers with no
+  Calabretta & Greisen 2002 math in numpy, golden-pinned), use the linear
+  plate-carrée transform (C1) only for headers that declare *no*
   projection — exactly what the reference's own ``is_skycoord_fov`` does
-  (watch_dog.py:303-314);
+  (watch_dog.py:303-314) — and raise ValueError at UDF-construction time
+  for headers that declare a nonlinear projection outside the native set
+  (e.g. ``RA---ZPN``): astropy would handle or reject such a header, never
+  silently linearize it;
 - the ephemeris computes sun/moon apparent topocentric positions natively
   (``functions/ephemeris_native.py``, Meeus algorithms, golden-pinned
   against the book's worked examples) and raises a clear error only for
@@ -38,6 +41,22 @@ from pyspark.sql.types import (
 )
 
 from .wcs_native import build_pix2world, build_world2pix, projection_code
+
+
+def _native_builder(hdr: dict, build):
+    """Driver-side native-closure construction shared by the two WCS UDF
+    factories. Returns the closure for supported zenithal headers, None for
+    projection-less (linear-correct) headers, and propagates
+    ``projection_code``'s ValueError for unsupported nonlinear CTYPEs —
+    *unless* astropy is installed, in which case the UDF's astropy branch
+    will handle the projection with full generality and the native closure
+    is simply not needed."""
+    try:
+        return build(hdr) if projection_code(hdr) else None
+    except ValueError:
+        if have_astropy():  # pragma: no cover - container has no astropy
+            return None
+        raise
 
 # LWA Sevilleta site (public coordinates, hardcoded by the reference at
 # _utils/Utils.py:77): lon, lat, height.
@@ -79,14 +98,18 @@ def make_world2pix_udf(img_header: dict):
        math) when CTYPE names a supported code — this is the real nonlinear
        path in astropy-less deployments, golden-pinned against the same
        literals that validate astropy;
-    3. the linear CRPIX/CDELT/CRVAL transform for projection-less headers
-       (the reference's own ``is_skycoord_fov`` fast path).
+    3. the linear CRPIX/CDELT/CRVAL transform for headers that declare NO
+       projection (the reference's own ``is_skycoord_fov`` fast path).
+
+    A header that declares a nonlinear projection outside the native set
+    (e.g. ``RA---ZPN``) raises ValueError here, at construction time,
+    when astropy is absent — never a silent linear answer.
 
     The native closure is built driver-side and pickles **by value**, so
     executors never import this package (test-pinned).
     """
     hdr = dict(img_header)
-    native = build_world2pix(hdr) if projection_code(hdr) else None
+    native = _native_builder(hdr, build_world2pix)
 
     @pandas_udf(_PIX_SCHEMA)
     def world2pix(ra: pd.Series, dec: pd.Series) -> pd.DataFrame:
@@ -111,7 +134,7 @@ def make_pix2world_udf(img_header: dict):
     """Inverse transform (O4's off-sky round-trip: NaN ⇒ drop). Same
     branch order as :func:`make_world2pix_udf`."""
     hdr = dict(img_header)
-    native = build_pix2world(hdr) if projection_code(hdr) else None
+    native = _native_builder(hdr, build_pix2world)
 
     @pandas_udf(_SKY_SCHEMA)
     def pix2world(x: pd.Series, y: pd.Series) -> pd.DataFrame:

