@@ -242,7 +242,22 @@ def _resolve_bodies_native(bodies, source_col: str):
     keyed = bodies.withColumn("_body", F.lower(F.col(source_col))).withColumn(
         "_iso", iso
     )
-    domain = keyed.select("_body", "_iso").distinct().collect()
+    # Size-capped collect (ADVICE r4): the domain is watchlist bodies ×
+    # epochs per micro-batch — a few hundred rows in streaming. A batch
+    # call over a long history with per-row unique timestamps would
+    # otherwise collect unboundedly; fail loudly and point at the
+    # executor-side path instead of OOMing the driver.
+    max_domain = 100_000
+    domain = (
+        keyed.select("_body", "_iso").distinct().limit(max_domain + 1).collect()
+    )
+    if len(domain) > max_domain:
+        raise ValueError(
+            f"distinct (body, epoch) domain exceeds {max_domain} rows — too "
+            "large for the driver-side native ephemeris join; install "
+            "astropy to use the executor-side ephemeris UDF, or coarsen the "
+            "epochs (e.g. truncate t_obs) before resolving"
+        )
     if not domain:
         return bodies
     names = [r["_body"] for r in domain]

@@ -137,18 +137,51 @@ def zorder_col(
     ``mins``/``maxs`` come from the caller (one cheap agg); NULLs rank 0.
     Driver-side constants keep the expression pure column arithmetic —
     row-local, zero shuffle, whole-stage codegen.
+
+    Exactness bounds (ADVICE r4): the interleaved key must fit a signed
+    64-bit long, so ``len(cols) * bits`` may not exceed 63 — beyond that
+    Spark's ``shiftleft`` wraps mod 64 and silently corrupts keys (and bit
+    63 is the sign bit, inverting the sort). Rank arithmetic is exact for
+    ANY long-valued span: spans wider than 2^40 are pre-scaled with an
+    integer shift (losing only sub-rank low bits, which cannot change the
+    rank by more than 1 — irrelevant for a layout key), and the scaled
+    ``(v-lo)·2^bits / span`` quotient is computed in decimal with 14
+    fractional digits, enough that Spark's HALF_UP rounding can never
+    cross a floor boundary (1/span > 10^-13 for spans ≤ 2^40).
     """
     if not (len(cols) == len(mins) == len(maxs)):
         raise ValueError("cols/mins/maxs must align")
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"z-order key needs {n * bits} bits; a signed long holds 63 "
+            f"(len(cols)={n} * bits={bits}) — lower bits or drop columns"
+        )
+    if not 1 <= bits <= 31:
+        raise ValueError(
+            f"bits={bits} out of range [1, 31] — above 31 the decimal rank "
+            "quotient exceeds Spark's 38-digit precision and loses the "
+            "exact-floor guarantee"
+        )
+    mult_digits = len(str(1 << bits))
     ranks = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = max(int(hi) - int(lo), 0) + 1
-        # rank = (v - lo) * 2^bits / span, clamped by construction
+        # pre-scale so x*2^bits/span is exactly floor-able in decimal:
+        # after >> k, span' <= 2^40 (13 decimal digits)
+        k = max(0, span.bit_length() - 40)
+        span_k = ((span - 1) >> k) + 1
+        x = F.coalesce(c.cast("long"), F.lit(int(lo))) - F.lit(int(lo))
+        if k:
+            x = F.shiftright(x, k)
+        # rank = (v - lo) * 2^bits / span, clamped by construction;
+        # decimal(13,0)*decimal(d,0)/decimal(13,0) -> scale 14 with
+        # precision <= 38 for bits <= 31: no precision-loss adjustment,
+        # so the floor is exact
         r = F.floor(
-            (F.coalesce(c.cast("long"), F.lit(int(lo))) - F.lit(int(lo)))
-            * F.lit(1 << bits)
-            / F.lit(span)
+            x.cast("decimal(13,0)")
+            * F.lit(1 << bits).cast(f"decimal({mult_digits},0)")
+            / F.lit(span_k).cast("decimal(13,0)")
         ).cast("long")
         ranks.append(r)
     z = F.lit(0).cast("long")
@@ -184,6 +217,13 @@ def compact_parquet_zorder(
     for c in zorder_by:
         aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
     row = df.agg(*aggs).collect()[0]
+    for c in zorder_by:
+        if row[f"lo_{c}"] is None:
+            raise ValueError(
+                f"zorder_by column {c!r} is entirely NULL (or the input is "
+                "empty) — min/max stats are undefined; drop it from "
+                "zorder_by or filter the input"
+            )
     mins = [int(row[f"lo_{c}"]) for c in zorder_by]
     maxs = [int(row[f"hi_{c}"]) for c in zorder_by]
     z = zorder_col([F.col(c) for c in zorder_by], mins, maxs, bits)

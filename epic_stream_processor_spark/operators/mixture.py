@@ -141,18 +141,28 @@ def mixture_oracle_sql(
     table: str = "documents",
     select_cols: str = "doc_id, source",
 ) -> str:
-    """DuckDB twin of :func:`apply_mixture_epochs` (same integer literals)."""
+    """DuckDB twin of :func:`apply_mixture_epochs` (same integer literals).
+
+    Domain names and the salt are escaped ('' doubling, like the blocklist
+    and bm25 oracles) so an apostrophe in a domain label can't break or
+    inject into the oracle query (ADVICE r4)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
     mix = _integer_mixture({**rates})
     dfull, dthr = _integer_mixture({"_": default_rate})["_"]
     full_case = " ".join(
-        f"WHEN '{d}' THEN {full}" for d, (full, _) in mix.items()
+        f"WHEN '{q(d)}' THEN {full}" for d, (full, _) in mix.items()
     )
-    thr_case = " ".join(f"WHEN '{d}' THEN {thr}" for d, (_, thr) in mix.items())
+    thr_case = " ".join(
+        f"WHEN '{q(d)}' THEN {thr}" for d, (_, thr) in mix.items()
+    )
     return f"""
 WITH base AS (
   SELECT {select_cols},
     CASE {domain_col} {full_case} ELSE {dfull} END
-      + CASE WHEN CAST(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)
+      + CASE WHEN CAST(('0x' || substr(md5('{q(salt)}:' || CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)
              < CASE {domain_col} {thr_case} ELSE {dthr} END
         THEN 1 ELSE 0 END AS n_copies
   FROM {table}

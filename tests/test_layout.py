@@ -201,3 +201,79 @@ def test_zorder_compaction_tightens_both_columns(spark, tmp_path):
     # (aligned 8-way Z split = half-quadrants: spans 31/15 or 15/31)
     assert mean_span(zout, "x") < 0.6 * (n - 1)
     assert mean_span(zout, "y") < 0.6 * (n - 1)
+
+
+def test_zorder_guards_and_wide_span_exactness(spark):
+    """ADVICE r4 (medium): (1) keys that would spill past bit 63 must be
+    rejected, not silently wrapped by shiftleft's mod-64; (2) rank math
+    must stay exact for spans a double can't represent (epoch-micro
+    timestamps ~2^50): the old long*2^bits product overflowed and the
+    /span division went through double past 2^53."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.layout import zorder_col
+
+    cols = [F.col(c) for c in "abcd"]
+    # 4 columns x 16 bits = 64 -> sign bit + wrap: must raise
+    with pytest.raises(ValueError, match="63"):
+        zorder_col(cols, [0] * 4, [9] * 4, bits=16)
+    with pytest.raises(ValueError, match="63"):
+        zorder_col(cols[:2], [0] * 2, [9] * 2, bits=32)
+    with pytest.raises(ValueError, match=r"\[1, 31\]"):
+        zorder_col(cols[:1], [0], [9], bits=40)
+
+    # wide span: values spread over ~2^50 (micro-epoch scale)
+    lo, hi = 1_600_000_000_000_000, 1_600_000_000_000_000 + (1 << 50)
+    rng = random.Random(11)
+    vals = [lo, hi, (lo + hi) // 2] + [rng.randint(lo, hi) for _ in range(200)]
+    rows = [(i, v, rng.randint(0, 999)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, t long, a long")
+    bits = 8
+    out = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id",
+            zorder_col(
+                [F.col("t"), F.col("a")], [lo, 0], [hi, 999], bits
+            ).alias("z"),
+        ).collect()
+    }
+    span = hi - lo + 1
+    k = max(0, span.bit_length() - 40)
+    span_k = ((span - 1) >> k) + 1
+
+    def ref(t, a):
+        rt = ((t - lo) >> k) * (1 << bits) // span_k
+        ra = a * (1 << bits) // 1000
+        z = 0
+        for bit in range(bits):
+            z |= ((rt >> bit) & 1) << (bit * 2)
+            z |= ((ra >> bit) & 1) << (bit * 2 + 1)
+        return z
+
+    for i, t, a in rows:
+        assert out[i] == ref(t, a), (i, t, a, out[i], ref(t, a))
+    # ranks at the extremes hit 0 and 2^bits - 1 (no degenerate collapse)
+    assert out[0] != out[1]
+
+
+def test_zorder_compaction_rejects_all_null_column(spark, tmp_path):
+    """ADVICE r4 (low): an all-NULL zorder_by column must raise a clear
+    ValueError naming the column, not a TypeError from int(None)."""
+    import pytest
+
+    from epic_stream_processor_spark.operators.layout import (
+        compact_parquet_zorder,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, None) for i in range(10)], "x long, y long"
+    ).write.parquet(src)
+    with pytest.raises(ValueError, match="'y'"):
+        compact_parquet_zorder(
+            spark, src, str(tmp_path / "out"), ["x", "y"], n_files=1, bits=4
+        )
