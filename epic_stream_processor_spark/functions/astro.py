@@ -18,10 +18,12 @@ SIP distortion, every projection); it is absent from this container, so:
   for headers that declare a nonlinear projection outside the native set
   (e.g. ``RA---ZPN``): astropy would handle or reject such a header, never
   silently linearize it;
-- the ephemeris computes sun/moon apparent topocentric positions natively
-  (``functions/ephemeris_native.py``, Meeus algorithms, golden-pinned
-  against the book's worked examples) and raises a clear error only for
-  the planets, whose full-precision series (VSOP87) are astropy territory.
+- the ephemeris computes apparent topocentric positions natively for the
+  sun, the moon, AND all eight planets (``functions/ephemeris_native.py``,
+  Meeus algorithms, golden-pinned against the book's worked examples and
+  public sky events), so the reference's full watchlist body set
+  (watch_dog.py:500-509) resolves without astropy; only exotic names
+  (pluto, barycenters) still need it.
 
 The UDF bodies are closure-self-contained (no module refs) so they pickle
 by value and run on any executor.
@@ -160,8 +162,9 @@ def ephemeris_skypos(body: pd.Series, t_obs_iso: pd.Series) -> pd.DataFrame:
     """Per-epoch (RA, Dec) of a solar-system body as seen from LWA-SV
     (twin of ``DynSources.get_lwasv_skypos``, _utils/Utils.py:75-85).
     This executor-side variant requires astropy; without it,
-    :func:`resolve_positions` serves sun/moon from the native driver-side
-    ephemeris instead (``functions/ephemeris_native.py``)."""
+    :func:`resolve_positions` serves every watchlist body (sun, moon, and
+    the eight planets) from the native driver-side ephemeris instead
+    (``functions/ephemeris_native.py``)."""
     try:
         from astropy.coordinates import EarthLocation, get_body
         from astropy.time import Time
@@ -169,8 +172,8 @@ def ephemeris_skypos(body: pd.Series, t_obs_iso: pd.Series) -> pd.DataFrame:
     except ImportError as e:  # pragma: no cover - env without astropy
         raise NotImplementedError(
             "the ephemeris UDF requires astropy (not present in this "
-            "container); sun/moon watchlists are resolved natively by "
-            "resolve_positions — only the planets need astropy"
+            "container); sun/moon/planet watchlists are resolved natively "
+            "by resolve_positions — only exotic bodies need astropy"
         ) from e
     site = EarthLocation(
         lat=LWASV_LAT_DEG * u.deg, lon=LWASV_LON_DEG * u.deg,
@@ -196,13 +199,13 @@ def resolve_positions(df, source_col: str = "source_name"):
 
     Body branch, in preference order:
     - astropy installed → executor-side pandas UDF (full body list);
-    - no astropy → native driver-side ephemeris for sun/moon
-      (``functions/ephemeris_native.py``, Meeus algorithms, golden-pinned):
-      the distinct (body, epoch) domain — bounded by watchlist size ×
-      epochs per micro-batch, a few hundred rows — is collected, positioned
-      in one vectorized numpy call, and broadcast-joined back. No per-row
-      Python, and executors never import this package. Planets without
-      astropy raise a clear error at plan-construction time.
+    - no astropy → native driver-side ephemeris for sun, moon, and all
+      eight planets (``functions/ephemeris_native.py``, Meeus algorithms,
+      golden-pinned): the distinct (body, epoch) domain — bounded by
+      watchlist size × epochs per micro-batch, a few hundred rows — is
+      collected (size-capped), positioned in one vectorized numpy call,
+      and broadcast-joined back. No per-row Python, and executors never
+      import this package.
     """
     from pyspark.sql import functions as F
 
@@ -226,7 +229,8 @@ def resolve_positions(df, source_col: str = "source_name"):
 
 
 def _resolve_bodies_native(bodies, source_col: str):
-    """Sun/moon positions via the native ephemeris, joined back broadcast.
+    """Body positions (sun/moon/planets) via the native ephemeris, joined
+    back broadcast.
 
     The collect is tiny by construction (distinct watchlist-body × epoch);
     the join key is (lower(name), formatted epoch) so every body row gets

@@ -17,6 +17,11 @@ worked examples:
 - ch. 47 lunar coordinates, full tables   (example 47.a: ~0.004° geocentric)
 - ch. 11 geocentric site quantities       (example 11.a: Palomar)
 - ch. 40 topocentric correction           (exact formulas; invariant-tested)
+- ch. 31 planetary mean elements of date  (example 31.a: Mercury, digit-pinned)
+- ch. 33 geocentric planet positions      (example 33.a: Venus; Kepler orbit
+  via ch. 30, light-time, aberration eqs. 23.2, nutation — arcminute-class,
+  additionally pinned against public sky events: the 2020 Jupiter–Saturn
+  great conjunction and the Mars/Uranus/Neptune oppositions)
 
 UTC→TT uses the Espenak–Meeus ΔT polynomial for 2005–2050 (public, the
 NASA eclipse-site fit), clamped outside that range; a 3 s ΔT error moves
@@ -38,8 +43,16 @@ import numpy as np
 
 _RAD = np.pi / 180.0
 
-#: Bodies this module can position natively (the rest need astropy).
-NATIVE_BODIES = frozenset({"sun", "moon"})
+#: Bodies this module can position natively (anything else needs astropy).
+#: Round 5 added the eight planets via Meeus chs. 31/33 (mean elements of
+#: date + Kepler orbit), so the full reference watchlist body set
+#: (watch_dog.py:500-509) resolves without astropy.
+NATIVE_BODIES = frozenset(
+    {
+        "sun", "moon", "mercury", "venus", "mars",
+        "jupiter", "saturn", "uranus", "neptune",
+    }
+)
 
 
 # --- time scales ----------------------------------------------------------
@@ -438,7 +451,7 @@ def body_skypos(
     ``DynSources.get_lwasv_skypos`` for the natively supported bodies.
 
     Raises NotImplementedError listing any body outside
-    :data:`NATIVE_BODIES` (planets need astropy's VSOP-class series).
+    :data:`NATIVE_BODIES` (e.g. pluto or barycenters — astropy territory).
     """
     names = [str(b).lower() for b in bodies]
     unsupported = sorted(set(names) - NATIVE_BODIES)
@@ -451,7 +464,9 @@ def body_skypos(
     jd_tt = jd_ut + delta_t_seconds(jd_ut) / 86400.0
     ra = np.empty(len(names))
     dec = np.empty(len(names))
-    is_sun = np.array([n == "sun" for n in names])
+    arr = np.array(names)
+    is_sun = arr == "sun"
+    is_moon = arr == "moon"
     if is_sun.any():
         r, d, dist_au = sun_apparent(jd_tt[is_sun])
         # solar horizontal parallax: 8.794″ / R_au (Meeus ch. 40)
@@ -459,9 +474,202 @@ def body_skypos(
         ra[is_sun], dec[is_sun] = topocentric_radec(
             r, d, par, jd_ut[is_sun], lat_deg, lon_east_deg, height_m
         )
-    if (~is_sun).any():
-        r, d, _, par = moon_apparent(jd_tt[~is_sun])
-        ra[~is_sun], dec[~is_sun] = topocentric_radec(
-            r, d, par, jd_ut[~is_sun], lat_deg, lon_east_deg, height_m
+    if is_moon.any():
+        r, d, _, par = moon_apparent(jd_tt[is_moon])
+        ra[is_moon], dec[is_moon] = topocentric_radec(
+            r, d, par, jd_ut[is_moon], lat_deg, lon_east_deg, height_m
+        )
+    for planet in sorted(set(names) - {"sun", "moon"}):
+        sel = arr == planet
+        r, d, delta = planet_apparent(jd_tt[sel], planet)
+        par = (8.794 / 3600.0) / delta  # same 1-au parallax scaled by Δ
+        ra[sel], dec[sel] = topocentric_radec(
+            r, d, par, jd_ut[sel], lat_deg, lon_east_deg, height_m
         )
     return ra, dec
+
+
+# --- planets (chs. 31, 33): mean elements of date + Kepler orbit ----------
+
+# Table 31.a — polynomial coefficients in T (Julian centuries TD from
+# J2000) for (L, a, e, i, Ω, ϖ), referred to the MEAN EQUINOX AND ECLIPTIC
+# OF DATE (Meeus pp. 212-215; the VSOP87-derived mean elements). Using the
+# of-date frame means the heliocentric longitudes need no precession step
+# and nutation applies directly — exactly ch. 33's setup. Example 31.a
+# (Mercury, 2065 Jun 24.0 TD) is test-pinned digit-for-digit.
+_PLANET_ELEMENTS: dict[str, tuple[tuple[float, ...], ...]] = {
+    "mercury": (
+        (252.250906, 149474.0722491, 0.00030397, 0.000000018),
+        (0.387098310,),
+        (0.20563175, 0.000020406, -0.0000000284, -0.00000000017),
+        (7.004986, 0.0018215, -0.00001809, 0.000000053),
+        (48.330893, 1.1861890, 0.00017587, 0.000000211),
+        (77.456119, 1.5564775, 0.00029589, 0.000000056),
+    ),
+    "venus": (
+        (181.979801, 58519.2130302, 0.00031014, 0.000000015),
+        (0.723329820,),
+        (0.00677192, -0.000047765, 0.0000000981, 0.00000000046),
+        (3.394662, 0.0010037, -0.00000088, -0.000000007),
+        (76.679920, 0.9011206, 0.00040618, -0.000000093),
+        (131.563703, 1.4022288, -0.00107618, -0.000005678),
+    ),
+    # The sun's orbit seen heliocentrically: L0−180°, e and ϖ−180° of
+    # ch. 25 (consistency test-pinned against sun_apparent).
+    "earth": (
+        (100.466457, 36000.7698278, 0.00030322, 0.000000020),
+        (1.000001018,),
+        (0.01670863, -0.000042037, -0.0000001267, 0.00000000014),
+        (0.0,),
+        (0.0,),
+        (102.937348, 1.7195366, 0.00045688, -0.000000018),
+    ),
+    "mars": (
+        (355.433000, 19141.6964471, 0.00031052, 0.000000016),
+        (1.523679342,),
+        (0.09340065, 0.000090484, -0.0000000806, -0.00000000025),
+        (1.849726, -0.0006011, 0.00001276, -0.000000007),
+        (49.558093, 0.7720959, 0.00001557, 0.000002267),
+        (336.060234, 1.8410449, 0.00013477, 0.000000536),
+    ),
+    "jupiter": (
+        (34.351519, 3036.3027748, 0.00022330, 0.000000037),
+        (5.202603209, 0.0000001913),
+        (0.04849793, 0.000163225, -0.0000004714, -0.00000000201),
+        (1.303267, -0.0054965, 0.00000466, -0.000000002),
+        (100.464407, 1.0209774, 0.00040315, 0.000000404),
+        (14.331207, 1.6126352, 0.00103042, -0.000004464),
+    ),
+    "saturn": (
+        (50.077444, 1223.5110686, 0.00051908, -0.000000030),
+        (9.554909192, -0.0000021390, 0.000000004),
+        (0.05554814, -0.000346641, -0.0000006436, 0.00000000340),
+        (2.488879, -0.0037362, -0.00001519, 0.000000087),
+        (113.665503, 0.8770880, -0.00012176, -0.000002249),
+        (93.057237, 1.9637613, 0.00083753, 0.000004928),
+    ),
+    "uranus": (
+        (314.055005, 429.8640561, 0.00030390, 0.000000026),
+        (19.218446062, -0.0000000372, 0.00000000098),
+        (0.04638122, -0.000027293, 0.0000000789, 0.00000000024),
+        (0.773197, 0.0007744, 0.00003749, -0.000000092),
+        (74.005957, 0.5211278, 0.00133947, 0.000018484),
+        (173.005291, 1.4863790, 0.00021406, 0.000000434),
+    ),
+    "neptune": (
+        (304.348665, 219.8833092, 0.00030882, 0.000000018),
+        (30.110386869, -0.0000001663, 0.00000000069),
+        (0.00945575, 0.000006033, 0.0, -0.00000000005),
+        (1.769953, -0.0093082, -0.00000708, 0.000000027),
+        (131.784057, 1.1022039, 0.00025952, -0.000000637),
+        (48.120276, 1.4262957, 0.00038434, 0.000000020),
+    ),
+}
+
+
+def _poly(coeffs: tuple[float, ...], T: np.ndarray) -> np.ndarray:
+    out = np.full_like(np.asarray(T, dtype="float64"), coeffs[-1])
+    for c in coeffs[-2::-1]:
+        out = out * T + c
+    return out
+
+
+def planet_mean_elements(name: str, T: np.ndarray):
+    """(L, a, e, i, Ω, ϖ) in degrees/au at Julian centuries ``T`` (TD from
+    J2000), mean equinox and ecliptic of date — Meeus Table 31.a.
+    Example 31.a (Mercury at 2065 Jun 24.0 TD = T 0.654770) is test-pinned:
+    L 203.494701, a 0.387098310, e 0.20564510, i 7.006171, Ω 49.107650,
+    ϖ 78.475382."""
+    rows = _PLANET_ELEMENTS[str(name).lower()]
+    L, a, e, inc, om, pi_ = (_poly(c, np.asarray(T, "float64")) for c in rows)
+    return L % 360.0, a, e, inc, om, pi_
+
+
+def _kepler_E(M_rad: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """Solve Kepler's equation E − e sin E = M by Newton iteration (the
+    first method of Meeus ch. 30; e ≤ 0.21 for the major planets, so a
+    handful of iterations converges far below the element accuracy)."""
+    E = M_rad + e * np.sin(M_rad)
+    for _ in range(12):
+        E = E - (E - e * np.sin(E) - M_rad) / (1.0 - e * np.cos(E))
+    return E
+
+
+def heliocentric_ecliptic(name: str, T: np.ndarray):
+    """Heliocentric ecliptic (l, b) in RADIANS and radius r in au for a
+    planet at centuries ``T``, mean equinox/ecliptic of date (ch. 33's
+    first step, with the ch. 30 Kepler orbit instead of full VSOP87 —
+    arcminute-class accuracy, ≪ EPIC's 1.4°/px scale)."""
+    L, a, e, inc, om, pi_ = planet_mean_elements(name, T)
+    M = (L - pi_) * _RAD
+    E = _kepler_E(M, e)
+    nu = 2.0 * np.arctan2(
+        np.sqrt(1.0 + e) * np.sin(E / 2.0),
+        np.sqrt(1.0 - e) * np.cos(E / 2.0),
+    )
+    r = a * (1.0 - e * np.cos(E))
+    u = (pi_ - om) * _RAD + nu  # argument of latitude ω + ν
+    incr = inc * _RAD
+    l = om * _RAD + np.arctan2(np.cos(incr) * np.sin(u), np.cos(u))
+    b = np.arcsin(np.sin(u) * np.sin(incr))
+    return l, b, r
+
+
+#: light-time for 1 au, in days (Meeus eq. 33.3)
+_TAU_PER_AU = 0.0057755183
+
+
+def planet_apparent(jd_tt: np.ndarray, name: str):
+    """Apparent geocentric (ra, dec, distance_au) of a planet, degrees —
+    Meeus ch. 33: heliocentric planet & Earth → geocentric vector →
+    light-time iteration (planet at t−τ, Earth at t) → annual aberration
+    (eqs. 23.2 with the ch. 25 solar elements) → nutation in longitude →
+    equatorial with the true obliquity. Example 33.a (Venus, 1992 Dec
+    20.0 TD: α 316.172725°, δ −18.888011°) is test-pinned within the
+    mean-element accuracy budget."""
+    jd = np.asarray(jd_tt, dtype="float64")
+    T = (jd - 2451545.0) / 36525.0
+    le, be, re = heliocentric_ecliptic("earth", T)
+    xe = re * np.cos(le)
+    ye = re * np.sin(le)
+    tau = np.zeros_like(jd)
+    for _ in range(2):
+        Tp = (jd - tau - 2451545.0) / 36525.0
+        lp, bp, rp = heliocentric_ecliptic(name, Tp)
+        x = rp * np.cos(bp) * np.cos(lp) - xe
+        y = rp * np.cos(bp) * np.sin(lp) - ye
+        z = rp * np.sin(bp)
+        delta = np.sqrt(x * x + y * y + z * z)
+        tau = _TAU_PER_AU * delta
+    lam = np.arctan2(y, x)
+    beta = np.arctan2(z, np.hypot(x, y))
+    # annual aberration, ecliptic form (Meeus eqs. 23.2): κ = 20.49552″;
+    # θ = sun's true longitude, e/ϖ_sun from the ch. 25 elements
+    kappa = (20.49552 / 3600.0) * _RAD
+    _, _, e_orb, _, _, pi_earth = planet_mean_elements("earth", T)
+    e_sun = e_orb
+    pi_sun = (pi_earth + 180.0) * _RAD
+    theta = le + np.pi  # Earth helio + 180° = sun's true longitude
+    dlam = (
+        -kappa * np.cos(theta - lam) + e_sun * kappa * np.cos(pi_sun - lam)
+    ) / np.cos(beta)
+    dbeta = -kappa * np.sin(beta) * (
+        np.sin(theta - lam) - e_sun * np.sin(pi_sun - lam)
+    )
+    lam = lam + dlam
+    beta = beta + dbeta
+    dpsi, deps = nutation(T)
+    lam = lam + dpsi * _RAD
+    eps = (mean_obliquity(T) + deps) * _RAD
+    ra = (
+        np.arctan2(
+            np.sin(lam) * np.cos(eps) - np.tan(beta) * np.sin(eps),
+            np.cos(lam),
+        )
+        / _RAD
+        % 360.0
+    )
+    dec = np.arcsin(
+        np.sin(beta) * np.cos(eps) + np.cos(beta) * np.sin(eps) * np.sin(lam)
+    ) / _RAD
+    return ra, dec, delta
