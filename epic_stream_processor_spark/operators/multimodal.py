@@ -3,16 +3,18 @@
 Treats image/audio/video as ``binary`` columns with a typed metadata struct,
 processed via Arrow-batched ``mapInPandas``. Two codec tiers:
 
-- **Real (stdlib-only)** — one per modality: 24-bpp uncompressed BMP for
-  images (``docs_as_bmp``/``decode_bmp``: BITMAPFILEHEADER +
-  BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, BGR triples),
-  RIFF/WAVE 16-bit PCM for audio (``docs_as_wav``/``decode_wav``:
-  chunk-walked RIFF container, fmt/data chunks), and RIFF/AVI with
-  uncompressed DIB frames for video (``docs_as_avi``/``parse_avi_frames``:
-  hdrl avih/strh/strf headers, movi frame list with true offsets). No
-  media library needed; all three container formats are public and
-  documented everywhere.
-- **Stubbed**: codecs that need PIL/libav (JPEG/PNG/MP3/H.264) fall to
+- **Real (stdlib-only)**: 24-bpp uncompressed BMP for images
+  (``docs_as_bmp``/``decode_bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER,
+  bottom-up rows, 4-byte row padding, BGR triples), **zlib-compressed PNG**
+  (``docs_as_png``/``decode_png``: chunk walk with CRC-32 verification,
+  multi-IDAT inflate, all five scanline filters incl. Paeth — a genuinely
+  compressed format, round 5), RIFF/WAVE 16-bit PCM for audio
+  (``docs_as_wav``/``decode_wav``: chunk-walked RIFF container, fmt/data
+  chunks), and RIFF/AVI with uncompressed DIB frames for video
+  (``docs_as_avi``/``parse_avi_frames``: hdrl avih/strh/strf headers, movi
+  frame list with true offsets). No media library needed; all four
+  container formats are public and documented everywhere.
+- **Stubbed**: codecs that need PIL/libav (JPEG/MP3/H.264) fall to
   ``decode_media``'s deterministic fake, clearly labeled. Swap its body
   for real codec calls in production.
 
@@ -273,6 +275,286 @@ def decode_bmp(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                 yield decode_batch(pdf.iloc[start : start + batch_rows])
 
     return media.mapInPandas(gen, schema=BMP_DECODED_SCHEMA)
+
+
+# --- Real PNG codec (stdlib zlib + struct: a genuinely COMPRESSED format) ---
+
+#: decode_png emits the same shape as decode_bmp — the downstream pixel
+#: consumers are format-agnostic.
+PNG_DECODED_SCHEMA = BMP_DECODED_SCHEMA
+
+
+def encode_png_gray(data: bytes, width: int, seed: int = 0) -> bytes:
+    """Write a real 8-bit grayscale PNG (color type 0) of ``data`` laid out
+    row-major (tail zero-padded). Pure stdlib: the 8-byte signature, IHDR /
+    IDAT / IEND chunks with big-endian lengths and CRC-32s, scanlines
+    filtered per the PNG spec (RFC 2083 §6) with the filter TYPE cycling
+    ``(seed + row) % 5`` so None/Sub/Up/Average/Paeth all occur, zlib
+    (deflate) compression, and the IDAT stream split into two chunks when
+    it exceeds 64 bytes — decoders must concatenate IDATs."""
+    import struct as _struct
+    import zlib as _zlib
+
+    w = max(int(width), 1)
+    n = len(data)
+    h = max((n + w - 1) // w, 1)
+    px = bytes(data) + b"\x00" * (w * h - n)
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    prev = bytes(w)
+    for r in range(h):
+        row = px[r * w : (r + 1) * w]
+        ft = (int(seed) + r) % 5
+        line = bytearray(w)
+        for i in range(w):
+            a = row[i - 1] if i else 0
+            up = prev[i]
+            c = prev[i - 1] if i else 0
+            if ft == 0:
+                line[i] = row[i]
+            elif ft == 1:
+                line[i] = (row[i] - a) & 0xFF
+            elif ft == 2:
+                line[i] = (row[i] - up) & 0xFF
+            elif ft == 3:
+                line[i] = (row[i] - ((a + up) >> 1)) & 0xFF
+            else:
+                line[i] = (row[i] - paeth(a, up, c)) & 0xFF
+        raw += bytes([ft]) + line
+        prev = row
+    comp = _zlib.compress(bytes(raw), 6)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + tag
+            + body
+            + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    )
+    if len(comp) > 64:
+        out += chunk(b"IDAT", comp[:64]) + chunk(b"IDAT", comp[64:])
+    else:
+        out += chunk(b"IDAT", comp)
+    return out + chunk(b"IEND", b"")
+
+
+def docs_as_png(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture adapter: render each document's UTF-8 bytes as a REAL PNG
+    (width = id % 13 + 4 like the BMP twin; filter cycle seeded by the id
+    so every document exercises several filter types). The payload is a
+    genuine openable .png — zlib-compressed, CRC'd."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def enc(data: bytes, width: int, seed: int) -> bytes:
+            w = max(int(width), 1)
+            n = len(data)
+            h = max((n + w - 1) // w, 1)
+            px = bytes(data) + b"\x00" * (w * h - n)
+            raw = bytearray()
+            prev = bytes(w)
+            for r in range(h):
+                row = px[r * w : (r + 1) * w]
+                ft = (int(seed) + r) % 5
+                line = bytearray(w)
+                for i in range(w):
+                    a = row[i - 1] if i else 0
+                    up = prev[i]
+                    c = prev[i - 1] if i else 0
+                    if ft == 0:
+                        line[i] = row[i]
+                    elif ft == 1:
+                        line[i] = (row[i] - a) & 0xFF
+                    elif ft == 2:
+                        line[i] = (row[i] - up) & 0xFF
+                    elif ft == 3:
+                        line[i] = (row[i] - ((a + up) >> 1)) & 0xFF
+                    else:
+                        line[i] = (row[i] - paeth(a, up, c)) & 0xFF
+                raw += bytes([ft]) + line
+                prev = row
+            comp = _zlib.compress(bytes(raw), 6)
+
+            def chunk(tag: bytes, body: bytes) -> bytes:
+                return (
+                    _struct.pack(">I", len(body))
+                    + tag
+                    + body
+                    + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+                )
+
+            out = b"\x89PNG\r\n\x1a\n" + chunk(
+                b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            )
+            if len(comp) > 64:
+                out += chunk(b"IDAT", comp[:64]) + chunk(b"IDAT", comp[64:])
+            else:
+                out += chunk(b"IDAT", comp)
+            return out + chunk(b"IEND", b"")
+
+        for pdf in batches:
+            ids, texts = pdf.iloc[:, 0], pdf.iloc[:, 1]
+            payloads = [
+                enc((t or "").encode("utf-8"), int(mid) % 13 + 4, int(mid))
+                for mid, t in zip(ids, texts)
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids.astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return (
+        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def decode_png(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL compressed-image decode (no stub, no PIL): walk the chunk
+    stream (signature, big-endian lengths, CRC-32 verification of every
+    chunk), parse IHDR (8-bit grayscale, non-interlaced — anything else is
+    NULL, not a guess), concatenate ALL IDAT chunks, zlib-inflate, and
+    reverse the per-scanline filters (None/Sub/Up/Average/Paeth with the
+    spec's Paeth predictor) into top-down grayscale pixels.
+
+    Rows whose payload fails ANY check — bad magic, CRC mismatch, short
+    chunk, unsupported IHDR, inflate error, wrong decompressed length —
+    come back NULL instead of failing the stage (bad files are data, not
+    bugs, at corpus scale). Same output shape as :func:`decode_bmp`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def dec(payload: bytes):
+            b = bytes(payload)
+            if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            off, w, h, idat, ended = 8, None, None, bytearray(), False
+            while off + 12 <= len(b):
+                (ln,) = _struct.unpack_from(">I", b, off)
+                tag = b[off + 4 : off + 8]
+                if off + 12 + ln > len(b):
+                    return None
+                body = b[off + 8 : off + 8 + ln]
+                (crc,) = _struct.unpack_from(">I", b, off + 8 + ln)
+                if _zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                    return None
+                if tag == b"IHDR":
+                    w, h, depth, ct, comp, filt, inter = _struct.unpack(
+                        ">IIBBBBB", body
+                    )
+                    if (depth, ct, comp, filt, inter) != (8, 0, 0, 0, 0):
+                        return None
+                elif tag == b"IDAT":
+                    idat += body
+                elif tag == b"IEND":
+                    ended = True
+                    break
+                off += 12 + ln
+            if w is None or not ended or w <= 0 or h <= 0:
+                return None
+            try:
+                raw = _zlib.decompress(bytes(idat))
+            except _zlib.error:
+                return None
+            if len(raw) != h * (w + 1):
+                return None
+            gray = bytearray(w * h)
+            prev = bytes(w)
+            for r in range(h):
+                ft = raw[r * (w + 1)]
+                line = raw[r * (w + 1) + 1 : (r + 1) * (w + 1)]
+                rec = bytearray(w)
+                for i in range(w):
+                    a = rec[i - 1] if i else 0
+                    up = prev[i]
+                    c = prev[i - 1] if i else 0
+                    if ft == 0:
+                        v = line[i]
+                    elif ft == 1:
+                        v = line[i] + a
+                    elif ft == 2:
+                        v = line[i] + up
+                    elif ft == 3:
+                        v = line[i] + ((a + up) >> 1)
+                    elif ft == 4:
+                        v = line[i] + paeth(a, up, c)
+                    else:
+                        return None
+                    rec[i] = v & 0xFF
+                gray[r * w : (r + 1) * w] = rec
+                prev = bytes(rec)
+            return w, h, len(b), bytes(gray)
+
+        def decode_batch(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            out = {
+                "media_id": pdf["media_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                "width": [], "height": [], "byte_len": [],
+                "n_pixels": [], "gray_hex8": [], "gray": [],
+            }
+            for payload in pdf["payload"]:
+                got = dec(payload)
+                if got is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["byte_len"].append(len(bytes(payload)))
+                    out["n_pixels"].append(None)
+                    out["gray_hex8"].append(None)
+                    out["gray"].append(None)
+                else:
+                    w, h, blen, gray = got
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["byte_len"].append(blen)
+                    out["n_pixels"].append(w * h)
+                    out["gray_hex8"].append(gray[: min(8, w * h)].hex().upper())
+                    out["gray"].append(gray)
+            return _pd.DataFrame(out)
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                yield decode_batch(pdf.iloc[start : start + batch_rows])
+
+    return media.mapInPandas(gen, schema=PNG_DECODED_SCHEMA)
 
 
 # --- Real WAV codec (stdlib struct only) ------------------------------------

@@ -495,6 +495,58 @@ FROM g
 """
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **compressed**-format image decode, no stub and no PIL: each
+    document's bytes are written as a genuine 8-bit grayscale PNG
+    (``docs_as_png``: zlib-deflated scanlines, per-row filter types cycling
+    None/Sub/Up/Average/Paeth seeded by the id, CRC-32 on every chunk,
+    multi-IDAT splitting) and ``decode_png`` chunk-walks, CRC-verifies,
+    inflates, and unfilters the pixels back out inside the Arrow-batched
+    Python stage.
+
+    The oracle recomputes width, height, pixel count, and the first 64
+    decoded pixels' hex from the layout rules (width = id%13+4, pixels =
+    zero-padded text bytes), so a filter-reconstruction, IDAT-concat,
+    inflate, or chunk-walk bug anywhere breaks the hash match. ``byte_len``
+    is deliberately NOT projected: the zlib-compressed size is not
+    SQL-derivable (the pytest round-trip covers it instead).
+    """
+    from ..operators.multimodal import decode_png, docs_as_png
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    dec = decode_png(docs_as_png(docs))
+    return dec.select(
+        "media_id", "media_type", "width", "height", "n_pixels",
+        F.upper(F.hex(F.expr("substring(gray, 1, 64)"))).alias("gray_hex64"),
+    )
+
+
+# pixels = utf-8 text bytes zero-padded to w*h (w = id%13+4, h =
+# ceil(n/w) min 1); the first min(64, w*h) pixels' hex is the text hex
+# right-padded with '0' — all derivable in SQL; the zlib layer must
+# reproduce them exactly for the hash to match.
+ORACLE_PNG_DECODE = """WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         hex(encode(text)) AS hx,
+         CAST(doc_id % 13 + 4 AS BIGINT) AS w
+  FROM documents
+),
+g AS (
+  SELECT media_id, n, hx, w, greatest((n + w - 1) // w, 1) AS h FROM m
+)
+SELECT media_id,
+  'image' AS media_type,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  rpad(substring(hx, 1, CAST(2 * least(64, w * h) AS INTEGER)),
+       CAST(2 * least(64, w * h) AS INTEGER), '0') AS gray_hex64
+FROM g
+"""
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no stub: each document's bytes become a genuine
     RIFF/WAVE 16-bit PCM mono file (``docs_as_wav``: real RIFF + fmt +

@@ -297,6 +297,12 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         llm.q_top_terms, llm.ORACLE_TOP_TERMS,
         "top-3 terms per doc by tf with corpus df (integer TF-IDF core)",
     ),
+    "png_decode": QueryDef(
+        llm.q_png_decode, llm.ORACLE_PNG_DECODE,
+        "REAL compressed-image decode: stdlib-zlib PNG encode (5 filter "
+        "types, CRC'd multi-IDAT chunks) + chunk-walked inflate+unfilter "
+        "decode; oracle recomputes geometry and first-64-pixel hex",
+    ),
     "q_session_windows": QueryDef(
         relational.q_session_windows, relational.ORACLE_SESSION_WINDOWS,
         "native session_window sessionization vs the first-principles "

@@ -1318,3 +1318,124 @@ def test_bm25_hand_computed(spark):
     dup = {r["doc_id"]: r["score_micro"]
            for r in bm25_scores(docs, ["cat", "cat", "dog"], k=3).collect()}
     assert dup[1] == exp1
+
+
+def test_png_codec_round_trip(spark):
+    """Real PNG (compressed!) encode→decode round trip on the documents
+    fixture: decoded grayscale bytes must equal the original text bytes
+    plus zero padding. The per-row filter type cycles (id+row)%5, so all
+    five PNG filters (None/Sub/Up/Average/Paeth) are reconstructed, and
+    payloads >64 B of deflate output exercise multi-IDAT concatenation."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.multimodal import (
+        decode_png,
+        docs_as_png,
+    )
+
+    docs = FX.load_table(spark, SF_DIR, "documents").limit(60)
+    dec = decode_png(docs_as_png(docs)).join(
+        docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+    )
+    rows = dec.collect()
+    assert len(rows) == 60
+    filters_hit = set()
+    for r in rows:
+        data = (r.text or "").encode("utf-8")
+        w = r.media_id % 13 + 4
+        h = max((len(data) + w - 1) // w, 1)
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert bytes(r.gray) == data + b"\x00" * (w * h - len(data))
+        filters_hit.update((r.media_id + row) % 5 for row in range(h))
+    assert filters_hit == {0, 1, 2, 3, 4}, "fixture missed a filter type"
+
+
+def test_png_encoder_is_spec_compliant():
+    """Pin the encoder to the published PNG layout: signature, IHDR
+    geometry/bit-depth/color-type, chunk CRC-32s, and a decode by an
+    independent from-scratch reader written in this test (not the module
+    under test) for every filter seed."""
+    import struct
+    import zlib
+
+    from epic_stream_processor_spark.operators.multimodal import (
+        encode_png_gray,
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    data = bytes(range(256)) * 2
+    for seed in range(5):
+        p = encode_png_gray(data, width=7, seed=seed)
+        assert p[:8] == b"\x89PNG\r\n\x1a\n"
+        off, idat, hdr = 8, b"", None
+        while off + 12 <= len(p):
+            (ln,) = struct.unpack_from(">I", p, off)
+            tag, body = p[off + 4 : off + 8], p[off + 8 : off + 8 + ln]
+            (crc,) = struct.unpack_from(">I", p, off + 8 + ln)
+            assert zlib.crc32(tag + body) & 0xFFFFFFFF == crc, tag
+            if tag == b"IHDR":
+                hdr = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat += body
+            off += 12 + ln
+        w, h, depth, ct, comp, filt, inter = hdr
+        assert (w, depth, ct, comp, filt, inter) == (7, 8, 0, 0, 0, 0)
+        raw = zlib.decompress(idat)
+        assert len(raw) == h * (w + 1)
+        prev = bytes(w)
+        out = bytearray()
+        for r in range(h):
+            ft = raw[r * (w + 1)]
+            assert ft == (seed + r) % 5
+            line = raw[r * (w + 1) + 1 : (r + 1) * (w + 1)]
+            rec = bytearray(w)
+            for i in range(w):
+                a = rec[i - 1] if i else 0
+                up, c = prev[i], (prev[i - 1] if i else 0)
+                v = [
+                    line[i],
+                    line[i] + a,
+                    line[i] + up,
+                    line[i] + ((a + up) >> 1),
+                    line[i] + paeth(a, up, c),
+                ][ft]
+                rec[i] = v & 0xFF
+            out += rec
+            prev = bytes(rec)
+        n = len(data)
+        assert bytes(out) == data + b"\x00" * (w * h - n)
+
+
+def test_png_decoder_rejects_corruption(spark):
+    """Garbage, truncated, CRC-flipped, and unsupported-IHDR payloads all
+    decode to NULL dims instead of failing the stage."""
+    from epic_stream_processor_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    good = encode_png_gray(b"hello png corruption tests", 5, seed=3)
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF  # somewhere in IDAT body -> CRC mismatch
+    rgb = bytearray(good)
+    rgb[8 + 8 + 9] = 2  # IHDR color type 0 -> 2 (truecolor): unsupported
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"not a png" * 5, 45),
+            (2, "image", good[:30], 30),  # truncated mid-chunk
+            (3, "image", bytes(flipped), len(flipped)),
+            (4, "image", bytes(rgb), len(rgb)),
+            (5, "image", good, len(good)),  # control: must decode
+        ],
+        "media_id long, media_type string, payload binary, byte_len long",
+    )
+    rows = {r.media_id: r for r in decode_png(media).collect()}
+    for bad in (1, 2, 3, 4):
+        assert rows[bad].width is None and rows[bad].gray is None, bad
+    assert rows[5].width == 5 and bytes(rows[5].gray).startswith(b"hello")
