@@ -47,17 +47,23 @@ from .wcs_native import build_pix2world, build_world2pix, projection_code
 
 def _native_builder(hdr: dict, build):
     """Driver-side native-closure construction shared by the two WCS UDF
-    factories. Returns the closure for supported zenithal headers, None for
-    projection-less (linear-correct) headers, and propagates
-    ``projection_code``'s ValueError for unsupported nonlinear CTYPEs —
-    *unless* astropy is installed, in which case the UDF's astropy branch
-    will handle the projection with full generality and the native closure
-    is simply not needed."""
+    factories. Returns ``(closure, declared_nonlinear)``:
+
+    - ``(closure, True)`` for supported zenithal headers;
+    - ``(None, False)`` for projection-less (linear-correct) headers;
+    - propagates ``projection_code``'s ValueError for unsupported nonlinear
+      CTYPEs — *unless* astropy is installed on the driver, in which case
+      the UDF's astropy branch handles the projection with full generality
+      and this returns ``(None, True)``. The True flag matters: if astropy
+      then turns out to be missing on an *executor*, the UDF must raise
+      rather than silently fall to the linear transform for a header that
+      declared a nonlinear projection (ADVICE r5 #1 — the mixed-environment
+      twin of the r4 silent-linearization defect)."""
     try:
-        return build(hdr) if projection_code(hdr) else None
+        return (build(hdr), True) if projection_code(hdr) else (None, False)
     except ValueError:
         if have_astropy():  # pragma: no cover - container has no astropy
-            return None
+            return None, True
         raise
 
 # LWA Sevilleta site (public coordinates, hardcoded by the reference at
@@ -70,6 +76,15 @@ SOLAR_SYSTEM_BODIES = [
     "sun", "moon", "mercury", "venus", "mars",
     "jupiter", "saturn", "uranus", "neptune",
 ]
+
+#: Names the reference's body set (astropy ``solar_system_ephemeris.bodies``
+#: for the builtin ephemeris — includes 'earth' and the EM barycenter,
+#: excludes pluto) recognizes but the native ephemeris cannot position.
+#: They must still route to the BODY branch of :func:`resolve_positions`:
+#: leaving them on the static branch would silently keep a watchlist row
+#: named 'earth' at its catalog coordinates (ADVICE r5 #3) — astropy-less
+#: deployments get a loud NotImplementedError from ``body_skypos`` instead.
+ASTROPY_ONLY_BODIES = ["earth", "earth-moon-barycenter"]
 
 
 def have_astropy() -> bool:
@@ -111,7 +126,7 @@ def make_world2pix_udf(img_header: dict):
     executors never import this package (test-pinned).
     """
     hdr = dict(img_header)
-    native = _native_builder(hdr, build_world2pix)
+    native, nonlinear = _native_builder(hdr, build_world2pix)
 
     @pandas_udf(_PIX_SCHEMA)
     def world2pix(ra: pd.Series, dec: pd.Series) -> pd.DataFrame:
@@ -125,6 +140,12 @@ def make_world2pix_udf(img_header: dict):
             if native is not None:
                 x, y = native(ra.to_numpy(), dec.to_numpy())
                 return pd.DataFrame({"x": x, "y": y})
+            if nonlinear:
+                raise RuntimeError(
+                    "header declares a nonlinear projection the native path "
+                    "does not support, astropy imported on the driver but is "
+                    "missing on this executor — refusing the linear fallback"
+                )
             x = (ra - hdr["CRVAL1"]) / hdr["CDELT1"] + hdr["CRPIX1"]
             y = (dec - hdr["CRVAL2"]) / hdr["CDELT2"] + hdr["CRPIX2"]
             return pd.DataFrame({"x": x, "y": y})
@@ -136,7 +157,7 @@ def make_pix2world_udf(img_header: dict):
     """Inverse transform (O4's off-sky round-trip: NaN ⇒ drop). Same
     branch order as :func:`make_world2pix_udf`."""
     hdr = dict(img_header)
-    native = _native_builder(hdr, build_pix2world)
+    native, nonlinear = _native_builder(hdr, build_pix2world)
 
     @pandas_udf(_SKY_SCHEMA)
     def pix2world(x: pd.Series, y: pd.Series) -> pd.DataFrame:
@@ -150,6 +171,12 @@ def make_pix2world_udf(img_header: dict):
             if native is not None:
                 ra, dec = native(x.to_numpy(), y.to_numpy())
                 return pd.DataFrame({"ra": ra, "dec": dec})
+            if nonlinear:
+                raise RuntimeError(
+                    "header declares a nonlinear projection the native path "
+                    "does not support, astropy imported on the driver but is "
+                    "missing on this executor — refusing the linear fallback"
+                )
             ra = (x - hdr["CRPIX1"]) * hdr["CDELT1"] + hdr["CRVAL1"]
             dec = (y - hdr["CRPIX2"]) * hdr["CDELT2"] + hdr["CRVAL2"]
             return pd.DataFrame({"ra": ra, "dec": dec})
@@ -209,7 +236,9 @@ def resolve_positions(df, source_col: str = "source_name"):
     """
     from pyspark.sql import functions as F
 
-    is_body = F.lower(F.col(source_col)).isin(SOLAR_SYSTEM_BODIES)
+    is_body = F.lower(F.col(source_col)).isin(
+        SOLAR_SYSTEM_BODIES + ASTROPY_ONLY_BODIES
+    )
     statics = df.where(~is_body)
     bodies = df.where(is_body)
     if have_astropy():  # pragma: no cover - container has no astropy

@@ -483,6 +483,12 @@ def decode_png(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                     )
                     if (depth, ct, comp, filt, inter) != (8, 0, 0, 0, 0):
                         return None
+                    # Decompression-bomb bound: IHDR w/h are attacker
+                    # controlled (chunk CRC covers the attacker's own
+                    # bytes), so cap the pixel count BEFORE any inflate
+                    # or allocation sized from it (ADVICE r5 #2).
+                    if w * h > 64 * 1024 * 1024:
+                        return None
                 elif tag == b"IDAT":
                     idat += body
                 elif tag == b"IEND":
@@ -491,11 +497,22 @@ def decode_png(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                 off += 12 + ln
             if w is None or not ended or w <= 0 or h <= 0:
                 return None
+            want = h * (w + 1)
             try:
-                raw = _zlib.decompress(bytes(idat))
+                # Bounded inflate: never materialize more than the expected
+                # filtered-stream length + 1 probe byte, whatever the
+                # attacker packed into IDAT (64:1-style zlib bombs inflate
+                # gigabytes from kilobytes otherwise).
+                d = _zlib.decompressobj()
+                raw = d.decompress(bytes(idat), want + 1)
             except _zlib.error:
                 return None
-            if len(raw) != h * (w + 1):
+            if (
+                len(raw) != want
+                or d.unconsumed_tail
+                or d.unused_data  # trailing garbage after stream end
+                or not d.eof
+            ):
                 return None
             gray = bytearray(w * h)
             prev = bytes(w)

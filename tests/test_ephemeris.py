@@ -316,3 +316,27 @@ def test_resolve_positions_tracks_planet_watchlist(spark):
     # two-month baseline: Jupiter must move on the sky (retrograde loop
     # near its Dec 2024 opposition — motion is degrees, not noise)
     assert abs(got[0][0] - got[1][0]) > 0.5
+
+
+def test_earth_and_barycenter_are_loud_not_static(spark):
+    """ADVICE r5 #3: the reference's body set is astropy's
+    ``solar_system_ephemeris.bodies``, which INCLUDES 'earth' and
+    'earth-moon-barycenter' (and excludes pluto). The native ephemeris
+    cannot position them, so a watchlist row with either name must raise
+    NotImplementedError — never silently keep its static catalog
+    coordinates as if it were a sky source."""
+    from epic_stream_processor_spark.functions import astro
+
+    if astro.have_astropy():  # pragma: no cover - container has no astropy
+        pytest.skip("real astropy present: UDF branch handles these names")
+    for name in ("earth", "Earth-Moon-Barycenter"):
+        df = (
+            spark.createDataFrame(
+                [(name, 1.0, 2.0, "2025-01-01T00:00:00")],
+                ["source_name", "ra", "dec", "t_str"],
+            )
+            .withColumn("t_obs", F.col("t_str").cast("timestamp_ntz"))
+            .drop("t_str")
+        )
+        with pytest.raises(NotImplementedError, match="astropy"):
+            astro.resolve_positions(df)

@@ -1439,3 +1439,56 @@ def test_png_decoder_rejects_corruption(spark):
     for bad in (1, 2, 3, 4):
         assert rows[bad].width is None and rows[bad].gray is None, bad
     assert rows[5].width == 5 and bytes(rows[5].gray).startswith(b"hello")
+
+
+def test_png_decoder_bounds_decompression_bombs(spark):
+    """ADVICE r5 #2: IHDR dims are attacker-controlled (chunk CRCs cover
+    the attacker's own bytes), so the decoder must (a) reject absurd pixel
+    counts BEFORE any allocation sized from them and (b) inflate IDAT with
+    a hard output bound so a zlib bomb can't balloon executor memory.
+    Every bomb decodes to a NULL row; a well-formed control still works."""
+    import struct
+    import zlib
+
+    from epic_stream_processor_spark.operators.multimodal import decode_png
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    iend = chunk(b"IEND", b"")
+    # 1) dimension bomb: 1M x 1M declared with valid CRCs (10^12 px)
+    dim_bomb = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 10**6, 10**6, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + iend
+    )
+    # 2) zlib bomb: header says 4x4 (want 20 filtered bytes) but the IDAT
+    #    stream inflates to 10 MB — bounded decompress must stop at 21
+    ihdr_4x4 = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+    zbomb = sig + ihdr_4x4 + chunk(b"IDAT", zlib.compress(b"\x00" * 10**7, 9)) + iend
+    # 3) trailing garbage after a byte-exact stream (zlib.decompress parity)
+    exact = zlib.compress(b"\x00" * 20)
+    trailing = sig + ihdr_4x4 + chunk(b"IDAT", exact + b"JUNK") + iend
+    # control: the same 4x4 all-zero image, clean stream
+    good = sig + ihdr_4x4 + chunk(b"IDAT", exact) + iend
+    media = spark.createDataFrame(
+        [
+            (1, "image", dim_bomb, len(dim_bomb)),
+            (2, "image", zbomb, len(zbomb)),
+            (3, "image", trailing, len(trailing)),
+            (4, "image", good, len(good)),
+        ],
+        "media_id long, media_type string, payload binary, byte_len long",
+    )
+    rows = {r.media_id: r for r in decode_png(media).collect()}
+    for bad in (1, 2, 3):
+        assert rows[bad].width is None and rows[bad].gray is None, bad
+    ok = rows[4]
+    assert (ok.width, ok.height) == (4, 4) and bytes(ok.gray) == bytes(16)

@@ -412,3 +412,31 @@ def test_unsupported_nonlinear_ctype_raises_not_linearizes():
         astro.make_world2pix_udf(h)
     # supported codes still resolve
     assert W.projection_code(HDR) == "SIN"
+
+
+def test_mixed_env_nonlinear_header_raises_not_linearizes(monkeypatch):
+    """ADVICE r5 #1: astropy importable on the DRIVER but missing on an
+    EXECUTOR must not silently linearize a declared-nonlinear header.
+    Simulated here: ``have_astropy()`` patched True at construction time
+    (so ``_native_builder`` swallows projection_code's ValueError and the
+    native closure stays None), then the UDF body runs in this genuinely
+    astropy-less interpreter — the ImportError branch must raise
+    RuntimeError, never return linear pixels."""
+    from epic_stream_processor_spark.functions import astro
+
+    if astro.have_astropy():  # pragma: no cover - container has no astropy
+        pytest.skip("real astropy present: ImportError branch unreachable")
+    monkeypatch.setattr(astro, "have_astropy", lambda: True)
+    h = dict(HDR, CTYPE1="RA---ZPN", CTYPE2="DEC--ZPN")
+    w2p = _udf_body(astro.make_world2pix_udf(h))
+    with pytest.raises(RuntimeError, match="linear fallback"):
+        w2p(pd.Series([180.0]), pd.Series([45.0]))
+    p2w = _udf_body(astro.make_pix2world_udf(h))
+    with pytest.raises(RuntimeError, match="linear fallback"):
+        p2w(pd.Series([32.0]), pd.Series([32.0]))
+    # projection-less headers are unaffected: still the linear fast path
+    linear_hdr = {k: v for k, v in HDR.items() if not k.startswith("CTYPE")}
+    out = _udf_body(astro.make_world2pix_udf(linear_hdr))(
+        pd.Series([HDR["CRVAL1"]]), pd.Series([HDR["CRVAL2"]])
+    )
+    assert float(out["x"][0]) == HDR["CRPIX1"]
