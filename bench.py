@@ -20,6 +20,12 @@ failure never loses the core numbers):
   per-query sf1/sf0.1 wall time on 32 cores — ≤10 means at-or-better than
   linear scaling; ``notes`` flags the queries whose *workload* grows
   faster than the data by design.
+- ``sf10``: the same roster (minus brute-force ``knn_cosine`` — 10,000×
+  scoring work at this tier by design, SCALING.md §2b) at 100× data,
+  warm best-of-2. This tier caught both real r4 scale defects (the
+  interpreted-HOF MinHash fold and q5's join order), so it is a STANDING
+  per-round key, not a one-off study (VERDICT r5 next #2). Disable with
+  SPARK_GRAFT_BENCH_SF10=0.
 - ``streaming``: measured end-to-end ingest (UDS socket → parquet spool →
   streaming pixel pipeline → dual sinks) in images/s with per-micro-batch
   latency, against the reference's ~1 image/s cadence. Disable with
@@ -52,15 +58,20 @@ SUPERLINEAR_BY_DESIGN = {
 }
 
 
-def bench_tier(spark, sf_dir: str, bench_queries, warm: int, sweeps: int):
-    """Interleaved round-robin sweeps with per-query medians.
+def bench_tier(
+    spark, sf_dir: str, bench_queries, warm: int, sweeps: int,
+    pick: str = "median",
+):
+    """Interleaved round-robin sweeps with per-query medians (or minima).
 
     The host VM shows heavy BURSTY run-to-run interference (multi-second
     stall windows). Back-to-back reps of one query land every rep of that
     query inside a single stall window, so one query per run used to come
     out 10-50× slow. Interleave instead: full round-robin sweeps, then
     per-query median across sweeps — a stall window now inflates one sweep
-    of MANY queries and the medians survive it.
+    of MANY queries and the medians survive it. ``pick="min"`` (best-of-N)
+    is for the expensive 100× tier, where sweeps are few and a stall can
+    still dominate the median of 2-3.
     """
 
     def run_once(q) -> float:
@@ -75,6 +86,8 @@ def bench_tier(spark, sf_dir: str, bench_queries, warm: int, sweeps: int):
     for _ in range(sweeps):
         for name, q in bench_queries.items():
             reps[name].append(run_once(q))
+    if pick == "min":
+        return {n: round(min(r), 3) for n, r in reps.items()}
     return {n: round(sorted(r)[sweeps // 2], 3) for n, r in reps.items()}
 
 
@@ -129,6 +142,52 @@ def main() -> None:
             }
         except Exception:
             out["sf1"] = {"error": traceback.format_exc(limit=3)}
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SF10", "1") != "0":
+        try:
+            from epic_stream_processor_spark.tools.scaleup import make_scaled_dir
+
+            sf10_dir = os.environ.get(
+                "SPARK_GRAFT_SF10_DIR", os.path.join(REPO, ".data", "sf10")
+            )
+            t0 = time.perf_counter()
+            make_scaled_dir(spark, sf_dir, sf10_dir, copies=100)
+            gen_s = round(time.perf_counter() - t0, 1)
+            # Brute-force knn_cosine is excluded BY DESIGN at this tier: at
+            # 2,000 probes x 200k vectors it is 10,000x the sf0.1 scoring
+            # work (SCALING.md §2b); its linear-scaling twin knn_cosine_ivf
+            # is what the tier measures.
+            sf10_queries = {
+                n: q for n, q in bench_queries.items() if n != "knn_cosine"
+            }
+            t10 = bench_tier(
+                spark, sf10_dir, sf10_queries, warm=1, sweeps=2, pick="min"
+            )
+            out["sf10"] = {
+                "queries": t10,
+                "total": round(sum(t10.values()), 3),
+                "copies": 100,
+                "generation_sec": gen_s,
+                "method": "warm best-of-2",
+                "excluded": {
+                    "knn_cosine": "10,000x sf0.1 scoring work at this tier "
+                    "(SCALING.md §2b); knn_cosine_ivf is the measured twin"
+                },
+                # two-decade slope: sf10/sf0.1 wall on fixed 32 cores
+                # (<=100 means at-or-better than linear scaling)
+                "ratio_vs_sf01": {
+                    n: round(t10[n] / timings[n], 1)
+                    for n in t10
+                    if timings.get(n)
+                },
+            }
+            if isinstance(out.get("sf1"), dict) and "queries" in out["sf1"]:
+                t1q = out["sf1"]["queries"]
+                out["sf10"]["ratio_vs_sf1"] = {
+                    n: round(t10[n] / t1q[n], 1) for n in t10 if t1q.get(n)
+                }
+        except Exception:
+            out["sf10"] = {"error": traceback.format_exc(limit=3)}
 
     if os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") != "0":
         try:
