@@ -267,13 +267,29 @@ def _winnow_arrow_df(df, text_col: str, out_col: str, window: int):
     return df.mapInPandas(compute, out_schema)
 
 
+#: Auto-dispatch threshold for :func:`winnow_fingerprints_df`: inputs whose
+#: Catalyst size estimate meets this take the Arrow path. The measured
+#: crossover sits between the 10× tier (6.5 MB documents — expression wins
+#: 0.76 s vs 1.06 s) and the 100× tier (72 MB — Arrow wins 4.65 s vs
+#: 5.54 s, SCALING.md §2b); 32 MiB splits the decade conservatively so
+#: Arrow only engages at clear-win sizes. The ``MAX_LITERAL_CENTROIDS``
+#: precedent (operators/similarity.py) for a measured, documented switch.
+WINNOW_ARROW_BYTES = 32 * 1024 * 1024
+
+
+def _plan_size_bytes(df) -> int:
+    """Catalyst's size estimate for the plan (file-size sum for a parquet
+    scan; no Spark job runs)."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
 def winnow_fingerprints_df(
     df,
     text_col: str = "text",
     out_col: str = "fingerprints",
     window: int = 4,
     parallelism: int | None = None,
-    arrow: bool = False,
+    arrow: bool | None = None,
 ):
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — public algorithm): from every ``window`` consecutive
@@ -295,21 +311,25 @@ def winnow_fingerprints_df(
     at real scale the scan is already wide and a row-local operator must
     not shuffle the corpus.
 
-    ``arrow=True`` computes the identical fingerprints in an Arrow-batched
-    pandas stage (:func:`_winnow_arrow_df`) — numpy sliding-window minima
-    over the same exact int64 arithmetic, bit-exact with the expression
-    path. Measured crossover: the expression path (1 md5/token, partially
-    codegen) wins below ~10× fixture scale (0.76 s vs 1.06 s at the 10×
-    tier); Arrow wins at the 100× tier (4.65 s vs 5.54 s) where the
-    interpreted window-min chain saturates cores. Default stays the
-    expression path — the shipped and benched plan — because the win at
-    depth is marginal (1.2×) while the small-input regression is not;
-    contrast MinHash, whose 4-md5-per-shingle fold made Arrow a 5.3× win
-    (``operators/dedup.py``).
+    ``arrow`` selects the backend computing the identical fingerprints:
+    ``True`` forces the Arrow-batched pandas stage
+    (:func:`_winnow_arrow_df` — numpy sliding-window minima over the same
+    exact int64 arithmetic, bit-exact with the expression path), ``False``
+    forces the staged expression path, and the default ``None``
+    auto-dispatches on Catalyst's size estimate for the input plan
+    (≥ :data:`WINNOW_ARROW_BYTES` → Arrow). Measured crossover: the
+    expression path (1 md5/token, partially codegen) wins below ~10×
+    fixture scale (0.76 s vs 1.06 s at the 10× tier); Arrow wins at the
+    100× tier (4.65 s vs 5.54 s) where the interpreted window-min chain
+    saturates cores; contrast MinHash, whose 4-md5-per-shingle fold made
+    Arrow a 5.3× win at every tier (``operators/dedup.py``), so it
+    defaults to Arrow unconditionally.
     """
     if parallelism:
         id_cols = [c for c in ("doc_id", "id") if c in df.columns]
         df = df.repartition(parallelism, *id_cols) if id_cols else df.repartition(parallelism)
+    if arrow is None:
+        arrow = _plan_size_bytes(df) >= WINNOW_ARROW_BYTES
     if arrow:
         return _winnow_arrow_df(df, text_col, out_col, window)
     stages = (

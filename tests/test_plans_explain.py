@@ -180,3 +180,60 @@ def test_bm25_tokenizes_once(spark):
     df = ALL_GUARDED["bm25_search"].fn(spark, SF_DIR)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("split(") <= 2, opt.count("split(")
+
+
+def test_winnow_auto_dispatch_switches_at_threshold(spark, monkeypatch):
+    """r4 punch #6: the Arrow/expression choice is no longer a manual flag.
+    Default ``arrow=None`` dispatches on Catalyst's size estimate against
+    the measured-crossover threshold (WINNOW_ARROW_BYTES, 32 MiB — between
+    the 10x tier where the expression path wins and the 100x tier where
+    Arrow does). Below: staged expressions, no MapInPandas. At/above:
+    the Arrow stage. Explicit True/False still force a path."""
+    import os
+
+    from epic_stream_processor_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert T.WINNOW_ARROW_BYTES == 32 * 1024 * 1024
+    probe = T._plan_size_bytes(docs)
+    assert 0 < probe < T.WINNOW_ARROW_BYTES  # fixture is tiny
+    # below threshold -> expression path
+    assert "MapInPandas" not in _plan(T.winnow_fingerprints_df(docs))
+    # at/above threshold -> Arrow path (threshold lowered to the probe)
+    monkeypatch.setattr(T, "WINNOW_ARROW_BYTES", probe)
+    assert "MapInPandas" in _plan(T.winnow_fingerprints_df(docs))
+    # caller hints always win over the probe
+    monkeypatch.setattr(T, "WINNOW_ARROW_BYTES", 1)
+    assert "MapInPandas" not in _plan(T.winnow_fingerprints_df(docs, arrow=False))
+    monkeypatch.setattr(T, "WINNOW_ARROW_BYTES", 1 << 60)
+    assert "MapInPandas" in _plan(T.winnow_fingerprints_df(docs, arrow=True))
+    # the standing 100x tier (when generated) sits ABOVE the threshold:
+    # the documented clear-win size really takes the Arrow path
+    sf10_docs = os.path.join(
+        os.path.dirname(__file__), "..", ".data", "sf10", "documents.parquet"
+    )
+    if os.path.exists(sf10_docs):
+        big = spark.read.parquet(sf10_docs)
+        assert T._plan_size_bytes(big) >= 32 * 1024 * 1024
+
+
+def test_q3_broadcast_to_smj_transition_at_sf1(spark):
+    """r4 punch #8: q3's join strategy must TRANSITION with data size.
+    At the small fixtures every side fits the 10 MB broadcast threshold;
+    at the 10x tier (.data/sf1: orders 21.6 MB, customer 2.4 MB) the
+    static plan must sort-merge orders-lineitem while still broadcasting
+    customer. A conf change that re-broadcasts the oversized orders side
+    (driver OOM / fetch storm at 100 TB) fails here, not in an audit."""
+    import os
+
+    sf1 = os.path.join(os.path.dirname(__file__), "..", ".data", "sf1")
+    if not os.path.isdir(sf1):
+        pytest.skip("10x tier not generated (tools/scaleup.py)")
+    # small tier: everything broadcasts — no sort-merge anywhere
+    small = _plan(ALL_GUARDED["q3_top_orders"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in small, small
+    assert small.count("BroadcastHashJoin") >= 2, small
+    # 10x tier: the oversized orders side must NOT broadcast
+    big = _plan(ALL_GUARDED["q3_top_orders"].fn(spark, sf1))
+    assert "SortMergeJoin" in big, big
+    assert big.count("BroadcastHashJoin") >= 1, big  # customer still does
