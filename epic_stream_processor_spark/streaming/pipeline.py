@@ -63,13 +63,23 @@ def make_process_batch(
     spark: SparkSession,
     cfg: StreamConfig,
     transform: Callable[[DataFrame], DataFrame] = detect_transient,
+    stage_seconds: Optional[list] = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body, exposed so tests can drive it directly
-    (e.g. replaying a batch id to prove idempotence)."""
+    (e.g. replaying a batch id to prove idempotence).
+
+    ``stage_seconds``: optional list; when given, a per-batch dict of
+    wall seconds per stage (watchlist read / pixel write / metadata
+    write / expiry) is appended — the r4 punch-#7 stage breakdown
+    ``tools/stream_bench.py`` reports."""
+    import time as _time
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rec: dict[str, float] = {}
+        t0 = _time.perf_counter()
         # T3/T6: watchlist refresh per micro-batch (reference: 5 s scheduler)
         wl = spark.read.parquet(cfg.watchlist_path)
+        rec["wl_read"] = _time.perf_counter() - t0
         # C12: one id per image epoch — the FK joining pixels↔metadata
         # (reference watch_dog.py:338,484-489). DERIVED (md5 of
         # batch_id:epoch_id), not minted with uuid(): a cached
@@ -87,19 +97,42 @@ def make_process_batch(
         px = transform(
             pixel_pipeline(batch_df, wl, cube_col=cfg.cube_col)
         ).withColumn("id", epoch_uuid)
-        px.write.mode("overwrite").parquet(
-            f"{cfg.out_pixels}/_batch_id={batch_id}"
+        px_path = f"{cfg.out_pixels}/_batch_id={batch_id}"
+        t0 = _time.perf_counter()
+        px.write.mode("overwrite").parquet(px_path)
+        rec["px_write"] = _time.perf_counter() - t0
+        # Metadata aggregates over the pixel RESULT. Feed it the parquet
+        # just written — a 2-column pruned scan of a few thousand rows —
+        # NOT the live ``px`` plan: that plan is unpersisted, so using it
+        # here re-ran the whole pixel pipeline (watchlist join, WCS, patch
+        # explosion, cube gather) a second time per micro-batch (found by
+        # the r4-punch-#7 stage profile; the pipeline leg of the bench did
+        # ~2x the work of the batch twin). Reading back what batch N wrote
+        # is deterministic across checkpoint-replayed re-runs of batch N,
+        # so T4 idempotence is unchanged.
+        t0 = _time.perf_counter()
+        # explicit schema: an all-filtered batch writes a part-file-less
+        # dir, which a schema-inferring read would reject (P7 empty batch)
+        px_back = (
+            spark.read.schema(px.schema)
+            .parquet(px_path)
+            .select("epoch_id", "source_name")
         )
-        meta = img_metadata(batch_df, px.drop("id")).withColumn("id", epoch_uuid)
+        meta = img_metadata(batch_df, px_back).withColumn("id", epoch_uuid)
         meta.write.mode("overwrite").parquet(
             f"{cfg.out_metadata}/_batch_id={batch_id}"
         )
+        rec["meta_write"] = _time.perf_counter() - t0
         if cfg.expire_watchlist:
             from ..operators.watchlist import WatchlistStore
 
+            t0 = _time.perf_counter()
             high = batch_df.agg(F.max("t_obs")).first()[0]
             if high is not None:
                 WatchlistStore(spark, cfg.watchlist_path).expire_sources(now=high)
+            rec["expire"] = _time.perf_counter() - t0
+        if stage_seconds is not None:
+            stage_seconds.append(rec)
 
     return process_batch
 

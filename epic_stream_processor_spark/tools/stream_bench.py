@@ -136,7 +136,8 @@ def measure_ingest(
             .option("maxFilesPerTrigger", files_per_trigger)
             .parquet(spool.spool_dir)
         )
-        process_batch = make_process_batch(spark, cfg)
+        stage_seconds: list[dict] = []
+        process_batch = make_process_batch(spark, cfg, stage_seconds=stage_seconds)
         t_stream = time.perf_counter()
         q = (
             stream.writeStream.foreachBatch(process_batch)
@@ -167,6 +168,21 @@ def measure_ingest(
                 round(sum(batches) / len(batches)) if batches else None
             ),
             "batch_latency_ms_max": max(batches) if batches else None,
+            # r4 punch #7: where the per-batch milliseconds actually go
+            # (foreachBatch stages; the remainder vs triggerExecution is
+            # streaming machinery — offset log, planning, commits)
+            "stage_ms_mean": (
+                {
+                    k: round(
+                        1000
+                        * sum(r.get(k, 0.0) for r in stage_seconds)
+                        / len(stage_seconds)
+                    )
+                    for k in ("wl_read", "px_write", "meta_write")
+                }
+                if stage_seconds
+                else None
+            ),
             "baseline_images_per_sec": 1.0,
         }
     finally:
