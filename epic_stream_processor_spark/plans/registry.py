@@ -81,18 +81,10 @@ QUERIES: dict[str, QueryDef] = {
         relational.q5_region_revenue, relational.ORACLE_Q5,
         "6-way join with broadcast dims", bench=True,
     ),
-    "q_window_top_customers": QueryDef(
-        relational.q_window_top_customers, relational.ORACLE_WINDOW_TOP_CUSTOMERS,
-        "ranking window (row_number per partition)",
-    ),
     "q_events_hourly": QueryDef(
         relational.q_events_hourly, relational.ORACLE_EVENTS_HOURLY,
         "event-time tumbling 1h aggregation (batch twin of streaming agg)",
         bench=True,
-    ),
-    "q_json_extract": QueryDef(
-        relational.q_json_extract, relational.ORACLE_JSON_EXTRACT,
-        "C13 JSON decode (get_json_object) + integer aggregates",
     ),
     "q_sessionize": QueryDef(
         relational.q_sessionize, relational.ORACLE_SESSIONIZE,
@@ -101,10 +93,6 @@ QUERIES: dict[str, QueryDef] = {
     "q6_forecast_revenue": QueryDef(
         relational.q6_forecast_revenue, relational.ORACLE_Q6,
         "TPC-H Q6 shape: full-pushdown scan-filter-agg", bench=True,
-    ),
-    "q_rollup_pricing": QueryDef(
-        relational.q_rollup_pricing, relational.ORACLE_ROLLUP_PRICING,
-        "ROLLUP grouping sets with cents-exact sums",
     ),
     "q21_waiting_orders": QueryDef(
         tpch.q21_waiting_orders, tpch.ORACLE_Q21,
@@ -147,14 +135,6 @@ QUERIES: dict[str, QueryDef] = {
         llm.q_minhash_signatures, llm.ORACLE_MINHASH_SIGNATURES,
         "MinHash signatures over word shingles", bench=True,
     ),
-    "minhash_lsh_pairs": QueryDef(
-        llm.q_minhash_lsh_pairs, llm.ORACLE_MINHASH_LSH_PAIRS,
-        "LSH banding → candidate near-dup pairs",
-    ),
-    "ngram_jaccard": QueryDef(
-        llm.q_ngram_jaccard, llm.ORACLE_NGRAM_JACCARD,
-        "exact 3-gram Jaccard verify on LSH candidates",
-    ),
     "knn_cosine": QueryDef(
         llm.q_knn_cosine, llm.ORACLE_KNN_COSINE,
         "brute-force cosine top-5 (broadcast probes)", bench=True,
@@ -163,10 +143,6 @@ QUERIES: dict[str, QueryDef] = {
         llm.q_knn_cosine_ivf, llm.ORACLE_KNN_COSINE_IVF,
         "IVF-bucketed approximate top-5 (nprobe=1) — the ANN scale path",
         bench=True,
-    ),
-    "corpus_sample_split": QueryDef(
-        llm.q_corpus_sample_split, llm.ORACLE_CORPUS_SAMPLE_SPLIT,
-        "deterministic hash-bucket train/val/test split",
     ),
     "multimodal_decode": QueryDef(
         llm.q_multimodal_decode, llm.ORACLE_MULTIMODAL_DECODE,
@@ -258,6 +234,42 @@ QUERIES: dict[str, QueryDef] = {
         "deterministic hash replication (2.25 epochs for src0 down to 1/8 "
         "sampling) — row-local explode, integer-exact across engines",
     ),
+    # --- rotated in from EXTRA_PARITY (round 6): five queries earn their
+    # FIRST driver rows (png_decode, pack_sequences, boilerplate_ngrams,
+    # blocklist_filter, semantic_dedup) plus simhash's return; the six
+    # displaced queries (q_window_top_customers, q_json_extract,
+    # q_rollup_pricing, minhash_lsh_pairs, ngram_jaccard,
+    # corpus_sample_split — 3-5 green rows each, shapes indirectly still
+    # driver-proven: windows via q_sessionize, LSH pairs consumed inside
+    # dedup_clusters) keep identical local rigor in EXTRA_PARITY ---
+    "png_decode": QueryDef(
+        llm.q_png_decode, llm.ORACLE_PNG_DECODE,
+        "REAL compressed-image decode: stdlib-zlib PNG encode (5 filter "
+        "types, CRC'd multi-IDAT chunks) + chunk-walked inflate+unfilter "
+        "decode; oracle recomputes geometry and first-64-pixel hex",
+    ),
+    "simhash": QueryDef(
+        llm.q_simhash, llm.ORACLE_SIMHASH,
+        "16-bit SimHash per document",
+    ),
+    "pack_sequences": QueryDef(
+        llm.q_pack_sequences, llm.ORACLE_PACK_SEQUENCES,
+        "offset sequence packing into 256-token budgets within hash buckets",
+    ),
+    "boilerplate_ngrams": QueryDef(
+        llm.q_boilerplate_ngrams, llm.ORACLE_BOILERPLATE_NGRAMS,
+        "per-doc boilerplate n-gram load (corpus df >= 1%), C4/CCNet-style",
+    ),
+    "blocklist_filter": QueryDef(
+        llm.q_blocklist_filter, llm.ORACLE_BLOCKLIST_FILTER,
+        "C4-style word-blocklist gate: blocked-occurrence count + "
+        "drop-on-any-hit keep flag, row-local array-literal matching",
+    ),
+    "semantic_dedup": QueryDef(
+        corpus.q_semantic_dedup, corpus.ORACLE_SEMANTIC_DEDUP,
+        "SemDeDup survivor set: per-cluster cosine pruning in exact "
+        "int8-quantized arithmetic",
+    ),
 }
 
 # The external driver records at most 50 query rows (verified empirically:
@@ -271,12 +283,36 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # live here rather than silently past the cap (the corpus_sample_split
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
+    # --- rotated out of driver slots in round 6 (3-5 green rows each;
+    # window/JSON/rollup shapes stay driver-proven via q_sessionize and
+    # the agg roster; LSH pairs + Jaccard verify run inside the
+    # driver-checked dedup_clusters) ---
+    "q_window_top_customers": QueryDef(
+        relational.q_window_top_customers, relational.ORACLE_WINDOW_TOP_CUSTOMERS,
+        "ranking window (row_number per partition)",
+    ),
+    "q_json_extract": QueryDef(
+        relational.q_json_extract, relational.ORACLE_JSON_EXTRACT,
+        "C13 JSON decode (get_json_object) + integer aggregates",
+    ),
+    "q_rollup_pricing": QueryDef(
+        relational.q_rollup_pricing, relational.ORACLE_ROLLUP_PRICING,
+        "ROLLUP grouping sets with cents-exact sums",
+    ),
+    "minhash_lsh_pairs": QueryDef(
+        llm.q_minhash_lsh_pairs, llm.ORACLE_MINHASH_LSH_PAIRS,
+        "LSH banding → candidate near-dup pairs",
+    ),
+    "ngram_jaccard": QueryDef(
+        llm.q_ngram_jaccard, llm.ORACLE_NGRAM_JACCARD,
+        "exact 3-gram Jaccard verify on LSH candidates",
+    ),
+    "corpus_sample_split": QueryDef(
+        llm.q_corpus_sample_split, llm.ORACLE_CORPUS_SAMPLE_SPLIT,
+        "deterministic hash-bucket train/val/test split",
+    ),
     # --- rotated out of driver slots in round 5 (3-4 green rows each;
     # all row-local column expressions, the least driver-novel shapes) ---
-    "simhash": QueryDef(
-        llm.q_simhash, llm.ORACLE_SIMHASH,
-        "16-bit SimHash per document",
-    ),
     "text_stats": QueryDef(
         llm.q_text_stats, llm.ORACLE_TEXT_STATS,
         "token counts (whitespace + BPE-ish regex) + distinct-token ratio",
@@ -297,21 +333,10 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         llm.q_top_terms, llm.ORACLE_TOP_TERMS,
         "top-3 terms per doc by tf with corpus df (integer TF-IDF core)",
     ),
-    "png_decode": QueryDef(
-        llm.q_png_decode, llm.ORACLE_PNG_DECODE,
-        "REAL compressed-image decode: stdlib-zlib PNG encode (5 filter "
-        "types, CRC'd multi-IDAT chunks) + chunk-walked inflate+unfilter "
-        "decode; oracle recomputes geometry and first-64-pixel hex",
-    ),
     "q_session_windows": QueryDef(
         relational.q_session_windows, relational.ORACLE_SESSION_WINDOWS,
         "native session_window sessionization vs the first-principles "
         "gaps-and-islands oracle; streaming twin pinned stream==batch",
-    ),
-    "blocklist_filter": QueryDef(
-        llm.q_blocklist_filter, llm.ORACLE_BLOCKLIST_FILTER,
-        "C4-style word-blocklist gate: blocked-occurrence count + "
-        "drop-on-any-hit keep flag, row-local array-literal matching",
     ),
     "knn_cosine_ivf_nprobe2": QueryDef(
         llm.q_knn_cosine_ivf_nprobe2, llm.ORACLE_KNN_COSINE_IVF_NPROBE2,
@@ -322,10 +347,6 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         relational.q_top_orders_by_price, relational.ORACLE_TOP_ORDERS_BY_PRICE,
         "global sort + limit with unique tiebreak (displaced by "
         "decontaminate_13gram; top-k also driver-proven via q3_top_orders)",
-    ),
-    "boilerplate_ngrams": QueryDef(
-        llm.q_boilerplate_ngrams, llm.ORACLE_BOILERPLATE_NGRAMS,
-        "per-doc boilerplate n-gram load (corpus df >= 1%), C4/CCNet-style",
     ),
     "kmeans_centroids": QueryDef(
         llm.q_kmeans_centroids, None,
@@ -351,10 +372,6 @@ EXTRA_PARITY: dict[str, QueryDef] = {
     "q_part_brand_stats": QueryDef(
         relational.q_part_brand_stats, relational.ORACLE_PART_BRAND_STATS,
         "distinct-count + min/max + cents-exact sums",
-    ),
-    "pack_sequences": QueryDef(
-        llm.q_pack_sequences, llm.ORACLE_PACK_SEQUENCES,
-        "offset sequence packing into 256-token budgets within hash buckets",
     ),
     "q_moving_avg_revenue": QueryDef(
         relational.q_moving_avg_revenue, relational.ORACLE_MOVING_AVG_REVENUE,
@@ -432,11 +449,6 @@ EXTRA_PARITY: dict[str, QueryDef] = {
     "inverted_index": QueryDef(
         corpus.q_inverted_index, corpus.ORACLE_INVERTED_INDEX,
         "term → (df, sorted posting-list prefix) retrieval index",
-    ),
-    "semantic_dedup": QueryDef(
-        corpus.q_semantic_dedup, corpus.ORACLE_SEMANTIC_DEDUP,
-        "SemDeDup survivor set: per-cluster cosine pruning in exact "
-        "int8-quantized arithmetic",
     ),
     "token_histogram": QueryDef(
         corpus.q_token_histogram, corpus.ORACLE_TOKEN_HISTOGRAM,
