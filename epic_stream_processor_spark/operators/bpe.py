@@ -141,7 +141,15 @@ def train_bpe(
 def bpe_tokenize_col(word, merges: list[tuple[int, str, str]]):
     """Column expression: word → array of BPE tokens under the learned
     merge table — k chained row-local replaces on the marked form, then a
-    sentinel split. Zero shuffle, zero Python."""
+    sentinel split. Zero shuffle, zero Python.
+
+    The leading empty element (the marked form starts with the sentinel)
+    is dropped with ``filter(s != '')``, NOT ``slice(arr, 2, size(arr))``:
+    slice+size reference the array twice, and Catalyst inlines the whole
+    replace chain into BOTH references — 2× the per-word work (plan-pinned
+    by ``test_bpe_encode_single_chain_row_local``). No other element can
+    be empty: symbols sit between sentinels and sentinel-bearing words are
+    filtered upstream."""
     m = _marked(word)
     for _, left, right in merges:
         m = F.replace(
@@ -149,8 +157,7 @@ def bpe_tokenize_col(word, merges: list[tuple[int, str, str]]):
             F.lit(MARK + left + MARK + right),
             F.lit(MARK + left + right),
         )
-    arr = F.split(m, MARK)
-    return F.slice(arr, 2, F.size(arr))
+    return F.filter(F.split(m, MARK), lambda s: s != "")
 
 
 def bpe_vocab(
@@ -172,12 +179,11 @@ def bpe_vocab(
     )
 
 
-def bpe_vocab_oracle_sql(num_merges: int, table: str = "documents") -> str:
-    """DuckDB twin of train_bpe + bpe_vocab with ``num_merges`` unrolled
-    levels (the kmeans_quantized precedent for iterative algorithms): each
-    level recomputes the same weighted pair counts, picks the same
-    (count desc, left asc, right asc) top pair via scalar subqueries, and
-    applies the same sentinel-anchored greedy replace."""
+def _merge_ctes(num_merges: int, table: str) -> list[str]:
+    """The shared WITH-parts deriving the merge table in SQL: word counts,
+    marked forms, and ``num_merges`` unrolled (pair-count → top-pair →
+    replace) levels. Reused by the vocab and the encode oracles so both
+    provably apply the *same* merges the Spark learner picks."""
     parts = [
         f"""WITH wc AS (
   SELECT w, count(*) AS cnt FROM (
@@ -205,7 +211,103 @@ m{i + 1} AS (
   FROM m{i}
 )"""
         )
+    return parts
+
+
+def bpe_vocab_oracle_sql(num_merges: int, table: str = "documents") -> str:
+    """DuckDB twin of train_bpe + bpe_vocab with ``num_merges`` unrolled
+    levels (the kmeans_quantized precedent for iterative algorithms): each
+    level recomputes the same weighted pair counts, picks the same
+    (count desc, left asc, right asc) top pair via scalar subqueries, and
+    applies the same sentinel-anchored greedy replace."""
+    parts = _merge_ctes(num_merges, table)
     final = f"""SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
   SELECT unnest(str_split(m, chr(1))[2:]) AS token, cnt FROM m{num_merges}
 ) GROUP BY token"""
+    return ",\n".join(parts) + "\n" + final
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_tokens: int = 8,
+) -> DataFrame:
+    """Tokenize every DOCUMENT under the learned merge table — the apply
+    side of the tokenizer (``train_bpe`` is the learn side): per doc, the
+    whitespace words each collapse through the k chained sentinel-anchored
+    replaces, and the row reports (n_words, n_tokens, first-k tokens
+    space-joined). n_tokens/n_words is the achieved compression — the
+    number an LLM-pipeline owner actually watches.
+
+    Scale: zero shuffle, zero Python — a pure row-local expression chain
+    over the scan (words and token arrays are STAGED through columns so
+    the per-word replace chain is built once per row, not once per output
+    column — the BM25 CollapseProject lesson).
+    """
+    words = F.filter(
+        tokens(F.col(text_col)),
+        lambda w: (w != "") & ~w.contains(MARK),
+    )
+    staged = docs.withColumn("_bpe_w", words).withColumn(
+        "_bpe_t",
+        F.flatten(
+            F.transform(
+                F.col("_bpe_w"), lambda w: bpe_tokenize_col(w, merges)
+            )
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_bpe_w").cast("long").alias("n_words"),
+        F.size("_bpe_t").cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_bpe_t"), 1, prefix_tokens)
+        ).alias("token_prefix"),
+    )
+
+
+def bpe_encode_oracle_sql(
+    num_merges: int,
+    table: str = "documents",
+    prefix_tokens: int = 8,
+) -> str:
+    """DuckDB twin of ``train_bpe`` + ``bpe_encode``: the same unrolled
+    merge derivation (:func:`_merge_ctes`), then per-document application.
+    The merge pairs cross-join in as a 1-row relation so the per-word
+    lambda can reference them as plain columns (DuckDB lambdas cannot hold
+    scalar subqueries)."""
+    parts = _merge_ctes(num_merges, table)
+    sel = ", ".join(
+        f"(SELECT l FROM t{i}) AS l{i}, (SELECT r FROM t{i}) AS r{i}"
+        for i in range(num_merges)
+    )
+    parts.append(f"mg AS (SELECT {sel})")
+    chain = "regexp_replace(w, '(.)', chr(1) || '\\1', 'g')"
+    for i in range(num_merges):
+        chain = (
+            f"replace({chain}, chr(1) || l{i} || chr(1) || r{i}, "
+            f"chr(1) || l{i} || r{i})"
+        )
+    parts.append(
+        f"""docw AS (
+  SELECT doc_id,
+         list_filter(
+           CASE WHEN trim(coalesce(text, '')) = '' THEN []
+                ELSE str_split_regex(trim(text), '\\s+') END,
+           w -> w <> '' AND NOT contains(w, chr(1))) AS words
+  FROM {table}
+),
+enc AS (
+  SELECT doc_id, words,
+         flatten(list_transform(words, w -> str_split({chain}, chr(1))[2:])) AS toks
+  FROM docw CROSS JOIN mg
+)"""
+    )
+    final = f"""SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks[1:{prefix_tokens}], ' ') AS token_prefix
+FROM enc"""
     return ",\n".join(parts) + "\n" + final

@@ -126,6 +126,265 @@ def unigram_nll_scores(
     return score_unigram_nll(docs, vocab, n, v, text_col, id_col)
 
 
+DEFAULT_BIGRAMS = 100_000
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB,
+    bigram_size: int = DEFAULT_BIGRAMS,
+):
+    """(vocab_df, bigram_df, n_vocab_tokens, vocab_len): the unigram vocab
+    (:func:`train_unigram_lm`) plus the top-``bigram_size`` adjacent-token
+    pair counts, ordered (count desc, left asc, right asc — deterministic
+    across engines). Pairs outside the cap score as unseen (add-one zero
+    count) — the cap is part of the model, not an approximation of it, so
+    the contract stays engine-exact at any cap.
+
+    Scale: pair counting is one (l, r)-keyed shuffle with map-side
+    partials over row-locally zipped token arrays (the BPE pair-count
+    shape); the cap is a TakeOrdered — ``bigram_size`` rows to the driver,
+    broadcast-bounded by construction.
+    """
+    vocab, n, v = train_unigram_lm(docs, text_col, vocab_size)
+    w = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(w) < 2, F.array().cast("array<struct<l:string,r:string>>")
+    ).otherwise(
+        F.arrays_zip(
+            F.slice(w, 1, F.size(w) - 1).alias("l"),
+            F.slice(w, 2, F.size(w) - 1).alias("r"),
+        ).cast("array<struct<l:string,r:string>>")
+    )
+    bigrams = (
+        docs.select(F.explode_outer(pairs).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .groupBy("l", "r")
+        .agg(F.count("*").alias("cb"))
+        .orderBy(F.col("cb").desc(), F.col("l").asc(), F.col("r").asc())
+        .limit(bigram_size)
+    )
+    return vocab, bigrams, n, v
+
+
+def score_bigram_nll(
+    docs: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    n_vocab_tokens: int,
+    vocab_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc NLL under the interpolated add-one bigram LM — the step
+    from :func:`score_unigram_nll` toward the CCNet KenLM shape.
+
+    Scoring rule (all counts integers, all log-probs quantized to integer
+    micro-nats before any aggregation — order/partition-independent):
+
+    - token 1 of a doc: the unigram model (p = (c+1)/D, OOV 1/D);
+    - token i>1 with context v = token i−1:
+      - v in vocab: p(w|v) = (c(v,w)+1) / (c(v)+V+1) — add-one over the
+        vocab plus one OOV bucket given v; c(v,w)=0 when the pair is
+        outside the capped bigram table;
+      - v OOV: back off to the unigram model for w.
+
+    Output: ``id_col``, ``n_tokens``, ``nll_micro``, ``avg_nll_micro``
+    (BIGINTs; 0s for empty docs).
+
+    Plan: one row-local zip/explode, three BROADCAST joins (vocab ≤ 50k
+    rows twice, bigrams ≤ 100k rows once — MBs), one doc-keyed re-sum.
+    Nothing quadratic; the corpus never shuffles except the final re-agg.
+    """
+    d = n_vocab_tokens + vocab_len + 1
+    lp1 = vocab.select(
+        F.col("tok").alias("_cur"),
+        F.round(
+            (F.log(F.col("c").cast("double") + 1.0) - F.log(F.lit(float(d))))
+            * MICRO
+        )
+        .cast("long")
+        .alias("_lp1"),
+    )
+    oov = F.round(-F.log(F.lit(float(d))) * MICRO).cast("long")
+    ctx = vocab.select(F.col("tok").alias("_prev"), F.col("c").alias("_cv"))
+    big = bigrams.select(
+        F.col("l").alias("_prev"), F.col("r").alias("_cur"),
+        F.col("cb").alias("_cb"),
+    )
+
+    staged = docs.withColumn("_w", tokens(F.col(text_col)))
+    firsts = staged.where(F.size("_w") >= 1).select(
+        F.col(id_col), F.element_at("_w", 1).alias("_cur")
+    )
+    first_scored = firsts.join(F.broadcast(lp1), "_cur", "left").select(
+        id_col, (-F.coalesce(F.col("_lp1"), oov)).alias("nll")
+    )
+    pairs_arr = F.when(
+        F.size("_w") < 2, F.array().cast("array<struct<l:string,r:string>>")
+    ).otherwise(
+        F.arrays_zip(
+            F.slice(F.col("_w"), 1, F.size("_w") - 1).alias("l"),
+            F.slice(F.col("_w"), 2, F.size("_w") - 1).alias("r"),
+        ).cast("array<struct<l:string,r:string>>")
+    )
+    pairs = (
+        staged.select(F.col(id_col), F.explode_outer(pairs_arr).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select(
+            id_col,
+            F.col("p.l").alias("_prev"),
+            F.col("p.r").alias("_cur"),
+        )
+    )
+    pair_scored = (
+        pairs.join(F.broadcast(ctx), "_prev", "left")
+        .join(F.broadcast(big), ["_prev", "_cur"], "left")
+        .join(F.broadcast(lp1), "_cur", "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("_cv").isNull(),  # OOV context: unigram backoff
+                -F.coalesce(F.col("_lp1"), oov),
+            )
+            .otherwise(
+                -F.round(
+                    (
+                        F.log(
+                            F.coalesce(F.col("_cb"), F.lit(0)).cast("double")
+                            + 1.0
+                        )
+                        - F.log(
+                            (F.col("_cv") + F.lit(vocab_len + 1)).cast(
+                                "double"
+                            )
+                        )
+                    )
+                    * MICRO
+                ).cast("long")
+            )
+            .alias("nll"),
+        )
+    )
+    scored = first_scored.unionByName(pair_scored)
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("nll").cast("long").alias("nll_micro"),
+        F.round(F.sum("nll") / F.count("*")).cast("long").alias("avg_nll_micro"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("nll_micro", F.lit(0)).cast("long").alias("nll_micro"),
+            F.coalesce("avg_nll_micro", F.lit(0))
+            .cast("long")
+            .alias("avg_nll_micro"),
+        )
+    )
+
+
+def bigram_nll_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = DEFAULT_VOCAB,
+    bigram_size: int = DEFAULT_BIGRAMS,
+) -> DataFrame:
+    """Train-and-score in one call (self-scoring corpus quality with
+    context sensitivity: docs whose word ORDER is unusual — shuffled
+    boilerplate, keyword stuffing — surface even when their unigram
+    distribution looks normal)."""
+    vocab, bigrams, n, v = train_bigram_lm(
+        docs, text_col, vocab_size, bigram_size
+    )
+    return score_bigram_nll(docs, vocab, bigrams, n, v, text_col, id_col)
+
+
+def bigram_nll_oracle_sql(
+    vocab_size: int = DEFAULT_VOCAB,
+    bigram_size: int = DEFAULT_BIGRAMS,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: same integer counts, same capped bigram table (same
+    total order), same micro-nat quantization, same backoff rule."""
+    return f"""
+WITH docw AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN []
+              ELSE str_split_regex(trim(text), '\\s+') END AS words
+  FROM {table}
+),
+counts AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(words) AS tok FROM docw) GROUP BY tok
+),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT {vocab_size}),
+stats AS (
+  SELECT coalesce(sum(c), 0) + count(*) + 1 AS d, count(*) AS v FROM vocab
+),
+lp1 AS (
+  SELECT tok,
+         CAST(round((ln(CAST(c AS DOUBLE) + 1.0) - ln(CAST(d AS DOUBLE))) * 1000000) AS BIGINT) AS lp
+  FROM vocab, stats
+),
+oovc AS (
+  SELECT CAST(round(-ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT) AS oov FROM stats
+),
+bigrams AS (
+  SELECT struct_extract(z, 1) AS l, struct_extract(z, 2) AS r,
+         count(*) AS cb
+  FROM (
+    SELECT unnest(list_zip(words[1:len(words)-1], words[2:len(words)])) AS z
+    FROM docw WHERE len(words) >= 2
+  ) GROUP BY 1, 2 ORDER BY cb DESC, l ASC, r ASC LIMIT {bigram_size}
+),
+first_scored AS (
+  SELECT f.doc_id, -coalesce(lp1.lp, oovc.oov) AS nll
+  FROM (SELECT doc_id, words[1] AS cur FROM docw WHERE len(words) >= 1) f
+  LEFT JOIN lp1 ON f.cur = lp1.tok CROSS JOIN oovc
+),
+pairs AS (
+  SELECT doc_id, struct_extract(z, 1) AS prev, struct_extract(z, 2) AS cur
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(words[1:len(words)-1], words[2:len(words)])) AS z
+    FROM docw WHERE len(words) >= 2
+  )
+),
+pair_scored AS (
+  SELECT p.doc_id,
+         CASE WHEN cv.c IS NULL THEN -coalesce(lpc.lp, oovc.oov)
+              ELSE -CAST(round((ln(CAST(coalesce(bg.cb, 0) AS DOUBLE) + 1.0)
+                              - ln(CAST(cv.c + st.v + 1 AS DOUBLE))) * 1000000) AS BIGINT)
+         END AS nll
+  FROM pairs p
+  LEFT JOIN vocab cv ON p.prev = cv.tok
+  LEFT JOIN bigrams bg ON p.prev = bg.l AND p.cur = bg.r
+  LEFT JOIN lp1 lpc ON p.cur = lpc.tok
+  CROSS JOIN oovc CROSS JOIN stats st
+),
+scored AS (
+  SELECT * FROM first_scored UNION ALL SELECT * FROM pair_scored
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(nll) AS BIGINT) AS nll_micro,
+         CAST(round(CAST(sum(nll) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.nll_micro, 0) AS nll_micro,
+       coalesce(p.avg_nll_micro, 0) AS avg_nll_micro
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def unigram_nll_oracle_sql(
     vocab_size: int = DEFAULT_VOCAB, table: str = "documents"
 ) -> str:

@@ -1604,6 +1604,49 @@ def _bpe_oracle() -> str:
 ORACLE_BPE_VOCAB = _bpe_oracle()
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of the trained tokenizer (operators/bpe.py): learn 3
+    merges, then tokenize every document row-locally — per doc word count,
+    BPE token count (the compression the pipeline owner watches), and the
+    first-8-token prefix."""
+    from ..operators.bpe import bpe_encode, train_bpe
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, train_bpe(docs, 3))
+
+
+def _bpe_encode_oracle() -> str:
+    from ..operators.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(3)
+
+
+ORACLE_BPE_ENCODE = _bpe_encode_oracle()
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated add-one bigram LM quality scores (operators/lm.py) —
+    the context-sensitive step from unigram_nll toward the CCNet KenLM
+    shape: first token unigram, later tokens p(w|prev) with add-one over
+    the capped bigram table, unigram backoff for OOV contexts. Integer
+    micro-nat sums, order/partition-independent."""
+    from ..operators.lm import bigram_nll_scores
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll_scores(docs)
+
+
+def _bigram_oracle() -> str:
+    from ..operators.lm import bigram_nll_oracle_sql
+
+    return bigram_nll_oracle_sql()
+
+
+ORACLE_BIGRAM_NLL = _bigram_oracle()
+
+
 BLOCKLIST = ["merge", "spill", "skew"]
 
 

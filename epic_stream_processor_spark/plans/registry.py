@@ -454,6 +454,19 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         corpus.q_token_histogram, corpus.ORACLE_TOKEN_HISTOGRAM,
         "corpus token-length histogram (chunk/pack planning input)",
     ),
+    # --- round 6 additions ---
+    "bpe_encode": QueryDef(
+        llm.q_bpe_encode, llm.ORACLE_BPE_ENCODE,
+        "trained-tokenizer APPLY: per-doc BPE tokenization under the "
+        "learned merges (row-local replace chain, zero shuffle) — word/"
+        "token counts + token prefix vs the unrolled-merge SQL oracle",
+    ),
+    "bigram_nll": QueryDef(
+        llm.q_bigram_nll, llm.ORACLE_BIGRAM_NLL,
+        "interpolated add-one bigram LM quality scores (CCNet-KenLM "
+        "shape): capped bigram table, unigram backoff for OOV contexts, "
+        "integer micro-nat sums — three broadcast joins + one doc re-agg",
+    ),
 }
 
 

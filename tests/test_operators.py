@@ -1492,3 +1492,94 @@ def test_png_decoder_bounds_decompression_bombs(spark):
         assert rows[bad].width is None and rows[bad].gray is None, bad
     ok = rows[4]
     assert (ok.width, ok.height) == (4, 4) and bytes(ok.gray) == bytes(16)
+
+
+def test_bpe_encode_matches_tokenize_and_is_row_local(spark):
+    """The APPLY side of the tokenizer: per-doc counts/prefix agree with
+    re-tokenizing each word, empty docs give (0, 0, ''), and the plan is
+    row-local with the replace chain built ONCE (slice+size would inline
+    it twice — see bpe_tokenize_col)."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators import bpe
+
+    rows = [
+        (1, "low lower lowest low"),
+        (2, "newer newest new"),
+        (3, ""),
+        (4, None),
+        (5, "low"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe.train_bpe(docs, 3)
+    assert len(merges) == 3
+    out = {r["doc_id"]: r for r in bpe.bpe_encode(docs, merges).collect()}
+    # empty/NULL docs: well-defined zero rows, not NULL propagation
+    for d in (3, 4):
+        assert (out[d]["n_words"], out[d]["n_tokens"]) == (0, 0)
+        assert out[d]["token_prefix"] == ""
+    # agreement with per-word tokenization
+    toks1 = (
+        spark.createDataFrame([("low",), ("lower",), ("lowest",), ("low",)], ["w"])
+        .select(F.explode(bpe.bpe_tokenize_col(F.col("w"), merges)).alias("t"))
+        .collect()
+    )
+    flat = [r["t"] for r in toks1]
+    assert out[1]["n_tokens"] == len(flat)
+    assert out[1]["token_prefix"] == " ".join(flat[:8])
+    # every token is non-empty and concatenation restores each word
+    assert all(t for t in flat)
+
+
+def test_bpe_encode_single_chain_row_local(spark):
+    """Plan pin: one regexp_replace site (the marked form) in the
+    optimized plan — the staged token array is NOT inlined per output
+    column, and no Exchange/Join appears (pure scan projection)."""
+    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY
+
+    from conftest import SF_DIR
+
+    df = EXTRA_PARITY["bpe_encode"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("regexp_replace") == 1, opt.count("regexp_replace")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bigram_nll_backoff_and_exactness(spark):
+    """Hand-checked bigram scoring: vocab/bigram counts from a tiny corpus,
+    the three scoring branches (first-token unigram, in-vocab context
+    add-one bigram, OOV-context backoff) verified against explicit math,
+    and empty docs produce (0, 0, 0)."""
+    import math
+
+    from epic_stream_processor_spark.operators.lm import (
+        MICRO,
+        bigram_nll_scores,
+        train_bigram_lm,
+    )
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab, bigrams, n, v = train_bigram_lm(docs, vocab_size=10, bigram_size=10)
+    # corpus tokens: a,b,a,b,a,b -> c(a)=3, c(b)=3; n=6, v=2
+    assert (n, v) == (6, 2)
+    bg = {(r["l"], r["r"]): r["cb"] for r in bigrams.collect()}
+    assert bg == {("a", "b"): 3, ("b", "a"): 1}
+    out = {r["doc_id"]: r for r in bigram_nll_scores(docs).collect()}
+    d = n + v + 1  # 9
+    lp_a = round(math.log(4 / d) * MICRO)  # c(a)+1 = 4
+    # doc 2 = "a b": first token unigram(a); then p(b|a) = (3+1)/(3+2+1)
+    exp = -lp_a + -round((math.log(4.0) - math.log(6.0)) * MICRO)
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["nll_micro"] == exp
+    assert out[3]["n_tokens"] == 0 and out[3]["nll_micro"] == 0
+    # OOV-context backoff: score a doc with an unseen context word
+    crawl = spark.createDataFrame([(9, "zzz a")], ["doc_id", "text"])
+    from epic_stream_processor_spark.operators.lm import score_bigram_nll
+
+    got = score_bigram_nll(crawl, vocab, bigrams, n, v).collect()[0]
+    oov = round(-math.log(d) * MICRO)
+    # first token zzz: unigram OOV; second: context zzz OOV -> backoff
+    # to unigram(a)
+    assert got["nll_micro"] == -oov + -lp_a
