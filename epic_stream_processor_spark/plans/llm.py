@@ -1647,6 +1647,110 @@ def _bigram_oracle() -> str:
 ORACLE_BIGRAM_NLL = _bigram_oracle()
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/similarity.pq_train_encode): 4
+    subspaces x 8 codes over the 64-dim embeddings, integer-Lloyd
+    codebooks (1 iteration), row-local encoding. One (vec_id, subspace,
+    code, qdist) row per vector-subspace; qdist is the exact integer PQ
+    distortion contribution."""
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_train_encode(emb, m=4, k=8, n_iter=1)
+
+
+def _pq_dist(t: str, c: str, dsub: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dsub} + 1), "
+        f"i -> ({t}.sub[i] - {c}.cv[i]) * ({t}.sub[i] - {c}.cv[i])), "
+        "(x, y) -> x + y)"
+    )
+
+
+def pq_encode_oracle_sql(
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of pq_train_encode: same global scale + quantization as
+    the kmeans_quantized oracle, then per subspace the same seeded integer
+    Lloyd iteration(s) and the same (dist, cid) argmin encode."""
+    dsub = dim // m
+    parts = [
+        f"""WITH g AS (
+  SELECT max(list_max(list_transform(embedding,
+         x -> abs(CAST(x AS DOUBLE))))) AS gmax
+  FROM {table}
+),
+sc AS (SELECT CASE WHEN gmax = 0 THEN 1.0 ELSE gmax / 127.0 END AS scale FROM g),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv
+  FROM {table}, sc
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    finals = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"qs_{s} AS (SELECT vec_id, qv[{lo}:{hi}] AS sub FROM q)"
+        )
+        parts.append(
+            f"c0_{s} AS (SELECT cid, qv[{lo}:{hi}] AS cv FROM seeds)"
+        )
+        prev = f"c0_{s}"
+        for it in range(1, n_iter + 1):
+            d = _pq_dist("t", "c", dsub)
+            parts.append(
+                f"""a{it}_{s} AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT t.vec_id, t.sub, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {d}, c.cid) AS rn
+    FROM qs_{s} t, {prev} c
+  ) WHERE rn = 1
+),
+n{it}_{s} AS (SELECT cid, count(*) AS n FROM a{it}_{s} GROUP BY cid),
+s{it}_{s} AS (
+  SELECT cid, d, sum(v) AS sv
+  FROM (SELECT cid, unnest(sub) AS v,
+               unnest(range(1, len(sub) + 1)) AS d
+        FROM a{it}_{s})
+  GROUP BY cid, d
+),
+u{it}_{s} AS (
+  SELECT cid,
+         list(CAST(floor(CAST(sv AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY d) AS cv
+  FROM s{it}_{s} JOIN n{it}_{s} USING (cid) GROUP BY cid
+),
+c{it}_{s} AS (
+  SELECT p.cid, coalesce(u{it}_{s}.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN u{it}_{s} USING (cid)
+)"""
+            )
+            prev = f"c{it}_{s}"
+        d = _pq_dist("t", "c", dsub)
+        parts.append(
+            f"""f_{s} AS (
+  SELECT vec_id, CAST({s} AS BIGINT) AS subspace, cid AS code, dist AS qdist
+  FROM (
+    SELECT t.vec_id, c.cid, {d} AS dist,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {d}, c.cid) AS rn
+    FROM qs_{s} t, {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        finals.append(f"SELECT * FROM f_{s}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+ORACLE_PQ_ENCODE = pq_encode_oracle_sql()
+
+
 BLOCKLIST = ["merge", "spill", "skew"]
 
 

@@ -467,6 +467,12 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "shape): capped bigram table, unigram backoff for OOV contexts, "
         "integer micro-nat sums — three broadcast joins + one doc re-agg",
     ),
+    "pq_encode": QueryDef(
+        llm.q_pq_encode, llm.ORACLE_PQ_ENCODE,
+        "product quantization (Jegou TPAMI'11): per-subspace integer-"
+        "Lloyd codebooks + row-local nearest-code encode with exact "
+        "integer distortion — the 64x-compression big-ANN memory layout",
+    ),
 }
 
 

