@@ -936,13 +936,80 @@ def pq_train_encode(
     asymmetric-distance (ADC) scans where the corpus is never touched
     beyond its codes.
     """
+    trained = _pq_train(vectors, m, k, n_iter, vec_col, id_col)
+    empty_schema = "vec_id long, subspace long, code long, qdist long"
+    if trained is None:
+        return vectors.sparkSession.createDataFrame([], empty_schema)
+    q, books, dsub = trained
+
+    # one row-local projection: every subspace's argmin with the final
+    # codebooks as literals; explode_outer + pos-not-null per the
+    # InferFiltersFromGenerate precedent (an inner explode would inline
+    # the whole m·k argmin chain once per OUTPUT row)
+    per_sub = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("subspace"),
+                _pq_argmin_struct(
+                    F.slice(F.col("qv"), s * dsub + 1, dsub), books[s]
+                ).alias("best"),
+            )
+            for s in range(m)
+        ]
+    )
+    out = (
+        q.withColumn("_pq_ps", per_sub)
+        .select(id_col, F.explode_outer("_pq_ps").alias("e"))
+        .where(F.col("e").isNotNull())
+        .select(
+            id_col,
+            F.col("e.subspace").alias("subspace"),
+            F.col("e.best.cid").alias("code"),
+            F.col("e.best.dist").alias("qdist"),
+        )
+    )
+    q.unpersist()
+    return out
+
+
+def _pq_argmin_struct(sub: Column, book: dict[int, list[int]]):
+    """Literal integer-L2 argmin over one subspace codebook: least() of
+    (dist, cid) structs — the lexicographic total order both engines
+    agree on."""
+    structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(int(c)) for c in cv]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, cv in sorted(book.items())
+    ]
+    return structs[0] if len(structs) == 1 else F.least(*structs)
+
+
+def _pq_train(
+    vectors: DataFrame,
+    m: int,
+    k: int,
+    n_iter: int,
+    vec_col: str,
+    id_col: str,
+):
+    """Shared PQ training: returns ``(q, books, dsub)`` where ``q`` is the
+    PERSISTED quantized corpus (caller unpersists), ``books[s][cid]`` the
+    final integer codebooks, or None for an empty corpus."""
     import math
 
-    spark = vectors.sparkSession
     probe = vectors.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    empty_schema = "vec_id long, subspace long, code long, qdist long"
     if not probe:
-        return spark.createDataFrame([], empty_schema)
+        return None
     dim = int(probe[0]["d"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
@@ -976,7 +1043,7 @@ def pq_train_encode(
     seed = q.orderBy(F.col(id_col).asc()).limit(k).collect()
     if not seed:
         q.unpersist()
-        return spark.createDataFrame([], empty_schema)
+        return None
     # codebooks[s][cid] = integer centroid for subspace s (cid 1-based);
     # seeds are slices of the SAME first-k vectors, one collect total
     books: dict[int, dict[int, list[int]]] = {
@@ -987,28 +1054,10 @@ def pq_train_encode(
         for s in range(m)
     }
 
-    def argmin_struct(sub: Column, book: dict[int, list[int]]):
-        structs = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(int(c)) for c in cv]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, cv in sorted(book.items())
-        ]
-        return structs[0] if len(structs) == 1 else F.least(*structs)
-
     for _ in range(n_iter):
         for s in range(m):
             sub = F.slice(F.col("qv"), s * dsub + 1, dsub)
-            best = argmin_struct(sub, books[s])
+            best = _pq_argmin_struct(sub, books[s])
             # assignment staged through withColumn BEFORE the posexplode
             # select: getField on an aliased struct under a Generate in
             # the same projection resolves the struct's field names away
@@ -1031,34 +1080,113 @@ def pq_train_encode(
                     int(math.floor(dims_map[d] / n + 0.5)) for d in range(dsub)
                 ]
 
-    # one row-local projection: every subspace's argmin with the final
-    # codebooks as literals; explode_outer + pos-not-null per the
-    # InferFiltersFromGenerate precedent (an inner explode would inline
-    # the whole m·k argmin chain once per OUTPUT row)
-    per_sub = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("long").alias("subspace"),
-                argmin_struct(
+    return q, books, dsub
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    topk: int = 5,
+    probe_mod: int = 200,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k search over PQ codes — the compressed-
+    domain scoring path of the canonical IVF-PQ design (Jégou TPAMI 2011
+    §IV): each probe precomputes an m×k lookup table of exact integer
+    distances from its quantized subvectors to every codebook entry, and
+    every corpus vector is scored as the SUM OF m TABLE LOOKUPS over its
+    codes — the corpus is never touched beyond its m-code representation.
+
+    Probes are the ``id % probe_mod == 0`` slice (the knn_cosine fixture
+    convention). Returns ``(probe_id, rank, vec_id, adc_dist)`` with rank
+    1..topk by (adc_dist asc, vec_id asc) — a total order, oracle-exact.
+
+    Scale (100 TB): the probe side (n/probe_mod rows × m·k BIGINTs)
+    broadcasts; the corpus side scans ONLY the codes table — m longs per
+    vector vs dim floats, the 16-64× I/O reduction that makes exhaustive
+    compressed-domain scans feasible where float brute force
+    (knn_cosine's documented anti-pattern) is not. Ranking is one
+    window over probe-keyed partitions, the same budget as the other
+    top-k operators.
+    """
+    trained = _pq_train(vectors, m, k, n_iter, vec_col, id_col)
+    empty_schema = "probe_id long, rank long, vec_id long, adc_dist long"
+    if trained is None:
+        return vectors.sparkSession.createDataFrame([], empty_schema)
+    q, books, dsub = trained
+
+    codes = q.withColumn(
+        "_codes",
+        F.array(
+            *[
+                _pq_argmin_struct(
                     F.slice(F.col("qv"), s * dsub + 1, dsub), books[s]
-                ).alias("best"),
+                ).getField("cid")
+                for s in range(m)
+            ]
+        ),
+    ).select(id_col, "_codes")
+
+    def sub_dist(sub: Column, cv: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(int(c)) for c in cv]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # per-probe LUT: lut[s][cid] = d(probe_sub_s, book[s][cid]) — m·k
+    # exact BIGINTs computed once per probe
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    sub_dist(
+                        F.slice(F.col("qv"), s * dsub + 1, dsub),
+                        books[s][cid],
+                    )
+                    for cid in sorted(books[s])
+                ]
             )
             for s in range(m)
         ]
     )
+    probes = (
+        q.where(F.col(id_col) % probe_mod == 0)
+        .withColumn("_lut", lut)
+        .select(F.col(id_col).alias("probe_id"), "_lut")
+    )
+    # ADC score: m table lookups (codes are 1-based cids == LUT positions)
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_lut"), s + 1),
+            F.element_at(F.col("_codes"), s + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    scored = codes.join(F.broadcast(probes), F.lit(True), "inner").select(
+        "probe_id",
+        F.col(id_col).alias("_vid"),
+        adc.alias("adc_dist"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("_vid").asc()
+    )
     out = (
-        q.withColumn("_pq_ps", per_sub)
-        .select(id_col, F.explode_outer("_pq_ps").alias("e"))
-        .where(F.col("e").isNotNull())
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
         .select(
-            id_col,
-            F.col("e.subspace").alias("subspace"),
-            F.col("e.best.cid").alias("code"),
-            F.col("e.best.dist").alias("qdist"),
+            "probe_id", "rank", F.col("_vid").alias("vec_id"), "adc_dist"
         )
     )
-    # materialize before unpersist isn't needed: the plan embeds only
-    # literals + the quantization chain; drop the cache marker lazily
     q.unpersist()
     return out
 

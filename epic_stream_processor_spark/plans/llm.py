@@ -1666,13 +1666,13 @@ def _pq_dist(t: str, c: str, dsub: int) -> str:
     )
 
 
-def pq_encode_oracle_sql(
-    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64,
-    table: str = "embeddings",
-) -> str:
-    """DuckDB twin of pq_train_encode: same global scale + quantization as
-    the kmeans_quantized oracle, then per subspace the same seeded integer
-    Lloyd iteration(s) and the same (dist, cid) argmin encode."""
+def _pq_train_ctes(
+    m: int, k: int, n_iter: int, dim: int, table: str
+) -> tuple[list[str], list[str]]:
+    """Shared PQ training CTEs (global scale, quantized corpus, seeded
+    per-subspace integer Lloyd) — returns (parts, final_codebook_names).
+    Reused by the encode and the ADC-search oracles so both provably use
+    identical codebooks."""
     dsub = dim // m
     parts = [
         f"""WITH g AS (
@@ -1692,7 +1692,7 @@ seeds AS (
   FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
 )"""
     ]
-    finals = []
+    lasts = []
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
         parts.append(
@@ -1732,6 +1732,21 @@ c{it}_{s} AS (
 )"""
             )
             prev = f"c{it}_{s}"
+        lasts.append(prev)
+    return parts, lasts
+
+
+def pq_encode_oracle_sql(
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of pq_train_encode: same global scale + quantization as
+    the kmeans_quantized oracle, then per subspace the same seeded integer
+    Lloyd iteration(s) and the same (dist, cid) argmin encode."""
+    dsub = dim // m
+    parts, lasts = _pq_train_ctes(m, k, n_iter, dim, table)
+    finals = []
+    for s in range(m):
         d = _pq_dist("t", "c", dsub)
         parts.append(
             f"""f_{s} AS (
@@ -1740,7 +1755,7 @@ c{it}_{s} AS (
     SELECT t.vec_id, c.cid, {d} AS dist,
            row_number() OVER (PARTITION BY t.vec_id
                               ORDER BY {d}, c.cid) AS rn
-    FROM qs_{s} t, {prev} c
+    FROM qs_{s} t, {lasts[s]} c
   ) WHERE rn = 1
 )"""
         )
@@ -1749,6 +1764,77 @@ c{it}_{s} AS (
 
 
 ORACLE_PQ_ENCODE = pq_encode_oracle_sql()
+
+
+def pq_adc_oracle_sql(
+    topk: int = 5, probe_mod: int = 200,
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of pq_adc_topk: identical training CTEs, per-vector
+    codes, per-probe LUTs, and the (adc asc, vec_id asc) row_number
+    ranking."""
+    dsub = dim // m
+    parts, lasts = _pq_train_ctes(m, k, n_iter, dim, table)
+    for s in range(m):
+        d = _pq_dist("t", "c", dsub)
+        # per-vector code for subspace s (same argmin as the encode oracle)
+        parts.append(
+            f"""code_{s} AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT t.vec_id, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {d}, c.cid) AS rn
+    FROM qs_{s} t, {lasts[s]} c
+  ) WHERE rn = 1
+)"""
+        )
+        # per-probe LUT rows for subspace s
+        parts.append(
+            f"""plut_{s} AS (
+  SELECT t.vec_id AS probe_id, c.cid, {d} AS dd
+  FROM qs_{s} t, {lasts[s]} c
+  WHERE t.vec_id % {probe_mod} = 0
+)"""
+        )
+    code_joins = " ".join(
+        f"JOIN code_{s} ON code_{s}.vec_id = code_0.vec_id"
+        for s in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN plut_{s} ON plut_{s}.probe_id = plut_0.probe_id "
+        f"AND plut_{s}.cid = code_{s}.code"
+        for s in range(1, m)
+    )
+    adc = " + ".join(f"plut_{s}.dd" for s in range(m))
+    parts.append(
+        f"""scored AS (
+  SELECT plut_0.probe_id, code_0.vec_id, {adc} AS adc_dist
+  FROM code_0 {code_joins}
+  JOIN plut_0 ON plut_0.cid = code_0.code
+  {lut_joins}
+)"""
+    )
+    final = f"""SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist FROM (
+  SELECT probe_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+    return ",\n".join(parts) + "\n" + final
+
+
+ORACLE_PQ_ADC_TOPK = pq_adc_oracle_sql()
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN search (operators/similarity.pq_adc_topk):
+    per-probe ADC lookup tables over the PQ codebooks, every corpus
+    vector scored by m integer table lookups on its codes — the corpus
+    is never read beyond its 4-code representation."""
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(emb, topk=5, probe_mod=200, m=4, k=8, n_iter=1)
 
 
 BLOCKLIST = ["merge", "spill", "skew"]

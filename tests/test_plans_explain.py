@@ -111,13 +111,16 @@ def test_kmeans_and_ivf_assignment_is_shuffle_free(spark):
 # every one is bounded by a broadcast of a provably tiny side:
 # the epic pipeline's non-equi temporal interval join against the ~25-row
 # watchlist, knn's broadcast-probes scoring, q22's and q11's decorrelated
-# scalar subqueries (a 1-row aggregate broadcast under a > condition), and
-# boilerplate's df-threshold compare against a broadcast 1-row corpus count.
+# scalar subqueries (a 1-row aggregate broadcast under a > condition),
+# boilerplate's df-threshold compare against a broadcast 1-row corpus
+# count, and pq_adc_topk's broadcast probe-LUT side (n/probe_mod rows of
+# m·k BIGINTs each).
 BNLJ_ALLOWED = {
     "epic_source_fov", "epic_patch_counts", "epic_pixel_gather",
     "epic_img_metadata", "epic_light_curve", "epic_pixel_export",
     "epic_detect_transient", "epic_cube_gather_real", "knn_cosine",
     "q22_dormant_customers", "boilerplate_ngrams", "q11_important_inventory",
+    "pq_adc_topk",
 }
 
 
