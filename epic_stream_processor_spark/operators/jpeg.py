@@ -1,0 +1,545 @@
+"""REAL baseline JPEG (ITU-T T.81) grayscale codec — stdlib + numpy only.
+
+The container has no PIL/libjpeg, and the round-5 precedent (PNG: real
+zlib inflate + filter reconstruction) established the bar: media operators
+ship a REAL codec or a labeled stub, never a fake. This module implements
+the first genuinely LOSSY format end-to-end:
+
+- ``encode_jpeg_gray``: a general baseline sequential encoder for 8-bit
+  grayscale — level shift, 8×8 float DCT-II, quantization
+  (``floor(c/q + 0.5)``), zigzag, DC difference + magnitude-category
+  coding, AC run-length (ZRL/EOB) coding, canonical Huffman emit with
+  0xFF byte stuffing, and the full marker stream
+  (SOI/APP0/DQT/SOF0/DHT×2/SOS/EOI).
+- ``decode_jpeg`` (Spark operator over ``mapInPandas``): a general
+  baseline decoder — marker walk, DQT/DHT/SOF0/SOS parsing, canonical
+  Huffman table reconstruction FROM the DHT payload (not from constants),
+  entropy decode with bit-level reads + 0xFF00 unstuffing, DC prediction,
+  dequantize, de-zigzag, float IDCT, and the pixel rounding defined below.
+  Any malformed payload (bad marker, unsupported mode, truncated scan,
+  wrong dimensions) decodes to a NULL row — bad files are data at corpus
+  scale.
+
+Cross-engine determinism contract (what makes a lossy codec
+oracle-checkable):
+
+- The quantization table is ITU-T T.81 Annex K Table K.1 with every value
+  snapped UP to odd. With odd q, ``8·(v−128)/q`` can never be a
+  representable half-integer, so the encoder's ``floor(x/q + 0.5)`` has
+  no float tie to resolve — both engines' doubles agree exactly.
+- Pixel reconstruction is ``clip(floor(r + 128.5 + 2⁻²⁰), 0, 255)``. The
+  2⁻²⁰ snap is load-bearing: for DC-only blocks the mathematically exact
+  value ``Sq·q/8 + 128.5`` can be an exact integer, and the float IDCT
+  lands within ~1e-13 of it on either side; the snap (≫ the IDCT error,
+  ≪ half a pixel step) pushes both the decoder and the closed-form SQL
+  oracle to the same side.
+- Huffman tables are the Annex K standard luminance tables. The decoder
+  never assumes them — it canonicalizes whatever DHT carries.
+
+The fixture adapter ``docs_as_jpeg`` renders each document as a
+block-uniform image (every 8×8 block one byte of the text), so every
+block is DC-only and the decoded value has the closed form the SQL
+oracle recomputes (``jpeg_dc_roundtrip_sql``); the general AC path is
+exercised by the pytest round-trip on gradients (lossy-tolerance, not
+hash, as lossy requires).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ITU-T T.81 Annex K Table K.1 (luminance), each value snapped up to odd
+# (see module docstring: odd q ⇒ no encoder-side rounding ties).
+QUANT_LUMA_ODD = [
+    17, 11, 11, 17, 25, 41, 51, 61,
+    13, 13, 15, 19, 27, 59, 61, 55,
+    15, 13, 17, 25, 41, 57, 69, 57,
+    15, 17, 23, 29, 51, 87, 81, 63,
+    19, 23, 37, 57, 69, 109, 103, 77,
+    25, 35, 55, 65, 81, 105, 113, 93,
+    49, 65, 79, 87, 103, 121, 121, 101,
+    73, 93, 95, 99, 113, 101, 103, 99,
+]
+
+# Annex K standard luminance Huffman specs: (BITS[1..16], HUFFVAL)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# zigzag scan order (T.81 Figure 5): ZIGZAG[k] = natural index of the
+# k-th zigzag coefficient
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+PIXEL_SNAP = 2.0 ** -20
+
+
+def _build_encoder(quant, dc_bits, dc_vals, ac_bits, ac_vals, zigzag):
+    """Encoder constructed as a BUILDER-RETURNED CLOSURE over plain lists
+    so it pickles BY VALUE into Arrow workers (the wcs_native /
+    multimodal precedent: module-level functions pickle by reference and
+    break drivers launched outside the repo)."""
+
+    def canonical(bits, vals):
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc_codes = canonical(dc_bits, dc_vals)
+    ac_codes = canonical(ac_bits, ac_vals)
+
+    def encode(pixels) -> bytes:
+        import struct
+
+        import numpy as np
+
+        px = np.asarray(pixels, dtype=np.float64)
+        h, w = px.shape
+        if h % 8 or w % 8:
+            raise ValueError("dimensions must be multiples of 8")
+        d = np.zeros((8, 8), dtype=np.float64)
+        for u in range(8):
+            cu = (1.0 / np.sqrt(8.0)) if u == 0 else 0.5
+            for x in range(8):
+                d[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        q = np.array(quant, dtype=np.float64).reshape(8, 8)
+
+        out_bits = bytearray()
+        state = [0, 0]  # acc, nbits
+
+        def put(code: int, length: int) -> None:
+            state[0] = (state[0] << length) | (code & ((1 << length) - 1))
+            state[1] += length
+            while state[1] >= 8:
+                state[1] -= 8
+                b = (state[0] >> state[1]) & 0xFF
+                out_bits.append(b)
+                if b == 0xFF:  # byte stuffing
+                    out_bits.append(0x00)
+
+        def category(v: int) -> int:
+            s, a = 0, abs(v)
+            while a:
+                s += 1
+                a >>= 1
+            return s
+
+        pred = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = d @ blk @ d.T
+                sq = np.floor(coef / q + 0.5).astype(np.int64)
+                zz = [int(sq.flat[zigzag[k]]) for k in range(64)]
+                diff = zz[0] - pred
+                pred = zz[0]
+                s = category(diff)
+                c, ln = dc_codes[s]
+                put(c, ln)
+                if s:
+                    put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = 0
+                for k in range(1, 64):
+                    if zz[k]:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_codes[0xF0]  # ZRL
+                        put(c, ln)
+                        run -= 16
+                    s = category(zz[k])
+                    c, ln = ac_codes[(run << 4) | s]
+                    put(c, ln)
+                    v = zz[k]
+                    put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    c, ln = ac_codes[0x00]  # EOB
+                    put(c, ln)
+        if state[1]:
+            put((1 << (8 - state[1])) - 1, 8 - state[1])  # pad with 1s
+        scan = bytes(out_bits)
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        dqt = bytes([0x00]) + bytes(quant[zigzag[k]] for k in range(64))
+        sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        return (
+            b"\xff\xd8"
+            + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + seg(0xFFDB, dqt)
+            + seg(0xFFC0, sof)
+            + seg(0xFFC4, dht_dc)
+            + seg(0xFFC4, dht_ac)
+            + seg(0xFFDA, sos)
+            + scan
+            + b"\xff\xd9"
+        )
+
+    return encode
+
+
+#: General baseline-sequential encoder for an (h, w) uint8 grayscale
+#: array (h, w multiples of 8). Annex K odd-snapped luminance quant
+#: table, standard Huffman tables, JFIF APP0. By-value picklable.
+encode_jpeg_gray = _build_encoder(
+    QUANT_LUMA_ODD, DC_BITS, DC_VALS, AC_BITS, AC_VALS, ZIGZAG
+)
+
+
+JPEG_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("gray_sum", LongType()),
+        StructField("gray_hex8", StringType()),
+        StructField("gray", BinaryType()),
+    ]
+)
+
+
+def decode_jpeg(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """General baseline JPEG decoder as an Arrow ``mapInPandas`` stage.
+    Grayscale (1-component, 8-bit, no subsampling, baseline sequential)
+    only; anything else — and any malformed payload — is a NULL row.
+
+    The closure is self-contained (imports inside; all tables passed by
+    value) so it pickles by value and runs on executors without this
+    package on PYTHONPATH (the wcs_native / multimodal precedent)."""
+    zigzag = list(ZIGZAG)
+    snap = PIXEL_SNAP
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        dmat = _np.zeros((8, 8), dtype=_np.float64)
+        for u in range(8):
+            cu = (1.0 / _np.sqrt(8.0)) if u == 0 else 0.5
+            for x in range(8):
+                dmat[u, x] = cu * _np.cos((2 * x + 1) * u * _np.pi / 16.0)
+
+        def canon(bits, vals):
+            # length-indexed lookup: {(length, code): symbol}
+            table = {}
+            code, k = 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        class Reader:
+            def __init__(self, data: bytes):
+                self.d = data
+                self.pos = 0
+                self.acc = 0
+                self.n = 0
+
+            def bit(self) -> int:
+                if self.n == 0:
+                    if self.pos >= len(self.d):
+                        raise ValueError("scan truncated")
+                    b = self.d[self.pos]
+                    self.pos += 1
+                    if b == 0xFF:
+                        if self.pos >= len(self.d) or self.d[self.pos] != 0x00:
+                            raise ValueError("marker in scan")
+                        self.pos += 1  # unstuff
+                    self.acc = b
+                    self.n = 8
+                self.n -= 1
+                return (self.acc >> self.n) & 1
+
+            def bits(self, k: int) -> int:
+                v = 0
+                for _ in range(k):
+                    v = (v << 1) | self.bit()
+                return v
+
+            def symbol(self, table) -> int:
+                code, ln = 0, 0
+                while ln < 16:
+                    code = (code << 1) | self.bit()
+                    ln += 1
+                    if (ln, code) in table:
+                        return table[(ln, code)]
+                raise ValueError("bad huffman code")
+
+        def extend(v: int, s: int) -> int:
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        def dec(payload: bytes):
+            b = bytes(payload)
+            if len(b) < 4 or b[:2] != b"\xff\xd8":
+                return None
+            pos = 2
+            qt = {}
+            huff = {}
+            w = h = None
+            dc_id = ac_id = comp_q = None
+            scan_start = None
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    return None
+                m = b[pos + 1]
+                if m == 0xD9:
+                    return None  # EOI before SOS
+                (ln,) = _struct.unpack_from(">H", b, pos + 2)
+                body = b[pos + 4 : pos + 2 + ln]
+                if len(body) != ln - 2:
+                    return None
+                if m == 0xDB:  # DQT (possibly several tables)
+                    i = 0
+                    while i < len(body):
+                        pq, tq = body[i] >> 4, body[i] & 15
+                        if pq != 0 or i + 65 > len(body):
+                            return None
+                        zz = list(body[i + 1 : i + 65])
+                        nat = [0] * 64
+                        for k in range(64):
+                            nat[zigzag[k]] = zz[k]
+                        qt[tq] = nat
+                        i += 65
+                elif m == 0xC0:  # SOF0 baseline
+                    if len(body) < 8 or body[0] != 8:
+                        return None
+                    h, w = _struct.unpack_from(">HH", body, 1)
+                    nf = body[5]
+                    if nf != 1:
+                        return None  # grayscale only
+                    if body[7] != 0x11:
+                        return None  # no subsampling
+                    comp_q = body[8]
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None  # non-baseline SOF
+                elif m == 0xC4:  # DHT (possibly several)
+                    i = 0
+                    while i + 17 <= len(body):
+                        tc, th = body[i] >> 4, body[i] & 15
+                        bits = list(body[i + 1 : i + 17])
+                        nv = sum(bits)
+                        vals = list(body[i + 17 : i + 17 + nv])
+                        if len(vals) != nv:
+                            return None
+                        huff[(tc, th)] = canon(bits, vals)
+                        i += 17 + nv
+                    if i != len(body):
+                        return None
+                elif m == 0xDA:  # SOS
+                    if len(body) < 6 or body[0] != 1:
+                        return None
+                    dc_id, ac_id = body[2] >> 4, body[2] & 15
+                    scan_start = pos + 2 + ln
+                    break
+                pos += 2 + ln
+            if (
+                scan_start is None or w is None or not w or not h
+                or comp_q not in qt
+                or (0, dc_id) not in huff or (1, ac_id) not in huff
+            ):
+                return None
+            if w % 8 or h % 8:
+                return None  # encoder never pads; partial MCUs unsupported
+            if w * h > 64 * 1024 * 1024:
+                return None  # decompression-bomb bound (the PNG rule)
+            # find EOI to bound the scan
+            end = b.rfind(b"\xff\xd9")
+            if end < scan_start:
+                return None
+            rd = Reader(b[scan_start:end])
+            dctab, actab = huff[(0, dc_id)], huff[(1, ac_id)]
+            qtab = _np.array(qt[comp_q], dtype=_np.float64).reshape(8, 8)
+            out = _np.zeros((h, w), dtype=_np.uint8)
+            pred = 0
+            try:
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        zz = [0] * 64
+                        s = rd.symbol(dctab)
+                        diff = extend(rd.bits(s), s) if s else 0
+                        pred += diff
+                        zz[0] = pred
+                        k = 1
+                        while k < 64:
+                            rs = rd.symbol(actab)
+                            if rs == 0x00:
+                                break  # EOB
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC overrun")
+                            s = rs & 15
+                            zz[k] = extend(rd.bits(s), s)
+                            k += 1
+                        coef = _np.zeros(64, dtype=_np.float64)
+                        for k in range(64):
+                            coef[zigzag[k]] = zz[k]
+                        r = dmat.T @ (coef.reshape(8, 8) * qtab) @ dmat
+                        px = _np.clip(
+                            _np.floor(r + 128.5 + snap), 0, 255
+                        ).astype(_np.uint8)
+                        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            except ValueError:
+                return None
+            return int(w), int(h), len(b), out.tobytes()
+
+        def decode_batch(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            cols = {
+                "media_id": pdf["media_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                "width": [], "height": [], "byte_len": [],
+                "n_pixels": [], "n_blocks": [], "gray_sum": [],
+                "gray_hex8": [], "gray": [],
+            }
+            for payload in pdf["payload"]:
+                got = dec(payload)
+                if got is None:
+                    for c in ("width", "height", "byte_len", "n_pixels",
+                              "n_blocks", "gray_sum", "gray_hex8", "gray"):
+                        cols[c].append(None)
+                    cols["byte_len"][-1] = len(bytes(payload))
+                else:
+                    w, h, blen, gray = got
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["byte_len"].append(blen)
+                    cols["n_pixels"].append(w * h)
+                    cols["n_blocks"].append((w // 8) * (h // 8))
+                    cols["gray_sum"].append(int(sum(gray)))
+                    cols["gray_hex8"].append(gray[:8].hex().upper())
+                    cols["gray"].append(gray)
+            return _pd.DataFrame(cols)
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                yield decode_batch(pdf.iloc[start : start + batch_rows])
+
+    return media.mapInPandas(gen, schema=JPEG_DECODED_SCHEMA)
+
+
+def docs_as_jpeg(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture adapter: render each document as a REAL baseline JPEG of
+    block-uniform 8×8 tiles — ``wb = id % 3 + 2`` blocks wide, 2 blocks
+    tall, block ``b`` filled with byte ``b`` of the UTF-8 text (0 beyond
+    the end). Uniform blocks are DC-only, so the decoded value per block
+    has the closed form ``jpeg_dc_roundtrip_sql`` recomputes — while the
+    payload stays a genuine, generally-decodable JPEG (markers, Huffman
+    scan, quantized DCT)."""
+    from .multimodal import MEDIA_SCHEMA  # same output shape as other media
+
+    enc = encode_jpeg_gray  # builder closure: pickles by value
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                wb = int(doc_id) % 3 + 2
+                hb = 2
+                vals = [
+                    data[b] if b < len(data) else 0 for b in range(wb * hb)
+                ]
+                img = _np.zeros((hb * 8, wb * 8), dtype=_np.uint8)
+                for b, v in enumerate(vals):
+                    by, bx = divmod(b, wb)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                payloads.append(enc(img))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return (
+        docs.selectExpr(f"CAST({id_col} AS LONG) AS {id_col}", text_col)
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def jpeg_dc_roundtrip_sql(v_expr: str) -> str:
+    """SQL closed form of the DC-only round trip for a uniform block of
+    value ``v``: DC = 8(v−128); Sq = floor(DC/q00 + 0.5) (q00 odd — no
+    ties); reconstructed = clip(floor(Sq·q00/8 + 128.5 + 2⁻²⁰), 0, 255).
+    Matches the general decoder bit-for-bit on DC-only blocks (module
+    docstring: the 2⁻²⁰ snap)."""
+    q00 = QUANT_LUMA_ODD[0]
+    sq = f"floor(CAST(8 * (({v_expr}) - 128) AS DOUBLE) / {q00} + 0.5)"
+    return (
+        f"CAST(greatest(0, least(255, floor(({sq}) * {q00} / 8.0 "
+        f"+ 128.5 + pow(2.0, -20)))) AS BIGINT)"
+    )

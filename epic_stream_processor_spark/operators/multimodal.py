@@ -83,7 +83,10 @@ def decode_media(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     serializes it *by value*, so executors never need this package on their
     PYTHONPATH (required — the driver may be launched from any cwd).
     Production swaps the body of ``decode_batch`` for a real codec call
-    (PIL.Image.open / soundfile / pyav).
+    (PIL.Image.open / soundfile / pyav). REAL codecs shipped in this repo:
+    BMP/PNG (this module), baseline JPEG (``operators/jpeg.py`` — the
+    lossy path no longer needs PIL), WAV, AVI; only exotic containers
+    (MP4/H.264 etc.) remain behind this labeled stub.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

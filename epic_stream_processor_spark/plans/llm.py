@@ -547,6 +547,74 @@ FROM g
 """
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **lossy**-format image decode, no stub and no PIL: each
+    document renders as a genuine baseline JPEG (``docs_as_jpeg``:
+    markers, Annex-K-derived quant table, standard Huffman tables,
+    DCT+quantize+entropy-coded scan) and ``decode_jpeg`` walks the
+    markers, rebuilds the Huffman tables from DHT, entropy-decodes with
+    bit-level reads and 0xFF00 unstuffing, dequantizes, and IDCTs the
+    pixels back inside the Arrow stage.
+
+    Fixture images are block-uniform (DC-only), so every decoded value
+    has the closed form the oracle recomputes
+    (``operators/jpeg.jpeg_dc_roundtrip_sql`` — odd quant denominator and
+    a 2^-20 rounding snap make the lossy round trip cross-engine exact);
+    the general AC path is covered by the pytest gradient round trip.
+    ``byte_len`` is deliberately NOT projected: the entropy-coded size is
+    not SQL-derivable."""
+    from ..operators.jpeg import decode_jpeg, docs_as_jpeg
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    dec = decode_jpeg(docs_as_jpeg(docs))
+    return dec.select(
+        "media_id", "media_type", "width", "height",
+        "n_pixels", "n_blocks", "gray_sum", "gray_hex8",
+    )
+
+
+def _jpeg_oracle() -> str:
+    from ..operators.jpeg import jpeg_dc_roundtrip_sql
+
+    rt = jpeg_dc_roundtrip_sql("v")
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         hex(encode(text)) AS hx,
+         CAST(doc_id % 3 + 2 AS BIGINT) AS wb
+  FROM documents
+),
+blocks AS (
+  SELECT media_id, wb, n, hx, unnest(range(0, 2 * wb)) AS b FROM m
+),
+vals AS (
+  SELECT media_id, wb, b,
+         CASE WHEN b < n THEN
+           16 * (strpos('0123456789ABCDEF',
+                        substring(hx, CAST(2 * b + 1 AS INT), 1)) - 1)
+             + (strpos('0123456789ABCDEF',
+                       substring(hx, CAST(2 * b + 2 AS INT), 1)) - 1)
+         ELSE 0 END AS v
+  FROM blocks
+),
+rec AS (SELECT media_id, wb, b, {rt} AS vp FROM vals)
+SELECT media_id,
+       'image' AS media_type,
+       CAST(8 * wb AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(128 * wb AS BIGINT) AS n_pixels,
+       CAST(2 * wb AS BIGINT) AS n_blocks,
+       CAST(sum(64 * vp) AS BIGINT) AS gray_sum,
+       repeat(printf('%02X', CAST(max(CASE WHEN b = 0 THEN vp END) AS INT)), 8)
+         AS gray_hex8
+FROM rec GROUP BY media_id, wb
+"""
+
+
+ORACLE_JPEG_DECODE = _jpeg_oracle()
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no stub: each document's bytes become a genuine
     RIFF/WAVE 16-bit PCM mono file (``docs_as_wav``: real RIFF + fmt +

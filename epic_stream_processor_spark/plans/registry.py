@@ -479,6 +479,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "corpus scored by m integer table lookups on its PQ codes — "
         "scan reads codes only, never the float vectors",
     ),
+    "jpeg_decode": QueryDef(
+        llm.q_jpeg_decode, llm.ORACLE_JPEG_DECODE,
+        "REAL lossy-image decode: baseline JPEG encode (DCT + quantize "
+        "+ Huffman scan) and a general marker/DHT/entropy/IDCT decoder; "
+        "DC-only fixture blocks make the lossy round trip closed-form "
+        "oracle-exact (odd quant + 2^-20 rounding snap)",
+    ),
 }
 
 

@@ -1,0 +1,170 @@
+"""Baseline JPEG codec (operators/jpeg.py): marker structure, general
+round trips, the DC-only closed form, and hostile payloads."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from epic_stream_processor_spark.operators.jpeg import (
+    AC_BITS,
+    AC_VALS,
+    DC_BITS,
+    DC_VALS,
+    PIXEL_SNAP,
+    QUANT_LUMA_ODD,
+    ZIGZAG,
+    decode_jpeg,
+    docs_as_jpeg,
+    encode_jpeg_gray,
+)
+
+
+def closed_form(v: int) -> int:
+    """The DC-only round trip the SQL oracle uses (module docstring)."""
+    q00 = QUANT_LUMA_ODD[0]
+    sq = math.floor(8 * (v - 128) / q00 + 0.5)
+    return max(0, min(255, math.floor(sq * q00 / 8 + 128.5 + PIXEL_SNAP)))
+
+
+def test_quant_table_is_all_odd():
+    """The no-encoder-ties determinism argument requires every q odd."""
+    assert all(q % 2 == 1 for q in QUANT_LUMA_ODD)
+
+
+def test_marker_structure_is_spec_compliant():
+    """Pin the container layout: SOI, APP0/JFIF, DQT in zigzag order,
+    SOF0 with the right dims, two DHTs carrying the standard tables,
+    SOS, EOI — a third-party baseline decoder would accept this file."""
+    img = np.full((16, 24), 99, dtype=np.uint8)
+    p = encode_jpeg_gray(img)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    segs = {}
+    pos = 2
+    while pos + 4 <= len(p):
+        assert p[pos] == 0xFF
+        m = p[pos + 1]
+        (ln,) = struct.unpack_from(">H", p, pos + 2)
+        segs.setdefault(m, []).append(p[pos + 4 : pos + 2 + ln])
+        if m == 0xDA:
+            break
+        pos += 2 + ln
+    assert segs[0xE0][0].startswith(b"JFIF\x00")
+    dqt = segs[0xDB][0]
+    assert dqt[0] == 0x00
+    assert list(dqt[1:65]) == [QUANT_LUMA_ODD[ZIGZAG[k]] for k in range(64)]
+    sof = segs[0xC0][0]
+    prec, h, w, nf = struct.unpack_from(">BHHB", sof, 0)
+    assert (prec, h, w, nf) == (8, 16, 24, 1)
+    dhts = segs[0xC4]
+    assert dhts[0][0] == 0x00 and list(dhts[0][1:17]) == DC_BITS
+    assert list(dhts[0][17:]) == DC_VALS
+    assert dhts[1][0] == 0x10 and list(dhts[1][1:17]) == AC_BITS
+    assert list(dhts[1][17:]) == AC_VALS
+
+
+def test_jpeg_round_trips_through_spark(spark):
+    """General decoder over mapInPandas: uniform blocks land EXACTLY on
+    the closed form, a smooth gradient round-trips within lossy
+    tolerance, a sparse-AC image (long zero runs - the ZRL path)
+    reconstructs, and corrupted payloads are NULL rows."""
+    uni = np.full((16, 16), 77, dtype=np.uint8)
+    grad = np.tile(np.arange(32, dtype=np.uint8) * 8, (16, 1))
+    # sparse AC: one strong coefficient deep in the zigzag per block
+    # (runs > 15 zeros => ZRL symbols on the wire)
+    d = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(8.0)) if u == 0 else 0.5
+        for x in range(8):
+            d[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    coef = np.zeros(64)
+    coef[ZIGZAG[40]] = 6.0 * QUANT_LUMA_ODD[ZIGZAG[40]]
+    sparse_blk = np.clip(
+        np.floor(d.T @ coef.reshape(8, 8) @ d + 128.5), 0, 255
+    ).astype(np.uint8)
+    sparse = np.tile(sparse_blk, (2, 2))
+    good = encode_jpeg_gray(uni)
+    truncated = good[: len(good) // 2]
+    flipped = bytearray(good)
+    flipped[30] ^= 0xFF  # inside a table segment
+    rows = [
+        (1, "image", good, 0),
+        (2, "image", encode_jpeg_gray(grad), 0),
+        (3, "image", encode_jpeg_gray(sparse), 0),
+        (4, "image", b"\xff\xd8 garbage", 0),
+        (5, "image", truncated, 0),
+        (6, "image", bytes(flipped), 0),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, byte_len long"
+    )
+    out = {r.media_id: r for r in decode_jpeg(media).collect()}
+    g1 = np.frombuffer(bytes(out[1].gray), dtype=np.uint8)
+    assert set(g1.tolist()) == {closed_form(77)} == {77}
+    assert (out[1].width, out[1].height, out[1].n_blocks) == (16, 16, 4)
+    assert out[1].gray_sum == 77 * 256
+    g2 = np.frombuffer(bytes(out[2].gray), dtype=np.uint8).reshape(16, 32)
+    assert np.abs(g2.astype(int) - grad.astype(int)).max() <= 4
+    g3 = np.frombuffer(bytes(out[3].gray), dtype=np.uint8).reshape(16, 16)
+    assert np.abs(g3.astype(int) - sparse.astype(int)).max() <= 8
+    for bad in (4, 5):
+        assert out[bad].width is None and out[bad].gray is None
+    # a flipped table byte either still parses (different but valid
+    # tables) or nulls out - it must never raise the stage
+    assert 6 in out
+
+
+def test_jpeg_rejects_dimension_bombs_and_nonbaseline(spark):
+    """IHDR-equivalent bounds: attacker-controlled SOF dims above the
+    64M-pixel cap (or non-multiple-of-8, or progressive SOF2, or
+    3-component color) decode to NULL, never allocate."""
+    good = encode_jpeg_gray(np.full((8, 8), 10, dtype=np.uint8))
+
+    def patched_sof(payload: bytes, h: int, w: int, marker: int = 0xC0):
+        b = bytearray(payload)
+        i = b.find(b"\xff\xc0")
+        b[i + 1] = marker & 0xFF
+        struct.pack_into(">HH", b, i + 5, h, w)
+        return bytes(b)
+
+    rows = [
+        (1, "image", patched_sof(good, 64000, 64000), 0),  # 4G px
+        (2, "image", patched_sof(good, 12, 12), 0),        # not /8
+        (3, "image", patched_sof(good, 8, 8, 0xC2), 0),    # progressive
+        (4, "image", good, 0),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, byte_len long"
+    )
+    out = {r.media_id: r for r in decode_jpeg(media).collect()}
+    for bad in (1, 2, 3):
+        assert out[bad].width is None, bad
+    assert out[4].width == 8
+
+
+def test_docs_as_jpeg_layout(spark):
+    """Fixture geometry: wb = id % 3 + 2 blocks wide, 2 tall; block b
+    carries text byte b; decode recovers the closed-form values in
+    block-row-major order."""
+    docs = spark.createDataFrame(
+        [(4, "AB"), (5, "")], ["doc_id", "text"]
+    )
+    out = {
+        r.media_id: r
+        for r in decode_jpeg(docs_as_jpeg(docs)).collect()
+    }
+    # doc 4: wb = 4 % 3 + 2 = 3 -> 24x16, blocks [65, 66, 0, 0, 0, 0]
+    r = out[4]
+    assert (r.width, r.height, r.n_blocks) == (24, 16, 6)
+    g = np.frombuffer(bytes(r.gray), dtype=np.uint8).reshape(16, 24)
+    exp = [closed_form(v) for v in (65, 66, 0)]
+    assert g[0, 0] == exp[0] and g[0, 8] == exp[1] and g[0, 16] == exp[2]
+    assert r.gray_hex8 == ("%02X" % exp[0]) * 8
+    assert r.gray_sum == 64 * (exp[0] + exp[1] + 4 * closed_form(0))
+    # empty doc (wb = 5 % 3 + 2 = 4): all blocks byte 0
+    r5 = out[5]
+    assert (r5.width, r5.n_blocks) == (32, 8)
+    assert r5.gray_sum == 64 * 8 * closed_form(0)
