@@ -257,40 +257,40 @@ JPEG_DECODED_SCHEMA = StructType(
 )
 
 
-def decode_jpeg(media: DataFrame, batch_rows: int = 256) -> DataFrame:
-    """General baseline JPEG decoder as an Arrow ``mapInPandas`` stage.
-    Grayscale (1-component, 8-bit, no subsampling, baseline sequential)
-    only; anything else — and any malformed payload — is a NULL row.
+def _build_decoder(zigzag, snap):
+    """Single-payload decoder ``dec(bytes) → (w, h, byte_len, gray) |
+    None`` constructed as a builder-returned closure (pickles BY VALUE;
+    see ``_build_encoder``). Shared by the still-image ``decode_jpeg``
+    stage and the MJPEG-in-AVI frame walker, so one decode implementation
+    serves both modalities."""
 
-    The closure is self-contained (imports inside; all tables passed by
-    value) so it pickles by value and runs on executors without this
-    package on PYTHONPATH (the wcs_native / multimodal precedent)."""
-    zigzag = list(ZIGZAG)
-    snap = PIXEL_SNAP
+    def canon(bits, vals):
+        # length-indexed lookup: {(length, code): symbol}
+        table = {}
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cache = {}  # worker-side lazy dmat (numpy import at first decode)
+
+    def dec(payload: bytes):
         import struct as _struct
 
         import numpy as _np
-        import pandas as _pd
 
-        dmat = _np.zeros((8, 8), dtype=_np.float64)
-        for u in range(8):
-            cu = (1.0 / _np.sqrt(8.0)) if u == 0 else 0.5
-            for x in range(8):
-                dmat[u, x] = cu * _np.cos((2 * x + 1) * u * _np.pi / 16.0)
-
-        def canon(bits, vals):
-            # length-indexed lookup: {(length, code): symbol}
-            table = {}
-            code, k = 0, 0
-            for ln in range(1, 17):
-                for _ in range(bits[ln - 1]):
-                    table[(ln, code)] = vals[k]
-                    code += 1
-                    k += 1
-                code <<= 1
-            return table
+        if "dmat" not in cache:
+            dmat0 = _np.zeros((8, 8), dtype=_np.float64)
+            for u in range(8):
+                cu = (1.0 / _np.sqrt(8.0)) if u == 0 else 0.5
+                for x in range(8):
+                    dmat0[u, x] = cu * _np.cos((2 * x + 1) * u * _np.pi / 16.0)
+            cache["dmat"] = dmat0
+        dmat = cache["dmat"]
 
         class Reader:
             def __init__(self, data: bytes):
@@ -332,7 +332,7 @@ def decode_jpeg(media: DataFrame, batch_rows: int = 256) -> DataFrame:
         def extend(v: int, s: int) -> int:
             return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-        def dec(payload: bytes):
+        def run(payload: bytes):
             b = bytes(payload)
             if len(b) < 4 or b[:2] != b"\xff\xd8":
                 return None
@@ -450,6 +450,28 @@ def decode_jpeg(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                 return None
             return int(w), int(h), len(b), out.tobytes()
 
+        return run(payload)
+
+    return dec
+
+
+#: General single-payload baseline decoder (by-value picklable closure).
+decode_jpeg_bytes = _build_decoder(list(ZIGZAG), PIXEL_SNAP)
+
+
+def decode_jpeg(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """General baseline JPEG decoder as an Arrow ``mapInPandas`` stage.
+    Grayscale (1-component, 8-bit, no subsampling, baseline sequential)
+    only; anything else — and any malformed payload — is a NULL row.
+
+    The decode closure is self-contained and pickles by value
+    (``_build_decoder``), so executors never need this package on
+    PYTHONPATH (the wcs_native / multimodal precedent)."""
+    dec = decode_jpeg_bytes
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
         def decode_batch(pdf: _pd.DataFrame) -> _pd.DataFrame:
             cols = {
                 "media_id": pdf["media_id"].astype("int64"),
@@ -543,3 +565,223 @@ def jpeg_dc_roundtrip_sql(v_expr: str) -> str:
         f"CAST(greatest(0, least(255, floor(({sq}) * {q00} / 8.0 "
         f"+ 128.5 + pow(2.0, -20)))) AS BIGINT)"
     )
+
+
+# --- MJPEG-in-AVI: the two real codecs chained -------------------------------
+
+MJPEG_N_FRAMES = 8
+
+MJPEG_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("sample_idx", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("fps", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("gray_sum", LongType()),
+        StructField("gray_hex8", StringType()),
+    ]
+)
+
+
+def docs_as_mjpeg(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture adapter chaining the container and image codecs: each
+    document becomes a genuine RIFF('AVI ') file whose video stream is
+    MOTION JPEG — fccHandler 'MJPG', biCompression 'MJPG', and every
+    '00dc' frame a COMPLETE baseline JPEG (8×8, uniform value = text
+    byte f, 0 beyond the end; 8 frames). Frame rate 5 + id % 4 fps.
+    Odd-sized JPEG frames get the RIFF even-padding byte (excluded from
+    the chunk size, as the spec requires) — a real-world detail the
+    fixed-stride DIB fixture never exercises."""
+    from .multimodal import MEDIA_SCHEMA
+
+    enc = encode_jpeg_gray  # builder closure: pickles by value
+    n_frames = MJPEG_N_FRAMES
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def avi(data: bytes, fps: int) -> bytes:
+            frames = []
+            for f in range(n_frames):
+                v = data[f] if f < len(data) else 0
+                frames.append(enc(_np.full((8, 8), v, dtype=_np.uint8)))
+            max_fb = max(len(fr) for fr in frames)
+            usf = 1_000_000 // fps
+            avih = _struct.pack(
+                "<IIIIIIIIIIIIII", usf, max_fb * fps, 0, 0, n_frames, 0,
+                1, max_fb, 8, 8, 0, 0, 0, 0,
+            )
+            strh = _struct.pack(
+                "<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0, 0,
+                1, fps, 0, n_frames, max_fb, 0xFFFFFFFF // 2, 0, 0, 0, 8, 8,
+            )
+            mjpg = _struct.unpack("<I", b"MJPG")[0]
+            strf = _struct.pack(
+                "<IiiHHIIiiII", 40, 8, 8, 1, 24, mjpg, max_fb, 0, 0, 0, 0
+            )
+            strl = (
+                b"LIST"
+                + _struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+                + b"strl"
+                + b"strh" + _struct.pack("<I", len(strh)) + strh
+                + b"strf" + _struct.pack("<I", len(strf)) + strf
+            )
+            hdrl = (
+                b"LIST"
+                + _struct.pack("<I", 4 + 8 + len(avih) + len(strl))
+                + b"hdrl"
+                + b"avih" + _struct.pack("<I", len(avih)) + avih
+                + strl
+            )
+            movi_body = b""
+            for fr in frames:
+                movi_body += b"00dc" + _struct.pack("<I", len(fr)) + fr
+                if len(fr) % 2:
+                    movi_body += b"\x00"  # RIFF even padding
+            movi = (
+                b"LIST" + _struct.pack("<I", 4 + len(movi_body)) + b"movi"
+                + movi_body
+            )
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            ids, texts = pdf.iloc[:, 0], pdf.iloc[:, 1]
+            payloads = [
+                avi((t or "").encode("utf-8"), 5 + int(mid) % 4)
+                for mid, t in zip(ids, texts)
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids.astype("int64"),
+                    "media_type": "video",
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    return (
+        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def sample_mjpeg_frames(
+    media: DataFrame, n_samples: int = 4, batch_rows: int = 256
+) -> DataFrame:
+    """REAL video-frame decode: walk the RIFF('AVI ') tree (hdrl → avih
+    frame count; strl → strh stream type/handler + timebase; strf
+    biCompression must be 'MJPG'), collect every '00dc' frame's bytes
+    (honoring RIFF even padding), sample ``n_samples`` frames evenly, and
+    decode each sampled frame THROUGH THE FULL BASELINE JPEG DECODER
+    (``decode_jpeg_bytes``) — markers, Huffman, IDCT — inside the Arrow
+    stage. Any container or frame failure yields NULL columns for that
+    payload's rows (one row per sample slot, like the DIB sampler)."""
+    dec = decode_jpeg_bytes  # builder closure: pickles by value
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def parse(payload: bytes):
+            b = bytes(payload)
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                return None
+            (riff_len,) = _struct.unpack_from("<I", b, 4)
+            if riff_len + 8 > len(b):
+                return None
+            n_frames = fps = None
+            is_mjpg_stream = is_mjpg_bmp = False
+            frames = []
+            pos = 12
+            while pos + 8 <= len(b):
+                tag = b[pos : pos + 4]
+                (ln,) = _struct.unpack_from("<I", b, pos + 4)
+                if tag == b"LIST":
+                    kind = b[pos + 8 : pos + 12]
+                    if kind in (b"hdrl", b"strl", b"movi"):
+                        pos += 12  # descend
+                        continue
+                    pos += 8 + ln + (ln % 2)
+                    continue
+                body = b[pos + 8 : pos + 8 + ln]
+                if len(body) != ln:
+                    return None
+                if tag == b"avih" and ln >= 40:
+                    vals = _struct.unpack_from("<IIIIIIIIII", body, 0)
+                    n_frames = vals[4]
+                elif tag == b"strh" and ln >= 48:
+                    ftype, handler = body[0:4], body[4:8]
+                    scale, rate = _struct.unpack_from("<II", body, 20)
+                    if ftype == b"vids":
+                        is_mjpg_stream = handler == b"MJPG"
+                        if scale:
+                            fps = rate // scale
+                elif tag == b"strf" and ln >= 40:
+                    (comp,) = _struct.unpack_from("<I", body, 16)
+                    is_mjpg_bmp = comp == _struct.unpack("<I", b"MJPG")[0]
+                elif tag == b"00dc":
+                    frames.append(body)
+                pos += 8 + ln + (ln % 2)  # RIFF even padding
+            if (
+                not frames or n_frames is None or fps is None
+                or not is_mjpg_stream or not is_mjpg_bmp
+                or len(frames) != n_frames
+            ):
+                return None
+            return frames, n_frames, fps
+
+        def decode_batch(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            cols = {
+                "media_id": [], "media_type": [], "sample_idx": [],
+                "frame_idx": [], "n_frames": [], "fps": [],
+                "width": [], "height": [], "gray_sum": [], "gray_hex8": [],
+            }
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                got = parse(payload)
+                for s in range(n_samples):
+                    cols["media_id"].append(int(mid))
+                    cols["media_type"].append(mtype)
+                    cols["sample_idx"].append(s)
+                    if got is None:
+                        for c in ("frame_idx", "n_frames", "fps", "width",
+                                  "height", "gray_sum", "gray_hex8"):
+                            cols[c].append(None)
+                        continue
+                    frames, nf, fps = got
+                    fi = (s * nf) // n_samples
+                    decoded = dec(frames[fi])
+                    if decoded is None:
+                        for c in ("frame_idx", "n_frames", "fps", "width",
+                                  "height", "gray_sum", "gray_hex8"):
+                            cols[c].append(None)
+                        continue
+                    w, h, _, gray = decoded
+                    cols["frame_idx"].append(fi)
+                    cols["n_frames"].append(nf)
+                    cols["fps"].append(fps)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["gray_sum"].append(int(sum(gray)))
+                    cols["gray_hex8"].append(gray[:8].hex().upper())
+            return _pd.DataFrame(cols)
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                yield decode_batch(pdf.iloc[start : start + batch_rows])
+
+    return media.mapInPandas(gen, schema=MJPEG_FRAMES_SCHEMA)

@@ -615,6 +615,68 @@ FROM rec GROUP BY media_id, wb
 ORACLE_JPEG_DECODE = _jpeg_oracle()
 
 
+def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame decode — the two codecs CHAINED: each document
+    becomes a genuine MJPEG AVI (RIFF container, 'MJPG' stream, every
+    frame a complete baseline JPEG), and ``sample_mjpeg_frames`` walks
+    the container, samples 4 of the 8 frames evenly, and runs each
+    through the full JPEG decoder. Frames are DC-only (uniform value =
+    one text byte), so frame pixels have the same closed form as
+    ``jpeg_decode``; geometry, frame indices, and the strh-derived fps
+    are recomputed by the oracle from the layout rules."""
+    from ..operators.jpeg import docs_as_mjpeg, sample_mjpeg_frames
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_mjpeg_frames(docs_as_mjpeg(docs), n_samples=4)
+
+
+def _mjpeg_oracle() -> str:
+    from ..operators.jpeg import jpeg_dc_roundtrip_sql
+
+    rt = jpeg_dc_roundtrip_sql("v")
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         hex(encode(text)) AS hx,
+         CAST(5 + doc_id % 4 AS BIGINT) AS fps
+  FROM documents
+),
+s AS (
+  SELECT media_id, n, hx, fps, unnest(range(0, 4)) AS sample_idx FROM m
+),
+f AS (
+  SELECT media_id, n, hx, fps, sample_idx,
+         (sample_idx * 8) // 4 AS b
+  FROM s
+),
+vals AS (
+  SELECT media_id, fps, sample_idx, b,
+         CASE WHEN b < n THEN
+           16 * (strpos('0123456789ABCDEF',
+                        substring(hx, CAST(2 * b + 1 AS INT), 1)) - 1)
+             + (strpos('0123456789ABCDEF',
+                       substring(hx, CAST(2 * b + 2 AS INT), 1)) - 1)
+         ELSE 0 END AS v
+  FROM f
+)
+SELECT media_id,
+       'video' AS media_type,
+       CAST(sample_idx AS BIGINT) AS sample_idx,
+       CAST(b AS BIGINT) AS frame_idx,
+       CAST(8 AS BIGINT) AS n_frames,
+       fps,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(64 * ({rt}) AS BIGINT) AS gray_sum,
+       repeat(printf('%02X', CAST({rt} AS INT)), 8) AS gray_hex8
+FROM vals
+"""
+
+
+ORACLE_MJPEG_FRAMES = _mjpeg_oracle()
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no stub: each document's bytes become a genuine
     RIFF/WAVE 16-bit PCM mono file (``docs_as_wav``: real RIFF + fmt +

@@ -486,6 +486,12 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "DC-only fixture blocks make the lossy round trip closed-form "
         "oracle-exact (odd quant + 2^-20 rounding snap)",
     ),
+    "mjpeg_frames": QueryDef(
+        llm.q_mjpeg_frames, llm.ORACLE_MJPEG_FRAMES,
+        "REAL video-frame decode, codecs chained: MJPEG AVI container "
+        "walk ('MJPG' stream, RIFF padding) -> even frame sampling -> "
+        "full baseline-JPEG decode of every sampled frame",
+    ),
 }
 
 

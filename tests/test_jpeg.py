@@ -168,3 +168,51 @@ def test_docs_as_jpeg_layout(spark):
     r5 = out[5]
     assert (r5.width, r5.n_blocks) == (32, 8)
     assert r5.gray_sum == 64 * 8 * closed_form(0)
+
+
+def test_mjpeg_container_and_chained_decode(spark):
+    """MJPEG-in-AVI: the container declares an 'MJPG' vids stream with
+    matching biCompression, every '00dc' frame is a standalone decodable
+    JPEG, odd frames carry the RIFF padding byte, the sampler picks
+    frames 0/2/4/6 of 8, fps comes from strh, and corrupted containers
+    yield NULL rows (one per sample slot)."""
+    from epic_stream_processor_spark.operators.jpeg import (
+        docs_as_mjpeg,
+        sample_mjpeg_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "ABCDEFGH"), (6, "xy")], ["doc_id", "text"]
+    )
+    media = docs_as_mjpeg(docs)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    p = payloads[3]
+    assert p[:4] == b"RIFF" and p[8:12] == b"AVI "
+    assert b"MJPG" in p and p.count(b"00dc") == 8
+    # every frame chunk holds a complete JPEG
+    pos = p.find(b"00dc")
+    import struct as _s
+
+    while pos != -1:
+        (ln,) = _s.unpack_from("<I", p, pos + 4)
+        fr = p[pos + 8 : pos + 8 + ln]
+        assert fr[:2] == b"\xff\xd8" and fr[-2:] == b"\xff\xd9"
+        pos = p.find(b"00dc", pos + 8 + ln)
+    out = sample_mjpeg_frames(media, n_samples=4)
+    rows = [r for r in out.collect() if r.media_id == 3]
+    rows.sort(key=lambda r: r.sample_idx)
+    assert [r.frame_idx for r in rows] == [0, 2, 4, 6]
+    assert all(r.n_frames == 8 and r.fps == 5 + 3 % 4 for r in rows)
+    # frame f carries text byte f: samples hit A, C, E, G
+    assert [r.gray_sum // 64 for r in rows] == [
+        closed_form(ord(c)) for c in "ACEG"
+    ]
+    assert rows[0].gray_hex8 == ("%02X" % closed_form(ord("A"))) * 8
+    # corrupted container: NULL rows, one per sample slot
+    bad = spark.createDataFrame(
+        [(9, "video", payloads[6][:40], 40)],
+        "media_id long, media_type string, payload binary, byte_len long",
+    )
+    bad_rows = sample_mjpeg_frames(bad, n_samples=4).collect()
+    assert len(bad_rows) == 4
+    assert all(r.frame_idx is None and r.gray_sum is None for r in bad_rows)
