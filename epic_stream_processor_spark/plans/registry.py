@@ -492,6 +492,22 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "walk ('MJPG' stream, RIFF padding) -> even frame sampling -> "
         "full baseline-JPEG decode of every sampled frame",
     ),
+    "q_cube_pricing": QueryDef(
+        relational.q_cube_pricing, relational.ORACLE_CUBE_PRICING,
+        "CUBE grouping sets (all 4 levels, one Expand pass) — completes "
+        "the ROLLUP surface; cents-exact sums",
+    ),
+    "q_pivot_priority_revenue": QueryDef(
+        relational.q_pivot_priority_revenue,
+        relational.ORACLE_PIVOT_PRIORITY_REVENUE,
+        "PIVOT with an explicit value list (no distinct pre-scan, stable "
+        "schema) compiled to one conditional-aggregate pass",
+    ),
+    "q_value_percentiles": QueryDef(
+        relational.q_value_percentiles, relational.ORACLE_VALUE_PERCENTILES,
+        "EXACT p50/p90/p99 by rank selection (a picked value, not "
+        "interpolation — engine-exact by construction); one window pass",
+    ),
 }
 
 

@@ -493,6 +493,147 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping-set levels —
+    (a,b), (a), (b), () — in ONE aggregation pass (Catalyst expands the
+    sets with an Expand node; the scan runs once, not four times). The
+    completion of the ROLLUP surface; cents-exact sums."""
+    configure_for_parity(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias(
+                "sum_price"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_items",
+        )
+    )
+
+
+ORACLE_CUBE_PRICING = """SELECT
+  coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS sum_price,
+  count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+PIVOT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def q_pivot_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order revenue per status x priority, priorities spread into
+    columns. The value list is EXPLICIT (``PIVOT_PRIORITIES``) — with an
+    inferred list Spark runs a distinct-scan job first and the output
+    schema depends on the data, both wrong at scale. Catalyst compiles
+    this to one pass of conditional aggregates (no join, no transpose
+    shuffle), which is exactly what the oracle states."""
+    configure_for_parity(spark)
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .agg(
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100.0)
+        )
+    )
+    # stable snake_case column names (the driver compare is name-keyed)
+    renames = {p: "rev_" + p.split("-")[0] for p in PIVOT_PRIORITIES}
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    return piv.select(
+        "o_orderstatus", *[renames[p] for p in PIVOT_PRIORITIES]
+    )
+
+
+ORACLE_PIVOT_PRIORITY_REVENUE = """SELECT
+  o_orderstatus,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) / 100.0 AS rev_1,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       FILTER (o_orderpriority = '2-HIGH') AS DOUBLE) / 100.0 AS rev_2,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE) / 100.0 AS rev_3,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) / 100.0 AS rev_4,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       FILTER (o_orderpriority = '5-LOW') AS DOUBLE) / 100.0 AS rev_5
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of order value per priority — by RANK SELECTION,
+    not interpolation: the percentile is the value at row
+    ``floor((n-1)·p) + 1`` under the total order (price, orderkey).
+    Engine-exact by construction (each output is a VALUE picked from the
+    data, no float arithmetic to drift) — the reason this formulation is
+    used instead of percentile_cont, whose interpolation arithmetic is
+    not specified identically across engines. One window pass; at scale
+    this is the same budget as any ranking window (partition-keyed
+    shuffle), and the approximate path (percentile_approx sketches) is
+    the knob when even that is too much."""
+    configure_for_parity(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    picks = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    agg = ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.floor((F.col("n") - 1) * F.lit(p)).cast("int") + 1,
+                    F.col("o_totalprice"),
+                )
+            ).alias(name)
+            for name, p in picks
+        ],
+    )
+    return agg.select("o_orderpriority", "n_orders", "p50", "p90", "p99")
+
+
+ORACLE_VALUE_PERCENTILES = """WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS INT) + 1
+                THEN o_totalprice END) AS p50,
+       max(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS INT) + 1
+                THEN o_totalprice END) AS p90,
+       max(CASE WHEN rn = CAST(floor((n - 1) * 0.99) AS INT) + 1
+                THEN o_totalprice END) AS p99
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
 # --- Q4-style EXISTS semi-join ----------------------------------------------
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
