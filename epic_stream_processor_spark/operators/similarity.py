@@ -940,12 +940,19 @@ def pq_train_encode(
     empty_schema = "vec_id long, subspace long, code long, qdist long"
     if trained is None:
         return vectors.sparkSession.createDataFrame([], empty_schema)
-    q, books, dsub = trained
+    q, books, dsub, _scale = trained
+    out = _pq_codes_projection(q, books, dsub, id_col)
+    q.unpersist()
+    return out
 
-    # one row-local projection: every subspace's argmin with the final
-    # codebooks as literals; explode_outer + pos-not-null per the
-    # InferFiltersFromGenerate precedent (an inner explode would inline
-    # the whole m·k argmin chain once per OUTPUT row)
+
+def _pq_codes_projection(q, books, dsub: int, id_col: str):
+    """(vec_id, subspace, code, qdist) rows from a quantized frame with a
+    ``qv`` column — one row-local projection with every codebook entry a
+    literal; explode_outer + pos-not-null per the InferFiltersFromGenerate
+    precedent (an inner explode would inline the whole m·k argmin chain
+    once per OUTPUT row)."""
+    m = len(books)
     per_sub = F.array(
         *[
             F.struct(
@@ -957,7 +964,7 @@ def pq_train_encode(
             for s in range(m)
         ]
     )
-    out = (
+    return (
         q.withColumn("_pq_ps", per_sub)
         .select(id_col, F.explode_outer("_pq_ps").alias("e"))
         .where(F.col("e").isNotNull())
@@ -968,8 +975,65 @@ def pq_train_encode(
             F.col("e.best.dist").alias("qdist"),
         )
     )
+
+
+class PQModel:
+    """Trained PQ state: the global int8 ``scale``, subspace width
+    ``dsub``, and integer ``books[s][cid]`` codebooks. Tiny (m·k·dsub
+    ints) — ship it anywhere, embed it in plans as literals.
+
+    The production pattern the registered ``pq_encode`` query cannot show
+    (parity requires in-query training): train ONCE per corpus snapshot
+    with :func:`pq_train_model`, then encode any number of frames —
+    including streaming micro-batches — with :func:`pq_encode_with_model`,
+    which plans a pure row-local projection (no collects, no training
+    jobs, nothing to amortize per call)."""
+
+    def __init__(self, scale: float, dsub: int, books):
+        self.scale = float(scale)
+        self.dsub = int(dsub)
+        self.books = books
+
+
+def pq_train_model(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Train PQ codebooks and return the :class:`PQModel` (None for an
+    empty corpus). Same integer Lloyd procedure as
+    :func:`pq_train_encode`."""
+    trained = _pq_train(vectors, m, k, n_iter, vec_col, id_col)
+    if trained is None:
+        return None
+    q, books, dsub, scale = trained
     q.unpersist()
-    return out
+    return PQModel(scale, dsub, books)
+
+
+def pq_encode_with_model(
+    vectors: DataFrame,
+    model: PQModel,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode a frame under an ALREADY-TRAINED model: quantize with the
+    model's scale literal, then the row-local nearest-code projection —
+    zero training jobs, zero collects, zero shuffles. This is the call a
+    streaming ingest or an incremental corpus append makes per batch."""
+    q = vectors.withColumn(
+        "qv",
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(
+                x / F.lit(float(model.scale)) + F.lit(0.5)
+            ).cast("long"),
+        ),
+    )
+    return _pq_codes_projection(q, model.books, model.dsub, id_col)
 
 
 def _pq_argmin_struct(sub: Column, book: dict[int, list[int]]):
@@ -1002,7 +1066,7 @@ def _pq_train(
     vec_col: str,
     id_col: str,
 ):
-    """Shared PQ training: returns ``(q, books, dsub)`` where ``q`` is the
+    """Shared PQ training: returns ``(q, books, dsub, scale)`` where ``q`` is the
     PERSISTED quantized corpus (caller unpersists), ``books[s][cid]`` the
     final integer codebooks, or None for an empty corpus."""
     import math
@@ -1080,7 +1144,7 @@ def _pq_train(
                     int(math.floor(dims_map[d] / n + 0.5)) for d in range(dsub)
                 ]
 
-    return q, books, dsub
+    return q, books, dsub, scale
 
 
 def pq_adc_topk(
@@ -1116,7 +1180,7 @@ def pq_adc_topk(
     empty_schema = "probe_id long, rank long, vec_id long, adc_dist long"
     if trained is None:
         return vectors.sparkSession.createDataFrame([], empty_schema)
-    q, books, dsub = trained
+    q, books, dsub, _scale = trained
 
     codes = q.withColumn(
         "_codes",

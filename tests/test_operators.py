@@ -1651,3 +1651,37 @@ def test_pq_adc_topk_retrieves_own_cluster(spark):
         # all hits from the probe's own cluster
         for _, vid, _ in lst:
             assert (vid < 20) == (pid < 20)
+
+
+def test_pq_model_train_once_encode_many(spark):
+    """The production PQ pattern: train a PQModel once, then encode any
+    frame with a pure row-local projection. Encoding the training corpus
+    under the model must equal pq_train_encode's output exactly, the
+    encode plan must contain no Exchange/Join (nothing to amortize per
+    call), and a NEW vector encodes under the trained books."""
+    from epic_stream_processor_spark.operators.similarity import (
+        pq_encode_with_model,
+        pq_train_encode,
+        pq_train_model,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 50) for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = pq_train_model(df, m=2, k=3, n_iter=1)
+    assert model is not None and model.dsub == 4 and len(model.books) == 2
+    direct = sorted(
+        map(tuple, pq_train_encode(df, m=2, k=3, n_iter=1).collect())
+    )
+    via_model = pq_encode_with_model(df, model)
+    assert sorted(map(tuple, via_model.collect())) == direct
+    plan = via_model._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    # unseen vector: encodes row-locally under the trained books
+    new = spark.createDataFrame(
+        [(99, [3.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    got = pq_encode_with_model(new, model).collect()
+    assert len(got) == 2 and all(r["qdist"] >= 0 for r in got)
+    # empty corpus trains to None
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pq_train_model(empty, m=2, k=3) is None
