@@ -128,6 +128,19 @@ def main(argv: list[str] | None = None) -> int:
                     "enables 13-gram decontamination")
     ci.add_argument("--available-now", action="store_true")
 
+    ct = sub.add_parser(
+        "corpus-tokenize",
+        help="train a BPE tokenizer on the corpus (Sennrich pair-merge) "
+             "and encode every document under it",
+    )
+    ct.add_argument("--docs", required=True, help="documents parquet dir")
+    ct.add_argument("--out", required=True)
+    ct.add_argument("--merges", type=int, default=64)
+    ct.add_argument(
+        "--min-count", type=int, default=1,
+        help="drop words rarer than this from the learner's word table",
+    )
+
     st = sub.add_parser("stream", help="run the streaming pipeline")
     st.add_argument("--epochs", required=True, help="spool/epochs parquet dir")
     st.add_argument("--watchlist", required=True)
@@ -253,6 +266,22 @@ def main(argv: list[str] | None = None) -> int:
                 min_quality=args.min_quality, available_now=args.available_now,
             )
         q.awaitTermination()
+    elif args.cmd == "corpus-tokenize":
+        from .operators.bpe import bpe_encode, train_bpe
+
+        spark = _get_spark()
+        docs = spark.read.parquet(args.docs)
+        merges = train_bpe(docs, args.merges, min_count=args.min_count)
+        bpe_encode(docs, merges).write.mode("overwrite").parquet(
+            f"{args.out}/encoded"
+        )
+        spark.createDataFrame(
+            merges, "rank long, left string, right string"
+        ).write.mode("overwrite").parquet(f"{args.out}/merges")
+        n = spark.read.parquet(f"{args.out}/encoded").count()
+        print(
+            f"trained {len(merges)} merges; encoded {n} docs -> {args.out}"
+        )
     elif args.cmd == "stream":
         from .streaming.pipeline import StreamConfig, run_stream
 

@@ -155,3 +155,29 @@ def test_cli_corpus_ingest(spark, tmp_path):
     assert set(r.split for r in got.select("split").distinct().collect()) <= {
         "train", "val", "test"
     }
+
+
+def test_cli_corpus_tokenize(spark, tmp_path):
+    """CLI surface: `corpus-tokenize` trains the BPE learner from argv,
+    writes the merge table and the per-doc encoding, and the encoding is
+    consistent with applying the written merges."""
+    from conftest import SF_DIR
+
+    from epic_stream_processor_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.parquet(docs_path)
+    out = str(tmp_path / "tok")
+    rc = main([
+        "corpus-tokenize", "--docs", docs_path, "--out", out, "--merges", "3",
+    ])
+    assert rc == 0
+    merges = spark.read.parquet(f"{out}/merges").collect()
+    assert len(merges) == 3
+    assert {r["rank"] for r in merges} == {0, 1, 2}
+    enc = spark.read.parquet(f"{out}/encoded")
+    n_docs = spark.read.parquet(docs_path).count()
+    assert enc.count() == n_docs
+    row = enc.where("n_words > 0").first()
+    assert row["n_tokens"] >= row["n_words"]  # word-internal BPE only splits
+    assert row["token_prefix"]
