@@ -1,0 +1,185 @@
+"""Exact duplicated-substring detection (the Lee et al. 2021
+"Deduplicating Training Data Makes Language Models Better" recipe, at
+word-k-gram granularity).
+
+The published method finds every substring of ≥ some length that occurs
+more than once in the corpus (there via a suffix array) and removes or
+down-weights the duplicated spans. This module implements the same
+semantics Spark-first, without the monolithic suffix array:
+
+1. every position's word k-gram is hashed (60-bit md5 — the
+   decontamination contract, ``functions/hashing.py``);
+2. a gram hash occurring ≥ 2 times anywhere in the corpus (including
+   twice within one document) marks ALL its positions as duplicated;
+3. per document, overlapping/adjacent duplicated windows merge into
+   MAXIMAL spans (gaps-and-islands over positions: a new span starts when
+   ``pos > prev + k``), exactly the "duplicated substring" the suffix
+   array would report for matches of length ≥ k tokens.
+
+Scale (100 TB): positional grams are one explode (corpus-token-count
+rows — the same budget as any gram operator); the duplicated-hash set is
+one gram-keyed shuffle with map-side partials (a corpus-global fact, the
+boilerplate-df precedent); marking is an EQUI-join on the hash (the dup
+set is NOT broadcast — unlike benchmark grams it can be arbitrarily
+large for boilerplate-heavy corpora, and an equi-join shuffles both
+sides by hash instead of betting on size); span merging is one doc-keyed
+window. Nothing is quadratic and nothing is all-pairs.
+
+60-bit collisions: a false positive needs two different grams to share a
+60-bit md5 prefix — ~n²/2⁶¹ expected collisions, negligible below ~10¹⁰
+distinct grams and bias-free (hash of content, not of position); the
+same accepted trade as every md5-keyed operator here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64, stable_hash64_sql
+from ..functions.text import ngrams_from_tokens, tokens
+
+
+def _positional_hits(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos) of every position whose k-gram occurs ≥ 2 times in the
+    corpus. Positions are 0-based; position p covers tokens [p, p+k)."""
+    staged = docs.withColumn("_ds_toks", tokens(F.col(text_col))).withColumn(
+        "_ds_g",
+        F.transform(ngrams_from_tokens(F.col("_ds_toks"), k), stable_hash64),
+    )
+    grams = (
+        staged.select(id_col, F.posexplode_outer("_ds_g").alias("pos", "h"))
+        .where(F.col("pos").isNotNull())
+    )
+    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") >= 2
+    ).select("h")
+    return grams.join(dup, "h").select(id_col, "pos")
+
+
+def dup_substring_spans(
+    docs: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per MAXIMAL duplicated span: (id, span_start, span_end,
+    span_tokens) with token-index bounds [span_start, span_end) — the
+    rows a removal pass would cut out of the training text."""
+    hits = _positional_hits(docs, k, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(k)),
+            1,
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def dup_substring_summary(
+    docs: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring load: (id, n_tokens,
+    n_dup_grams, n_spans, dup_tokens) — all exact integers (dup_tokens is
+    the total length of the maximal spans; dup_tokens/n_tokens is the
+    fraction a dedup pass would remove). Every document gets a row
+    (zeros when clean)."""
+    spans = dup_substring_spans(docs, k, text_col, id_col)
+    span_agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+    hit_agg = (
+        _positional_hits(docs, k, text_col, id_col)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_grams"))
+    )
+    base = docs.select(
+        id_col, F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(hit_agg, id_col, "left")
+        .join(span_agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )
+
+
+def dup_substring_summary_oracle_sql(
+    k: int = 13, table: str = "documents"
+) -> str:
+    """DuckDB twin: identical positional gram hashes, duplicate set,
+    islands merge, and per-doc integers."""
+    h = stable_hash64_sql(f"array_to_string(w[i:i+{k}-1], ' ')")
+    return f"""WITH docw AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN []
+              ELSE str_split_regex(trim(text), '\\s+') END AS w
+  FROM {table}
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(w) - {k} + 1, 0))) AS pos,
+         unnest(list_transform(range(1, greatest(len(w) - {k} + 1, 0) + 1),
+                               i -> {h})) AS h
+  FROM docw
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM hits
+  )
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {k} AS e
+  FROM isl GROUP BY doc_id, island
+),
+span_agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+hit_agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+  FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.w) AS BIGINT) AS n_tokens,
+       coalesce(h.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(s.n_spans, 0) AS n_spans,
+       coalesce(s.dup_tokens, 0) AS dup_tokens
+FROM docw d
+LEFT JOIN hit_agg h USING (doc_id)
+LEFT JOIN span_agg s USING (doc_id)
+"""

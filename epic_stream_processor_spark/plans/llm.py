@@ -677,6 +677,27 @@ FROM vals
 ORACLE_MJPEG_FRAMES = _mjpeg_oracle()
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2021 semantics at
+    word-13-gram granularity, operators/substring_dedup.py): positions
+    whose 13-gram occurs >= 2 times anywhere in the corpus, merged into
+    maximal per-doc spans — per-doc integer summary."""
+    from ..operators.substring_dedup import dup_substring_summary
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_substring_summary(docs, k=13)
+
+
+def _dedup_substring_oracle() -> str:
+    from ..operators.substring_dedup import dup_substring_summary_oracle_sql
+
+    return dup_substring_summary_oracle_sql(13)
+
+
+ORACLE_DEDUP_SUBSTRING = _dedup_substring_oracle()
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no stub: each document's bytes become a genuine
     RIFF/WAVE 16-bit PCM mono file (``docs_as_wav``: real RIFF + fmt +

@@ -508,6 +508,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
+    "dedup_substring": QueryDef(
+        llm.q_dedup_substring, llm.ORACLE_DEDUP_SUBSTRING,
+        "exact duplicated-substring spans (Lee et al. 2021 semantics, "
+        "word-13-gram granularity): corpus-global dup-gram set via one "
+        "gram-keyed shuffle, equi-join marking, gaps-and-islands span "
+        "merge — per-doc integer summary",
+    ),
 }
 
 

@@ -1685,3 +1685,40 @@ def test_pq_model_train_once_encode_many(spark):
     # empty corpus trains to None
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert pq_train_model(empty, m=2, k=3) is None
+
+
+def test_dup_substring_spans_semantics(spark):
+    """Lee-et-al-style duplicated substrings at k=3, hand-checked: a
+    shared 5-token run across two docs yields one maximal span covering
+    exactly those tokens in each; within-doc repetition counts; clean
+    docs report zeros; overlapping dup windows merge into ONE span."""
+    from epic_stream_processor_spark.operators.substring_dedup import (
+        dup_substring_spans,
+        dup_substring_summary,
+    )
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens -> 3 dup 3-grams
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} five six seven"),
+        (3, "totally unique words here nothing repeats at all"),
+        (4, "loop loop loop loop loop loop"),  # self-repeating
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dup_substring_spans(docs, k=3).collect()
+    }
+    # doc 1: shared run at token index 2..6 -> dup windows 2,3,4 merge to
+    # one span [2, 7) = 5 tokens
+    assert spans[1] == (2, 7, 5)
+    assert spans[2] == (0, 5, 5)
+    assert 3 not in spans
+    # doc 4: all four 3-gram windows are the same gram (count 4 >= 2):
+    # positions 0..3 merge into [0, 6) - the whole doc
+    assert spans[4] == (0, 6, 6)
+    summ = {r["doc_id"]: r for r in dup_substring_summary(docs, k=3).collect()}
+    assert summ[3]["n_spans"] == 0 and summ[3]["dup_tokens"] == 0
+    assert summ[3]["n_tokens"] == 8
+    assert summ[1]["n_dup_grams"] == 3 and summ[1]["n_spans"] == 1
+    assert summ[4]["n_dup_grams"] == 4 and summ[4]["dup_tokens"] == 6
