@@ -183,3 +183,91 @@ FROM docw d
 LEFT JOIN hit_agg h USING (doc_id)
 LEFT JOIN span_agg s USING (doc_id)
 """
+
+
+def remove_dup_substrings(
+    docs: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = True,
+) -> DataFrame:
+    """The REMOVAL pass the detection exists for: rewrite each document
+    with its duplicated spans cut out, keeping tokens outside every
+    maximal span. ``keep_first=False`` removes every duplicated span;
+    ``keep_first=True`` (default, the Lee et al. practice of keeping one
+    copy) spares a span when its FIRST duplicated gram's first corpus
+    occurrence — smallest (id, pos) under the total order — lies in this
+    document at this span, so exactly one copy of each duplicated run
+    survives corpus-wide.
+
+    Returns (id, clean_text, n_tokens, n_removed_tokens). Row-local
+    rewrite: spans collect per doc (collect_list after the span window —
+    spans per doc are few), join back doc-keyed, then one
+    ``filter(tokens, by index)`` expression; no per-token shuffle.
+    """
+    spans = dup_substring_spans(docs, k, text_col, id_col)
+    if keep_first:
+        # owner of a span = the corpus-wide first occurrence of its
+        # FIRST gram: join spans to the global min (id, pos) per hash of
+        # the gram at span_start
+        staged = docs.withColumn("_ds_toks", tokens(F.col(text_col))).withColumn(
+            "_ds_g",
+            F.transform(
+                ngrams_from_tokens(F.col("_ds_toks"), k), stable_hash64
+            ),
+        )
+        grams = (
+            staged.select(
+                id_col, F.posexplode_outer("_ds_g").alias("pos", "h")
+            )
+            .where(F.col("pos").isNotNull())
+        )
+        first_occ = grams.groupBy("h").agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).cast("long").alias("fid"),
+                    F.col("pos").alias("fpos"),
+                )
+            ).alias("_fo")
+        )
+        start_hash = grams.select(
+            F.col(id_col).alias("_sid"), F.col("pos").alias("_spos"), "h"
+        )
+        spans = (
+            spans.join(
+                start_hash,
+                (spans[id_col] == start_hash["_sid"])
+                & (spans["span_start"] == start_hash["_spos"]),
+            )
+            .join(first_occ, "h")
+            .where(
+                ~(
+                    (F.col("_fo.fid") == F.col(id_col).cast("long"))
+                    & (F.col("_fo.fpos") == F.col("span_start"))
+                )
+            )
+            .select(id_col, "span_start", "span_end", "span_tokens")
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    staged = docs.withColumn("_toks", tokens(F.col(text_col)))
+    joined = staged.join(per_doc, id_col, "left")
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<span_start:long,span_end:long>>"),
+            ),
+            lambda s: (i.cast("long") >= s["span_start"])
+            & (i.cast("long") < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )

@@ -698,6 +698,75 @@ def _dedup_substring_oracle() -> str:
 ORACLE_DEDUP_SUBSTRING = _dedup_substring_oracle()
 
 
+def q_dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal pass over the duplicated spans (keep_first=False —
+    every duplicated span cut): rewritten text + removal counts per doc."""
+    from ..operators.substring_dedup import remove_dup_substrings
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_dup_substrings(docs, k=13, keep_first=False)
+
+
+def _dedup_substring_removed_oracle() -> str:
+    from ..functions.hashing import stable_hash64_sql
+
+    k = 13
+    h = stable_hash64_sql(f"array_to_string(w[i:i+{k}-1], ' ')")
+    return f"""WITH docw AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN []
+              ELSE str_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(w) - {k} + 1, 0))) AS pos,
+         unnest(list_transform(range(1, greatest(len(w) - {k} + 1, 0) + 1),
+                               i -> {h})) AS h
+  FROM docw
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM hits
+  )
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {k} AS e
+  FROM isl GROUP BY doc_id, island
+),
+doc_spans AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(array_to_string(
+         list_filter(d.w, (t, i) ->
+           ds.sp IS NULL
+           OR len(list_filter(ds.sp,
+                              x -> (i - 1) >= x.s AND (i - 1) < x.e)) = 0),
+         ' '), '') AS clean_text,
+       CAST(len(d.w) AS BIGINT) AS n_tokens,
+       CAST(len(d.w) - len(
+         list_filter(d.w, (t, i) ->
+           ds.sp IS NULL
+           OR len(list_filter(ds.sp,
+                              x -> (i - 1) >= x.s AND (i - 1) < x.e)) = 0)
+       ) AS BIGINT) AS n_removed_tokens
+FROM docw d LEFT JOIN doc_spans ds USING (doc_id)
+"""
+
+
+ORACLE_DEDUP_SUBSTRING_REMOVED = _dedup_substring_removed_oracle()
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no stub: each document's bytes become a genuine
     RIFF/WAVE 16-bit PCM mono file (``docs_as_wav``: real RIFF + fmt +

@@ -515,6 +515,12 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "gram-keyed shuffle, equi-join marking, gaps-and-islands span "
         "merge — per-doc integer summary",
     ),
+    "dedup_substring_removed": QueryDef(
+        llm.q_dedup_substring_removed, llm.ORACLE_DEDUP_SUBSTRING_REMOVED,
+        "the removal pass: duplicated spans cut from the text (row-local "
+        "indexed token filter after a doc-keyed span join) — rewritten "
+        "text + exact removal counts",
+    ),
 }
 
 

@@ -1722,3 +1722,42 @@ def test_dup_substring_spans_semantics(spark):
     assert summ[3]["n_tokens"] == 8
     assert summ[1]["n_dup_grams"] == 3 and summ[1]["n_spans"] == 1
     assert summ[4]["n_dup_grams"] == 4 and summ[4]["dup_tokens"] == 6
+
+
+def test_remove_dup_substrings_keep_first(spark):
+    """Removal semantics: keep_first=False cuts every duplicated span
+    (a fully-duplicated doc empties); keep_first=True spares exactly the
+    corpus-first occurrence (min (id, pos) of the span's first gram), so
+    one copy of each duplicated run survives corpus-wide."""
+    from epic_stream_processor_spark.operators.substring_dedup import (
+        remove_dup_substrings,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} five six seven"),
+            (3, "totally unique words here nothing repeats"),
+            (4, "loop loop loop loop loop loop"),
+        ],
+        ["doc_id", "text"],
+    )
+    cut = {
+        r["doc_id"]: r
+        for r in remove_dup_substrings(docs, k=3, keep_first=False).collect()
+    }
+    assert cut[1]["clean_text"] == "one two three four"
+    assert cut[2]["clean_text"] == "five six seven"
+    assert cut[3]["n_removed_tokens"] == 0
+    assert cut[4]["clean_text"] == "" and cut[4]["n_removed_tokens"] == 6
+    kept = {
+        r["doc_id"]: r
+        for r in remove_dup_substrings(docs, k=3, keep_first=True).collect()
+    }
+    # doc 1's copy (min (id, pos) = (1, 2)) survives; doc 2's is cut
+    assert shared in kept[1]["clean_text"]
+    assert kept[1]["n_removed_tokens"] == 0
+    assert kept[2]["clean_text"] == "five six seven"
+    # self-repeating doc keeps its single surviving span
+    assert kept[4]["n_removed_tokens"] == 0
