@@ -423,3 +423,157 @@ SELECT least(n_tokens // 8, 12) AS bucket,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM t GROUP BY bucket ORDER BY bucket
 """
+
+
+# --- WARC container round trip (Common Crawl ingest) ------------------------
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC/1.0 container round trip (ISO 28500, the Common Crawl
+    format): every document is rendered as a spec-shaped ``response``
+    record with JVM-side expressions, records are concatenated into 32
+    multi-record file images by a group writer, and ``parse_warc``
+    stream-parses the file images back — version line, case-insensitive
+    header fields, Content-Length framing, per-record byte offsets.
+
+    The oracle rebuilds each record's header text in SQL and derives the
+    expected byte offset of every record as the window-summed size of its
+    predecessors in the same file, so a framing bug ANYWHERE — a header
+    byte off, a CRLF miscount, payload length in chars instead of bytes
+    (the corpus has multi-byte zh text), records assembled out of order —
+    breaks the offset column's hash match.
+    """
+    from ..sources.warc import docs_as_warc_records, parse_warc, warc_files
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = parse_warc(warc_files(docs_as_warc_records(docs, n_buckets=32)))
+    return parsed.select(
+        "bucket_id", "rec_offset", "warc_type", "record_id", "target_uri",
+        "content_length", "text",
+    )
+
+
+ORACLE_WARC_ROUNDTRIP = """WITH m AS (
+  SELECT doc_id,
+         doc_id % 32 AS bucket_id,
+         source,
+         coalesce(text, '') AS txt,
+         octet_length(encode(coalesce(text, ''))) AS clen,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+         substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+         substr(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+         substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+         substr(md5(CAST(doc_id AS VARCHAR)), 21, 12) AS rid
+  FROM documents
+),
+r AS (
+  SELECT m.*,
+         octet_length(encode(
+           'WARC/1.0' || chr(13) || chr(10) ||
+           'WARC-Type: response' || chr(13) || chr(10) ||
+           'WARC-Record-ID: <urn:uuid:' || rid || '>' || chr(13) || chr(10) ||
+           'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
+           'WARC-Target-URI: https://crawl.example/' || source || '/' ||
+             CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+           'Content-Type: text/plain' || chr(13) || chr(10) ||
+           'Content-Length: ' || CAST(clen AS VARCHAR) || chr(13) || chr(10) ||
+           chr(13) || chr(10)
+         )) + clen + 4 AS rec_size
+  FROM m
+)
+SELECT bucket_id,
+       CAST(coalesce(sum(rec_size) OVER (
+         PARTITION BY bucket_id ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS rec_offset,
+       'response' AS warc_type,
+       'urn:uuid:' || rid AS record_id,
+       'https://crawl.example/' || source || '/' || CAST(doc_id AS VARCHAR)
+         AS target_uri,
+       CAST(clen AS BIGINT) AS content_length,
+       txt AS text
+FROM r
+"""
+
+
+def q_warc_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC with the production gzip layout: one deterministic gzip member
+    per record, members concatenated per file (the layout CDX indexes
+    seek into). ``parse_warc`` detects the magic, walks members with
+    ``zlib.decompressobj``, and parses each inflated record. Compressed
+    offsets are not SQL-derivable, so the parity projection is the
+    payload round trip keyed by the doc id parsed back out of the
+    target URI.
+    """
+    from ..sources.warc import (
+        docs_as_warc_records, gzip_records, parse_warc, warc_files,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = parse_warc(
+        warc_files(gzip_records(docs_as_warc_records(docs, n_buckets=32)))
+    )
+    return parsed.select(
+        F.element_at(F.split(F.col("target_uri"), "/"), -1)
+        .cast("long").alias("doc_id"),
+        "warc_type",
+        "content_length",
+        "text",
+    )
+
+
+ORACLE_WARC_GZIP_ROUNDTRIP = """SELECT
+  doc_id,
+  'response' AS warc_type,
+  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS content_length,
+  coalesce(text, '') AS text
+FROM documents
+"""
+
+
+# --- HTML -> text extraction (post-WARC boilerplate stage) ------------------
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (the C4/CCNet stage that follows WARC
+    ingest), proven end-to-end: every document is rendered as an
+    adversarial HTML page — a script block whose string literal contains
+    fake ``<p>`` markup and a pre-encoded entity, a style block with
+    braces and a ``"></"`` content string, a comment, headings, and an
+    entity-bearing footer — then boiled back down by the pure-JVM
+    ``extract_text`` chain (script/style/comment removal BEFORE tag
+    stripping, ``&amp;`` decoded LAST, whitespace normalized).
+
+    The oracle is CLOSED FORM — the expected text is rebuilt directly
+    from the table columns, not by re-running an extractor — so an
+    ordering bug (script stripped after tags: leaks ``not content&``),
+    a double-decode (``&amp;lt;`` → ``<``), or a normalization miss
+    breaks the hash.
+    """
+    from ..operators.html_extract import docs_as_html, extract_text
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    html = docs_as_html(
+        F.col("doc_id"), F.col("source"), F.col("lang"), F.col("text")
+    )
+    out = docs.withColumn("extracted", extract_text(html))
+    return out.select(
+        "doc_id",
+        "extracted",
+        F.length("extracted").cast("long").alias("n_chars_extracted"),
+    )
+
+
+ORACLE_HTML_EXTRACT = """SELECT
+  doc_id,
+  trim(regexp_replace(
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source || ' ' ||
+    coalesce(text, '') || ' lang <' || lang || '> "' || source || '" &co',
+    '\\s+', ' ', 'g')) AS extracted,
+  CAST(length(trim(regexp_replace(
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source || ' ' ||
+    coalesce(text, '') || ' lang <' || lang || '> "' || source || '" &co',
+    '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_extracted
+FROM documents
+"""

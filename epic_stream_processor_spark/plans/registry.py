@@ -521,6 +521,25 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "indexed token filter after a doc-keyed span join) — rewritten "
         "text + exact removal counts",
     ),
+    "warc_roundtrip": QueryDef(
+        corpus.q_warc_roundtrip, corpus.ORACLE_WARC_ROUNDTRIP,
+        "REAL WARC/1.0 container round trip (ISO 28500, the Common Crawl "
+        "ingest format): expression-built response records -> group-writer "
+        "file images -> stream parser; byte offsets window-derived by the "
+        "oracle pin the framing exactly",
+    ),
+    "warc_gzip_roundtrip": QueryDef(
+        corpus.q_warc_gzip_roundtrip, corpus.ORACLE_WARC_GZIP_ROUNDTRIP,
+        "WARC with the production gzip-member-per-record layout (CDX "
+        "convention): deterministic member encode, multi-member inflate "
+        "walk, payload round trip",
+    ),
+    "html_extract": QueryDef(
+        corpus.q_html_extract, corpus.ORACLE_HTML_EXTRACT,
+        "HTML -> text extraction (the C4 boilerplate stage after WARC): "
+        "script/style/comment removal, tag strip, entity decode, "
+        "whitespace normalize — pure JVM regexp chain, closed-form oracle",
+    ),
 }
 
 

@@ -1,0 +1,159 @@
+"""WARC container tests: framing round trips, offset math, gzip members,
+and robustness to malformed input (truncation, garbage, payloads that look
+like headers)."""
+
+from __future__ import annotations
+
+import zlib
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.sources.warc import (
+    docs_as_warc_records,
+    gzip_records,
+    parse_warc,
+    warc_files,
+)
+from epic_stream_processor_spark.sources.fixtures import load_table
+
+
+def _roundtrip(spark, gz: bool):
+    docs = load_table(spark, SF_DIR, "documents")
+    recs = docs_as_warc_records(docs, n_buckets=8)
+    if gz:
+        recs = gzip_records(recs)
+    return docs, parse_warc(warc_files(recs))
+
+
+def test_plain_roundtrip_identity(spark):
+    docs, parsed = _roundtrip(spark, gz=False)
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = parsed.collect()
+    assert len(got) == len(want)
+    for r in got:
+        doc_id = int(r["target_uri"].rsplit("/", 1)[1])
+        assert r["text"] == want[doc_id]
+        assert r["warc_type"] == "response"
+        assert r["record_id"].startswith("urn:uuid:")
+        assert r["content_length"] == len(want[doc_id].encode("utf-8"))
+
+
+def test_plain_offsets_are_cumulative_record_sizes(spark):
+    """Each record's offset must equal the byte length of everything before
+    it in its file — recompute sizes independently from the raw bytes."""
+    docs = load_table(spark, SF_DIR, "documents")
+    recs = docs_as_warc_records(docs, n_buckets=8)
+    sizes = {
+        (r["bucket_id"], r["doc_id"]): len(r["record"])
+        for r in recs.collect()
+    }
+    parsed = parse_warc(warc_files(recs)).collect()
+    by_bucket: dict[int, list] = {}
+    for r in parsed:
+        by_bucket.setdefault(r["bucket_id"], []).append(r)
+    n_checked = 0
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["rec_offset"])
+        expect = 0
+        for r in rows:
+            assert r["rec_offset"] == expect
+            doc_id = int(r["target_uri"].rsplit("/", 1)[1])
+            expect += sizes[(b, doc_id)]
+            n_checked += 1
+    assert n_checked == len(sizes)
+
+
+def test_gzip_roundtrip_identity(spark):
+    docs, parsed = _roundtrip(spark, gz=True)
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = parsed.collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert r["text"] == want[int(r["target_uri"].rsplit("/", 1)[1])]
+
+
+def test_gzip_offsets_are_member_starts(spark):
+    """Compressed offsets must let a reader seek straight to a member."""
+    docs = load_table(spark, SF_DIR, "documents")
+    recs = gzip_records(docs_as_warc_records(docs, n_buckets=4))
+    files = {r["bucket_id"]: bytes(r["data"]) for r in warc_files(recs).collect()}
+    parsed = parse_warc(warc_files(recs)).collect()
+    for r in parsed[:50]:
+        blob = files[r["bucket_id"]]
+        off = r["rec_offset"]
+        assert blob[off : off + 2] == b"\x1f\x8b"
+        raw = zlib.decompressobj(31).decompress(blob[off:])
+        assert raw.startswith(b"WARC/1.0\r\n")
+
+
+def _mini_record(body: bytes, uri: str = "https://x/1") -> bytes:
+    hdr = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:aa>\r\n"
+        + f"WARC-Target-URI: {uri}\r\n".encode()
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+    )
+    return hdr + body + b"\r\n\r\n"
+
+
+def _parse_blob(spark, blob: bytes):
+    df = spark.createDataFrame(
+        [(0, len(blob), blob)], "bucket_id long, n_records long, data binary"
+    )
+    return parse_warc(df).collect()
+
+
+def test_payload_containing_warc_header_does_not_desync(spark):
+    """Content-Length framing: a body that IS a WARC header must be
+    returned verbatim, not parsed as a record boundary."""
+    evil = b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    blob = _mini_record(evil, "https://x/evil") + _mini_record(b"ok", "https://x/ok")
+    rows = _parse_blob(spark, blob)
+    assert [r["target_uri"] for r in rows] == ["https://x/evil", "https://x/ok"]
+    assert rows[0]["text"].encode() == evil
+
+
+def test_truncated_tail_record_is_skipped(spark):
+    good = _mini_record(b"keep me")
+    trunc = _mini_record(b"this record is cut")[:-9]
+    rows = _parse_blob(spark, good + trunc)
+    assert len(rows) == 1 and rows[0]["text"] == "keep me"
+
+
+def test_leading_garbage_resyncs_to_first_version_line(spark):
+    rows = _parse_blob(spark, b"\x00\x01junk bytes" + _mini_record(b"found"))
+    assert len(rows) == 1 and rows[0]["text"] == "found"
+    assert rows[0]["rec_offset"] > 0
+
+
+def test_bad_content_length_skips_only_that_record(spark):
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: banana\r\n\r\nxx\r\n\r\n"
+    )
+    rows = _parse_blob(spark, bad + _mini_record(b"after"))
+    assert [r["text"] for r in rows] == ["after"]
+
+
+def test_header_fields_case_insensitive(spark):
+    rec = (
+        b"WARC/1.0\r\nwarc-type: request\r\n"
+        b"CONTENT-LENGTH: 3\r\n\r\nabc\r\n\r\n"
+    )
+    rows = _parse_blob(spark, rec)
+    assert rows[0]["warc_type"] == "request"
+    assert rows[0]["text"] == "abc"
+    assert rows[0]["target_uri"] is None
+
+
+def test_empty_payload_record(spark):
+    rows = _parse_blob(spark, _mini_record(b""))
+    assert len(rows) == 1
+    assert rows[0]["text"] == "" and rows[0]["content_length"] == 0
+
+
+def test_corrupt_gzip_member_stops_cleanly(spark):
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    member = co.compress(_mini_record(b"first")) + co.flush()
+    rows = _parse_blob(spark, member + b"\x1f\x8b\x00corrupt")
+    assert [r["text"] for r in rows] == ["first"]
