@@ -1,0 +1,99 @@
+"""HTML → text extraction — the first transform after WARC ingest.
+
+Every web-scale curation pipeline (C4, CCNet, RefinedWeb) starts by
+boiling captured HTML down to text: drop ``<script>``/``<style>``
+payloads and comments, strip markup, decode character entities,
+normalize whitespace. This module implements that stage as a **pure
+JVM-side ``regexp_replace``/``replace`` chain** — no Python anywhere, so
+the per-document cost is whole-stage-codegen'd and the operator's 100 TB
+plan is a bare projection (zero shuffles, zero UDFs).
+
+Scope (documented, deliberate): tag stripping accepts the classic
+``<[^>]+>`` limitation (an attribute value containing a literal ``>``
+ends the tag early); entity decoding covers the named set that dominates
+real crawls (``&amp; &lt; &gt; &quot; &apos; &nbsp;``) plus the numeric
+``&#39;``; unknown entities pass through verbatim. These are the same
+trade-offs the published pipelines make before reaching for a full
+parser.
+
+Order matters twice and both are load-bearing:
+- script/style/comment blocks are removed BEFORE generic tag stripping
+  (else their payload text would survive as "content");
+- ``&amp;`` is decoded LAST (else ``&amp;lt;`` would double-decode to
+  ``<``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: (pattern, replacement) applied in order; Java and RE2 agree on every
+#: construct used here (inline (?is) flags, non-greedy, char classes).
+_STRIP_PATTERNS = (
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+)
+
+#: literal entity decodes, applied after tag stripping; &amp; LAST.
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def extract_text(html: Column) -> Column:
+    """Markup → normalized text (single-spaced, trimmed)."""
+    col = html
+    for pat, rep in _STRIP_PATTERNS:
+        col = F.regexp_replace(col, pat, rep)
+    for ent, ch in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def extract_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`extract_text` (RE2 'g'-flag replaces)."""
+    col = expr
+    for pat, rep in _STRIP_PATTERNS:
+        col = f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        col = f"replace({col}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
+
+
+def docs_as_html(doc_id: Column, source: Column, lang: Column, text: Column) -> Column:
+    """Render a document as a small but adversarial HTML page: a title,
+    a style block with braces, a script block whose string literal LOOKS
+    like content (including a fake closing-tag-free ``<p>`` and entities),
+    a comment, heading/paragraph content, and an entity-bearing footer.
+    Everything the extractor must drop is here; everything it must keep
+    is derivable from the table columns (see the closed-form oracle)."""
+    return F.format_string(
+        "<html><head><title>Doc %s</title>\n"
+        "<style>body { color: #000; } p::before { content: \"></\"; }</style>\n"
+        "<script type=\"text/javascript\">\n"
+        "var n = %s; if (n > 0) { alert(\"<p>not content&amp;</p>\"); }\n"
+        "</script></head>\n"
+        "<body>\n"
+        "<!-- crawl %s -->\n"
+        "<h1 class=\"hd\">%s</h1>\n"
+        "<p>%s</p>\n"
+        "<p>lang &lt;%s&gt; &quot;%s&quot;&nbsp;&amp;co</p>\n"
+        "</body></html>",
+        doc_id.cast("string"),
+        doc_id.cast("string"),
+        doc_id.cast("string"),
+        source,
+        text,
+        lang,
+        source,
+    )

@@ -1,0 +1,64 @@
+"""HTML extraction unit tests: stripping order, entity decode order,
+normalization, and the documented tag-regex limitation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from epic_stream_processor_spark.operators.html_extract import extract_text
+
+
+def _run(spark, html: str) -> str:
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(extract_text(F.col("html")).alias("t")).first()["t"]
+
+
+def test_script_payload_never_leaks(spark):
+    got = _run(
+        spark,
+        '<p>keep</p><script>var s = "<p>not content&amp;</p>";</script><p>too</p>',
+    )
+    assert got == "keep too"
+
+
+def test_script_with_attributes_and_case(spark):
+    assert _run(spark, '<SCRIPT type="a">x()</SCRIPT>after') == "after"
+
+
+def test_style_and_comment_removed(spark):
+    got = _run(spark, "<style>p { c: '></' }</style><!-- no --><b>y</b>")
+    assert got == "y"
+
+
+def test_multiline_script_block(spark):
+    got = _run(spark, "<script>\nline1();\nline2();\n</script>body")
+    assert got == "body"
+
+
+def test_amp_decoded_last_no_double_decode(spark):
+    # &amp;lt; must become the literal text "&lt;", NOT "<".
+    assert _run(spark, "a &amp;lt; b") == "a &lt; b"
+
+
+def test_named_and_numeric_entities(spark):
+    got = _run(spark, "x&nbsp;&lt;t&gt;&quot;q&quot;&apos;&#39;&amp;z")
+    assert got == "x <t>\"q\"'\'&z".replace("\\", "")
+    assert got == "x <t>\"q\"''&z"
+
+
+def test_unknown_entity_passes_through(spark):
+    assert _run(spark, "a &copy; b &#169; c") == "a &copy; b &#169; c"
+
+
+def test_whitespace_normalized_and_trimmed(spark):
+    assert _run(spark, "  <p>a</p>\n\n<p>b</p>\t ") == "a b"
+
+
+def test_empty_and_tags_only(spark):
+    assert _run(spark, "<html><body></body></html>") == ""
+
+
+def test_documented_tag_limitation(spark):
+    # An attribute containing '>' ends the tag early — the classic
+    # <[^>]+> trade-off, kept deliberately (see module docstring).
+    assert _run(spark, '<a title="a>b">x</a>') == 'b">x'
