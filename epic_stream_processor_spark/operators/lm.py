@@ -423,3 +423,104 @@ SELECT d.doc_id,
             ELSE 0 END AS avg_nll_micro
 FROM {table} d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# --- CCNet perplexity bucketing ---------------------------------------------
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    vocab_size: int = DEFAULT_VOCAB,
+    bigram_size: int = DEFAULT_BIGRAMS,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): score
+    every document with the corpus LM, then partition the corpus into
+    equal-count perplexity tiers so downstream sampling can prefer the
+    fluent tier.
+
+    Determinism + scale contract: buckets are assigned by **value
+    cutoffs**, not per-row ranks — no global sort of the corpus ever
+    happens. The cutoff for tier ``b`` is the smallest score whose
+    cumulative doc count reaches ``ceil(b·n/n_buckets)``, computed from
+    a HISTOGRAM of the integer micro-nat scores (one map-side-combinable
+    shuffle; its cardinality is bounded by distinct score values, not by
+    corpus size — the one-task cumulative window runs over that bounded
+    table). Ties at a cutoff all land in the lower tier regardless of
+    partitioning, so the assignment is order-independent and
+    oracle-exact. Three bounded driver collects: n (1 row) and one
+    1-row min() per interior cutoff.
+    """
+    scored = bigram_nll_scores(
+        docs, text_col, id_col, vocab_size, bigram_size
+    ).persist()
+    hist = scored.groupBy("avg_nll_micro").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("avg_nll_micro").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    n = scored.count()
+    cuts: list[int] = []
+    for b in range(1, n_buckets):
+        k = (b * n + n_buckets - 1) // n_buckets
+        row = cum.where(F.col("cum") >= k).agg(
+            F.min("avg_nll_micro").alias("v")
+        ).collect()[0]
+        cuts.append(int(row["v"]) if row["v"] is not None else 0)
+
+    labels = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"tier{i}" for i in range(1, n_buckets + 1)]
+    )
+    idx = F.lit(n_buckets)
+    label = F.lit(labels[-1])
+    for i in range(n_buckets - 2, -1, -1):
+        cond = F.col("avg_nll_micro") <= F.lit(cuts[i])
+        idx = F.when(cond, F.lit(i + 1)).otherwise(idx)
+        label = F.when(cond, F.lit(labels[i])).otherwise(label)
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "avg_nll_micro",
+        idx.cast("long").alias("bucket_idx"),
+        label.alias("bucket"),
+    )
+
+
+def perplexity_buckets_oracle_sql(
+    n_buckets: int = 3,
+    vocab_size: int = DEFAULT_VOCAB,
+    bigram_size: int = DEFAULT_BIGRAMS,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: same histogram-cumulative cutoff rule over the same
+    integer scores (the bigram oracle runs as a CTE)."""
+    assert n_buckets == 3, "oracle written for the CCNet 3-tier split"
+    base = bigram_nll_oracle_sql(vocab_size, bigram_size, table)
+    return f"""
+WITH base AS ({base}),
+hist AS (SELECT avg_nll_micro AS v, count(*) AS c FROM base GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+tot AS (SELECT count(*) AS n FROM base),
+cut AS (SELECT
+  (SELECT min(v) FROM cum WHERE cum >= (SELECT (1 * n + 2) // 3 FROM tot)) AS c1,
+  (SELECT min(v) FROM cum WHERE cum >= (SELECT (2 * n + 2) // 3 FROM tot)) AS c2)
+SELECT b.doc_id,
+       b.n_tokens,
+       b.avg_nll_micro,
+       CAST(CASE WHEN b.avg_nll_micro <= c.c1 THEN 1
+                 WHEN b.avg_nll_micro <= c.c2 THEN 2
+                 ELSE 3 END AS BIGINT) AS bucket_idx,
+       CASE WHEN b.avg_nll_micro <= c.c1 THEN 'head'
+            WHEN b.avg_nll_micro <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM base b CROSS JOIN cut c
+"""

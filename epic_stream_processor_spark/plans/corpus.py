@@ -577,3 +577,29 @@ ORACLE_HTML_EXTRACT = """SELECT
     '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_extracted
 FROM documents
 """
+
+
+# --- CCNet perplexity tiers -------------------------------------------------
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020):
+    bigram-LM scores → integer-score histogram → equal-count value
+    cutoffs → row-local tier assignment. No global sort anywhere: the
+    cumulative window runs over the bounded score histogram and the only
+    collects are 1-row (n, and one min() per interior cutoff). Ties at a
+    cutoff land in the lower tier, so assignment is order- and
+    partition-independent — the whole pipeline stays integer-exact."""
+    from ..operators.lm import perplexity_buckets
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs)
+
+
+def _oracle_perplexity_buckets() -> str:
+    from ..operators.lm import perplexity_buckets_oracle_sql
+
+    return perplexity_buckets_oracle_sql()
+
+
+ORACLE_PERPLEXITY_BUCKETS = _oracle_perplexity_buckets()

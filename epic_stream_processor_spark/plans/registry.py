@@ -540,6 +540,12 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "script/style/comment removal, tag strip, entity decode, "
         "whitespace normalize — pure JVM regexp chain, closed-form oracle",
     ),
+    "perplexity_buckets": QueryDef(
+        corpus.q_perplexity_buckets, corpus.ORACLE_PERPLEXITY_BUCKETS,
+        "CCNet head/middle/tail perplexity tiers: bigram-LM scores + "
+        "histogram-derived equal-count value cutoffs (no global sort; "
+        "bounded 1-row collects only), tie-stable assignment",
+    ),
 }
 
 

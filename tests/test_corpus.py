@@ -153,3 +153,29 @@ def test_repetition_metrics_short_docs(spark, tmp_path):
         expect = dict(zip(ocols, oracle[doc_id]))
         for col in out.columns:
             assert r[col] == expect[col], (doc_id, col, r[col], expect[col])
+
+
+def test_perplexity_buckets_equal_counts_and_monotone(spark):
+    """Tier sizes differ by at most the tie mass at each cutoff, and the
+    score ranges of the tiers are disjoint and ordered."""
+    from epic_stream_processor_spark.plans import corpus
+
+    rows = corpus.q_perplexity_buckets(spark, SF_DIR).collect()
+    n = len(rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], []).append(r["avg_nll_micro"])
+    assert set(by) == {"head", "middle", "tail"}
+    # head ends at the ceil(n/3)-th smallest score (ties included) —
+    # recompute the cutoff independently from the raw scores.
+    scores = sorted(r["avg_nll_micro"] for r in rows)
+    c1 = scores[(n + 2) // 3 - 1]
+    c2 = scores[(2 * n + 2) // 3 - 1]
+    assert max(by["head"]) <= c1 < min(by["middle"])
+    assert max(by["middle"]) <= c2 < min(by["tail"])
+    assert len(by["head"]) == sum(1 for s in scores if s <= c1)
+    # idx matches label
+    for r in rows:
+        assert (r["bucket_idx"], r["bucket"]) in {
+            (1, "head"), (2, "middle"), (3, "tail")
+        }
