@@ -72,3 +72,40 @@ def hash_split(
         branch = F.when(bucket < hi, F.lit(name))
         expr = branch if expr is None else expr.when(bucket < hi, F.lit(name))
     return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+# --- Training-shard assignment ----------------------------------------------
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic shuffle-sharding — the final stage of a training-data
+    pipeline, where the corpus becomes N shard files in a reproducible
+    pseudo-random order.
+
+    Every row gets a ``shuffle_key`` (salted stable hash of its id: the
+    reproducible stand-in for a random shuffle), a ``shard_id``
+    (``shuffle_key % n_shards``), and an ``order_key`` string that totally
+    orders rows within a shard (hash first, id appended so even a hash
+    collision cannot make the order engine-dependent). A writer then
+    ``repartition(n_shards, shard_id).sortWithinPartitions(order_key)`` —
+    one shuffle, one per-shard sort, each output file written by exactly
+    one task; re-running the pipeline on any cluster layout yields
+    byte-identical shards.
+    """
+    key = stable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn("shard_id", (F.col("shuffle_key") % n_shards))
+        .withColumn(
+            "order_key",
+            F.format_string(
+                "%020d:%020d", F.col("shuffle_key"), F.col(key_col)
+            ),
+        )
+    )

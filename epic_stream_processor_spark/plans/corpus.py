@@ -603,3 +603,68 @@ def _oracle_perplexity_buckets() -> str:
 
 
 ORACLE_PERPLEXITY_BUCKETS = _oracle_perplexity_buckets()
+
+
+# --- Training-shard manifest ------------------------------------------------
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard-writer's manifest: per shard, how many docs/tokens land
+    there and which document the deterministic shuffle order puts FIRST
+    (``min_by`` over the collision-proof ``order_key``) — the head doc
+    pins the within-shard ordering rule, so an engine that shuffled
+    "randomly" instead of by the salted hash breaks the hash match.
+
+    Scale: assignment is a row-local projection; the manifest is one
+    shard-keyed aggregation (map-side combinable, ≤ n_shards rows out).
+    The real writer adds ``repartition(shard_id) +
+    sortWithinPartitions(order_key)`` — one shuffle, byte-identical
+    shards on any cluster layout.
+    """
+    from ..operators.sampling import shard_assignments
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    asg = shard_assignments(docs, n_shards=16)
+    return (
+        asg.withColumn("n_tokens", T.token_count(F.col("text")))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.min_by("doc_id", F.col("order_key")).alias("first_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _oracle_shard_manifest() -> str:
+    from ..functions.hashing import stable_hash64_sql
+
+    h = stable_hash64_sql("'shard:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         {h} AS shuffle_key,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT *,
+         shuffle_key % 16 AS shard_id,
+         printf('%020d:%020d', shuffle_key, doc_id) AS order_key
+  FROM a
+)
+SELECT shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       arg_min(doc_id, order_key) AS first_doc_id
+FROM b GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+ORACLE_SHARD_MANIFEST = _oracle_shard_manifest()

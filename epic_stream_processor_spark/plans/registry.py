@@ -546,6 +546,12 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "histogram-derived equal-count value cutoffs (no global sort; "
         "bounded 1-row collects only), tie-stable assignment",
     ),
+    "shard_manifest": QueryDef(
+        corpus.q_shard_manifest, corpus.ORACLE_SHARD_MANIFEST,
+        "deterministic training-shard writer manifest: salted-hash "
+        "shuffle order, collision-proof within-shard order key, per-"
+        "shard doc/token counts + ordering-pinned head doc",
+    ),
 }
 
 
