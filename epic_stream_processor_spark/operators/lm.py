@@ -475,6 +475,13 @@ def perplexity_buckets(
         ).collect()[0]
         cuts.append(int(row["v"]) if row["v"] is not None else 0)
 
+    # the cache served the cutoff jobs (histogram, count, one 1-row min
+    # per interior cut); the returned plan is an UN-cached re-derivation,
+    # so no persisted RDD leaks out of this call in a long-lived session
+    # (r6 advice)
+    scored.unpersist()
+    scored = bigram_nll_scores(docs, text_col, id_col, vocab_size, bigram_size)
+
     labels = (
         ["head", "middle", "tail"]
         if n_buckets == 3

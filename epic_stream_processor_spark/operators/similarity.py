@@ -940,10 +940,15 @@ def pq_train_encode(
     empty_schema = "vec_id long, subspace long, code long, qdist long"
     if trained is None:
         return vectors.sparkSession.createDataFrame([], empty_schema)
-    q, books, dsub, _scale = trained
-    out = _pq_codes_projection(q, books, dsub, id_col)
+    q, books, dsub, scale = trained
+    # the cache existed for the training collects; the returned plan is
+    # built on an UN-cached re-derivation (one cheap row-local quantize
+    # pass) so unpersisting here can't make the caller's job recompute
+    # through a dead cache (r6 advice)
     q.unpersist()
-    return out
+    return _pq_codes_projection(
+        _pq_quantized(vectors, scale, vec_col, id_col), books, dsub, id_col
+    )
 
 
 def _pq_codes_projection(q, books, dsub: int, id_col: str):
@@ -1024,16 +1029,26 @@ def pq_encode_with_model(
     model's scale literal, then the row-local nearest-code projection —
     zero training jobs, zero collects, zero shuffles. This is the call a
     streaming ingest or an incremental corpus append makes per batch."""
-    q = vectors.withColumn(
-        "qv",
+    q = _pq_quantized(vectors, model.scale, vec_col, id_col)
+    return _pq_codes_projection(q, model.books, model.dsub, id_col)
+
+
+def _pq_quantized(
+    vectors: DataFrame, scale: float, vec_col: str, id_col: str
+) -> DataFrame:
+    """UN-cached ``(id, qv)`` quantization under a scale literal — the
+    row-local re-derivation the post-training plans are built on (one
+    cheap pass; caching it would leave a dangling persisted RDD in the
+    returned plan)."""
+    return vectors.select(
+        id_col,
         F.transform(
             F.col(vec_col).cast("array<double>"),
             lambda x: F.floor(
-                x / F.lit(float(model.scale)) + F.lit(0.5)
+                x / F.lit(float(scale)) + F.lit(0.5)
             ).cast("long"),
-        ),
+        ).alias("qv"),
     )
-    return _pq_codes_projection(q, model.books, model.dsub, id_col)
 
 
 def _pq_argmin_struct(sub: Column, book: dict[int, list[int]]):
@@ -1180,7 +1195,13 @@ def pq_adc_topk(
     empty_schema = "probe_id long, rank long, vec_id long, adc_dist long"
     if trained is None:
         return vectors.sparkSession.createDataFrame([], empty_schema)
-    q, books, dsub, _scale = trained
+    q, books, dsub, scale = trained
+    # training collects are done with the cache; the returned plan reads
+    # an UN-cached quantize re-derivation (cheap row-local pass on each
+    # side) so the pre-return unpersist can't force a dead-cache
+    # recompute of the expensive ADC scan (r6 advice)
+    q.unpersist()
+    q = _pq_quantized(vectors, scale, vec_col, id_col)
 
     codes = q.withColumn(
         "_codes",
@@ -1244,15 +1265,13 @@ def pq_adc_topk(
     w = Window.partitionBy("probe_id").orderBy(
         F.col("adc_dist").asc(), F.col("_vid").asc()
     )
-    out = (
+    return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= topk)
         .select(
             "probe_id", "rank", F.col("_vid").alias("vec_id"), "adc_dist"
         )
     )
-    q.unpersist()
-    return out
 
 
 def quantization_scale(d: Column) -> Column:

@@ -41,10 +41,11 @@ from ..functions.text import ngrams_from_tokens, tokens
 
 
 def _positional_hits(
-    docs: DataFrame, k: int, text_col: str, id_col: str
+    docs: DataFrame, k: int, text_col: str, id_col: str,
+    keep_hash: bool = False,
 ) -> DataFrame:
-    """(id, pos) of every position whose k-gram occurs ≥ 2 times in the
-    corpus. Positions are 0-based; position p covers tokens [p, p+k)."""
+    """(id, pos[, h]) of every position whose k-gram occurs ≥ 2 times in
+    the corpus. Positions are 0-based; position p covers tokens [p, p+k)."""
     staged = docs.withColumn("_ds_toks", tokens(F.col(text_col))).withColumn(
         "_ds_g",
         F.transform(ngrams_from_tokens(F.col("_ds_toks"), k), stable_hash64),
@@ -56,7 +57,9 @@ def _positional_hits(
     dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(
         F.col("c") >= 2
     ).select("h")
-    return grams.join(dup, "h").select(id_col, "pos")
+    hits = grams.join(dup, "h")
+    cols = [id_col, "pos"] + (["h"] if keep_hash else [])
+    return hits.select(*cols)
 
 
 def dup_substring_spans(
@@ -195,35 +198,32 @@ def remove_dup_substrings(
     """The REMOVAL pass the detection exists for: rewrite each document
     with its duplicated spans cut out, keeping tokens outside every
     maximal span. ``keep_first=False`` removes every duplicated span;
-    ``keep_first=True`` (default, the Lee et al. practice of keeping one
-    copy) spares a span when its FIRST duplicated gram's first corpus
-    occurrence — smallest (id, pos) under the total order — lies in this
-    document at this span, so exactly one copy of each duplicated run
-    survives corpus-wide.
+    ``keep_first=True`` (default, the Lee et al. keep-one-copy practice)
+    spares a span when it contains the corpus-global FIRST occurrence —
+    smallest (id, pos) under the total order — of ANY of its duplicated
+    grams.
+
+    The spared-span guarantee (provable): for every duplicated k-gram,
+    its corpus-global first occurrence survives the removal pass. The
+    anchor position lies inside some maximal span of its document (spans
+    cover all duplicated positions), that span is spared by the rule,
+    and spans within a document are disjoint islands — a spared span is
+    never partially cut by a removed one. When distinct duplicated runs
+    interlock, MORE than one copy of a run may survive (each surviving
+    span holds some gram's first occurrence); "exactly one copy
+    corpus-wide" holds for non-overlapping duplicate runs.
 
     Returns (id, clean_text, n_tokens, n_removed_tokens). Row-local
     rewrite: spans collect per doc (collect_list after the span window —
     spans per doc are few), join back doc-keyed, then one
     ``filter(tokens, by index)`` expression; no per-token shuffle.
     """
-    spans = dup_substring_spans(docs, k, text_col, id_col)
     if keep_first:
-        # owner of a span = the corpus-wide first occurrence of its
-        # FIRST gram: join spans to the global min (id, pos) per hash of
-        # the gram at span_start
-        staged = docs.withColumn("_ds_toks", tokens(F.col(text_col))).withColumn(
-            "_ds_g",
-            F.transform(
-                ngrams_from_tokens(F.col("_ds_toks"), k), stable_hash64
-            ),
-        )
-        grams = (
-            staged.select(
-                id_col, F.posexplode_outer("_ds_g").alias("pos", "h")
-            )
-            .where(F.col("pos").isNotNull())
-        )
-        first_occ = grams.groupBy("h").agg(
+        # anchor = a duplicated position that IS its gram's corpus-global
+        # first occurrence; rebuild the islands with the anchor flag and
+        # drop only spans holding no anchor
+        hits = _positional_hits(docs, k, text_col, id_col, keep_hash=True)
+        first_occ = hits.groupBy("h").agg(
             F.min(
                 F.struct(
                     F.col(id_col).cast("long").alias("fid"),
@@ -231,24 +231,32 @@ def remove_dup_substrings(
                 )
             ).alias("_fo")
         )
-        start_hash = grams.select(
-            F.col(id_col).alias("_sid"), F.col("pos").alias("_spos"), "h"
+        marked = hits.join(first_occ, "h").withColumn(
+            "_anchor",
+            (F.col("_fo.fid") == F.col(id_col).cast("long"))
+            & (F.col("_fo.fpos") == F.col("pos")),
         )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        isl = marked.withColumn(
+            "_new",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") > F.lag("pos").over(w) + F.lit(k)),
+                1,
+            ).otherwise(0),
+        ).withColumn("_isl", F.sum("_new").over(w))
         spans = (
-            spans.join(
-                start_hash,
-                (spans[id_col] == start_hash["_sid"])
-                & (spans["span_start"] == start_hash["_spos"]),
+            isl.groupBy(id_col, "_isl")
+            .agg(
+                F.min("pos").cast("long").alias("span_start"),
+                (F.max("pos") + F.lit(k)).cast("long").alias("span_end"),
+                F.max(F.col("_anchor").cast("int")).alias("_spared"),
             )
-            .join(first_occ, "h")
-            .where(
-                ~(
-                    (F.col("_fo.fid") == F.col(id_col).cast("long"))
-                    & (F.col("_fo.fpos") == F.col("span_start"))
-                )
-            )
-            .select(id_col, "span_start", "span_end", "span_tokens")
+            .where(F.col("_spared") == 0)
+            .select(id_col, "span_start", "span_end")
         )
+    else:
+        spans = dup_substring_spans(docs, k, text_col, id_col)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

@@ -43,10 +43,10 @@ this repo's LLM-data-pipeline extension surface.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: Fixed capture date for fixture records (WARC-Date is mandatory; a
 #: constant keeps the record bytes — and therefore offsets — derivable).
@@ -146,13 +146,24 @@ def warc_files(records: DataFrame) -> DataFrame:
     return records.groupBy("bucket_id").applyInPandas(build, schema=FILES_SCHEMA)
 
 
-def parse_warc(files: DataFrame, batch_rows: int = 8) -> DataFrame:
+def parse_warc(
+    files: DataFrame,
+    batch_rows: int = 8,
+    max_record_bytes: int = 64 * 1024 * 1024,
+    passthrough: Sequence[str] = ("bucket_id",),
+) -> DataFrame:
     """Stream-parse WARC file images into records.
 
     One forward pass per file: gzip blobs (magic ``1f 8b``) are split into
     members with ``zlib.decompressobj`` (the per-record-member layout;
     ``rec_offset`` is then the COMPRESSED member offset, matching the CDX
     index convention); plain blobs report uncompressed record offsets.
+    Inflation is incremental and bounded: a member that inflates past
+    ``max_record_bytes`` (decompression bomb in untrusted crawl input) is
+    skipped with constant memory, and parsing resumes at the next member.
+    ``passthrough`` names input columns copied verbatim onto every parsed
+    record (types taken from the input schema) — the hook
+    :func:`fetch_records` uses to keep its CDX index keys attached.
     Header fields are matched case-insensitively per the spec; payloads
     are consumed by Content-Length only — never scanned — so payload
     bytes that look like WARC headers cannot desynchronize the reader.
@@ -164,19 +175,46 @@ def parse_warc(files: DataFrame, batch_rows: int = 8) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib as _zlib
 
-        def split_members(blob: bytes):
-            """Yield (compressed_offset, inflated_bytes) per gzip member."""
+        def inflate_member(blob: bytes, pos: int, cap: int):
+            """Inflate ONE gzip member starting at ``pos``, retaining at
+            most ``cap`` bytes. Returns ``(consumed, raw)`` where ``raw``
+            is ``None`` for an oversize member (a decompression bomb in
+            untrusted crawl data must not inflate gigabytes from
+            kilobytes into executor memory — same class as the PNG
+            bound in multimodal.py). Oversize members are still walked
+            to their end in bounded 1 MiB steps so parsing resumes at
+            the next member; only retention is capped."""
+            d = _zlib.decompressobj(31)
+            out = bytearray()
+            tail = blob[pos:]
+            oversize = False
+            while True:
+                data = d.decompress(tail, 1 << 20)
+                if data and not oversize:
+                    out += data
+                    if len(out) > cap:
+                        oversize = True
+                        out = bytearray()
+                tail = d.unconsumed_tail
+                if d.eof:
+                    consumed = len(blob) - pos - len(d.unused_data)
+                    return consumed, (None if oversize else bytes(out))
+                if not data and not tail:
+                    return 0, None  # truncated member
+
+        def split_members(blob: bytes, cap: int):
+            """Yield (compressed_offset, inflated_bytes) per gzip member;
+            oversize members (> ``cap`` inflated) are skipped, not raised."""
             pos = 0
             while pos < len(blob) and blob[pos : pos + 2] == b"\x1f\x8b":
-                d = _zlib.decompressobj(31)
                 try:
-                    raw = d.decompress(blob[pos:])
+                    consumed, raw = inflate_member(blob, pos, cap)
                 except _zlib.error:
                     return
-                consumed = len(blob) - pos - len(d.unused_data)
                 if consumed <= 0:
                     return
-                yield pos, raw
+                if raw is not None:
+                    yield pos, raw
                 pos += consumed
 
         def parse_one(raw: bytes, offset: int, out: list) -> None:
@@ -225,54 +263,118 @@ def parse_warc(files: DataFrame, batch_rows: int = 8) -> DataFrame:
                 )
                 pos = body_end + 4
 
-        def parse_file(bucket: int, blob: bytes) -> pd.DataFrame:
+        parse_cols = [
+            "rec_offset",
+            "warc_type",
+            "record_id",
+            "target_uri",
+            "content_length",
+            "text",
+        ]
+        out_cols = pt_cols + parse_cols
+
+        def parse_file(keys: tuple, blob: bytes) -> pd.DataFrame:
             recs: list = []
             if blob[:2] == b"\x1f\x8b":
-                for moff, raw in split_members(blob):
+                for moff, raw in split_members(blob, max_record_bytes):
                     parse_one(raw, moff, recs)
             else:
                 parse_one(blob, -1, recs)
-            return pd.DataFrame(
-                recs,
-                columns=[
-                    "rec_offset",
-                    "warc_type",
-                    "record_id",
-                    "target_uri",
-                    "content_length",
-                    "text",
-                ],
-            ).assign(bucket_id=bucket)[
-                [
-                    "bucket_id",
-                    "rec_offset",
-                    "warc_type",
-                    "record_id",
-                    "target_uri",
-                    "content_length",
-                    "text",
-                ]
-            ]
+            out = pd.DataFrame(recs, columns=parse_cols)
+            for c, v in zip(pt_cols, keys):
+                out[c] = v
+            return out[out_cols]
 
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 part = pdf.iloc[start : start + batch_rows]
                 frames = [
-                    parse_file(int(b), bytes(d))
-                    for b, d in zip(part["bucket_id"], part["data"])
+                    parse_file(keys, bytes(d))
+                    for *keys, d in zip(
+                        *[part[c] for c in pt_cols], part["data"]
+                    )
                 ]
                 yield pd.concat(frames, ignore_index=True) if frames else (
-                    pd.DataFrame(
-                        columns=[
-                            "bucket_id",
-                            "rec_offset",
-                            "warc_type",
-                            "record_id",
-                            "target_uri",
-                            "content_length",
-                            "text",
-                        ]
-                    )
+                    pd.DataFrame(columns=out_cols)
                 )
 
-    return files.mapInPandas(gen, schema=PARSED_SCHEMA)
+    pt_cols = list(passthrough)
+    in_types = {f.name: f.dataType.simpleString() for f in files.schema.fields}
+    schema = ", ".join(
+        [f"{c} {in_types[c]}" for c in pt_cols]
+        + [
+            "rec_offset long",
+            "warc_type string",
+            "record_id string",
+            "target_uri string",
+            "content_length long",
+            "text string",
+        ]
+    )
+    return files.mapInPandas(gen, schema=schema)
+
+
+def cdx_index(gz_records: DataFrame) -> DataFrame:
+    """CDX-style seekable index over the gzip-member-per-record layout:
+    one row per record with the COMPRESSED ``(member_offset,
+    member_length)`` of its gzip member inside its bucket's file image —
+    the triple a Common Crawl CDX(J) line carries so a reader can issue
+    one ranged GET and inflate one record.
+
+    Derivation is pure expressions at WRITE time (no parse pass): the
+    group writer concatenates members in ``doc_id`` order, so the offset
+    is the window-summed ``octet_length`` of the predecessors — the same
+    window the plain-offset oracle uses. At crawl scale this is one
+    partitionBy(bucket) window over the records about to be written:
+    the index costs nothing beyond the write shuffle already being paid.
+    """
+    w = (
+        Window.partitionBy("bucket_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return gz_records.select(
+        "bucket_id",
+        "doc_id",
+        record_id_expr().alias("record_id"),
+        F.octet_length("record").cast("long").alias("member_length"),
+    ).withColumn(
+        "member_offset",
+        F.coalesce(F.sum("member_length").over(w), F.lit(0)).cast("long"),
+    )
+
+
+def fetch_records(
+    files: DataFrame,
+    index: DataFrame,
+    max_record_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Random access: inflate SINGLE records out of gzip'd WARC file
+    images by CDX coordinates — the Common Crawl point-lookup pattern
+    (fetch one captured page out of a petabyte corpus without parsing
+    any file).
+
+    ``index`` rows (``bucket_id, doc_id, member_offset, member_length``)
+    join to their file image and ``substring`` slices exactly the
+    member's bytes; each slice is itself a complete one-record gzip WARC
+    image, so the single-member inflate+parse is :func:`parse_warc` on
+    the sliced frame with the index keys passed through. In production
+    the slice is a ranged object-store GET and the files side never
+    loads — here the byte-slice expression IS the ranged read. The
+    lookup side is typically tiny: broadcast it so file images never
+    shuffle.
+    """
+    sliced = index.join(files.select("bucket_id", "data"), "bucket_id").select(
+        "bucket_id",
+        "doc_id",
+        "member_offset",
+        "member_length",
+        F.substring(
+            F.col("data"), F.col("member_offset") + F.lit(1), F.col("member_length")
+        ).alias("data"),
+    )
+    return parse_warc(
+        sliced,
+        max_record_bytes=max_record_bytes,
+        passthrough=("bucket_id", "doc_id", "member_offset", "member_length"),
+    )

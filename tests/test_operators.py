@@ -1726,9 +1726,9 @@ def test_dup_substring_spans_semantics(spark):
 
 def test_remove_dup_substrings_keep_first(spark):
     """Removal semantics: keep_first=False cuts every duplicated span
-    (a fully-duplicated doc empties); keep_first=True spares exactly the
-    corpus-first occurrence (min (id, pos) of the span's first gram), so
-    one copy of each duplicated run survives corpus-wide."""
+    (a fully-duplicated doc empties); keep_first=True spares spans that
+    contain a gram's corpus-global first occurrence, so a copy of each
+    duplicated run survives corpus-wide."""
     from epic_stream_processor_spark.operators.substring_dedup import (
         remove_dup_substrings,
     )
@@ -1761,3 +1761,32 @@ def test_remove_dup_substrings_keep_first(spark):
     assert kept[2]["clean_text"] == "five six seven"
     # self-repeating doc keeps its single surviving span
     assert kept[4]["n_removed_tokens"] == 0
+
+
+def test_remove_dup_substrings_interlocking_runs_survive(spark):
+    """Round-6 advice repro: interlocking duplicate runs used to lose
+    EVERY copy of 'q r' (the span-spared rule keyed on the span's first
+    gram only). The anchor rule guarantees every duplicated gram's
+    corpus-global first occurrence survives."""
+    from epic_stream_processor_spark.operators.substring_dedup import (
+        remove_dup_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "m p q"), (2, "p q r"), (3, "m p x"), (4, "q r s")],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_dup_substrings(docs, k=2, keep_first=True).collect()
+    }
+    # doc 2 holds the first occurrence of gram 'q r' (pos 1) — its whole
+    # span is spared; doc 1 holds firsts of 'm p' and 'p q'
+    assert kept[1] == "m p q"
+    assert kept[2] == "p q r"
+    assert kept[3] == "x"
+    assert kept[4] == "s"
+    # every duplicated gram survives somewhere
+    surviving = " | ".join(kept.values())
+    for gram in ("m p", "p q", "q r"):
+        assert gram in surviving
