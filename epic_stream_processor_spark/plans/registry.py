@@ -144,10 +144,6 @@ QUERIES: dict[str, QueryDef] = {
         "IVF-bucketed approximate top-5 (nprobe=1) — the ANN scale path",
         bench=True,
     ),
-    "multimodal_decode": QueryDef(
-        llm.q_multimodal_decode, llm.ORACLE_MULTIMODAL_DECODE,
-        "binary payload → mapInPandas decode; scalar outputs oracle-checked",
-    ),
     "embedding_near_dup": QueryDef(
         llm.q_embedding_near_dup, llm.ORACLE_EMBEDDING_NEAR_DUP,
         "embedding-cosine near-dup pairs (blocked candidates + exact verify)",
@@ -162,15 +158,6 @@ QUERIES: dict[str, QueryDef] = {
         "video frame sampling: 1→n mapInPandas, oracle-checked geometry",
         bench=True,  # perf-tracks the Arrow/Python-worker path
     ),
-    "resize_media": QueryDef(
-        llm.q_resize_media, llm.ORACLE_RESIZE_MEDIA,
-        "thumbnail resize via mapInPandas; stride geometry + byte prefix oracle-checked",
-    ),
-    "kmeans_quantized": QueryDef(
-        llm.q_kmeans_quantized, llm.ORACLE_KMEANS_QUANTIZED,
-        "iterative Lloyd k-means in exact integer arithmetic over "
-        "globally-quantized vectors — oracle-backed (2 unrolled iterations)",
-    ),
     "dedup_clusters": QueryDef(
         llm.q_dedup_clusters, llm.ORACLE_DEDUP_CLUSTERS,
         "connected components over LSH pairs vs recursive-CTE oracle",
@@ -182,19 +169,6 @@ QUERIES: dict[str, QueryDef] = {
     ),
     # --- rotated in from EXTRA_PARITY (round 4) so long-displaced queries
     # earn driver evidence; the rotated-out rows keep identical local rigor ---
-    "pii_scrub": QueryDef(
-        llm.q_pii_scrub, llm.ORACLE_PII_SCRUB,
-        "PII regex detect + redact over deterministically-injected fixtures",
-    ),
-    "embedding_quantize": QueryDef(
-        llm.q_embedding_quantize, llm.ORACLE_EMBEDDING_QUANTIZE,
-        "symmetric int8 quantization: scale + exact integer checksums + "
-        "reconstruction-error L2 (4x smaller ANN working set)",
-    ),
-    "chunk_documents": QueryDef(
-        llm.q_chunk_documents, llm.ORACLE_CHUNK_DOCUMENTS,
-        "context-window chunking: 32-token windows, 8 overlap, row-local",
-    ),
     # --- rotated in from EXTRA_PARITY (round 5): the round-4 operators
     # with the most novel semantics earn their first driver rows; the six
     # displaced row-local queries (simhash, text_stats, lang_id,
@@ -222,17 +196,6 @@ QUERIES: dict[str, QueryDef] = {
         llm.q_wav_decode, llm.ORACLE_WAV_DECODE,
         "REAL audio decode: RIFF/WAVE 16-bit PCM encode + chunk-walked "
         "decode, oracle recomputes headers, duration, and sample bytes",
-    ),
-    "avi_frame_sample": QueryDef(
-        llm.q_avi_frame_sample, llm.ORACLE_AVI_FRAME_SAMPLE,
-        "REAL video container parse: AVI hdrl/movi chunk walk recovers "
-        "geometry, timebase, and true frame offsets; 4 sampled frames",
-    ),
-    "corpus_mixture_epochs": QueryDef(
-        llm.q_corpus_mixture, llm.ORACLE_CORPUS_MIXTURE,
-        "domain-mixture materialization: temperature/epoch rates applied as "
-        "deterministic hash replication (2.25 epochs for src0 down to 1/8 "
-        "sampling) — row-local explode, integer-exact across engines",
     ),
     # --- rotated in from EXTRA_PARITY (round 6): five queries earn their
     # FIRST driver rows (png_decode, pack_sequences, boilerplate_ngrams,
@@ -270,6 +233,69 @@ QUERIES: dict[str, QueryDef] = {
         "SemDeDup survivor set: per-cluster cosine pruning in exact "
         "int8-quantized arithmetic",
     ),
+    # --- rotated in from EXTRA_PARITY (round 7): the eight round-6
+    # operators earn their first driver rows (VERDICT r6 next #2). The
+    # eight displaced queries (multimodal_decode, resize_media,
+    # kmeans_quantized, embedding_quantize, chunk_documents,
+    # avi_frame_sample, pii_scrub, corpus_mixture_epochs — 2-4 green
+    # rows each) keep identical local rigor in EXTRA_PARITY, and their
+    # shapes stay driver-proven by strictly-richer replacements:
+    # media decode via jpeg_decode/png_decode, AVI walk via
+    # mjpeg_frames (container walk + full JPEG decode chained),
+    # integer-Lloyd via pq_encode (the same arithmetic per subspace),
+    # regex scrubbing via html_extract, row-local token windows via
+    # pack_sequences ---
+    "jpeg_decode": QueryDef(
+        llm.q_jpeg_decode, llm.ORACLE_JPEG_DECODE,
+        "REAL lossy-image decode: baseline JPEG encode (DCT + quantize "
+        "+ Huffman scan) and a general marker/DHT/entropy/IDCT decoder; "
+        "DC-only fixture blocks make the lossy round trip closed-form "
+        "oracle-exact (odd quant + 2^-20 rounding snap)",
+    ),
+    "mjpeg_frames": QueryDef(
+        llm.q_mjpeg_frames, llm.ORACLE_MJPEG_FRAMES,
+        "REAL video-frame decode, codecs chained: MJPEG AVI container "
+        "walk ('MJPG' stream, RIFF padding) -> even frame sampling -> "
+        "full baseline-JPEG decode of every sampled frame",
+    ),
+    "warc_roundtrip": QueryDef(
+        corpus.q_warc_roundtrip, corpus.ORACLE_WARC_ROUNDTRIP,
+        "REAL WARC/1.0 container round trip (ISO 28500, the Common Crawl "
+        "ingest format): expression-built response records -> group-writer "
+        "file images -> stream parser; byte offsets window-derived by the "
+        "oracle pin the framing exactly",
+    ),
+    "html_extract": QueryDef(
+        corpus.q_html_extract, corpus.ORACLE_HTML_EXTRACT,
+        "HTML -> text extraction (the C4 boilerplate stage after WARC): "
+        "script/style/comment removal, tag strip, entity decode, "
+        "whitespace normalize — pure JVM regexp chain, closed-form oracle",
+    ),
+    "bigram_nll": QueryDef(
+        llm.q_bigram_nll, llm.ORACLE_BIGRAM_NLL,
+        "interpolated add-one bigram LM quality scores (CCNet-KenLM "
+        "shape): capped bigram table, unigram backoff for OOV contexts, "
+        "integer micro-nat sums — three broadcast joins + one doc re-agg",
+    ),
+    "dedup_substring": QueryDef(
+        llm.q_dedup_substring, llm.ORACLE_DEDUP_SUBSTRING,
+        "exact duplicated-substring spans (Lee et al. 2021 semantics, "
+        "word-13-gram granularity): corpus-global dup-gram set via one "
+        "gram-keyed shuffle, equi-join marking, gaps-and-islands span "
+        "merge — per-doc integer summary", bench=True,
+    ),
+    "dedup_substring_removed": QueryDef(
+        llm.q_dedup_substring_removed, llm.ORACLE_DEDUP_SUBSTRING_REMOVED,
+        "the removal pass: duplicated spans cut from the text (row-local "
+        "indexed token filter after a doc-keyed span join) — rewritten "
+        "text + exact removal counts",
+    ),
+    "pq_encode": QueryDef(
+        llm.q_pq_encode, llm.ORACLE_PQ_ENCODE,
+        "product quantization (Jegou TPAMI'11): per-subspace integer-"
+        "Lloyd codebooks + row-local nearest-code encode with exact "
+        "integer distortion — the 64x-compression big-ANN memory layout",
+    ),
 }
 
 # The external driver records at most 50 query rows (verified empirically:
@@ -283,6 +309,46 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # live here rather than silently past the cap (the corpus_sample_split
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
+    # --- rotated out of driver slots in round 7 (2-4 green rows each)
+    # to make room for the round-6 operators; shapes stay driver-proven
+    # by strictly-richer replacements (see the round-7 note in QUERIES) ---
+    "multimodal_decode": QueryDef(
+        llm.q_multimodal_decode, llm.ORACLE_MULTIMODAL_DECODE,
+        "binary payload → mapInPandas decode; scalar outputs oracle-checked",
+    ),
+    "resize_media": QueryDef(
+        llm.q_resize_media, llm.ORACLE_RESIZE_MEDIA,
+        "thumbnail resize via mapInPandas; stride geometry + byte prefix oracle-checked",
+    ),
+    "kmeans_quantized": QueryDef(
+        llm.q_kmeans_quantized, llm.ORACLE_KMEANS_QUANTIZED,
+        "iterative Lloyd k-means in exact integer arithmetic over "
+        "globally-quantized vectors — oracle-backed (2 unrolled iterations)",
+    ),
+    "embedding_quantize": QueryDef(
+        llm.q_embedding_quantize, llm.ORACLE_EMBEDDING_QUANTIZE,
+        "symmetric int8 quantization: scale + exact integer checksums + "
+        "reconstruction-error L2 (4x smaller ANN working set)",
+    ),
+    "chunk_documents": QueryDef(
+        llm.q_chunk_documents, llm.ORACLE_CHUNK_DOCUMENTS,
+        "context-window chunking: 32-token windows, 8 overlap, row-local",
+    ),
+    "avi_frame_sample": QueryDef(
+        llm.q_avi_frame_sample, llm.ORACLE_AVI_FRAME_SAMPLE,
+        "REAL video container parse: AVI hdrl/movi chunk walk recovers "
+        "geometry, timebase, and true frame offsets; 4 sampled frames",
+    ),
+    "pii_scrub": QueryDef(
+        llm.q_pii_scrub, llm.ORACLE_PII_SCRUB,
+        "PII regex detect + redact over deterministically-injected fixtures",
+    ),
+    "corpus_mixture_epochs": QueryDef(
+        llm.q_corpus_mixture, llm.ORACLE_CORPUS_MIXTURE,
+        "domain-mixture materialization: temperature/epoch rates applied as "
+        "deterministic hash replication (2.25 epochs for src0 down to 1/8 "
+        "sampling) — row-local explode, integer-exact across engines",
+    ),
     # --- rotated out of driver slots in round 6 (3-5 green rows each;
     # window/JSON/rollup shapes stay driver-proven via q_sessionize and
     # the agg roster; LSH pairs + Jaccard verify run inside the
@@ -461,36 +527,11 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "learned merges (row-local replace chain, zero shuffle) — word/"
         "token counts + token prefix vs the unrolled-merge SQL oracle",
     ),
-    "bigram_nll": QueryDef(
-        llm.q_bigram_nll, llm.ORACLE_BIGRAM_NLL,
-        "interpolated add-one bigram LM quality scores (CCNet-KenLM "
-        "shape): capped bigram table, unigram backoff for OOV contexts, "
-        "integer micro-nat sums — three broadcast joins + one doc re-agg",
-    ),
-    "pq_encode": QueryDef(
-        llm.q_pq_encode, llm.ORACLE_PQ_ENCODE,
-        "product quantization (Jegou TPAMI'11): per-subspace integer-"
-        "Lloyd codebooks + row-local nearest-code encode with exact "
-        "integer distortion — the 64x-compression big-ANN memory layout",
-    ),
     "pq_adc_topk": QueryDef(
         llm.q_pq_adc_topk, llm.ORACLE_PQ_ADC_TOPK,
         "compressed-domain ANN search: per-probe ADC lookup tables, "
         "corpus scored by m integer table lookups on its PQ codes — "
         "scan reads codes only, never the float vectors",
-    ),
-    "jpeg_decode": QueryDef(
-        llm.q_jpeg_decode, llm.ORACLE_JPEG_DECODE,
-        "REAL lossy-image decode: baseline JPEG encode (DCT + quantize "
-        "+ Huffman scan) and a general marker/DHT/entropy/IDCT decoder; "
-        "DC-only fixture blocks make the lossy round trip closed-form "
-        "oracle-exact (odd quant + 2^-20 rounding snap)",
-    ),
-    "mjpeg_frames": QueryDef(
-        llm.q_mjpeg_frames, llm.ORACLE_MJPEG_FRAMES,
-        "REAL video-frame decode, codecs chained: MJPEG AVI container "
-        "walk ('MJPG' stream, RIFF padding) -> even frame sampling -> "
-        "full baseline-JPEG decode of every sampled frame",
     ),
     "q_cube_pricing": QueryDef(
         relational.q_cube_pricing, relational.ORACLE_CUBE_PRICING,
@@ -508,37 +549,27 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
-    "dedup_substring": QueryDef(
-        llm.q_dedup_substring, llm.ORACLE_DEDUP_SUBSTRING,
-        "exact duplicated-substring spans (Lee et al. 2021 semantics, "
-        "word-13-gram granularity): corpus-global dup-gram set via one "
-        "gram-keyed shuffle, equi-join marking, gaps-and-islands span "
-        "merge — per-doc integer summary",
+    "jpeg_color_decode": QueryDef(
+        llm.q_jpeg_color_decode, llm.ORACLE_JPEG_COLOR_DECODE,
+        "COLOR baseline JPEG (round 7): 4:2:0 YCbCr interleaved-MCU "
+        "encode + general multi-component decode (two quant tables, "
+        "four Huffman tables, three DC predictors, native-resolution "
+        "chroma planes); uniform-MCU fixtures make the lossy round "
+        "trip closed-form oracle-exact in all three components",
     ),
-    "dedup_substring_removed": QueryDef(
-        llm.q_dedup_substring_removed, llm.ORACLE_DEDUP_SUBSTRING_REMOVED,
-        "the removal pass: duplicated spans cut from the text (row-local "
-        "indexed token filter after a doc-keyed span join) — rewritten "
-        "text + exact removal counts",
-    ),
-    "warc_roundtrip": QueryDef(
-        corpus.q_warc_roundtrip, corpus.ORACLE_WARC_ROUNDTRIP,
-        "REAL WARC/1.0 container round trip (ISO 28500, the Common Crawl "
-        "ingest format): expression-built response records -> group-writer "
-        "file images -> stream parser; byte offsets window-derived by the "
-        "oracle pin the framing exactly",
+    "warc_cdx_fetch": QueryDef(
+        corpus.q_warc_cdx_fetch, corpus.ORACLE_WARC_CDX_FETCH,
+        "CDX-style seekable-WARC random access (round 7): write-time "
+        "window-cumsum index of compressed (offset, length) per gzip "
+        "member + single-member slice-and-inflate point fetch — the "
+        "Common Crawl ranged-GET pattern; payload round trip oracle-"
+        "pinned, offset arithmetic pinned by pytest",
     ),
     "warc_gzip_roundtrip": QueryDef(
         corpus.q_warc_gzip_roundtrip, corpus.ORACLE_WARC_GZIP_ROUNDTRIP,
         "WARC with the production gzip-member-per-record layout (CDX "
         "convention): deterministic member encode, multi-member inflate "
         "walk, payload round trip",
-    ),
-    "html_extract": QueryDef(
-        corpus.q_html_extract, corpus.ORACLE_HTML_EXTRACT,
-        "HTML -> text extraction (the C4 boilerplate stage after WARC): "
-        "script/style/comment removal, tag strip, entity decode, "
-        "whitespace normalize — pure JVM regexp chain, closed-form oracle",
     ),
     "perplexity_buckets": QueryDef(
         corpus.q_perplexity_buckets, corpus.ORACLE_PERPLEXITY_BUCKETS,
