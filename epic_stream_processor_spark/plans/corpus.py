@@ -532,6 +532,46 @@ FROM documents
 """
 
 
+def q_warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style random access into gzip'd WARC (the Common Crawl
+    point-lookup pattern): a seekable index of COMPRESSED ``(offset,
+    length)`` per gzip member is derived at write time as a pure window
+    cumsum (``cdx_index``), then every 20th document is point-fetched by
+    slicing exactly its member's bytes out of the file image and
+    inflating that single member (``fetch_records``) — no file is ever
+    parsed front-to-back.
+
+    Compressed member lengths are not SQL-derivable, so the oracle pins
+    the payload round trip (doc id, type, length, text) for the fetched
+    subset; the offset/length arithmetic itself is pinned by pytest
+    against a full-file member walk (test_warc.py).
+    """
+    from ..sources.warc import (
+        cdx_index, docs_as_warc_records, fetch_records, gzip_records,
+        warc_files,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    recs = gzip_records(docs_as_warc_records(docs, n_buckets=32))
+    files = warc_files(recs)
+    idx = cdx_index(recs).where(F.col("doc_id") % 20 == 0)
+    fetched = fetch_records(files, idx)
+    return fetched.select(
+        "doc_id", "warc_type", "content_length", "text"
+    )
+
+
+ORACLE_WARC_CDX_FETCH = """SELECT
+  doc_id,
+  'response' AS warc_type,
+  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS content_length,
+  coalesce(text, '') AS text
+FROM documents
+WHERE doc_id % 20 = 0
+"""
+
+
 # --- HTML -> text extraction (post-WARC boilerplate stage) ------------------
 
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -157,3 +157,84 @@ def test_corrupt_gzip_member_stops_cleanly(spark):
     member = co.compress(_mini_record(b"first")) + co.flush()
     rows = _parse_blob(spark, member + b"\x1f\x8b\x00corrupt")
     assert [r["text"] for r in rows] == ["first"]
+
+
+def _gz_member(raw: bytes) -> bytes:
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return co.compress(raw) + co.flush()
+
+
+def test_decompression_bomb_member_is_skipped(spark):
+    """A member that inflates past max_record_bytes (a crafted bomb in
+    untrusted crawl input) must be dropped with bounded memory, and
+    parsing must RESUME at the next member — records on both sides of
+    the bomb survive."""
+    bomb = _gz_member(_mini_record(b"\x00" * 4_000_000))  # ~4 MB from ~4 KB
+    blob = _gz_member(_mini_record(b"before")) + bomb + _gz_member(
+        _mini_record(b"after")
+    )
+    df = spark.createDataFrame(
+        [(0, 3, blob)], "bucket_id long, n_records long, data binary"
+    )
+    rows = parse_warc(df, max_record_bytes=64 * 1024).collect()
+    assert sorted(r["text"] for r in rows) == ["after", "before"]
+
+
+def test_cdx_fetch_single_member_equals_full_parse(spark):
+    """The CDX contract: (offset, length) from the write-time window
+    index must slice exactly one gzip member, and inflating ONLY that
+    member must reproduce the same record the full-file parse finds at
+    that compressed offset."""
+    from epic_stream_processor_spark.sources.warc import (
+        cdx_index,
+        fetch_records,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    recs = gzip_records(docs_as_warc_records(docs, n_buckets=8))
+    files = warc_files(recs)
+    idx = cdx_index(recs)
+    full = {
+        (r["bucket_id"], r["rec_offset"]): r
+        for r in parse_warc(files).collect()
+    }
+    fetched = fetch_records(files, idx).collect()
+    assert len(fetched) == len(full) == docs.count()
+    for r in fetched:
+        ref = full[(r["bucket_id"], r["member_offset"])]
+        assert r["text"] == ref["text"]
+        assert r["record_id"] == ref["record_id"]
+        assert r["content_length"] == ref["content_length"]
+        # the slice was a lone member: its parse-relative offset is 0
+        assert r["rec_offset"] == 0
+
+
+def test_cdx_offsets_match_member_walk(spark):
+    """Index offsets/lengths recomputed independently from the raw file
+    bytes: each indexed offset must start with the gzip magic and the
+    lengths must tile each file exactly."""
+    from epic_stream_processor_spark.sources.warc import cdx_index
+
+    docs = load_table(spark, SF_DIR, "documents")
+    recs = gzip_records(docs_as_warc_records(docs, n_buckets=8))
+    blobs = {r["bucket_id"]: bytes(r["data"]) for r in warc_files(recs).collect()}
+    by_bucket: dict[int, list] = {}
+    for r in cdx_index(recs).collect():
+        by_bucket.setdefault(r["bucket_id"], []).append(r)
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["member_offset"])
+        pos = 0
+        for r in rows:
+            assert r["member_offset"] == pos
+            assert blobs[b][pos : pos + 2] == b"\x1f\x8b"
+            pos += r["member_length"]
+        assert pos == len(blobs[b])
+
+
+def test_member_at_exact_cap_is_kept(spark):
+    rec = _mini_record(b"x" * 1000)
+    df = spark.createDataFrame(
+        [(0, 1, _gz_member(rec))], "bucket_id long, n_records long, data binary"
+    )
+    rows = parse_warc(df, max_record_bytes=len(rec)).collect()
+    assert len(rows) == 1 and rows[0]["content_length"] == 1000
