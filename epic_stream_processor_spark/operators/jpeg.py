@@ -99,6 +99,48 @@ AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# ITU-T T.81 Annex K Table K.2 (chrominance), snapped up to odd like the
+# luminance table (odd q ⇒ no encoder-side rounding ties). Both tables
+# share q00 = 17, so one DC closed form serves all three components.
+QUANT_CHROMA_ODD = [
+    17, 19, 25, 47, 99, 99, 99, 99,
+    19, 21, 27, 67, 99, 99, 99, 99,
+    25, 27, 57, 99, 99, 99, 99, 99,
+    47, 67, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K standard chrominance Huffman specs: (BITS[1..16], HUFFVAL)
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
 # zigzag scan order (T.81 Figure 5): ZIGZAG[k] = natural index of the
 # k-th zigzag coefficient
 ZIGZAG = [
@@ -241,6 +283,188 @@ encode_jpeg_gray = _build_encoder(
 )
 
 
+def _build_color_encoder(
+    qluma, qchroma,
+    dc_l_bits, dc_l_vals, ac_l_bits, ac_l_vals,
+    dc_c_bits, dc_c_vals, ac_c_bits, ac_c_vals,
+    zigzag,
+):
+    """4:2:0 YCbCr baseline encoder for an (h, w, 3) uint8 RGB array
+    (h, w multiples of 16) — the layout real crawl images use. Builder-
+    returned closure over plain lists (pickles BY VALUE).
+
+    Determinism contract (same cross-engine story as grayscale): the
+    JFIF RGB→YCbCr conversion is evaluated in the literal left-to-right
+    double expression ``0.299*r + 0.587*g + 0.114*b`` (etc.) and each
+    plane is quantized to uint8 via ``clip(floor(x + 0.5))`` BEFORE the
+    DCT, so the stored component values are integers an oracle can
+    recompute with the identical SQL expression; chroma subsampling is
+    the exact 2×2 mean. Both quant tables are odd-snapped ⇒ no
+    encoder-side rounding ties."""
+
+    def canonical(bits, vals):
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc_l = canonical(dc_l_bits, dc_l_vals)
+    ac_l = canonical(ac_l_bits, ac_l_vals)
+    dc_c = canonical(dc_c_bits, dc_c_vals)
+    ac_c = canonical(ac_c_bits, ac_c_vals)
+
+    def encode(rgb) -> bytes:
+        import struct
+
+        import numpy as np
+
+        px = np.asarray(rgb, dtype=np.float64)
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError("expected (h, w, 3) RGB")
+        h, w = px.shape[:2]
+        if h % 16 or w % 16:
+            raise ValueError("dimensions must be multiples of 16 (4:2:0)")
+        d = np.zeros((8, 8), dtype=np.float64)
+        for u in range(8):
+            cu = (1.0 / np.sqrt(8.0)) if u == 0 else 0.5
+            for x in range(8):
+                d[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        ql = np.array(qluma, dtype=np.float64).reshape(8, 8)
+        qc = np.array(qchroma, dtype=np.float64).reshape(8, 8)
+
+        r, g, bl = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+        y = np.clip(np.floor(y + 0.5), 0.0, 255.0)
+        cb = np.clip(np.floor(cb + 0.5), 0.0, 255.0)
+        cr = np.clip(np.floor(cr + 0.5), 0.0, 255.0)
+        # 4:2:0 — exact 2x2 mean at half resolution
+        cbs = (
+            cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2] + cb[1::2, 1::2]
+        ) / 4.0
+        crs = (
+            cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2] + cr[1::2, 1::2]
+        ) / 4.0
+
+        out_bits = bytearray()
+        state = [0, 0]  # acc, nbits
+
+        def put(code: int, length: int) -> None:
+            state[0] = (state[0] << length) | (code & ((1 << length) - 1))
+            state[1] += length
+            while state[1] >= 8:
+                state[1] -= 8
+                bb = (state[0] >> state[1]) & 0xFF
+                out_bits.append(bb)
+                if bb == 0xFF:  # byte stuffing
+                    out_bits.append(0x00)
+
+        def category(v: int) -> int:
+            s, a = 0, abs(v)
+            while a:
+                s += 1
+                a >>= 1
+            return s
+
+        def encode_block(blk, q, dcc, acc, pred: int) -> int:
+            coef = d @ (blk - 128.0) @ d.T
+            sq = np.floor(coef / q + 0.5).astype(np.int64)
+            zz = [int(sq.flat[zigzag[k]]) for k in range(64)]
+            diff = zz[0] - pred
+            s = category(diff)
+            c, ln = dcc[s]
+            put(c, ln)
+            if s:
+                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = 0
+            for k in range(1, 64):
+                if zz[k]:
+                    last_nz = k
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = acc[0xF0]  # ZRL
+                    put(c, ln)
+                    run -= 16
+                s = category(zz[k])
+                c, ln = acc[(run << 4) | s]
+                put(c, ln)
+                v = zz[k]
+                put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                c, ln = acc[0x00]  # EOB
+                put(c, ln)
+            return zz[0]
+
+        py = pcb = pcr = 0
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                for byy in range(2):  # 4 luma blocks, raster order
+                    for bxx in range(2):
+                        r0 = my * 16 + byy * 8
+                        c0 = mx * 16 + bxx * 8
+                        py = encode_block(
+                            y[r0 : r0 + 8, c0 : c0 + 8], ql, dc_l, ac_l, py
+                        )
+                pcb = encode_block(
+                    cbs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    qc, dc_c, ac_c, pcb,
+                )
+                pcr = encode_block(
+                    crs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    qc, dc_c, ac_c, pcr,
+                )
+        if state[1]:
+            put((1 << (8 - state[1])) - 1, 8 - state[1])  # pad with 1s
+        scan = bytes(out_bits)
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        dqt0 = bytes([0x00]) + bytes(qluma[zigzag[k]] for k in range(64))
+        dqt1 = bytes([0x01]) + bytes(qchroma[zigzag[k]] for k in range(64))
+        sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+            [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        return (
+            b"\xff\xd8"
+            + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + seg(0xFFDB, dqt0)
+            + seg(0xFFDB, dqt1)
+            + seg(0xFFC0, sof)
+            + seg(0xFFC4, bytes([0x00]) + bytes(dc_l_bits) + bytes(dc_l_vals))
+            + seg(0xFFC4, bytes([0x10]) + bytes(ac_l_bits) + bytes(ac_l_vals))
+            + seg(0xFFC4, bytes([0x01]) + bytes(dc_c_bits) + bytes(dc_c_vals))
+            + seg(0xFFC4, bytes([0x11]) + bytes(ac_c_bits) + bytes(ac_c_vals))
+            + seg(0xFFDA, sos)
+            + scan
+            + b"\xff\xd9"
+        )
+
+    return encode
+
+
+#: 4:2:0 YCbCr baseline encoder for (h, w, 3) uint8 RGB (h, w multiples
+#: of 16). Odd-snapped Annex K luma+chroma tables, standard Huffman
+#: tables for both classes. By-value picklable.
+encode_jpeg_color = _build_color_encoder(
+    QUANT_LUMA_ODD, QUANT_CHROMA_ODD,
+    DC_BITS, DC_VALS, AC_BITS, AC_VALS,
+    DC_CHROMA_BITS, DC_CHROMA_VALS, AC_CHROMA_BITS, AC_CHROMA_VALS,
+    ZIGZAG,
+)
+
+
 JPEG_DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -258,11 +482,16 @@ JPEG_DECODED_SCHEMA = StructType(
 
 
 def _build_decoder(zigzag, snap):
-    """Single-payload decoder ``dec(bytes) → (w, h, byte_len, gray) |
-    None`` constructed as a builder-returned closure (pickles BY VALUE;
-    see ``_build_encoder``). Shared by the still-image ``decode_jpeg``
-    stage and the MJPEG-in-AVI frame walker, so one decode implementation
-    serves both modalities."""
+    """GENERAL single-payload baseline decoder ``dec(bytes) → (w, h,
+    byte_len, [(cw, ch, plane_bytes), ...]) | None`` constructed as a
+    builder-returned closure (pickles BY VALUE; see ``_build_encoder``).
+    Handles 1- and 3-component interleaved baseline sequential with
+    per-component sampling factors ∈ {1, 2} — grayscale, 4:4:4, and the
+    4:2:0 YCbCr layout real crawl images use — rebuilding quant and
+    Huffman tables from DQT/DHT per component. Chroma planes come back
+    at their NATIVE subsampled resolution (upsampling is presentation,
+    not decoding). One implementation serves the grayscale still-image
+    stage, the color stage, and the MJPEG-in-AVI frame walker."""
 
     def canon(bits, vals):
         # length-indexed lookup: {(length, code): symbol}
@@ -340,7 +569,8 @@ def _build_decoder(zigzag, snap):
             qt = {}
             huff = {}
             w = h = None
-            dc_id = ac_id = comp_q = None
+            comps = None  # [(comp_id, hi, vi, tq), ...] in SOF order
+            scan_sel = None  # [(comp_index, dc_id, ac_id), ...] SOS order
             scan_start = None
             while pos + 4 <= len(b):
                 if b[pos] != 0xFF:
@@ -364,16 +594,21 @@ def _build_decoder(zigzag, snap):
                             nat[zigzag[k]] = zz[k]
                         qt[tq] = nat
                         i += 65
-                elif m == 0xC0:  # SOF0 baseline
-                    if len(body) < 8 or body[0] != 8:
+                elif m == 0xC0:  # SOF0 baseline (1 or 3 components)
+                    if len(body) < 6 or body[0] != 8:
                         return None
                     h, w = _struct.unpack_from(">HH", body, 1)
                     nf = body[5]
-                    if nf != 1:
-                        return None  # grayscale only
-                    if body[7] != 0x11:
-                        return None  # no subsampling
-                    comp_q = body[8]
+                    if nf not in (1, 3) or len(body) != 6 + 3 * nf:
+                        return None
+                    comps = []
+                    for ci in range(nf):
+                        cid = body[6 + 3 * ci]
+                        hv = body[7 + 3 * ci]
+                        hi, vi = hv >> 4, hv & 15
+                        if hi not in (1, 2) or vi not in (1, 2):
+                            return None
+                        comps.append((cid, hi, vi, body[8 + 3 * ci]))
                 elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                     return None  # non-baseline SOF
@@ -391,72 +626,134 @@ def _build_decoder(zigzag, snap):
                     if i != len(body):
                         return None
                 elif m == 0xDA:  # SOS
-                    if len(body) < 6 or body[0] != 1:
+                    if comps is None or len(body) < 1:
                         return None
-                    dc_id, ac_id = body[2] >> 4, body[2] & 15
+                    ns = body[0]
+                    if ns != len(comps) or len(body) < 1 + 2 * ns + 3:
+                        return None
+                    by_id = {c[0]: i for i, c in enumerate(comps)}
+                    scan_sel = []
+                    for si in range(ns):
+                        cid = body[1 + 2 * si]
+                        if cid not in by_id:
+                            return None
+                        sel = body[2 + 2 * si]
+                        scan_sel.append((by_id[cid], sel >> 4, sel & 15))
                     scan_start = pos + 2 + ln
                     break
                 pos += 2 + ln
-            if (
-                scan_start is None or w is None or not w or not h
-                or comp_q not in qt
-                or (0, dc_id) not in huff or (1, ac_id) not in huff
-            ):
+            if scan_start is None or w is None or not w or not h:
                 return None
-            if w % 8 or h % 8:
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if w % (8 * hmax) or h % (8 * vmax):
                 return None  # encoder never pads; partial MCUs unsupported
-            if w * h > 64 * 1024 * 1024:
+            if w * h * len(comps) > 64 * 1024 * 1024:
                 return None  # decompression-bomb bound (the PNG rule)
+            for _ci, dci, aci in scan_sel:
+                if (0, dci) not in huff or (1, aci) not in huff:
+                    return None
+            for _cid, _hi, _vi, tq in comps:
+                if tq not in qt:
+                    return None
             # find EOI to bound the scan
             end = b.rfind(b"\xff\xd9")
             if end < scan_start:
                 return None
             rd = Reader(b[scan_start:end])
-            dctab, actab = huff[(0, dc_id)], huff[(1, ac_id)]
-            qtab = _np.array(qt[comp_q], dtype=_np.float64).reshape(8, 8)
-            out = _np.zeros((h, w), dtype=_np.uint8)
-            pred = 0
+            qtabs = [
+                _np.array(qt[c[3]], dtype=_np.float64).reshape(8, 8)
+                for c in comps
+            ]
+            planes = [
+                _np.zeros(
+                    (h * c[2] // vmax, w * c[1] // hmax), dtype=_np.uint8
+                )
+                for c in comps
+            ]
+            preds = [0] * len(comps)
+
+            def block(ci: int, dctab, actab, py: int, px0: int) -> None:
+                zz = [0] * 64
+                s = rd.symbol(dctab)
+                diff = extend(rd.bits(s), s) if s else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = rd.symbol(actab)
+                    if rs == 0x00:
+                        break  # EOB
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC overrun")
+                    s = rs & 15
+                    zz[k] = extend(rd.bits(s), s)
+                    k += 1
+                coef = _np.zeros(64, dtype=_np.float64)
+                for k in range(64):
+                    coef[zigzag[k]] = zz[k]
+                r = dmat.T @ (coef.reshape(8, 8) * qtabs[ci]) @ dmat
+                planes[ci][py : py + 8, px0 : px0 + 8] = _np.clip(
+                    _np.floor(r + 128.5 + snap), 0, 255
+                ).astype(_np.uint8)
+
             try:
-                for by in range(h // 8):
-                    for bx in range(w // 8):
-                        zz = [0] * 64
-                        s = rd.symbol(dctab)
-                        diff = extend(rd.bits(s), s) if s else 0
-                        pred += diff
-                        zz[0] = pred
-                        k = 1
-                        while k < 64:
-                            rs = rd.symbol(actab)
-                            if rs == 0x00:
-                                break  # EOB
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("AC overrun")
-                            s = rs & 15
-                            zz[k] = extend(rd.bits(s), s)
-                            k += 1
-                        coef = _np.zeros(64, dtype=_np.float64)
-                        for k in range(64):
-                            coef[zigzag[k]] = zz[k]
-                        r = dmat.T @ (coef.reshape(8, 8) * qtab) @ dmat
-                        px = _np.clip(
-                            _np.floor(r + 128.5 + snap), 0, 255
-                        ).astype(_np.uint8)
-                        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+                for my in range(h // (8 * vmax)):
+                    for mx in range(w // (8 * hmax)):
+                        for ci, dci, aci in scan_sel:
+                            _cid, hi, vi, _tq = comps[ci]
+                            dctab, actab = huff[(0, dci)], huff[(1, aci)]
+                            for byy in range(vi):
+                                for bxx in range(hi):
+                                    block(
+                                        ci, dctab, actab,
+                                        (my * vi + byy) * 8,
+                                        (mx * hi + bxx) * 8,
+                                    )
             except ValueError:
                 return None
-            return int(w), int(h), len(b), out.tobytes()
+            return (
+                int(w),
+                int(h),
+                len(b),
+                [
+                    (int(p.shape[1]), int(p.shape[0]), p.tobytes())
+                    for p in planes
+                ],
+            )
 
         return run(payload)
 
     return dec
 
 
-#: General single-payload baseline decoder (by-value picklable closure).
-decode_jpeg_bytes = _build_decoder(list(ZIGZAG), PIXEL_SNAP)
+#: General single-payload baseline decoder (by-value picklable closure):
+#: returns per-component planes; None for malformed/unsupported input.
+decode_jpeg_any_bytes = _build_decoder(list(ZIGZAG), PIXEL_SNAP)
+
+
+def _gray_wrapper(dec):
+    """Grayscale-contract view over the general decoder: ``(w, h,
+    byte_len, gray_bytes) | None``, None for color payloads — preserves
+    the round-6 contract the gray still-image stage and the MJPEG frame
+    walker consume. Nested closure: pickles by value with ``dec``."""
+
+    def gray(payload):
+        got = dec(payload)
+        if got is None or len(got[3]) != 1:
+            return None
+        w, h, blen, comps = got
+        return w, h, blen, comps[0][2]
+
+    return gray
+
+
+#: Grayscale-only decoder with the original (w, h, byte_len, gray) shape.
+decode_jpeg_bytes = _gray_wrapper(decode_jpeg_any_bytes)
 
 
 def decode_jpeg(media: DataFrame, batch_rows: int = 256) -> DataFrame:
@@ -553,6 +850,130 @@ def docs_as_jpeg(
     )
 
 
+JPEG_COLOR_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("n_mcus", LongType()),
+        StructField("y_sum", LongType()),
+        StructField("cb_sum", LongType()),
+        StructField("cr_sum", LongType()),
+        StructField("y_hex8", StringType()),
+    ]
+)
+
+
+def decode_jpeg_color(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Color-capable baseline JPEG decoder as an Arrow ``mapInPandas``
+    stage: 3-component interleaved YCbCr (any sampling ∈ {1,2}², i.e.
+    4:2:0 / 4:2:2 / 4:4:4) and 1-component grayscale both decode; the
+    projection sums each component plane at its NATIVE resolution
+    (chroma stays subsampled — the decode contract; upsampling is
+    presentation). Malformed payloads are NULL rows. For grayscale
+    input ``cb_sum``/``cr_sum`` are NULL.
+
+    Scale: identical budget to the grayscale stage — per-row Arrow
+    decode, zero shuffle, by-value-pickled closure."""
+    dec = decode_jpeg_any_bytes
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def decode_batch(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            cols = {
+                "media_id": pdf["media_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                "width": [], "height": [], "byte_len": [],
+                "n_pixels": [], "n_mcus": [], "y_sum": [],
+                "cb_sum": [], "cr_sum": [], "y_hex8": [],
+            }
+            for payload in pdf["payload"]:
+                got = dec(payload)
+                if got is None:
+                    for c in ("width", "height", "byte_len", "n_pixels",
+                              "n_mcus", "y_sum", "cb_sum", "cr_sum",
+                              "y_hex8"):
+                        cols[c].append(None)
+                    cols["byte_len"][-1] = len(bytes(payload))
+                    continue
+                w, h, blen, comps = got
+                yw, yh, ybytes = comps[0]
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["byte_len"].append(blen)
+                cols["n_pixels"].append(w * h)
+                # MCU geometry from the luma plane (hmax*8 × vmax*8)
+                cols["n_mcus"].append(
+                    (w // 16) * (h // 16) if len(comps) == 3 else
+                    (w // 8) * (h // 8)
+                )
+                cols["y_sum"].append(int(sum(ybytes)))
+                if len(comps) == 3:
+                    cols["cb_sum"].append(int(sum(comps[1][2])))
+                    cols["cr_sum"].append(int(sum(comps[2][2])))
+                else:
+                    cols["cb_sum"].append(None)
+                    cols["cr_sum"].append(None)
+                cols["y_hex8"].append(ybytes[:8].hex().upper())
+            return _pd.DataFrame(cols)
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                yield decode_batch(pdf.iloc[start : start + batch_rows])
+
+    return media.mapInPandas(gen, schema=JPEG_COLOR_DECODED_SCHEMA)
+
+
+def docs_as_color_jpeg(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture adapter for the COLOR path: each document renders as a
+    4:2:0 YCbCr baseline JPEG of uniform 16×16 MCUs — ``wm = id % 2 + 1``
+    MCUs wide, 1 MCU tall, MCU ``b`` colored RGB = (text bytes 3b,
+    3b+1, 3b+2; 0 beyond the end). Uniform MCUs are DC-only in all
+    three components, so every decoded value has the closed form
+    ``jpeg_color_oracle_cols`` recomputes — while the payload is a
+    genuine interleaved-scan color JPEG."""
+    from .multimodal import MEDIA_SCHEMA
+
+    enc = encode_jpeg_color  # builder closure: pickles by value
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                wm = int(doc_id) % 2 + 1
+                img = _np.zeros((16, 16 * wm, 3), dtype=_np.uint8)
+                for b in range(wm):
+                    rgb = tuple(
+                        data[3 * b + c] if 3 * b + c < len(data) else 0
+                        for c in range(3)
+                    )
+                    img[:, b * 16 : b * 16 + 16] = rgb
+                payloads.append(enc(img))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return (
+        docs.selectExpr(f"CAST({id_col} AS LONG) AS {id_col}", text_col)
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
 def jpeg_dc_roundtrip_sql(v_expr: str) -> str:
     """SQL closed form of the DC-only round trip for a uniform block of
     value ``v``: DC = 8(v−128); Sq = floor(DC/q00 + 0.5) (q00 odd — no
@@ -565,6 +986,33 @@ def jpeg_dc_roundtrip_sql(v_expr: str) -> str:
         f"CAST(greatest(0, least(255, floor(({sq}) * {q00} / 8.0 "
         f"+ 128.5 + pow(2.0, -20)))) AS BIGINT)"
     )
+
+
+def jpeg_ycbcr_sql(r: str, g: str, b: str) -> tuple[str, str, str]:
+    """SQL closed forms of the encoder's JFIF RGB→YCbCr plane values
+    (uint8, pre-DCT): the literal left-to-right double expressions the
+    encoder evaluates, with every constant CAST to DOUBLE (DuckDB would
+    otherwise parse ``0.299`` as DECIMAL and run different arithmetic),
+    then ``clip(floor(x + 0.5))`` exactly as the encoder quantizes."""
+
+    def clip8(x: str) -> str:
+        return f"CAST(greatest(0, least(255, floor({x}))) AS BIGINT)"
+
+    y = clip8(
+        f"CAST(0.299 AS DOUBLE) * ({r}) + CAST(0.587 AS DOUBLE) * ({g}) "
+        f"+ CAST(0.114 AS DOUBLE) * ({b}) + 0.5"
+    )
+    cb = clip8(
+        f"CAST(128.0 AS DOUBLE) - CAST(0.168736 AS DOUBLE) * ({r}) "
+        f"- CAST(0.331264 AS DOUBLE) * ({g}) "
+        f"+ CAST(0.5 AS DOUBLE) * ({b}) + 0.5"
+    )
+    cr = clip8(
+        f"CAST(128.0 AS DOUBLE) + CAST(0.5 AS DOUBLE) * ({r}) "
+        f"- CAST(0.418688 AS DOUBLE) * ({g}) "
+        f"- CAST(0.081312 AS DOUBLE) * ({b}) + 0.5"
+    )
+    return y, cb, cr
 
 
 # --- MJPEG-in-AVI: the two real codecs chained -------------------------------

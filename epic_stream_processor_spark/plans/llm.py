@@ -615,6 +615,97 @@ FROM rec GROUP BY media_id, wb
 ORACLE_JPEG_DECODE = _jpeg_oracle()
 
 
+def q_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR baseline JPEG decode (round 7): each document renders as a
+    genuine 4:2:0 YCbCr interleaved-scan JPEG (``docs_as_color_jpeg`` —
+    two quant tables, four Huffman tables, 4-luma+2-chroma MCUs) and
+    ``decode_jpeg_color`` walks the general multi-component decoder:
+    per-component DHT/DQT resolution, interleaved MCU entropy decode,
+    three DC predictors, chroma planes at native subsampled resolution.
+
+    Fixture MCUs are uniform (DC-only in all three components) and the
+    encoder quantizes its YCbCr planes to uint8 pre-DCT, so every
+    decoded value has a closed form: RGB→YCbCr in the literal double
+    expression (``jpeg_ycbcr_sql``), then the same DC round trip as
+    grayscale (both quant tables share q00=17). ``byte_len`` not
+    projected (entropy-coded size is not SQL-derivable)."""
+    from ..operators.jpeg import decode_jpeg_color, docs_as_color_jpeg
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    dec = decode_jpeg_color(docs_as_color_jpeg(docs))
+    return dec.select(
+        "media_id", "media_type", "width", "height",
+        "n_pixels", "n_mcus", "y_sum", "cb_sum", "cr_sum", "y_hex8",
+    )
+
+
+def _jpeg_color_oracle() -> str:
+    from ..operators.jpeg import jpeg_dc_roundtrip_sql, jpeg_ycbcr_sql
+
+    y_val, cb_val, cr_val = jpeg_ycbcr_sql("r", "g", "b2")
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         hex(encode(text)) AS hx,
+         CAST(doc_id % 2 + 1 AS BIGINT) AS wm
+  FROM documents
+),
+mcus AS (
+  SELECT media_id, wm, n, hx, unnest(range(0, wm)) AS b FROM m
+),
+rgb AS (
+  SELECT media_id, wm, b,
+         {{byte0}} AS r, {{byte1}} AS g, {{byte2}} AS b2
+  FROM mcus
+),
+comp AS (
+  SELECT media_id, wm, b,
+         {y_val} AS yv, {cb_val} AS cbv, {cr_val} AS crv
+  FROM rgb
+),
+rec AS (
+  SELECT media_id, wm, b,
+         {jpeg_dc_roundtrip_sql("yv")} AS vy,
+         {jpeg_dc_roundtrip_sql("cbv")} AS vcb,
+         {jpeg_dc_roundtrip_sql("crv")} AS vcr
+  FROM comp
+)
+SELECT media_id,
+       'image' AS media_type,
+       CAST(16 * wm AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(256 * wm AS BIGINT) AS n_pixels,
+       wm AS n_mcus,
+       CAST(sum(256 * vy) AS BIGINT) AS y_sum,
+       CAST(sum(64 * vcb) AS BIGINT) AS cb_sum,
+       CAST(sum(64 * vcr) AS BIGINT) AS cr_sum,
+       repeat(printf('%02X', CAST(max(CASE WHEN b = 0 THEN vy END) AS INT)), 8)
+         AS y_hex8
+FROM rec GROUP BY media_id, wm
+""".format(
+        byte0=_hex_byte_sql("3 * b"),
+        byte1=_hex_byte_sql("3 * b + 1"),
+        byte2=_hex_byte_sql("3 * b + 2"),
+    )
+
+
+def _hex_byte_sql(idx: str) -> str:
+    """Byte ``idx`` (0-based) of the hex-dumped text, 0 beyond the end —
+    the byte-extraction idiom the grayscale JPEG oracle established."""
+    return (
+        f"CASE WHEN ({idx}) < n THEN "
+        f"16 * (strpos('0123456789ABCDEF', "
+        f"substring(hx, CAST(2 * ({idx}) + 1 AS INT), 1)) - 1) "
+        f"+ (strpos('0123456789ABCDEF', "
+        f"substring(hx, CAST(2 * ({idx}) + 2 AS INT), 1)) - 1) "
+        f"ELSE 0 END"
+    )
+
+
+ORACLE_JPEG_COLOR_DECODE = _jpeg_color_oracle()
+
+
 def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-frame decode — the two codecs CHAINED: each document
     becomes a genuine MJPEG AVI (RIFF container, 'MJPG' stream, every

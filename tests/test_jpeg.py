@@ -216,3 +216,104 @@ def test_mjpeg_container_and_chained_decode(spark):
     bad_rows = sample_mjpeg_frames(bad, n_samples=4).collect()
     assert len(bad_rows) == 4
     assert all(r.frame_idx is None and r.gray_sum is None for r in bad_rows)
+
+
+def test_color_jpeg_uniform_mcus_hit_closed_form():
+    """4:2:0 round trip on uniform MCUs: every component reconstructs to
+    the DC closed form (RGB→YCbCr literal doubles, clip-floor quantize,
+    q00=17 DC trip)."""
+    from epic_stream_processor_spark.operators.jpeg import (
+        decode_jpeg_any_bytes,
+        decode_jpeg_bytes,
+        encode_jpeg_color,
+    )
+
+    def trip(v, q=17):
+        sq = math.floor(8 * (v - 128) / q + 0.5)
+        return max(0, min(255, math.floor(sq * q / 8 + 128.5 + 2.0**-20)))
+
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[:, :16] = (200, 30, 60)
+    img[:, 16:] = (10, 250, 128)
+    got = decode_jpeg_any_bytes(encode_jpeg_color(img))
+    assert got is not None
+    w, h, _, comps = got
+    assert (w, h) == (32, 16) and len(comps) == 3
+    y = np.frombuffer(comps[0][2], dtype=np.uint8).reshape(16, 32)
+    cb = np.frombuffer(comps[1][2], dtype=np.uint8).reshape(8, 16)
+    cr = np.frombuffer(comps[2][2], dtype=np.uint8).reshape(8, 16)
+    assert comps[1][:2] == (16, 8) and comps[2][:2] == (16, 8)
+    for (r, g, b), ysl, csl in [
+        ((200, 30, 60), np.s_[:, :16], np.s_[:, :8]),
+        ((10, 250, 128), np.s_[:, 16:], np.s_[:, 8:]),
+    ]:
+        yv = math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+        cbv = math.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+        crv = math.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+        assert (y[ysl] == trip(yv)).all()
+        assert (cb[csl] == trip(cbv)).all()
+        assert (cr[csl] == trip(crv)).all()
+    # the grayscale-contract decoder refuses color payloads
+    assert decode_jpeg_bytes(encode_jpeg_color(img)) is None
+
+
+def test_color_jpeg_gradient_round_trip_lossy_tolerance():
+    """General AC path: a color gradient survives encode→decode within
+    lossy tolerance on the luma plane and chroma planes come back at
+    half resolution."""
+    from epic_stream_processor_spark.operators.jpeg import (
+        decode_jpeg_any_bytes,
+        encode_jpeg_color,
+    )
+
+    grad = np.zeros((32, 48, 3), dtype=np.uint8)
+    for i in range(32):
+        for j in range(48):
+            grad[i, j] = (i * 8 % 256, j * 5 % 256, (i + j) * 4 % 256)
+    got = decode_jpeg_any_bytes(encode_jpeg_color(grad))
+    assert got is not None
+    w, h, _, comps = got
+    assert (w, h) == (48, 32)
+    assert comps[1][:2] == (24, 16) and comps[2][:2] == (24, 16)
+    y = np.frombuffer(comps[0][2], dtype=np.uint8).reshape(32, 48).astype(float)
+    yref = np.clip(
+        np.floor(
+            0.299 * grad[..., 0] + 0.587 * grad[..., 1]
+            + 0.114 * grad[..., 2] + 0.5
+        ),
+        0, 255,
+    )
+    assert np.abs(y - yref).max() < 48  # lossy, but recognizably the image
+    assert abs(y.mean() - yref.mean()) < 4
+
+
+def test_color_jpeg_spark_stage_and_fixture_layout(spark):
+    """The Spark color stage: fixture geometry (wm = id % 2 + 1 MCUs),
+    native-resolution chroma sums, and NULL rows for malformed payloads."""
+    from epic_stream_processor_spark.operators.jpeg import (
+        decode_jpeg_color,
+        docs_as_color_jpeg,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ABCDEF"), (1, "xyzuvw"), (2, None)], ["doc_id", "text"]
+    )
+    media = docs_as_color_jpeg(docs)
+    rows = {r["media_id"]: r for r in decode_jpeg_color(media).collect()}
+    assert rows[0]["width"] == 16 and rows[1]["width"] == 32
+    assert all(r["height"] == 16 for r in rows.values())
+    assert rows[1]["n_mcus"] == 2
+    # doc 2 (NULL text): all-zero RGB -> y=0, cb=cr=128 everywhere
+
+    def trip(v, q=17):
+        sq = math.floor(8 * (v - 128) / q + 0.5)
+        return max(0, min(255, math.floor(sq * q / 8 + 128.5 + 2.0**-20)))
+
+    assert rows[2]["y_sum"] == 256 * trip(0)
+    assert rows[2]["cb_sum"] == 64 * trip(128) == rows[2]["cr_sum"]
+    bad = spark.createDataFrame(
+        [(9, "image", b"\xff\xd8junk", 9)],
+        "media_id long, media_type string, payload binary, byte_len long",
+    )
+    bad_rows = decode_jpeg_color(bad).collect()
+    assert len(bad_rows) == 1 and bad_rows[0]["y_sum"] is None
