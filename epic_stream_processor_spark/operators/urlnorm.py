@@ -1,0 +1,110 @@
+"""URL canonicalization — the crawl-frontier / dedup-key stage.
+
+Web-scale corpora dedup by URL before they dedup by content: Common
+Crawl publishes one capture per canonicalized URL per crawl, and every
+frontier needs a stable key to recognize re-discovered pages. This
+module implements the standard canonicalization steps (RFC 3986 §6
+syntax-based normalization plus the crawl conventions) as a PURE JVM
+expression chain — ``lower``/``regexp_extract``/``regexp_replace``/
+``filter``/``array_sort`` — so the hot path is whole-stage-codegen'd
+with zero Python and zero shuffle, the same budget as
+``html_extract``:
+
+- scheme and host lowercased (path case is significant per the RFC and
+  is preserved);
+- the fragment dropped (never sent to servers);
+- default ports removed (``http:80``, ``https:443``);
+- query parameters: empties and tracking params (``utm_*``, ``fbclid``,
+  ``gclid``, ``ref``) dropped, the rest SORTED (binary order) and
+  rejoined — parameter order is almost never significant and unsorted
+  queries are the #1 source of spurious URL-dup misses;
+- empty path → ``/``; a single trailing slash stripped from non-root
+  paths.
+
+Out of scope (documented, not silently wrong): userinfo in the
+authority, percent-encoding normalization, IDN/punycode — inputs
+carrying those pass through the steps above untouched. Strings without
+a ``scheme://`` prefix are returned trimmed but otherwise unchanged
+(pass-through: bad URLs are data, not bugs, at corpus scale).
+
+Scale (100 TB): row-local column expressions end-to-end; the dedup
+consumer (`first doc per canonical URL`) is one min-aggregation shuffle
+on the canonical key — the cheapest possible dedup, which is exactly
+why crawls run it before any content hashing.
+
+Reference note: the reference service has no web-corpus surface at all
+(``server.py`` ingests live telescope streams); URL canonicalization is
+part of this repo's LLM-data-pipeline extension tier, alongside WARC
+ingest and HTML extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: Query parameters that never change page identity (analytics /
+#: click-tracking); the crawl convention is to drop them before keying.
+TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)="
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonical_url(u: Column) -> Column:
+    """Canonical form of a URL column (see module docstring for the
+    exact normalization contract)."""
+    t = F.trim(u)
+    has_scheme = t.rlike(_SCHEME_RE)
+    scheme = F.lower(F.regexp_extract(t, _SCHEME_RE, 1))
+    rest = F.regexp_replace(t, _SCHEME_RE, "")
+    authority = F.lower(F.regexp_extract(rest, "^([^/?#]*)", 1))
+    # default-port removal is scheme-conditional
+    host = (
+        F.when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(authority, ":443$", ""))
+        .otherwise(authority)
+    )
+    pathqf = F.regexp_replace(rest, "^[^/?#]*", "")
+    path = F.regexp_extract(pathqf, "^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(path != "/", F.regexp_replace(path, "/$", "")).otherwise(path)
+    )
+    query = F.regexp_extract(pathqf, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+    return F.when(has_scheme, rebuilt).otherwise(t)
+
+
+def url_host(canon: Column) -> Column:
+    """Host (with any non-default port) of an already-canonical URL —
+    the key the domain-cap and per-host politeness stages group by."""
+    return F.regexp_extract(canon, _SCHEME_RE + "([^/?#]*)", 2)
+
+
+def surt_key(canon: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of an
+    already-canonical URL — the key Common Crawl's CDX indexes sort by:
+    host components reversed and comma-joined, any port kept, then
+    ``)`` and the path+query (``https://crawl.example.org:8080/a?b=1``
+    → ``org,example,crawl:8080)/a?b=1``). Reversed-host keys cluster a
+    registrable domain's subdomains into one contiguous sort range, so
+    a CDX range scan over one domain is a single seek. Scheme is
+    dropped (SURT convention: http/https variants collapse). Pure
+    expressions; non-URL pass-through rows yield an empty key."""
+    hostport = url_host(canon)
+    host_only = F.regexp_extract(hostport, "^([^:]*)", 1)
+    port = F.regexp_extract(hostport, "(:[0-9]+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host_only, r"\.")), ",")
+    tail = F.regexp_replace(canon, _SCHEME_RE + "[^/?#]*", "")
+    return F.when(
+        canon.rlike(_SCHEME_RE), F.concat(rev, port, F.lit(")"), tail)
+    ).otherwise(F.lit(""))

@@ -621,6 +621,124 @@ FROM documents
 
 # --- CCNet perplexity tiers -------------------------------------------------
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (round 7) — the crawl
+    stage BEFORE content dedup: every document gets a deterministically
+    messy URL (mixed-case scheme/host, default and non-default ports,
+    tracking and unsorted query params, trailing slashes, fragments —
+    all chosen by doc_id residues), ``canonical_url`` normalizes it with
+    the pure-JVM expression chain, and the first doc per canonical URL
+    is elected by one min-aggregation window (``is_dup`` marks the
+    rest — the cheapest dedup a crawl runs).
+
+    The oracle is CLOSED FORM: expected canonical URLs are rebuilt
+    directly from the residues (not by re-running a canonicalizer), so
+    any normalization bug — a port kept, a param unsorted, a fragment
+    leaked, path case folded — breaks the hash."""
+    from pyspark.sql import Window
+
+    from ..operators.urlnorm import canonical_url, surt_key, url_host
+
+    configure_for_parity(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    scheme_raw = (
+        F.when(i % 3 == 0, F.lit("HTTP"))
+        .when(i % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("hTtPs"))
+    )
+    host_raw = F.when(
+        i % 2 == 0, F.lit("Example.COM")
+    ).otherwise(F.lit("crawl.Example.org"))
+    port_raw = (
+        F.when(
+            i % 4 == 0,
+            F.when(i % 3 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(i % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path_raw = (
+        F.when(i % 5 == 0, F.lit(""))
+        .when(i % 5 == 1, F.lit("/A/B"))
+        .when(i % 5 == 2, F.lit("/a/b/"))
+        .when(i % 5 == 3, F.lit("/"))
+        .otherwise(F.lit("/x"))
+    )
+    query_raw = (
+        F.when(i % 4 == 0, F.lit("?utm_source=news&b=2&a=1"))
+        .when(i % 4 == 1, F.lit("?z=9"))
+        .when(i % 4 == 2, F.lit(""))
+        .otherwise(F.lit("?fbclid=x&ref=rss"))
+    )
+    frag = F.when(i % 2 == 1, F.lit("#Sec-2")).otherwise(F.lit(""))
+    messy = F.concat(
+        scheme_raw, F.lit("://"), host_raw, port_raw, path_raw, query_raw, frag
+    )
+    staged = (
+        d.withColumn("url", messy)
+        .withColumn("canonical_url", canonical_url(F.col("url")))
+        .withColumn("host", url_host(F.col("canonical_url")))
+        .withColumn("surt", surt_key(F.col("canonical_url")))
+    )
+    w = Window.partitionBy("canonical_url")
+    return (
+        staged.withColumn(
+            "first_doc_id", F.min("doc_id").over(w).cast("long")
+        )
+        .withColumn("is_dup", F.col("doc_id") != F.col("first_doc_id"))
+        .select(
+            "doc_id", "url", "canonical_url", "host", "surt",
+            "first_doc_id", "is_dup",
+        )
+    )
+
+
+ORACLE_URL_CANONICALIZE = """WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+              ELSE 'hTtPs' END AS scheme_raw,
+         CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END AS cscheme,
+         CASE WHEN doc_id % 2 = 0 THEN 'Example.COM'
+              ELSE 'crawl.Example.org' END AS host_raw,
+         CASE WHEN doc_id % 2 = 0 THEN 'example.com'
+              ELSE 'crawl.example.org' END AS chost,
+         CASE WHEN doc_id % 4 = 0 THEN
+                CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END
+              WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END AS port_raw,
+         CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END AS cport,
+         CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/A/B'
+              WHEN 2 THEN '/a/b/' WHEN 3 THEN '/' ELSE '/x' END AS path_raw,
+         CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '/A/B'
+              WHEN 2 THEN '/a/b' WHEN 3 THEN '/' ELSE '/x' END AS cpath,
+         CASE doc_id % 4 WHEN 0 THEN '?utm_source=news&b=2&a=1'
+              WHEN 1 THEN '?z=9' WHEN 2 THEN ''
+              ELSE '?fbclid=x&ref=rss' END AS query_raw,
+         CASE doc_id % 4 WHEN 0 THEN '?a=1&b=2'
+              WHEN 1 THEN '?z=9' ELSE '' END AS cquery,
+         CASE WHEN doc_id % 2 = 1 THEN '#Sec-2' ELSE '' END AS frag
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+         scheme_raw || '://' || host_raw || port_raw || path_raw
+           || query_raw || frag AS url,
+         cscheme || '://' || chost || cport || cpath || cquery
+           AS canonical_url,
+         chost || cport AS host,
+         CASE WHEN chost = 'example.com' THEN 'com,example'
+              ELSE 'org,example,crawl' END
+           || cport || ')' || cpath || cquery AS surt
+  FROM m
+)
+SELECT doc_id, url, canonical_url, host, surt,
+       CAST(min(doc_id) OVER (PARTITION BY canonical_url) AS BIGINT)
+         AS first_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY canonical_url) AS is_dup
+FROM built
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020):
     bigram-LM scores → integer-score histogram → equal-count value

@@ -549,6 +549,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
+    "url_canonicalize": QueryDef(
+        corpus.q_url_canonicalize, corpus.ORACLE_URL_CANONICALIZE,
+        "URL canonicalization + URL-level dedup (round 7): RFC 3986 "
+        "syntax normalization + crawl conventions (tracking-param drop, "
+        "query sort, default-port/fragment removal) as a pure JVM "
+        "expression chain; first-doc-per-canonical election; closed-"
+        "form oracle rebuilds expected URLs from doc_id residues",
+    ),
     "jpeg_color_decode": QueryDef(
         llm.q_jpeg_color_decode, llm.ORACLE_JPEG_COLOR_DECODE,
         "COLOR baseline JPEG (round 7): 4:2:0 YCbCr interleaved-MCU "

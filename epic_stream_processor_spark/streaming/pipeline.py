@@ -307,6 +307,65 @@ def run_corpus_ingest_stream(
     return writer.start()
 
 
+def run_warc_ingest_stream(
+    spark: SparkSession,
+    warc_dir: str,
+    out_path: str,
+    checkpoint: str,
+    min_quality: float = 0.0,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Common Crawl-shaped ingest as ONE continuous stream: WARC files
+    land in a directory (the crawl's delivery unit), each micro-batch
+    parses the new files (``parse_warc`` — Content-Length framing,
+    multi-member gzip, bounded anti-bomb inflate), canonicalizes every
+    record's target URI (``canonical_url``), gates on text quality, and
+    keeps the FIRST capture per canonical URL — the URL-level dedup
+    crawls run before any content hashing.
+
+    Stage order at scale: parse and the quality gate are stateless and
+    run first, so rejected captures never enter the dedup state store;
+    the only stateful stage is one 1-key ``dropDuplicates`` on the
+    canonical URL (hash-partitioned, RocksDB-backed at scale).
+    Backpressure via ``maxFilesPerTrigger``. The file source tracks
+    processed files in the checkpoint, so delivery is exactly-once per
+    WARC file.
+    """
+    from ..functions.text import quality_score
+    from ..operators.urlnorm import canonical_url, surt_key
+    from ..sources.warc import parse_warc
+
+    # the binaryFile source has a FIXED schema, but streaming sources
+    # must state it explicitly
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(warc_dir).select(
+        F.col("path"), F.col("content").alias("data")
+    )
+    parsed = parse_warc(files, passthrough=("path",))
+    gated = (
+        parsed.where(F.col("warc_type") == "response")
+        .withColumn("quality_score", quality_score(F.col("text")))
+        .where(F.col("quality_score") >= F.lit(min_quality))
+        .withColumn("canonical_url", canonical_url(F.col("target_uri")))
+        .withColumn("surt", surt_key(F.col("canonical_url")))
+        .dropDuplicates(["canonical_url"])
+    )
+    writer = (
+        gated.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def make_corpus_sink(bench: DataFrame, out_path: str, k: int = 13):
     """The decontaminate+split foreachBatch body, exposed for direct tests
     (replaying a batch id must be a no-op). T4 exactly-once: each batch

@@ -1790,3 +1790,79 @@ def test_remove_dup_substrings_interlocking_runs_survive(spark):
     surviving = " | ".join(kept.values())
     for gram in ("m p", "p q", "q r"):
         assert gram in surviving
+
+
+def test_canonical_url_normalization_contract(spark):
+    """URL canonicalization: every documented step, plus pass-through
+    for strings without a scheme."""
+    from epic_stream_processor_spark.operators.urlnorm import (
+        canonical_url,
+        url_host,
+    )
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://Example.COM:80/A/B#frag", "http://example.com/A/B"),
+        ("https://Example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/a/b/", "http://example.com/a/b"),
+        ("http://example.com/CaSe", "http://example.com/CaSe"),
+        (
+            "https://e.org/p?utm_source=a&z=1&utm_campaign=x&a=2",
+            "https://e.org/p?a=2&z=1",
+        ),
+        ("https://e.org/p?fbclid=1&gclid=2&ref=3", "https://e.org/p"),
+        ("https://e.org/p?b=2&&a=1", "https://e.org/p?a=1&b=2"),
+        ("  http://e.org/x  ", "http://e.org/x"),
+        ("not a url at all", "not a url at all"),
+        ("  mailto:x@y.z  ", "mailto:x@y.z"),
+        ("hTtPs://E.ORG:443/q?x=1#z", "https://e.org/q?x=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "u"]
+    ).withColumn("c", canonical_url(F.col("u")))
+    got = {r["i"]: r["c"] for r in df.collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+    hosts = {
+        r["i"]: r["h"]
+        for r in df.withColumn("h", url_host(F.col("c"))).collect()
+    }
+    assert hosts[0] == "example.com"
+    assert hosts[2] == "example.com:8443"
+    assert hosts[10] == ""  # pass-through rows have no scheme://host
+
+
+def test_surt_key_reorders_host_components(spark):
+    """SURT: reversed comma-joined host, port kept, scheme dropped —
+    subdomains of one domain become one contiguous sort range."""
+    from epic_stream_processor_spark.operators.urlnorm import surt_key
+
+    cases = [
+        ("https://crawl.example.org:8080/a?b=1", "org,example,crawl:8080)/a?b=1"),
+        ("http://example.com/A/B", "com,example)/A/B"),
+        ("https://example.com/", "com,example)/"),
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "u"]
+    ).withColumn("s", surt_key(F.col("u")))
+    got = {r["i"]: r["s"] for r in df.collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+    # the clustering property: www./api. subdomains sort adjacent under
+    # SURT but are separated by unrelated hosts under plain string sort
+    urls = [
+        "https://api.site.org/x",
+        "https://site.org/x",
+        "https://www.site.org/x",
+        "https://aaa.other.net/x",
+    ]
+    sdf = spark.createDataFrame([(u,) for u in urls], ["u"]).withColumn(
+        "s", surt_key(F.col("u"))
+    )
+    surts = sorted(r["s"] for r in sdf.collect())
+    site_rows = [s for s in surts if s.startswith("org,site")]
+    lo, hi = surts.index(site_rows[0]), surts.index(site_rows[-1])
+    assert hi - lo + 1 == len(site_rows) == 3  # contiguous range

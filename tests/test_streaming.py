@@ -626,3 +626,63 @@ def test_corpus_ingest_survives_checkpoint_restart_exactly_once(spark, tmp_path)
     # the cross-restart duplicate lost to the pre-stop first-seen copy
     assert got.where(F2.col("doc_id") == 999).count() == 0
     assert got.where(F2.col("doc_id") == 7).count() == 1
+
+
+def test_warc_ingest_stream_matches_batch(spark, tmp_path):
+    """Common Crawl-shaped streaming ingest: WARC(.gz) files land in a
+    directory, the stream parses + canonicalizes + URL-dedups; the
+    surviving canonical-URL set must equal the batch composition over
+    the same files, and each survivor's text must round-trip."""
+    from epic_stream_processor_spark.functions.text import quality_score
+    from epic_stream_processor_spark.operators.urlnorm import canonical_url
+    from epic_stream_processor_spark.sources.fixtures import load_table
+    from epic_stream_processor_spark.sources.warc import (
+        docs_as_warc_records,
+        gzip_records,
+        parse_warc,
+        warc_files,
+    )
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_warc_ingest_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    images = warc_files(gzip_records(docs_as_warc_records(docs, n_buckets=6)))
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    for r in images.collect():
+        (warc_dir / f"part-{r['bucket_id']:02d}.warc.gz").write_bytes(
+            bytes(r["data"])
+        )
+    out = str(tmp_path / "ingested")
+    q = run_warc_ingest_stream(
+        spark, str(warc_dir), out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    files_df = spark.createDataFrame(
+        [(0, b) for b in [
+            (warc_dir / p).read_bytes() for p in sorted(
+                x.name for x in warc_dir.iterdir()
+            )
+        ]],
+        "bucket_id long, data binary",
+    )
+    batch = (
+        parse_warc(files_df)
+        .where(F.col("warc_type") == "response")
+        .withColumn("quality_score", quality_score(F.col("text")))
+        .where(F.col("quality_score") >= 0.0)
+        .withColumn("canonical_url", canonical_url(F.col("target_uri")))
+    )
+    want = {
+        r["canonical_url"]: r["text"] for r in batch.collect()
+    }
+    rows = got.collect()
+    assert {r["canonical_url"] for r in rows} == set(want)
+    for r in rows:
+        assert r["text"] == want[r["canonical_url"]]
+        assert r["surt"].startswith("example,crawl)")
+    # exactly one survivor per canonical URL
+    assert len(rows) == len(want)
