@@ -1,0 +1,141 @@
+"""robots.txt (RFC 9309) parsing and crawl-permission decisions.
+
+The last missing piece of the crawl ingest stack (WARC containers → CDX
+random access → URL canonicalization → **may we fetch this URL at
+all?**). A crawler evaluates every frontier URL against its host's
+robots.txt; at corpus scale that is billions of decisions against
+millions of small rule files — the decision must be a row-local
+expression, and it is here:
+
+- :func:`parse_robots` turns a robots.txt file body into a flat rule
+  array ``array<struct<agent, allow, path>>`` with ONE ``aggregate``
+  fold over the lines — grouped ``User-agent`` headers (consecutive
+  headers share a group, a header after rules starts a new group),
+  ``Allow``/``Disallow`` records, ``#`` comments, case-insensitive
+  keys, and the empty-``Disallow`` no-op are all RFC 9309 semantics.
+  Pure JVM expressions: the parse runs inside whole-stage codegen,
+  no Python, no shuffle.
+- :func:`robots_allowed` decides one (rules, agent, path): per the RFC,
+  if any group names the agent, ONLY that group applies (else the ``*``
+  group); among matching rules the LONGEST path wins, ties prefer
+  Allow; no match ⇒ allowed. Expressed as filter + array_max over
+  ``(path_length, allow)`` structs — the lexicographic struct order IS
+  the RFC precedence.
+
+Scale (100 TB): robots bodies are a per-host dimension (millions of
+rows, kilobytes each) — parse once, broadcast-join to the URL frontier
+on host, decide row-locally. The frontier never shuffles.
+
+Out of scope (documented): ``*``/``$`` wildcards inside rule paths
+(a 2019-draft extension many sites use; prefix-only matching here),
+``Crawl-delay``, ``Sitemap`` records.
+
+Reference note: the reference service has no web surface (it ingests
+telescope streams, ``server.py``); robots handling belongs to this
+repo's LLM-data-pipeline extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: Accumulator / rule types for the parse fold.
+_RULES_TYPE = "array<struct<agent:string,allow:boolean,path:string>>"
+_ACC_TYPE = (
+    "struct<agents:array<string>,after_rules:boolean,"
+    "rules:array<struct<agent:string,allow:boolean,path:string>>>"
+)
+
+
+def parse_robots(body: Column) -> Column:
+    """Flat rule array from a robots.txt body (see module docstring).
+
+    One ``aggregate`` fold over the lines. The accumulator carries the
+    current group's agent list, whether a rule has been seen since the
+    last ``User-agent`` header (a header after rules RESETS the group;
+    consecutive headers extend it), and the rules emitted so far.
+    """
+    lines = F.split(body, "\r?\n")
+    # strip comments + outer whitespace once, keep (key, value) pairs
+    cleaned = F.transform(
+        lines,
+        lambda ln: F.struct(
+            F.lower(
+                F.trim(F.regexp_extract(F.regexp_replace(ln, "#.*$", ""),
+                                        "^([^:]*):", 1))
+            ).alias("k"),
+            F.trim(
+                F.regexp_extract(F.regexp_replace(ln, "#.*$", ""),
+                                 "^[^:]*:(.*)$", 1)
+            ).alias("v"),
+        ),
+    )
+    init = F.lit(None).cast(_ACC_TYPE)
+    init = F.named_struct(
+        F.lit("agents"), F.array().cast("array<string>"),
+        F.lit("after_rules"), F.lit(False),
+        F.lit("rules"), F.array().cast(_RULES_TYPE),
+    ).cast(_ACC_TYPE)
+
+    def step(acc, kv):
+        k, v = kv["k"], kv["v"]
+        is_agent = (k == "user-agent") & (v != "")
+        is_rule = k.isin("allow", "disallow") & (v != "") & (
+            F.size(acc["agents"]) > 0
+        )
+        new_agents = (
+            F.when(
+                is_agent & acc["after_rules"],
+                F.array(F.lower(v)),
+            )
+            .when(is_agent, F.array_union(acc["agents"], F.array(F.lower(v))))
+            .otherwise(acc["agents"])
+        )
+        emitted = F.transform(
+            acc["agents"],
+            lambda a: F.struct(
+                a.alias("agent"),
+                (k == F.lit("allow")).alias("allow"),
+                v.alias("path"),
+            ),
+        )
+        new_rules = F.when(
+            is_rule, F.concat(acc["rules"], emitted)
+        ).otherwise(acc["rules"])
+        return F.named_struct(
+            F.lit("agents"), new_agents,
+            F.lit("after_rules"),
+            F.when(is_rule, F.lit(True))
+            .when(is_agent, F.lit(False))
+            .otherwise(acc["after_rules"]),
+            F.lit("rules"), new_rules,
+        ).cast(_ACC_TYPE)
+
+    return F.aggregate(cleaned, init, step, lambda acc: acc["rules"])
+
+
+def robots_allowed(rules: Column, agent: Column, path: Column) -> Column:
+    """RFC 9309 decision for one (rule array, agent, path): specific
+    group beats ``*``, longest matching path wins, ties prefer Allow,
+    no match ⇒ allowed. Agent matching is case-insensitive (rules store
+    lowercased agents)."""
+    a = F.lower(agent)
+    has_specific = F.exists(rules, lambda r: r["agent"] == a)
+    group_agent = F.when(has_specific, a).otherwise(F.lit("*"))
+    matching = F.filter(
+        rules,
+        lambda r: (r["agent"] == group_agent)
+        & path.startswith(r["path"]),
+    )
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["path"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    return F.when(F.size(matching) == 0, F.lit(True)).otherwise(
+        best["a"] == 1
+    )

@@ -739,6 +739,97 @@ FROM built
 """
 
 
+ROBOTS_EXAMPLE_COM = """# example.com policy
+User-Agent: *
+Disallow: /a
+Allow: /a/b
+User-agent: testbot
+Disallow: /x
+"""
+
+ROBOTS_CRAWL_ORG = """User-agent: gptbot
+User-agent: testbot
+Disallow: /A
+Allow: /A/B  # inline comment
+Disallow:
+User-agent: *
+Disallow: /
+Allow: /x
+"""
+
+
+def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-permission decisions (round 7) in the production
+    shape: a tiny per-host dimension of robots bodies is parsed ONCE
+    (``parse_robots`` — one pure-JVM aggregate fold per body: grouped
+    User-agent headers, inline comments, empty-Disallow no-op) and
+    broadcast-joined to the URL side, where ``robots_allowed`` decides
+    each (agent, path) row-locally: specific group beats ``*``, longest
+    matching path wins, ties prefer Allow, no match ⇒ allowed.
+
+    The oracle is CLOSED FORM — expected decisions and per-host rule
+    counts are written out as CASE arms from the two fixture policies,
+    so a parse bug (group reset missed, comment kept, empty Disallow
+    emitted) or a precedence bug (tie broken toward Disallow, ``*``
+    consulted despite a specific group) breaks the hash."""
+    from ..operators.robots import parse_robots, robots_allowed
+
+    configure_for_parity(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    docs = d.withColumn(
+        "host",
+        F.when(i % 2 == 0, F.lit("example.com")).otherwise(
+            F.lit("crawl.example.org")
+        ),
+    ).withColumn(
+        "path",
+        F.when(i % 5 == 1, F.lit("/A/B"))
+        .when(i % 5 == 2, F.lit("/a/b"))
+        .when(i % 5 == 4, F.lit("/x"))
+        .otherwise(F.lit("/")),
+    )
+    dim = spark.createDataFrame(
+        [("example.com", ROBOTS_EXAMPLE_COM),
+         ("crawl.example.org", ROBOTS_CRAWL_ORG)],
+        "host string, robots_txt string",
+    ).withColumn("rules", parse_robots(F.col("robots_txt")))
+    joined = docs.join(F.broadcast(dim.select("host", "rules")), "host")
+    return joined.select(
+        "doc_id",
+        "host",
+        "path",
+        F.size("rules").cast("long").alias("n_rules"),
+        robots_allowed(
+            F.col("rules"), F.lit("TestBot"), F.col("path")
+        ).alias("allowed_testbot"),
+        robots_allowed(
+            F.col("rules"), F.lit("otherbot"), F.col("path")
+        ).alias("allowed_otherbot"),
+    )
+
+
+ORACLE_ROBOTS_DECISIONS = """SELECT
+  doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'example.com'
+       ELSE 'crawl.example.org' END AS host,
+  CASE WHEN doc_id % 5 = 1 THEN '/A/B'
+       WHEN doc_id % 5 = 2 THEN '/a/b'
+       WHEN doc_id % 5 = 4 THEN '/x' ELSE '/' END AS path,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 6 END AS BIGINT) AS n_rules,
+  -- testbot: example.com has a specific group [Disallow /x];
+  -- crawl.example.org's specific group is [Disallow /A, Allow /A/B]
+  CASE WHEN doc_id % 2 = 0 THEN (doc_id % 5 <> 4)
+       ELSE TRUE END AS allowed_testbot,
+  -- otherbot falls to '*': example.com [Disallow /a, Allow /a/b]
+  -- (longest match allows /a/b); crawl.example.org [Disallow /,
+  -- Allow /x] (everything denied except the longer-match /x)
+  CASE WHEN doc_id % 2 = 0 THEN TRUE
+       ELSE (doc_id % 5 = 4) END AS allowed_otherbot
+FROM documents
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020):
     bigram-LM scores → integer-score histogram → equal-count value

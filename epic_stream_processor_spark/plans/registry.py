@@ -549,6 +549,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
+    "robots_decisions": QueryDef(
+        corpus.q_robots_decisions, corpus.ORACLE_ROBOTS_DECISIONS,
+        "robots.txt crawl permissions (round 7, RFC 9309): parse-once "
+        "per-host rule dimension (pure-JVM aggregate fold) broadcast-"
+        "joined to the URL side; row-local longest-match decisions "
+        "(specific group beats *, ties prefer Allow); closed-form "
+        "oracle pins parse and precedence",
+    ),
     "url_canonicalize": QueryDef(
         corpus.q_url_canonicalize, corpus.ORACLE_URL_CANONICALIZE,
         "URL canonicalization + URL-level dedup (round 7): RFC 3986 "

@@ -1866,3 +1866,77 @@ def test_surt_key_reorders_host_components(spark):
     site_rows = [s for s in surts if s.startswith("org,site")]
     lo, hi = surts.index(site_rows[0]), surts.index(site_rows[-1])
     assert hi - lo + 1 == len(site_rows) == 3  # contiguous range
+
+
+def test_parse_robots_rfc9309_grouping(spark):
+    """robots.txt parse fold: consecutive User-agent headers share a
+    group, a header AFTER rules starts a new group, comments strip,
+    empty Disallow is a no-op, keys are case-insensitive."""
+    from epic_stream_processor_spark.operators.robots import parse_robots
+
+    body = (
+        "# policy\n"
+        "User-Agent: A\n"
+        "user-agent: B\n"
+        "Disallow: /x  # inline\n"
+        "Allow: /x/y\n"
+        "Disallow:\n"
+        "User-agent: C\n"
+        "DISALLOW: /z\n"
+        "Crawl-delay: 10\n"
+        "rogue line without colon\n"
+    )
+    df = spark.createDataFrame([(body,)], ["b"]).select(
+        parse_robots(F.col("b")).alias("rules")
+    )
+    rules = [
+        (r["agent"], r["allow"], r["path"]) for r in df.collect()[0]["rules"]
+    ]
+    assert rules == [
+        ("a", False, "/x"),
+        ("b", False, "/x"),
+        ("a", True, "/x/y"),
+        ("b", True, "/x/y"),
+        ("c", False, "/z"),
+    ]
+
+
+def test_robots_allowed_precedence(spark):
+    """Decision precedence: specific group beats *, longest path wins,
+    tie prefers Allow, no match allows."""
+    from epic_stream_processor_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Allow: /pub\n"
+        "User-agent: nicebot\n"
+        "Disallow: /priv\n"
+        "Allow: /priv\n"  # same length as Disallow: tie -> Allow
+    )
+    cases = [
+        # (agent, path, expected)
+        ("anybot", "/", False),        # * denies root
+        ("anybot", "/pub/x", True),    # longer Allow wins
+        ("NiceBot", "/", True),        # specific group, no match -> allow
+        ("nicebot", "/priv/x", True),  # equal-length tie -> Allow
+        ("nicebot", "/pub", True),     # * group NOT consulted
+    ]
+    df = spark.createDataFrame(
+        [(i, a, p) for i, (a, p, _) in enumerate(cases)],
+        ["i", "agent", "path"],
+    ).withColumn("rules", parse_robots(F.lit(body)))
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select(
+            "i",
+            robots_allowed(
+                F.col("rules"), F.col("agent"), F.col("path")
+            ).alias("ok"),
+        ).collect()
+    }
+    for i, (a, p, want) in enumerate(cases):
+        assert got[i] == want, (a, p, got[i])
