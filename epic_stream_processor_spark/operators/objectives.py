@@ -1,0 +1,184 @@
+"""Training-objective construction: FIM and span corruption.
+
+After curation (dedup, quality, decontamination) a training pipeline
+rewrites documents into the shapes the objective needs. Two of the
+standard rewrites, both as row-local column expressions (zero shuffle,
+whole-stage-codegen'd except the array ops — the same budget as
+chunking/packing):
+
+- :func:`fim_transform` — fill-in-the-middle (Bavarian et al. 2022):
+  for a deterministic fraction of documents, split the token stream at
+  two hash-derived cut points and emit the PSM layout
+  ``<PRE> prefix <SUF> suffix <MID> middle`` so a causal model learns
+  to infill. Cut points and the apply decision derive from the
+  md5-based ``stable_hash64`` (the engine-portable hash contract), so
+  the transform is reproducible run-to-run and verifiable in SQL.
+- :func:`span_corrupt` — T5-style span corruption (Raffel et al.
+  2020): mask short spans and emit the (input-with-sentinels,
+  target-of-masked-spans) pair. Spans are chosen BLOCKWISE — each
+  ``block_len``-token block independently masks a hash-derived span
+  that cannot cross the block boundary, and its sentinel is indexed by
+  block number. Block-local selection keeps the whole rewrite one
+  ``transform``/``flatten`` over block indices (no running fold, no
+  cross-row state) and makes sentinel ids stable under any document
+  split — the deterministic, mergeable variant of the sequential
+  sentinel numbering the paper uses (documented trade; the objective
+  only needs input/target sentinels to agree, which block indexing
+  preserves).
+
+Scale (100 TB): both rewrites are pure projections — they pipeline into
+whatever scan produced the curated corpus with no extra stage. The
+deterministic hash choice is load-bearing at scale: re-running a failed
+partition reproduces byte-identical training data (no RNG state to
+checkpoint).
+
+Reference note: the reference has no training-data surface
+(``server.py`` serves telescope streams); objective construction
+belongs to this repo's LLM-pipeline extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import stable_hash64
+from ..functions.text import tokens
+
+
+def _doc_hash(id_col: str, tag: str) -> Column:
+    return stable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{tag}"))
+    )
+
+
+def fim_transform(
+    docs: DataFrame,
+    rate_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PSM fill-in-the-middle rewrite (see module docstring).
+
+    Cut points: ``lo``/``hi`` are the ordered pair of two independent
+    hashes mod (n_tokens + 1); the document FIMs when
+    ``hash(id) % 100 < rate_pct`` and it has ≥ 2 tokens. Non-applied
+    documents pass through with whitespace-normalized text (token
+    join — byte-identical to what the tokenizer sees either way).
+    Returns (id, n_tokens, fim_applied, cut_lo, cut_hi, fim_text).
+    """
+    staged = docs.withColumn("_fim_toks", tokens(F.col(text_col))).withColumn(
+        "_fim_n", F.size("_fim_toks")
+    )
+    n = F.col("_fim_n")
+    ha = _doc_hash(id_col, "fim-a") % (n + 1)
+    hb = _doc_hash(id_col, "fim-b") % (n + 1)
+    staged = (
+        staged.withColumn("cut_lo", F.least(ha, hb).cast("long"))
+        .withColumn("cut_hi", F.greatest(ha, hb).cast("long"))
+        .withColumn(
+            "fim_applied",
+            (_doc_hash(id_col, "fim-apply") % 100 < rate_pct) & (n >= 2),
+        )
+    )
+    toks = F.col("_fim_toks")
+    lo, hi = F.col("cut_lo"), F.col("cut_hi")
+    psm = F.concat_ws(
+        " ",
+        F.concat(
+            F.array(F.lit("<PRE>")),
+            F.slice(toks, F.lit(1), lo),
+            F.array(F.lit("<SUF>")),
+            F.slice(toks, hi + 1, n - hi),
+            F.array(F.lit("<MID>")),
+            F.slice(toks, lo + 1, hi - lo),
+        ),
+    )
+    return staged.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        "fim_applied",
+        "cut_lo",
+        "cut_hi",
+        F.when(F.col("fim_applied"), psm)
+        .otherwise(F.concat_ws(" ", toks))
+        .alias("fim_text"),
+    )
+
+
+def span_corrupt(
+    docs: DataFrame,
+    block_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style span corruption, blockwise (see module docstring).
+
+    Per block ``b`` (hash ``h = stable_hash64(id:":t5:":b)``): the block
+    masks iff ``h % 3 == 0``; the span starts at in-block offset
+    ``h % 4`` with length ``1 + h % 2``, clipped at the block (and
+    document) end. Input replaces each masked span with ``<Xb>``;
+    target is the concatenation of ``<Xb>`` + masked tokens over masked
+    blocks. A masked span that falls entirely past the document's last
+    token still emits its sentinel in both streams (harmless and
+    deterministic). Returns (id, n_tokens, n_masked_blocks,
+    corrupt_input, corrupt_target).
+    """
+    staged = docs.withColumn("_t5_toks", tokens(F.col(text_col))).withColumn(
+        "_t5_n", F.size("_t5_toks")
+    )
+    n = F.col("_t5_n")
+    toks = F.col("_t5_toks")
+    nblocks = F.floor((n + block_len - 1) / block_len).cast("int")
+    blocks = F.when(nblocks > 0, F.sequence(F.lit(0), nblocks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def h(b: Column) -> Column:
+        return stable_hash64(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":t5:"), b.cast("string")
+            )
+        )
+
+    def sentinel(b: Column) -> Column:
+        return F.concat(F.lit("<X"), b.cast("string"), F.lit(">"))
+
+    def block_pieces(b: Column) -> Column:
+        base = b * block_len  # 0-based block start
+        hb = h(b)
+        start = (hb % 4).cast("int")
+        ln = (1 + hb % 2).cast("int")
+        whole = F.slice(toks, base + 1, F.lit(block_len))
+        masked = F.concat(
+            F.slice(toks, base + 1, start),
+            F.array(sentinel(b)),
+            F.slice(
+                toks,
+                base + start + ln + 1,
+                F.greatest(F.lit(block_len) - start - ln, F.lit(0)),
+            ),
+        )
+        return F.when(hb % 3 == 0, masked).otherwise(whole)
+
+    def target_pieces(b: Column) -> Column:
+        base = b * block_len
+        hb = h(b)
+        start = (hb % 4).cast("int")
+        ln = (1 + hb % 2).cast("int")
+        return F.concat(
+            F.array(sentinel(b)), F.slice(toks, base + start + 1, ln)
+        )
+
+    staged = staged.withColumn("_t5_blocks", blocks)
+    masked_blocks = F.filter(F.col("_t5_blocks"), lambda b: h(b) % 3 == 0)
+    return staged.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.size(masked_blocks).cast("long").alias("n_masked_blocks"),
+        F.concat_ws(
+            " ", F.flatten(F.transform(F.col("_t5_blocks"), block_pieces))
+        ).alias("corrupt_input"),
+        F.concat_ws(
+            " ", F.flatten(F.transform(masked_blocks, target_pieces))
+        ).alias("corrupt_target"),
+    )

@@ -2192,3 +2192,103 @@ def _bm25_oracle() -> str:
 
 
 ORACLE_BM25_SEARCH = _bm25_oracle()
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle objective construction (round 7, Bavarian et
+    al. 2022): a deterministic 50% of documents are rewritten into the
+    PSM layout ``<PRE> prefix <SUF> suffix <MID> middle`` with both cut
+    points derived from the md5 hash contract — row-local expressions,
+    reproducible run-to-run (operators/objectives.py). The oracle
+    mirrors the hash arithmetic and list slicing exactly."""
+    from ..operators.objectives import fim_transform
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return fim_transform(docs, rate_pct=50)
+
+
+def _fim_oracle() -> str:
+    ha = stable_hash64_sql("CAST(doc_id AS VARCHAR) || ':fim-a'")
+    hb = stable_hash64_sql("CAST(doc_id AS VARCHAR) || ':fim-b'")
+    hap = stable_hash64_sql("CAST(doc_id AS VARCHAR) || ':fim-apply'")
+    return f"""WITH docw AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN []
+              ELSE str_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, len(w) AS n,
+         least({ha} % (len(w) + 1), {hb} % (len(w) + 1)) AS lo,
+         greatest({ha} % (len(w) + 1), {hb} % (len(w) + 1)) AS hi,
+         ({hap} % 100 < 50) AND len(w) >= 2 AS applied
+  FROM docw
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       applied AS fim_applied,
+       CAST(lo AS BIGINT) AS cut_lo,
+       CAST(hi AS BIGINT) AS cut_hi,
+       CASE WHEN applied THEN
+         coalesce(array_to_string(
+           ['<PRE>'] || w[1:lo] || ['<SUF>'] || w[hi+1:n]
+             || ['<MID>'] || w[lo+1:hi], ' '), '')
+       ELSE coalesce(array_to_string(w, ' '), '') END AS fim_text
+FROM c
+"""
+
+
+ORACLE_FIM_TRANSFORM = _fim_oracle()
+
+
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (round 7, Raffel et al. 2020),
+    blockwise-deterministic: each 8-token block independently masks a
+    hash-derived span (~1/3 of blocks, spans of 1-2 tokens), the input
+    stream replaces each span with its block-indexed sentinel, and the
+    target stream collects sentinel + masked tokens
+    (operators/objectives.py). The oracle mirrors the per-block hash
+    arithmetic, clipping, and sentinel layout exactly."""
+    from ..operators.objectives import span_corrupt
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corrupt(docs, block_len=8)
+
+
+def _span_corrupt_oracle() -> str:
+    hb = stable_hash64_sql(
+        "CAST(doc_id AS VARCHAR) || ':t5:' || CAST(b AS VARCHAR)"
+    )
+    return f"""WITH docw AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN []
+              ELSE str_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, len(w) AS n,
+         range(0, CAST(floor((len(w) + 7) / 8) AS BIGINT)) AS blocks
+  FROM docw
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(blocks, b -> {hb} % 3 = 0)) AS BIGINT)
+         AS n_masked_blocks,
+       coalesce(array_to_string(flatten(list_transform(blocks, b ->
+         CASE WHEN {hb} % 3 = 0 THEN
+           w[8*b+1 : 8*b + ({hb} % 4)]
+             || ['<X' || CAST(b AS VARCHAR) || '>']
+             || w[8*b + ({hb} % 4) + (1 + {hb} % 2) + 1 : 8*b+8]
+         ELSE w[8*b+1 : 8*b+8] END)), ' '), '') AS corrupt_input,
+       coalesce(array_to_string(flatten(list_transform(
+         list_filter(blocks, b -> {hb} % 3 = 0), b ->
+           ['<X' || CAST(b AS VARCHAR) || '>']
+             || w[8*b + ({hb} % 4) + 1 : 8*b + ({hb} % 4) + (1 + {hb} % 2)]
+       )), ' '), '') AS corrupt_target
+FROM c
+"""
+
+
+ORACLE_SPAN_CORRUPT = _span_corrupt_oracle()

@@ -549,6 +549,20 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
+    "fim_transform": QueryDef(
+        llm.q_fim_transform, llm.ORACLE_FIM_TRANSFORM,
+        "fill-in-the-middle objective construction (round 7, PSM "
+        "layout): hash-derived cut points + deterministic apply rate, "
+        "row-local expressions, reproducible run-to-run; oracle "
+        "mirrors the hash arithmetic and slicing",
+    ),
+    "span_corrupt": QueryDef(
+        llm.q_span_corrupt, llm.ORACLE_SPAN_CORRUPT,
+        "T5-style span corruption (round 7), blockwise-deterministic: "
+        "per-block hash-derived masks, block-indexed sentinels, "
+        "(input, target) pair construction — one transform/flatten, "
+        "zero shuffle; oracle mirrors block arithmetic exactly",
+    ),
     "robots_decisions": QueryDef(
         corpus.q_robots_decisions, corpus.ORACLE_ROBOTS_DECISIONS,
         "robots.txt crawl permissions (round 7, RFC 9309): parse-once "

@@ -1940,3 +1940,95 @@ def test_robots_allowed_precedence(spark):
     }
     for i, (a, p, want) in enumerate(cases):
         assert got[i] == want, (a, p, got[i])
+
+
+def test_fim_transform_matches_python_reference(spark):
+    """FIM rewrite vs an independent Python reference, including the
+    1-token, empty, and NULL edge cases."""
+    import hashlib
+
+    from epic_stream_processor_spark.operators.objectives import (
+        fim_transform,
+    )
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [
+        (0, "a b c d e f g h i j k l m n o p q r"),
+        (1, "x"),
+        (2, ""),
+        (3, None),
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    for i, t in rows:
+        w = (t or "").split()
+        n = len(w)
+        ha, hb = h64(f"{i}:fim-a") % (n + 1), h64(f"{i}:fim-b") % (n + 1)
+        lo, hi = min(ha, hb), max(ha, hb)
+        applied = (h64(f"{i}:fim-apply") % 100 < 50) and n >= 2
+        want = (
+            " ".join(["<PRE>"] + w[:lo] + ["<SUF>"] + w[hi:] + ["<MID>"] + w[lo:hi])
+            if applied
+            else " ".join(w)
+        )
+        r = got[i]
+        assert (r["fim_applied"], r["cut_lo"], r["cut_hi"]) == (applied, lo, hi)
+        assert r["fim_text"] == want
+        if applied:
+            # the rewrite is a permutation: every token survives exactly once
+            kept = [x for x in r["fim_text"].split() if not x.startswith("<")]
+            assert sorted(kept) == sorted(w)
+
+
+def test_span_corrupt_matches_python_reference(spark):
+    """Blockwise span corruption vs an independent Python reference;
+    input+target reassemble the document."""
+    import hashlib
+
+    from epic_stream_processor_spark.operators.objectives import span_corrupt
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [
+        (0, " ".join(f"t{k}" for k in range(30))),
+        (1, "x y"),
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in span_corrupt(df).collect()}
+    for i, t in rows:
+        w = (t or "").split()
+        nb = (len(w) + 7) // 8
+        inp, tgt, nm = [], [], 0
+        for b in range(nb):
+            hb = h64(f"{i}:t5:{b}")
+            if hb % 3 == 0:
+                nm += 1
+                st, ln = hb % 4, 1 + hb % 2
+                inp += w[8 * b : 8 * b + st] + [f"<X{b}>"] + w[8 * b + st + ln : 8 * b + 8]
+                tgt += [f"<X{b}>"] + w[8 * b + st : 8 * b + st + ln]
+            else:
+                inp += w[8 * b : 8 * b + 8]
+        r = got[i]
+        assert r["n_masked_blocks"] == nm
+        assert r["corrupt_input"] == " ".join(inp)
+        assert r["corrupt_target"] == " ".join(tgt)
+        # reconstruction: substituting each sentinel's target span back
+        # into the input recovers the original token stream
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for tok in r["corrupt_target"].split():
+            if tok.startswith("<X"):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt: list[str] = []
+        for tok in r["corrupt_input"].split():
+            rebuilt += spans[tok] if tok.startswith("<X") else [tok]
+        assert rebuilt == w
