@@ -2292,3 +2292,96 @@ FROM c
 
 
 ORACLE_SPAN_CORRUPT = _span_corrupt_oracle()
+
+
+def q_perceptron_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained linear classifier IN the engine (round 7): 2 batch-
+    perceptron epochs over signed hashed-count features (dim=16), then
+    every document scored under the final weights — integer-exact
+    end-to-end, zero driver collects (the weight frame is a 16-row
+    broadcast per epoch); the CCNet/GPT-3 "classifier gates the corpus"
+    shape without leaving Spark. The label is the classic perceptron
+    sanity concept — linear in the token counts (count('spark') ≥
+    count('table')) — so training verifiably LEARNS (accuracy rises
+    well above the majority class; hash collisions in 16 dims are the
+    noise floor). The fixture's ``lang`` column is NOT used as the
+    label: the corpus generator gives every language the same
+    vocabulary, which no classifier could separate. The oracle unrolls
+    the identical two epochs in SQL (operators/classifier.py)."""
+    from ..operators.classifier import batch_perceptron
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    n_spark = F.size(F.filter(toks, lambda t: t == "spark"))
+    n_table = F.size(F.filter(toks, lambda t: t == "table"))
+    return batch_perceptron(
+        docs, label=F.when(n_spark >= n_table, 1).otherwise(-1),
+        dim=16, epochs=2,
+    )
+
+
+_PC_CELL = (
+    "CASE WHEN len(th) = 0 THEN 0 ELSE list_reduce(list_transform(th, "
+    "h -> CASE WHEN h % 16 = d THEN CASE WHEN h % 32 < 16 THEN 1 ELSE -1 END "
+    "ELSE 0 END), (x, y) -> x + y) END"
+)
+
+ORACLE_PERCEPTRON_LANG = f"""WITH words AS (
+  SELECT doc_id,
+         CASE WHEN len(list_filter(w0, t -> t = 'spark'))
+                   >= len(list_filter(w0, t -> t = 'table'))
+              THEN 1 ELSE -1 END AS y,
+         w0 AS w
+  FROM (
+    SELECT doc_id,
+           CASE WHEN trim(coalesce(text, '')) = '' THEN []
+                ELSE str_split_regex(trim(text), '\\s+') END AS w0
+    FROM documents
+  )
+),
+thc AS (
+  SELECT doc_id, y, list_transform(w, t -> {stable_hash64_sql('t')}) AS th
+  FROM words
+),
+sparse AS (
+  SELECT doc_id, y, d, CAST(v AS BIGINT) AS v FROM (
+    SELECT doc_id, y, unnest(range(0, 16)) AS d,
+           unnest(list_transform(range(0, 16), d -> {_PC_CELL})) AS v
+    FROM thc
+  ) WHERE v <> 0
+),
+w1 AS (SELECT d, CAST(sum(y * v) AS BIGINT) AS w FROM sparse GROUP BY d),
+m1 AS (
+  SELECT s.doc_id, any_value(s.y) AS y,
+         CAST(sum(s.v * coalesce(w1.w, 0)) AS BIGINT) AS margin
+  FROM sparse s LEFT JOIN w1 USING (d) GROUP BY s.doc_id
+),
+mis1 AS (SELECT doc_id FROM m1 WHERE y * margin <= 0),
+dw2 AS (
+  SELECT d, CAST(sum(y * v) AS BIGINT) AS dw
+  FROM sparse JOIN mis1 USING (doc_id) GROUP BY d
+),
+w2 AS (
+  SELECT coalesce(w1.d, dw2.d) AS d,
+         CAST(coalesce(w1.w, 0) + coalesce(dw2.dw, 0) AS BIGINT) AS w
+  FROM w1 FULL JOIN dw2 ON w1.d = dw2.d
+),
+-- averaged-perceptron scoring: integer sum of the per-epoch iterates
+ws AS (
+  SELECT coalesce(w1.d, w2.d) AS d,
+         CAST(coalesce(w1.w, 0) + coalesce(w2.w, 0) AS BIGINT) AS w
+  FROM w1 FULL JOIN w2 ON w1.d = w2.d
+),
+m2 AS (
+  SELECT s.doc_id, CAST(sum(s.v * coalesce(ws.w, 0)) AS BIGINT) AS margin
+  FROM sparse s LEFT JOIN ws USING (d) GROUP BY s.doc_id
+)
+SELECT t.doc_id, CAST(t.y AS BIGINT) AS y,
+       coalesce(m2.margin, 0) AS margin,
+       CAST(CASE WHEN coalesce(m2.margin, 0) > 0 THEN 1 ELSE -1 END
+            AS BIGINT) AS pred,
+       (CASE WHEN coalesce(m2.margin, 0) > 0 THEN 1 ELSE -1 END) = t.y
+         AS correct
+FROM thc t LEFT JOIN m2 USING (doc_id)
+"""

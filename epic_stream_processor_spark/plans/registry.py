@@ -549,6 +549,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
+    "perceptron_lang": QueryDef(
+        llm.q_perceptron_lang, llm.ORACLE_PERCEPTRON_LANG,
+        "trained linear classifier in-engine (round 7): 2 batch-"
+        "perceptron epochs on signed hashed-count features, integer-"
+        "exact, zero collects (16-row weight frame broadcast per "
+        "epoch); oracle unrolls the identical epochs in SQL",
+    ),
     "fim_transform": QueryDef(
         llm.q_fim_transform, llm.ORACLE_FIM_TRANSFORM,
         "fill-in-the-middle objective construction (round 7, PSM "

@@ -2032,3 +2032,52 @@ def test_span_corrupt_matches_python_reference(spark):
         for tok in r["corrupt_input"].split():
             rebuilt += spans[tok] if tok.startswith("<X") else [tok]
         assert rebuilt == w
+
+
+def test_batch_perceptron_learns_separable_concept(spark):
+    """Averaged batch perceptron on a cleanly separable planted concept
+    (distinct, non-colliding hash buckets for the signal tokens):
+    perfect accuracy after 2 epochs, margins integer, runs
+    deterministic."""
+    from epic_stream_processor_spark.operators.classifier import (
+        batch_perceptron,
+    )
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "spark spark zzz " + "qq " * (i % 3)))
+        else:
+            rows.append((i, "table table zzz " + "qq " * (i % 3)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    label = F.when(F.col("doc_id") % 2 == 0, 1).otherwise(-1)
+    out = batch_perceptron(docs, label=label, dim=16, epochs=2)
+    got = out.collect()
+    assert len(got) == 40
+    assert all(r["correct"] for r in got), [
+        (r["doc_id"], r["margin"]) for r in got if not r["correct"]
+    ]
+    assert all(isinstance(r["margin"], int) for r in got)
+    # deterministic: a second run produces identical margins
+    again = {r["doc_id"]: r["margin"] for r in
+             batch_perceptron(docs, label=label, dim=16, epochs=2).collect()}
+    assert {r["doc_id"]: r["margin"] for r in got} == again
+
+
+def test_batch_perceptron_empty_docs_get_zero_margin(spark):
+    from epic_stream_processor_spark.operators.classifier import (
+        batch_perceptron,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark"), (1, ""), (2, None)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in batch_perceptron(
+            docs, label=F.lit(1), dim=16, epochs=1
+        ).collect()
+    }
+    assert out[1]["margin"] == 0 and out[2]["margin"] == 0
+    # zero margin -> pred -1 (ties negative)
+    assert out[1]["pred"] == -1 and out[2]["pred"] == -1
