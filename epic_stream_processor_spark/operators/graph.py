@@ -1,0 +1,98 @@
+"""Link-graph centrality: integer-exact PageRank for crawl curation.
+
+Web-corpus pipelines rank HOSTS before they rank documents: Common
+Crawl publishes host- and domain-level rank tables (harmonic
+centrality / PageRank over the host link graph) and curation recipes
+use them to weight or gate sources. This module implements PageRank
+the way this repo makes every iterative algorithm verifiable
+(kmeans/BPE/perceptron precedent): a FIXED number of unrolled
+iterations in pure integer arithmetic — ranks scaled by 10⁶,
+per-edge contributions by exact integer division (``DIV`` / ``//``,
+identical floor semantics in Spark and DuckDB), damping as
+``(85 · x) DIV 100`` — so two engines agree bit-for-bit and the
+oracle is the same recursion written as SQL CTEs.
+
+Semantics (documented simplifications of the textbook formulation):
+un-normalized ranks (every node starts at ``scale``, not ``1/n`` —
+ranking order is unaffected); dangling-node mass leaks instead of
+redistributing (the common large-graph simplification); integer
+floors bias each contribution down by < 1 rank-millionth per edge.
+
+Scale (100 TB): each iteration is one join of ranks to edges on src
+(ranks: one row per node — broadcast when the host set fits, shuffle
+join when it doesn't) plus one sum-by-dst aggregation with map-side
+partials. Edge count dominates; iterations are a small constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 2,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Integer PageRank over a weighted edge list.
+
+    Every node appearing as src or dst gets a row:
+    ``(node, rank, out_w, in_w)`` where ``rank`` is the scaled integer
+    rank after ``n_iter`` iterations, ``out_w``/``in_w`` the total
+    edge weight out/in. Recursion per iteration:
+    ``rank'[v] = (100-d)·SCALE DIV 100 + d · (Σ_{e: src→v} w_e ·
+    rank[src] DIV out_w[src]) DIV 100`` — all integer.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    in_w = e.groupBy("dst").agg(F.sum("w").alias("in_w"))
+    base = F.expr(f"CAST({(100 - damping_pct) * SCALE} DIV 100 AS BIGINT)")
+
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(out_w, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("w * rank DIV out_w").cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"{damping_pct} * coalesce(csum, 0) DIV 100"
+                    ).cast("long")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return (
+        ranks.join(out_w, ranks["node"] == out_w["src"], "left")
+        .join(in_w, ranks["node"] == in_w["dst"], "left")
+        .select(
+            "node",
+            "rank",
+            F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w"),
+            F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
+        )
+    )

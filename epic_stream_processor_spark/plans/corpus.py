@@ -830,6 +830,76 @@ FROM documents
 """
 
 
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (round 7) — the Common Crawl host-rank
+    shape: a deterministic link graph over 50 hosts is derived from the
+    corpus (each document contributes the edge ``doc_id % 50 →
+    (doc_id · 7 + 3) % 50``; multi-edges aggregate into weights), and
+    ``pagerank`` runs 2 unrolled integer iterations (ranks ×10⁶,
+    exact DIV arithmetic — the kmeans/BPE iterative-oracle recipe).
+    The oracle writes the identical recursion as SQL CTEs; any
+    divergence in join shape, dangling handling, or floor arithmetic
+    breaks exact BIGINT equality."""
+    from ..operators.graph import pagerank
+
+    configure_for_parity(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        d.select(
+            (F.col("doc_id") % 50).alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, n_iter=2).select(
+        F.col("node").cast("long").alias("host_id"),
+        "rank", "out_w", "in_w",
+    )
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for i in (1, 2):
+        iters.append(f"""c{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum((e.w * {prev}.rank) // o.out_w) AS BIGINT) AS csum
+  FROM e JOIN {prev} ON e.src = {prev}.node JOIN o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * coalesce(c{i}.csum, 0)) // 100 AS BIGINT)
+           AS rank
+  FROM n LEFT JOIN c{i} USING (node)
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""WITH e AS (
+  SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM documents GROUP BY 1, 2
+),
+n AS (SELECT DISTINCT src AS node FROM e
+      UNION SELECT DISTINCT dst FROM e),
+o AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+i AS (SELECT dst, CAST(sum(w) AS BIGINT) AS in_w FROM e GROUP BY dst),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+{chain}
+SELECT CAST(n.node AS BIGINT) AS host_id,
+       r2.rank,
+       coalesce(o.out_w, 0) AS out_w,
+       coalesce(i.in_w, 0) AS in_w
+FROM n JOIN r2 USING (node)
+LEFT JOIN o ON n.node = o.src
+LEFT JOIN i ON n.node = i.dst
+"""
+
+
+ORACLE_PAGERANK_HOSTS = _pagerank_oracle()
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020):
     bigram-LM scores → integer-score histogram → equal-count value

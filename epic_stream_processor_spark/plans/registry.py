@@ -549,6 +549,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
+    "pagerank_hosts": QueryDef(
+        corpus.q_pagerank_hosts, corpus.ORACLE_PAGERANK_HOSTS,
+        "host-graph PageRank (round 7, the Common Crawl host-rank "
+        "shape): 2 unrolled integer iterations (ranks x1e6, exact DIV "
+        "floors) over a deterministic 50-host link graph; per-"
+        "iteration cost is one ranks-to-edges join + one sum-by-dst "
+        "aggregation; oracle is the identical recursion as SQL CTEs",
+    ),
     "perceptron_lang": QueryDef(
         llm.q_perceptron_lang, llm.ORACLE_PERCEPTRON_LANG,
         "trained linear classifier in-engine (round 7): 2 batch-"

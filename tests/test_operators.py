@@ -2081,3 +2081,25 @@ def test_batch_perceptron_empty_docs_get_zero_margin(spark):
     assert out[1]["margin"] == 0 and out[2]["margin"] == 0
     # zero margin -> pred -1 (ties negative)
     assert out[1]["pred"] == -1 and out[2]["pred"] == -1
+
+
+def test_pagerank_hand_computed_recursion(spark):
+    """Integer PageRank vs a hand-computed 2-iteration recursion on a
+    4-edge graph, plus sink-node (dangling) behavior."""
+    from epic_stream_processor_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1), (1, 2, 1), (2, 0, 1)],
+        ["src", "dst", "w"],
+    )
+    got = {r["node"]: r for r in pagerank(edges, n_iter=2).collect()}
+    assert got[0]["rank"] == 1361250
+    assert got[1]["rank"] == 575000
+    assert got[2]["rank"] == 1063750
+    assert got[0]["out_w"] == 2 and got[0]["in_w"] == 1
+    # sink node: appears with out_w 0, keeps receiving rank
+    chain = spark.createDataFrame([(0, 1, 1)], ["src", "dst", "w"])
+    got2 = {r["node"]: r for r in pagerank(chain, n_iter=2).collect()}
+    assert got2[0]["rank"] == 150000   # no in-edges: damping base only
+    assert got2[1]["rank"] == 277500   # 150000 + 85*150000//100
+    assert got2[1]["out_w"] == 0 and got2[1]["in_w"] == 1
