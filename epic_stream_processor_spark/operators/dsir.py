@@ -1,0 +1,104 @@
+"""DSIR-shaped data selection: importance resampling toward a target
+domain (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" — public recipe).
+
+DSIR scores every raw document by how much more likely it is under a
+TARGET-domain language model than under the RAW-corpus model —
+``log p_target(x) − log p_raw(x)`` — and keeps a sample weighted
+toward high scores. This module composes the engine's existing
+unigram-LM machinery (``operators/lm.py``: add-one smoothing, OOV
+bucket, integer micro-nat quantization) into exactly that shape:
+
+1. train one LM on the target slice, one on the full corpus (two
+   wordcount shuffles + bounded vocab broadcasts);
+2. score every document under BOTH in one pass (one explode, two
+   broadcast joins, one doc-keyed re-sum) —
+   ``importance_micro = raw_nll − target_nll`` is an exact BIGINT
+   difference of the micro-nat totals;
+3. select the top ``keep_frac_pct``% by a HISTOGRAM-derived value
+   cutoff (the ``perplexity_buckets`` machinery: no global sort, one
+   bounded aggregation over distinct score values, two 1-row
+   collects); ties at the cutoff are all kept, so selection is
+   order- and partition-independent.
+
+The published method samples stochastically (Gumbel noise ∝ the
+importance weight); the deterministic top-quantile gate here is the
+reproducible variant — a hash-jittered stochastic twin would add
+``seeded_hash64(doc_id) % J`` micro-nats of deterministic noise to the
+score without changing any machinery (documented, not implemented).
+
+Scale (100 TB): identical budget to running ``unigram_nll`` twice —
+two wordcount shuffles, two bounded broadcasts, one scoring pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .lm import DEFAULT_VOCAB, score_unigram_nll, train_unigram_lm
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: Column,
+    keep_frac_pct: int = 25,
+    vocab_size: int = DEFAULT_VOCAB,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score and gate the corpus toward the target domain (see module
+    docstring). Returns one row per document: ``(id, n_tokens,
+    target_nll_micro, raw_nll_micro, importance_micro, selected)``.
+    """
+    target = docs.where(target_pred)
+    vt, nt, lt = train_unigram_lm(target, text_col, vocab_size)
+    vr, nr, lr = train_unigram_lm(docs, text_col, vocab_size)
+    st = score_unigram_nll(docs, vt, nt, lt, text_col, id_col).select(
+        id_col,
+        "n_tokens",
+        F.col("nll_micro").alias("target_nll_micro"),
+    )
+    sr = score_unigram_nll(docs, vr, nr, lr, text_col, id_col).select(
+        id_col, F.col("nll_micro").alias("raw_nll_micro")
+    )
+    full = st.join(sr, id_col).withColumn(
+        "importance_micro",
+        (F.col("raw_nll_micro") - F.col("target_nll_micro")).cast("long"),
+    )
+    full = full.persist()
+    try:
+        n = full.count()
+        k = max(1, (n * keep_frac_pct) // 100)
+        hist = full.groupBy("importance_micro").agg(F.count("*").alias("c"))
+        from pyspark.sql import Window
+
+        cum = hist.withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy(F.col("importance_micro").desc()).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        row = (
+            cum.where(F.col("cum") >= k)
+            .agg(F.max("importance_micro").alias("v"))
+            .collect()[0]
+        )
+        cutoff = int(row["v"]) if row["v"] is not None else 0
+    finally:
+        # cutoff jobs used the cache; the returned plan re-derives
+        # un-cached (the perplexity_buckets lifecycle contract)
+        full.unpersist()
+    full = st.join(sr, id_col).withColumn(
+        "importance_micro",
+        (F.col("raw_nll_micro") - F.col("target_nll_micro")).cast("long"),
+    )
+    return full.select(
+        id_col,
+        "n_tokens",
+        "target_nll_micro",
+        "raw_nll_micro",
+        "importance_micro",
+        (F.col("importance_micro") >= F.lit(cutoff)).alias("selected"),
+    )

@@ -987,3 +987,89 @@ FROM b GROUP BY shard_id ORDER BY shard_id
 
 
 ORACLE_SHARD_MANIFEST = _oracle_shard_manifest()
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (round 7, Xie et al. 2023): score
+    every document by log p_target − log p_raw under two corpus-trained
+    add-one unigram LMs (target slice = source 'src0'), exact BIGINT
+    micro-nat difference, then keep the top 25% by a histogram-derived
+    value cutoff — no global sort, ties all kept
+    (operators/dsir.py). The oracle trains both LMs and derives the
+    same cutoff in SQL."""
+    from ..operators.dsir import dsir_select
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, target_pred=F.col("source") == "src0", keep_frac_pct=25
+    )
+
+
+def _dsir_oracle() -> str:
+    def lm(prefix: str, doc_filter: str) -> str:
+        return f"""{prefix}_counts AS (
+  SELECT tok, count(*) AS c FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM documents {doc_filter})
+  GROUP BY tok
+),
+{prefix}_vocab AS (
+  SELECT tok, c FROM {prefix}_counts ORDER BY c DESC, tok ASC LIMIT 50000
+),
+{prefix}_stats AS (
+  SELECT coalesce(sum(c), 0) + count(*) + 1 AS d FROM {prefix}_vocab
+),
+{prefix}_lp AS (
+  SELECT tok,
+         CAST(round((ln(CAST(c AS DOUBLE) + 1.0) - ln(CAST(d AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS lp
+  FROM {prefix}_vocab, {prefix}_stats
+),
+{prefix}_oov AS (
+  SELECT CAST(round(-ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT) AS oov
+  FROM {prefix}_stats
+)"""
+
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(str_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+{lm("t", "WHERE source = 'src0'")},
+{lm("r", "")},
+scored AS (
+  SELECT tk.doc_id,
+         coalesce(t_lp.lp, (SELECT oov FROM t_oov)) AS tl,
+         coalesce(r_lp.lp, (SELECT oov FROM r_oov)) AS rl
+  FROM toks tk
+  LEFT JOIN t_lp USING (tok)
+  LEFT JOIN r_lp USING (tok)
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(-tl) AS BIGINT) AS tnll,
+         CAST(sum(-rl) AS BIGINT) AS rnll
+  FROM scored GROUP BY doc_id
+),
+allrows AS (
+  SELECT d.doc_id,
+         coalesce(p.n_tokens, 0) AS n_tokens,
+         coalesce(p.tnll, 0) AS target_nll_micro,
+         coalesce(p.rnll, 0) AS raw_nll_micro,
+         coalesce(p.rnll, 0) - coalesce(p.tnll, 0) AS importance_micro
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+),
+kk AS (SELECT greatest(1, (count(*) * 25) // 100) AS k FROM allrows),
+hist AS (SELECT importance_micro AS v, count(*) AS c FROM allrows GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v DESC) AS cum FROM hist),
+cut AS (
+  SELECT coalesce(max(v), 0) AS cutoff FROM cum
+  WHERE cum >= (SELECT k FROM kk)
+)
+SELECT doc_id, n_tokens, target_nll_micro, raw_nll_micro,
+       importance_micro,
+       importance_micro >= (SELECT cutoff FROM cut) AS selected
+FROM allrows
+"""
+
+
+ORACLE_DSIR_SELECT = _dsir_oracle()

@@ -549,6 +549,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
+    "dsir_select": QueryDef(
+        corpus.q_dsir_select, corpus.ORACLE_DSIR_SELECT,
+        "DSIR-shaped data selection (round 7, Xie et al. 2023): "
+        "importance = raw_nll - target_nll under two corpus-trained "
+        "unigram LMs (exact BIGINT micro-nats), top-quantile gate via "
+        "histogram value cutoff (no global sort, ties kept); oracle "
+        "trains both LMs and derives the same cutoff in SQL",
+    ),
     "pagerank_hosts": QueryDef(
         corpus.q_pagerank_hosts, corpus.ORACLE_PAGERANK_HOSTS,
         "host-graph PageRank (round 7, the Common Crawl host-rank "

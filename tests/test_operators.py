@@ -2103,3 +2103,29 @@ def test_pagerank_hand_computed_recursion(spark):
     assert got2[0]["rank"] == 150000   # no in-edges: damping base only
     assert got2[1]["rank"] == 277500   # 150000 + 85*150000//100
     assert got2[1]["out_w"] == 0 and got2[1]["in_w"] == 1
+
+
+def test_dsir_select_prefers_target_like_documents(spark):
+    """DSIR importance gate: documents sharing the target slice's
+    vocabulary outrank alien-vocabulary documents, wherever they sit."""
+    from epic_stream_processor_spark.operators.dsir import dsir_select
+
+    rows = []
+    for i in range(30):
+        if i < 5:  # the declared target slice
+            rows.append((i, "alpha beta gamma alpha beta"))
+        elif i < 10:  # target-LIKE but outside the slice
+            rows.append((i, "beta gamma alpha gamma"))
+        else:  # alien vocabulary
+            rows.append((i, "omega psi chi phi omega psi"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dsir_select(
+        docs, target_pred=F.col("doc_id") < 5, keep_frac_pct=30
+    ).collect()
+    sel = {r["doc_id"] for r in out if r["selected"]}
+    assert len(out) == 30
+    assert sel, "nothing selected"
+    assert all(d < 10 for d in sel), sel  # only target-like docs survive
+    # target-like docs outside the slice score higher than alien docs
+    imp = {r["doc_id"]: r["importance_micro"] for r in out}
+    assert min(imp[d] for d in range(5, 10)) > max(imp[d] for d in range(10, 30))
