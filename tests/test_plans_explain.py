@@ -240,3 +240,22 @@ def test_q3_broadcast_to_smj_transition_at_sf1(spark):
     big = _plan(ALL_GUARDED["q3_top_orders"].fn(spark, sf1))
     assert "SortMergeJoin" in big, big
     assert big.count("BroadcastHashJoin") >= 1, big  # customer still does
+
+
+def test_robots_broadcasts_rule_dimension(spark):
+    """Frontier-scale contract (round 7): the per-host robots rule
+    dimension broadcasts to the URL side — the billion-row frontier
+    must never shuffle for a permission check."""
+    plan = _plan(ALL_GUARDED["robots_decisions"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_url_canonicalize_is_expression_only_before_window(spark):
+    """URL canonicalization itself is pure row-local expressions: the
+    only Exchange in the plan is the first-doc-per-canonical window's
+    hash partitioning (the dedup shuffle a crawl pays anyway), and
+    nothing drops to Python."""
+    plan = _plan(ALL_GUARDED["url_canonicalize"].fn(spark, SF_DIR))
+    assert "Pandas" not in plan and "PythonUDF" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
