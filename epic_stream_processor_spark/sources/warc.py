@@ -364,7 +364,9 @@ def fetch_records(
     lookup side is typically tiny: broadcast it so file images never
     shuffle.
     """
-    sliced = index.join(files.select("bucket_id", "data"), "bucket_id").select(
+    sliced = F.broadcast(index).join(
+        files.select("bucket_id", "data"), "bucket_id"
+    ).select(
         "bucket_id",
         "doc_id",
         "member_offset",
