@@ -107,22 +107,38 @@ def dup_substring_summary(
     the total length of the maximal spans; dup_tokens/n_tokens is the
     fraction a dedup pass would remove). Every document gets a row
     (zeros when clean)."""
-    spans = dup_substring_spans(docs, k, text_col, id_col)
-    span_agg = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    # ONE positional-hits pass feeds everything: islands → per-span agg
+    # (hit count, bounds) → per-doc agg. The round-6 formulation built
+    # the gram explode FOUR times (spans and hit counts each re-derived
+    # it; 10 scans / 4 Generates in the executed plan) — this shape cuts
+    # it to one explode plus the cheap n_tokens scan.
+    hits = _positional_hits(docs, k, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(k)),
+            1,
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    per_span = isl.groupBy(id_col, "_isl").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min("pos").alias("_mn"),
+        F.max("pos").alias("_mx"),
     )
-    hit_agg = (
-        _positional_hits(docs, k, text_col, id_col)
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_grams"))
+    per_doc = per_span.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_dup_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("_mx") + F.lit(k) - F.col("_mn"))
+        .cast("long")
+        .alias("dup_tokens"),
     )
     base = docs.select(
         id_col, F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
     )
     return (
-        base.join(hit_agg, id_col, "left")
-        .join(span_agg, id_col, "left")
+        base.join(per_doc, id_col, "left")
         .select(
             id_col,
             "n_tokens",
