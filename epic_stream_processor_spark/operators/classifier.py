@@ -16,13 +16,21 @@ across engines — the perceptron's mistake-driven update
 (``w += Σ y·x`` over misclassified docs) is integer-exact end-to-end.
 
 Spark-first shape (zero driver collects, fully declarative): features
-explode to sparse ``(doc, dim, value)`` rows once; each epoch is one
+explode to sparse ``(doc, dim, value)`` rows; each epoch is one
 broadcast join of the tiny weight frame (``dim`` rows) to score
 margins, one filter for the mistake set, and one map-side-combinable
 aggregation for the weight delta. Epochs chain as plan operators — the
 optimizer sees the whole unrolled computation. At 100 TB the per-epoch
 cost is one aggregation over the sparse features; the weight frame
 never exceeds ``dim`` rows.
+
+Plan-size trade (documented): with everything lazy, each epoch's
+branches re-plan the sparse featurization (no common-subplan cache in
+Catalyst; the differing partitionings defeat ReuseExchange), so the
+plan grows linearly in epochs — fine at the 2-3 epochs this converges
+in. A many-epoch deployment would ``persist()`` the sparse frame and
+``localCheckpoint()`` between epochs, trading the pure-plan form (and
+this module's no-dangling-cache contract) for re-plan cost.
 """
 
 from __future__ import annotations

@@ -253,9 +253,16 @@ def test_robots_broadcasts_rule_dimension(spark):
 
 def test_url_canonicalize_is_expression_only_before_window(spark):
     """URL canonicalization itself is pure row-local expressions: the
-    only Exchange in the plan is the first-doc-per-canonical window's
-    hash partitioning (the dedup shuffle a crawl pays anyway), and
-    nothing drops to Python."""
+    only shuffle key in the plan is the first-doc-per-canonical
+    window's hash partitioning (the dedup shuffle a crawl pays
+    anyway), nothing joins, and nothing drops to Python. Counted by
+    DISTINCT partitioning key, not raw Exchange lines — AQE re-plans
+    can print the same exchange more than once depending on which
+    tests warmed the session first."""
     plan = _plan(ALL_GUARDED["url_canonicalize"].fn(spark, SF_DIR))
     assert "Pandas" not in plan and "PythonUDF" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"canonical_url"}, plan
