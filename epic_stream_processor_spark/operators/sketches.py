@@ -78,3 +78,110 @@ def approx_distinct_by(
     return df.groupBy(key).agg(
         F.approx_count_distinct(value, rsd=rsd).alias("approx_distinct")
     )
+
+
+# --- Deterministic Bloom filter (oracle-EXACT, unlike the HLL/GK pair) ------
+
+#: Bits packed per BIGINT word. 63, not 64: a set bit 63 would need
+#: ``1 << 63``, which overflows BIGINT in DuckDB (hard error) and wraps
+#: negative in the JVM — 63 usable bits keeps every shift portable.
+BLOOM_WORD_BITS = 63
+
+#: Seed base for the k bloom hash functions (seeded_hash64 family).
+BLOOM_SEED_BASE = 7100
+
+
+def _bloom_slots(item: Column, m_bits: int, k: int) -> Column:
+    """Array of the item's k slot positions in [0, m_bits) — independent
+    md5 family members, portable across engines."""
+    from ..functions.hashing import seeded_hash64
+
+    return F.array(
+        *[
+            seeded_hash64(item.cast("string"), BLOOM_SEED_BASE + i) % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    items: DataFrame, item_col: str, m_bits: int, k: int
+) -> DataFrame:
+    """Build a Bloom filter over ``items[item_col]`` (duplicates fine):
+    returns the filter as ``(word, bits)`` rows — packed 63-bit BIGINT
+    words, only non-zero words materialized (m_bits/63 rows at most).
+
+    Why this exists next to the broadcast-list decontaminator: an exact
+    member list broadcast is bounded by the benchmark's size; when the
+    reference set grows past broadcast comfort (a frontier's seen-URL
+    set, a multi-benchmark contamination union), the bloom is the
+    standard constant-size stand-in — no false negatives, tunable false
+    positives — and THIS bloom is deterministic md5 arithmetic, so two
+    engines build bit-identical filters and the whole structure stays
+    oracle-checkable (the HLL/GK sketches above are engine-specific by
+    contrast). One explode (k rows per item) + one bit_or aggregation
+    with map-side partials.
+    """
+    slots = items.select(
+        F.explode(_bloom_slots(F.col(item_col), m_bits, k)).alias("slot")
+    )
+    return (
+        slots.select(
+            F.expr(f"slot DIV {BLOOM_WORD_BITS}").alias("word"),
+            (F.col("slot") % BLOOM_WORD_BITS).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits")
+        )
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    item_col: str,
+    key_cols: list[str],
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Membership-test every probe row against a built filter: returns
+    ``key_cols + [item_col, bloom_hit]`` with one row per input row
+    (``key_cols`` must identify rows uniquely). A row hits iff ALL k of
+    its bits are set — no false negatives by construction; false
+    positives at the standard (1 - e^{-kn/m})^k rate.
+
+    Scale: the filter broadcasts (m_bits/63 longs — KBs to MBs); the
+    probe side explodes k slot rows per item, joins the broadcast, and
+    re-aggregates per row. The probe corpus never shuffles beyond the
+    per-row re-agg key.
+    """
+    s = probes.select(
+        *key_cols,
+        item_col,
+        F.explode(_bloom_slots(F.col(item_col), m_bits, k)).alias("_slot"),
+    ).select(
+        *key_cols,
+        item_col,
+        F.expr(f"_slot DIV {BLOOM_WORD_BITS}").alias("_word"),
+        (F.col("_slot") % BLOOM_WORD_BITS).cast("int").alias("_bit"),
+    )
+    j = s.join(
+        F.broadcast(bloom), s["_word"] == bloom["word"], "left"
+    ).select(
+        *key_cols,
+        item_col,
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.expr("bits & shiftleft(CAST(1 AS BIGINT), _bit)")
+                != F.lit(0)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("_hit"),
+    )
+    return j.groupBy(*key_cols, item_col).agg(
+        (F.min("_hit") == 1).alias("bloom_hit")
+    )

@@ -2385,3 +2385,108 @@ SELECT t.doc_id, CAST(t.y AS BIGINT) AS y,
          AS correct
 FROM thc t LEFT JOIN m2 USING (doc_id)
 """
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (round 7): the SCALE path for the
+    exact broadcast-list decontaminator when the reference set outgrows
+    broadcast comfort (multi-benchmark unions, frontier seen-sets). The
+    benchmark slice's distinct 13-gram hashes build a deterministic
+    Bloom filter (63-bit packed BIGINT words, k=4 md5 family hashes —
+    engine-portable, so the FILTER ITSELF is oracle-exact, unlike the
+    HLL/GK sketches); every training doc's grams probe the broadcast
+    filter. No false negatives by construction; false positives at the
+    standard rate land on exact-safe side (over-flagging). Output per
+    training doc: gram count, bloom-hit count, flagged
+    (operators/sketches.py)."""
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    M_BITS, K = 63 * 1024, 4
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn("_w", T.tokens(F.col("text"))).withColumn(
+        "_g", T.ngram_hashes_from_tokens(F.col("_w"), 13)
+    )
+    prof = (
+        staged.select("doc_id", F.explode_outer("_g").alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    flt = bloom_build(
+        prof.where(F.col("doc_id") % 20 == 0).select("g"), "g", M_BITS, K
+    )
+    probed = bloom_probe(
+        prof.where(F.col("doc_id") % 20 != 0), flt, "g", ["doc_id"],
+        M_BITS, K,
+    )
+    agg = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("long").alias("bloom_hits"),
+    )
+    base = docs.where(F.col("doc_id") % 20 != 0).select("doc_id")
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("bloom_hits", F.lit(0)).cast("long").alias("bloom_hits"),
+        (F.coalesce("bloom_hits", F.lit(0)) > 0).alias("flagged"),
+    )
+
+
+def _bloom_slot_sql(g_expr: str) -> str:
+    """One slot per (gram, i) — mirrors seeded_hash64(g, 7100+i) % m."""
+    return (
+        stable_hash64_sql(
+            f"CAST(7100 + i AS VARCHAR) || ':' || CAST({g_expr} AS VARCHAR)"
+        )
+        + " % 64512"
+    )
+
+
+ORACLE_BLOOM_DECONTAMINATE = f"""WITH words AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
+  FROM documents
+),
+prof AS (
+  SELECT doc_id, {_SQL_GRAM13_HASHES} AS grams FROM words
+),
+bench_slots AS (
+  SELECT unnest(list_transform(range(0, 4), i -> {_bloom_slot_sql('g')}))
+           AS slot
+  FROM (SELECT doc_id, unnest(grams) AS g FROM prof WHERE doc_id % 20 = 0)
+),
+flt AS (
+  SELECT slot // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(slot % 63 AS INT)) AS bits
+  FROM bench_slots GROUP BY 1
+),
+train_flat AS (
+  SELECT doc_id, unnest(grams) AS g FROM prof WHERE doc_id % 20 <> 0
+),
+probe_slots AS (
+  SELECT doc_id, g,
+         unnest(list_transform(range(0, 4), i -> {_bloom_slot_sql('g')}))
+           AS slot
+  FROM train_flat
+),
+hits AS (
+  SELECT p.doc_id, p.g,
+         CASE WHEN f.bits IS NOT NULL
+                   AND (f.bits
+                        & (CAST(1 AS BIGINT) << CAST(p.slot % 63 AS INT)))
+                       <> 0
+              THEN 1 ELSE 0 END AS h
+  FROM probe_slots p LEFT JOIN flt f ON p.slot // 63 = f.word
+),
+per_gram AS (SELECT doc_id, g, min(h) AS hit FROM hits GROUP BY doc_id, g),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(hit) AS BIGINT) AS bloom_hits
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.bloom_hits, 0) AS bloom_hits,
+       coalesce(p.bloom_hits, 0) > 0 AS flagged
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -549,6 +549,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
+    "bloom_decontaminate": QueryDef(
+        llm.q_bloom_decontaminate, llm.ORACLE_BLOOM_DECONTAMINATE,
+        "Bloom-filter decontamination (round 7): deterministic md5 "
+        "bloom (63-bit packed words, k=4) built over benchmark grams "
+        "and broadcast — the constant-size scale path when the exact "
+        "member list outgrows broadcast; no false negatives, oracle "
+        "builds the bit-identical filter in SQL",
+    ),
     "dsir_select": QueryDef(
         corpus.q_dsir_select, corpus.ORACLE_DSIR_SELECT,
         "DSIR-shaped data selection (round 7, Xie et al. 2023): "

@@ -2129,3 +2129,56 @@ def test_dsir_select_prefers_target_like_documents(spark):
     # target-like docs outside the slice score higher than alien docs
     imp = {r["doc_id"]: r["importance_micro"] for r in out}
     assert min(imp[d] for d in range(5, 10)) > max(imp[d] for d in range(10, 30))
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fp(spark):
+    """Bloom contract: every inserted member probes TRUE (no false
+    negatives); a disjoint probe set false-positives at roughly the
+    analytic rate, not catastrophically."""
+    from epic_stream_processor_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    M, K = 63 * 256, 4  # ~16k bits
+    members = spark.range(0, 500).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("item")
+    )
+    flt = bloom_build(members, "item", M, K)
+    got = bloom_probe(
+        members.withColumn("pid", F.col("item")), flt, "item", ["pid"], M, K
+    ).collect()
+    assert len(got) == 500 and all(r["bloom_hit"] for r in got)
+    aliens = spark.range(0, 2000).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("item")
+    )
+    fp = (
+        bloom_probe(
+            aliens.withColumn("pid", F.col("item")), flt, "item", ["pid"], M, K
+        )
+        .where(F.col("bloom_hit"))
+        .count()
+    )
+    # analytic rate (1 - e^{-kn/m})^k ~ (1-e^{-4*500/16128})^4 ~ 1.9e-4
+    assert fp <= 20, fp  # generous ceiling: ~50x the expectation
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """The bloom gate must flag a SUPERSET of the exact broadcast-list
+    decontaminator on the same split (false positives allowed, false
+    negatives never)."""
+    from epic_stream_processor_spark.operators import contamination as CT
+    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    SF = SF_DIR.replace("sf0.1", "sf0.01") if "sf0.1" in SF_DIR else SF_DIR
+    bloom_rows = EXTRA_PARITY["bloom_decontaminate"].fn(spark, SF).collect()
+    bloom_flagged = {r["doc_id"] for r in bloom_rows if r["flagged"]}
+    docs = load_table(spark, SF, "documents")
+    exact = CT.decontaminate(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        k=13,
+    ).collect()
+    exact_flagged = {r["doc_id"] for r in exact if r["contaminated"]}
+    assert exact_flagged <= bloom_flagged
