@@ -109,3 +109,34 @@ def shard_assignments(
             ),
         )
     )
+
+
+def rendezvous_shard(
+    key: Column, n_shards: int, salt: str = "hrw"
+) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    RESIZABLE alternative to ``% n_shards``: each key scores every shard
+    with an independent md5 family member and lands on the argmax.
+    Growing N→N+1 moves ONLY the keys the new shard wins (≈1/(N+1) of
+    them — each key's n old scores are unchanged, so no key moves
+    between old shards), where modulo re-shards nearly everything. The
+    incremental-corpus-maintenance primitive: append a shard without
+    rewriting the fleet.
+
+    Row-local O(n_shards) expressions; ties (two equal 60-bit scores,
+    ~2⁻⁶⁰) break to the lowest shard id via first-position lookup —
+    deterministic in both engines. DuckDB twin: build the same score
+    list and take ``list_position(scores, list_max(scores)) - 1``.
+    """
+    key_s = key.cast("string")
+    scores = F.array(
+        *[
+            stable_hash64(F.concat(F.lit(f"{salt}:{s}:"), key_s))
+            for s in range(n_shards)
+        ]
+    )
+    # a NULL key hashes to all-NULL scores and yields a NULL shard —
+    # the conventional "caller must key first" contract
+    return (
+        F.array_position(scores, F.array_max(scores)) - F.lit(1)
+    ).cast("long")

@@ -1073,3 +1073,45 @@ FROM allrows
 
 
 ORACLE_DSIR_SELECT = _dsir_oracle()
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) sharding (round 7) — resizable shard assignment
+    for incremental corpus maintenance: every document scored against 8
+    and against 9 shards; growing the fleet moves ONLY the documents
+    the new shard wins (``moved ⇒ shard9 = 8``, the HRW minimal-
+    movement law, also pin-tested in pytest). Row-local expressions;
+    the oracle rebuilds both score lists and argmaxes in SQL."""
+    from ..operators.sampling import rendezvous_shard
+
+    configure_for_parity(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.select(
+        "doc_id",
+        rendezvous_shard(F.col("doc_id"), 8).alias("shard8"),
+        rendezvous_shard(F.col("doc_id"), 9).alias("shard9"),
+    ).withColumn("moved", F.col("shard8") != F.col("shard9"))
+
+
+def _rendezvous_oracle() -> str:
+    from ..functions.hashing import stable_hash64_sql
+
+    def scores(n: int) -> str:
+        h = stable_hash64_sql(
+            "'hrw:' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+        )
+        return f"list_transform(range(0, {n}), s -> {h})"
+
+    return f"""WITH sc AS (
+  SELECT doc_id, {scores(8)} AS s8, {scores(9)} AS s9 FROM documents
+)
+SELECT doc_id,
+       CAST(list_position(s8, list_max(s8)) - 1 AS BIGINT) AS shard8,
+       CAST(list_position(s9, list_max(s9)) - 1 AS BIGINT) AS shard9,
+       (list_position(s8, list_max(s8))
+        <> list_position(s9, list_max(s9))) AS moved
+FROM sc
+"""
+
+
+ORACLE_RENDEZVOUS_SHARDS = _rendezvous_oracle()

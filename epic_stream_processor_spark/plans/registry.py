@@ -549,6 +549,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
+    "rendezvous_shards": QueryDef(
+        corpus.q_rendezvous_shards, corpus.ORACLE_RENDEZVOUS_SHARDS,
+        "rendezvous/HRW sharding (round 7): resizable shard assignment "
+        "— growing N to N+1 moves only the keys the new shard wins "
+        "(the minimal-movement law, pin-tested); row-local argmax over "
+        "md5 family scores, oracle mirrors both score lists in SQL",
+    ),
     "bloom_decontaminate": QueryDef(
         llm.q_bloom_decontaminate, llm.ORACLE_BLOOM_DECONTAMINATE,
         "Bloom-filter decontamination (round 7): deterministic md5 "

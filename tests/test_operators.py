@@ -2182,3 +2182,28 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     ).collect()
     exact_flagged = {r["doc_id"] for r in exact if r["contaminated"]}
     assert exact_flagged <= bloom_flagged
+
+
+def test_rendezvous_shard_minimal_movement_law(spark):
+    """HRW contract: growing 8 -> 9 shards moves ONLY keys the new
+    shard wins (every moved key lands on shard 8), at roughly 1/9 of
+    the population; balance stays near-uniform."""
+    from epic_stream_processor_spark.operators.sampling import (
+        rendezvous_shard,
+    )
+
+    d = spark.range(0, 4000).select(F.col("id").alias("k"))
+    out = d.select(
+        "k",
+        rendezvous_shard(F.col("k"), 8).alias("s8"),
+        rendezvous_shard(F.col("k"), 9).alias("s9"),
+    ).collect()
+    moved = [r for r in out if r["s8"] != r["s9"]]
+    assert moved, "resizing moved nothing"
+    assert all(r["s9"] == 8 for r in moved)  # moves only TO the new shard
+    frac = len(moved) / len(out)
+    assert 0.05 < frac < 0.20, frac  # ~1/9 expected
+    from collections import Counter
+
+    c = Counter(r["s8"] for r in out)
+    assert len(c) == 8 and min(c.values()) > 4000 / 8 * 0.7
