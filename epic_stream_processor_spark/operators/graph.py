@@ -18,6 +18,14 @@ ranking order is unaffected); dangling-node mass leaks instead of
 redistributing (the common large-graph simplification); integer
 floors bias each contribution down by < 1 rank-millionth per edge.
 
+Integer domain (the honest bound): the per-edge product ``w · rank``
+must stay under 2⁶³. Total rank mass is ≤ n·SCALE, so a mega-hub on a
+10⁹-node graph can carry rank ~10¹⁵; an edge with multi-edge weight
+above ~10³ into such a hub would overflow. At that scale, pre-divide
+(`rank DIV out_w` staged first, one extra floor of bias) or drop SCALE
+to 10³ — both one-line changes; the fixture-scale default keeps the
+lowest-bias order.
+
 Scale (100 TB): each iteration is one join of ranks to edges on src
 (ranks: one row per node — broadcast when the host set fits, shuffle
 join when it doesn't) plus one sum-by-dst aggregation with map-side

@@ -21,11 +21,15 @@ with zero Python and zero shuffle, the same budget as
 - empty path → ``/``; a single trailing slash stripped from non-root
   paths.
 
-Out of scope (documented, not silently wrong): userinfo in the
-authority, percent-encoding normalization, IDN/punycode — inputs
-carrying those pass through the steps above untouched. Strings without
-a ``scheme://`` prefix are returned trimmed but otherwise unchanged
-(pass-through: bad URLs are data, not bugs, at corpus scale).
+Out of scope (documented, not silently wrong): percent-encoding
+normalization and IDN/punycode pass through untouched; userinfo is NOT
+parsed out of the authority, so a ``user:pass@host`` authority is
+lowercased as a whole (userinfo is case-sensitive per the RFC — URLs
+carrying credentials should not reach a dedup key anyway, and a
+password ending in ``:80`` under plain ``http`` would also lose that
+suffix to default-port removal). Strings without a ``scheme://``
+prefix are returned trimmed but otherwise unchanged (pass-through:
+bad URLs are data, not bugs, at corpus scale).
 
 Scale (100 TB): row-local column expressions end-to-end; the dedup
 consumer (`first doc per canonical URL`) is one min-aggregation shuffle
