@@ -686,3 +686,42 @@ def test_warc_ingest_stream_matches_batch(spark, tmp_path):
         assert r["surt"].startswith("example,crawl)")
     # exactly one survivor per canonical URL
     assert len(rows) == len(want)
+
+
+def test_warc_ingest_stream_restart_is_exactly_once(spark, tmp_path):
+    """File-source checkpointing: a second run over the same checkpoint
+    processes ONLY newly-landed WARC files — records from the first
+    batch of files appear exactly once across both runs."""
+    from epic_stream_processor_spark.sources.fixtures import load_table
+    from epic_stream_processor_spark.sources.warc import (
+        docs_as_warc_records,
+        gzip_records,
+        warc_files,
+    )
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_warc_ingest_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    images = {
+        r["bucket_id"]: bytes(r["data"])
+        for r in warc_files(
+            gzip_records(docs_as_warc_records(docs, n_buckets=5))
+        ).collect()
+    }
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    first, second = list(images)[:3], list(images)[3:]
+    for b in first:
+        (warc_dir / f"part-{b:02d}.warc.gz").write_bytes(images[b])
+    out, ckpt = str(tmp_path / "ingested"), str(tmp_path / "ckpt")
+    run_warc_ingest_stream(spark, str(warc_dir), out, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    for b in second:
+        (warc_dir / f"part-{b:02d}.warc.gz").write_bytes(images[b])
+    run_warc_ingest_stream(spark, str(warc_dir), out, ckpt).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    # every record exactly once: no re-processing of the first files
+    urls = [r["canonical_url"] for r in rows]
+    assert len(urls) == len(set(urls)) == docs.count()
