@@ -531,3 +531,217 @@ SELECT b.doc_id,
             ELSE 'tail' END AS bucket
 FROM base b CROSS JOIN cut c
 """
+
+
+# --- Kneser-Ney smoothing (the ladder's top rung) ----------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def kn_bigram_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = DEFAULT_VOCAB,
+    bigram_size: int = DEFAULT_BIGRAMS,
+) -> DataFrame:
+    """Per-doc NLL under an interpolated Kneser-Ney bigram LM — the
+    canonical n-gram smoothing (Kneser & Ney 1995; the modified form is
+    what KenLM/CCNet ship), completing the unigram → add-one-bigram →
+    KN ladder:
+
+    ``p(w|v) = max(c(v,w) − D, 0)/c(v·) + λ(v)·p_cont(w)`` with
+    ``D = 0.75``, ``λ(v) = D·N1+(v·)/c(v·)``, and the CONTINUATION
+    probability ``p_cont(w) = (N1+(·w) + 1)/(N1+(··) + V + 1)`` —
+    add-one smoothed so unseen continuations stay scorable. Contexts
+    with no tabled bigrams (and document-initial tokens) score on
+    ``p_cont`` alone. All statistics come from the SAME capped
+    top-``bigram_size`` pair table as the add-one model (the cap is
+    part of the model — engine-exact at any cap); counts are integers,
+    every probability is one mirrored double expression, and log-probs
+    quantize to integer micro-nats before any aggregation (the house
+    ln contract).
+
+    Plan: identical budget to :func:`score_bigram_nll` — row-local
+    pair zip, three broadcast joins (context stats, continuation
+    stats, pair counts — all ≤ ``bigram_size`` rows), one doc-keyed
+    re-sum; plus one bounded 1-row collect for N1+(··).
+    """
+    _vocab, bigrams, _n, vocab_len = train_bigram_lm(
+        docs, text_col, vocab_size, bigram_size
+    )
+    n1pp = bigrams.count()  # bounded: the cap is <= bigram_size
+    dcont = float(n1pp + vocab_len + 1)
+
+    ctx = bigrams.groupBy("l").agg(
+        F.sum("cb").alias("_cvk"), F.count("*").alias("_n1v")
+    ).select(F.col("l").alias("_prev"), "_cvk", "_n1v")
+    cont = bigrams.groupBy("r").agg(F.count("*").alias("_cont")).select(
+        F.col("r").alias("_cur"), "_cont"
+    )
+    big = bigrams.select(
+        F.col("l").alias("_prev"), F.col("r").alias("_cur"),
+        F.col("cb").alias("_cb"),
+    )
+
+    def p_cont_expr():
+        return (
+            F.coalesce(F.col("_cont"), F.lit(0)).cast("double") + F.lit(1.0)
+        ) / F.lit(dcont)
+
+    staged = docs.withColumn("_w", tokens(F.col(text_col)))
+    firsts = staged.where(F.size("_w") >= 1).select(
+        F.col(id_col), F.element_at("_w", 1).alias("_cur")
+    )
+    first_scored = firsts.join(F.broadcast(cont), "_cur", "left").select(
+        id_col,
+        (-F.round(F.log(p_cont_expr()) * MICRO).cast("long")).alias("nll"),
+    )
+    pairs_arr = F.when(
+        F.size("_w") < 2, F.array().cast("array<struct<l:string,r:string>>")
+    ).otherwise(
+        F.arrays_zip(
+            F.slice(F.col("_w"), 1, F.size("_w") - 1).alias("l"),
+            F.slice(F.col("_w"), 2, F.size("_w") - 1).alias("r"),
+        ).cast("array<struct<l:string,r:string>>")
+    )
+    pairs = (
+        staged.select(F.col(id_col), F.explode_outer(pairs_arr).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select(
+            id_col, F.col("p.l").alias("_prev"), F.col("p.r").alias("_cur")
+        )
+    )
+    cvk = F.col("_cvk").cast("double")
+    p_kn = (
+        F.greatest(
+            F.coalesce(F.col("_cb"), F.lit(0)).cast("double")
+            - F.lit(KN_DISCOUNT),
+            F.lit(0.0),
+        )
+        / cvk
+        + (F.lit(KN_DISCOUNT) * F.col("_n1v").cast("double") / cvk)
+        * p_cont_expr()
+    )
+    pair_scored = (
+        pairs.join(F.broadcast(ctx), "_prev", "left")
+        .join(F.broadcast(big), ["_prev", "_cur"], "left")
+        .join(F.broadcast(cont), "_cur", "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("_cvk").isNull(),  # no tabled bigrams for v
+                -F.round(F.log(p_cont_expr()) * MICRO).cast("long"),
+            )
+            .otherwise(-F.round(F.log(p_kn) * MICRO).cast("long"))
+            .alias("nll"),
+        )
+    )
+    scored = first_scored.unionByName(pair_scored)
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("nll").cast("long").alias("nll_micro"),
+        F.round(F.sum("nll") / F.count("*")).cast("long").alias(
+            "avg_nll_micro"
+        ),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("nll_micro", F.lit(0)).cast("long").alias("nll_micro"),
+            F.coalesce("avg_nll_micro", F.lit(0))
+            .cast("long")
+            .alias("avg_nll_micro"),
+        )
+    )
+
+
+def kn_bigram_oracle_sql(
+    vocab_size: int = DEFAULT_VOCAB,
+    bigram_size: int = DEFAULT_BIGRAMS,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`kn_bigram_scores`: same capped pair table
+    (same total order), same discount/continuation arithmetic in the
+    identical double expression tree, same micro-nat quantization."""
+    pc_first = (
+        "(CAST(coalesce(ct.cont, 0) AS DOUBLE) + 1.0)"
+        " / CAST(np.n1pp + st.v + 1 AS DOUBLE)"
+    )
+    p_kn = (
+        "greatest(CAST(coalesce(bg.cb, 0) AS DOUBLE)"
+        " - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+        " / CAST(cx.cvk AS DOUBLE)"
+        " + ((CAST(0.75 AS DOUBLE) * CAST(cx.n1v AS DOUBLE))"
+        " / CAST(cx.cvk AS DOUBLE))"
+        f" * ({pc_first})"
+    )
+    return f"""
+WITH docw AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN []
+              ELSE str_split_regex(trim(text), '\\s+') END AS words
+  FROM {table}
+),
+counts AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(words) AS tok FROM docw) GROUP BY tok
+),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT {vocab_size}),
+stats AS (SELECT count(*) AS v FROM vocab),
+bigrams AS (
+  SELECT struct_extract(z, 1) AS l, struct_extract(z, 2) AS r,
+         count(*) AS cb
+  FROM (
+    SELECT unnest(list_zip(words[1:len(words)-1], words[2:len(words)])) AS z
+    FROM docw WHERE len(words) >= 2
+  ) GROUP BY 1, 2 ORDER BY cb DESC, l ASC, r ASC LIMIT {bigram_size}
+),
+ctx AS (SELECT l, sum(cb) AS cvk, count(*) AS n1v FROM bigrams GROUP BY l),
+contt AS (SELECT r, count(*) AS cont FROM bigrams GROUP BY r),
+np AS (SELECT count(*) AS n1pp FROM bigrams),
+first_scored AS (
+  SELECT f.doc_id,
+         -CAST(round(ln({pc_first}) * 1000000) AS BIGINT) AS nll
+  FROM (SELECT doc_id, words[1] AS cur FROM docw WHERE len(words) >= 1) f
+  LEFT JOIN contt ct ON f.cur = ct.r CROSS JOIN np CROSS JOIN stats st
+),
+pairs AS (
+  SELECT doc_id, struct_extract(z, 1) AS prev, struct_extract(z, 2) AS cur
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(words[1:len(words)-1], words[2:len(words)])) AS z
+    FROM docw WHERE len(words) >= 2
+  )
+),
+pair_scored AS (
+  SELECT p.doc_id,
+         CASE WHEN cx.cvk IS NULL
+              THEN -CAST(round(ln({pc_first}) * 1000000) AS BIGINT)
+              ELSE -CAST(round(ln({p_kn}) * 1000000) AS BIGINT)
+         END AS nll
+  FROM pairs p
+  LEFT JOIN ctx cx ON p.prev = cx.l
+  LEFT JOIN bigrams bg ON p.prev = bg.l AND p.cur = bg.r
+  LEFT JOIN contt ct ON p.cur = ct.r
+  CROSS JOIN np CROSS JOIN stats st
+),
+scored AS (
+  SELECT * FROM first_scored UNION ALL SELECT * FROM pair_scored
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(nll) AS BIGINT) AS nll_micro,
+         CAST(round(CAST(sum(nll) AS DOUBLE) / count(*)) AS BIGINT)
+           AS avg_nll_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.nll_micro, 0) AS nll_micro,
+       coalesce(p.avg_nll_micro, 0) AS avg_nll_micro
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+"""

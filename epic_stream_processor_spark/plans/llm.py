@@ -2490,3 +2490,27 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
 LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram LM quality scores (round 7) — the canonical
+    n-gram smoothing, completing the unigram → add-one-bigram → KN
+    ladder (KenLM/CCNet ship the modified form of exactly this):
+    absolute discounting with continuation-probability backoff, all
+    statistics from the same capped pair table as the add-one model,
+    probabilities as mirrored double expressions, log-probs in integer
+    micro-nats (operators/lm.py::kn_bigram_scores)."""
+    from ..operators.lm import kn_bigram_scores
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_bigram_scores(docs)
+
+
+def _kn_oracle() -> str:
+    from ..operators.lm import kn_bigram_oracle_sql
+
+    return kn_bigram_oracle_sql()
+
+
+ORACLE_KN_BIGRAM_NLL = _kn_oracle()

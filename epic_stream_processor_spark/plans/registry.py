@@ -549,6 +549,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "EXACT p50/p90/p99 by rank selection (a picked value, not "
         "interpolation — engine-exact by construction); one window pass",
     ),
+    "kn_bigram_nll": QueryDef(
+        llm.q_kn_bigram_nll, llm.ORACLE_KN_BIGRAM_NLL,
+        "Kneser-Ney bigram LM (round 7): absolute discounting + "
+        "continuation-probability backoff — the canonical smoothing "
+        "(KenLM/CCNet ship the modified form); same capped pair table "
+        "and broadcast-join budget as the add-one model, micro-nat "
+        "exact; oracle mirrors the full arithmetic in SQL",
+    ),
     "rendezvous_shards": QueryDef(
         corpus.q_rendezvous_shards, corpus.ORACLE_RENDEZVOUS_SHARDS,
         "rendezvous/HRW sharding (round 7): resizable shard assignment "

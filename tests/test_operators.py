@@ -2207,3 +2207,38 @@ def test_rendezvous_shard_minimal_movement_law(spark):
 
     c = Counter(r["s8"] for r in out)
     assert len(c) == 8 and min(c.values()) > 4000 / 8 * 0.7
+
+
+def test_kn_bigram_hand_computed(spark):
+    """Kneser-Ney arithmetic vs a hand-derived reference on a corpus
+    small enough to enumerate: discount, lambda, continuation, and the
+    micro-nat quantization all pinned."""
+    import math
+
+    from epic_stream_processor_spark.operators.lm import kn_bigram_scores
+
+    docs = spark.createDataFrame([(1, "a b a b a c")], ["doc_id", "text"])
+    row = kn_bigram_scores(docs).collect()[0]
+    # corpus stats: bigrams (a,b)x2 (b,a)x2 (a,c)x1; ctx a:(cvk 3, n1v 2)
+    # b:(cvk 2, n1v 1); cont a/b/c = 1 each; n1pp = 3; vocab V = 3
+    dcont = 3 + 3 + 1
+
+    def pc(cont):
+        return (cont + 1.0) / dcont
+
+    def pkn(cb, cvk, n1v, cont):
+        return max(cb - 0.75, 0.0) / cvk + (0.75 * n1v / cvk) * pc(cont)
+
+    ps = [
+        pc(1),                 # first token 'a'
+        pkn(2, 3, 2, 1),       # a->b
+        pkn(2, 2, 1, 1),       # b->a
+        pkn(2, 3, 2, 1),       # a->b
+        pkn(2, 2, 1, 1),       # b->a
+        pkn(1, 3, 2, 1),       # a->c
+    ]
+    want = sum(-round(math.log(p) * 1_000_000) for p in ps)
+    assert row["n_tokens"] == 6
+    assert row["nll_micro"] == want, (row["nll_micro"], want)
+    # proper-ish: every probability < 1 -> positive NLL
+    assert row["nll_micro"] > 0
