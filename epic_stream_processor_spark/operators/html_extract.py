@@ -70,6 +70,36 @@ def extract_text_sql(expr: str) -> str:
     return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
 
 
+#: href matchers, one per quoting style. The unquoted class excludes a
+#: leading quote so it never shadows the quoted matches, and stops at
+#: whitespace or ``>`` per the HTML spec for unquoted attribute values.
+_HREF_DQ = r'(?i)<a\b[^>]*\bhref\s*=\s*"([^"]*)"'
+_HREF_SQ = r"(?i)<a\b[^>]*\bhref\s*=\s*'([^']*)'"
+_HREF_UQ = r"""(?i)<a\b[^>]*\bhref\s*=\s*([^"'\s>][^\s>]*)"""
+
+
+def extract_links(html: Column) -> Column:
+    """All anchor hrefs in a page as ``array<string>``.
+
+    Script/style/comment blocks are removed FIRST (same ordering lesson
+    as :func:`extract_text`): a link spelled inside a script string
+    literal or a commented-out ``<a>`` is not an outlink, and raw-regex
+    extractors that skip this step hallucinate edges from dead markup.
+    Three passes cover the quoting styles HTML allows (double, single,
+    unquoted); within each style hrefs come back in document order.
+    Pure JVM ``regexp_replace``/``regexp_extract_all`` — zero Python,
+    zero shuffle, whole-stage-codegen'd: the right 100 TB plan for the
+    link-graph stage that follows WARC ingest."""
+    col = html
+    for pat, rep in _STRIP_PATTERNS[:3]:  # script, style, comments
+        col = F.regexp_replace(col, pat, rep)
+    return F.concat(
+        F.regexp_extract_all(col, F.lit(_HREF_DQ), 1),
+        F.regexp_extract_all(col, F.lit(_HREF_SQ), 1),
+        F.regexp_extract_all(col, F.lit(_HREF_UQ), 1),
+    )
+
+
 def docs_as_html(doc_id: Column, source: Column, lang: Column, text: Column) -> Column:
     """Render a document as a small but adversarial HTML page: a title,
     a style block with braces, a script block whose string literal LOOKS
@@ -96,4 +126,34 @@ def docs_as_html(doc_id: Column, source: Column, lang: Column, text: Column) -> 
         text,
         lang,
         source,
+    )
+
+
+def docs_as_linked_html(doc_id: Column) -> Column:
+    """Render a document as a page full of adversarial anchors: a script
+    string literal that LOOKS like a link, a commented-out link, three
+    real outlinks (one per quoting style — messy case, default port,
+    tracking params, fragment, trailing slash), and three non-links a
+    crawler must ignore (relative, ``mailto:``, ``javascript:``). The
+    real targets are pure functions of ``doc_id``, so the link-graph
+    oracle is closed form (see ``plans/corpus.py``)."""
+    d = doc_id.cast("string")
+    return F.format_string(
+        "<html><head><title>L%s</title>\n"
+        "<script>var u = '<a href=\"http://fake.example.com/x\">'; go(u);</script>\n"
+        "</head><body>\n"
+        "<!-- <a href=\"http://ghost.example.com/x\">dead</a> -->\n"
+        "<a href=\"HTTP://Host%s.Example.COM:80/p/%s?utm_source=x&b=2&a=1#f\">one</a>\n"
+        "<p><a class='m' href='https://hub.example.net/page/%s/'>two</a></p>\n"
+        "<a href=http://plain.example.org/q%s>three</a>\n"
+        "<a href=\"/local/%s\">rel</a>\n"
+        "<a href=\"mailto:ops@example.com\">mail</a>\n"
+        "<a href='javascript:void(0)'>js</a>\n"
+        "</body></html>",
+        d,
+        (doc_id % 7).cast("string"),
+        (doc_id % 13).cast("string"),
+        (doc_id % 5).cast("string"),
+        (doc_id % 3).cast("string"),
+        d,
     )

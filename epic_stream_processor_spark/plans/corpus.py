@@ -1115,3 +1115,68 @@ FROM sc
 
 
 ORACLE_RENDEZVOUS_SHARDS = _rendezvous_oracle()
+
+
+# --- HTML link-graph extraction ---------------------------------------------
+
+def q_link_graph_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction → host-level link graph — the crawl stage that
+    FEEDS ``pagerank_hosts``: every document is rendered as a page of
+    adversarial anchors (``docs_as_linked_html``: a script string
+    literal that looks like a link, a commented-out link, three real
+    outlinks across all three HTML quoting styles, plus relative /
+    ``mailto:`` / ``javascript:`` hrefs a crawler must ignore), links
+    are pulled by the pure-JVM ``extract_links`` chain, canonicalized by
+    ``canonical_url``, reduced to hosts, and aggregated into weighted
+    src-host → dst-host edges. The src host comes from the capture's own
+    URL (in a real pipeline, the WARC-Target-URI header — metadata, not
+    parsed markup), here synthesized messy (``HTTPS://Site{d%10}.
+    Example.COM:443/…``) so src-side canonicalization is exercised too.
+
+    The oracle is CLOSED FORM — expected edges are rebuilt from doc_id
+    residues, never by re-running an extractor — so hallucinating an
+    edge from the commented/script link, missing a quoting style, or
+    botching canonicalization (port kept, case unfolded) breaks the
+    hash. Scale: extraction and canonicalization are row-local codegen;
+    the only shuffle is the final (src,dst) count — at 100 TB this is
+    the standard two-stage map-side-partial aggregation."""
+    from ..operators.html_extract import docs_as_linked_html, extract_links
+    from ..operators.urlnorm import canonical_url, url_host
+
+    configure_for_parity(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    self_url = F.format_string(
+        "HTTPS://Site%s.Example.COM:443/doc/%s",
+        (F.col("doc_id") % 10).cast("string"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.withColumn("src_host", url_host(canonical_url(self_url)))
+        .withColumn(
+            "link",
+            F.explode_outer(extract_links(docs_as_linked_html(F.col("doc_id")))),
+        )
+        .where(F.col("link").rlike("(?i)^https?://"))
+        .withColumn("dst_host", url_host(canonical_url(F.col("link"))))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
+ORACLE_LINK_GRAPH_HOSTS = """WITH d AS (SELECT doc_id FROM documents),
+outl AS (
+  SELECT 'site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS src_host,
+         'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS dst_host
+  FROM d
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com',
+         'hub.example.net'
+  FROM d
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com',
+         'plain.example.org'
+  FROM d
+)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS w
+FROM outl GROUP BY src_host, dst_host
+"""

@@ -557,6 +557,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "and broadcast-join budget as the add-one model, micro-nat "
         "exact; oracle mirrors the full arithmetic in SQL",
     ),
+    "link_graph_hosts": QueryDef(
+        corpus.q_link_graph_hosts, corpus.ORACLE_LINK_GRAPH_HOSTS,
+        "outlink extraction → weighted host-level link graph (round 7): "
+        "anchor hrefs across all three HTML quoting styles via pure-JVM "
+        "regexp_extract_all (script/comment links excluded), canonical-"
+        "ized + host-keyed, one (src,dst) count shuffle; the stage that "
+        "feeds pagerank_hosts; closed-form oracle from doc_id residues",
+    ),
     "rendezvous_shards": QueryDef(
         corpus.q_rendezvous_shards, corpus.ORACLE_RENDEZVOUS_SHARDS,
         "rendezvous/HRW sharding (round 7): resizable shard assignment "

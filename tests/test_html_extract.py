@@ -62,3 +62,46 @@ def test_documented_tag_limitation(spark):
     # An attribute containing '>' ends the tag early — the classic
     # <[^>]+> trade-off, kept deliberately (see module docstring).
     assert _run(spark, '<a title="a>b">x</a>') == 'b">x'
+
+
+# --- link extraction ---------------------------------------------------------
+
+from epic_stream_processor_spark.operators.html_extract import extract_links
+
+
+def _links(spark, html: str) -> list:
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(extract_links(F.col("html")).alias("l")).first()["l"]
+
+
+def test_links_all_three_quote_styles(spark):
+    got = _links(
+        spark,
+        '<a href="http://a.com/1">x</a>'
+        "<a class='k' href='http://b.com/2'>y</a>"
+        "<a href=http://c.com/3>z</a>",
+    )
+    assert sorted(got) == ["http://a.com/1", "http://b.com/2", "http://c.com/3"]
+
+
+def test_links_in_script_and_comment_are_not_outlinks(spark):
+    got = _links(
+        spark,
+        '<script>var u = \'<a href="http://fake.com/">\';</script>'
+        '<!-- <a href="http://ghost.com/">dead</a> -->'
+        '<a href="http://real.com/">live</a>',
+    )
+    assert got == ["http://real.com/"]
+
+
+def test_links_case_insensitive_tag_and_attr(spark):
+    assert _links(spark, '<A HREF="HTTP://X.COM/">u</A>') == ["HTTP://X.COM/"]
+
+
+def test_unquoted_href_stops_at_gt(spark):
+    assert _links(spark, "<a href=http://d.com/p?q=1>t</a>") == ["http://d.com/p?q=1"]
+
+
+def test_non_anchor_href_ignored(spark):
+    # <link>/<img> hrefs/srcs are not outlinks for the link graph.
+    assert _links(spark, '<link href="http://css.com/a.css"><p>t</p>') == []
