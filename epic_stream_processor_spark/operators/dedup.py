@@ -176,14 +176,16 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def lsh_band_keys(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
-    """LSH banding → candidate pairs (a < b) with the count of agreeing
-    bands. Equi-join on the band key — no cross join at any scale."""
+    """(id, band, band_key) rows for LSH banding — the shared key scheme
+    of :func:`minhash_lsh_pairs` (batch self-pairing) and
+    :func:`dedup_against_index` (incremental batch-vs-history probing),
+    so thresholds tuned on one carry to the other."""
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -199,6 +201,20 @@ def minhash_lsh_pairs(
     all_bands = bands[0]
     for x in bands[1:]:
         all_bands = all_bands.unionAll(x)
+    return all_bands
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """LSH banding → candidate pairs (a < b) with the count of agreeing
+    bands. Equi-join on the band key — no cross join at any scale."""
+    all_bands = lsh_band_keys(
+        signatures, id_col=id_col, num_hashes=num_hashes, band_size=band_size
+    )
     a = all_bands.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -476,3 +492,147 @@ def dedup_corpus(
     clusters = dedup_clusters(dup_edges, docs.select(id_col), id_col=id_col)
     drops = clusters.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return docs.join(F.broadcast(drops), id_col, "left_anti")
+
+
+def sentence_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = ". ",
+) -> DataFrame:
+    """Corpus-global sentence-level exact dedup — the C4 "discard all but
+    one of any three-sentence span" rule (Raffel et al. 2020 §2.2) and
+    RefinedWeb/FineWeb's line-level dedup, at single-sentence granularity
+    (the fixture's documents are single-line, so the unit is the
+    ``sep``-delimited sentence; pass ``sep="\\n"`` for true line dedup).
+
+    A sentence occurrence survives iff it is the corpus-global FIRST
+    occurrence, ordered by (doc id, position) — every later copy, in the
+    same document or any other, is removed. Returns one row per document:
+    ``(id, n_sentences, n_kept, text_kept)`` with the survivors re-joined
+    in original order.
+
+    Scale shape (100 TB): the first-occurrence rule is a plain
+    ``groupBy(sentence).agg(min(struct(id, pos)))`` — map-side partial
+    aggregation collapses each task's copies before the ONE sentence-keyed
+    shuffle, so boilerplate sentences (the skew risk) ship one row per
+    task, not one per occurrence. The survivor set IS that aggregate (no
+    second join back), and reassembly is one doc-keyed aggregation. No
+    windows over sentence partitions — a row_number() formulation would
+    put every occurrence of a hot sentence in one partition; the min-agg
+    formulation never does.
+    """
+    import re as _re
+
+    pat = _re.escape(sep)
+    n_sent = F.size(F.split(F.col(text_col), pat, -1)).cast("long")
+    base = docs.select(F.col(id_col), n_sent.alias("n_sentences"))
+
+    sent = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias("pos", "s"),
+    )
+    # corpus-global first occurrence per distinct sentence == survivor set
+    firsts = (
+        sent.groupBy("s")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f"))
+        .select(
+            F.col("f").getField(id_col).alias(id_col),
+            F.col("f").getField("pos").alias("pos"),
+            "s",
+        )
+    )
+    kept = firsts.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x.getField("s"),
+            ),
+            sep,
+        ).alias("text_kept"),
+    )
+    return base.join(kept, id_col, "left").select(
+        F.col(id_col),
+        "n_sentences",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental corpus maintenance: admit a NEW batch of documents only
+    if nothing in the HISTORICAL index already covers them — the gate a
+    production crawl pipeline runs on every append (dedupe batch N against
+    batches 1..N-1 without ever re-pairing the history with itself).
+
+    Two-level gate, both engine-portable:
+    - exact: md5(text) seen in the index → rejected (``exact_dup`` true);
+    - near: any MinHash LSH band key collides with an index band key →
+      ``n_band_hits > 0`` (same banding as :func:`minhash_lsh_pairs`, so
+      thresholds carry over).
+
+    Returns every new doc with ``(exact_dup, n_band_hits, admitted)`` —
+    callers filter ``admitted`` for the append set.
+
+    Scale shape: the index side reduces to DISTINCT hash / band-key tables
+    (partial-agg'd, far smaller than the index corpus); both probes are
+    equi-joins on those keys — the history is never re-shuffled against
+    itself, and the batch (the small side in steady state) drives the
+    join. Persist the two key tables between appends and the incremental
+    cost is one scan of the batch plus two key joins.
+    """
+
+    def band_keys(d: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            d, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+        )
+        return lsh_band_keys(
+            sigs, id_col=id_col, num_hashes=num_hashes, band_size=band_size
+        )
+
+    idx_hashes = (
+        index_docs.select(F.md5(F.col(text_col)).alias("h"))
+        .distinct()
+    )
+    idx_bands = (
+        band_keys(index_docs).select("band", "band_key").distinct()
+    )
+
+    new_h = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("h")
+    )
+    exact = new_h.join(idx_hashes.withColumn("_hit", F.lit(1)), "h", "left")
+    exact_flag = exact.select(
+        F.col(id_col), (F.col("_hit").isNotNull()).alias("exact_dup")
+    )
+
+    hits = (
+        band_keys(new_docs)
+        .join(idx_bands, ["band", "band_key"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(exact_flag, id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "exact_dup",
+            F.coalesce(F.col("n_band_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_band_hits"),
+            (
+                ~F.col("exact_dup")
+                & (F.coalesce(F.col("n_band_hits"), F.lit(0)) == 0)
+            ).alias("admitted"),
+        )
+    )

@@ -2514,3 +2514,126 @@ def _kn_oracle() -> str:
 
 
 ORACLE_KN_BIGRAM_NLL = _kn_oracle()
+
+
+# --- Sentence-level corpus dedup (C4 / RefinedWeb line dedup) ---------------
+
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-global sentence dedup: only the FIRST
+    occurrence (by doc id, position) of each distinct sentence survives;
+    the document is reassembled from its survivors in original order.
+
+    The fixture's documents are unpunctuated word bags, so the query
+    sentencizes them first into aligned 8-token segments joined by ``". "``
+    — the operator (:func:`operators.dedup.sentence_dedup`) then runs
+    verbatim on its ``sep`` contract exactly as it would on a real
+    newline-delimited corpus. The oracle replays both steps in SQL.
+    """
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens(F.col("text"))
+    n_seg = F.floor((F.size(w) + F.lit(7)) / F.lit(8)).cast("int")
+    sentencized = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(w, i * F.lit(8) + F.lit(1), F.lit(8)), " "
+                ),
+            ),
+            ". ",
+        ).alias("text"),
+    )
+    return D.sentence_dedup(sentencized, sep=". ")
+
+
+ORACLE_DEDUP_SENTENCES = f"""WITH words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+),
+sentd AS (
+  SELECT doc_id, list_transform(range(0, (len(w) + 7) // 8),
+         i -> array_to_string(w[8*i+1:8*i+8], ' ')) AS ss
+  FROM words
+),
+sent AS (
+  SELECT doc_id, unnest(ss) AS s,
+         unnest(generate_series(1, len(ss))) - 1 AS pos
+  FROM sentd
+),
+firsts AS (
+  SELECT s, min(doc_id * 1048576 + pos) AS e FROM sent GROUP BY s
+),
+kept AS (
+  SELECT e // 1048576 AS doc_id, count(*) AS n_kept,
+         string_agg(s, '. ' ORDER BY e % 1048576) AS text_kept
+  FROM firsts GROUP BY 1
+)
+SELECT b.doc_id,
+  CAST(len(b.ss) AS BIGINT) AS n_sentences,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(k.text_kept, '') AS text_kept
+FROM sentd b LEFT JOIN kept k USING (doc_id)
+"""
+
+
+# --- Incremental dedup: new batch vs persisted index -------------------------
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-append gate: odd-id documents are the arriving
+    batch, even-id documents the already-ingested history. Each new doc is
+    checked against the history's exact-hash set and its MinHash LSH band
+    keys (:func:`operators.dedup.dedup_against_index`) — the history is
+    never re-paired with itself, which is what makes per-append cost
+    proportional to the batch, not the corpus.
+    """
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    index = docs.where(F.col("doc_id") % 2 == 0)
+    return D.dedup_against_index(batch, index, num_hashes=4, band_size=2)
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""WITH newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+),
+idx AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+),
+idx_h AS (SELECT DISTINCT md5(text) AS h FROM idx),
+words_n AS (SELECT doc_id, {_SQL_WORDS} AS w FROM newb),
+sh_n AS (SELECT doc_id, unnest({_SQL_SHINGLES_2}) AS shingle FROM words_n),
+sigs_n AS (
+  SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+  FROM sh_n GROUP BY doc_id
+),
+bands_n AS (
+  SELECT doc_id, 0 AS band, {_BAND0} AS band_key FROM sigs_n
+  UNION ALL
+  SELECT doc_id, 1 AS band, {_BAND1} AS band_key FROM sigs_n
+),
+words_i AS (SELECT doc_id, {_SQL_WORDS} AS w FROM idx),
+sh_i AS (SELECT doc_id, unnest({_SQL_SHINGLES_2}) AS shingle FROM words_i),
+sigs_i AS (
+  SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+  FROM sh_i GROUP BY doc_id
+),
+idx_bk AS (
+  SELECT DISTINCT band, band_key FROM (
+    SELECT 0 AS band, {_BAND0} AS band_key FROM sigs_i
+    UNION ALL
+    SELECT 1 AS band, {_BAND1} AS band_key FROM sigs_i
+  )
+),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM bands_n
+  JOIN idx_bk USING (band, band_key) GROUP BY doc_id
+)
+SELECT n.doc_id,
+  (h.h IS NOT NULL) AS exact_dup,
+  CAST(coalesce(t.n, 0) AS BIGINT) AS n_band_hits,
+  (h.h IS NULL AND coalesce(t.n, 0) = 0) AS admitted
+FROM newb n
+LEFT JOIN idx_h h ON md5(n.text) = h.h
+LEFT JOIN hits t USING (doc_id)
+"""

@@ -667,6 +667,20 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "shuffle order, collision-proof within-shard order key, per-"
         "shard doc/token counts + ordering-pinned head doc",
     ),
+    "dedup_sentences": QueryDef(
+        llm.q_dedup_sentences, llm.ORACLE_DEDUP_SENTENCES,
+        "C4/RefinedWeb sentence-level corpus dedup (round 7): corpus-"
+        "global first occurrence survives, docs reassembled in order; "
+        "min-agg formulation (map-side partials, no hot-sentence window "
+        "partitions) — one sentence-keyed + one doc-keyed shuffle",
+    ),
+    "dedup_incremental": QueryDef(
+        llm.q_dedup_incremental, llm.ORACLE_DEDUP_INCREMENTAL,
+        "incremental corpus-append gate (round 7): new batch vs "
+        "persisted history via distinct exact-hash + LSH band-key "
+        "probes — per-append cost scales with the batch, the history "
+        "is never re-paired with itself",
+    ),
 }
 
 

@@ -2242,3 +2242,85 @@ def test_kn_bigram_hand_computed(spark):
     assert row["nll_micro"] == want, (row["nll_micro"], want)
     # proper-ish: every probability < 1 -> positive NLL
     assert row["nll_micro"] > 0
+
+
+def test_sentence_dedup_first_occurrence_survives(spark):
+    """Corpus-global rule: only the (doc id, position)-first occurrence of
+    each sentence survives — later copies in the SAME doc and in OTHER
+    docs are both removed; unique sentences always survive; a document
+    whose every sentence appeared earlier elsewhere empties out (C4 §2.2
+    line-dedup semantics at sentence granularity)."""
+    from epic_stream_processor_spark.operators.dedup import sentence_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta. gamma. alpha beta"),   # in-doc repeat of s0
+            (2, "gamma. delta"),                     # gamma seen in doc 1
+            (3, "alpha beta. gamma"),                # fully covered → empty
+            (4, "epsilon"),                          # unique, 1 sentence
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["n_kept"], r["text_kept"])
+        for r in sentence_dedup(docs).collect()
+    }
+    assert got == {
+        1: (3, 2, "alpha beta. gamma"),
+        2: (2, 1, "delta"),
+        3: (2, 0, ""),
+        4: (1, 1, "epsilon"),
+    }
+
+
+def test_sentence_dedup_newline_unit_and_empty_doc(spark):
+    """sep='\\n' gives true line-level dedup; empty docs hold one empty
+    line whose global first occurrence wins and later empties lose it."""
+    from epic_stream_processor_spark.operators.dedup import sentence_dedup
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a\nb"), (3, ""), (4, "b\nc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["n_kept"], r["text_kept"])
+        for r in sentence_dedup(docs, sep="\n").collect()
+    }
+    assert got == {
+        1: (1, 1, ""),
+        2: (2, 2, "a\nb"),
+        3: (1, 0, ""),
+        4: (2, 1, "c"),
+    }
+
+
+def test_dedup_against_index_gates(spark):
+    """Exact copy of a history doc → exact_dup; near-copy sharing a full
+    LSH band → band hit, not admitted; novel text → admitted. The history
+    is only ever touched through its DISTINCT hash / band-key tables."""
+    from epic_stream_processor_spark.operators.dedup import (
+        dedup_against_index,
+    )
+
+    index = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog"),  # exact
+            (13, "the quick brown fox jumps over the lazy cat"),  # near
+            (15, "completely different words entirely here now"),  # novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["n_band_hits"] > 0, r["admitted"])
+        for r in dedup_against_index(new, index).collect()
+    }
+    assert got[11] == (True, True, False)
+    assert got[13][0] is False and got[13][2] is False and got[13][1]
+    assert got[15] == (False, False, True)
