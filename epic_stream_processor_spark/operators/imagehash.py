@@ -1,0 +1,186 @@
+"""Perceptual image fingerprints for multimodal corpus dedup.
+
+The reference has no image operators at all (its pixel path is radio-
+astronomy patches, ``epic_image.py``); this module is part of the
+LLM-training-data extension surface the brief calls for: near-duplicate
+IMAGE detection, the visual analog of MinHash text dedup.
+
+Average hash (aHash) is the classic perceptual fingerprint (the
+pHash-family baseline: downsample to a ``grid×grid`` luminance map, one
+bit per cell — cell mean ≥ global mean): two images that differ only by
+re-encoding, mild noise, or small crops land within a few bits of
+Hamming distance. The hash here is defined in EXACT integer arithmetic
+(cell-mean ≥ image-mean compared as ``cell_sum·n_total ≥
+total_sum·n_cell`` — no float division anywhere) so a SQL oracle can
+reproduce it bit-for-bit.
+
+Near-dup pairing never goes all-pairs: the 64-bit hash is cut into
+16-bit bands (the SimHash/LSH trick — two hashes within Hamming
+distance d share at least one exact band when d < #bands), candidates
+come from an equi-join on (band, band value), and exact Hamming
+distance — ``bit_count(hi_a⊕hi_b) + bit_count(lo_a⊕lo_b)``, JVM-side —
+verifies candidates only.
+
+Scale shape (billions of images): hashing is row-local Arrow compute
+over already-decoded pixels (one pass, pixels never shuffle); banding
+is one equi-join on a 20-bit key space — hot buckets (flat images, all
+bits equal) are the skew risk, same mitigation as text LSH (AQE skew
+join or a bucket cap).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("grid_h", T.LongType()),
+        T.StructField("grid_w", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("ahash_hex", T.StringType()),
+    ]
+)
+
+
+def ahash_images(decoded: DataFrame, grid: int = 8) -> DataFrame:
+    """64-bit average hash per decoded image.
+
+    ``decoded`` is the output of any of the format decoders
+    (``decode_bmp`` / ``decode_png`` / ``decode_jpeg`` emit the same
+    shape): ``media_id, width, height, gray`` with ``gray`` the top-down
+    grayscale pixel bytes. Undecodable rows (NULL gray) are dropped —
+    bad files are data, not bugs, at corpus scale.
+
+    Cell (br, bc) of pixel (r, c): ``br = r·gh // h``, ``bc = c·gw // w``
+    with ``gh = min(grid, h)``, ``gw = min(grid, w)`` so every cell is
+    non-empty on images smaller than the grid. Bit ``br·gw + bc`` is set
+    iff ``cell_sum · n_pixels ≥ total_sum · n_cell`` (ties set the bit —
+    flat images hash to all-ones, deterministically). The hash is
+    emitted as a 16-char lowercase hex string (value = Σ bit_i·2^i,
+    zero-extended) — string form keeps the full 64-bit range portable
+    across engines without signed-overflow gymnastics.
+    """
+    gb = int(grid)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def one(w: int, h: int, gray: bytes) -> tuple[int, int, str]:
+            px = _np.frombuffer(gray, dtype=_np.uint8).astype(_np.int64)
+            gh, gw = min(gb, h), min(gb, w)
+            r = _np.arange(h * w) // w
+            c = _np.arange(h * w) % w
+            cell = (r * gh // h) * gw + (c * gw // w)
+            n_cells = gh * gw
+            sums = _np.bincount(cell, weights=px, minlength=n_cells).astype(
+                _np.int64
+            )
+            cnts = _np.bincount(cell, minlength=n_cells).astype(_np.int64)
+            total_sum = int(px.sum())
+            total_n = h * w
+            bits = sums * total_n >= total_sum * cnts
+            val = 0
+            for i in range(n_cells):
+                if bits[i]:
+                    val |= 1 << i
+            return gh, gw, format(val, "016x")
+
+        for pdf in batches:
+            ids, ghs, gws, nps, hx = [], [], [], [], []
+            for mid, w, h, gray in zip(
+                pdf["media_id"].values,
+                pdf["width"].values,
+                pdf["height"].values,
+                pdf["gray"].values,
+            ):
+                if gray is None or w is None or h is None:
+                    continue
+                gh, gw, s = one(int(w), int(h), bytes(gray))
+                ids.append(int(mid))
+                ghs.append(gh)
+                gws.append(gw)
+                nps.append(int(w) * int(h))
+                hx.append(s)
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.Series(ids, dtype="int64"),
+                    "grid_h": _pd.Series(ghs, dtype="int64"),
+                    "grid_w": _pd.Series(gws, dtype="int64"),
+                    "n_pixels": _pd.Series(nps, dtype="int64"),
+                    "ahash_hex": _pd.Series(hx, dtype="object"),
+                }
+            )
+
+    return decoded.select("media_id", "width", "height", "gray").mapInPandas(
+        gen, schema=AHASH_SCHEMA
+    )
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "ahash_hex",
+) -> DataFrame:
+    """Hamming-banded near-duplicate image pairs.
+
+    Band ``b`` is hex chars ``4b+1..4b+4`` (16 bits); candidates share at
+    least one exact band (guaranteed complete for ``hamming < n_bands``
+    by pigeonhole; a heuristic recall/cost dial beyond that, exactly like
+    MinHash banding). Exact Hamming distance verifies candidates only:
+    the 64-bit hash splits into two 32-bit halves so ``conv(hex,16,10)``
+    stays inside BIGINT, then ``bit_count(hi⊕hi) + bit_count(lo⊕lo)`` —
+    all JVM expressions, no Python in the join path.
+    """
+    width = 16 // n_bands
+    bands = hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col(hash_col), b * width + 1, width)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.select(
+        F.col("band"),
+        F.col("band_val"),
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("hash_a"),
+    )
+    b_ = bands.select(
+        F.col("band"),
+        F.col("band_val"),
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("hash_b"),
+    )
+
+    def half(col: str, lo: bool):
+        part = F.substring(F.col(col), 9 if lo else 1, 8)
+        return F.conv(part, 16, 10).cast("long")
+
+    cand = (
+        a.join(b_, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hash_a", "hash_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(half("hash_a", False).bitwiseXOR(half("hash_b", False)))
+        + F.bit_count(half("hash_a", True).bitwiseXOR(half("hash_b", True)))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2637,3 +2637,182 @@ FROM newb n
 LEFT JOIN idx_h h ON md5(n.text) = h.h
 LEFT JOIN hits t USING (doc_id)
 """
+
+
+# --- Perceptual image hash + Hamming near-dup (multimodal dedup) -------------
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash perceptual fingerprint over REAL decoded images: each
+    document renders as a genuine BMP, ``decode_bmp`` recovers the pixels,
+    and ``ahash_images`` computes the 64-bit grid hash in exact integer
+    arithmetic (cell_sum·n_total ≥ total_sum·n_cell — no float division).
+    The oracle replays pixel synthesis, cell geometry, the integer
+    threshold rule, and the hex assembly from the published BMP layout.
+    """
+    from ..operators.imagehash import ahash_images
+    from ..operators.multimodal import decode_bmp, docs_as_bmp
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return ahash_images(decode_bmp(docs_as_bmp(docs)))
+
+
+def _ahash_cte() -> str:
+    """Shared oracle CTE chain: documents → pixels → cells → 64-bit aHash
+    (hex). Pixel i of image (w = id%13+4, h = ceil(n/w) min 1) is text
+    byte i (0 beyond the end); cell (r·gh//h, c·gw//w); bit set iff
+    cell_sum·n_total ≥ total_sum·n_cell; hex = nibble-wise assembly,
+    left-padded to 16 chars."""
+    return f"""m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         hex(encode(text)) AS hx,
+         CAST(doc_id % 13 + 4 AS BIGINT) AS w
+  FROM documents
+),
+g AS (
+  SELECT media_id, n, hx, w, greatest((n + w - 1) // w, 1) AS h FROM m
+),
+px AS (
+  SELECT media_id, w, h, least(8, h) AS gh, least(8, w) AS gw,
+         unnest(range(w * h)) AS i, n, hx
+  FROM g
+),
+pv AS (
+  SELECT media_id, gh, gw, w, h,
+         ((i // w) * gh // h) * gw + ((i % w) * gw // w) AS cell,
+         {_hex_byte_sql('i')} AS v
+  FROM px
+),
+cells AS (
+  SELECT media_id, cell, CAST(sum(v) AS BIGINT) AS cs, count(*) AS cn
+  FROM pv GROUP BY 1, 2
+),
+tot AS (
+  SELECT media_id, CAST(sum(cs) AS BIGINT) AS ts,
+         CAST(sum(cn) AS BIGINT) AS tn
+  FROM cells GROUP BY 1
+),
+bits AS (
+  SELECT c.media_id, c.cell,
+         CAST(c.cs * t.tn >= t.ts * c.cn AS BIGINT) AS b
+  FROM cells c JOIN tot t USING (media_id)
+),
+nib AS (
+  SELECT media_id, cell // 4 AS nb,
+         CAST(sum(b << (cell % 4)) AS INT) AS nv
+  FROM bits GROUP BY 1, 2
+),
+ah AS (
+  SELECT media_id,
+         lpad(string_agg(substr('0123456789abcdef', nv + 1, 1), ''
+              ORDER BY nb DESC), 16, '0') AS ahash_hex
+  FROM nib GROUP BY 1
+)"""
+
+
+ORACLE_IMAGE_AHASH = f"""WITH {_ahash_cte()}
+SELECT g.media_id,
+  CAST(least(8, g.h) AS BIGINT) AS grid_h,
+  CAST(least(8, g.w) AS BIGINT) AS grid_w,
+  CAST(g.w * g.h AS BIGINT) AS n_pixels,
+  ah.ahash_hex
+FROM g JOIN ah USING (media_id)
+"""
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs — the visual analog of MinHash text
+    dedup: 16-bit bands of the average hash feed an equi-join (never
+    all-pairs), exact Hamming distance (bit_count over 32-bit halves,
+    pure JVM) verifies candidates only.
+    """
+    from ..operators.imagehash import ahash_images, ahash_near_dup_pairs
+    from ..operators.multimodal import decode_bmp, docs_as_bmp
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return ahash_near_dup_pairs(
+        ahash_images(decode_bmp(docs_as_bmp(docs))), max_hamming=8
+    )
+
+
+_HAM_HALF = (
+    "bit_count(xor(CAST(('0x' || substr({a}, {o}, 8)) AS BIGINT), "
+    "CAST(('0x' || substr({b}, {o}, 8)) AS BIGINT)))"
+)
+
+ORACLE_IMAGE_NEAR_DUP = f"""WITH {_ahash_cte()},
+bands AS (
+  SELECT media_id, ahash_hex,
+         unnest(range(0, 4)) AS band
+  FROM ah
+),
+kb AS (
+  SELECT media_id, ahash_hex, band,
+         substr(ahash_hex, CAST(band * 4 + 1 AS INT), 4) AS band_val
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.ahash_hex AS hash_a, b.ahash_hex AS hash_b
+  FROM kb a JOIN kb b USING (band, band_val)
+  WHERE a.media_id < b.media_id
+)
+SELECT id_a, id_b,
+  CAST({_HAM_HALF.format(a='hash_a', b='hash_b', o=1)}
+     + {_HAM_HALF.format(a='hash_a', b='hash_b', o=9)} AS BIGINT) AS hamming
+FROM cand
+WHERE {_HAM_HALF.format(a='hash_a', b='hash_b', o=1)}
+    + {_HAM_HALF.format(a='hash_a', b='hash_b', o=9)} <= 8
+"""
+
+
+# --- Integer-exact audio features --------------------------------------------
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction over genuine WAV payloads: RIFF
+    chunk-walk → int16 PCM → energy / zero crossings / autocorrelation at
+    lags 1,2,4 / peak, all exact integers (one row-local Arrow pass;
+    samples never shuffle). The oracle recomputes every feature from the
+    byte→sample law ``(b − 128)·256`` with DuckDB list arithmetic.
+    """
+    from ..operators.multimodal import audio_features, docs_as_wav
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(docs_as_wav(docs))
+
+
+ORACLE_AUDIO_FEATURES = f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         hex(encode(text)) AS hx
+  FROM documents
+),
+s AS (
+  SELECT media_id, n,
+         list_transform(range(n), i ->
+           ({_hex_byte_sql('i')} - 128) * 256) AS sm
+  FROM m
+)
+SELECT media_id,
+  n AS n_samples,
+  CAST(coalesce(list_sum(list_transform(sm, x -> x * x)), 0) AS BIGINT)
+    AS energy,
+  CAST(coalesce(list_sum(list_transform(range(1, CAST(n AS BIGINT)), i ->
+       CAST((sm[CAST(i AS INT)] < 0) != (sm[CAST(i AS INT) + 1] < 0)
+            AS BIGINT))), 0) AS BIGINT) AS zero_crossings,
+  CAST(coalesce(list_sum(list_transform(range(1, CAST(n AS BIGINT)), i ->
+       sm[CAST(i AS INT)] * sm[CAST(i AS INT) + 1])), 0) AS BIGINT)
+    AS autocorr_1,
+  CAST(coalesce(list_sum(list_transform(range(1, CAST(n - 1 AS BIGINT)), i ->
+       sm[CAST(i AS INT)] * sm[CAST(i AS INT) + 2])), 0) AS BIGINT)
+    AS autocorr_2,
+  CAST(coalesce(list_sum(list_transform(range(1, CAST(n - 3 AS BIGINT)), i ->
+       sm[CAST(i AS INT)] * sm[CAST(i AS INT) + 4])), 0) AS BIGINT)
+    AS autocorr_4,
+  CAST(coalesce(list_max(list_transform(sm, x -> abs(x))), 0) AS BIGINT)
+    AS peak
+FROM s
+"""

@@ -674,6 +674,25 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "min-agg formulation (map-side partials, no hot-sentence window "
         "partitions) — one sentence-keyed + one doc-keyed shuffle",
     ),
+    "image_ahash": QueryDef(
+        llm.q_image_ahash, llm.ORACLE_IMAGE_AHASH,
+        "perceptual average hash over REAL decoded BMP pixels (round 7): "
+        "8x8 grid luminance bits in exact integer arithmetic (cross-"
+        "multiplied means, no float division), 64-bit hex fingerprint — "
+        "row-local Arrow pass, pixels never shuffle",
+    ),
+    "image_near_dup": QueryDef(
+        llm.q_image_near_dup, llm.ORACLE_IMAGE_NEAR_DUP,
+        "near-duplicate image pairs (round 7): 16-bit aHash bands feed an "
+        "equi-join (never all-pairs), exact Hamming verify via "
+        "bit_count over 32-bit halves — the visual analog of MinHash LSH",
+    ),
+    "audio_features": QueryDef(
+        llm.q_audio_features, llm.ORACLE_AUDIO_FEATURES,
+        "integer-exact audio descriptors from genuine WAV payloads "
+        "(round 7): energy, zero crossings, autocorrelation lags 1/2/4, "
+        "peak — one row-local Arrow pass, samples never leave the worker",
+    ),
     "dedup_incremental": QueryDef(
         llm.q_dedup_incremental, llm.ORACLE_DEDUP_INCREMENTAL,
         "incremental corpus-append gate (round 7): new batch vs "

@@ -2324,3 +2324,88 @@ def test_dedup_against_index_gates(spark):
     assert got[11] == (True, True, False)
     assert got[13][0] is False and got[13][2] is False and got[13][1]
     assert got[15] == (False, False, True)
+
+
+def test_ahash_known_image_and_flat_ties(spark):
+    """Known-answer aHash: a 2x2-block checkerboard 16x16 image has the
+    canonical alternating bit pattern; a flat image ties every cell to
+    the global mean and hashes all-ones over its grid (ties set the bit,
+    deterministically)."""
+    from epic_stream_processor_spark.operators.imagehash import ahash_images
+
+    w = h = 16
+    checker = bytes(
+        255 if ((r // 2) + (c // 2)) % 2 == 0 else 0
+        for r in range(h)
+        for c in range(w)
+    )
+    flat = bytes([7] * (4 * 3))
+    decoded = spark.createDataFrame(
+        [(1, w, h, bytearray(checker)), (2, 4, 3, bytearray(flat))],
+        "media_id long, width int, height int, gray binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in ahash_images(decoded).collect()}
+    # checkerboard: 16x16 → 8x8 grid, each cell one 2x2 block, alternating
+    val = 0
+    for i in range(64):
+        br, bc = i // 8, i % 8
+        if (br + bc) % 2 == 0:
+            val |= 1 << i
+    assert got[1]["ahash_hex"] == format(val, "016x")
+    assert (got[1]["grid_h"], got[1]["grid_w"]) == (8, 8)
+    # flat 4x3: grid 3x4 → 12 bits all set
+    assert got[2]["ahash_hex"] == format((1 << 12) - 1, "016x")
+
+
+def test_ahash_near_dup_banding_and_hamming(spark):
+    """Identical hashes pair at hamming 0; a 1-nibble flip still shares 3
+    of 4 bands and pairs with its true bit distance; two unrelated
+    patterns sharing no band never become a candidate."""
+    from epic_stream_processor_spark.operators.imagehash import (
+        ahash_near_dup_pairs,
+    )
+
+    rows = [
+        (1, "00ff00ff00ff00ff"),
+        (2, "00ff00ff00ff00ff"),   # identical → hamming 0
+        (3, "00ff00ff00ff00f0"),   # last nibble 0xf→0x0 → hamming 4
+        (4, "123456789abcdef0"),   # shares no band with 1/2/3
+    ]
+    hashes = spark.createDataFrame(rows, "media_id long, ahash_hex string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(hashes, max_hamming=8).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 4, (2, 3): 4}
+
+
+def test_audio_features_hand_computed(spark):
+    """Features over a hand-built WAV: samples (b−128)·256 for bytes
+    [128, 130, 126, 128] → s = [0, 512, −512, 0]; energy, the two sign
+    flips, lag products, and peak are checked against pencil-and-paper
+    values; an empty WAV yields all-zero features."""
+    from epic_stream_processor_spark.operators.multimodal import (
+        audio_features, docs_as_wav,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, chr(0) + chr(2) + chr(126) + chr(0)), (1, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["media_id"]: r.asDict()
+        for r in audio_features(docs_as_wav(docs)).collect()
+    }
+    s = [(0 - 128) * 256, (2 - 128) * 256, (126 - 128) * 256, (0 - 128) * 256]
+    f0 = got[0]
+    assert f0["n_samples"] == 4
+    assert f0["energy"] == sum(x * x for x in s)
+    assert f0["zero_crossings"] == 0  # all negative, no sign change
+    assert f0["autocorr_1"] == sum(s[i] * s[i + 1] for i in range(3))
+    assert f0["autocorr_2"] == sum(s[i] * s[i + 2] for i in range(2))
+    assert f0["autocorr_4"] == 0
+    assert f0["peak"] == max(abs(x) for x in s)
+    assert got[1] == {
+        "media_id": 1, "n_samples": 0, "energy": 0, "zero_crossings": 0,
+        "autocorr_1": 0, "autocorr_2": 0, "autocorr_4": 0, "peak": 0,
+    }
