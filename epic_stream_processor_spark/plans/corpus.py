@@ -1180,3 +1180,70 @@ outl AS (
 SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS w
 FROM outl GROUP BY src_host, dst_host
 """
+
+
+# --- WET conversion: WARC response files → extracted-text records ------------
+
+def q_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl WET-generation step, end to end: every document
+    renders as an adversarial HTML page, pages are framed as WARC/1.0
+    ``response`` records (``Content-Type: text/html``) and concatenated
+    into multi-record file images, ``parse_warc`` recovers each record by
+    Content-Length framing (the HTML is full of CRLFs, quotes, and
+    fake markup — a framing bug corrupts the page), and the pure-JVM
+    ``extract_text`` chain boils each page down to its text — emitted as
+    WET-style ``conversion`` records tied to the source record id.
+
+    Scale shape: record build is JVM expressions; file grouping is the
+    one bucket shuffle; parse + extraction are per-file/row-local — the
+    whole chain is the C4/CCNet first stage at crawl scale.
+    """
+    from ..operators.html_extract import docs_as_html, extract_text
+    from ..sources.warc import docs_as_warc_records, parse_warc, warc_files
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        "source",
+        docs_as_html(
+            F.col("doc_id"), F.col("source"), F.col("lang"), F.col("text")
+        ).alias("html"),
+    )
+    recs = docs_as_warc_records(
+        pages, n_buckets=32, text_col="html", content_type="text/html"
+    )
+    parsed = parse_warc(warc_files(recs))
+    # stage the extraction once: a second extract_text reference would
+    # inline the whole regexp chain twice (the BM25 multi-use trap)
+    staged = parsed.withColumn("wet_text", extract_text(F.col("text")))
+    return staged.select(
+        "target_uri",
+        F.col("record_id").alias("refers_to"),
+        F.lit("conversion").alias("warc_type"),
+        "wet_text",
+        F.length("wet_text").cast("long").alias("wet_len"),
+    )
+
+
+_WET_TEXT = (
+    "trim(regexp_replace("
+    "'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source || ' ' || "
+    "coalesce(text, '') || ' lang <' || lang || '> \"' || source || '\" &co',"
+    " '\\s+', ' ', 'g'))"
+)
+
+ORACLE_WET_EXTRACT = f"""SELECT
+  'https://crawl.example/' || source || '/' || CAST(doc_id AS VARCHAR)
+    AS target_uri,
+  'urn:uuid:' ||
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+    substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+    substr(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+    substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+    substr(md5(CAST(doc_id AS VARCHAR)), 21, 12) AS refers_to,
+  'conversion' AS warc_type,
+  {_WET_TEXT} AS wet_text,
+  CAST(length({_WET_TEXT}) AS BIGINT) AS wet_len
+FROM documents
+"""

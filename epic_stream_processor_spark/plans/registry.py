@@ -701,6 +701,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "histogram-derived equal-count value cutoffs (no global sort; "
         "bounded 1-row collects only), tie-stable assignment",
     ),
+    "wet_extract": QueryDef(
+        corpus.q_wet_extract, corpus.ORACLE_WET_EXTRACT,
+        "WET conversion (round 7): HTML pages framed as WARC response "
+        "records, Content-Length parse, pure-JVM text extraction — the "
+        "Common Crawl WET-generation chain composed end to end from "
+        "proven operators, closed-form oracle",
+    ),
     "shard_manifest": QueryDef(
         corpus.q_shard_manifest, corpus.ORACLE_SHARD_MANIFEST,
         "deterministic training-shard writer manifest: salted-hash "

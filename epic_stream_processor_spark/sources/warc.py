@@ -75,23 +75,26 @@ def record_id_expr(doc_id: str = "doc_id"):
 
 
 def docs_as_warc_records(
-    docs: DataFrame, n_buckets: int = 32
+    docs: DataFrame, n_buckets: int = 32, text_col: str = "text",
+    content_type: str = "text/plain",
 ) -> DataFrame:
     """Render every document as one WARC/1.0 ``response`` record (bytes),
     plus its target file bucket (``doc_id % n_buckets``).
 
     Pure JVM expressions: the header block is a ``format_string``, the
-    payload is the UTF-8 text, Content-Length is ``octet_length`` of the
-    payload (multi-byte safe — the fixture corpus includes zh text).
+    payload is the UTF-8 ``text_col``, Content-Length is ``octet_length``
+    of the payload (multi-byte safe — the fixture corpus includes zh
+    text). ``text_col``/``content_type`` let callers frame arbitrary
+    payloads (e.g. rendered HTML pages for the WET-conversion chain).
     """
-    payload = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
     header = F.format_string(
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
         "WARC-Record-ID: <urn:uuid:%s>\r\n"
         "WARC-Date: " + WARC_DATE + "\r\n"
         "WARC-Target-URI: https://crawl.example/%s/%d\r\n"
-        "Content-Type: text/plain\r\n"
+        "Content-Type: " + content_type + "\r\n"
         "Content-Length: %d\r\n"
         "\r\n",
         record_id_expr(),
