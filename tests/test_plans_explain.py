@@ -266,3 +266,40 @@ def test_url_canonicalize_is_expression_only_before_window(spark):
 
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
     assert keys <= {"canonical_url"}, plan
+
+
+def test_sentence_dedup_is_min_agg_not_window(spark):
+    """The first-occurrence rule must plan as groupBy(sentence).min(...)
+    — map-side partial aggregation collapses hot-sentence copies before
+    the shuffle — and NEVER as a row_number window over sentence
+    partitions (which would put every occurrence of a boilerplate
+    sentence in one partition). Exchanges stay bounded: sentence agg,
+    doc re-agg, and the join back."""
+    df = ALL_GUARDED["dedup_sentences"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 4, plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+
+def test_dedup_incremental_probes_distinct_key_tables(spark):
+    """The history side must reduce to DISTINCT hash / band-key tables
+    before the probe joins (partial aggregation ⇒ the index corpus never
+    ships whole), and the band probe must be a semi join."""
+    df = ALL_GUARDED["dedup_incremental"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_image_near_dup_bands_equijoin_no_cartesian(spark):
+    """Candidate pairing must be an equi-join on (band, band value) —
+    never all-pairs — and Hamming verification stays JVM-side (no
+    Python stage after the hash computation)."""
+    df = ALL_GUARDED["image_near_dup"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one Arrow stage pair (the BMP decode + hash); the join tree
+    # itself adds no Python evaluation
+    assert plan.count("ArrowEvalPython") == 0, plan
