@@ -1064,3 +1064,412 @@ def audio_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                 yield batch(pdf.iloc[start : start + batch_rows])
 
     return media.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# --- Real GIF codec (stdlib only: LZW — the third compression family) -------
+
+#: decode_gif emits the same shape as decode_bmp/decode_png — downstream
+#: pixel consumers are format-agnostic.
+GIF_DECODED_SCHEMA = BMP_DECODED_SCHEMA
+
+
+def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW (GIF87a Appendix F): variable-width codes starting at
+    ``min_code_size + 1`` bits, LSB-first packing, CLEAR/EOI codes, table
+    growth to 4096 then an explicit CLEAR. Widening follows the canonical
+    interoperable pairing: the ENCODER widens after assigning code
+    ``1 << cs`` (next_code == cap + 1), the DECODER — which adds entries
+    one code behind — at next_code == cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, cs: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            out.append(buf & 255)
+            buf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    cs = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, cs)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], cs)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << cs) + 1 and cs < 12:
+                cs += 1
+        else:
+            emit(clear, cs)
+            table = {bytes([i]): i for i in range(clear)}
+            cs = min_code_size + 1
+            next_code = eoi + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], cs)
+    emit(eoi, cs)
+    if nbits:
+        out.append(buf & 255)
+    return bytes(out)
+
+
+def _lzw_decode_gif(
+    blob: bytes, min_code_size: int = 8, max_out: int = 1 << 26
+) -> bytes:
+    """Inverse of :func:`_lzw_encode_gif`, bounded: output past ``max_out``
+    raises — LZW inflates up to ~4000× (4096-entry strings from 12-bit
+    codes), the same decompression-bomb class the PNG/WARC inflaters
+    guard against."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = buf = nbits = 0
+
+    def read(cs: int):
+        nonlocal pos, buf, nbits
+        while nbits < cs:
+            if pos >= len(blob):
+                return None
+            buf |= blob[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = buf & ((1 << cs) - 1)
+        buf >>= cs
+        nbits -= cs
+        return v
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    cs = min_code_size + 1
+    next_code = eoi + 1
+    out = bytearray()
+    prev = None
+    while True:
+        c = read(cs)
+        if c is None or c == eoi:
+            break
+        if c == clear:
+            table = fresh()
+            cs = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if prev is None:
+            out += table[c]
+            prev = c
+            continue
+        if c < next_code:
+            s = table[c]
+        elif c == next_code:
+            s = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += s
+        if len(out) > max_out:
+            raise ValueError("LZW output exceeds bound")
+        if next_code < 4096:
+            table.append(table[prev] + s[:1])
+            next_code += 1
+            if next_code == (1 << cs) and cs < 12:
+                cs += 1
+        prev = c
+    return bytes(out)
+
+
+def encode_gif_gray(data: bytes, width: int) -> bytes:
+    """Render grayscale bytes as a genuine GIF87a file: header, logical
+    screen descriptor, a 256-entry grayscale global color table (index i
+    → (i,i,i) — so pixel bytes ARE palette indices), image descriptor,
+    LZW-compressed pixel data in ≤255-byte sub-blocks, trailer."""
+    import struct as _struct
+
+    w = max(int(width), 1)
+    h = max((len(data) + w - 1) // w, 1)
+    px = data + b"\x00" * (w * h - len(data))
+    out = bytearray(b"GIF87a")
+    # packed: GCT present, color resolution 8 bits (111), 256-entry GCT
+    out += _struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += _struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(8)  # LZW minimum code size
+    comp = _lzw_encode_gif(px, 8)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def docs_as_gif(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture adapter: render each document's UTF-8 bytes as a real GIF87a
+    (width = id % 13 + 4, same geometry law as the BMP/PNG adapters)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def lzw_enc(data, min_code_size=8):
+            clear = 1 << min_code_size
+            eoi = clear + 1
+            out = bytearray()
+            buf = 0
+            nbits = 0
+
+            def emit(code, cs):
+                nonlocal buf, nbits
+                buf |= code << nbits
+                nbits += cs
+                while nbits >= 8:
+                    out.append(buf & 255)
+                    buf >>= 8
+                    nbits -= 8
+
+            table = {bytes([i]): i for i in range(clear)}
+            cs = min_code_size + 1
+            next_code = eoi + 1
+            emit(clear, cs)
+            w = b""
+            for b in data:
+                wk = w + bytes([b])
+                if wk in table:
+                    w = wk
+                    continue
+                emit(table[w], cs)
+                if next_code < 4096:
+                    table[wk] = next_code
+                    next_code += 1
+                    if next_code == (1 << cs) + 1 and cs < 12:
+                        cs += 1
+                else:
+                    emit(clear, cs)
+                    table = {bytes([i]): i for i in range(clear)}
+                    cs = min_code_size + 1
+                    next_code = eoi + 1
+                w = bytes([b])
+            if w:
+                emit(table[w], cs)
+            emit(eoi, cs)
+            if nbits:
+                out.append(buf & 255)
+            return bytes(out)
+
+        def enc(data: bytes, width: int) -> bytes:
+            w = max(int(width), 1)
+            h = max((len(data) + w - 1) // w, 1)
+            px = data + b"\x00" * (w * h - len(data))
+            out = bytearray(b"GIF87a")
+            out += _struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+            for i in range(256):
+                out += bytes((i, i, i))
+            out += _struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+            out.append(8)
+            comp = lzw_enc(px, 8)
+            for i in range(0, len(comp), 255):
+                chunk = comp[i : i + 255]
+                out.append(len(chunk))
+                out += chunk
+            out.append(0)
+            out.append(0x3B)
+            return bytes(out)
+
+        for pdf in batches:
+            ids, texts = pdf.iloc[:, 0], pdf.iloc[:, 1]
+            payloads = [
+                enc((t or "").encode("utf-8"), int(mid) % 13 + 4)
+                for mid, t in zip(ids, texts)
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids.astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return (
+        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def decode_gif(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL **LZW**-compressed image decode, no stub and no PIL: walk the
+    GIF87a/89a structure — header, logical screen descriptor, global color
+    table, extension blocks (skipped by sub-block framing), image
+    descriptor — reassemble the data sub-blocks, LZW-decompress with
+    variable-width codes (canonical decoder-side widening, KwKwK case,
+    mid-stream CLEAR handling, bounded output), and map palette indices
+    through the color table's green channel to grayscale bytes.
+    Undecodable payloads → NULL (bad files are data at corpus scale)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def lzw_dec(blob, min_code_size=8, max_out=1 << 26):
+            clear = 1 << min_code_size
+            eoi = clear + 1
+            pos = buf = nbits = 0
+
+            def read(cs):
+                nonlocal pos, buf, nbits
+                while nbits < cs:
+                    if pos >= len(blob):
+                        return None
+                    buf |= blob[pos] << nbits
+                    pos += 1
+                    nbits += 8
+                v = buf & ((1 << cs) - 1)
+                buf >>= cs
+                nbits -= cs
+                return v
+
+            def fresh():
+                return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+            table = fresh()
+            cs = min_code_size + 1
+            next_code = eoi + 1
+            out = bytearray()
+            prev = None
+            while True:
+                c = read(cs)
+                if c is None or c == eoi:
+                    break
+                if c == clear:
+                    table = fresh()
+                    cs = min_code_size + 1
+                    next_code = eoi + 1
+                    prev = None
+                    continue
+                if prev is None:
+                    out += table[c]
+                    prev = c
+                    continue
+                if c < next_code:
+                    s = table[c]
+                elif c == next_code:
+                    s = table[prev] + table[prev][:1]
+                else:
+                    raise ValueError("corrupt LZW stream")
+                out += s
+                if len(out) > max_out:
+                    raise ValueError("LZW output exceeds bound")
+                if next_code < 4096:
+                    table.append(table[prev] + s[:1])
+                    next_code += 1
+                    if next_code == (1 << cs) and cs < 12:
+                        cs += 1
+                prev = c
+            return bytes(out)
+
+        def dec(payload: bytes):
+            b = bytes(payload)
+            if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+                return None
+            w, h, packed, _bg, _ar = _struct.unpack_from("<HHBBB", b, 6)
+            off = 13
+            gct = None
+            if packed & 0x80:
+                n = 2 << (packed & 0x07)
+                gct = b[off : off + 3 * n]
+                off += 3 * n
+            while off < len(b):
+                blk = b[off]
+                if blk == 0x3B:  # trailer
+                    return None
+                if blk == 0x21:  # extension: label + sub-blocks
+                    off += 2
+                    while off < len(b) and b[off] != 0:
+                        off += 1 + b[off]
+                    off += 1
+                    continue
+                if blk != 0x2C:
+                    return None
+                _l, _t, iw, ih, ipacked = _struct.unpack_from(
+                    "<HHHHB", b, off + 1
+                )
+                off += 10
+                if ipacked & 0x80:  # local color table
+                    n = 2 << (ipacked & 0x07)
+                    gct = b[off : off + 3 * n]
+                    off += 3 * n
+                if ipacked & 0x40:  # interlaced: out of scope, loud skip
+                    return None
+                mcs = b[off]
+                off += 1
+                comp = bytearray()
+                while off < len(b) and b[off] != 0:
+                    ln = b[off]
+                    comp += b[off + 1 : off + 1 + ln]
+                    off += 1 + ln
+                if gct is None or mcs < 2 or mcs > 11:
+                    return None
+                try:
+                    idx = lzw_dec(
+                        bytes(comp), mcs, max_out=min(iw * ih, 1 << 26)
+                    )
+                except ValueError:
+                    return None
+                if len(idx) < iw * ih:
+                    return None
+                # palette green channel → grayscale
+                gray = bytes(
+                    gct[3 * i + 1] if 3 * i + 2 < len(gct) else 0
+                    for i in idx[: iw * ih]
+                )
+                return iw, ih, len(b), gray
+            return None
+
+        def decode_batch(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            out = {
+                "media_id": pdf["media_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                "width": [], "height": [], "byte_len": [],
+                "n_pixels": [], "gray_hex8": [], "gray": [],
+            }
+            for payload in pdf["payload"]:
+                got = dec(payload)
+                if got is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["byte_len"].append(len(bytes(payload)))
+                    out["n_pixels"].append(None)
+                    out["gray_hex8"].append(None)
+                    out["gray"].append(None)
+                else:
+                    w, h, blen, gray = got
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["byte_len"].append(blen)
+                    out["n_pixels"].append(w * h)
+                    out["gray_hex8"].append(gray[: min(8, w * h)].hex().upper())
+                    out["gray"].append(gray)
+            return _pd.DataFrame(out)
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                yield decode_batch(pdf.iloc[start : start + batch_rows])
+
+    return media.mapInPandas(gen, schema=GIF_DECODED_SCHEMA)

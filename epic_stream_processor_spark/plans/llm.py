@@ -2816,3 +2816,32 @@ SELECT media_id,
     AS peak
 FROM s
 """
+
+
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **LZW**-compressed image decode — the third compression family
+    in the codec suite (deflate/PNG, DCT+Huffman/JPEG, LZW/GIF), no stub
+    and no PIL: each document renders as a genuine GIF87a
+    (``docs_as_gif``: 256-entry grayscale palette, variable-width LZW
+    with canonical widening, ≤255-byte sub-blocks) and ``decode_gif``
+    walks the container, reassembles sub-blocks, LZW-decodes with
+    bounded output, and maps palette indices back to gray bytes.
+
+    The oracle recomputes width, height, pixel count, and the first 64
+    decoded pixels' hex from the layout rules (pixels = zero-padded text
+    bytes, w = id%13+4) — the LZW layer must reproduce them exactly.
+    ``byte_len`` is deliberately NOT projected: the compressed size is
+    not SQL-derivable (the pytest round-trip covers it instead).
+    """
+    from ..operators.multimodal import decode_gif, docs_as_gif
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    dec = decode_gif(docs_as_gif(docs))
+    return dec.select(
+        "media_id", "media_type", "width", "height", "n_pixels",
+        F.upper(F.hex(F.expr("substring(gray, 1, 64)"))).alias("gray_hex64"),
+    )
+
+
+ORACLE_GIF_DECODE = ORACLE_PNG_DECODE

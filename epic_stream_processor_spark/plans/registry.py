@@ -701,6 +701,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "histogram-derived equal-count value cutoffs (no global sort; "
         "bounded 1-row collects only), tie-stable assignment",
     ),
+    "gif_decode": QueryDef(
+        llm.q_gif_decode, llm.ORACLE_GIF_DECODE,
+        "REAL LZW image decode (round 7): GIF87a encode + container walk "
+        "+ variable-width LZW decode with canonical widening, KwKwK, "
+        "mid-stream CLEAR, bounded inflate — the third compression "
+        "family after deflate (PNG) and DCT+Huffman (JPEG)",
+    ),
     "wet_extract": QueryDef(
         corpus.q_wet_extract, corpus.ORACLE_WET_EXTRACT,
         "WET conversion (round 7): HTML pages framed as WARC response "

@@ -2409,3 +2409,62 @@ def test_audio_features_hand_computed(spark):
         "media_id": 1, "n_samples": 0, "energy": 0, "zero_crossings": 0,
         "autocorr_1": 0, "autocorr_2": 0, "autocorr_4": 0, "peak": 0,
     }
+
+
+def test_gif_roundtrip_adversarial_lzw(spark):
+    """The GIF LZW layer must survive the classic desync traps: KwKwK
+    (aaaa... patterns), table-full CLEAR resets (long low-entropy runs),
+    code-width transitions (high-entropy data), and the empty image."""
+    from epic_stream_processor_spark.operators.multimodal import (
+        _lzw_decode_gif, _lzw_encode_gif, encode_gif_gray,
+    )
+    import random
+
+    random.seed(11)
+    cases = [
+        b"", b"a", b"aaaaaaaaaa", b"ab" * 30000,
+        bytes(range(256)) * 20,
+        bytes(random.randrange(256) for _ in range(50000)),
+        bytes(random.randrange(3) for _ in range(80000)),
+    ]
+    for d in cases:
+        assert _lzw_decode_gif(_lzw_encode_gif(d)) == d
+    # container level: a real file decodes back to the padded pixels
+    import struct
+    g = encode_gif_gray(b"hello gif", 4)
+    assert g[:6] == b"GIF87a" and g[-1] == 0x3B
+    w, h = struct.unpack_from("<HH", g, 6)
+    assert (w, h) == (4, 3)
+
+
+def test_gif_decode_skips_extensions_and_bounds_inflate(spark):
+    """decode_gif must skip GIF89a extension blocks by sub-block framing
+    and refuse LZW output past the pixel count (decompression-bomb
+    bound) instead of inflating unboundedly."""
+    from epic_stream_processor_spark.operators.multimodal import (
+        decode_gif, docs_as_gif, encode_gif_gray,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "some pixel payload text"), (1, "x")],
+        "doc_id long, text string",
+    )
+    media = docs_as_gif(docs)
+    rows = {r["media_id"]: r.asDict() for r in decode_gif(media).collect()}
+    assert rows[0]["gray"] is not None
+    txt = "some pixel payload text".encode()
+    w = 0 % 13 + 4
+    h = (len(txt) + w - 1) // w
+    assert bytes(rows[0]["gray"]) == txt + b"\x00" * (w * h - len(txt))
+
+    # inject a GIF89a extension block after the GCT: still decodes
+    base = bytearray(encode_gif_gray(b"abc", 4))
+    ext = bytes([0x21, 0xFE, 3, 65, 66, 67, 0])  # comment extension
+    patched = bytes(base[: 13 + 768]) + ext + bytes(base[13 + 768:])
+    from pyspark.sql import Row
+    m2 = spark.createDataFrame(
+        [Row(media_id=5, media_type="image", payload=bytearray(patched),
+             byte_len=len(patched))]
+    )
+    got = decode_gif(m2).collect()[0]
+    assert bytes(got["gray"])[:3] == b"abc"
