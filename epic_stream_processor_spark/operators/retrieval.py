@@ -177,3 +177,105 @@ SELECT doc_id, dl, score_micro,
        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk
 FROM top
 """
+
+
+def hashed_query_vector(terms: list[str], dims: int = 16) -> list[int]:
+    """The feature-hash embedding of a QUERY, computed driver-side with
+    the same md5 contract as ``functions/text.token_hashes`` +
+    ``feature_hash_embedding`` (signed counts: bucket = h % dims, sign =
+    +1 iff h % (2·dims) < dims). Terms are constants, so the vector is a
+    plan literal — no corpus pass, broadcast-free."""
+    import hashlib
+
+    v = [0] * dims
+    for t in terms:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        v[h % dims] += 1 if h % (2 * dims) < dims else -1
+    return v
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    terms: list[str],
+    k_leg: int = 50,
+    k: int = 20,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): a LEXICAL leg (BM25 top-``k_leg``) and a SEMANTIC leg
+    (hashed-feature dot product top-``k_leg``) fused as
+
+        rrf_micro = Σ_legs  1_000_000 div (rrf_k + rank_leg)
+
+    — integer division on both engines, so scores are exact BIGINTs.
+    Docs missing from a leg contribute 0 for it (the standard RRF
+    treatment). Output: (id, lex_rnk, sem_rnk, rrf_micro, rnk), top-``k``
+    by (rrf desc, id asc).
+
+    Scale shape: each leg is the already-proven operator (row-local
+    scoring, orderBy+limit top-k — Spark plans TakeOrderedAndProject, no
+    global sort materialization); fusion joins two ≤k_leg-row frames —
+    broadcast-sized by construction at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import feature_hash_embedding, token_hashes, tokens
+
+    lex = bm25_scores(
+        docs, terms, k=k_leg, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), F.col("rnk").alias("lex_rnk"))
+
+    qv = hashed_query_vector(terms)
+    staged = (
+        docs.withColumn("_h_toks", tokens(F.col(text_col)))
+        .withColumn("_h_th", token_hashes(F.col("_h_toks")))
+        .withColumn("_h_emb", feature_hash_embedding(F.col("_h_th"), len(qv)))
+    )
+    dot = None
+    for d, q in enumerate(qv):
+        if q == 0:
+            continue
+        part = F.element_at(F.col("_h_emb"), d + 1).cast("long") * F.lit(q)
+        dot = part if dot is None else dot + part
+    if dot is None:
+        dot = F.lit(0)
+    sem = (
+        staged.select(F.col(id_col), dot.cast("long").alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col(id_col).asc())
+        .limit(k_leg)
+        .withColumn(
+            "sem_rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("dot").desc(), F.col(id_col).asc()))
+            .cast("long"),
+        )
+        .select(id_col, "sem_rnk")
+    )
+
+    fused = lex.join(sem, id_col, "full_outer").select(
+        F.col(id_col),
+        "lex_rnk",
+        "sem_rnk",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({rrf_k} + lex_rnk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({rrf_k} + sem_rnk)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_micro"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+            )
+            .cast("long"),
+        )
+    )

@@ -2845,3 +2845,74 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GIF_DECODE = ORACLE_PNG_DECODE
+
+
+# --- Hybrid retrieval: BM25 ⊕ hashed-embedding dot, RRF fusion ----------------
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (Cormack et al. SIGIR 2009 reciprocal-rank
+    fusion): the BM25 lexical leg and a hashed-feature-embedding dot-
+    product semantic leg, each top-50, fused as
+    ``Σ 1000000 div (60 + rank)`` — integer division, exact BIGINT
+    scores on both engines; missing legs contribute 0. The query vector
+    is a plan literal (driver-side md5 of the constant terms)."""
+    from ..operators.retrieval import hybrid_rrf
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return hybrid_rrf(docs, BM25_TERMS)
+
+
+def _hybrid_oracle() -> str:
+    from ..operators.retrieval import bm25_oracle_sql, hashed_query_vector
+
+    qv = hashed_query_vector(BM25_TERMS)
+    qv_case = "CASE h % 16 " + " ".join(
+        f"WHEN {d} THEN {q}" for d, q in enumerate(qv) if q
+    ) + " ELSE 0 END"
+    dot = (
+        "CASE WHEN len(th) = 0 THEN 0 ELSE list_reduce(list_transform(th, "
+        f"h -> (CASE WHEN h % 32 < 16 THEN 1 ELSE -1 END) * ({qv_case})), "
+        "(x, y) -> x + y) END"
+    )
+    lex_sql = bm25_oracle_sql(BM25_TERMS).strip()
+    return f"""WITH lex AS (
+  SELECT doc_id, rnk AS lex_rnk FROM ({lex_sql}) bm
+),
+words AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN []
+              ELSE str_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+),
+thc AS (
+  SELECT doc_id, list_transform(w, t -> {stable_hash64_sql('t')}) AS th
+  FROM words
+),
+sem_scored AS (
+  SELECT doc_id, CAST({dot} AS BIGINT) AS dot FROM thc
+),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY dot DESC, doc_id ASC) AS sem_rnk
+  FROM sem_scored
+  QUALIFY sem_rnk <= 50
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         CAST(l.lex_rnk AS BIGINT) AS lex_rnk,
+         CAST(s.sem_rnk AS BIGINT) AS sem_rnk,
+         CAST(coalesce(1000000 // (60 + l.lex_rnk), 0)
+            + coalesce(1000000 // (60 + s.sem_rnk), 0) AS BIGINT)
+           AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rnk, sem_rnk, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM fused
+QUALIFY rnk <= 20
+"""
+
+
+ORACLE_HYBRID_RRF = _hybrid_oracle()

@@ -701,6 +701,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "histogram-derived equal-count value cutoffs (no global sort; "
         "bounded 1-row collects only), tie-stable assignment",
     ),
+    "hybrid_rrf": QueryDef(
+        llm.q_hybrid_rrf, llm.ORACLE_HYBRID_RRF,
+        "hybrid retrieval via reciprocal-rank fusion (round 7, Cormack "
+        "SIGIR'09): BM25 lexical leg + hashed-embedding dot semantic "
+        "leg, integer-division RRF scores, exact BIGINTs; the fusion "
+        "joins two <=50-row frames — broadcast-sized at any corpus size",
+    ),
     "gif_decode": QueryDef(
         llm.q_gif_decode, llm.ORACLE_GIF_DECODE,
         "REAL LZW image decode (round 7): GIF87a encode + container walk "

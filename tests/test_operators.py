@@ -2468,3 +2468,33 @@ def test_gif_decode_skips_extensions_and_bounds_inflate(spark):
     )
     got = decode_gif(m2).collect()[0]
     assert bytes(got["gray"])[:3] == b"abc"
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark):
+    """RRF on a tiny corpus: a doc ranked #1 lexically and #2
+    semantically must score 1000000 div 61 + 1000000 div 62, and a doc
+    present in only one leg gets exactly that leg's contribution."""
+    from epic_stream_processor_spark.operators.retrieval import hybrid_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle window spark spark"),   # strong lexical
+            (2, "spark shuffle"),                      # some lexical
+            (3, "completely unrelated text here"),     # semantic-only-ish
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in hybrid_rrf(docs, ["spark", "shuffle", "window"], k=3).collect()
+    }
+    for r in got.values():
+        expect = 0
+        if r["lex_rnk"] is not None:
+            expect += 1000000 // (60 + r["lex_rnk"])
+        if r["sem_rnk"] is not None:
+            expect += 1000000 // (60 + r["sem_rnk"])
+        assert r["rrf_micro"] == expect, r
+    ranks = sorted(got.values(), key=lambda r: r["rnk"])
+    scores = [r["rrf_micro"] for r in ranks]
+    assert scores == sorted(scores, reverse=True)
