@@ -128,21 +128,43 @@ def ahash_near_dup_pairs(
     n_bands: int = 4,
     id_col: str = "media_id",
     hash_col: str = "ahash_hex",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Hamming-banded near-duplicate image pairs.
 
     Band ``b`` is hex chars ``4b+1..4b+4`` (16 bits); candidates share at
     least one exact band (guaranteed complete for ``hamming < n_bands``
-    by pigeonhole; a heuristic recall/cost dial beyond that, exactly like
-    MinHash banding). Exact Hamming distance verifies candidates only:
-    the 64-bit hash splits into two 32-bit halves so ``conv(hex,16,10)``
-    stays inside BIGINT, then ``bit_count(hi⊕hi) + bit_count(lo⊕lo)`` —
-    all JVM expressions, no Python in the join path.
+    by pigeonhole over the populated bands; a heuristic recall/cost dial
+    beyond that, exactly like MinHash banding). Exact Hamming distance
+    verifies candidates only: the 64-bit hash splits into two 32-bit
+    halves so ``conv(hex,16,10)`` stays inside BIGINT, then
+    ``bit_count(hi⊕hi) + bit_count(lo⊕lo)`` — all JVM expressions, no
+    Python in the join path.
+
+    Two structural guards make the banding join scale (both diagnosed
+    from a measured 10×-tier blowup, SCALING.md §2h — band 0 of every
+    image with under 49 grid bits is the constant '0000', and one such
+    bucket held 12k distinct hashes = ~75M candidate pairs):
+
+    - **geometry keying**: pairs only form within the same (grid_h,
+      grid_w) class — aHash bits aren't comparable across grids anyway;
+    - **populated-band filter**: band ``b`` covers hash bits
+      ``[48−16b, 64−16b)``; bands entirely above ``grid_h·grid_w`` bits
+      are structurally zero for the whole geometry class and are skipped
+      (they pair everything with everything while certifying nothing).
+
+    ``bucket_cap`` is the standard LSH safety valve on top: drop
+    (geometry, band, value) buckets holding more than ``cap`` hashes —
+    a recall/cost dial for adversarial corpora (flat images all share
+    legitimate bands); None (default) keeps exact completeness for
+    ``hamming < populated bands``.
     """
     width = 16 // n_bands
     bands = hashes.select(
         F.col(id_col),
         F.col(hash_col),
+        F.col("grid_h"),
+        F.col("grid_w"),
         F.posexplode(
             F.array(
                 *[
@@ -151,16 +173,28 @@ def ahash_near_dup_pairs(
                 ]
             )
         ).alias("band", "band_val"),
+    ).where(
+        F.lit(48) - F.lit(16) * F.col("band")
+        < F.col("grid_h") * F.col("grid_w")
     )
+    if bucket_cap is not None:
+        ok = (
+            bands.groupBy("grid_h", "grid_w", "band", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= bucket_cap)
+            .select("grid_h", "grid_w", "band", "band_val")
+        )
+        bands = bands.join(
+            ok, ["grid_h", "grid_w", "band", "band_val"], "left_semi"
+        )
+    keys = ["grid_h", "grid_w", "band", "band_val"]
     a = bands.select(
-        F.col("band"),
-        F.col("band_val"),
+        *keys,
         F.col(id_col).alias("id_a"),
         F.col(hash_col).alias("hash_a"),
     )
     b_ = bands.select(
-        F.col("band"),
-        F.col("band_val"),
+        *keys,
         F.col(id_col).alias("id_b"),
         F.col(hash_col).alias("hash_b"),
     )
@@ -170,7 +204,7 @@ def ahash_near_dup_pairs(
         return F.conv(part, 16, 10).cast("long")
 
     cand = (
-        a.join(b_, ["band", "band_val"])
+        a.join(b_, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "hash_a", "hash_b")
         .distinct()

@@ -2743,20 +2743,26 @@ _HAM_HALF = (
 )
 
 ORACLE_IMAGE_NEAR_DUP = f"""WITH {_ahash_cte()},
+ahg AS (
+  SELECT ah.media_id, ah.ahash_hex,
+         least(8, g.h) AS gh, least(8, g.w) AS gw
+  FROM ah JOIN g USING (media_id)
+),
 bands AS (
-  SELECT media_id, ahash_hex,
+  SELECT media_id, ahash_hex, gh, gw,
          unnest(range(0, 4)) AS band
-  FROM ah
+  FROM ahg
 ),
 kb AS (
-  SELECT media_id, ahash_hex, band,
+  SELECT media_id, ahash_hex, gh, gw, band,
          substr(ahash_hex, CAST(band * 4 + 1 AS INT), 4) AS band_val
   FROM bands
+  WHERE 48 - 16 * band < gh * gw
 ),
 cand AS (
   SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
          a.ahash_hex AS hash_a, b.ahash_hex AS hash_b
-  FROM kb a JOIN kb b USING (band, band_val)
+  FROM kb a JOIN kb b USING (gh, gw, band, band_val)
   WHERE a.media_id < b.media_id
 )
 SELECT id_a, id_b,

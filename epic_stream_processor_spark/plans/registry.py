@@ -286,6 +286,7 @@ QUERIES: dict[str, QueryDef] = {
         "global first occurrence survives, docs reassembled in order; "
         "min-agg formulation (map-side partials, no hot-sentence window "
         "partitions) — one sentence-keyed + one doc-keyed shuffle",
+        bench=True,
     ),
     "dedup_incremental": QueryDef(
         llm.q_dedup_incremental, llm.ORACLE_DEDUP_INCREMENTAL,
@@ -303,9 +304,11 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "image_near_dup": QueryDef(
         llm.q_image_near_dup, llm.ORACLE_IMAGE_NEAR_DUP,
-        "near-duplicate image pairs (round 7): 16-bit aHash bands feed an "
-        "equi-join (never all-pairs), exact Hamming verify via "
-        "bit_count over 32-bit halves — the visual analog of MinHash LSH",
+        "near-duplicate image pairs (round 7): geometry-keyed 16-bit "
+        "aHash bands feed an equi-join (never all-pairs; structurally-"
+        "zero bands filtered — the measured 10x blowup, SCALING 2h), "
+        "exact Hamming verify via bit_count over 32-bit halves",
+        bench=True,
     ),
     "audio_features": QueryDef(
         llm.q_audio_features, llm.ORACLE_AUDIO_FEATURES,

@@ -2366,17 +2366,52 @@ def test_ahash_near_dup_banding_and_hamming(spark):
     )
 
     rows = [
-        (1, "00ff00ff00ff00ff"),
-        (2, "00ff00ff00ff00ff"),   # identical → hamming 0
-        (3, "00ff00ff00ff00f0"),   # last nibble 0xf→0x0 → hamming 4
-        (4, "123456789abcdef0"),   # shares no band with 1/2/3
+        (1, 8, 8, "00ff00ff00ff00ff"),
+        (2, 8, 8, "00ff00ff00ff00ff"),   # identical → hamming 0
+        (3, 8, 8, "00ff00ff00ff00f0"),   # last nibble flip → hamming 4
+        (4, 8, 8, "123456789abcdef0"),   # shares no band with 1/2/3
+        (5, 4, 4, "00ff00ff00ff00ff"),   # same bits, DIFFERENT geometry
     ]
-    hashes = spark.createDataFrame(rows, "media_id long, ahash_hex string")
+    hashes = spark.createDataFrame(
+        rows, "media_id long, grid_h long, grid_w long, ahash_hex string"
+    )
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in ahash_near_dup_pairs(hashes, max_hamming=8).collect()
     }
+    # 5 never pairs with 1/2 despite the identical hex: geometry keying
     assert got == {(1, 2): 0, (1, 3): 4, (2, 3): 4}
+
+
+def test_ahash_near_dup_structural_band_filter_and_cap(spark):
+    """A 1x4-grid geometry populates only 4 hash bits: bands 0-2 are
+    structurally '0000' for the WHOLE class and must not generate
+    candidates (the measured 10x-tier blowup); band 3 still pairs true
+    near-dups. bucket_cap drops over-full legitimate buckets."""
+    from epic_stream_processor_spark.operators.imagehash import (
+        ahash_near_dup_pairs,
+    )
+
+    rows = [(i, 1, 4, "000000000000000f") for i in range(1, 4)] + [
+        (9, 1, 4, "0000000000000001"),
+    ]
+    hashes = spark.createDataFrame(
+        rows, "media_id long, grid_h long, grid_w long, ahash_hex string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    # identical hashes pair via band 3 (populated); the all-zero bands
+    # 0-2 are filtered, so 9 (hamming 3 from the others, differing ONLY
+    # inside band 3) still pairs via... nothing — band 3 differs and no
+    # other populated band exists: banding recall below n_bands applies
+    # per POPULATED bands (1 here), so only exact band-3 matches pair.
+    assert got == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
+    capped = ahash_near_dup_pairs(
+        hashes, max_hamming=3, bucket_cap=2
+    ).collect()
+    assert capped == []  # the 3-hash band-3 bucket exceeds the cap
 
 
 def test_audio_features_hand_computed(spark):
