@@ -248,3 +248,87 @@ def compact_parquet_zorder(
     )
     out.write.mode("overwrite").parquet(out_path)
     return int(n_files)
+
+
+def snapshot_manifest(
+    docs: DataFrame, n_shards: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """One manifest row per shard of a corpus SNAPSHOT: doc count, token
+    count, and an order-independent content fingerprint — ``bit_xor``
+    over per-doc content hashes (md5 of id + text), so any added,
+    removed, or edited document flips the shard's fingerprint while the
+    aggregation stays map-side combinable and overflow-free at any
+    shard size (xor, unlike sum, needs no modulus discipline).
+
+    This is the table-format idea (Iceberg/Delta manifests) reduced to
+    its queryable core: a snapshot IS its per-shard stats table.
+    """
+    from ..functions.hashing import stable_hash64
+    from ..functions.text import token_count
+    from .sampling import shard_assignments
+
+    asg = shard_assignments(docs, n_shards=n_shards)
+    content_h = stable_hash64(
+        F.concat(
+            F.lit("content:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))),
+        )
+    )
+    return (
+        asg.withColumn("_ch", content_h)
+        .withColumn("_nt", token_count(F.col(text_col)))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.expr("bit_xor(_ch)").alias("fingerprint"),
+        )
+    )
+
+
+def manifest_diff(old_manifest: DataFrame, new_manifest: DataFrame) -> DataFrame:
+    """Snapshot-to-snapshot incremental plan — the 100 TB pattern where
+    reprocessing everything is a non-starter: full-outer-join the two
+    manifests on shard_id and classify every shard ``added`` /
+    ``removed`` / ``changed`` (fingerprints differ) / ``unchanged``;
+    ``rescan_docs`` is the new snapshot's doc count for exactly the
+    shards a downstream job must touch (added + changed), 0 otherwise —
+    so ``sum(rescan_docs)`` is the incremental job's true input size.
+
+    Cost: manifests are ≤ n_shards rows each — the join is broadcast-
+    trivial regardless of corpus size; the expensive part (building each
+    manifest) is one shard-keyed aggregation per snapshot, and in a real
+    deployment the OLD manifest is read back, not recomputed.
+    """
+    o = old_manifest.select(
+        F.col("shard_id"),
+        F.col("n_docs").alias("n_docs_old"),
+        F.col("n_tokens").alias("n_tokens_old"),
+        F.col("fingerprint").alias("_fp_old"),
+    )
+    n = new_manifest.select(
+        F.col("shard_id"),
+        F.col("n_docs").alias("n_docs_new"),
+        F.col("n_tokens").alias("n_tokens_new"),
+        F.col("fingerprint").alias("_fp_new"),
+    )
+    j = o.join(n, "shard_id", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "shard_id",
+        status.alias("status"),
+        "n_docs_old",
+        "n_docs_new",
+        "n_tokens_old",
+        "n_tokens_new",
+        F.when(
+            status.isin("added", "changed"), F.col("n_docs_new")
+        ).otherwise(F.lit(0)).cast("long").alias("rescan_docs"),
+    )

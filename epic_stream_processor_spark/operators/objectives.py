@@ -182,3 +182,76 @@ def span_corrupt(
             " ", F.flatten(F.transform(masked_blocks, target_pieces))
         ).alias("corrupt_target"),
     )
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    n_buckets: int = 16,
+    min_tokens: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contrastive training-pair construction — the inverse-cloze-task
+    shape (Lee et al. 2019, ORQA; the dual-encoder recipe CLIP-style
+    retrieval training uses on text): each document with ≥ ``min_tokens``
+    tokens splits into an ``anchor`` (first ⌈n/2⌉ tokens) and its
+    ``positive`` (the rest); the ``negative`` is another document's
+    positive — the NEXT doc in md5 order within the anchor's hash bucket,
+    wrapping circularly, so every anchor gets exactly one in-batch-style
+    negative, deterministically (no RNG, engine-portable).
+
+    Plan: the split is a row-local projection; negative pairing is ONE
+    window pass over (bucket, md5-order) — lead(1) with a first_value
+    wrap — i.e. one shuffle on the bucket key. At 100 TB the buckets are
+    the "batch" boundary: negatives never leave their bucket, so the
+    pairing shuffle is the only data movement and re-running a partition
+    reproduces identical pairs (the determinism contract all the
+    objective rewrites share).
+    """
+    from pyspark.sql import Window
+
+    staged = (
+        docs.withColumn("_ct", tokens(F.col(text_col)))
+        .withColumn("_n", F.size("_ct"))
+        .where(F.col("_n") >= min_tokens)
+    )
+    half = F.ceil(F.col("_n") / 2).cast("int")
+    split = staged.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice(F.col("_ct"), 1, half)).alias("anchor"),
+        F.concat_ws(
+            " ", F.slice(F.col("_ct"), half + 1, F.col("_n") - half)
+        ).alias("positive"),
+        (stable_hash64(F.col(id_col).cast("string")) % n_buckets).alias(
+            "bucket"
+        ),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
+    )
+    w = Window.partitionBy("bucket").orderBy("_ord")
+    nxt_id = F.lead(id_col, 1).over(w)
+    nxt_pos = F.lead("positive", 1).over(w)
+    wrap = Window.partitionBy("bucket").orderBy("_ord").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first_id = F.first(id_col).over(wrap)
+    first_pos = F.first("positive").over(wrap)
+    out = split.select(
+        id_col,
+        "bucket",
+        "anchor",
+        "positive",
+        F.coalesce(nxt_id, first_id).alias("negative_id"),
+        F.coalesce(nxt_pos, first_pos).alias("negative"),
+    )
+    # a 1-doc bucket would pair with itself; emit NULL negative instead
+    # (a self-negative is a training bug, not a datum)
+    return out.select(
+        id_col,
+        "bucket",
+        "anchor",
+        "positive",
+        F.when(F.col("negative_id") != F.col(id_col), F.col("negative_id"))
+        .alias("negative_id"),
+        F.when(F.col("negative_id") != F.col(id_col), F.col("negative"))
+        .alias("negative"),
+    )

@@ -1441,3 +1441,206 @@ def kmeans_quantized(
     return spark.createDataFrame(
         rows, "centroid_id long, n_members long, scale double, qcentroid array<bigint>"
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    topk: int = 5,
+    probe_mod: int = 200,
+    kc: int = 8,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search — the full Jégou et al. TPAMI 2011 design, marrying
+    the repo's two proven ANN halves: an IVF coarse quantizer restricts
+    the scan to the probe's list, and PQ codes over the RESIDUAL
+    (vector − its coarse centroid) score candidates with asymmetric
+    distance — residual PQ is what makes the marriage worth it: after
+    subtracting the coarse centroid the remaining variance is small, so
+    the same m×k codebook budget quantizes far more precisely than PQ on
+    raw vectors.
+
+    Everything stays in the integer domain (one global int8 scale), so
+    coarse assignment, residuals, codebooks, and ADC sums are all exact
+    BIGINTs — the whole pipeline is oracle-checkable. The coarse
+    centroids are the first ``kc`` quantized vectors as-is (no coarse
+    Lloyd pass: coarse training is already driver-proven via
+    kmeans_quantized / knn_cosine_ivf; what is NEW here — and what the
+    oracle pins — is residual encoding and list-restricted ADC).
+
+    Returns ``(probe_id, list_id, rank, vec_id, adc_dist)`` for the
+    ``id % probe_mod == 0`` probes, rank 1..topk by (adc asc, vec_id
+    asc) within the probe's single list (nprobe=1; the multi-probe
+    recall knob is the same union shown in knn_cosine_ivf_nprobe2).
+
+    Scale (100 TB): the corpus is touched ONLY as (list_id, m codes) —
+    4 longs per vector; candidate pairing is an equi-join on list_id
+    (broadcast probes), never a full scan, so per-probe cost is
+    |list| ≈ n/kc code lookups instead of n — the two multipliers
+    (kc× fewer candidates, 16× less I/O per candidate) compound.
+    Training collects are driver-bounded (kc + k rows, k·dim ints per
+    Lloyd sweep).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    empty_schema = (
+        "probe_id long, list_id long, rank long, vec_id long, adc_dist long"
+    )
+    probe = vectors.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not probe:
+        return vectors.sparkSession.createDataFrame([], empty_schema)
+    dim = int(probe[0]["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+
+    gmax_row = vectors.select(
+        F.max(
+            F.array_max(F.transform(F.col(vec_col).cast("array<double>"), F.abs))
+        ).alias("gmax")
+    ).collect()[0]
+    gmax = gmax_row["gmax"]
+    scale = 1.0 if (gmax is None or gmax == 0.0) else gmax / 127.0
+
+    def quantized() -> DataFrame:
+        return _pq_quantized(vectors, scale, vec_col, id_col)
+
+    q = quantized().persist()
+    cseed = q.orderBy(F.col(id_col).asc()).limit(kc).collect()
+    if not cseed:
+        q.unpersist()
+        return vectors.sparkSession.createDataFrame([], empty_schema)
+    cents = {i + 1: [int(x) for x in r["qv"]] for i, r in enumerate(cseed)}
+    cent_arr = F.array(
+        *[F.array(*[F.lit(c) for c in cents[cid]]) for cid in sorted(cents)]
+    )
+
+    def with_residual(frame: DataFrame) -> DataFrame:
+        best = _pq_argmin_struct(F.col("qv"), cents)
+        return (
+            frame.withColumn("list_id", best.getField("cid"))
+            .withColumn(
+                "rv",
+                F.zip_with(
+                    F.col("qv"),
+                    F.element_at(cent_arr, F.col("list_id").cast("int")),
+                    lambda a, b: a - b,
+                ),
+            )
+            .select(id_col, "list_id", "rv")
+        )
+
+    res = with_residual(q).persist()
+    seed = res.orderBy(F.col(id_col).asc()).limit(k).collect()
+    books: dict[int, dict[int, list[int]]] = {
+        s: {
+            i + 1: list(r["rv"])[s * dsub : (s + 1) * dsub]
+            for i, r in enumerate(seed)
+        }
+        for s in range(m)
+    }
+    for _ in range(n_iter):
+        for s in range(m):
+            sub = F.slice(F.col("rv"), s * dsub + 1, dsub)
+            best = _pq_argmin_struct(sub, books[s])
+            sums = (
+                res.withColumn("cluster_id", best.getField("cid"))
+                .select("cluster_id", F.posexplode(sub).alias("d", "v"))
+                .groupBy("cluster_id", "d")
+                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            ns = {r["cluster_id"]: r["n"] for r in sums if r["d"] == 0}
+            per: dict[int, dict[int, int]] = {}
+            for r in sums:
+                per.setdefault(r["cluster_id"], {})[r["d"]] = r["sv"]
+            for cid, dims_map in per.items():
+                n = ns[cid]
+                books[s][cid] = [
+                    int(math.floor(dims_map[d] / n + 0.5)) for d in range(dsub)
+                ]
+    # collects done; the returned plan reads an UN-cached re-derivation
+    # (row-local quantize + residual) so unpersisting here can't force a
+    # dead-cache recompute (the r6 cache-lifecycle advice)
+    res.unpersist()
+    q.unpersist()
+    fresh = with_residual(quantized())
+
+    codes = fresh.withColumn(
+        "_codes",
+        F.array(
+            *[
+                _pq_argmin_struct(
+                    F.slice(F.col("rv"), s * dsub + 1, dsub), books[s]
+                ).getField("cid")
+                for s in range(m)
+            ]
+        ),
+    ).select(id_col, "list_id", "_codes")
+
+    def sub_dist(sub: Column, cv: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(int(c)) for c in cv]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    sub_dist(
+                        F.slice(F.col("rv"), s * dsub + 1, dsub), books[s][cid]
+                    )
+                    for cid in sorted(books[s])
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    probes = (
+        fresh.where(F.col(id_col) % probe_mod == 0)
+        .withColumn("_lut", lut)
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col("list_id").alias("_plid"),
+            "_lut",
+        )
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_lut"), s + 1),
+            F.element_at(F.col("_codes"), s + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    # the IVF restriction IS this equi-join: a candidate scores only
+    # against probes assigned to its list
+    scored = codes.join(
+        F.broadcast(probes), codes["list_id"] == probes["_plid"], "inner"
+    ).select(
+        "probe_id",
+        "list_id",
+        F.col(id_col).alias("_vid"),
+        adc.alias("adc_dist"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("_vid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
+        .select(
+            "probe_id", "list_id", "rank",
+            F.col("_vid").alias("vec_id"), "adc_dist",
+        )
+    )

@@ -1,0 +1,180 @@
+"""Sitemap protocol (sitemaps.org) parse — the crawl-discovery stage.
+
+A polite crawler's URL frontier starts from robots.txt (``robots.py``) and
+the hosts' sitemaps: ``<urlset>`` files listing page URLs with optional
+``<lastmod>``/``<priority>`` hints, and ``<sitemapindex>`` files listing
+child sitemaps (the two-level layout large hosts ship). This module
+implements both levels as **pure JVM regexp chains** — like the HTML
+extractor (``operators/html_extract.py``), zero Python, zero shuffles on
+the parse side, whole-stage-codegen'd — which is the right 100 TB plan:
+sitemap XML is machine-generated and flat, so a full XML parser buys
+nothing over anchored non-greedy block extraction.
+
+- :func:`parse_sitemap` explodes ``<url>`` blocks into one row per page:
+  ``loc`` (XML-entity-decoded — ``&amp;`` LAST, the html_extract lesson),
+  ``lastmod``, ``priority`` (absent optional fields → NULL).
+- :func:`parse_sitemap_index` explodes ``<sitemap>`` blocks into child
+  sitemap URLs.
+- :func:`docs_as_sitemaps` / :func:`sitemap_index` render deterministic
+  per-host fixtures from the documents table (group-concat of sorted
+  entries — one shuffle on the host key, the budget any per-host
+  assembly pays), so the round trip is closed-form oracle-checkable.
+
+Scale: parsing is row-local over (host, xml) rows — a million sitemaps
+parse as one embarrassing-parallel pass; the index→children hop is a
+broadcast join (an index lists at most 50k children by spec, KBs of
+URLs).
+
+Reference note: the reference service has no crawl surface; sitemaps are
+part of this repo's LLM-data-pipeline extension (the discovery stage
+feeding ``urlnorm.py`` canonicalization and ``robots.py`` permissions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+XML_HEADER = '<?xml version="1.0" encoding="UTF-8"?>'
+URLSET_OPEN = '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+INDEX_OPEN = (
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+)
+
+
+def _decode_entities(col: Column) -> Column:
+    """The five XML predefined entities; ``&amp;`` decoded LAST so
+    ``&amp;lt;`` yields the literal ``&lt;`` (not ``<``)."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def _block_field(block: Column, tag: str) -> Column:
+    """Non-greedy single-tag extract within one block; missing → NULL."""
+    return F.nullif(
+        F.regexp_extract(block, f"<{tag}>(.*?)</{tag}>", 1), F.lit("")
+    )
+
+
+def parse_sitemap(
+    sitemaps: DataFrame, xml_col: str = "xml", passthrough: tuple = ("host",)
+) -> DataFrame:
+    """One row per ``<url>`` entry: entity-decoded ``loc``, optional
+    ``lastmod``/``priority`` (NULL when absent). Entries with no ``<loc>``
+    are dropped (the spec makes loc mandatory; a block without one is
+    malformed data, not a bug)."""
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit("<url>(.*?)</url>"), 1)
+    u = (
+        sitemaps.select(*passthrough, F.explode_outer(blocks).alias("u"))
+        .where(F.col("u").isNotNull())
+    )
+    return u.select(
+        *passthrough,
+        _decode_entities(_block_field(F.col("u"), "loc")).alias("loc"),
+        _block_field(F.col("u"), "lastmod").alias("lastmod"),
+        _block_field(F.col("u"), "priority").alias("priority"),
+    ).where(F.col("loc").isNotNull())
+
+
+def parse_sitemap_index(
+    index: DataFrame, xml_col: str = "xml"
+) -> DataFrame:
+    """One row per ``<sitemap>`` entry in a ``<sitemapindex>``: the
+    entity-decoded child sitemap URL."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit("<sitemap>(.*?)</sitemap>"), 1
+    )
+    return (
+        index.select(F.explode_outer(blocks).alias("s"))
+        .where(F.col("s").isNotNull())
+        .select(
+            _decode_entities(_block_field(F.col("s"), "loc")).alias(
+                "sitemap_url"
+            )
+        )
+        .where(F.col("sitemap_url").isNotNull())
+    )
+
+
+def _url_entry() -> Column:
+    """One fixture ``<url>`` block per document row: loc carries an XML
+    entity (pins decode), lastmod is a doc_id-derived date, priority is
+    present only for doc_id % 3 != 0 (pins NULL-on-absent)."""
+    loc = F.format_string(
+        "<loc>https://%s.example/page/%d?a=1&amp;b=2</loc>",
+        F.col("source"), F.col("doc_id"),
+    )
+    lastmod = F.format_string(
+        "<lastmod>2026-%02d-15</lastmod>", (F.col("doc_id") % 12 + 1).cast("int")
+    )
+    priority = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.format_string(
+            "<priority>0.%d</priority>", (F.col("doc_id") % 10).cast("int")
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<url>"), loc, lastmod, priority, F.lit("</url>")
+    )
+
+
+def docs_as_sitemaps(docs: DataFrame) -> DataFrame:
+    """Render one deterministic ``<urlset>`` sitemap per host (source):
+    entries in doc_id order via sort-before-concat (``array_sort`` over
+    collected (doc_id, entry) structs — collect_list order alone is not
+    deterministic under parallel merge)."""
+    entries = docs.select(
+        F.col("source").alias("host"),
+        F.col("doc_id"),
+        _url_entry().alias("entry"),
+    )
+    assembled = entries.groupBy("host").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                lambda s: s.entry,
+            ),
+        ).alias("body")
+    )
+    return assembled.select(
+        "host",
+        F.format_string(
+            "https://%s.example/sitemap.xml", F.col("host")
+        ).alias("sitemap_url"),
+        F.concat(
+            F.lit(XML_HEADER + "\n" + URLSET_OPEN + "\n"),
+            F.col("body"),
+            F.lit("\n</urlset>"),
+        ).alias("xml"),
+    )
+
+
+def sitemap_index(sitemaps: DataFrame) -> DataFrame:
+    """Render the single ``<sitemapindex>`` that lists every host's
+    sitemap URL (sorted — same determinism rule)."""
+    return sitemaps.agg(
+        F.concat(
+            F.lit(XML_HEADER + "\n" + INDEX_OPEN + "\n"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.format_string(
+                                "<sitemap><loc>%s</loc></sitemap>",
+                                F.col("sitemap_url"),
+                            )
+                        )
+                    ),
+                    lambda s: s,
+                ),
+            ),
+            F.lit("\n</sitemapindex>"),
+        ).alias("xml")
+    )

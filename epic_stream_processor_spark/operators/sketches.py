@@ -185,3 +185,89 @@ def bloom_probe(
     return j.groupBy(*key_cols, item_col).agg(
         (F.min("_hit") == 1).alias("bloom_hit")
     )
+
+
+# --- Deterministic count-min sketch (oracle-EXACT, like the Bloom) ----------
+
+#: Seed base for the depth count-min hash rows (seeded_hash64 family).
+CMS_SEED_BASE = 7200
+
+
+def _cms_cells(item: Column, width: int, depth: int) -> Column:
+    """Array of the item's ``depth`` (row, slot) cells — one independent
+    md5 family member per row, portable across engines."""
+    from ..functions.hashing import seeded_hash64
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    seeded_hash64(item.cast("string"), CMS_SEED_BASE + d)
+                    % width
+                ).alias("slot"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    items: DataFrame, item_col: str, width: int, depth: int
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) over
+    ``items[item_col]`` occurrences (NOT distinct): returns the sketch as
+    sparse ``(d, slot, cnt)`` rows — only populated cells materialize, at
+    most ``depth × width`` rows regardless of corpus size.
+
+    Why this exists next to the HLL/GK sketches: those answer "how many
+    distinct / which quantile"; the CMS answers **per-item frequency** —
+    the heavy-hitters primitive (hot tokens, hot URLs, hot hosts) — in
+    constant space with a one-sided error: estimates never undercount,
+    and overcount by ≤ εN with probability 1-δ (ε = e/width, δ = e^-depth).
+    And like the Bloom (above), THIS sketch is deterministic md5
+    arithmetic, so two engines build cell-identical tables and the whole
+    structure stays oracle-checkable — Spark's own sketches are
+    engine-specific.
+
+    Plan: one explode (depth rows per occurrence) + one (d, slot) count
+    with map-side partials — the same budget as a word count.
+    """
+    cells = items.select(
+        F.explode_outer(_cms_cells(F.col(item_col), width, depth)).alias("c")
+    ).where(F.col("c").isNotNull())
+    return cells.groupBy(
+        F.col("c.d").alias("d"), F.col("c.slot").alias("slot")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cms: DataFrame,
+    item_col: str,
+    width: int,
+    depth: int,
+) -> DataFrame:
+    """Estimate each distinct probe item's frequency: min over its
+    ``depth`` cells (an absent cell reads 0 — an item never inserted can
+    still estimate 0, the no-false-negative analog). One row per distinct
+    probe item, ``cms_count >= true count`` always.
+
+    Scale: the sketch broadcasts (≤ depth×width rows — KBs); the probe
+    side explodes depth rows per item and re-aggregates per item. The
+    probed corpus never shuffles beyond the per-item re-agg key.
+    """
+    cells = (
+        probes.select(
+            F.col(item_col),
+            F.explode_outer(
+                _cms_cells(F.col(item_col), width, depth)
+            ).alias("c"),
+        )
+        .where(F.col("c").isNotNull())
+        .select(item_col, F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
+    )
+    j = cells.join(F.broadcast(cms), ["d", "slot"], "left")
+    return j.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count")
+    )

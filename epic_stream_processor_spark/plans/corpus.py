@@ -1247,3 +1247,299 @@ ORACLE_WET_EXTRACT = f"""SELECT
   CAST(length({_WET_TEXT}) AS BIGINT) AS wet_len
 FROM documents
 """
+
+
+# --- WebDataset tar shards (the multimodal training-data container) ---------
+
+def q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL POSIX-ustar tar shard round trip (the WebDataset layout
+    LAION/DataComp pipelines train from): every document becomes a
+    two-member sample (``{key}.txt`` payload + ``{key}.json`` metadata
+    sidecar) with the 512-byte header built from pure JVM expressions
+    (octal fields, aggregate-fold checksum), members are concatenated
+    sample-adjacent into 16 shard images by a group writer, and
+    ``parse_tar`` walks them back — magic + checksum verified, octal
+    size parse, 512-padding skip.
+
+    The oracle derives every member's byte offset as the window-summed
+    padded size of its predecessors, so a header byte off, a checksum
+    miscount, padding to the wrong boundary, or members assembled out
+    of order all break the hash match. Interop with stdlib ``tarfile``
+    is pinned separately (tests/test_tarshard.py).
+    """
+    from ..sources.tarshard import docs_as_tar_members, parse_tar, tar_files
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = parse_tar(tar_files(docs_as_tar_members(docs, n_shards=16)))
+    return parsed.select(
+        "shard_id", "m_offset", "name", "size",
+        F.decode(F.col("data"), "UTF-8").alias("text"),
+    )
+
+
+_TAR_JSON = (
+    "'{\"doc_id\":' || CAST(doc_id AS VARCHAR) || ',\"lang\":\"' || lang || "
+    "'\",\"source\":\"' || source || '\"}'"
+)
+
+ORACLE_TAR_ROUNDTRIP = f"""WITH m AS (
+  SELECT doc_id, doc_id % 16 AS shard_id, 0 AS part,
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+         octet_length(encode(coalesce(text, ''))) AS size,
+         coalesce(text, '') AS payload
+  FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 16, 1,
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.json',
+         octet_length(encode({_TAR_JSON})),
+         {_TAR_JSON}
+  FROM documents
+),
+s AS (
+  SELECT *, 512 + ((size + 511) // 512) * 512 AS msize FROM m
+)
+SELECT shard_id,
+       CAST(coalesce(sum(msize) OVER (
+         PARTITION BY shard_id ORDER BY doc_id, part
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS m_offset,
+       name,
+       CAST(size AS BIGINT) AS size,
+       payload AS text
+FROM s
+"""
+
+
+def q_tar_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WebDataset READER semantics on top of the same shards: one
+    forward pass per shard groups adjacent members into samples by
+    basename key (zero shuffles — adjacency is the sample boundary),
+    yielding an ext→payload map per sample; the text and the JSON
+    sidecar's ``lang`` field are then plain column expressions
+    (``element_at`` + ``get_json_object``). Proves the sample-assembly
+    contract end to end: every document comes back as exactly one
+    2-member sample with its text and metadata intact."""
+    from ..sources.tarshard import (
+        docs_as_tar_members, parse_tar_samples, tar_files,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    samples = parse_tar_samples(
+        tar_files(docs_as_tar_members(docs, n_shards=16))
+    )
+    meta = F.decode(F.element_at(F.col("parts"), "json"), "UTF-8")
+    return samples.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "n_members",
+        F.decode(F.element_at(F.col("parts"), "txt"), "UTF-8").alias("text"),
+        F.get_json_object(meta, "$.lang").alias("lang"),
+        F.get_json_object(meta, "$.source").alias("source"),
+    )
+
+
+ORACLE_TAR_SAMPLES = """SELECT
+  doc_id,
+  2 AS n_members,
+  coalesce(text, '') AS text,
+  lang,
+  source
+FROM documents
+"""
+
+
+# --- Count-min sketch heavy hitters ------------------------------------------
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (Cormode & Muthukrishnan
+    2005) — the heavy-hitters primitive a 100 TB corpus profile runs
+    instead of an exact token count (the sketch is depth×width cells,
+    constant regardless of corpus size; the exact table is billions of
+    rows): a deterministic md5 CMS (width 4096, depth 4) built over all
+    token occurrences, then a deterministic probe subset (md5(tok) % 41
+    == 0) estimated from the sketch and flagged heavy at the φ = 1/200
+    frequency threshold.
+
+    Both the estimate and the exact count are returned, so the oracle —
+    which builds the cell-identical sketch in SQL — pins the one-sided
+    error contract (``cms_count >= exact_count`` everywhere) as data,
+    not just as a test assertion.
+    """
+    from ..functions.hashing import stable_hash64
+    from ..operators.sketches import cms_build, cms_estimate
+
+    configure_for_parity(spark)
+    W, D = 4096, 4
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn("_toks", T.tokens(F.col("text")))
+    toks = staged.select(F.explode_outer("_toks").alias("tok")).where(
+        F.col("tok").isNotNull()
+    )
+    cms = cms_build(toks, "tok", width=W, depth=D)
+    probes = (
+        toks.where(stable_hash64(F.col("tok")) % 41 == 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    est = cms_estimate(probes, cms, "tok", width=W, depth=D)
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        probes.join(est, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "exact_count",
+            "cms_count",
+            (F.col("cms_count") * 200 >= F.col("n")).alias("is_heavy"),
+        )
+    )
+
+
+def _cms_hash_sql(tok_expr: str, d_expr: str, width: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(7200 + {d_expr} AS VARCHAR) || ':' "
+        f"|| {tok_expr}), 1, 15)) AS BIGINT) % {width}"
+    )
+
+
+ORACLE_CMS_HEAVY_HITTERS = f"""WITH toks AS (
+  SELECT unnest(str_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE len(trim(coalesce(text, ''))) > 0
+),
+cells AS (
+  SELECT d, {_cms_hash_sql('tok', 'd', 4096)} AS slot, count(*) AS cnt
+  FROM toks CROSS JOIN range(4) t(d)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT tok, count(*) AS exact_count
+  FROM toks
+  WHERE CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 41 = 0
+  GROUP BY tok
+),
+pc AS (
+  SELECT p.tok, p.exact_count, t.d,
+         {_cms_hash_sql('p.tok', 't.d', 4096)} AS slot
+  FROM probes p CROSS JOIN range(4) t(d)
+),
+est AS (
+  SELECT pc.tok, pc.exact_count, min(coalesce(c.cnt, 0)) AS cms_count
+  FROM pc LEFT JOIN cells c ON c.d = pc.d AND c.slot = pc.slot
+  GROUP BY 1, 2
+),
+total AS (SELECT count(*) AS n FROM toks)
+SELECT tok, exact_count, cms_count, cms_count * 200 >= n AS is_heavy
+FROM est, total
+"""
+
+
+# --- Sitemap discovery (crawl frontier input) --------------------------------
+
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemap discovery (sitemaps.org protocol), proven end to
+    end: one deterministic ``<urlset>`` sitemap is rendered per host
+    (entries sorted — collect order is not deterministic under parallel
+    merge), a ``<sitemapindex>`` listing every host's sitemap is parsed
+    first, child sitemaps are fetched via a broadcast join on the
+    extracted URL (an index lists ≤50k children by spec — KBs), and each
+    child's ``<url>`` blocks are exploded into page rows: entity-decoded
+    ``loc`` (the fixture plants ``&amp;`` in every URL), ``lastmod``, and
+    ``priority`` with NULL-on-absent semantics (every third entry omits
+    it).
+
+    Parsing is a pure JVM regexp chain — zero Python, row-local; the
+    oracle rebuilds every expected row closed-form from doc_id residues,
+    so a decode-order bug, a greedy-regex overrun, or a lost optional
+    field breaks the hash.
+    """
+    from ..operators.sitemap import (
+        docs_as_sitemaps, parse_sitemap, parse_sitemap_index, sitemap_index,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    maps = docs_as_sitemaps(docs)
+    children = parse_sitemap_index(sitemap_index(maps))
+    fetched = F.broadcast(children).join(
+        maps, children["sitemap_url"] == maps["sitemap_url"]
+    ).select("host", "xml")
+    return parse_sitemap(fetched).select(
+        "host", "loc", "lastmod", "priority"
+    )
+
+
+ORACLE_SITEMAP_EXTRACT = """SELECT
+  source AS host,
+  'https://' || source || '.example/page/' || CAST(doc_id AS VARCHAR)
+    || '?a=1&b=2' AS loc,
+  '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-15'
+    AS lastmod,
+  CASE WHEN doc_id % 3 = 0 THEN NULL
+       ELSE '0.' || CAST(doc_id % 10 AS VARCHAR) END AS priority
+FROM documents
+"""
+
+
+# --- Snapshot manifests + incremental diff (table-format core) ---------------
+
+def q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot incremental plan (operators/layout.
+    snapshot_manifest + manifest_diff): two corpus snapshots (docs with
+    ``id % 10 != 0`` vs ``id % 7 != 0`` — documents appear, disappear,
+    and shards overlap) are reduced to 64-shard manifests with xor
+    content fingerprints, full-outer-joined, and classified added /
+    removed / changed / unchanged; ``rescan_docs`` counts exactly the
+    incremental job's input. The Iceberg/Delta incremental-read idea
+    reduced to its queryable core — at 100 TB this 64-row join replaces
+    a full-corpus rescan."""
+    from ..operators.layout import manifest_diff, snapshot_manifest
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 7 != 0)
+    return manifest_diff(
+        snapshot_manifest(old, n_shards=64), snapshot_manifest(new, n_shards=64)
+    )
+
+
+def _oracle_manifest_diff() -> str:
+    from ..functions.hashing import stable_hash64_sql
+
+    shard = stable_hash64_sql("'shard:' || CAST(doc_id AS VARCHAR)")
+    content = stable_hash64_sql(
+        "'content:' || CAST(doc_id AS VARCHAR) || ':' "
+        "|| md5(coalesce(text, ''))"
+    )
+    return f"""WITH base AS (
+  SELECT doc_id,
+         {shard} % 64 AS shard_id,
+         {content} AS ch,
+         CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\\s+')) END AS nt
+  FROM documents
+),
+o AS (
+  SELECT shard_id, count(*) AS n_docs_old,
+         CAST(sum(nt) AS BIGINT) AS n_tokens_old, bit_xor(ch) AS fp_old
+  FROM base WHERE doc_id % 10 <> 0 GROUP BY shard_id
+),
+n AS (
+  SELECT shard_id, count(*) AS n_docs_new,
+         CAST(sum(nt) AS BIGINT) AS n_tokens_new, bit_xor(ch) AS fp_new
+  FROM base WHERE doc_id % 7 <> 0 GROUP BY shard_id
+)
+SELECT coalesce(o.shard_id, n.shard_id) AS shard_id,
+       CASE WHEN o.shard_id IS NULL THEN 'added'
+            WHEN n.shard_id IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       n_docs_old, n_docs_new, n_tokens_old, n_tokens_new,
+       CAST(CASE WHEN o.shard_id IS NULL OR fp_old <> fp_new
+                 THEN n_docs_new ELSE 0 END AS BIGINT) AS rescan_docs
+FROM o FULL JOIN n ON o.shard_id = n.shard_id
+"""
+
+
+ORACLE_MANIFEST_DIFF = _oracle_manifest_diff()

@@ -2922,3 +2922,257 @@ QUALIFY rnk <= 20
 
 
 ORACLE_HYBRID_RRF = _hybrid_oracle()
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (operators/similarity.ivfpq_topk): coarse-assign
+    every embedding to one of 8 lists, PQ-encode the RESIDUAL (4
+    subspaces x 8 codes, 1 integer-Lloyd iteration), then ADC-score the
+    ``id % 200 == 0`` probes against ONLY their own list's codes —
+    candidate pairing is an equi-join on list_id, the corpus is touched
+    only as (list_id, 4 codes). Exact BIGINT arithmetic end to end."""
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(emb, topk=5, probe_mod=200, kc=8, m=4, k=8, n_iter=1)
+
+
+def ivfpq_oracle_sql(
+    topk: int = 5, probe_mod: int = 200, kc: int = 8,
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of ivfpq_topk: same global scale + quantization, the
+    first-kc coarse centroids and (dist, lid) argmin assignment, integer
+    residuals, the same seeded per-subspace residual Lloyd, per-vector
+    codes, per-probe LUTs, the list_id-equality candidate restriction,
+    and the (adc asc, vec_id asc) ranking."""
+    dsub = dim // m
+    cdist = (
+        f"list_reduce(list_transform(range(1, {dim} + 1), "
+        "i -> (t.qv[i] - c.qv[i]) * (t.qv[i] - c.qv[i])), (x, y) -> x + y)"
+    )
+    parts = [
+        f"""WITH g AS (
+  SELECT max(list_max(list_transform(embedding,
+         x -> abs(CAST(x AS DOUBLE))))) AS gmax
+  FROM {table}
+),
+sc AS (SELECT CASE WHEN gmax = 0 THEN 1.0 ELSE gmax / 127.0 END AS scale FROM g),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv
+  FROM {table}, sc
+),
+cs AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS lid, qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {kc})
+),
+asg AS (
+  SELECT vec_id, lid FROM (
+    SELECT t.vec_id, c.lid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cdist}, c.lid) AS rn
+    FROM q t, cs c
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id, a.lid,
+         list_transform(range(1, {dim} + 1), i -> t.qv[i] - c.qv[i]) AS rv
+  FROM asg a JOIN q t ON t.vec_id = a.vec_id JOIN cs c ON c.lid = a.lid
+),
+rseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, rv
+  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    lasts = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"rqs_{s} AS (SELECT vec_id, lid, rv[{lo}:{hi}] AS sub FROM res)"
+        )
+        parts.append(
+            f"rc0_{s} AS (SELECT cid, rv[{lo}:{hi}] AS cv FROM rseeds)"
+        )
+        prev = f"rc0_{s}"
+        for it in range(1, n_iter + 1):
+            d = _pq_dist("t", "c", dsub)
+            parts.append(
+                f"""ra{it}_{s} AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT t.vec_id, t.sub, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {d}, c.cid) AS rn
+    FROM rqs_{s} t, {prev} c
+  ) WHERE rn = 1
+),
+rn{it}_{s} AS (SELECT cid, count(*) AS n FROM ra{it}_{s} GROUP BY cid),
+rs{it}_{s} AS (
+  SELECT cid, d, sum(v) AS sv
+  FROM (SELECT cid, unnest(sub) AS v,
+               unnest(range(1, len(sub) + 1)) AS d
+        FROM ra{it}_{s})
+  GROUP BY cid, d
+),
+ru{it}_{s} AS (
+  SELECT cid,
+         list(CAST(floor(CAST(sv AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY d) AS cv
+  FROM rs{it}_{s} JOIN rn{it}_{s} USING (cid) GROUP BY cid
+),
+rc{it}_{s} AS (
+  SELECT p.cid, coalesce(ru{it}_{s}.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN ru{it}_{s} USING (cid)
+)"""
+            )
+            prev = f"rc{it}_{s}"
+        lasts.append(prev)
+    for s in range(m):
+        d = _pq_dist("t", "c", dsub)
+        parts.append(
+            f"""rcode_{s} AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT t.vec_id, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {d}, c.cid) AS rn
+    FROM rqs_{s} t, {lasts[s]} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""rplut_{s} AS (
+  SELECT t.vec_id AS probe_id, c.cid, {d} AS dd
+  FROM rqs_{s} t, {lasts[s]} c
+  WHERE t.vec_id % {probe_mod} = 0
+)"""
+        )
+    code_joins = " ".join(
+        f"JOIN rcode_{s} ON rcode_{s}.vec_id = rcode_0.vec_id"
+        for s in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN rplut_{s} ON rplut_{s}.probe_id = rplut_0.probe_id "
+        f"AND rplut_{s}.cid = rcode_{s}.code"
+        for s in range(1, m)
+    )
+    adc = " + ".join(f"rplut_{s}.dd" for s in range(m))
+    parts.append(
+        f"""scored AS (
+  SELECT rplut_0.probe_id, pa.lid AS list_id, rcode_0.vec_id,
+         {adc} AS adc_dist
+  FROM rcode_0 {code_joins}
+  JOIN rplut_0 ON rplut_0.cid = rcode_0.code
+  {lut_joins}
+  JOIN asg pa ON pa.vec_id = rplut_0.probe_id
+  JOIN asg va ON va.vec_id = rcode_0.vec_id AND va.lid = pa.lid
+)"""
+    )
+    final = f"""SELECT probe_id, list_id, CAST(rank AS BIGINT) AS rank,
+       vec_id, adc_dist FROM (
+  SELECT probe_id, list_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+    return ",\n".join(parts) + "\n" + final
+
+
+ORACLE_KNN_IVFPQ = ivfpq_oracle_sql()
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair construction (operators/objectives.
+    contrastive_pairs): inverse-cloze anchor/positive split + one
+    deterministic in-bucket negative per anchor (next doc in md5 order,
+    circular wrap, self-pair → NULL). One bucket-keyed window shuffle."""
+    from ..operators.objectives import contrastive_pairs
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return contrastive_pairs(docs, n_buckets=16, min_tokens=4)
+
+
+ORACLE_CONTRASTIVE_PAIRS = """WITH t AS (
+  SELECT doc_id,
+         str_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS n,
+         CAST(ceil(len(toks) / 2.0) AS INT) AS half, toks
+  FROM t WHERE len(toks) >= 4 AND toks <> ['']
+),
+sp AS (
+  SELECT doc_id,
+         array_to_string(toks[1:half], ' ') AS anchor,
+         array_to_string(toks[half + 1:n], ' ') AS positive,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 16 AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM s
+),
+p AS (
+  SELECT doc_id, bucket, anchor, positive,
+         coalesce(lead(doc_id) OVER w, first_value(doc_id) OVER w2)
+           AS negative_id,
+         coalesce(lead(positive) OVER w, first_value(positive) OVER w2)
+           AS negative
+  FROM sp
+  WINDOW w AS (PARTITION BY bucket ORDER BY ord_key),
+         w2 AS (PARTITION BY bucket ORDER BY ord_key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id, bucket, anchor, positive,
+       CASE WHEN negative_id = doc_id THEN NULL ELSE negative_id END
+         AS negative_id,
+       CASE WHEN negative_id = doc_id THEN NULL ELSE negative END AS negative
+FROM p
+"""
+
+
+def q_mp3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header triage (operators/mp3.py): ID3v2-tagged VBR
+    fixtures rendered entirely with JVM expressions (hex + one unhex),
+    walked back frame by frame — syncsafe tag skip, header field parse,
+    the Layer III frame-length formula. The oracle recomputes every
+    frame's length and bitrate closed-form from doc_id residues, so a
+    frame-length off-by-one, a mis-parsed syncsafe size, or a dropped
+    final frame breaks the per-file byte totals."""
+    from ..operators.mp3 import docs_as_mp3, parse_mp3
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_mp3(docs_as_mp3(docs))
+
+
+ORACLE_MP3_SCAN = """WITH f AS (
+  SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS fr
+  FROM documents
+),
+fl AS (
+  SELECT doc_id,
+         [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+           [CAST((doc_id + fr) % 14 + 2 AS INT)] AS kbps,
+         (doc_id + fr) % 2 AS pad
+  FROM f
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_frames,
+         CAST(sum(144000 * kbps // 44100 + pad) AS BIGINT) AS bytes_total,
+         CAST(sum(kbps) AS BIGINT) AS bitrate_sum,
+         count(DISTINCT kbps) > 1 AS is_vbr
+  FROM fl
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       true AS has_id3,
+       CAST(doc_id % 64 AS BIGINT) AS id3_size,
+       n_frames,
+       n_frames * 1152 AS total_samples,
+       CAST(44100 AS BIGINT) AS sample_rate,
+       bytes_total,
+       bitrate_sum,
+       is_vbr
+FROM agg
+"""

@@ -725,6 +725,67 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "Common Crawl WET-generation chain composed end to end from "
         "proven operators, closed-form oracle",
     ),
+    "manifest_diff": QueryDef(
+        corpus.q_manifest_diff, corpus.ORACLE_MANIFEST_DIFF,
+        "snapshot manifest diff (round 7, the Iceberg/Delta incremental-"
+        "read core): per-shard xor content fingerprints, full-outer "
+        "manifest join, added/removed/changed/unchanged classification "
+        "+ exact rescan size — the 64-row join that replaces a full-"
+        "corpus rescan between snapshots",
+    ),
+    "mp3_scan": QueryDef(
+        llm.q_mp3_scan, llm.ORACLE_MP3_SCAN,
+        "MP3 frame-header triage (round 7, ISO 11172-3 container "
+        "layer): JVM-expression-built ID3v2+VBR fixtures, per-frame "
+        "header walk with syncsafe tag skip and byte-resync — duration/"
+        "bitrate/VBR profile without decode, closed-form oracle",
+    ),
+    "contrastive_pairs": QueryDef(
+        llm.q_contrastive_pairs, llm.ORACLE_CONTRASTIVE_PAIRS,
+        "contrastive pair construction (round 7, ORQA inverse-cloze "
+        "shape): anchor/positive half-split + one deterministic in-"
+        "bucket negative (next doc in md5 order, circular, self-pair "
+        "-> NULL) — one bucket-keyed window shuffle, RNG-free",
+    ),
+    "knn_ivfpq": QueryDef(
+        llm.q_knn_ivfpq, llm.ORACLE_KNN_IVFPQ,
+        "IVF-PQ search (round 7, the full Jegou TPAMI'11 design): "
+        "coarse list assignment + RESIDUAL product quantization + "
+        "list-restricted ADC scoring — candidates come from an equi-"
+        "join on list_id, the corpus is touched only as (list_id, 4 "
+        "codes); exact BIGINT arithmetic, full-recursion SQL oracle",
+    ),
+    "sitemap_extract": QueryDef(
+        corpus.q_sitemap_extract, corpus.ORACLE_SITEMAP_EXTRACT,
+        "two-level sitemap discovery (round 7, sitemaps.org): "
+        "sitemapindex parse -> broadcast fetch join -> per-host urlset "
+        "explode with entity-decoded locs and NULL-on-absent optional "
+        "fields — pure JVM regexp chain, closed-form oracle; completes "
+        "the crawl stack (robots -> sitemaps -> canonicalize -> graph)",
+    ),
+    "cms_heavy_hitters": QueryDef(
+        corpus.q_cms_heavy_hitters, corpus.ORACLE_CMS_HEAVY_HITTERS,
+        "count-min-sketch heavy hitters (round 7, Cormode 2005): "
+        "deterministic md5 CMS (4096x4 cells, constant space at any "
+        "corpus size) + probe-side min-of-cells estimates; the oracle "
+        "builds the cell-identical sketch in SQL, pinning the one-sided "
+        "error contract as data",
+    ),
+    "tar_roundtrip": QueryDef(
+        corpus.q_tar_roundtrip, corpus.ORACLE_TAR_ROUNDTRIP,
+        "REAL ustar tar-shard round trip (round 7, the WebDataset "
+        "container): expression-built 512-byte headers (octal fields, "
+        "aggregate-fold checksum) -> sample-adjacent group-writer shards "
+        "-> checksum-verified member walk; byte offsets window-derived "
+        "by the oracle pin framing and padding exactly",
+    ),
+    "tar_samples": QueryDef(
+        corpus.q_tar_samples, corpus.ORACLE_TAR_SAMPLES,
+        "WebDataset sample assembly (round 7): adjacent members grouped "
+        "by basename key in the same forward pass — zero shuffles — "
+        "ext->payload map per sample, text + JSON sidecar fields "
+        "recovered as column expressions",
+    ),
     "shard_manifest": QueryDef(
         corpus.q_shard_manifest, corpus.ORACLE_SHARD_MANIFEST,
         "deterministic training-shard writer manifest: salted-hash "

@@ -179,3 +179,40 @@ def test_perplexity_buckets_equal_counts_and_monotone(spark):
         assert (r["bucket_idx"], r["bucket"]) in {
             (1, "head"), (2, "middle"), (3, "tail")
         }
+
+
+def test_sitemap_parse_robustness(spark):
+    """Malformed blocks: a url with no <loc> is dropped; greedy-regex
+    overrun would merge adjacent blocks (the two-entry fixture pins
+    non-greedy matching); &amp;lt; decodes to the literal '&lt;'."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.sitemap import parse_sitemap
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.example/1?x=1&amp;lt;2</loc></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no loc: dropped
+        "<url><loc>https://a.example/2</loc><priority>0.5</priority></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    rows = {r["loc"]: r for r in parse_sitemap(df).collect()}
+    assert set(rows) == {"https://a.example/1?x=1&lt;2", "https://a.example/2"}
+    assert rows["https://a.example/2"]["priority"] == "0.5"
+    assert rows["https://a.example/2"]["lastmod"] is None
+
+
+def test_sitemap_index_roundtrip_lists_every_host(spark):
+    from epic_stream_processor_spark.operators.sitemap import (
+        docs_as_sitemaps,
+        parse_sitemap_index,
+        sitemap_index,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    maps = docs_as_sitemaps(docs)
+    got = {r["sitemap_url"] for r in parse_sitemap_index(sitemap_index(maps)).collect()}
+    want = {r["sitemap_url"] for r in maps.collect()}
+    assert got == want and len(got) > 1

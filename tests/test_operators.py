@@ -2533,3 +2533,201 @@ def test_hybrid_rrf_fusion_arithmetic(spark):
     ranks = sorted(got.values(), key=lambda r: r["rnk"])
     scores = [r["rrf_micro"] for r in ranks]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cms_never_undercounts_and_error_is_bounded(spark):
+    """Count-min contract over EVERY distinct token (not just the parity
+    query's probe subset): estimate >= exact always (one-sided error),
+    and the mean overshoot stays within the sketch's epsilon*N budget
+    (epsilon = e/width)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.functions.text import tokens
+    from epic_stream_processor_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    W, D = 1024, 4  # narrower than the parity query: force collisions
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.withColumn("_t", tokens(F.col("text"))).select(
+        F.explode_outer("_t").alias("tok")
+    ).where(F.col("tok").isNotNull())
+    cms = cms_build(toks, "tok", width=W, depth=D)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(exact, cms, "tok", width=W, depth=D)
+    rows = exact.join(est, "tok").collect()
+    n_total = sum(r["exact"] for r in rows)
+    assert rows and all(r["cms_count"] >= r["exact"] for r in rows)
+    mean_err = sum(r["cms_count"] - r["exact"] for r in rows) / len(rows)
+    assert mean_err <= math.e / W * n_total  # the published epsilon*N bound
+
+
+def test_cms_absent_item_estimates_zero_or_collision(spark):
+    """Probing items never inserted: the estimate is whatever the cells
+    collide to — never negative, and zero when all d cells are empty."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    members = spark.range(100).select(
+        F.format_string("in-%d", F.col("id")).alias("item")
+    )
+    cms = cms_build(members, "item", width=8192, depth=4)
+    absent = spark.range(50).select(
+        F.format_string("out-%d", F.col("id")).alias("item")
+    )
+    got = cms_estimate(absent, cms, "item", width=8192, depth=4).collect()
+    assert len(got) == 50
+    assert all(r["cms_count"] >= 0 for r in got)
+    # at 100 items in 8192-wide rows, most absent probes hit an empty cell
+    assert sum(1 for r in got if r["cms_count"] == 0) > 25
+
+
+def test_ivfpq_scores_only_the_probes_own_list(spark):
+    """The IVF restriction: every returned candidate must live in the
+    probe's assigned list, and the probe must find ITSELF (its own ADC
+    distance is just its quantization distortion — near the minimum)."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.similarity import ivfpq_topk
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = ivfpq_topk(emb, topk=5, probe_mod=100, kc=8, m=4, k=8).collect()
+    assert got
+    by_probe: dict = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rows in by_probe.items():
+        assert len({r["list_id"] for r in rows}) == 1  # one list (nprobe=1)
+        assert len(rows) <= 5
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, len(rows) + 1)
+        )
+    # self-retrieval: most probes should see themselves in their top-5
+    self_hits = sum(
+        1 for pid, rows in by_probe.items()
+        if any(r["vec_id"] == pid for r in rows)
+    )
+    assert self_hits >= len(by_probe) * 0.6
+
+
+def test_ivfpq_recall_against_exact_quantized_l2(spark):
+    """Recall@5 of IVF-PQ vs brute-force integer L2 over the same
+    quantized vectors, within the probe's list (isolates PQ distortion
+    from the IVF pruning, which is recall-tested separately for the IVF
+    operator): the residual codebooks must recover most true
+    neighbors."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.similarity import ivfpq_topk
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = ivfpq_topk(emb, topk=5, probe_mod=100, kc=8, m=4, k=8).collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    gmax = max(abs(float(x)) for v in vecs.values() for x in v)
+    scale = 1.0 if gmax == 0 else gmax / 127.0
+    import math
+
+    qv = {
+        i: [int(math.floor(float(x) / scale + 0.5)) for x in v]
+        for i, v in vecs.items()
+    }
+    by_probe: dict = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], {"list": r["list_id"], "ids": []})
+        by_probe[r["probe_id"]]["ids"].append(r["vec_id"])
+    # reconstruct list membership from the operator's own output is not
+    # possible for non-returned vectors; recompute coarse assignment
+    cents = {
+        i + 1: qv[vid]
+        for i, vid in enumerate(sorted(vecs)[:8])
+    }
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign(v):
+        return min(((l2(v, c), cid) for cid, c in cents.items()))[1]
+
+    lists: dict = {}
+    for vid, v in qv.items():
+        lists.setdefault(assign(v), []).append(vid)
+    hits = total = rand_exp = 0.0
+    for pid, info in by_probe.items():
+        members = lists[assign(qv[pid])]
+        exact = sorted(members, key=lambda vid: (l2(qv[pid], qv[vid]), vid))[:5]
+        hits += len(set(exact) & set(info["ids"]))
+        total += len(exact)
+        rand_exp += len(exact) * min(1.0, 5 / len(members))
+    assert total > 0
+    # the fixture config is a deliberately TINY codebook — m=4, k=8 is
+    # 12 bits/vector (the parity-friendly size) — so absolute recall is
+    # modest (measured 0.28 at sf0.001); the property pinned is that the
+    # codes carry real signal: >= 2x the random-shortlist baseline and a
+    # floor that a broken LUT/argmin would fall through
+    assert hits / total >= 0.2, f"recall@5 {hits}/{total}"
+    assert hits >= 2 * rand_exp, f"recall {hits}/{total} vs random {rand_exp}"
+
+
+def test_mp3_resync_past_garbage_and_truncation(spark):
+    """Classic MP3 robustness: leading garbage before the first frame is
+    resynced past; a truncated final frame is dropped; a tagless file
+    reports has_id3=False."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.mp3 import (
+        docs_as_mp3,
+        parse_mp3,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(8)
+    clean = {r["doc_id"]: bytes(r["data"]) for r in docs_as_mp3(docs).collect()}
+    rows = []
+    for d, blob in clean.items():
+        tag_end = 10 + (d % 64)
+        body = blob[tag_end:]
+        # strip the tag, prepend garbage, cut the last frame short
+        rows.append((d, b"\x00\xfax" * 3 + body[:-2]))
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = {r["doc_id"]: r for r in parse_mp3(df).collect()}
+    want = {r["doc_id"]: r for r in parse_mp3(
+        spark.createDataFrame(list(clean.items()), "doc_id long, data binary")
+    ).collect()}
+    for d in clean:
+        assert not got[d]["has_id3"]
+        assert got[d]["id3_size"] == 0
+        assert got[d]["n_frames"] == want[d]["n_frames"] - 1
+        assert got[d]["sample_rate"] == 44100
+
+
+def test_mp3_all_bitrates_roundtrip_exact_lengths(spark):
+    """Every bitrate index 1..14 must produce a frame whose walked length
+    equals the spec formula."""
+    from epic_stream_processor_spark.operators.mp3 import (
+        BITRATE_KBPS,
+        docs_as_mp3,
+        parse_mp3,
+    )
+
+    # doc_ids 0..13 cycle every bitrate index across their frames
+    docs = spark.range(14).selectExpr("id AS doc_id")
+    got = {r["doc_id"]: r for r in parse_mp3(docs_as_mp3(docs)).collect()}
+    for d in range(14):
+        n = d % 4 + 2
+        expect_bytes = sum(
+            144000 * BITRATE_KBPS[(d + f) % 14 + 1] // 44100 + (d + f) % 2
+            for f in range(n)
+        )
+        assert got[d]["n_frames"] == n
+        assert got[d]["bytes_total"] == expect_bytes
+        assert got[d]["total_samples"] == n * 1152

@@ -113,9 +113,11 @@ def test_kmeans_and_ivf_assignment_is_shuffle_free(spark):
 # watchlist, knn's broadcast-probes scoring, q22's and q11's decorrelated
 # scalar subqueries (a 1-row aggregate broadcast under a > condition),
 # boilerplate's df-threshold compare against a broadcast 1-row corpus
-# count, and pq_adc_topk's broadcast probe-LUT side (n/probe_mod rows of
-# m·k BIGINTs each).
+# count, pq_adc_topk's broadcast probe-LUT side (n/probe_mod rows of
+# m·k BIGINTs each), and cms_heavy_hitters' broadcast 1-row total-token
+# count under the heavy-hitter threshold compare.
 BNLJ_ALLOWED = {
+    "cms_heavy_hitters",
     "epic_source_fov", "epic_patch_counts", "epic_pixel_gather",
     "epic_img_metadata", "epic_light_curve", "epic_pixel_export",
     "epic_detect_transient", "epic_cube_gather_real", "knn_cosine",
@@ -274,11 +276,18 @@ def test_sentence_dedup_is_min_agg_not_window(spark):
     the shuffle — and NEVER as a row_number window over sentence
     partitions (which would put every occurrence of a boilerplate
     sentence in one partition). Exchanges stay bounded: sentence agg,
-    doc re-agg, and the join back."""
+    doc re-agg, and the join back — counted by DISTINCT partitioning
+    key, not raw Exchange lines (AQE re-plans can print the same
+    exchange more than once depending on which tests warmed the session
+    first — the url_canonicalize lesson, seen flaking here in the
+    round-7 full-suite run)."""
+    import re
+
     df = ALL_GUARDED["dedup_sentences"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "Window" not in plan, plan
-    assert plan.count("Exchange") <= 4, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert len(keys) <= 4, (keys, plan)
     assert "partial_min" in plan or "partial_count" in plan, plan
 
 

@@ -1,0 +1,142 @@
+"""Tar-shard (WebDataset) container tests: stdlib-tarfile interop on the
+expression-built bytes, checksum verification, truncation robustness, and
+adjacency-based sample assembly."""
+
+from __future__ import annotations
+
+import io
+import json
+import tarfile
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.sources.fixtures import load_table
+from epic_stream_processor_spark.sources.tarshard import (
+    BLOCK,
+    docs_as_tar_members,
+    parse_tar,
+    parse_tar_samples,
+    tar_files,
+)
+
+
+def _shards(spark, n_shards=4):
+    docs = load_table(spark, SF_DIR, "documents")
+    return docs, tar_files(docs_as_tar_members(docs, n_shards=n_shards))
+
+
+def test_stdlib_tarfile_reads_expression_built_shards(spark):
+    """Interop: Python's tarfile (an independent ustar implementation)
+    must accept our JVM-expression-built headers — names, sizes,
+    checksums, and payload bytes all agree."""
+    docs, shards = _shards(spark)
+    want = {r["doc_id"]: (r["text"] or "") for r in docs.collect()}
+    seen = 0
+    for row in shards.collect():
+        tf = tarfile.open(fileobj=io.BytesIO(bytes(row["data"])), mode="r:")
+        for mem in tf.getmembers():
+            payload = tf.extractfile(mem).read()
+            key, ext = mem.name.split(".", 1)
+            if ext == "txt":
+                assert payload.decode("utf-8") == want[int(key)]
+                seen += 1
+            else:
+                meta = json.loads(payload)
+                assert meta["doc_id"] == int(key)
+            assert mem.size == len(payload)
+            assert mem.mtime == 0
+    assert seen == len(want)
+
+
+def test_own_parser_matches_tarfile_offsets(spark):
+    """Our member walk must report the same (name, size, offset) triples
+    stdlib tarfile computes for the same bytes."""
+    _, shards = _shards(spark)
+    blob_by_shard = {r["shard_id"]: bytes(r["data"]) for r in shards.collect()}
+    parsed = parse_tar(shards).collect()
+    got = {
+        (r["shard_id"], r["name"]): (r["m_offset"], r["size"])
+        for r in parsed
+    }
+    n_ref = 0
+    for sid, blob in blob_by_shard.items():
+        tf = tarfile.open(fileobj=io.BytesIO(blob), mode="r:")
+        for mem in tf.getmembers():
+            assert got[(sid, mem.name)] == (mem.offset, mem.size)
+            n_ref += 1
+    assert n_ref == len(parsed) > 0
+
+
+def test_corrupt_checksum_stops_that_file_only(spark):
+    """Flipping one header byte mid-archive must drop that member and the
+    rest of ITS file (tar has no resync marker) while every other shard
+    parses fully — bad files are data, not bugs."""
+    _, shards = _shards(spark)
+    rows = shards.collect()
+    full = {r["shard_id"]: r["n_members"] for r in rows}
+    victim = rows[0]["shard_id"]
+
+    def corrupt(blob: bytes) -> bytes:
+        # find the second member's header: first member is at 0
+        hdr = blob[:BLOCK]
+        size = int(hdr[124:135].rstrip(b"\x00 ") or b"0", 8)
+        second = BLOCK + ((size + BLOCK - 1) // BLOCK) * BLOCK
+        b = bytearray(blob)
+        b[second] ^= 0xFF  # name byte changes; checksum now wrong
+        return bytes(b)
+
+    pdf = shards.toPandas()
+    pdf["data"] = [
+        corrupt(bytes(d)) if s == victim else bytes(d)
+        for s, d in zip(pdf["shard_id"], pdf["data"])
+    ]
+    redone = spark.createDataFrame(pdf, schema=shards.schema)
+    parsed = parse_tar(redone).groupBy("shard_id").count().collect()
+    counts = {r["shard_id"]: r["count"] for r in parsed}
+    assert counts[victim] == 1  # only the member before the corruption
+    for sid, n in full.items():
+        if sid != victim:
+            assert counts[sid] == n
+
+
+def test_truncated_archive_yields_prefix(spark):
+    _, shards = _shards(spark)
+    pdf = shards.toPandas()
+    pdf["data"] = [bytes(d)[: len(bytes(d)) // 2] for d in pdf["data"]]
+    truncated = spark.createDataFrame(pdf, schema=shards.schema)
+    full_n = parse_tar(shards).count()
+    trunc_n = parse_tar(truncated).count()
+    assert 0 < trunc_n < full_n
+
+
+def test_sample_assembly_is_adjacent_and_complete(spark):
+    """Every document must come back as exactly one sample holding both
+    members, with s_offset = its first member's offset."""
+    docs, shards = _shards(spark)
+    n_docs = docs.count()
+    samples = parse_tar_samples(shards).collect()
+    assert len(samples) == n_docs
+    member_offsets = {
+        (r["shard_id"], r["name"]): r["m_offset"]
+        for r in parse_tar(shards).collect()
+    }
+    for s in samples:
+        assert s["n_members"] == 2
+        assert set(s["parts"].keys()) == {"txt", "json"}
+        assert s["s_offset"] == member_offsets[(s["shard_id"], s["key"] + ".txt")]
+        meta = json.loads(bytes(s["parts"]["json"]))
+        assert meta["doc_id"] == int(s["key"])
+
+
+def test_zero_length_member_roundtrips(spark):
+    """A zero-byte payload is a header-only member (no padding block)."""
+    import pandas as pd
+
+    docs = load_table(spark, SF_DIR, "documents").limit(3).toPandas()
+    docs.loc[docs.index[0], "text"] = ""
+    df = spark.createDataFrame(docs)
+    parsed = parse_tar(tar_files(docs_as_tar_members(df, n_shards=1)))
+    got = {r["name"]: r["size"] for r in parsed.collect()}
+    key = f"{int(docs.iloc[0]['doc_id']):08d}.txt"
+    assert got[key] == 0
+    assert len(got) == 6
