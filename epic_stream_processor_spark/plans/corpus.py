@@ -1332,7 +1332,7 @@ def q_tar_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = F.decode(F.element_at(F.col("parts"), "json"), "UTF-8")
     return samples.select(
         F.col("key").cast("long").alias("doc_id"),
-        "n_members",
+        F.col("n_members").cast("long").alias("n_members"),
         F.decode(F.element_at(F.col("parts"), "txt"), "UTF-8").alias("text"),
         F.get_json_object(meta, "$.lang").alias("lang"),
         F.get_json_object(meta, "$.source").alias("source"),
@@ -1341,7 +1341,7 @@ def q_tar_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TAR_SAMPLES = """SELECT
   doc_id,
-  2 AS n_members,
+  CAST(2 AS BIGINT) AS n_members,
   coalesce(text, '') AS text,
   lang,
   source
@@ -1357,16 +1357,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of an exact token count (the sketch is depth×width cells,
     constant regardless of corpus size; the exact table is billions of
     rows): a deterministic md5 CMS (width 4096, depth 4) built over all
-    token occurrences, then a deterministic probe subset (md5(tok) % 41
-    == 0) estimated from the sketch and flagged heavy at the φ = 1/200
-    frequency threshold.
+    token occurrences, then EVERY distinct token estimated from the
+    sketch and flagged heavy at the φ = 1/200 frequency threshold (the
+    fixture vocabulary is small — 31 tokens — so probing all of it is
+    the non-vacuous choice; a hash-subset probe left the result empty
+    at every SF, caught by a row-count check at sf0.1).
 
     Both the estimate and the exact count are returned, so the oracle —
     which builds the cell-identical sketch in SQL — pins the one-sided
     error contract (``cms_count >= exact_count`` everywhere) as data,
     not just as a test assertion.
     """
-    from ..functions.hashing import stable_hash64
     from ..operators.sketches import cms_build, cms_estimate
 
     configure_for_parity(spark)
@@ -1377,11 +1378,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").isNotNull()
     )
     cms = cms_build(toks, "tok", width=W, depth=D)
-    probes = (
-        toks.where(stable_hash64(F.col("tok")) % 41 == 0)
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-    )
+    probes = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
     est = cms_estimate(probes, cms, "tok", width=W, depth=D)
     total = toks.agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -1415,7 +1412,6 @@ cells AS (
 probes AS (
   SELECT tok, count(*) AS exact_count
   FROM toks
-  WHERE CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 41 = 0
   GROUP BY tok
 ),
 pc AS (

@@ -395,13 +395,18 @@ LIMIT 20
 
 def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose NATION_5-supplied inventory value
-    exceeds 0.2% of the national total — a HAVING against a scalar
-    subquery. (Real Q11 scales its 0.01% threshold by 1/SF; 0.2% plays
-    that role for this fixture's 2,000-part catalog.)
+    exceeds TWICE the mean per-part value — a HAVING against scalar
+    subqueries. Real Q11 scales its fixed fraction by 1/SF so the
+    result set stays non-degenerate as data grows; dividing by the
+    part count does the same thing without a per-SF constant (a fixed
+    0.2% threshold returned 0 rows at sf0.1 — caught by the
+    non-vacuous-parity guard).
 
     Inventory value is Σ quantity × p_retailprice over lineitem (no
     partsupp). The threshold compares BIGINT cents exactly:
-    500 × part_value > total_value.
+    part_value × n_parts > 2 × total_value. At sf0.001 the fixture has
+    NO NATION_5 suppliers at all, so the query is legitimately empty
+    there (EMPTY_OK + a firing pin test at sf0.01).
 
     Scale: per-part value is one partkey shuffle with map-side partials;
     the national total is a 1-row aggregate broadcast back (literally a
@@ -425,10 +430,16 @@ def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = vals.agg(F.sum("value_cents").alias("total_cents"))
+    total = vals.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         vals.join(F.broadcast(total))
-        .where(F.col("value_cents") * 500 > F.col("total_cents"))
+        .where(
+            F.col("value_cents") * F.col("n_parts")
+            > F.col("total_cents") * 2
+        )
         .select(
             "p_partkey",
             (F.col("value_cents").cast("double") / 100.0).alias("value"),
@@ -450,7 +461,8 @@ ORACLE_Q11 = """WITH vals AS (
 )
 SELECT p_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
 FROM vals
-WHERE value_cents * 500 > (SELECT sum(value_cents) FROM vals)
+WHERE value_cents * (SELECT count(*) FROM vals)
+      > 2 * (SELECT sum(value_cents) FROM vals)
 ORDER BY value DESC, p_partkey
 """
 
@@ -717,10 +729,13 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
 # --- Q20: suppliers with excess shipped quantity ----------------------------
 
 def q20_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: NATION_7 suppliers who shipped > 50 units of any
+    """TPC-H Q20 shape: NATION_3 suppliers who shipped > 25 units of any
     'small…' part during 1997 — the nested IN-subquery chain decorrelated
     to (parts filter → per-(supp, part) qty agg → HAVING → distinct supp
-    keys → semi join).
+    keys → semi join). (Real Q20's constants scale with SF; NATION_3 / 25
+    units is the pair this fixture family satisfies at EVERY SF — the
+    original NATION_7 / 50 pair returned 0 rows at sf0.001 and sf0.1,
+    caught by the non-vacuous-parity guard.)
 
     Scale: the part filter prunes before the (suppkey, partkey) agg
     shuffle; the surviving supplier key set is tiny and drives a broadcast
@@ -734,13 +749,13 @@ def q20_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     n = F.broadcast(
-        load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+        load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     )
     qual = (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg((F.sum(_cents(F.col("l_quantity"))).cast("double") / 100.0).alias("qty"))
-        .where(F.col("qty") > 50.0)
+        .where(F.col("qty") > 25.0)
         .select(F.col("l_suppkey").alias("qual_suppkey"))
         .distinct()
     )
@@ -759,7 +774,7 @@ def q20_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q20 = """SELECT s_suppkey, s_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
-WHERE n_name = 'NATION_7'
+WHERE n_name = 'NATION_3'
   AND s_suppkey IN (
     SELECT l_suppkey
     FROM lineitem
@@ -768,7 +783,7 @@ WHERE n_name = 'NATION_7'
       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l_suppkey, l_partkey
-    HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 50.0
+    HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 25.0
   )
 ORDER BY s_suppkey
 """

@@ -725,3 +725,49 @@ def test_warc_ingest_stream_restart_is_exactly_once(spark, tmp_path):
     # every record exactly once: no re-processing of the first files
     urls = [r["canonical_url"] for r in rows]
     assert len(urls) == len(set(urls)) == docs.count()
+
+
+def test_cms_is_a_streaming_legal_aggregation(spark, tmp_path):
+    """The count-min sketch must compose with Structured Streaming
+    unchanged: its build is explode + groupBy count — map-side-mergeable
+    cells with no distinct, no window, no join — so a complete-mode
+    streaming build over the same corpus must produce the IDENTICAL cell
+    table as the batch build (the mergeability claim as an executable
+    fact, not a docstring)."""
+    from pyspark.sql import functions as F2
+
+    from epic_stream_processor_spark.functions.text import tokens
+    from epic_stream_processor_spark.operators.sketches import cms_build
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs_path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+
+    def toks(frame):
+        return frame.withColumn("_t", tokens(F2.col("text"))).select(
+            F2.explode_outer("_t").alias("tok")
+        ).where(F2.col("tok").isNotNull())
+
+    want = {
+        (r["d"], r["slot"], r["cnt"])
+        for r in cms_build(toks(docs), "tok", width=512, depth=4).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        docs_path
+    )
+    q = (
+        cms_build(toks(stream), "tok", width=512, depth=4)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["d"], r["slot"], r["cnt"])
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    assert got == want and len(got) > 100
