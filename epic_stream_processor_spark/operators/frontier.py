@@ -1,0 +1,83 @@
+"""Crawl-frontier politeness scheduling — the dispatch stage of the
+crawl stack.
+
+The repo's crawl tier covers discovery (``sitemap.py``), permissions
+(``robots.py``), canonicalization (``urlnorm.py``), and ranking
+(``graph.py`` PageRank). This module adds the operational step between
+them and the fetchers: turning a ranked URL frontier into a *polite*
+fetch plan — at most one request per host per crawl-delay interval,
+high-priority URLs first, hosts spread across a resizable fetcher fleet.
+
+All deterministic, zero RNG:
+
+- per-host **crawl delay** is a salted-hash-derived interval (stand-in
+  for the robots.txt ``Crawl-delay`` each host would supply; the parse
+  side lives in ``robots.py``),
+- the per-host **slot** is a (priority desc, url asc) row_number — one
+  window pass over host partitions, the exact shuffle any frontier
+  implementation pays, with a unique tiebreak so re-runs agree,
+- ``fetch_at_ms`` = slot × delay — the politeness contract as a column,
+- the **fetcher** assignment is rendezvous hashing over hosts
+  (``sampling.rendezvous_shard``), so growing the fleet N→N+1 moves
+  only the hosts the new fetcher wins — a frontier can be re-sharded
+  live without re-shuffling every queue.
+
+Scale (100 TB frontier = tens of billions of URLs): one host-keyed
+window shuffle; hot hosts (a domain with 10⁸ URLs) make big partitions
+but the schedule for a host is inherently sequential — the politeness
+constraint, not the engine, is the bottleneck, and the per-host queue
+is exactly what a downstream fetcher consumes in order.
+
+Reference note: the reference has no crawl surface; this belongs to the
+LLM-data-pipeline extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64
+from .sampling import rendezvous_shard
+
+#: Politeness interval = BASE + (hash(host) % STEPS) * STEP — a stable
+#: per-host stand-in for robots Crawl-delay, 500..2750 ms.
+DELAY_BASE_MS = 500
+DELAY_STEP_MS = 250
+DELAY_STEPS = 10
+
+
+def host_delay_ms(host) -> "F.Column":
+    """Deterministic per-host crawl delay in milliseconds."""
+    return (
+        F.lit(DELAY_BASE_MS)
+        + (
+            stable_hash64(F.concat(F.lit("delay:"), host))
+            % DELAY_STEPS
+        )
+        * DELAY_STEP_MS
+    ).cast("long")
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    n_fetchers: int = 4,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Schedule a URL frontier politely: per host, URLs take slots in
+    (priority desc, url asc) order and fetch at ``slot × crawl_delay``;
+    each host's whole queue belongs to one rendezvous-chosen fetcher.
+    Output adds ``delay_ms``, ``slot``, ``fetch_at_ms``, ``fetcher``."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    return urls.select(
+        host_col,
+        url_col,
+        priority_col,
+        host_delay_ms(F.col(host_col)).alias("delay_ms"),
+        (F.row_number().over(w) - 1).cast("long").alias("slot"),
+        rendezvous_shard(F.col(host_col), n_fetchers).alias("fetcher"),
+    ).withColumn("fetch_at_ms", F.col("slot") * F.col("delay_ms"))

@@ -1,0 +1,198 @@
+"""Unigram-LM subword tokenizer — SentencePiece's other half.
+
+The repo's tokenizer family has BPE train (``bpe.py``, merge-rule
+induction) and BPE encode (replace-chain apply). This module adds the
+*unigram* formulation (Kudo 2018, the SentencePiece default): score
+candidate pieces by corpus likelihood and segment each word with
+**Viterbi** — the minimum-cost piece sequence under integer micro-nat
+piece costs. Everything stays engine-exact:
+
+- **Vocabulary**: candidate pieces are all substrings up to
+  ``max_piece`` chars of the corpus's distinct words, occurrence-
+  weighted by word frequency; the top-``v`` multi-char pieces (count
+  desc, piece asc — the deterministic tie-break) plus ALL single chars
+  (the fallback alphabet, so segmentation never fails) are kept. Piece
+  cost = round((ln(total) − ln(cnt)) · 1e6) — the micro-nat convention
+  every LM operator here shares (``lm.py``).
+- **Viterbi**: the DP over word positions is UNROLLED into pure column
+  expressions — ``best_j`` = least over the ≤``max_piece`` predecessors
+  of a (cost, n_pieces, path) struct, lexicographic struct comparison
+  being the total tie-break order both engines agree on. No Python, no
+  UDF, no shuffle beyond the distinct-word aggregation: the same
+  "iterate the distinct-word table" scale posture as the BPE learner
+  (a 100 TB corpus has a bounded lexicon; the per-word DP is
+  O(len · max_piece) expressions).
+- Words longer than ``max_word`` come back with NULL segmentation — an
+  explicit "unsegmented" marker, mirrored by the oracle, never a silent
+  drop. (Real SentencePiece has no such cap; the unrolled-SQL oracle
+  needs a fixed depth, and the cap is part of the registered artifact's
+  contract, documented here.)
+
+Training collects the bounded vocab (≤ v + alphabet rows) to embed the
+cost table as a map literal — the k-means/PQ bounded-collect precedent.
+
+Reference note: the reference has no tokenizer surface; this completes
+the LLM-pipeline tokenizer tier (BPE train → BPE encode → unigram
+Viterbi).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+#: Cost assigned to transitions through pieces outside the vocabulary —
+#: large enough that any all-in-vocab path beats it, small enough that
+#: max_word of them cannot overflow BIGINT.
+INF_COST = 10**15
+
+MICRO = 1_000_000
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, wcnt): the corpus's distinct words with frequencies — the
+    lexicon table every tokenizer pass here iterates."""
+    staged = docs.withColumn("_ut", tokens(F.col(text_col)))
+    return (
+        staged.select(F.explode_outer("_ut").alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+def unigram_vocab(
+    wc: DataFrame, v: int = 24, max_piece: int = 4
+) -> DataFrame:
+    """Train the piece vocabulary: (piece, cnt, cost_micro) rows —
+    top-``v`` multi-char substrings by occurrence-weighted count plus
+    every single char. One explode + one piece-keyed count shuffle."""
+    cand = wc.select(
+        "wcnt",
+        F.explode_outer(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece), F.length("w") - i + 1
+                            ),
+                        ),
+                        lambda k: F.col("w").substr(i, k),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    ).where(F.col("piece").isNotNull())
+    pc = cand.groupBy("piece").agg(F.sum("wcnt").alias("cnt"))
+    from pyspark.sql import Window
+
+    multi = (
+        pc.where(F.length("piece") >= 2)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            ),
+        )
+        .where(F.col("_rn") <= v)
+        .drop("_rn")
+    )
+    kept = pc.where(F.length("piece") == 1).unionAll(multi)
+    total = kept.agg(F.sum("cnt").alias("total"))
+    return kept.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.round(
+            (
+                F.log(F.col("total").cast("double"))
+                - F.log(F.col("cnt").cast("double"))
+            )
+            * MICRO
+        )
+        .cast("long")
+        .alias("cost_micro"),
+    )
+
+
+def unigram_tokenize(
+    docs: DataFrame,
+    v: int = 24,
+    max_piece: int = 4,
+    max_word: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-and-segment: the corpus lexicon segmented under the trained
+    unigram vocabulary. Output one row per distinct word: ``(word,
+    word_count, n_pieces, segmentation)`` — pieces '|'-joined; words
+    longer than ``max_word`` get NULL (see module docstring).
+
+    The Viterbi tie-break is the lexicographic (cost, n_pieces, path)
+    struct order — a total order, so the chosen segmentation is unique
+    and engine-exact.
+    """
+    wc = word_counts(docs, text_col)
+    vocab_rows = unigram_vocab(wc, v, max_piece).collect()  # bounded: v+|alphabet|
+    cost_map = (
+        F.create_map(
+            *[
+                x
+                for r in sorted(vocab_rows, key=lambda r: r["piece"])
+                for x in (F.lit(r["piece"]), F.lit(int(r["cost_micro"])))
+            ]
+        )
+        if vocab_rows
+        else F.create_map().cast("map<string,bigint>")
+    )
+
+    def piece_cost(piece: Column) -> Column:
+        return F.coalesce(
+            F.element_at(cost_map, piece), F.lit(INF_COST)
+        ).cast("long")
+
+    df = wc.withColumn("_len", F.length("w"))
+    # best_j: cheapest (cost, n, path) struct segmenting the first j chars
+    df = df.withColumn(
+        "_b0",
+        F.struct(
+            F.lit(0).cast("long").alias("c"),
+            F.lit(0).alias("n"),
+            F.lit("").alias("p"),
+        ),
+    )
+    for j in range(1, max_word + 1):
+        cands = []
+        for i in range(max(0, j - max_piece), j):
+            piece = F.col("w").substr(F.lit(i + 1), F.lit(j - i))
+            prev = F.col(f"_b{i}")
+            cands.append(
+                F.struct(
+                    (prev["c"] + piece_cost(piece)).alias("c"),
+                    (prev["n"] + 1).alias("n"),
+                    F.concat(prev["p"], F.lit("|"), piece).alias("p"),
+                )
+            )
+        best = cands[0] if len(cands) == 1 else F.least(*cands)
+        # valid only while j <= len(w): substr past the end yields
+        # TRUNCATED pieces that may accidentally be in-vocab
+        df = df.withColumn(
+            f"_b{j}", F.when(F.col("_len") >= j, best)
+        )
+    final = None
+    for j in range(1, max_word + 1):
+        hit = F.col("_len") == j
+        final = (
+            F.when(hit, F.col(f"_b{j}"))
+            if final is None
+            else final.when(hit, F.col(f"_b{j}"))
+        )
+    return df.select(
+        F.col("w").alias("word"),
+        F.col("wcnt").alias("word_count"),
+        final["n"].alias("n_pieces"),
+        F.substring(final["p"], 2, 10_000).alias("segmentation"),
+    )

@@ -1539,3 +1539,56 @@ FROM o FULL JOIN n ON o.shard_id = n.shard_id
 
 
 ORACLE_MANIFEST_DIFF = _oracle_manifest_diff()
+
+
+# --- Frontier politeness scheduling ------------------------------------------
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite crawl dispatch (operators/frontier.py): the documents
+    table as a ranked URL frontier — per-host (priority desc, url asc)
+    slots, hash-derived crawl delays, fetch_at = slot × delay, and a
+    rendezvous fetcher per host (resizable fleet, minimal movement).
+    One host-keyed window shuffle; the oracle mirrors the window, the
+    delay hash, and the 4-fetcher HRW score list in SQL."""
+    from ..operators.frontier import politeness_schedule
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.col("source").alias("host"),
+        F.format_string(
+            "https://%s.example/page/%d", F.col("source"), F.col("doc_id")
+        ).alias("url"),
+        (F.col("doc_id") % 100).alias("priority"),
+    )
+    return politeness_schedule(frontier, n_fetchers=4)
+
+
+def _oracle_frontier() -> str:
+    from ..functions.hashing import stable_hash64_sql
+
+    delay_h = stable_hash64_sql("'delay:' || source")
+    hrw = stable_hash64_sql("'hrw:' || CAST(s AS VARCHAR) || ':' || source")
+    return f"""WITH f AS (
+  SELECT source AS host,
+         'https://' || source || '.example/page/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         doc_id % 100 AS priority,
+         CAST(500 + ({delay_h} % 10) * 250 AS BIGINT) AS delay_ms,
+         list_transform(range(0, 4), s -> {hrw}) AS scores
+  FROM documents
+)
+SELECT host, url, priority, delay_ms,
+       CAST(row_number() OVER (PARTITION BY host
+                               ORDER BY priority DESC, url ASC) - 1
+            AS BIGINT) AS slot,
+       CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT)
+         AS fetcher,
+       CAST((row_number() OVER (PARTITION BY host
+                                ORDER BY priority DESC, url ASC) - 1)
+            * delay_ms AS BIGINT) AS fetch_at_ms
+FROM f
+"""
+
+
+ORACLE_FRONTIER_SCHEDULE = _oracle_frontier()

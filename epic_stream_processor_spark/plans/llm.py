@@ -3176,3 +3176,116 @@ SELECT doc_id,
        is_vbr
 FROM agg
 """
+
+
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (operators/unigram_tok.py): corpus-trained
+    piece vocabulary (top-24 multi-char substrings + full char fallback,
+    micro-nat costs) + unrolled Viterbi segmentation of the lexicon —
+    one (word, word_count, n_pieces, segmentation) row per distinct
+    word. Completes the tokenizer family next to BPE train/encode."""
+    from ..operators.unigram_tok import unigram_tokenize
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_tokenize(docs, v=24, max_piece=4, max_word=8)
+    return out.select(
+        "word",
+        "word_count",
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        "segmentation",
+    )
+
+
+def unigram_tokenize_oracle_sql(
+    v: int = 24, max_piece: int = 4, max_word: int = 8,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of unigram_tokenize: identical vocabulary derivation
+    (occurrence-weighted substring counts, top-v multi-char + all chars,
+    micro-nat costs) and the SAME Viterbi recursion unrolled as one CTE
+    per word position, with the (cost, n, path) lexicographic
+    tie-break."""
+    inf = 10**15
+    parts = [
+        f"""WITH w0 AS (
+  SELECT unnest(str_split_regex(trim(text), '\\s+')) AS w
+  FROM {table} WHERE len(trim(coalesce(text, ''))) > 0
+),
+wc AS (SELECT w, count(*) AS wcnt FROM w0 GROUP BY w),
+c1 AS (SELECT w, wcnt, unnest(range(1, len(w) + 1)) AS i FROM wc),
+c2 AS (
+  SELECT w, wcnt, i,
+         unnest(range(1, least({max_piece}, len(w) - i + 1) + 1)) AS k
+  FROM c1
+),
+pc AS (
+  SELECT substr(w, CAST(i AS INT), CAST(k AS INT)) AS piece,
+         CAST(sum(wcnt) AS BIGINT) AS cnt
+  FROM c2 GROUP BY 1
+),
+multi AS (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM pc WHERE len(piece) >= 2
+  ) WHERE rn <= {v}
+),
+kept AS (
+  SELECT piece, cnt FROM pc WHERE len(piece) = 1
+  UNION ALL SELECT piece, cnt FROM multi
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM kept),
+vocab AS (
+  SELECT piece,
+         CAST(round((ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+              * 1000000) AS BIGINT) AS cost
+  FROM kept, tot
+),
+b0 AS (
+  SELECT w, wcnt, len(w) AS L, CAST(0 AS BIGINT) AS c, 0 AS n, '' AS p
+  FROM wc
+)"""
+    ]
+    for j in range(1, max_word + 1):
+        legs = []
+        for i in range(max(0, j - max_piece), j):
+            sub = f"substr(b.w, {i + 1}, {j - i})"
+            legs.append(
+                f"""    SELECT b.w, b.wcnt, b.L,
+           b.c + coalesce(v.cost, {inf}) AS c,
+           b.n + 1 AS n,
+           b.p || '|' || {sub} AS p
+    FROM b{i} b LEFT JOIN vocab v ON v.piece = {sub}
+    WHERE b.L >= {j}"""
+            )
+        union = "\n    UNION ALL\n".join(legs)
+        parts.append(
+            f"""b{j} AS (
+  SELECT w, wcnt, L, c, n, p FROM (
+    SELECT *, row_number() OVER (PARTITION BY w ORDER BY c, n, p) AS rn
+    FROM (
+{union}
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    fins = [
+        f"SELECT w, wcnt, CAST(n AS BIGINT) AS n, substr(p, 2) AS seg "
+        f"FROM b{j} WHERE L = {j}"
+        for j in range(1, max_word + 1)
+    ]
+    fins.append(
+        f"SELECT w, wcnt, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) "
+        f"FROM wc WHERE len(w) > {max_word}"
+    )
+    final = (
+        "SELECT w AS word, wcnt AS word_count, n AS n_pieces, "
+        "seg AS segmentation FROM (\n"
+        + "\nUNION ALL\n".join(fins)
+        + "\n)"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+ORACLE_UNIGRAM_TOKENIZE = unigram_tokenize_oracle_sql()

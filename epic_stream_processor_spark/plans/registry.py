@@ -725,6 +725,24 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "Common Crawl WET-generation chain composed end to end from "
         "proven operators, closed-form oracle",
     ),
+    "frontier_schedule": QueryDef(
+        corpus.q_frontier_schedule, corpus.ORACLE_FRONTIER_SCHEDULE,
+        "polite crawl dispatch (round 7): per-host priority slots x "
+        "hash-derived crawl delays + rendezvous fetcher assignment — "
+        "one host-keyed window shuffle; completes the crawl stack's "
+        "operational layer (discover -> permit -> canonicalize -> rank "
+        "-> schedule)",
+    ),
+    "unigram_tokenize": QueryDef(
+        llm.q_unigram_tokenize, llm.ORACLE_UNIGRAM_TOKENIZE,
+        "unigram-LM subword tokenizer (round 7, Kudo 2018 / the "
+        "SentencePiece default): corpus-trained piece vocabulary "
+        "(occurrence-weighted substrings, micro-nat costs, char "
+        "fallback) + Viterbi segmentation UNROLLED into pure column "
+        "expressions over the distinct-word lexicon; oracle unrolls "
+        "the identical DP as one CTE per position — completes the "
+        "tokenizer family (BPE train -> BPE encode -> unigram)",
+    ),
     "manifest_diff": QueryDef(
         corpus.q_manifest_diff, corpus.ORACLE_MANIFEST_DIFF,
         "snapshot manifest diff (round 7, the Iceberg/Delta incremental-"

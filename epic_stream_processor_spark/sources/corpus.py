@@ -36,12 +36,16 @@ def load_corpus(
     fmt: str = "parquet",
     schema: StructType | None = None,
 ) -> DataFrame:
-    """Load a documents table from ``path`` in ``fmt`` ∈ {parquet, jsonl,
-    csv}. Non-parquet formats read with the explicit schema (default: the
-    canonical documents schema) — never inference."""
+    """Load a documents table from ``path`` in ``fmt`` ∈ {parquet, orc,
+    jsonl, csv}. Text formats read with the explicit schema (default:
+    the canonical documents schema) — never inference; the columnar
+    formats (parquet, ORC — both Spark-native, both with predicate
+    pushdown and column pruning) carry their own."""
     schema = schema or DOCUMENTS_SCHEMA
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "jsonl":
         return spark.read.schema(schema).json(path)
     if fmt == "csv":
@@ -61,6 +65,9 @@ def stream_corpus(
     if fmt == "parquet":
         schema = schema or spark.read.parquet(path).schema
         return spark.readStream.schema(schema).parquet(path)
+    if fmt == "orc":
+        schema = schema or spark.read.orc(path).schema
+        return spark.readStream.schema(schema).orc(path)
     schema = schema or DOCUMENTS_SCHEMA
     if fmt == "jsonl":
         return spark.readStream.schema(schema).json(path)

@@ -255,3 +255,43 @@ def parse_tar_samples(files: DataFrame, batch_rows: int = 8) -> DataFrame:
                 yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(gen, schema=SAMPLES_SCHEMA)
+
+
+def write_tar_shards(
+    docs: DataFrame, out_dir: str, n_shards: int = 16
+) -> list:
+    """Export the corpus as REAL ``.tar`` files on disk — the WebDataset
+    layout a training loader consumes directly: ``shard-00000.tar`` …
+    each written by exactly one task (the group-writer pattern: shard
+    assembly happens inside the shuffle the write already pays, the
+    driver never sees payload bytes). Returns the written file names.
+
+    ``n_shards`` scales with the corpus — shards are a target SIZE
+    (hundreds of MB), not a fixed count; at 100 TB you pick
+    corpus_bytes / target_shard_bytes, exactly as with the WARC bucket
+    count. Local-filesystem writes here; on a cluster the same pattern
+    writes to object storage from each task.
+    """
+    import os
+
+    from pyspark.sql import functions as F2
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = tar_files(docs_as_tar_members(docs, n_shards=n_shards))
+
+    def write_one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        names = []
+        for sid, blob in zip(pdf["shard_id"], pdf["data"]):
+            name = os.path.join(out_dir, f"shard-{int(sid):05d}.tar")
+            with open(name, "wb") as fh:
+                fh.write(bytes(blob))
+            names.append(name)
+        return pd.DataFrame({"path": names})
+
+    written = (
+        files.mapInPandas(
+            lambda it: (write_one(pdf) for pdf in it), schema="path string"
+        )
+        .collect()
+    )
+    return sorted(r["path"] for r in written)

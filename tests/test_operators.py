@@ -2731,3 +2731,82 @@ def test_mp3_all_bitrates_roundtrip_exact_lengths(spark):
         assert got[d]["n_frames"] == n
         assert got[d]["bytes_total"] == expect_bytes
         assert got[d]["total_samples"] == n * 1152
+
+
+def test_unigram_viterbi_matches_python_reference(spark):
+    """The unrolled-expression Viterbi must equal an independent Python
+    DP over the same vocabulary: identical minimal cost, identical
+    tie-broken path, and every segmentation must reassemble its word."""
+    from epic_stream_processor_spark.operators.unigram_tok import (
+        INF_COST,
+        unigram_tokenize,
+        unigram_vocab,
+        word_counts,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = {
+        r["piece"]: r["cost_micro"]
+        for r in unigram_vocab(word_counts(docs)).collect()
+    }
+    got = {r["word"]: r for r in unigram_tokenize(docs).collect()}
+    assert got
+
+    def viterbi(w):
+        best = {0: (0, 0, "")}
+        for j in range(1, len(w) + 1):
+            cands = []
+            for i in range(max(0, j - 4), j):
+                piece = w[i:j]
+                c, n, p = best[i]
+                cands.append(
+                    (c + vocab.get(piece, INF_COST), n + 1, p + "|" + piece)
+                )
+            best[j] = min(cands)
+        return best[len(w)]
+
+    for w, r in got.items():
+        if len(w) > 8:
+            assert r["n_pieces"] is None and r["segmentation"] is None
+            continue
+        c, n, p = viterbi(w)
+        assert r["n_pieces"] == n, (w, r, n)
+        assert r["segmentation"] == p[1:], (w, r, p)
+        assert r["segmentation"].replace("|", "") == w
+
+
+def test_frontier_politeness_invariants(spark):
+    """Per host: slots are a contiguous 0..n-1 sequence, fetch times step
+    by exactly the host's delay, higher priority never fetches later
+    (same host), and all of a host's URLs go to one fetcher."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.frontier import (
+        politeness_schedule,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frontier = docs.select(
+        F.col("source").alias("host"),
+        F.format_string(
+            "https://%s.example/page/%d", F.col("source"), F.col("doc_id")
+        ).alias("url"),
+        (F.col("doc_id") % 100).alias("priority"),
+    )
+    rows = politeness_schedule(frontier, n_fetchers=4).collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) > 1
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["slot"])
+        assert [r["slot"] for r in rs] == list(range(len(rs)))
+        assert len({r["fetcher"] for r in rs}) == 1
+        assert all(0 <= r["fetcher"] < 4 for r in rs)
+        delay = rs[0]["delay_ms"]
+        assert 500 <= delay <= 2750
+        for a, b in zip(rs, rs[1:]):
+            assert b["fetch_at_ms"] - a["fetch_at_ms"] == delay
+            assert a["priority"] >= b["priority"]

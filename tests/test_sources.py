@@ -309,6 +309,27 @@ def test_load_corpus_formats_agree(spark, tmp_path):
     }
     assert got_c == want
 
+    # ORC: the second Spark-native columnar format (own schema, pushdown)
+    odir = str(tmp_path / "orc")
+    docs.write.orc(odir)
+    got_o = {
+        (r.doc_id, r.text)
+        for r in load_corpus(spark, odir, "orc").collect()
+    }
+    assert got_o == want
+    ostream = str(tmp_path / "orc_out")
+    qo = (
+        stream_corpus(spark, odir, "orc")
+        .writeStream.format("parquet")
+        .option("path", ostream)
+        .option("checkpointLocation", str(tmp_path / "orc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qo.awaitTermination(120)
+    got_os = {(r.doc_id, r.text) for r in spark.read.parquet(ostream).collect()}
+    assert got_os == want
+
     # streaming twin over the jsonl drop dir
     out = str(tmp_path / "out")
     q = (

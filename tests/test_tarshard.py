@@ -140,3 +140,26 @@ def test_zero_length_member_roundtrips(spark):
     key = f"{int(docs.iloc[0]['doc_id']):08d}.txt"
     assert got[key] == 0
     assert len(got) == 6
+
+
+def test_write_tar_shards_produces_loader_readable_files(spark, tmp_path):
+    """The exported .tar files must be readable by stdlib tarfile straight
+    off disk (the WebDataset loader contract) and jointly contain every
+    document exactly once."""
+    import tarfile as tf
+
+    from epic_stream_processor_spark.sources.tarshard import write_tar_shards
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {r["doc_id"]: (r["text"] or "") for r in docs.collect()}
+    out = str(tmp_path / "shards")
+    paths = write_tar_shards(docs, out, n_shards=4)
+    assert len(paths) == 4
+    seen = {}
+    for p in paths:
+        with tf.open(p, "r:") as archive:
+            for mem in archive.getmembers():
+                key, ext = mem.name.split(".", 1)
+                if ext == "txt":
+                    seen[int(key)] = archive.extractfile(mem).read().decode()
+    assert seen == want
