@@ -312,3 +312,53 @@ def test_image_near_dup_bands_equijoin_no_cartesian(spark):
     # exactly one Arrow stage pair (the BMP decode + hash); the join tree
     # itself adds no Python evaluation
     assert plan.count("ArrowEvalPython") == 0, plan
+
+
+def test_tar_pipeline_is_jvm_encode_one_arrow_parse(spark):
+    """Tar shards: the ENCODE side (headers, checksums, padding) must be
+    pure JVM expressions — the only Python in the whole round trip is
+    the group writer plus the one Arrow parse stage. A Python encode
+    would put a third stage in the plan."""
+    from epic_stream_processor_spark.sources.tarshard import (
+        docs_as_tar_members,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    members = docs_as_tar_members(
+        load_table(spark, SF_DIR, "documents"), n_shards=4
+    )
+    mplan = _plan(members)
+    assert "Pandas" not in mplan and "PythonUDF" not in mplan, mplan
+    assert "Exchange" not in mplan, mplan  # row-local until the writer
+    full = _plan(ALL_GUARDED["tar_roundtrip"].fn(spark, SF_DIR))
+    assert full.count("MapInPandas") == 1, full  # the parse stage
+    assert full.count("FlatMapGroupsInPandas") == 1, full  # the writer
+
+
+def test_sitemap_and_unigram_and_frontier_are_python_free(spark):
+    """Three of the second-wave queries must plan with ZERO Python
+    stages: sitemap parsing is a JVM regexp chain, the unigram Viterbi
+    is unrolled column expressions, and frontier scheduling is a window
+    over JVM hashes."""
+    for name in ("sitemap_extract", "unigram_tokenize", "frontier_schedule"):
+        plan = _plan(ALL_GUARDED[name].fn(spark, SF_DIR))
+        assert "Pandas" not in plan and "PythonUDF" not in plan, (name, plan)
+
+
+def test_ivfpq_candidates_via_list_equijoin(spark):
+    """IVF-PQ's candidate pairing must be a broadcast HASH join on
+    list_id — the list restriction as a plan property (a nested-loop
+    or cartesian pairing would score every probe against the whole
+    corpus, erasing the IVF)."""
+    plan = _plan(ALL_GUARDED["knn_ivfpq"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_manifest_diff_is_agg_only_plus_tiny_join(spark):
+    """Manifest diff: no Python, no window — two shard-keyed partial
+    aggregations and one <=n_shards-row join."""
+    plan = _plan(ALL_GUARDED["manifest_diff"].fn(spark, SF_DIR))
+    assert "Pandas" not in plan and "PythonUDF" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial_bit_xor" in plan or "bit_xor" in plan, plan
