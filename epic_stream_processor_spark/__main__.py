@@ -141,6 +141,15 @@ def main(argv: list[str] | None = None) -> int:
         help="drop words rarer than this from the learner's word table",
     )
 
+    te = sub.add_parser(
+        "corpus-export",
+        help="export the corpus as WebDataset .tar shards "
+             "(loader-readable, one file per task)",
+    )
+    te.add_argument("--docs", required=True, help="documents parquet dir")
+    te.add_argument("--out", required=True, help="output dir for .tar shards")
+    te.add_argument("--n-shards", type=int, default=16)
+
     st = sub.add_parser("stream", help="run the streaming pipeline")
     st.add_argument("--epochs", required=True, help="spool/epochs parquet dir")
     st.add_argument("--watchlist", required=True)
@@ -282,6 +291,13 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"trained {len(merges)} merges; encoded {n} docs -> {args.out}"
         )
+    elif args.cmd == "corpus-export":
+        from .sources.tarshard import write_tar_shards
+
+        spark = _get_spark()
+        docs = spark.read.parquet(args.docs)
+        paths = write_tar_shards(docs, args.out, n_shards=args.n_shards)
+        print(f"wrote {len(paths)} shard(s) -> {args.out}")
     elif args.cmd == "stream":
         from .streaming.pipeline import StreamConfig, run_stream
 

@@ -1592,3 +1592,46 @@ FROM f
 
 
 ORACLE_FRONTIER_SCHEDULE = _oracle_frontier()
+
+
+# --- ZIP containers (random-access archive family) ---------------------------
+
+def q_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ZIP round trip (sources/zipshard.py): STORE members whose
+    local headers — including a JVM-computed CRC-32 — are pure
+    expressions, window-cumsum central-directory offsets, a framing-only
+    group writer, and a real unzipper (EOCD → directory walk → ranged
+    member slice → independent zlib CRC verify). ``crc_ok`` is pinned
+    TRUE by the oracle for every member, so the two independent CRC
+    implementations (JVM encode, zlib decode) are forced to agree row
+    by row; offsets/sizes/names/payloads are closed-form."""
+    from ..sources.zipshard import docs_as_zip_members, parse_zip, zip_files
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = parse_zip(zip_files(docs_as_zip_members(docs, n_buckets=8)))
+    return parsed.select(
+        "bucket_id", "m_offset", "name", "size", "crc_ok",
+        F.decode(F.col("data"), "UTF-8").alias("text"),
+    )
+
+
+ORACLE_ZIP_ROUNDTRIP = """WITH m AS (
+  SELECT doc_id, doc_id % 8 AS bucket_id,
+         'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+         octet_length(encode(coalesce(text, ''))) AS size,
+         coalesce(text, '') AS payload
+  FROM documents
+),
+s AS (SELECT *, 30 + 16 + size AS mlen FROM m)
+SELECT bucket_id,
+       CAST(coalesce(sum(mlen) OVER (
+         PARTITION BY bucket_id ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS m_offset,
+       name,
+       CAST(size AS BIGINT) AS size,
+       true AS crc_ok,
+       payload AS text
+FROM s
+"""

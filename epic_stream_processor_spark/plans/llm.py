@@ -3289,3 +3289,114 @@ b0 AS (
 
 
 ORACLE_UNIGRAM_TOKENIZE = unigram_tokenize_oracle_sql()
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit — the eval-integrity check every
+    benchmark pipeline needs and exact dedup alone cannot provide: a
+    hash split is leak-free on KEYS by construction, but NEAR-duplicate
+    documents can still straddle the boundary and inflate eval scores.
+    Composition of proven operators: hash_split (80/10/10) × MinHash
+    LSH candidate pairs → pairs whose endpoints sit in different
+    splits, with the agreeing-band count as the similarity signal.
+
+    Scale: the pair generation is the LSH equi-join (never all-pairs);
+    the split labels join back on doc_id — two hash joins. The output
+    IS the action list: re-assign or drop one side of every leaked
+    pair before training."""
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    split = SA.hash_split(
+        docs, {"train": 80, "val": 10, "test": 10}, key_col="doc_id"
+    ).select("doc_id", "split")
+    sigs = D.minhash_signatures(docs, num_hashes=4, shingle_k=2, parallelism=64)
+    pairs = D.minhash_lsh_pairs(sigs, num_hashes=4, band_size=2)
+    sa = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "n_bands")
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = f"""WITH words AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES_2}) AS shingle FROM words
+),
+sigs AS (
+  SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, {_BAND0} AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, {_BAND1} AS band_key FROM sigs
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, {_SQL_BUCKET} AS bucket FROM documents)
+)
+SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b, n_bands
+FROM pairs
+JOIN sp sa ON sa.doc_id = id_a
+JOIN sp sb ON sb.doc_id = id_b
+WHERE sa.split <> sb.split
+"""
+
+
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode (operators/tiff.py): expression-built multi-strip
+    grayscale fixtures walked back through the tag directory — the
+    inline-vs-out-of-line IFD rule and strip reassembly under test.
+    The oracle recomputes geometry, strip counts, the exact integer
+    pixel sum, and the first-16-byte hex closed-form from doc_id
+    residues."""
+    from ..operators.tiff import docs_as_tiff, parse_tiff
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_tiff(docs_as_tiff(docs))
+
+
+ORACLE_TIFF_DECODE = """WITH g AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         CAST(sum((x * 7 + y * 13 + doc_id) % 251) AS BIGINT) AS pixel_sum
+  FROM (
+    SELECT doc_id, w, h, unnest(range(0, w)) AS x, y
+    FROM (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM g)
+  )
+  GROUP BY doc_id, w, h
+)
+SELECT p.doc_id,
+       CAST(p.w AS BIGINT) AS width,
+       CAST(p.h AS BIGINT) AS height,
+       (p.h + 3) // 4 AS n_strips,
+       CAST(4 AS BIGINT) AS rows_per_strip,
+       p.pixel_sum,
+       list_aggregate(
+         list_transform(range(0, 16),
+           i -> lpad(lower(to_hex(((i % p.w) * 7 + (i // p.w) * 13
+                                   + p.doc_id) % 251)), 2, '0')),
+         'string_agg', '') AS head_hex
+FROM px p
+"""

@@ -725,6 +725,29 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "Common Crawl WET-generation chain composed end to end from "
         "proven operators, closed-form oracle",
     ),
+    "tiff_decode": QueryDef(
+        llm.q_tiff_decode, llm.ORACLE_TIFF_DECODE,
+        "TIFF 6.0 decode (round 7, the tag-directory container): "
+        "expression-built multi-strip grayscale fixtures, IFD walk "
+        "with the inline-vs-out-of-line value rule, strip reassembly, "
+        "both byte orders (big-endian pin-tested) — closed-form oracle "
+        "on geometry, exact pixel sums, and head bytes",
+    ),
+    "split_leakage": QueryDef(
+        llm.q_split_leakage, llm.ORACLE_SPLIT_LEAKAGE,
+        "train/test split-leakage audit (round 7): hash split x MinHash "
+        "LSH — near-duplicate pairs straddling the split boundary, the "
+        "eval-integrity gap exact key-splits cannot see; LSH equi-join "
+        "+ two label joins, never all-pairs",
+    ),
+    "zip_roundtrip": QueryDef(
+        corpus.q_zip_roundtrip, corpus.ORACLE_ZIP_ROUNDTRIP,
+        "REAL ZIP container round trip (round 7, the random-access "
+        "archive family): expression-built STORE members with JVM "
+        "CRC-32, window-cumsum central-directory offsets, EOCD -> "
+        "directory walk -> ranged member reads; crc_ok pinned TRUE "
+        "forces the two independent CRC implementations to agree",
+    ),
     "frontier_schedule": QueryDef(
         corpus.q_frontier_schedule, corpus.ORACLE_FRONTIER_SCHEDULE,
         "polite crawl dispatch (round 7): per-host priority slots x "

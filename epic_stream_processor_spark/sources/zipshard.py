@@ -1,0 +1,223 @@
+"""ZIP containers (APPNOTE.TXT / PKZIP format) — the random-access
+archive family.
+
+Third container family after WARC (streaming records) and tar
+(sequential samples): ZIP's defining feature is the **central
+directory** — a trailing index every reader seeks to first, so any
+member is one ranged read away without scanning the file. Document
+dumps (Project Gutenberg, arXiv source bundles, many gov/open-data
+drops) arrive zipped, and a curation pipeline must both read them and
+write loader-friendly bundles.
+
+Implementation (stdlib semantics only):
+
+- :func:`docs_as_zip_members` renders each document as a STORE-method
+  member whose local-file-header bytes — signature, DOS timestamp
+  (fixed epoch), **CRC-32 via the JVM's built-in ``crc32``**, sizes,
+  name — are built entirely from expressions as a hex string + one
+  ``unhex`` (the MP3 fixture-builder trick for non-ASCII bytes), plus
+  the matching central-directory entry (its local-header offset is a
+  window cumsum at write time — the CDX-index pattern).
+- :func:`zip_files` concatenates members, then the directory, then the
+  end-of-central-directory record, per bucket (group writer, framing
+  only — all member bytes were already final).
+- :func:`parse_zip` reads like a real unzipper: find EOCD in the tail,
+  walk the central directory, then slice each member by its recorded
+  offset — random access, payloads never scanned — verifying CRC-32
+  with ``zlib.crc32`` (a second, independent CRC implementation:
+  encode is JVM Hadoop/JDK, decode is Python zlib, so a polynomial or
+  byte-order bug on either side cannot cancel out). Entries that fail
+  framing or CRC are skipped: bad files are data, not bugs.
+
+DuckDB has no crc32, so the registered oracle pins names, sizes,
+offsets, and payload round trips closed-form, while CRC correctness is
+pinned twice in pytest: stdlib ``zipfile`` reads our bytes (it raises
+on CRC mismatch), and our parser reads stdlib-written archives.
+
+Scale: encode row-local; one bucket shuffle to assemble; parsing is
+per-file parallel, and the central-directory walk reads O(members)
+index bytes before touching any payload — the ranged-GET pattern at
+object-store scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Fixed DOS timestamp: 1980-01-01 00:00:00 (date word 0x0021, time 0).
+_DOS_DATE = "2100"  # little-endian hex of 0x0021
+_DOS_TIME = "0000"
+
+MEMBERS_SCHEMA = (
+    "bucket_id long, doc_id long, name string, usize long, crc long, "
+    "member binary, cd_entry_hex string"
+)
+PARSED_SCHEMA = (
+    "bucket_id long, m_offset long, name string, size long, crc_ok boolean, "
+    "data binary"
+)
+
+
+def _le_hex(n: Column, nbytes: int) -> Column:
+    """Little-endian hex of an integer in ``nbytes`` bytes."""
+    h = F.lpad(F.lower(F.conv(n.cast("string"), 10, 16)), 2 * nbytes, "0")
+    return F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+    )
+
+
+def _name_hex(name: Column) -> Column:
+    return F.lower(F.hex(F.encode(name, "UTF-8")))
+
+
+def docs_as_zip_members(
+    docs: DataFrame, n_buckets: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """One STORE member per document: returns the final member bytes
+    (local header + name + payload) plus the central-directory entry as
+    hex (completed here except that it already embeds the local-header
+    offset via a write-order window — nothing left to compute at
+    assembly time)."""
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+    name = F.format_string("doc-%08d.txt", F.col("doc_id"))
+    crc = F.crc32(payload)
+    usize = F.octet_length(payload)
+    nlen = F.octet_length(F.encode(name, "UTF-8"))
+    common = F.concat(
+        F.lit("0a00"),          # version needed: 1.0 (store)
+        F.lit("0000"),          # flags
+        F.lit("0000"),          # method: store
+        F.lit(_DOS_TIME + _DOS_DATE),
+        _le_hex(crc, 4),
+        _le_hex(usize, 4),      # csize == usize for store
+        _le_hex(usize, 4),
+        _le_hex(nlen, 2),
+        F.lit("0000"),          # extra len
+    )
+    local_hex = F.concat(F.lit("504b0304"), common, _name_hex(name))
+    member = F.concat(F.unhex(local_hex), payload)
+
+    staged = docs.select(
+        (F.col("doc_id") % n_buckets).alias("bucket_id"),
+        F.col("doc_id"),
+        name.alias("name"),
+        usize.cast("long").alias("usize"),
+        crc.cast("long").alias("crc"),
+        member.alias("member"),
+        common.alias("_common"),
+    )
+    w = (
+        Window.partitionBy("bucket_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(
+        F.sum(F.octet_length("member")).over(w), F.lit(0)
+    ).cast("long")
+    cd_entry = F.concat(
+        F.lit("504b0102"),
+        F.lit("1400"),          # version made by
+        F.col("_common"),
+        F.lit("0000"),          # comment len
+        F.lit("0000"),          # disk number
+        F.lit("0000"),          # internal attrs
+        F.lit("00000000"),      # external attrs
+        _le_hex(offset, 4),     # local header offset
+        _name_hex(F.col("name")),
+    )
+    return staged.withColumn("cd_entry_hex", cd_entry).drop("_common")
+
+
+def zip_files(members: DataFrame) -> DataFrame:
+    """Assemble each bucket's archive: members (doc order), central
+    directory, EOCD. Pure framing — every member byte and directory
+    entry was finalized expression-side."""
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import struct
+
+        pdf = pdf.sort_values("doc_id")
+        body = b"".join(bytes(m) for m in pdf["member"])
+        cd = b"".join(bytes.fromhex(h) for h in pdf["cd_entry_hex"])
+        n = len(pdf)
+        eocd = b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, n, n, len(cd), len(body), 0
+        )
+        return pd.DataFrame(
+            {
+                "bucket_id": [key[0]],
+                "n_members": [n],
+                "data": [body + cd + eocd],
+            }
+        )
+
+    return members.groupBy("bucket_id").applyInPandas(
+        build, schema="bucket_id long, n_members long, data binary"
+    )
+
+
+def parse_zip(files: DataFrame, batch_rows: int = 8) -> DataFrame:
+    """Unzip like a real reader: EOCD from the tail, central-directory
+    walk, per-member ranged slice + CRC verify. Never scans payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib as _zlib
+
+        cols = ["bucket_id", "m_offset", "name", "size", "crc_ok", "data"]
+
+        def walk(blob: bytes):
+            tail = blob[-(0xFFFF + 22):] if len(blob) > 0xFFFF + 22 else blob
+            e = tail.rfind(b"PK\x05\x06")
+            if e < 0:
+                return
+            base = len(blob) - len(tail)
+            try:
+                (_d0, _d1, n, _n2, cd_size, cd_off, _clen) = struct.unpack(
+                    "<HHHHIIH", tail[e + 4 : e + 22]
+                )
+            except struct.error:
+                return
+            pos = cd_off
+            for _ in range(n):
+                if blob[pos : pos + 4] != b"PK\x01\x02":
+                    return
+                (
+                    _vm, _vn, _fl, method, _t, _dt, crc, csize, usize,
+                    nlen, xlen, clen2, _disk, _iat, _xat, lho,
+                ) = struct.unpack("<HHHHHHIIIHHHHHII", blob[pos + 4 : pos + 46])
+                name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+                pos += 46 + nlen + xlen + clen2
+                # ranged read of exactly this member
+                lh = blob[lho : lho + 30]
+                if len(lh) < 30 or lh[:4] != b"PK\x03\x04":
+                    continue
+                lnlen, lxlen = struct.unpack("<HH", lh[26:30])
+                dstart = lho + 30 + lnlen + lxlen
+                raw = blob[dstart : dstart + csize]
+                if len(raw) != csize:
+                    continue
+                if method == 8:
+                    try:
+                        raw = _zlib.decompress(raw, -15, usize + 1)
+                    except _zlib.error:
+                        continue
+                elif method != 0:
+                    continue
+                yield lho, name, usize, _zlib.crc32(raw) == crc, raw
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[start : start + batch_rows]
+                rows = [
+                    (int(b), off, name, size, ok, data)
+                    for b, blob in zip(part["bucket_id"], part["data"])
+                    for off, name, size, ok, data in walk(bytes(blob))
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(gen, schema=PARSED_SCHEMA)

@@ -181,3 +181,27 @@ def test_cli_corpus_tokenize(spark, tmp_path):
     row = enc.where("n_words > 0").first()
     assert row["n_tokens"] >= row["n_words"]  # word-internal BPE only splits
     assert row["token_prefix"]
+
+
+def test_cli_corpus_export(spark, tmp_path):
+    """The corpus-export CLI must write loader-readable .tar shards."""
+    import tarfile
+
+    from conftest import SF_DIR
+
+    from epic_stream_processor_spark.__main__ import main
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "shards")
+    main(["corpus-export", "--docs", src, "--out", out, "--n-shards", "3"])
+    import os
+
+    paths = sorted(os.listdir(out))
+    assert len(paths) == 3 and all(p.endswith(".tar") for p in paths)
+    n = 0
+    for p in paths:
+        with tarfile.open(os.path.join(out, p), "r:") as tf:
+            n += sum(1 for m in tf.getmembers() if m.name.endswith(".txt"))
+    assert n == docs.count()

@@ -2810,3 +2810,67 @@ def test_frontier_politeness_invariants(spark):
         for a, b in zip(rs, rs[1:]):
             assert b["fetch_at_ms"] - a["fetch_at_ms"] == delay
             assert a["priority"] >= b["priority"]
+
+
+def _pack_tiff(bo: str, w: int, h: int, pix: bytes) -> bytes:
+    """Hand-packed single-strip TIFF in either byte order — an
+    independent writer for the decoder's endianness contract."""
+    import struct
+
+    entries = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, 1, 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 1),
+        (273, 4, 1, 8),           # single strip right after the header
+        (278, 3, 1, h),
+        (279, 4, 1, len(pix)),
+        (42038, 3, 1, 7),         # unknown private tag: must be ignored
+    ]
+    ifd_off = 8 + len(pix)
+    magic = b"II\x2a\x00" if bo == "<" else b"MM\x00\x2a"
+    out = magic + struct.pack(bo + "I", ifd_off) + pix
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        packed = (
+            struct.pack(bo + "H", val) + b"\x00\x00"
+            if typ == 3
+            else struct.pack(bo + "I", val)
+        )
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + packed
+    return out + b"\x00\x00\x00\x00"
+
+
+def test_tiff_decoder_handles_both_byte_orders(spark):
+    from epic_stream_processor_spark.operators.tiff import parse_tiff
+
+    pix = bytes(range(48))
+    rows = [(0, _pack_tiff("<", 8, 6, pix)), (1, _pack_tiff(">", 8, 6, pix))]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = {r["doc_id"]: r for r in parse_tiff(df).collect()}
+    assert set(got) == {0, 1}
+    for r in got.values():
+        assert (r["width"], r["height"], r["n_strips"]) == (8, 6, 1)
+        assert r["pixel_sum"] == sum(pix)
+        assert r["head_hex"] == pix[:16].hex()
+
+
+def test_tiff_truncated_strip_skips_file(spark):
+    from epic_stream_processor_spark.operators.tiff import (
+        docs_as_tiff,
+        parse_tiff,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(6)
+    pdf = docs_as_tiff(docs).toPandas()
+    # truncating from the END destroys the IFD (it's last) — instead cut
+    # one strip's bytes out of the middle of the first file, which makes
+    # its recorded offsets point past the truncated pixel region
+    blobs = [bytes(b) for b in pdf["data"]]
+    blobs[0] = blobs[0][:10] + blobs[0][14:]
+    pdf["data"] = blobs
+    df = spark.createDataFrame(pdf, "doc_id long, data binary")
+    got = parse_tiff(df).collect()
+    assert len(got) == 5  # the mangled file is skipped, the rest parse

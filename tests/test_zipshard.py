@@ -1,0 +1,100 @@
+"""ZIP container tests: stdlib-zipfile interop in BOTH directions (it
+CRC-checks everything it reads), deflate members, and robustness."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import zlib
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.sources.fixtures import load_table
+from epic_stream_processor_spark.sources.zipshard import (
+    docs_as_zip_members,
+    parse_zip,
+    zip_files,
+)
+
+
+def _archives(spark, n_buckets=4):
+    docs = load_table(spark, SF_DIR, "documents")
+    return docs, zip_files(docs_as_zip_members(docs, n_buckets=n_buckets))
+
+
+def test_stdlib_zipfile_reads_expression_built_archives(spark):
+    """Python's zipfile must open our JVM-expression-built archives and
+    extract every member — .read() verifies each CRC-32, so a polynomial
+    or byte-order bug in the expression encoder fails loudly here."""
+    docs, archives = _archives(spark)
+    want = {r["doc_id"]: (r["text"] or "") for r in docs.collect()}
+    seen = 0
+    for row in archives.collect():
+        zf = zipfile.ZipFile(io.BytesIO(bytes(row["data"])))
+        assert zf.testzip() is None  # full CRC sweep
+        for info in zf.infolist():
+            doc_id = int(info.filename[4:12])
+            assert zf.read(info).decode("utf-8") == want[doc_id]
+            seen += 1
+    assert seen == len(want)
+
+
+def test_own_parser_reads_stdlib_written_archives(spark):
+    """The reverse direction: archives written by stdlib zipfile —
+    including DEFLATE members, which our encoder never emits — must
+    parse back with verified CRCs."""
+    payloads = {
+        f"f{i}.txt": (f"payload {i} " * (i + 1)).encode() for i in range(6)
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i, (name, data) in enumerate(sorted(payloads.items())):
+            method = zipfile.ZIP_DEFLATED if i % 2 else zipfile.ZIP_STORED
+            zf.writestr(
+                zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)),
+                data,
+                compress_type=method,
+            )
+    df = spark.createDataFrame(
+        [(0, buf.getvalue())], "bucket_id long, data binary"
+    )
+    got = {r["name"]: r for r in parse_zip(df).collect()}
+    assert set(got) == set(payloads)
+    for name, data in payloads.items():
+        assert bytes(got[name]["data"]) == data
+        assert got[name]["crc_ok"]
+        assert got[name]["size"] == len(data)
+
+
+def test_corrupt_payload_flags_crc_and_others_survive(spark):
+    """Flipping one payload byte must flip that member's crc_ok (the
+    ranged read still works — framing is intact) while every other
+    member stays verified."""
+    docs, archives = _archives(spark, n_buckets=1)
+    row = archives.collect()[0]
+    blob = bytearray(bytes(row["data"]))
+    # corrupt one byte inside the first member's payload (header is 30
+    # + 16 name bytes; payload may be empty — find a member with size>0)
+    parsed = parse_zip(
+        spark.createDataFrame([(0, bytes(blob))], "bucket_id long, data binary")
+    ).collect()
+    victim = next(r for r in parsed if r["size"] > 0)
+    blob[victim["m_offset"] + 46] ^= 0xFF
+    got = {
+        r["name"]: r
+        for r in parse_zip(
+            spark.createDataFrame(
+                [(0, bytes(blob))], "bucket_id long, data binary"
+            )
+        ).collect()
+    }
+    assert not got[victim["name"]]["crc_ok"]
+    bad = [r for r in got.values() if not r["crc_ok"]]
+    assert len(bad) == 1
+
+
+def test_no_eocd_yields_no_rows(spark):
+    _, archives = _archives(spark, n_buckets=1)
+    blob = bytes(archives.collect()[0]["data"])[:-22]  # strip EOCD
+    df = spark.createDataFrame([(0, blob)], "bucket_id long, data binary")
+    assert parse_zip(df).count() == 0
