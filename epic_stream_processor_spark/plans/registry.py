@@ -819,6 +819,7 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "aggregate-fold checksum) -> sample-adjacent group-writer shards "
         "-> checksum-verified member walk; byte offsets window-derived "
         "by the oracle pin framing and padding exactly",
+        bench=True,  # r7: the container family's standing perf tracker
     ),
     "tar_samples": QueryDef(
         corpus.q_tar_samples, corpus.ORACLE_TAR_SAMPLES,
