@@ -1635,3 +1635,143 @@ SELECT bucket_id,
        payload AS text
 FROM s
 """
+
+
+# --- The curation ledger (capstone composition) -------------------------------
+
+def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document curation VERDICT table — the artifact a real
+    pipeline materializes so "why was my document dropped?" is one
+    lookup, composed entirely from driver-proven signals: exact dedup
+    (md5 keeper election), near-dup (both MinHash LSH bands agree;
+    min-id survivor), 13-gram benchmark contamination, the C4 word
+    blocklist, and the Gopher repetition-quality gate. Precedence:
+    held_out (the doc IS the benchmark slice) > exact_dup > near_dup >
+    contaminated > blocked > low_quality > keep.
+
+    Scale: five doc_id-keyed hash joins plus one content-hash join —
+    every input is itself a proven bounded-shuffle plan, and the ledger
+    adds only key-partitioned joins on top. The oracle embeds the
+    component oracles verbatim as derived tables, so the composition
+    cannot drift from the parts.
+    """
+    from . import llm as L
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+
+    from ..operators import dedup as D
+
+    keepers = D.exact_dedup(docs)  # (content_hash, keeper_id, n_copies)
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    ex = hashed.join(keepers, "content_hash").select(
+        "doc_id", (F.col("doc_id") != F.col("keeper_id")).alias("is_exact_dup")
+    )
+    sigs = D.minhash_signatures(docs, num_hashes=4, shingle_k=2, parallelism=64)
+    near = (
+        D.minhash_lsh_pairs(sigs, num_hashes=4, band_size=2)
+        .where(F.col("n_bands") == 2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    rep = q_repetition_metrics(spark, sf_dir).select("doc_id", "quality_pass")
+    from ..operators.contamination import blocklist_profile
+
+    # the ledger's own narrow blocklist: the fixture's word-soup docs
+    # contain the demo BLOCKLIST's common words in ~80% of rows (the
+    # matching mechanics are driver-proven there); 'dup' hits ~5% —
+    # the realistic gate rate a verdict distribution should show
+    bl = blocklist_profile(docs, LEDGER_BLOCKLIST).select(
+        "doc_id", F.col("keep").alias("_bl_keep")
+    )
+    ct = L.q_decontaminate_13gram(spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    j = (
+        docs.select("doc_id")
+        .join(ex, "doc_id")
+        .join(near, "doc_id", "left")
+        .join(rep, "doc_id")
+        .join(bl, "doc_id")
+        .join(ct, "doc_id", "left")
+    )
+    held_out = F.col("doc_id") % 20 == 0
+    is_near = F.coalesce(F.col("_near"), F.lit(False))
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    blocked = ~F.col("_bl_keep")
+    verdict = (
+        F.when(held_out, "held_out")
+        .when(F.col("is_exact_dup"), "exact_dup")
+        .when(is_near, "near_dup")
+        .when(contaminated, "contaminated")
+        .when(blocked, "blocked")
+        .when(~F.col("quality_pass"), "low_quality")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id",
+        held_out.alias("held_out"),
+        "is_exact_dup",
+        is_near.alias("is_near_dup"),
+        contaminated.alias("contaminated"),
+        blocked.alias("blocked"),
+        "quality_pass",
+        verdict.alias("verdict"),
+    )
+
+
+LEDGER_BLOCKLIST = ["dup"]
+
+
+def _oracle_curation_ledger() -> str:
+    from ..operators.contamination import blocklist_oracle_sql
+    from . import llm as L
+
+    bl_oracle = blocklist_oracle_sql(LEDGER_BLOCKLIST)
+
+    return f"""WITH exk AS (
+  SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id
+  FROM documents GROUP BY 1
+),
+ex AS (
+  SELECT d.doc_id, d.doc_id <> exk.keeper_id AS is_exact_dup
+  FROM documents d JOIN exk ON md5(d.text) = exk.content_hash
+),
+near AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM ({L.ORACLE_MINHASH_LSH_PAIRS}) WHERE n_bands = 2
+),
+rep AS (
+  SELECT doc_id, quality_pass FROM ({ORACLE_REPETITION_METRICS})
+),
+bl AS (
+  SELECT doc_id, keep FROM ({bl_oracle})
+),
+ct AS (
+  SELECT doc_id, contaminated FROM ({L.ORACLE_DECONTAMINATE_13GRAM})
+)
+SELECT d.doc_id,
+       d.doc_id % 20 = 0 AS held_out,
+       ex.is_exact_dup,
+       near.doc_id IS NOT NULL AS is_near_dup,
+       coalesce(ct.contaminated, false) AS contaminated,
+       NOT bl.keep AS blocked,
+       rep.quality_pass,
+       CASE WHEN d.doc_id % 20 = 0 THEN 'held_out'
+            WHEN ex.is_exact_dup THEN 'exact_dup'
+            WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+            WHEN coalesce(ct.contaminated, false) THEN 'contaminated'
+            WHEN NOT bl.keep THEN 'blocked'
+            WHEN NOT rep.quality_pass THEN 'low_quality'
+            ELSE 'keep' END AS verdict
+FROM documents d
+JOIN ex ON ex.doc_id = d.doc_id
+LEFT JOIN near ON near.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+JOIN bl ON bl.doc_id = d.doc_id
+LEFT JOIN ct ON ct.doc_id = d.doc_id
+"""
+
+
+ORACLE_CURATION_LEDGER = _oracle_curation_ledger()

@@ -725,6 +725,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "Common Crawl WET-generation chain composed end to end from "
         "proven operators, closed-form oracle",
     ),
+    "curation_ledger": QueryDef(
+        corpus.q_curation_ledger, corpus.ORACLE_CURATION_LEDGER,
+        "the per-doc curation VERDICT table (round 7 capstone): exact "
+        "dedup + LSH near-dup + 13-gram contamination + blocklist + "
+        "Gopher quality composed by precedence into one 'why was my "
+        "document dropped' ledger; the oracle embeds the component "
+        "oracles verbatim so the composition cannot drift",
+    ),
     "tiff_decode": QueryDef(
         llm.q_tiff_decode, llm.ORACLE_TIFF_DECODE,
         "TIFF 6.0 decode (round 7, the tag-directory container): "

@@ -216,3 +216,30 @@ def test_sitemap_index_roundtrip_lists_every_host(spark):
     got = {r["sitemap_url"] for r in parse_sitemap_index(sitemap_index(maps)).collect()}
     want = {r["sitemap_url"] for r in maps.collect()}
     assert got == want and len(got) > 1
+
+
+def test_curation_ledger_verdict_distribution(spark):
+    """The ledger must actually exercise its precedence chain at the
+    driver SF: both the held-out slice and real drop reasons appear,
+    'keep' survives for a majority-ish share, and every flagged doc's
+    verdict matches the highest-precedence raised flag."""
+    from epic_stream_processor_spark.plans.corpus import q_curation_ledger
+
+    rows = q_curation_ledger(spark, "/root/testdata/sf0.01").collect()
+    verdicts = {}
+    for r in rows:
+        verdicts.setdefault(r["verdict"], 0)
+        verdicts[r["verdict"]] += 1
+        expect = (
+            "held_out" if r["held_out"]
+            else "exact_dup" if r["is_exact_dup"]
+            else "near_dup" if r["is_near_dup"]
+            else "contaminated" if r["contaminated"]
+            else "blocked" if r["blocked"]
+            else "low_quality" if not r["quality_pass"]
+            else "keep"
+        )
+        assert r["verdict"] == expect, r
+    assert verdicts.get("held_out", 0) > 0
+    assert verdicts.get("keep", 0) > len(rows) * 0.2
+    assert len(verdicts) >= 4, verdicts  # chain genuinely exercised
