@@ -1775,3 +1775,63 @@ LEFT JOIN ct ON ct.doc_id = d.doc_id
 
 
 ORACLE_CURATION_LEDGER = _oracle_curation_ledger()
+
+
+# --- Compression-ratio quality signal (rows-only tier) ------------------------
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the quality signal several
+    published pipelines use alongside the n-gram repetition rules:
+    machine-generated or highly repetitive text compresses far below
+    natural prose, random-ish noise barely compresses at all, so both
+    tails of the ratio distribution are drop candidates.
+
+    One row-local Arrow pass (deflate level 6, the recipe default);
+    ratio is reported as exact integers (compressed/raw byte counts)
+    plus their one float division. DuckDB has no deflate, so this is a
+    rows-only registry entry — the semantics are pinned instead by
+    property tests (monotone under repetition, ~1.0 on incompressible
+    bytes, byte-stable across reruns) in tests/test_corpus.py.
+
+    Scale: embarrassingly parallel, zero shuffles — the same budget as
+    every codec pass here; deflate throughput (~100 MB/s/core) prices a
+    100 TB sweep at ~10 core-days, which is why real pipelines run it
+    once and materialize the column (this query IS that column).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import zlib as _z
+
+        for pdf in batches:
+            raw = [
+                (t or "").encode("utf-8") for t in pdf["text"].fillna("")
+            ]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "raw_bytes": [len(b) for b in raw],
+                    "compressed_bytes": [
+                        len(_z.compress(b, 6)) for b in raw
+                    ],
+                }
+            )
+            yield out
+
+    prof = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, raw_bytes long, compressed_bytes long"
+    )
+    return prof.select(
+        "doc_id",
+        "raw_bytes",
+        "compressed_bytes",
+        F.when(F.col("raw_bytes") > 0,
+               F.col("compressed_bytes") / F.col("raw_bytes"))
+        .otherwise(F.lit(None))
+        .alias("ratio"),
+    )

