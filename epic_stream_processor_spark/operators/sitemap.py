@@ -55,9 +55,20 @@ def _decode_entities(col: Column) -> Column:
 
 
 def _block_field(block: Column, tag: str) -> Column:
-    """Non-greedy single-tag extract within one block; missing → NULL."""
+    """Non-greedy single-tag extract within one block; missing → NULL.
+
+    ``(?s)`` because real-world sitemaps are pretty-printed: without
+    DOTALL, Java-regex ``.`` stops at newlines and a multi-line block
+    silently extracts nothing (round-8 ADVICE fix)."""
+    # regexp strip, not F.trim: Spark's trim removes only 0x20 spaces,
+    # while pretty-printed values are padded with newlines/tabs
     return F.nullif(
-        F.regexp_extract(block, f"<{tag}>(.*?)</{tag}>", 1), F.lit("")
+        F.regexp_replace(
+            F.regexp_extract(block, f"(?s)<{tag}>(.*?)</{tag}>", 1),
+            r"^\s+|\s+$",
+            "",
+        ),
+        F.lit(""),
     )
 
 
@@ -68,7 +79,7 @@ def parse_sitemap(
     ``lastmod``/``priority`` (NULL when absent). Entries with no ``<loc>``
     are dropped (the spec makes loc mandatory; a block without one is
     malformed data, not a bug)."""
-    blocks = F.regexp_extract_all(F.col(xml_col), F.lit("<url>(.*?)</url>"), 1)
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit("(?s)<url>(.*?)</url>"), 1)
     u = (
         sitemaps.select(*passthrough, F.explode_outer(blocks).alias("u"))
         .where(F.col("u").isNotNull())
@@ -87,7 +98,7 @@ def parse_sitemap_index(
     """One row per ``<sitemap>`` entry in a ``<sitemapindex>``: the
     entity-decoded child sitemap URL."""
     blocks = F.regexp_extract_all(
-        F.col(xml_col), F.lit("<sitemap>(.*?)</sitemap>"), 1
+        F.col(xml_col), F.lit("(?s)<sitemap>(.*?)</sitemap>"), 1
     )
     return (
         index.select(F.explode_outer(blocks).alias("s"))

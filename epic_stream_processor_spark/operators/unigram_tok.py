@@ -194,5 +194,10 @@ def unigram_tokenize(
         F.col("w").alias("word"),
         F.col("wcnt").alias("word_count"),
         final["n"].alias("n_pieces"),
-        F.substring(final["p"], 2, 10_000).alias("segmentation"),
+        # strip the leading "|" with an explicit length (len-1, never a
+        # hardcoded cap: a fixed bound would silently truncate if a
+        # caller raised max_word/max_piece — round-8 ADVICE fix)
+        final["p"]
+        .substr(F.lit(2), F.length(final["p"]) - 1)
+        .alias("segmentation"),
     )

@@ -1646,8 +1646,16 @@ def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 keeper election), near-dup (both MinHash LSH bands agree;
     min-id survivor), 13-gram benchmark contamination, the C4 word
     blocklist, and the Gopher repetition-quality gate. Precedence:
-    held_out (the doc IS the benchmark slice) > exact_dup > near_dup >
+    empty (NULL/whitespace-only text — no content to curate) > held_out
+    (the doc IS the benchmark slice) > exact_dup > near_dup >
     contaminated > blocked > low_quality > keep.
+
+    EVERY doc_id gets exactly one ledger row — that is the contract.
+    Component signals that cannot cover empty docs (the repetition gate
+    filters them out, md5(NULL) is NULL) are LEFT-joined and coalesced
+    to conservative defaults (quality_pass=false, is_exact_dup=false),
+    so an empty doc surfaces as verdict='empty' instead of silently
+    missing from the ledger (round-8 ADVICE fix).
 
     Scale: five doc_id-keyed hash joins plus one content-hash join —
     every input is itself a proven bounded-shuffle plan, and the ledger
@@ -1688,35 +1696,53 @@ def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = L.q_decontaminate_13gram(spark, sf_dir).select(
         "doc_id", "contaminated"
     )
+    # Every join below is LEFT from the full doc roster: components that
+    # cannot produce a row for NULL/empty-text docs (rep filters them,
+    # md5(NULL) keys `ex` on NULL) must not drop the doc from the ledger.
     j = (
-        docs.select("doc_id")
-        .join(ex, "doc_id")
+        docs.select(
+            "doc_id",
+            # regexp, not trim(): Spark/DuckDB trim strips 0x20 only, and
+            # a "\n\t" doc is just as empty
+            (
+                F.length(
+                    F.regexp_replace(
+                        F.coalesce(F.col("text"), F.lit("")), r"\s", ""
+                    )
+                )
+                == 0
+            ).alias("_empty"),
+        )
+        .join(ex, "doc_id", "left")
         .join(near, "doc_id", "left")
-        .join(rep, "doc_id")
-        .join(bl, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(bl, "doc_id", "left")
         .join(ct, "doc_id", "left")
     )
     held_out = F.col("doc_id") % 20 == 0
+    is_exact = F.coalesce(F.col("is_exact_dup"), F.lit(False))
     is_near = F.coalesce(F.col("_near"), F.lit(False))
     contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
-    blocked = ~F.col("_bl_keep")
+    blocked = ~F.coalesce(F.col("_bl_keep"), F.lit(True))
+    quality = F.coalesce(F.col("quality_pass"), F.lit(False))
     verdict = (
-        F.when(held_out, "held_out")
-        .when(F.col("is_exact_dup"), "exact_dup")
+        F.when(F.col("_empty"), "empty")
+        .when(held_out, "held_out")
+        .when(is_exact, "exact_dup")
         .when(is_near, "near_dup")
         .when(contaminated, "contaminated")
         .when(blocked, "blocked")
-        .when(~F.col("quality_pass"), "low_quality")
+        .when(~quality, "low_quality")
         .otherwise("keep")
     )
     return j.select(
         "doc_id",
         held_out.alias("held_out"),
-        "is_exact_dup",
+        is_exact.alias("is_exact_dup"),
         is_near.alias("is_near_dup"),
         contaminated.alias("contaminated"),
         blocked.alias("blocked"),
-        "quality_pass",
+        quality.alias("quality_pass"),
         verdict.alias("verdict"),
     )
 
@@ -1753,23 +1779,24 @@ ct AS (
 )
 SELECT d.doc_id,
        d.doc_id % 20 = 0 AS held_out,
-       ex.is_exact_dup,
+       coalesce(ex.is_exact_dup, false) AS is_exact_dup,
        near.doc_id IS NOT NULL AS is_near_dup,
        coalesce(ct.contaminated, false) AS contaminated,
-       NOT bl.keep AS blocked,
-       rep.quality_pass,
-       CASE WHEN d.doc_id % 20 = 0 THEN 'held_out'
-            WHEN ex.is_exact_dup THEN 'exact_dup'
+       NOT coalesce(bl.keep, true) AS blocked,
+       coalesce(rep.quality_pass, false) AS quality_pass,
+       CASE WHEN length(regexp_replace(coalesce(d.text, ''), '\s', '', 'g')) = 0 THEN 'empty'
+            WHEN d.doc_id % 20 = 0 THEN 'held_out'
+            WHEN coalesce(ex.is_exact_dup, false) THEN 'exact_dup'
             WHEN near.doc_id IS NOT NULL THEN 'near_dup'
             WHEN coalesce(ct.contaminated, false) THEN 'contaminated'
-            WHEN NOT bl.keep THEN 'blocked'
-            WHEN NOT rep.quality_pass THEN 'low_quality'
+            WHEN NOT coalesce(bl.keep, true) THEN 'blocked'
+            WHEN NOT coalesce(rep.quality_pass, false) THEN 'low_quality'
             ELSE 'keep' END AS verdict
 FROM documents d
-JOIN ex ON ex.doc_id = d.doc_id
+LEFT JOIN ex ON ex.doc_id = d.doc_id
 LEFT JOIN near ON near.doc_id = d.doc_id
-JOIN rep ON rep.doc_id = d.doc_id
-JOIN bl ON bl.doc_id = d.doc_id
+LEFT JOIN rep ON rep.doc_id = d.doc_id
+LEFT JOIN bl ON bl.doc_id = d.doc_id
 LEFT JOIN ct ON ct.doc_id = d.doc_id
 """
 

@@ -135,7 +135,19 @@ def docs_as_zip_members(
 def zip_files(members: DataFrame) -> DataFrame:
     """Assemble each bucket's archive: members (doc order), central
     directory, EOCD. Pure framing — every member byte and directory
-    entry was finalized expression-side."""
+    entry was finalized expression-side.
+
+    Classic-ZIP limits are ENFORCED, not assumed (round-8 ADVICE fix):
+    the EOCD packs member count as uint16 and cd/body sizes as uint32,
+    and this writer emits no ZIP64 records — so a bucket with >65535
+    members or ≥4 GiB of member/central-directory bytes raises a clear
+    ValueError before packing instead of struct.error / silent offset
+    wraparound. At 100 TB the fix is bucketing (raise ``n_buckets`` so
+    each archive stays inside classic limits — the WebDataset-style
+    shard-size contract documented on :func:`docs_as_zip_members`), not
+    ZIP64: many classic shards beat one giant archive for parallel
+    ranged reads anyway. :func:`parse_zip` reads classic archives only.
+    """
 
     def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import struct
@@ -144,6 +156,13 @@ def zip_files(members: DataFrame) -> DataFrame:
         body = b"".join(bytes(m) for m in pdf["member"])
         cd = b"".join(bytes.fromhex(h) for h in pdf["cd_entry_hex"])
         n = len(pdf)
+        if n > 0xFFFF or len(cd) > 0xFFFFFFFF or len(body) > 0xFFFFFFFF:
+            raise ValueError(
+                f"bucket {key[0]}: {n} members / {len(body)} body bytes "
+                f"/ {len(cd)} central-directory bytes exceed classic-ZIP "
+                "limits (65535 members, 4 GiB); raise n_buckets so each "
+                "shard fits — this writer does not emit ZIP64"
+            )
         eocd = b"PK\x05\x06" + struct.pack(
             "<HHHHIIH", 0, 0, n, n, len(cd), len(body), 0
         )

@@ -203,6 +203,49 @@ def test_sitemap_parse_robustness(spark):
     assert rows["https://a.example/2"]["lastmod"] is None
 
 
+def test_sitemap_parse_multiline_pretty_printed(spark):
+    """Real-world sitemaps are pretty-printed: <url> blocks and even the
+    values inside <loc> span lines. Without (?s) DOTALL the Java-regex
+    block extract silently yields ZERO rows (round-8 ADVICE fix); values
+    are whitespace-trimmed per the sitemap spec."""
+    from epic_stream_processor_spark.operators.sitemap import (
+        parse_sitemap,
+        parse_sitemap_index,
+    )
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        "<urlset>\n"
+        "  <url>\n"
+        "    <loc>\n      https://a.example/1\n    </loc>\n"
+        "    <lastmod>2026-02-03</lastmod>\n"
+        "  </url>\n"
+        "  <url>\n"
+        "    <loc>https://a.example/2</loc>\n"
+        "    <priority>0.7</priority>\n"
+        "  </url>\n"
+        "</urlset>\n"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    rows = {r["loc"]: r for r in parse_sitemap(df).collect()}
+    assert set(rows) == {"https://a.example/1", "https://a.example/2"}
+    assert rows["https://a.example/1"]["lastmod"] == "2026-02-03"
+    assert rows["https://a.example/2"]["priority"] == "0.7"
+
+    idx = (
+        "<sitemapindex>\n"
+        "  <sitemap>\n    <loc>https://a.example/sitemap.xml</loc>\n  </sitemap>\n"
+        "  <sitemap>\n    <loc>https://b.example/sitemap.xml</loc>\n  </sitemap>\n"
+        "</sitemapindex>\n"
+    )
+    idf = spark.createDataFrame([(idx,)], "xml string")
+    got = {r["sitemap_url"] for r in parse_sitemap_index(idf).collect()}
+    assert got == {
+        "https://a.example/sitemap.xml",
+        "https://b.example/sitemap.xml",
+    }
+
+
 def test_sitemap_index_roundtrip_lists_every_host(spark):
     from epic_stream_processor_spark.operators.sitemap import (
         docs_as_sitemaps,
@@ -243,6 +286,35 @@ def test_curation_ledger_verdict_distribution(spark):
     assert verdicts.get("held_out", 0) > 0
     assert verdicts.get("keep", 0) > len(rows) * 0.2
     assert len(verdicts) >= 4, verdicts  # chain genuinely exercised
+
+
+def test_curation_ledger_covers_empty_and_null_docs(spark, tmp_path):
+    """The ledger contract: EVERY doc_id appears exactly once, including
+    NULL-text and whitespace-only docs (which the repetition gate filters
+    and whose md5 keys the exact-dup join on NULL) — those surface as
+    verdict='empty', not as missing rows (round-8 ADVICE fix)."""
+    from epic_stream_processor_spark.plans.corpus import q_curation_ledger
+
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    extra = spark.createDataFrame(
+        [
+            (900001, None, "en", "web", 0),
+            (900002, "", "en", "web", 0),
+            (900003, "   \n\t ", "en", "web", 6),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf_empty")
+    src.unionByName(extra).repartition(2).write.parquet(f"{d}/documents.parquet")
+
+    rows = q_curation_ledger(spark, d).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    n_docs = src.count() + 3
+    assert len(rows) == n_docs and len(by_id) == n_docs  # one row per doc
+    for did in (900001, 900002, 900003):
+        r = by_id[did]
+        assert r["verdict"] == "empty", r
+        assert r["quality_pass"] is False and r["is_exact_dup"] is False
 
 
 def test_compression_ratio_properties(spark):

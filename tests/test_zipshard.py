@@ -98,3 +98,25 @@ def test_no_eocd_yields_no_rows(spark):
     blob = bytes(archives.collect()[0]["data"])[:-22]  # strip EOCD
     df = spark.createDataFrame([(0, blob)], "bucket_id long, data binary")
     assert parse_zip(df).count() == 0
+
+
+def test_classic_zip_member_limit_raises_clearly(spark):
+    """>65535 members in one bucket must raise the documented ValueError
+    BEFORE packing (the EOCD count field is uint16 and this writer emits
+    no ZIP64), not a bare struct.error or a silently wrapped count
+    (round-8 ADVICE fix)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    n = 0x10000  # 65536 — one past the classic limit
+    members = (
+        spark.range(n)
+        .select(
+            F.lit(0).alias("bucket_id"),
+            F.col("id").alias("doc_id"),
+            F.lit(b"").alias("member"),
+            F.lit("").alias("cd_entry_hex"),
+        )
+    )
+    with pytest.raises(Exception, match="classic-ZIP"):
+        zip_files(members).collect()
