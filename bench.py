@@ -98,6 +98,53 @@ def bench_tier(
     return {n: round(sorted(r)[sweeps // 2], 3) for n, r in reps.items()}
 
 
+def bench_tier_stable(
+    spark, sf_dir: str, bench_queries, max_sweeps: int = 6, tol: float = 0.2,
+):
+    """Warm-until-stable recorder for the expensive 100× tier.
+
+    The fixed warm-2/best-of-3 protocol still over-reported slow-warming
+    queries (r7: q_events_hourly recorded 11.3 s vs a ~4.1 s steady
+    state — heavy-codegen plans JIT-converge over 4-5 reps, same curve
+    as q5 in r6). Fix: keep full round-robin sweeps (the interleaving
+    that defeats this host's bursty stall windows — see bench_tier), but
+    make the sweep count ADAPTIVE per query: a query leaves the rotation
+    once its latest rep is within ``tol`` of the previous one (minimum 3
+    reps so every query still gets a genuine best-of-N), while
+    unconverged queries keep sweeping up to ``max_sweeps``. Recorded
+    value is the per-query min across all reps — cold/JIT reps are
+    slower and stalls only ever inflate, so the min is the floor.
+
+    Returns (timings, rep_counts) so the detail file shows how many reps
+    each query needed to settle.
+    """
+
+    def run_once(q) -> float:
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    reps: dict[str, list[float]] = {n: [] for n in bench_queries}
+    active = dict(bench_queries)
+    for _ in range(max_sweeps):
+        for name, q in active.items():
+            reps[name].append(run_once(q))
+        active = {
+            n: q
+            for n, q in active.items()
+            if not (
+                len(reps[n]) >= 3
+                and abs(reps[n][-1] - reps[n][-2]) <= tol * reps[n][-2]
+            )
+        }
+        if not active:
+            break
+    return (
+        {n: round(min(r), 3) for n, r in reps.items()},
+        {n: len(r) for n, r in reps.items()},
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -167,19 +214,22 @@ def main() -> None:
             sf10_queries = {
                 n: q for n, q in bench_queries.items() if n != "knn_cosine"
             }
-            # warm=2/best-of-3: the r6 warm-1/best-of-2 protocol
-            # under-warmed this tier (cache/JIT/AQE settle over the first
-            # 2-3 reps at 1.6 GB — q5 recorded 9.8 s vs a 3.1-3.9 s steady
-            # state, VERDICT r6 "What's wrong" #2)
-            t10 = bench_tier(
-                spark, sf10_dir, sf10_queries, warm=2, sweeps=3, pick="min"
+            # warm-until-stable (r8, VERDICT r7 "What's wrong" #1): fixed
+            # warm counts under-warmed heavy-codegen queries twice (q5 in
+            # r6, q_events_hourly in r7 — both recorded ~2.5x their steady
+            # state); the adaptive recorder keeps sweeping a query until
+            # consecutive reps agree within 20%.
+            t10, n_reps = bench_tier_stable(
+                spark, sf10_dir, sf10_queries, max_sweeps=6, tol=0.2
             )
             out["sf10"] = {
                 "queries": t10,
                 "total": round(sum(t10.values()), 3),
                 "copies": 100,
                 "generation_sec": gen_s,
-                "method": "warm-2 best-of-3",
+                "method": "interleaved warm-until-stable "
+                "(tol 20%, 3-6 reps, min)",
+                "reps": n_reps,
                 "excluded": {
                     "knn_cosine": "10,000x sf0.1 scoring work at this tier "
                     "(SCALING.md §2b); knn_cosine_ivf is the measured twin"

@@ -1862,3 +1862,44 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None))
         .alias("ratio"),
     )
+
+
+# --- PDF text extraction (round 8) --------------------------------------------
+
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction end to end (round 8): render one deterministic
+    single-page PDF per document (catalog/pages/page COS objects, xref
+    table, two content streams, FlateDecode on even doc_ids) and read it
+    back the way a viewer does — startxref → xref walk → /Root →
+    /Pages → /Kids → /Contents array, /Length-sliced streams, bounded
+    inflate, BT/ET + Tj/TJ/Td text-op walk (operators/pdf.py).
+
+    Closed-form: the extracted text is exactly the whitespace-normalized
+    document text plus a newline-separated footer line, so DuckDB can
+    recompute every output column from the documents table. Both sides'
+    normalization is the identical trim+regexp chain (engine-exact).
+
+    Scale: two row-local Arrow passes, zero shuffles — PDFs never leave
+    their worker (the multimodal-codec budget).
+    """
+    from ..operators.pdf import docs_as_pdfs, parse_pdf
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_pdf(docs_as_pdfs(docs)).select(
+        "doc_id", "n_pages", "n_show_ops", "pdf_filter", "text"
+    )
+
+
+ORACLE_PDF_EXTRACT = """WITH d AS (
+  SELECT doc_id,
+         regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_pages,
+       CAST(2 AS BIGINT) AS n_show_ops,
+       CASE WHEN doc_id % 2 = 0 THEN 'FlateDecode' ELSE 'none' END AS pdf_filter,
+       t || chr(10) || '[doc ' || doc_id || ' p1]' AS text
+FROM d
+"""

@@ -859,6 +859,15 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "ext->payload map per sample, text + JSON sidecar fields "
         "recovered as column expressions",
     ),
+    "pdf_extract": QueryDef(
+        corpus.q_pdf_extract, corpus.ORACLE_PDF_EXTRACT,
+        "PDF text extraction (round 8, ISO 32000): deterministic COS "
+        "fixture render (xref table, /Contents array, FlateDecode on "
+        "even doc_ids) + viewer-style xref-walk extraction with bounded "
+        "inflate and BT/ET Tj/TJ/Td text ops — the crawl-corpus format "
+        "every curation pipeline hits; closed-form oracle recomputes "
+        "every column from documents",
+    ),
     "shard_manifest": QueryDef(
         corpus.q_shard_manifest, corpus.ORACLE_SHARD_MANIFEST,
         "deterministic training-shard writer manifest: salted-hash "

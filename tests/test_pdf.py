@@ -1,0 +1,171 @@
+"""PDF surface tests: round trip on real fixture docs, hostile string
+escaping, xref-driven access (not byte scanning), the FlateDecode bomb
+bound, and text-op coverage beyond what the corpus fixture emits."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.operators.pdf import docs_as_pdfs, parse_pdf
+from epic_stream_processor_spark.sources.fixtures import load_table
+
+
+def _parse_rows(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_id long, data binary")
+    return {r["doc_id"]: r for r in parse_pdf(df).collect()}
+
+
+def test_pdf_roundtrip_on_fixture_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pdfs = docs_as_pdfs(docs)
+    got = {r["doc_id"]: r for r in parse_pdf(pdfs).collect()}
+    want = {
+        r["doc_id"]: re.sub(r"\s+", " ", (r["text"] or "").strip(" "))
+        for r in docs.collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, norm in want.items():
+        r = got[doc_id]
+        assert r["text"] == f"{norm}\n[doc {doc_id} p1]", doc_id
+        assert r["n_pages"] == 1 and r["n_show_ops"] == 2
+        assert r["pdf_filter"] == (
+            "FlateDecode" if doc_id % 2 == 0 else "none"
+        )
+
+
+def test_pdf_hostile_strings_roundtrip(spark):
+    """Parens (balanced and escaped), backslashes, octal-escaped bytes,
+    and non-ASCII UTF-8 must survive the literal-string round trip."""
+    hostile = [
+        (1, "paren (balanced) and \\ backslash"),
+        (2, "close ) open ( mixed"),
+        (3, "unicode éü中文 text"),
+        (4, "tab\there newline\nthere"),  # normalized to single spaces
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in hostile],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in parse_pdf(docs_as_pdfs(docs)).collect()}
+    for i, t in hostile:
+        norm = re.sub(r"\s+", " ", t.strip())
+        assert got[i]["text"] == f"{norm}\n[doc {i} p1]", (i, got[i]["text"])
+
+
+def test_pdf_parser_uses_xref_offsets(spark):
+    """Corrupting ONE xref entry must break exactly that PDF (dropped),
+    proving object access is offset-driven, not a regex scan."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "w", 10), (2, "gamma delta", "en", "w", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = [
+        (r["doc_id"], bytes(r["data"]))
+        for r in docs_as_pdfs(docs).collect()
+    ]
+    blob = bytearray(pairs[0][1])
+    at = blob.index(b"xref")
+    # first object's entry starts after "xref\n0 7\n" + the free entry
+    entry_at = at + len(b"xref\n0 7\n") + 20
+    blob[entry_at : entry_at + 10] = b"0000000007"  # bogus offset
+    rows = _parse_rows(
+        spark, [(pairs[0][0], bytes(blob)), (pairs[1][0], pairs[1][1])]
+    )
+    assert pairs[0][0] not in rows  # corrupted row dropped, not crashed
+    assert rows[pairs[1][0]]["text"].startswith("gamma delta")
+
+
+def test_pdf_flate_bomb_is_bounded(spark):
+    """A content stream inflating past the cap must drop the row, not
+    materialize gigabytes executor-side (the WARC bomb budget)."""
+    bomb = zlib.compress(b"BT (x) Tj ET" + b"\x00" * (64 << 20), 9)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R] >>",
+    }
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in (1, 2, 3, 4):
+        offsets[num] = len(buf)
+        if num == 4:
+            buf += (
+                b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(bomb)
+                + bomb
+                + b"\nendstream\nendobj\n"
+            )
+        else:
+            buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 5\n0000000000 65535 f \n"
+    for num in (1, 2, 3, 4):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_at
+    )
+    rows = _parse_rows(spark, [(7, bytes(buf))])
+    assert rows == {}
+
+
+def _wrap_content(content: bytes) -> bytes:
+    """Minimal single-page PDF around a raw content stream."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    }
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in (1, 2, 3, 4):
+        offsets[num] = len(buf)
+        if num == 4:
+            buf += (
+                b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+                + content
+                + b"\nendstream\nendobj\n"
+            )
+        else:
+            buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 5\n0000000000 65535 f \n"
+    for num in (1, 2, 3, 4):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_at
+    )
+    return bytes(buf)
+
+
+def test_pdf_text_operator_coverage(spark):
+    """T*, TD, the ' move-and-show op, TJ kerning numbers, octal
+    escapes, and a /Contents scalar (non-array) reference."""
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (line one) Tj "
+        b"0 -14 TD [(ker) -20 (ned)] TJ "
+        b"T* (starred) Tj "
+        b"(quoted) ' "
+        b"(oct\\101l) Tj ET"  # \101 = 'A'
+    )
+    rows = _parse_rows(spark, [(9, _wrap_content(content))])
+    r = rows[9]
+    # ' pushes a new line, then shows; the trailing Tj joins that line
+    assert r["text"] == "line one\nkerned\nstarred\nquotedoctAl"
+    assert r["n_show_ops"] == 5
+    assert r["n_pages"] == 1 and r["pdf_filter"] == "none"
+
+
+def test_pdf_malformed_inputs_dropped_not_crashed(spark):
+    cases = [
+        (1, b"not a pdf at all"),
+        (2, b"%PDF-1.4\nno xref here"),
+        (3, b""),
+        # valid-looking startxref pointing past EOF
+        (4, b"%PDF-1.4\nstartxref\n999999\n%%EOF\n"),
+    ]
+    assert _parse_rows(spark, cases) == {}
