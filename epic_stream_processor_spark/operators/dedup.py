@@ -209,12 +209,36 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding → candidate pairs (a < b) with the count of agreeing
-    bands. Equi-join on the band key — no cross join at any scale."""
+    bands. Equi-join on the band key — no cross join at any scale.
+
+    ``bucket_cap`` (r8) is the standard LSH safety valve for adversarial
+    skew — the same dial :func:`imagehash.near_dup_pairs` and the SRP
+    path already carry: a near-duplicate-FLOODED corpus puts 10%+ of all
+    docs behind ONE (band, band_key) bucket, and the self-join then
+    emits ~(0.1·N)² candidate pairs from that bucket alone — quadratic
+    in corpus size however good the banding is for organic data. With a
+    cap, buckets holding more than ``cap`` ids are dropped BEFORE the
+    self-join (one extra count-agg on the band table, map-side partials,
+    no new shuffle shape). Recall contract, pinned by test: pairs whose
+    every agreeing band is over-full are lost (the flood cluster itself
+    — usually the point: such floods get handled by exact dedup first);
+    pairs sharing at least one under-cap band survive. ``None``
+    (default, and the oracle-checked setting) keeps exact completeness.
+    """
     all_bands = lsh_band_keys(
         signatures, id_col=id_col, num_hashes=num_hashes, band_size=band_size
     )
+    if bucket_cap is not None:
+        ok = (
+            all_bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= bucket_cap)
+            .select("band", "band_key")
+        )
+        all_bands = all_bands.join(ok, ["band", "band_key"], "left_semi")
     a = all_bands.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
     )

@@ -2874,3 +2874,42 @@ def test_tiff_truncated_strip_skips_file(spark):
     df = spark.createDataFrame(pdf, "doc_id long, data binary")
     got = parse_tiff(df).collect()
     assert len(got) == 5  # the mangled file is skipped, the rest parse
+
+
+def test_minhash_lsh_bucket_cap_recall_under_flood(spark):
+    """Adversarial-skew contract for the MinHash LSH family (r8): a
+    near-duplicate-FLOODED corpus (here 60 copies of one doc — >10% of
+    rows behind one band key in EVERY band) makes the uncapped self-join
+    emit the flood's quadratic pair set; bucket_cap drops those buckets
+    while pairs with at least one under-cap agreeing band — the organic
+    near-dups LSH exists to find — are all still recalled."""
+    from epic_stream_processor_spark.operators import dedup as D
+
+    flood = [(i, "spark shuffle join scan filter agg sort merge") for i in range(60)]
+    organic = []
+    planted = []
+    for j in range(20):
+        base = " ".join(f"w{j}_{k}" for k in range(24))
+        near = base.replace(f"w{j}_11", "CHANGED")
+        organic += [(1000 + 2 * j, base), (1001 + 2 * j, near)]
+        planted.append((1000 + 2 * j, 1001 + 2 * j))
+    docs = spark.createDataFrame(flood + organic, "doc_id long, text string")
+    sigs = D.minhash_signatures(docs, num_hashes=8, shingle_k=2)
+
+    uncapped = D.minhash_lsh_pairs(sigs, num_hashes=8).collect()
+    capped = D.minhash_lsh_pairs(sigs, num_hashes=8, bucket_cap=10).collect()
+
+    flood_quad = 60 * 59 // 2
+    flood_pairs_un = [r for r in uncapped if r.id_a < 1000 and r.id_b < 1000]
+    assert len(flood_pairs_un) == flood_quad  # the quadratic blowup, real
+    # capped: the flood's buckets (60 ids each) all exceed cap=10 → gone
+    assert not any(r.id_a < 1000 and r.id_b < 1000 for r in capped)
+    # recall: every planted organic near-dup pair has its own small
+    # buckets and must survive the cap with the SAME band agreement
+    got_capped = {(r.id_a, r.id_b): r.n_bands for r in capped}
+    got_uncapped = {(r.id_a, r.id_b): r.n_bands for r in uncapped}
+    for pair in planted:
+        assert pair in got_uncapped  # fixture sanity: LSH finds it at all
+        assert got_capped.get(pair) == got_uncapped[pair], pair
+    # and nothing NEW appears under the cap
+    assert set(got_capped) <= set(got_uncapped)
