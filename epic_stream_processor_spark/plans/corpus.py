@@ -1903,3 +1903,61 @@ SELECT doc_id,
        t || chr(10) || '[doc ' || doc_id || ' p1]' AS text
 FROM d
 """
+
+
+# --- FLAC lossless audio (round 8) --------------------------------------------
+
+def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC round trip (round 8, the lossless tier of the audio family):
+    render each document as a genuine FLAC file (STREAMINFO with the
+    REAL 128-bit PCM MD5, CRC-8'd frame headers, CRC-16'd frames,
+    VERBATIM/CONSTANT subframes) and fully decode it back — sample
+    values, both CRC families verified, and the decoded PCM re-hashed
+    against STREAMINFO's MD5 (``md5_ok``), so one wrong sample anywhere
+    breaks the match (operators/flac.py).
+
+    Closed-form: one int16 sample per UTF-8 text byte ((b−128)·256, the
+    WAV fixture contract), so DuckDB recomputes every column — including
+    the full-PCM hex digest — from the documents table with the same
+    nibble-translate idiom the WAV oracle uses.
+
+    Scale: two row-local Arrow passes, zero shuffles.
+    """
+    from ..operators.flac import FLAC_BLOCK, docs_as_flac, parse_flac
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_flac(docs_as_flac(docs)).select(
+        "doc_id", "sample_rate", "channels", "bits", "total_samples",
+        "n_frames", "crc_ok_frames", "md5_ok", "first_samples_hex",
+        "sample_md5",
+    )
+
+
+ORACLE_FLAC_DECODE = """WITH m AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n,
+         hex(encode(coalesce(text, ''))) AS hx,
+         CAST(8000 + doc_id % 5 * 2000 AS BIGINT) AS sr
+  FROM documents
+), s AS (
+  SELECT doc_id, n, sr,
+         array_to_string(list_transform(range(CAST(n AS BIGINT)), i ->
+           '00'
+           || translate(substring(hx, CAST(2 * i + 1 AS INT), 1),
+                        '0123456789ABCDEF', '89ABCDEF01234567')
+           || substring(hx, CAST(2 * i + 2 AS INT), 1)), '') AS full_hex
+  FROM m
+)
+SELECT doc_id,
+       sr AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bits,
+       n AS total_samples,
+       CAST(ceil(n / 256.0) AS BIGINT) AS n_frames,
+       CAST(ceil(n / 256.0) AS BIGINT) AS crc_ok_frames,
+       true AS md5_ok,
+       substring(full_hex, 1, CAST(4 * least(8, n) AS INT)) AS first_samples_hex,
+       md5(full_hex) AS sample_md5
+FROM s
+"""

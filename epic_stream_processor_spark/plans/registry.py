@@ -859,6 +859,15 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "ext->payload map per sample, text + JSON sidecar fields "
         "recovered as column expressions",
     ),
+    "flac_decode": QueryDef(
+        corpus.q_flac_decode, corpus.ORACLE_FLAC_DECODE,
+        "FLAC lossless audio round trip (round 8, RFC 9639): real "
+        "bitstream write + full decode of the VERBATIM/CONSTANT subset "
+        "- STREAMINFO with the true 128-bit PCM MD5 re-verified against "
+        "decoded samples, CRC-8 headers, CRC-16 frames; completes the "
+        "audio tier (WAV decode, MP3 triage, FLAC lossless); oracle "
+        "recomputes every column incl. the full-PCM hex digest",
+    ),
     "pdf_extract": QueryDef(
         corpus.q_pdf_extract, corpus.ORACLE_PDF_EXTRACT,
         "PDF text extraction (round 8, ISO 32000): deterministic COS "

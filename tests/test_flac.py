@@ -1,0 +1,127 @@
+"""FLAC surface tests: round trip on fixture docs, the CONSTANT
+subframe path, CRC-8/CRC-16 corruption detection, the STREAMINFO-MD5
+sample-integrity check, multi-frame files, and triage of inputs
+outside the decoded subset."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.operators.flac import (
+    FLAC_BLOCK,
+    docs_as_flac,
+    parse_flac,
+)
+from epic_stream_processor_spark.sources.fixtures import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _roundtrip(spark, rows):
+    return {
+        r["doc_id"]: r
+        for r in parse_flac(docs_as_flac(_docs(spark, rows))).collect()
+    }
+
+
+def test_flac_roundtrip_fixture_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {r["doc_id"]: r for r in parse_flac(docs_as_flac(docs)).collect()}
+    want = {r["doc_id"]: (r["text"] or "") for r in docs.collect()}
+    assert set(got) == set(want)
+    for doc_id, text in want.items():
+        r = got[doc_id]
+        data = text.encode("utf-8")
+        n = len(data)
+        assert r["total_samples"] == n
+        assert r["n_frames"] == (n + FLAC_BLOCK - 1) // FLAC_BLOCK
+        assert r["crc_ok_frames"] == r["n_frames"]  # every CRC verified
+        assert r["md5_ok"] is True
+        assert r["sample_rate"] == 8000 + doc_id % 5 * 2000
+        pcm = b"".join(struct.pack("<h", (b - 128) * 256) for b in data)
+        assert r["first_samples_hex"] == pcm[:16].hex().upper()
+
+
+def test_flac_constant_subframe_roundtrip(spark):
+    """A flat block (all samples equal) is written as a CONSTANT
+    subframe — 2 bytes instead of 512 — and must decode identically."""
+    flat = "a" * FLAC_BLOCK  # one full constant block
+    mixed = "a" * FLAC_BLOCK + "variable tail text"
+    got = _roundtrip(spark, [(1, flat), (2, mixed)])
+    pairs = [
+        (r["doc_id"], bytes(r["data"]))
+        for r in docs_as_flac(_docs(spark, [(1, flat), (2, mixed)])).collect()
+    ]
+    flat_blob = dict(pairs)[1]
+    var_blob = dict(pairs)[2]
+    # the constant encoding actually engaged: a 256-sample flat file is
+    # tens of bytes, not the 512+ a VERBATIM block would take — and the
+    # mixed file's flat first block is constant too (only the 18-sample
+    # tail is verbatim), so it stays far under one verbatim block
+    assert len(flat_blob) < 100
+    assert len(flat_blob) < len(var_blob) < 2 * FLAC_BLOCK
+    for i, text in ((1, flat), (2, mixed)):
+        r = got[i]
+        assert r["md5_ok"] and r["total_samples"] == len(text)
+        assert r["crc_ok_frames"] == r["n_frames"]
+
+
+def test_flac_crc_corruption_detected(spark):
+    """Flipping a sample byte must flip the frame CRC-16 (crc_ok_frames
+    drops) AND the whole-stream MD5 (md5_ok False) — while framing still
+    walks (counts intact)."""
+    text = "0123456789" * 30  # 300 bytes → 2 frames
+    blob = bytearray(
+        bytes(
+            docs_as_flac(_docs(spark, [(5, text)])).collect()[0]["data"]
+        )
+    )
+    # find first VERBATIM subframe header (0b000001<<1 = 0x02) after the
+    # 4+4+34 metadata prefix and 6-byte frame header; flip a sample byte
+    blob[4 + 4 + 34 + 6 + 1 + 5] ^= 0x10
+    df = spark.createDataFrame([(5, bytes(blob))], "doc_id long, data binary")
+    r = parse_flac(df).collect()[0]
+    assert r["n_frames"] == 2
+    assert r["crc_ok_frames"] == 1  # only the corrupted frame fails
+    assert r["md5_ok"] is False
+
+
+def test_flac_malformed_and_subset_triage(spark):
+    """Garbage → NULL fields; a valid file claiming stereo (outside the
+    decoded subset) → header fields reported, sample fields NULL."""
+    from pyspark.sql import functions as F
+
+    good = bytes(
+        docs_as_flac(_docs(spark, [(1, "hello world")])).collect()[0]["data"]
+    )
+    stereo = bytearray(good)
+    # STREAMINFO packed u64 at offset 4+4+10: set channels-1 bits to 1
+    packed = struct.unpack(">Q", stereo[18:26])[0] | (1 << 41)
+    stereo[18:26] = struct.pack(">Q", packed)
+    rows = {
+        r["doc_id"]: r
+        for r in parse_flac(
+            spark.createDataFrame(
+                [(1, b"not flac"), (2, bytes(stereo)), (3, good)],
+                "doc_id long, data binary",
+            )
+        ).collect()
+    }
+    assert rows[1]["sample_rate"] is None
+    assert rows[2]["channels"] == 2 and rows[2]["n_frames"] is None
+    assert rows[3]["md5_ok"] is True
+
+
+def test_flac_empty_doc(spark):
+    got = _roundtrip(spark, [(7, ""), (8, None)])
+    for i in (7, 8):
+        r = got[i]
+        assert r["total_samples"] == 0 and r["n_frames"] == 0
+        assert r["md5_ok"] is True  # md5 of empty PCM matches
+        assert r["first_samples_hex"] == ""
+        assert r["sample_md5"] == hashlib.md5(b"").hexdigest()
