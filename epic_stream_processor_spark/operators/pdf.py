@@ -32,11 +32,16 @@ bound capping adversarial blowup.
 Honest limitations (documented, not hidden): literal strings carry raw
 UTF-8 (real PDFs use PDFDocEncoding/UTF-16 + font CMaps — a full CMap
 engine is out of scope for fixtures this module both writes and reads);
-xref streams (PDF 1.5 cross-reference *streams*) and object streams are
-not parsed — classic xref tables only; ``/Length`` must be a direct
-integer, not an indirect reference. Rows that fail any structural step
-(bad xref, missing root, truncated stream) are dropped, not crashed —
-crawl corpora contain malformed PDFs as a matter of course.
+``/Length`` must be a direct integer, not an indirect reference;
+incremental-update chains (``/Prev``) are not followed — one xref
+generation per file. BOTH xref generations are parsed: classic tables
+AND PDF 1.5 cross-reference streams (``/Type /XRef``, W-coded binary
+entries) with type-2 entries resolved out of FlateDecode'd object
+streams (``/Type /ObjStm``) — the layout real-world PDFs actually ship;
+the fixture writes every third document that way (``xref_kind`` reports
+which path ran). Rows that fail any structural step (bad xref, missing
+root, truncated stream, ObjStm/xref disagreement) are dropped, not
+crashed — crawl corpora contain malformed PDFs as a matter of course.
 
 Reference note: the reference service (an astronomy stream processor)
 has no document formats at all; this module is part of the repo's
@@ -53,7 +58,7 @@ from pyspark.sql import functions as F
 
 PDF_SCHEMA = (
     "doc_id long, n_pages long, n_show_ops long, pdf_filter string, "
-    "text string"
+    "xref_kind string, text string"
 )
 
 
@@ -133,6 +138,8 @@ def docs_as_pdfs(
                 ),
                 5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
             }
+            if doc_id % 3 == 0:
+                return build_modern(doc_id, objs, dict1, stream1, footer)
             buf = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")
             offsets = {}
             for num in (1, 2, 3, 4, 5, 6):
@@ -158,6 +165,83 @@ def docs_as_pdfs(
                 b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
                 % xref_at
             )
+            return bytes(buf)
+
+        def build_modern(
+            doc_id: int, objs: dict, dict1: bytes, stream1: bytes,
+            footer: bytes,
+        ) -> bytes:
+            """PDF 1.5 layout — what real-world PDFs actually ship:
+            catalog/pages/font packed into an OBJECT STREAM (/ObjStm,
+            FlateDecode'd), and a CROSS-REFERENCE STREAM (/Type /XRef,
+            W=[1 2 1] binary entries, type-2 rows pointing into the
+            ObjStm) instead of a classic xref table + trailer."""
+            # object stream 8 holds objects 1, 2, 5 (no obj/endobj wrap)
+            members = [(1, objs[1]), (2, objs[2]), (5, objs[5])]
+            hdr_parts, off = [], 0
+            bodies = b""
+            for num, b in members:
+                hdr_parts.append(b"%d %d" % (num, off))
+                bodies += b + b"\n"
+                off += len(b) + 1
+            objstm_hdr = b" ".join(hdr_parts) + b"\n"
+            objstm_raw = objstm_hdr + bodies
+            objstm_z = _zlib.compress(objstm_raw, 6)
+            # W=[1 2 1] caps offsets at 64 KiB — far above any fixture
+            # PDF (a few KB); fail loudly rather than wrap silently
+
+            buf = bytearray(b"%PDF-1.5\n%\xc2\xa5\xc2\xb1\n")
+            offsets = {}
+            for num in (3, 4, 6, 8):
+                offsets[num] = len(buf)
+                if num == 3:
+                    buf += b"3 0 obj\n" + objs[3] + b"\nendobj\n"
+                elif num == 4:
+                    buf += (
+                        b"4 0 obj\n" + dict1 + b"\nstream\n" + stream1
+                        + b"\nendstream\nendobj\n"
+                    )
+                elif num == 6:
+                    buf += (
+                        b"6 0 obj\n<< /Length %d >>\nstream\n" % len(footer)
+                        + footer
+                        + b"\nendstream\nendobj\n"
+                    )
+                else:
+                    buf += (
+                        b"8 0 obj\n<< /Type /ObjStm /N %d /First %d "
+                        b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                        % (len(members), len(objstm_hdr), len(objstm_z))
+                        + objstm_z
+                        + b"\nendstream\nendobj\n"
+                    )
+            xref_at = len(buf)
+            offsets[7] = xref_at
+            # W=[1 2 1] entries for objects 0..8
+            rows = []
+            for num in range(9):
+                if num == 0:
+                    rows.append(bytes([0, 0, 0, 255]))  # free
+                elif num in (1, 2, 5):
+                    idx = [m[0] for m in members].index(num)
+                    rows.append(bytes([2]) + (8).to_bytes(2, "big")
+                                + bytes([idx]))
+                else:
+                    if offsets[num] > 0xFFFF:
+                        raise ValueError(
+                            "fixture PDF exceeds the W=[1 2 1] 64 KiB "
+                            "offset budget — widen W before raising sizes"
+                        )
+                    rows.append(bytes([1]) + offsets[num].to_bytes(2, "big")
+                                + bytes([0]))
+            xdata = _zlib.compress(b"".join(rows), 6)
+            buf += (
+                b"7 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Root 1 0 R "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(xdata)
+                + xdata
+                + b"\nendstream\nendobj\n"
+            )
+            buf += b"startxref\n%d\n%%%%EOF\n" % xref_at
             return bytes(buf)
 
         for pdf in batches:
@@ -190,7 +274,7 @@ def parse_pdf(
         import re as _re
         import zlib as _zlib
 
-        cols = ["doc_id", "n_pages", "n_show_ops", "pdf_filter", "text"]
+        cols = ["doc_id", "n_pages", "n_show_ops", "pdf_filter", "xref_kind", "text"]
 
         def inflate_bounded(data: bytes, cap: int):
             d = _zlib.decompressobj()
@@ -209,45 +293,120 @@ def parse_pdf(
             return bytes(out)
 
         def parse_xref(blob: bytes):
-            """startxref → classic xref table → {objnum: offset}, trailer."""
+            """startxref → classic xref TABLE or PDF 1.5 xref STREAM →
+            ({objnum: entry}, trailer_dict, kind). A table entry is
+            ``("o", offset)``; a stream adds type-2 ``("c", stm, idx)``
+            rows pointing into an object stream."""
             tail = blob[-256:]
             m = _re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
             if not m:
-                return None, None
+                return None, None, None
             at = int(m.group(1))
-            if blob[at : at + 4] != b"xref":
-                return None, None
-            pos = at + 4
-            offsets = {}
-            while True:
-                m = _re.match(rb"\s*(\d+)\s+(\d+)\s*\n", blob[pos : pos + 40])
-                if not m:
-                    break
-                start, count = int(m.group(1)), int(m.group(2))
-                pos += m.end()
-                for i in range(count):
-                    entry = blob[pos : pos + 20]
-                    if len(entry) < 18:
-                        return None, None
-                    if entry[17:18] == b"n":
-                        offsets[start + i] = int(entry[:10])
-                    pos += 20
-            t = blob.find(b"trailer", pos)
-            if t < 0:
-                return None, None
-            return offsets, blob[t : t + 512]
-
-        def obj_body(blob: bytes, offsets, num: int):
-            at = offsets.get(num)
-            if at is None:
-                return None
+            if blob[at : at + 4] == b"xref":
+                pos = at + 4
+                entries = {}
+                while True:
+                    m = _re.match(
+                        rb"\s*(\d+)\s+(\d+)\s*\n", blob[pos : pos + 40]
+                    )
+                    if not m:
+                        break
+                    start, count = int(m.group(1)), int(m.group(2))
+                    pos += m.end()
+                    for i in range(count):
+                        entry = blob[pos : pos + 20]
+                        if len(entry) < 18:
+                            return None, None, None
+                        if entry[17:18] == b"n":
+                            entries[start + i] = ("o", int(entry[:10]))
+                        pos += 20
+                t = blob.find(b"trailer", pos)
+                if t < 0:
+                    return None, None, None
+                return entries, blob[t : t + 512], "table"
+            # xref STREAM: "<num> 0 obj << /Type /XRef /W [...] ... >>"
             m = _re.match(rb"(\d+)\s+\d+\s+obj", blob[at : at + 32])
-            if not m or int(m.group(1)) != num:
-                return None  # xref lied: this row is structurally bad
+            if not m:
+                return None, None, None
             end = blob.find(b"endobj", at)
-            if end < 0:
+            body = blob[at + m.end() : end if end > 0 else at + 4096]
+            if not _re.search(rb"/Type\s*/XRef", body):
+                return None, None, None
+            wm = _re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", body)
+            sm = _re.search(rb"/Size\s+(\d+)", body)
+            if not wm or not sm:
+                return None, None, None
+            w = [int(wm.group(i)) for i in (1, 2, 3)]
+            size = int(sm.group(1))
+            im = _re.search(rb"/Index\s*\[((?:\s*\d+)+)\s*\]", body)
+            index = (
+                [int(x) for x in im.group(1).split()] if im else [0, size]
+            )
+            got = stream_of(body, inflate_cap)
+            if got is None:
+                return None, None, None
+            _f, data = got
+            entries = {}
+            rowlen = sum(w)
+            pos = 0
+            for j in range(0, len(index), 2):
+                start, count = index[j], index[j + 1]
+                for i in range(count):
+                    if pos + rowlen > len(data):
+                        return None, None, None
+                    row = data[pos : pos + rowlen]
+                    pos += rowlen
+                    f = []
+                    o = 0
+                    for width in w:
+                        f.append(int.from_bytes(row[o : o + width], "big"))
+                        o += width
+                    t = f[0] if w[0] else 1  # missing type field ⇒ 1
+                    if t == 1:
+                        entries[start + i] = ("o", f[1])
+                    elif t == 2:
+                        entries[start + i] = ("c", f[1], f[2])
+            return entries, body, "stream"
+
+        def obj_body(blob: bytes, entries, num: int, _depth: int = 0):
+            """Fetch object ``num`` — directly by offset, or out of its
+            object stream for type-2 entries (PDF 1.5)."""
+            e = entries.get(num)
+            if e is None or _depth > 2:
                 return None
-            return blob[at + m.end() : end]
+            if e[0] == "o":
+                at = e[1]
+                m = _re.match(rb"(\d+)\s+\d+\s+obj", blob[at : at + 32])
+                if not m or int(m.group(1)) != num:
+                    return None  # xref lied: this row is structurally bad
+                end = blob.find(b"endobj", at)
+                if end < 0:
+                    return None
+                return blob[at + m.end() : end]
+            # type-2: object lives inside object stream e[1] at index e[2]
+            stm_body = obj_body(blob, entries, e[1], _depth + 1)
+            if stm_body is None or not _re.search(rb"/Type\s*/ObjStm", stm_body):
+                return None
+            nm = _re.search(rb"/N\s+(\d+)", stm_body)
+            fm = _re.search(rb"/First\s+(\d+)", stm_body)
+            got = stream_of(stm_body, inflate_cap)
+            if not nm or not fm or got is None:
+                return None
+            n, first = int(nm.group(1)), int(fm.group(1))
+            _f, data = got
+            head = data[:first].split()
+            if len(head) < 2 * n or e[2] >= n:
+                return None
+            pairs = [
+                (int(head[2 * i]), int(head[2 * i + 1])) for i in range(n)
+            ]
+            onum, ooff = pairs[e[2]]
+            if onum != num:
+                return None  # ObjStm header disagrees with the xref
+            nxt = (
+                pairs[e[2] + 1][1] if e[2] + 1 < n else len(data) - first
+            )
+            return data[first + ooff : first + nxt]
 
         def ref_in(dict_bytes: bytes, key: bytes):
             m = _re.search(key + rb"\s+(\d+)\s+\d+\s+R", dict_bytes)
@@ -383,7 +542,7 @@ def parse_pdf(
             return "\n".join(lines), n_show
 
         def parse_one(doc_id: int, blob: bytes):
-            offsets, trailer = parse_xref(blob)
+            offsets, trailer, xref_kind = parse_xref(blob)
             if not offsets or trailer is None:
                 return None
             root = ref_in(trailer, rb"/Root")
@@ -424,6 +583,7 @@ def parse_pdf(
                 "n_pages": n_pages,
                 "n_show_ops": n_show,
                 "pdf_filter": body_filter or "none",
+                "xref_kind": xref_kind,
                 "text": text,
             }
 

@@ -1887,7 +1887,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
     return parse_pdf(docs_as_pdfs(docs)).select(
-        "doc_id", "n_pages", "n_show_ops", "pdf_filter", "text"
+        "doc_id", "n_pages", "n_show_ops", "pdf_filter", "xref_kind", "text"
     )
 
 
@@ -1900,6 +1900,7 @@ SELECT doc_id,
        CAST(1 AS BIGINT) AS n_pages,
        CAST(2 AS BIGINT) AS n_show_ops,
        CASE WHEN doc_id % 2 = 0 THEN 'FlateDecode' ELSE 'none' END AS pdf_filter,
+       CASE WHEN doc_id % 3 = 0 THEN 'stream' ELSE 'table' END AS xref_kind,
        t || chr(10) || '[doc ' || doc_id || ' p1]' AS text
 FROM d
 """

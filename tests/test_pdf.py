@@ -169,3 +169,58 @@ def test_pdf_malformed_inputs_dropped_not_crashed(spark):
         (4, b"%PDF-1.4\nstartxref\n999999\n%%EOF\n"),
     ]
     assert _parse_rows(spark, cases) == {}
+
+
+def test_pdf15_xref_stream_and_objstm_roundtrip(spark):
+    """Every third fixture doc ships the PDF 1.5 layout (binary xref
+    STREAM + catalog/pages/font inside a FlateDecode'd OBJECT STREAM);
+    extraction must be byte-identical to the classic-table path and
+    xref_kind must report which generation was walked."""
+    rows = [(3, "modern layout alpha beta"), (4, "classic layout gamma")]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "w", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in parse_pdf(docs_as_pdfs(docs)).collect()}
+    assert got[3]["xref_kind"] == "stream"
+    assert got[4]["xref_kind"] == "table"
+    assert got[3]["text"] == "modern layout alpha beta\n[doc 3 p1]"
+    assert got[4]["text"] == "classic layout gamma\n[doc 4 p1]"
+    # the 1.5 file genuinely has no classic table or trailer keyword
+    blob3 = bytes(
+        {r["doc_id"]: r for r in docs_as_pdfs(docs).collect()}[3]["data"]
+    )
+    assert b"trailer" not in blob3 and b"\nxref\n" not in blob3
+    assert b"/ObjStm" in blob3 and b"/XRef" in blob3
+
+
+def test_pdf15_corrupt_objstm_header_drops_row(spark):
+    """An ObjStm whose header disagrees with the xref stream's type-2
+    entry (object number mismatch) must drop the row, not mis-resolve."""
+    import zlib as _z
+
+    docs = spark.createDataFrame(
+        [(3, "payload text", "en", "w", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    blob = bytearray(
+        bytes(docs_as_pdfs(docs).collect()[0]["data"])
+    )
+    # rewrite the ObjStm payload: bump the first member's object number
+    at = blob.index(b"/Type /ObjStm")
+    import re
+
+    m = re.search(rb"/Length (\d+) >>\nstream\n", bytes(blob[at:]))
+    start = at + m.end()
+    n = int(m.group(1))
+    raw = _z.decompress(bytes(blob[start : start + n]))
+    hacked = raw.replace(b"1 0 2 ", b"9 0 2 ", 1)
+    rez = _z.compress(hacked, 6)
+    # same-length substitution keeps every downstream offset valid
+    if len(rez) <= n:
+        rez = rez + b"\x00" * (n - len(rez))
+        blob[start : start + n] = rez
+        df = spark.createDataFrame(
+            [(3, bytes(blob))], "doc_id long, data binary"
+        )
+        assert parse_pdf(df).count() == 0
