@@ -1,0 +1,124 @@
+"""Unicode text normalization — the ingest-edge cleanup every published
+curation recipe runs before anything else touches the text.
+
+Crawl text arrives with three standing defects this module fixes
+deterministically:
+
+- **Control characters** (C0 except ``\\t \\n \\r``, plus DEL) — OCR
+  artifacts and broken exports; stripped and counted.
+- **Zero-width characters** (ZWSP/ZWNJ/ZWJ/BOM) — invisible, but they
+  split tokens, break dedup hashes, and smuggle through blocklists;
+  stripped and counted.
+- **Mojibake** (UTF-8 bytes mis-decoded as Latin-1: ``é`` → ``Ã©``) —
+  the classic double-encoding failure; repaired by the standard inverse
+  transform (re-encode Latin-1, re-decode UTF-8), gated on (a) a
+  mojibake indicator character being present, (b) the round trip
+  succeeding, and (c) the result actually changing — the ftfy-style
+  conservative gate, so clean text can never be corrupted by "repair".
+- Finally **NFC normalization** (canonical composition) so equal-looking
+  strings hash equal in every downstream dedup/blocklist stage.
+
+Engine split, chosen for oracle-exactness at scale: the strip passes
+are pure JVM ``regexp_replace`` + length arithmetic (whole-stage
+codegen, and DuckDB mirrors the same character classes in RE2); only
+repair + NFC — which need real Unicode tables — run in one row-local
+Arrow pass. Zero shuffles end to end.
+
+Reference note: no text surface exists in the reference service; this
+is part of the LLM-data-pipeline extension (Unicode Standard Annex #15
+for NFC; the mojibake inverse transform is the standard ftfy/encoding-
+repair recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# C0 controls minus \t \n \r, plus DEL — Java regex (Spark side)
+CTRL_CLASS_JAVA = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# zero-width: ZWSP ZWNJ ZWJ BOM
+ZW_CLASS_JAVA = "[​‌‍﻿]"
+# the same classes in RE2 syntax (DuckDB oracle side)
+CTRL_CLASS_RE2 = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+ZW_CLASS_RE2 = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+
+# mojibake indicators: the Latin-1 renderings of UTF-8 lead bytes
+_MOJIBAKE_MARKS = "ÃÂâ"  # Ã Â â
+
+
+def strip_controls(docs: DataFrame, text_col: str = "t") -> DataFrame:
+    """JVM strip + count passes: adds ``no_zw`` (stripped text),
+    ``n_controls``, ``n_zw`` columns."""
+    return (
+        docs.withColumn(
+            "_nc", F.regexp_replace(F.col(text_col), CTRL_CLASS_JAVA, "")
+        )
+        .withColumn(
+            "n_controls",
+            (F.length(F.col(text_col)) - F.length("_nc")).cast("long"),
+        )
+        .withColumn("no_zw", F.regexp_replace("_nc", ZW_CLASS_JAVA, ""))
+        .withColumn(
+            "n_zw", (F.length("_nc") - F.length("no_zw")).cast("long")
+        )
+        .drop("_nc")
+    )
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full pipeline over raw (id, text): JVM strip → one Arrow pass
+    (conservative repair, NFC) with the counts riding along as
+    passthrough columns — a join here would buy a shuffle for nothing.
+    Returns (doc_id, text_norm, repaired, n_controls, n_zw, changed)."""
+    staged = strip_controls(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        ),
+        "t",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata as _ud
+
+        marks = "ÃÂâ"  # closure-self-contained (worker pickles by value)
+
+        def fix(t: str):
+            repaired = False
+            if any(m in t for m in marks):
+                try:
+                    cand = t.encode("latin-1").decode("utf-8")
+                    if cand != t:
+                        t, repaired = cand, True
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    pass  # not actually double-encoded: leave it alone
+            return _ud.normalize("NFC", t), repaired
+
+        for pdf in batches:
+            fixed = [fix(t or "") for t in pdf["no_zw"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "text_norm": [f[0] for f in fixed],
+                    "repaired": [f[1] for f in fixed],
+                    "n_controls": pdf["n_controls"].astype("int64"),
+                    "n_zw": pdf["n_zw"].astype("int64"),
+                    "changed": [
+                        f[0] != t for f, t in zip(fixed, pdf["t"])
+                    ],
+                }
+            )
+
+    return staged.select("doc_id", "t", "no_zw", "n_controls", "n_zw").mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, text_norm string, repaired boolean, "
+            "n_controls long, n_zw long, changed boolean"
+        ),
+    )

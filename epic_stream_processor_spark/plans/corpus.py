@@ -1962,3 +1962,82 @@ SELECT doc_id,
        md5(full_hex) AS sample_md5
 FROM s
 """
+
+
+# --- Unicode text normalization (round 8) -------------------------------------
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-edge Unicode normalization (round 8): control-char strip,
+    zero-width strip, conservative mojibake repair, NFC - the cleanup
+    every published curation recipe runs first (operators/textnorm.py).
+
+    Fixture shaping, injected JVM-side so both engines see identical
+    inputs: docs with doc_id % 7 == 0 get a mojibake prefix ('caf\u00c3\u00a9 ',
+    the Latin-1 mis-decoding of UTF-8 'caf\u00e9 '); docs with doc_id % 5 ==
+    0 get a suffix carrying one BEL control and one zero-width space.
+    The oracle rebuilds the whole pipeline in SQL: the same RE2
+    character classes for the strips, DuckDB's nfc_normalize for NFC,
+    and the repair as the closed-form CASE the injection implies.
+
+    Scale: strips are whole-stage-codegen JVM regexes; repair+NFC is one
+    row-local Arrow pass with the counts as passthrough columns - zero
+    shuffles.
+    """
+    from ..operators.textnorm import normalize_text
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("caf\u00c3\u00a9 "))
+            .otherwise(F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" x\x07y\u200bz"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_text(injected).select(
+        "doc_id", "text_norm", "repaired", "n_controls", "n_zw", "changed"
+    )
+
+
+ORACLE_TEXT_NORMALIZE = """WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'caf' || chr(195) || chr(169) || ' '
+              ELSE '' END
+         || coalesce(text, '')
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' x' || chr(7) || 'y' || chr(8203) || 'z'
+                 ELSE '' END AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')
+           AS nc
+  FROM inj
+), z AS (
+  SELECT doc_id, t, nc,
+         regexp_replace(nc, '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g')
+           AS nz
+  FROM s
+), r AS (
+  SELECT doc_id, t,
+         CAST(length(t) - length(nc) AS BIGINT) AS n_controls,
+         CAST(length(nc) - length(nz) AS BIGINT) AS n_zw,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'caf' || chr(233) || substring(nz, 6)
+              ELSE nz END AS rep,
+         doc_id % 7 = 0 AS repaired
+  FROM z
+)
+SELECT doc_id,
+       nfc_normalize(rep) AS text_norm,
+       repaired,
+       n_controls,
+       n_zw,
+       nfc_normalize(rep) <> t AS changed
+FROM r
+"""

@@ -885,6 +885,15 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "ext->payload map per sample, text + JSON sidecar fields "
         "recovered as column expressions",
     ),
+    "text_normalize": QueryDef(
+        corpus.q_text_normalize, corpus.ORACLE_TEXT_NORMALIZE,
+        "Unicode normalization (round 8, UAX #15): control + zero-width "
+        "strips as JVM regex passes, conservative ftfy-style mojibake "
+        "repair (latin-1/utf-8 double-encoding inverse, indicator-gated) "
+        "+ NFC in one Arrow pass; deterministic JVM-side injections make "
+        "repair and counts closed-form; oracle mirrors the RE2 classes "
+        "and uses DuckDB nfc_normalize",
+    ),
     "shard_manifest": QueryDef(
         corpus.q_shard_manifest, corpus.ORACLE_SHARD_MANIFEST,
         "deterministic training-shard writer manifest: salted-hash "

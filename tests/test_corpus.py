@@ -378,3 +378,31 @@ def test_compression_ratio_properties(spark):
     assert out[1] < 0.1  # repetition crushes
     assert out[2] > 0.4  # hex noise resists
     assert r_rep < 0.1 and r_noise > 0.4
+
+
+
+def test_text_normalize_pipeline(spark):
+    """NFC composition, mojibake repair (gated), control/zero-width
+    strip counts, and the conservative no-false-repair contract."""
+    from epic_stream_processor_spark.operators.textnorm import normalize_text
+
+    cases = [
+        # (id, text, expect_norm, repaired, n_ctrl, n_zw)
+        (1, "cafe\u0301 combining", "caf\u00e9 combining", False, 0, 0),  # NFC composes
+        (2, "caf\u00c3\u00a9 mojibake", "caf\u00e9 mojibake", True, 0, 0),  # repaired
+        (3, "\u00c3 alone stays", "\u00c3 alone stays", False, 0, 0),  # gate: roundtrip invalid
+        (4, "ctl\x07here\x00too", "ctlheretoo", False, 2, 0),
+        (5, "zero\u200bwidth\ufeffgone", "zerowidthgone", False, 0, 2),
+        (6, None, "", False, 0, 0),
+        (7, "tabs\tand\nnewlines kept", "tabs\tand\nnewlines kept", False, 0, 0),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, *_ in cases], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    for i, _t, norm, rep, nc, nz in cases:
+        r = got[i]
+        assert r["text_norm"] == norm, (i, repr(r["text_norm"]))
+        assert r["repaired"] is rep, i
+        assert r["n_controls"] == nc and r["n_zw"] == nz, i
+        assert r["changed"] is (norm != (_t or "")), i
