@@ -157,3 +157,87 @@ def docs_as_linked_html(doc_id: Column) -> Column:
         (doc_id % 3).cast("string"),
         d,
     )
+
+
+# --- Table extraction (round 8) -----------------------------------------------
+
+def extract_tables(df, html_col: str = "html", passthrough: tuple = ("doc_id",)):
+    """HTML tables → one row per ``<tr>``: ``(…passthrough, table_idx,
+    row_idx, is_header, n_cells, cells)`` with ``cells`` the
+    entity-decoded, whitespace-normalized cell texts joined by ``|``.
+
+    Real curation pipelines mine HTML tables as structured data (QA
+    pairs, infoboxes, stats) that plain text extraction destroys — cell
+    adjacency IS the signal. Same engine stance as :func:`extract_text`:
+    a pure JVM regexp chain, whole-stage-codegen'd, zero Python, zero
+    shuffles (posexplode is row-local).
+
+    Order is load-bearing, same as the text path: script/style/comment
+    blocks are removed FIRST so a table literal inside a script string
+    or a commented-out table cannot leak rows; and every pattern is
+    ``(?is)`` DOTALL (the round-8 sitemap lesson: Java-regex ``.`` stops
+    at newlines, and real HTML is pretty-printed).
+    """
+    from pyspark.sql import functions as F
+
+    cleaned = F.col(html_col)
+    for pat in (
+        r"(?is)<script\b[^>]*>.*?</script>",
+        r"(?is)<style\b[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+    ):
+        cleaned = F.regexp_replace(cleaned, pat, " ")
+    tables = F.regexp_extract_all(
+        cleaned, F.lit(r"(?is)<table[^>]*>(.*?)</table>"), 1
+    )
+    t = df.select(
+        *passthrough, F.posexplode_outer(tables).alias("table_idx", "_t")
+    ).where(F.col("_t").isNotNull())
+    rows = F.regexp_extract_all(
+        F.col("_t"), F.lit(r"(?is)<tr[^>]*>(.*?)</tr>"), 1
+    )
+    r = t.select(
+        *passthrough,
+        "table_idx",
+        F.posexplode_outer(rows).alias("row_idx", "_r"),
+    ).where(F.col("_r").isNotNull())
+    cells = F.regexp_extract_all(
+        F.col("_r"), F.lit(r"(?is)<t[hd][^>]*>(.*?)</t[hd]>"), 1
+    )
+    return r.select(
+        *passthrough,
+        "table_idx",
+        "row_idx",
+        (F.col("_r").rlike(r"(?is)<th[\s>]")).alias("is_header"),
+        F.size(cells).cast("long").alias("n_cells"),
+        F.concat_ws(
+            "|", F.transform(cells, lambda c: extract_text(c))
+        ).alias("cells"),
+    )
+
+
+def docs_as_table_html(doc_id: Column, lang: Column, source: Column) -> Column:
+    """Render a document as a page of adversarial tables: a commented-out
+    table and one inside a script string (both must leak ZERO rows), a
+    pretty-printed 3-row data table (header row with <th>, entity-bearing
+    cells, a colspan cell), prose between tables, and a trailing
+    single-row table. Every cell value is a pure function of the table
+    columns, so the oracle is closed form."""
+    return F.format_string(
+        "<html><body>\n"
+        "<!-- <table><tr><td>ghost</td></tr></table> -->\n"
+        "<script>var t = \"<table><tr><td>fake</td></tr></table>\";</script>\n"
+        "<table class=\"data\">\n"
+        "  <tr>\n    <th>Lang</th>\n    <th>Source</th>\n    <th>N</th>\n  </tr>\n"
+        "  <tr><td>&lt;%s&gt;</td><td>%s</td><td>%s</td></tr>\n"
+        "  <tr><td colspan=\"2\">joined &amp; cell</td><td>%s</td></tr>\n"
+        "</table>\n"
+        "<p>prose between tables</p>\n"
+        "<table><tr><td>tail %s</td></tr></table>\n"
+        "</body></html>",
+        lang,
+        source,
+        (doc_id % 100).cast("string"),
+        (doc_id % 7).cast("string"),
+        (doc_id % 3).cast("string"),
+    )

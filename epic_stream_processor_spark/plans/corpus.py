@@ -2041,3 +2041,60 @@ SELECT doc_id,
        nfc_normalize(rep) <> t AS changed
 FROM r
 """
+
+
+# --- HTML table mining (round 8) ----------------------------------------------
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (round 8): the structured-data mining stage
+    plain text extraction destroys — cell adjacency is the signal (QA
+    pairs, infoboxes, stats tables). Each document renders as a page of
+    adversarial tables (commented-out + script-string decoys that must
+    leak zero rows, a pretty-printed header+data+colspan table, a
+    trailing one-row table) and the extractor walks table→tr→th/td as a
+    pure JVM regexp chain with the same order-of-strips discipline as
+    the text path (operators/html_extract.py::extract_tables).
+
+    Closed-form: every cell is a function of the documents columns, so
+    the oracle enumerates the expected 4 rows per document directly.
+
+    Scale: whole-stage-codegen projections + row-local posexplode —
+    zero shuffles, zero Python.
+    """
+    from ..operators.html_extract import docs_as_table_html, extract_tables
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        docs_as_table_html(
+            F.col("doc_id"), F.col("lang"), F.col("source")
+        ).alias("html"),
+    )
+    return extract_tables(pages).select(
+        "doc_id",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        "is_header",
+        "n_cells",
+        "cells",
+    )
+
+
+ORACLE_HTML_TABLES = """WITH d AS (SELECT doc_id, lang, source FROM documents)
+SELECT doc_id, CAST(0 AS BIGINT) AS table_idx, CAST(0 AS BIGINT) AS row_idx,
+       true AS is_header, CAST(3 AS BIGINT) AS n_cells,
+       'Lang|Source|N' AS cells
+FROM d
+UNION ALL
+SELECT doc_id, 0, 1, false, 3,
+       '<' || lang || '>|' || source || '|' || CAST(doc_id % 100 AS VARCHAR)
+FROM d
+UNION ALL
+SELECT doc_id, 0, 2, false, 2,
+       'joined & cell|' || CAST(doc_id % 7 AS VARCHAR)
+FROM d
+UNION ALL
+SELECT doc_id, 1, 0, false, 1, 'tail ' || CAST(doc_id % 3 AS VARCHAR)
+FROM d
+"""

@@ -885,6 +885,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "ext->payload map per sample, text + JSON sidecar fields "
         "recovered as column expressions",
     ),
+    "html_tables": QueryDef(
+        corpus.q_html_tables, corpus.ORACLE_HTML_TABLES,
+        "HTML table mining (round 8): table->tr->th/td walk as a pure "
+        "JVM regexp chain (script/comment decoys stripped FIRST, all "
+        "patterns DOTALL) -> one row per <tr> with entity-decoded "
+        "pipe-joined cells; the structured-data stage plain text "
+        "extraction destroys; closed-form 4-rows-per-doc oracle",
+    ),
     "text_normalize": QueryDef(
         corpus.q_text_normalize, corpus.ORACLE_TEXT_NORMALIZE,
         "Unicode normalization (round 8, UAX #15): control + zero-width "

@@ -406,3 +406,29 @@ def test_text_normalize_pipeline(spark):
         assert r["repaired"] is rep, i
         assert r["n_controls"] == nc and r["n_zw"] == nz, i
         assert r["changed"] is (norm != (_t or "")), i
+
+
+def test_html_tables_decoys_and_pretty_printing(spark):
+    """Tables inside comments or script strings leak ZERO rows; a
+    pretty-printed multi-line table parses fully; a page with no tables
+    yields no rows (not a NULL row); header detection keys on <th>."""
+    from epic_stream_processor_spark.operators.html_extract import (
+        extract_tables,
+    )
+
+    pages = [
+        (1, "<body><!-- <table><tr><td>x</td></tr></table> -->"
+            "<script>s('<table><tr><td>y</td></tr></table>')</script>"
+            "<p>no real table</p></body>"),
+        (2, "<TABLE>\n <TR>\n  <TH>a</TH><TH>b</TH>\n </TR>\n"
+            " <tr>\n  <td>\n   1\n  </td>\n  <td>2 &amp; 3</td>\n </tr>\n"
+            "</TABLE>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    rows = extract_tables(df).collect()
+    assert all(r["doc_id"] == 2 for r in rows)  # decoy page leaks nothing
+    got = {(r["table_idx"], r["row_idx"]): r for r in rows}
+    assert got[(0, 0)]["is_header"] and got[(0, 0)]["cells"] == "a|b"
+    assert not got[(0, 1)]["is_header"]
+    assert got[(0, 1)]["cells"] == "1|2 & 3"  # trimmed + entity-decoded
+    assert got[(0, 1)]["n_cells"] == 2
