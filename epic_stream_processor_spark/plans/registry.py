@@ -355,11 +355,12 @@ QUERIES: dict[str, QueryDef] = {
     "pdf_extract": QueryDef(
         corpus.q_pdf_extract, corpus.ORACLE_PDF_EXTRACT,
         "PDF text extraction (round 8, ISO 32000): deterministic COS "
-        "fixture render (xref table, /Contents array, FlateDecode on "
-        "even doc_ids) + viewer-style xref-walk extraction with bounded "
-        "inflate and BT/ET Tj/TJ/Td text ops — the crawl-corpus format "
-        "every curation pipeline hits; closed-form oracle recomputes "
-        "every column from documents",
+        "fixture render (xref table OR 1.5 xref/object streams, "
+        "FlateDecode on even doc_ids) + viewer-style xref-walk "
+        "extraction with bounded inflate and BT/ET Tj/TJ/Td text ops — "
+        "the crawl-corpus format every curation pipeline hits; closed-"
+        "form oracle recomputes every column from documents",
+        bench=True,  # r8: the document-format family's perf tracker
     ),
     "flac_decode": QueryDef(
         corpus.q_flac_decode, corpus.ORACLE_FLAC_DECODE,
