@@ -177,6 +177,14 @@ def extract_tables(df, html_col: str = "html", passthrough: tuple = ("doc_id",))
     or a commented-out table cannot leak rows; and every pattern is
     ``(?is)`` DOTALL (the round-8 sitemap lesson: Java-regex ``.`` stops
     at newlines, and real HTML is pretty-printed).
+
+    Scope (documented, deliberate — the ``extract_text`` trade-off): a
+    NESTED table inside a cell ends the outer cell at the inner
+    ``</td>`` (non-greedy match), so deeply nested layout-table markup
+    degrades to partial rows rather than erroring; the published
+    pipelines make the same call before reaching for a full tree
+    parser, and data tables — the mining target — are overwhelmingly
+    flat.
     """
     from pyspark.sql import functions as F
 
