@@ -122,3 +122,46 @@ def normalize_text(
             "n_controls long, n_zw long, changed boolean"
         ),
     )
+
+
+def with_normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Schema-preserving variant for pipeline composition (batch AND
+    streaming — the Arrow stage is stateless): replaces ``text_col``
+    in place with its stripped/repaired/NFC form, passing every other
+    column through untouched. This is the form the corpus-ingest stream
+    mounts FIRST, so exact dedup keys on normalized text — NFC-equal
+    and mojibake-variant duplicates hash equal instead of slipping past
+    the dedup state store."""
+    stripped = df.withColumn(
+        text_col,
+        F.regexp_replace(
+            F.regexp_replace(
+                F.coalesce(F.col(text_col), F.lit("")), CTRL_CLASS_JAVA, ""
+            ),
+            ZW_CLASS_JAVA,
+            "",
+        ),
+    )
+    schema = stripped.schema
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata as _ud
+
+        marks = "ÃÂâ"
+
+        def fix(t: str) -> str:
+            if any(m in t for m in marks):
+                try:
+                    cand = t.encode("latin-1").decode("utf-8")
+                    if cand != t:
+                        t = cand
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    pass
+            return _ud.normalize("NFC", t)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[text_col] = [fix(t or "") for t in pdf[text_col]]
+            yield pdf
+
+    return stripped.mapInPandas(gen, schema=schema)

@@ -255,12 +255,21 @@ def run_corpus_ingest_stream(
     available_now: bool = True,
     fmt: str = "parquet",
     schema=None,
+    normalize: bool = False,
 ):
     """The full training-data ingestion pipeline as ONE continuous stream:
-    quality gate → first-seen exact dedup → deterministic train/val/test
-    split — what a corpus builder runs 24/7 as crawl shards land, composed
-    from the same column expressions the batch operators use (quality_score,
-    md5 content hash, hash_split buckets).
+    [optional Unicode normalization →] quality gate → first-seen exact
+    dedup → deterministic train/val/test split — what a corpus builder
+    runs 24/7 as crawl shards land, composed from the same column
+    expressions the batch operators use (quality_score, md5 content
+    hash, hash_split buckets).
+
+    ``normalize=True`` (round 8) mounts ``textnorm.with_normalized_text``
+    as the FIRST stage — stateless, schema-preserving, streaming-safe —
+    so the dedup state keys on NFC'd, mojibake-repaired text: NFC-variant
+    and double-encoded duplicates hash EQUAL instead of slipping past
+    the state store as distinct docs. Off by default to preserve the
+    long-pinned raw-text equivalence contract below.
 
     Equivalence contract vs the batch composition (pinned by tests): the
     SET of surviving content hashes is identical, every survivor clears the
@@ -283,6 +292,10 @@ def run_corpus_ingest_stream(
     from ..sources.corpus import stream_corpus
 
     stream = stream_corpus(spark, docs_path, fmt, schema)
+    if normalize:
+        from ..operators.textnorm import with_normalized_text
+
+        stream = with_normalized_text(stream)
     gated = (
         stream.withColumn("quality_score", quality_score(F.col("text")))
         .where(F.col("quality_score") >= F.lit(min_quality))

@@ -771,3 +771,72 @@ def test_cms_is_a_streaming_legal_aggregation(spark, tmp_path):
         for r in spark.sql("SELECT * FROM cms_stream").collect()
     }
     assert got == want and len(got) > 100
+
+
+
+def test_corpus_ingest_stream_normalized_dedups_unicode_variants(spark, tmp_path):
+    """normalize=True mounts the Unicode stage FIRST, so NFC-variant and
+    mojibake duplicates hash EQUAL in the dedup state: one survivor per
+    logical text, with the stored text in repaired/NFC form — and the
+    stream agrees with the batch composition (normalize -> gate -> dedup)
+    on the surviving hash set. Without normalize, the same corpus yields
+    distinct hashes (the raw-text contract is untouched)."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.functions.text import quality_score
+    from epic_stream_processor_spark.operators.textnorm import (
+        with_normalized_text,
+    )
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_corpus_ingest_stream,
+    )
+
+    base_text = (
+        "the quick caf\u00e9 review covers many helpful details and "
+        "plenty of ordinary sentences for the quality gate to accept"
+    )
+    variants = [
+        (1, base_text),                                    # NFC composed
+        (2, base_text.replace("caf\u00e9", "cafe\u0301")),   # NFD variant
+        (3, base_text.replace("caf\u00e9", "caf\u00c3\u00a9")),  # mojibake
+        (4, base_text + " distinct trailing clause here"), # genuinely new
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in variants],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+
+    out = str(tmp_path / "corpus_norm")
+    q = run_corpus_ingest_stream(
+        spark, docs_path, out, str(tmp_path / "ckpt_norm"),
+        min_quality=0.0, available_now=True, normalize=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    # docs 1-3 are ONE logical text after normalization; doc 4 distinct
+    assert got.count() == 2, [r["text"] for r in rows]
+    texts = {r["text"] for r in rows}
+    assert base_text in texts  # stored form is the repaired/NFC text
+    # stream == batch composition on the surviving hash set
+    batch = (
+        with_normalized_text(docs)
+        .withColumn("qs", quality_score(F.col("text")))
+        .where(F.col("qs") >= 0.0)
+        .withColumn("h", F.md5("text"))
+        .dropDuplicates(["h"])
+    )
+    assert {r["content_hash"] for r in rows} == {
+        r["h"] for r in batch.collect()
+    }
+
+    # control: WITHOUT normalize the three variants stay distinct
+    out2 = str(tmp_path / "corpus_raw")
+    q2 = run_corpus_ingest_stream(
+        spark, docs_path, out2, str(tmp_path / "ckpt_raw"),
+        min_quality=0.0, available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 4
