@@ -1,0 +1,212 @@
+"""DOCX (OOXML WordprocessingML) text extraction — Office documents in
+the crawl.
+
+A .docx file is a ZIP package holding XML parts (ECMA-376); the text
+lives in ``word/document.xml`` as ``<w:t>`` runs inside ``<w:r>`` runs
+inside ``<w:p>`` paragraphs. This module composes two surfaces the repo
+already proves independently:
+
+- the ZIP walk (``sources/zipshard.parse_zip`` — EOCD → central
+  directory → ranged member slice, CRC-verified with an implementation
+  independent of the writer's), and
+- the pure-JVM DOTALL regexp discipline of ``html_extract`` /
+  ``sitemap`` for the XML part (runs concatenate with NO separator —
+  Word splits words across runs mid-character — paragraphs join with
+  newlines, the five XML entities decode with ``&amp;`` last).
+
+So extraction is: one row-local Python pass for the container walk
+(Arrow, from parse_zip), then whole-stage-codegen JVM expressions for
+everything text — zero shuffles, the standing codec budget.
+
+The fixture (:func:`docs_as_docx`) builds a genuine minimal package
+with stdlib ``zipfile`` (DEFLATE members — exercises parse_zip's
+inflate path): ``[Content_Types].xml``, ``_rels/.rels`` and
+``word/document.xml`` whose paragraphs are pure functions of the
+documents columns — header, body split across THREE ``<w:t>`` runs
+(one with ``xml:space="preserve"`` and a trailing space, pinning
+no-separator run concatenation), and a footer — so the extracted text
+is closed-form SQL-recomputable.
+
+Reference note: no document formats exist in the reference service;
+this is the LLM-data-pipeline extension, from the public ECMA-376 spec.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CONTENT_TYPES_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>"
+)
+
+RELS_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+    "</Relationships>"
+)
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def docs_as_docx(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One genuine .docx per document → (doc_id, data). Whitespace
+    normalization happens in JVM expressions (the engine-exact chain)
+    before the Python package builder ever sees the text."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("source"),
+        F.col("lang"),
+        F.regexp_replace(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        ).alias("norm"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import zipfile
+
+        def document_xml(doc_id: int, source: str, lang: str, norm: str) -> str:
+            words = norm.split(" ") if norm else []
+            k = (len(words) + 1) // 2
+            part_a = " ".join(words[:k]) + (" " if 0 < k < len(words) else "")
+            part_b = " ".join(words[k:])
+            # three runs: plain, xml:space-preserved (trailing space!),
+            # plain — Word splits text across runs exactly like this
+            body_runs = (
+                "<w:r><w:t>%s</w:t></w:r>"
+                '<w:r><w:t xml:space="preserve">%s</w:t></w:r>'
+                "<w:r><w:t>%s</w:t></w:r>"
+                % (
+                    _xml_escape(part_a[: len(part_a) // 2]),
+                    _xml_escape(part_a[len(part_a) // 2 :]),
+                    _xml_escape(part_b),
+                )
+            )
+            return (
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+                '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+                "<w:body>"
+                "<w:p><w:r><w:t>Doc %d from %s</w:t></w:r></w:p>"
+                "<w:p>%s</w:p>"
+                "<w:p/>"  # empty paragraph: must not emit a phantom line
+                "<w:p><w:r><w:t>lang: %s</w:t></w:r></w:p>"
+                "</w:body></w:document>"
+                % (doc_id, _xml_escape(source), body_runs, _xml_escape(lang))
+            )
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, source, lang, norm in zip(
+                pdf["doc_id"], pdf["source"], pdf["lang"], pdf["norm"]
+            ):
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    info = zipfile.ZipInfo(
+                        "[Content_Types].xml", (1980, 1, 1, 0, 0, 0)
+                    )
+                    zf.writestr(info, CONTENT_TYPES_XML)
+                    zf.writestr(
+                        zipfile.ZipInfo("_rels/.rels", (1980, 1, 1, 0, 0, 0)),
+                        RELS_XML,
+                    )
+                    zf.writestr(
+                        zipfile.ZipInfo(
+                            "word/document.xml", (1980, 1, 1, 0, 0, 0)
+                        ),
+                        document_xml(
+                            int(doc_id), str(source), str(lang), norm or ""
+                        ),
+                    )
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": blobs}
+            )
+
+    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+
+
+def _decode_xml_entities(col: Column) -> Column:
+    """The five XML predefined entities; ``&amp;`` LAST (the standing
+    double-decode rule)."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def docx_text(xml: Column) -> Column:
+    """``word/document.xml`` → text: paragraphs (``<w:p>…</w:p>``; the
+    self-closing ``<w:p/>`` contributes nothing) joined by newlines,
+    each paragraph's ``<w:t>`` runs concatenated with NO separator,
+    entities decoded. Pure JVM expressions, all patterns DOTALL."""
+    paras = F.regexp_extract_all(xml, F.lit(r"(?s)<w:p(?:\s[^>]*)?>(.*?)</w:p>"), 1)
+    return F.concat_ws(
+        "\n",
+        F.transform(
+            paras,
+            lambda p: _decode_xml_entities(
+                F.concat_ws(
+                    "",
+                    F.regexp_extract_all(
+                        p, F.lit(r"(?s)<w:t[^>]*>(.*?)</w:t>"), 1
+                    ),
+                )
+            ),
+        ),
+    )
+
+
+def extract_docx(docx_files: DataFrame) -> DataFrame:
+    """(doc_id, data) .docx rows → (doc_id, n_members, crc_ok_members,
+    n_paragraphs, text). The container walk is parse_zip (central
+    directory + ranged slices + independent CRC); the XML is JVM."""
+    from ..sources.zipshard import parse_zip
+
+    members = parse_zip(
+        docx_files.select(F.col("doc_id").alias("bucket_id"), "data")
+    )
+    per_doc = members.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.col("crc_ok").cast("long")).cast("long").alias(
+            "crc_ok_members"
+        ),
+        F.max(
+            F.when(
+                F.col("name") == "word/document.xml",
+                F.col("data").cast("string"),
+            )
+        ).alias("_xml"),
+    )
+    return per_doc.select(
+        F.col("bucket_id").alias("doc_id"),
+        "n_members",
+        "crc_ok_members",
+        F.size(
+            F.regexp_extract_all(
+                F.col("_xml"), F.lit(r"(?s)<w:p(?:\s[^>]*)?>(.*?)</w:p>"), 1
+            )
+        ).cast("long").alias("n_paragraphs"),
+        docx_text(F.col("_xml")).alias("text"),
+    ).where(F.col("_xml").isNotNull())

@@ -2098,3 +2098,48 @@ UNION ALL
 SELECT doc_id, 1, 0, false, 1, 'tail ' || CAST(doc_id % 3 AS VARCHAR)
 FROM d
 """
+
+
+# --- DOCX extraction (round 8) ------------------------------------------------
+
+def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX (ECMA-376 WordprocessingML) text extraction (round 8):
+    each document becomes a genuine .docx package (stdlib-zipfile
+    DEFLATE members: [Content_Types].xml, _rels/.rels,
+    word/document.xml with the text split across THREE <w:t> runs and a
+    self-closing empty paragraph) and extraction composes two proven
+    surfaces — parse_zip's central-directory walk with independent CRC
+    verification, then a pure-JVM DOTALL regexp chain over the XML
+    (runs concatenate with no separator, paragraphs join with
+    newlines, entities decode &amp;-last). operators/docx.py.
+
+    Closed-form: the extracted text is header + normalized text +
+    footer, all pure functions of the documents columns.
+
+    Scale: container walk row-local (Arrow); ONE archive-keyed groupBy
+    reassembles member stats per doc — the only shuffle, keyed and
+    map-side combined.
+    """
+    from ..operators.docx import docs_as_docx, extract_docx
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_docx(docs_as_docx(docs)).select(
+        "doc_id", "n_members", "crc_ok_members", "n_paragraphs", "text"
+    )
+
+
+ORACLE_DOCX_EXTRACT = """WITH d AS (
+  SELECT doc_id, source, lang,
+         regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(3 AS BIGINT) AS n_members,
+       CAST(3 AS BIGINT) AS crc_ok_members,
+       CAST(3 AS BIGINT) AS n_paragraphs,
+       'Doc ' || doc_id || ' from ' || source || chr(10)
+         || t || chr(10)
+         || 'lang: ' || lang AS text
+FROM d
+"""

@@ -886,6 +886,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "ext->payload map per sample, text + JSON sidecar fields "
         "recovered as column expressions",
     ),
+    "docx_extract": QueryDef(
+        corpus.q_docx_extract, corpus.ORACLE_DOCX_EXTRACT,
+        "DOCX text extraction (round 8, ECMA-376): genuine zipfile-built "
+        "OOXML packages -> parse_zip central-directory walk (independent "
+        "CRC) -> pure-JVM DOTALL regexp over word/document.xml (<w:t> "
+        "runs concatenate separator-free, <w:p/> yields no phantom "
+        "line); Office documents in the crawl, closed-form oracle",
+    ),
     "html_tables": QueryDef(
         corpus.q_html_tables, corpus.ORACLE_HTML_TABLES,
         "HTML table mining (round 8): table->tr->th/td walk as a pure "

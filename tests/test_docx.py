@@ -1,0 +1,91 @@
+"""DOCX extraction tests: run concatenation, entity decode, empty
+paragraphs, CRC accounting through the real ZIP walk, and tolerance of
+packages without a document part."""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.operators.docx import (
+    docs_as_docx,
+    extract_docx,
+)
+from epic_stream_processor_spark.sources.fixtures import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t or "")) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_docx_roundtrip_fixture_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {r["doc_id"]: r for r in extract_docx(docs_as_docx(docs)).collect()}
+    want = {
+        r["doc_id"]: (
+            re.sub(r"\s+", " ", (r["text"] or "").strip(" ")),
+            r["source"],
+            r["lang"],
+        )
+        for r in docs.collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, (norm, source, lang) in want.items():
+        r = got[doc_id]
+        assert r["text"] == f"Doc {doc_id} from {source}\n{norm}\nlang: {lang}"
+        assert r["n_members"] == 3 and r["crc_ok_members"] == 3
+        assert r["n_paragraphs"] == 3  # the <w:p/> adds no phantom line
+
+
+def test_docx_runs_entities_and_empty(spark):
+    """Ampersands/angles survive the XML escape round trip; run splits
+    never introduce separators; empty/NULL docs keep their frame."""
+    rows = [(1, "a & b < c > d"), (2, ""), (3, None)]
+    got = {
+        r["doc_id"]: r
+        for r in extract_docx(docs_as_docx(_docs(spark, rows))).collect()
+    }
+    assert got[1]["text"] == "Doc 1 from web\na & b < c > d\nlang: en"
+    for i in (2, 3):
+        assert got[i]["text"] == f"Doc {i} from web\n\nlang: en"
+
+
+def test_docx_member_crc_corruption_is_counted_not_fatal(spark):
+    """Flip a byte inside the [Content_Types].xml member: its CRC check
+    fails (crc_ok_members drops to 2) while document.xml still
+    extracts — bad members are data, not crashes."""
+    blob = bytearray(
+        bytes(
+            docs_as_docx(_docs(spark, [(5, "hello world")])).collect()[0][
+                "data"
+            ]
+        )
+    )
+    # corrupt the RECORDED CRC in the member's central-directory entry
+    # (the last occurrence of the name is the CD copy; the 46-byte fixed
+    # part precedes it, with crc32 at offset 16)
+    cd_name_at = bytes(blob).rindex(b"[Content_Types].xml")
+    blob[cd_name_at - 46 + 16] ^= 0xFF
+    df = spark.createDataFrame([(5, bytes(blob))], "doc_id long, data binary")
+    r = extract_docx(df).collect()[0]
+    assert r["n_members"] == 3
+    assert r["crc_ok_members"] == 2
+    assert r["text"].startswith("Doc 5 from web")
+
+
+def test_docx_package_without_document_part_dropped(spark):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            zipfile.ZipInfo("other.xml", (1980, 1, 1, 0, 0, 0)), "<x/>"
+        )
+    df = spark.createDataFrame(
+        [(9, buf.getvalue())], "doc_id long, data binary"
+    )
+    assert extract_docx(df).count() == 0
