@@ -227,6 +227,16 @@ def minhash_lsh_pairs(
     — usually the point: such floods get handled by exact dedup first);
     pairs sharing at least one under-cap band survive. ``None``
     (default, and the oracle-checked setting) keeps exact completeness.
+
+    **Count-skew caveat (documented per r8 advice): with a cap set,
+    ``n_bands`` counts only the UNDER-CAP agreeing bands** — a pair
+    whose other agreeing band was flooded survives with an undercounted
+    value, so a consumer thresholding on "all bands agree" (e.g.
+    ``n_bands = 2``) silently reclassifies such pairs. Threshold
+    consumers that need flood-robust counts should either run with
+    ``bucket_cap=None`` (exact) or treat ``n_bands`` as a LOWER BOUND
+    under a cap; the curation ledger uses the exact setting for exactly
+    this reason.
     """
     all_bands = lsh_band_keys(
         signatures, id_col=id_col, num_hashes=num_hashes, band_size=band_size

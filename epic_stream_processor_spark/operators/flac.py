@@ -300,7 +300,13 @@ def parse_flac(files: DataFrame) -> DataFrame:
             out = {"doc_id": pdf["doc_id"].astype("int64"),
                    **{c: [] for c in cols}}
             for blob in pdf["data"]:
-                got = dec(bytes(blob))
+                try:
+                    got = dec(bytes(blob))
+                except (_struct.error, IndexError, ValueError):
+                    # truncated mid-field (CONSTANT value, 16-bit
+                    # blocksize, frame CRC16 straddling EOF): triage to
+                    # NULLs, never crash — the documented contract
+                    got = None
                 if got is None:
                     got = (None,) * 9
                 for c, v in zip(cols, got):

@@ -32,9 +32,12 @@ bound capping adversarial blowup.
 Honest limitations (documented, not hidden): literal strings carry raw
 UTF-8 (real PDFs use PDFDocEncoding/UTF-16 + font CMaps — a full CMap
 engine is out of scope for fixtures this module both writes and reads);
-``/Length`` must be a direct integer, not an indirect reference;
-incremental-update chains (``/Prev``) are not followed — one xref
-generation per file. BOTH xref generations are parsed: classic tables
+``/Length`` must be a direct integer, not an indirect reference.
+Incremental-update chains (``/Prev``) ARE followed (r9): the xref walk
+starts at ``startxref``, chases ``/Prev`` newest→oldest (cycle-guarded,
+≤8 generations), merges entries newest-wins, and honors free ("f" /
+type-0) rows as deletions — the layout every re-saved real-world PDF
+ships. BOTH xref generations are parsed: classic tables
 AND PDF 1.5 cross-reference streams (``/Type /XRef``, W-coded binary
 entries) with type-2 entries resolved out of FlateDecode'd object
 streams (``/Type /ObjStm``) — the layout real-world PDFs actually ship;
@@ -280,34 +283,37 @@ def parse_pdf(
             d = _zlib.decompressobj()
             out = bytearray()
             tail = data
-            while tail:
-                chunk = d.decompress(tail, 1 << 20)
-                out += chunk
-                if len(out) > cap:
-                    return None  # decompression bomb: drop, don't OOM
-                tail = d.unconsumed_tail
-                if d.eof:
-                    break
-                if not chunk and not tail:
-                    break
+            try:
+                while tail:
+                    chunk = d.decompress(tail, 1 << 20)
+                    out += chunk
+                    if len(out) > cap:
+                        return None  # decompression bomb: drop, don't OOM
+                    tail = d.unconsumed_tail
+                    if d.eof:
+                        break
+                    if not chunk and not tail:
+                        break
+            except _zlib.error:
+                return None  # corrupt deflate bytes: drop, don't crash
             return bytes(out)
 
-        def parse_xref(blob: bytes):
-            """startxref → classic xref TABLE or PDF 1.5 xref STREAM →
-            ({objnum: entry}, trailer_dict, kind). A table entry is
-            ``("o", offset)``; a stream adds type-2 ``("c", stm, idx)``
-            rows pointing into an object stream."""
-            tail = blob[-256:]
-            m = _re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
-            if not m:
-                return None, None, None
-            at = int(m.group(1))
+        def parse_xref_at(blob: bytes, at: int):
+            """ONE xref generation at byte offset ``at`` — classic xref
+            TABLE or PDF 1.5 xref STREAM → (entries, trailer, kind,
+            prev_offset). A table entry is ``("o", offset)``; a stream
+            adds type-2 ``("c", stm, idx)`` rows pointing into an object
+            stream; a FREE row ("f" / type 0) is stored as ``None`` so a
+            newer generation's deletion shadows an older offset."""
             if blob[at : at + 4] == b"xref":
                 pos = at + 4
                 entries = {}
                 while True:
+                    # subsection header; EOL may be LF, CRLF, or CR-only
+                    # (foreign writers use all three — spec allows each)
                     m = _re.match(
-                        rb"\s*(\d+)\s+(\d+)\s*\n", blob[pos : pos + 40]
+                        rb"\s*(\d+)[ \t]+(\d+)[ \t]*(?:\r\n|\r|\n)",
+                        blob[pos : pos + 40],
                     )
                     if not m:
                         break
@@ -316,26 +322,36 @@ def parse_pdf(
                     for i in range(count):
                         entry = blob[pos : pos + 20]
                         if len(entry) < 18:
-                            return None, None, None
+                            return None
                         if entry[17:18] == b"n":
                             entries[start + i] = ("o", int(entry[:10]))
+                        elif entry[17:18] == b"f":
+                            entries[start + i] = None  # freed object
                         pos += 20
                 t = blob.find(b"trailer", pos)
                 if t < 0:
-                    return None, None, None
-                return entries, blob[t : t + 512], "table"
+                    return None
+                trailer = blob[t : t + 512]
+                # trim at this generation's startxref so an OLDER
+                # trailer slice can't bleed into appended update bytes
+                # (and pick up the UPDATE's /Prev as its own)
+                sx = trailer.find(b"startxref")
+                if sx >= 0:
+                    trailer = trailer[:sx]
+                pm = _re.search(rb"/Prev\s+(\d+)", trailer)
+                return entries, trailer, "table", int(pm.group(1)) if pm else None
             # xref STREAM: "<num> 0 obj << /Type /XRef /W [...] ... >>"
             m = _re.match(rb"(\d+)\s+\d+\s+obj", blob[at : at + 32])
             if not m:
-                return None, None, None
+                return None
             end = blob.find(b"endobj", at)
             body = blob[at + m.end() : end if end > 0 else at + 4096]
             if not _re.search(rb"/Type\s*/XRef", body):
-                return None, None, None
+                return None
             wm = _re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", body)
             sm = _re.search(rb"/Size\s+(\d+)", body)
             if not wm or not sm:
-                return None, None, None
+                return None
             w = [int(wm.group(i)) for i in (1, 2, 3)]
             size = int(sm.group(1))
             im = _re.search(rb"/Index\s*\[((?:\s*\d+)+)\s*\]", body)
@@ -344,7 +360,7 @@ def parse_pdf(
             )
             got = stream_of(body, inflate_cap)
             if got is None:
-                return None, None, None
+                return None
             _f, data = got
             entries = {}
             rowlen = sum(w)
@@ -353,7 +369,7 @@ def parse_pdf(
                 start, count = index[j], index[j + 1]
                 for i in range(count):
                     if pos + rowlen > len(data):
-                        return None, None, None
+                        return None
                     row = data[pos : pos + rowlen]
                     pos += rowlen
                     f = []
@@ -362,11 +378,49 @@ def parse_pdf(
                         f.append(int.from_bytes(row[o : o + width], "big"))
                         o += width
                     t = f[0] if w[0] else 1  # missing type field ⇒ 1
-                    if t == 1:
+                    if t == 0:
+                        entries[start + i] = None  # freed object
+                    elif t == 1:
                         entries[start + i] = ("o", f[1])
                     elif t == 2:
                         entries[start + i] = ("c", f[1], f[2])
-            return entries, body, "stream"
+            pm = _re.search(rb"/Prev\s+(\d+)", body)
+            return entries, body, "stream", int(pm.group(1)) if pm else None
+
+        def parse_xref(blob: bytes):
+            """startxref → the NEWEST xref generation, then follow the
+            ``/Prev`` chain of incremental updates (every re-saved PDF
+            has one) newest→oldest with newest-wins entry merging. Kind
+            and /Root come from the newest generation; ``trailer`` is
+            the newest-first concatenation so ``ref_in`` (first match)
+            resolves keys with update semantics. Cycle-guarded, ≤8
+            generations."""
+            tail = blob[-256:]
+            # take the LAST startxref in the tail: a small incremental
+            # update leaves the base generation's startxref in range too
+            ms = list(_re.finditer(rb"startxref\s+(\d+)\s+%%EOF", tail))
+            if not ms:
+                return None, None, None
+            at = int(ms[-1].group(1))
+            gens = []  # newest first
+            seen = set()
+            while at is not None and at not in seen and len(gens) < 8:
+                seen.add(at)
+                if at < 0 or at >= len(blob):
+                    return None, None, None
+                got = parse_xref_at(blob, at)
+                if got is None:
+                    return None, None, None
+                gens.append(got)
+                at = got[3]
+            if not gens:
+                return None, None, None
+            entries: dict = {}
+            for g in reversed(gens):  # oldest first; newer .update wins
+                entries.update(g[0])
+            entries = {k: v for k, v in entries.items() if v is not None}
+            trailer = b" ".join(g[1] for g in gens)
+            return entries, trailer, gens[0][2]
 
         def obj_body(blob: bytes, entries, num: int, _depth: int = 0):
             """Fetch object ``num`` — directly by offset, or out of its
@@ -592,7 +646,13 @@ def parse_pdf(
                 chunk = pdf.iloc[lo : lo + batch_rows]
                 rows = []
                 for doc_id, data in zip(chunk["doc_id"], chunk["data"]):
-                    got = parse_one(int(doc_id), bytes(data))
+                    try:
+                        got = parse_one(int(doc_id), bytes(data))
+                    except (_zlib.error, ValueError, IndexError, OverflowError):
+                        # untrusted crawl bytes: garbage xref digits,
+                        # corrupt deflate, absurd offsets — drop the row,
+                        # never crash the task (the documented contract)
+                        got = None
                     if got is not None:
                         rows.append(got)
                 yield (

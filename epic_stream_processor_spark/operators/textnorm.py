@@ -12,9 +12,13 @@ deterministically:
 - **Mojibake** (UTF-8 bytes mis-decoded as Latin-1: ``é`` → ``Ã©``) —
   the classic double-encoding failure; repaired by the standard inverse
   transform (re-encode Latin-1, re-decode UTF-8), gated on (a) a
-  mojibake indicator character being present, (b) the round trip
-  succeeding, and (c) the result actually changing — the ftfy-style
-  conservative gate, so clean text can never be corrupted by "repair".
+  mojibake SEQUENCE being present — a lead char (U+00C2–U+00DF /
+  U+00E0–U+00EF) immediately followed by continuation-range chars
+  (U+0080–U+00BF), never a lone accented letter like French ``â``
+  (r9 tightening: single-char markers could "repair" clean non-ASCII
+  text that happened to round-trip) — (b) the round trip succeeding,
+  and (c) the result actually changing — the ftfy-style conservative
+  gate, so clean text can never be corrupted by "repair".
 - Finally **NFC normalization** (canonical composition) so equal-looking
   strings hash equal in every downstream dedup/blocklist stage.
 
@@ -46,8 +50,18 @@ ZW_CLASS_JAVA = "[​‌‍﻿]"
 CTRL_CLASS_RE2 = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
 ZW_CLASS_RE2 = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
 
-# mojibake indicators: the Latin-1 renderings of UTF-8 lead bytes
-_MOJIBAKE_MARKS = "ÃÂâ"  # Ã Â â
+# Mojibake gate (r9, tightened): a lead byte ALONE is not evidence —
+# 'â' is ordinary French/Portuguese text. Real latin-1-misdecoded UTF-8
+# always renders as a lead char IMMEDIATELY followed by chars in the
+# continuation range U+0080–U+00BF (the latin-1 renderings of UTF-8
+# continuation bytes 0x80–0xBF): 2-byte leads U+00C2–U+00DF need one,
+# 3-byte leads U+00E0–U+00EF need two. Only that shape opens the
+# (still round-trip-checked) repair attempt, so clean accented text
+# that happens to round-trip latin-1→utf-8 is never touched.
+_MOJIBAKE_PATTERN = (
+    "[\u00C2-\u00DF][\u0080-\u00BF]"
+    "|[\u00E0-\u00EF][\u0080-\u00BF]{2}"
+)
 
 
 def strip_controls(docs: DataFrame, text_col: str = "t") -> DataFrame:
@@ -85,13 +99,18 @@ def normalize_text(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
         import unicodedata as _ud
 
-        marks = "ÃÂâ"  # closure-self-contained (worker pickles by value)
+        # closure-self-contained (worker pickles by value): lead char +
+        # continuation-range char(s), never a lone accented letter
+        gate = _re.compile(
+            "[\u00C2-\u00DF][\u0080-\u00BF]|[\u00E0-\u00EF][\u0080-\u00BF]{2}"
+        )
 
         def fix(t: str):
             repaired = False
-            if any(m in t for m in marks):
+            if gate.search(t):
                 try:
                     cand = t.encode("latin-1").decode("utf-8")
                     if cand != t:
@@ -145,12 +164,15 @@ def with_normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     schema = stripped.schema
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
         import unicodedata as _ud
 
-        marks = "ÃÂâ"
+        gate = _re.compile(
+            "[\u00C2-\u00DF][\u0080-\u00BF]|[\u00E0-\u00EF][\u0080-\u00BF]{2}"
+        )
 
         def fix(t: str) -> str:
-            if any(m in t for m in marks):
+            if gate.search(t):
                 try:
                     cand = t.encode("latin-1").decode("utf-8")
                     if cand != t:

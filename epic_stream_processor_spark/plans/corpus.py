@@ -1784,7 +1784,7 @@ SELECT d.doc_id,
        coalesce(ct.contaminated, false) AS contaminated,
        NOT coalesce(bl.keep, true) AS blocked,
        coalesce(rep.quality_pass, false) AS quality_pass,
-       CASE WHEN length(regexp_replace(coalesce(d.text, ''), '\s', '', 'g')) = 0 THEN 'empty'
+       CASE WHEN length(regexp_replace(coalesce(d.text, ''), '\\s', '', 'g')) = 0 THEN 'empty'
             WHEN d.doc_id % 20 = 0 THEN 'held_out'
             WHEN coalesce(ex.is_exact_dup, false) THEN 'exact_dup'
             WHEN near.doc_id IS NOT NULL THEN 'near_dup'
@@ -2004,6 +2004,14 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ASCII-corpus assumption (documented per r8 advice): the closed-form
+# `repaired = doc_id % 7 = 0` below is valid because the fixture
+# documents' own text is ASCII — only the injected 'cafÃ© ' prefix can
+# trip the repair gate. The gate itself (textnorm._MOJIBAKE_PATTERN) is
+# r9-tightened to two-char lead+continuation SEQUENCES, so clean
+# non-ASCII corpora (French 'â', Portuguese 'São') are never "repaired";
+# on such corpora this oracle's repaired column would need the real gate
+# expression instead of the modular shortcut.
 ORACLE_TEXT_NORMALIZE = """WITH inj AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 0 THEN 'caf' || chr(195) || chr(169) || ' '

@@ -395,6 +395,14 @@ def test_text_normalize_pipeline(spark):
         (5, "zero\u200bwidth\ufeffgone", "zerowidthgone", False, 0, 2),
         (6, None, "", False, 0, 0),
         (7, "tabs\tand\nnewlines kept", "tabs\tand\nnewlines kept", False, 0, 0),
+        # r9 gate regression (the r8 advice repro): clean accented text
+        # whose chars ROUND-TRIP latin-1→utf-8 must NOT be "repaired" —
+        # 'â' + ASCII is a lone lead byte, not a mojibake sequence.
+        # Pre-r9 the single-char marker gate corrupted this input.
+        (8, "château âtre là", "château âtre là", False, 0, 0),
+        (9, "São Paulo Ângulo", "São Paulo Ângulo", False, 0, 0),
+        # a real 3-byte mojibake sequence (em dash) IS still repaired
+        (10, "dash \u00e2\u0080\u0094 here", "dash \u2014 here", True, 0, 0),
     ]
     docs = spark.createDataFrame(
         [(i, t) for i, t, *_ in cases], "doc_id long, text string"

@@ -125,3 +125,116 @@ def test_flac_empty_doc(spark):
         assert r["md5_ok"] is True  # md5 of empty PCM matches
         assert r["first_samples_hex"] == ""
         assert r["sample_md5"] == hashlib.md5(b"").hexdigest()
+
+
+# --- r9: truncation/corruption fuzz + foreign-bitstream fixtures --------------
+
+
+def test_flac_truncation_fuzz_null_not_crash(spark):
+    """The r8 advice repro, generalized: a valid FLAC truncated at EVERY
+    byte length must triage to NULL fields (or decode, for prefixes that
+    happen to end on a frame boundary) — never crash the task with
+    struct.error on a mid-field read. A healthy sibling in the same
+    batch must survive untouched."""
+    good = None
+    for r in docs_as_flac(_docs(spark, [(1, "truncate me please")])).collect():
+        good = bytes(r["data"])
+    variants = [(100 + cut, good[:cut]) for cut in range(len(good))]
+    rows = {
+        r["doc_id"]: r
+        for r in parse_flac(
+            spark.createDataFrame(
+                variants + [(99, good)], "doc_id long, data binary"
+            )
+        ).collect()
+    }
+    assert len(rows) == len(good) + 1  # one row out per row in: triage
+    assert rows[99]["md5_ok"] is True
+    for did, r in rows.items():
+        if did == 99:
+            continue
+        # truncated: either clean NULL triage or (never) a bogus decode
+        if r["total_samples"] is not None:
+            # only possible if the cut landed exactly at EOF-of-stream
+            assert r["md5_ok"] is not None
+
+
+def test_flac_bitflip_fuzz_null_or_flagged(spark):
+    """Single-byte flips across the whole file: every variant must come
+    back as a row (NULL triage or a CRC/md5 flag) — no crashes."""
+    good = None
+    for r in docs_as_flac(_docs(spark, [(1, "flip bits in me")])).collect():
+        good = bytes(r["data"])
+    variants = []
+    for at in range(0, len(good), 3):
+        b = bytearray(good)
+        b[at] ^= 0x5A
+        variants.append((200 + at, bytes(b)))
+    rows = {
+        r["doc_id"]: r
+        for r in parse_flac(
+            spark.createDataFrame(variants, "doc_id long, data binary")
+        ).collect()
+    }
+    assert len(rows) == len(variants)  # triage semantics: no lost rows
+
+
+def test_flac_foreign_writer_uncommon_blocksize(spark):
+    """A hand-authored bitstream docs_as_flac cannot emit: one frame
+    using the 8-bit uncommon-blocksize code (0b0110) with a CONSTANT
+    subframe — the reader's bit-level header parse must handle it."""
+    import hashlib as _h
+
+    bs = 5  # 5 samples, coded as 0b0110 + (5-1) in 8 bits
+    val = -1234
+    samples = [val] * bs
+    pcm_le = b"".join(struct.pack("<h", s) for s in samples)
+
+    # STREAMINFO for mono/16-bit, sr=8000, total=bs
+    sr = 8000
+    packed = (sr << 44) | (0 << 41) | (15 << 36) | bs
+    si = struct.pack(">HHI", bs, bs, 0)[:2+2]  # min/max blocksize
+    si = struct.pack(">HH", bs, bs) + b"\x00" * 6  # min/max framesize 24-bit x2
+    si += struct.pack(">Q", packed)
+    si += _h.md5(pcm_le).digest()
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(si).to_bytes(3, "big")
+    out += si
+
+    # frame: sync 0xFFF8, bs_code=0b0110, sr_code=0, ch/ss byte, fno=0
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append((0b0110 << 4) | 0)          # blocksize code | sr code
+    hdr.append((0 << 4) | (0b100 << 1))    # channel 0, ss_code=0b100
+    hdr.append(0)                          # frame number 0 (UTF-8 1-byte)
+    hdr.append(bs - 1)                     # 8-bit (n-1) blocksize
+    # crc8 over header so far
+    from epic_stream_processor_spark.operators.flac import (
+        _crc8_table,
+        _crc16_table,
+    )
+    t8, t16 = _crc8_table(), _crc16_table()
+    c = 0
+    for byte in hdr:
+        c = t8[c ^ byte]
+    hdr.append(c)
+    frame = bytearray(hdr)
+    frame.append(0 << 1)                   # subframe header: CONSTANT
+    frame += struct.pack(">h", val)
+    c16 = 0
+    for byte in frame:
+        c16 = t16[(c16 >> 8) ^ byte] ^ ((c16 << 8) & 0xFFFF)
+    frame += struct.pack(">H", c16)
+    out += frame
+
+    rows = {
+        r["doc_id"]: r
+        for r in parse_flac(
+            spark.createDataFrame(
+                [(31, bytes(out))], "doc_id long, data binary"
+            )
+        ).collect()
+    }
+    r = rows[31]
+    assert r["total_samples"] == bs and r["n_frames"] == 1
+    assert r["crc_ok_frames"] == 1 and r["md5_ok"] is True
+    assert r["first_samples_hex"] == pcm_le.hex().upper()[: 4 * bs]

@@ -224,3 +224,250 @@ def test_pdf15_corrupt_objstm_header_drops_row(spark):
             [(3, bytes(blob))], "doc_id long, data binary"
         )
         assert parse_pdf(df).count() == 0
+
+
+# --- r9: foreign-writer fixtures, corruption fuzz, /Prev chains ---------------
+# The r8 verdict's standing gap: parse_pdf had only ever read PDFs that
+# docs_as_pdfs wrote, so a shared misunderstanding between writer and
+# reader would be invisible. These fixtures are hand-authored byte
+# layouts docs_as_pdfs CANNOT emit (scrambled object order, comments,
+# CR/CRLF EOLs, split xref subsections, stream\r\n, extra dict
+# whitespace) — the analogue of test_tarshard pinning against stdlib
+# tarfile.
+
+
+def _foreign_writer_pdf() -> bytes:
+    """A spec-valid PDF laid out the way a DIFFERENT writer would:
+    objects in scrambled byte order (4,3,1,2), a binary comment line,
+    `stream\\r\\n`, CRLF xref subsection header, split xref subsections,
+    gratuitous dict whitespace, and extra trailer keys."""
+    content = b"BT /F1 12 Tf 72 720 Td (foreign) Tj 0 -14 TD (writer) Tj ET"
+    objs = {
+        1: b"<<  /Type   /Catalog\n    /Pages  2 0 R  >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R\n   /Contents 4 0 R >>",
+    }
+    buf = bytearray(b"%PDF-1.6\r\n%\xe2\xe3\xcf\xd3\r\n")
+    offsets = {}
+    for num in (4, 3, 1, 2):  # scrambled byte order: xref must drive access
+        offsets[num] = len(buf)
+        if num == 4:
+            buf += (
+                b"4 0 obj\r\n<< /Length %d >>\r\nstream\r\n" % len(content)
+                + content
+                + b"\r\nendstream\r\nendobj\r\n"
+            )
+        else:
+            buf += b"%d 0 obj\r\n" % num + objs[num] + b"\r\nendobj\r\n"
+        buf += b"% an inter-object comment line\r\n"
+    xref_at = len(buf)
+    # two subsections (0-1 and 1-4), CRLF header EOLs, CRLF entry EOLs
+    buf += b"xref\r\n0 1\r\n0000000000 65535 f\r\n1 4\r\n"
+    for num in (1, 2, 3, 4):
+        buf += b"%010d 00000 n\r\n" % offsets[num]
+    buf += (
+        b"trailer\r\n<< /Size 5 /Root 1 0 R "
+        b"/ID [<0123456789abcdef0123456789abcdef>"
+        b"<0123456789abcdef0123456789abcdef>] >>\r\n"
+        b"startxref\r\n%d\r\n%%%%EOF\r\n" % xref_at
+    )
+    return bytes(buf)
+
+
+def test_pdf_foreign_writer_layout(spark):
+    rows = _parse_rows(spark, [(11, _foreign_writer_pdf())])
+    r = rows[11]
+    assert r["text"] == "foreign\nwriter"
+    assert r["n_pages"] == 1 and r["n_show_ops"] == 2
+    assert r["xref_kind"] == "table"
+
+
+def test_pdf_foreign_writer_cr_only_eols(spark):
+    """A CR-only writer (classic MacOS lineage, still emitted by some
+    generators) — subsection headers and entry rows end in lone \\r."""
+    content = b"BT (cr only) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    }
+    buf = bytearray(b"%PDF-1.4\r")
+    offsets = {}
+    for num in (1, 2, 3, 4):
+        offsets[num] = len(buf)
+        if num == 4:
+            buf += (
+                b"4 0 obj\r<< /Length %d >>\rstream\r\n" % len(content)
+                + content
+                + b"\rendstream\rendobj\r"
+            )
+        else:
+            buf += b"%d 0 obj\r" % num + objs[num] + b"\rendobj\r"
+    xref_at = len(buf)
+    buf += b"xref\r0 5\r0000000000 65535 f\r\n"
+    for num in (1, 2, 3, 4):
+        buf += b"%010d 00000 n\r\n" % offsets[num]
+    buf += (
+        b"trailer\r<< /Size 5 /Root 1 0 R >>\rstartxref\r%d\r%%%%EOF\r"
+        % xref_at
+    )
+    rows = _parse_rows(spark, [(12, bytes(buf))])
+    assert rows[12]["text"] == "cr only"
+
+
+def test_pdf_corrupt_deflate_bytes_dropped(spark):
+    """The r8 advice repro: a structurally valid PDF whose FlateDecode
+    stream carries garbage bytes must be DROPPED, not crash the task
+    with an uncaught zlib.error."""
+    garbage = b"\xde\xad\xbe\xef" * 8  # not valid deflate
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    }
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in (1, 2, 3, 4):
+        offsets[num] = len(buf)
+        if num == 4:
+            buf += (
+                b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(garbage)
+                + garbage
+                + b"\nendstream\nendobj\n"
+            )
+        else:
+            buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 5\n0000000000 65535 f \n"
+    for num in (1, 2, 3, 4):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_at
+    )
+    # healthy sibling proves the batch survives the bad row
+    good = _wrap_content(b"BT (ok) Tj ET")
+    rows = _parse_rows(spark, [(13, bytes(buf)), (14, good)])
+    assert 13 not in rows and rows[14]["text"] == "ok"
+
+
+def test_pdf_corruption_fuzz_drop_not_crash(spark):
+    """Deterministic corruption sweep over a healthy PDF: truncations at
+    stride-7 lengths, single-byte flips at stride-11 offsets, garbage
+    xref digits, absurd /Length, bogus startxref. Every variant must
+    either parse or drop — never raise — and a healthy sibling in the
+    same batch must always survive."""
+    base = _wrap_content(b"BT (fuzz base) Tj ET")
+    variants = []
+    vid = 100
+    for cut in range(0, len(base), 7):  # truncations
+        variants.append((vid, base[:cut])); vid += 1
+    for at in range(0, len(base), 11):  # bit flips
+        b = bytearray(base); b[at] ^= 0xFF
+        variants.append((vid, bytes(b))); vid += 1
+    xat = base.index(b"xref")
+    b = bytearray(base)
+    b[xat + len(b"xref\n0 5\n") : xat + len(b"xref\n0 5\n") + 10] = b"xxxxxxxxxx"
+    variants.append((vid, bytes(b))); vid += 1  # garbage entry digits
+    variants.append(
+        (vid + 1, base.replace(b"/Length 20", b"/Length 99999999", 1))
+    )
+    variants.append(
+        (vid + 2, base.replace(b"startxref\n", b"startxref\n4294967296\n", 1))
+    )
+    healthy_id = 99
+    rows = _parse_rows(spark, variants + [(healthy_id, base)])
+    assert rows[healthy_id]["text"] == "fuzz base"
+    # every surviving variant produced a structurally complete row
+    for did, r in rows.items():
+        assert r["n_pages"] >= 1 and r["text"] is not None, did
+
+
+def _incremental_update_pdf(free_instead: bool = False):
+    """Base single-page PDF + ONE appended incremental update.
+
+    Default: the update REPLACES content object 4 ('old text' → 'new
+    text') via a newer xref with /Prev — newest-wins must surface the
+    new text. With ``free_instead``: the update FREES object 4, so the
+    page's /Contents dangles and the row must drop (deletion honored).
+    """
+    content_old = b"BT (old text) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    }
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in (1, 2, 3, 4):
+        offsets[num] = len(buf)
+        if num == 4:
+            buf += (
+                b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content_old)
+                + content_old
+                + b"\nendstream\nendobj\n"
+            )
+        else:
+            buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref0_at = len(buf)
+    buf += b"xref\n0 5\n0000000000 65535 f \n"
+    for num in (1, 2, 3, 4):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref0_at
+    )
+    # ---- incremental update generation ----
+    if free_instead:
+        xref1_at = len(buf)
+        buf += b"xref\n4 1\n0000000000 00001 f \n"
+    else:
+        content_new = b"BT (new text) Tj ET"
+        new4_at = len(buf)
+        buf += (
+            b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content_new)
+            + content_new
+            + b"\nendstream\nendobj\n"
+        )
+        xref1_at = len(buf)
+        buf += b"xref\n4 1\n%010d 00001 n \n" % new4_at
+    buf += (
+        b"trailer\n<< /Size 5 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (xref0_at, xref1_at)
+    )
+    return bytes(buf)
+
+
+def test_pdf_prev_chain_newest_wins(spark):
+    """An incremental update (every re-saved real-world PDF) replaces the
+    content stream; the /Prev walk must surface the NEW text while older
+    untouched objects (catalog/pages/page) resolve from the base xref."""
+    rows = _parse_rows(spark, [(21, _incremental_update_pdf())])
+    assert rows[21]["text"] == "new text"
+    assert rows[21]["xref_kind"] == "table"
+
+
+def test_pdf_prev_chain_free_is_deletion(spark):
+    """An update that FREES the content object must shadow the base
+    generation's offset — the dangling /Contents drops the row."""
+    rows = _parse_rows(spark, [(22, _incremental_update_pdf(True))])
+    assert rows == {}
+
+
+def test_pdf_prev_cycle_is_bounded(spark):
+    """Two generations whose /Prev pointers form a cycle must terminate
+    (cycle guard), parsing whatever the walked generations define."""
+    pdf = _incremental_update_pdf()
+    # point the BASE trailer's nonexistent /Prev at the newest xref by
+    # rewriting its trailer dict IN PLACE (same byte length, so no
+    # downstream offset shifts) to carry a /Prev that closes the loop
+    newest_at = int(pdf.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    old_dict = b"<< /Size 5 /Root 1 0 R >>"
+    body = b"<</Root 1 0 R /Prev %d" % newest_at
+    pad = len(old_dict) - len(body) - 2
+    assert pad >= 0
+    hacked = pdf.replace(old_dict, body + b" " * pad + b">>", 1)
+    rows = _parse_rows(spark, [(23, hacked)])
+    # terminates and still extracts (newest generation wins regardless)
+    assert rows[23]["text"] == "new text"
