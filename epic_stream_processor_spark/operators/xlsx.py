@@ -1,0 +1,266 @@
+"""XLSX (OOXML SpreadsheetML) table extraction — spreadsheets in the
+crawl, the structured-data sibling of ``docx_extract`` + ``html_tables``.
+
+An .xlsx file is a ZIP package (ECMA-376) whose cell values live in
+``xl/worksheets/sheet1.xml`` with STRING cells indirected through the
+``xl/sharedStrings.xml`` table (``t="s"`` + an integer ``<v>`` index),
+inline strings carried as ``t="inlineStr"`` + ``<is><t>…</t></is>``, and
+numbers as a bare ``<v>``. Every published table-corpus effort mines
+spreadsheets exactly because this indirection defeats naive text
+extraction — strip the tags from a sheet and you get shared-string
+INDICES, not values.
+
+Composition, same stance as ``docx.py``:
+
+- the container walk is :func:`sources.zipshard.parse_zip` (EOCD →
+  central directory → ranged member slice, CRC verified with an
+  implementation independent of the writer's) — one row-local Arrow
+  pass;
+- everything XML-side is pure JVM expressions (DOTALL regexps, the
+  ``html_extract`` discipline): rows via ``regexp_extract_all`` +
+  row-local ``posexplode``, per-cell type dispatch + shared-string
+  resolution via ``element_at`` inside a ``transform`` lambda — zero
+  Python in the value path, zero shuffles beyond the one archive-keyed
+  ``groupBy`` that reassembles members per package.
+
+Output contract mirrors :func:`html_extract.extract_tables`: one output
+row per sheet ``<row>`` — ``(doc_id, row_idx, n_cells, cells)`` with
+``cells`` the resolved, entity-decoded values joined by ``|`` (empty
+cells keep their position: a missing ``<v>`` resolves to the empty
+string, never a dropped separator).
+
+The fixture (:func:`docs_as_xlsx`) builds genuine packages with stdlib
+``zipfile`` and exercises all three cell types plus a self-closing empty
+cell; every value is a pure function of the documents columns, so the
+extraction is closed-form SQL-recomputable.
+
+Scale: parse_zip touches each archive on the worker that holds it; the
+XML chain is whole-stage-codegen'd. A 100 TB spreadsheet sweep is
+embarrassingly parallel — the standing codec budget.
+
+Reference note: no document formats exist in the reference service; this
+is the LLM-data-pipeline extension, from the public ECMA-376 spec
+(SpreadsheetML).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .docx import _decode_xml_entities, _xml_escape
+
+CONTENT_TYPES_XLSX = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+    "</Types>"
+)
+
+RELS_XLSX = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+
+WORKBOOK_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets>'
+    "</workbook>"
+)
+
+WORKBOOK_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+# fixture header row, shared-string indices 0-3
+_HEADER = ("name", "lang", "source", "n_chars")
+
+
+def docs_as_xlsx(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One genuine .xlsx per document → (doc_id, data). Three rows:
+
+    - row 1: the 4 header labels, all SHARED strings (indices 0-3);
+    - row 2: an INLINE string (``doc & <id>`` — exercises entity
+      decode), two shared strings (lang at index 4, source at 5), and
+      a NUMBER cell (n_chars);
+    - row 3: numbers (doc_id, doc_id%7), one self-closing EMPTY cell
+      (must keep its position in the joined output), doc_id*3.
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), "lang", "source", "n_chars"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import zipfile
+
+        def sst_xml(lang: str, source: str) -> str:
+            items = list(_HEADER) + [lang, source]
+            return (
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+                '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+                'count="%d" uniqueCount="%d">%s</sst>'
+                % (
+                    len(items),
+                    len(items),
+                    "".join(
+                        "<si><t>%s</t></si>" % _xml_escape(s) for s in items
+                    ),
+                )
+            )
+
+        def sheet_xml(doc_id: int, n_chars: int) -> str:
+            inline = _xml_escape("doc & %d" % doc_id)
+            return (
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                "<sheetData>"
+                '<row r="1">'
+                '<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+                '<c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c>'
+                "</row>"
+                '<row r="2">'
+                '<c r="A2" t="inlineStr"><is><t>%s</t></is></c>'
+                '<c r="B2" t="s"><v>4</v></c><c r="C2" t="s"><v>5</v></c>'
+                '<c r="D2"><v>%d</v></c>'
+                "</row>"
+                '<row r="3">'
+                '<c r="A3"><v>%d</v></c><c r="B3"><v>%d</v></c>'
+                '<c r="C3"/><c r="D3"><v>%d</v></c>'
+                "</row>"
+                "</sheetData></worksheet>"
+                % (inline, n_chars, doc_id, doc_id % 7, doc_id * 3)
+            )
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, lang, source, n_chars in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"], pdf["n_chars"]
+            ):
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    for name, payload in (
+                        ("[Content_Types].xml", CONTENT_TYPES_XLSX),
+                        ("_rels/.rels", RELS_XLSX),
+                        ("xl/workbook.xml", WORKBOOK_XML),
+                        ("xl/_rels/workbook.xml.rels", WORKBOOK_RELS),
+                        ("xl/sharedStrings.xml", sst_xml(str(lang), str(source))),
+                        (
+                            "xl/worksheets/sheet1.xml",
+                            sheet_xml(int(doc_id), int(n_chars)),
+                        ),
+                    ):
+                        zf.writestr(
+                            zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)),
+                            payload,
+                        )
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": blobs}
+            )
+
+    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+
+
+def _cell_value(cell: Column, shared: Column) -> Column:
+    """One ``<c …>…</c>`` (or self-closing ``<c/>``) token → its resolved
+    string value: shared-string lookup for ``t="s"``, inline text for
+    ``t="inlineStr"``, the bare ``<v>`` otherwise; empty/missing → ''
+    (coalesced so positional joins never lose a separator)."""
+    t = F.regexp_extract(cell, r'\st="([^"]*)"', 1)
+    v = F.regexp_extract(cell, r"(?s)<v>(.*?)</v>", 1)
+    inline = F.regexp_extract(
+        cell, r"(?s)<is>\s*<t[^>]*>(.*?)</t>\s*</is>", 1
+    )
+    return F.coalesce(
+        F.when(t == "s", F.element_at(shared, v.cast("int") + 1))
+        .when(t == "inlineStr", _decode_xml_entities(inline))
+        .otherwise(_decode_xml_entities(v)),
+        F.lit(""),
+    )
+
+
+def extract_xlsx(xlsx_files: DataFrame) -> DataFrame:
+    """(doc_id, data) .xlsx rows → one row per sheet ``<row>``:
+    ``(doc_id, row_idx, n_cells, cells, crc_ok_members)``.
+
+    parse_zip reassembles the package (one archive-keyed groupBy — the
+    only shuffle); the shared-strings table and the sheet walk are pure
+    JVM expressions; posexplode over rows is row-local."""
+    from ..sources.zipshard import parse_zip
+
+    members = parse_zip(
+        xlsx_files.select(F.col("doc_id").alias("bucket_id"), "data")
+    )
+    per_doc = members.groupBy("bucket_id").agg(
+        F.sum(F.col("crc_ok").cast("long")).cast("long").alias(
+            "crc_ok_members"
+        ),
+        F.max(
+            F.when(
+                F.col("name") == "xl/worksheets/sheet1.xml",
+                F.col("data").cast("string"),
+            )
+        ).alias("_sheet"),
+        F.max(
+            F.when(
+                F.col("name") == "xl/sharedStrings.xml",
+                F.col("data").cast("string"),
+            )
+        ).alias("_sst"),
+    )
+    # shared-string table: <si><t>…</t></si> (self-closing <t/> → '')
+    shared = F.transform(
+        F.regexp_extract_all(
+            F.col("_sst"),
+            F.lit(r"(?s)<si>(?:<t[^>]*/>|<t[^>]*>(.*?)</t>)</si>"),
+            1,
+        ),
+        lambda s: _decode_xml_entities(s),
+    )
+    staged = per_doc.where(F.col("_sheet").isNotNull()).select(
+        F.col("bucket_id").alias("doc_id"),
+        "crc_ok_members",
+        "_sheet",
+        shared.alias("_shared"),
+    )
+    rows = F.regexp_extract_all(
+        F.col("_sheet"), F.lit(r"(?s)<row[^>]*>(.*?)</row>"), 1
+    )
+    r = staged.select(
+        "doc_id",
+        "crc_ok_members",
+        "_shared",
+        F.posexplode_outer(rows).alias("row_idx", "_r"),
+    ).where(F.col("_r").isNotNull())
+    # attr chars are non-'>' and any '/' NOT followed by '>', so a
+    # self-closing <c/> can never backtrack into the >.*?</c> branch and
+    # swallow its right-hand neighbor cell (the greedy-[^>]* trap)
+    cells = F.regexp_extract_all(
+        F.col("_r"),
+        F.lit(r"(?s)<c\b(?:[^>/]|/(?!>))*(?:/>|>.*?</c>)"),
+        0,
+    )
+    return r.select(
+        "doc_id",
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.size(cells).cast("long").alias("n_cells"),
+        F.concat_ws(
+            "|", F.transform(cells, lambda c: _cell_value(c, F.col("_shared")))
+        ).alias("cells"),
+        "crc_ok_members",
+    )

@@ -2151,3 +2151,55 @@ SELECT doc_id,
          || 'lang: ' || lang AS text
 FROM d
 """
+
+
+# --- XLSX table extraction (round 9) -------------------------------------------
+
+def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX (ECMA-376 SpreadsheetML) table extraction (round 9): the
+    structured-data sibling of docx_extract + html_tables. Each document
+    becomes a genuine .xlsx package (stdlib-zipfile DEFLATE members:
+    workbook, worksheet, sharedStrings) whose sheet exercises all three
+    cell types — shared strings (t="s" index indirection through
+    xl/sharedStrings.xml), an inline string with an XML entity, bare
+    numbers — plus a self-closing empty cell that must keep its
+    position. Extraction composes parse_zip's central-directory walk
+    (independent CRC) with a pure-JVM chain: shared-string table via
+    regexp_extract_all, rows via row-local posexplode, per-cell type
+    dispatch + element_at resolution inside a transform lambda.
+    operators/xlsx.py.
+
+    Closed-form: every cell is a pure function of the documents
+    columns, so the oracle enumerates the three expected rows per
+    document directly.
+
+    Scale: one archive-keyed groupBy (the only shuffle); everything
+    else row-local / whole-stage-codegen.
+    """
+    from ..operators.xlsx import docs_as_xlsx, extract_xlsx
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_xlsx(docs_as_xlsx(docs)).select(
+        "doc_id", "row_idx", "n_cells", "cells", "crc_ok_members"
+    )
+
+
+ORACLE_XLSX_EXTRACT = """WITH d AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS row_idx, CAST(4 AS BIGINT) AS n_cells,
+       'name|lang|source|n_chars' AS cells,
+       CAST(6 AS BIGINT) AS crc_ok_members
+FROM d
+UNION ALL
+SELECT doc_id, 1, 4,
+       'doc & ' || doc_id || '|' || lang || '|' || source || '|' || n_chars,
+       6
+FROM d
+UNION ALL
+SELECT doc_id, 2, 4,
+       doc_id || '|' || (doc_id % 7) || '||' || (doc_id * 3),
+       6
+FROM d
+"""

@@ -100,15 +100,6 @@ QUERIES: dict[str, QueryDef] = {
         "IVF-bucketed approximate top-5 (nprobe=1) — the ANN scale path",
         bench=True,
     ),
-    "winnow_fingerprints": QueryDef(
-        llm.q_winnow_fingerprints, llm.ORACLE_WINNOW_FINGERPRINTS,
-        "winnowing rolling-hash document fingerprints (SIGMOD 2003)",
-        bench=True,
-    ),
-    "dedup_clusters": QueryDef(
-        llm.q_dedup_clusters, llm.ORACLE_DEDUP_CLUSTERS,
-        "connected components over LSH pairs vs recursive-CTE oracle",
-    ),
     "decontaminate_13gram": QueryDef(
         llm.q_decontaminate_13gram, llm.ORACLE_DECONTAMINATE_13GRAM,
         "benchmark decontamination: word-13-gram collision vs held-out slice",
@@ -121,24 +112,6 @@ QUERIES: dict[str, QueryDef] = {
     # displaced row-local queries (simhash, text_stats, lang_id,
     # embedding_norms, doc_quality, top_terms — 3-4 green rows each) keep
     # identical local rigor in EXTRA_PARITY ---
-    "bm25_search": QueryDef(
-        llm.q_bm25_search, llm.ORACLE_BM25_SEARCH,
-        "BM25 ranked retrieval: row-local Okapi scoring from one-pass "
-        "integer corpus stats, micro-quantized, top-50 with tiebreak",
-        bench=True,
-    ),
-    "unigram_nll": QueryDef(
-        llm.q_unigram_nll, llm.ORACLE_UNIGRAM_NLL,
-        "corpus-trained unigram-LM quality scores (CCNet perplexity-filter "
-        "shape): add-one smoothing, OOV bucket, integer micro-nat sums",
-        bench=True,
-    ),
-    "bpe_vocab": QueryDef(
-        llm.q_bpe_vocab, llm.ORACLE_BPE_VOCAB,
-        "corpus-trained BPE tokenizer (Sennrich iterative pair-merge, 3 "
-        "merges, deterministic tie-break) — (token, cnt) vocabulary vs a "
-        "3-level-unrolled SQL oracle",
-    ),
     # --- rotated in from EXTRA_PARITY (round 6): five queries earn their
     # FIRST driver rows (png_decode, pack_sequences, boilerplate_ngrams,
     # blocklist_filter, semantic_dedup) plus simhash's return; the six
@@ -147,24 +120,9 @@ QUERIES: dict[str, QueryDef] = {
     # corpus_sample_split — 3-5 green rows each, shapes indirectly still
     # driver-proven: windows via q_sessionize, LSH pairs consumed inside
     # dedup_clusters) keep identical local rigor in EXTRA_PARITY ---
-    "png_decode": QueryDef(
-        llm.q_png_decode, llm.ORACLE_PNG_DECODE,
-        "REAL compressed-image decode: stdlib-zlib PNG encode (5 filter "
-        "types, CRC'd multi-IDAT chunks) + chunk-walked inflate+unfilter "
-        "decode; oracle recomputes geometry and first-64-pixel hex",
-    ),
-    "pack_sequences": QueryDef(
-        llm.q_pack_sequences, llm.ORACLE_PACK_SEQUENCES,
-        "offset sequence packing into 256-token budgets within hash buckets",
-    ),
     "boilerplate_ngrams": QueryDef(
         llm.q_boilerplate_ngrams, llm.ORACLE_BOILERPLATE_NGRAMS,
         "per-doc boilerplate n-gram load (corpus df >= 1%), C4/CCNet-style",
-    ),
-    "semantic_dedup": QueryDef(
-        corpus.q_semantic_dedup, corpus.ORACLE_SEMANTIC_DEDUP,
-        "SemDeDup survivor set: per-cluster cosine pruning in exact "
-        "int8-quantized arithmetic",
     ),
     # --- rotated in from EXTRA_PARITY (round 7): the eight round-6
     # operators earn their first driver rows (VERDICT r6 next #2). The
@@ -371,6 +329,83 @@ QUERIES: dict[str, QueryDef] = {
         "audio tier (WAV decode, MP3 triage, FLAC lossless); oracle "
         "recomputes every column incl. the full-PCM hex digest",
     ),
+    # --- rotated IN round 9: the round-8 trio (docx_extract,
+    # html_tables, text_normalize) + the best-by-novelty parity backlog
+    # earn their FIRST driver rows (VERDICT r8 next #2). The eight
+    # displaced queries (3-7 green rounds each) keep identical local
+    # rigor + bench flags in EXTRA_PARITY, and their shapes stay
+    # driver-proven by strictly-richer replacements: rolling-hash
+    # fingerprints via minhash_signatures, LSH-pair components via
+    # dedup_incremental's band probes + image_near_dup's banded join,
+    # corpus-stat scoring + broadcast-LM joins via bigram_nll,
+    # iterative-learner unrolled oracles via knn_ivfpq's integer-Lloyd
+    # recursion, deflate decode via pdf_extract's FlateDecode +
+    # gif_decode's LZW, running-sum packing windows via q_sessionize,
+    # per-cluster cosine pruning via knn_ivfpq's ADC scoring ---
+    "docx_extract": QueryDef(
+        corpus.q_docx_extract, corpus.ORACLE_DOCX_EXTRACT,
+        "DOCX text extraction (round 8, ECMA-376): genuine zipfile-built "
+        "OOXML packages -> parse_zip central-directory walk (independent "
+        "CRC) -> pure-JVM DOTALL regexp over word/document.xml (<w:t> "
+        "runs concatenate separator-free, <w:p/> yields no phantom "
+        "line); Office documents in the crawl, closed-form oracle",
+    ),
+    "html_tables": QueryDef(
+        corpus.q_html_tables, corpus.ORACLE_HTML_TABLES,
+        "HTML table mining (round 8): table->tr->th/td walk as a pure "
+        "JVM regexp chain (script/comment decoys stripped FIRST, all "
+        "patterns DOTALL) -> one row per <tr> with entity-decoded "
+        "pipe-joined cells; the structured-data stage plain text "
+        "extraction destroys; closed-form 4-rows-per-doc oracle",
+    ),
+    "text_normalize": QueryDef(
+        corpus.q_text_normalize, corpus.ORACLE_TEXT_NORMALIZE,
+        "Unicode normalization (round 8, UAX #15): control + zero-width "
+        "strips as JVM regex passes, conservative ftfy-style mojibake "
+        "repair (latin-1/utf-8 double-encoding inverse, sequence-gated "
+        "as of r9) + NFC in one Arrow pass; deterministic JVM-side "
+        "injections make repair and counts closed-form; oracle mirrors "
+        "the RE2 classes and uses DuckDB nfc_normalize",
+    ),
+    "jpeg_color_decode": QueryDef(
+        llm.q_jpeg_color_decode, llm.ORACLE_JPEG_COLOR_DECODE,
+        "COLOR baseline JPEG (round 7): 4:2:0 YCbCr interleaved-MCU "
+        "encode + general multi-component decode (two quant tables, "
+        "four Huffman tables, three DC predictors, native-resolution "
+        "chroma planes); uniform-MCU fixtures make the lossy round "
+        "trip closed-form oracle-exact in all three components",
+    ),
+    "tiff_decode": QueryDef(
+        llm.q_tiff_decode, llm.ORACLE_TIFF_DECODE,
+        "TIFF 6.0 decode (round 7, the tag-directory container): "
+        "expression-built multi-strip grayscale fixtures, IFD walk "
+        "with the inline-vs-out-of-line value rule, strip reassembly, "
+        "both byte orders (big-endian pin-tested) — closed-form oracle "
+        "on geometry, exact pixel sums, and head bytes",
+    ),
+    "zip_roundtrip": QueryDef(
+        corpus.q_zip_roundtrip, corpus.ORACLE_ZIP_ROUNDTRIP,
+        "REAL ZIP container round trip (round 7, the random-access "
+        "archive family): expression-built STORE members with JVM "
+        "CRC-32, window-cumsum central-directory offsets, EOCD -> "
+        "directory walk -> ranged member reads; crc_ok pinned TRUE "
+        "forces the two independent CRC implementations to agree",
+    ),
+    "mp3_scan": QueryDef(
+        llm.q_mp3_scan, llm.ORACLE_MP3_SCAN,
+        "MP3 frame-header triage (round 7, ISO 11172-3 container "
+        "layer): JVM-expression-built ID3v2+VBR fixtures, per-frame "
+        "header walk with syncsafe tag skip and byte-resync — duration/"
+        "bitrate/VBR profile without decode, closed-form oracle",
+    ),
+    "curation_ledger": QueryDef(
+        corpus.q_curation_ledger, corpus.ORACLE_CURATION_LEDGER,
+        "the per-doc curation VERDICT table (round 7 capstone): exact "
+        "dedup + LSH near-dup + 13-gram contamination + blocklist + "
+        "Gopher quality composed by precedence into one 'why was my "
+        "document dropped' ledger; the oracle embeds the component "
+        "oracles verbatim so the composition cannot drift",
+    ),
 }
 
 # The external driver records at most 50 query rows (verified empirically:
@@ -384,6 +419,50 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # live here rather than silently past the cap (the corpus_sample_split
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
+    # --- displaced round 9 (3-7 green driver rounds each; see the
+    # rotation note in QUERIES for the shape-coverage argument) ---
+    "winnow_fingerprints": QueryDef(
+        llm.q_winnow_fingerprints, llm.ORACLE_WINNOW_FINGERPRINTS,
+        "winnowing rolling-hash document fingerprints (SIGMOD 2003)",
+        bench=True,
+    ),
+    "dedup_clusters": QueryDef(
+        llm.q_dedup_clusters, llm.ORACLE_DEDUP_CLUSTERS,
+        "connected components over LSH pairs vs recursive-CTE oracle",
+    ),
+    "bm25_search": QueryDef(
+        llm.q_bm25_search, llm.ORACLE_BM25_SEARCH,
+        "BM25 ranked retrieval: row-local Okapi scoring from one-pass "
+        "integer corpus stats, micro-quantized, top-50 with tiebreak",
+        bench=True,
+    ),
+    "unigram_nll": QueryDef(
+        llm.q_unigram_nll, llm.ORACLE_UNIGRAM_NLL,
+        "corpus-trained unigram-LM quality scores (CCNet perplexity-filter "
+        "shape): add-one smoothing, OOV bucket, integer micro-nat sums",
+        bench=True,
+    ),
+    "bpe_vocab": QueryDef(
+        llm.q_bpe_vocab, llm.ORACLE_BPE_VOCAB,
+        "corpus-trained BPE tokenizer (Sennrich iterative pair-merge, 3 "
+        "merges, deterministic tie-break) — (token, cnt) vocabulary vs a "
+        "3-level-unrolled SQL oracle",
+    ),
+    "png_decode": QueryDef(
+        llm.q_png_decode, llm.ORACLE_PNG_DECODE,
+        "REAL compressed-image decode: stdlib-zlib PNG encode (5 filter "
+        "types, CRC'd multi-IDAT chunks) + chunk-walked inflate+unfilter "
+        "decode; oracle recomputes geometry and first-64-pixel hex",
+    ),
+    "pack_sequences": QueryDef(
+        llm.q_pack_sequences, llm.ORACLE_PACK_SEQUENCES,
+        "offset sequence packing into 256-token budgets within hash buckets",
+    ),
+    "semantic_dedup": QueryDef(
+        corpus.q_semantic_dedup, corpus.ORACLE_SEMANTIC_DEDUP,
+        "SemDeDup survivor set: per-cluster cosine pruning in exact "
+        "int8-quantized arithmetic",
+    ),
     "dedup_exact": QueryDef(
         llm.q_dedup_exact, llm.ORACLE_DEDUP_EXACT,
         "exact dedup by content hash", bench=True,
@@ -757,14 +836,6 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "(input, target) pair construction — one transform/flatten, "
         "zero shuffle; oracle mirrors block arithmetic exactly",
     ),
-    "jpeg_color_decode": QueryDef(
-        llm.q_jpeg_color_decode, llm.ORACLE_JPEG_COLOR_DECODE,
-        "COLOR baseline JPEG (round 7): 4:2:0 YCbCr interleaved-MCU "
-        "encode + general multi-component decode (two quant tables, "
-        "four Huffman tables, three DC predictors, native-resolution "
-        "chroma planes); uniform-MCU fixtures make the lossy round "
-        "trip closed-form oracle-exact in all three components",
-    ),
     "warc_gzip_roundtrip": QueryDef(
         corpus.q_warc_gzip_roundtrip, corpus.ORACLE_WARC_GZIP_ROUNDTRIP,
         "WARC with the production gzip-member-per-record layout (CDX "
@@ -792,36 +863,12 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "property tests (monotone under repetition, ~1.0 on "
         "incompressible bytes, rerun-stable)",
     ),
-    "curation_ledger": QueryDef(
-        corpus.q_curation_ledger, corpus.ORACLE_CURATION_LEDGER,
-        "the per-doc curation VERDICT table (round 7 capstone): exact "
-        "dedup + LSH near-dup + 13-gram contamination + blocklist + "
-        "Gopher quality composed by precedence into one 'why was my "
-        "document dropped' ledger; the oracle embeds the component "
-        "oracles verbatim so the composition cannot drift",
-    ),
-    "tiff_decode": QueryDef(
-        llm.q_tiff_decode, llm.ORACLE_TIFF_DECODE,
-        "TIFF 6.0 decode (round 7, the tag-directory container): "
-        "expression-built multi-strip grayscale fixtures, IFD walk "
-        "with the inline-vs-out-of-line value rule, strip reassembly, "
-        "both byte orders (big-endian pin-tested) — closed-form oracle "
-        "on geometry, exact pixel sums, and head bytes",
-    ),
     "split_leakage": QueryDef(
         llm.q_split_leakage, llm.ORACLE_SPLIT_LEAKAGE,
         "train/test split-leakage audit (round 7): hash split x MinHash "
         "LSH — near-duplicate pairs straddling the split boundary, the "
         "eval-integrity gap exact key-splits cannot see; LSH equi-join "
         "+ two label joins, never all-pairs",
-    ),
-    "zip_roundtrip": QueryDef(
-        corpus.q_zip_roundtrip, corpus.ORACLE_ZIP_ROUNDTRIP,
-        "REAL ZIP container round trip (round 7, the random-access "
-        "archive family): expression-built STORE members with JVM "
-        "CRC-32, window-cumsum central-directory offsets, EOCD -> "
-        "directory walk -> ranged member reads; crc_ok pinned TRUE "
-        "forces the two independent CRC implementations to agree",
     ),
     "frontier_schedule": QueryDef(
         corpus.q_frontier_schedule, corpus.ORACLE_FRONTIER_SCHEDULE,
@@ -848,13 +895,6 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "manifest join, added/removed/changed/unchanged classification "
         "+ exact rescan size — the 64-row join that replaces a full-"
         "corpus rescan between snapshots",
-    ),
-    "mp3_scan": QueryDef(
-        llm.q_mp3_scan, llm.ORACLE_MP3_SCAN,
-        "MP3 frame-header triage (round 7, ISO 11172-3 container "
-        "layer): JVM-expression-built ID3v2+VBR fixtures, per-frame "
-        "header walk with syncsafe tag skip and byte-resync — duration/"
-        "bitrate/VBR profile without decode, closed-form oracle",
     ),
     "contrastive_pairs": QueryDef(
         llm.q_contrastive_pairs, llm.ORACLE_CONTRASTIVE_PAIRS,
@@ -886,30 +926,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "ext->payload map per sample, text + JSON sidecar fields "
         "recovered as column expressions",
     ),
-    "docx_extract": QueryDef(
-        corpus.q_docx_extract, corpus.ORACLE_DOCX_EXTRACT,
-        "DOCX text extraction (round 8, ECMA-376): genuine zipfile-built "
-        "OOXML packages -> parse_zip central-directory walk (independent "
-        "CRC) -> pure-JVM DOTALL regexp over word/document.xml (<w:t> "
-        "runs concatenate separator-free, <w:p/> yields no phantom "
-        "line); Office documents in the crawl, closed-form oracle",
-    ),
-    "html_tables": QueryDef(
-        corpus.q_html_tables, corpus.ORACLE_HTML_TABLES,
-        "HTML table mining (round 8): table->tr->th/td walk as a pure "
-        "JVM regexp chain (script/comment decoys stripped FIRST, all "
-        "patterns DOTALL) -> one row per <tr> with entity-decoded "
-        "pipe-joined cells; the structured-data stage plain text "
-        "extraction destroys; closed-form 4-rows-per-doc oracle",
-    ),
-    "text_normalize": QueryDef(
-        corpus.q_text_normalize, corpus.ORACLE_TEXT_NORMALIZE,
-        "Unicode normalization (round 8, UAX #15): control + zero-width "
-        "strips as JVM regex passes, conservative ftfy-style mojibake "
-        "repair (latin-1/utf-8 double-encoding inverse, indicator-gated) "
-        "+ NFC in one Arrow pass; deterministic JVM-side injections make "
-        "repair and counts closed-form; oracle mirrors the RE2 classes "
-        "and uses DuckDB nfc_normalize",
+    "xlsx_extract": QueryDef(
+        corpus.q_xlsx_extract, corpus.ORACLE_XLSX_EXTRACT,
+        "XLSX table extraction (round 9, ECMA-376 SpreadsheetML): "
+        "genuine zipfile-built packages -> parse_zip walk (independent "
+        "CRC) -> pure-JVM shared-string resolution (t=\"s\" index "
+        "indirection via element_at), inline strings, numbers, empty "
+        "cells keeping position — one row per sheet row, matching the "
+        "html_tables contract; closed-form 3-rows-per-doc oracle",
     ),
     "shard_manifest": QueryDef(
         corpus.q_shard_manifest, corpus.ORACLE_SHARD_MANIFEST,

@@ -1,0 +1,102 @@
+"""XLSX surface tests: round trip on fixture docs through genuine
+stdlib-zipfile packages, shared-string indirection, inline strings,
+empty-cell position keeping, foreign-writer robustness (a package this
+repo's fixture cannot emit), and drop-not-crash on garbage."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.operators.xlsx import (
+    docs_as_xlsx,
+    extract_xlsx,
+)
+from epic_stream_processor_spark.sources.fixtures import load_table
+
+
+def test_xlsx_roundtrip_fixture_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {}
+    for r in extract_xlsx(docs_as_xlsx(docs)).collect():
+        got.setdefault(r["doc_id"], {})[r["row_idx"]] = r
+    want = {r["doc_id"]: r for r in docs.collect()}
+    assert set(got) == set(want)
+    for doc_id, d in want.items():
+        rows = got[doc_id]
+        assert set(rows) == {0, 1, 2}
+        assert rows[0]["cells"] == "name|lang|source|n_chars"
+        assert rows[1]["cells"] == "doc & %d|%s|%s|%d" % (
+            doc_id, d["lang"], d["source"], d["n_chars"]
+        )
+        # row 3 has the EMPTY self-closing cell at position 3: the ||
+        assert rows[2]["cells"] == "%d|%d||%d" % (
+            doc_id, doc_id % 7, doc_id * 3
+        )
+        for r in rows.values():
+            assert r["n_cells"] == 4
+            assert r["crc_ok_members"] == 6  # all members CRC-verified
+
+
+def test_xlsx_foreign_writer_layout(spark):
+    """A sheet laid out the way a different writer would: STORED (not
+    deflated) members, pretty-printed XML with newlines inside rows,
+    attribute order swapped (t before r), a <t/> self-closing shared
+    string, and spans/style attributes the reader must ignore."""
+    sst = (
+        '<?xml version="1.0"?>\n<sst count="3" uniqueCount="3">\n'
+        "  <si><t>alpha</t></si>\n"
+        "  <si><t/></si>\n"  # empty shared string
+        "  <si><t>beta &amp; gamma</t></si>\n"
+        "</sst>"
+    )
+    sheet = (
+        '<?xml version="1.0"?>\n<worksheet>\n<sheetData>\n'
+        '  <row r="1" spans="1:3">\n'
+        '    <c t="s" r="A1" s="1"><v>0</v></c>\n'
+        '    <c t="s" r="B1"><v>1</v></c>\n'
+        '    <c t="s" r="C1"><v>2</v></c>\n'
+        "  </row>\n"
+        '  <row r="2">\n'
+        '    <c r="A2"><v>3.5</v></c>\n'
+        '    <c r="B2" t="inlineStr"><is>\n      <t>in line</t>\n    </is></c>\n'
+        "  </row>\n"
+        "</sheetData>\n</worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    df = spark.createDataFrame([(5, buf.getvalue())], "doc_id long, data binary")
+    rows = {r["row_idx"]: r for r in extract_xlsx(df).collect()}
+    assert rows[0]["cells"] == "alpha||beta & gamma"
+    assert rows[0]["n_cells"] == 3
+    assert rows[1]["cells"] == "3.5|in line"
+    assert rows[1]["n_cells"] == 2
+
+
+def test_xlsx_garbage_and_missing_sheet_dropped(spark):
+    """Non-ZIP bytes and a ZIP without a sheet yield zero rows (drop,
+    not crash); a healthy sibling in the same batch survives."""
+    docs = spark.createDataFrame(
+        [(1, "x", "w", "en", 1)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    good = bytes(docs_as_xlsx(docs).collect()[0]["data"])
+    nosheet = io.BytesIO()
+    with zipfile.ZipFile(nosheet, "w") as zf:
+        zf.writestr("readme.txt", "no sheets here")
+    df = spark.createDataFrame(
+        [
+            (11, b"not a zip at all"),
+            (12, nosheet.getvalue()),
+            (13, good[: len(good) // 2]),  # truncated package
+            (1, good),
+        ],
+        "doc_id long, data binary",
+    )
+    rows = extract_xlsx(df).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert len(rows) == 3
