@@ -249,3 +249,104 @@ def docs_as_table_html(doc_id: Column, lang: Column, source: Column) -> Column:
         (doc_id % 7).cast("string"),
         (doc_id % 3).cast("string"),
     )
+
+
+def docs_as_jsonld_html(doc_id: Column, lang: Column, source: Column,
+                        n_chars: Column) -> Column:
+    """Render a document as a page carrying schema.org JSON-LD: one
+    Article block and one Dataset block (both must extract), a decoy
+    plain <script> whose STRING contains an ld+json literal and a
+    commented-out ld+json block (both must leak nothing), and prose.
+    Every JSON value is a pure function of the table columns, so the
+    oracle is closed form."""
+    return F.format_string(
+        "<html><head>\n"
+        '<script type="application/ld+json">\n'
+        '{"@context": "https://schema.org", "@type": "Article", '
+        '"identifier": %s, "headline": "Doc %s from %s", '
+        '"inLanguage": "%s", "wordCount": %s}\n'
+        "</script>\n"
+        "<script>var fake = '<script type=\"application/ld+json\">"
+        '{"@type": "Fake"}\' + "</" + "script>";</script>' "\n"
+        '<!-- <script type="application/ld+json">{"@type": "Ghost"}'
+        "</script> -->\n"
+        '<script type="application/ld+json">'
+        '{"@type": "Dataset", "identifier": %s, '
+        '"name": "corpus-%s", "size": %s}'
+        "</script>\n"
+        "</head><body><p>prose for doc %s</p></body></html>",
+        doc_id.cast("string"),
+        doc_id.cast("string"),
+        source,
+        lang,
+        n_chars.cast("string"),
+        doc_id.cast("string"),
+        lang,
+        n_chars.cast("string"),
+        doc_id.cast("string"),
+    )
+
+
+def extract_jsonld(df, html_col: str = "html", passthrough: tuple = ("doc_id",)):
+    """schema.org JSON-LD mining → one row per ld+json block:
+    ``(…passthrough, block_idx, item_type, identifier, label, size)``
+    with the JSON fields pulled by JVM-native ``get_json_object``.
+
+    This is the structured-metadata stage of a crawl pipeline (articles,
+    datasets, products, recipes annotate themselves this way — the
+    highest-precision metadata a page carries, far cleaner than title
+    tags). Engine stance identical to :func:`extract_tables`: comments
+    stripped FIRST so a commented-out block cannot leak; plain
+    ``<script>`` bodies are NOT matched (the type attribute is
+    required, any attribute order); everything DOTALL; zero Python,
+    zero shuffles (posexplode is row-local); JSON parsing stays JVM
+    (``get_json_object``), so whole-stage codegen holds end to end.
+
+    Scope (documented): a JSON string containing a literal
+    ``</script>`` ends the block early — the same non-greedy trade-off
+    as the table/text extractors; real-world emitters escape it as
+    ``<\\/script>`` for exactly this reason.
+
+    ``label`` unifies the per-type display field (Article ``headline``,
+    Dataset ``name``) and ``size`` the per-type numeric (``wordCount``
+    / ``size``) so one schema covers heterogeneous blocks.
+    """
+    from pyspark.sql import functions as F
+
+    cleaned = F.regexp_replace(F.col(html_col), r"(?s)<!--.*?-->", " ")
+    # tokenize ALL script elements in document order FIRST (outermost
+    # open tag through the first close tag — the lenient-parser rule),
+    # THEN filter by the open tag's type attribute. Matching the typed
+    # open tag directly would let an ld+json literal INSIDE a plain
+    # script's string start its own match (the decoy leak).
+    all_scripts = F.regexp_extract_all(
+        cleaned, F.lit(r"(?is)<script\b[^>]*>.*?</script>"), 0
+    )
+    typed = F.filter(
+        all_scripts,
+        lambda s: s.rlike(
+            r'(?is)^<script[^>]*\stype\s*=\s*"application/ld\+json"'
+        ),
+    )
+    blocks = F.transform(
+        typed,
+        lambda s: F.regexp_extract(s, r"(?is)^<script[^>]*>(.*)</script>$", 1),
+    )
+    b = df.select(
+        *passthrough, F.posexplode_outer(blocks).alias("block_idx", "_j")
+    ).where(F.col("_j").isNotNull())
+    j = F.col("_j")
+    return b.select(
+        *passthrough,
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.get_json_object(j, "$['@type']").alias("item_type"),
+        F.get_json_object(j, "$.identifier").cast("long").alias("identifier"),
+        F.coalesce(
+            F.get_json_object(j, "$.headline"),
+            F.get_json_object(j, "$.name"),
+        ).alias("label"),
+        F.coalesce(
+            F.get_json_object(j, "$.wordCount"),
+            F.get_json_object(j, "$.size"),
+        ).cast("long").alias("size"),
+    )

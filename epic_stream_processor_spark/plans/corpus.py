@@ -2203,3 +2203,95 @@ SELECT doc_id, 2, 4,
        6
 FROM d
 """
+
+
+# --- JSON-LD structured-metadata mining (round 9) -------------------------------
+
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD extraction (round 9): the structured-metadata
+    stage of a crawl pipeline — articles/datasets annotate themselves
+    with <script type="application/ld+json"> blocks, the highest-
+    precision metadata a page carries. Each document renders as a page
+    with one Article and one Dataset block plus two decoys (a plain
+    <script> whose string contains an ld+json literal, and a
+    commented-out block) that must leak ZERO rows. Extraction strips
+    comments first, matches only type-attributed script blocks (any
+    attribute order, DOTALL), then pulls fields with JVM-native
+    get_json_object — zero Python, zero shuffles
+    (operators/html_extract.py::extract_jsonld).
+
+    Closed-form: every JSON value is a pure function of the documents
+    columns, so the oracle enumerates the two expected blocks per doc.
+    """
+    from ..operators.html_extract import docs_as_jsonld_html, extract_jsonld
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        docs_as_jsonld_html(
+            F.col("doc_id"), F.col("lang"), F.col("source"), F.col("n_chars")
+        ).alias("html"),
+    )
+    return extract_jsonld(pages).select(
+        "doc_id", "block_idx", "item_type", "identifier", "label", "size"
+    )
+
+
+ORACLE_JSONLD_EXTRACT = """WITH d AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS block_idx, 'Article' AS item_type,
+       CAST(doc_id AS BIGINT) AS identifier,
+       'Doc ' || doc_id || ' from ' || source AS label,
+       CAST(n_chars AS BIGINT) AS size
+FROM d
+UNION ALL
+SELECT doc_id, 1, 'Dataset', doc_id, 'corpus-' || lang, n_chars
+FROM d
+"""
+
+
+# --- ODT extraction (round 9) ---------------------------------------------------
+
+def q_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODT (OASIS OpenDocument, ISO/IEC 26300) text extraction (round
+    9): completes the office family next to DOCX and XLSX. Each
+    document becomes a genuine .odt package (stdlib zipfile: STORED
+    mimetype first member per the ODF convention, manifest, DEFLATE
+    content.xml) whose paragraphs exercise span flattening (body split
+    MID-STRING across a <text:span> boundary), ODT whitespace elements
+    (<text:s text:c="2"/>, <text:tab/>), a self-closing empty paragraph
+    (no phantom line), and a heading. Extraction = parse_zip container
+    walk (independent CRC) + pure-JVM DOTALL chain; mimetype_ok pins
+    the first-member convention end to end (operators/odt.py).
+
+    Closed-form: extracted text is heading + normalized text +
+    whitespace line + footer, all pure functions of documents columns.
+    """
+    from ..operators.odt import docs_as_odt, extract_odt
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_odt(docs_as_odt(docs)).select(
+        "doc_id", "n_members", "crc_ok_members", "mimetype_ok",
+        "n_paragraphs", "text",
+    )
+
+
+ORACLE_ODT_EXTRACT = """WITH d AS (
+  SELECT doc_id, source, lang,
+         regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(3 AS BIGINT) AS n_members,
+       CAST(3 AS BIGINT) AS crc_ok_members,
+       TRUE AS mimetype_ok,
+       CAST(4 AS BIGINT) AS n_paragraphs,
+       'Doc ' || doc_id || ' from ' || source || chr(10)
+         || t || chr(10)
+         || 'ws:  x' || chr(9) || 'y' || chr(10)
+         || 'lang: ' || lang AS text
+FROM d
+"""

@@ -935,6 +935,23 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "cells keeping position — one row per sheet row, matching the "
         "html_tables contract; closed-form 3-rows-per-doc oracle",
     ),
+    "odt_extract": QueryDef(
+        corpus.q_odt_extract, corpus.ORACLE_ODT_EXTRACT,
+        "ODT text extraction (round 9, OASIS ODF 1.2): genuine packages "
+        "(STORED mimetype first member, the ODF convention, pinned by "
+        "mimetype_ok) -> parse_zip walk -> pure-JVM DOTALL chain with "
+        "span flattening, <text:s>/<text:tab> whitespace expansion, "
+        "heading+paragraph newline joins; completes the office family "
+        "(DOCX, XLSX, ODT); closed-form oracle",
+    ),
+    "jsonld_extract": QueryDef(
+        corpus.q_jsonld_extract, corpus.ORACLE_JSONLD_EXTRACT,
+        "schema.org JSON-LD mining (round 9): comment-strip-first, "
+        "type-attributed <script> blocks only (decoy plain scripts and "
+        "commented-out blocks leak zero rows), JVM get_json_object "
+        "field pulls — the structured-metadata crawl stage; closed-form "
+        "2-blocks-per-doc oracle",
+    ),
     "shard_manifest": QueryDef(
         corpus.q_shard_manifest, corpus.ORACLE_SHARD_MANIFEST,
         "deterministic training-shard writer manifest: salted-hash "

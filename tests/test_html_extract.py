@@ -105,3 +105,71 @@ def test_unquoted_href_stops_at_gt(spark):
 def test_non_anchor_href_ignored(spark):
     # <link>/<img> hrefs/srcs are not outlinks for the link graph.
     assert _links(spark, '<link href="http://css.com/a.css"><p>t</p>') == []
+
+
+def test_jsonld_blocks_and_decoys(spark):
+    """Both typed blocks extract with JVM JSON field pulls; the plain
+    <script> carrying an ld+json literal in a string and the
+    commented-out block leak ZERO rows; attribute order and single
+    quotes don't matter for the real-world variant."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.html_extract import (
+        docs_as_jsonld_html,
+        extract_jsonld,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "en", "web", 120)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    pages = docs.select(
+        "doc_id",
+        docs_as_jsonld_html(
+            F.col("doc_id"), F.col("lang"), F.col("source"), F.col("n_chars")
+        ).alias("html"),
+    )
+    rows = {r["block_idx"]: r for r in extract_jsonld(pages).collect()}
+    assert set(rows) == {0, 1}  # decoys leaked nothing
+    assert rows[0]["item_type"] == "Article"
+    assert rows[0]["label"] == "Doc 7 from web"
+    assert rows[0]["identifier"] == 7 and rows[0]["size"] == 120
+    assert rows[1]["item_type"] == "Dataset"
+    assert rows[1]["label"] == "corpus-en" and rows[1]["size"] == 120
+
+
+def test_jsonld_foreign_markup_variants(spark):
+    """Markup a different generator would emit: attribute order swapped,
+    extra attributes, whitespace around '=', uppercase tag — all must
+    match; a script with a DIFFERENT type must not."""
+    html = (
+        '<SCRIPT async type = "application/ld+json" data-x="1">'
+        '{"@type": "Recipe", "identifier": 3, "name": "stew", "size": 9}'
+        "</SCRIPT>"
+        '<script type="text/javascript">{"@type": "NotLd"}</script>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    from epic_stream_processor_spark.operators.html_extract import (
+        extract_jsonld,
+    )
+
+    rows = extract_jsonld(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["item_type"] == "Recipe"
+    assert rows[0]["label"] == "stew" and rows[0]["size"] == 9
+
+
+def test_jsonld_malformed_json_is_null_not_crash(spark):
+    """A typed block with broken JSON yields a row with NULL fields
+    (get_json_object semantics) — triage, not a crash."""
+    html = (
+        '<script type="application/ld+json">{not json at all</script>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    from epic_stream_processor_spark.operators.html_extract import (
+        extract_jsonld,
+    )
+
+    rows = extract_jsonld(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["item_type"] is None and rows[0]["size"] is None

@@ -1,0 +1,89 @@
+"""ODT surface tests: round trip on fixture docs, span flattening,
+whitespace-element expansion, the ODF mimetype convention, stdlib
+zipfile interop (foreign writer), and drop-not-crash on garbage."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.operators.odt import (
+    ODT_MIMETYPE,
+    docs_as_odt,
+    extract_odt,
+)
+from epic_stream_processor_spark.sources.fixtures import load_table
+
+
+def test_odt_roundtrip_fixture_docs(spark):
+    import re
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {r["doc_id"]: r for r in extract_odt(docs_as_odt(docs)).collect()}
+    want = {
+        r["doc_id"]: (
+            re.sub(r"\s+", " ", (r["text"] or "").strip()),
+            r["source"],
+            r["lang"],
+        )
+        for r in docs.collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, (norm, source, lang) in want.items():
+        r = got[doc_id]
+        assert r["text"] == (
+            "Doc %d from %s\n%s\nws:  x\ty\nlang: %s"
+            % (doc_id, source, norm, lang)
+        ), doc_id
+        assert r["n_paragraphs"] == 4  # the self-closing <text:p/> not counted
+        assert r["mimetype_ok"] is True
+        assert r["n_members"] == 3 and r["crc_ok_members"] == 3
+
+
+def test_odt_foreign_writer_and_entities(spark):
+    """A content.xml another writer would emit: pretty-printed, span
+    nesting two levels deep, entities, line-break element, and a
+    heading with attributes — extracted with stdlib-zipfile packaging
+    (DEFLATE everywhere, no mimetype member → mimetype_ok NULL-safe
+    False)."""
+    content = (
+        '<?xml version="1.0"?>\n'
+        "<office:document-content><office:body><office:text>\n"
+        '  <text:h text:outline-level="2">Title &amp; more</text:h>\n'
+        "  <text:p>a<text:span>b<text:span>c</text:span>d</text:span>e"
+        "<text:line-break/>f</text:p>\n"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("content.xml", content)
+    df = spark.createDataFrame([(3, buf.getvalue())], "doc_id long, data binary")
+    rows = {r["doc_id"]: r for r in extract_odt(df).collect()}
+    r = rows[3]
+    assert r["text"] == "Title & more\nabcde\nf"
+    assert r["n_paragraphs"] == 2
+    assert not r["mimetype_ok"]
+
+
+def test_odt_garbage_dropped_healthy_survives(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y", "w", "en", 3)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    good = bytes(docs_as_odt(docs).collect()[0]["data"])
+    nocontent = io.BytesIO()
+    with zipfile.ZipFile(nocontent, "w") as zf:
+        zf.writestr("mimetype", ODT_MIMETYPE)
+    df = spark.createDataFrame(
+        [
+            (11, b"garbage bytes, not a zip"),
+            (12, nocontent.getvalue()),  # package without content.xml
+            (13, good[:40]),  # truncated package
+            (1, good),
+        ],
+        "doc_id long, data binary",
+    )
+    rows = extract_odt(df).collect()
+    assert [r["doc_id"] for r in rows] == [1]
