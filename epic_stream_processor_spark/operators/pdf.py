@@ -76,6 +76,12 @@ def docs_as_pdfs(
     content stream): ``([doc <id> p1]) Tj``. Extracted text is therefore
     closed-form: ``norm_text || '\\n' || footer`` — SQL-recomputable.
 
+    Every fifth classic-path doc (``id%5==0 ∧ id%3≠0``, r9) additionally
+    ships ONE incremental update: an appended generation whose xref
+    ``/Prev``-chains to the base and REPLACES the footer object with a
+    ``v2`` footer — so the /Prev walk is exercised by the driver's
+    oracle gate, not just pytest fixtures.
+
     Whitespace normalization happens HERE, in JVM expressions
     (``trim`` + ``regexp_replace('\\s+', ' ')``) so the oracle's
     identical SQL chain is engine-exact; the Python side only ever sees
@@ -168,6 +174,28 @@ def docs_as_pdfs(
                 b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
                 % xref_at
             )
+            if doc_id % 5 == 0:
+                # every fifth classic-path doc ships ONE incremental
+                # update (what every re-saved real-world PDF looks
+                # like): the footer object is REPLACED by a v2 footer
+                # via an appended xref generation whose trailer /Prev
+                # points at the base xref — newest-wins must surface
+                # the v2 text, older objects resolve from the base.
+                footer2 = b"BT /F1 10 Tf 72 706 Td (%s) Tj ET" % esc(
+                    ("[doc %d p1 v2]" % doc_id).encode()
+                )
+                new6_at = len(buf)
+                buf += (
+                    b"6 0 obj\n<< /Length %d >>\nstream\n" % len(footer2)
+                    + footer2
+                    + b"\nendstream\nendobj\n"
+                )
+                xref1_at = len(buf)
+                buf += b"xref\n6 1\n%010d 00001 n \n" % new6_at
+                buf += (
+                    b"trailer\n<< /Size 7 /Root 1 0 R /Prev %d >>\n"
+                    b"startxref\n%d\n%%%%EOF\n" % (xref_at, xref1_at)
+                )
             return bytes(buf)
 
         def build_modern(

@@ -1869,10 +1869,13 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction end to end (round 8): render one deterministic
     single-page PDF per document (catalog/pages/page COS objects, xref
-    table, two content streams, FlateDecode on even doc_ids) and read it
-    back the way a viewer does — startxref → xref walk → /Root →
-    /Pages → /Kids → /Contents array, /Length-sliced streams, bounded
-    inflate, BT/ET + Tj/TJ/Td text-op walk (operators/pdf.py).
+    table, two content streams, FlateDecode on even doc_ids; every fifth
+    classic-path doc ships an INCREMENTAL UPDATE whose /Prev-chained
+    generation replaces the footer — r9) and read it
+    back the way a viewer does — startxref → LAST-startxref /Prev-chain
+    walk with newest-wins merge → /Root → /Pages → /Kids → /Contents
+    array, /Length-sliced streams, bounded inflate, BT/ET + Tj/TJ/Td
+    text-op walk (operators/pdf.py).
 
     Closed-form: the extracted text is exactly the whitespace-normalized
     document text plus a newline-separated footer line, so DuckDB can
@@ -1901,7 +1904,10 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_show_ops,
        CASE WHEN doc_id % 2 = 0 THEN 'FlateDecode' ELSE 'none' END AS pdf_filter,
        CASE WHEN doc_id % 3 = 0 THEN 'stream' ELSE 'table' END AS xref_kind,
-       t || chr(10) || '[doc ' || doc_id || ' p1]' AS text
+       t || chr(10) || '[doc ' || doc_id || ' p1'
+         || CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+                 THEN ' v2' ELSE '' END
+         || ']' AS text
 FROM d
 """
 

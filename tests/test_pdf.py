@@ -29,7 +29,10 @@ def test_pdf_roundtrip_on_fixture_docs(spark):
     assert set(got) == set(want)
     for doc_id, norm in want.items():
         r = got[doc_id]
-        assert r["text"] == f"{norm}\n[doc {doc_id} p1]", doc_id
+        # every fifth classic-path doc carries one incremental update
+        # replacing the footer (r9): the /Prev walk must surface v2
+        v2 = " v2" if doc_id % 3 != 0 and doc_id % 5 == 0 else ""
+        assert r["text"] == f"{norm}\n[doc {doc_id} p1{v2}]", doc_id
         assert r["n_pages"] == 1 and r["n_show_ops"] == 2
         assert r["pdf_filter"] == (
             "FlateDecode" if doc_id % 2 == 0 else "none"
