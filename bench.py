@@ -110,6 +110,8 @@ SF10_KNOWN_FLOORS = {
     "q_events_hourly": 3.0,        # §5e(b) recorder fix: 3.06 recorded r8
     "minhash_signatures": 7.0,     # §5e(a) host band 7-9 s
     "knn_cosine_ivf": 4.0,         # §5f r9 interleaved A/B floors
+    "pdf_extract": 9.9,            # §2d r9 clean-window 32-core floors
+    "image_near_dup": 12.5,        # §2d r8 quiet-window re-measure floors
 }
 
 

@@ -3400,3 +3400,47 @@ SELECT p.doc_id,
          'string_agg', '') AS head_hex
 FROM px p
 """
+
+
+# --- EXIF triage + strip (round 9) ----------------------------------------------
+
+def q_exif_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata triage (round 9, the image-PII stage): genuine
+    baseline JPEGs (docs_as_jpeg) gain a deterministic Exif APP1 — a
+    little-endian TIFF IFD0 with Orientation, DateTime, and (on even
+    ids) a GPSInfo pointer to a real GPS sub-IFD — and exif_scan walks
+    the marker stream and the embedded IFD WITHOUT decoding pixels,
+    reporting the GPS-presence flag a PII policy gates on
+    (operators/exif.py). The strip pass + pixel-identical re-decode is
+    pinned by tests/test_exif.py (scan -> strip -> decode composes
+    three independently-proven codecs).
+
+    Closed-form: every scanned field is a pure function of doc_id, so
+    the oracle enumerates the expected row per document directly.
+
+    Scale: row-local Arrow, touches marker headers + the EXIF block
+    only, never the entropy-coded scan — zero shuffles (the codec
+    budget).
+    """
+    from ..operators.exif import add_exif, exif_scan
+    from ..operators.jpeg import docs_as_jpeg
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = add_exif(docs_as_jpeg(docs))
+    return exif_scan(media).select(
+        F.col("media_id").alias("doc_id"), "n_segments", "has_exif",
+        "byte_order", "orientation", "datetime", "has_gps",
+    )
+
+
+ORACLE_EXIF_SCAN = """SELECT doc_id,
+       CAST(7 AS BIGINT) AS n_segments,
+       TRUE AS has_exif,
+       'II' AS byte_order,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+       '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         || ' 12:00:00' AS datetime,
+       doc_id % 2 = 0 AS has_gps
+FROM documents
+"""

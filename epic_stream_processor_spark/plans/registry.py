@@ -935,6 +935,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "cells keeping position — one row per sheet row, matching the "
         "html_tables contract; closed-form 3-rows-per-doc oracle",
     ),
+    "exif_scan": QueryDef(
+        llm.q_exif_scan, llm.ORACLE_EXIF_SCAN,
+        "EXIF triage + GPS-PII flag (round 9, EXIF 2.3/TIFF 6.0): "
+        "marker walk + embedded-IFD parse WITHOUT pixel decode over "
+        "genuine baseline JPEGs carrying injected Exif APP1 blocks; "
+        "the strip pass re-decodes pixel-identically (pytest); "
+        "closed-form per-doc oracle",
+    ),
     "odt_extract": QueryDef(
         corpus.q_odt_extract, corpus.ORACLE_ODT_EXTRACT,
         "ODT text extraction (round 9, OASIS ODF 1.2): genuine packages "

@@ -1,0 +1,132 @@
+"""EXIF surface tests: scan fields, GPS flag, the strip pass (removed
+segments, pixel-identical re-decode), big-endian foreign blocks,
+malformed-EXIF triage, and marker-stream fuzz."""
+
+from __future__ import annotations
+
+import struct
+
+from epic_stream_processor_spark.operators.exif import (
+    add_exif,
+    exif_scan,
+    strip_exif,
+)
+from epic_stream_processor_spark.operators.jpeg import decode_jpeg, docs_as_jpeg
+
+
+def _media(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return add_exif(docs_as_jpeg(docs))
+
+
+def test_exif_scan_fields_and_gps_flag(spark):
+    media = _media(spark, [(4, "even has gps"), (5, "odd has none")])
+    rows = {r["media_id"]: r for r in exif_scan(media).collect()}
+    assert rows[4]["has_gps"] is True and rows[5]["has_gps"] is False
+    for mid, r in rows.items():
+        assert r["has_exif"] is True and r["byte_order"] == "II"
+        assert r["orientation"] == 1 + mid % 8
+        assert r["datetime"] == "2026:01:%02d 12:00:00" % (1 + mid % 28)
+        assert r["n_segments"] == 7
+
+
+def test_strip_exif_scrubs_and_decodes_identically(spark):
+    """The PII contract: after strip, no Exif remains, removed_bytes
+    accounts exactly for the APP1 segment, and the pixels decode
+    byte-identically to the never-tagged original."""
+    docs = spark.createDataFrame(
+        [(2, "gps laden"), (3, "clean")], "doc_id long, text string"
+    )
+    plain = docs_as_jpeg(docs)
+    tagged = add_exif(plain)
+    stripped = strip_exif(tagged)
+    st = {r["media_id"]: r for r in stripped.collect()}
+    tagged_sizes = {
+        r["media_id"]: len(bytes(r["payload"])) for r in tagged.collect()
+    }
+    plain_bytes = {
+        r["media_id"]: bytes(r["payload"]) for r in plain.collect()
+    }
+    for mid, r in st.items():
+        assert bytes(r["payload"]) == plain_bytes[mid]  # byte-identical
+        assert r["removed_bytes"] == tagged_sizes[mid] - len(
+            plain_bytes[mid]
+        )
+    rescan = {
+        r["media_id"]: r
+        for r in exif_scan(
+            spark.createDataFrame(
+                [(m, bytes(r["payload"])) for m, r in st.items()],
+                "media_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert all(not r["has_exif"] for r in rescan.values())
+    dec = {
+        r["media_id"]: r.asDict()
+        for r in decode_jpeg(
+            spark.createDataFrame(
+                [
+                    (m, "image", bytes(r["payload"]), len(bytes(r["payload"])))
+                    for m, r in st.items()
+                ],
+                "media_id long, media_type string, payload binary, byte_len long",
+            )
+        ).collect()
+    }
+    ref = {r["media_id"]: r.asDict() for r in decode_jpeg(plain).collect()}
+    assert dec == ref
+
+
+def test_exif_big_endian_foreign_block(spark):
+    """An MM (big-endian) EXIF block — what a different camera writes —
+    must parse; exercises the byte-order branch the fixture never
+    emits."""
+    dt = b"2030:12:31 23:59:59\x00"
+    ifd0_at, n0 = 8, 2
+    dt_at = ifd0_at + 2 + n0 * 12 + 4
+    tiff = b"MM\x00\x2a" + struct.pack(">I", ifd0_at)
+    tiff += struct.pack(">H", n0)
+    tiff += struct.pack(">HHIHH", 0x0112, 3, 1, 6, 0)
+    tiff += struct.pack(">HHII", 0x0132, 2, len(dt), dt_at)
+    tiff += struct.pack(">I", 0) + dt
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    jpeg = (
+        b"\xff\xd8" + app1
+        + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00scan-data"
+    )
+    rows = exif_scan(
+        spark.createDataFrame([(9, jpeg)], "media_id long, payload binary")
+    ).collect()
+    r = rows[0]
+    assert r["byte_order"] == "MM" and r["orientation"] == 6
+    assert r["datetime"] == "2030:12:31 23:59:59"
+    assert r["has_gps"] is False
+
+
+def test_exif_malformed_and_fuzz_triage(spark):
+    """Garbage EXIF inside a valid JPEG → has_exif TRUE, NULL fields;
+    non-JPEG dropped; truncation sweep never crashes and never loses
+    the healthy sibling."""
+    bad_body = b"Exif\x00\x00" + b"II\x2a\x00" + b"\xff" * 6
+    app1 = b"\xff\xe1" + struct.pack(">H", len(bad_body) + 2) + bad_body
+    jpeg = b"\xff\xd8" + app1 + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00x"
+    media = _media(spark, [(1, "healthy")])
+    good = bytes(media.collect()[0]["payload"])
+    cases = [(50, jpeg), (51, b"not a jpeg"), (1, good)]
+    cases += [(100 + cut, good[:cut]) for cut in range(0, len(good), 9)]
+    rows = {
+        r["media_id"]: r
+        for r in exif_scan(
+            spark.createDataFrame(cases, "media_id long, payload binary")
+        ).collect()
+    }
+    assert 51 not in rows  # non-JPEG dropped
+    assert rows[50]["has_exif"] is True and rows[50]["orientation"] is None
+    assert rows[1]["orientation"] == 2
+    # strip over the same fuzz set: never crashes, never loses a row
+    st = strip_exif(
+        spark.createDataFrame(cases, "media_id long, payload binary")
+    ).collect()
+    assert len(st) == len(cases)
