@@ -2301,3 +2301,129 @@ SELECT doc_id,
          || 'lang: ' || lang AS text
 FROM d
 """
+
+
+# --- Wikipedia-dump processing (round 9) ----------------------------------------
+
+def q_wikitext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikitext markup → text (round 9): the Wikipedia stage every
+    published LLM mix includes. Each document renders as a
+    deterministic page exercising nested templates (2 levels),
+    piped + plain links, a File thumbnail with caption, bold/italic
+    quotes, a <ref> citation, and a heading; extraction is the pure-JVM
+    chain of operators/wikitext.py (3-level unrolled innermost-out
+    template strip) with integer markup-load triage columns riding
+    along. The oracle rebuilds the IDENTICAL fixture string in SQL and
+    runs the mirrored RE2 chain built from the same pattern table —
+    construct-for-construct parity, no assumptions about the corpus
+    text.
+
+    Scale: bare projection, whole-stage codegen, zero shuffles.
+    """
+    from ..operators.wikitext import (
+        docs_as_wikitext,
+        wiki_stats,
+        wikitext_to_text,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs_as_wikitext(docs)
+    stats = wiki_stats(F.col("wikitext"))
+    return pages.select(
+        "doc_id",
+        "title",
+        wikitext_to_text(F.col("wikitext")).alias("text_extracted"),
+        stats["n_template_opens"].alias("n_template_opens"),
+        stats["n_links"].alias("n_links"),
+        stats["n_refs"].alias("n_refs"),
+    )
+
+
+def _oracle_wikitext_extract() -> str:
+    from ..operators.wikitext import WIKITEXT_FIXTURE_SQL, wikitext_to_text_sql
+
+    return f"""WITH w AS (
+  SELECT doc_id, 'Doc ' || doc_id AS title,
+         {WIKITEXT_FIXTURE_SQL} AS wt
+  FROM documents
+)
+SELECT doc_id, title,
+       {wikitext_to_text_sql("wt")} AS text_extracted,
+       CAST((length(wt) - length(replace(wt, '{{{{', ''))) / 2 AS BIGINT)
+         AS n_template_opens,
+       CAST(length(list_filter(regexp_extract_all(wt, '\\[\\[[^\\]]*\\]\\]'),
+                               x -> x <> '')) AS BIGINT) AS n_links,
+       CAST(length(list_filter(
+         regexp_extract_all(wt, '(?s)<ref[^>]*>.*?</ref>|<ref[^>/]*/>'),
+         x -> x <> '')) AS BIGINT) AS n_refs
+FROM w
+"""
+
+
+ORACLE_WIKITEXT_EXTRACT = _oracle_wikitext_extract()
+
+
+def q_wiki_multistream_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multistream-dump point fetch (round 9): pages grouped 4-per-bz2-
+    stream, streams concatenated into shard files with window-derived
+    offsets (the WARC/CDX writer idiom), an offset:id:title index, and
+    an indexed fetch that decompresses ONE stream per wanted page
+    (every 20th doc) — the dumps.wikimedia.org random-access layout.
+    The fetched wikitext then runs the same JVM extraction chain
+    (operators/wikitext.py).
+
+    Oracle: stream membership and page counts are closed-form
+    (stream_id = doc_id // 4); the extracted text is the mirrored SQL
+    chain over the rebuilt fixture string. Offsets are pinned by
+    pytest (compressed lengths aren't SQL-recomputable), the same
+    split as warc_cdx_fetch.
+
+    Scale: fetch cost ∝ fetched pages (one small stream each), never
+    the corpus; the index join is an equi-join; shard images join
+    broadcast-small.
+    """
+    from ..operators.wikitext import (
+        docs_as_wikitext,
+        fetch_pages,
+        wiki_multistream,
+        wikitext_to_text,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    shards, index = wiki_multistream(docs_as_wikitext(docs))
+    wanted = docs.select("doc_id").where(F.col("doc_id") % 20 == 0)
+    got = fetch_pages(shards, index, wanted)
+    return got.select(
+        "doc_id",
+        "title",
+        "stream_id",
+        "n_pages_in_stream",
+        wikitext_to_text(F.col("wikitext")).alias("text_extracted"),
+    )
+
+
+def _oracle_wiki_multistream_fetch() -> str:
+    from ..operators.wikitext import WIKITEXT_FIXTURE_SQL, wikitext_to_text_sql
+
+    return f"""WITH members AS (
+  SELECT doc_id, doc_id // 4 AS stream_id FROM documents
+), counts AS (
+  SELECT stream_id, count(*) AS n_pages FROM members GROUP BY 1
+), w AS (
+  SELECT doc_id, 'Doc ' || doc_id AS title,
+         {WIKITEXT_FIXTURE_SQL} AS wt
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT w.doc_id, w.title,
+       m.stream_id,
+       CAST(c.n_pages AS BIGINT) AS n_pages_in_stream,
+       {wikitext_to_text_sql("wt")} AS text_extracted
+FROM w
+JOIN members m ON m.doc_id = w.doc_id
+JOIN counts c ON c.stream_id = m.stream_id
+"""
+
+
+ORACLE_WIKI_MULTISTREAM_FETCH = _oracle_wiki_multistream_fetch()

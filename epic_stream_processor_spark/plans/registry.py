@@ -935,6 +935,22 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "cells keeping position — one row per sheet row, matching the "
         "html_tables contract; closed-form 3-rows-per-doc oracle",
     ),
+    "wikitext_extract": QueryDef(
+        corpus.q_wikitext_extract, corpus.ORACLE_WIKITEXT_EXTRACT,
+        "wikitext -> text (round 9, the Wikipedia stage of every "
+        "published LLM mix): nested-template 3-level unrolled strip, "
+        "piped/plain links, File thumbnails, refs, quotes, headings as "
+        "a pure JVM chain; oracle runs the mirrored RE2 chain from the "
+        "SAME pattern table over the identically-rebuilt fixture string",
+    ),
+    "wiki_multistream_fetch": QueryDef(
+        corpus.q_wiki_multistream_fetch, corpus.ORACLE_WIKI_MULTISTREAM_FETCH,
+        "multistream .xml.bz2 point fetch (round 9, the dumps.wikimedia "
+        "layout): 4-page bz2 streams, window-derived shard offsets, "
+        "offset:id:title index, one-stream-per-fetch decompression + "
+        "page regex + the wikitext chain; offsets pytest-pinned (the "
+        "warc_cdx_fetch split)",
+    ),
     "exif_scan": QueryDef(
         llm.q_exif_scan, llm.ORACLE_EXIF_SCAN,
         "EXIF triage + GPS-PII flag (round 9, EXIF 2.3/TIFF 6.0): "

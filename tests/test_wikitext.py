@@ -1,0 +1,107 @@
+"""Wikitext + multistream-dump tests: the offset/framing pins the
+oracle can't express (compressed lengths), stdlib multistream interop,
+markup-chain edge cases, and fetch exactness."""
+
+from __future__ import annotations
+
+import bz2
+
+from pyspark.sql import functions as F
+
+from epic_stream_processor_spark.operators.wikitext import (
+    PAGES_PER_STREAM,
+    docs_as_wikitext,
+    fetch_pages,
+    wiki_multistream,
+    wikitext_to_text,
+)
+
+
+def _docs(spark, n=20):
+    return spark.createDataFrame(
+        [(i, f"text body {i}", f"s{i%3}", "en", 10 + i) for i in range(n)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+
+
+def test_multistream_offsets_and_stdlib_interop(spark):
+    """Every (offset, length) slice must decompress STANDALONE (the
+    point-fetch contract), lengths must tile the shard exactly, and the
+    whole shard must read as a standard multistream bz2 — i.e. stdlib
+    bz2.decompress, which handles concatenated streams, recovers all
+    pages in order."""
+    shards, index = wiki_multistream(docs_as_wikitext(_docs(spark)))
+    blobs = {r["shard_id"]: bytes(r["data"]) for r in shards.collect()}
+    idx = index.collect()
+    by_stream = {}
+    for r in idx:
+        by_stream.setdefault(
+            (r["shard_id"], r["stream_id"]), (r["offset"], r["length"])
+        )
+    for (sid, _stream), (off, length) in by_stream.items():
+        xml = bz2.decompress(blobs[sid][off : off + length]).decode()
+        assert xml.count("<page>") in (1, PAGES_PER_STREAM)
+    for sid, blob in blobs.items():
+        lengths = sorted(
+            (off, length) for (s, _), (off, length) in by_stream.items()
+            if s == sid
+        )
+        assert lengths[0][0] == 0
+        for (o1, l1), (o2, _l2) in zip(lengths, lengths[1:]):
+            assert o1 + l1 == o2  # offsets tile exactly
+        assert lengths[-1][0] + lengths[-1][1] == len(blob)
+        # stdlib multistream read of the WHOLE shard
+        all_xml = bz2.decompress(blob).decode()
+        n_pages = sum(
+            1 for r in idx if r["shard_id"] == sid
+        )
+        assert all_xml.count("<page>") == n_pages
+
+
+def test_fetch_exact_ids_and_stream_counts(spark):
+    docs = _docs(spark, 23)
+    shards, index = wiki_multistream(docs_as_wikitext(docs))
+    wanted = spark.createDataFrame([(0,), (7,), (21,)], "doc_id long")
+    got = {r["doc_id"]: r for r in fetch_pages(shards, index, wanted).collect()}
+    assert set(got) == {0, 7, 21}
+    assert got[0]["stream_id"] == 0 and got[7]["stream_id"] == 1
+    assert got[0]["n_pages_in_stream"] == 4
+    assert got[21]["n_pages_in_stream"] == 3  # tail stream (ids 20-22)
+    assert got[7]["title"] == "Doc 7"
+    assert "text body 7" in got[7]["wikitext"]
+
+
+def test_wikitext_chain_edge_cases(spark):
+    cases = [
+        # 3-level nesting strips fully; 4-level leaves the outer braces
+        (1, "a {{t1|{{t2|{{t3|x}}}}}} b", "a b"),
+        (2, "pre {{l1|{{l2|{{l3|{{l4|deep}}}}}}}} post",
+            "pre {{l1| }} post"),
+        (3, "[[A|B]] [[C]] '''D''' ''E''", "B C D E"),
+        (4, "== H ==\nbody", "H body"),
+        (5, "=== Sub ===\n[[File:x.png|thumb|gone]] kept", "Sub kept"),
+        (6, "a<ref>x</ref>b<ref name=\"q\"/>c", "a b c"),
+        (7, "", ""),
+    ]
+    df = spark.createDataFrame(cases, "i long, w string, want string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", wikitext_to_text(F.col("w")).alias("t")
+        ).collect()
+    }
+    for i, _w, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_fetch_is_point_read_not_scan(spark):
+    """The fetch plan must join wanted→index→shards (equi-joins), not
+    decompress every stream: with ONE wanted id, exactly one stream is
+    inflated — pinned by the row count of the pre-Arrow stage."""
+    docs = _docs(spark, 20)
+    shards, index = wiki_multistream(docs_as_wikitext(docs))
+    wanted = spark.createDataFrame([(9,)], "doc_id long")
+    hits = wanted.join(index, "doc_id")
+    assert hits.count() == 1  # one index row => one stream decompressed
+    got = fetch_pages(shards, index, wanted).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 9
