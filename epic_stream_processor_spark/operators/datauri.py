@@ -1,0 +1,78 @@
+"""Embedded data-URI media extraction — recovering images that live
+INSIDE crawled HTML.
+
+Real pages embed small images inline as ``<img src="data:image/png;
+base64,…">`` (tracking pixels, icons, increasingly full screenshots in
+SPA snapshots); a multimodal curation pipeline has to lift these out of
+the TEXT pipeline and route them into the IMAGE pipeline, or they're
+lost to both. This module is that bridge, and it is deliberately thin:
+
+- **find** data URIs with a JVM ``regexp_extract_all`` (image MIMEs
+  only — a ``data:text/...`` URI is not media; a remote ``http(s)``
+  ``src`` is the fetch pipeline's job, not ours);
+- **decode base64 JVM-side** (``unbase64`` — whole-stage codegen, no
+  Python in the byte path);
+- **hand the payload to the real decoders** (``decode_png`` /
+  ``decode_jpeg`` — the repo's genuine chunk-walking, CRC-verifying
+  codecs), so one query chains HTML mining → base64 → full image
+  decode end to end.
+
+Scale: find+decode is a bare projection plus a row-local posexplode;
+the image decode is the standing row-local Arrow budget. Zero shuffles
+end to end.
+
+Reference note: LLM-data-pipeline extension; data URIs are RFC 2397.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: group 0 of this matches one full image data URI; base64 payload may
+#: carry MIME-style line breaks (some emitters chunk at 76 chars)
+_DATA_URI = r"data:image/[a-z]+;base64,[A-Za-z0-9+/=\r\n]+"
+
+
+def page_with_datauri(payload: Column, doc_id: Column) -> Column:
+    """Fixture page: one genuine embedded PNG plus the two decoys the
+    extractor must skip — a remote-src img (fetch pipeline's job) and a
+    non-image data URI."""
+    return F.format_string(
+        "<html><body><p>doc %s prose</p>\n"
+        '<img alt="remote" src="https://cdn.example/im_%s.png">\n'
+        '<img alt="embedded" src="data:image/png;base64,%s">\n'
+        '<a href="data:text/plain;base64,aGVsbG8=">not media</a>\n'
+        "</body></html>",
+        doc_id.cast("string"),
+        doc_id.cast("string"),
+        F.base64(payload),
+    )
+
+
+def extract_datauri_media(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, html) → one row per embedded image: (media_id, uri_idx,
+    mime, payload, byte_len) with the payload base64-decoded JVM-side —
+    the media-pipeline handoff shape (matches ``MEDIA_SCHEMA`` keys, so
+    ``decode_png``/``decode_jpeg`` consume it directly)."""
+    uris = F.regexp_extract_all(F.col(html_col), F.lit(_DATA_URI), 0)
+    u = pages.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.posexplode_outer(uris).alias("uri_idx", "_u"),
+    ).where(F.col("_u").isNotNull())
+    b64 = F.regexp_replace(
+        F.regexp_extract(F.col("_u"), r"base64,([A-Za-z0-9+/=\r\n]+)", 1),
+        r"[\r\n]",
+        "",
+    )
+    return u.select(
+        "media_id",
+        F.col("uri_idx").cast("long").alias("uri_idx"),
+        F.regexp_extract(F.col("_u"), r"data:(image/[a-z]+);", 1).alias(
+            "mime"
+        ),
+        F.unbase64(b64).alias("payload"),
+        F.octet_length(F.unbase64(b64)).cast("long").alias("byte_len"),
+    )

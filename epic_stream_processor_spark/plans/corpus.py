@@ -2427,3 +2427,49 @@ JOIN counts c ON c.stream_id = m.stream_id
 
 
 ORACLE_WIKI_MULTISTREAM_FETCH = _oracle_wiki_multistream_fetch()
+
+
+# --- mbox / MIME email parsing (round 9) -----------------------------------------
+
+def q_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox/MIME email parsing (round 9, the Pile-Enron corpus family):
+    messages written by STDLIB EmailMessage (an independent writer — the
+    tarfile-interop pattern, so writer/reader symmetry is impossible),
+    16 per mbox shard with mboxrd From-stuffing, read back by a
+    hand-rolled RFC parser: envelope split, header unfold, multipart
+    boundary walk, quoted-printable decode (soft breaks included —
+    pinned against the WHOLE corpus text), base64 part decode, RFC 2047
+    subjects (operators/mime.py).
+
+    Closed-form: every field is a pure function of the documents
+    columns; the QP layer must reproduce the normalized text exactly
+    for the hash to match.
+
+    Scale: one group-writer groupBy (16 msgs/shard); parse row-local
+    Arrow — the container-family budget.
+    """
+    from ..operators.mime import docs_as_mbox, parse_mbox
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_mbox(docs_as_mbox(docs)).select(
+        "doc_id", "subject", "from_addr", "content_type", "n_parts",
+        "body_text", "html_bytes",
+    )
+
+
+ORACLE_MBOX_EXTRACT = """WITH d AS (
+  SELECT doc_id,
+         regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
+       'Re: doc ' || doc_id AS subject,
+       'user' || (doc_id % 7) || '@example.com' AS from_addr,
+       'multipart/alternative' AS content_type,
+       CAST(2 AS BIGINT) AS n_parts,
+       CASE WHEN t = '' THEN ' ' ELSE t END AS body_text,
+       CAST(octet_length(encode('<p>doc ' || doc_id || ' html</p>'))
+            AS BIGINT) AS html_bytes
+FROM d
+"""

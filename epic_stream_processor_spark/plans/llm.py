@@ -3444,3 +3444,49 @@ ORACLE_EXIF_SCAN = """SELECT doc_id,
        doc_id % 2 = 0 AS has_gps
 FROM documents
 """
+
+
+# --- embedded data-URI media (round 9) -------------------------------------------
+
+def q_datauri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-media recovery (round 9): pages carry a genuine PNG as
+    an RFC 2397 data URI plus two decoys (a remote-src img and a
+    data:text URI) that must leak zero rows; extraction finds image
+    URIs with a JVM regexp, base64-decodes JVM-side (unbase64), and
+    hands the bytes to the REAL chunk-walking PNG decoder — HTML mining
+    -> base64 -> CRC-verified image decode chained in one plan
+    (operators/datauri.py).
+
+    Oracle: the decoded projection is exactly q_png_decode's closed
+    form (the embedded payload IS docs_as_png's output), plus the mime
+    constant — so a regression anywhere in the chain (URI regex, base64
+    round trip, chunk walk, inflate, unfilter) breaks the same hash.
+
+    Scale: bare projection + row-local posexplode + the codec budget;
+    zero shuffles.
+    """
+    from ..operators.datauri import extract_datauri_media, page_with_datauri
+    from ..operators.multimodal import decode_png, docs_as_png
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs_as_png(docs).select(
+        F.col("media_id").alias("doc_id"),
+        page_with_datauri(F.col("payload"), F.col("media_id")).alias("html"),
+    )
+    media = extract_datauri_media(pages)
+    dec = decode_png(media.withColumn("media_type", F.lit("image")))
+    return dec.join(
+        media.select("media_id", "uri_idx", "mime"), "media_id"
+    ).select(
+        "media_id", "uri_idx", "mime", "width", "height", "n_pixels",
+        F.upper(F.hex(F.expr("substring(gray, 1, 64)"))).alias("gray_hex64"),
+    )
+
+
+ORACLE_DATAURI_DECODE = f"""SELECT media_id,
+       CAST(0 AS BIGINT) AS uri_idx,
+       'image/png' AS mime,
+       width, height, n_pixels, gray_hex64
+FROM ({ORACLE_PNG_DECODE})
+"""

@@ -935,6 +935,22 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "cells keeping position — one row per sheet row, matching the "
         "html_tables contract; closed-form 3-rows-per-doc oracle",
     ),
+    "mbox_extract": QueryDef(
+        corpus.q_mbox_extract, corpus.ORACLE_MBOX_EXTRACT,
+        "mbox/MIME email parsing (round 9, RFC 4155/2045/2047): stdlib-"
+        "EmailMessage-written shards (independent writer) read by a "
+        "hand-rolled RFC parser — header unfold, multipart boundary "
+        "walk, quoted-printable (corpus-wide round trip) and base64 "
+        "part decode, mboxrd unstuffing; closed-form per-doc oracle",
+    ),
+    "datauri_decode": QueryDef(
+        llm.q_datauri_decode, llm.ORACLE_DATAURI_DECODE,
+        "embedded data-URI media recovery (round 9, RFC 2397): image "
+        "URIs found by JVM regexp (remote-src and data:text decoys leak "
+        "zero rows), base64 decoded JVM-side (unbase64), bytes handed "
+        "to the real CRC-verifying PNG decoder — HTML -> base64 -> "
+        "image decode in one plan; oracle is the png_decode closed form",
+    ),
     "wikitext_extract": QueryDef(
         corpus.q_wikitext_extract, corpus.ORACLE_WIKITEXT_EXTRACT,
         "wikitext -> text (round 9, the Wikipedia stage of every "

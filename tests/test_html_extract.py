@@ -173,3 +173,36 @@ def test_jsonld_malformed_json_is_null_not_crash(spark):
     rows = extract_jsonld(df).collect()
     assert len(rows) == 1
     assert rows[0]["item_type"] is None and rows[0]["size"] is None
+
+
+def test_datauri_extraction_decoys_and_chunked_base64(spark):
+    """The remote-src img and the data:text URI leak zero rows; a
+    MIME-chunked base64 payload (76-char lines with CRLF — what some
+    emitters produce, and what our own fixture never emits) decodes to
+    the same bytes; multiple embedded images keep their order."""
+    import base64
+
+    from epic_stream_processor_spark.operators.datauri import (
+        extract_datauri_media,
+    )
+
+    raw1 = bytes(range(200))
+    raw2 = b"second image payload"
+    b64_chunked = base64.encodebytes(raw1).decode()  # 76-char CRLF lines
+    b64_plain = base64.b64encode(raw2).decode()
+    html = (
+        '<img src="https://remote.example/x.png">'
+        f'<img src="data:image/jpeg;base64,{b64_chunked}">'
+        '<a href="data:text/plain;base64,aGVsbG8=">txt</a>'
+        f'<img src="data:image/png;base64,{b64_plain}">'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = sorted(
+        extract_datauri_media(df).collect(), key=lambda r: r["uri_idx"]
+    )
+    assert len(rows) == 2
+    assert rows[0]["mime"] == "image/jpeg"
+    assert bytes(rows[0]["payload"]) == raw1
+    assert rows[1]["mime"] == "image/png"
+    assert bytes(rows[1]["payload"]) == raw2
+    assert rows[1]["byte_len"] == len(raw2)

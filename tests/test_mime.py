@@ -1,0 +1,93 @@
+"""mbox/MIME tests: stdlib-writer round trip, RFC 2047 subjects (both
+B and Q encodings — the branch the fixture never emits), From-stuffing,
+singlepart messages, and corruption fuzz."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.mime import docs_as_mbox, parse_mbox
+
+
+def _parse_raw(spark, blobs):
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "shard_id long, data binary"
+    )
+    return parse_mbox(df).collect()
+
+
+def test_mbox_roundtrip_and_stuffing(spark):
+    docs = spark.createDataFrame(
+        [(0, "plain body"), (1, "From the very start"), (2, "a  b\tc")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in parse_mbox(docs_as_mbox(docs)).collect()}
+    assert rows[1]["body_text"] == "From the very start"  # unstuffed
+    assert rows[2]["body_text"] == "a b c"
+    for i, r in rows.items():
+        assert r["subject"] == f"Re: doc {i}"
+        assert r["n_parts"] == 2
+        assert r["content_type"] == "multipart/alternative"
+
+
+def test_rfc2047_subjects_b_and_q(spark):
+    """Hand-written messages with B- and Q-encoded subjects — the
+    decode branch the stdlib fixture never exercises."""
+    msg_b = (
+        b"From x@y Thu Jan  1 00:00:00 2026\n"
+        b"Message-ID: <doc-7@example>\n"
+        b"From: a@b\n"
+        b"Subject: =?utf-8?B?UmU6IGNhZsOp?=\n"  # "Re: café"
+        b"Content-Type: text/plain\n"
+        b"\n"
+        b"body seven\n\n"
+    )
+    msg_q = (
+        b"From x@y Thu Jan  1 00:00:00 2026\n"
+        b"Message-ID: <doc-8@example>\n"
+        b"From: a@b\n"
+        b"Subject: =?utf-8?Q?Re=3A_caf=C3=A9_two?=\n"
+        b"Content-Type: text/plain\n"
+        b"\n"
+        b"body eight\n\n"
+    )
+    rows = {r["doc_id"]: r for r in _parse_raw(spark, [msg_b + msg_q])}
+    assert rows[7]["subject"] == "Re: café"
+    assert rows[8]["subject"] == "Re: café two"
+    assert rows[7]["n_parts"] == 1 and rows[7]["body_text"] == "body seven"
+    assert rows[8]["body_text"] == "body eight"
+
+
+def test_folded_headers_and_crlf(spark):
+    """CRLF line endings and a folded (continuation-line) subject —
+    both legal, both absent from the fixture."""
+    msg = (
+        b"From x@y Thu Jan  1 00:00:00 2026\r\n"
+        b"Message-ID: <doc-9@example>\r\n"
+        b"Subject: part one\r\n"
+        b"  part two\r\n"
+        b"From: z@w\r\n"
+        b"\r\n"
+        b"crlf body\r\n\r\n"
+    )
+    rows = {r["doc_id"]: r for r in _parse_raw(spark, [msg])}
+    assert rows[9]["subject"] == "part one part two"
+    assert rows[9]["body_text"] == "crlf body"
+
+
+def test_mbox_corruption_fuzz(spark):
+    """Truncations and bit flips over a healthy shard: parse never
+    crashes; messages with an intact Message-ID + header block still
+    parse, the rest drop."""
+    docs = spark.createDataFrame(
+        [(0, "aaa"), (1, "bbb")], "doc_id long, text string"
+    )
+    good = bytes(docs_as_mbox(docs).collect()[0]["data"])
+    blobs = [good[:cut] for cut in range(0, len(good), 23)]
+    for at in range(0, len(good), 37):
+        b = bytearray(good)
+        b[at] ^= 0xFF
+        blobs.append(bytes(b))
+    rows = _parse_raw(spark, blobs)
+    # no crash; every parsed row carries a plausible doc_id
+    assert all(r["doc_id"] in (0, 1) for r in rows)
+    healthy = _parse_raw(spark, [good])
+    assert {r["doc_id"] for r in healthy} == {0, 1}
