@@ -1,0 +1,84 @@
+"""Unicode script profiling — the writing-system signal language-ID
+pipelines key on BEFORE any model runs.
+
+mC4/CCNet-style corpora split by script first (Latin-script text goes
+to one langid head, CJK to another, Arabic-script to a third) because
+script detection is exact and free while model-based langid is neither:
+a char either IS in the Cyrillic block or it isn't. This module counts
+characters per script with pure JVM regex classes (whole-stage codegen,
+zero Python, zero shuffles) and reports the dominant script plus a
+confidence ratio.
+
+Engine split for the oracle: Java spells script classes
+``\\p{IsCyrillic}``, RE2 spells them ``\\p{Cyrillic}`` — the pattern
+table carries both spellings of the SAME Unicode property, so the
+DuckDB twin tests the identical class membership.
+
+Reference note: LLM-data-pipeline extension (UAX #24 script property).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: (name, java_class, re2_class) — same Unicode script property, two
+#: regex dialect spellings.
+SCRIPTS = (
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("cjk", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
+)
+
+
+def script_counts(text: Column) -> dict:
+    """Per-script char counts as JVM length arithmetic (strip the class,
+    diff the lengths — the textnorm counting idiom)."""
+    out = {}
+    for name, java_cls, _ in SCRIPTS:
+        out[f"n_{name}"] = (
+            F.length(text)
+            - F.length(F.regexp_replace(text, f"[{java_cls}]", ""))
+        ).cast("long")
+    return out
+
+
+def script_profile(text: Column) -> list:
+    """Full projection: counts + dominant script + confidence (dominant
+    count over total scripted chars — one float division, the repo's
+    oracle-exact float budget). Ties break by the SCRIPTS table order
+    via greatest+when chains; zero scripted chars → ('none', NULL)."""
+    counts = script_counts(text)
+    cols = [counts[f"n_{n}"].alias(f"n_{n}") for n, _, _ in SCRIPTS]
+    total = None
+    for n, _, _ in SCRIPTS:
+        total = counts[f"n_{n}"] if total is None else total + counts[f"n_{n}"]
+    best = F.greatest(*[counts[f"n_{n}"] for n, _, _ in SCRIPTS])
+    dominant = F.lit("none")
+    # reverse order so earlier table entries win ties (when overwrites)
+    for n, _, _ in reversed(SCRIPTS):
+        dominant = F.when(
+            (best > 0) & (counts[f"n_{n}"] == best), F.lit(n)
+        ).otherwise(dominant)
+    confidence = F.when(
+        total > 0, best.cast("double") / total.cast("double")
+    )
+    return cols + [
+        total.alias("n_scripted"),
+        dominant.alias("dominant_script"),
+        confidence.alias("script_confidence"),
+    ]
+
+
+def script_counts_sql(expr: str) -> str:
+    """DuckDB twin of :func:`script_counts` — RE2 class spellings."""
+    parts = []
+    for name, _, re2_cls in SCRIPTS:
+        parts.append(
+            f"CAST(length({expr}) - length(regexp_replace({expr}, "
+            f"'[{re2_cls}]', '', 'g')) AS BIGINT) AS n_{name}"
+        )
+    return ", ".join(parts)

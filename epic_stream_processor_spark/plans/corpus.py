@@ -2473,3 +2473,70 @@ SELECT doc_id,
             AS BIGINT) AS html_bytes
 FROM d
 """
+
+
+# --- Unicode script profiling (round 9) ------------------------------------------
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (round 9, UAX #24): the exact, free
+    writing-system signal mC4/CCNet split on BEFORE model langid.
+    Deterministic JVM-side injections give every fourth doc a Cyrillic
+    / Han / Arabic suffix (the rest stay pure Latin); counting is JVM
+    length-diff arithmetic over script regex classes, dominant-script
+    election is a greatest+CASE chain with table-order tie-break, and
+    confidence is one float division (the oracle-exact budget). The
+    oracle runs the SAME Unicode property classes in RE2 spelling
+    (operators/langscript.py).
+
+    Scale: bare projection, whole-stage codegen, zero shuffles.
+    """
+    from ..operators.langscript import script_profile
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" Привет мир"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" 漢字文章"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" مرحبا"))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return injected.select("doc_id", *script_profile(F.col("t")))
+
+
+def _oracle_script_profile() -> str:
+    from ..operators.langscript import SCRIPTS, script_counts_sql
+
+    names = [n for n, _, _ in SCRIPTS]
+    total = " + ".join(f"n_{n}" for n in names)
+    best = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dom = "CASE "
+    for n in names:  # table order: first match wins ties
+        dom += f"WHEN n_{n} > 0 AND n_{n} = {best} THEN '{n}' "
+    dom += "ELSE 'none' END"
+    return f"""WITH inj AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE doc_id % 4
+           WHEN 0 THEN ' Привет мир'
+           WHEN 1 THEN ' 漢字文章'
+           WHEN 2 THEN ' مرحبا'
+           ELSE '' END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, {script_counts_sql('t')} FROM inj
+)
+SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek, n_hangul,
+       CAST({total} AS BIGINT) AS n_scripted,
+       {dom} AS dominant_script,
+       CASE WHEN {total} > 0
+            THEN CAST({best} AS DOUBLE) / CAST({total} AS DOUBLE)
+            END AS script_confidence
+FROM c
+"""
+
+
+ORACLE_SCRIPT_PROFILE = _oracle_script_profile()

@@ -935,6 +935,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "cells keeping position — one row per sheet row, matching the "
         "html_tables contract; closed-form 3-rows-per-doc oracle",
     ),
+    "script_profile": QueryDef(
+        corpus.q_script_profile, corpus.ORACLE_SCRIPT_PROFILE,
+        "Unicode script profiling (round 9, UAX #24): per-script char "
+        "counts as JVM length-diff arithmetic over script regex "
+        "classes, dominant-script election with table-order tie-break, "
+        "one-division confidence; oracle runs the SAME Unicode property "
+        "in RE2 spelling — the mC4-style pre-langid split signal",
+    ),
     "mbox_extract": QueryDef(
         corpus.q_mbox_extract, corpus.ORACLE_MBOX_EXTRACT,
         "mbox/MIME email parsing (round 9, RFC 4155/2045/2047): stdlib-"

@@ -440,3 +440,36 @@ def test_html_tables_decoys_and_pretty_printing(spark):
     assert not got[(0, 1)]["is_header"]
     assert got[(0, 1)]["cells"] == "1|2 & 3"  # trimmed + entity-decoded
     assert got[(0, 1)]["n_cells"] == 2
+
+
+def test_script_profile_dominants_and_ties(spark):
+    """Script counting on hand-picked multi-script strings: dominant
+    election, table-order tie-break, zero-scripted NULL confidence,
+    and mixed-script confidence arithmetic."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.langscript import (
+        script_profile,
+    )
+
+    cases = [
+        (1, "hello world"),            # pure latin
+        (2, "Привет"),  # Привет: cyrillic
+        (3, "漢字 ab"),        # 2 han + 2 latin: tie -> latin (table order)
+        (4, "1234 !?"),               # no scripted chars at all
+        (5, "ab مرحبا"),  # 2 latin + 5 arabic
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, t string")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *script_profile(F.col("t"))).collect()
+    }
+    assert rows[1]["dominant_script"] == "latin"
+    assert rows[1]["script_confidence"] == 1.0
+    assert rows[2]["dominant_script"] == "cyrillic" and rows[2]["n_cyrillic"] == 6
+    assert rows[3]["dominant_script"] == "latin"  # tie breaks by table order
+    assert rows[3]["n_cjk"] == 2 and rows[3]["n_latin"] == 2
+    assert rows[4]["dominant_script"] == "none"
+    assert rows[4]["script_confidence"] is None
+    assert rows[5]["dominant_script"] == "arabic"
+    assert rows[5]["script_confidence"] == 5 / 7
