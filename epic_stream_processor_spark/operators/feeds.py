@@ -1,0 +1,135 @@
+"""RSS 2.0 / Atom feed parsing — the freshness leg of crawl discovery.
+
+Sitemaps enumerate a host (``sitemap.py``); FEEDS announce what's NEW —
+production crawlers poll them between sitemap sweeps because a feed hit
+is hours fresher than a sitemap lastmod. Both wire formats are parsed
+by ONE operator (real feed fetchers never know which they'll get until
+the bytes arrive): RSS 2.0 ``<item>`` blocks with ``<link>`` as element
+text, and Atom ``<entry>`` blocks with ``<link href="…"/>`` as an
+ATTRIBUTE — the classic dialect trap this module normalizes away.
+
+Engine stance identical to ``sitemap.py``: pure JVM regexp chains
+(DOTALL everywhere — feeds are pretty-printed), entity decode
+``&amp;``-last, zero Python, zero shuffles on the parse side; the
+fixture is JVM ``format_string`` so the oracle rebuilds identical
+bytes.
+
+Output, dialect-normalized: one row per item/entry —
+``(…passthrough, feed_kind, title, link, entry_id, published,
+summary)`` with RSS guid/pubDate/description and Atom
+id/updated/summary landing in the same columns.
+
+Reference note: LLM-data-pipeline extension (RSS 2.0 spec, RFC 4287
+Atom); completes the crawl-discovery family next to robots + sitemaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sitemap import _block_field, _decode_entities
+
+
+def _xml_escape_col(col: Column) -> Column:
+    """JVM XML escape — ``&`` FIRST (the inverse of &amp;-last decode)."""
+    out = col
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        out = F.replace(out, F.lit(ch), F.lit(ent))
+    return out
+
+
+def docs_as_feed(docs: DataFrame) -> DataFrame:
+    """(doc_id, host, xml): even ids render as RSS 2.0, odd as Atom —
+    one entry per feed, every field a closed-form function of the
+    documents columns, links carrying a ``&amp;`` that must decode."""
+    host = F.concat(F.col("source"), F.lit(".example"))
+    title = F.format_string(
+        "Doc %s &amp; update", F.col("doc_id").cast("string")
+    )
+    link = F.format_string(
+        "https://%s/post/%s?a=1&amp;b=2",
+        host,
+        F.col("doc_id").cast("string"),
+    )
+    summary = _xml_escape_col(
+        F.substring(
+            F.regexp_replace(
+                F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+            ),
+            1,
+            40,
+        )
+    )
+    rss = F.format_string(
+        '<?xml version="1.0"?>\n<rss version="2.0">\n <channel>\n'
+        "  <title>%s feed</title>\n"
+        "  <item>\n   <title>%s</title>\n   <link>%s</link>\n"
+        "   <guid>tag-%s</guid>\n"
+        "   <pubDate>Thu, 01 Jan 2026 00:00:00 GMT</pubDate>\n"
+        "   <description>%s</description>\n  </item>\n"
+        " </channel>\n</rss>",
+        host, title, link, F.col("doc_id").cast("string"), summary,
+    )
+    atom = F.format_string(
+        '<?xml version="1.0"?>\n'
+        '<feed xmlns="http://www.w3.org/2005/Atom">\n'
+        " <title>%s feed</title>\n"
+        " <entry>\n  <title>%s</title>\n"
+        '  <link rel="alternate" href="%s"/>\n'
+        "  <id>tag-%s</id>\n  <updated>2026-01-01T00:00:00Z</updated>\n"
+        "  <summary>%s</summary>\n </entry>\n</feed>",
+        host, title, link, F.col("doc_id").cast("string"), summary,
+    )
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias("xml"),
+    )
+
+
+def parse_feed(
+    feeds: DataFrame, xml_col: str = "xml", passthrough: tuple = ("host",)
+) -> DataFrame:
+    """(…, xml) → one dialect-normalized row per item/entry. Entries
+    with no link are dropped (a feed entry without a link is malformed
+    data — the sitemap no-loc rule)."""
+    xml = F.col(xml_col)
+    kind = F.when(
+        xml.rlike(r"(?s)<feed[\s>]"), F.lit("atom")
+    ).otherwise(F.lit("rss"))
+    blocks = F.when(
+        kind == "atom",
+        F.regexp_extract_all(xml, F.lit(r"(?s)<entry[^>]*>(.*?)</entry>"), 1),
+    ).otherwise(
+        F.regexp_extract_all(xml, F.lit(r"(?s)<item[^>]*>(.*?)</item>"), 1)
+    )
+    e = feeds.select(
+        *passthrough,
+        kind.alias("feed_kind"),
+        F.explode_outer(blocks).alias("_e"),
+    ).where(F.col("_e").isNotNull())
+    b = F.col("_e")
+    atom_link = F.nullif(
+        F.regexp_extract(b, r'(?s)<link[^>]*\shref="([^"]*)"', 1), F.lit("")
+    )
+    link = F.when(
+        F.col("feed_kind") == "atom", _decode_entities(atom_link)
+    ).otherwise(_decode_entities(_block_field(b, "link")))
+    return e.select(
+        *passthrough,
+        "feed_kind",
+        _decode_entities(_block_field(b, "title")).alias("title"),
+        link.alias("link"),
+        F.coalesce(
+            _block_field(b, "guid"), _block_field(b, "id")
+        ).alias("entry_id"),
+        F.coalesce(
+            _block_field(b, "pubDate"), _block_field(b, "updated")
+        ).alias("published"),
+        _decode_entities(
+            F.coalesce(
+                _block_field(b, "description"), _block_field(b, "summary")
+            )
+        ).alias("summary"),
+    ).where(F.col("link").isNotNull())

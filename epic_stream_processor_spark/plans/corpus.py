@@ -2540,3 +2540,46 @@ FROM c
 
 
 ORACLE_SCRIPT_PROFILE = _oracle_script_profile()
+
+
+# --- RSS/Atom feed parsing (round 9) ----------------------------------------------
+
+def q_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (round 9): the freshness leg of crawl
+    discovery next to robots + sitemaps. Even docs render as RSS 2.0
+    (link as element text), odd as Atom (link as an href ATTRIBUTE —
+    the dialect trap), and one operator normalizes both into the same
+    row shape with entity-decoded links (operators/feeds.py). Pure JVM
+    regexp chains both sides.
+
+    Closed-form: every field is a function of the documents columns;
+    the oracle CASEs on doc_id parity for the dialect-specific
+    published format.
+    """
+    from ..operators.feeds import docs_as_feed, parse_feed
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    feeds = docs_as_feed(docs)
+    return parse_feed(feeds, passthrough=("doc_id", "host")).select(
+        "doc_id", "host", "feed_kind", "title", "link", "entry_id",
+        "published", "summary",
+    )
+
+
+ORACLE_FEED_EXTRACT = """WITH d AS (
+  SELECT doc_id, source || '.example' AS host,
+         substr(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'),
+                1, 40) AS sm
+  FROM documents
+)
+SELECT doc_id, host,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+       'Doc ' || doc_id || ' & update' AS title,
+       'https://' || host || '/post/' || doc_id || '?a=1&b=2' AS link,
+       'tag-' || doc_id AS entry_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'Thu, 01 Jan 2026 00:00:00 GMT'
+            ELSE '2026-01-01T00:00:00Z' END AS published,
+       CASE WHEN trim(sm) = '' THEN NULL ELSE trim(sm) END AS summary
+FROM d
+"""

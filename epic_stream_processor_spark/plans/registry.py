@@ -935,6 +935,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "cells keeping position — one row per sheet row, matching the "
         "html_tables contract; closed-form 3-rows-per-doc oracle",
     ),
+    "feed_extract": QueryDef(
+        corpus.q_feed_extract, corpus.ORACLE_FEED_EXTRACT,
+        "RSS 2.0 + Atom feed parsing (round 9): one operator "
+        "normalizes both dialects (element-text vs href-attribute "
+        "links, guid/pubDate vs id/updated) into one row shape, "
+        "entity-decoded — the freshness leg of crawl discovery next "
+        "to robots + sitemaps; pure JVM chain, closed-form oracle",
+    ),
     "script_profile": QueryDef(
         corpus.q_script_profile, corpus.ORACLE_SCRIPT_PROFILE,
         "Unicode script profiling (round 9, UAX #24): per-script char "

@@ -473,3 +473,40 @@ def test_script_profile_dominants_and_ties(spark):
     assert rows[4]["script_confidence"] is None
     assert rows[5]["dominant_script"] == "arabic"
     assert rows[5]["script_confidence"] == 5 / 7
+
+
+def test_feed_parse_dialects_and_malformed(spark):
+    """Hand-written real-world feed variants: a multi-item RSS, an Atom
+    entry with several <link> rels (alternate's href wins via first
+    match), an entry with NO link (dropped), and pretty-printed
+    multi-line values."""
+    from epic_stream_processor_spark.operators.feeds import parse_feed
+
+    rss = (
+        '<rss version="2.0"><channel>'
+        "<item><title>A &amp; B</title><link>http://h/1</link>"
+        "<guid>g1</guid></item>"
+        "<item><title>no link: dropped</title><guid>g2</guid></item>"
+        "<item>\n  <title>\n    padded\n  </title>\n"
+        "  <link>\n    http://h/3\n  </link>\n</item>"
+        "</channel></rss>"
+    )
+    atom = (
+        "<feed><entry><title>T1</title>"
+        '<link rel="alternate" href="http://h/a?x=1&amp;y=2"/>'
+        "<id>a1</id><updated>2026-02-02T00:00:00Z</updated>"
+        "<summary>s&lt;1&gt;</summary></entry></feed>"
+    )
+    df = spark.createDataFrame(
+        [("h1", rss), ("h2", atom)], "host string, xml string"
+    )
+    rows = parse_feed(df).collect()
+    by_link = {r["link"]: r for r in rows}
+    assert set(by_link) == {"http://h/1", "http://h/3", "http://h/a?x=1&y=2"}
+    assert by_link["http://h/1"]["title"] == "A & B"
+    assert by_link["http://h/1"]["feed_kind"] == "rss"
+    assert by_link["http://h/3"]["title"] == "padded"
+    a = by_link["http://h/a?x=1&y=2"]
+    assert a["feed_kind"] == "atom" and a["entry_id"] == "a1"
+    assert a["summary"] == "s<1>"
+    assert a["published"] == "2026-02-02T00:00:00Z"
