@@ -133,3 +133,36 @@ def parse_feed(
             )
         ).alias("summary"),
     ).where(F.col("link").isNotNull())
+
+
+def discover_feed_links(
+    pages: DataFrame, html_col: str = "html", passthrough: tuple = ("doc_id",)
+) -> DataFrame:
+    """Feed AUTODISCOVERY — how a crawler learns a host has feeds at
+    all: ``<link rel="alternate" type="application/rss+xml|atom+xml"
+    href="…">`` tags in page heads (the 2005-era convention every CMS
+    still emits). One row per advertised feed: ``(…passthrough,
+    feed_type, feed_url)``, entity-decoded, comments stripped first
+    (the standing decoy rule). Attribute order is free in the wild, so
+    the tag is matched by co-presence of rel/type/href rather than a
+    fixed order. Pure JVM chain, row-local posexplode."""
+    cleaned = F.regexp_replace(F.col(html_col), r"(?s)<!--.*?-->", " ")
+    tags = F.filter(
+        F.regexp_extract_all(cleaned, F.lit(r"(?is)<link\b[^>]*>"), 0),
+        lambda t: t.rlike(r'(?i)\srel="alternate"')
+        & t.rlike(r'(?i)\stype="application/(?:rss|atom)\+xml"')
+        & t.rlike(r"(?i)\shref="),
+    )
+    e = pages.select(
+        *passthrough, F.posexplode_outer(tags).alias("link_idx", "_t")
+    ).where(F.col("_t").isNotNull())
+    return e.select(
+        *passthrough,
+        F.col("link_idx").cast("long").alias("link_idx"),
+        F.regexp_extract(
+            F.col("_t"), r'(?i)type="application/(rss|atom)\+xml"', 1
+        ).alias("feed_type"),
+        _decode_entities(
+            F.regexp_extract(F.col("_t"), r'(?i)\shref="([^"]*)"', 1)
+        ).alias("feed_url"),
+    )

@@ -2583,3 +2583,51 @@ SELECT doc_id, host,
        CASE WHEN trim(sm) = '' THEN NULL ELSE trim(sm) END AS summary
 FROM d
 """
+
+
+def q_feed_autodiscovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed autodiscovery (round 9): pages advertise their feeds via
+    <link rel="alternate" type="application/rss+xml|atom+xml"> head
+    tags; the extractor matches by attribute CO-PRESENCE (order free in
+    the wild), strips comments first, and decodes entities — the hop
+    that connects the HTML stage to the feed stage
+    (operators/feeds.py::discover_feed_links). Decoys (stylesheet link,
+    commented-out feed link, rel=alternate with a non-feed type) leak
+    zero rows.
+    """
+    from ..operators.feeds import discover_feed_links
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.format_string(
+            "<head><title>d%s</title>"
+            '<link rel="stylesheet" href="/x.css">'
+            '<link type="application/rss+xml" rel="alternate" '
+            'href="/feeds/%s.rss?u=1&amp;v=2">'
+            '<!-- <link rel="alternate" type="application/atom+xml" '
+            'href="/ghost"> -->'
+            '<link rel="alternate" type="application/atom+xml" '
+            'href="/feeds/%s.atom">'
+            '<link rel="alternate" type="text/html" href="/m/%s">'
+            "</head>",
+            F.col("doc_id").cast("string"),
+            F.col("doc_id").cast("string"),
+            F.col("doc_id").cast("string"),
+            F.col("doc_id").cast("string"),
+        ).alias("html"),
+    )
+    return discover_feed_links(pages).select(
+        "doc_id", "link_idx", "feed_type", "feed_url"
+    )
+
+
+ORACLE_FEED_AUTODISCOVERY = """SELECT doc_id,
+       CAST(0 AS BIGINT) AS link_idx, 'rss' AS feed_type,
+       '/feeds/' || doc_id || '.rss?u=1&v=2' AS feed_url
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 'atom', '/feeds/' || doc_id || '.atom'
+FROM documents
+"""

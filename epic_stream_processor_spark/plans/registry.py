@@ -935,6 +935,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "cells keeping position — one row per sheet row, matching the "
         "html_tables contract; closed-form 3-rows-per-doc oracle",
     ),
+    "feed_autodiscovery": QueryDef(
+        corpus.q_feed_autodiscovery, corpus.ORACLE_FEED_AUTODISCOVERY,
+        "feed autodiscovery (round 9): rel/type/href matched by "
+        "co-presence in <link> head tags (attribute order free), "
+        "comments stripped first, decoys leak zero rows — the hop from "
+        "the HTML stage to the feed stage; closed-form oracle",
+    ),
     "feed_extract": QueryDef(
         corpus.q_feed_extract, corpus.ORACLE_FEED_EXTRACT,
         "RSS 2.0 + Atom feed parsing (round 9): one operator "

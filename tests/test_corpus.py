@@ -510,3 +510,31 @@ def test_feed_parse_dialects_and_malformed(spark):
     assert a["feed_kind"] == "atom" and a["entry_id"] == "a1"
     assert a["summary"] == "s<1>"
     assert a["published"] == "2026-02-02T00:00:00Z"
+
+
+def test_feed_autodiscovery(spark):
+    """rel/type/href matched by co-presence (attribute order free); a
+    stylesheet link, a commented-out feed link, and a rel=alternate
+    WITHOUT a feed type all leak nothing; entities decode in hrefs."""
+    from epic_stream_processor_spark.operators.feeds import (
+        discover_feed_links,
+    )
+
+    html = (
+        "<head>"
+        '<link rel="stylesheet" href="/x.css">'
+        '<link type="application/rss+xml" rel="alternate" '
+        'href="/feed?a=1&amp;b=2">'
+        '<!-- <link rel="alternate" type="application/atom+xml" href="/ghost"> -->'
+        '<LINK REL="alternate" TYPE="application/atom+xml" HREF="/atom.xml">'
+        '<link rel="alternate" type="text/html" href="/mobile">'
+        "</head>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = sorted(
+        discover_feed_links(df).collect(), key=lambda r: r["link_idx"]
+    )
+    assert [(r["feed_type"], r["feed_url"]) for r in rows] == [
+        ("rss", "/feed?a=1&b=2"),
+        ("atom", "/atom.xml"),
+    ]
