@@ -1,0 +1,172 @@
+"""SRT / WebVTT subtitle parsing — the timed-text leg of a video/speech
+training-data pipeline.
+
+Speech and video corpora (the public ones — YouTube-CC-style crawls,
+open-subtitle dumps, lecture archives) carry their transcripts as timed
+text: SubRip ``.srt`` files and W3C WebVTT ``.vtt`` files.  Aligning a
+transcript span to a media clip IS the training pair, so the parse has
+to recover exact cue boundaries in milliseconds, not just strip markup.
+Both wire formats are parsed by ONE operator — real pipelines never
+know which they'll get until the bytes arrive:
+
+* **SRT**: numeric index line, ``HH:MM:SS,mmm --> HH:MM:SS,mmm``
+  (comma decimal separator), cue text, blank-line terminated.
+* **WebVTT**: ``WEBVTT`` header block, optional ``NOTE``/``STYLE``
+  blocks (no timing line — dropped), optional cue-identifier line,
+  ``[HH:]MM:SS.mmm --> [HH:]MM:SS.mmm`` (dot separator, HOURS ARE
+  OPTIONAL — the classic dialect trap), optional cue settings after the
+  end timestamp (``align:start position:0%`` — stripped).
+
+Engine stance: the whole parse is a pure JVM expression chain — a
+row-local ``split`` on blank lines, ``F.filter`` keeping only blocks
+whose timing line matches, one ``posexplode`` (cue order is positional,
+so the SRT index LABEL is deliberately ignored — renumbered files are
+endemic in the wild), and ``regexp_extract`` per timestamp field.  Zero
+Python, zero shuffles: at 100 TB this is a map-only stage that rides
+whatever partitioning the scan produced.
+
+Output, dialect-normalized: one row per cue —
+``(…passthrough, kind, cue_index, start_ms, end_ms, duration_ms,
+cue_text)`` with SRT commas and VTT dots landing in the same
+millisecond columns.
+
+Reference note: LLM-data-pipeline extension (SubRip de-facto spec, W3C
+WebVTT); completes the multimodal family next to WAV/MP3/FLAC audio and
+the MJPEG frame sampler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# One timestamp, either dialect: optional hours, 1-2 digit minutes,
+# 2-digit seconds, comma OR dot, 3-digit milliseconds.
+_TS = r"(?:(\d{1,3}):)?(\d{1,2}):(\d{2})[.,](\d{3})"
+# A full cue-timing line: start --> end (8 capture groups).
+_TIMING = _TS + r"[ \t]*-->[ \t]*" + _TS
+
+
+def _ts_field(block: Column, group: int) -> Column:
+    """Extract one numeric timing-line field; empty (absent hours) → 0."""
+    raw = F.regexp_extract(block, _TIMING, group)
+    return F.coalesce(
+        F.nullif(raw, F.lit("")).cast("long"), F.lit(0).cast("long")
+    )
+
+
+def _ms(block: Column, base_group: int) -> Column:
+    """Milliseconds for the timestamp whose groups start at base_group."""
+    return (
+        _ts_field(block, base_group) * 3600000
+        + _ts_field(block, base_group + 1) * 60000
+        + _ts_field(block, base_group + 2) * 1000
+        + _ts_field(block, base_group + 3)
+    )
+
+
+def parse_subtitles(
+    subs: DataFrame,
+    body_col: str = "body",
+    passthrough: tuple = ("doc_id",),
+) -> DataFrame:
+    """(…, body) → one dialect-normalized row per cue.
+
+    Blocks without a valid timing line (the WEBVTT header, NOTE/STYLE
+    blocks, stray garbage) are dropped, never raised on — the
+    drop-not-crash contract every untrusted-input operator in this repo
+    follows.  ``cue_index`` is 1-based POSITIONAL order; the SRT index
+    label is ignored (renumbered/merged files lie).  ``cue_text`` keeps
+    internal newlines (multi-line cues are meaningful — they encode
+    display line breaks) but is trimmed at both ends.
+    """
+    body = F.col(body_col)
+    kind = F.when(
+        body.rlike("^\\ufeff?WEBVTT"), F.lit("vtt")
+    ).otherwise(F.lit("srt"))
+    norm = F.regexp_replace(body, r"\r\n?", "\n")
+    blocks = F.filter(
+        F.split(norm, r"\n[ \t]*\n+"), lambda b: b.rlike(_TIMING)
+    )
+    e = subs.select(
+        *passthrough,
+        kind.alias("kind"),
+        F.posexplode_outer(blocks).alias("_pos", "_b"),
+    ).where(F.col("_b").isNotNull())
+    b = F.col("_b")
+    start = _ms(b, 1)
+    end = _ms(b, 5)
+    # Everything through the end of the timing line goes (this also
+    # swallows the SRT index line / VTT cue id above it); what's left is
+    # the cue text.  Cue settings live ON the timing line → stripped too.
+    # NB: F.trim strips only spaces — the trailing block newline needs a
+    # regexp trim (\s at both ends, internal newlines preserved).
+    text = F.regexp_replace(
+        F.regexp_replace(b, r"(?s)^.*?-->[^\n]*(?:\n|$)", ""),
+        r"(?s)^\s+|\s+$",
+        "",
+    )
+    return e.select(
+        *passthrough,
+        "kind",
+        (F.col("_pos") + F.lit(1)).cast("long").alias("cue_index"),
+        start.alias("start_ms"),
+        end.alias("end_ms"),
+        (end - start).alias("duration_ms"),
+        text.alias("cue_text"),
+    )
+
+
+def _fmt_ts(ms: Column, dialect: str) -> Column:
+    """Render milliseconds in one dialect's timestamp syntax.  VTT drops
+    the hours field when it would be zero (per-timestamp, so a cue can
+    mix hourless start with houred end across the 1 h boundary)."""
+    h = F.floor(ms / F.lit(3600000)).cast("long")
+    m = F.floor((ms % 3600000) / F.lit(60000)).cast("long")
+    s = F.floor((ms % 60000) / F.lit(1000)).cast("long")
+    frac = (ms % 1000).cast("long")
+    if dialect == "srt":
+        return F.format_string("%02d:%02d:%02d,%03d", h, m, s, frac)
+    full = F.format_string("%02d:%02d:%02d.%03d", h, m, s, frac)
+    hourless = F.format_string("%02d:%02d.%03d", m, s, frac)
+    return F.when(ms < 3600000, hourless).otherwise(full)
+
+
+def docs_as_subtitles(docs: DataFrame) -> DataFrame:
+    """(doc_id, kind, body): even ids render as SRT, odd as WebVTT — two
+    cues per document, every field a closed-form function of the
+    documents columns so a SQL oracle can rebuild the expectation.  The
+    VTT side carries the dialect traps: header metadata, a NOTE block,
+    a cue-identifier line, cue settings after the end timestamp, and
+    hourless timestamps under the 1 h mark."""
+    words = F.split(
+        F.regexp_replace(
+            F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+        ),
+        " ",
+    )
+    chunk1 = F.array_join(F.slice(words, 1, 6), " ")
+    chunk2 = F.array_join(F.slice(words, 7, 6), " ")
+    base = (F.col("doc_id") * 7321) % 7200000
+    s1, e1 = base, base + 1900
+    s2, e2 = base + 2500, base + 4400
+    srt = F.format_string(
+        "1\n%s --> %s\n%s\n\n2\n%s --> %s\n%s\n",
+        _fmt_ts(s1, "srt"), _fmt_ts(e1, "srt"), chunk1,
+        _fmt_ts(s2, "srt"), _fmt_ts(e2, "srt"), chunk2,
+    )
+    vtt = F.format_string(
+        "WEBVTT\nKind: captions\n\nNOTE generated fixture\n\n"
+        "c1-%s\n%s --> %s align:start position:0%%\n%s\n\n"
+        "%s --> %s\n%s\n",
+        F.col("doc_id").cast("string"),
+        _fmt_ts(s1, "vtt"), _fmt_ts(e1, "vtt"), chunk1,
+        _fmt_ts(s2, "vtt"), _fmt_ts(e2, "vtt"), chunk2,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("srt"))
+        .otherwise(F.lit("vtt"))
+        .alias("kind"),
+        F.when(F.col("doc_id") % 2 == 0, srt).otherwise(vtt).alias("body"),
+    )

@@ -2631,3 +2631,51 @@ UNION ALL
 SELECT doc_id, 1, 'atom', '/feeds/' || doc_id || '.atom'
 FROM documents
 """
+
+# --- SRT/WebVTT subtitle parsing (round 9) -----------------------------------------
+
+def q_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT/WebVTT subtitle parsing (round 9): the timed-text leg of a
+    video/speech pipeline — transcript spans with exact millisecond cue
+    boundaries are the media-alignment training pairs. Even docs render
+    as SRT (comma milliseconds, index lines), odd as WebVTT (dot
+    milliseconds, OPTIONAL hours under the 1 h mark, header/NOTE blocks,
+    cue ids, cue settings — all dialect traps the parser must
+    normalize away), and one operator recovers the same
+    (cue_index, start_ms, end_ms, text) rows from both
+    (operators/subtitles.py). Pure JVM split/filter/posexplode/
+    regexp_extract chain — zero Python, zero shuffles.
+
+    Closed-form: cue timings are (doc_id*7321) % 7200000 offsets and
+    cue text is word-chunks of the normalized document text, so the
+    oracle rebuilds the expectation straight from the documents table
+    without parsing anything.
+    """
+    from ..operators.subtitles import docs_as_subtitles, parse_subtitles
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    subs = docs_as_subtitles(docs)
+    return parse_subtitles(subs, passthrough=("doc_id",)).select(
+        "doc_id", "kind", "cue_index", "start_ms", "end_ms",
+        "duration_ms", "cue_text",
+    )
+
+
+ORACLE_SUBTITLE_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS kind,
+         string_split(
+           regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+           ' ') AS w,
+         (doc_id * 7321) % 7200000 AS base
+  FROM documents
+)
+SELECT doc_id, kind, CAST(i AS BIGINT) AS cue_index,
+       base + (i - 1) * 2500 AS start_ms,
+       base + (i - 1) * 2500 + 1900 AS end_ms,
+       CAST(1900 AS BIGINT) AS duration_ms,
+       CASE WHEN i = 1 THEN array_to_string(w[1:6], ' ')
+            ELSE array_to_string(w[7:12], ' ') END AS cue_text
+FROM d, (VALUES (1), (2)) t(i)
+"""

@@ -935,6 +935,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "cells keeping position — one row per sheet row, matching the "
         "html_tables contract; closed-form 3-rows-per-doc oracle",
     ),
+    "subtitle_extract": QueryDef(
+        corpus.q_subtitle_extract, corpus.ORACLE_SUBTITLE_EXTRACT,
+        "SRT/WebVTT subtitle parsing (round 9): one operator recovers "
+        "millisecond cue boundaries + text from both dialects (comma "
+        "vs dot, optional VTT hours, header/NOTE blocks, cue ids, cue "
+        "settings) — the timed-text leg of media-transcript alignment; "
+        "pure JVM split/filter/posexplode chain, closed-form oracle",
+    ),
     "feed_autodiscovery": QueryDef(
         corpus.q_feed_autodiscovery, corpus.ORACLE_FEED_AUTODISCOVERY,
         "feed autodiscovery (round 9): rel/type/href matched by "

@@ -1,0 +1,173 @@
+"""SRT/WebVTT subtitle parsing: dialect traps, drop-not-crash, round trip.
+
+Fixtures here are hand-authored — layouts ``docs_as_subtitles`` never
+emits (CRLF, multi-line cues, renumbered SRT indices, STYLE blocks,
+missing milliseconds digits, garbage) — so the parser is proven against
+a foreign writer, not just its own fixture generator (the PDF/tar
+precedent)."""
+
+from __future__ import annotations
+
+import pytest
+
+from epic_stream_processor_spark.operators.subtitles import (
+    docs_as_subtitles,
+    parse_subtitles,
+)
+
+
+def _parse(spark, body: str):
+    df = spark.createDataFrame([(1, body)], "doc_id long, body string")
+    return (
+        parse_subtitles(df)
+        .orderBy("cue_index")
+        .collect()
+    )
+
+
+SRT_CRLF = (
+    "1\r\n00:00:01,000 --> 00:00:02,500\r\nHello there\r\n\r\n"
+    "2\r\n00:00:03,000 --> 00:01:04,250\r\nSecond line one\r\nline two\r\n"
+)
+
+VTT_FULL = (
+    "WEBVTT\nKind: captions\nLanguage: en\n\n"
+    "STYLE\n::cue { color: lime }\n\n"
+    "NOTE this block has no timing line\n\n"
+    "intro-cue\n00:05.000 --> 00:07.900 align:start position:10%\nHi\n\n"
+    "01:02:03.456 --> 01:02:04.000\nPast the hour\n"
+)
+
+
+class TestSRT:
+    def test_crlf_and_multiline(self, spark):
+        rows = _parse(spark, SRT_CRLF)
+        assert [r["kind"] for r in rows] == ["srt", "srt"]
+        assert [r["cue_index"] for r in rows] == [1, 2]
+        assert rows[0]["start_ms"] == 1000
+        assert rows[0]["end_ms"] == 2500
+        assert rows[0]["duration_ms"] == 1500
+        assert rows[0]["cue_text"] == "Hello there"
+        # multi-line cue keeps its internal newline (display break)
+        assert rows[1]["cue_text"] == "Second line one\nline two"
+        assert rows[1]["end_ms"] == 64250
+
+    def test_renumbered_index_is_ignored(self, spark):
+        body = (
+            "7\n00:00:01,000 --> 00:00:02,000\nA\n\n"
+            "3\n00:00:03,000 --> 00:00:04,000\nB\n"
+        )
+        rows = _parse(spark, body)
+        # positional order, not the lying labels
+        assert [(r["cue_index"], r["cue_text"]) for r in rows] == [
+            (1, "A"),
+            (2, "B"),
+        ]
+
+
+class TestVTT:
+    def test_header_note_style_dropped_settings_stripped(self, spark):
+        rows = _parse(spark, VTT_FULL)
+        assert [r["kind"] for r in rows] == ["vtt", "vtt"]
+        assert len(rows) == 2  # header/STYLE/NOTE blocks leak zero cues
+        # hourless timestamp + cue-id line + cue settings
+        assert rows[0]["start_ms"] == 5000
+        assert rows[0]["end_ms"] == 7900
+        assert rows[0]["cue_text"] == "Hi"
+        # houred timestamp past 1 h
+        assert rows[1]["start_ms"] == 3723456
+        assert rows[1]["end_ms"] == 3724000
+        assert rows[1]["cue_text"] == "Past the hour"
+
+    def test_bom_detection(self, spark):
+        rows = _parse(spark, "\ufeff" + VTT_FULL)
+        assert rows and rows[0]["kind"] == "vtt"
+
+
+class TestDropNotCrash:
+    @pytest.mark.parametrize(
+        "body",
+        [
+            "",
+            "just some prose, no cues at all",
+            "WEBVTT\n\nNOTE only metadata\n",
+            "1\n00:00:01,000 -> 00:00:02,000\nbad arrow\n",  # -> not -->
+            "1\n00:00:01,00 --> 00:00:02,000\ntwo-digit millis\n",
+        ],
+    )
+    def test_garbage_yields_zero_cues(self, spark, body):
+        assert _parse(spark, body) == []
+
+    def test_mixed_garbage_and_good(self, spark):
+        body = (
+            "garbage preamble\n\n"
+            "1\n00:00:01,000 --> 00:00:02,000\nGood\n\n"
+            "not a cue block\n"
+        )
+        rows = _parse(spark, body)
+        assert [(r["cue_index"], r["cue_text"]) for r in rows] == [
+            (1, "Good")
+        ]
+
+
+class TestRoundTrip:
+    def test_fixture_round_trip(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta eta theta"),
+                (1, "one two"),
+                (2, ""),
+                (3, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = (
+            parse_subtitles(docs_as_subtitles(docs))
+            .orderBy("doc_id", "cue_index")
+            .collect()
+        )
+        assert len(out) == 8  # two cues per doc, empties included
+        by = {(r["doc_id"], r["cue_index"]): r for r in out}
+        assert by[(0, 1)]["kind"] == "srt"
+        assert by[(1, 1)]["kind"] == "vtt"
+        assert (
+            by[(0, 1)]["cue_text"]
+            == "alpha beta gamma delta epsilon zeta"
+        )
+        assert by[(0, 2)]["cue_text"] == "eta theta"
+        assert by[(1, 2)]["cue_text"] == ""  # short doc: empty 2nd cue
+        assert by[(2, 1)]["cue_text"] == ""
+        assert by[(3, 1)]["cue_text"] == ""
+        for r in out:
+            assert r["duration_ms"] == 1900
+            assert r["end_ms"] - r["start_ms"] == 1900
+            base = (r["doc_id"] * 7321) % 7200000
+            assert r["start_ms"] == base + (r["cue_index"] - 1) * 2500
+
+    def test_vtt_hour_boundary_mixed_rendering(self, spark):
+        # base just under 1 h: start renders hourless, a cue whose end
+        # crosses 3600000 renders with hours — parser must mix per side.
+        docs = spark.createDataFrame(
+            [(1475, "w1 w2 w3 w4 w5 w6 w7 w8")], "doc_id long, text string"
+        )
+        base = (1475 * 7321) % 7200000
+        assert base < 3600000 < base + 4400  # the fixture crosses 1 h
+        sub = docs_as_subtitles(docs)
+        body = sub.collect()[0]["body"]
+        assert " --> 01:00:0" in body or "--> 01:00:0" in body
+        rows = (
+            parse_subtitles(sub).orderBy("cue_index").collect()
+        )
+        assert rows[1]["end_ms"] == base + 4400
+
+    def test_plan_is_shuffle_free(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b c")], "doc_id long, text string"
+        )
+        plan = (
+            parse_subtitles(docs_as_subtitles(docs))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
