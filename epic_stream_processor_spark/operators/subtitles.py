@@ -149,7 +149,12 @@ def docs_as_subtitles(docs: DataFrame) -> DataFrame:
     chunk2 = F.array_join(F.slice(words, 7, 6), " ")
     base = (F.col("doc_id") * 7321) % 7200000
     s1, e1 = base, base + 1900
-    s2, e2 = base + 2500, base + 4400
+    # Second-cue offset varies by doc: inter-cue gap ∈ {-200, 0, 200,
+    # 400, 600} ms, so the corpus carries real QC signal — overlapping
+    # cues (doc_id%5==0), touching cues, and gaps (subtitle_qc feeds
+    # on exactly this).
+    s2 = base + 1700 + (F.col("doc_id") % 5) * 200
+    e2 = s2 + 1900
     srt = F.format_string(
         "1\n%s --> %s\n%s\n\n2\n%s --> %s\n%s\n",
         _fmt_ts(s1, "srt"), _fmt_ts(e1, "srt"), chunk1,

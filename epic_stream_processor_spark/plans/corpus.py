@@ -2672,10 +2672,73 @@ ORACLE_SUBTITLE_EXTRACT = r"""WITH d AS (
   FROM documents
 )
 SELECT doc_id, kind, CAST(i AS BIGINT) AS cue_index,
-       base + (i - 1) * 2500 AS start_ms,
-       base + (i - 1) * 2500 + 1900 AS end_ms,
+       base + CASE WHEN i = 1 THEN 0
+                   ELSE 1700 + (doc_id % 5) * 200 END AS start_ms,
+       base + CASE WHEN i = 1 THEN 0
+                   ELSE 1700 + (doc_id % 5) * 200 END + 1900 AS end_ms,
        CAST(1900 AS BIGINT) AS duration_ms,
        CASE WHEN i = 1 THEN array_to_string(w[1:6], ' ')
             ELSE array_to_string(w[7:12], ' ') END AS cue_text
 FROM d, (VALUES (1), (2)) t(i)
+"""
+
+
+def q_subtitle_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle QC (round 9): per-document timing-integrity statistics
+    over PARSED cues — overlapping cues, max inter-cue gap, speech vs
+    span coverage. Corrupt or machine-misaligned subtitle files show up
+    exactly here (overlaps, giant gaps), so a subtitle-corpus sweep
+    filters on these columns before pairing transcripts with media.
+    Composition proof: parse_subtitles output feeds a lag window +
+    group aggregate — the fixture's varied second-cue offset makes the
+    gap distribution non-degenerate ({-200,0,200,400,600} ms by
+    doc_id%5, overlaps at doc_id%5==0). One shuffle on doc_id (window
+    + agg share it); scales as a plain keyed aggregation.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.subtitles import docs_as_subtitles, parse_subtitles
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    cues = parse_subtitles(docs_as_subtitles(docs))
+    w = Window.partitionBy("doc_id").orderBy("start_ms")
+    g = cues.withColumn("prev_end", F.lag("end_ms").over(w))
+    return (
+        g.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_cues"),
+            F.sum("duration_ms").alias("speech_ms"),
+            (F.max("end_ms") - F.min("start_ms")).alias("span_ms"),
+            F.max(F.col("start_ms") - F.col("prev_end")).alias("max_gap_ms"),
+            F.count(
+                F.when(F.col("start_ms") < F.col("prev_end"), F.lit(1))
+            ).alias("n_overlaps"),
+        )
+        .select(
+            "doc_id", "n_cues", "speech_ms", "span_ms",
+            "max_gap_ms", "n_overlaps",
+        )
+    )
+
+
+ORACLE_SUBTITLE_QC = r"""WITH d AS (
+  SELECT doc_id, (doc_id * 7321) % 7200000 AS base FROM documents
+), c AS (
+  SELECT doc_id,
+         base + CASE WHEN i = 1 THEN 0
+                     ELSE 1700 + (doc_id % 5) * 200 END AS start_ms
+  FROM d, (VALUES (1), (2)) t(i)
+), g AS (
+  SELECT doc_id, start_ms, start_ms + 1900 AS end_ms,
+         lag(start_ms + 1900) OVER (
+           PARTITION BY doc_id ORDER BY start_ms) AS prev_end
+  FROM c
+)
+SELECT doc_id, COUNT(*) AS n_cues,
+       CAST(SUM(end_ms - start_ms) AS BIGINT) AS speech_ms,
+       MAX(end_ms) - MIN(start_ms) AS span_ms,
+       MAX(start_ms - prev_end) AS max_gap_ms,
+       COUNT(*) FILTER (WHERE start_ms < prev_end) AS n_overlaps
+FROM g GROUP BY doc_id
 """

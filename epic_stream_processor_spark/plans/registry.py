@@ -943,6 +943,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "settings) — the timed-text leg of media-transcript alignment; "
         "pure JVM split/filter/posexplode chain, closed-form oracle",
     ),
+    "subtitle_qc": QueryDef(
+        corpus.q_subtitle_qc, corpus.ORACLE_SUBTITLE_QC,
+        "subtitle timing QC (round 9): overlap/gap/coverage stats over "
+        "PARSED cues (lag window + keyed agg, one doc_id shuffle) — "
+        "the filter a subtitle corpus runs before media alignment; "
+        "non-degenerate fixture gaps {-200..600} ms by doc_id%5",
+    ),
     "feed_autodiscovery": QueryDef(
         corpus.q_feed_autodiscovery, corpus.ORACLE_FEED_AUTODISCOVERY,
         "feed autodiscovery (round 9): rel/type/href matched by "

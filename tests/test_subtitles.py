@@ -142,7 +142,12 @@ class TestRoundTrip:
             assert r["duration_ms"] == 1900
             assert r["end_ms"] - r["start_ms"] == 1900
             base = (r["doc_id"] * 7321) % 7200000
-            assert r["start_ms"] == base + (r["cue_index"] - 1) * 2500
+            off = (
+                0
+                if r["cue_index"] == 1
+                else 1700 + (r["doc_id"] % 5) * 200
+            )
+            assert r["start_ms"] == base + off
 
     def test_vtt_hour_boundary_mixed_rendering(self, spark):
         # base just under 1 h: start renders hourless, a cue whose end
@@ -151,14 +156,38 @@ class TestRoundTrip:
             [(1475, "w1 w2 w3 w4 w5 w6 w7 w8")], "doc_id long, text string"
         )
         base = (1475 * 7321) % 7200000
-        assert base < 3600000 < base + 4400  # the fixture crosses 1 h
+        end2 = base + 1700 + (1475 % 5) * 200 + 1900
+        assert base < 3600000 < end2  # the fixture crosses 1 h
         sub = docs_as_subtitles(docs)
         body = sub.collect()[0]["body"]
         assert " --> 01:00:0" in body or "--> 01:00:0" in body
         rows = (
             parse_subtitles(sub).orderBy("cue_index").collect()
         )
-        assert rows[1]["end_ms"] == base + 4400
+        assert rows[1]["end_ms"] == end2
+
+    def test_qc_gap_and_overlap_signal(self, spark):
+        # doc_id%5 drives the inter-cue gap: 0 → -200 (overlap),
+        # 1 → 0 (touching), 2..4 → 200/400/600 ms.
+        from epic_stream_processor_spark.plans.corpus import q_subtitle_qc
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e f g h i j k l m") for i in range(5, 10)],
+            "doc_id long, text string",
+        )
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            docs.write.parquet(os.path.join(td, "documents.parquet"))
+            rows = {r["doc_id"]: r for r in q_subtitle_qc(spark, td).collect()}
+        for d in range(5, 10):
+            r = rows[d]
+            gap = 1700 + (d % 5) * 200 - 1900
+            assert r["n_cues"] == 2
+            assert r["speech_ms"] == 3800
+            assert r["max_gap_ms"] == gap
+            assert r["n_overlaps"] == (1 if d % 5 == 0 else 0)
+            assert r["span_ms"] == (1700 + (d % 5) * 200 + 1900)
 
     def test_plan_is_shuffle_free(self, spark):
         docs = spark.createDataFrame(
