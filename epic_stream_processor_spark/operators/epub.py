@@ -1,0 +1,265 @@
+"""EPUB text extraction — e-books in the crawl.
+
+An .epub is a ZIP package (OCF, with one spec quirk: the ``mimetype``
+member MUST be STORED, not deflated) whose reading order lives three
+hops deep: ``META-INF/container.xml`` names the OPF rootfile, the OPF
+``<manifest>`` maps ids to hrefs, and the OPF ``<spine>`` lists idrefs
+in READING ORDER — which need not match manifest order (the dialect
+trap this module pins: the fixture deliberately scrambles the manifest).
+Book corpora (Gutenberg-style) ship exactly this layout, and chapter
+boundaries matter for long-context training data, so extraction is one
+row per SPINE entry, not one blob per book.
+
+Composition, same stance as ``docx.py`` / ``odt.py``:
+
+- the container walk is ``sources/zipshard.parse_zip`` (EOCD → central
+  directory → ranged member slice, CRC verified independently of the
+  writer; the STORED mimetype member exercises its no-inflate path),
+- everything after the walk is pure JVM: one ``groupBy(bucket_id)``
+  building a name→bytes map per book (the same single shuffle the other
+  package formats pay), then ``element_at`` hops for
+  container→OPF→chapters, ``regexp_extract_all`` for spine/manifest,
+  ``F.contains`` to resolve each idref to its manifest item, and the
+  five-entity decode (``&amp;`` last) for text.
+
+Chapter text is the XHTML's ``<h1>``/``<p>`` block contents joined by
+newlines — heading structure is content in a book. Missing members and
+non-EPUB blobs drop, never crash (the standing untrusted-input rule).
+
+The fixture (:func:`docs_as_epubs`) builds a genuine minimal EPUB with
+stdlib ``zipfile`` (the independent-writer pattern): STORED mimetype,
+container.xml, an OPF whose manifest lists chapters in SCRAMBLED order
+(+ a non-spine stylesheet item), and two XHTML chapters splitting the
+normalized document text in half — all closed-form SQL-recomputable.
+
+Reference note: no document formats exist in the reference service;
+this is the LLM-data-pipeline extension, from the public EPUB 3 (OCF /
+package document) spec.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .docx import _decode_xml_entities, _xml_escape
+
+CONTAINER_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<container version="1.0" '
+    'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+    "<rootfiles>"
+    '<rootfile full-path="OEBPS/content.opf" '
+    'media-type="application/oebps-package+xml"/>'
+    "</rootfiles></container>"
+)
+
+
+def _opf_xml(doc_id: int, lang: str) -> str:
+    # manifest order is DELIBERATELY scrambled (c2, css, c1); the spine
+    # (c1, c2) is the reading order an extractor must follow
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="uid">'
+        "<metadata xmlns:dc=\"http://purl.org/dc/elements/1.1/\">"
+        '<dc:identifier id="uid">urn:doc:%d</dc:identifier>'
+        "<dc:title>Doc %d &amp; notes</dc:title>"
+        "<dc:language>%s</dc:language>"
+        "</metadata>"
+        "<manifest>"
+        '<item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>'
+        '<item id="css" href="style.css" media-type="text/css"/>'
+        '<item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>'
+        "</manifest>"
+        '<spine><itemref idref="c1"/><itemref idref="c2"/></spine>'
+        "</package>" % (doc_id, doc_id, _xml_escape(lang))
+    )
+
+
+def _chapter_xhtml(i: int, chunk: str) -> str:
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+        "<title>Chapter %d</title></head><body>"
+        "<h1>Chapter %d</h1><p>%s</p>"
+        "</body></html>" % (i, i, _xml_escape(chunk))
+    )
+
+
+def docs_as_epubs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One genuine .epub per document → (doc_id, data). The text is
+    whitespace-normalized in JVM expressions first (engine-exact), then
+    split in half across two chapters by the Python package builder."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lang"),
+        F.regexp_replace(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        ).alias("norm"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import zipfile
+
+        def build(doc_id: int, lang: str, norm: str) -> bytes:
+            words = norm.split(" ") if norm else []
+            k = (len(words) + 1) // 2
+            chunks = [" ".join(words[:k]), " ".join(words[k:])]
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                # OCF: mimetype FIRST and STORED (uncompressed)
+                zf.writestr(
+                    zipfile.ZipInfo("mimetype", (1980, 1, 1, 0, 0, 0)),
+                    "application/epub+zip",
+                    compress_type=zipfile.ZIP_STORED,
+                )
+                zf.writestr(
+                    zipfile.ZipInfo(
+                        "META-INF/container.xml", (1980, 1, 1, 0, 0, 0)
+                    ),
+                    CONTAINER_XML,
+                )
+                zf.writestr(
+                    zipfile.ZipInfo(
+                        "OEBPS/content.opf", (1980, 1, 1, 0, 0, 0)
+                    ),
+                    _opf_xml(doc_id, lang),
+                )
+                zf.writestr(
+                    zipfile.ZipInfo("OEBPS/style.css", (1980, 1, 1, 0, 0, 0)),
+                    "h1 { font-weight: bold }",
+                )
+                for i, chunk in enumerate(chunks, start=1):
+                    zf.writestr(
+                        zipfile.ZipInfo(
+                            "OEBPS/ch%d.xhtml" % i, (1980, 1, 1, 0, 0, 0)
+                        ),
+                        _chapter_xhtml(i, chunk),
+                    )
+            return buf.getvalue()
+
+        for pdf in batches:
+            blobs = [
+                build(int(d), str(lg), n or "")
+                for d, lg, n in zip(pdf["doc_id"], pdf["lang"], pdf["norm"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": blobs}
+            )
+
+    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+
+
+_BLOCK_RE = r"(?s)<(?:h1|h2|h3|p)[^>]*>(.*?)</(?:h1|h2|h3|p)>"
+
+
+def _xhtml_text(xhtml: Column) -> Column:
+    """Heading/paragraph block contents, entity-decoded, joined by
+    newlines (headings ARE content in a book)."""
+    return F.concat_ws(
+        "\n",
+        F.transform(
+            F.regexp_extract_all(xhtml, F.lit(_BLOCK_RE), 1),
+            _decode_xml_entities,
+        ),
+    )
+
+
+def extract_epub(epub_files: DataFrame) -> DataFrame:
+    """(doc_id, data) .epub rows → one row per SPINE entry:
+    (doc_id, chapter_index, href, title, chapter_text).
+
+    Reading order comes from the OPF spine, resolved through the
+    manifest id→href indirection — manifest order is ignored (the
+    fixture scrambles it to prove that). Books whose container chain is
+    broken (no container.xml, no OPF, missing chapter member) drop the
+    affected rows instead of crashing."""
+    from ..sources.zipshard import parse_zip
+
+    members = parse_zip(
+        epub_files.select(F.col("doc_id").alias("bucket_id"), "data")
+    )
+    per_book = members.groupBy("bucket_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("name"), F.col("data").cast("string"))
+            )
+        ).alias("mmap")
+    )
+    staged = (
+        per_book.withColumn(
+            "rootfile",
+            F.regexp_extract(
+                F.element_at(F.col("mmap"), "META-INF/container.xml"),
+                r'<rootfile[^>]*\sfull-path="([^"]*)"',
+                1,
+            ),
+        )
+        .withColumn("opf", F.element_at(F.col("mmap"), F.col("rootfile")))
+        .withColumn(
+            "opf_dir", F.regexp_extract(F.col("rootfile"), r"^(.*/)", 1)
+        )
+        .where(F.col("opf").isNotNull())
+        .withColumn(
+            "title",
+            _decode_xml_entities(
+                F.regexp_extract(
+                    F.col("opf"), r"(?s)<dc:title[^>]*>(.*?)</dc:title>", 1
+                )
+            ),
+        )
+        .withColumn(
+            "items",
+            F.regexp_extract_all(
+                F.col("opf"), F.lit(r"(?s)<item\s[^>]*/>"), 0
+            ),
+        )
+        .withColumn(
+            "hrefs",
+            F.transform(
+                F.regexp_extract_all(
+                    F.col("opf"),
+                    F.lit(r'<itemref[^>]*\sidref="([^"]*)"'),
+                    1,
+                ),
+                lambda sid: F.regexp_extract(
+                    F.array_join(
+                        F.filter(
+                            F.col("items"),
+                            lambda it: F.contains(
+                                it,
+                                F.concat(F.lit(' id="'), sid, F.lit('"')),
+                            ),
+                        ),
+                        "",
+                    ),
+                    r'\shref="([^"]*)"',
+                    1,
+                ),
+            ),
+        )
+    )
+    e = staged.select(
+        F.col("bucket_id").alias("doc_id"),
+        "title",
+        "mmap",
+        "opf_dir",
+        F.posexplode_outer("hrefs").alias("_pos", "href"),
+    ).where(F.col("href").isNotNull() & (F.col("href") != ""))
+    xhtml = F.element_at(
+        F.col("mmap"), F.concat(F.col("opf_dir"), F.col("href"))
+    )
+    return e.select(
+        "doc_id",
+        (F.col("_pos") + F.lit(1)).cast("long").alias("chapter_index"),
+        "href",
+        "title",
+        _xhtml_text(xhtml).alias("chapter_text"),
+    ).where(xhtml.isNotNull())

@@ -2742,3 +2742,44 @@ SELECT doc_id, COUNT(*) AS n_cues,
        COUNT(*) FILTER (WHERE start_ms < prev_end) AS n_overlaps
 FROM g GROUP BY doc_id
 """
+
+# --- EPUB extraction (round 9) -----------------------------------------------------
+
+def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB extraction (round 9): genuine stdlib-zipfile-built OCF
+    packages (STORED mimetype member — parse_zip's no-inflate path)
+    walked by the repo's own ZIP reader, then the container.xml → OPF →
+    spine chain resolved in pure JVM expressions. One row per SPINE
+    entry — the fixture's manifest is deliberately scrambled, so a
+    manifest-order extractor fails the oracle (operators/epub.py).
+
+    Closed-form: chapter text halves the normalized document words at
+    k=(n+1)//2 and prefixes 'Chapter i\\n'; title carries an entity
+    (&amp;) that must decode.
+    """
+    from ..operators.epub import docs_as_epubs, extract_epub
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_epub(docs_as_epubs(docs)).select(
+        "doc_id", "chapter_index", "href", "title", "chapter_text",
+    )
+
+
+ORACLE_EPUB_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+           ' ') AS w,
+         'Doc ' || doc_id || ' & notes' AS title
+  FROM documents
+), s AS (
+  SELECT doc_id, title, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM d
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chapter_index,
+       'ch' || i || '.xhtml' AS href, title,
+       'Chapter ' || i || chr(10) ||
+         CASE WHEN i = 1 THEN array_to_string(w[1:k], ' ')
+              ELSE array_to_string(w[k+1:n], ' ') END AS chapter_text
+FROM s, (VALUES (1), (2)) t(i)
+"""

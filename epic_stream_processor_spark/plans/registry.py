@@ -943,6 +943,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "settings) — the timed-text leg of media-transcript alignment; "
         "pure JVM split/filter/posexplode chain, closed-form oracle",
     ),
+    "epub_extract": QueryDef(
+        corpus.q_epub_extract, corpus.ORACLE_EPUB_EXTRACT,
+        "EPUB extraction (round 9, OCF/OPF): STORED-mimetype packages "
+        "through parse_zip, container->OPF->spine chain in pure JVM, "
+        "one row per SPINE entry with the manifest id->href "
+        "indirection resolved (fixture scrambles manifest order); "
+        "closed-form word-halving oracle with entity-decode title",
+    ),
     "subtitle_qc": QueryDef(
         corpus.q_subtitle_qc, corpus.ORACLE_SUBTITLE_QC,
         "subtitle timing QC (round 9): overlap/gap/coverage stats over "

@@ -1,0 +1,128 @@
+"""EPUB extraction: spine-vs-manifest order, OCF quirks, drop-not-crash."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from epic_stream_processor_spark.operators.epub import (
+    CONTAINER_XML,
+    docs_as_epubs,
+    extract_epub,
+)
+
+
+def _rows(spark, blobs):
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "doc_id long, data binary"
+    )
+    return extract_epub(df).orderBy("doc_id", "chapter_index").collect()
+
+
+def _epub(members: dict[str, bytes | str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members.items():
+            ct = (
+                zipfile.ZIP_STORED if name == "mimetype"
+                else zipfile.ZIP_DEFLATED
+            )
+            zf.writestr(
+                zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)),
+                data,
+                compress_type=ct,
+            )
+    return buf.getvalue()
+
+
+OPF_SCRAMBLED = (
+    '<?xml version="1.0"?>\n<package xmlns="http://www.idpf.org/2007/opf">'
+    '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+    "<dc:title>Tea &amp; biscuits</dc:title></metadata>"
+    "<manifest>"
+    '<item id="b" href="last.xhtml" media-type="application/xhtml+xml"/>'
+    '<item id="a" href="first.xhtml" media-type="application/xhtml+xml"/>'
+    "</manifest>"
+    '<spine><itemref idref="a"/><itemref idref="b"/></spine></package>'
+)
+
+
+class TestSpineOrder:
+    def test_spine_beats_manifest_order(self, spark):
+        blob = _epub({
+            "mimetype": "application/epub+zip",
+            "META-INF/container.xml": CONTAINER_XML,
+            "OEBPS/content.opf": OPF_SCRAMBLED,
+            "OEBPS/first.xhtml": "<html><body><p>One</p></body></html>",
+            "OEBPS/last.xhtml": "<html><body><p>Two</p></body></html>",
+        })
+        rows = _rows(spark, [blob])
+        assert [(r["chapter_index"], r["href"], r["chapter_text"])
+                for r in rows] == [
+            (1, "first.xhtml", "One"),
+            (2, "last.xhtml", "Two"),
+        ]
+        assert rows[0]["title"] == "Tea & biscuits"  # entity decoded
+
+    def test_missing_chapter_member_drops_only_that_row(self, spark):
+        blob = _epub({
+            "mimetype": "application/epub+zip",
+            "META-INF/container.xml": CONTAINER_XML,
+            "OEBPS/content.opf": OPF_SCRAMBLED,
+            "OEBPS/first.xhtml": "<html><body><p>Alive</p></body></html>",
+            # last.xhtml absent
+        })
+        rows = _rows(spark, [blob])
+        assert [(r["chapter_index"], r["chapter_text"]) for r in rows] == [
+            (1, "Alive")
+        ]
+
+
+class TestDropNotCrash:
+    def test_garbage_and_non_epub_zip(self, spark):
+        plain_zip = _epub({"readme.txt": "not an epub"})
+        assert _rows(spark, [b"\x00" * 64, b"", plain_zip]) == []
+
+    def test_no_opf_rootfile(self, spark):
+        blob = _epub({
+            "mimetype": "application/epub+zip",
+            "META-INF/container.xml": "<container>broken</container>",
+        })
+        assert _rows(spark, [blob]) == []
+
+
+class TestRoundTrip:
+    def test_fixture_round_trip(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "en", "alpha beta gamma delta epsilon"),
+                (1, "fr", ""),
+                (2, "de", None),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        out = (
+            extract_epub(docs_as_epubs(docs))
+            .orderBy("doc_id", "chapter_index")
+            .collect()
+        )
+        assert len(out) == 6
+        by = {(r["doc_id"], r["chapter_index"]): r for r in out}
+        # k = (5+1)//2 = 3 → first half 3 words, second half 2
+        assert by[(0, 1)]["chapter_text"] == "Chapter 1\nalpha beta gamma"
+        assert by[(0, 2)]["chapter_text"] == "Chapter 2\ndelta epsilon"
+        assert by[(0, 1)]["title"] == "Doc 0 & notes"
+        assert by[(1, 1)]["chapter_text"] == "Chapter 1\n"
+        assert by[(2, 2)]["chapter_text"] == "Chapter 2\n"
+        assert by[(0, 1)]["href"] == "ch1.xhtml"
+
+    def test_mimetype_member_is_stored(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "en", "x")], "doc_id long, lang string, text string"
+        )
+        blob = bytes(docs_as_epubs(docs).collect()[0]["data"])
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            infos = zf.infolist()
+            assert infos[0].filename == "mimetype"
+            assert infos[0].compress_type == zipfile.ZIP_STORED
+            assert zf.read("mimetype") == b"application/epub+zip"
