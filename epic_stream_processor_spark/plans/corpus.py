@@ -2783,3 +2783,33 @@ SELECT doc_id, CAST(i AS BIGINT) AS chapter_index,
               ELSE array_to_string(w[k+1:n], ' ') END AS chapter_text
 FROM s, (VALUES (1), (2)) t(i)
 """
+
+# --- Content sniffing (round 9) ----------------------------------------------------
+
+def q_sniff_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content sniffing (round 9): the crawl pipeline's front door —
+    classify fetched bytes by magic numbers (Content-Type headers lie)
+    and route each blob to its extractor. Pure JVM hex-prefix
+    expressions, strongest-magic-first, guarded weak magics (BMP needs
+    a known DIB size; WAV needs RIFF+WAVE; tar is ustar@257), ZIP
+    sub-classified into epub/odf/ooxml by the spec-fixed first-member
+    layout (operators/sniff.py). The fixture cycles 13 formats by
+    doc_id%13 with the document text as payload; the pytest tier pins
+    the sniffer against REAL output from all 15 in-repo writers.
+    """
+    from ..operators.sniff import docs_as_blobs, sniff
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return sniff(docs_as_blobs(docs)).select("doc_id", "format")
+
+
+ORACLE_SNIFF_FORMATS = """SELECT doc_id,
+       CASE doc_id % 13
+         WHEN 0 THEN 'png'  WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+         WHEN 3 THEN 'pdf'  WHEN 4 THEN 'gzip' WHEN 5 THEN 'zip'
+         WHEN 6 THEN 'flac' WHEN 7 THEN 'wav'  WHEN 8 THEN 'tiff'
+         WHEN 9 THEN 'bz2'  WHEN 10 THEN 'html' WHEN 11 THEN 'mbox'
+         ELSE 'unknown' END AS format
+FROM documents
+"""

@@ -943,6 +943,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "settings) — the timed-text leg of media-transcript alignment; "
         "pure JVM split/filter/posexplode chain, closed-form oracle",
     ),
+    "sniff_formats": QueryDef(
+        corpus.q_sniff_formats, corpus.ORACLE_SNIFF_FORMATS,
+        "content sniffing (round 9): magic-number format dispatch — "
+        "the crawl front door; pure-JVM hex-prefix whens, guarded weak "
+        "magics, ZIP sub-classified epub/odf/ooxml by first-member "
+        "layout; pytest pins REAL output of all 15 in-repo writers",
+    ),
     "epub_extract": QueryDef(
         corpus.q_epub_extract, corpus.ORACLE_EPUB_EXTRACT,
         "EPUB extraction (round 9, OCF/OPF): STORED-mimetype packages "
