@@ -2813,3 +2813,60 @@ ORACLE_SNIFF_FORMATS = """SELECT doc_id,
          ELSE 'unknown' END AS format
 FROM documents
 """
+
+# --- MP4 / ISO-BMFF triage (round 9) ------------------------------------------------
+
+def q_mp4_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF container triage (round 9): the first pass of any
+    video-corpus pipeline — walk the box tree and recover per-track
+    codec/duration/geometry WITHOUT decoding frames, so files can be
+    routed or dropped on metadata alone. Genuine box grammar both ways
+    (operators/mp4.py): mdat written BEFORE moov (non-faststart), a
+    64-bit largesize mdat for doc_id%11==0, mvhd version 1 for
+    doc_id%9==0, packed ISO-639 language codes, real avc1/mp4a sample
+    entries, stts-summed sample counts. Row-local Arrow pass, zero
+    shuffles; one row per track.
+
+    Closed-form: every field derives from doc_id and
+    octet_length(text) — frames = 1 + len%240 at 25 fps, geometry by
+    doc_id%4, an audio track iff doc_id%3==0 at 8000+doc_id%5*2000 Hz.
+    """
+    from ..operators.mp4 import mp4_triage
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return mp4_triage(docs).select(
+        "doc_id", "major_brand", "movie_timescale", "movie_duration_ms",
+        "n_tracks", "track_id", "handler", "codec", "lang",
+        "track_duration_ms", "width", "height", "channels",
+        "sample_rate", "n_samples",
+    )
+
+
+ORACLE_MP4_TRIAGE = """WITH d AS (
+  SELECT doc_id,
+         CAST(1 + strlen(coalesce(text, '')) % 240 AS BIGINT) AS frames,
+         CAST((1 + strlen(coalesce(text, '')) % 240) * 40 AS BIGINT) AS dur_ms,
+         CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS w,
+         CAST(240 + (doc_id % 4) * 120 AS BIGINT) AS h,
+         CASE doc_id % 4 WHEN 0 THEN 'und' WHEN 1 THEN 'eng'
+                         WHEN 2 THEN 'fra' ELSE 'deu' END AS lang,
+         CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS rate,
+         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ntr
+  FROM documents
+)
+SELECT doc_id, 'isom' AS major_brand, CAST(1000 AS BIGINT) AS movie_timescale,
+       dur_ms AS movie_duration_ms, ntr AS n_tracks,
+       CAST(1 AS BIGINT) AS track_id, 'vide' AS handler, 'avc1' AS codec,
+       lang, dur_ms AS track_duration_ms, w AS width, h AS height,
+       CAST(NULL AS BIGINT) AS channels, CAST(NULL AS BIGINT) AS sample_rate,
+       frames AS n_samples
+FROM d
+UNION ALL
+SELECT doc_id, 'isom', CAST(1000 AS BIGINT), dur_ms, ntr,
+       CAST(2 AS BIGINT), 'soun', 'mp4a', lang, dur_ms,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), ch, rate,
+       dur_ms * (rate // 1000)
+FROM d WHERE doc_id % 3 = 0
+"""

@@ -1051,6 +1051,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "shuffle order, collision-proof within-shard order key, per-"
         "shard doc/token counts + ordering-pinned head doc",
     ),
+    "mp4_triage": QueryDef(
+        corpus.q_mp4_triage, corpus.ORACLE_MP4_TRIAGE,
+        "MP4/ISO-BMFF triage (round 9, ISO 14496-12): box-tree walk "
+        "recovering per-track codec/duration/geometry without frame "
+        "decode — mdat-before-moov layout, 64-bit largesize, mvhd v0/"
+        "v1, packed ISO-639 language, real avc1/mp4a sample entries, "
+        "stts sample counts; row-local Arrow, closed-form oracle",
+    ),
 }
 
 

@@ -1,0 +1,113 @@
+"""MP4/ISO-BMFF triage: box grammar, spec escapes, and hostile input.
+
+The oracle query (mp4_triage) pins the closed-form round trip at corpus
+scale; THIS file is the adversarial evidence — hand-authored box
+layouts the in-repo writer never emits (moov-first ordering, size==0
+extend-to-EOF, unknown top-level boxes), plus truncation/size-corruption
+fuzzing pinning drop-not-crash over the whole byte range."""
+
+from __future__ import annotations
+
+import struct
+
+from epic_stream_processor_spark.operators.mp4 import (
+    docs_as_mp4,
+    parse_mp4,
+    parse_mp4_bytes,
+    write_mp4,
+)
+
+
+def _docs(spark, n=6):
+    return spark.createDataFrame(
+        [(i, "src%d" % i, "en", "word " * (i + 1)) for i in range(n)],
+        "doc_id long, source string, lang string, text string",
+    )
+
+
+class TestRoundTrip:
+    def test_spark_round_trip(self, spark):
+        rows = parse_mp4(docs_as_mp4(_docs(spark))).orderBy(
+            "doc_id", "track_id"
+        ).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for did, trs in by_doc.items():
+            n = len(("word " * (did + 1)).encode())
+            frames = 1 + n % 240
+            assert trs[0]["handler"] == "vide"
+            assert trs[0]["codec"] == "avc1"
+            assert trs[0]["n_samples"] == frames
+            assert trs[0]["movie_duration_ms"] == frames * 40
+            assert trs[0]["width"] == 320 + (did % 4) * 160
+            assert len(trs) == (2 if did % 3 == 0 else 1)
+            if did % 3 == 0:
+                assert trs[1]["handler"] == "soun"
+                assert trs[1]["sample_rate"] == 8000 + (did % 5) * 2000
+                assert trs[1]["track_duration_ms"] == frames * 40
+
+    def test_largesize_and_v1_mvhd(self):
+        # doc_id 99: %11==0 → 64-bit largesize mdat; %9==0 → mvhd v1
+        b = write_mp4(99, "abc")
+        assert struct.unpack(">I", b[b.index(b"mdat") - 4:b.index(b"mdat")])[0] == 1
+        rows = parse_mp4_bytes(99, b)
+        assert rows[0]["movie_duration_ms"] == (1 + 3 % 240) * 40
+        assert rows[0]["lang"] == "deu"
+
+
+class TestForeignLayouts:
+    """Hand-authored layouts the in-repo writer cannot have produced."""
+
+    def _reorder_moov_first(self, b: bytes) -> bytes:
+        boxes = []
+        off = 0
+        while off < len(b):
+            size = struct.unpack(">I", b[off:off + 4])[0]
+            if size == 1:
+                size = struct.unpack(">Q", b[off + 8:off + 16])[0]
+            boxes.append((b[off + 4:off + 8], b[off:off + size]))
+            off += size
+        order = {b"ftyp": 0, b"moov": 1, b"free": 2, b"mdat": 3}
+        boxes.sort(key=lambda t: order.get(t[0], 9))
+        return b"".join(raw for _, raw in boxes)
+
+    def test_moov_first_faststart_layout(self):
+        b = self._reorder_moov_first(write_mp4(4, "hello"))
+        rows = parse_mp4_bytes(4, b)
+        assert rows[0]["major_brand"] == "isom"
+        assert rows[0]["n_samples"] == 1 + 5 % 240
+
+    def test_size_zero_extends_to_eof(self):
+        # last top-level box rewritten with size==0 (spec: runs to EOF)
+        b = write_mp4(2, "xy")
+        moov_at = b.rindex(b"moov") - 4
+        b2 = b[:moov_at] + struct.pack(">I", 0) + b[moov_at + 4:]
+        rows = parse_mp4_bytes(2, b2)
+        assert rows[0]["codec"] == "avc1"
+
+    def test_unknown_top_level_box_skipped(self):
+        junk = struct.pack(">I", 16) + b"wide" + b"\x00" * 8
+        b = write_mp4(1, "zz")
+        rows = parse_mp4_bytes(1, junk + b)
+        assert rows[0]["handler"] == "vide"
+
+
+class TestHostileInput:
+    def test_truncation_fuzz_never_raises(self):
+        b = write_mp4(3, "payload text for fuzzing")
+        for cut in range(0, len(b) + 1, 3):
+            rows = parse_mp4_bytes(3, b[:cut])
+            assert rows and rows[0]["doc_id"] == 3
+
+    def test_corrupt_size_fields_never_raise(self):
+        b = write_mp4(6, "corruptme")
+        for off in range(0, len(b) - 4, 11):
+            bb = bytearray(b)
+            bb[off:off + 4] = b"\xff\xff\xff\xff"
+            rows = parse_mp4_bytes(6, bytes(bb))
+            assert rows and rows[0]["doc_id"] == 6
+
+    def test_garbage_and_empty(self):
+        assert parse_mp4_bytes(0, b"")[0]["major_brand"] is None
+        assert parse_mp4_bytes(0, b"not an mp4 at all")[0]["n_tracks"] is None
