@@ -2870,3 +2870,41 @@ SELECT doc_id, 'isom', CAST(1000 AS BIGINT), dur_ms, ntr,
        dur_ms * (rate // 1000)
 FROM d WHERE doc_id % 3 = 0
 """
+
+# --- RTF extraction (round 9) -------------------------------------------------------
+
+def q_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF text extraction (round 9): the legacy office format — a
+    stateful group/control-word tokenizer, NOT a regexp chain (RTF's
+    \\ucN fallback state and destination groups are not regex-safe).
+    The fixture lays every classic trap: fonttbl/colortbl/stylesheet
+    destinations, an {\\info{\\title}} that must not leak, a starred
+    {\\*\\generator}, a bold group splitting the first word off the
+    first paragraph, cp1252 \\'e9 and Unicode \\u8212? escapes
+    (operators/rtf.py). Row-local Arrow pass, zero shuffles.
+
+    Closed-form: extracted text is p1+NL+p2+NL+'café — fin'+NL over
+    the word-halves of the normalized document text.
+    """
+    from ..operators.rtf import docs_as_rtf, extract_rtf
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_rtf(docs_as_rtf(docs)).select("doc_id", "rtf_text")
+
+
+ORACLE_RTF_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+           ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM d
+)
+SELECT doc_id,
+       array_to_string(w[1:k], ' ') || chr(10) ||
+       array_to_string(w[k+1:n], ' ') || chr(10) ||
+       'café — fin' || chr(10) AS rtf_text
+FROM s
+"""

@@ -1059,6 +1059,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "v1, packed ISO-639 language, real avc1/mp4a sample entries, "
         "stts sample counts; row-local Arrow, closed-form oracle",
     ),
+    "rtf_extract": QueryDef(
+        corpus.q_rtf_extract, corpus.ORACLE_RTF_EXTRACT,
+        "RTF extraction (round 9, RTF 1.9.1): stateful group/control-"
+        "word tokenizer (destination drops incl. info-title leak, "
+        "group-scoped \\ucN, \\uN fallback skips, cp1252 \\'hh, "
+        "\\bin) — the non-XML member of the office family; row-local "
+        "Arrow, closed-form word-halves oracle",
+    ),
 }
 
 

@@ -1,0 +1,91 @@
+"""RTF extraction: tokenizer semantics and hostile input.
+
+The oracle query (rtf_extract) pins the fixture round trip at corpus
+scale; THIS file is the adversarial evidence — hand-authored RTF a
+different writer would produce (raw newlines, \\uc0 surrogate pairs,
+nested destinations, \\bin, unknown control words/symbols) plus
+truncation fuzzing pinning drop-not-crash."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.rtf import (
+    docs_as_rtf,
+    extract_rtf,
+    rtf_to_text,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, "s%d" % i, "en", t) for i, t in enumerate(rows)],
+        "doc_id long, source string, lang string, text string",
+    )
+
+
+class TestSparkRoundTrip:
+    def test_fixture_round_trip(self, spark):
+        texts = ["alpha beta gamma delta", "one", "", "a  b\tc",
+                 "back\\slash {brace} text"]
+        got = {
+            r["doc_id"]: r["rtf_text"]
+            for r in extract_rtf(docs_as_rtf(_docs(spark, texts))).collect()
+        }
+        import re
+        for i, t in enumerate(texts):
+            w = re.sub(r"\s+", " ", t.strip()).split(" ")
+            k = (len(w) + 1) // 2
+            expect = (" ".join(w[:k]) + "\n" + " ".join(w[k:])
+                      + "\n" + "café — fin\n")
+            assert got[i] == expect, (i, repr(got[i]), repr(expect))
+
+    def test_info_title_never_leaks(self, spark):
+        rows = extract_rtf(docs_as_rtf(_docs(spark, ["x y"]))).collect()
+        assert "doc 0" not in rows[0]["rtf_text"]
+
+
+class TestForeignWriter:
+    """RTF shapes the in-repo fixture writer cannot have produced."""
+
+    def test_uc0_surrogate_pair_and_raw_newlines(self):
+        src = ("{\\rtf1\\ansi\n{\\fonttbl{\\f0 Arial;}}\n"
+               "\\uc0 A\\u-10179\\u-9089 B\\tab C\\par}")
+        assert rtf_to_text(src) == "A" + chr(55357) + chr(56447) + "B\tC\n"
+
+    def test_uc2_skips_two_fallback_chars(self):
+        src = "{\\rtf1\\uc2 \\u233ab X\\par}"
+        assert rtf_to_text(src) == "é X\n"
+
+    def test_hex_escape_counts_as_one_fallback(self):
+        src = "{\\rtf1\\uc1 \\u233\\'e9Y\\par}"
+        assert rtf_to_text(src) == "éY\n"
+
+    def test_nested_destination_and_stars(self):
+        src = ("{\\rtf1{\\info{\\title secret{\\author deeper}}}"
+               "{\\*\\mystery {\\nested junk}}visible\\par}")
+        assert rtf_to_text(src) == "visible\n"
+
+    def test_bin_skip_and_unknown_words(self):
+        src = "{\\rtf1\\someunknownword42 A\\bin3 xyzB\\par}"
+        assert rtf_to_text(src) == "AB\n"
+
+    def test_escaped_braces_inside_skipped_group(self):
+        src = "{\\rtf1{\\info \\} \\{ still info}ok\\par}"
+        assert rtf_to_text(src) == "ok\n"
+
+    def test_group_scoped_uc_restores(self):
+        src = "{\\rtf1\\uc1 {\\uc0 \\u65 }\\u66 ?C\\par}"
+        assert rtf_to_text(src) == "ABC\n"
+
+
+class TestHostileInput:
+    def test_truncation_fuzz_never_raises(self, spark):
+        body = docs_as_rtf(_docs(spark, ["words to be fuzzed apart"]))\
+            .collect()[0]["body"]
+        for cut in range(0, len(body) + 1):
+            out = rtf_to_text(body[:cut])
+            assert out is None or isinstance(out, str)
+
+    def test_non_rtf_and_none(self):
+        assert rtf_to_text("plain text") is None
+        assert rtf_to_text(None) is None
+        assert rtf_to_text("{\\rtf1\\u nonsense") is None
