@@ -1,0 +1,310 @@
+"""Code-corpus operators: license detection, secret scanning, comment
+stripping — the curation stages every published code-LLM pipeline runs
+(The Stack / StarCoder / CodeParrot recipes) between "crawled source
+files" and "training shards".
+
+Three concerns, three engine stances:
+
+- **License detection** (`detect_license`): pure-JVM expression —
+  an explicit ``SPDX-License-Identifier:`` tag wins (the machine-
+  readable channel), else phrase fingerprints of the big license
+  families (MIT's "Permission is hereby granted", Apache-2.0's
+  "Licensed under the Apache License", GPL's "GNU General Public
+  License", BSD's "Redistribution and use in source and binary
+  forms").  Permissive-license filtering is THE gating step of a code
+  corpus; it must be a cheap scan-side predicate, so this is a
+  ``when``-chain over ``rlike``/``regexp_extract`` that Catalyst can
+  evaluate in whole-stage codegen — no Python anywhere.
+- **Secret scanning** (`count_secrets` / `redact_secrets`): pure-JVM
+  regexp family for the well-known high-precision token shapes (AWS
+  access keys, GitHub PATs, Slack tokens, Google API keys, PEM
+  private-key headers).  Counting gates the file; redaction rewrites
+  it — both must touch the ORIGINAL bytes (secrets hide in comments
+  too, so this runs before comment stripping).
+- **Comment stripping** (`strip_comments`): a string-literal-aware
+  state machine over ``mapInPandas`` — deliberately NOT a regexp:
+  ``"a string with // no comment"`` and ``# inside quotes`` are the
+  canonical regex-stripper failure modes.  Python rules (``#``,
+  single/double/triple quotes, backslash escapes) and C-family rules
+  (``//``, ``/* */``, double/single quotes, JS backtick templates).
+  Contract: comments removed, lines right-trimmed, all-blank lines
+  dropped; string literals byte-identical.
+
+Scale: everything is row-local (JVM expressions or one Arrow pass),
+zero shuffles — at 100 TB these ride the scan partitioning untouched.
+
+Reference note: LLM-data-pipeline extension (The Stack / StarCoder
+data recipes, SPDX spec); no counterpart in /root/reference.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# license detection (pure JVM)
+# --------------------------------------------------------------------------
+
+_SPDX = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
+
+
+def detect_license(src: Column) -> Column:
+    """SPDX tag verbatim (lowercased) if present, else the phrase
+    fingerprint of the major families, else 'none'."""
+    spdx = F.regexp_extract(src, _SPDX, 1)
+    return (
+        F.when(spdx != "", F.lower(spdx))
+        .when(src.rlike(r"(?i)Permission is hereby granted, free of charge"),
+              F.lit("mit"))
+        .when(src.rlike(r"(?i)Licensed under the Apache License"),
+              F.lit("apache-2.0"))
+        .when(src.rlike(r"(?i)GNU General Public License"),
+              F.lit("gpl-3.0"))
+        .when(src.rlike(r"(?i)Redistribution and use in source and binary forms"),
+              F.lit("bsd-3-clause"))
+        .otherwise(F.lit("none"))
+    )
+
+
+# --------------------------------------------------------------------------
+# secret scanning (pure JVM)
+# --------------------------------------------------------------------------
+
+# High-precision token shapes only (the published scanners' core set):
+# entropy heuristics are deliberately out of scope — they gate on recall
+# and belong in a review queue, not an automated drop.
+SECRET_PATTERNS: tuple[str, ...] = (
+    r"AKIA[0-9A-Z]{16}",                       # AWS access key id
+    r"ghp_[A-Za-z0-9]{36}",                    # GitHub classic PAT
+    r"xox[baprs]-[0-9A-Za-z-]{10,48}",         # Slack token
+    r"AIza[0-9A-Za-z_-]{35}",                  # Google API key
+    r"-----BEGIN [A-Z ]*PRIVATE KEY-----",     # PEM private key
+)
+
+
+def count_secrets(src: Column) -> Column:
+    total = F.lit(0).cast("long")
+    for pat in SECRET_PATTERNS:
+        total = total + F.regexp_count(src, F.lit(pat)).cast("long")
+    return total
+
+
+def redact_secrets(src: Column, token: str = "[SECRET]") -> Column:
+    out = src
+    for pat in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# --------------------------------------------------------------------------
+# comment stripping (row-local state machine)
+# --------------------------------------------------------------------------
+
+def strip_comment_text(src: str, lang: str) -> Optional[str]:
+    """Comments removed, lines rstripped, blank lines dropped; string
+    literals preserved byte-for-byte.  None on any failure."""
+    if not isinstance(src, str):
+        return None
+    try:
+        out: list[str] = []
+        i, n = 0, len(src)
+        if lang == "python":
+            while i < n:
+                c = src[i]
+                if c in "\"'":
+                    q = src[i:i + 3] if src[i:i + 3] in ('"""', "'''") else c
+                    out.append(q)
+                    i += len(q)
+                    while i < n:
+                        if src[i] == "\\" and i + 1 < n:
+                            out.append(src[i:i + 2])
+                            i += 2
+                            continue
+                        if src.startswith(q, i):
+                            out.append(q)
+                            i += len(q)
+                            break
+                        out.append(src[i])
+                        i += 1
+                elif c == "#":
+                    while i < n and src[i] != "\n":
+                        i += 1
+                else:
+                    out.append(c)
+                    i += 1
+        else:  # c-family: c, cpp, js, java, go …
+            template = lang == "js"
+            while i < n:
+                c = src[i]
+                if c in "\"'" or (template and c == "`"):
+                    out.append(c)
+                    q = c
+                    i += 1
+                    while i < n:
+                        if src[i] == "\\" and i + 1 < n:
+                            out.append(src[i:i + 2])
+                            i += 2
+                            continue
+                        out.append(src[i])
+                        if src[i] == q:
+                            i += 1
+                            break
+                        i += 1
+                elif c == "/" and src.startswith("//", i):
+                    while i < n and src[i] != "\n":
+                        i += 1
+                elif c == "/" and src.startswith("/*", i):
+                    i += 2
+                    while i < n and not src.startswith("*/", i):
+                        i += 1
+                    i = min(n, i + 2)
+                else:
+                    out.append(c)
+                    i += 1
+        kept = [ln.rstrip() for ln in "".join(out).split("\n")]
+        return "\n".join(ln for ln in kept if ln.strip())
+    except Exception:
+        return None
+
+
+def strip_comments(
+    files: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    src_col: str = "src",
+) -> DataFrame:
+    """(doc_id, lang, src) → (doc_id, stripped_code).  Row-local Arrow
+    pass; unknown languages fall back to the C-family rules."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "stripped_code": [
+                    strip_comment_text(s, lg)
+                    for s, lg in zip(pdf[src_col], pdf[lang_col])
+                ],
+            })
+
+    return files.select(id_col, lang_col, src_col).mapInPandas(
+        gen, schema="doc_id long, stripped_code string"
+    )
+
+
+# --------------------------------------------------------------------------
+# fixture: documents rendered as source files (closed-form)
+# --------------------------------------------------------------------------
+
+_LICENSE_TEXT = [
+    "SPDX-License-Identifier: BSD-3-Clause",
+    "Permission is hereby granted, free of charge, to any person",
+    "Licensed under the Apache License, Version 2.0",
+    "This program comes under the GNU General Public License",
+    "",                                      # doc_id%5==4 → no license
+]
+
+
+def docs_as_code(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, src): each document rendered as a source file —
+    language cycling python/c/js by doc_id%3, license header by
+    doc_id%5 (SPDX tag, MIT, Apache, GPL phrases, none), an AWS key
+    ``AKIA`` + zero-padded doc_id when doc_id%7==0 and a GitHub PAT
+    when doc_id%13==5.  The body embeds the first word-half of the
+    normalized text inside a string literal CONTAINING comment syntax
+    (the regex-stripper trap) and the second half inside a comment
+    that must vanish.  Every output of detect_license/count_secrets/
+    strip_comments is closed-form in doc_id and the document text."""
+    norm = F.regexp_replace(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+    )
+    words = F.split(norm, " ")
+    k = F.floor((F.size(words) + F.lit(1)) / F.lit(2)).cast("int")
+    p1 = F.array_join(F.slice(words, 1, k), " ")
+    p2 = F.array_join(
+        F.slice(words, k + F.lit(1), F.size(words) - k), " "
+    )
+    # string-literal escaping (engine-symmetric; the oracle re-applies it)
+    p1_dq = F.regexp_replace(p1, r'([\\"])', r"\\$1")      # for "..."
+    p1_bt = F.regexp_replace(p1, r"([\\`$])", r"\\$1")     # for `...`
+    did = F.col("doc_id")
+    lang = F.when(did % 3 == 0, F.lit("python")).when(
+        did % 3 == 1, F.lit("c")).otherwise(F.lit("js"))
+    lic = F.element_at(
+        F.array(*[F.lit(s) for s in _LICENSE_TEXT]), (did % 5 + 1).cast("int")
+    )
+    aws = F.concat(F.lit('KEY = "AKIA'),
+                   F.lpad(did.cast("string"), 16, "0"), F.lit('"\n'))
+    ghp = F.concat(F.lit('TOKEN = "ghp_'),
+                   F.lpad(did.cast("string"), 36, "0"), F.lit('"\n'))
+    aws_line = F.when(did % 7 == 0, aws).otherwise(F.lit(""))
+    ghp_line = F.when(did % 13 == 5, ghp).otherwise(F.lit(""))
+    ids = did.cast("string")
+
+    py = F.format_string(
+        "%s%s%sdef f_%s():\n"
+        '    s = "%s # not a comment"\n'
+        "    # comment: %s\n"
+        "    return s\n",
+        F.when(did % 5 == 4, F.lit("")).otherwise(
+            F.format_string("# %s\n", lic)),
+        aws_line, ghp_line, ids, p1_dq, p2,
+    )
+    c = F.format_string(
+        "%s%s%sint f_%s(void) {\n"
+        '    const char *s = "%s // not a comment";\n'
+        "    /* %s */int x = 1;\n"
+        "    return x; // trailing\n"
+        "}\n",
+        F.when(did % 5 == 4, F.lit("")).otherwise(
+            F.format_string("/* %s */\n", lic)),
+        aws_line, ghp_line, ids, p1_dq, p2,
+    )
+    js = F.format_string(
+        "%s%s%sfunction f_%s() {\n"
+        "  const s = `%s /* not a comment */`;\n"
+        "  /* %s */return s; // done\n"
+        "}\n",
+        F.when(did % 5 == 4, F.lit("")).otherwise(
+            F.format_string("// %s\n", lic)),
+        aws_line, ghp_line, ids, p1_bt, p2,
+    )
+    src = F.when(did % 3 == 0, py).when(did % 3 == 1, c).otherwise(js)
+    return docs.select("doc_id", lang.alias("lang"), src.alias("src"))
+
+
+def code_scan(docs: DataFrame) -> DataFrame:
+    """The full code-curation sweep: license + secrets on RAW source
+    (JVM-side, before any rewrite), comment stripping after — one row
+    per file, ONE Arrow pass, zero shuffles (license/n_secrets ride
+    into the Python stage as passthrough columns rather than paying a
+    self-join)."""
+    files = docs_as_code(docs)
+    scanned = files.select(
+        "doc_id", "lang",
+        detect_license(F.col("src")).alias("license"),
+        count_secrets(F.col("src")).alias("n_secrets"),
+        "src",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "lang": pdf["lang"],
+                "license": pdf["license"],
+                "n_secrets": pdf["n_secrets"].astype("int64"),
+                "stripped_code": [
+                    strip_comment_text(s, lg)
+                    for s, lg in zip(pdf["src"], pdf["lang"])
+                ],
+            })
+
+    return scanned.mapInPandas(
+        gen,
+        schema="doc_id long, lang string, license string, "
+               "n_secrets long, stripped_code string",
+    )

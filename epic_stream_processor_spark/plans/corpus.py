@@ -2908,3 +2908,81 @@ SELECT doc_id,
        'café — fin' || chr(10) AS rtf_text
 FROM s
 """
+
+# --- Code-corpus curation (round 9) -------------------------------------------------
+
+def q_code_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus curation sweep (round 9): the Stack/StarCoder gating
+    stages — SPDX/phrase license detection and high-precision secret
+    counting on RAW source (JVM when/rlike/regexp_count, codegen-
+    friendly), then string-literal-aware comment stripping (a state
+    machine, NOT a regexp — the fixture plants comment syntax INSIDE
+    string literals and corpus text inside comments, so a regex
+    stripper fails both ways). One Arrow pass, zero shuffles
+    (operators/code.py).
+
+    Closed-form: language by doc_id%3 (python/c/js), license by
+    doc_id%5 (SPDX-BSD tag, MIT, Apache, GPL phrases, none), an AWS
+    key when doc_id%7==0 + a GitHub PAT when doc_id%13==5, and the
+    stripped body a fixed template over the word-halves of the
+    normalized text with engine-symmetric string-literal escaping.
+    """
+    from ..operators.code import code_scan
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return code_scan(docs).select(
+        "doc_id", "lang", "license", "n_secrets", "stripped_code"
+    )
+
+
+ORACLE_CODE_SCAN = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+           ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM d
+), p AS (
+  SELECT doc_id,
+         array_to_string(w[1:k], ' ') AS p1,
+         CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'c'
+                         ELSE 'js' END AS lang,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'KEY = "AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0')
+                   || '"' || chr(10)
+              ELSE '' END ||
+         CASE WHEN doc_id % 13 = 5
+              THEN 'TOKEN = "ghp_' || lpad(CAST(doc_id AS VARCHAR), 36, '0')
+                   || '"' || chr(10)
+              ELSE '' END AS secret_lines
+  FROM s
+)
+SELECT doc_id, lang,
+       CASE doc_id % 5 WHEN 0 THEN 'bsd-3-clause' WHEN 1 THEN 'mit'
+            WHEN 2 THEN 'apache-2.0' WHEN 3 THEN 'gpl-3.0'
+            ELSE 'none' END AS license,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_secrets,
+       CASE lang
+         WHEN 'python' THEN
+           secret_lines || 'def f_' || doc_id || '():' || chr(10) ||
+           '    s = "' || regexp_replace(p1, '([\\"])', '\\\1', 'g') ||
+           ' # not a comment"' || chr(10) || '    return s'
+         WHEN 'c' THEN
+           secret_lines || 'int f_' || doc_id || '(void) {' || chr(10) ||
+           '    const char *s = "' ||
+           regexp_replace(p1, '([\\"])', '\\\1', 'g') ||
+           ' // not a comment";' || chr(10) ||
+           '    int x = 1;' || chr(10) || '    return x;' || chr(10) || '}'
+         ELSE
+           secret_lines || 'function f_' || doc_id || '() {' || chr(10) ||
+           '  const s = `' ||
+           regexp_replace(p1, '([\\`$])', '\\\1', 'g') ||
+           ' /* not a comment */`;' || chr(10) ||
+           '  return s;' || chr(10) || '}'
+       END AS stripped_code
+FROM p
+"""

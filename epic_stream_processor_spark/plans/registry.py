@@ -1067,6 +1067,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "\\bin) — the non-XML member of the office family; row-local "
         "Arrow, closed-form word-halves oracle",
     ),
+    "code_scan": QueryDef(
+        corpus.q_code_scan, corpus.ORACLE_CODE_SCAN,
+        "code-corpus curation (round 9, Stack/StarCoder recipe): JVM "
+        "SPDX/phrase license detection + high-precision secret "
+        "counting on raw source, then string-literal-aware comment "
+        "stripping (state machine; fixture plants comment syntax "
+        "inside strings and text inside comments); one Arrow pass",
+    ),
 }
 
 
