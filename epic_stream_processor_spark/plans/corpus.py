@@ -2986,3 +2986,71 @@ SELECT doc_id, lang,
        END AS stripped_code
 FROM p
 """
+
+# --- Markdown extraction (round 9) --------------------------------------------------
+
+def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown extraction (round 9): README/docs corpora split into
+    their three training channels — plain text (structure-preserving
+    strip: headings keep text, links collapse to anchors, images to
+    alt text BEFORE link handling, emphasis marks drop, line-start
+    markers only), outbound link URLs (the crawl-frontier edge list),
+    and fenced code blocks lifted out whole with their info-string
+    language tags. Entirely a JVM regexp chain — zero Python, zero
+    shuffles (operators/markdown.py).
+
+    Closed-form: the fixture pre-cleans active markdown characters
+    from the embedded corpus text (engine-symmetric), so every channel
+    is SQL-rebuildable from doc_id and the word-halves.
+    """
+    from ..operators.markdown import docs_as_markdown, extract_markdown
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_markdown(docs_as_markdown(docs)).select(
+        "doc_id", "title", "plain_text", "n_links", "link_urls",
+        "n_images", "code_lang", "code_text",
+    )
+
+
+ORACLE_MARKDOWN_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(
+             regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+             '[*_`\[\]()]', '', 'g'),
+           ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM d
+), p AS (
+  SELECT doc_id,
+         array_to_string(w[1:k], ' ') AS p1,
+         array_to_string(w[k+1:n], ' ') AS p2
+  FROM s
+)
+SELECT doc_id,
+       'Title ' || doc_id AS title,
+       'Title ' || doc_id || chr(10) ||
+       trim(regexp_replace(
+         'Intro: ' || p1 || ' has bold and ital text with anchor ' ||
+         doc_id || ' inline.' ||
+         CASE WHEN doc_id % 2 = 1 THEN ' See more.' ELSE '' END,
+         ' +', ' ', 'g')) || chr(10) ||
+       CASE WHEN doc_id % 5 = 0 THEN 'logo ' || doc_id || chr(10)
+            ELSE '' END ||
+       'alpha' || chr(10) ||
+       trim(regexp_replace('item ' || p2, ' +', ' ', 'g')) || chr(10) ||
+       'quoted tail' AS plain_text,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)
+           AS n_links,
+       'https://ex.com/' || doc_id ||
+       CASE WHEN doc_id % 2 = 1 THEN ',https://ex.com/m/' || doc_id
+            ELSE '' END AS link_urls,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_images,
+       CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'js'
+            ELSE '' END AS code_lang,
+       'code ' || doc_id AS code_text
+FROM p
+"""

@@ -1075,6 +1075,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "stripping (state machine; fixture plants comment syntax "
         "inside strings and text inside comments); one Arrow pass",
     ),
+    "markdown_extract": QueryDef(
+        corpus.q_markdown_extract, corpus.ORACLE_MARKDOWN_EXTRACT,
+        "markdown extraction (round 9, CommonMark flat slice): plain "
+        "text + link edge list + fenced code with language tags, "
+        "image-before-link ordering, line-start-only markers — pure "
+        "JVM regexp chain, zero Python; closed-form oracle",
+    ),
 }
 
 

@@ -1,0 +1,96 @@
+"""Markdown extraction: channel semantics on foreign-writer input.
+
+The oracle query (markdown_extract) pins the fixture round trip; THIS
+file covers markdown the fixture writer never emits — multiple fences,
+nested emphasis, images inside links' neighborhoods, CRLF, numbered
+lists, deep headings — plus ordering proofs (image-before-link, fence-
+before-everything)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from epic_stream_processor_spark.operators.markdown import (
+    docs_as_markdown,
+    extract_markdown,
+    markdown_fields,
+)
+
+
+def _extract(spark, body: str) -> dict:
+    df = spark.createDataFrame([(1, body)], "doc_id long, body string")
+    return extract_markdown(df).collect()[0].asDict()
+
+
+class TestChannels:
+    def test_fence_lifted_before_stripping(self, spark):
+        body = "# T\n\n```python\nx = a * b # comment\n```\n\ntext *here*\n"
+        row = _extract(spark, body)
+        assert row["code_lang"] == "python"
+        assert row["code_text"] == "x = a * b # comment"
+        # emphasis inside the fence must NOT leak into plain text
+        assert "x = a" not in row["plain_text"]
+        assert row["plain_text"] == "T\ntext here"
+
+    def test_image_handled_before_link(self, spark):
+        body = "![alt text](https://i.png) and [anchor](https://a)\n"
+        row = _extract(spark, body)
+        assert row["n_images"] == 1
+        assert row["n_links"] == 1
+        assert row["link_urls"] == "https://a"
+        assert row["plain_text"] == "alt text and anchor"
+
+    def test_untagged_fence(self, spark):
+        row = _extract(spark, "```\nraw block\n```\n")
+        assert row["code_lang"] == ""
+        assert row["code_text"] == "raw block"
+
+    def test_heading_depths_and_lists(self, spark):
+        body = "## Two\n#### Four\n1. first\n2. second\n* star item\n"
+        assert _extract(spark, body)["plain_text"] == \
+            "Two\nFour\nfirst\nsecond\nstar item"
+
+    def test_blockquote_and_blank_collapse(self, spark):
+        body = "> quoted\n\n\n\nafter\n"
+        assert _extract(spark, body)["plain_text"] == "quoted\nafter"
+
+    def test_mid_line_markers_untouched(self, spark):
+        body = "a - b > c # d 1. e\n"
+        assert _extract(spark, body)["plain_text"] == "a - b > c # d 1. e"
+
+    def test_multiple_links_collected_in_order(self, spark):
+        body = "[a](u1) then [b](u2) then [c](u3)\n"
+        row = _extract(spark, body)
+        assert row["n_links"] == 3
+        assert row["link_urls"] == "u1,u2,u3"
+        assert row["plain_text"] == "a then b then c"
+
+
+class TestFixtureRoundTrip:
+    def test_closed_form_channels(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "s", "en", "alpha beta (gamma) [delta] *eps*")
+             for i in range(6)],
+            "doc_id long, source string, lang string, text string",
+        )
+        rows = {r["doc_id"]: r
+                for r in extract_markdown(docs_as_markdown(docs)).collect()}
+        for i in range(6):
+            assert rows[i]["title"] == f"Title {i}"
+            assert rows[i]["code_text"] == f"code {i}"
+            assert rows[i]["n_links"] == (2 if i % 2 == 1 else 1)
+            assert rows[i]["n_images"] == (1 if i % 5 == 0 else 0)
+            # active characters were pre-cleaned: no markup survives
+            assert "(" not in rows[i]["plain_text"]
+            assert "*" not in rows[i]["plain_text"]
+
+    def test_plan_is_pure_jvm(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "s", "en", "t")],
+            "doc_id long, source string, lang string, text string",
+        )
+        plan = extract_markdown(docs_as_markdown(docs))\
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "mapInPandas" not in plan.lower()
