@@ -1,0 +1,275 @@
+"""Ogg/Vorbis triage — the open-container leg of the audio modality.
+
+Audio crawls are split across three container families: RIFF/WAV
+(`multimodal.py`), raw MPEG frame streams (`mp3.py`), FLAC (`flac.py`),
+and Xiph's Ogg — podcasts, Wikimedia audio, game assets.  An audio-
+corpus sweep triages Ogg files WITHOUT decoding: walk the page
+framing, verify page CRCs, reassemble the first packets, and read the
+Vorbis identification + comment headers (channels, sample rate,
+vendor, tags, stream length in samples from the last granule
+position).  Both directions here speak the real wire format (RFC 3533
+Ogg framing; Vorbis I spec headers):
+
+- pages: ``OggS`` capture, version 0, header-type flags (BOS/EOS),
+  64-bit granule position, serial, page sequence, and the Ogg CRC-32
+  (poly 0x04C11DB7, UNREFLECTED, init/xorout 0 — NOT zlib's CRC;
+  using zlib's table is the classic interop bug) computed with the
+  CRC field zeroed;
+- lacing: packets split into 255-byte segments, terminated by a
+  segment < 255 — packets REASSEMBLE ACROSS PAGE BOUNDARIES (the
+  fixture forces a comment header long enough to span two pages for
+  doc_id%6==0, so a page-local parser fails the oracle);
+- Vorbis identification header (packet type 1 + "vorbis"): version,
+  channels, sample rate, bitrates, blocksizes, framing bit;
+- Vorbis comment header (type 3): vendor string + length-prefixed
+  UTF-8 ``KEY=value`` user comments.
+
+Scale: row-local Arrow ``mapInPandas`` both ways, zero shuffles — the
+standing codec budget.  Malformed input → NULL fields, never a crash.
+
+Reference note: LLM-data-pipeline extension (RFC 3533 + Vorbis I
+public specs); completes the audio container family.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OGG_SCHEMA = (
+    "doc_id long, n_pages long, crc_ok_pages long, channels long, "
+    "sample_rate long, vendor string, n_comments long, title string, "
+    "artist string, total_samples long, duration_ms long"
+)
+
+
+def _crc_table():
+    tbl = []
+    for b in range(256):
+        c = b << 24
+        for _ in range(8):
+            c = ((c << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if c & 0x80000000 \
+                else (c << 1) & 0xFFFFFFFF
+        tbl.append(c)
+    return tbl
+
+
+_CRC = _crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFFFFFF) ^ _CRC[((c >> 24) & 0xFF) ^ b]
+    return c
+
+
+# --------------------------------------------------------------------------
+# writer
+# --------------------------------------------------------------------------
+
+def _lacing(n: int) -> bytes:
+    return b"\xff" * (n // 255) + bytes([n % 255])
+
+
+def _page(header_type: int, granule: int, serial: int, seq: int,
+          packets: list[bytes], continued_tail: int = 0) -> bytes:
+    """One Ogg page holding whole packets plus optionally the FIRST
+    ``continued_tail`` bytes of the last packet (lacing left open with
+    a 255 so the packet continues on the next page)."""
+    segs = bytearray()
+    payload = bytearray()
+    for i, p in enumerate(packets):
+        if continued_tail and i == len(packets) - 1:
+            head = p[:continued_tail]
+            assert len(head) % 255 == 0 and len(head) > 0
+            segs += b"\xff" * (len(head) // 255)
+            payload += head
+        else:
+            segs += _lacing(len(p))
+            payload += p
+    hdr = b"OggS" + bytes([0, header_type]) + struct.pack("<q", granule)
+    hdr += struct.pack("<III", serial, seq, 0) + bytes([len(segs)]) + segs
+    page = hdr + bytes(payload)
+    crc = ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def _cont_page(header_type: int, granule: int, serial: int, seq: int,
+               rest: bytes) -> bytes:
+    """Continuation page carrying the remainder of a spanning packet
+    (header-type bit 0x01 = continued)."""
+    segs = _lacing(len(rest))
+    hdr = b"OggS" + bytes([0, header_type | 0x01]) + struct.pack("<q", granule)
+    hdr += struct.pack("<III", serial, seq, 0) + bytes([len(segs)]) + segs
+    page = hdr + rest
+    crc = ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def write_ogg(doc_id: int, text: str) -> bytes:
+    """A genuine Ogg/Vorbis header stream (closed-form fields — see
+    docs_as_ogg)."""
+    data = (text or "").encode("utf-8")
+    channels = 1 + doc_id % 2
+    rate = 8000 + (doc_id % 5) * 2000
+    serial = 0x10000 + doc_id % 65536
+    total = (1 + len(data) % 240) * 256
+
+    ident = (b"\x01vorbis" + struct.pack("<IB", 0, channels)
+             + struct.pack("<iiii", rate, 0, 128000, 0)
+             + bytes([0x88, 1]))
+
+    comments = [f"TITLE=Title {doc_id}".encode(),
+                f"ARTIST=artist {doc_id % 10}".encode()]
+    if doc_id % 3 == 0:
+        comments.append(f"GENRE=genre{doc_id % 7}".encode())
+    if doc_id % 6 == 0:
+        # pad a long comment so the comment packet spans two pages
+        comments.append(b"PAD=" + b"x" * 600)
+    vendor = b"epic-fixture"
+    cpkt = (b"\x03vorbis" + struct.pack("<I", len(vendor)) + vendor
+            + struct.pack("<I", len(comments))
+            + b"".join(struct.pack("<I", len(c)) + c for c in comments)
+            + b"\x01")
+
+    pages = [_page(0x02, 0, serial, 0, [ident])]
+    if doc_id % 6 == 0:
+        split = 255 * (len(cpkt) // 510 or 1)
+        pages.append(_page(0x00, -1, serial, 1, [cpkt], continued_tail=split))
+        pages.append(_cont_page(0x00, -1, serial, 2, cpkt[split:]))
+        seq = 3
+    else:
+        pages.append(_page(0x00, -1, serial, 1, [cpkt]))
+        seq = 2
+    # final "audio" page: opaque payload, EOS, granule = total samples
+    pages.append(_page(0x04, total, serial, seq, [data[:200] or b"\x00"]))
+    return b"".join(pages)
+
+
+def docs_as_ogg(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, data): channels 1+doc_id%2, rate 8000+doc_id%5*2000,
+    vendor 'epic-fixture', comments TITLE/ARTIST (+GENRE for
+    doc_id%3==0, +600-byte PAD forcing a page-spanning comment packet
+    for doc_id%6==0), total samples (1+strlen%240)*256 on the EOS
+    granule — all closed-form for the SQL oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "data": [
+                    write_ogg(int(i), t if isinstance(t, str) else "")
+                    for i, t in zip(pdf[id_col], pdf[text_col])
+                ],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, data binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# reader
+# --------------------------------------------------------------------------
+
+def parse_ogg_bytes(doc_id: int, buf: bytes) -> dict:
+    null = {k: None for k in (
+        "n_pages", "crc_ok_pages", "channels", "sample_rate", "vendor",
+        "n_comments", "title", "artist", "total_samples", "duration_ms")}
+    null["doc_id"] = doc_id
+    try:
+        pages = []
+        off = 0
+        while off + 27 <= len(buf):
+            if buf[off:off + 4] != b"OggS":
+                break
+            nseg = buf[off + 26]
+            seg_tab = buf[off + 27:off + 27 + nseg]
+            if len(seg_tab) < nseg:
+                break
+            body_len = sum(seg_tab)
+            end = off + 27 + nseg + body_len
+            if end > len(buf):
+                break
+            raw = buf[off:end]
+            want = struct.unpack("<I", raw[22:26])[0]
+            zeroed = raw[:22] + b"\x00\x00\x00\x00" + raw[26:]
+            crc_ok = ogg_crc(zeroed) == want
+            granule = struct.unpack("<q", raw[6:14])[0]
+            pages.append((seg_tab, raw[27 + nseg:], granule, crc_ok))
+            off = end
+        if not pages:
+            return null
+        # packet reassembly across pages via lacing
+        packets: list[bytes] = []
+        cur = bytearray()
+        for seg_tab, body, _g, _ok in pages:
+            p = 0
+            for lace in seg_tab:
+                cur += body[p:p + lace]
+                p += lace
+                if lace < 255:
+                    packets.append(bytes(cur))
+                    cur = bytearray()
+        out = dict(null)
+        out["n_pages"] = len(pages)
+        out["crc_ok_pages"] = sum(1 for *_x, ok in pages if ok)
+        granules = [g for *_x, g, _ok in pages if g >= 0]
+        total = granules[-1] if granules else None
+        out["total_samples"] = total
+        for pkt in packets:
+            if pkt[:7] == b"\x01vorbis" and len(pkt) >= 30:
+                out["channels"] = pkt[11]
+                out["sample_rate"] = struct.unpack("<i", pkt[12:16])[0]
+            elif pkt[:7] == b"\x03vorbis":
+                q = 7
+                vlen = struct.unpack("<I", pkt[q:q + 4])[0]
+                q += 4
+                out["vendor"] = pkt[q:q + vlen].decode("utf-8", "replace")
+                q += vlen
+                ncom = struct.unpack("<I", pkt[q:q + 4])[0]
+                q += 4
+                out["n_comments"] = ncom
+                for _ in range(min(ncom, 4096)):
+                    clen = struct.unpack("<I", pkt[q:q + 4])[0]
+                    q += 4
+                    c = pkt[q:q + clen].decode("utf-8", "replace")
+                    q += clen
+                    key, _, val = c.partition("=")
+                    if key.upper() == "TITLE":
+                        out["title"] = val
+                    elif key.upper() == "ARTIST":
+                        out["artist"] = val
+        if out["sample_rate"] and total is not None:
+            out["duration_ms"] = total * 1000 // out["sample_rate"]
+        return out
+    except Exception:
+        return null
+
+
+def parse_ogg(
+    blobs: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """(doc_id, data) → OGG_SCHEMA triage row.  Row-local Arrow pass."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "n_pages", "crc_ok_pages", "channels",
+                "sample_rate", "vendor", "n_comments", "title", "artist",
+                "total_samples", "duration_ms"]
+        for pdf in batches:
+            rows = [parse_ogg_bytes(int(i), bytes(b) if b is not None else b"")
+                    for i, b in zip(pdf[id_col], pdf[data_col])]
+            out = pd.DataFrame(rows, columns=cols)
+            for c in cols:
+                if c not in ("vendor", "title", "artist"):
+                    out[c] = out[c].astype("Int64")
+            yield out
+
+    return blobs.select(id_col, data_col).mapInPandas(gen, schema=OGG_SCHEMA)

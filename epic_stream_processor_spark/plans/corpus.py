@@ -3054,3 +3054,53 @@ SELECT doc_id,
        'code ' || doc_id AS code_text
 FROM p
 """
+
+# --- Ogg/Vorbis triage (round 9) ----------------------------------------------------
+
+def q_ogg_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg/Vorbis triage (round 9): the open audio container — page
+    framing walked with the real Ogg CRC-32 (poly 0x04C11DB7,
+    UNREFLECTED — zlib's reflected table is the classic interop bug),
+    packets reassembled ACROSS page boundaries via lacing (the fixture
+    forces a page-spanning comment packet for doc_id%6==0, so a
+    page-local parser fails), Vorbis identification + comment headers
+    parsed for channels/rate/vendor/tags, stream length from the EOS
+    granule (operators/ogg.py). Row-local Arrow both ways.
+
+    Closed-form: every field derives from doc_id and strlen(text).
+    """
+    from ..operators.ogg import docs_as_ogg, parse_ogg
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_ogg(docs_as_ogg(docs)).select(
+        "doc_id", "n_pages", "crc_ok_pages", "channels", "sample_rate",
+        "vendor", "n_comments", "title", "artist", "total_samples",
+        "duration_ms",
+    )
+
+
+ORACLE_OGG_TRIAGE = """WITH d AS (
+  SELECT doc_id,
+         CAST((1 + strlen(coalesce(text, '')) % 240) * 256 AS BIGINT)
+             AS total,
+         CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS rate
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 6 = 0 THEN 4 ELSE 3 END AS BIGINT)
+           AS n_pages,
+       CAST(CASE WHEN doc_id % 6 = 0 THEN 4 ELSE 3 END AS BIGINT)
+           AS crc_ok_pages,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       rate AS sample_rate,
+       'epic-fixture' AS vendor,
+       CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_comments,
+       'Title ' || doc_id AS title,
+       'artist ' || (doc_id % 10) AS artist,
+       total AS total_samples,
+       total * 1000 // rate AS duration_ms
+FROM d
+"""

@@ -1082,6 +1082,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "image-before-link ordering, line-start-only markers — pure "
         "JVM regexp chain, zero Python; closed-form oracle",
     ),
+    "ogg_triage": QueryDef(
+        corpus.q_ogg_triage, corpus.ORACLE_OGG_TRIAGE,
+        "Ogg/Vorbis triage (round 9, RFC 3533 + Vorbis I): page walk "
+        "with the unreflected Ogg CRC-32, cross-page packet "
+        "reassembly via lacing (fixture forces a spanning comment "
+        "packet), id+comment header parse, EOS-granule duration — "
+        "row-local Arrow, closed-form oracle",
+    ),
 }
 
 

@@ -1,0 +1,97 @@
+"""Ogg/Vorbis triage: framing semantics and hostile input.
+
+The oracle query (ogg_triage) pins the closed-form round trip; THIS
+file pins what the oracle can't see — CRC failure detection (the
+unreflected polynomial), cross-page packet reassembly, foreign page
+layouts, and truncation/corruption fuzzing."""
+
+from __future__ import annotations
+
+import struct
+
+from epic_stream_processor_spark.operators.ogg import (
+    docs_as_ogg,
+    ogg_crc,
+    parse_ogg,
+    parse_ogg_bytes,
+    write_ogg,
+)
+
+
+class TestCrc:
+    def test_ogg_crc_is_not_zlib(self):
+        import zlib
+        data = b"The quick brown fox"
+        assert ogg_crc(data) != zlib.crc32(data)
+
+    def test_known_vector(self):
+        # CRC-32/MPEG-2 family, init 0: ogg_crc(b'') == 0
+        assert ogg_crc(b"") == 0
+        assert ogg_crc(b"\x00") == 0
+
+    def test_corrupt_payload_flips_page_crc(self):
+        b = bytearray(write_ogg(3, "abc"))
+        second = b.index(b"OggS", 4)
+        b[second + 30] ^= 0xFF
+        r = parse_ogg_bytes(3, bytes(b))
+        assert r["crc_ok_pages"] == r["n_pages"] - 1
+
+
+class TestReassembly:
+    def test_comment_packet_spans_pages(self):
+        # doc_id%6==0 → PAD comment forces a 2-page comment packet;
+        # vendor/tags only recoverable with cross-page reassembly
+        r = parse_ogg_bytes(6, write_ogg(6, "span"))
+        assert r["n_pages"] == 4
+        assert r["vendor"] == "epic-fixture"
+        assert r["n_comments"] == 4          # TITLE ARTIST GENRE PAD
+        assert r["title"] == "Title 6"
+
+    def test_continued_flag_set_on_continuation_page(self):
+        b = write_ogg(6, "span")
+        offs = []
+        off = 0
+        while True:
+            i = b.find(b"OggS", off)
+            if i < 0:
+                break
+            offs.append(i)
+            off = i + 4
+        # page 2 (index 2) is the continuation
+        assert b[offs[2] + 5] & 0x01
+
+
+class TestSparkRoundTrip:
+    def test_triage(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "s", "en", "lorem ipsum " * (i + 1)) for i in range(7)],
+            "doc_id long, source string, lang string, text string",
+        )
+        rows = {r["doc_id"]: r
+                for r in parse_ogg(docs_as_ogg(docs)).collect()}
+        for i in range(7):
+            n = len(("lorem ipsum " * (i + 1)).encode())
+            total = (1 + n % 240) * 256
+            rate = 8000 + (i % 5) * 2000
+            assert rows[i]["total_samples"] == total
+            assert rows[i]["duration_ms"] == total * 1000 // rate
+            assert rows[i]["channels"] == 1 + i % 2
+            assert rows[i]["crc_ok_pages"] == rows[i]["n_pages"]
+
+
+class TestHostileInput:
+    def test_truncation_fuzz(self):
+        b = write_ogg(6, "spanning fuzz subject")
+        for cut in range(0, len(b) + 1, 3):
+            r = parse_ogg_bytes(6, b[:cut])
+            assert r["doc_id"] == 6
+
+    def test_segment_table_corruption(self):
+        b = bytearray(write_ogg(1, "abc"))
+        b[26] = 255                      # inflate claimed segment count
+        r = parse_ogg_bytes(1, bytes(b))
+        assert r["doc_id"] == 1          # no crash; triage degrades
+
+    def test_garbage_and_empty(self):
+        assert parse_ogg_bytes(0, b"")["n_pages"] is None
+        assert parse_ogg_bytes(0, b"RIFFnotogg")["n_pages"] is None
