@@ -1,0 +1,149 @@
+"""Jupyter notebook (.ipynb) extraction — the code-corpus source that
+isn't a source file.
+
+Every published code-LLM corpus treats notebooks specially (The Stack
+converts them to scripts; StarCoder keeps cell structure as training
+signal): a notebook is nbformat JSON whose ``cells`` array interleaves
+markdown prose, executable code with captured outputs, and raw blocks.
+The extraction channels a pipeline needs are per-cell: type, joined
+source, execution count (a quality signal — executed notebooks are
+better data), and captured stdout (input/output training pairs).
+
+Engine stance: the ENTIRE parse is JVM-side — ``from_json`` with an
+explicit nbformat-4 schema, one row-local ``posexplode`` over the
+cells array, and higher-order ``filter``/``transform``/``flatten``
+expressions for the stream-output join.  Zero Python; the writer side
+builds the notebook as a Spark struct and serializes with ``to_json``,
+so JSON escaping of arbitrary corpus text is exercised symmetrically
+(to_json escapes, from_json unescapes).  nbformat keys that a cell
+type legitimately lacks (markdown cells have no ``execution_count`` /
+``outputs``) are represented as struct NULLs, which ``to_json`` omits
+— exactly how real notebooks serialize — and ``from_json`` reads back
+as NULLs.
+
+Scale: map-only, zero shuffles; at 100 TB this rides the scan
+partitioning, and from_json with a fixed schema stays inside
+whole-stage codegen.
+
+Reference note: LLM-data-pipeline extension (nbformat 4 public spec);
+no counterpart in /root/reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# nbformat-4 slice: the fields a curation sweep reads.
+IPYNB_SCHEMA = (
+    "struct<nbformat:int, nbformat_minor:int, "
+    "metadata:struct<kernelspec:struct<name:string,language:string>,"
+    "language_info:struct<name:string,version:string>>, "
+    "cells:array<struct<cell_type:string, execution_count:int, "
+    "source:array<string>, "
+    "outputs:array<struct<output_type:string,name:string,"
+    "text:array<string>>>>>>"
+)
+
+
+def extract_ipynb(
+    nbs: DataFrame, id_col: str = "doc_id", body_col: str = "body"
+) -> DataFrame:
+    """(doc_id, body JSON) → one row per cell:
+    (doc_id, language, nbformat, cell_index, cell_type, source,
+    execution_count, n_outputs, stdout).  Pure JVM."""
+    nb = F.from_json(F.col(body_col), IPYNB_SCHEMA)
+    e = nbs.select(
+        id_col,
+        nb["metadata"]["kernelspec"]["language"].alias("language"),
+        nb["nbformat"].cast("long").alias("nbformat"),
+        F.posexplode_outer(nb["cells"]).alias("cell_index", "cell"),
+    ).where(F.col("cell").isNotNull())
+    cell = F.col("cell")
+    streams = F.filter(
+        cell["outputs"], lambda o: o["output_type"] == F.lit("stream")
+    )
+    stdout = F.nullif(
+        F.array_join(F.flatten(
+            F.transform(streams, lambda o: o["text"])), ""),
+        F.lit(""),
+    )
+    return e.select(
+        id_col,
+        "language",
+        "nbformat",
+        F.col("cell_index").cast("long").alias("cell_index"),
+        cell["cell_type"].alias("cell_type"),
+        F.array_join(cell["source"], "").alias("source"),
+        cell["execution_count"].cast("long").alias("execution_count"),
+        F.size(cell["outputs"]).cast("long").alias("n_outputs"),
+        stdout.alias("stdout"),
+    )
+
+
+def _cell(cell_type, execution_count, source, outputs):
+    return F.struct(
+        cell_type.alias("cell_type"),
+        execution_count.alias("execution_count"),
+        source.alias("source"),
+        outputs.alias("outputs"),
+    )
+
+
+def docs_as_ipynb(docs: DataFrame) -> DataFrame:
+    """(doc_id, body): each document as a genuine nbformat-4 notebook —
+    a markdown title+intro cell, an executed code cell with a captured
+    stdout stream, an unexecuted comment cell, and (for doc_id%4==0) a
+    raw cell.  Built as a Spark struct and serialized with to_json, so
+    arbitrary corpus text is JSON-escaped symmetrically.  Every
+    extraction channel is closed-form in doc_id and the word-halves."""
+    norm = F.regexp_replace(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+    )
+    words = F.split(norm, " ")
+    k = F.floor((F.size(words) + F.lit(1)) / F.lit(2)).cast("int")
+    p1 = F.array_join(F.slice(words, 1, k), " ")
+    p2 = F.array_join(F.slice(words, k + F.lit(1), F.size(words) - k), " ")
+    did = F.col("doc_id")
+    ids = did.cast("string")
+
+    null_int = F.lit(None).cast("int")
+    null_outs = F.lit(None).cast(
+        "array<struct<output_type:string,name:string,text:array<string>>>"
+    )
+    stream_out = F.array(F.struct(
+        F.lit("stream").alias("output_type"),
+        F.lit("stdout").alias("name"),
+        F.array(F.concat(ids, F.lit("\n"))).alias("text"),
+    ))
+    empty_outs = F.slice(stream_out, 1, 0)
+
+    md = _cell(F.lit("markdown"), null_int,
+               F.array(F.concat(F.lit("# Title "), ids, F.lit("\n")), p1),
+               null_outs)
+    code1 = _cell(F.lit("code"), (did % 10 + 1).cast("int"),
+                  F.array(F.concat(F.lit("x = "), ids, F.lit("\n")),
+                          F.lit("print(x)")),
+                  stream_out)
+    code2 = _cell(F.lit("code"), null_int,
+                  F.array(F.concat(F.lit("# note: "), p2)),
+                  empty_outs)
+    raw = _cell(F.lit("raw"), null_int,
+                F.array(F.concat(F.lit("raw "), ids)), null_outs)
+
+    cells = F.when(
+        did % 4 == 0, F.array(md, code1, code2, raw)
+    ).otherwise(F.array(md, code1, code2))
+
+    nb = F.struct(
+        F.lit(4).alias("nbformat"),
+        F.lit(5).alias("nbformat_minor"),
+        F.struct(
+            F.struct(F.lit("python3").alias("name"),
+                     F.lit("python").alias("language")).alias("kernelspec"),
+            F.struct(F.lit("python").alias("name"),
+                     F.lit("3.11").alias("version")).alias("language_info"),
+        ).alias("metadata"),
+        cells.alias("cells"),
+    )
+    return docs.select("doc_id", F.to_json(nb).alias("body"))

@@ -1,0 +1,135 @@
+"""LaTeX extraction — arXiv-class corpora into training channels.
+
+Scientific-text corpora (RedPajama's arXiv slice, peS2o, proof-pile)
+are mined from LaTeX sources, split into the channels a pretraining
+mixture actually uses: title/abstract metadata, section structure,
+citation keys (the scholarly link graph), math extracted SEPARATELY
+(inline ``$…$`` counted, display environments lifted whole — math
+kept inline as markup is exactly what the published pipelines strip
+or channel), and de-markup'd plain text.
+
+Engine stance: pure-JVM ``regexp_extract(_all)`` / ``regexp_replace``
+chain — LaTeX in full is context-free (nested braces), but the
+corpus-mining slice (preamble strip, one-level command args, comment
+lines with the ``\\%`` escape guard, environment extraction) is flat,
+and flatness keeps it in whole-stage codegen: zero Python, zero
+shuffles, map-only at 100 TB.
+
+Strip pipeline, in the order that matters:
+1. comments: ``%`` to end-of-line, NOT when escaped ``\\%``
+   (negative lookbehind);
+2. display math lifted: ``\\begin{equation}…\\end{equation}``
+   captured then removed;
+3. abstract env: markers dropped, CONTENT kept in place;
+4. inline math: ``$…$`` counted then removed;
+5. citations: ``\\cite{…}`` keys collected then removed;
+6. structure: ``\\section{X}`` → ``X`` (name collected);
+7. one-arg text commands unwrap (``\\emph{x}`` → x), zero-arg
+   preamble tokens drop;
+8. escapes restore (``\\%`` → %, ``\\&`` → &, ``\\_`` → _);
+9. whitespace: per-line collapse/trim, blank lines drop.
+
+Reference note: LLM-data-pipeline extension (public arXiv-pipeline
+recipes); no counterpart in /root/reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EQ = r"(?s)\\begin\{equation\}\s*(.*?)\s*\\end\{equation\}"
+_CITE = r"\\cite\{([^}]*)\}"
+_SECTION = r"\\section\{([^}]*)\}"
+
+
+def latex_fields(body: Column) -> dict[str, Column]:
+    t = F.regexp_replace(body, r"(?m)(?<!\\)%.*$", "")
+    title = F.regexp_extract(t, r"\\title\{([^}]*)\}", 1)
+    abstract = F.trim(F.regexp_extract(
+        t, r"(?s)\\begin\{abstract\}\s*(.*?)\s*\\end\{abstract\}", 1))
+    display = F.regexp_extract_all(t, F.lit(_EQ), 1)
+    cites = F.flatten(F.transform(
+        F.regexp_extract_all(t, F.lit(_CITE), 1),
+        lambda g: F.split(g, ","),
+    ))
+    sections = F.regexp_extract_all(t, F.lit(_SECTION), 1)
+    inline = F.regexp_extract_all(t, F.lit(r"\$([^$]*)\$"), 1)
+
+    t = F.regexp_replace(t, _EQ, "")
+    t = F.regexp_replace(t, r"\\begin\{abstract\}|\\end\{abstract\}", "")
+    t = F.regexp_replace(t, r"\$[^$]*\$", "")
+    t = F.regexp_replace(t, _CITE, "")
+    t = F.regexp_replace(t, _SECTION, "$1")
+    t = F.regexp_replace(
+        t, r"\\(?:emph|textbf|textit|texttt)\{([^}]*)\}", "$1")
+    t = F.regexp_replace(t, r"\\title\{[^}]*\}", "")
+    t = F.regexp_replace(
+        t,
+        r"\\documentclass(?:\[[^\]]*\])?\{[^}]*\}|\\maketitle"
+        r"|\\begin\{document\}|\\end\{document\}",
+        "",
+    )
+    t = F.regexp_replace(t, r"\\([%&_#])", "$1")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r"(?m)^ +| +$", "")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    t = F.regexp_replace(t, r"^\n+|\n+$", "")
+    return {
+        "title": title,
+        "abstract": abstract,
+        "section_names": F.array_join(sections, ","),
+        "cite_keys": F.array_join(cites, ","),
+        "n_inline_math": F.size(inline).cast("long"),
+        "n_display_math": F.size(display).cast("long"),
+        "display_math": F.array_join(display, "\n"),
+        "plain_text": t,
+    }
+
+
+def extract_latex(
+    tex: DataFrame, id_col: str = "doc_id", body_col: str = "body"
+) -> DataFrame:
+    fields = latex_fields(F.col(body_col))
+    return tex.select(
+        id_col, *[c.alias(name) for name, c in fields.items()]
+    )
+
+
+def docs_as_latex(docs: DataFrame) -> DataFrame:
+    """(doc_id, body): each document as an article-class LaTeX source.
+    TeX-active characters are pre-cleaned from the embedded corpus
+    text (engine-symmetric), so every channel is closed-form: abstract
+    is the first word-half, the Intro section carries the second half
+    with a citation, inline math, and an \\emph unwrap, one equation
+    environment, a comment line that must vanish, and a ``50\\%%``
+    escape that must survive as ``50%%``."""
+    norm = F.regexp_replace(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+    )
+    clean = F.regexp_replace(norm, r"[\\$%{}&#^_~]", "")
+    words = F.split(clean, " ")
+    k = F.floor((F.size(words) + F.lit(1)) / F.lit(2)).cast("int")
+    p1 = F.array_join(F.slice(words, 1, k), " ")
+    p2 = F.array_join(F.slice(words, k + F.lit(1), F.size(words) - k), " ")
+    ids = F.col("doc_id").cast("string")
+    body = F.format_string(
+        "%% generated fixture %s\n"
+        "\\documentclass[11pt]{article}\n"
+        "\\title{Title %s}\n"
+        "\\begin{document}\n"
+        "\\maketitle\n"
+        "\\begin{abstract}\n"
+        "%s\n"
+        "\\end{abstract}\n"
+        "\\section{Intro}\n"
+        "%s cited \\cite{ref%s,other} with math $x^2 + %s$ and "
+        "\\emph{emphasis}. %% trailing comment\n"
+        "\\begin{equation}\n"
+        "E = mc^2 + %s\n"
+        "\\end{equation}\n"
+        "50\\%% done.\n"
+        "\\end{document}\n",
+        ids, ids, p1, p2, ids, ids, ids,
+    )
+    return docs.select("doc_id", body.alias("body"))

@@ -3104,3 +3104,183 @@ SELECT doc_id,
        total * 1000 // rate AS duration_ms
 FROM d
 """
+
+# --- Jupyter notebook extraction (round 9) ------------------------------------------
+
+def q_ipynb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter notebook extraction (round 9): per-cell channels of the
+    nbformat-4 JSON — type, joined source, execution count (the
+    executed-notebook quality signal), captured stdout (I/O training
+    pairs). Entirely JVM: from_json with an explicit schema, one
+    row-local posexplode, higher-order filter/transform/flatten for
+    the stream join; the WRITER serializes a Spark struct with
+    to_json, so JSON escaping of arbitrary corpus text is exercised
+    symmetrically (operators/ipynb.py). Zero Python, zero shuffles.
+
+    Closed-form: markdown title+p1 cell, executed x=N cell with an
+    N-newline stdout stream, unexecuted comment-p2 cell, and a raw
+    cell for doc_id%4==0.
+    """
+    from ..operators.ipynb import docs_as_ipynb, extract_ipynb
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_ipynb(docs_as_ipynb(docs)).select(
+        "doc_id", "language", "nbformat", "cell_index", "cell_type",
+        "source", "execution_count", "n_outputs", "stdout",
+    )
+
+
+ORACLE_IPYNB_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+           ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM d
+), p AS (
+  SELECT doc_id,
+         array_to_string(w[1:k], ' ') AS p1,
+         array_to_string(w[k+1:n], ' ') AS p2
+  FROM s
+)
+SELECT doc_id, 'python' AS language, CAST(4 AS BIGINT) AS nbformat,
+       CAST(0 AS BIGINT) AS cell_index, 'markdown' AS cell_type,
+       '# Title ' || doc_id || chr(10) || p1 AS source,
+       CAST(NULL AS BIGINT) AS execution_count,
+       CAST(NULL AS BIGINT) AS n_outputs,
+       CAST(NULL AS VARCHAR) AS stdout
+FROM p
+UNION ALL
+SELECT doc_id, 'python', 4, 1, 'code',
+       'x = ' || doc_id || chr(10) || 'print(x)',
+       doc_id % 10 + 1, 1, doc_id || chr(10)
+FROM p
+UNION ALL
+SELECT doc_id, 'python', 4, 2, 'code', '# note: ' || p2,
+       NULL, 0, NULL
+FROM p
+UNION ALL
+SELECT doc_id, 'python', 4, 3, 'raw', 'raw ' || doc_id,
+       NULL, NULL, NULL
+FROM p WHERE doc_id % 4 = 0
+"""
+
+# --- Unified-diff parsing (round 9) -------------------------------------------------
+
+def q_udiff_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified-diff parsing (round 9): the CommitPack stage — git
+    diffs into per-hunk rows (file path, header ranges with the
+    omitted-',1' default, section heading, added/removed line blocks),
+    the (old↔new) / (message↔diff) training-pair substrate. Entirely
+    JVM: line-anchored lookahead splits keep each hunk header with its
+    body, posexplode per file and per hunk, higher-order filter/
+    transform for the +/- channels (operators/udiff.py). Zero Python,
+    zero shuffles.
+
+    Closed-form: two hunks on a source file (the second with omitted
+    counts and a section heading), plus a README file for doc_id%3==0.
+    """
+    from ..operators.udiff import docs_as_udiff, parse_udiff
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_udiff(docs_as_udiff(docs)).select(
+        "doc_id", "file_index", "file_path", "hunk_index", "old_start",
+        "old_count", "new_start", "new_count", "section", "n_added",
+        "n_removed", "added_text", "removed_text",
+    )
+
+
+ORACLE_UDIFF_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+           ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM d
+), p AS (
+  SELECT doc_id,
+         array_to_string(w[1:k], ' ') AS p1,
+         array_to_string(w[k+1:n], ' ') AS p2
+  FROM s
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS file_index,
+       'src/m_' || doc_id || '.py' AS file_path,
+       CAST(0 AS BIGINT) AS hunk_index,
+       CAST(1 AS BIGINT) AS old_start, CAST(2 AS BIGINT) AS old_count,
+       CAST(1 AS BIGINT) AS new_start, CAST(3 AS BIGINT) AS new_count,
+       '' AS section, CAST(2 AS BIGINT) AS n_added,
+       CAST(1 AS BIGINT) AS n_removed,
+       'new_value = ' || doc_id || chr(10) || '# ' || p1 AS added_text,
+       'old_value = 0' AS removed_text
+FROM p
+UNION ALL
+SELECT doc_id, 0, 'src/m_' || doc_id || '.py', 1,
+       10, 1, 11, 1, 'def f():', 1, 1,
+       '# new ' || p2, '# old ' || p2
+FROM p
+UNION ALL
+SELECT doc_id, 1, 'README.md', 0,
+       1, 1, 1, 2, '', 1, 0,
+       'Updated by ' || doc_id, ''
+FROM p WHERE doc_id % 3 = 0
+"""
+
+# --- LaTeX extraction (round 9) -----------------------------------------------------
+
+def q_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX extraction (round 9): the arXiv-corpus stage — title/
+    abstract metadata, section structure, citation keys, inline math
+    counted and display math lifted whole, and de-markup'd plain text
+    with the \\%%-escape guard (a comment stripper without the
+    lookbehind corrupts every percentage in the corpus). Pure JVM
+    regexp chain — zero Python, zero shuffles (operators/latex.py).
+
+    Closed-form: TeX-active characters pre-cleaned from the embedded
+    corpus text (engine-symmetric), abstract = first word-half, Intro
+    section = second half with citation/inline-math/emph traps.
+    """
+    from ..operators.latex import docs_as_latex, extract_latex
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_latex(docs_as_latex(docs)).select(
+        "doc_id", "title", "abstract", "section_names", "cite_keys",
+        "n_inline_math", "n_display_math", "display_math", "plain_text",
+    )
+
+
+ORACLE_LATEX_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(
+             regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+             '[\\$%{}&#^_~]', '', 'g'),
+           ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM d
+), p AS (
+  SELECT doc_id,
+         array_to_string(w[1:k], ' ') AS p1,
+         array_to_string(w[k+1:n], ' ') AS p2
+  FROM s
+)
+SELECT doc_id,
+       'Title ' || doc_id AS title,
+       p1 AS abstract,
+       'Intro' AS section_names,
+       'ref' || doc_id || ',other' AS cite_keys,
+       CAST(1 AS BIGINT) AS n_inline_math,
+       CAST(1 AS BIGINT) AS n_display_math,
+       'E = mc^2 + ' || doc_id AS display_math,
+       CASE WHEN p1 = '' THEN '' ELSE p1 || chr(10) END ||
+       'Intro' || chr(10) ||
+       trim(regexp_replace(
+         p2 || ' cited with math and emphasis.', ' +', ' ', 'g')) ||
+       chr(10) || '50% done.' AS plain_text
+FROM p
+"""

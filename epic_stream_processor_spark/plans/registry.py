@@ -1090,6 +1090,29 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "packet), id+comment header parse, EOS-granule duration — "
         "row-local Arrow, closed-form oracle",
     ),
+    "ipynb_extract": QueryDef(
+        corpus.q_ipynb_extract, corpus.ORACLE_IPYNB_EXTRACT,
+        "Jupyter notebook extraction (round 9, nbformat 4): per-cell "
+        "type/source/execution-count/stdout channels via from_json + "
+        "posexplode + higher-order stream join — pure JVM both ways "
+        "(writer is to_json over a struct, escaping symmetric); "
+        "closed-form oracle",
+    ),
+    "udiff_extract": QueryDef(
+        corpus.q_udiff_extract, corpus.ORACLE_UDIFF_EXTRACT,
+        "unified-diff parsing (round 9, CommitPack stage): per-hunk "
+        "file/range/section/+−channels via line-anchored lookahead "
+        "splits + posexplode + higher-order filters, omitted-count "
+        "default handled — pure JVM; closed-form oracle",
+    ),
+    "latex_extract": QueryDef(
+        corpus.q_latex_extract, corpus.ORACLE_LATEX_EXTRACT,
+        "LaTeX extraction (round 9, arXiv-corpus stage): title/"
+        "abstract/sections/citation-keys channels, inline math "
+        "counted, display math lifted whole, comment strip with the "
+        "\\%-escape lookbehind guard — pure JVM regexp chain; "
+        "closed-form oracle",
+    ),
 }
 
 

@@ -1,0 +1,92 @@
+"""Jupyter notebook extraction: foreign notebooks and hostile JSON.
+
+The oracle query (ipynb_extract) pins the fixture round trip; THIS
+file parses notebook JSON the fixture writer never emits — string
+(non-array) source fields are out of schema-scope (documented), but
+real-world shapes like empty cells arrays, missing metadata, extra
+keys, multiple stream outputs, and malformed JSON must degrade to
+NULLs or zero rows, never crash."""
+
+from __future__ import annotations
+
+import json
+
+from epic_stream_processor_spark.operators.ipynb import (
+    docs_as_ipynb,
+    extract_ipynb,
+)
+
+
+def _extract(spark, body: str):
+    df = spark.createDataFrame([(1, body)], "doc_id long, body string")
+    return extract_ipynb(df).orderBy("cell_index").collect()
+
+
+class TestForeignNotebooks:
+    def test_handwritten_notebook(self, spark):
+        nb = {
+            "nbformat": 4, "nbformat_minor": 2,
+            "metadata": {"kernelspec": {"name": "ir", "language": "R"}},
+            "cells": [
+                {"cell_type": "code", "execution_count": 7,
+                 "source": ["a <- 1\n", "a"],
+                 "outputs": [
+                     {"output_type": "stream", "name": "stdout",
+                      "text": ["line1\n", "line2\n"]},
+                     {"output_type": "execute_result"},
+                     {"output_type": "stream", "name": "stderr",
+                      "text": ["warn\n"]},
+                 ],
+                 "extra_key": "ignored"},
+            ],
+        }
+        rows = _extract(spark, json.dumps(nb))
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["language"] == "R"
+        assert r["source"] == "a <- 1\na"
+        assert r["execution_count"] == 7
+        assert r["n_outputs"] == 3
+        # both stream outputs concatenate, execute_result contributes none
+        assert r["stdout"] == "line1\nline2\nwarn\n"
+
+    def test_empty_cells_array_yields_no_rows(self, spark):
+        nb = {"nbformat": 4, "metadata": {}, "cells": []}
+        assert _extract(spark, json.dumps(nb)) == []
+
+    def test_missing_metadata_is_null_language(self, spark):
+        nb = {"nbformat": 4,
+              "cells": [{"cell_type": "markdown", "source": ["hi"]}]}
+        rows = _extract(spark, json.dumps(nb))
+        assert rows[0]["language"] is None
+        assert rows[0]["source"] == "hi"
+
+    def test_malformed_json_yields_no_rows(self, spark):
+        assert _extract(spark, "{not json at all") == []
+        assert _extract(spark, "") == []
+
+    def test_json_but_not_a_notebook(self, spark):
+        assert _extract(spark, '{"a": [1,2,3]}') == []
+
+
+class TestFixture:
+    def test_raw_cell_only_for_mod4(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "s", "en", "w1 w2 w3 w4") for i in range(8)],
+            "doc_id long, source string, lang string, text string",
+        )
+        rows = extract_ipynb(docs_as_ipynb(docs)).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i in range(8):
+            assert len(by_doc[i]) == (4 if i % 4 == 0 else 3)
+
+    def test_plan_is_pure_jvm(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "s", "en", "t")],
+            "doc_id long, source string, lang string, text string",
+        )
+        plan = extract_ipynb(docs_as_ipynb(docs))\
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan

@@ -1,0 +1,70 @@
+"""LaTeX extraction: strip-pipeline semantics on foreign sources.
+
+The oracle query (latex_extract) pins the fixture round trip; THIS
+file covers LaTeX the fixture never emits — multiple sections and
+equations, escaped percents mid-line, multi-key cites, nested text
+commands (documented one-level scope), and garbage."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.latex import extract_latex
+
+
+def _extract(spark, body: str) -> dict:
+    df = spark.createDataFrame([(1, body)], "doc_id long, body string")
+    return extract_latex(df).collect()[0].asDict()
+
+
+class TestChannels:
+    def test_escaped_percent_survives_comment_strip(self, spark):
+        body = "growth was 12\\% this year % but this is a comment\n"
+        row = _extract(spark, body)
+        assert row["plain_text"] == "growth was 12% this year"
+
+    def test_multiple_sections_and_equations(self, spark):
+        body = (
+            "\\section{One}\nalpha\n"
+            "\\begin{equation}\na = 1\n\\end{equation}\n"
+            "\\section{Two}\nbeta\n"
+            "\\begin{equation}\nb = 2\n\\end{equation}\n"
+        )
+        row = _extract(spark, body)
+        assert row["section_names"] == "One,Two"
+        assert row["n_display_math"] == 2
+        assert row["display_math"] == "a = 1\nb = 2"
+        assert row["plain_text"] == "One\nalpha\nTwo\nbeta"
+
+    def test_multi_key_cites_flatten(self, spark):
+        body = "see \\cite{a,b} and \\cite{c}\n"
+        row = _extract(spark, body)
+        assert row["cite_keys"] == "a,b,c"
+        assert row["plain_text"] == "see and"
+
+    def test_inline_math_counted_and_removed(self, spark):
+        body = "let $x$ and $y = 2$ hold\n"
+        row = _extract(spark, body)
+        assert row["n_inline_math"] == 2
+        assert row["plain_text"] == "let and hold"
+
+    def test_text_commands_unwrap(self, spark):
+        body = "\\emph{one} \\textbf{two} \\texttt{three}\n"
+        assert _extract(spark, body)["plain_text"] == "one two three"
+
+    def test_abstract_kept_in_place(self, spark):
+        body = ("before\n\\begin{abstract}\nthe abstract\n"
+                "\\end{abstract}\nafter\n")
+        row = _extract(spark, body)
+        assert row["abstract"] == "the abstract"
+        assert row["plain_text"] == "before\nthe abstract\nafter"
+
+    def test_garbage_degrades(self, spark):
+        row = _extract(spark, "just plain prose, no tex")
+        assert row["title"] == ""
+        assert row["n_display_math"] == 0
+        assert row["plain_text"] == "just plain prose, no tex"
+
+    def test_plan_is_pure_jvm(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, body string")
+        plan = extract_latex(df)._jdf.queryExecution()\
+            .executedPlan().toString()
+        assert "EvalPython" not in plan

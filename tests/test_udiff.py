@@ -1,0 +1,98 @@
+"""Unified-diff parsing: real git output shapes and hostile input.
+
+The oracle query (udiff_extract) pins the fixture round trip; THIS
+file parses diffs the fixture writer never emits — new/deleted files,
+no-newline markers, +/- characters leading CONTENT lines, multi-digit
+ranges — and pins zero-row degradation on garbage."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.udiff import parse_udiff
+
+
+def _parse(spark, body: str):
+    df = spark.createDataFrame([(1, body)], "doc_id long, body string")
+    return parse_udiff(df).orderBy("file_index", "hunk_index").collect()
+
+
+class TestRealGitShapes:
+    def test_new_file_diff(self, spark):
+        body = (
+            "diff --git a/new.txt b/new.txt\n"
+            "new file mode 100644\n"
+            "index 0000000..e69de29\n"
+            "--- /dev/null\n"
+            "+++ b/new.txt\n"
+            "@@ -0,0 +1,2 @@\n"
+            "+first\n"
+            "+second\n"
+        )
+        rows = _parse(spark, body)
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["file_path"] == "new.txt"
+        assert (r["old_start"], r["old_count"]) == (0, 0)
+        assert (r["new_start"], r["new_count"]) == (1, 2)
+        assert r["added_text"] == "first\nsecond"
+        assert r["removed_text"] == ""
+
+    def test_no_newline_marker_not_a_channel_line(self, spark):
+        body = (
+            "diff --git a/x b/x\n"
+            "--- a/x\n"
+            "+++ b/x\n"
+            "@@ -1 +1 @@\n"
+            "-old\n"
+            "+new\n"
+            "\\ No newline at end of file\n"
+        )
+        r = _parse(spark, body)[0]
+        assert r["n_added"] == 1 and r["n_removed"] == 1
+        assert r["added_text"] == "new"
+
+    def test_content_lines_starting_with_plusminus(self, spark):
+        # a context line whose CONTENT begins with '+' must not count
+        body = (
+            "diff --git a/x b/x\n"
+            "--- a/x\n"
+            "+++ b/x\n"
+            "@@ -1,3 +1,3 @@\n"
+            " +not added (context)\n"
+            "-+removed line starting with plus\n"
+            "++added line starting with plus\n"
+        )
+        r = _parse(spark, body)[0]
+        assert r["n_added"] == 1 and r["n_removed"] == 1
+        assert r["added_text"] == "+added line starting with plus"
+        assert r["removed_text"] == "+removed line starting with plus"
+
+    def test_multi_digit_ranges_and_section(self, spark):
+        body = (
+            "diff --git a/big.c b/big.c\n"
+            "--- a/big.c\n"
+            "+++ b/big.c\n"
+            "@@ -1024,17 +2048,33 @@ static int frobnicate(void)\n"
+            " ctx\n"
+        )
+        r = _parse(spark, body)[0]
+        assert (r["old_start"], r["old_count"]) == (1024, 17)
+        assert (r["new_start"], r["new_count"]) == (2048, 33)
+        assert r["section"] == "static int frobnicate(void)"
+
+    def test_three_files_indexed(self, spark):
+        one = ("diff --git a/f%d b/f%d\n--- a/f%d\n+++ b/f%d\n"
+               "@@ -1 +1 @@\n-a\n+b\n")
+        body = "".join(one.replace("%d", str(i)) for i in range(3))
+        rows = _parse(spark, body)
+        assert [r["file_index"] for r in rows] == [0, 1, 2]
+        assert [r["file_path"] for r in rows] == ["f0", "f1", "f2"]
+
+
+class TestHostileInput:
+    def test_garbage_yields_zero_rows(self, spark):
+        assert _parse(spark, "not a diff\nat all\n") == []
+        assert _parse(spark, "") == []
+
+    def test_header_without_hunks(self, spark):
+        body = "diff --git a/x b/x\nindex 1..2\nBinary files differ\n"
+        assert _parse(spark, body) == []
