@@ -120,10 +120,6 @@ QUERIES: dict[str, QueryDef] = {
     # corpus_sample_split — 3-5 green rows each, shapes indirectly still
     # driver-proven: windows via q_sessionize, LSH pairs consumed inside
     # dedup_clusters) keep identical local rigor in EXTRA_PARITY ---
-    "boilerplate_ngrams": QueryDef(
-        llm.q_boilerplate_ngrams, llm.ORACLE_BOILERPLATE_NGRAMS,
-        "per-doc boilerplate n-gram load (corpus df >= 1%), C4/CCNet-style",
-    ),
     # --- rotated in from EXTRA_PARITY (round 7): the eight round-6
     # operators earn their first driver rows (VERDICT r6 next #2). The
     # eight displaced queries (multimodal_decode, resize_media,
@@ -136,31 +132,11 @@ QUERIES: dict[str, QueryDef] = {
     # integer-Lloyd via pq_encode (the same arithmetic per subspace),
     # regex scrubbing via html_extract, row-local token windows via
     # pack_sequences ---
-    "jpeg_decode": QueryDef(
-        llm.q_jpeg_decode, llm.ORACLE_JPEG_DECODE,
-        "REAL lossy-image decode: baseline JPEG encode (DCT + quantize "
-        "+ Huffman scan) and a general marker/DHT/entropy/IDCT decoder; "
-        "DC-only fixture blocks make the lossy round trip closed-form "
-        "oracle-exact (odd quant + 2^-20 rounding snap)",
-    ),
     "mjpeg_frames": QueryDef(
         llm.q_mjpeg_frames, llm.ORACLE_MJPEG_FRAMES,
         "REAL video-frame decode, codecs chained: MJPEG AVI container "
         "walk ('MJPG' stream, RIFF padding) -> even frame sampling -> "
         "full baseline-JPEG decode of every sampled frame",
-    ),
-    "warc_roundtrip": QueryDef(
-        corpus.q_warc_roundtrip, corpus.ORACLE_WARC_ROUNDTRIP,
-        "REAL WARC/1.0 container round trip (ISO 28500, the Common Crawl "
-        "ingest format): expression-built response records -> group-writer "
-        "file images -> stream parser; byte offsets window-derived by the "
-        "oracle pin the framing exactly",
-    ),
-    "html_extract": QueryDef(
-        corpus.q_html_extract, corpus.ORACLE_HTML_EXTRACT,
-        "HTML -> text extraction (the C4 boilerplate stage after WARC): "
-        "script/style/comment removal, tag strip, entity decode, "
-        "whitespace normalize — pure JVM regexp chain, closed-form oracle",
     ),
     "bigram_nll": QueryDef(
         llm.q_bigram_nll, llm.ORACLE_BIGRAM_NLL,
@@ -175,43 +151,16 @@ QUERIES: dict[str, QueryDef] = {
         "gram-keyed shuffle, equi-join marking, gaps-and-islands span "
         "merge — per-doc integer summary", bench=True,
     ),
-    "dedup_substring_removed": QueryDef(
-        llm.q_dedup_substring_removed, llm.ORACLE_DEDUP_SUBSTRING_REMOVED,
-        "the removal pass: duplicated spans cut from the text (row-local "
-        "indexed token filter after a doc-keyed span join) — rewritten "
-        "text + exact removal counts",
-    ),
-    "pq_encode": QueryDef(
-        llm.q_pq_encode, llm.ORACLE_PQ_ENCODE,
-        "product quantization (Jegou TPAMI'11): per-subspace integer-"
-        "Lloyd codebooks + row-local nearest-code encode with exact "
-        "integer distortion — the 64x-compression big-ANN memory layout",
-    ),
     # --- rotated IN round 7b: the round-7 in-session operators get
     # first driver rows; the displaced TPC-H extras (4+ green rows
     # each) and brute-force knn_cosine (IVF twin stays) keep identical
     # local rigor in EXTRA_PARITY ---
-    "dedup_sentences": QueryDef(
-        llm.q_dedup_sentences, llm.ORACLE_DEDUP_SENTENCES,
-        "C4/RefinedWeb sentence-level corpus dedup (round 7): corpus-"
-        "global first occurrence survives, docs reassembled in order; "
-        "min-agg formulation (map-side partials, no hot-sentence window "
-        "partitions) — one sentence-keyed + one doc-keyed shuffle",
-        bench=True,
-    ),
     "dedup_incremental": QueryDef(
         llm.q_dedup_incremental, llm.ORACLE_DEDUP_INCREMENTAL,
         "incremental corpus-append gate (round 7): new batch vs "
         "persisted history via distinct exact-hash + LSH band-key "
         "probes — per-append cost scales with the batch, the history "
         "is never re-paired with itself",
-    ),
-    "image_ahash": QueryDef(
-        llm.q_image_ahash, llm.ORACLE_IMAGE_AHASH,
-        "perceptual average hash over REAL decoded BMP pixels (round 7): "
-        "8x8 grid luminance bits in exact integer arithmetic (cross-"
-        "multiplied means, no float division), 64-bit hex fingerprint — "
-        "row-local Arrow pass, pixels never shuffle",
     ),
     "image_near_dup": QueryDef(
         llm.q_image_near_dup, llm.ORACLE_IMAGE_NEAR_DUP,
@@ -405,6 +354,72 @@ QUERIES: dict[str, QueryDef] = {
         "Gopher quality composed by precedence into one 'why was my "
         "document dropped' ledger; the oracle embeds the component "
         "oracles verbatim so the composition cannot drift",
+    ),
+    # --- rotated in from EXTRA_PARITY (round 9, this session): the
+    # eight new-format/code-corpus operators earn their first driver
+    # rows; the eight displaced queries (multi-round green, families
+    # still represented) keep identical local rigor in EXTRA_PARITY ---
+    "mp4_triage": QueryDef(
+        corpus.q_mp4_triage, corpus.ORACLE_MP4_TRIAGE,
+        "MP4/ISO-BMFF triage (round 9, ISO 14496-12): box-tree walk "
+        "recovering per-track codec/duration/geometry without frame "
+        "decode — mdat-before-moov layout, 64-bit largesize, mvhd v0/"
+        "v1, packed ISO-639 language, real avc1/mp4a sample entries, "
+        "stts sample counts; row-local Arrow, closed-form oracle",
+    ),
+    "rtf_extract": QueryDef(
+        corpus.q_rtf_extract, corpus.ORACLE_RTF_EXTRACT,
+        "RTF extraction (round 9, RTF 1.9.1): stateful group/control-"
+        "word tokenizer (destination drops incl. info-title leak, "
+        "group-scoped \\ucN, \\uN fallback skips, cp1252 \\'hh, "
+        "\\bin) — the non-XML member of the office family; row-local "
+        "Arrow, closed-form word-halves oracle",
+    ),
+    "code_scan": QueryDef(
+        corpus.q_code_scan, corpus.ORACLE_CODE_SCAN,
+        "code-corpus curation (round 9, Stack/StarCoder recipe): JVM "
+        "SPDX/phrase license detection + high-precision secret "
+        "counting on raw source, then string-literal-aware comment "
+        "stripping (state machine; fixture plants comment syntax "
+        "inside strings and text inside comments); one Arrow pass",
+    ),
+    "markdown_extract": QueryDef(
+        corpus.q_markdown_extract, corpus.ORACLE_MARKDOWN_EXTRACT,
+        "markdown extraction (round 9, CommonMark flat slice): plain "
+        "text + link edge list + fenced code with language tags, "
+        "image-before-link ordering, line-start-only markers — pure "
+        "JVM regexp chain, zero Python; closed-form oracle",
+    ),
+    "ogg_triage": QueryDef(
+        corpus.q_ogg_triage, corpus.ORACLE_OGG_TRIAGE,
+        "Ogg/Vorbis triage (round 9, RFC 3533 + Vorbis I): page walk "
+        "with the unreflected Ogg CRC-32, cross-page packet "
+        "reassembly via lacing (fixture forces a spanning comment "
+        "packet), id+comment header parse, EOS-granule duration — "
+        "row-local Arrow, closed-form oracle",
+    ),
+    "ipynb_extract": QueryDef(
+        corpus.q_ipynb_extract, corpus.ORACLE_IPYNB_EXTRACT,
+        "Jupyter notebook extraction (round 9, nbformat 4): per-cell "
+        "type/source/execution-count/stdout channels via from_json + "
+        "posexplode + higher-order stream join — pure JVM both ways "
+        "(writer is to_json over a struct, escaping symmetric); "
+        "closed-form oracle",
+    ),
+    "udiff_extract": QueryDef(
+        corpus.q_udiff_extract, corpus.ORACLE_UDIFF_EXTRACT,
+        "unified-diff parsing (round 9, CommitPack stage): per-hunk "
+        "file/range/section/+−channels via line-anchored lookahead "
+        "splits + posexplode + higher-order filters, omitted-count "
+        "default handled — pure JVM; closed-form oracle",
+    ),
+    "latex_extract": QueryDef(
+        corpus.q_latex_extract, corpus.ORACLE_LATEX_EXTRACT,
+        "LaTeX extraction (round 9, arXiv-corpus stage): title/"
+        "abstract/sections/citation-keys channels, inline math "
+        "counted, display math lifted whole, comment strip with the "
+        "\\%-escape lookbehind guard — pure JVM regexp chain; "
+        "closed-form oracle",
     ),
 }
 
@@ -1051,67 +1066,58 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "shuffle order, collision-proof within-shard order key, per-"
         "shard doc/token counts + ordering-pinned head doc",
     ),
-    "mp4_triage": QueryDef(
-        corpus.q_mp4_triage, corpus.ORACLE_MP4_TRIAGE,
-        "MP4/ISO-BMFF triage (round 9, ISO 14496-12): box-tree walk "
-        "recovering per-track codec/duration/geometry without frame "
-        "decode — mdat-before-moov layout, 64-bit largesize, mvhd v0/"
-        "v1, packed ISO-639 language, real avc1/mp4a sample entries, "
-        "stts sample counts; row-local Arrow, closed-form oracle",
+    # --- rotated OUT of the driver roster round 9 (this session) after
+    # multi-round green driver rows; identical oracle gate here ---
+    "boilerplate_ngrams": QueryDef(
+        llm.q_boilerplate_ngrams, llm.ORACLE_BOILERPLATE_NGRAMS,
+        "per-doc boilerplate n-gram load (corpus df >= 1%), C4/CCNet-style",
     ),
-    "rtf_extract": QueryDef(
-        corpus.q_rtf_extract, corpus.ORACLE_RTF_EXTRACT,
-        "RTF extraction (round 9, RTF 1.9.1): stateful group/control-"
-        "word tokenizer (destination drops incl. info-title leak, "
-        "group-scoped \\ucN, \\uN fallback skips, cp1252 \\'hh, "
-        "\\bin) — the non-XML member of the office family; row-local "
-        "Arrow, closed-form word-halves oracle",
+    "jpeg_decode": QueryDef(
+        llm.q_jpeg_decode, llm.ORACLE_JPEG_DECODE,
+        "REAL lossy-image decode: baseline JPEG encode (DCT + quantize "
+        "+ Huffman scan) and a general marker/DHT/entropy/IDCT decoder; "
+        "DC-only fixture blocks make the lossy round trip closed-form "
+        "oracle-exact (odd quant + 2^-20 rounding snap)",
     ),
-    "code_scan": QueryDef(
-        corpus.q_code_scan, corpus.ORACLE_CODE_SCAN,
-        "code-corpus curation (round 9, Stack/StarCoder recipe): JVM "
-        "SPDX/phrase license detection + high-precision secret "
-        "counting on raw source, then string-literal-aware comment "
-        "stripping (state machine; fixture plants comment syntax "
-        "inside strings and text inside comments); one Arrow pass",
+    "warc_roundtrip": QueryDef(
+        corpus.q_warc_roundtrip, corpus.ORACLE_WARC_ROUNDTRIP,
+        "REAL WARC/1.0 container round trip (ISO 28500, the Common Crawl "
+        "ingest format): expression-built response records -> group-writer "
+        "file images -> stream parser; byte offsets window-derived by the "
+        "oracle pin the framing exactly",
     ),
-    "markdown_extract": QueryDef(
-        corpus.q_markdown_extract, corpus.ORACLE_MARKDOWN_EXTRACT,
-        "markdown extraction (round 9, CommonMark flat slice): plain "
-        "text + link edge list + fenced code with language tags, "
-        "image-before-link ordering, line-start-only markers — pure "
-        "JVM regexp chain, zero Python; closed-form oracle",
+    "html_extract": QueryDef(
+        corpus.q_html_extract, corpus.ORACLE_HTML_EXTRACT,
+        "HTML -> text extraction (the C4 boilerplate stage after WARC): "
+        "script/style/comment removal, tag strip, entity decode, "
+        "whitespace normalize — pure JVM regexp chain, closed-form oracle",
     ),
-    "ogg_triage": QueryDef(
-        corpus.q_ogg_triage, corpus.ORACLE_OGG_TRIAGE,
-        "Ogg/Vorbis triage (round 9, RFC 3533 + Vorbis I): page walk "
-        "with the unreflected Ogg CRC-32, cross-page packet "
-        "reassembly via lacing (fixture forces a spanning comment "
-        "packet), id+comment header parse, EOS-granule duration — "
-        "row-local Arrow, closed-form oracle",
+    "dedup_substring_removed": QueryDef(
+        llm.q_dedup_substring_removed, llm.ORACLE_DEDUP_SUBSTRING_REMOVED,
+        "the removal pass: duplicated spans cut from the text (row-local "
+        "indexed token filter after a doc-keyed span join) — rewritten "
+        "text + exact removal counts",
     ),
-    "ipynb_extract": QueryDef(
-        corpus.q_ipynb_extract, corpus.ORACLE_IPYNB_EXTRACT,
-        "Jupyter notebook extraction (round 9, nbformat 4): per-cell "
-        "type/source/execution-count/stdout channels via from_json + "
-        "posexplode + higher-order stream join — pure JVM both ways "
-        "(writer is to_json over a struct, escaping symmetric); "
-        "closed-form oracle",
+    "pq_encode": QueryDef(
+        llm.q_pq_encode, llm.ORACLE_PQ_ENCODE,
+        "product quantization (Jegou TPAMI'11): per-subspace integer-"
+        "Lloyd codebooks + row-local nearest-code encode with exact "
+        "integer distortion — the 64x-compression big-ANN memory layout",
     ),
-    "udiff_extract": QueryDef(
-        corpus.q_udiff_extract, corpus.ORACLE_UDIFF_EXTRACT,
-        "unified-diff parsing (round 9, CommitPack stage): per-hunk "
-        "file/range/section/+−channels via line-anchored lookahead "
-        "splits + posexplode + higher-order filters, omitted-count "
-        "default handled — pure JVM; closed-form oracle",
+    "dedup_sentences": QueryDef(
+        llm.q_dedup_sentences, llm.ORACLE_DEDUP_SENTENCES,
+        "C4/RefinedWeb sentence-level corpus dedup (round 7): corpus-"
+        "global first occurrence survives, docs reassembled in order; "
+        "min-agg formulation (map-side partials, no hot-sentence window "
+        "partitions) — one sentence-keyed + one doc-keyed shuffle",
+        bench=True,
     ),
-    "latex_extract": QueryDef(
-        corpus.q_latex_extract, corpus.ORACLE_LATEX_EXTRACT,
-        "LaTeX extraction (round 9, arXiv-corpus stage): title/"
-        "abstract/sections/citation-keys channels, inline math "
-        "counted, display math lifted whole, comment strip with the "
-        "\\%-escape lookbehind guard — pure JVM regexp chain; "
-        "closed-form oracle",
+    "image_ahash": QueryDef(
+        llm.q_image_ahash, llm.ORACLE_IMAGE_AHASH,
+        "perceptual average hash over REAL decoded BMP pixels (round 7): "
+        "8x8 grid luminance bits in exact integer arithmetic (cross-"
+        "multiplied means, no float division), 64-bit hex fingerprint — "
+        "row-local Arrow pass, pixels never shuffle",
     ),
 }
 
