@@ -1,0 +1,157 @@
+"""CSV dialect sniffing — shape inference for delimited text blobs.
+
+Crawled "CSV" is never one format: comma, semicolon (the European
+Excel default), tab, and pipe dialects arrive mixed, with no schema
+and lying file extensions.  The ingest stage every tabular-corpus
+pipeline runs first is a SNIFFER (python's ``csv.Sniffer`` is the
+canonical single-node version): elect the delimiter whose per-line
+count is CONSISTENT and non-zero, quote-aware — a quoted field
+containing the delimiter must not break the vote — then read the
+shape (columns, rows, header presence) so the file can be routed to a
+real reader with the right dialect.
+
+Engine stance: pure JVM.  Quoted regions are collapsed FIRST
+(``"[^"]*"`` → sentinel), then each candidate delimiter's per-line
+counts come from ``transform(lines, …)`` + ``array_distinct`` — a
+candidate wins iff all lines agree on a non-zero count, preference
+order comma/semicolon/tab/pipe breaking ties.  Zero Python, zero
+shuffles; map-only at 100 TB.  (Full RFC 4180 — escaped quotes,
+embedded newlines — is documented out of sniffing scope: the sniffer
+routes bytes, the elected reader handles the corner grammar.)
+
+Reference note: LLM-data-pipeline extension (csv.Sniffer semantics,
+public); feeds `tabletypes.infer_table_types` downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_CANDIDATES = [(",", "comma"), (";", "semicolon"),
+               ("\t", "tab"), ("|", "pipe")]
+
+
+def _consistent_count(lines: Column, delim: str) -> Column:
+    """Per-line delimiter count if consistent and non-zero, else NULL.
+    Counting runs over quote-collapsed lines."""
+    import re as _re
+    pat = _re.escape(delim)
+    counts = F.transform(
+        lines, lambda l: F.size(F.split(l, pat, -1)) - 1
+    )
+    first = F.element_at(counts, 1)
+    ok = (F.size(F.array_distinct(counts)) == 1) & (first > 0)
+    return F.when(ok, first)
+
+
+def sniff_csv(
+    blobs: DataFrame, id_col: str = "doc_id", body_col: str = "body"
+) -> DataFrame:
+    """(doc_id, body) → (doc_id, delimiter, n_cols, n_rows,
+    has_header, header_names, first_cell).  Pure JVM."""
+    raw_lines = F.filter(
+        F.split(F.regexp_replace(F.col(body_col), r"\r\n?", "\n"), r"\n"),
+        lambda l: l != "",
+    )
+    # quote-aware counting: collapse quoted regions before voting
+    q_lines = F.transform(
+        raw_lines, lambda l: F.regexp_replace(l, r'"[^"]*"', "Q")
+    )
+    counts = {name: _consistent_count(q_lines, d)
+              for d, name in _CANDIDATES}
+    delim_name = F.coalesce(
+        *[F.when(counts[name].isNotNull(), F.lit(name))
+          for _, name in _CANDIDATES]
+    )
+    n_cols = F.coalesce(
+        *[F.when(counts[name].isNotNull(), counts[name] + 1)
+          for _, name in _CANDIDATES]
+    ).cast("long")
+    d_char = F.coalesce(
+        *[F.when(counts[name].isNotNull(), F.lit(d))
+          for d, name in _CANDIDATES]
+    )
+    df = blobs.select(
+        id_col,
+        raw_lines.alias("_lines"),
+        delim_name.alias("delimiter"),
+        n_cols.alias("n_cols"),
+        d_char.alias("_d"),
+    )
+    lines = F.col("_lines")
+    hdr = F.element_at(lines, 1)
+    hdr_q = F.regexp_replace(hdr, r'"[^"]*"', "Q")
+    row1 = F.element_at(lines, 2)
+    # header heuristic: no cell of line 1 is numeric, some cell of
+    # line 2 is (the csv.Sniffer vote, reduced to the numeric signal)
+    esc = F.regexp_replace(F.col("_d"), r"([|.\\$^()\[\]{}*+?])", r"\\$1")
+    hdr_cells = F.split(hdr_q, esc, -1)
+    row1_cells = F.when(
+        row1.isNotNull(),
+        F.split(F.regexp_replace(row1, r'"[^"]*"', "0"), esc, -1),
+    ).otherwise(F.array())
+    num = r"^-?\d+(\.\d+)?$"
+    has_header = (
+        F.col("delimiter").isNotNull()
+        & ~F.exists(hdr_cells, lambda c: c.rlike(num))
+        & F.exists(row1_cells, lambda c: c.rlike(num))
+    )
+    # a quoted first cell may CONTAIN the delimiter: extract from the
+    # raw line, not from a split piece
+    first_cell = F.when(
+        row1.startswith('"'),
+        F.regexp_extract(row1, r'^"([^"]*)"', 1),
+    ).otherwise(F.element_at(F.split(row1, esc, -1), 1))
+    return df.select(
+        id_col,
+        "delimiter",
+        F.when(F.col("delimiter").isNotNull(), F.col("n_cols"))
+            .alias("n_cols"),
+        F.when(F.col("delimiter").isNotNull(), F.size(lines) - 1)
+            .cast("long").alias("n_rows"),
+        has_header.alias("has_header"),
+        F.when(has_header, F.array_join(hdr_cells, ","))
+            .alias("header_names"),
+        F.when(F.col("delimiter").isNotNull(), first_cell)
+            .alias("first_cell"),
+    )
+
+
+def docs_as_csv(docs: DataFrame) -> DataFrame:
+    """(doc_id, body): each document as a delimited file — dialect
+    cycling comma/semicolon/tab/pipe by doc_id%4, a 3-column header +
+    2+doc_id%3 body rows, and for doc_id%5==0 a QUOTED first cell
+    containing the live delimiter (the quote-awareness proof).
+    Closed-form in doc_id and the first corpus word."""
+    did = F.col("doc_id")
+    norm = F.regexp_replace(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+    )
+    w1 = F.regexp_replace(
+        F.element_at(F.split(norm, " "), 1), r'[",;|\t]', ""
+    )
+    d = (
+        F.when(did % 4 == 0, F.lit(","))
+        .when(did % 4 == 1, F.lit(";"))
+        .when(did % 4 == 2, F.lit("\t"))
+        .otherwise(F.lit("|"))
+    )
+    n_body = (did % 3 + 2).cast("int")
+    header = F.concat_ws("", F.lit("name"), d, F.lit("count"), d,
+                         F.lit("extra"))
+    rows = F.transform(
+        F.sequence(F.lit(1), n_body),
+        lambda r: F.concat(
+            F.when(
+                (did % 5 == 0) & (r == 1),
+                F.concat(F.lit('"'), w1, F.lit("_1"), d, F.lit('x"')),
+            ).otherwise(F.concat(w1, F.lit("_"), r.cast("string"))),
+            d, (did + r).cast("string"),
+            d, (did % 90).cast("string"), F.lit("."),
+            r.cast("string"), F.lit("5"),
+        ),
+    )
+    body = F.concat(header, F.lit("\n"), F.array_join(rows, "\n"),
+                    F.lit("\n"))
+    return docs.select("doc_id", body.alias("body"))

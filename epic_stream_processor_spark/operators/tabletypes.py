@@ -1,0 +1,166 @@
+"""Table type inference — schema election over mined tables.
+
+Table corpora (WebTables / TURL / TaBERT-style pretraining data, and
+every text-to-SQL dataset) are mined as raw string cells from HTML
+tables (`html_extract.extract_tables`), spreadsheets (`xlsx`), and
+wiki markup.  Before a table is usable as training data it needs a
+schema: per-column type election over the cell population plus header
+detection — the step that turns "a grid of strings" into
+"(name: string, count: int, date: date)".
+
+Two stages, two engine stances:
+
+- **Cell classification** (`classify_cell`): pure-JVM ``when``/
+  ``rlike`` chain → one of null/int/float/date/bool/string per cell.
+  Codegen-friendly; runs on the scan.
+- **Column election** (`infer_table_types`): ONE groupBy on
+  (doc_id, table_index, col_index) with ``bool_and``-style set tests
+  — all-int → int, all-numeric → float, all-date → date, all-bool →
+  bool, else string — nulls excluded from the vote but counted.
+  Header detection is the standard corpus heuristic, decided
+  per-table by a window over the column summaries: row 0 is a header
+  iff every row-0 cell classifies as string/null AND at least one
+  column's body votes non-string.  Map-side partial aggregation
+  absorbs the per-column skew (a 100-row table contributes 100 cells
+  but only 1 partial per column per partition), so the cell-scale
+  shuffle happens once and moves O(columns); the window's second
+  exchange moves column summaries only.
+
+Output: one row per column —
+(doc_id, table_index, col_index, header_name, inferred_type,
+n_values, n_nulls, has_header).
+
+Reference note: LLM-data-pipeline extension (WebTables/TURL public
+recipes); composes with html_tables/xlsx_extract (pytest proves the
+composition on real extract_tables output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_INT = r"^-?\d+$"
+_FLOAT = r"^-?\d+\.\d+([eE][+-]?\d+)?$"
+_DATE = r"^\d{4}-\d{2}-\d{2}$"
+_BOOL = r"(?i)^(true|false)$"
+
+
+def classify_cell(v: Column) -> Column:
+    """null/int/float/date/bool/string — pure JVM."""
+    t = F.trim(F.coalesce(v, F.lit("")))
+    return (
+        F.when(t == "", F.lit("null"))
+        .when(t.rlike(_INT), F.lit("int"))
+        .when(t.rlike(_FLOAT), F.lit("float"))
+        .when(t.rlike(_DATE), F.lit("date"))
+        .when(t.rlike(_BOOL), F.lit("bool"))
+        .otherwise(F.lit("string"))
+    )
+
+
+def infer_table_types(
+    cells: DataFrame,
+    id_col: str = "doc_id",
+    table_col: str = "table_index",
+    row_col: str = "row_index",
+    col_col: str = "col_index",
+    value_col: str = "value",
+) -> DataFrame:
+    """(…, row_index, col_index, value) → one row per column with the
+    elected type, header name, and null stats.  One shuffle."""
+    t = classify_cell(F.col(value_col))
+    body = F.col(row_col) > 0
+    is_null = t == "null"
+    g = cells.groupBy(id_col, table_col, col_col).agg(
+        F.max(F.when(F.col(row_col) == 0, F.col(value_col)))
+            .alias("header_name"),
+        F.min(F.when(F.col(row_col) == 0, is_null | (t == "string")))
+            .alias("_hdr_stringy"),
+        F.sum(F.when(body & ~is_null, 1).otherwise(0)).cast("long")
+            .alias("n_values"),
+        F.sum(F.when(body & is_null, 1).otherwise(0)).cast("long")
+            .alias("n_nulls"),
+        F.min(F.when(body & ~is_null, t == "int")).alias("_all_int"),
+        F.min(F.when(body & ~is_null, t.isin("int", "float")))
+            .alias("_all_num"),
+        F.min(F.when(body & ~is_null, t == "date")).alias("_all_date"),
+        F.min(F.when(body & ~is_null, t == "bool")).alias("_all_bool"),
+    )
+    inferred = (
+        F.when(F.col("n_values") == 0, F.lit("string"))
+        .when(F.col("_all_int"), F.lit("int"))
+        .when(F.col("_all_num"), F.lit("float"))
+        .when(F.col("_all_date"), F.lit("date"))
+        .when(F.col("_all_bool"), F.lit("bool"))
+        .otherwise(F.lit("string"))
+    )
+    cols = g.withColumn("inferred_type", inferred)
+    # header election per TABLE: every row-0 cell stringy AND at least
+    # one column's body is non-string. The window repartitions on
+    # (doc, table) — a second exchange, but over COLUMN SUMMARIES
+    # (O(columns) rows), not cells; the cell-scale shuffle happens
+    # exactly once, with map-side partials.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col, table_col)
+    has_header = (
+        F.min(F.coalesce(F.col("_hdr_stringy"), F.lit(True))).over(w)
+        & (F.max((F.col("inferred_type") != "string").cast("int")).over(w)
+           == 1)
+    )
+    return cols.select(
+        id_col, table_col, col_col,
+        F.when(has_header, F.col("header_name")).alias("header_name"),
+        "inferred_type", "n_values", "n_nulls",
+        has_header.alias("has_header"),
+    )
+
+
+def docs_as_table_cells(docs: DataFrame) -> DataFrame:
+    """(doc_id, table_index, row_index, col_index, value): one 3×4
+    table per document (header + 3 body rows).  col0 is word strings,
+    col1 ints, col2 cycles by doc_id%3 (dates / floats / mixed→string);
+    doc_id%4==0 blanks one body cell in col0.  Closed-form."""
+    did = F.col("doc_id")
+    norm = F.regexp_replace(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+    )
+    w1 = F.element_at(F.split(norm, " "), 1)
+    rows = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("row_index")
+    e = docs.select("doc_id", w1.alias("_w1"), rows)
+    r = F.col("row_index")
+    c0 = (
+        F.when(r == 0, F.lit("name"))
+        .when((r == 2) & (did % 4 == 0), F.lit(""))
+        .otherwise(F.concat(F.col("_w1"), F.lit("_"), r.cast("string")))
+    )
+    c1 = F.when(r == 0, F.lit("count")).otherwise(
+        (did + r).cast("string"))
+    c2 = (
+        F.when(r == 0, F.lit("extra"))
+        .when(did % 3 == 0,
+              F.concat(F.lit("2024-01-0"), r.cast("string")))
+        .when(did % 3 == 1,
+              F.concat((did % 90).cast("string"), F.lit("."),
+                       r.cast("string"), F.lit("5")))
+        .otherwise(F.when(r == 1, (did * 3).cast("string"))
+                   .otherwise(F.concat(F.lit("mix"), r.cast("string"))))
+    )
+    stacked = e.select(
+        "doc_id", F.lit(0).cast("long").alias("table_index"),
+        r.cast("long").alias("row_index"),
+        F.explode(F.array(
+            F.struct(F.lit(0).cast("long").alias("col_index"),
+                     c0.alias("value")),
+            F.struct(F.lit(1).cast("long").alias("col_index"),
+                     c1.alias("value")),
+            F.struct(F.lit(2).cast("long").alias("col_index"),
+                     c2.alias("value")),
+        )).alias("cell"),
+    )
+    return stacked.select(
+        "doc_id", "table_index", "row_index",
+        F.col("cell.col_index").alias("col_index"),
+        F.col("cell.value").alias("value"),
+    )

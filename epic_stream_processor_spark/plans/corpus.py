@@ -3284,3 +3284,96 @@ SELECT doc_id,
        chr(10) || '50% done.' AS plain_text
 FROM p
 """
+
+# --- Table type inference (round 9) -------------------------------------------------
+
+def q_table_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table type inference (round 9): schema election over mined
+    table cells — the WebTables/TURL step that turns a grid of strings
+    into typed columns. Pure-JVM cell classification on the scan, then
+    ONE cell-scale groupBy on (doc, table, col) with map-side partials
+    (all-int/all-numeric/all-date/all-bool set votes, nulls counted
+    out), and per-table header election over the column summaries
+    (operators/tabletypes.py). Composes with html_tables/xlsx_extract
+    — the pytest tier proves the composition on real extract_tables
+    output.
+
+    Closed-form fixture: one 3×4 table per document — word-string
+    col0 (a blanked cell for doc_id%4==0), int col1, and a col2 that
+    cycles date/float/mixed→string by doc_id%3.
+    """
+    from ..operators.tabletypes import docs_as_table_cells, infer_table_types
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return infer_table_types(docs_as_table_cells(docs)).select(
+        "doc_id", "table_index", "col_index", "header_name",
+        "inferred_type", "n_values", "n_nulls", "has_header",
+    )
+
+
+ORACLE_TABLE_TYPES = """WITH c(col_index, header_name) AS (
+  VALUES (0, 'name'), (1, 'count'), (2, 'extra')
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS table_index,
+       CAST(col_index AS BIGINT) AS col_index, header_name,
+       CASE col_index
+         WHEN 0 THEN 'string'
+         WHEN 1 THEN 'int'
+         ELSE CASE doc_id % 3 WHEN 0 THEN 'date' WHEN 1 THEN 'float'
+                              ELSE 'string' END
+       END AS inferred_type,
+       CAST(CASE WHEN col_index = 0 AND doc_id % 4 = 0 THEN 2 ELSE 3 END
+            AS BIGINT) AS n_values,
+       CAST(CASE WHEN col_index = 0 AND doc_id % 4 = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_nulls,
+       TRUE AS has_header
+FROM documents, c
+"""
+
+# --- CSV dialect sniffing (round 9) -------------------------------------------------
+
+def q_csv_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect sniffing (round 9): the tabular-ingest front door —
+    elect the delimiter whose quote-collapsed per-line count is
+    consistent and non-zero (comma/semicolon/tab/pipe preference
+    order), then read the shape: columns, rows, header heuristic
+    (line 1 non-numeric, line 2 numeric), and the first cell extracted
+    quote-aware (operators/csvsniff.py). Pure JVM higher-order
+    transforms — zero Python, zero shuffles.
+
+    Closed-form: dialect cycles by doc_id%4; doc_id%5==0 quotes the
+    first cell WITH the live delimiter inside (quote-awareness proof).
+    """
+    from ..operators.csvsniff import docs_as_csv, sniff_csv
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return sniff_csv(docs_as_csv(docs)).select(
+        "doc_id", "delimiter", "n_cols", "n_rows", "has_header",
+        "header_names", "first_cell",
+    )
+
+
+ORACLE_CSV_SNIFF = r"""WITH d AS (
+  SELECT doc_id,
+         regexp_replace(
+           (string_split(
+              regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+              ' '))[1],
+           '[",;|\t]', '', 'g') AS w1,
+         CASE doc_id % 4 WHEN 0 THEN ',' WHEN 1 THEN ';'
+                         WHEN 2 THEN chr(9) ELSE '|' END AS dc
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'comma' WHEN 1 THEN 'semicolon'
+                       WHEN 2 THEN 'tab' ELSE 'pipe' END AS delimiter,
+       CAST(3 AS BIGINT) AS n_cols,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_rows,
+       TRUE AS has_header,
+       'name,count,extra' AS header_names,
+       w1 || '_1' ||
+       CASE WHEN doc_id % 5 = 0 THEN dc || 'x' ELSE '' END AS first_cell
+FROM d
+"""

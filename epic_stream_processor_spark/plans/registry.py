@@ -1119,6 +1119,22 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "multiplied means, no float division), 64-bit hex fingerprint — "
         "row-local Arrow pass, pixels never shuffle",
     ),
+    "table_types": QueryDef(
+        corpus.q_table_types, corpus.ORACLE_TABLE_TYPES,
+        "table type inference (round 9, WebTables/TURL step): JVM "
+        "cell classification + one map-side-partial groupBy electing "
+        "int/float/date/bool/string per column + per-table header "
+        "election over column summaries; composes with html_tables/"
+        "xlsx_extract (composition pinned in pytest)",
+    ),
+    "csv_sniff": QueryDef(
+        corpus.q_csv_sniff, corpus.ORACLE_CSV_SNIFF,
+        "CSV dialect sniffing (round 9, csv.Sniffer semantics): "
+        "quote-collapsed per-line consistency vote over 4 candidate "
+        "delimiters + shape/header/first-cell channels — pure JVM "
+        "higher-order transforms; closed-form oracle with a quoted "
+        "live-delimiter cell",
+    ),
 }
 
 

@@ -1,0 +1,81 @@
+"""CSV dialect sniffing: election semantics on foreign files.
+
+The oracle query (csv_sniff) pins the fixture; THIS file pins the
+election on files the fixture never emits — inconsistent delimiter
+counts (no dialect), headerless numeric files, CRLF line endings,
+quoted fields neutralizing a rival delimiter — and agreement with
+python's csv module on parsing the elected dialect."""
+
+from __future__ import annotations
+
+import csv
+import io
+
+from epic_stream_processor_spark.operators.csvsniff import (
+    docs_as_csv,
+    sniff_csv,
+)
+
+
+def _sniff(spark, body: str) -> dict:
+    df = spark.createDataFrame([(1, body)], "doc_id long, body string")
+    return sniff_csv(df).collect()[0].asDict()
+
+
+class TestElection:
+    def test_semicolon_file_with_commas_inside_quotes(self, spark):
+        body = 'name;note\nann;"likes a, b, and c"\nbob;"x, y"\n'
+        row = _sniff(spark, body)
+        # comma counts are inconsistent (2 vs 2 vs... quote-collapsed 0)
+        assert row["delimiter"] == "semicolon"
+        assert row["n_cols"] == 2
+
+    def test_no_consistent_delimiter(self, spark):
+        row = _sniff(spark, "a,b,c\nd,e\nf\n")
+        assert row["delimiter"] is None
+        assert row["n_cols"] is None and row["n_rows"] is None
+
+    def test_headerless_numeric_file(self, spark):
+        row = _sniff(spark, "1,2,3\n4,5,6\n")
+        assert row["delimiter"] == "comma"
+        assert row["has_header"] is False
+        assert row["header_names"] is None
+
+    def test_crlf_normalized(self, spark):
+        row = _sniff(spark, "a,b\r\n1,2\r\n")
+        assert row["delimiter"] == "comma"
+        assert row["n_rows"] == 1
+
+    def test_preference_order_on_tie(self, spark):
+        # every line has exactly one comma AND one pipe: comma wins
+        row = _sniff(spark, "a,b|c\nd,e|f\n")
+        assert row["delimiter"] == "comma"
+
+    def test_single_column_never_elected(self, spark):
+        row = _sniff(spark, "justtext\nmoretext\n")
+        assert row["delimiter"] is None
+
+
+class TestAgainstStdlibCsv:
+    def test_fixture_parses_with_elected_dialect(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "s", "en", "alpha beta gamma") for i in range(10)],
+            "doc_id long, source string, lang string, text string",
+        )
+        bodies = {r["doc_id"]: r["body"]
+                  for r in docs_as_csv(docs).collect()}
+        sniffed = {r["doc_id"]: r
+                   for r in sniff_csv(docs_as_csv(docs)).collect()}
+        delim_char = {"comma": ",", "semicolon": ";",
+                      "tab": "\t", "pipe": "|"}
+        for i in range(10):
+            s = sniffed[i]
+            rows = list(csv.reader(
+                io.StringIO(bodies[i]),
+                delimiter=delim_char[s["delimiter"]],
+            ))
+            assert len(rows) - 1 == s["n_rows"]
+            assert all(len(r) == s["n_cols"] for r in rows)
+            assert ",".join(rows[0]) == s["header_names"]
+            # stdlib csv unquotes identically to the JVM extraction
+            assert rows[1][0] == s["first_cell"]

@@ -1,0 +1,114 @@
+"""Table type inference: election semantics + the html_tables composition.
+
+The oracle query (table_types) pins the fixture; THIS file pins the
+election edge cases (headerless tables, all-null columns, bool/date
+promotion, float-over-int widening) and the real composition: cells
+mined by extract_tables feed infer_table_types directly."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.tabletypes import (
+    classify_cell,
+    docs_as_table_cells,
+    infer_table_types,
+)
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, table_index long, row_index long, "
+        "col_index long, value string",
+    )
+
+
+def _infer(spark, rows):
+    return {
+        (r["col_index"]): r
+        for r in infer_table_types(_cells(spark, rows)).collect()
+    }
+
+
+class TestElection:
+    def test_widening_int_to_float(self, spark):
+        rows = [(1, 0, 0, 0, "x"), (1, 0, 1, 0, "1"),
+                (1, 0, 2, 0, "2.5"), (1, 0, 3, 0, "3")]
+        assert _infer(spark, rows)[0]["inferred_type"] == "float"
+
+    def test_bool_and_date(self, spark):
+        rows = [(1, 0, 0, 0, "flag"), (1, 0, 1, 0, "true"),
+                (1, 0, 2, 0, "FALSE"),
+                (1, 0, 0, 1, "day"), (1, 0, 1, 1, "2024-03-01"),
+                (1, 0, 2, 1, "1999-12-31")]
+        out = _infer(spark, rows)
+        assert out[0]["inferred_type"] == "bool"
+        assert out[1]["inferred_type"] == "date"
+
+    def test_all_null_column_is_string_with_counts(self, spark):
+        rows = [(1, 0, 0, 0, "h"), (1, 0, 1, 0, ""),
+                (1, 0, 2, 0, None)]
+        r = _infer(spark, rows)[0]
+        assert r["inferred_type"] == "string"
+        assert r["n_values"] == 0 and r["n_nulls"] == 2
+
+    def test_headerless_table_numeric_row0(self, spark):
+        # row 0 is data (numeric) → no header; header_name nulled
+        rows = [(1, 0, 0, 0, "10"), (1, 0, 1, 0, "20"),
+                (1, 0, 0, 1, "a"), (1, 0, 1, 1, "b")]
+        out = _infer(spark, rows)
+        assert out[0]["has_header"] is False
+        assert out[0]["header_name"] is None
+
+    def test_all_string_table_has_no_header_signal(self, spark):
+        rows = [(1, 0, 0, 0, "h"), (1, 0, 1, 0, "a"), (1, 0, 2, 0, "b")]
+        assert _infer(spark, rows)[0]["has_header"] is False
+
+
+class TestComposition:
+    def test_html_tables_feed_inference(self, spark):
+        from pyspark.sql import functions as F
+
+        from epic_stream_processor_spark.operators.html_extract import (
+            extract_tables,
+        )
+
+        html = ("<table><tr><th>name</th><th>count</th></tr>"
+                "<tr><td>ann</td><td>1</td></tr>"
+                "<tr><td>bob</td><td>2</td></tr></table>")
+        pages = spark.createDataFrame(
+            [(7, html)], "doc_id long, html string")
+        rows = extract_tables(pages)
+        # adapt extract_tables' pipe-joined row contract to a cell grid
+        grid = rows.select(
+            "doc_id",
+            F.col("table_idx").alias("table_index"),
+            F.col("row_idx").alias("row_index"),
+            F.posexplode(F.split(F.col("cells"), r"\|"))
+                .alias("col_index", "value"),
+        )
+        out = {r["col_index"]: r
+               for r in infer_table_types(grid).collect()}
+        assert out[0]["inferred_type"] == "string"
+        assert out[1]["inferred_type"] == "int"
+        assert out[0]["header_name"] == "name"
+        assert out[1]["header_name"] == "count"
+        assert out[0]["has_header"] is True
+
+
+class TestFixture:
+    def test_classify_cell_spot(self, spark):
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [("-12",), ("3.14",), ("2e5",), ("2024-01-02",),
+             ("True",), ("",), ("  ",), ("x1",)], "v string")
+        got = [r[0] for r in df.select(classify_cell(F.col("v"))).collect()]
+        assert got == ["int", "float", "string", "date",
+                       "bool", "null", "null", "string"]
+
+    def test_fixture_shapes(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "s", "en", "word salad text") for i in range(4)],
+            "doc_id long, source string, lang string, text string",
+        )
+        cells = docs_as_table_cells(docs)
+        assert cells.count() == 4 * 4 * 3
