@@ -1,0 +1,233 @@
+"""SQLite file parsing — application databases as a corpus source.
+
+SQLite is the most-deployed file format on earth: browser profiles,
+message stores, app exports, and "datasets" shipped as ``.sqlite``
+files all land in broad crawls.  A corpus sweep wants the tables out
+WITHOUT shelling into a database engine per blob — so the reader here
+walks the real on-disk format (SQLite file format, public spec):
+
+- 100-byte header (magic, big-endian page size with the 1→65536
+  encoding, page count);
+- table b-trees: leaf (type 0x0D) cell-pointer arrays and interior
+  (0x05) child walks with the right-most pointer, recursion bounded;
+- the record format: header-size varint, serial-type varints, then
+  big-endian payloads — NULL, 1/2/3/4/6/8-byte twos-complement ints,
+  float64, the const-0/const-1 types, odd/even text/blob lengths;
+- SQLite varints (high-bit continuation, full 9th byte);
+- the INTEGER PRIMARY KEY trap: an ipk column is stored as NULL in
+  the record and takes the cell's rowid (decoding it as NULL is THE
+  classic third-party-reader bug);
+- discovery through ``sqlite_schema`` itself: page 1's b-tree is
+  walked first, table names → root pages, then each table.
+
+The WRITER is deliberately not this module: fixtures come from
+python's stdlib ``sqlite3`` (``Connection.serialize()``), a genuinely
+independent implementation — the tarfile-interop pattern.  Overflow
+pages are documented out of scope (fixture payloads are far below the
+spill threshold); a truncated or corrupt file yields NULL-field rows,
+never a crash.
+
+Scale: row-local Arrow ``mapInPandas`` both ways, zero shuffles.
+
+Reference note: LLM-data-pipeline extension (SQLite file format,
+public); no counterpart in /root/reference.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SQLITE_SCHEMA = (
+    "doc_id long, table_name string, rowid long, n_cols long, "
+    "record string"
+)
+
+
+def _varint(buf: bytes, off: int) -> tuple[int, int]:
+    """(value, next_offset); SQLite varint — 9th byte carries 8 bits."""
+    v = 0
+    for i in range(8):
+        b = buf[off + i]
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return v, off + i + 1
+    return (v << 8) | buf[off + 8], off + 9
+
+
+def _serial_len(st: int) -> int:
+    if st <= 4:
+        return (0, 1, 2, 3, 4)[st]
+    if st in (5, 6, 7):
+        return {5: 6, 6: 8, 7: 8}[st]
+    if st in (8, 9):
+        return 0
+    return (st - 12) // 2 if st % 2 == 0 else (st - 13) // 2
+
+
+def _decode_value(st: int, raw: bytes):
+    if st == 0:
+        return None
+    if 1 <= st <= 6:
+        n = _serial_len(st)
+        return int.from_bytes(raw[:n], "big", signed=True)
+    if st == 7:
+        return struct.unpack(">d", raw[:8])[0]
+    if st == 8:
+        return 0
+    if st == 9:
+        return 1
+    if st >= 13 and st % 2 == 1:
+        return raw.decode("utf-8", "replace")
+    return raw  # blob
+
+
+def _record(payload: bytes) -> list:
+    hdr_len, off = _varint(payload, 0)
+    serials = []
+    while off < hdr_len:
+        st, off = _varint(payload, off)
+        serials.append(st)
+    vals, p = [], hdr_len
+    for st in serials:
+        n = _serial_len(st)
+        vals.append(_decode_value(st, payload[p:p + n]))
+        p += n
+    return vals
+
+
+def _walk_table(buf: bytes, page_size: int, root: int,
+                out: list, depth: int = 0) -> None:
+    """Append (rowid, values) for every cell under this b-tree root."""
+    if depth > 32 or root < 1 or root * page_size > len(buf):
+        return
+    base = (root - 1) * page_size
+    hdr = base + (100 if root == 1 else 0)
+    ptype = buf[hdr]
+    ncell = int.from_bytes(buf[hdr + 3:hdr + 5], "big")
+    if ptype == 0x05:                       # interior table page
+        ptr_arr = hdr + 12
+        for i in range(ncell):
+            cp = base + int.from_bytes(
+                buf[ptr_arr + 2 * i:ptr_arr + 2 * i + 2], "big")
+            child = int.from_bytes(buf[cp:cp + 4], "big")
+            _walk_table(buf, page_size, child, out, depth + 1)
+        right = int.from_bytes(buf[hdr + 8:hdr + 12], "big")
+        _walk_table(buf, page_size, right, out, depth + 1)
+    elif ptype == 0x0D:                     # leaf table page
+        ptr_arr = hdr + 8
+        for i in range(ncell):
+            cp = base + int.from_bytes(
+                buf[ptr_arr + 2 * i:ptr_arr + 2 * i + 2], "big")
+            plen, q = _varint(buf, cp)
+            rowid, q = _varint(buf, q)
+            out.append((rowid, _record(buf[q:q + plen])))
+
+
+def parse_sqlite_bytes(doc_id: int, buf: bytes) -> list[dict]:
+    """One dict per table row across all user tables; a single
+    NULL-field dict on any failure (drop-not-crash)."""
+    null_row = {"doc_id": doc_id, "table_name": None, "rowid": None,
+                "n_cols": None, "record": None}
+    try:
+        if buf[:16] != b"SQLite format 3\x00":
+            return [null_row]
+        page_size = int.from_bytes(buf[16:18], "big")
+        if page_size == 1:
+            page_size = 65536
+        schema_rows: list = []
+        _walk_table(buf, page_size, 1, schema_rows)
+        tables = []
+        for _rid, vals in schema_rows:
+            # sqlite_schema: (type, name, tbl_name, rootpage, sql)
+            if len(vals) >= 4 and vals[0] == "table":
+                tables.append((vals[1], int(vals[3])))
+        rows = []
+        for name, root in sorted(tables):
+            cells: list = []
+            _walk_table(buf, page_size, root, cells)
+            for rowid, vals in cells:
+                rendered = []
+                for v in vals:
+                    if v is None:
+                        rendered.append(str(rowid))  # ipk trap: see header
+                    elif isinstance(v, bytes):
+                        rendered.append(v.hex())
+                    elif isinstance(v, float):
+                        rendered.append(repr(v))
+                    else:
+                        rendered.append(str(v))
+                rows.append({
+                    "doc_id": doc_id, "table_name": name,
+                    "rowid": rowid, "n_cols": len(vals),
+                    "record": "|".join(rendered),
+                })
+        return rows if rows else [null_row]
+    except Exception:
+        return [null_row]
+
+
+def parse_sqlite(
+    blobs: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """(doc_id, data) → one row per table row (SQLITE_SCHEMA)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "table_name", "rowid", "n_cols", "record"]
+        for pdf in batches:
+            rows: list = []
+            for i, b in zip(pdf[id_col], pdf[data_col]):
+                rows.extend(parse_sqlite_bytes(
+                    int(i), bytes(b) if b is not None else b""))
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("doc_id", "rowid", "n_cols"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return blobs.select(id_col, data_col).mapInPandas(
+        gen, schema=SQLITE_SCHEMA)
+
+
+def docs_as_sqlite(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, data): a genuine SQLite database per document, written
+    by the STDLIB sqlite3 engine (independent writer) — a ``kv`` table
+    (INTEGER PRIMARY KEY + text + int: the ipk-NULL trap live in every
+    row) with 3 rows and a ``meta`` table with one row.  Closed-form:
+    kv row r = (r, <w1>_r, doc_id+r); meta = ('title', 'Title N')."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+        import sqlite3 as _sqlite3
+
+        def build(did: int, text: str) -> bytes:
+            w1 = _re.sub(r"\s+", " ", (text or "").strip()).split(" ")[0]
+            w1 = w1.replace("|", "")
+            con = _sqlite3.connect(":memory:")
+            con.execute("CREATE TABLE kv "
+                        "(id INTEGER PRIMARY KEY, word TEXT, n INTEGER)")
+            con.execute("CREATE TABLE meta (k TEXT, v TEXT)")
+            for r in (1, 2, 3):
+                con.execute("INSERT INTO kv VALUES (?, ?, ?)",
+                            (r, f"{w1}_{r}", did + r))
+            con.execute("INSERT INTO meta VALUES ('title', ?)",
+                        (f"Title {did}",))
+            con.commit()
+            data = con.serialize()
+            con.close()
+            return bytes(data)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "data": [build(int(i), t if isinstance(t, str) else "")
+                         for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, data binary")

@@ -3377,3 +3377,45 @@ SELECT doc_id,
        CASE WHEN doc_id % 5 = 0 THEN dc || 'x' ELSE '' END AS first_cell
 FROM d
 """
+
+# --- SQLite file parsing (round 9) --------------------------------------------------
+
+def q_sqlite_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite file parsing (round 9): application databases as a
+    corpus source — the reader walks the REAL on-disk format (page-1
+    header, sqlite_schema discovery, leaf/interior table b-trees,
+    varints, the record serial-type grammar, and the INTEGER-PRIMARY-
+    KEY-stored-as-NULL trap), while the WRITER is the stdlib sqlite3
+    engine itself via Connection.serialize() — a genuinely independent
+    implementation, the tarfile-interop pattern
+    (operators/sqlitefile.py). Row-local Arrow both ways.
+
+    Closed-form: kv rows (r, <w1>_r, doc_id+r) and one meta row
+    ('title', 'Title N') per document.
+    """
+    from ..operators.sqlitefile import docs_as_sqlite, parse_sqlite
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_sqlite(docs_as_sqlite(docs)).select(
+        "doc_id", "table_name", "rowid", "n_cols", "record",
+    )
+
+
+ORACLE_SQLITE_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         regexp_replace(
+           (string_split(
+              regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+              ' '))[1],
+           '\|', '', 'g') AS w1
+  FROM documents
+)
+SELECT doc_id, 'kv' AS table_name, CAST(r AS BIGINT) AS rowid,
+       CAST(3 AS BIGINT) AS n_cols,
+       r || '|' || w1 || '_' || r || '|' || (doc_id + r) AS record
+FROM d, (VALUES (1), (2), (3)) t(r)
+UNION ALL
+SELECT doc_id, 'meta', 1, 2, 'title|Title ' || doc_id
+FROM d
+"""

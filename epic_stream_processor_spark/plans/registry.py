@@ -1135,6 +1135,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "higher-order transforms; closed-form oracle with a quoted "
         "live-delimiter cell",
     ),
+    "sqlite_extract": QueryDef(
+        corpus.q_sqlite_extract, corpus.ORACLE_SQLITE_EXTRACT,
+        "SQLite file parsing (round 9): hand-rolled reader for the "
+        "real on-disk format (schema-table discovery, leaf/interior "
+        "b-trees, varints, serial types, the ipk-NULL trap) against "
+        "the stdlib sqlite3 engine as the independent writer - "
+        "tarfile-interop pattern; row-local Arrow",
+    ),
 }
 
 
