@@ -1,0 +1,160 @@
+"""Energy-based audio segmentation — the speech pipeline's VAD pre-step.
+
+Speech corpora (ASR pretraining, media-transcript alignment next to
+`subtitles.py`) never train on raw hour-long recordings: the first
+stage chops audio into voiced segments on an energy gate — frames of
+N samples, mean |amplitude| per frame, a threshold vote, and maximal
+voiced runs become segments.  Real VAD stacks (webrtcvad, silero)
+refine the gate; the FRAMING AND SEGMENT ALGEBRA here is the part a
+distributed pipeline owns, and it is deliberately integer-exact
+(sum-of-abs ≥ threshold·frame_len cross-multiplication, no float
+division) so results are oracle-checkable and reproducible across
+engines.
+
+Engine stance: row-local Arrow ``mapInPandas`` over genuine RIFF/WAVE
+bytes — the RIFF chunk walk is shared with `multimodal.decode_wav`'s
+contract (PCM16, chunk-aligned), the frame energies are one numpy
+reshape+abs+sum, and the run-length segmentation is a diff over the
+boolean gate.  Zero shuffles; a 100 TB audio sweep rides the scan.
+
+Output: one row per voiced segment —
+(doc_id, seg_index, n_segments, start_ms, end_ms, duration_ms,
+n_frames, mean_energy), where mean_energy is the integer mean of the
+segment's per-frame mean |amplitude|.
+
+Reference note: LLM-data-pipeline extension (public VAD recipes);
+completes the speech leg next to subtitles + WAV/FLAC/MP3/Ogg.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VAD_SCHEMA = (
+    "doc_id long, seg_index long, n_segments long, start_ms long, "
+    "end_ms long, duration_ms long, n_frames long, mean_energy long"
+)
+
+
+def _pcm16(buf: bytes) -> Optional[tuple[int, np.ndarray]]:
+    """(sample_rate, mono int16 samples) from a RIFF/WAVE blob."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    off = 12
+    while off + 8 <= len(buf):
+        cid, csz = struct.unpack_from("<4sI", buf, off)
+        body = buf[off + 8:off + 8 + csz]
+        if cid == b"fmt " and csz >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        off += 8 + csz + (csz & 1)
+    if fmt is None or data is None or fmt[0] != 1 or fmt[1] != 1 \
+            or fmt[5] != 16 or fmt[2] <= 0:
+        return None
+    n = len(data) // 2
+    return fmt[2], np.frombuffer(data[:2 * n], dtype="<i2")
+
+
+def segment_pcm(sr: int, samples: np.ndarray, frame_len: int,
+                threshold: int) -> list[tuple]:
+    """Maximal runs of frames whose mean |amplitude| ≥ threshold.
+    Integer-exact: sum|s| ≥ threshold·frame_len per frame."""
+    n_frames = len(samples) // frame_len
+    if n_frames == 0:
+        return []
+    x = np.abs(samples[:n_frames * frame_len].astype(np.int64))
+    sums = x.reshape(n_frames, frame_len).sum(axis=1)
+    voiced = sums >= threshold * frame_len
+    segs = []
+    start = None
+    for i in range(n_frames + 1):
+        on = i < n_frames and voiced[i]
+        if on and start is None:
+            start = i
+        elif not on and start is not None:
+            seg_sums = sums[start:i]
+            mean_e = int(seg_sums.sum() // ((i - start) * frame_len))
+            segs.append((start, i, mean_e))
+            start = None
+    frame_ms = frame_len * 1000 // sr
+    return [
+        (idx, len(segs), s * frame_ms, e * frame_ms,
+         (e - s) * frame_ms, e - s, me)
+        for idx, (s, e, me) in enumerate(segs)
+    ]
+
+
+def segment_audio(
+    wavs: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    frame_len: int = 160,
+    threshold: int = 500,
+) -> DataFrame:
+    """(doc_id, data RIFF/WAVE) → one row per voiced segment.
+    Row-local Arrow pass; undecodable blobs yield zero rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "seg_index", "n_segments", "start_ms",
+                "end_ms", "duration_ms", "n_frames", "mean_energy"]
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    got = _pcm16(bytes(b) if b is not None else b"")
+                    if got is None:
+                        continue
+                    sr, samples = got
+                    for seg in segment_pcm(sr, samples, frame_len,
+                                           threshold):
+                        rows.append((int(i),) + seg)
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=cols).astype("int64")
+
+    return wavs.select(id_col, data_col).mapInPandas(
+        gen, schema=VAD_SCHEMA)
+
+
+def docs_as_speech_wav(
+    docs: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, data): an 8 kHz PCM16 WAV with a KNOWN voiced/silence
+    layout — 2 silent frames, 3 voiced frames at constant amplitude
+    2000+doc_id%5·100, 2 silent, 1+doc_id%3 voiced at the same
+    amplitude, 1 silent (frame = 160 samples = 20 ms).  Every segment
+    boundary and energy is closed-form in doc_id."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        def build(did: int) -> bytes:
+            amp = 2000 + did % 5 * 100
+            frames = [0] * 2 + [amp] * 3 + [0] * 2 \
+                + [amp] * (1 + did % 3) + [0]
+            samples = np.repeat(
+                np.asarray(frames, dtype="<i2"), 160)
+            pcm = samples.tobytes()
+            out = bytearray()
+            out += _struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+            out += _struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1,
+                                8000, 16000, 2, 16)
+            out += _struct.pack("<4sI", b"data", len(pcm)) + pcm
+            return bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "data": [build(int(i)) for i in pdf[id_col]],
+            })
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema="doc_id long, data binary")

@@ -3419,3 +3419,97 @@ UNION ALL
 SELECT doc_id, 'meta', 1, 2, 'title|Title ' || doc_id
 FROM d
 """
+
+# --- gettext PO extraction (round 9) ------------------------------------------------
+
+def q_po_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gettext PO extraction (round 9): translation-pair mining — the
+    OPUS-style stage that turns localization catalogues into (msgid,
+    msgstr) training pairs with the fuzzy-flag trust filter, source
+    references, and header Language metadata; multi-line string
+    continuations merged first (the normalization that keeps the rest
+    regex-flat). Pure JVM; the only exchange is the per-doc
+    entry-index window over O(entries) rows (operators/po.py).
+
+    Closed-form: header language cycles fr/de/es/it by doc_id%4;
+    entry 0 translates p1 as '[p1]'; entry 1 is fuzzy+untranslated for
+    odd doc_id.
+    """
+    from ..operators.po import docs_as_po, extract_po
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_po(docs_as_po(docs)).select(
+        "doc_id", "language", "entry_index", "msgid", "msgstr",
+        "is_fuzzy", "reference", "translated",
+    )
+
+
+ORACLE_PO_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(
+             regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+             '["\\]', '', 'g'),
+           ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM d
+), p AS (
+  SELECT doc_id,
+         array_to_string(w[1:k], ' ') AS p1,
+         array_to_string(w[k+1:n], ' ') AS p2,
+         CASE doc_id % 4 WHEN 0 THEN 'fr' WHEN 1 THEN 'de'
+                         WHEN 2 THEN 'es' ELSE 'it' END AS lang
+  FROM s
+)
+SELECT doc_id, lang AS language, CAST(0 AS BIGINT) AS entry_index,
+       p1 AS msgid, '[' || p1 || ']' AS msgstr,
+       FALSE AS is_fuzzy,
+       'src/app_' || doc_id || '.c:' || doc_id AS reference,
+       TRUE AS translated
+FROM p
+UNION ALL
+SELECT doc_id, lang, 1, p2,
+       CASE WHEN doc_id % 2 = 1 THEN '' ELSE '[' || p2 || ']' END,
+       doc_id % 2 = 1,
+       'src/app_' || doc_id || '.c:' || (doc_id + 7),
+       doc_id % 2 = 0
+FROM p
+"""
+
+# --- Audio energy segmentation (round 9) --------------------------------------------
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy segmentation (round 9): the VAD pre-step of a
+    speech pipeline — frame the PCM, gate on integer-exact mean
+    |amplitude| (cross-multiplied, no float division), and emit
+    maximal voiced runs as segments (operators/vad.py). Row-local
+    Arrow over genuine RIFF/WAVE bytes; zero shuffles.
+
+    Closed-form: the fixture lays a known silence/voice pattern —
+    segments at frames [2,5) and [7,8+doc_id%3) of 20 ms frames with
+    constant amplitude 2000+doc_id%5·100.
+    """
+    from ..operators.vad import docs_as_speech_wav, segment_audio
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_audio(docs_as_speech_wav(docs)).select(
+        "doc_id", "seg_index", "n_segments", "start_ms", "end_ms",
+        "duration_ms", "n_frames", "mean_energy",
+    )
+
+
+ORACLE_AUDIO_SEGMENTS = """SELECT doc_id,
+       CAST(0 AS BIGINT) AS seg_index, CAST(2 AS BIGINT) AS n_segments,
+       CAST(40 AS BIGINT) AS start_ms, CAST(100 AS BIGINT) AS end_ms,
+       CAST(60 AS BIGINT) AS duration_ms, CAST(3 AS BIGINT) AS n_frames,
+       CAST(2000 + doc_id % 5 * 100 AS BIGINT) AS mean_energy
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 2, 140, 140 + 20 * (1 + doc_id % 3),
+       20 * (1 + doc_id % 3), 1 + doc_id % 3,
+       2000 + doc_id % 5 * 100
+FROM documents
+"""

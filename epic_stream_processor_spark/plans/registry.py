@@ -1143,6 +1143,20 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "the stdlib sqlite3 engine as the independent writer - "
         "tarfile-interop pattern; row-local Arrow",
     ),
+    "po_extract": QueryDef(
+        corpus.q_po_extract, corpus.ORACLE_PO_EXTRACT,
+        "gettext PO extraction (round 9, OPUS-style pair mining): "
+        "continuation-merged entries, (msgid,msgstr) pairs, fuzzy "
+        "trust filter, references, header Language - pure JVM with "
+        "one O(entries) index window; closed-form oracle",
+    ),
+    "audio_segments": QueryDef(
+        corpus.q_audio_segments, corpus.ORACLE_AUDIO_SEGMENTS,
+        "audio energy segmentation (round 9, the VAD pre-step): "
+        "integer-exact frame energies + maximal voiced runs over real "
+        "RIFF/WAVE PCM - row-local Arrow, closed-form silence/voice "
+        "layout oracle",
+    ),
 }
 
 

@@ -1,0 +1,72 @@
+"""gettext PO extraction: grammar semantics on foreign catalogues.
+
+The oracle query (po_extract) pins the fixture round trip; THIS file
+parses PO the fixture never emits — real multi-line msgid/msgstr
+continuations, escape decoding, obsolete entries, flag combinations,
+plural forms degrading gracefully — plus garbage."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.po import docs_as_po, extract_po
+
+
+def _extract(spark, body: str):
+    df = spark.createDataFrame([(1, body)], "doc_id long, body string")
+    return extract_po(df).orderBy("entry_index").collect()
+
+
+class TestForeignCatalogues:
+    def test_multiline_continuation_both_fields(self, spark):
+        body = (
+            'msgid ""\nmsgstr ""\n"Language: pt_BR\\n"\n\n'
+            'msgid "first part "\n"second part"\n'
+            'msgstr "primeira "\n"segunda"\n'
+        )
+        rows = _extract(spark, body)
+        assert len(rows) == 1
+        assert rows[0]["language"] == "pt_BR"
+        assert rows[0]["msgid"] == "first part second part"
+        assert rows[0]["msgstr"] == "primeira segunda"
+
+    def test_escape_decoding(self, spark):
+        body = ('msgid "line\\nbreak \\"quoted\\" tab\\there"\n'
+                'msgstr "x"\n')
+        rows = _extract(spark, body)
+        assert rows[0]["msgid"] == 'line\nbreak "quoted" tab\there'
+
+    def test_fuzzy_flag_among_others(self, spark):
+        body = ('#, c-format, fuzzy, no-wrap\nmsgid "a"\nmsgstr "b"\n')
+        assert _extract(spark, body)[0]["is_fuzzy"] is True
+
+    def test_cformat_alone_is_not_fuzzy(self, spark):
+        body = '#, c-format\nmsgid "a"\nmsgstr "b"\n'
+        assert _extract(spark, body)[0]["is_fuzzy"] is False
+
+    def test_entry_without_reference(self, spark):
+        body = 'msgid "a"\nmsgstr "b"\n'
+        r = _extract(spark, body)[0]
+        assert r["reference"] == ""
+        assert r["translated"] is True
+
+    def test_untranslated_detection(self, spark):
+        body = 'msgid "a"\nmsgstr ""\n'
+        assert _extract(spark, body)[0]["translated"] is False
+
+    def test_garbage_yields_zero_rows(self, spark):
+        assert _extract(spark, "not a po file at all\n") == []
+        assert _extract(spark, "") == []
+
+
+class TestFixture:
+    def test_entry_indices_and_language(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "s", "en", "uno dos tres cuatro") for i in range(4)],
+            "doc_id long, source string, lang string, text string",
+        )
+        rows = extract_po(docs_as_po(docs)).collect()
+        langs = {r["doc_id"]: r["language"] for r in rows}
+        assert langs == {0: "fr", 1: "de", 2: "es", 3: "it"}
+        for i in range(4):
+            idx = sorted(r["entry_index"] for r in rows
+                         if r["doc_id"] == i)
+            assert idx == [0, 1]

@@ -1,0 +1,100 @@
+"""Audio energy segmentation: gate algebra and cross-writer evidence.
+
+The oracle query (audio_segments) pins the fixture layout; THIS file
+pins the segment algebra on signals the fixture never emits (stdlib
+`wave`-written files, threshold boundary exactness, all-silence /
+all-voice, partial trailing frames dropped) and drop-not-crash."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+from epic_stream_processor_spark.operators.vad import (
+    docs_as_speech_wav,
+    segment_audio,
+    segment_pcm,
+)
+
+
+def _wav_bytes(samples: np.ndarray, sr: int = 8000) -> bytes:
+    """Written by stdlib `wave` — the independent writer."""
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return bio.getvalue()
+
+
+class TestSegmentAlgebra:
+    def test_threshold_boundary_is_inclusive(self):
+        # frame mean exactly == threshold → voiced (sum >= t*len)
+        s = np.full(160, 500, dtype=np.int16)
+        segs = segment_pcm(8000, s, 160, 500)
+        assert len(segs) == 1
+        s = np.full(160, 499, dtype=np.int16)
+        assert segment_pcm(8000, s, 160, 500) == []
+
+    def test_negative_amplitudes_count_via_abs(self):
+        s = np.full(320, -2000, dtype=np.int16)
+        segs = segment_pcm(8000, s, 160, 500)
+        assert len(segs) == 1 and segs[0][6] == 2000
+
+    def test_all_silence_and_trailing_partial_frame(self):
+        s = np.zeros(160 * 3 + 80, dtype=np.int16)
+        assert segment_pcm(8000, s, 160, 500) == []
+        # voiced partial tail (< 1 frame) is dropped, not a segment
+        s2 = np.concatenate([np.zeros(160, np.int16),
+                             np.full(80, 3000, np.int16)])
+        assert segment_pcm(8000, s2, 160, 500) == []
+
+    def test_segment_spanning_to_end(self):
+        s = np.concatenate([np.zeros(160, np.int16),
+                            np.full(320, 1500, np.int16)])
+        segs = segment_pcm(8000, s, 160, 500)
+        assert segs == [(0, 1, 20, 60, 40, 2, 1500)]
+
+
+class TestStdlibWaveInterop:
+    def test_wave_written_file_segments(self, spark):
+        sig = np.concatenate([
+            np.zeros(320, np.int16),
+            np.full(480, 2500, np.int16),
+            np.zeros(320, np.int16),
+        ])
+        df = spark.createDataFrame(
+            [(1, bytearray(_wav_bytes(sig)))], "doc_id long, data binary")
+        rows = segment_audio(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["start_ms"], r["end_ms"]) == (40, 100)
+        assert r["mean_energy"] == 2500
+
+    def test_fixture_round_trip(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "s", "en", "x") for i in range(6)],
+            "doc_id long, source string, lang string, text string",
+        )
+        rows = segment_audio(docs_as_speech_wav(docs)).collect()
+        for i in range(6):
+            segs = sorted((r for r in rows if r["doc_id"] == i),
+                          key=lambda r: r["seg_index"])
+            assert len(segs) == 2
+            assert segs[0]["duration_ms"] == 60
+            assert segs[1]["n_frames"] == 1 + i % 3
+
+
+class TestHostileInput:
+    def test_garbage_and_truncation(self, spark):
+        sig = np.full(480, 2500, np.int16)
+        good = _wav_bytes(sig)
+        blobs = [(0, bytearray(b"")), (1, bytearray(b"RIFFjunk")),
+                 (2, bytearray(good[:30])), (3, bytearray(good))]
+        df = spark.createDataFrame(blobs, "doc_id long, data binary")
+        rows = segment_audio(df).collect()
+        assert {r["doc_id"] for r in rows} == {3}
