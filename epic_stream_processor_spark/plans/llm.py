@@ -3490,3 +3490,48 @@ ORACLE_DATAURI_DECODE = f"""SELECT media_id,
        width, height, n_pixels, gray_hex64
 FROM ({ORACLE_PNG_DECODE})
 """
+
+# --- cross-codec perceptual-hash agreement (round 9) --------------------------------
+
+def q_crosscodec_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec near-dup invariant (round 9): the SAME image
+    encoded twice — raw 24-bpp BMP and deflate+filtered PNG — decoded
+    by two INDEPENDENT in-repo decoders must produce bit-identical
+    perceptual hashes; a re-encoded copy is the most common image
+    duplicate in a crawl, and this is the invariant that catches it.
+    Composition: docs_as_bmp/docs_as_png → decode_bmp/decode_png →
+    ahash_images → one groupBy(media_id) proving n_distinct_hashes==1
+    across both encodings. The oracle recomputes the hash a THIRD way
+    (pure SQL over the document bytes), so three implementations must
+    agree.
+    """
+    from ..operators.imagehash import ahash_images
+    from ..operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        docs_as_bmp,
+        docs_as_png,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    b = ahash_images(decode_bmp(docs_as_bmp(docs)))
+    p = ahash_images(decode_png(docs_as_png(docs)))
+    u = b.select("media_id", "ahash_hex").withColumn(
+        "fmt", F.lit("bmp")
+    ).unionByName(
+        p.select("media_id", "ahash_hex").withColumn("fmt", F.lit("png"))
+    )
+    return u.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_encodings"),
+        F.countDistinct("ahash_hex").cast("long")
+            .alias("n_distinct_hashes"),
+        F.min("ahash_hex").alias("ahash_hex"),
+    )
+
+
+ORACLE_CROSSCODEC_AHASH = f"""WITH {_ahash_cte()}
+SELECT media_id, CAST(2 AS BIGINT) AS n_encodings,
+       CAST(1 AS BIGINT) AS n_distinct_hashes, ah.ahash_hex
+FROM ah
+"""

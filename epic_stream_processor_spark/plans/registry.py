@@ -1157,6 +1157,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "RIFF/WAVE PCM - row-local Arrow, closed-form silence/voice "
         "layout oracle",
     ),
+    "crosscodec_ahash": QueryDef(
+        llm.q_crosscodec_ahash, llm.ORACLE_CROSSCODEC_AHASH,
+        "cross-codec near-dup invariant (round 9): BMP and PNG "
+        "encodings of the same image through two independent decoders "
+        "must hash identically (re-encoded copies are the commonest "
+        "image dup); oracle recomputes the hash a third way in SQL - "
+        "three implementations agree",
+    ),
 }
 
 

@@ -1,0 +1,36 @@
+"""Cross-codec perceptual-hash agreement + a negative control."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.imagehash import ahash_images
+from epic_stream_processor_spark.operators.multimodal import (
+    decode_bmp,
+    decode_png,
+    docs_as_bmp,
+    docs_as_png,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, "s", "en", t) for i, t in enumerate(rows)],
+        "doc_id long, source string, lang string, text string",
+    )
+
+
+def test_bmp_and_png_hash_identically(spark):
+    docs = _docs(spark, ["pixel payload one", "another body entirely",
+                         "third image text"])
+    b = {r["media_id"]: r["ahash_hex"]
+         for r in ahash_images(decode_bmp(docs_as_bmp(docs))).collect()}
+    p = {r["media_id"]: r["ahash_hex"]
+         for r in ahash_images(decode_png(docs_as_png(docs))).collect()}
+    assert b == p and len(b) == 3
+
+
+def test_different_pixels_hash_differently(spark):
+    docs = _docs(spark, ["aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+                         "zzzzzzzzzzzzzzzzzaaaaaaaaaaaaazzzzzz"])
+    h = {r["media_id"]: r["ahash_hex"]
+         for r in ahash_images(decode_bmp(docs_as_bmp(docs))).collect()}
+    assert h[0] != h[1]
