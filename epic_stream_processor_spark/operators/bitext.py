@@ -1,0 +1,122 @@
+"""Bitext URL pairing — parallel-document candidates from crawl URLs.
+
+Web-mined translation corpora (STRAND, ParaCrawl, CCMatrix's seeding
+stage) generate candidate document pairs from URL STRUCTURE before any
+content comparison: ``example.com/en/about`` and ``example.com/fr/
+about`` are almost certainly translations of each other.  The operator
+is a language-slot normalization + equi-join — never an all-pairs
+comparison:
+
+- a language-stripped KEY replaces the language marker with a
+  placeholder, wherever the marker lives: a path segment (``/en/``),
+  a ``lang=xx`` query parameter, or a subdomain (``en.host``);
+- the detected language rides along as a column;
+- candidates = self-equi-join on the key across DIFFERENT languages
+  (``lang_a < lang_b`` dedups the symmetric pair);
+- ``key_cap`` is the standard flood valve (the LSH ``bucket_cap``
+  convention): a key carried by more than ``key_cap`` pages — a
+  wikipedia-style hub translated 300 ways — would emit O(n²) pairs
+  per key; over-cap keys are dropped BEFORE the join behind one
+  count-aggregate with map-side partials.
+
+Engine stance: pure JVM regexps + one equi-join on the stripped key
+(the join is the operator — it shuffles O(pages) keys, and AQE handles
+residual key skew).  Composes with `urlnorm.canonical_url` upstream.
+
+Reference note: LLM-data-pipeline extension (STRAND/ParaCrawl public
+recipes); feeds the PO/parallel-text leg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the ISO-639-1 slice that covers the published bitext crawls
+_LANGS = "en|fr|de|es|it|pt|nl|pl|ru|ja|zh|ko|ar|tr|sv|cs"
+
+_PATH = rf"(?<=/)({_LANGS})(?=/)"
+_QUERY = rf"(?<=[?&]lang=)({_LANGS})(?=&|$)"
+_HOST = rf"(?<=^https://)({_LANGS})(?=\.)"
+
+
+def url_language(u: Column) -> Column:
+    """The URL's language marker (path segment, lang= param, or
+    subdomain), '' if none."""
+    path = F.regexp_extract(u, _PATH, 1)
+    query = F.regexp_extract(u, _QUERY, 1)
+    host = F.regexp_extract(u, _HOST, 1)
+    return F.coalesce(
+        F.nullif(path, F.lit("")), F.nullif(query, F.lit("")),
+        F.nullif(host, F.lit("")), F.lit(""),
+    )
+
+
+def language_stripped_key(u: Column) -> Column:
+    k = F.regexp_replace(u, _PATH, "LANG")
+    k = F.regexp_replace(k, _QUERY, "LANG")
+    return F.regexp_replace(k, _HOST, "LANG")
+
+
+def pair_bitext_urls(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    key_cap: int | None = 8,
+) -> DataFrame:
+    """(doc_id, url) → candidate pairs
+    (pair_key, lang_a, lang_b, doc_a, doc_b, url_a, url_b)."""
+    u = F.col(url_col)
+    keyed = pages.select(
+        F.col(id_col).alias("_doc"),
+        u.alias("_url"),
+        url_language(u).alias("_lang"),
+        language_stripped_key(u).alias("pair_key"),
+    ).where(F.col("_lang") != "")
+    if key_cap is not None:
+        counts = keyed.groupBy("pair_key").agg(
+            F.count("*").alias("_n"))
+        keyed = keyed.join(
+            counts.where(F.col("_n") <= key_cap).select("pair_key"),
+            "pair_key",
+        )
+    a = keyed.select(
+        "pair_key", F.col("_lang").alias("lang_a"),
+        F.col("_doc").alias("doc_a"), F.col("_url").alias("url_a"))
+    b = keyed.select(
+        "pair_key", F.col("_lang").alias("lang_b"),
+        F.col("_doc").alias("doc_b"), F.col("_url").alias("url_b"))
+    return a.join(b, "pair_key").where(
+        F.col("lang_a") < F.col("lang_b"))
+
+
+def docs_as_url_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): two language variants per document — an English
+    page plus fr/de/es by doc_id%3, the marker position itself cycling
+    by doc_id%3 (path segment / lang= query param / subdomain) so all
+    three normalization rules are live — and an unpaired no-language
+    decoy page for doc_id%7==0 that must emit zero pairs."""
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    site = (did % 50).cast("string")
+    other = F.when(did % 3 == 0, F.lit("fr")).when(
+        did % 3 == 1, F.lit("de")).otherwise(F.lit("es"))
+
+    def page(lang):
+        path = F.format_string(
+            "https://site%s.example/%s/art/%s", site, lang, ids)
+        query = F.format_string(
+            "https://site%s.example/art/%s?lang=%s", site, ids, lang)
+        host = F.format_string(
+            "https://%s.site%s.example/art/%s", lang, site, ids)
+        return F.when(did % 3 == 0, path).when(
+            did % 3 == 1, query).otherwise(host)
+
+    en = docs.select("doc_id", page(F.lit("en")).alias("url"))
+    ot = docs.select("doc_id", page(other).alias("url"))
+    decoy = docs.where(did % 7 == 0).select(
+        "doc_id",
+        F.format_string("https://site%s.example/plain/%s",
+                        site, ids).alias("url"),
+    )
+    return en.unionByName(ot).unionByName(decoy)

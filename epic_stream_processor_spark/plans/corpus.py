@@ -3513,3 +3513,54 @@ SELECT doc_id, 1, 2, 140, 140 + 20 * (1 + doc_id % 3),
        2000 + doc_id % 5 * 100
 FROM documents
 """
+
+# --- Bitext URL pairing (round 9) ---------------------------------------------------
+
+def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext URL pairing (round 9): the STRAND/ParaCrawl seeding
+    stage — parallel-document candidates from URL structure, never
+    content: a language-stripped key (path segment, lang= parameter,
+    or subdomain marker — the fixture cycles all three) feeds ONE
+    equi-join across different languages, with the key_cap flood
+    valve dropping hub keys before the join (operators/bitext.py).
+    The no-language decoy page emits zero pairs.
+
+    Closed-form: one (en, fr/de/es) pair per document by doc_id%3.
+    """
+    from ..operators.bitext import docs_as_url_pages, pair_bitext_urls
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pair_bitext_urls(docs_as_url_pages(docs)).select(
+        "pair_key", "lang_a", "doc_a", "url_a", "lang_b", "doc_b",
+        "url_b",
+    )
+
+
+ORACLE_BITEXT_PAIRS = """WITH d AS (
+  SELECT doc_id, doc_id % 50 AS site, doc_id % 3 AS m FROM documents
+)
+SELECT CASE m
+         WHEN 0 THEN 'https://site' || site || '.example/LANG/art/' || doc_id
+         WHEN 1 THEN 'https://site' || site || '.example/art/' || doc_id
+                     || '?lang=LANG'
+         ELSE 'https://LANG.site' || site || '.example/art/' || doc_id
+       END AS pair_key,
+       CASE m WHEN 1 THEN 'de' ELSE 'en' END AS lang_a,
+       doc_id AS doc_a,
+       CASE m
+         WHEN 0 THEN 'https://site' || site || '.example/en/art/' || doc_id
+         WHEN 1 THEN 'https://site' || site || '.example/art/' || doc_id
+                     || '?lang=de'
+         ELSE 'https://en.site' || site || '.example/art/' || doc_id
+       END AS url_a,
+       CASE m WHEN 0 THEN 'fr' WHEN 1 THEN 'en' ELSE 'es' END AS lang_b,
+       doc_id AS doc_b,
+       CASE m
+         WHEN 0 THEN 'https://site' || site || '.example/fr/art/' || doc_id
+         WHEN 1 THEN 'https://site' || site || '.example/art/' || doc_id
+                     || '?lang=en'
+         ELSE 'https://es.site' || site || '.example/art/' || doc_id
+       END AS url_b
+FROM d
+"""

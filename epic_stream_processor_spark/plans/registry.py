@@ -1165,6 +1165,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "image dup); oracle recomputes the hash a third way in SQL - "
         "three implementations agree",
     ),
+    "bitext_pairs": QueryDef(
+        corpus.q_bitext_pairs, corpus.ORACLE_BITEXT_PAIRS,
+        "bitext URL pairing (round 9, STRAND/ParaCrawl seeding): "
+        "language-stripped key (path/query/subdomain markers) + one "
+        "equi-join across languages with the key_cap flood valve; "
+        "no-language decoys emit zero pairs; closed-form oracle",
+    ),
 }
 
 

@@ -1,0 +1,68 @@
+"""Bitext URL pairing: marker coverage, the flood valve, decoys."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.bitext import (
+    docs_as_url_pages,
+    pair_bitext_urls,
+    url_language,
+)
+
+
+def _pages(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+
+
+class TestMarkers:
+    def test_all_three_marker_positions(self, spark):
+        from pyspark.sql import functions as F
+        df = _pages(spark, [
+            "https://a.example/en/x", "https://a.example/x?lang=fr",
+            "https://de.a.example/x", "https://a.example/plain",
+            "https://a.example/enx/x",          # not a segment
+        ])
+        langs = [r[0] for r in df.select(
+            url_language(F.col("url"))).collect()]
+        assert langs == ["en", "fr", "de", "", ""]
+
+    def test_multilingual_cluster_pairs_all_combinations(self, spark):
+        df = _pages(spark, [
+            "https://s.example/en/a", "https://s.example/fr/a",
+            "https://s.example/de/a",
+        ])
+        rows = pair_bitext_urls(df).collect()
+        pairs = sorted((r["lang_a"], r["lang_b"]) for r in rows)
+        assert pairs == [("de", "en"), ("de", "fr"), ("en", "fr")]
+
+    def test_different_articles_never_pair(self, spark):
+        df = _pages(spark, [
+            "https://s.example/en/a", "https://s.example/fr/b",
+        ])
+        assert pair_bitext_urls(df).collect() == []
+
+
+class TestFloodValve:
+    def test_key_cap_drops_hub_keys(self, spark):
+        langs = ["en", "fr", "de", "es", "it", "pt", "nl", "pl",
+                 "ru", "ja", "zh", "ko"]
+        hub = [f"https://hub.example/{lg}/home" for lg in langs]
+        normal = ["https://n.example/en/p", "https://n.example/fr/p"]
+        df = _pages(spark, hub + normal)
+        capped = pair_bitext_urls(df, key_cap=8).collect()
+        # the 12-language hub (66 pairs uncapped) is dropped whole
+        assert len(capped) == 1
+        assert capped[0]["lang_a"] == "en" and capped[0]["lang_b"] == "fr"
+        uncapped = pair_bitext_urls(df, key_cap=None).collect()
+        assert len(uncapped) == 66 + 1
+
+
+class TestFixture:
+    def test_one_pair_per_doc_and_decoy_silence(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "s", "en", "t") for i in range(21)],
+            "doc_id long, source string, lang string, text string",
+        )
+        rows = pair_bitext_urls(docs_as_url_pages(docs)).collect()
+        assert len(rows) == 21
+        assert all(r["doc_a"] == r["doc_b"] for r in rows)
