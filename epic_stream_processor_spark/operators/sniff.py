@@ -22,14 +22,19 @@ offset-30 prefix check.
 
 Output: one ``format`` label per row from {png, jpeg, gif, bmp, tiff,
 pdf, gzip, bz2, zip, epub, ooxml, odf, flac, wav, mp3, tar, warc, xml,
-html, mbox, unknown}. Misses are 'unknown', never an error — sniffing
-untrusted bytes must be total.
+html, mbox, sqlite, mp4, ogg, rtf, zstd, lz4, xz, unknown}. Misses are
+'unknown', never an error — sniffing untrusted bytes must be total.
+(The round-9 additions: SQLite's 16-byte header string, ISO-BMFF's
+``ftyp`` at offset 4 — the one magic that does NOT sit at offset 0 —
+Ogg's ``OggS`` capture, RTF's ``{\\rtf`` declaration, and the modern
+compression frames zstd/lz4/xz that newer Common Crawl drops use.)
 
 Reference note: LLM-data-pipeline extension (WHATWG MIME sniffing /
 file(1) magic databases are the public precedent); the per-format
 magics come from each format's own public spec, and the pytest suite
 pins the sniffer against REAL output from every in-repo writer
-(PDF/EPUB/DOCX/ODT/PNG/JPEG/GIF/BMP/TIFF/FLAC/WAV/MP3/tar/WARC/mbox).
+(PDF/EPUB/DOCX/ODT/PNG/JPEG/GIF/BMP/TIFF/FLAC/WAV/MP3/MP4/Ogg/SQLite/
+RTF/tar/WARC/mbox).
 """
 
 from __future__ import annotations
@@ -69,6 +74,13 @@ def sniff_format(data: Column) -> Column:
     )
     return (
         F.when(_hex_at(data, 1, "89504E470D0A1A0A"), F.lit("png"))
+        .when(_ascii_at(data, 1, "SQLite format 3"), F.lit("sqlite"))
+        .when(_ascii_at(data, 5, "ftyp"), F.lit("mp4"))
+        .when(_ascii_at(data, 1, "OggS"), F.lit("ogg"))
+        .when(_ascii_at(data, 1, "{\\rtf"), F.lit("rtf"))
+        .when(_hex_at(data, 1, "28B52FFD"), F.lit("zstd"))
+        .when(_hex_at(data, 1, "04224D18"), F.lit("lz4"))
+        .when(_hex_at(data, 1, "FD377A585A00"), F.lit("xz"))
         .when(_hex_at(data, 1, "FFD8FF"), F.lit("jpeg"))
         .when(_ascii_at(data, 1, "GIF8"), F.lit("gif"))
         .when(_ascii_at(data, 1, "%PDF"), F.lit("pdf"))

@@ -2795,7 +2795,7 @@ def q_sniff_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-classified into epub/odf/ooxml by the spec-fixed first-member
     layout (operators/sniff.py). The fixture cycles 13 formats by
     doc_id%13 with the document text as payload; the pytest tier pins
-    the sniffer against REAL output from all 15 in-repo writers.
+    the sniffer against REAL output from all 19 in-repo writers.
     """
     from ..operators.sniff import docs_as_blobs, sniff
 

@@ -963,7 +963,7 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "content sniffing (round 9): magic-number format dispatch — "
         "the crawl front door; pure-JVM hex-prefix whens, guarded weak "
         "magics, ZIP sub-classified epub/odf/ooxml by first-member "
-        "layout; pytest pins REAL output of all 15 in-repo writers",
+        "layout; pytest pins REAL output of all 19 in-repo writers",
     ),
     "epub_extract": QueryDef(
         corpus.q_epub_extract, corpus.ORACLE_EPUB_EXTRACT,

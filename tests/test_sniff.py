@@ -82,6 +82,37 @@ class TestRealWriters:
         }
         assert got == {label: label for label in cases}
 
+    def test_round9_writers_classify(self, spark):
+        from pyspark.sql import functions as F
+
+        from epic_stream_processor_spark.operators.mp4 import docs_as_mp4
+        from epic_stream_processor_spark.operators.ogg import docs_as_ogg
+        from epic_stream_processor_spark.operators.rtf import docs_as_rtf
+        from epic_stream_processor_spark.operators.sqlitefile import (
+            docs_as_sqlite,
+        )
+
+        docs = _docs(spark)
+        cases = {
+            "mp4": docs_as_mp4,
+            "ogg": docs_as_ogg,
+            "sqlite": docs_as_sqlite,
+        }
+        got = {
+            label: _sniff_one(spark, _first_blob(builder(docs)))
+            for label, builder in cases.items()
+        }
+        rtf_body = docs_as_rtf(docs).select(
+            F.encode(F.col("body"), "utf-8").alias("data")
+        ).limit(1).collect()[0][0]
+        got["rtf"] = _sniff_one(spark, bytes(rtf_body))
+        assert got == {label: label for label in list(cases) + ["rtf"]}
+
+    def test_compression_frame_magics(self, spark):
+        assert _sniff_one(spark, bytes.fromhex("28B52FFD") + b"x") == "zstd"
+        assert _sniff_one(spark, bytes.fromhex("04224D18") + b"x") == "lz4"
+        assert _sniff_one(spark, bytes.fromhex("FD377A585A00") + b"x") == "xz"
+
     def test_stdlib_containers(self, spark):
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tf:
