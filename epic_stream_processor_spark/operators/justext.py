@@ -1,0 +1,137 @@
+"""Block-level boilerplate classification — the jusText/Readability
+stage between "HTML" and "training text".
+
+`html_extract.extract_text` recovers ALL text; real corpus pipelines
+(jusText under OSCAR, trafilatura under many open corpora) first
+classify each block as content or chrome, because nav bars, footers,
+and link farms survive tag-stripping verbatim.  The public jusText
+criteria, reduced to their integer-exact core:
+
+- **link density**: characters inside ``<a>`` anchors / block text
+  characters — navigation blocks are mostly links (``> 33%`` → bad);
+- **length**: blocks under a word floor carry no trainable prose
+  (``< 4`` words → short);
+- **stopword density**: real prose contains function words; a block
+  of label-nouns ("Home Products Pricing") has none (``= 0`` stopword
+  hits with ≥ threshold words → listing).
+
+Classification order: bad (links) beats short beats listing beats
+good.  All arithmetic is integer (cross-multiplied percentages), so
+the SQL oracle reproduces every label bit-for-bit.
+
+Engine stance: pure JVM — script/style/comment strip FIRST (the
+html_extract ordering lesson), ``regexp_extract_all`` block capture,
+one row-local ``posexplode_outer`` (the inner-explode-over-derived-
+array plan trap is avoided deliberately), per-block regexp/HOF
+arithmetic.  Zero Python, zero shuffles; map-only at 100 TB.
+
+Reference note: LLM-data-pipeline extension (jusText: Pomikálek 2011,
+public; trafilatura heuristics); composes with `html_extract`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the function-word core every jusText language model shares
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "for", "on", "with", "as", "by", "at", "it", "this", "that",
+)
+
+_BLOCK = r"(?is)<(p|div|h1|h2|h3|li)\b[^>]*>(.*?)</\1>"
+_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def _text_of(html: Column) -> Column:
+    t = F.regexp_replace(html, r"(?is)<[^>]+>", " ")
+    t = F.regexp_replace(t, r"&amp;", "&")
+    t = F.regexp_replace(t, r"&lt;", "<")
+    t = F.regexp_replace(t, r"&gt;", ">")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def classify_blocks(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    max_link_pct: int = 33,
+    min_words: int = 4,
+) -> DataFrame:
+    """(doc_id, html) → one row per block:
+    (doc_id, block_index, tag, text, n_words, n_stopwords,
+    link_density_pct, label).  Pure JVM, zero shuffles."""
+    cleaned = F.col(html_col)
+    for pat in (
+        r"(?is)<script\b[^>]*>.*?</script>",
+        r"(?is)<style\b[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+    ):
+        cleaned = F.regexp_replace(cleaned, pat, "")
+    tags = F.regexp_extract_all(cleaned, F.lit(_BLOCK), 1)
+    bodies = F.regexp_extract_all(cleaned, F.lit(_BLOCK), 2)
+    blocks = F.arrays_zip(tags.alias("tag"), bodies.alias("body"))
+    e = pages.select(
+        id_col, F.posexplode_outer(blocks).alias("_pos", "_b")
+    ).where(F.col("_b").isNotNull())
+    body = F.col("_b")["body"]
+    tag = F.lower(F.col("_b")["tag"])
+    text = _text_of(body)
+    anchor_text = _text_of(
+        F.array_join(F.regexp_extract_all(body, F.lit(_ANCHOR), 1), " ")
+    )
+    text_len = F.greatest(F.length(text), F.lit(1))
+    link_pct = (F.length(anchor_text) * 100 / text_len).cast("long")
+    words = F.filter(F.split(F.lower(text), " "),
+                     lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, w))
+    ).cast("long")
+    label = (
+        F.when(link_pct > max_link_pct, F.lit("bad"))
+        .when(n_words < min_words, F.lit("short"))
+        .when(n_stop == 0, F.lit("listing"))
+        .otherwise(F.lit("good"))
+    )
+    return e.select(
+        id_col,
+        F.col("_pos").cast("long").alias("block_index"),
+        tag.alias("tag"),
+        text.alias("text"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        link_pct.alias("link_density_pct"),
+        label.alias("label"),
+    )
+
+
+def docs_as_blocky_html(docs: DataFrame) -> DataFrame:
+    """(doc_id, html): four blocks per document with engineered
+    densities — a prose paragraph carrying the first word-half plus a
+    fixed function-word tail (good), an all-anchor nav div (bad), a
+    two-word note (short), and a stopword-free label list (listing).
+    A script-tag decoy block must leak nothing.  Closed-form."""
+    norm = F.regexp_replace(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+    )
+    clean = F.regexp_replace(norm, r"[<>&]", "")
+    words = F.split(clean, " ")
+    k = F.floor((F.size(words) + F.lit(1)) / F.lit(2)).cast("int")
+    p1 = F.array_join(F.slice(words, 1, k), " ")
+    ids = F.col("doc_id").cast("string")
+    html = F.format_string(
+        "<html><head><script>var x = '<p>decoy %s</p>';</script></head>"
+        "<body>"
+        "<p>%s and this is the story of item %s.</p>"
+        '<div><a href="/">Home</a> <a href="/p">Products</a> '
+        '<a href="/c">Contact</a></div>'
+        "<p>note %s</p>"
+        "<li>Alpha Beta Gamma Delta Epsilon</li>"
+        "</body></html>",
+        ids, p1, ids, ids,
+    )
+    return docs.select("doc_id", html.alias("html"))

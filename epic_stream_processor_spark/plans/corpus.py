@@ -3564,3 +3564,67 @@ SELECT CASE m
        END AS url_b
 FROM d
 """
+
+# --- Block-level boilerplate classification (round 9) -------------------------------
+
+def q_justext_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level boilerplate classification (round 9): the jusText/
+    trafilatura stage between HTML and training text — per-block link
+    density (cross-multiplied integer percent), word floor, and
+    stopword density decide content vs chrome; a nav div of pure
+    anchors classifies bad, a two-word note short, a stopword-free
+    label list listing, prose good. Script decoys stripped before
+    block capture (operators/justext.py). Pure JVM, zero shuffles.
+
+    Closed-form: four engineered blocks per document.
+    """
+    from ..operators.justext import classify_blocks, docs_as_blocky_html
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return classify_blocks(docs_as_blocky_html(docs)).select(
+        "doc_id", "block_index", "tag", "text", "n_words",
+        "n_stopwords", "link_density_pct", "label",
+    )
+
+
+ORACLE_JUSTEXT_BLOCKS = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(
+             regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+             '[<>&]', '', 'g'),
+           ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, (len(w) + 1) // 2 AS k FROM d
+), p AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(array_to_string(w[1:k], ' ')),
+                                  ' '), x -> x <> '') AS p1w,
+         trim(regexp_replace(
+           array_to_string(w[1:k], ' ') ||
+           ' and this is the story of item ' || doc_id || '.',
+           ' +', ' ', 'g')) AS text0
+  FROM s
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS block_index, 'p' AS tag,
+       text0 AS text,
+       CAST(len(p1w) + 8 AS BIGINT) AS n_words,
+       CAST(5 + len(list_filter(p1w, x -> list_contains(
+         ['the','a','an','and','or','of','to','in','is','are','was',
+          'for','on','with','as','by','at','it','this','that'], x)))
+         AS BIGINT) AS n_stopwords,
+       CAST(0 AS BIGINT) AS link_density_pct, 'good' AS label
+FROM p
+UNION ALL
+SELECT doc_id, 1, 'div', 'Home Products Contact', 3, 0, 100, 'bad'
+FROM p
+UNION ALL
+SELECT doc_id, 2, 'p', 'note ' || doc_id, 2, 0, 0, 'short'
+FROM p
+UNION ALL
+SELECT doc_id, 3, 'li', 'Alpha Beta Gamma Delta Epsilon', 5, 0, 0,
+       'listing'
+FROM p
+"""

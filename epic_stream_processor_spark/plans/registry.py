@@ -1172,6 +1172,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "equi-join across languages with the key_cap flood valve; "
         "no-language decoys emit zero pairs; closed-form oracle",
     ),
+    "justext_blocks": QueryDef(
+        corpus.q_justext_blocks, corpus.ORACLE_JUSTEXT_BLOCKS,
+        "block-level boilerplate classification (round 9, jusText "
+        "stage): integer link density + word floor + stopword density "
+        "per block, script decoys stripped first - pure JVM, zero "
+        "shuffles; closed-form engineered-density oracle",
+    ),
 }
 
 

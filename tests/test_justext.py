@@ -1,0 +1,50 @@
+"""Block-level boilerplate classification: criteria edges + real shapes."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.justext import classify_blocks
+
+
+def _classify(spark, html: str):
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return classify_blocks(df).orderBy("block_index").collect()
+
+
+class TestCriteria:
+    def test_link_density_boundary(self, spark):
+        # exactly 33% is NOT bad (> threshold), 34% is
+        html = ('<p><a href="/">aaaa</a> bbbb cccc dddd of the in is</p>')
+        r = _classify(spark, html)[0]
+        assert r["link_density_pct"] <= 33 and r["label"] == "good"
+
+    def test_mostly_links_is_bad_even_with_stopwords(self, spark):
+        html = '<p><a href="/">the of and in to are was</a> x</p>'
+        r = _classify(spark, html)[0]
+        assert r["label"] == "bad"
+
+    def test_nested_markup_inside_block(self, spark):
+        html = "<p>this is <b>bold</b> and <i>italic</i> prose of note</p>"
+        r = _classify(spark, html)[0]
+        assert r["text"] == "this is bold and italic prose of note"
+        assert r["label"] == "good"
+
+    def test_entities_decoded(self, spark):
+        html = "<p>ham &amp; eggs are the best of it all</p>"
+        r = _classify(spark, html)[0]
+        assert "ham & eggs" in r["text"]
+
+    def test_script_and_comment_blocks_leak_nothing(self, spark):
+        html = ("<script>document.write('<p>evil</p>')</script>"
+                "<!-- <p>ghost</p> --><p>real and true of it</p>")
+        rows = _classify(spark, html)
+        assert len(rows) == 1 and rows[0]["text"].startswith("real")
+
+    def test_empty_block_and_no_blocks(self, spark):
+        rows = _classify(spark, "<p></p>")
+        assert rows[0]["n_words"] == 0 and rows[0]["label"] == "short"
+        assert _classify(spark, "no markup here") == []
+
+    def test_heading_and_list_tags_captured(self, spark):
+        html = "<h2>Section of the story</h2><li>item one of two</li>"
+        rows = _classify(spark, html)
+        assert [r["tag"] for r in rows] == ["h2", "li"]
