@@ -540,3 +540,49 @@ def run_session_window_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_sniff_route_stream(
+    spark: SparkSession,
+    blob_dir: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Format-routing ingest as a stream — the crawl delivery front
+    door: opaque blobs land in a directory, each micro-batch sniffs
+    their magic numbers (``sniff_format`` — pure JVM, so the routing
+    decision runs inside codegen on the executors) and the sink writes
+    ``partitionBy(format)``, so every downstream extractor tails ONLY
+    its own format's partition directory.  The stage is stateless —
+    the file source's processed-file log in the checkpoint makes
+    delivery exactly-once per blob file; there is no dedup state to
+    grow.  Backpressure via ``maxFilesPerTrigger``.
+
+    At 100 TB: sniffing is a map-only scan; the partitioned sink is
+    the standard hash-free routing shuffle-avoidance — a blob never
+    moves between executors, it just lands in its format's directory.
+    """
+    from ..operators.sniff import sniff_format
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    blobs = reader.load(blob_dir).select(
+        F.col("path"),
+        F.col("length").cast("long").alias("n_bytes"),
+        sniff_format(F.col("content")).alias("format"),
+    )
+    writer = (
+        blobs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("format")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

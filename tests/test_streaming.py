@@ -840,3 +840,46 @@ def test_corpus_ingest_stream_normalized_dedups_unicode_variants(spark, tmp_path
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out2).count() == 4
+
+
+def test_sniff_route_stream_matches_batch(spark, tmp_path):
+    """The format-routing front door: blobs written as files, streamed
+    through sniff_format, landed partitionBy(format) — the routed
+    stream must agree with batch sniffing of the same bytes, and a
+    restart must not re-deliver (exactly-once per blob file)."""
+    import gzip as _gzip
+
+    from epic_stream_processor_spark.operators.sniff import sniff
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_sniff_route_stream,
+    )
+
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    blobs = {
+        "a.bin": b"\x89PNG\r\n\x1a\n" + b"x" * 20,
+        "b.bin": b"%PDF-1.7 junk",
+        "c.bin": _gzip.compress(b"payload"),
+        "d.bin": b"no magic at all",
+        "e.bin": b"SQLite format 3\x00" + b"\x00" * 32,
+    }
+    for name, data in blobs.items():
+        (blob_dir / name).write_bytes(data)
+    out = str(tmp_path / "routed")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_sniff_route_stream(spark, str(blob_dir), out, ckpt)
+    q.awaitTermination(120)
+    routed = {
+        r["path"].split("/")[-1]: r["format"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.createDataFrame(
+        [(bytearray(v),) for v in blobs.values()], "data binary")
+    labels = sorted(r["format"] for r in sniff(batch).collect())
+    assert sorted(routed.values()) == labels
+    assert routed["a.bin"] == "png" and routed["e.bin"] == "sqlite"
+    assert routed["d.bin"] == "unknown"
+    # restart: no new files -> no duplicate rows
+    q2 = run_sniff_route_stream(spark, str(blob_dir), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(blobs)
