@@ -1,0 +1,86 @@
+"""Readability scoring — the Flesch family as an exact-integer signal.
+
+Quality-filtering recipes stack cheap signals (CCNet perplexity,
+Gopher repetition rules — both already in this repo) with READABILITY:
+Flesch Reading Ease over sentence/word/syllable counts is the classic
+document-complexity proxy, used to stratify corpora by difficulty and
+to build curriculum mixtures.  The textbook formula is float
+(``206.835 − 1.015·w/s − 84.6·syl/w``); here it is computed in MICRO-
+UNITS with floor division at each step — ``206835000 −
+(1015000·w div s) − (84600000·syl div w)`` — so Spark and DuckDB
+produce bit-identical scores and the bucket thresholds (≥70 easy,
+≥50 medium, ≥30 difficult) are plain integer compares.
+
+Counting heuristics (the published public ones):
+- sentences: runs of ``[.!?]`` (min 1 — headlines have none);
+- words: whitespace tokens;
+- syllables: vowel-group runs ``[aeiouy]+`` per word, min 1 per word
+  — the standard dictionary-free approximation.
+
+Engine stance: pure JVM — split + higher-order transform/aggregate
+over words, ``regexp_count`` for groups.  Zero Python, zero shuffles.
+Unlike the format fixtures, this operator runs on the RAW documents
+table — no synthetic writer; the oracle recomputes the identical
+arithmetic in SQL over the same rows.
+
+Reference note: LLM-data-pipeline extension (Flesch 1948, public);
+stacks with `lm.py` (CCNet) and `repetition_metrics` (Gopher).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def syllable_counts(words: Column) -> Column:
+    """Per-word vowel-group counts, min 1, summed."""
+    per_word = F.transform(
+        words,
+        lambda w: F.greatest(
+            F.regexp_count(w, F.lit(r"[aeiouy]+")), F.lit(1)
+        ),
+    )
+    return F.aggregate(
+        per_word, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → (doc_id, n_sentences, n_words, n_syllables,
+    fre_micro, bucket).  Exact integer; zero shuffles."""
+    norm = F.lower(F.regexp_replace(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+    ))
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    n_words = F.greatest(F.size(words).cast("long"), F.lit(1).cast("long"))
+    n_sent = F.greatest(
+        F.regexp_count(norm, F.lit(r"[.!?]+")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syl = F.greatest(syllable_counts(words), F.lit(1).cast("long"))
+    fre = (
+        F.lit(206835000).cast("long")
+        - F.expr(f"({1015000} * _nw) div _ns")
+        - F.expr(f"({84600000} * _nsyl) div _nw")
+    )
+    staged = docs.select(
+        "doc_id",
+        n_sent.alias("_ns"),
+        n_words.alias("_nw"),
+        n_syl.alias("_nsyl"),
+    )
+    out = staged.select(
+        "doc_id",
+        F.col("_ns").alias("n_sentences"),
+        F.col("_nw").alias("n_words"),
+        F.col("_nsyl").alias("n_syllables"),
+        fre.alias("fre_micro"),
+    )
+    bucket = (
+        F.when(F.col("fre_micro") >= 70000000, F.lit("easy"))
+        .when(F.col("fre_micro") >= 50000000, F.lit("medium"))
+        .when(F.col("fre_micro") >= 30000000, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    return out.withColumn("bucket", bucket)

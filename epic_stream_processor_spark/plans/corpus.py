@@ -3628,3 +3628,57 @@ SELECT doc_id, 3, 'li', 'Alpha Beta Gamma Delta Epsilon', 5, 0, 0,
        'listing'
 FROM p
 """
+
+# --- Readability scoring (round 9) --------------------------------------------------
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (round 9): Flesch Reading Ease in exact
+    integer micro-units (floor division at each step, so both engines
+    agree bit-for-bit) over the dictionary-free public heuristics —
+    vowel-group syllables, [.!?]-run sentences. Runs on the RAW
+    documents table (no synthetic writer); stacks with the CCNet
+    perplexity and Gopher repetition signals as a difficulty-
+    stratification axis (operators/readability.py). Pure JVM, zero
+    shuffles.
+    """
+    from ..operators.readability import readability
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return readability(docs).select(
+        "doc_id", "n_sentences", "n_words", "n_syllables", "fre_micro",
+        "bucket",
+    )
+
+
+ORACLE_READABILITY = r"""WITH d AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))
+             AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         greatest(len(list_filter(string_split(t, ' '), x -> x <> '')),
+                  1) AS nw,
+         greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS ns,
+         greatest(list_sum(list_transform(
+           list_filter(string_split(t, ' '), x -> x <> ''),
+           w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))),
+           1) AS nsyl
+  FROM d
+)
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_sentences,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(nsyl AS BIGINT) AS n_syllables,
+       CAST(206835000 - (1015000 * nw) // ns - (84600000 * nsyl) // nw
+            AS BIGINT) AS fre_micro,
+       CASE WHEN 206835000 - (1015000 * nw) // ns
+                 - (84600000 * nsyl) // nw >= 70000000 THEN 'easy'
+            WHEN 206835000 - (1015000 * nw) // ns
+                 - (84600000 * nsyl) // nw >= 50000000 THEN 'medium'
+            WHEN 206835000 - (1015000 * nw) // ns
+                 - (84600000 * nsyl) // nw >= 30000000 THEN 'difficult'
+            ELSE 'very_difficult' END AS bucket
+FROM c
+"""

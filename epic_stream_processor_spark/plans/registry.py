@@ -1179,6 +1179,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "per block, script decoys stripped first - pure JVM, zero "
         "shuffles; closed-form engineered-density oracle",
     ),
+    "readability": QueryDef(
+        corpus.q_readability, corpus.ORACLE_READABILITY,
+        "readability scoring (round 9): Flesch Reading Ease in exact "
+        "integer micro-units over dictionary-free heuristics (vowel-"
+        "group syllables, punctuation-run sentences) on the RAW "
+        "documents table - a difficulty-stratification axis next to "
+        "CCNet/Gopher; pure JVM, zero shuffles",
+    ),
 }
 
 

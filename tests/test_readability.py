@@ -1,0 +1,42 @@
+"""Flesch readability: hand-computed example + heuristics edges."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.readability import readability
+
+
+def _score(spark, text):
+    df = spark.createDataFrame(
+        [(1, "s", "en", text)],
+        "doc_id long, source string, lang string, text string")
+    return readability(df).collect()[0].asDict()
+
+
+def test_hand_computed_example(spark):
+    # "the cat sat. the dog ran!" → 6 words, 2 sentences, 6 syllables
+    r = _score(spark, "the cat sat. the dog ran!")
+    assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (2, 6, 6)
+    # fre = 206835000 - 1015000*6//2 - 84600000*6//6 = 119190000
+    assert r["fre_micro"] == 206835000 - 3045000 - 84600000
+    assert r["bucket"] == "easy"
+
+
+def test_vowel_group_syllables(spark):
+    # "queueing" → one contiguous vowel run 'ueuei' = 1 group;
+    # "rhythm" → 'y' counts as a vowel = 1 group
+    r = _score(spark, "queueing rhythm")
+    assert r["n_syllables"] == 2
+    assert r["n_sentences"] == 1      # no punctuation → floor 1
+
+
+def test_polysyllabic_text_is_harder(spark):
+    easy = _score(spark, "we go. we run. it is fun.")
+    hard = _score(spark, ("extraordinarily unconstitutional "
+                          "incomprehensibilities notwithstanding."))
+    assert easy["fre_micro"] > hard["fre_micro"]
+    assert hard["bucket"] == "very_difficult"
+
+
+def test_empty_text_floors(spark):
+    r = _score(spark, "")
+    assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (1, 1, 1)
