@@ -1,0 +1,129 @@
+"""Charset detection — the decode step between "bytes" and "text".
+
+Crawled text arrives in whatever encoding the origin server produced,
+and the Content-Type charset parameter lies as often as the MIME type
+does — so every text pipeline (this repo's `sniff` → charset →
+`textnorm` chain mirrors the production order) detects the encoding
+from the BYTES before a single character exists.  The detector here is
+the deterministic core every charset library agrees on, in confidence
+order:
+
+1. **BOM**: ``EF BB BF`` → utf-8-sig, ``FF FE`` → utf-16le,
+   ``FE FF`` → utf-16be (authoritative when present);
+2. **null-byte parity**: BOM-less UTF-16 of mostly-ASCII text puts
+   NULs on alternating byte positions — odd-position NULs ≫ even →
+   utf-16le, the reverse → utf-16be;
+3. **strict UTF-8 validation**: decodes cleanly and uses only ASCII →
+   ``ascii``; decodes cleanly with multi-byte sequences → ``utf-8``;
+4. **latin-1 fallback**: any byte string decodes as latin-1 — the
+   honest "unknown 8-bit" label, exactly what the big pipelines do
+   before the statistical guessers.
+
+Output carries the DECODED text and its char count, so downstream
+stages (`textnorm`) start from characters, not bytes.
+
+Engine stance: row-local Arrow ``mapInPandas`` (strict-decode
+validation is a Python/CPython primitive; the bytes never shuffle).
+Zero shuffles; map-only at 100 TB.
+
+Reference note: LLM-data-pipeline extension (WHATWG encoding sniffing
+/ chardet's deterministic tier, public); completes the ingest edge
+between `sniff` and `textnorm`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHARSET_SCHEMA = (
+    "doc_id long, charset string, n_bytes long, n_chars long, "
+    "text string"
+)
+
+
+def detect_charset_bytes(buf: bytes) -> tuple[str, Optional[str]]:
+    """(charset label, decoded text) — total over arbitrary bytes."""
+    if buf[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", buf[3:].decode("utf-8", "replace")
+    if buf[:2] == b"\xff\xfe":
+        return "utf-16le", buf[2:].decode("utf-16-le", "replace")
+    if buf[:2] == b"\xfe\xff":
+        return "utf-16be", buf[2:].decode("utf-16-be", "replace")
+    if len(buf) >= 4:
+        odd_nul = buf[1::2].count(0)
+        even_nul = buf[0::2].count(0)
+        half = max(len(buf) // 2, 1)
+        if odd_nul >= half * 3 // 4 and even_nul == 0:
+            return "utf-16le", buf.decode("utf-16-le", "replace")
+        if even_nul >= half * 3 // 4 and odd_nul == 0:
+            return "utf-16be", buf.decode("utf-16-be", "replace")
+    try:
+        text = buf.decode("utf-8", "strict")
+        return ("ascii" if all(b < 0x80 for b in buf) else "utf-8"), text
+    except UnicodeDecodeError:
+        return "latin-1", buf.decode("latin-1")
+
+
+def detect_charset(
+    blobs: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """(doc_id, data) → (doc_id, charset, n_bytes, n_chars, text)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(b) if b is not None else b""
+                cs, text = detect_charset_bytes(raw)
+                rows.append((int(i), cs, len(raw),
+                             len(text) if text is not None else None,
+                             text))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "charset", "n_bytes",
+                               "n_chars", "text"])
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            out["n_chars"] = out["n_chars"].astype("Int64")
+            yield out
+
+    return blobs.select(id_col, data_col).mapInPandas(
+        gen, schema=CHARSET_SCHEMA)
+
+
+def docs_as_encoded_bytes(docs: DataFrame) -> DataFrame:
+    """(doc_id, data): the document text (printable-ASCII-stripped so
+    the latin-1 leg round-trips exactly; the strip is engine-symmetric)
+    encoded in a charset cycling by doc_id%5 — plain ASCII utf-8, then
+    'café: '-prefixed utf-8 / BOM'd utf-8-sig / BOM'd utf-16le /
+    latin-1.  Every detected label and char count is closed-form."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        def build(did: int, text: str) -> bytes:
+            clean = _re.sub(r"[^\x20-\x7E]", "", text or "")
+            m = did % 5
+            if m == 0:
+                return clean.encode("ascii")
+            body = "café: " + clean
+            if m == 1:
+                return body.encode("utf-8")
+            if m == 2:
+                return b"\xef\xbb\xbf" + body.encode("utf-8")
+            if m == 3:
+                return b"\xff\xfe" + body.encode("utf-16-le")
+            return body.encode("latin-1")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "data": [build(int(i), t if isinstance(t, str) else "")
+                         for i, t in zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, data binary")

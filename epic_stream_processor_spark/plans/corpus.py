@@ -3682,3 +3682,47 @@ SELECT doc_id,
             ELSE 'very_difficult' END AS bucket
 FROM c
 """
+
+# --- Charset detection (round 9) ----------------------------------------------------
+
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset detection (round 9): the decode step between bytes and
+    text — BOMs (authoritative), BOM-less UTF-16 null parity, strict
+    UTF-8 validation (ascii vs utf-8), latin-1 fallback; the decoded
+    text and char count ride along so textnorm starts from characters
+    (operators/charset.py). Row-local Arrow; bytes never shuffle.
+
+    Closed-form: printable-ASCII-stripped text (engine-symmetric)
+    encoded in a charset cycling by doc_id%5, a 'café: ' prefix
+    forcing multi-byte sequences on the non-ASCII legs.
+    """
+    from ..operators.charset import detect_charset, docs_as_encoded_bytes
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return detect_charset(docs_as_encoded_bytes(docs)).select(
+        "doc_id", "charset", "n_bytes", "n_chars", "text",
+    )
+
+
+ORACLE_CHARSET_DETECT = r"""WITH d AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '[^\x20-\x7E]', '', 'g')
+             AS clean,
+         doc_id % 5 AS m
+  FROM documents
+)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8'
+              WHEN 2 THEN 'utf-8-sig' WHEN 3 THEN 'utf-16le'
+              ELSE 'latin-1' END AS charset,
+       CAST(CASE m WHEN 0 THEN length(clean)
+                   WHEN 1 THEN 7 + length(clean)
+                   WHEN 2 THEN 10 + length(clean)
+                   WHEN 3 THEN 2 + 2 * (6 + length(clean))
+                   ELSE 6 + length(clean) END AS BIGINT) AS n_bytes,
+       CAST(CASE m WHEN 0 THEN length(clean)
+                   ELSE 6 + length(clean) END AS BIGINT) AS n_chars,
+       CASE m WHEN 0 THEN clean ELSE 'café: ' || clean END AS text
+FROM d
+"""

@@ -1187,6 +1187,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "documents table - a difficulty-stratification axis next to "
         "CCNet/Gopher; pure JVM, zero shuffles",
     ),
+    "charset_detect": QueryDef(
+        corpus.q_charset_detect, corpus.ORACLE_CHARSET_DETECT,
+        "charset detection (round 9, WHATWG/chardet deterministic "
+        "tier): BOMs, BOM-less UTF-16 null parity, strict UTF-8 "
+        "validation, latin-1 fallback - the decode step between sniff "
+        "and textnorm; row-local Arrow, closed-form oracle",
+    ),
 }
 
 

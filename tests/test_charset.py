@@ -1,0 +1,40 @@
+"""Charset detection: heuristic edges the fixture never exercises."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.charset import (
+    detect_charset_bytes,
+)
+
+
+def test_boms_are_authoritative():
+    assert detect_charset_bytes(b"\xef\xbb\xbfhi")[0] == "utf-8-sig"
+    assert detect_charset_bytes("hi".encode("utf-16"))[0] in (
+        "utf-16le", "utf-16be")
+    assert detect_charset_bytes(b"\xfe\xff\x00h\x00i") == ("utf-16be", "hi")
+
+
+def test_bomless_utf16_null_parity():
+    le = "plain ascii words".encode("utf-16-le")
+    be = "plain ascii words".encode("utf-16-be")
+    assert detect_charset_bytes(le) == ("utf-16le", "plain ascii words")
+    assert detect_charset_bytes(be) == ("utf-16be", "plain ascii words")
+
+
+def test_utf8_vs_ascii_vs_latin1():
+    assert detect_charset_bytes(b"just ascii")[0] == "ascii"
+    assert detect_charset_bytes("naïve café".encode("utf-8"))[0] == "utf-8"
+    cs, text = detect_charset_bytes("naïve café".encode("latin-1"))
+    assert cs == "latin-1" and text == "naïve café"
+
+
+def test_binary_garbage_falls_back_not_crashes():
+    cs, text = detect_charset_bytes(bytes(range(256)))
+    assert cs == "latin-1" and len(text) == 256
+    assert detect_charset_bytes(b"")[0] == "ascii"
+
+
+def test_mixed_nulls_do_not_misfire_utf16():
+    # NULs on BOTH parities (binary-ish) must not claim utf-16
+    buf = b"\x00a\x00b\x00\x00ab"
+    assert detect_charset_bytes(buf)[0] in ("ascii", "utf-8", "latin-1")
