@@ -1194,6 +1194,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "validation, latin-1 fallback - the decode step between sniff "
         "and textnorm; row-local Arrow, closed-form oracle",
     ),
+    "resample_ffill": QueryDef(
+        relational.q_resample_ffill, relational.ORACLE_RESAMPLE_FFILL,
+        "time-series resample + LOCF gap-fill (round 9): events onto "
+        "a dense hourly grid per type (fact aggregated FIRST, grid = "
+        "broadcast types x hours), last(ignorenulls) running fill, "
+        "is_gap provenance, integer-cents arithmetic",
+    ),
 }
 
 

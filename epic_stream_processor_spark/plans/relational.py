@@ -996,3 +996,79 @@ SELECT user_id,
 FROM sessions
 GROUP BY user_id, sid
 """
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (round 9): the events stream
+    regularized onto a dense hourly grid per event type, missing hours
+    carried forward (LOCF — the standard pre-step for feature windows
+    and anomaly baselines over irregular event streams) with an
+    ``is_gap`` provenance flag.  Grid = distinct types × the hour
+    sequence between the table's min/max hour — BOTH sides are tiny
+    dimension frames (the fact table is aggregated FIRST), so the
+    cross join is an explicitly broadcast nested loop over O(types ×
+    hours) rows, never the fact table.  The fill is one
+    ``last(ignorenulls)`` running window per type; value arithmetic is
+    integer cents end to end (the oracle-exactness rule).
+    """
+    from pyspark.sql import Window
+
+    configure_for_parity(spark)
+    e = load_table(spark, sf_dir, "events")
+    hour_ts = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+    )
+    hourly = e.groupBy(hour_ts.alias("hour_ts"), "event_type").agg(
+        F.sum(_cents(F.col("value"), 10000)).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = e.agg(
+        F.min(hour_ts).alias("mn"), F.max(hour_ts).alias("mx"))
+    hours = bounds.select(
+        F.explode(
+            F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour_ts")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    g = grid.join(hourly, ["event_type", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "event_type",
+        "hour_ts",
+        F.last("sum_cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
+            .alias("n_events"),
+        F.col("sum_cents").isNull().alias("is_gap"),
+    )
+
+
+ORACLE_RESAMPLE_FFILL = """WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS c,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT date_trunc('hour', min(ts)) AS mn,
+         date_trunc('hour', max(ts)) AS mx
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT t.event_type, hours.h FROM types t CROSS JOIN hours
+)
+SELECT g.event_type, g.h AS hour_ts,
+       last_value(hourly.c IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_cents,
+       CAST(coalesce(hourly.n, 0) AS BIGINT) AS n_events,
+       hourly.c IS NULL AS is_gap
+FROM grid g
+LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h
+"""

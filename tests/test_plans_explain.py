@@ -123,6 +123,9 @@ BNLJ_ALLOWED = {
     "epic_detect_transient", "epic_cube_gather_real", "knn_cosine",
     "q22_dormant_customers", "boilerplate_ngrams", "q11_important_inventory",
     "pq_adc_topk",
+    # resample grid = broadcast(types x hours) dimension frames; the
+    # fact table is aggregated before the cross join ever sees it
+    "resample_ffill",
 }
 
 

@@ -1,0 +1,44 @@
+"""Resample + LOCF gap-fill: fill semantics on a hand-built series."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+
+
+def test_gap_fill_and_leading_nulls(spark, tmp_path):
+    import shutil
+
+    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY
+
+    # type A: hours 0 and 3 observed (1-2 gap, filled from hour 0);
+    # type B: hour 2 only (leading hours 0-1 stay NULL-filled)
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 1, "A", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=3), 1, "A", 5.0, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 2, "B", 7.0, "{}"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _events(spark, rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(str(sf / "events.parquet"))
+    out = EXTRA_PARITY["resample_ffill"].fn(spark, str(sf)).collect()
+    by = {(r["event_type"], r["hour_ts"].hour): r for r in out}
+    assert len(out) == 8                      # 2 types x 4 hours
+    assert by[("A", 0)]["filled_cents"] == 10000
+    assert by[("A", 1)]["filled_cents"] == 10000   # LOCF
+    assert by[("A", 1)]["is_gap"] is True
+    assert by[("A", 3)]["filled_cents"] == 50000
+    assert by[("B", 0)]["filled_cents"] is None    # leading gap
+    assert by[("B", 2)]["filled_cents"] == 70000
+    assert by[("B", 3)]["is_gap"] is True and \
+        by[("B", 3)]["filled_cents"] == 70000
