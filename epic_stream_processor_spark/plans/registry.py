@@ -1201,6 +1201,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "broadcast types x hours), last(ignorenulls) running fill, "
         "is_gap provenance, integer-cents arithmetic",
     ),
+    "event_funnel": QueryDef(
+        relational.q_event_funnel, relational.ORACLE_EVENT_FUNNEL,
+        "ordered funnel analysis (round 9): first view -> first click "
+        "AFTER it -> first purchase AFTER that, three chained window "
+        "projections reusing ONE user_id shuffle; stage counts + "
+        "view-to-purchase latency",
+    ),
 }
 
 

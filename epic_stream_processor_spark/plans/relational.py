@@ -1072,3 +1072,85 @@ SELECT g.event_type, g.h AS hour_ts,
 FROM grid g
 LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h
 """
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (round 9): per user, the classic
+    view → click → purchase conversion — each stage's timestamp is the
+    FIRST qualifying event strictly AFTER the previous stage (plain
+    per-type minima overstate conversion when a purchase precedes the
+    first view; the ordering constraint is the operator).  Three
+    chained window projections over ONE user_id partitioning — Spark
+    reuses the single shuffle across all three stages (each stage's
+    cutoff is a per-partition constant from the previous projection).
+    Output: one row per user with stage timestamps, the stage count
+    reached, and view→purchase milliseconds.
+    """
+    configure_for_parity(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "view_ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "click_ts",
+        F.min(F.when((F.col("event_type") == "click")
+                     & (F.col("ts") > F.col("view_ts")),
+                     F.col("ts"))).over(w),
+    )
+    s3 = s2.withColumn(
+        "purchase_ts",
+        F.min(F.when((F.col("event_type") == "purchase")
+                     & (F.col("ts") > F.col("click_ts")),
+                     F.col("ts"))).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.first("view_ts").alias("view_ts"),
+        F.first("click_ts").alias("click_ts"),
+        F.first("purchase_ts").alias("purchase_ts"),
+    )
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id", "view_ts", "click_ts", "purchase_ts",
+        stage.cast("long").alias("stage_reached"),
+        # exact micros then one floor division — MILLISECOND-unit
+        # timestampdiff counts boundary crossings differently per engine
+        F.expr(
+            "timestampdiff(MICROSECOND, view_ts, purchase_ts) div 1000"
+        ).cast("long").alias("view_to_purchase_ms"),
+    )
+
+
+ORACLE_EVENT_FUNNEL = """WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1
+)
+SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                 WHEN c.click_ts IS NOT NULL THEN 2
+                 WHEN v.view_ts IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage_reached,
+       CAST(date_diff('microsecond', v.view_ts, p.purchase_ts) // 1000
+            AS BIGINT) AS view_to_purchase_ms
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""

@@ -1,0 +1,48 @@
+"""Ordered funnel: the ordering constraint is the operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, tmp_path, rows):
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")) \
+     .write.parquet(str(sf / "events.parquet"))
+    return str(sf)
+
+
+def test_order_constraint_beats_per_type_minima(spark, tmp_path):
+    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY
+
+    t = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: purchase BEFORE any view → stage stops at click
+        (1, t + 0 * h, 1, "purchase", 1.0, "{}"),
+        (2, t + 1 * h, 1, "view", 1.0, "{}"),
+        (3, t + 2 * h, 1, "click", 1.0, "{}"),
+        # user 2: full ordered funnel
+        (4, t + 0 * h, 2, "view", 1.0, "{}"),
+        (5, t + 1 * h, 2, "click", 1.0, "{}"),
+        (6, t + 2 * h, 2, "purchase", 1.0, "{}"),
+        # user 3: clicks only, never views → stage 0
+        (7, t + 0 * h, 3, "click", 1.0, "{}"),
+        # user 4: view only → stage 1
+        (8, t + 0 * h, 4, "view", 1.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["user_id"]: r
+           for r in EXTRA_PARITY["event_funnel"].fn(spark, sf).collect()}
+    assert out[1]["stage_reached"] == 2
+    assert out[1]["purchase_ts"] is None
+    assert out[2]["stage_reached"] == 3
+    assert out[2]["view_to_purchase_ms"] == 2 * 3600 * 1000
+    assert out[3]["stage_reached"] == 0
+    assert out[4]["stage_reached"] == 1
