@@ -22,7 +22,7 @@ offset-30 prefix check.
 
 Output: one ``format`` label per row from {png, jpeg, gif, bmp, tiff,
 pdf, gzip, bz2, zip, epub, ooxml, odf, flac, wav, mp3, tar, warc, xml,
-html, mbox, sqlite, mp4, ogg, rtf, zstd, lz4, xz, unknown}. Misses are
+html, mbox, sqlite, mp4, ogg, rtf, webp, zstd, lz4, xz, unknown}. Misses are
 'unknown', never an error — sniffing untrusted bytes must be total.
 (The round-9 additions: SQLite's 16-byte header string, ISO-BMFF's
 ``ftyp`` at offset 4 — the one magic that does NOT sit at offset 0 —
@@ -99,6 +99,10 @@ def sniff_format(data: Column) -> Column:
         .when(
             _ascii_at(data, 1, "RIFF") & _ascii_at(data, 9, "AVI "),
             F.lit("avi"),
+        )
+        .when(
+            _ascii_at(data, 1, "RIFF") & _ascii_at(data, 9, "WEBP"),
+            F.lit("webp"),
         )
         .when(_ascii_at(data, 1, "ID3"), F.lit("mp3"))
         .when(_hex_at(data, 1, "FFFB") | _hex_at(data, 1, "FFF3"), F.lit("mp3"))

@@ -1,0 +1,153 @@
+"""WebP triage — the modern web-image container, headers without decode.
+
+Web crawls since ~2020 are full of WebP; an image-corpus sweep triages
+it the way `mp3.py`/`mp4.py` triage their families — recover geometry
+and feature flags from the container headers, route or drop, never
+decode.  All three spec variants of the RIFF-based container are
+parsed (public WebP container + VP8/VP8L bitstream specs):
+
+- ``VP8 `` (lossy): 3-byte frame tag, the ``9D 01 2A`` start code,
+  then 14-bit width/height in two little-endian uint16s;
+- ``VP8L`` (lossless): the ``2F`` signature byte, then width-1 and
+  height-1 as two 14-bit fields packed little-endian;
+- ``VP8X`` (extended): a feature-flag byte (ICC/alpha/EXIF/XMP/
+  animation) and 24-bit canvas width-1/height-1 — followed by
+  further chunks (the fixture appends an ``EXIF`` chunk so the
+  walk past the first chunk is exercised).
+
+Scale: row-local Arrow ``mapInPandas`` both ways, zero shuffles.
+Malformed input → NULL fields, never a crash.
+
+Reference note: LLM-data-pipeline extension (WebP container spec,
+public); completes the image family next to BMP/PNG/JPEG/GIF/TIFF.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WEBP_SCHEMA = (
+    "doc_id long, variant string, width long, height long, "
+    "has_alpha boolean, has_exif boolean, n_chunks long"
+)
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def write_webp(doc_id: int, text: str) -> bytes:
+    w = 320 + (doc_id % 4) * 160
+    h = 240 + (doc_id % 4) * 120
+    m = doc_id % 3
+    if m == 0:                                   # lossy VP8
+        body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+                + (text or "")[:64].encode("utf-8", "replace"))
+        chunks = _chunk(b"VP8 ", body)
+    elif m == 1:                                 # lossless VP8L
+        packed = (w - 1) | ((h - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", packed & 0xFFFFFFFF)
+        chunks = _chunk(b"VP8L", body)
+    else:                                        # extended VP8X
+        flags = 0x10 if doc_id % 2 == 0 else 0   # alpha bit
+        flags |= 0x08                            # EXIF bit
+        body = bytes([flags, 0, 0, 0])
+        body += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        chunks = _chunk(b"VP8X", body) + _chunk(
+            b"EXIF", b"II*\x00" + struct.pack("<I", 8))
+    riff = b"WEBP" + chunks
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def parse_webp_bytes(doc_id: int, buf: bytes) -> dict:
+    null = {"doc_id": doc_id, "variant": None, "width": None,
+            "height": None, "has_alpha": None, "has_exif": None,
+            "n_chunks": None}
+    try:
+        if len(buf) < 16 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+            return null
+        out = dict(null)
+        off = 12
+        n_chunks = 0
+        while off + 8 <= len(buf):
+            fourcc = buf[off:off + 4]
+            size = struct.unpack("<I", buf[off + 4:off + 8])[0]
+            body = buf[off + 8:off + 8 + size]
+            if len(body) < size:
+                break
+            n_chunks += 1
+            if fourcc == b"VP8 " and out["variant"] is None and size >= 10:
+                if body[3:6] == b"\x9d\x01\x2a":
+                    out["variant"] = "lossy"
+                    w16, h16 = struct.unpack("<HH", body[6:10])
+                    out["width"] = w16 & 0x3FFF
+                    out["height"] = h16 & 0x3FFF
+                    out["has_alpha"] = False
+            elif fourcc == b"VP8L" and out["variant"] is None and size >= 5:
+                if body[0] == 0x2F:
+                    out["variant"] = "lossless"
+                    packed = struct.unpack("<I", body[1:5])[0]
+                    out["width"] = (packed & 0x3FFF) + 1
+                    out["height"] = ((packed >> 14) & 0x3FFF) + 1
+                    out["has_alpha"] = bool((packed >> 28) & 1)
+            elif fourcc == b"VP8X" and size >= 10:
+                out["variant"] = "extended"
+                flags = body[0]
+                out["has_alpha"] = bool(flags & 0x10)
+                out["has_exif"] = bool(flags & 0x08)
+                out["width"] = int.from_bytes(body[4:7], "little") + 1
+                out["height"] = int.from_bytes(body[7:10], "little") + 1
+            off += 8 + size + (size & 1)
+        if out["variant"] is None:
+            return null
+        if out["has_exif"] is None:
+            out["has_exif"] = False
+        out["n_chunks"] = n_chunks
+        return out
+    except Exception:
+        return null
+
+
+def parse_webp(
+    blobs: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "variant", "width", "height", "has_alpha",
+                "has_exif", "n_chunks"]
+        for pdf in batches:
+            rows = [parse_webp_bytes(int(i), bytes(b) if b is not None else b"")
+                    for i, b in zip(pdf[id_col], pdf[data_col])]
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("doc_id", "width", "height", "n_chunks"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return blobs.select(id_col, data_col).mapInPandas(
+        gen, schema=WEBP_SCHEMA)
+
+
+def docs_as_webp(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, data): variant cycles lossy/lossless/extended by
+    doc_id%3, geometry 320+id%4·160 × 240+id%4·120, the extended
+    variant carrying alpha for even ids and an EXIF chunk (2 chunks).
+    Closed-form."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "data": [write_webp(int(i), t if isinstance(t, str) else "")
+                         for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, data binary")

@@ -3726,3 +3726,37 @@ SELECT doc_id,
        CASE m WHEN 0 THEN clean ELSE 'café: ' || clean END AS text
 FROM d
 """
+
+# --- WebP triage (round 9) ----------------------------------------------------------
+
+def q_webp_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP triage (round 9): geometry + feature flags from the
+    container headers of all three spec variants — lossy VP8 start
+    code + 14-bit dims, lossless VP8L packed dims, extended VP8X
+    canvas + flag byte with a chunk walk past the first chunk
+    (operators/webp.py). Row-local Arrow; no decode. Closed-form:
+    variant by doc_id%3, geometry by doc_id%4, alpha/EXIF flags on
+    the extended leg.
+    """
+    from ..operators.webp import docs_as_webp, parse_webp
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_webp(docs_as_webp(docs)).select(
+        "doc_id", "variant", "width", "height", "has_alpha",
+        "has_exif", "n_chunks",
+    )
+
+
+ORACLE_WEBP_TRIAGE = """SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+            ELSE 'extended' END AS variant,
+       CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width,
+       CAST(240 + (doc_id % 4) * 120 AS BIGINT) AS height,
+       CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 = 0 ELSE FALSE END
+           AS has_alpha,
+       doc_id % 3 = 2 AS has_exif,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS BIGINT)
+           AS n_chunks
+FROM documents
+"""

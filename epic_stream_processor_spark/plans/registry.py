@@ -1208,6 +1208,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "projections reusing ONE user_id shuffle; stage counts + "
         "view-to-purchase latency",
     ),
+    "webp_triage": QueryDef(
+        corpus.q_webp_triage, corpus.ORACLE_WEBP_TRIAGE,
+        "WebP triage (round 9): geometry+flags from all three "
+        "container variants (VP8 start code, VP8L packed dims, VP8X "
+        "canvas+flags with a chunk walk) - no decode, row-local "
+        "Arrow; closed-form oracle",
+    ),
 }
 
 

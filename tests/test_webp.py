@@ -1,0 +1,43 @@
+"""WebP triage: variant headers, chunk walk, hostile input."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.sniff import sniff
+from epic_stream_processor_spark.operators.webp import (
+    docs_as_webp,
+    parse_webp_bytes,
+    write_webp,
+)
+
+
+def test_all_variants_round_trip():
+    for did in range(9):
+        r = parse_webp_bytes(did, write_webp(did, "x"))
+        assert r["variant"] == ["lossy", "lossless", "extended"][did % 3]
+        assert r["width"] == 320 + (did % 4) * 160
+        assert r["height"] == 240 + (did % 4) * 120
+
+
+def test_extended_flags_and_chunk_walk():
+    r = parse_webp_bytes(2, write_webp(2, "x"))
+    assert r["has_alpha"] is True and r["has_exif"] is True
+    assert r["n_chunks"] == 2
+    r = parse_webp_bytes(5, write_webp(5, "x"))
+    assert r["has_alpha"] is False
+
+
+def test_truncation_and_wrong_riff():
+    b = write_webp(1, "fuzz")
+    for cut in range(0, len(b) + 1):
+        assert parse_webp_bytes(1, b[:cut])["doc_id"] == 1
+    assert parse_webp_bytes(0, b"RIFF\x04\x00\x00\x00WAVE")["variant"] is None
+    assert parse_webp_bytes(0, b"")["variant"] is None
+
+
+def test_sniffer_routes_webp(spark):
+    docs = spark.createDataFrame(
+        [(0, "s", "en", "t")],
+        "doc_id long, source string, lang string, text string")
+    blob = docs_as_webp(docs).collect()[0]["data"]
+    df = spark.createDataFrame([(bytes(blob),)], "data binary")
+    assert sniff(df).collect()[0]["format"] == "webp"
