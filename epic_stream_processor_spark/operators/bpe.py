@@ -8,12 +8,21 @@ the tokenizer engine-natively and *deterministically* — same corpus in,
 same merge table out, on any engine, any partitioning.
 
 Representation: a word becomes its **marked form** — every symbol is
-prefixed by a sentinel character (default ``\\x01``, must not occur in the
-corpus): ``"low"`` → ``"\\x01l\\x01o\\x01w"``. Merging pair (a, b) is then
-one ``replace(marked, M+a+M+b, M+ab)``: the sentinel anchors matches to
-symbol *starts* (no false matches inside longer symbols), and both
-engines' ``replace`` scans left-to-right non-overlapping — exactly the
-greedy merge order the reference algorithm specifies. Word-internal BPE
+*wrapped* in a sentinel pair (``\\x01`` opens, ``\\x02`` closes; neither
+may occur in the corpus): ``"low"`` → ``"\\x01l\\x02\\x01o\\x02\\x01w\\x02"``.
+Merging pair (a, b) is then one
+``replace(marked, O+a+C+O+b+C, O+ab+C)``: the opening sentinel anchors
+the match to a symbol *start* and the closing sentinel pins BOTH symbols
+as *complete tokens* (a right symbol that is merely a prefix of the
+following token cannot match — the round-9 boundary-leak class), the
+replacement consumes no neighbour's delimiter, and both engines'
+``replace`` scans left-to-right non-overlapping — exactly the greedy
+skip-both merge order the reference algorithm specifies. (A single
+shared delimiter can't do this: enforcing the right boundary by
+consuming the next token's opener shifts the scan and breaks greedy
+adjacency — ``aaaaaa`` under merge (a,a) comes out ``aa·a·aa·a`` instead
+of ``aa·aa·aa`` — and lookahead is unavailable in DuckDB's RE2, so the
+dual sentinel is the engine-portable formulation.) Word-internal BPE
 (no end-of-word marker) — the published variant minus the ``</w>``
 bookkeeping, stated here so nobody mistakes it for the full Sennrich
 setup.
@@ -41,11 +50,19 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import tokens
 
 MARK = "\x01"
+ENDMARK = "\x02"
 
 
 def _marked(col):
-    """Word → marked symbol string (every char sentinel-prefixed)."""
-    return F.regexp_replace(col, "(.)", MARK + "$1")
+    """Word → marked symbol string (every char sentinel-wrapped)."""
+    return F.regexp_replace(col, "(.)", MARK + "$1" + ENDMARK)
+
+
+def _symbols(m):
+    """Marked form → symbol array: drop the closers, split on the openers
+    (element 1 is the empty prefix before the first opener — sliced off by
+    callers)."""
+    return F.split(F.replace(m, F.lit(ENDMARK), F.lit("")), MARK)
 
 
 def word_counts(
@@ -57,11 +74,11 @@ def word_counts(
     wc = (
         docs.select(F.explode_outer(tokens(F.col(text_col))).alias("w"))
         .where(F.col("w").isNotNull() & (F.col("w") != ""))
-        # a word containing the sentinel would silently corrupt the marked
-        # representation; real text never carries \x01, so drop (don't
-        # crash the whole training on) the pathological token — mirrored
-        # in the oracle so the contract stays engine-exact
-        .where(~F.col("w").contains(MARK))
+        # a word containing either sentinel would silently corrupt the
+        # marked representation; real text never carries \x01/\x02, so
+        # drop (don't crash the whole training on) the pathological token
+        # — mirrored in the oracle so the contract stays engine-exact
+        .where(~F.col("w").contains(MARK) & ~F.col("w").contains(ENDMARK))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
@@ -91,9 +108,9 @@ def train_bpe(
     try:
         for rank in range(num_merges):
             syms = F.slice(
-                F.split(F.col("m"), MARK),
+                _symbols(F.col("m")),
                 2,
-                F.size(F.split(F.col("m"), MARK)),
+                F.size(_symbols(F.col("m"))),
             )
             pairs = (
                 marked.withColumn("_syms", syms)
@@ -125,8 +142,8 @@ def train_bpe(
             nxt = marked.select(
                 F.replace(
                     F.col("m"),
-                    F.lit(MARK + left + MARK + right),
-                    F.lit(MARK + left + right),
+                    F.lit(MARK + left + ENDMARK + MARK + right + ENDMARK),
+                    F.lit(MARK + left + right + ENDMARK),
                 ).alias("m"),
                 "cnt",
             )
@@ -154,10 +171,10 @@ def bpe_tokenize_col(word, merges: list[tuple[int, str, str]]):
     for _, left, right in merges:
         m = F.replace(
             m,
-            F.lit(MARK + left + MARK + right),
-            F.lit(MARK + left + right),
+            F.lit(MARK + left + ENDMARK + MARK + right + ENDMARK),
+            F.lit(MARK + left + right + ENDMARK),
         )
-    return F.filter(F.split(m, MARK), lambda s: s != "")
+    return F.filter(_symbols(m), lambda s: s != "")
 
 
 def bpe_vocab(
@@ -189,24 +206,26 @@ def _merge_ctes(num_merges: int, table: str) -> list[str]:
   SELECT w, count(*) AS cnt FROM (
     SELECT unnest(str_split_regex(trim(text), '\\s+')) AS w
     FROM {table} WHERE trim(coalesce(text, '')) <> ''
-  ) WHERE w <> '' AND NOT contains(w, chr(1)) GROUP BY w
+  ) WHERE w <> '' AND NOT contains(w, chr(1)) AND NOT contains(w, chr(2))
+  GROUP BY w
 ),
-m0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS m, cnt FROM wc)"""
+m0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS m, cnt FROM wc)"""
     ]
     for i in range(num_merges):
         parts.append(
             f"""pairs{i} AS (
   SELECT struct_extract(z, 1) AS l, struct_extract(z, 2) AS r, sum(cnt) AS c FROM (
     SELECT unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS z, cnt FROM (
-      SELECT str_split(m, chr(1))[2:] AS s, cnt FROM m{i}
+      SELECT str_split(replace(m, chr(2), ''), chr(1))[2:] AS s, cnt FROM m{i}
     ) WHERE len(s) >= 2
   ) GROUP BY 1, 2
 ),
 t{i} AS (SELECT l, r FROM pairs{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
 m{i + 1} AS (
   SELECT replace(m,
-                 chr(1) || (SELECT l FROM t{i}) || chr(1) || (SELECT r FROM t{i}),
-                 chr(1) || (SELECT l FROM t{i}) || (SELECT r FROM t{i})) AS m,
+                 chr(1) || (SELECT l FROM t{i}) || chr(2)
+                   || chr(1) || (SELECT r FROM t{i}) || chr(2),
+                 chr(1) || (SELECT l FROM t{i}) || (SELECT r FROM t{i}) || chr(2)) AS m,
          cnt
   FROM m{i}
 )"""
@@ -222,7 +241,8 @@ def bpe_vocab_oracle_sql(num_merges: int, table: str = "documents") -> str:
     applies the same sentinel-anchored greedy replace."""
     parts = _merge_ctes(num_merges, table)
     final = f"""SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
-  SELECT unnest(str_split(m, chr(1))[2:]) AS token, cnt FROM m{num_merges}
+  SELECT unnest(str_split(replace(m, chr(2), ''), chr(1))[2:]) AS token, cnt
+  FROM m{num_merges}
 ) GROUP BY token"""
     return ",\n".join(parts) + "\n" + final
 
@@ -248,7 +268,7 @@ def bpe_encode(
     """
     words = F.filter(
         tokens(F.col(text_col)),
-        lambda w: (w != "") & ~w.contains(MARK),
+        lambda w: (w != "") & ~w.contains(MARK) & ~w.contains(ENDMARK),
     )
     staged = docs.withColumn("_bpe_w", words).withColumn(
         "_bpe_t",
@@ -284,11 +304,11 @@ def bpe_encode_oracle_sql(
         for i in range(num_merges)
     )
     parts.append(f"mg AS (SELECT {sel})")
-    chain = "regexp_replace(w, '(.)', chr(1) || '\\1', 'g')"
+    chain = "regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')"
     for i in range(num_merges):
         chain = (
-            f"replace({chain}, chr(1) || l{i} || chr(1) || r{i}, "
-            f"chr(1) || l{i} || r{i})"
+            f"replace({chain}, chr(1) || l{i} || chr(2) || chr(1) || r{i} || chr(2), "
+            f"chr(1) || l{i} || r{i} || chr(2))"
         )
     parts.append(
         f"""docw AS (
@@ -296,12 +316,14 @@ def bpe_encode_oracle_sql(
          list_filter(
            CASE WHEN trim(coalesce(text, '')) = '' THEN []
                 ELSE str_split_regex(trim(text), '\\s+') END,
-           w -> w <> '' AND NOT contains(w, chr(1))) AS words
+           w -> w <> '' AND NOT contains(w, chr(1))
+                AND NOT contains(w, chr(2))) AS words
   FROM {table}
 ),
 enc AS (
   SELECT doc_id, words,
-         flatten(list_transform(words, w -> str_split({chain}, chr(1))[2:])) AS toks
+         flatten(list_transform(words,
+           w -> str_split(replace({chain}, chr(2), ''), chr(1))[2:])) AS toks
   FROM docw CROSS JOIN mg
 )"""
     )

@@ -1225,6 +1225,40 @@ def test_bpe_early_stop_and_empty(spark):
     assert bpe.train_bpe(empty, 2) == []
 
 
+def test_bpe_right_boundary_regression(spark):
+    """Round-9 falsifying corpus (Hypothesis, adjudicated in VERDICT r9):
+    on "aaaad adad ad" with 3 merges the single-sentinel formulation
+    matched the right symbol as a PREFIX of the following token
+    ('ad' lost its 'a', phantom merge ('aa','aad')). The dual-sentinel
+    marked form must reproduce the textbook sequence — and the word-level
+    tokenizations, including the greedy skip-both law on 'aaaaaa'
+    (aa·aa·aa, never aa·a·aa·a)."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaaad adad ad")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(docs, 3)
+    assert [(l, r) for _, l, r in merges] == [("a", "d"), ("a", "a"), ("a", "ad")]
+    toks = {
+        r["w"]: r["t"]
+        for r in spark.createDataFrame(
+            [("aaaad",), ("adad",), ("ad",), ("aaaaaa",)], "w string"
+        )
+        .select("w", bpe.bpe_tokenize_col(F.col("w"), merges).alias("t"))
+        .collect()
+    }
+    # merge 3 (a,ad) legitimately applies to [aa,a,ad] -> [aa,aad]; the r9
+    # bug was the merge TABLE containing phantom ('aa','aad') instead
+    assert toks["aaaad"] == ["aa", "aad"]
+    assert toks["adad"] == ["ad", "ad"]
+    assert toks["ad"] == ["ad"]
+    # greedy skip-both on runs: merge 2 is (a,a); six a's pair (0,1)(2,3)(4,5)
+    assert toks["aaaaaa"] == ["aa", "aa", "aa"]
+
+
 def test_ngram_profile_arrow_is_bit_exact_with_expression_path(spark):
     """hashlib md5 == JVM md5 and first-occurrence distinct ==
     array_distinct, so the Arrow gram profile must produce IDENTICAL
