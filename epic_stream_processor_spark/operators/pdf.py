@@ -29,10 +29,17 @@ codec in ``multimodal.py``. A 100 TB PDF sweep is embarrassingly
 parallel; per-doc cost is linear in the PDF's size with the inflate
 bound capping adversarial blowup.
 
-Honest limitations (documented, not hidden): literal strings carry raw
-UTF-8 (real PDFs use PDFDocEncoding/UTF-16 + font CMaps — a full CMap
-engine is out of scope for fixtures this module both writes and reads);
-``/Length`` must be a direct integer, not an indirect reference.
+String/encoding semantics (r10 — closing the round-9 "biggest
+extractor-vs-production delta"): hex strings ``<…>`` (whitespace-
+tolerant, odd-digit zero-padded), indirect ``/Length`` references
+(``/Length 7 0 R`` chased through the resolver), UTF-16BE-BOM text
+strings (ISO 32000 §7.9.2.2), and ``/ToUnicode`` CMaps (``beginbfchar``
++ ``beginbfrange``, 1- and 2-byte codes, applied per Tf-selected font)
+are all handled; the fixture writer emits each variant on a doc_id
+residue so the driver's oracle gate exercises every path. Honest
+remaining limitation: BOM-less literal strings decode as raw UTF-8, not
+PDFDocEncoding (they differ in ~20 codepoints above 0x7F), and
+predefined (non-embedded) CMap names are not resolved.
 Incremental-update chains (``/Prev``) ARE followed (r9): the xref walk
 starts at ``startxref``, chases ``/Prev`` newest→oldest (cycle-guarded,
 ≤8 generations), merges entries newest-wins, and honors free ("f" /
@@ -124,6 +131,20 @@ def docs_as_pdfs(
                 arr = b"[()]"
             return b"BT /F1 12 Tf 72 720 Td %s TJ ET" % arr
 
+        # ToUnicode CMap for the byte-shifted /F2 variant: content bytes
+        # are (char+1); ONE bfchar pins <21>→U+0020 and a bfrange maps
+        # the rest — both CMap constructs exercised. Extracted text is
+        # the UN-shifted footer, so only a WORKING CMap path satisfies
+        # the unchanged closed-form oracle.
+        SHIFT_CMAP = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+            b"1 beginbfchar\n<21> <0020>\nendbfchar\n"
+            b"1 beginbfrange\n<22> <7f> <0021>\nendbfrange\n"
+            b"endcmap\nend\n"
+        )
+
         def build(doc_id: int, norm: str) -> bytes:
             body = body_stream(norm)
             use_flate = doc_id % 2 == 0
@@ -133,25 +154,56 @@ def docs_as_pdfs(
             else:
                 stream1 = body
                 dict1 = b"<< /Length %d >>" % len(stream1)
-            footer = b"BT /F1 10 Tf 72 706 Td (%s) Tj ET" % esc(
-                ("[doc %d p1]" % doc_id).encode()
-            )
+            # footer ENCODING varies by doc_id%7 (r10): hex string,
+            # UTF-16BE-BOM literal, indirect /Length, ToUnicode-mapped
+            # /F2 — every variant decodes to the SAME "[doc N p1]" text,
+            # so the oracle stays closed-form while the driver gate
+            # exercises each reader path.
+            ftext = ("[doc %d p1]" % doc_id).encode()
+            fid = doc_id % 7
+            classic = doc_id % 3 != 0
+            font2 = fid == 4 and classic
+            indirect_len = fid == 3 and classic
+            if fid == 1:
+                hexs = ftext.hex().encode()
+                # interior whitespace is legal in hex strings — pin it
+                hexs = hexs[:8] + b" " + hexs[8:]
+                footer = b"BT /F1 10 Tf 72 706 Td <%s> Tj ET" % hexs
+            elif fid == 2:
+                u16 = b"\xfe\xff" + ftext.decode("ascii").encode("utf-16-be")
+                footer = b"BT /F1 10 Tf 72 706 Td (%s) Tj ET" % esc(u16)
+            elif font2:
+                shifted = bytes(b + 1 for b in ftext)
+                footer = b"BT /F2 10 Tf 72 706 Td (%s) Tj ET" % esc(shifted)
+            else:
+                footer = b"BT /F1 10 Tf 72 706 Td (%s) Tj ET" % esc(ftext)
+            res_fonts = b"/F1 5 0 R" + (b" /F2 7 0 R" if font2 else b"")
             objs = {
                 1: b"<< /Type /Catalog /Pages 2 0 R >>",
                 2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
                 3: (
                     b"<< /Type /Page /Parent 2 0 R "
                     b"/MediaBox [0 0 612 792] "
-                    b"/Resources << /Font << /F1 5 0 R >> >> "
+                    b"/Resources << /Font << " + res_fonts + b" >> >> "
                     b"/Contents [4 0 R 6 0 R] >>"
                 ),
                 5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
             }
-            if doc_id % 3 == 0:
+            if not classic:
                 return build_modern(doc_id, objs, dict1, stream1, footer)
+            dict6 = (
+                b"<< /Length 7 0 R >>"
+                if indirect_len
+                else b"<< /Length %d >>" % len(footer)
+            )
+            nums: list[int] = [1, 2, 3, 4, 5, 6]
+            if indirect_len:
+                nums.append(7)  # the /Length integer object
+            elif font2:
+                nums += [7, 8]  # /F2 font dict + its ToUnicode stream
             buf = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")
             offsets = {}
-            for num in (1, 2, 3, 4, 5, 6):
+            for num in nums:
                 offsets[num] = len(buf)
                 if num == 4:
                     buf += (
@@ -160,19 +212,33 @@ def docs_as_pdfs(
                     )
                 elif num == 6:
                     buf += (
-                        b"6 0 obj\n<< /Length %d >>\nstream\n" % len(footer)
+                        b"6 0 obj\n" + dict6 + b"\nstream\n"
                         + footer
+                        + b"\nendstream\nendobj\n"
+                    )
+                elif num == 7 and indirect_len:
+                    buf += b"7 0 obj\n%d\nendobj\n" % len(footer)
+                elif num == 7:
+                    buf += (
+                        b"7 0 obj\n<< /Type /Font /Subtype /Type1 "
+                        b"/BaseFont /Helvetica /ToUnicode 8 0 R >>\nendobj\n"
+                    )
+                elif num == 8:
+                    buf += (
+                        b"8 0 obj\n<< /Length %d >>\nstream\n" % len(SHIFT_CMAP)
+                        + SHIFT_CMAP
                         + b"\nendstream\nendobj\n"
                     )
                 else:
                     buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
             xref_at = len(buf)
-            buf += b"xref\n0 7\n0000000000 65535 f \n"
-            for num in (1, 2, 3, 4, 5, 6):
+            size = max(nums) + 1
+            buf += b"xref\n0 %d\n0000000000 65535 f \n" % size
+            for num in nums:
                 buf += b"%010d 00000 n \n" % offsets[num]
             buf += (
-                b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-                % xref_at
+                b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+                % (size, xref_at)
             )
             if doc_id % 5 == 0:
                 # every fifth classic-path doc ships ONE incremental
@@ -193,8 +259,8 @@ def docs_as_pdfs(
                 xref1_at = len(buf)
                 buf += b"xref\n6 1\n%010d 00001 n \n" % new6_at
                 buf += (
-                    b"trailer\n<< /Size 7 /Root 1 0 R /Prev %d >>\n"
-                    b"startxref\n%d\n%%%%EOF\n" % (xref_at, xref1_at)
+                    b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\n"
+                    b"startxref\n%d\n%%%%EOF\n" % (size, xref_at, xref1_at)
                 )
             return bytes(buf)
 
@@ -505,14 +571,27 @@ def parse_pdf(
             one = ref_in(dict_bytes, key)
             return [one] if one is not None else None
 
-        def stream_of(body: bytes, cap: int):
+        def stream_of(body: bytes, cap: int, resolve=None):
             """(filter_name, raw_bytes) for an object body holding a
-            stream; /Length must be a direct integer."""
-            m = _re.search(rb"/Length\s+(\d+)", body)
+            stream. /Length may be a direct integer OR an indirect
+            reference (``/Length 12 0 R`` — what real writers emit when
+            they stream content before knowing its size); pass
+            ``resolve`` (object number → body bytes) to chase it."""
+            m = _re.search(rb"/Length\s+(\d+)\s+(\d+)\s+R", body)
+            n = None
+            if m is not None and resolve is not None:
+                lb = resolve(int(m.group(1)))
+                lm = _re.match(rb"\s*(\d+)\s*$", lb) if lb is not None else None
+                if lm is None:
+                    return None
+                n = int(lm.group(1))
+            elif m is None:
+                m = _re.search(rb"/Length\s+(\d+)", body)
+                if m is not None:
+                    n = int(m.group(1))
             s = _re.search(rb"stream\r?\n", body)
-            if not m or not s:
+            if n is None or not s:
                 return None
-            n = int(m.group(1))
             data = body[s.end() : s.end() + n]
             if len(data) < n:
                 return None
@@ -568,20 +647,78 @@ def parse_pdf(
 
         TOKEN = _re.compile(rb"(/[A-Za-z0-9]+|[-+.0-9]+|[A-Za-z'\"*]+|\[|\])")
 
-        def extract_text(content: bytes):
-            """Run the text-showing ops. Returns (text, n_show_ops)."""
+        def scan_hex_string(content: bytes, i: int):
+            """Parse a hex string starting at '<' (NOT '<<'): hex pairs
+            with interior whitespace legal, odd final digit padded with
+            '0' per ISO 32000 §7.3.4.3. Returns (bytes, next_index) or
+            None if this is a dict open."""
+            n = len(content)
+            if i + 1 < n and content[i + 1] == 0x3C:  # <<
+                return None
+            j = i + 1
+            digits = bytearray()
+            while j < n and content[j] != 0x3E:  # >
+                c = content[j]
+                if c in b"0123456789abcdefABCDEF":
+                    digits.append(c)
+                elif c not in b" \t\r\n\x0c\x00":
+                    return None  # not a hex string after all
+                j += 1
+            if j >= n:
+                return None
+            if len(digits) % 2:
+                digits.append(0x30)
+            return bytes.fromhex(digits.decode("ascii")), j + 1
+
+        def decode_pdf_string(raw: bytes, cmap=None) -> str:
+            """Shown-string bytes → text: a /ToUnicode CMap for the
+            current font wins; else a UTF-16BE BOM selects UTF-16BE
+            (§7.9.2.2 text-string rule); else the fixture contract's
+            raw UTF-8 (real PDFDocEncoding differs only in a handful of
+            codepoints — documented limitation)."""
+            if cmap:
+                width = cmap["width"]
+                table = cmap["map"]
+                out = []
+                for k in range(0, len(raw) - width + 1, width):
+                    code = int.from_bytes(raw[k : k + width], "big")
+                    out.append(table.get(code, "�"))
+                return "".join(out)
+            if raw[:2] == b"\xfe\xff":
+                return raw[2:].decode("utf-16-be", "replace")
+            return raw.decode("utf-8", "replace")
+
+        def extract_text(content: bytes, font_cmaps=None):
+            """Run the text-showing ops; ``font_cmaps`` maps /Fname →
+            parsed ToUnicode CMap, consulted per the Tf-selected font.
+            Returns (text, n_show_ops)."""
             lines: list[str] = []
             current: list[str] = []
             n_show = 0
+            font_cmaps = font_cmaps or {}
+            cur_cmap = None
+            last_name: bytes | None = None
             # tokenize: strings handled by the scanner, the rest by regex
             i, n = 0, len(content)
             pending: list[bytes] = []  # string operands since last op
             in_array: list[bytes] | None = None
+
+            def show(raw: bytes) -> str:
+                return decode_pdf_string(raw, cur_cmap)
+
             while i < n:
                 b = content[i]
                 if b == 0x28:  # (
                     s, i = scan_string(content, i)
                     (in_array if in_array is not None else pending).append(s)
+                    continue
+                if b == 0x3C:  # < — hex string unless dict open
+                    got = scan_hex_string(content, i)
+                    if got is not None:
+                        s, i = got
+                        (in_array if in_array is not None else pending).append(s)
+                        continue
+                    i += 1
                     continue
                 m = TOKEN.match(content, i)
                 if not m:
@@ -594,14 +731,12 @@ def parse_pdf(
                 elif tok == b"]":
                     pending, in_array = (in_array or []), None
                 elif tok == b"TJ":
-                    current.append(
-                        b"".join(pending).decode("utf-8", "replace")
-                    )
+                    current.append("".join(show(p) for p in pending))
                     n_show += 1
                     pending = []
                 elif tok == b"Tj":
                     if pending:
-                        current.append(pending[-1].decode("utf-8", "replace"))
+                        current.append(show(pending[-1]))
                         n_show += 1
                     pending = []
                 elif tok == b"'":
@@ -609,7 +744,7 @@ def parse_pdf(
                         lines.append("".join(current))
                         current = []
                     if pending:
-                        current.append(pending[-1].decode("utf-8", "replace"))
+                        current.append(show(pending[-1]))
                         n_show += 1
                     pending = []
                 elif tok in (b"Td", b"TD", b"T*"):
@@ -617,11 +752,113 @@ def parse_pdf(
                         lines.append("".join(current))
                         current = []
                     pending = []
-                elif tok.isalpha() or tok.startswith(b"/"):
+                elif tok == b"Tf":
+                    cur_cmap = font_cmaps.get(last_name)
+                    pending = []
+                elif tok.startswith(b"/"):
+                    last_name = tok
+                    pending = []
+                elif tok.isalpha():
                     pending = []  # any other operator clears operands
             if current:
                 lines.append("".join(current))
             return "\n".join(lines), n_show
+
+        BFCHAR = _re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+        BFRANGE = _re.compile(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
+        )
+        CMAP_MAX_CODES = 65536  # bound an adversarial bfrange
+
+        def parse_tounicode(raw: bytes):
+            """ToUnicode CMap → {'width': bytes_per_code, 'map': {code:
+            str}} — beginbfchar pairs and beginbfrange spans, dst hex
+            decoded UTF-16BE. Code width from the src hex length (1- and
+            2-byte codes cover real-world CID fonts)."""
+            table: dict[int, str] = {}
+            width = 1
+            for m in _re.finditer(
+                rb"beginbfchar(.*?)endbfchar", raw, _re.S
+            ):
+                for sm in BFCHAR.finditer(m.group(1)):
+                    src, dst = sm.group(1), sm.group(2)
+                    width = max(width, len(src) // 2)
+                    table[int(src, 16)] = (
+                        bytes.fromhex(dst.decode()).decode("utf-16-be", "replace")
+                    )
+            for m in _re.finditer(
+                rb"beginbfrange(.*?)endbfrange", raw, _re.S
+            ):
+                for sm in BFRANGE.finditer(m.group(1)):
+                    lo, hi = int(sm.group(1), 16), int(sm.group(2), 16)
+                    if hi - lo + 1 > CMAP_MAX_CODES - len(table):
+                        hi = lo + max(0, CMAP_MAX_CODES - len(table)) - 1
+                    width = max(width, len(sm.group(1)) // 2)
+                    base = bytes.fromhex(sm.group(3).decode())
+                    base_cp = int.from_bytes(base, "big")
+                    nb = len(base)
+                    for code in range(lo, hi + 1):
+                        table[code] = (
+                            (base_cp + code - lo)
+                            .to_bytes(nb, "big")
+                            .decode("utf-16-be", "replace")
+                        )
+            return {"width": width, "map": table} if table else None
+
+        def dict_body_after(blob, offsets, body: bytes, key: bytes):
+            """The dict VALUE of ``key`` inside ``body``: an inline
+            ``<<…>>`` balance-scanned to its matching close, or an
+            indirect ref resolved to an object whose body is the dict."""
+            m = _re.search(key + rb"\s*", body)
+            if not m:
+                return None
+            at = m.end()
+            if body[at : at + 2] == b"<<":
+                depth, j = 0, at
+                while j < len(body) - 1:
+                    pair = body[j : j + 2]
+                    if pair == b"<<":
+                        depth, j = depth + 1, j + 2
+                    elif pair == b">>":
+                        depth, j = depth - 1, j + 2
+                        if depth == 0:
+                            return body[at:j]
+                    else:
+                        j += 1
+                return None
+            rm = _re.match(rb"(\d+)\s+\d+\s+R", body[at:])
+            if rm:
+                return obj_body(blob, offsets, int(rm.group(1)))
+            return None
+
+        def page_font_cmaps(blob, offsets, page: bytes, resolve):
+            """/Resources → /Font → per-font /ToUnicode CMap streams →
+            {b'/Fname': parsed cmap}. Absent pieces are simply skipped —
+            fonts without CMaps fall back to the byte decode."""
+            res = dict_body_after(blob, offsets, page, rb"/Resources")
+            if res is None:
+                return {}
+            fonts = dict_body_after(blob, offsets, res, rb"/Font")
+            if fonts is None:
+                return {}
+            cmaps = {}
+            for fm in _re.finditer(rb"(/[A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R", fonts):
+                fobj = obj_body(blob, offsets, int(fm.group(2)))
+                if fobj is None:
+                    continue
+                tref = ref_in(fobj, rb"/ToUnicode")
+                if tref is None:
+                    continue
+                tobj = obj_body(blob, offsets, tref)
+                if tobj is None:
+                    continue
+                got = stream_of(tobj, inflate_cap, resolve)
+                if got is None:
+                    continue
+                cm = parse_tounicode(got[1])
+                if cm is not None:
+                    cmaps[fm.group(1)] = cm
+            return cmaps
 
         def parse_one(doc_id: int, blob: bytes):
             offsets, trailer, xref_kind = parse_xref(blob)
@@ -630,6 +867,10 @@ def parse_pdf(
             root = ref_in(trailer, rb"/Root")
             if root is None:
                 return None
+
+            def resolve(num: int):
+                return obj_body(blob, offsets, num)
+
             cat = obj_body(blob, offsets, root)
             if cat is None:
                 return None
@@ -641,16 +882,18 @@ def parse_pdf(
             content = bytearray()
             body_filter = None
             n_pages = 0
+            font_cmaps: dict = {}
             for kid in kids:
                 page = obj_body(blob, offsets, kid)
                 if page is None:
                     return None
                 n_pages += 1
+                font_cmaps.update(page_font_cmaps(blob, offsets, page, resolve))
                 for cref in refs_array(page, rb"/Contents") or []:
                     cobj = obj_body(blob, offsets, cref)
                     if cobj is None:
                         return None
-                    got = stream_of(cobj, inflate_cap)
+                    got = stream_of(cobj, inflate_cap, resolve)
                     if got is None:
                         return None
                     fname, raw = got
@@ -659,7 +902,7 @@ def parse_pdf(
                     content += raw + b"\n"
             if n_pages == 0:
                 return None
-            text, n_show = extract_text(bytes(content))
+            text, n_show = extract_text(bytes(content), font_cmaps)
             return {
                 "doc_id": doc_id,
                 "n_pages": n_pages,

@@ -474,3 +474,114 @@ def test_pdf_prev_cycle_is_bounded(spark):
     rows = _parse_rows(spark, [(23, hacked)])
     # terminates and still extracts (newest generation wins regardless)
     assert rows[23]["text"] == "new text"
+
+
+# --- r10: string/encoding semantics — hex strings, indirect /Length,
+# UTF-16BE literals, /ToUnicode CMaps (VERDICT r9 next #4) ----------------
+
+
+def _encoding_features_pdf() -> bytes:
+    """Hand-authored (NOT docs_as_pdfs-emittable) PDF using all four r10
+    features at once: the content stream's /Length is an indirect
+    reference; line 1 is a hex string with interior whitespace and an
+    ODD digit count (trailing zero-pad rule); line 2 is a UTF-16BE-BOM
+    literal with a non-ASCII codepoint; line 3 is shown through a font
+    whose /ToUnicode CMap uses 2-BYTE codes (bfchar + bfrange)."""
+    # "Hi!" hex-encoded = 486921 -> split + odd count: <48 69 2> pads to 0x20
+    line1 = b"<48 69 2> Tj"
+    u16 = "Café".encode("utf-16-be")
+    line2 = b"(" + b"\xfe\xff" + u16 + b") Tj"
+    # 2-byte codes: <0001>->"O", <0002>-><0003> range -> "K","L"
+    line3 = b"<000100020003> Tj"
+    content = (
+        b"BT /F1 12 Tf 72 720 Td " + line1
+        + b" 0 -14 TD " + line2
+        + b" 0 -14 TD /F2 12 Tf " + line3 + b" ET"
+    )
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"1 beginbfchar\n<0001> <004f>\nendbfchar\n"
+        b"1 beginbfrange\n<0002> <0003> <004b>\nendbfrange\n"
+        b"endcmap\n"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /Font << /F1 7 0 R /F2 5 0 R >> >> "
+            b"/Contents 4 0 R >>"
+        ),
+        5: (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+            b"/ToUnicode 6 0 R >>"
+        ),
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        8: b"%d" % len(content),  # the indirect /Length target
+    }
+    buf = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in (1, 2, 3, 4, 5, 6, 7, 8):
+        offsets[num] = len(buf)
+        if num == 4:
+            buf += (
+                b"4 0 obj\n<< /Length 8 0 R >>\nstream\n" + content
+                + b"\nendstream\nendobj\n"
+            )
+        elif num == 6:
+            buf += (
+                b"6 0 obj\n<< /Length %d >>\nstream\n" % len(cmap)
+                + cmap + b"\nendstream\nendobj\n"
+            )
+        else:
+            buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 9\n0000000000 65535 f \n"
+    for num in (1, 2, 3, 4, 5, 6, 7, 8):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += (
+        b"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_at
+    )
+    return bytes(buf)
+
+
+def test_pdf_encoding_features_foreign_writer(spark):
+    rows = _parse_rows(spark, [(31, _encoding_features_pdf())])
+    r = rows[31]
+    # hex "48 69 2" -> 48 69 20 -> "Hi "; UTF-16BE "Café"; CMap "OKL"
+    assert r["text"] == "Hi \nCafé\nOKL"
+    assert r["n_show_ops"] == 3 and r["n_pages"] == 1
+
+
+def test_pdf_fixture_encoding_variants_roundtrip(spark):
+    """Every doc_id%7 footer-encoding variant the r10 writer emits
+    (hex string, UTF-16BE-BOM literal, indirect /Length, byte-shifted
+    /ToUnicode font) must extract the SAME closed-form text as the
+    plain-literal variant — ids 1..28 cover all (fid, classic/modern,
+    flate, incremental) combinations."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(1, 29)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in parse_pdf(docs_as_pdfs(docs)).collect()
+    }
+    assert len(rows) == 28  # no variant drops a row
+    for i in range(1, 29):
+        v2 = i % 5 == 0 and i % 3 != 0
+        want = "alpha beta gamma delta\n[doc %d p1%s]" % (
+            i, " v2" if v2 else ""
+        )
+        assert rows[i]["text"] == want, (i, rows[i]["text"])
+
+
+def test_pdf_indirect_length_broken_target_drops_row(spark):
+    """An indirect /Length whose target object is missing (or not an
+    integer) must drop the row, not crash or mis-slice."""
+    pdf = _encoding_features_pdf()
+    # retarget /Length 8 0 R at the (non-integer) catalog object
+    hacked = pdf.replace(b"<< /Length 8 0 R >>", b"<< /Length 1 0 R >>", 1)
+    assert _parse_rows(spark, [(32, hacked)]) == {}
