@@ -1,0 +1,293 @@
+"""PPTX (OOXML PresentationML) text extraction — the third ECMA-376
+office member, completing the family (DOCX ``docx.py``, XLSX
+``xlsx.py``).
+
+A .pptx is a ZIP package whose slide TEXT lives in
+``ppt/slides/slideN.xml`` as ``<a:t>`` runs inside ``<a:p>`` paragraphs
+inside shape ``<p:txBody>`` elements — but slide ORDER lives two hops
+away: ``ppt/presentation.xml``'s ``<p:sldIdLst>`` lists relationship
+ids in PRESENTATION ORDER, and ``ppt/_rels/presentation.xml.rels``
+resolves each ``r:id`` to a slide part name. Member-name order is NOT
+slide order (the epub-spine trap, same shape); the fixture deliberately
+scrambles the mapping to prove the walk resolves the indirection.
+
+Composition, same stance as ``docx.py`` / ``xlsx.py`` / ``epub.py``:
+
+- the container walk is ``sources/zipshard.parse_zip`` (EOCD → central
+  directory → ranged member slice, CRC verified independently of the
+  writer) — one row-local Arrow pass;
+- everything after is pure JVM: one ``groupBy(bucket_id)`` building a
+  name→text map per deck (the single shuffle every package format here
+  pays), ``element_at`` hops for presentation → rels → slide,
+  ``regexp_extract_all`` for the sldIdLst / rels / paragraphs / runs,
+  the five-entity decode (``&amp;`` last) for text. Runs concatenate
+  separator-free within a paragraph; paragraphs join with newlines;
+  empty paragraphs (``<a:p/>``) yield no phantom line — the DOCX
+  discipline.
+
+Output: one row per SLIDE in presentation order —
+``(doc_id, slide_idx, href, n_paragraphs, slide_text)``.
+
+The fixture (:func:`docs_as_pptx`) builds genuine packages with stdlib
+``zipfile``: two slides whose sldIdLst order (rId2 before rId1) differs
+from both the rels numbering and member-name sort, a title + body
+text split closed-form from the documents columns, an XML entity in
+the title, a two-run paragraph, an empty ``<a:p/>``, and a notes-slide
+decoy member carrying ``<a:t>`` text that must leak ZERO rows (it is
+never reachable from the sldIdLst).
+
+Scale: parse_zip touches each archive on the worker that holds it; the
+XML chain is whole-stage codegen. A 100 TB deck sweep is
+embarrassingly parallel — the standing codec budget.
+
+Reference note: no document formats exist in the reference service;
+this is the LLM-data-pipeline extension, from the public ECMA-376 spec
+(PresentationML).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .docx import _decode_xml_entities, _xml_escape
+
+CONTENT_TYPES_PPTX = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
+    '<Override PartName="/ppt/slides/slideA.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
+    '<Override PartName="/ppt/slides/slideB.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
+    "</Types>"
+)
+
+RELS_PPTX = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>'
+    "</Relationships>"
+)
+
+# sldIdLst lists rId2 FIRST: presentation order != rels numbering !=
+# member-name sort — extraction must walk the indirection.
+PRESENTATION_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+    "<p:sldIdLst>"
+    '<p:sldId id="257" r:id="rId2"/>'
+    '<p:sldId id="256" r:id="rId1"/>'
+    "</p:sldIdLst>"
+    "</p:presentation>"
+)
+
+PRESENTATION_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Target="slides/slideA.xml"/>'
+    '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Target="slides/slideB.xml"/>'
+    "</Relationships>"
+)
+
+
+def _slide_xml(title: str, body_paras: list[str]) -> str:
+    """Minimal spec-shaped slide: a title shape and a body shape whose
+    paragraphs each carry the text split across TWO runs (runs must
+    concatenate separator-free); a trailing empty ``<a:p/>`` pins the
+    no-phantom-line rule."""
+
+    def para(text: str) -> str:
+        k = (len(text) + 1) // 2
+        return (
+            "<a:p><a:r><a:t>%s</a:t></a:r><a:r><a:t>%s</a:t></a:r></a:p>"
+            % (_xml_escape(text[:k]), _xml_escape(text[k:]))
+        )
+
+    body = "".join(para(t) for t in body_paras) + "<a:p/>"
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+        'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+        "<p:cSld><p:spTree>"
+        "<p:sp><p:txBody><a:p><a:r><a:t>%s</a:t></a:r></a:p></p:txBody></p:sp>"
+        "<p:sp><p:txBody>%s</p:txBody></p:sp>"
+        "</p:spTree></p:cSld></p:sld>" % (_xml_escape(title), body)
+    )
+
+
+NOTES_DECOY = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<p:notes xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+    'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+    "<p:cSld><p:spTree><p:sp><p:txBody>"
+    "<a:p><a:r><a:t>DECOY notes text must not leak</a:t></a:r></a:p>"
+    "</p:txBody></p:sp></p:spTree></p:cSld></p:notes>"
+)
+
+
+def docs_as_pptx(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One genuine .pptx per document → (doc_id, data). Slide 1 (via
+    rId2 → slideB.xml): title ``Deck <id> & intro``, body = first half
+    of the normalized words. Slide 2 (rId1 → slideA.xml): title
+    ``Deck <id> notes``, body = the rest. Plus a notes-slide decoy."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(
+            F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+        ).alias("norm"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import zipfile
+
+        def build(doc_id: int, norm: str) -> bytes:
+            words = norm.split(" ") if norm else []
+            k = (len(words) + 1) // 2
+            first, rest = " ".join(words[:k]), " ".join(words[k:])
+            slide_b = _slide_xml(
+                "Deck %d & intro" % doc_id, [first] if first else []
+            )
+            slide_a = _slide_xml(
+                "Deck %d notes" % doc_id, [rest] if rest else []
+            )
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                for name, payload in (
+                    ("[Content_Types].xml", CONTENT_TYPES_PPTX),
+                    ("_rels/.rels", RELS_PPTX),
+                    ("ppt/presentation.xml", PRESENTATION_XML),
+                    ("ppt/_rels/presentation.xml.rels", PRESENTATION_RELS),
+                    ("ppt/slides/slideA.xml", slide_a),
+                    ("ppt/slides/slideB.xml", slide_b),
+                    ("ppt/notesSlides/notesSlide1.xml", NOTES_DECOY),
+                ):
+                    zf.writestr(
+                        zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)),
+                        payload,
+                    )
+            yield_blob = buf.getvalue()
+            return yield_blob
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "data": [
+                        build(int(i), n or "")
+                        for i, n in zip(pdf["doc_id"], pdf["norm"])
+                    ],
+                }
+            )
+
+    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+
+
+def _slide_text(slide: Column) -> Column:
+    """Slide XML → text: per ``<a:p>`` paragraph, its ``<a:t>`` runs
+    entity-decoded and concatenated separator-free; non-empty
+    paragraphs newline-joined (``<a:p/>`` contributes nothing)."""
+    paras = F.regexp_extract_all(
+        slide, F.lit(r"(?s)<a:p>(.*?)</a:p>"), 1
+    )
+    texts = F.transform(
+        paras,
+        lambda p: F.concat_ws(
+            "",
+            F.transform(
+                F.regexp_extract_all(
+                    p, F.lit(r"(?s)<a:t[^>]*>(.*?)</a:t>"), 1
+                ),
+                _decode_xml_entities,
+            ),
+        ),
+    )
+    return F.concat_ws("\n", F.filter(texts, lambda t: t != ""))
+
+
+def extract_pptx(pptx_files: DataFrame) -> DataFrame:
+    """(doc_id, data) .pptx rows → one row per SLIDE in presentation
+    order: ``(doc_id, slide_idx, href, n_paragraphs, slide_text)``.
+
+    Order comes from ``<p:sldIdLst>``, each ``r:id`` resolved through
+    the presentation rels part — member-name order is ignored (the
+    fixture scrambles it to prove that). Decks whose chain is broken
+    (missing presentation/rels/slide member) drop the affected rows
+    instead of crashing; notes slides are unreachable by construction.
+    """
+    from ..sources.zipshard import parse_zip
+
+    members = parse_zip(
+        pptx_files.select(F.col("doc_id").alias("bucket_id"), "data")
+    )
+    per_deck = members.groupBy("bucket_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("name"), F.col("data").cast("string"))
+            )
+        ).alias("mmap")
+    )
+    staged = (
+        per_deck.withColumn(
+            "pres", F.element_at(F.col("mmap"), "ppt/presentation.xml")
+        )
+        .withColumn(
+            "rels",
+            F.element_at(F.col("mmap"), "ppt/_rels/presentation.xml.rels"),
+        )
+        .where(F.col("pres").isNotNull() & F.col("rels").isNotNull())
+        .withColumn(
+            "rel_entries",
+            F.regexp_extract_all(
+                F.col("rels"), F.lit(r"(?s)<Relationship\s[^>]*/>"), 0
+            ),
+        )
+        .withColumn(
+            "hrefs",
+            F.transform(
+                F.regexp_extract_all(
+                    F.col("pres"),
+                    F.lit(r'<p:sldId[^>]*\sr:id="([^"]*)"'),
+                    1,
+                ),
+                lambda rid: F.regexp_extract(
+                    F.array_join(
+                        F.filter(
+                            F.col("rel_entries"),
+                            lambda e: F.contains(
+                                e,
+                                F.concat(F.lit(' Id="'), rid, F.lit('"')),
+                            ),
+                        ),
+                        "",
+                    ),
+                    r'\sTarget="([^"]*)"',
+                    1,
+                ),
+            ),
+        )
+    )
+    e = staged.select(
+        F.col("bucket_id").alias("doc_id"),
+        "mmap",
+        F.posexplode_outer("hrefs").alias("_pos", "href"),
+    ).where(F.col("href").isNotNull() & (F.col("href") != ""))
+    slide = F.element_at(
+        F.col("mmap"), F.concat(F.lit("ppt/"), F.col("href"))
+    )
+    text = _slide_text(slide)
+    return e.select(
+        "doc_id",
+        (F.col("_pos") + F.lit(1)).cast("long").alias("slide_idx"),
+        "href",
+        F.when(text == "", F.lit(0))
+        .otherwise(F.size(F.split(text, "\n")))
+        .cast("long")
+        .alias("n_paragraphs"),
+        text.alias("slide_text"),
+    ).where(slide.isNotNull())

@@ -27,7 +27,13 @@ html, mbox, sqlite, mp4, ogg, rtf, webp, zstd, lz4, xz, unknown}. Misses are
 (The round-9 additions: SQLite's 16-byte header string, ISO-BMFF's
 ``ftyp`` at offset 4 — the one magic that does NOT sit at offset 0 —
 Ogg's ``OggS`` capture, RTF's ``{\\rtf`` declaration, and the modern
-compression frames zstd/lz4/xz that newer Common Crawl drops use.)
+compression frames zstd/lz4/xz that newer Common Crawl drops use. Of
+those three frames, ``xz`` DECODES downstream
+(``operators/xzcodec.py``, stdlib ``lzma``, bomb-bounded) and so does
+``lz4`` (``operators/lz4codec.py`` — both sides from the public spec,
+xxh32-verified frames); **zstd is label-only**: its FSE/Huffman
+entropy stage has no stdlib codec in this environment, so the sniffer
+routes it honestly and nothing pretends to inflate.)
 
 Reference note: LLM-data-pipeline extension (WHATWG MIME sniffing /
 file(1) magic databases are the public precedent); the per-format

@@ -1,0 +1,123 @@
+"""XZ (.xz / LZMA2) round trip — decoding the compression frames the
+sniffer labels.
+
+Round 9 taught the sniffer the three modern compression magics
+(``operators/sniff.py``: zstd, lz4, xz) but decoded none of them; newer
+Common Crawl-adjacent drops and software mirrors ship ``.xz`` payloads
+constantly. Of the three, xz is the one with a stdlib codec (``lzma``),
+so it gets the full bounded round trip here; **zstd and lz4 remain
+label-only** — no stdlib codec exists in this environment, and the
+sniffer docstring says so rather than hiding it (the pdf.py
+honest-limitations discipline).
+
+Both sides are one row-local Arrow pass (the standing codec budget):
+
+- :func:`docs_as_xz` compresses each document's raw UTF-8 text with
+  stdlib ``lzma`` (CRC64 container default) — the INDEPENDENT writer;
+  the reader never sees bytes this module authored by hand.
+- :func:`decode_xz` decompresses with ``lzma.LZMADecompressor`` fed
+  through an incremental ``max_length`` loop under the same
+  decompression-bomb budget as the WARC gzip path
+  (``sources/warc.py``): a frame that inflates past the cap DROPS the
+  row (never OOMs the executor), as does any corrupt frame
+  (``LZMAError``). Output ``(doc_id, ok, n_raw, text)`` is closed-form
+  — the oracle recomputes every column from the documents table, so
+  the round trip itself is the oracle-checked property.
+
+Scale: embarrassingly parallel, zero shuffles, bomb-bounded memory —
+the 100 TB posture every codec here shares.
+
+Reference note: the reference service has no compression surface; this
+is the LLM-data-pipeline extension (public .xz file format spec).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+XZ_SCHEMA = "doc_id long, ok boolean, n_raw long, text string"
+
+
+def docs_as_xz(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, data): each document's raw UTF-8 text as one .xz frame,
+    written by stdlib ``lzma`` (the independent writer)."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("_t"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import lzma
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "data": [
+                        lzma.compress((t or "").encode("utf-8"), preset=6)
+                        for t in pdf["_t"]
+                    ],
+                }
+            )
+
+    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+
+
+def decode_xz(
+    files: DataFrame, inflate_cap: int = 1 << 22
+) -> DataFrame:
+    """(doc_id, data) .xz rows → ``(doc_id, ok, n_raw, text)``.
+
+    Decompression is incremental and BOUNDED: each ``decompress`` call
+    asks for at most the remaining budget; once the output would exceed
+    ``inflate_cap`` the row drops (decompression bomb — same contract
+    as the WARC member inflate). Corrupt/truncated frames drop too.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import lzma
+
+        def inflate(blob: bytes):
+            d = lzma.LZMADecompressor()
+            out = bytearray()
+            chunk = d.decompress(blob, max_length=inflate_cap + 1 - len(out))
+            out += chunk
+            while not d.eof:
+                if len(out) > inflate_cap:
+                    return None  # bomb: over budget with input left
+                if d.needs_input:
+                    return None  # truncated frame
+                out += d.decompress(b"", max_length=inflate_cap + 1 - len(out))
+            if len(out) > inflate_cap:
+                return None
+            return bytes(out)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                try:
+                    raw = inflate(bytes(data))
+                except lzma.LZMAError:
+                    raw = None
+                if raw is None:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "ok": True,
+                        "n_raw": len(raw),
+                        "text": raw.decode("utf-8", "replace"),
+                    }
+                )
+            cols = ["doc_id", "ok", "n_raw", "text"]
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            )
+
+    return files.mapInPandas(gen, schema=XZ_SCHEMA)

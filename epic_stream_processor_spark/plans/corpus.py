@@ -2211,6 +2211,135 @@ FROM d
 """
 
 
+# --- PPTX slide extraction (round 10) -------------------------------------------
+
+def q_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX (ECMA-376 PresentationML) text extraction (round 10): the
+    third office member, completing the family (DOCX, XLSX, PPTX). Each
+    document becomes a genuine .pptx package (stdlib-zipfile DEFLATE
+    members) whose SLIDE ORDER lives two hops from the slide parts:
+    presentation.xml's sldIdLst lists r:ids in presentation order
+    (rId2 FIRST — deliberately scrambled vs both the rels numbering and
+    member-name sort) and presentation.xml.rels resolves each id to a
+    part name; a notes-slide decoy carries <a:t> text that must leak
+    zero rows. Extraction composes parse_zip's central-directory walk
+    (independent CRC) with a pure-JVM chain: element_at hops for
+    presentation -> rels -> slide, regexp_extract_all for sldIdLst/
+    rels/paragraphs/runs, two-run paragraphs concatenating separator-
+    free, empty <a:p/> yielding no phantom line. operators/pptx.py.
+
+    Closed-form: slide titles and the word-halved bodies are pure
+    functions of the documents columns.
+
+    Scale: one archive-keyed groupBy (the only shuffle); everything
+    else row-local / whole-stage codegen.
+    """
+    from ..operators.pptx import docs_as_pptx, extract_pptx
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_pptx(docs_as_pptx(docs)).select(
+        "doc_id", "slide_idx", "href", "n_paragraphs", "slide_text"
+    )
+
+
+ORACLE_PPTX_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+           ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM d
+), halves AS (
+  SELECT doc_id,
+         array_to_string(w[1:k], ' ') AS first,
+         array_to_string(w[k+1:n], ' ') AS rest
+  FROM s
+)
+SELECT doc_id, CAST(i AS BIGINT) AS slide_idx,
+       CASE WHEN i = 1 THEN 'slides/slideB.xml'
+            ELSE 'slides/slideA.xml' END AS href,
+       CAST(1 + (CASE WHEN i = 1 THEN first ELSE rest END <> '')::int
+            AS BIGINT) AS n_paragraphs,
+       'Deck ' || doc_id || CASE WHEN i = 1 THEN ' & intro' ELSE ' notes' END
+         || CASE WHEN (CASE WHEN i = 1 THEN first ELSE rest END) <> ''
+                 THEN chr(10) || (CASE WHEN i = 1 THEN first ELSE rest END)
+                 ELSE '' END AS slide_text
+FROM halves, (VALUES (1), (2)) t(i)
+"""
+
+
+# --- XZ round trip (round 10) ----------------------------------------------------
+
+def q_xz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XZ compression round trip (round 10): the sniffer has labeled
+    .xz frames since round 9 but nothing decoded them. Each document's
+    raw UTF-8 text is compressed by stdlib lzma (the independent
+    writer) and decompressed through an incremental max_length loop
+    under the WARC decompression-bomb budget — a frame that would
+    inflate past the cap drops the row, never OOMs the executor
+    (operators/xzcodec.py). zstd/lz4 stay honestly label-only (no
+    stdlib codec in this environment; sniffer docstring says so).
+
+    Closed-form: ok/n_raw/text are pure functions of the documents
+    table, so the round-trip property itself is the oracle gate.
+
+    Scale: two row-local Arrow passes, zero shuffles, bomb-bounded.
+    """
+    from ..operators.xzcodec import decode_xz, docs_as_xz
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_xz(docs_as_xz(docs)).select(
+        "doc_id", "ok", "n_raw", "text"
+    )
+
+
+ORACLE_XZ_ROUNDTRIP = """SELECT doc_id,
+       TRUE AS ok,
+       CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_raw,
+       coalesce(text, '') AS text
+FROM documents
+"""
+
+
+# --- LZ4 round trip (round 10) ----------------------------------------------------
+
+def q_lz4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4 frame round trip (round 10): the second label-only sniffer
+    format gains a real codec — no stdlib lz4 exists, so BOTH sides
+    are implemented from the public LZ4 block/frame specs
+    (operators/lz4codec.py): token-nibble sequences with byte-wise
+    overlap match copy (the RLE bomb primitive — the budget is
+    enforced INSIDE the copy loop), xxh32 header/content checksums
+    (implementation pinned against the published xxHash vectors in
+    pytest), and a greedy hash-chain encoder emitting real matches as
+    the fixture writer. zstd remains honestly label-only (FSE/Huffman
+    out of scope; sniffer docstring says so).
+
+    Closed-form: ok/n_raw/text are pure functions of the documents
+    table — the round-trip property is the oracle gate.
+
+    Scale: two row-local Arrow passes, zero shuffles, bomb-bounded.
+    """
+    from ..operators.lz4codec import decode_lz4, docs_as_lz4
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_lz4(docs_as_lz4(docs)).select(
+        "doc_id", "ok", "n_raw", "text"
+    )
+
+
+ORACLE_LZ4_ROUNDTRIP = """SELECT doc_id,
+       TRUE AS ok,
+       CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_raw,
+       coalesce(text, '') AS text
+FROM documents
+"""
+
+
 # --- JSON-LD structured-metadata mining (round 9) -------------------------------
 
 def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3628,6 +3757,64 @@ SELECT doc_id, 3, 'li', 'Alpha Beta Gamma Delta Epsilon', 5, 0, 0,
        'listing'
 FROM p
 """
+
+# --- jusText -> clean-text composition (round 10) -----------------------------------
+
+def q_justext_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-gated extraction (round 10, VERDICT r9 stretch): the
+    full chrome-removal chain end-to-end — classify_blocks labels each
+    block, and ONLY label='good' blocks contribute to the document's
+    training text (what jusText/trafilatura actually do to a page;
+    curation_ledger proved the hygiene chain, this proves the
+    extraction chain). Per doc: block counts by label + the cleaned
+    text (good blocks in block order, newline-joined) — the nav div,
+    the short note, and the label listing all vanish from the output.
+
+    One doc_id-keyed aggregation (map-side combined) on top of the
+    zero-shuffle classifier; deterministic order via array_sort over
+    (block_index, text) structs, not collect order.
+    """
+    from ..operators.justext import classify_blocks, docs_as_blocky_html
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = classify_blocks(docs_as_blocky_html(docs))
+    good = F.when(F.col("label") == "good", F.struct("block_index", "text"))
+    return blocks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum((F.col("label") == "good").cast("long")).alias("n_good"),
+        F.sum((F.col("label") == "bad").cast("long")).alias("n_bad"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(good)), lambda s: s["text"]
+            ),
+        ).alias("clean_text"),
+    )
+
+
+ORACLE_JUSTEXT_CLEAN = r"""WITH d AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(
+             regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'),
+             '[<>&]', '', 'g'),
+           ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, (len(w) + 1) // 2 AS k FROM d
+)
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS n_blocks,
+       CAST(1 AS BIGINT) AS n_good,
+       CAST(1 AS BIGINT) AS n_bad,
+       trim(regexp_replace(
+         array_to_string(w[1:k], ' ') ||
+         ' and this is the story of item ' || doc_id || '.',
+         ' +', ' ', 'g')) AS clean_text
+FROM s
+"""
+
 
 # --- Readability scoring (round 9) --------------------------------------------------
 

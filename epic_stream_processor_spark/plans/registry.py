@@ -1037,6 +1037,30 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "ext->payload map per sample, text + JSON sidecar fields "
         "recovered as column expressions",
     ),
+    "xz_roundtrip": QueryDef(
+        corpus.q_xz_roundtrip, corpus.ORACLE_XZ_ROUNDTRIP,
+        "XZ round trip (round 10): stdlib-lzma independent writer + "
+        "bomb-bounded incremental decode — the sniffer's xz label "
+        "gains its decoder (zstd/lz4 stay honestly label-only); "
+        "closed-form oracle recomputes ok/n_raw/text",
+    ),
+    "lz4_roundtrip": QueryDef(
+        corpus.q_lz4_roundtrip, corpus.ORACLE_LZ4_ROUNDTRIP,
+        "LZ4 frame round trip (round 10): both sides from the public "
+        "spec (no stdlib codec) — overlap-copy sequences with the "
+        "budget enforced inside the copy loop, xxh32 checksums pinned "
+        "against published vectors, greedy hash-chain writer; "
+        "closed-form oracle",
+    ),
+    "pptx_extract": QueryDef(
+        corpus.q_pptx_extract, corpus.ORACLE_PPTX_EXTRACT,
+        "PPTX slide extraction (round 10): completes the ECMA-376 "
+        "office family — slide order resolved through the sldIdLst -> "
+        "rels indirection (fixture scrambles it), two-run paragraphs "
+        "concatenate separator-free, notes-slide decoy leaks zero "
+        "rows; parse_zip walk + pure-JVM chain, closed-form "
+        "word-halving oracle",
+    ),
     "subtitle_qc": QueryDef(
         corpus.q_subtitle_qc, corpus.ORACLE_SUBTITLE_QC,
         "subtitle timing QC (round 9): overlap/gap/coverage stats over "
@@ -1212,6 +1236,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "must hash identically (re-encoded copies are the commonest "
         "image dup); oracle recomputes the hash a third way in SQL - "
         "three implementations agree",
+    ),
+    "justext_clean": QueryDef(
+        corpus.q_justext_clean, corpus.ORACLE_JUSTEXT_CLEAN,
+        "jusText-gated extraction (round 10, the r9 stretch): only "
+        "label='good' blocks reach the training text — chrome (nav "
+        "div, short note, label listing) vanishes; one doc_id-keyed "
+        "agg with array_sort determinism; closed-form oracle",
     ),
     "justext_blocks": QueryDef(
         corpus.q_justext_blocks, corpus.ORACLE_JUSTEXT_BLOCKS,

@@ -1,0 +1,143 @@
+"""LZ4 codec tests: xxh32 against the PUBLISHED xxHash vectors (so
+writer and reader cannot share a checksum misunderstanding),
+hand-computed block spec vectors incl. overlap copy, frame-level
+corruption/bomb behavior, and randomized roundtrip fuzz. Fixture
+parity lives in test_oracle_parity (lz4_roundtrip)."""
+
+from __future__ import annotations
+
+import random
+
+from epic_stream_processor_spark.operators.lz4codec import (
+    _lz4_block_decode,
+    _lz4_block_encode,
+    decode_lz4,
+    docs_as_lz4,
+    lz4_frame_compress,
+    lz4_frame_decompress,
+    xxh32,
+)
+
+
+def test_xxh32_published_vectors():
+    """The xxHash repository's documented sanity vectors — an
+    implementation error here would break every frame checksum."""
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"abcd") == 0xA3643705
+    # seed variant + all four length branches (16+, 4+, tail, empty)
+    assert xxh32(b"abc", seed=1) != xxh32(b"abc")
+    assert xxh32(bytes(range(32))) != xxh32(bytes(range(31)))
+
+
+def test_block_spec_vectors():
+    # literals-only block: token ll=5, no match
+    assert _lz4_block_decode(bytes([0x50]) + b"hello", 100) == b"hello"
+    # overlap copy (offset 2 < matchlen 4): 'ab' + 4 -> 'ababab'
+    assert (
+        _lz4_block_decode(bytes([0x20]) + b"ab" + b"\x02\x00", 100)
+        == b"ababab"
+    )
+    # RLE (offset 1): 'z' repeated 1+19 times via ml extension 15+4+0
+    blk = bytes([0x1F]) + b"z" + b"\x01\x00" + bytes([0])
+    assert _lz4_block_decode(blk, 100) == b"z" * 20
+    # literal-length extension: 15+240=255 literals
+    lits = bytes(255)
+    assert _lz4_block_decode(bytes([0xF0, 240]) + lits, 300) == lits
+
+
+def test_block_corruption_drops():
+    # offset 0 is invalid
+    assert _lz4_block_decode(bytes([0x10]) + b"a" + b"\x00\x00", 100) is None
+    # offset beyond produced output
+    assert _lz4_block_decode(bytes([0x10]) + b"a" + b"\x05\x00", 100) is None
+    # truncated literals
+    assert _lz4_block_decode(bytes([0x50]) + b"he", 100) is None
+    # truncated offset
+    assert _lz4_block_decode(bytes([0x10]) + b"a" + b"\x01", 100) is None
+
+
+def test_frame_checksums_and_corruption():
+    raw = b"the quick brown fox jumps over the lazy dog " * 8
+    fr = lz4_frame_compress(raw)
+    assert lz4_frame_decompress(fr, 1 << 20) == raw
+    # flipped header-checksum byte -> drop
+    bad_hc = bytearray(fr)
+    bad_hc[14] ^= 0xFF  # HC byte (magic4 + FLG+BD+8-byte size)
+    assert lz4_frame_decompress(bytes(bad_hc), 1 << 20) is None
+    # flipped content byte -> content checksum catches it
+    bad = bytearray(fr)
+    bad[20] ^= 0x01
+    assert lz4_frame_decompress(bytes(bad), 1 << 20) is None
+    # wrong magic
+    assert lz4_frame_decompress(b"\x00" + fr[1:], 1 << 20) is None
+    # truncated frame
+    assert lz4_frame_decompress(fr[: len(fr) // 2], 1 << 20) is None
+
+
+def test_frame_bomb_is_bounded():
+    """32 MiB of zeros -> ~130 KB frame; a 1 MiB cap must drop DURING
+    the overlap copy, never materialize the expansion."""
+    bomb = lz4_frame_compress(b"\x00" * (32 << 20), content_checksum=False)
+    assert len(bomb) < 1 << 20
+    assert lz4_frame_decompress(bomb, 1 << 20) is None
+
+
+def test_encoder_emits_real_matches_and_fuzz_roundtrips():
+    comp = _lz4_block_encode(b"abcdefgh" * 100)
+    assert len(comp) < 100  # real matches, not a literals-only cop-out
+    rng = random.Random(11)
+    for _ in range(120):
+        n = rng.randrange(0, 1500)
+        raw = (
+            bytes(rng.choice(b"abcd\n ") for _ in range(n))
+            if rng.random() < 0.5
+            else bytes(rng.randrange(256) for _ in range(n))
+        )
+        assert lz4_frame_decompress(lz4_frame_compress(raw), 1 << 22) == raw
+
+
+def test_lz4_spark_roundtrip_unicode(spark):
+    docs = spark.createDataFrame(
+        [(1, "répétition répétition répétition 中文"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decode_lz4(docs_as_lz4(docs)).collect()}
+    assert rows[1]["text"] == "répétition répétition répétition 中文"
+    assert rows[2]["text"] == "" and rows[3]["n_raw"] == 0
+
+
+import os
+import subprocess
+
+import pytest
+
+_LZ4_BIN = "/root/miniconda/bin/lz4"
+
+
+@pytest.mark.skipif(not os.path.exists(_LZ4_BIN), reason="no lz4 CLI")
+def test_lz4_interop_with_reference_cli_both_directions():
+    """The strongest possible pin: the reference lz4 CLI is the
+    foreign writer AND the foreign reader. Our decoder must decode its
+    frames; it must decode ours. 20 corpora each way, text and binary."""
+    import random
+
+    rng = random.Random(3)
+    for i in range(20):
+        n = rng.randrange(0, 5000)
+        raw = (
+            bytes(rng.choice(b"abcdef \n") for _ in range(n))
+            if i % 2
+            else bytes(rng.randrange(256) for _ in range(n))
+        )
+        comp = subprocess.run(
+            [_LZ4_BIN, "-z", "-c"], input=raw, capture_output=True
+        ).stdout
+        assert lz4_frame_decompress(comp, 1 << 22) == raw
+        p = subprocess.run(
+            [_LZ4_BIN, "-d", "-c"],
+            input=lz4_frame_compress(raw),
+            capture_output=True,
+        )
+        assert p.returncode == 0 and p.stdout == raw

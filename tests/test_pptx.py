@@ -1,0 +1,152 @@
+"""PPTX surface tests: round trip on fixture docs, slide order from the
+sldIdLst→rels indirection (not member order), notes-decoy leak pin,
+broken-chain drops, and a foreign-writer layout docs_as_pptx cannot
+emit."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from conftest import SF_DIR
+
+from epic_stream_processor_spark.operators.pptx import (
+    docs_as_pptx,
+    extract_pptx,
+)
+from epic_stream_processor_spark.sources.fixtures import load_table
+
+
+def _rows(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_id long, data binary")
+    return [
+        r.asDict() for r in extract_pptx(df).orderBy("doc_id", "slide_idx").collect()
+    ]
+
+
+def test_pptx_roundtrip_on_fixture_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(8)
+    out = extract_pptx(docs_as_pptx(docs)).orderBy("doc_id", "slide_idx")
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert len(rows) == 2 * len(ids)
+    norm = {
+        r["doc_id"]: " ".join((r["text"] or "").split())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for doc_id in ids:
+        s1, s2 = [r for r in rows if r["doc_id"] == doc_id]
+        assert s1["slide_idx"] == 1 and s1["href"] == "slides/slideB.xml"
+        assert s2["slide_idx"] == 2 and s2["href"] == "slides/slideA.xml"
+        assert s1["slide_text"].startswith("Deck %d & intro" % doc_id)
+        assert s2["slide_text"].startswith("Deck %d notes" % doc_id)
+        # bodies reassemble the full normalized text
+        b1 = s1["slide_text"].split("\n", 1)
+        b2 = s2["slide_text"].split("\n", 1)
+        joined = " ".join(
+            p for p in ((b1[1] if len(b1) > 1 else ""), (b2[1] if len(b2) > 1 else ""))
+            if p
+        )
+        assert joined == norm[doc_id]
+        # decoy never leaks
+        assert "DECOY" not in s1["slide_text"] + s2["slide_text"]
+
+
+def _zip_bytes(members: list[tuple[str, str]]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, payload in members:
+            zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), payload)
+    return buf.getvalue()
+
+
+def _foreign_pptx() -> bytes:
+    """A deck laid out the way a different writer would: numbered slide
+    names whose NUMERIC order disagrees with presentation order,
+    attribute order flipped (Target before Id; r:id before id),
+    single-run paragraphs, an empty sldIdLst entry gap, extra
+    whitespace, and a reachable THIRD slide listed last."""
+    pres = (
+        '<?xml version="1.0"?>\n<p:presentation '
+        'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        "<p:sldIdLst>"
+        '<p:sldId r:id="rId9" id="300"/>'
+        '<p:sldId r:id="rId7" id="301"/>'
+        '<p:sldId r:id="rId8" id="302"/>'
+        "</p:sldIdLst></p:presentation>"
+    )
+    rels = (
+        '<?xml version="1.0"?>\n<Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Target="slides/slide2.xml" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Id="rId7"/>'
+        '<Relationship Target="slides/slide1.xml" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Id="rId8"/>'
+        '<Relationship Target="slides/slide3.xml" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Id="rId9"/>'
+        "</Relationships>"
+    )
+
+    def slide(text: str) -> str:
+        return (
+            '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+            'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+            "<p:cSld><p:spTree><p:sp><p:txBody>"
+            "<a:p><a:r><a:t>%s</a:t></a:r></a:p>"
+            "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>" % text
+        )
+
+    return _zip_bytes(
+        [
+            ("[Content_Types].xml", "<Types/>"),
+            ("ppt/presentation.xml", pres),
+            ("ppt/_rels/presentation.xml.rels", rels),
+            ("ppt/slides/slide1.xml", slide("one")),
+            ("ppt/slides/slide2.xml", slide("two")),
+            ("ppt/slides/slide3.xml", slide("three &amp; more")),
+        ]
+    )
+
+
+def test_pptx_foreign_writer_order_from_sldidlst(spark):
+    rows = _rows(spark, [(41, _foreign_pptx())])
+    assert [(r["slide_idx"], r["slide_text"]) for r in rows] == [
+        (1, "three & more"),
+        (2, "two"),
+        (3, "one"),
+    ]
+    assert [r["href"] for r in rows] == [
+        "slides/slide3.xml", "slides/slide2.xml", "slides/slide1.xml"
+    ]
+
+
+def test_pptx_broken_chain_drops(spark):
+    # no presentation.xml at all → zero rows
+    no_pres = _zip_bytes([("ppt/slides/slide1.xml", "<p:sld/>")])
+    assert _rows(spark, [(42, no_pres)]) == []
+    # sldIdLst references a rel that doesn't exist → that slide drops,
+    # resolvable ones survive
+    pres = (
+        '<p:presentation xmlns:p="p" xmlns:r="r"><p:sldIdLst>'
+        '<p:sldId id="1" r:id="rIdMISSING"/>'
+        '<p:sldId id="2" r:id="rId1"/>'
+        "</p:sldIdLst></p:presentation>"
+    )
+    rels = (
+        "<Relationships>"
+        '<Relationship Id="rId1" Type="t" Target="slides/s.xml"/>'
+        "</Relationships>"
+    )
+    ok = _zip_bytes(
+        [
+            ("ppt/presentation.xml", pres),
+            ("ppt/_rels/presentation.xml.rels", rels),
+            (
+                "ppt/slides/s.xml",
+                '<p:sld xmlns:a="a"><a:p><a:r><a:t>kept</a:t></a:r></a:p></p:sld>',
+            ),
+        ]
+    )
+    rows = _rows(spark, [(43, ok)])
+    assert [(r["slide_idx"], r["slide_text"]) for r in rows] == [(2, "kept")]

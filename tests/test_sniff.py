@@ -134,3 +134,28 @@ class TestRealWriters:
         assert _sniff_one(spark, b"") == "unknown"
         assert _sniff_one(spark, b"BMW sales rose") == "unknown"  # guarded BM
         assert _sniff_one(spark, b"plain words here") == "unknown"
+
+
+def test_round10_pptx_writer_classifies_as_ooxml(spark):
+    """The 20th in-repo writer: docs_as_pptx packages start with the
+    [Content_Types].xml first member, so the sniffer's ZIP
+    sub-classification routes them to 'ooxml' alongside docx/xlsx."""
+    from epic_stream_processor_spark.operators.pptx import docs_as_pptx
+
+    docs = _docs(spark)
+    assert _sniff_one(spark, _first_blob(docs_as_pptx(docs))) == "ooxml"
+
+
+def test_round10_lz4_writer_classifies(spark):
+    """The LZ4 frame writer's magic (04 22 4D 18) routes to 'lz4'."""
+    from epic_stream_processor_spark.operators.lz4codec import docs_as_lz4
+
+    docs = _docs(spark)
+    assert _sniff_one(spark, _first_blob(docs_as_lz4(docs))) == "lz4"
+
+
+def test_round10_xz_writer_classifies(spark):
+    from epic_stream_processor_spark.operators.xzcodec import docs_as_xz
+
+    docs = _docs(spark)
+    assert _sniff_one(spark, _first_blob(docs_as_xz(docs))) == "xz"

@@ -1,0 +1,61 @@
+"""XZ round-trip tests: fixture parity lives in test_oracle_parity
+(xz_roundtrip); here the bomb bound, corrupt/truncated frames, and a
+foreign multi-call-site check (stdlib writes, repo reads)."""
+
+from __future__ import annotations
+
+import lzma
+
+from epic_stream_processor_spark.operators.xzcodec import (
+    decode_xz,
+    docs_as_xz,
+)
+
+
+def _rows(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "doc_id long, data binary")
+    return {r["doc_id"]: r for r in decode_xz(df, **kw).collect()}
+
+
+def test_xz_bomb_is_bounded(spark):
+    """64 MiB of zeros compresses to ~10 KB; with a 1 MiB cap the row
+    must DROP (never materialize the 64 MiB), while a small sibling
+    survives in the same batch."""
+    bomb = lzma.compress(b"\x00" * (64 << 20), preset=6)
+    assert len(bomb) < 64 << 10
+    ok = lzma.compress(b"hello xz", preset=0)
+    rows = _rows(spark, [(1, bomb), (2, ok)], inflate_cap=1 << 20)
+    assert set(rows) == {2}
+    assert rows[2]["text"] == "hello xz" and rows[2]["n_raw"] == 8
+
+
+def test_xz_corrupt_and_truncated_drop(spark):
+    good = lzma.compress("päyload".encode("utf-8"), preset=6)
+    corrupt = good[:20] + bytes([good[20] ^ 0xFF]) + good[21:]
+    truncated = good[: len(good) // 2]
+    rows = _rows(
+        spark, [(1, good), (2, corrupt), (3, truncated), (4, b"")]
+    )
+    assert set(rows) == {1}
+    assert rows[1]["text"] == "päyload"
+
+
+def test_xz_exact_cap_boundary(spark):
+    """A payload of exactly inflate_cap bytes passes; cap+1 drops."""
+    at = lzma.compress(b"a" * 1000, preset=0)
+    over = lzma.compress(b"a" * 1001, preset=0)
+    rows = _rows(spark, [(1, at), (2, over)], inflate_cap=1000)
+    assert set(rows) == {1} and rows[1]["n_raw"] == 1000
+
+
+def test_xz_writer_reader_roundtrip_unicode(spark):
+    docs = spark.createDataFrame(
+        [(1, "mixed — текст 中文 🎯"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in decode_xz(docs_as_xz(docs)).collect()
+    }
+    assert rows[1]["text"] == "mixed — текст 中文 🎯"
+    assert rows[2]["text"] == "" and rows[2]["n_raw"] == 0
+    assert rows[3]["text"] == "" and rows[3]["ok"] is True
