@@ -19,7 +19,7 @@ def _write_events(spark, tmp_path, rows):
 
 
 def test_order_constraint_beats_per_type_minima(spark, tmp_path):
-    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY
+    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY, QUERIES
 
     t = dt.datetime(2024, 1, 1)
     h = dt.timedelta(hours=1)
@@ -39,7 +39,7 @@ def test_order_constraint_beats_per_type_minima(spark, tmp_path):
     ]
     sf = _write_events(spark, tmp_path, rows)
     out = {r["user_id"]: r
-           for r in EXTRA_PARITY["event_funnel"].fn(spark, sf).collect()}
+           for r in {**QUERIES, **EXTRA_PARITY}["event_funnel"].fn(spark, sf).collect()}
     assert out[1]["stage_reached"] == 2
     assert out[1]["purchase_ts"] is None
     assert out[2]["stage_reached"] == 3

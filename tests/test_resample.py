@@ -16,7 +16,7 @@ def _events(spark, rows):
 def test_gap_fill_and_leading_nulls(spark, tmp_path):
     import shutil
 
-    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY
+    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY, QUERIES
 
     # type A: hours 0 and 3 observed (1-2 gap, filled from hour 0);
     # type B: hour 2 only (leading hours 0-1 stay NULL-filled)
@@ -31,7 +31,7 @@ def test_gap_fill_and_leading_nulls(spark, tmp_path):
     _events(spark, rows).withColumn(
         "ts", F.col("ts").cast("timestamp")
     ).write.parquet(str(sf / "events.parquet"))
-    out = EXTRA_PARITY["resample_ffill"].fn(spark, str(sf)).collect()
+    out = {**QUERIES, **EXTRA_PARITY}["resample_ffill"].fn(spark, str(sf)).collect()
     by = {(r["event_type"], r["hour_ts"].hour): r for r in out}
     assert len(out) == 8                      # 2 types x 4 hours
     assert by[("A", 0)]["filled_cents"] == 10000
