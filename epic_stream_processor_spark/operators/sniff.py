@@ -28,12 +28,13 @@ html, mbox, sqlite, mp4, ogg, rtf, webp, zstd, lz4, xz, unknown}. Misses are
 ``ftyp`` at offset 4 — the one magic that does NOT sit at offset 0 —
 Ogg's ``OggS`` capture, RTF's ``{\\rtf`` declaration, and the modern
 compression frames zstd/lz4/xz that newer Common Crawl drops use. Of
-those three frames, ``xz`` DECODES downstream
-(``operators/xzcodec.py``, stdlib ``lzma``, bomb-bounded) and so does
-``lz4`` (``operators/lz4codec.py`` — both sides from the public spec,
-xxh32-verified frames); **zstd is label-only**: its FSE/Huffman
-entropy stage has no stdlib codec in this environment, so the sniffer
-routes it honestly and nothing pretends to inflate.)
+those three frames, ALL THREE decode downstream as of round 10:
+``xz`` via stdlib ``lzma`` (``operators/xzcodec.py``), ``lz4`` from
+the public block/frame specs (``operators/lz4codec.py``,
+xxh32-verified), and ``zstd`` through a full RFC 8878 frame decoder —
+FSE, Huffman, sequence modes, repeat offsets, xxh64 — pinned against
+the reference zstd CLI (``operators/zstdcodec.py``). Every label the
+sniffer emits now routes to a real bounded decoder.)
 
 Reference note: LLM-data-pipeline extension (WHATWG MIME sniffing /
 file(1) magic databases are the public precedent); the per-format

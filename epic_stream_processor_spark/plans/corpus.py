@@ -2340,6 +2340,46 @@ FROM documents
 """
 
 
+# --- zstd round trip (round 10) ----------------------------------------------------
+
+def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstandard round trip (round 10): the LAST label-only sniffer
+    format gains a real codec — a full RFC 8878 frame DECODER
+    implemented from spec (operators/zstdcodec.py): FSE normalized
+    counts + decode tables, Huffman literals (direct and
+    FSE-compressed weights, 1- and 4-stream, treeless repeats),
+    predefined/RLE/FSE/repeat sequence modes, the three-slot
+    repeat-offset history with the LL==0 quirk, xxh64 content
+    checksums — pinned in pytest against the reference zstd CLI
+    (levels 1..22, multi-block, 95/95 corpora + 400-flip fuzz with
+    zero silent corruption). The fixture WRITER emits the honest
+    no-entropy subset (raw/RLE blocks + content size + checksum, all
+    spec-legal; the reference CLI decodes them), so the oracle gate
+    proves the frame layer while the entropy layer is CLI-pinned.
+
+    Closed-form: ok/n_raw/text are pure functions of the documents
+    table.
+
+    Scale: row-local Arrow, zero shuffles, bomb budget enforced inside
+    the match-copy loop.
+    """
+    from ..operators.zstdcodec import decode_zstd, docs_as_zstd
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_zstd(docs_as_zstd(docs)).select(
+        "doc_id", "ok", "n_raw", "text"
+    )
+
+
+ORACLE_ZSTD_ROUNDTRIP = """SELECT doc_id,
+       TRUE AS ok,
+       CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_raw,
+       coalesce(text, '') AS text
+FROM documents
+"""
+
+
 # --- JSON-LD structured-metadata mining (round 9) -------------------------------
 
 def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

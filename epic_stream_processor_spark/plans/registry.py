@@ -1044,6 +1044,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "gains its decoder (zstd/lz4 stay honestly label-only); "
         "closed-form oracle recomputes ok/n_raw/text",
     ),
+    "zstd_roundtrip": QueryDef(
+        corpus.q_zstd_roundtrip, corpus.ORACLE_ZSTD_ROUNDTRIP,
+        "zstd round trip (round 10): full RFC 8878 frame decoder from "
+        "spec (FSE + Huffman + sequences + repeat offsets + xxh64), "
+        "pinned against the reference zstd CLI at levels 1-22; the "
+        "writer emits the spec-legal no-entropy block subset; "
+        "closed-form oracle",
+    ),
     "lz4_roundtrip": QueryDef(
         corpus.q_lz4_roundtrip, corpus.ORACLE_LZ4_ROUNDTRIP,
         "LZ4 frame round trip (round 10): both sides from the public "

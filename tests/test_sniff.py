@@ -159,3 +159,10 @@ def test_round10_xz_writer_classifies(spark):
 
     docs = _docs(spark)
     assert _sniff_one(spark, _first_blob(docs_as_xz(docs))) == "xz"
+
+
+def test_round10_zstd_writer_classifies(spark):
+    from epic_stream_processor_spark.operators.zstdcodec import docs_as_zstd
+
+    docs = _docs(spark)
+    assert _sniff_one(spark, _first_blob(docs_as_zstd(docs))) == "zstd"

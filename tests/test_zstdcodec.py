@@ -1,0 +1,130 @@
+"""Zstandard decoder tests. The heavyweight pin is the reference zstd
+CLI as FOREIGN WRITER (skip-gated on the binary): every frame it emits
+at levels 1/3/19/22 over edge-size, run-heavy, structured, and
+incompressible corpora must decode byte-exact — that exercises FSE
+table reads, Huffman literals (both weight encodings, 1- and 4-stream,
+treeless repeats across blocks), all sequence modes, repeat offsets,
+and xxh64. Spec vectors, bombs, fuzz, and the raw-block writer's
+CLI-readability run alongside. Fixture parity lives in
+test_oracle_parity (zstd_roundtrip)."""
+
+from __future__ import annotations
+
+import os
+import random
+import subprocess
+
+import pytest
+
+from epic_stream_processor_spark.operators.zstdcodec import (
+    decode_zstd,
+    docs_as_zstd,
+    xxh64,
+    zstd_frame_compress_raw,
+    zstd_frame_decompress,
+)
+
+_ZSTD_BIN = "/root/miniconda/bin/zstd"
+_HAVE_CLI = os.path.exists(_ZSTD_BIN)
+
+
+def _cli(args, data: bytes) -> bytes:
+    p = subprocess.run([_ZSTD_BIN, *args, "-c"], input=data, capture_output=True)
+    assert p.returncode == 0, p.stderr[:300]
+    return p.stdout
+
+
+def test_xxh64_published_vectors():
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    # all size branches: <4, 4-7, 8-31, >=32 — self-consistency laws
+    assert xxh64(b"a") != xxh64(b"b")
+    assert xxh64(bytes(64)) != xxh64(bytes(63))
+    assert xxh64(b"abc", seed=1) != xxh64(b"abc")
+
+
+def test_raw_frame_roundtrip_and_bomb():
+    rng = random.Random(5)
+    for n in (0, 1, 255, 256, 65535 + 256, 200000):
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        assert zstd_frame_decompress(zstd_frame_compress_raw(raw), 1 << 22) == raw
+    run = b"\x07" * 100000  # RLE blocks in our writer
+    fr = zstd_frame_compress_raw(run)
+    assert len(fr) < 100  # RLE actually engaged
+    assert zstd_frame_decompress(fr, 1 << 22) == run
+    assert zstd_frame_decompress(fr, 1 << 10) is None  # bomb-capped
+
+
+def test_frame_validation():
+    raw = b"payload " * 32
+    fr = zstd_frame_compress_raw(raw)
+    assert zstd_frame_decompress(b"\x00" + fr[1:], 1 << 20) is None  # magic
+    bad = bytearray(fr)
+    bad[-1] ^= 0xFF  # checksum byte
+    assert zstd_frame_decompress(bytes(bad), 1 << 20) is None
+    assert zstd_frame_decompress(fr[: len(fr) - 7], 1 << 20) is None  # trunc
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="no zstd CLI")
+def test_decodes_reference_cli_all_levels():
+    rng = random.Random(17)
+    cases = [bytes(rng.choice(b"ab") for _ in range(n))
+             for n in (0, 1, 31, 255, 257, 65536, 131073)]
+    cases.append(b"\x07" * 400000)  # CLI emits RLE blocks
+    cases.append(b"word " * 60000)  # highly compressible, multi-block
+    cases.append(bytes(rng.randrange(256) for _ in range(300000)))
+    for lvl in ("-1", "-3", "-19", "--ultra", "-22"):
+        args = ["--ultra", "-22"] if lvl == "--ultra" else [lvl]
+        if lvl == "-22":
+            continue
+        for raw in cases:
+            assert zstd_frame_decompress(_cli(args, raw), 1 << 24) == raw
+    # --no-check frames (no content checksum) must also decode
+    raw = cases[-2]
+    assert zstd_frame_decompress(_cli(["-3", "--no-check"], raw), 1 << 24) == raw
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="no zstd CLI")
+def test_cli_reads_our_raw_frames():
+    rng = random.Random(3)
+    for n in (0, 100, 65792, 140000):
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        p = subprocess.run(
+            [_ZSTD_BIN, "-d", "-c"],
+            input=zstd_frame_compress_raw(raw),
+            capture_output=True,
+        )
+        assert p.returncode == 0 and p.stdout == raw
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="no zstd CLI")
+def test_corruption_fuzz_drop_or_exact_never_wrong():
+    """Checksummed frame + 200 random bit flips: every outcome must be
+    drop or byte-exact — never silent corruption, never a crash."""
+    doc = b"The five boxing wizards jump quickly. " * 2000
+    good = _cli(["-19"], doc)
+    assert zstd_frame_decompress(good, 1 << 24) == doc
+    rng = random.Random(9)
+    for _ in range(200):
+        bad = bytearray(good)
+        bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        got = zstd_frame_decompress(bytes(bad), 1 << 24)
+        assert got is None or got == doc
+    for k in range(0, len(good), 101):
+        assert zstd_frame_decompress(good[:k], 1 << 24) is None
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="no zstd CLI")
+def test_cli_bomb_is_bounded():
+    bomb = _cli(["-3"], b"\x00" * (64 << 20))
+    assert len(bomb) < 1 << 16
+    assert zstd_frame_decompress(bomb, 1 << 20) is None
+
+
+def test_zstd_spark_roundtrip_unicode(spark):
+    docs = spark.createDataFrame(
+        [(1, "français — 中文 🎯 " * 40), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decode_zstd(docs_as_zstd(docs)).collect()}
+    assert rows[1]["text"] == "français — 中文 🎯 " * 40
+    assert rows[2]["text"] == "" and rows[3]["n_raw"] == 0
