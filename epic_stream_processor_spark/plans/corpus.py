@@ -2380,6 +2380,123 @@ FROM documents
 """
 
 
+# --- compressed-corpus ingest composition (round 10) -------------------------------
+
+def q_compressed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus ingest (round 10 capstone composition): the
+    crawl front door end-to-end — blobs arrive compressed in MIXED
+    formats (doc_id%3 picks xz / lz4 / zstd; every format the sniffer
+    labels), the JVM magic-number sniffer routes each one, and a
+    single Arrow stage dispatches to the matching bounded decoder.
+    This is the chain a real drop-folder ingest runs: never trust the
+    extension, sniff, decode, account. Output (doc_id, format, ok,
+    n_raw, text) is closed-form.
+
+    Scale: sniff is a pure codegen when-chain on a 6-byte prefix; the
+    dispatch pass is row-local Arrow with per-format bomb budgets;
+    zero shuffles end to end.
+    """
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.lz4codec import lz4_frame_compress, lz4_frame_decompress
+    from ..operators.sniff import sniff_format
+    from ..operators.xzcodec import docs_as_xz  # noqa: F401 (doc pointer)
+    from ..operators.zstdcodec import (
+        zstd_frame_compress_raw,
+        zstd_frame_decompress,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("_t"),
+        (F.col("doc_id") % 3).alias("_pick"),
+    )
+
+    def compress(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import lzma
+
+        for pdf in batches:
+            blobs = []
+            for pick, t in zip(pdf["_pick"], pdf["_t"]):
+                raw = (t or "").encode("utf-8")
+                if pick == 0:
+                    blobs.append(lzma.compress(raw, preset=1))
+                elif pick == 1:
+                    blobs.append(lz4_frame_compress(raw))
+                else:
+                    blobs.append(zstd_frame_compress_raw(raw))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": blobs}
+            )
+
+    blobs = staged.mapInPandas(compress, schema="doc_id long, data binary")
+    labeled = blobs.select(
+        "doc_id", "data", sniff_format(F.col("data")).alias("format")
+    )
+
+    def dispatch(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import lzma
+
+        cap = 1 << 22
+
+        def un_xz(b: bytes):
+            d = lzma.LZMADecompressor()
+            try:
+                out = d.decompress(b, max_length=cap + 1)
+            except lzma.LZMAError:
+                return None
+            return bytes(out) if d.eof and len(out) <= cap else None
+
+        table = {
+            "xz": un_xz,
+            "lz4": lambda b: lz4_frame_decompress(b, cap),
+            "zstd": lambda b: zstd_frame_decompress(b, cap),
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id, data, fmt in zip(
+                pdf["doc_id"], pdf["data"], pdf["format"]
+            ):
+                fn = table.get(fmt)
+                raw = fn(bytes(data)) if fn else None
+                if raw is None:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "format": fmt,
+                        "ok": True,
+                        "n_raw": len(raw),
+                        "text": raw.decode("utf-8", "replace"),
+                    }
+                )
+            cols = ["doc_id", "format", "ok", "n_raw", "text"]
+            yield (
+                _pd.DataFrame(rows, columns=cols)
+                if rows
+                else _pd.DataFrame({c: _pd.Series(dtype="object") for c in cols})
+            )
+
+    return labeled.mapInPandas(
+        dispatch,
+        schema="doc_id long, format string, ok boolean, n_raw long, text string",
+    )
+
+
+ORACLE_COMPRESSED_INGEST = """SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'xz' WHEN 1 THEN 'lz4'
+            ELSE 'zstd' END AS format,
+       TRUE AS ok,
+       CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_raw,
+       coalesce(text, '') AS text
+FROM documents
+"""
+
+
 # --- JSON-LD structured-metadata mining (round 9) -------------------------------
 
 def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
