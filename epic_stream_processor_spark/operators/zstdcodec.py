@@ -28,6 +28,10 @@ No stdlib zstd exists, so the decoder is built here from RFC 8878:
   decompression-bomb budget enforced INSIDE the copy loop (offset 1 is
   the classic RLE bomb primitive), the same contract as the WARC /
   xz / lz4 inflates.
+- **Blob layer**: one or more CONCATENATED frames per blob
+  (``cat a.zst b.zst`` is valid zstd and the CLI emits/accepts it)
+  with skippable frames (magic ``0x184D2A5x`` + LE32 size) passed
+  over; trailing garbage or a blob with no real frame drops.
 
 The ENCODER side (:func:`zstd_frame_compress_raw`, used by the
 oracle-backed fixture writer) emits spec-legal frames of Raw/RLE
@@ -574,78 +578,107 @@ def _decode_block(block: bytes, out: bytearray, reps: list[int],
 
 
 def zstd_frame_decompress(blob: bytes, cap: int):
-    """Full RFC 8878 frame → bytes, or None on corruption / bomb /
-    unsupported dictionary."""
+    """RFC 8878 decode of a whole blob: one or more CONCATENATED
+    frames (``cat a.zst b.zst`` is valid zstd) with skippable frames
+    (magic ``0x184D2A5x`` + LE32 size) passed over, outputs joined in
+    order. None on corruption / bomb / unsupported dictionary."""
     try:
-        if blob[:4] != _MAGIC:
-            return None
-        fhd = blob[4]
-        single = bool(fhd & 0x20)
-        checksum = bool(fhd & 0x04)
-        did_size = (0, 1, 2, 4)[fhd & 3]
-        fcs_size = (0, 2, 4, 8)[fhd >> 6]
-        if (fhd >> 6) == 0 and single:
-            fcs_size = 1
-        if fhd & 0x08:
-            return None  # reserved bit
-        i = 5
-        if not single:
-            i += 1  # window descriptor
-        if did_size:
-            if int.from_bytes(blob[i : i + did_size], "little") != 0:
-                return None  # dictionaries unsupported
-            i += did_size
-        content_size = None
-        if fcs_size:
-            content_size = int.from_bytes(blob[i : i + fcs_size], "little")
-            if fcs_size == 2:
-                content_size += 256
-            i += fcs_size
         out = bytearray()
-        reps = [1, 4, 8]
-        huf = None
-        tables = None
-        while True:
-            if i + 3 > len(blob):
+        i = 0
+        saw_frame = False
+        while i < len(blob):
+            magic = blob[i : i + 4]
+            if len(magic) < 4:
                 return None
-            hdr = int.from_bytes(blob[i : i + 3], "little")
-            i += 3
-            last = hdr & 1
-            btype = (hdr >> 1) & 3
-            bsize = hdr >> 3
-            if btype == 0:  # raw
-                if i + bsize > len(blob) or len(out) + bsize > cap:
+            if magic[0] >= 0x50 and magic[0] <= 0x5F and magic[1:4] == b"\x2a\x4d\x18":
+                if i + 8 > len(blob):
                     return None
-                out += blob[i : i + bsize]
-                i += bsize
-            elif btype == 1:  # RLE: bsize = regenerated size, 1 byte
-                if i >= len(blob) or len(out) + bsize > cap:
+                skip = int.from_bytes(blob[i + 4 : i + 8], "little")
+                i += 8 + skip
+                if i > len(blob):
                     return None
-                out += bytes([blob[i]]) * bsize
-                i += 1
-            elif btype == 2:
-                if i + bsize > len(blob):
-                    return None
-                huf, tables = _decode_block(
-                    blob[i : i + bsize], out, reps, huf, tables, cap
-                )
-                i += bsize
-            else:
-                return None  # reserved
-            if last:
-                break
-        if checksum:
-            if i + 4 > len(blob):
+                continue
+            if magic != _MAGIC:
                 return None
-            want = int.from_bytes(blob[i : i + 4], "little")
-            if (xxh64(bytes(out)) & 0xFFFFFFFF) != want:
-                return None
-            i += 4
-        if content_size is not None and len(out) != content_size:
-            return None
-        return bytes(out)
+            part, i = _one_frame(blob, i, cap - len(out))
+            out += part
+            saw_frame = True
+        return bytes(out) if saw_frame else None
     except (_Corrupt, IndexError):
         return None
+
+
+def _one_frame(blob: bytes, base: int, cap: int):
+    """One compressed frame starting at ``base`` (magic verified by
+    the caller) → (decoded bytes, absolute index after the frame).
+    Raises _Corrupt on any structural problem."""
+    fhd = blob[base + 4]
+    single = bool(fhd & 0x20)
+    checksum = bool(fhd & 0x04)
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    fcs_size = (0, 2, 4, 8)[fhd >> 6]
+    if (fhd >> 6) == 0 and single:
+        fcs_size = 1
+    if fhd & 0x08:
+        raise _Corrupt("reserved FHD bit")
+    i = base + 5
+    if not single:
+        i += 1  # window descriptor
+    if did_size:
+        if int.from_bytes(blob[i : i + did_size], "little") != 0:
+            raise _Corrupt("dictionaries unsupported")
+        i += did_size
+    content_size = None
+    if fcs_size:
+        if i + fcs_size > len(blob):
+            raise _Corrupt("truncated FCS")
+        content_size = int.from_bytes(blob[i : i + fcs_size], "little")
+        if fcs_size == 2:
+            content_size += 256
+        i += fcs_size
+    out = bytearray()
+    reps = [1, 4, 8]
+    huf = None
+    tables = None
+    while True:
+        if i + 3 > len(blob):
+            raise _Corrupt("truncated block header")
+        hdr = int.from_bytes(blob[i : i + 3], "little")
+        i += 3
+        last = hdr & 1
+        btype = (hdr >> 1) & 3
+        bsize = hdr >> 3
+        if btype == 0:  # raw
+            if i + bsize > len(blob) or len(out) + bsize > cap:
+                raise _Corrupt("raw block over bounds")
+            out += blob[i : i + bsize]
+            i += bsize
+        elif btype == 1:  # RLE: bsize = regenerated size, 1 byte stored
+            if i >= len(blob) or len(out) + bsize > cap:
+                raise _Corrupt("rle block over bounds")
+            out += bytes([blob[i]]) * bsize
+            i += 1
+        elif btype == 2:
+            if i + bsize > len(blob):
+                raise _Corrupt("truncated compressed block")
+            huf, tables = _decode_block(
+                blob[i : i + bsize], out, reps, huf, tables, cap
+            )
+            i += bsize
+        else:
+            raise _Corrupt("reserved block type")
+        if last:
+            break
+    if checksum:
+        if i + 4 > len(blob):
+            raise _Corrupt("truncated checksum")
+        want = int.from_bytes(blob[i : i + 4], "little")
+        if (xxh64(bytes(out)) & 0xFFFFFFFF) != want:
+            raise _Corrupt("content checksum mismatch")
+        i += 4
+    if content_size is not None and len(out) != content_size:
+        raise _Corrupt("content size mismatch")
+    return bytes(out), i
 
 
 def zstd_frame_compress_raw(raw: bytes, block_max: int = 1 << 17) -> bytes:

@@ -128,3 +128,24 @@ def test_zstd_spark_roundtrip_unicode(spark):
     rows = {r["doc_id"]: r for r in decode_zstd(docs_as_zstd(docs)).collect()}
     assert rows[1]["text"] == "français — 中文 🎯 " * 40
     assert rows[2]["text"] == "" and rows[3]["n_raw"] == 0
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="no zstd CLI")
+def test_concatenated_frames_and_skippable():
+    """cat a.zst b.zst is valid zstd; skippable frames pass over;
+    trailing garbage and frame-less blobs drop."""
+    doc = b"concatenation corpus " * 3000
+    a = _cli(["-3"], doc[:5000])
+    b = _cli(["-19"], doc[5000:40000])
+    c = zstd_frame_compress_raw(doc[40000:])
+    skip = b"\x50\x2a\x4d\x18" + (7).to_bytes(4, "little") + b"IGNORED"
+    assert zstd_frame_decompress(a + skip + b + c, 1 << 24) == doc
+    # the CLI agrees our concatenation layout is what it produces
+    p = subprocess.run(
+        [_ZSTD_BIN, "-d", "-c"], input=a + b, capture_output=True
+    )
+    assert p.returncode == 0 and p.stdout == doc[:40000]
+    assert zstd_frame_decompress(a + b"garbage!", 1 << 24) is None
+    assert zstd_frame_decompress(skip, 1 << 24) is None
+    # cap applies across frames, not per frame
+    assert zstd_frame_decompress(a + b, 6000) is None
