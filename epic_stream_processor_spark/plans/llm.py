@@ -3291,6 +3291,124 @@ b0 AS (
 ORACLE_UNIGRAM_TOKENIZE = unigram_tokenize_oracle_sql()
 
 
+def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer (round 10, operators/wordpiece.py): the
+    BERT-lineage greedy longest-match-first APPLY algorithm — two
+    vocabulary namespaces (word-initial vs ##-continuation), the
+    all-or-nothing [UNK] rule for dead-ends and over-length words —
+    unrolled into pure column expressions over the distinct-word
+    lexicon, with a count-ranked vocabulary (stated plainly in the
+    module docstring). Completes the tokenizer family: BPE train/
+    encode, unigram Viterbi, WordPiece greedy."""
+    from ..operators.wordpiece import wordpiece_tokenize
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_tokenize(
+        docs, v=24, max_piece=4, max_word=8
+    ).select("word", "word_count", "n_pieces", "tokens")
+
+
+def wordpiece_oracle_sql(
+    v: int = 24, max_piece: int = 4, max_word: int = 8,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of wordpiece_tokenize: the identical two-namespace
+    count-ranked vocabulary and the SAME greedy loop unrolled — one
+    CTE per step, longest-match-first via (match desc, length desc)
+    row_number, pass-through legs for finished rows, a dead leg that
+    survives only when no length matches."""
+    parts = [
+        f"""WITH w0 AS (
+  SELECT unnest(str_split_regex(trim(text), '\\s+')) AS w
+  FROM {table} WHERE len(trim(coalesce(text, ''))) > 0
+),
+wc AS (SELECT w, count(*) AS wcnt FROM w0 WHERE w <> '' GROUP BY w),
+scand AS (
+  SELECT substr(w, 1, CAST(k AS INT)) AS piece, sum(wcnt) AS cnt FROM (
+    SELECT w, wcnt, unnest(range(1, least({max_piece}, len(w)) + 1)) AS k
+    FROM wc
+  ) GROUP BY 1
+),
+smulti AS (
+  SELECT piece FROM (
+    SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM scand WHERE len(piece) >= 2
+  ) WHERE rn <= {v}
+),
+ccand AS (
+  SELECT substr(w, CAST(i AS INT), CAST(k AS INT)) AS piece,
+         sum(wcnt) AS cnt
+  FROM (
+    SELECT w, wcnt, i,
+           unnest(range(1, least({max_piece}, len(w) - i + 1) + 1)) AS k
+    FROM (SELECT w, wcnt, unnest(range(2, len(w) + 1)) AS i FROM wc)
+  ) GROUP BY 1
+),
+cmulti AS (
+  SELECT piece FROM (
+    SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM ccand WHERE len(piece) >= 2
+  ) WHERE rn <= {v}
+),
+vocab AS MATERIALIZED (
+  SELECT piece, TRUE AS is_start FROM scand WHERE len(piece) = 1
+  UNION ALL SELECT piece, TRUE FROM smulti
+  UNION ALL SELECT piece, FALSE FROM ccand WHERE len(piece) = 1
+  UNION ALL SELECT piece, FALSE FROM cmulti
+),
+s0 AS MATERIALIZED (
+  SELECT w, wcnt, len(w) AS L, 1 AS pos, 0 AS n, '' AS p,
+         len(w) > {max_word} AS dead
+  FROM wc
+)"""
+    ]
+    for j in range(1, max_word + 1):
+        legs = [
+            f"""    SELECT w, wcnt, L, pos, n, p, dead, 0 AS ln, 2 AS sel
+    FROM s{j - 1} WHERE dead OR pos > L"""
+        ]
+        for ln in range(max_piece, 0, -1):
+            legs.append(
+                f"""    SELECT b.w, b.wcnt, b.L, b.pos + {ln} AS pos,
+           b.n + 1 AS n,
+           b.p || '|' || CASE WHEN b.pos = 1 THEN v.piece
+                              ELSE '##' || v.piece END AS p,
+           FALSE AS dead, {ln} AS ln, 1 AS sel
+    FROM s{j - 1} b
+    JOIN vocab v
+      ON v.piece = substr(b.w, b.pos, {ln})
+     AND v.is_start = (b.pos = 1)
+    WHERE NOT b.dead AND b.pos <= b.L AND b.pos + {ln} - 1 <= b.L"""
+            )
+        legs.append(
+            f"""    SELECT w, wcnt, L, pos, n, p, TRUE AS dead, 0, 0
+    FROM s{j - 1} WHERE NOT dead AND pos <= L"""
+        )
+        union = "\n    UNION ALL\n".join(legs)
+        parts.append(
+            f"""s{j} AS MATERIALIZED (
+  SELECT w, wcnt, L, pos, n, p, dead FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY w ORDER BY sel DESC, ln DESC) AS rn
+    FROM (
+{union}
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    final = f"""SELECT w AS word, wcnt AS word_count,
+       CAST(CASE WHEN dead OR pos <= L THEN 1 ELSE n END AS BIGINT)
+         AS n_pieces,
+       CASE WHEN dead OR pos <= L THEN '[UNK]' ELSE substr(p, 2) END
+         AS tokens
+FROM s{max_word}"""
+    return ",\n".join(parts) + "\n" + final
+
+
+ORACLE_WORDPIECE_TOKENIZE = wordpiece_oracle_sql()
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test split-leakage audit — the eval-integrity check every
     benchmark pipeline needs and exact dedup alone cannot provide: a

@@ -1004,6 +1004,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "operational layer (discover -> permit -> canonicalize -> rank "
         "-> schedule)",
     ),
+    "wordpiece_tokenize": QueryDef(
+        llm.q_wordpiece_tokenize, llm.ORACLE_WORDPIECE_TOKENIZE,
+        "WordPiece tokenizer (round 10): BERT's greedy longest-match "
+        "apply algorithm with two vocab namespaces (##-continuation) "
+        "and the all-or-nothing [UNK] rule, unrolled into column "
+        "expressions; completes the tokenizer family next to BPE and "
+        "unigram Viterbi; step-unrolled SQL oracle",
+    ),
     "unigram_tokenize": QueryDef(
         llm.q_unigram_tokenize, llm.ORACLE_UNIGRAM_TOKENIZE,
         "unigram-LM subword tokenizer (round 7, Kudo 2018 / the "

@@ -512,3 +512,83 @@ def test_bpe_matches_independent_reference(spark, words, reps):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = [(l, r) for _, l, r in bpe.train_bpe(docs, 3)]
     assert got == _bpe_reference(freqs, 3)
+
+
+def _wordpiece_reference(word_freqs: dict, v: int, max_piece: int,
+                         max_word: int):
+    """Independent from-scratch WordPiece: count-ranked two-namespace
+    vocab + the published BERT greedy longest-match apply (whole-word
+    [UNK] on dead-end or over-length)."""
+    start_counts, cont_counts = {}, {}
+    for w, c in word_freqs.items():
+        for k in range(1, min(max_piece, len(w)) + 1):
+            p = w[:k]
+            start_counts[p] = start_counts.get(p, 0) + c
+        for i in range(1, len(w)):
+            for k in range(1, min(max_piece, len(w) - i) + 1):
+                p = w[i : i + k]
+                cont_counts[p] = cont_counts.get(p, 0) + c
+
+    def keep(counts):
+        multi = sorted(
+            (p for p in counts if len(p) >= 2),
+            key=lambda p: (-counts[p], p),
+        )[:v]
+        return {p for p in counts if len(p) == 1} | set(multi)
+
+    svocab, cvocab = keep(start_counts), keep(cont_counts)
+    out = {}
+    for w in word_freqs:
+        if len(w) > max_word:
+            out[w] = (1, "[UNK]")
+            continue
+        pos, toks = 0, []
+        ok = True
+        while pos < len(w):
+            vocab = svocab if pos == 0 else cvocab
+            for ln in range(min(max_piece, len(w) - pos), 0, -1):
+                if w[pos : pos + ln] in vocab:
+                    toks.append(
+                        w[pos : pos + ln] if pos == 0
+                        else "##" + w[pos : pos + ln]
+                    )
+                    pos += ln
+                    break
+            else:
+                ok = False
+                break
+        out[w] = (len(toks), "|".join(toks)) if ok else (1, "[UNK]")
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=10),
+        min_size=1,
+        max_size=10,
+    ),
+    reps=st.lists(st.integers(1, 4), min_size=10, max_size=10),
+)
+def test_wordpiece_matches_independent_reference(spark, words, reps):
+    """wordpiece_tokenize == a from-scratch reference (count-ranked
+    two-namespace vocab, BERT greedy longest-match, all-or-nothing
+    [UNK]) on arbitrary corpora — the unrolled expression chain is an
+    implementation detail, not a semantics change. Words longer than
+    max_word pin the over-length [UNK] rule."""
+    from epic_stream_processor_spark.operators.wordpiece import (
+        wordpiece_tokenize,
+    )
+
+    freqs = {}
+    for w, r in zip(words, reps):
+        freqs[w] = freqs.get(w, 0) + r
+    text = " ".join(w for w, c in freqs.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["word"]: (r["n_pieces"], r["tokens"])
+        for r in wordpiece_tokenize(
+            docs, v=5, max_piece=3, max_word=8
+        ).collect()
+    }
+    assert got == _wordpiece_reference(freqs, v=5, max_piece=3, max_word=8)
