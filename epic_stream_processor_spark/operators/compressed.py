@@ -1,0 +1,81 @@
+"""Shared compressed-blob dispatch: sniffed label → the matching
+bounded decoder (xz / lz4 / zstd), one row-local Arrow pass.
+
+Used by BOTH the batch capstone (``plans/corpus.q_compressed_ingest``)
+and the streaming ingest (``streaming/pipeline.run_compressed_ingest_
+stream``) so stream==batch is a property of shared code, not parallel
+implementations — the standing streaming-twin discipline.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DECODED_SCHEMA = (
+    "doc_id long, format string, ok boolean, n_raw long, text string"
+)
+
+
+def decode_routed(
+    labeled: DataFrame, inflate_cap: int = 1 << 22
+) -> DataFrame:
+    """(doc_id, data, format) → (doc_id, format, ok, n_raw, text).
+    Unknown labels and failed decodes drop; every decoder enforces the
+    shared decompression-bomb budget."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import lzma
+
+        from epic_stream_processor_spark.operators.lz4codec import (
+            lz4_frame_decompress,
+        )
+        from epic_stream_processor_spark.operators.zstdcodec import (
+            zstd_frame_decompress,
+        )
+
+        def un_xz(b: bytes):
+            d = lzma.LZMADecompressor()
+            try:
+                out = d.decompress(b, max_length=inflate_cap + 1)
+            except lzma.LZMAError:
+                return None
+            return (
+                bytes(out) if d.eof and len(out) <= inflate_cap else None
+            )
+
+        table = {
+            "xz": un_xz,
+            "lz4": lambda b: lz4_frame_decompress(b, inflate_cap),
+            "zstd": lambda b: zstd_frame_decompress(b, inflate_cap),
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id, data, fmt in zip(
+                pdf["doc_id"], pdf["data"], pdf["format"]
+            ):
+                fn = table.get(fmt)
+                raw = fn(bytes(data)) if fn else None
+                if raw is None:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "format": fmt,
+                        "ok": True,
+                        "n_raw": len(raw),
+                        "text": raw.decode("utf-8", "replace"),
+                    }
+                )
+            cols = ["doc_id", "format", "ok", "n_raw", "text"]
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame(
+                    {c: pd.Series(dtype="object") for c in cols}
+                )
+            )
+
+    return labeled.mapInPandas(gen, schema=DECODED_SCHEMA)

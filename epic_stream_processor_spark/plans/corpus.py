@@ -2400,13 +2400,9 @@ def q_compressed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as _pd
 
-    from ..operators.lz4codec import lz4_frame_compress, lz4_frame_decompress
+    from ..operators.lz4codec import lz4_frame_compress
     from ..operators.sniff import sniff_format
-    from ..operators.xzcodec import docs_as_xz  # noqa: F401 (doc pointer)
-    from ..operators.zstdcodec import (
-        zstd_frame_compress_raw,
-        zstd_frame_decompress,
-    )
+    from ..operators.zstdcodec import zstd_frame_compress_raw
 
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -2437,54 +2433,9 @@ def q_compressed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = blobs.select(
         "doc_id", "data", sniff_format(F.col("data")).alias("format")
     )
+    from ..operators.compressed import decode_routed
 
-    def dispatch(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
-        import lzma
-
-        cap = 1 << 22
-
-        def un_xz(b: bytes):
-            d = lzma.LZMADecompressor()
-            try:
-                out = d.decompress(b, max_length=cap + 1)
-            except lzma.LZMAError:
-                return None
-            return bytes(out) if d.eof and len(out) <= cap else None
-
-        table = {
-            "xz": un_xz,
-            "lz4": lambda b: lz4_frame_decompress(b, cap),
-            "zstd": lambda b: zstd_frame_decompress(b, cap),
-        }
-        for pdf in batches:
-            rows = []
-            for doc_id, data, fmt in zip(
-                pdf["doc_id"], pdf["data"], pdf["format"]
-            ):
-                fn = table.get(fmt)
-                raw = fn(bytes(data)) if fn else None
-                if raw is None:
-                    continue
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "format": fmt,
-                        "ok": True,
-                        "n_raw": len(raw),
-                        "text": raw.decode("utf-8", "replace"),
-                    }
-                )
-            cols = ["doc_id", "format", "ok", "n_raw", "text"]
-            yield (
-                _pd.DataFrame(rows, columns=cols)
-                if rows
-                else _pd.DataFrame({c: _pd.Series(dtype="object") for c in cols})
-            )
-
-    return labeled.mapInPandas(
-        dispatch,
-        schema="doc_id long, format string, ok boolean, n_raw long, text string",
-    )
+    return decode_routed(labeled)
 
 
 ORACLE_COMPRESSED_INGEST = """SELECT doc_id,

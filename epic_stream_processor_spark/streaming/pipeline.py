@@ -586,3 +586,53 @@ def run_sniff_route_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_compressed_ingest_stream(
+    spark: SparkSession,
+    blob_dir: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    inflate_cap: int = 1 << 22,
+):
+    """Compressed-corpus ingest as a stream (round 10): opaque
+    ``<doc_id>.bin`` blobs land in a directory in MIXED compression
+    formats; each micro-batch sniffs the magic (pure JVM, codegen on
+    the executors) and one Arrow stage dispatches to the matching
+    bounded decoder — the SAME ``operators/compressed.decode_routed``
+    the batch capstone runs, so stream==batch is shared code, not a
+    parallel implementation. Corrupt/unknown blobs drop inside the
+    stage (no poison-pill retries). Stateless: the file-source log in
+    the checkpoint makes delivery exactly-once per blob; backpressure
+    via ``maxFilesPerTrigger``.
+
+    At 100 TB: sniff is map-only, decode is row-local and
+    bomb-bounded; a blob never leaves its executor.
+    """
+    from ..operators.compressed import decode_routed
+    from ..operators.sniff import sniff_format
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    labeled = reader.load(blob_dir).select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("data"),
+        sniff_format(F.col("content")).alias("format"),
+    )
+    decoded = decode_routed(labeled, inflate_cap=inflate_cap)
+    writer = (
+        decoded.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -883,3 +883,75 @@ def test_sniff_route_stream_matches_batch(spark, tmp_path):
     q2 = run_sniff_route_stream(spark, str(blob_dir), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(blobs)
+
+
+def test_compressed_ingest_stream_matches_batch(spark, tmp_path):
+    """Round-10 streaming twin of the compressed-ingest capstone:
+    mixed xz/lz4/zstd blobs land as files, the stream sniffs and
+    dispatches through the SAME decode_routed the batch path uses —
+    decoded rows must equal a batch run over identical bytes, corrupt
+    blobs drop in-stage, and a restart re-delivers nothing."""
+    import lzma as _lzma
+
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.compressed import (
+        decode_routed,
+    )
+    from epic_stream_processor_spark.operators.lz4codec import (
+        lz4_frame_compress,
+    )
+    from epic_stream_processor_spark.operators.sniff import sniff_format
+    from epic_stream_processor_spark.operators.zstdcodec import (
+        zstd_frame_compress_raw,
+    )
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_compressed_ingest_stream,
+    )
+
+    texts = {
+        1: "alpha xz payload — déjà vu",
+        2: "beta lz4 payload " * 10,
+        3: "gamma zstd payload",
+        4: "",  # empty doc still decodes
+    }
+    blobs = {
+        1: _lzma.compress(texts[1].encode(), preset=1),
+        2: lz4_frame_compress(texts[2].encode()),
+        3: zstd_frame_compress_raw(texts[3].encode()),
+        4: _lzma.compress(texts[4].encode(), preset=1),
+        5: b"\x28\xb5\x2f\xfdgarbage-not-a-frame",  # corrupt zstd: drops
+        6: b"no magic at all",  # unknown label: drops
+    }
+    blob_dir = tmp_path / "cblobs"
+    blob_dir.mkdir()
+    for doc_id, data in blobs.items():
+        (blob_dir / f"{doc_id}.bin").write_bytes(data)
+    out = str(tmp_path / "decoded")
+    ckpt = str(tmp_path / "cckpt")
+    q = run_compressed_ingest_stream(spark, str(blob_dir), out, ckpt)
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["format"], r["n_raw"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][0] == "xz" and got[2][0] == "lz4" and got[3][0] == "zstd"
+    for doc_id, text in texts.items():
+        assert got[doc_id][2] == text and got[doc_id][1] == len(
+            text.encode()
+        )
+    # stream == batch through the shared dispatch
+    batch_in = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "doc_id long, data binary",
+    ).select("doc_id", "data", sniff_format(F.col("data")).alias("format"))
+    batch = {
+        r["doc_id"]: (r["format"], r["n_raw"], r["text"])
+        for r in decode_routed(batch_in).collect()
+    }
+    assert got == batch
+    # restart: no new files -> no duplicates
+    q2 = run_compressed_ingest_stream(spark, str(blob_dir), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 4
