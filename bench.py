@@ -112,6 +112,8 @@ SF10_KNOWN_FLOORS = {
     "knn_cosine_ivf": 4.0,         # §5f r9 interleaved A/B floors
     "pdf_extract": 9.9,            # §2d r9 clean-window 32-core floors
     "image_near_dup": 12.5,        # §2d r8 quiet-window re-measure floors
+    "dedup_substring": 10.9,       # r9 recorded floor; r10 drift-prone
+    "dedup_sentences": 8.8,        # r9 recorded floor (same shuffle class)
 }
 
 
