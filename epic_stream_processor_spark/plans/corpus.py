@@ -2448,6 +2448,127 @@ FROM documents
 """
 
 
+# --- .jsonl.zst shard ingest (round 10) ---------------------------------------------
+
+def q_jsonl_zst_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.jsonl.zst shard ingest (round 10): the delivery format the
+    big public text corpora actually ship (RedPajama, FineWeb-class
+    drops: JSON-Lines records, zstd-compressed shards). Fixture:
+    documents grouped into shards of 8 (doc_id//8 — the group-writer
+    pattern), each shard one JSONL blob (to_json over a struct, JVM
+    side) compressed as one zstd frame; ingest decodes the frame
+    (bounded), splits lines, and parses with from_json — zero Python
+    beyond the frame codec, one shard-keyed groupBy to build blobs.
+
+    Closed-form: every JSON field is a pure function of the documents
+    columns; line order inside a shard is pinned by sorting on doc_id
+    at build time, and the output is per-document so shard assembly
+    order cancels out.
+
+    Scale: shards are the unit of parallelism (the WebDataset
+    argument); decode is row-local and bomb-bounded; from_json is
+    whole-stage codegen.
+    """
+    from ..operators.zstdcodec import zstd_frame_compress_raw
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        (F.col("doc_id") / 8).cast("long").alias("shard_id"),
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("id"),
+                F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                F.col("lang"),
+                F.col("source"),
+            )
+        ).alias("line"),
+    )
+    shards = lines.groupBy("shard_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("jsonl")
+    )
+
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def compress(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "shard_id": pdf["shard_id"].astype("int64"),
+                    "data": [
+                        zstd_frame_compress_raw(j.encode("utf-8"))
+                        for j in pdf["jsonl"]
+                    ],
+                }
+            )
+
+    blobs = shards.mapInPandas(
+        compress, schema="shard_id long, data binary"
+    )
+
+    from ..operators.zstdcodec import zstd_frame_decompress
+
+    def decompress(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        cap = 1 << 24
+        for pdf in batches:
+            rows = []
+            for sid, data in zip(pdf["shard_id"], pdf["data"]):
+                raw = zstd_frame_decompress(bytes(data), cap)
+                if raw is None:
+                    continue
+                rows.append(
+                    {"shard_id": int(sid), "jsonl": raw.decode("utf-8")}
+                )
+            cols = ["shard_id", "jsonl"]
+            yield (
+                _pd.DataFrame(rows, columns=cols)
+                if rows
+                else _pd.DataFrame(
+                    {c: _pd.Series(dtype="object") for c in cols}
+                )
+            )
+
+    decoded = blobs.mapInPandas(
+        decompress, schema="shard_id long, jsonl string"
+    )
+    parsed = decoded.select(
+        "shard_id",
+        F.explode(F.split(F.col("jsonl"), "\n")).alias("line"),
+    ).select(
+        "shard_id",
+        F.from_json(
+            F.col("line"),
+            "id long, text string, lang string, source string",
+        ).alias("r"),
+    )
+    return parsed.select(
+        F.col("r.id").alias("doc_id"),
+        "shard_id",
+        F.length("r.text").cast("long").alias("n_chars_text"),
+        F.col("r.lang").alias("lang"),
+        F.col("r.source").alias("source"),
+    )
+
+
+ORACLE_JSONL_ZST_INGEST = """SELECT doc_id,
+       CAST(doc_id // 8 AS BIGINT) AS shard_id,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_text,
+       lang, source
+FROM documents
+"""
+
+
 # --- JSON-LD structured-metadata mining (round 9) -------------------------------
 
 def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1067,6 +1067,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "gains its decoder (zstd/lz4 stay honestly label-only); "
         "closed-form oracle recomputes ok/n_raw/text",
     ),
+    "jsonl_zst_ingest": QueryDef(
+        corpus.q_jsonl_zst_ingest, corpus.ORACLE_JSONL_ZST_INGEST,
+        ".jsonl.zst shard ingest (round 10): the delivery format the "
+        "big public text corpora ship — group-writer JSONL shards "
+        "zstd-compressed, decoded bounded, parsed with from_json; "
+        "closed-form oracle",
+    ),
     "compressed_ingest": QueryDef(
         corpus.q_compressed_ingest, corpus.ORACLE_COMPRESSED_INGEST,
         "compressed-corpus ingest (round 10 composition): mixed "
