@@ -22,7 +22,8 @@ offset-30 prefix check.
 
 Output: one ``format`` label per row from {png, jpeg, gif, bmp, tiff,
 pdf, gzip, bz2, zip, epub, ooxml, odf, flac, wav, mp3, tar, warc, xml,
-html, mbox, sqlite, mp4, ogg, rtf, webp, zstd, lz4, xz, unknown}. Misses are
+html, mbox, sqlite, mp4, ogg, rtf, webp, zstd, lz4, xz, parquet,
+orc, unknown}. Misses are
 'unknown', never an error — sniffing untrusted bytes must be total.
 (The round-9 additions: SQLite's 16-byte header string, ISO-BMFF's
 ``ftyp`` at offset 4 — the one magic that does NOT sit at offset 0 —
@@ -88,6 +89,19 @@ def sniff_format(data: Column) -> Column:
         .when(_hex_at(data, 1, "28B52FFD"), F.lit("zstd"))
         .when(_hex_at(data, 1, "04224D18"), F.lit("lz4"))
         .when(_hex_at(data, 1, "FD377A585A00"), F.lit("xz"))
+        # the data-lake pair Spark itself writes (r10): parquet frames
+        # open AND close with PAR1; ORC opens with its 3-byte name AND
+        # repeats it at the tail just before the 1-byte postscript
+        # length (both per the formats' public specs). A 3-char prefix
+        # alone would false-positive on text starting "ORC…", so the
+        # tail magic is required too — guarded weak magic, the BMP/WAV
+        # discipline.
+        .when(_ascii_at(data, 1, "PAR1"), F.lit("parquet"))
+        .when(
+            _ascii_at(data, 1, "ORC")
+            & (F.hex(F.substring(data, -4, 3)) == "4F5243"),
+            F.lit("orc"),
+        )
         .when(_hex_at(data, 1, "FFD8FF"), F.lit("jpeg"))
         .when(_ascii_at(data, 1, "GIF8"), F.lit("gif"))
         .when(_ascii_at(data, 1, "%PDF"), F.lit("pdf"))

@@ -166,3 +166,20 @@ def test_round10_zstd_writer_classifies(spark):
 
     docs = _docs(spark)
     assert _sniff_one(spark, _first_blob(docs_as_zstd(docs))) == "zstd"
+
+
+def test_round10_datalake_formats_classify(spark, tmp_path):
+    """Parquet and ORC written by SPARK ITSELF (the ultimate foreign
+    writer for a Spark engine) classify; an 'ORC…' text decoy does
+    not (the tail-magic guard)."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    pq_dir, orc_dir = str(tmp_path / "pq"), str(tmp_path / "orc")
+    df.write.mode("overwrite").parquet(pq_dir)
+    df.write.mode("overwrite").orc(orc_dir)
+    import glob
+
+    pq_file = glob.glob(pq_dir + "/part-*.parquet")[0]
+    orc_file = glob.glob(orc_dir + "/part-*.orc")[0]
+    assert _sniff_one(spark, open(pq_file, "rb").read()) == "parquet"
+    assert _sniff_one(spark, open(orc_file, "rb").read()) == "orc"
+    assert _sniff_one(spark, b"ORCHESTRA programme notes...") != "orc"
