@@ -32,6 +32,13 @@ No stdlib zstd exists, so the decoder is built here from RFC 8878:
   (``cat a.zst b.zst`` is valid zstd and the CLI emits/accepts it)
   with skippable frames (magic ``0x184D2A5x`` + LE32 size) passed
   over; trailing garbage or a blob with no real frame drops.
+- **Dictionaries** (§5): :func:`parse_zstd_dict` reads the trained-
+  dictionary format (entropy tables in OF/ML/LL order, repeat-offset
+  seeds, content) and frames referencing it decode with the dict
+  tables seeding the first block and matches reaching into the dict
+  content (the virtual window prefix) — the per-document small-text
+  compression mode a corpus store actually uses. Frames naming an
+  unknown dictionary id drop, never mis-decode.
 
 The ENCODER side (:func:`zstd_frame_compress_raw`, used by the
 oracle-backed fixture writer) emits spec-legal frames of Raw/RLE
@@ -484,9 +491,11 @@ def _huf_stream(data: bytes, cells, max_bits: int, out_len: int) -> bytes:
 
 
 def _decode_block(block: bytes, out: bytearray, reps: list[int],
-                  prev_huf, prev_tables, cap: int):
+                  prev_huf, prev_tables, cap: int,
+                  dict_content: bytes = b""):
     """One Compressed block appended to ``out``. Returns
-    (new_huf, new_tables)."""
+    (new_huf, new_tables). ``dict_content`` virtually prepends the
+    output window so dictionary-frame matches can reach into it."""
     lits, pos, huf = _decode_literals(block, 0, prev_huf, cap - len(out))
     # sequences header
     if pos >= len(block):
@@ -562,11 +571,22 @@ def _decode_block(block: bytes, out: bytearray, reps: list[int],
             raise _Corrupt("over budget")
         out += lits[lit_pos : lit_pos + ll]
         lit_pos += ll
-        if offset > len(out):
+        if offset > len(out) + len(dict_content):
             raise _Corrupt("offset beyond window")
-        start = len(out) - offset
-        for k in range(ml):
-            out.append(out[start + k])
+        if offset <= len(out):
+            start = len(out) - offset
+            for k in range(ml):
+                out.append(out[start + k])
+        else:
+            # virtual stream = dict_content || out: copy byte-wise so a
+            # match may start in the dictionary and run into fresh output
+            dlen = len(dict_content)
+            v0 = dlen + len(out) - offset
+            for k in range(ml):
+                v = v0 + k
+                out.append(
+                    dict_content[v] if v < dlen else out[v - dlen]
+                )
         if i + 1 < nseq:
             ll_s and ll_s.update(br)
             ml_s and ml_s.update(br)
@@ -577,11 +597,54 @@ def _decode_block(block: bytes, out: bytearray, reps: list[int],
     return huf, new_tables
 
 
-def zstd_frame_decompress(blob: bytes, cap: int):
+_DICT_MAGIC = b"\x37\xa4\x30\xec"  # 0xEC30A437 LE
+
+
+def parse_zstd_dict(blob: bytes):
+    """RFC 8878 §5 dictionary: magic, Dictionary_ID, entropy tables
+    (Huffman literals tree, then FSE tables for offsets / match
+    lengths / literals lengths), three LE32 repeat offsets, content.
+    Returns the state a referencing frame starts from, or None."""
+    try:
+        if blob[:4] != _DICT_MAGIC:
+            return None
+        dict_id = int.from_bytes(blob[4:8], "little")
+        pos = 8
+        weights, used = _huffman_weights(blob[pos:])
+        cells, max_bits = _huffman_table(weights)
+        pos += used
+        tables = []
+        for max_sym in (31, 52, 35):  # OF, ML, LL order per the spec
+            log, counts, used = _read_ncount(blob[pos:], max_sym)
+            tables.append((_fse_table(log, counts), log, None))
+            pos += used
+        of_t, ml_t, ll_t = tables
+        reps = [
+            int.from_bytes(blob[pos + 4 * k : pos + 4 * k + 4], "little")
+            for k in range(3)
+        ]
+        pos += 12
+        if 0 in reps:
+            return None
+        return {
+            "dict_id": dict_id,
+            "huf": (cells, max_bits),
+            "tables": (ll_t, of_t, ml_t),
+            "reps": reps,
+            "content": blob[pos:],
+        }
+    except (_Corrupt, IndexError):
+        return None
+
+
+def zstd_frame_decompress(blob: bytes, cap: int, zdict: dict | None = None):
     """RFC 8878 decode of a whole blob: one or more CONCATENATED
     frames (``cat a.zst b.zst`` is valid zstd) with skippable frames
     (magic ``0x184D2A5x`` + LE32 size) passed over, outputs joined in
-    order. None on corruption / bomb / unsupported dictionary."""
+    order. Pass ``zdict`` (from :func:`parse_zstd_dict`) to decode
+    dictionary-referencing frames — entropy tables, repeat offsets,
+    and match windows seed from it. None on corruption / bomb /
+    unknown dictionary id."""
     try:
         out = bytearray()
         i = 0
@@ -600,7 +663,7 @@ def zstd_frame_decompress(blob: bytes, cap: int):
                 continue
             if magic != _MAGIC:
                 return None
-            part, i = _one_frame(blob, i, cap - len(out))
+            part, i = _one_frame(blob, i, cap - len(out), zdict)
             out += part
             saw_frame = True
         return bytes(out) if saw_frame else None
@@ -608,7 +671,7 @@ def zstd_frame_decompress(blob: bytes, cap: int):
         return None
 
 
-def _one_frame(blob: bytes, base: int, cap: int):
+def _one_frame(blob: bytes, base: int, cap: int, zdict: dict | None = None):
     """One compressed frame starting at ``base`` (magic verified by
     the caller) → (decoded bytes, absolute index after the frame).
     Raises _Corrupt on any structural problem."""
@@ -624,10 +687,13 @@ def _one_frame(blob: bytes, base: int, cap: int):
     i = base + 5
     if not single:
         i += 1  # window descriptor
+    want_dict = 0
     if did_size:
-        if int.from_bytes(blob[i : i + did_size], "little") != 0:
-            raise _Corrupt("dictionaries unsupported")
+        want_dict = int.from_bytes(blob[i : i + did_size], "little")
         i += did_size
+    if want_dict:
+        if zdict is None or zdict["dict_id"] != want_dict:
+            raise _Corrupt("frame references an unknown dictionary")
     content_size = None
     if fcs_size:
         if i + fcs_size > len(blob):
@@ -637,9 +703,11 @@ def _one_frame(blob: bytes, base: int, cap: int):
             content_size += 256
         i += fcs_size
     out = bytearray()
-    reps = [1, 4, 8]
-    huf = None
-    tables = None
+    use_dict = bool(want_dict) and zdict is not None
+    reps = list(zdict["reps"]) if use_dict else [1, 4, 8]
+    huf = zdict["huf"] if use_dict else None
+    tables = zdict["tables"] if use_dict else None
+    dict_content = zdict["content"] if use_dict else b""
     while True:
         if i + 3 > len(blob):
             raise _Corrupt("truncated block header")
@@ -662,7 +730,8 @@ def _one_frame(blob: bytes, base: int, cap: int):
             if i + bsize > len(blob):
                 raise _Corrupt("truncated compressed block")
             huf, tables = _decode_block(
-                blob[i : i + bsize], out, reps, huf, tables, cap
+                blob[i : i + bsize], out, reps, huf, tables, cap,
+                dict_content,
             )
             i += bsize
         else:

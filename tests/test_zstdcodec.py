@@ -149,3 +149,57 @@ def test_concatenated_frames_and_skippable():
     assert zstd_frame_decompress(skip, 1 << 24) is None
     # cap applies across frames, not per frame
     assert zstd_frame_decompress(a + b, 6000) is None
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="no zstd CLI")
+def test_dictionary_frames_decode(tmp_path):
+    """Dictionary compression — the per-document small-text mode an
+    LLM corpus store actually uses: train a dict with the reference
+    CLI, compress 20 small docs against it at three levels, decode
+    every frame byte-exact through the parsed dictionary (entropy
+    tables seed the first block, repeat offsets seed the history,
+    matches reach into dict content). A frame referencing a missing
+    or wrong dictionary must drop, never mis-decode."""
+    import random
+
+    from epic_stream_processor_spark.operators.zstdcodec import (
+        parse_zstd_dict,
+    )
+
+    rng = random.Random(4)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "lambda", "sigma", "omega"]
+    samples = []
+    for i in range(60):
+        p = tmp_path / f"s{i}.txt"
+        p.write_text(
+            " ".join(rng.choice(words) for _ in range(rng.randrange(30, 120)))
+        )
+        samples.append(str(p))
+    dict_path = tmp_path / "dict.bin"
+    subprocess.run(
+        [_ZSTD_BIN, "--train", *samples, "-o", str(dict_path),
+         "--maxdict=4096"],
+        capture_output=True, check=True,
+    )
+    zd = parse_zstd_dict(dict_path.read_bytes())
+    assert zd is not None and len(zd["content"]) > 0
+    for i in range(20):
+        raw = open(samples[i], "rb").read()
+        for lvl in ("-1", "-3", "-19"):
+            comp = subprocess.run(
+                [_ZSTD_BIN, lvl, "-D", str(dict_path), "-c", samples[i]],
+                capture_output=True,
+            ).stdout
+            assert zstd_frame_decompress(comp, 1 << 22, zdict=zd) == raw
+            # without the dict (or with a wrong id): drop, never wrong
+            assert zstd_frame_decompress(comp, 1 << 22) is None
+            wrong = dict(zd)
+            wrong["dict_id"] ^= 1
+            assert (
+                zstd_frame_decompress(comp, 1 << 22, zdict=wrong) is None
+            )
+    # corrupt dictionary blob: parse fails cleanly
+    blob = bytearray(dict_path.read_bytes())
+    blob[10] ^= 0xFF
+    parse_zstd_dict(bytes(blob))  # None or a dict; must not raise
