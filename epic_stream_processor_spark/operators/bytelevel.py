@@ -1,0 +1,140 @@
+"""Byte-level BPE front end (the GPT-2 lineage) — pretokenization +
+byte→unicode mapping composed onto the repo's oracle-exact BPE
+machinery (``bpe.py``).
+
+Modern GPT-family tokenizers are BYTE-level BPE (Radford et al. 2019):
+text is first split by the published GPT-2 regex (contractions,
+letter runs with one attached leading space, number runs, punctuation
+runs, and the whitespace rule that keeps a run's FINAL space attached
+to the following word), then every UTF-8 byte is remapped to a
+printable unicode char (the published ``bytes_to_unicode`` table — 188
+printable bytes map to themselves, the rest to U+0100..U+0143, space
+famously becoming ``Ġ``), and BPE merges learn over those mapped
+symbols. This module implements the front end engine-natively and
+feeds the EXISTING dual-sentinel BPE learner/encoder, so the whole
+chain stays SQL-oracle-exact:
+
+- Spark side: the real GPT-2 pattern (Java regex — the ``\\s+(?!\\S)``
+  lookahead is native) + a pure-JVM byte map (``hex(encode(...))``
+  split into pairs → 256-entry map lookup). Zero Python.
+- Oracle side: RE2 has NO lookahead, so the oracle reproduces the
+  whitespace rule with a SENTINEL transform — insert ``\\x03`` before
+  the final whitespace char of every run that precedes a non-space,
+  split on it, and tokenize each segment with the lookahead-free
+  pattern. The two formulations are provably equivalent (the sentinel
+  splits exactly where the lookahead would stop), and being DIFFERENT
+  constructions on each engine they cross-check each other — the
+  BPE-bug lesson applied in advance.
+
+Mapped pretokens never contain raw whitespace (byte 0x20 maps to Ġ),
+so space-joining them into a per-doc line feeds ``train_bpe``'s
+whitespace word model losslessly.
+
+Scale: the front end is one row-local expression chain; everything
+downstream inherits the BPE learner's lexicon-table posture.
+
+Reference note: no tokenizer surface exists in the reference service;
+LLM-data-pipeline extension from the published GPT-2 tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the published GPT-2 pretokenizer (Java regex: lookahead native)
+GPT2_PAT = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+#: lookahead-free variant applied per sentinel-split segment (RE2-safe)
+GPT2_PAT_NOLOOK = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The published GPT-2 byte→unicode table: printable bytes map to
+    themselves, the other 68 to U+0100+n in discovery order."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _hexmap_expr():
+    table = bytes_to_unicode()
+    pairs = []
+    for b in range(256):
+        pairs.append(F.lit("%02X" % b))
+        pairs.append(F.lit(table[b]))
+    return F.create_map(*pairs)
+
+
+def gpt2_mapped_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text): each document replaced by its space-joined
+    byte-mapped GPT-2 pretokens — the exact input the byte-level BPE
+    learner trains on. Pure JVM."""
+    hexmap = _hexmap_expr()
+    pre = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(GPT2_PAT), 0
+    )
+    mapped = F.transform(
+        pre,
+        lambda t: F.concat_ws(
+            "",
+            F.transform(
+                F.filter(
+                    F.split(F.hex(F.encode(t, "UTF-8")), r"(?<=\G..)"),
+                    lambda h: h != "",
+                ),
+                lambda h: F.element_at(hexmap, h),
+            ),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(mapped, " ").alias("text"),
+    )
+
+
+def gpt2_mapped_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`gpt2_mapped_docs` as a derived-table SQL
+    string (alias ``d2``): sentinel whitespace transform (RE2 has no
+    lookahead), per-segment lookahead-free pattern, per-byte hex map.
+    """
+    bmap = bytes_to_unicode()
+    keys = ", ".join("'%02X'" % b for b in range(256))
+    vals = ", ".join("'%s'" % bmap[b].replace("'", "''") for b in range(256))
+    pat = GPT2_PAT_NOLOOK.replace("'", "''")
+    # the byte map rides in as a 1-row cross join so the innermost
+    # lambda references it as a plain column instead of rebuilding a
+    # 256-entry literal per byte
+    return f"""(SELECT doc_id,
+  coalesce(array_to_string(
+    flatten(list_transform(
+      string_split(
+        regexp_replace(coalesce(text, ''), '(\\s)(\\S)',
+                       chr(3) || '\\1\\2', 'g'),
+        chr(3)),
+      s -> list_transform(
+        regexp_extract_all(s, '{pat}'),
+        t -> array_to_string(
+          list_transform(
+            regexp_extract_all(hex(encode(t)), '..'),
+            h -> (bm[h])[1]),
+          '')))),
+    ' '), '') AS text
+ FROM {table}, (SELECT MAP([{keys}], [{vals}]) AS bm)) AS d2"""

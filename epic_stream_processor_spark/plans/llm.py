@@ -3409,6 +3409,34 @@ FROM s{max_word}"""
 ORACLE_WORDPIECE_TOKENIZE = wordpiece_oracle_sql()
 
 
+def q_bytelevel_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE vocabulary (round 10, the GPT-2 lineage): the
+    published pretokenizer (contractions, attached leading spaces, the
+    final-space-of-a-run rule) + the published byte→unicode map feed
+    the repo's dual-sentinel BPE learner; output is the (token, cnt)
+    vocabulary after 3 merges over mapped symbols. Spark uses the real
+    lookahead pattern; the oracle reproduces it lookahead-free via the
+    sentinel transform — two different constructions that must agree
+    (operators/bytelevel.py)."""
+    from ..operators.bpe import bpe_vocab, train_bpe
+    from ..operators.bytelevel import gpt2_mapped_docs
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    mapped = gpt2_mapped_docs(docs)
+    return bpe_vocab(mapped, train_bpe(mapped, 3))
+
+
+def _bytelevel_oracle() -> str:
+    from ..operators.bpe import bpe_vocab_oracle_sql
+    from ..operators.bytelevel import gpt2_mapped_sql
+
+    return bpe_vocab_oracle_sql(3, table=gpt2_mapped_sql("documents"))
+
+
+ORACLE_BYTELEVEL_BPE_VOCAB = _bytelevel_oracle()
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test split-leakage audit — the eval-integrity check every
     benchmark pipeline needs and exact dedup alone cannot provide: a

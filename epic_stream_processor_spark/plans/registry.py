@@ -1004,6 +1004,15 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "operational layer (discover -> permit -> canonicalize -> rank "
         "-> schedule)",
     ),
+    "bytelevel_bpe_vocab": QueryDef(
+        llm.q_bytelevel_bpe_vocab, llm.ORACLE_BYTELEVEL_BPE_VOCAB,
+        "byte-level BPE vocabulary (round 10, GPT-2 lineage): the "
+        "published pretokenizer + byte->unicode map feeding the "
+        "dual-sentinel BPE learner; Spark uses the native-lookahead "
+        "pattern, the oracle the provably-equivalent sentinel "
+        "transform (RE2 has no lookahead) — two constructions that "
+        "must agree",
+    ),
     "wordpiece_tokenize": QueryDef(
         llm.q_wordpiece_tokenize, llm.ORACLE_WORDPIECE_TOKENIZE,
         "WordPiece tokenizer (round 10): BERT's greedy longest-match "

@@ -1,0 +1,77 @@
+"""Byte-level BPE front-end tests: the published byte→unicode table's
+invariants, hand-checked GPT-2 pretokenization behaviors (contraction
+split, attached leading space, the final-space-of-a-run rule), and
+Spark-vs-DuckDB agreement of the two pattern formulations (native
+lookahead vs sentinel transform) on adversarial whitespace. The
+registry gate (bytelevel_bpe_vocab) runs the full learner chain."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from epic_stream_processor_spark.operators.bytelevel import (
+    bytes_to_unicode,
+    gpt2_mapped_docs,
+    gpt2_mapped_sql,
+)
+
+
+def test_bytes_to_unicode_published_invariants():
+    m = bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256  # bijection
+    assert m[ord("A")] == "A" and m[ord("!")] == "!"  # printable identity
+    assert m[ord(" ")] == "Ġ"  # the famous space
+    assert m[ord("\n")] == "Ċ" and m[ord("\t")] == "ĉ"
+    assert m[0xC3] == "Ã" and m[0xA9] == "©"  # 'é' maps to 'Ã©'
+    # the 68 non-printables land in U+0100..U+0143 in discovery order
+    highs = sorted(ord(c) for c in m.values() if ord(c) >= 0x100)
+    assert highs == list(range(0x100, 0x144))
+
+
+def _mapped(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: r["text"]
+        for r in gpt2_mapped_docs(docs).collect()
+    }
+
+
+def test_gpt2_pretokenize_hand_examples(spark):
+    got = _mapped(
+        spark,
+        ["Hello world", "don't", "abc123", "x  y", "é", "a \t b"],
+    )
+    assert got[0] == "Hello Ġworld"
+    assert got[1] == "don 't"
+    assert got[2] == "abc 123"
+    # two spaces: the run's FINAL space attaches to the next word
+    assert got[3] == "x Ġ Ġy"
+    assert got[4] == "Ã©"
+    # "a \t b": the ' \t' run (minus nothing — 'b' follows the space
+    # AFTER it) splits as ['a', ' \t', ' b'] per the lookahead rule
+    assert got[5] == "a Ġĉ Ġb"
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "x  y", "  lead", "trail  ", "a\t\tb", "one two  three   four",
+        "don't stop", "3.14 isn't 22/7", "tabs\tand\nnewlines\r\nmixed",
+        "é déjà — 中文?!", "   ", "",
+    ],
+)
+def test_spark_and_duckdb_formulations_agree(spark, text):
+    """The Java lookahead pattern and the RE2 sentinel transform must
+    produce IDENTICAL mapped lines — the cross-engine check that makes
+    this operator's oracle meaningful."""
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = gpt2_mapped_docs(docs).collect()[0]["text"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, ? AS text", [text])
+    want = con.execute(
+        f"SELECT text FROM {gpt2_mapped_sql('documents')}"
+    ).fetchone()[0]
+    assert got == want, (text, got, want)
