@@ -150,6 +150,17 @@ def main(argv: list[str] | None = None) -> int:
     te.add_argument("--out", required=True, help="output dir for .tar shards")
     te.add_argument("--n-shards", type=int, default=16)
 
+    cd = sub.add_parser(
+        "decompress-ingest",
+        help="streaming compressed-blob ingest: sniff magic numbers "
+             "(xz/lz4/zstd) → matching bounded decoder → parquet "
+             "(<doc_id>.bin files in the blob dir)",
+    )
+    cd.add_argument("--blobs", required=True, help="compressed-blob drop dir")
+    cd.add_argument("--out", required=True)
+    cd.add_argument("--checkpoint", required=True)
+    cd.add_argument("--available-now", action="store_true")
+
     st = sub.add_parser("stream", help="run the streaming pipeline")
     st.add_argument("--epochs", required=True, help="spool/epochs parquet dir")
     st.add_argument("--watchlist", required=True)
@@ -275,6 +286,17 @@ def main(argv: list[str] | None = None) -> int:
                 min_quality=args.min_quality, available_now=args.available_now,
             )
         q.awaitTermination()
+    elif args.cmd == "decompress-ingest":
+        from .streaming.pipeline import run_compressed_ingest_stream
+
+        spark = _get_spark()
+        q = run_compressed_ingest_stream(
+            spark, args.blobs, args.out, args.checkpoint,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.out).count()
+        print(f"decoded {n} blob(s) -> {args.out}")
     elif args.cmd == "corpus-tokenize":
         from .operators.bpe import bpe_encode, train_bpe
 

@@ -205,3 +205,36 @@ def test_cli_corpus_export(spark, tmp_path):
         with tarfile.open(os.path.join(out, p), "r:") as tf:
             n += sum(1 for m in tf.getmembers() if m.name.endswith(".txt"))
     assert n == docs.count()
+
+
+def test_cli_decompress_ingest(spark, tmp_path):
+    """CLI surface (r10): `decompress-ingest` sniffs and decodes a
+    mixed compressed-blob drop dir from argv."""
+    import lzma
+
+    from epic_stream_processor_spark.__main__ import main
+    from epic_stream_processor_spark.operators.lz4codec import (
+        lz4_frame_compress,
+    )
+    from epic_stream_processor_spark.operators.zstdcodec import (
+        zstd_frame_compress_raw,
+    )
+
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    (blob_dir / "1.bin").write_bytes(lzma.compress(b"xz text", preset=1))
+    (blob_dir / "2.bin").write_bytes(lz4_frame_compress(b"lz4 text"))
+    (blob_dir / "3.bin").write_bytes(zstd_frame_compress_raw(b"zstd text"))
+    out = str(tmp_path / "decoded")
+    rc = main([
+        "decompress-ingest", "--blobs", str(blob_dir), "--out", out,
+        "--checkpoint", str(tmp_path / "ck"), "--available-now",
+    ])
+    assert rc == 0
+    got = {
+        r["doc_id"]: (r["format"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        1: ("xz", "xz text"), 2: ("lz4", "lz4 text"), 3: ("zstd", "zstd text")
+    }
