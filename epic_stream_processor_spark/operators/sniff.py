@@ -23,7 +23,7 @@ offset-30 prefix check.
 Output: one ``format`` label per row from {png, jpeg, gif, bmp, tiff,
 pdf, gzip, bz2, zip, epub, ooxml, odf, flac, wav, mp3, tar, warc, xml,
 html, mbox, sqlite, mp4, ogg, rtf, webp, zstd, lz4, xz, parquet,
-orc, unknown}. Misses are
+orc, avro, unknown}. Misses are
 'unknown', never an error — sniffing untrusted bytes must be total.
 (The round-9 additions: SQLite's 16-byte header string, ISO-BMFF's
 ``ftyp`` at offset 4 — the one magic that does NOT sit at offset 0 —
@@ -96,6 +96,7 @@ def sniff_format(data: Column) -> Column:
         # alone would false-positive on text starting "ORC…", so the
         # tail magic is required too — guarded weak magic, the BMP/WAV
         # discipline.
+        .when(_ascii_at(data, 1, "Obj\x01"), F.lit("avro"))
         .when(_ascii_at(data, 1, "PAR1"), F.lit("parquet"))
         .when(
             _ascii_at(data, 1, "ORC")

@@ -2569,6 +2569,44 @@ FROM documents
 """
 
 
+# --- Avro container round trip (round 10) -------------------------------------------
+
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container round trip (round 10): the Kafka/Hadoop
+    row format, both sides from the public Avro 1.12 spec
+    (operators/avrofile.py) — group-writer shards of 8 docs as genuine
+    containers (metadata map, zigzag varints, 2 blocks of 4 records,
+    sync markers, codec alternating null/deflate with RAW-deflate
+    streams per spec), then a reader that verifies the sync after
+    every block, bounds the inflate, and decodes the primitive-field
+    subset. Interop pinned in pytest against the Apache Avro REFERENCE
+    Java implementation (on Spark's own classpath) in both directions.
+
+    Closed-form: every output column is a pure function of the
+    documents columns.
+
+    Scale: one shard-keyed groupBy (the group-writer shuffle);
+    row-local Arrow both ways, bomb-bounded.
+    """
+    from ..operators.avrofile import docs_as_avro, read_avro_docs
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return read_avro_docs(docs_as_avro(docs)).select(
+        "doc_id", "shard_id", "codec", "n_chars_text", "lang"
+    )
+
+
+ORACLE_AVRO_ROUNDTRIP = """SELECT doc_id,
+       CAST(doc_id // 8 AS BIGINT) AS shard_id,
+       CASE WHEN (doc_id // 8) % 2 = 1 THEN 'deflate' ELSE 'null' END
+         AS codec,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_text,
+       lang
+FROM documents
+"""
+
+
 # --- JSON-LD structured-metadata mining (round 9) -------------------------------
 
 def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

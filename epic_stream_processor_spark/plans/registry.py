@@ -1076,6 +1076,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "gains its decoder (zstd/lz4 stay honestly label-only); "
         "closed-form oracle recomputes ok/n_raw/text",
     ),
+    "avro_roundtrip": QueryDef(
+        corpus.q_avro_roundtrip, corpus.ORACLE_AVRO_ROUNDTRIP,
+        "Avro container round trip (round 10): from-spec writer and "
+        "reader (zigzag varints, metadata map, per-block sync verify, "
+        "null+raw-deflate codecs), interop pinned against the Apache "
+        "Avro reference Java implementation both directions; "
+        "closed-form oracle",
+    ),
     "jsonl_zst_ingest": QueryDef(
         corpus.q_jsonl_zst_ingest, corpus.ORACLE_JSONL_ZST_INGEST,
         ".jsonl.zst shard ingest (round 10): the delivery format the "

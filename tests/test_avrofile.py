@@ -1,0 +1,154 @@
+"""Avro container tests. The heavyweight pin: the Apache Avro
+REFERENCE Java implementation (avro-1.12.1.jar on Spark's own
+classpath, driven via py4j) as foreign writer AND foreign reader, both
+codecs. Spec vectors (zigzag/varint), sync/truncation/bomb behavior,
+and the union-subset decoder run alongside. Fixture parity lives in
+test_oracle_parity (avro_roundtrip)."""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+from epic_stream_processor_spark.operators.avrofile import (
+    DOC_SCHEMA_JSON,
+    build_avro,
+    parse_avro,
+    write_long,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+
+def test_zigzag_spec_vectors():
+    """The Avro spec's published zigzag examples."""
+    for n, u in [(0, 0), (-1, 1), (1, 2), (-2, 3), (2, 4), (-64, 127),
+                 (64, 128)]:
+        assert zigzag_encode(n) == u and zigzag_decode(u) == n
+    assert write_long(64) == b"\x80\x01"  # varint continuation
+
+
+def _recs(n):
+    return [
+        {"id": i, "text": "text %d é" % i, "lang": "en"} for i in range(n)
+    ]
+
+
+def test_roundtrip_both_codecs_and_blocks():
+    for codec in ("null", "deflate"):
+        blob = build_avro(_recs(10), codec=codec, records_per_block=4)
+        got = parse_avro(blob)
+        assert got is not None
+        fields, c, records = got
+        assert fields == ["id", "text", "lang"] and c == codec
+        assert records == _recs(10)
+
+
+def test_sync_truncation_and_corruption_drop():
+    blob = build_avro(_recs(8), codec="null")
+    # flip a byte inside the LAST sync marker
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    assert parse_avro(bytes(bad)) is None
+    for k in (3, 10, len(blob) // 2, len(blob) - 5):
+        assert parse_avro(blob[:k]) is None
+    assert parse_avro(b"NotAvro" + blob) is None
+
+
+def test_deflate_bomb_is_bounded():
+    big = _recs(1)
+    big[0]["text"] = "\x00" * (8 << 20)
+    blob = build_avro(big, codec="deflate", records_per_block=1)
+    assert len(blob) < 1 << 16
+    assert parse_avro(blob, inflate_cap=1 << 20) is None
+
+
+def test_union_subset_and_unsupported_schema():
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "opt", "type": ["null", "string"]},
+            ],
+        }
+    )
+    # hand-encode: header via build_avro's machinery on a custom schema
+    # is writer-subset-limited, so encode the block body manually
+    from epic_stream_processor_spark.operators.avrofile import (
+        MAGIC,
+        write_string,
+    )
+
+    body = (
+        write_long(1) + write_long(1) + write_string("has")  # branch 1
+        + write_long(2) + write_long(0)                        # branch null
+    )
+    sync = b"S" * 16
+    sj = schema.encode()
+    blob = (
+        MAGIC + write_long(2)
+        + write_string("avro.schema") + write_long(len(sj)) + sj
+        + write_string("avro.codec") + write_long(4) + b"null"
+        + write_long(0) + sync
+        + write_long(2) + write_long(len(body)) + body + sync
+    )
+    got = parse_avro(blob)
+    assert got is not None
+    _f, _c, recs = got
+    assert recs == [{"id": 1, "opt": "has"}, {"id": 2, "opt": None}]
+    # unsupported field type (nested record) drops the file, not crashes
+    schema2 = json.dumps(
+        {
+            "type": "record", "name": "r2",
+            "fields": [{"name": "x", "type": {"type": "record",
+                                              "name": "inner",
+                                              "fields": []}}],
+        }
+    )
+    sj2 = schema2.encode()
+    blob2 = (
+        MAGIC + write_long(1)
+        + write_string("avro.schema") + write_long(len(sj2)) + sj2
+        + write_long(0) + sync + write_long(0) + write_long(0) + sync
+    )
+    assert parse_avro(blob2) is None
+
+
+def test_interop_with_reference_java_implementation(spark):
+    """Foreign writer AND foreign reader: the Apache Avro reference
+    implementation on Spark's classpath."""
+    jvm = spark._jvm
+    parser = jvm.org.apache.avro.Schema.Parser()
+    schema = parser.parse(DOC_SCHEMA_JSON)
+    for codec, lvl in (("null", None), ("deflate", 6)):
+        w = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+        )
+        if lvl:
+            w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(lvl))
+        w.create(schema, jvm.java.io.File("/tmp/avro_ref_test.avro"))
+        for i, t in enumerate(["hello", "déjà vu — 中文 🎯", ""]):
+            rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("id", i)
+            rec.put("text", t)
+            rec.put("lang", "en")
+            w.append(rec)
+        w.close()
+        got = parse_avro(open("/tmp/avro_ref_test.avro", "rb").read())
+        assert got is not None and got[1] == codec
+        assert [r["text"] for r in got[2]] == ["hello", "déjà vu — 中文 🎯", ""]
+    # reverse: reference reads ours (deflate, multi-block)
+    blob = build_avro(_recs(9), codec="deflate", records_per_block=4)
+    open("/tmp/avro_ours_test.avro", "wb").write(blob)
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File("/tmp/avro_ours_test.avro"),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    out = []
+    while reader.hasNext():
+        rec = reader.next()
+        out.append((rec.get("id"), str(rec.get("text"))))
+    reader.close()
+    assert out == [(i, "text %d é" % i) for i in range(9)]

@@ -183,3 +183,11 @@ def test_round10_datalake_formats_classify(spark, tmp_path):
     assert _sniff_one(spark, open(pq_file, "rb").read()) == "parquet"
     assert _sniff_one(spark, open(orc_file, "rb").read()) == "orc"
     assert _sniff_one(spark, b"ORCHESTRA programme notes...") != "orc"
+
+
+def test_round10_avro_writer_classifies(spark):
+    """Avro containers ('Obj\\x01') route to the new 'avro' label."""
+    from epic_stream_processor_spark.operators.avrofile import build_avro
+
+    blob = build_avro([{"id": 1, "text": "x", "lang": "en"}])
+    assert _sniff_one(spark, blob) == "avro"
