@@ -192,6 +192,11 @@ def parse_avro(blob: bytes, inflate_cap: int = 1 << 22):
             if dec is None:
                 return None  # documented subset: primitive/null-union
             fields.append((f["name"], dec))
+        if not fields:
+            # A zero-field record consumes zero payload bytes per
+            # record, so a crafted block count (up to 2^63) would
+            # append empty dicts until memory exhausts.
+            return None
         if codec not in ("null", "deflate"):
             return None
         sync = r.take(16)
@@ -205,6 +210,11 @@ def parse_avro(blob: bytes, inflate_cap: int = 1 << 22):
                 payload = d.decompress(payload, inflate_cap + 1)
                 if len(payload) > inflate_cap or not d.eof:
                     return None
+            if n_rec < 0 or n_rec > len(payload) + 1:
+                # with >=1 field every record consumes >=1 payload
+                # byte, so a count beyond the (decompressed) block
+                # size is a bomb
+                return None
             br = _Reader(payload)
             for _ in range(n_rec):
                 records.append({name: dec(br) for name, dec in fields})

@@ -1,7 +1,7 @@
-"""LZ4 frame round trip — the second of the sniffer's modern
-compression labels gains a real codec (xz landed first,
-``xzcodec.py``; zstd stays honestly label-only — its FSE/Huffman
-entropy stage is out of scope and the sniffer docstring says so).
+"""LZ4 frame round trip — one of the sniffer's modern compression
+labels with a real codec (xz landed first via stdlib lzma in
+``xzcodec.py``; zstd's full RFC 8878 decoder — FSE, Huffman, repeat
+offsets, dictionaries — lives in ``zstdcodec.py``).
 
 No stdlib lz4 exists, so BOTH sides are implemented here from the
 public specs (LZ4 Block Format + LZ4 Frame Format, Y. Collet; xxHash
@@ -233,7 +233,12 @@ def lz4_frame_decompress(blob: bytes, cap: int):
     has_csize = bool(flg & 0x08)
     has_cchk = bool(flg & 0x04)
     has_bchk = bool(flg & 0x10)
-    desc_len = 2 + (8 if has_csize else 0) + (1 if flg & 0x01 else 0)
+    # DictID (FLG bit 0) is a 4-byte field per the frame spec. We have
+    # no dictionary store, so dict-referencing frames drop explicitly
+    # rather than fail closed on a misparsed header checksum.
+    if flg & 0x01:
+        return None
+    desc_len = 2 + (8 if has_csize else 0)
     if len(blob) < 4 + desc_len + 1:
         return None
     desc = blob[4 : 4 + desc_len]

@@ -44,7 +44,7 @@ The ENCODER side (:func:`zstd_frame_compress_raw`, used by the
 oracle-backed fixture writer) emits spec-legal frames of Raw/RLE
 blocks only — the honest subset an encoder without an entropy stage
 can produce; the entropy-decode paths get their rigor from the pytest
-pin that round-trips the REAL ``zstd`` CLI's output (levels 1/3/19,
+pin that round-trips the REAL ``zstd`` CLI's output (levels 1/3/19/22,
 multi-block inputs, RLE-literal runs) through this decoder, both text
 and binary. Where the reference binary is absent the interop test
 skips; the spec vectors and fixture parity still run.
@@ -328,6 +328,14 @@ def _huffman_weights(data: bytes):
 def _huffman_table(weights: list[int]):
     """Canonical table from explicit weights + the implied last one.
     Returns (cells list of (symbol, nb_bits), max_bits)."""
+    # RFC 8878 §4.2.1.1: Max_Number_of_Bits is capped at 11, so any
+    # weight above 11 is illegal.  Direct weights are 4-bit-limited by
+    # encoding, but FSE-compressed weights can carry values up to 255;
+    # without this cap a crafted frame (e.g. a single weight of 60)
+    # would allocate a 2^59-cell table and OOM the executor instead of
+    # dropping the blob.
+    if any(w > 11 for w in weights):
+        raise _Corrupt("huffman weight > 11")
     total = sum((1 << (w - 1)) for w in weights if w > 0)
     if total == 0:
         raise _Corrupt("no huffman weights")
@@ -337,6 +345,8 @@ def _huffman_table(weights: list[int]):
         raise _Corrupt("weights do not complete a power of two")
     weights = weights + [left.bit_length()]  # implied last weight
     max_bits = next_pow.bit_length() - 1
+    if max_bits > 11:
+        raise _Corrupt("huffman max_bits > 11")
     cells: list[tuple[int, int]] = [None] * (1 << max_bits)
     pos = 0
     for w in range(1, max_bits + 1):
@@ -633,7 +643,7 @@ def parse_zstd_dict(blob: bytes):
             "reps": reps,
             "content": blob[pos:],
         }
-    except (_Corrupt, IndexError):
+    except (_Corrupt, IndexError, MemoryError, OverflowError):
         return None
 
 
@@ -667,7 +677,10 @@ def zstd_frame_decompress(blob: bytes, cap: int, zdict: dict | None = None):
             out += part
             saw_frame = True
         return bytes(out) if saw_frame else None
-    except (_Corrupt, IndexError):
+    except (_Corrupt, IndexError, MemoryError, OverflowError):
+        # MemoryError/OverflowError: hostile frames must DROP, never
+        # escape the mapInPandas stage and kill the task (bomb-bounded
+        # contract on untrusted-blob ingest).
         return None
 
 

@@ -2279,8 +2279,9 @@ def q_xz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer) and decompressed through an incremental max_length loop
     under the WARC decompression-bomb budget — a frame that would
     inflate past the cap drops the row, never OOMs the executor
-    (operators/xzcodec.py). zstd/lz4 stay honestly label-only (no
-    stdlib codec in this environment; sniffer docstring says so).
+    (operators/xzcodec.py). zstd and lz4 have their own from-spec
+    codecs (operators/zstdcodec.py — full RFC 8878 decoder, a green
+    driver row — and operators/lz4codec.py).
 
     Closed-form: ok/n_raw/text are pure functions of the documents
     table, so the round-trip property itself is the oracle gate.
@@ -2315,8 +2316,8 @@ def q_lz4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     enforced INSIDE the copy loop), xxh32 header/content checksums
     (implementation pinned against the published xxHash vectors in
     pytest), and a greedy hash-chain encoder emitting real matches as
-    the fixture writer. zstd remains honestly label-only (FSE/Huffman
-    out of scope; sniffer docstring says so).
+    the fixture writer. zstd has its own full RFC 8878 decoder
+    (operators/zstdcodec.py, pinned against the real zstd CLI).
 
     Closed-form: ok/n_raw/text are pure functions of the documents
     table — the round-trip property is the oracle gate.

@@ -444,7 +444,7 @@ QUERIES: dict[str, QueryDef] = {
         corpus.q_zstd_roundtrip, corpus.ORACLE_ZSTD_ROUNDTRIP,
         "zstd round trip (round 10): full RFC 8878 frame decoder from "
         "spec (FSE + Huffman + sequences + repeat offsets + xxh64), "
-        "pinned against the reference zstd CLI at levels 1-22; the "
+        "pinned against the reference zstd CLI at levels 1/3/19/22; the "
         "writer emits the spec-legal no-entropy block subset; "
         "closed-form oracle",
     ),

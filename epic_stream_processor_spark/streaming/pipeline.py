@@ -621,11 +621,16 @@ def run_compressed_ingest_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     labeled = reader.load(blob_dir).select(
         F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
-        .cast("long")
+        .try_cast("long")
         .alias("doc_id"),
         F.col("content").alias("data"),
         sniff_format(F.col("content")).alias("format"),
     )
+    # A validly-compressed file whose NAME doesn't match <doc_id>.bin
+    # (e.g. corpus.xz) yields NULL doc_id; without this filter it would
+    # reach decode_routed as NaN and become a permanently failing
+    # micro-batch — exactly the poison pill the docstring rules out.
+    labeled = labeled.where(F.col("doc_id").isNotNull())
     decoded = decode_routed(labeled, inflate_cap=inflate_cap)
     writer = (
         decoded.writeStream.outputMode("append")

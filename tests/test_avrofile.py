@@ -152,3 +152,45 @@ def test_interop_with_reference_java_implementation(spark):
         out.append((rec.get("id"), str(rec.get("text"))))
     reader.close()
     assert out == [(i, "text %d é" % i) for i in range(9)]
+
+
+def test_zero_field_schema_and_block_count_bombs_drop():
+    """A zero-field record consumes zero payload bytes, so a crafted
+    block count (up to 2^63) would append empty dicts until memory
+    exhausts; likewise a record count beyond the decompressed block
+    size is a bomb. Both must drop, never loop."""
+    import json
+
+    from epic_stream_processor_spark.operators.avrofile import (
+        MAGIC,
+        write_long,
+        write_string,
+    )
+
+    def _container(schema: dict, n_rec: int, body: bytes) -> bytes:
+        sj = json.dumps(schema).encode()
+        sync = b"S" * 16
+        return (
+            MAGIC + write_long(2)
+            + write_string("avro.schema") + write_long(len(sj)) + sj
+            + write_string("avro.codec") + write_long(4) + b"null"
+            + write_long(0) + sync
+            + write_long(n_rec) + write_long(len(body)) + body + sync
+        )
+
+    empty_schema = {"type": "record", "name": "E", "fields": []}
+    bomb = _container(empty_schema, 1 << 40, b"")
+    assert parse_avro(bomb) is None
+
+    one_field = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    # count claims 2^40 records but the block holds one varint
+    bomb2 = _container(one_field, 1 << 40, write_long(7))
+    assert parse_avro(bomb2) is None
+    # sane container through the same helper still parses
+    ok = _container(one_field, 1, write_long(7))
+    got = parse_avro(ok)
+    assert got is not None and got[2] == [{"id": 7}]

@@ -141,3 +141,25 @@ def test_lz4_interop_with_reference_cli_both_directions():
             capture_output=True,
         )
         assert p.returncode == 0 and p.stdout == raw
+
+
+def test_dict_referencing_frames_drop_explicitly():
+    """DictID (FLG bit 0) is a 4-byte field; we carry no dictionary
+    store, so dict-referencing frames must drop at the descriptor —
+    and a well-formed dict frame (correct 4-byte field + header
+    checksum) must not be misparsed as corrupt-for-the-wrong-reason."""
+    from epic_stream_processor_spark.operators.lz4codec import (
+        _MAGIC,
+        xxh32,
+    )
+
+    raw = b"dictionary frame payload"
+    # descriptor: FLG version=01, dict bit set; BD 64KB; 4-byte DictID
+    flg = 0b0100_0001
+    bd = 0x40
+    desc = bytes([flg, bd]) + (0xDEADBEEF).to_bytes(4, "little")
+    hc = (xxh32(desc) >> 8) & 0xFF
+    block = len(raw).to_bytes(4, "little")
+    block = ((len(raw) | 0x80000000)).to_bytes(4, "little") + raw
+    frame = _MAGIC + desc + bytes([hc]) + block + b"\x00\x00\x00\x00"
+    assert lz4_frame_decompress(frame, 1 << 20) is None

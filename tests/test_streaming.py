@@ -927,6 +927,12 @@ def test_compressed_ingest_stream_matches_batch(spark, tmp_path):
     blob_dir.mkdir()
     for doc_id, data in blobs.items():
         (blob_dir / f"{doc_id}.bin").write_bytes(data)
+    # a validly-compressed file whose NAME doesn't yield a doc_id must
+    # be filtered out, not become a permanently failing micro-batch
+    # (the r10 poison pill: NULL doc_id -> NaN -> int() ValueError)
+    (blob_dir / "corpus.xz").write_bytes(
+        _lzma.compress(b"stray un-iddable file", preset=1)
+    )
     out = str(tmp_path / "decoded")
     ckpt = str(tmp_path / "cckpt")
     q = run_compressed_ingest_stream(spark, str(blob_dir), out, ckpt)

@@ -203,3 +203,39 @@ def test_dictionary_frames_decode(tmp_path):
     blob = bytearray(dict_path.read_bytes())
     blob[10] ^= 0xFF
     parse_zstd_dict(bytes(blob))  # None or a dict; must not raise
+
+
+def test_huffman_weight_cap_blocks_table_bomb():
+    """RFC 8878 caps Huffman code length at 11 bits; FSE-compressed
+    weights can carry values up to 255, and without the cap a single
+    weight of 60 (which passes the power-of-two completion check)
+    would allocate a 2^59-cell table. Must raise _Corrupt, never
+    MemoryError."""
+    from epic_stream_processor_spark.operators.zstdcodec import (
+        _Corrupt,
+        _huffman_table,
+    )
+
+    for weights in ([60], [15], [12], [11, 255]):
+        with pytest.raises(_Corrupt):
+            _huffman_table(weights)
+    # a legal max-depth table (two weight-1 symbols -> 1-bit codes)
+    cells, max_bits = _huffman_table([1])
+    assert max_bits == 1 and len(cells) == 2
+    # weight 11 alone: implied last weight is also 11 -> max_bits 11, legal
+    cells, max_bits = _huffman_table([11])
+    assert max_bits == 11
+
+
+def test_frame_decompress_drops_memoryerror(monkeypatch):
+    """Hostile frames that slip past structural checks and hit an
+    allocation failure must DROP (return None), not escape the
+    mapInPandas stage and kill the executor task."""
+    import epic_stream_processor_spark.operators.zstdcodec as zc
+
+    def boom(blob, base, cap, zdict=None):
+        raise MemoryError("simulated hostile allocation")
+
+    monkeypatch.setattr(zc, "_one_frame", boom)
+    frame = zstd_frame_compress_raw(b"payload")
+    assert zc.zstd_frame_decompress(frame, 1 << 20) is None
