@@ -163,14 +163,6 @@ QUERIES: dict[str, QueryDef] = {
     # decode chained), RIFF/WAV decode via audio_features (genuine
     # WAV payloads), hash fingerprints via minhash_signatures +
     # image_ahash, broadcast word gates via decontaminate_13gram ---
-    "warc_cdx_fetch": QueryDef(
-        corpus.q_warc_cdx_fetch, corpus.ORACLE_WARC_CDX_FETCH,
-        "CDX-style seekable-WARC random access (round 7): write-time "
-        "window-cumsum index of compressed (offset, length) per gzip "
-        "member + single-member slice-and-inflate point fetch — the "
-        "Common Crawl ranged-GET pattern; payload round trip oracle-"
-        "pinned, offset arithmetic pinned by pytest",
-    ),
     # --- rotated IN round 8b: the two new round-8 formats earn driver
     # rows in-session (VERDICT r7 stretch). Displaced: dedup_exact
     # (7 green rounds; the md5-keeper election is driver-proven inside
@@ -189,15 +181,6 @@ QUERIES: dict[str, QueryDef] = {
         "form oracle recomputes every column from documents",
         bench=True,  # r8: the document-format family's perf tracker
     ),
-    "flac_decode": QueryDef(
-        corpus.q_flac_decode, corpus.ORACLE_FLAC_DECODE,
-        "FLAC lossless audio round trip (round 8, RFC 9639): real "
-        "bitstream write + full decode of the VERBATIM/CONSTANT subset "
-        "- STREAMINFO with the true 128-bit PCM MD5 re-verified against "
-        "decoded samples, CRC-8 headers, CRC-16 frames; completes the "
-        "audio tier (WAV decode, MP3 triage, FLAC lossless); oracle "
-        "recomputes every column incl. the full-PCM hex digest",
-    ),
     # --- rotated IN round 9: the round-8 trio (docx_extract,
     # html_tables, text_normalize) + the best-by-novelty parity backlog
     # earn their FIRST driver rows (VERDICT r8 next #2). The eight
@@ -211,31 +194,6 @@ QUERIES: dict[str, QueryDef] = {
     # recursion, deflate decode via pdf_extract's FlateDecode +
     # gif_decode's LZW, running-sum packing windows via q_sessionize,
     # per-cluster cosine pruning via knn_ivfpq's ADC scoring ---
-    "docx_extract": QueryDef(
-        corpus.q_docx_extract, corpus.ORACLE_DOCX_EXTRACT,
-        "DOCX text extraction (round 8, ECMA-376): genuine zipfile-built "
-        "OOXML packages -> parse_zip central-directory walk (independent "
-        "CRC) -> pure-JVM DOTALL regexp over word/document.xml (<w:t> "
-        "runs concatenate separator-free, <w:p/> yields no phantom "
-        "line); Office documents in the crawl, closed-form oracle",
-    ),
-    "html_tables": QueryDef(
-        corpus.q_html_tables, corpus.ORACLE_HTML_TABLES,
-        "HTML table mining (round 8): table->tr->th/td walk as a pure "
-        "JVM regexp chain (script/comment decoys stripped FIRST, all "
-        "patterns DOTALL) -> one row per <tr> with entity-decoded "
-        "pipe-joined cells; the structured-data stage plain text "
-        "extraction destroys; closed-form 4-rows-per-doc oracle",
-    ),
-    "text_normalize": QueryDef(
-        corpus.q_text_normalize, corpus.ORACLE_TEXT_NORMALIZE,
-        "Unicode normalization (round 8, UAX #15): control + zero-width "
-        "strips as JVM regex passes, conservative ftfy-style mojibake "
-        "repair (latin-1/utf-8 double-encoding inverse, sequence-gated "
-        "as of r9) + NFC in one Arrow pass; deterministic JVM-side "
-        "injections make repair and counts closed-form; oracle mirrors "
-        "the RE2 classes and uses DuckDB nfc_normalize",
-    ),
     "jpeg_color_decode": QueryDef(
         llm.q_jpeg_color_decode, llm.ORACLE_JPEG_COLOR_DECODE,
         "COLOR baseline JPEG (round 7): 4:2:0 YCbCr interleaved-MCU "
@@ -243,37 +201,6 @@ QUERIES: dict[str, QueryDef] = {
         "four Huffman tables, three DC predictors, native-resolution "
         "chroma planes); uniform-MCU fixtures make the lossy round "
         "trip closed-form oracle-exact in all three components",
-    ),
-    "tiff_decode": QueryDef(
-        llm.q_tiff_decode, llm.ORACLE_TIFF_DECODE,
-        "TIFF 6.0 decode (round 7, the tag-directory container): "
-        "expression-built multi-strip grayscale fixtures, IFD walk "
-        "with the inline-vs-out-of-line value rule, strip reassembly, "
-        "both byte orders (big-endian pin-tested) — closed-form oracle "
-        "on geometry, exact pixel sums, and head bytes",
-    ),
-    "zip_roundtrip": QueryDef(
-        corpus.q_zip_roundtrip, corpus.ORACLE_ZIP_ROUNDTRIP,
-        "REAL ZIP container round trip (round 7, the random-access "
-        "archive family): expression-built STORE members with JVM "
-        "CRC-32, window-cumsum central-directory offsets, EOCD -> "
-        "directory walk -> ranged member reads; crc_ok pinned TRUE "
-        "forces the two independent CRC implementations to agree",
-    ),
-    "mp3_scan": QueryDef(
-        llm.q_mp3_scan, llm.ORACLE_MP3_SCAN,
-        "MP3 frame-header triage (round 7, ISO 11172-3 container "
-        "layer): JVM-expression-built ID3v2+VBR fixtures, per-frame "
-        "header walk with syncsafe tag skip and byte-resync — duration/"
-        "bitrate/VBR profile without decode, closed-form oracle",
-    ),
-    "curation_ledger": QueryDef(
-        corpus.q_curation_ledger, corpus.ORACLE_CURATION_LEDGER,
-        "the per-doc curation VERDICT table (round 7 capstone): exact "
-        "dedup + LSH near-dup + 13-gram contamination + blocklist + "
-        "Gopher quality composed by precedence into one 'why was my "
-        "document dropped' ledger; the oracle embeds the component "
-        "oracles verbatim so the composition cannot drift",
     ),
     # --- rotated in from EXTRA_PARITY (round 9, this session): the
     # eight new-format/code-corpus operators earn their first driver
@@ -447,6 +374,90 @@ QUERIES: dict[str, QueryDef] = {
         "pinned against the reference zstd CLI at levels 1/3/19/22; the "
         "writer emits the spec-legal no-entropy block subset; "
         "closed-form oracle",
+    ),
+    # --- rotated IN round 11: the nine remaining round-10 operators
+    # earn their FIRST driver rows (VERDICT r10 next #3). The nine
+    # displaced queries (2-3 green driver rounds each) keep identical
+    # local rigor in EXTRA_PARITY, and their shapes stay driver-proven
+    # by strictly-richer replacements: parse_zip OOXML walks via
+    # pptx_extract + xlsx_extract + epub_extract (docx twin), HTML
+    # block walks via justext_clean (table walk's richer sibling) +
+    # markdown_extract, Arrow text passes via charset_detect +
+    # wikitext_extract (text_normalize), audio triage via ogg_triage
+    # (mp3_scan) with flac's CRC rigor pinned in pytest, tag-directory
+    # container walks via mp4_triage (tiff), ranged member inflate via
+    # compressed_ingest + jsonl_zst_ingest (warc_cdx_fetch, zip), and
+    # the curation composition's components each individually
+    # driver-proven (dedup/minhash/decontaminate rows) ---
+    "pptx_extract": QueryDef(
+        corpus.q_pptx_extract, corpus.ORACLE_PPTX_EXTRACT,
+        "PPTX slide extraction (round 10): completes the ECMA-376 "
+        "office family — slide order resolved through the sldIdLst -> "
+        "rels indirection (fixture scrambles it), two-run paragraphs "
+        "concatenate separator-free, notes-slide decoy leaks zero "
+        "rows; parse_zip walk + pure-JVM chain, closed-form "
+        "word-halving oracle",
+    ),
+    "avro_roundtrip": QueryDef(
+        corpus.q_avro_roundtrip, corpus.ORACLE_AVRO_ROUNDTRIP,
+        "Avro container round trip (round 10): from-spec writer and "
+        "reader (zigzag varints, metadata map, per-block sync verify, "
+        "null+raw-deflate codecs), interop pinned against the Apache "
+        "Avro reference Java implementation both directions; "
+        "closed-form oracle",
+    ),
+    "xz_roundtrip": QueryDef(
+        corpus.q_xz_roundtrip, corpus.ORACLE_XZ_ROUNDTRIP,
+        "XZ round trip (round 10): stdlib-lzma independent writer + "
+        "bomb-bounded incremental decode — the sniffer's xz label "
+        "gained its decoder first; closed-form oracle recomputes "
+        "ok/n_raw/text",
+    ),
+    "lz4_roundtrip": QueryDef(
+        corpus.q_lz4_roundtrip, corpus.ORACLE_LZ4_ROUNDTRIP,
+        "LZ4 frame round trip (round 10): both sides from the public "
+        "spec (no stdlib codec) — overlap-copy sequences with the "
+        "budget enforced inside the copy loop, xxh32 checksums pinned "
+        "against published vectors, greedy hash-chain writer; "
+        "closed-form oracle",
+    ),
+    "wordpiece_tokenize": QueryDef(
+        llm.q_wordpiece_tokenize, llm.ORACLE_WORDPIECE_TOKENIZE,
+        "WordPiece tokenizer (round 10): BERT's greedy longest-match "
+        "apply algorithm with two vocab namespaces (##-continuation) "
+        "and the all-or-nothing [UNK] rule, unrolled into column "
+        "expressions; completes the tokenizer family next to BPE and "
+        "unigram Viterbi; step-unrolled SQL oracle",
+    ),
+    "bytelevel_bpe_vocab": QueryDef(
+        llm.q_bytelevel_bpe_vocab, llm.ORACLE_BYTELEVEL_BPE_VOCAB,
+        "byte-level BPE vocabulary (round 10, GPT-2 lineage): the "
+        "published pretokenizer + byte->unicode map feeding the "
+        "dual-sentinel BPE learner; Spark uses the native-lookahead "
+        "pattern, the oracle the provably-equivalent sentinel "
+        "transform (RE2 has no lookahead) — two constructions that "
+        "must agree",
+    ),
+    "compressed_ingest": QueryDef(
+        corpus.q_compressed_ingest, corpus.ORACLE_COMPRESSED_INGEST,
+        "compressed-corpus ingest (round 10 composition): mixed "
+        "xz/lz4/zstd blobs -> JVM magic sniff -> one Arrow dispatch "
+        "to the matching bounded decoder — the crawl front door end "
+        "to end; closed-form oracle",
+    ),
+    "jsonl_zst_ingest": QueryDef(
+        corpus.q_jsonl_zst_ingest, corpus.ORACLE_JSONL_ZST_INGEST,
+        ".jsonl.zst shard ingest (round 10): the delivery format the "
+        "big public text corpora ship — group-writer JSONL shards "
+        "zstd-compressed, decoded bounded, parsed with from_json; "
+        "closed-form oracle",
+    ),
+    "justext_clean": QueryDef(
+        corpus.q_justext_clean, corpus.ORACLE_JUSTEXT_CLEAN,
+        "jusText-gated extraction (round 10, the r9 stretch): only "
+        "label='good' blocks reach the training text — chrome (nav "
+        "div, short note, label listing) vanishes; one doc_id-keyed "
+        "agg with array_sort determinism; closed-form oracle",
     ),
 }
 
@@ -1004,23 +1015,6 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "operational layer (discover -> permit -> canonicalize -> rank "
         "-> schedule)",
     ),
-    "bytelevel_bpe_vocab": QueryDef(
-        llm.q_bytelevel_bpe_vocab, llm.ORACLE_BYTELEVEL_BPE_VOCAB,
-        "byte-level BPE vocabulary (round 10, GPT-2 lineage): the "
-        "published pretokenizer + byte->unicode map feeding the "
-        "dual-sentinel BPE learner; Spark uses the native-lookahead "
-        "pattern, the oracle the provably-equivalent sentinel "
-        "transform (RE2 has no lookahead) — two constructions that "
-        "must agree",
-    ),
-    "wordpiece_tokenize": QueryDef(
-        llm.q_wordpiece_tokenize, llm.ORACLE_WORDPIECE_TOKENIZE,
-        "WordPiece tokenizer (round 10): BERT's greedy longest-match "
-        "apply algorithm with two vocab namespaces (##-continuation) "
-        "and the all-or-nothing [UNK] rule, unrolled into column "
-        "expressions; completes the tokenizer family next to BPE and "
-        "unigram Viterbi; step-unrolled SQL oracle",
-    ),
     "unigram_tokenize": QueryDef(
         llm.q_unigram_tokenize, llm.ORACLE_UNIGRAM_TOKENIZE,
         "unigram-LM subword tokenizer (round 7, Kudo 2018 / the "
@@ -1069,51 +1063,80 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "ext->payload map per sample, text + JSON sidecar fields "
         "recovered as column expressions",
     ),
-    "xz_roundtrip": QueryDef(
-        corpus.q_xz_roundtrip, corpus.ORACLE_XZ_ROUNDTRIP,
-        "XZ round trip (round 10): stdlib-lzma independent writer + "
-        "bomb-bounded incremental decode — the sniffer's xz label "
-        "gains its decoder (zstd/lz4 stay honestly label-only); "
-        "closed-form oracle recomputes ok/n_raw/text",
+    # --- displaced round 11 (see QUERIES rotation note): 2-3 green
+    # driver rounds each; identical local rigor here ---
+    "warc_cdx_fetch": QueryDef(
+        corpus.q_warc_cdx_fetch, corpus.ORACLE_WARC_CDX_FETCH,
+        "CDX-style seekable-WARC random access (round 7): write-time "
+        "window-cumsum index of compressed (offset, length) per gzip "
+        "member + single-member slice-and-inflate point fetch — the "
+        "Common Crawl ranged-GET pattern; payload round trip oracle-"
+        "pinned, offset arithmetic pinned by pytest",
     ),
-    "avro_roundtrip": QueryDef(
-        corpus.q_avro_roundtrip, corpus.ORACLE_AVRO_ROUNDTRIP,
-        "Avro container round trip (round 10): from-spec writer and "
-        "reader (zigzag varints, metadata map, per-block sync verify, "
-        "null+raw-deflate codecs), interop pinned against the Apache "
-        "Avro reference Java implementation both directions; "
-        "closed-form oracle",
+    "flac_decode": QueryDef(
+        corpus.q_flac_decode, corpus.ORACLE_FLAC_DECODE,
+        "FLAC lossless audio round trip (round 8, RFC 9639): real "
+        "bitstream write + full decode of the VERBATIM/CONSTANT subset "
+        "- STREAMINFO with the true 128-bit PCM MD5 re-verified against "
+        "decoded samples, CRC-8 headers, CRC-16 frames; completes the "
+        "audio tier (WAV decode, MP3 triage, FLAC lossless); oracle "
+        "recomputes every column incl. the full-PCM hex digest",
     ),
-    "jsonl_zst_ingest": QueryDef(
-        corpus.q_jsonl_zst_ingest, corpus.ORACLE_JSONL_ZST_INGEST,
-        ".jsonl.zst shard ingest (round 10): the delivery format the "
-        "big public text corpora ship — group-writer JSONL shards "
-        "zstd-compressed, decoded bounded, parsed with from_json; "
-        "closed-form oracle",
+    "docx_extract": QueryDef(
+        corpus.q_docx_extract, corpus.ORACLE_DOCX_EXTRACT,
+        "DOCX text extraction (round 8, ECMA-376): genuine zipfile-built "
+        "OOXML packages -> parse_zip central-directory walk (independent "
+        "CRC) -> pure-JVM DOTALL regexp over word/document.xml (<w:t> "
+        "runs concatenate separator-free, <w:p/> yields no phantom "
+        "line); Office documents in the crawl, closed-form oracle",
     ),
-    "compressed_ingest": QueryDef(
-        corpus.q_compressed_ingest, corpus.ORACLE_COMPRESSED_INGEST,
-        "compressed-corpus ingest (round 10 composition): mixed "
-        "xz/lz4/zstd blobs -> JVM magic sniff -> one Arrow dispatch "
-        "to the matching bounded decoder — the crawl front door end "
-        "to end; closed-form oracle",
+    "html_tables": QueryDef(
+        corpus.q_html_tables, corpus.ORACLE_HTML_TABLES,
+        "HTML table mining (round 8): table->tr->th/td walk as a pure "
+        "JVM regexp chain (script/comment decoys stripped FIRST, all "
+        "patterns DOTALL) -> one row per <tr> with entity-decoded "
+        "pipe-joined cells; the structured-data stage plain text "
+        "extraction destroys; closed-form 4-rows-per-doc oracle",
     ),
-    "lz4_roundtrip": QueryDef(
-        corpus.q_lz4_roundtrip, corpus.ORACLE_LZ4_ROUNDTRIP,
-        "LZ4 frame round trip (round 10): both sides from the public "
-        "spec (no stdlib codec) — overlap-copy sequences with the "
-        "budget enforced inside the copy loop, xxh32 checksums pinned "
-        "against published vectors, greedy hash-chain writer; "
-        "closed-form oracle",
+    "text_normalize": QueryDef(
+        corpus.q_text_normalize, corpus.ORACLE_TEXT_NORMALIZE,
+        "Unicode normalization (round 8, UAX #15): control + zero-width "
+        "strips as JVM regex passes, conservative ftfy-style mojibake "
+        "repair (latin-1/utf-8 double-encoding inverse, sequence-gated "
+        "as of r9) + NFC in one Arrow pass; deterministic JVM-side "
+        "injections make repair and counts closed-form; oracle mirrors "
+        "the RE2 classes and uses DuckDB nfc_normalize",
     ),
-    "pptx_extract": QueryDef(
-        corpus.q_pptx_extract, corpus.ORACLE_PPTX_EXTRACT,
-        "PPTX slide extraction (round 10): completes the ECMA-376 "
-        "office family — slide order resolved through the sldIdLst -> "
-        "rels indirection (fixture scrambles it), two-run paragraphs "
-        "concatenate separator-free, notes-slide decoy leaks zero "
-        "rows; parse_zip walk + pure-JVM chain, closed-form "
-        "word-halving oracle",
+    "tiff_decode": QueryDef(
+        llm.q_tiff_decode, llm.ORACLE_TIFF_DECODE,
+        "TIFF 6.0 decode (round 7, the tag-directory container): "
+        "expression-built multi-strip grayscale fixtures, IFD walk "
+        "with the inline-vs-out-of-line value rule, strip reassembly, "
+        "both byte orders (big-endian pin-tested) — closed-form oracle "
+        "on geometry, exact pixel sums, and head bytes",
+    ),
+    "zip_roundtrip": QueryDef(
+        corpus.q_zip_roundtrip, corpus.ORACLE_ZIP_ROUNDTRIP,
+        "REAL ZIP container round trip (round 7, the random-access "
+        "archive family): expression-built STORE members with JVM "
+        "CRC-32, window-cumsum central-directory offsets, EOCD -> "
+        "directory walk -> ranged member reads; crc_ok pinned TRUE "
+        "forces the two independent CRC implementations to agree",
+    ),
+    "mp3_scan": QueryDef(
+        llm.q_mp3_scan, llm.ORACLE_MP3_SCAN,
+        "MP3 frame-header triage (round 7, ISO 11172-3 container "
+        "layer): JVM-expression-built ID3v2+VBR fixtures, per-frame "
+        "header walk with syncsafe tag skip and byte-resync — duration/"
+        "bitrate/VBR profile without decode, closed-form oracle",
+    ),
+    "curation_ledger": QueryDef(
+        corpus.q_curation_ledger, corpus.ORACLE_CURATION_LEDGER,
+        "the per-doc curation VERDICT table (round 7 capstone): exact "
+        "dedup + LSH near-dup + 13-gram contamination + blocklist + "
+        "Gopher quality composed by precedence into one 'why was my "
+        "document dropped' ledger; the oracle embeds the component "
+        "oracles verbatim so the composition cannot drift",
     ),
     "subtitle_qc": QueryDef(
         corpus.q_subtitle_qc, corpus.ORACLE_SUBTITLE_QC,
@@ -1290,13 +1313,6 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "must hash identically (re-encoded copies are the commonest "
         "image dup); oracle recomputes the hash a third way in SQL - "
         "three implementations agree",
-    ),
-    "justext_clean": QueryDef(
-        corpus.q_justext_clean, corpus.ORACLE_JUSTEXT_CLEAN,
-        "jusText-gated extraction (round 10, the r9 stretch): only "
-        "label='good' blocks reach the training text — chrome (nav "
-        "div, short note, label listing) vanishes; one doc_id-keyed "
-        "agg with array_sort determinism; closed-form oracle",
     ),
     "justext_blocks": QueryDef(
         corpus.q_justext_blocks, corpus.ORACLE_JUSTEXT_BLOCKS,
