@@ -36,10 +36,20 @@ tolerant, odd-digit zero-padded), indirect ``/Length`` references
 strings (ISO 32000 §7.9.2.2), and ``/ToUnicode`` CMaps (``beginbfchar``
 + ``beginbfrange``, 1- and 2-byte codes, applied per Tf-selected font)
 are all handled; the fixture writer emits each variant on a doc_id
-residue so the driver's oracle gate exercises every path. Honest
-remaining limitation: BOM-less literal strings decode as raw UTF-8, not
-PDFDocEncoding (they differ in ~20 codepoints above 0x7F), and
-predefined (non-embedded) CMap names are not resolved.
+residue so the driver's oracle gate exercises every path. r11 closes
+the two gaps that note used to carry: BOM-less strings now try strict
+UTF-8 (the dominant real-world producer shortcut) and fall back to the
+full **PDFDocEncoding** table (Annex D.3 — typographic 0x18-0x1F /
+0x80-0x9E block, Euro at 0xA0, undefined slots → U+FFFD), UTF-8-BOM
+text strings (PDF 2.0 §7.9.2.2.3) are recognized, and **predefined
+CMap names** are resolved where resolution needs no Adobe data files:
+the Uni{GB,JIS,JIS2004,KS,CNS}-{UCS2,UTF16}-{H,V} families (codes ARE
+UCS-2/UTF-16 code units → decoded as such) and Identity-H/V (fixes
+2-byte code grouping; codes are glyph ids, so without a ToUnicode they
+surface honestly as U+FFFD). Honest remaining limitation: the non-UCS2
+predefined CMaps (e.g. GBK-EUC-H) map bytes to CIDs via Adobe's CMap
+data files, which are not shipped — fonts using them fall back to the
+text-string decode.
 Incremental-update chains (``/Prev``) ARE followed (r9): the xref walk
 starts at ``startxref``, chases ``/Prev`` newest→oldest (cycle-guarded,
 ≤8 generations), merges entries newest-wins, and honors free ("f" /
@@ -163,6 +173,7 @@ def docs_as_pdfs(
             fid = doc_id % 7
             classic = doc_id % 3 != 0
             font2 = fid == 4 and classic
+            font3 = fid == 6 and classic
             indirect_len = fid == 3 and classic
             if fid == 1:
                 hexs = ftext.hex().encode()
@@ -172,12 +183,31 @@ def docs_as_pdfs(
             elif fid == 2:
                 u16 = b"\xfe\xff" + ftext.decode("ascii").encode("utf-16-be")
                 footer = b"BT /F1 10 Tf 72 706 Td (%s) Tj ET" % esc(u16)
+            elif fid == 5:
+                # PDFDocEncoding bytes (r11): 0x18/0x83/0x92/0xA0 are
+                # invalid as UTF-8, so only the Annex-D table decode
+                # recovers breve/ellipsis/trademark/euro — the oracle
+                # appends the same four codepoints closed-form.
+                footer = b"BT /F1 10 Tf 72 706 Td (%s\x18\x83\x92\xa0) Tj ET" % (
+                    esc(ftext),
+                )
             elif font2:
                 shifted = bytes(b + 1 for b in ftext)
                 footer = b"BT /F2 10 Tf 72 706 Td (%s) Tj ET" % esc(shifted)
+            elif font3:
+                # predefined-CMap font (r11): /F3 is a Type0 font whose
+                # /Encoding NAMES the UniGB-UCS2-H CMap (no embedded
+                # stream) — codes ARE UCS-2, so the shown bytes are the
+                # footer UTF-16BE without BOM; same closed-form text.
+                u16 = ftext.decode("ascii").encode("utf-16-be")
+                footer = b"BT /F3 10 Tf 72 706 Td (%s) Tj ET" % esc(u16)
             else:
                 footer = b"BT /F1 10 Tf 72 706 Td (%s) Tj ET" % esc(ftext)
-            res_fonts = b"/F1 5 0 R" + (b" /F2 7 0 R" if font2 else b"")
+            res_fonts = (
+                b"/F1 5 0 R"
+                + (b" /F2 7 0 R" if font2 else b"")
+                + (b" /F3 7 0 R" if font3 else b"")
+            )
             objs = {
                 1: b"<< /Type /Catalog /Pages 2 0 R >>",
                 2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -201,6 +231,8 @@ def docs_as_pdfs(
                 nums.append(7)  # the /Length integer object
             elif font2:
                 nums += [7, 8]  # /F2 font dict + its ToUnicode stream
+            elif font3:
+                nums.append(7)  # the /F3 predefined-CMap font dict
             buf = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")
             offsets = {}
             for num in nums:
@@ -218,6 +250,12 @@ def docs_as_pdfs(
                     )
                 elif num == 7 and indirect_len:
                     buf += b"7 0 obj\n%d\nendobj\n" % len(footer)
+                elif num == 7 and font3:
+                    buf += (
+                        b"7 0 obj\n<< /Type /Font /Subtype /Type0 "
+                        b"/BaseFont /STSong-Light "
+                        b"/Encoding /UniGB-UCS2-H >>\nendobj\n"
+                    )
                 elif num == 7:
                     buf += (
                         b"7 0 obj\n<< /Type /Font /Subtype /Type1 "
@@ -670,13 +708,42 @@ def parse_pdf(
                 digits.append(0x30)
             return bytes.fromhex(digits.decode("ascii")), j + 1
 
+        # PDFDocEncoding (ISO 32000 Annex D.3): Latin-1 except the
+        # typographic block 0x18-0x1F / 0x80-0x9E and Euro at 0xA0;
+        # 0x7F/0x9F/0xAD are undefined (U+FFFD).
+        _pdfdoc_diff = {
+            0x18: "˘", 0x19: "ˇ", 0x1A: "ˆ",
+            0x1B: "˙", 0x1C: "˝", 0x1D: "˛",
+            0x1E: "˚", 0x1F: "˜", 0x7F: "�",
+            0x80: "•", 0x81: "†", 0x82: "‡",
+            0x83: "…", 0x84: "—", 0x85: "–",
+            0x86: "ƒ", 0x87: "⁄", 0x88: "‹",
+            0x89: "›", 0x8A: "−", 0x8B: "‰",
+            0x8C: "„", 0x8D: "“", 0x8E: "”",
+            0x8F: "‘", 0x90: "’", 0x91: "‚",
+            0x92: "™", 0x93: "ﬁ", 0x94: "ﬂ",
+            0x95: "Ł", 0x96: "Œ", 0x97: "Š",
+            0x98: "Ÿ", 0x99: "Ž", 0x9A: "ı",
+            0x9B: "ł", 0x9C: "œ", 0x9D: "š",
+            0x9E: "ž", 0x9F: "�",
+            0xA0: "€", 0xAD: "�",
+        }
+        PDFDOC = [
+            _pdfdoc_diff.get(b, chr(b)) for b in range(256)
+        ]
+
         def decode_pdf_string(raw: bytes, cmap=None) -> str:
-            """Shown-string bytes → text: a /ToUnicode CMap for the
-            current font wins; else a UTF-16BE BOM selects UTF-16BE
-            (§7.9.2.2 text-string rule); else the fixture contract's
-            raw UTF-8 (real PDFDocEncoding differs only in a handful of
-            codepoints — documented limitation)."""
+            """Shown-string bytes → text: a CMap for the current font
+            wins (embedded ToUnicode table, or a predefined UCS-2/UTF-16
+            family name where codes ARE code units); else a UTF-16BE BOM
+            selects UTF-16BE and a UTF-8 BOM selects UTF-8 (§7.9.2.2
+            text-string rules); else strict UTF-8 (the dominant
+            real-world producer shortcut) falling back to PDFDocEncoding
+            (Annex D.3) when the bytes are not valid UTF-8."""
             if cmap:
+                if cmap.get("utf16"):
+                    usable = len(raw) - (len(raw) % 2)
+                    return raw[:usable].decode("utf-16-be", "replace")
                 width = cmap["width"]
                 table = cmap["map"]
                 out = []
@@ -686,7 +753,12 @@ def parse_pdf(
                 return "".join(out)
             if raw[:2] == b"\xfe\xff":
                 return raw[2:].decode("utf-16-be", "replace")
-            return raw.decode("utf-8", "replace")
+            if raw[:3] == b"\xef\xbb\xbf":
+                return raw[3:].decode("utf-8", "replace")
+            try:
+                return raw.decode("utf-8")
+            except UnicodeDecodeError:
+                return "".join(PDFDOC[b] for b in raw)
 
         def extract_text(content: bytes, font_cmaps=None):
             """Run the text-showing ops; ``font_cmaps`` maps /Fname →
@@ -831,10 +903,19 @@ def parse_pdf(
                 return obj_body(blob, offsets, int(rm.group(1)))
             return None
 
+        # predefined CMap names (ISO 32000 §9.7.5.2) an extractor can
+        # resolve WITHOUT the Adobe CMap data files: the UCS-2/UTF-16
+        # families, where the character CODE is the Unicode code unit.
+        UNI_CMAP = _re.compile(rb"/Uni(GB|JIS|JIS2004|KS|CNS)-(UCS2|UTF16)-[HV]$")
+
         def page_font_cmaps(blob, offsets, page: bytes, resolve):
-            """/Resources → /Font → per-font /ToUnicode CMap streams →
-            {b'/Fname': parsed cmap}. Absent pieces are simply skipped —
-            fonts without CMaps fall back to the byte decode."""
+            """/Resources → /Font → per-font CMap info →
+            {b'/Fname': cmap}. An embedded /ToUnicode stream wins; else
+            a predefined /Encoding CMap NAME is resolved when possible:
+            the Uni*-UCS2/UTF16 families decode codes as UTF-16BE code
+            units, Identity-H/V fixes 2-byte code grouping (codes are
+            glyph ids — undecodable without ToUnicode, honest U+FFFD).
+            Fonts with neither fall back to the byte decode."""
             res = dict_body_after(blob, offsets, page, rb"/Resources")
             if res is None:
                 return {}
@@ -847,17 +928,25 @@ def parse_pdf(
                 if fobj is None:
                     continue
                 tref = ref_in(fobj, rb"/ToUnicode")
-                if tref is None:
+                if tref is not None:
+                    tobj = obj_body(blob, offsets, tref)
+                    if tobj is None:
+                        continue
+                    got = stream_of(tobj, inflate_cap, resolve)
+                    if got is None:
+                        continue
+                    cm = parse_tounicode(got[1])
+                    if cm is not None:
+                        cmaps[fm.group(1)] = cm
                     continue
-                tobj = obj_body(blob, offsets, tref)
-                if tobj is None:
+                em = _re.search(rb"/Encoding\s*(/[A-Za-z0-9-]+)", fobj)
+                if em is None:
                     continue
-                got = stream_of(tobj, inflate_cap, resolve)
-                if got is None:
-                    continue
-                cm = parse_tounicode(got[1])
-                if cm is not None:
-                    cmaps[fm.group(1)] = cm
+                ename = em.group(1)
+                if UNI_CMAP.search(ename):
+                    cmaps[fm.group(1)] = {"width": 2, "utf16": True}
+                elif ename in (b"/Identity-H", b"/Identity-V"):
+                    cmaps[fm.group(1)] = {"width": 2, "map": {}}
             return cmaps
 
         def parse_one(doc_id: int, blob: bytes):

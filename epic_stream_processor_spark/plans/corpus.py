@@ -1907,7 +1907,15 @@ SELECT doc_id,
        t || chr(10) || '[doc ' || doc_id || ' p1'
          || CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
                  THEN ' v2' ELSE '' END
-         || ']' AS text
+         || ']'
+         -- r11 PDFDocEncoding residue: bytes 18/83/92/A0 decode to
+         -- breve/ellipsis/trademark/euro via the Annex D.3 table
+         -- (suffix absent when the v2 incremental update replaced
+         -- the footer object)
+         || CASE WHEN doc_id % 7 = 5
+                  AND NOT (doc_id % 3 <> 0 AND doc_id % 5 = 0)
+                 THEN chr(728) || chr(8230) || chr(8482) || chr(8364)
+                 ELSE '' END AS text
 FROM d
 """
 

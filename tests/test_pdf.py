@@ -32,7 +32,10 @@ def test_pdf_roundtrip_on_fixture_docs(spark):
         # every fifth classic-path doc carries one incremental update
         # replacing the footer (r9): the /Prev walk must surface v2
         v2 = " v2" if doc_id % 3 != 0 and doc_id % 5 == 0 else ""
-        assert r["text"] == f"{norm}\n[doc {doc_id} p1{v2}]", doc_id
+        # r11: the fid==5 residue appends four PDFDocEncoding-only
+        # codepoints (absent when the v2 update replaced the footer)
+        pdoc = "˘…™€" if doc_id % 7 == 5 and not v2 else ""
+        assert r["text"] == f"{norm}\n[doc {doc_id} p1{v2}]{pdoc}", doc_id
         assert r["n_pages"] == 1 and r["n_show_ops"] == 2
         assert r["pdf_filter"] == (
             "FlateDecode" if doc_id % 2 == 0 else "none"
@@ -572,8 +575,13 @@ def test_pdf_fixture_encoding_variants_roundtrip(spark):
     assert len(rows) == 28  # no variant drops a row
     for i in range(1, 29):
         v2 = i % 5 == 0 and i % 3 != 0
-        want = "alpha beta gamma delta\n[doc %d p1%s]" % (
-            i, " v2" if v2 else ""
+        want = "alpha beta gamma delta\n[doc %d p1%s]%s" % (
+            i,
+            " v2" if v2 else "",
+            # fid==5 appends the PDFDocEncoding probe codepoints;
+            # fid==6 (classic) rides the predefined UniGB-UCS2-H CMap
+            # and must extract the SAME plain text
+            "˘…™€" if i % 7 == 5 and not v2 else "",
         )
         assert rows[i]["text"] == want, (i, rows[i]["text"])
 
@@ -585,3 +593,89 @@ def test_pdf_indirect_length_broken_target_drops_row(spark):
     # retarget /Length 8 0 R at the (non-integer) catalog object
     hacked = pdf.replace(b"<< /Length 8 0 R >>", b"<< /Length 1 0 R >>", 1)
     assert _parse_rows(spark, [(32, hacked)]) == {}
+
+
+# --- r11: PDFDocEncoding + predefined CMap names (VERDICT r10 next #5) ---
+
+
+def _r11_encoding_pdf() -> bytes:
+    """Hand-authored PDF using the r11 features at once: line 1 is a
+    BOM-less literal whose bytes are NOT valid UTF-8 and decode via the
+    PDFDocEncoding table (Annex D.3); line 2 carries a UTF-8 BOM (the
+    PDF 2.0 text-string form); line 3 is shown through a Type0 font
+    whose /Encoding NAMES the predefined UniJIS-UCS2-H CMap (codes are
+    UCS-2); line 4 through an Identity-H font WITHOUT /ToUnicode —
+    codes are glyph ids, honestly undecodable, one U+FFFD per code."""
+    # PDFDoc probe: em-dash(84) fi-ligature(93) euro(A0) around ASCII
+    line1 = b"(A\x84B\x93C\xa0D) Tj"
+    line2 = b"(\xef\xbb\xbfbom\xc3\xa9) Tj"  # BOM + "bomé" UTF-8
+    u16 = "Tō".encode("utf-16-be")
+    line3 = b"(" + u16 + b") Tj"
+    line4 = b"(\x00\x2a\x00\x2b) Tj"  # two 2-byte glyph ids
+    content = (
+        b"BT /F1 12 Tf 72 720 Td " + line1
+        + b" 0 -14 TD " + line2
+        + b" 0 -14 TD /F2 12 Tf " + line3
+        + b" 0 -14 TD /F3 12 Tf " + line4 + b" ET"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /Font << /F1 5 0 R /F2 6 0 R /F3 7 0 R >> >> "
+            b"/Contents 4 0 R >>"
+        ),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Mincho "
+            b"/Encoding /UniJIS-UCS2-H >>"
+        ),
+        7: (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /AnyCID "
+            b"/Encoding /Identity-H >>"
+        ),
+    }
+    buf = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in (1, 2, 3, 4, 5, 6, 7):
+        offsets[num] = len(buf)
+        if num == 4:
+            buf += (
+                b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+                + content + b"\nendstream\nendobj\n"
+            )
+        else:
+            buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 8\n0000000000 65535 f \n"
+    for num in (1, 2, 3, 4, 5, 6, 7):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += (
+        b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_at
+    )
+    return bytes(buf)
+
+
+def test_pdf_pdfdoc_encoding_and_predefined_cmaps(spark):
+    rows = _parse_rows(spark, [(41, _r11_encoding_pdf())])
+    r = rows[41]
+    assert r["text"] == "A—Bﬁ C€D\nbomé\nTō\n��".replace("ﬁ ", "ﬁ")
+    assert r["n_show_ops"] == 4 and r["n_pages"] == 1
+
+
+def test_pdfdoc_encoding_table_spot_values(spark):
+    """The Annex D.3 deltas vs Latin-1, pinned byte by byte through a
+    whole-range probe string: typographic block, accents block, Euro,
+    undefined slots, and the Latin-1-identical remainder."""
+    probe = bytes(range(0x18, 0x20)) + bytes(range(0x80, 0xA1)) + b"\xad\xe9"
+    content = b"BT /F1 12 Tf 72 720 Td (" + probe + b") Tj ET"
+    rows = _parse_rows(spark, [(42, _wrap_content(content))])
+    first_line = rows[42]["text"].split("\n")[0]
+    assert first_line == (
+        "˘ˇˆ˙˝˛˚˜"            # 0x18-0x1F accents
+        "•†‡…—–ƒ⁄‹›−‰„“”‘’‚™ﬁﬂŁŒŠŸŽıłœšž"  # 0x80-0x9E
+        "�€"                   # 0x9F undefined, 0xA0 euro
+        "�é"                   # 0xAD undefined, 0xE9 Latin-1 é
+    )
