@@ -23,8 +23,11 @@ offset-30 prefix check.
 Output: one ``format`` label per row from {png, jpeg, gif, bmp, tiff,
 pdf, gzip, bz2, zip, epub, ooxml, odf, flac, wav, mp3, tar, warc, xml,
 html, mbox, sqlite, mp4, ogg, rtf, webp, zstd, lz4, xz, parquet,
-orc, avro, unknown}. Misses are
+orc, avro, cfb, unknown}. Misses are
 'unknown', never an error — sniffing untrusted bytes must be total.
+(r11 adds ``cfb`` — the OLE2 compound-file magic D0CF11E0A1B11AE1
+that every legacy binary Office document (.doc/.xls/.ppt) opens with,
+routing to ``operators/cfb.py``.)
 (The round-9 additions: SQLite's 16-byte header string, ISO-BMFF's
 ``ftyp`` at offset 4 — the one magic that does NOT sit at offset 0 —
 Ogg's ``OggS`` capture, RTF's ``{\\rtf`` declaration, and the modern
@@ -86,6 +89,7 @@ def sniff_format(data: Column) -> Column:
         .when(_ascii_at(data, 5, "ftyp"), F.lit("mp4"))
         .when(_ascii_at(data, 1, "OggS"), F.lit("ogg"))
         .when(_ascii_at(data, 1, "{\\rtf"), F.lit("rtf"))
+        .when(_hex_at(data, 1, "D0CF11E0A1B11AE1"), F.lit("cfb"))
         .when(_hex_at(data, 1, "28B52FFD"), F.lit("zstd"))
         .when(_hex_at(data, 1, "04224D18"), F.lit("lz4"))
         .when(_hex_at(data, 1, "FD377A585A00"), F.lit("xz"))

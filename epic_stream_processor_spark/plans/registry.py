@@ -1314,6 +1314,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "image dup); oracle recomputes the hash a third way in SQL - "
         "three implementations agree",
     ),
+    "cfb_extract": QueryDef(
+        corpus.q_cfb_extract, corpus.ORACLE_CFB_EXTRACT,
+        "CFB/OLE2 legacy Office (round 11, MS-CFB + MS-DOC honest "
+        "subset): spec-built compound files (FAT + miniFAT + directory "
+        "+ mini stream) walked back with bounded cycle-guarded chains; "
+        ".doc text via the FIB [fcMin, fcMac) window, family triage by "
+        "well-known stream names; closed-form oracle",
+    ),
     "justext_blocks": QueryDef(
         corpus.q_justext_blocks, corpus.ORACLE_JUSTEXT_BLOCKS,
         "block-level boilerplate classification (round 9, jusText "

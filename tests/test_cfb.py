@@ -1,0 +1,154 @@
+"""CFB/OLE2 compound-file tests: structure round trip through both
+allocation paths (mini stream vs regular FAT chains), .doc FIB text
+subset, family triage by well-known stream names, hostile-structure
+fail-closed behavior, and the sniffer's cfb label on real writer
+bytes. Fixture parity lives in test_oracle_parity (cfb_extract)."""
+
+from __future__ import annotations
+
+import re
+
+from epic_stream_processor_spark.operators.cfb import (
+    MAGIC,
+    build_cfb,
+    docs_as_cfb,
+    parse_cfb,
+    parse_cfb_files,
+    triage_cfb,
+    word_text_from_stream,
+)
+
+
+def test_roundtrip_mini_and_fat_paths():
+    """Payloads straddling the 4096-byte cutoff: small ones ride the
+    mini stream (64-byte sectors + miniFAT), large ones regular FAT
+    chains — both must read back byte-exact, as must a zero-length
+    stream and a multi-dir-sector entry count."""
+    small = b"tiny payload"
+    exactly_cut = b"x" * 4096  # boundary: regular path
+    just_under = b"y" * 4095  # boundary: mini path
+    big = bytes(range(256)) * 40  # 10240 bytes, 20+ sectors
+    blob = build_cfb(
+        [
+            ("A", small),
+            ("B", big),
+            ("C", b""),
+            ("D", just_under),
+            ("E", exactly_cut),
+        ],
+        storages=("S1", "S2"),
+    )
+    assert blob[:8] == MAGIC and len(blob) % 512 == 0
+    got = parse_cfb(blob)
+    assert got is not None
+    by_name = {n: p for n, t, p in got if t == 2}
+    assert by_name == {
+        "A": small, "B": big, "C": b"", "D": just_under, "E": exactly_cut,
+    }
+    assert sum(1 for _, t, _ in got if t == 1) == 2  # storages
+    assert sum(1 for _, t, _ in got if t == 5) == 1  # root
+
+
+def test_word_text_fib_subset():
+    body = "héllo wörld ±".encode("utf-16-le")
+    fib = bytearray(1024)
+    fib[0:2] = b"\xec\xa5"
+    fib[24:28] = (1024).to_bytes(4, "little")
+    fib[28:32] = (1024 + len(body)).to_bytes(4, "little")
+    assert word_text_from_stream(bytes(fib) + body) == "héllo wörld ±"
+    # wrong magic -> empty
+    bad = bytearray(fib)
+    bad[0] = 0
+    assert word_text_from_stream(bytes(bad) + body) == ""
+    # fComplex set (piece table required) -> honest empty
+    cpx = bytearray(fib)
+    cpx[10:12] = (0x0004).to_bytes(2, "little")
+    assert word_text_from_stream(bytes(cpx) + body) == ""
+    # fcMac beyond the stream -> empty, not a slice error
+    over = bytearray(fib)
+    over[28:32] = (1 << 30).to_bytes(4, "little")
+    assert word_text_from_stream(bytes(over) + body) == ""
+
+
+def test_triage_kinds_by_stream_name():
+    word = bytearray(1024)
+    word[0:2] = b"\xec\xa5"
+    word[24:28] = (1024).to_bytes(4, "little")
+    word[28:32] = (1024).to_bytes(4, "little")
+    cases = [
+        ([("WordDocument", bytes(word))], "doc"),
+        ([("Workbook", b"\x09\x08BIFF")], "xls"),
+        ([("Book", b"\x09\x04BIFF5")], "xls"),
+        ([("PowerPoint Document", b"persist")], "ppt"),
+        ([("Whatever", b"data")], "cfb"),
+    ]
+    for streams, want in cases:
+        got = triage_cfb(build_cfb(streams))
+        assert got is not None and got["kind"] == want, (streams, got)
+
+
+def test_hostile_structures_drop_not_crash():
+    base = build_cfb([("WordDocument", b"\xec\xa5" + b"\x00" * 4200)])
+    # bad magic
+    assert parse_cfb(b"XXXXXXXX" + base[8:]) is None
+    # bad byte-order marker
+    bo = bytearray(base)
+    bo[28:30] = b"\x00\x00"
+    assert parse_cfb(bytes(bo)) is None
+    # FAT chain loop: point the first data sector's FAT entry at itself.
+    # FAT sector 0 starts at byte 512; entry k covers sector k.
+    loop = bytearray(base)
+    n_fat = int.from_bytes(base[44:48], "little")
+    victim = n_fat + 1  # some body sector
+    at = 512 + 4 * victim
+    loop[at : at + 4] = victim.to_bytes(4, "little")
+    assert parse_cfb(bytes(loop)) is None  # bounded, returns None
+    # declared stream size far beyond the chain
+    truncated = base[: 512 * 3]
+    assert parse_cfb(truncated) is None
+    # cap: a stream larger than the cap drops the container
+    assert parse_cfb(base, cap=16) is None
+    # random flips must never raise
+    import random
+
+    rng = random.Random(11)
+    for _ in range(200):
+        b = bytearray(base)
+        b[rng.randrange(len(b))] ^= 0xFF
+        triage_cfb(bytes(b))  # drop or parse; never an exception
+
+
+def test_spark_roundtrip_and_decoy_storage(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha  beta\tgamma"),
+            (2, "unicode é 中文 résumé"),
+            (3, None),
+            (4, "long " * 3000),  # pushes WordDocument onto the FAT path
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in parse_cfb_files(docs_as_cfb(docs)).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    for i, txt in ((1, "alpha  beta\tgamma"), (2, "unicode é 中文 résumé"),
+                   (3, ""), (4, "long " * 3000)):
+        norm = re.sub(r"\s+", " ", (txt or "").strip())
+        r = rows[i]
+        assert r["kind"] == "doc"
+        assert r["word_text"] == norm, i
+        assert r["meta_text"] == "[doc %d]" % i
+        assert r["n_streams"] == 2 and r["n_storages"] == 1
+
+
+def test_sniffer_labels_real_cfb_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.sniff import sniff_format
+
+    blob = build_cfb([("WordDocument", b"\xec\xa5" + b"\x00" * 100)])
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, data binary")
+    got = df.select(sniff_format(F.col("data")).alias("f")).collect()
+    assert got[0]["f"] == "cfb"
