@@ -119,24 +119,17 @@ def unigram_vocab(
     )
 
 
-def unigram_tokenize(
-    docs: DataFrame,
-    v: int = 24,
-    max_piece: int = 4,
-    max_word: int = 8,
-    text_col: str = "text",
+def _viterbi_segment(
+    wc: DataFrame,
+    vocab_rows: list,
+    max_piece: int,
+    max_word: int,
 ) -> DataFrame:
-    """Train-and-segment: the corpus lexicon segmented under the trained
-    unigram vocabulary. Output one row per distinct word: ``(word,
-    word_count, n_pieces, segmentation)`` — pieces '|'-joined; words
-    longer than ``max_word`` get NULL (see module docstring).
-
-    The Viterbi tie-break is the lexicographic (cost, n_pieces, path)
-    struct order — a total order, so the chosen segmentation is unique
-    and engine-exact.
-    """
-    wc = word_counts(docs, text_col)
-    vocab_rows = unigram_vocab(wc, v, max_piece).collect()  # bounded: v+|alphabet|
+    """The unrolled Viterbi DP under an explicit (piece, cost_micro)
+    row list → one ``(word, word_count, n_pieces, segmentation)`` row
+    per lexicon word; words longer than ``max_word`` get NULLs. The
+    tie-break is the lexicographic (cost, n_pieces, path) struct order
+    — total, so the chosen segmentation is unique and engine-exact."""
     cost_map = (
         F.create_map(
             *[
@@ -201,3 +194,96 @@ def unigram_tokenize(
         .substr(F.lit(2), F.length(final["p"]) - 1)
         .alias("segmentation"),
     )
+
+
+def unigram_tokenize(
+    docs: DataFrame,
+    v: int = 24,
+    max_piece: int = 4,
+    max_word: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-and-segment: the corpus lexicon segmented under the trained
+    unigram vocabulary. Output one row per distinct word: ``(word,
+    word_count, n_pieces, segmentation)`` — pieces '|'-joined; words
+    longer than ``max_word`` get NULL (see module docstring)."""
+    wc = word_counts(docs, text_col)
+    vocab_rows = unigram_vocab(wc, v, max_piece).collect()  # bounded: v+|alphabet|
+    return _viterbi_segment(wc, vocab_rows, max_piece, max_word)
+
+
+def unigram_tokenize_em(
+    docs: DataFrame,
+    v: int = 24,
+    max_piece: int = 4,
+    max_word: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """One Kudo-style **hard-EM (Viterbi) re-estimation** on top of the
+    raw-frequency initialization (the documented honest variant of
+    SentencePiece's soft EM — the E-step takes the single best
+    segmentation instead of expected counts, which keeps every count an
+    exact BIGINT and the oracle unrollable):
+
+    - **E-step**: Viterbi-segment the lexicon under the initial
+      frequency-derived costs (the exact DP ``unigram_tokenize`` runs).
+    - **M-step**: re-count pieces from the CHOSEN segmentations,
+      occurrence-weighted by word frequency. Multi-char pieces the
+      Viterbi never used are PRUNED (Kudo's shrinking step); single
+      chars — the fallback alphabet that must survive so segmentation
+      stays total — take their chosen count plus a Laplace floor of 1.
+      New cost = round((ln(total′) − ln(cnt′)) · 1e6), the same
+      micro-nat convention.
+    - Final pass: re-segment the lexicon under the re-estimated costs.
+
+    Output schema matches :func:`unigram_tokenize`; words over
+    ``max_word`` stay NULL and contribute nothing to the M-step (both
+    engines agree on that exclusion).
+
+    Scale: everything iterates the bounded distinct-word lexicon — one
+    extra piece-keyed count shuffle and one extra bounded collect per
+    EM iteration; the corpus itself is touched once.
+    """
+    wc = word_counts(docs, text_col)
+    vocab0 = unigram_vocab(wc, v, max_piece).collect()
+    seg0 = _viterbi_segment(wc, vocab0, max_piece, max_word)
+    chosen = (
+        seg0.where(F.col("segmentation").isNotNull())
+        .select(
+            F.explode(F.split("segmentation", r"\|")).alias("piece"),
+            "word_count",
+        )
+        .groupBy("piece")
+        .agg(F.sum("word_count").alias("cnt1"))
+    )
+    chosen_rows = {r["piece"]: int(r["cnt1"]) for r in chosen.collect()}
+    vocab1 = []
+    for r in vocab0:
+        used = chosen_rows.get(r["piece"], 0)
+        if len(r["piece"]) == 1:
+            vocab1.append((r["piece"], used + 1))  # Laplace floor
+        elif used > 0:
+            vocab1.append((r["piece"], used))
+    # costs through the SAME JVM log expression generation 1 used —
+    # a driver-side math.log could differ from the engines' ln in the
+    # last ulp and flip a micro-nat rounding
+    spark = docs.sparkSession
+    v1df = spark.createDataFrame(vocab1, "piece string, cnt long")
+    tot = v1df.agg(F.sum("cnt").alias("total"))
+    vocab1_rows = (
+        v1df.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.round(
+                (
+                    F.log(F.col("total").cast("double"))
+                    - F.log(F.col("cnt").cast("double"))
+                )
+                * MICRO
+            )
+            .cast("long")
+            .alias("cost_micro"),
+        )
+        .collect()
+    )
+    return _viterbi_segment(wc, vocab1_rows, max_piece, max_word)

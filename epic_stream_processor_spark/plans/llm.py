@@ -3197,22 +3197,15 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def unigram_tokenize_oracle_sql(
-    v: int = 24, max_piece: int = 4, max_word: int = 8,
-    table: str = "documents",
-) -> str:
-    """DuckDB twin of unigram_tokenize: identical vocabulary derivation
-    (occurrence-weighted substring counts, top-v multi-char + all chars,
-    micro-nat costs) and the SAME Viterbi recursion unrolled as one CTE
-    per word position, with the (cost, n, path) lexicographic
-    tie-break."""
-    inf = 10**15
-    parts = [
-        f"""WITH w0 AS (
+def _unigram_prelude(v: int, max_piece: int, table: str) -> str:
+    """The shared w0..vocab CTE prelude: lexicon, occurrence-weighted
+    substring counts, top-v multi-char + full char alphabet, micro-nat
+    costs — identical text in the plain and EM oracles."""
+    return f"""WITH w0 AS (
   SELECT unnest(str_split_regex(trim(text), '\\s+')) AS w
   FROM {table} WHERE len(trim(coalesce(text, ''))) > 0
 ),
-wc AS (SELECT w, count(*) AS wcnt FROM w0 GROUP BY w),
+wc AS MATERIALIZED (SELECT w, count(*) AS wcnt FROM w0 GROUP BY w),
 c1 AS (SELECT w, wcnt, unnest(range(1, len(w) + 1)) AS i FROM wc),
 c2 AS (
   SELECT w, wcnt, i,
@@ -3236,13 +3229,46 @@ kept AS (
   UNION ALL SELECT piece, cnt FROM multi
 ),
 tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM kept),
-vocab AS (
+vocab AS MATERIALIZED (
   SELECT piece,
          CAST(round((ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
               * 1000000) AS BIGINT) AS cost
   FROM kept, tot
-),
-b0 AS (
+)"""
+
+
+def unigram_tokenize_oracle_sql(
+    v: int = 24, max_piece: int = 4, max_word: int = 8,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of unigram_tokenize: identical vocabulary derivation
+    (occurrence-weighted substring counts, top-v multi-char + all chars,
+    micro-nat costs) and the SAME Viterbi recursion unrolled as one CTE
+    per word position, with the (cost, n, path) lexicographic
+    tie-break."""
+    blocks, final = _viterbi_ctes("b", "vocab", max_piece, max_word)
+    return (
+        _unigram_prelude(v, max_piece, table)
+        + ",\n"
+        + ",\n".join(blocks)
+        + "\n"
+        + "SELECT w AS word, wcnt AS word_count, n AS n_pieces, "
+        "seg AS segmentation FROM (\n"
+        + final
+        + "\n)"
+    )
+
+
+def _viterbi_ctes(
+    prefix: str, vocab: str, max_piece: int, max_word: int
+) -> tuple[list[str], str]:
+    """The unrolled Viterbi DP as CTE text: ``{prefix}0..{prefix}N``
+    chained over word positions against the ``vocab`` CTE — shared by
+    the plain and EM oracles so the recursion cannot drift between
+    them. Returns (cte_blocks, final_select_over_the_chain)."""
+    inf = 10**15
+    blocks = [
+        f"""{prefix}0 AS (
   SELECT w, wcnt, len(w) AS L, CAST(0 AS BIGINT) AS c, 0 AS n, '' AS p
   FROM wc
 )"""
@@ -3256,12 +3282,12 @@ b0 AS (
            b.c + coalesce(v.cost, {inf}) AS c,
            b.n + 1 AS n,
            b.p || '|' || {sub} AS p
-    FROM b{i} b LEFT JOIN vocab v ON v.piece = {sub}
+    FROM {prefix}{i} b LEFT JOIN {vocab} v ON v.piece = {sub}
     WHERE b.L >= {j}"""
             )
         union = "\n    UNION ALL\n".join(legs)
-        parts.append(
-            f"""b{j} AS (
+        blocks.append(
+            f"""{prefix}{j} AS MATERIALIZED (
   SELECT w, wcnt, L, c, n, p FROM (
     SELECT *, row_number() OVER (PARTITION BY w ORDER BY c, n, p) AS rn
     FROM (
@@ -3272,23 +3298,100 @@ b0 AS (
         )
     fins = [
         f"SELECT w, wcnt, CAST(n AS BIGINT) AS n, substr(p, 2) AS seg "
-        f"FROM b{j} WHERE L = {j}"
+        f"FROM {prefix}{j} WHERE L = {j}"
         for j in range(1, max_word + 1)
     ]
     fins.append(
         f"SELECT w, wcnt, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) "
         f"FROM wc WHERE len(w) > {max_word}"
     )
+    return blocks, "\nUNION ALL\n".join(fins)
+
+
+def unigram_em_oracle_sql(
+    v: int = 24, max_piece: int = 4, max_word: int = 8,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of unigram_tokenize_em: the generation-1 vocabulary
+    and Viterbi chain exactly as the plain oracle, then the hard-EM
+    M-step in SQL — chosen-piece recount from the E-step segmentations
+    (NULL-segmented long words excluded on both engines), multi-char
+    prune, single-char Laplace floor, micro-nat re-costing — and the
+    SAME unrolled DP a second time under the re-estimated costs."""
+    prelude = _unigram_prelude(v, max_piece, table)
+    e_blocks, e_final = _viterbi_ctes("b", "vocab", max_piece, max_word)
+    f_blocks, f_final = _viterbi_ctes("f", "vocab2", max_piece, max_word)
+    mstep = f"""seg0 AS MATERIALIZED (
+{e_final}
+),
+chosen AS (
+  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt1
+  FROM (
+    SELECT unnest(str_split(seg, '|')) AS piece, wcnt
+    FROM seg0 WHERE seg IS NOT NULL
+  )
+  GROUP BY piece
+),
+v1 AS (
+  SELECT k.piece,
+         CASE WHEN len(k.piece) = 1 THEN coalesce(c.cnt1, 0) + 1
+              ELSE c.cnt1 END AS cnt
+  FROM kept k LEFT JOIN chosen c ON c.piece = k.piece
+  WHERE len(k.piece) = 1 OR coalesce(c.cnt1, 0) > 0
+),
+tot1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v1),
+vocab2 AS MATERIALIZED (
+  SELECT piece,
+         CAST(round((ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+              * 1000000) AS BIGINT) AS cost
+  FROM v1, tot1
+)"""
     final = (
         "SELECT w AS word, wcnt AS word_count, n AS n_pieces, "
-        "seg AS segmentation FROM (\n"
-        + "\nUNION ALL\n".join(fins)
-        + "\n)"
+        "seg AS segmentation FROM (\n" + f_final + "\n)"
     )
-    return ",\n".join(parts) + "\n" + final
+    return (
+        prelude
+        + ",\n"
+        + ",\n".join(e_blocks)
+        + ",\n"
+        + mstep
+        + ",\n"
+        + ",\n".join(f_blocks)
+        + "\n"
+        + final
+    )
+
+
+def q_unigram_tokenize_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer with one hard-EM (Viterbi) re-estimation
+    (round 11, operators/unigram_tok.py:unigram_tokenize_em): E-step
+    segments the lexicon under the frequency-derived costs, M-step
+    recounts pieces from the chosen segmentations (multi-char prune,
+    single-char Laplace floor), final pass re-segments under the
+    re-estimated micro-nat costs — the Kudo-style refinement that
+    closes the gap to SentencePiece semantics while every count stays
+    an exact BIGINT."""
+    from ..operators.unigram_tok import unigram_tokenize_em
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # max_word=6 (vs the plain query's 8): the EM pipeline runs the
+    # unrolled DP TWICE (E-step + final), so the registered artifact
+    # trades two unroll levels for a ~2x smaller Catalyst tree and a
+    # DuckDB oracle that stays interactive; the operator itself takes
+    # any depth (the plain query keeps 8 driver-proven)
+    out = unigram_tokenize_em(docs, v=24, max_piece=4, max_word=6)
+    return out.select(
+        "word",
+        "word_count",
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        "segmentation",
+    )
 
 
 ORACLE_UNIGRAM_TOKENIZE = unigram_tokenize_oracle_sql()
+ORACLE_UNIGRAM_TOKENIZE_EM = unigram_em_oracle_sql(max_word=6)
 
 
 def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1025,6 +1025,15 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "the identical DP as one CTE per position — completes the "
         "tokenizer family (BPE train -> BPE encode -> unigram)",
     ),
+    "unigram_tokenize_em": QueryDef(
+        llm.q_unigram_tokenize_em, llm.ORACLE_UNIGRAM_TOKENIZE_EM,
+        "unigram tokenizer + one hard-EM (Viterbi) re-estimation "
+        "(round 11, the Kudo refinement): E-step segments under "
+        "frequency costs, M-step recounts chosen pieces (multi-char "
+        "prune, single-char Laplace floor), final pass re-segments "
+        "under re-estimated micro-nat costs; oracle unrolls BOTH DP "
+        "generations from the same shared CTE emitter",
+    ),
     "manifest_diff": QueryDef(
         corpus.q_manifest_diff, corpus.ORACLE_MANIFEST_DIFF,
         "snapshot manifest diff (round 7, the Iceberg/Delta incremental-"

@@ -2810,6 +2810,100 @@ def test_unigram_viterbi_matches_python_reference(spark):
         assert r["segmentation"].replace("|", "") == w
 
 
+def test_unigram_em_matches_python_reference(spark):
+    """unigram_tokenize_em against an independent Python hard-EM over
+    the same initial vocabulary: E-step Viterbi, M-step recount with
+    multi-char prune + single-char Laplace floor, JVM-identical
+    micro-nat recosting, then the final Viterbi — every word's EM
+    segmentation must match and reassemble."""
+    import math
+
+    from epic_stream_processor_spark.operators.unigram_tok import (
+        INF_COST,
+        unigram_tokenize,
+        unigram_tokenize_em,
+        unigram_vocab,
+        word_counts,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    wc = {
+        r["w"]: r["wcnt"] for r in word_counts(docs).collect()
+    }
+    vocab0 = {
+        r["piece"]: r["cost_micro"]
+        for r in unigram_vocab(word_counts(docs)).collect()
+    }
+    max_word = 6
+
+    def viterbi(w, vocab):
+        best = {0: (0, 0, "")}
+        for j in range(1, len(w) + 1):
+            cands = []
+            for i in range(max(0, j - 4), j):
+                piece = w[i:j]
+                c, n, p = best[i]
+                cands.append(
+                    (c + vocab.get(piece, INF_COST), n + 1, p + "|" + piece)
+                )
+            best[j] = min(cands)
+        return best[len(w)]
+
+    # E-step + M-step in plain Python
+    counts: dict[str, int] = {}
+    for w, n_w in wc.items():
+        if len(w) > max_word:
+            continue
+        _, _, p = viterbi(w, vocab0)
+        for piece in p[1:].split("|"):
+            counts[piece] = counts.get(piece, 0) + n_w
+    v1 = {}
+    for piece in vocab0:
+        used = counts.get(piece, 0)
+        if len(piece) == 1:
+            v1[piece] = used + 1
+        elif used > 0:
+            v1[piece] = used
+    total1 = sum(v1.values())
+    vocab1 = {
+        p: int(round((math.log(total1) - math.log(c)) * 1_000_000))
+        for p, c in v1.items()
+    }
+
+    got = {
+        r["word"]: r
+        for r in unigram_tokenize_em(docs, max_word=max_word).collect()
+    }
+    assert got
+    for w, r in got.items():
+        if len(w) > max_word:
+            assert r["segmentation"] is None
+            continue
+        c, n, p = viterbi(w, vocab1)
+        assert r["segmentation"] == p[1:], (w, r["segmentation"], p)
+        assert r["segmentation"].replace("|", "") == w
+
+    # crafted corpus where the re-estimation PROVABLY flips a choice:
+    # under raw frequency costs 'abab' segments as the whole piece;
+    # after the M-step reweights toward the heavily-chosen 'ab', the
+    # final pass picks 'ab|ab' (hand-verified with the reference DP)
+    text = " ".join(
+        ["cd"] * 8 + ["abab"] + ["ab"] * 7 + ["xyzw"] * 6 + ["xyz"] * 5
+    )
+    crafted = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    before = {
+        r["word"]: r["segmentation"]
+        for r in unigram_tokenize(crafted, max_word=max_word).collect()
+    }
+    after = {
+        r["word"]: r["segmentation"]
+        for r in unigram_tokenize_em(crafted, max_word=max_word).collect()
+    }
+    assert before["abab"] == "abab"
+    assert after["abab"] == "ab|ab"
+
+
 def test_frontier_politeness_invariants(spark):
     """Per host: slots are a contiguous 0..n-1 sequence, fetch times step
     by exactly the host's delay, higher priority never fetches later
