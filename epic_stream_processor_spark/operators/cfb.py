@@ -62,7 +62,7 @@ MAGIC = bytes.fromhex("D0CF11E0A1B11AE1")
 
 CFB_SCHEMA = (
     "doc_id long, kind string, n_streams long, n_storages long, "
-    "word_text string, meta_text string"
+    "body_text string, meta_text string"
 )
 
 _SEC = 512
@@ -373,6 +373,140 @@ def parse_cfb(blob: bytes, cap: int = 1 << 22):
 
 
 # --- .doc honest-subset text (MS-DOC FIB) --------------------------------
+#     + .xls BIFF8 SST/LABELSST and .ppt text-atom subsets (r11b): the
+#     three legacy families each get a from-spec fixture writer and an
+#     honest extraction path, so the parity query exercises all three
+#     end to end (doc_id residue picks the family).
+
+
+def build_xls_stream(text: str) -> bytes:
+    """Minimal spec-legal BIFF8 Workbook stream: BOF, an SST holding
+    the text as two shared strings (the word-halving pattern — first
+    half carries the separator), two LABELSST cells referencing them
+    in (row, col) order, EOF. Each string uses the compressed
+    (latin-1) form when its chars fit a byte, else UTF-16LE — the
+    fHighByte bit, so BOTH encodings appear across a real corpus."""
+    import struct
+
+    def rec(op: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", op, len(payload)) + payload
+
+    def xl_string(s: str) -> bytes:
+        if all(ord(c) <= 0xFF for c in s):
+            return struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+        return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+
+    words = text.split(" ") if text else []
+    k = (len(words) + 1) // 2
+    if words:
+        half_a = " ".join(words[:k]) + (" " if k < len(words) else "")
+        half_b = " ".join(words[k:])
+    else:
+        half_a, half_b = "", ""
+    sst = struct.pack("<II", 2, 2) + xl_string(half_a) + xl_string(half_b)
+    cells = b""
+    for i in range(2):
+        cells += rec(0x00FD, struct.pack("<HHHI", 0, i, 15, i))
+    bof = struct.pack("<HHHHIIH", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0, 0, 0)
+    return (
+        rec(0x0809, bof) + rec(0x00FC, sst) + cells + rec(0x000A, b"")
+    )
+
+
+def xls_text_from_stream(book: bytes) -> str:
+    """BIFF walk → cell text: SST strings resolved through LABELSST
+    references, cells ordered by (row, col), concatenated. Honest
+    subset: single-record SST (no Continue-record string splits),
+    LABELSST/SST only — numbers and formulas surface nothing."""
+    import struct
+
+    sst: list[str] = []
+    cells: list[tuple[int, int, int]] = []
+    i = 0
+    while i + 4 <= len(book):
+        op, ln = struct.unpack_from("<HH", book, i)
+        payload = book[i + 4 : i + 4 + ln]
+        i += 4 + ln
+        if op == 0x000A:  # EOF
+            break
+        if op == 0x00FC and len(payload) >= 8:  # SST
+            n_unique = struct.unpack_from("<I", payload, 4)[0]
+            at = 8
+            for _ in range(min(n_unique, 65536)):
+                if at + 3 > len(payload):
+                    break
+                cch, flags = struct.unpack_from("<HB", payload, at)
+                at += 3
+                if flags & 0x01:
+                    raw = payload[at : at + 2 * cch]
+                    at += 2 * cch
+                    sst.append(raw.decode("utf-16-le", "replace"))
+                else:
+                    raw = payload[at : at + cch]
+                    at += cch
+                    sst.append(raw.decode("latin-1"))
+        elif op == 0x00FD and len(payload) >= 10:  # LABELSST
+            rw, col, _ixfe, isst = struct.unpack_from("<HHHI", payload, 0)
+            cells.append((rw, col, isst))
+    out = []
+    for _rw, _col, isst in sorted(cells):
+        if isst < len(sst):
+            out.append(sst[isst])
+    return "".join(out)
+
+
+def build_ppt_stream(text: str) -> bytes:
+    """Minimal PowerPoint Document stream: one container record
+    wrapping two text atoms (halves; the first carries the separator)
+    — a TextCharsAtom (UTF-16LE) and, when its chars fit a byte, a
+    TextBytesAtom (latin-1), so both atom types appear across a
+    corpus."""
+    import struct
+
+    def atom(s: str) -> bytes:
+        if s == "" or any(ord(c) > 0xFF for c in s):
+            payload = s.encode("utf-16-le")
+            return struct.pack("<HHI", 0x0000, 0x0FA0, len(payload)) + payload
+        payload = s.encode("latin-1")
+        return struct.pack("<HHI", 0x0000, 0x0FA8, len(payload)) + payload
+
+    words = text.split(" ") if text else []
+    k = (len(words) + 1) // 2
+    if words:
+        half_a = " ".join(words[:k]) + (" " if k < len(words) else "")
+        half_b = " ".join(words[k:])
+    else:
+        half_a, half_b = "", ""
+    body = atom(half_a) + atom(half_b)
+    # container: recVer 0xF marks a container; 0x03E8 = Document
+    return struct.pack("<HHI", 0x000F, 0x03E8, len(body)) + body
+
+
+def ppt_text_from_stream(ppt: bytes, max_depth: int = 8) -> str:
+    """Record-tree walk → text atoms in stream order, concatenated.
+    Containers (recVer 0xF) recurse depth-bounded; TextCharsAtom
+    decodes UTF-16LE, TextBytesAtom latin-1."""
+    import struct
+
+    out: list[str] = []
+
+    def walk(buf: bytes, depth: int):
+        if depth > max_depth:
+            return
+        i = 0
+        while i + 8 <= len(buf):
+            ver_inst, rtype, ln = struct.unpack_from("<HHI", buf, i)
+            payload = buf[i + 8 : i + 8 + ln]
+            i += 8 + ln
+            if (ver_inst & 0x000F) == 0x000F:
+                walk(payload, depth + 1)
+            elif rtype == 0x0FA0:  # TextCharsAtom
+                out.append(payload.decode("utf-16-le", "replace"))
+            elif rtype == 0x0FA8:  # TextBytesAtom
+                out.append(payload.decode("latin-1"))
+
+    walk(ppt, 0)
+    return "".join(out)
 
 
 def word_text_from_stream(word: bytes) -> str:
@@ -395,28 +529,32 @@ def word_text_from_stream(word: bytes) -> str:
 
 
 def triage_cfb(blob: bytes, cap: int = 1 << 22):
-    """Container walk + family triage → dict or None. ``kind`` comes
-    from the well-known stream names; ``word_text`` from the honest
-    FIB subset; ``meta_text`` is the DocMeta stream (fixture-side
-    summary) decoded UTF-8 when present."""
+    """Container walk + family triage + per-family honest extraction →
+    dict or None. ``kind`` comes from the well-known stream names;
+    ``body_text`` from the matching subset reader (.doc FIB window,
+    .xls SST/LABELSST cells, .ppt text atoms); ``meta_text`` is the
+    DocMeta stream (fixture-side summary) decoded UTF-8 when present."""
     entries = parse_cfb(blob, cap)
     if entries is None:
         return None
     by_name = {name: payload for name, etype, payload in entries if etype == 2}
-    kind = "cfb"
+    kind, body = "cfb", ""
     if "WordDocument" in by_name:
         kind = "doc"
+        body = word_text_from_stream(by_name["WordDocument"])
     elif "Workbook" in by_name or "Book" in by_name:
         kind = "xls"
+        body = xls_text_from_stream(
+            by_name.get("Workbook") or by_name.get("Book") or b""
+        )
     elif "PowerPoint Document" in by_name:
         kind = "ppt"
+        body = ppt_text_from_stream(by_name["PowerPoint Document"])
     return {
         "kind": kind,
         "n_streams": sum(1 for _, t, _ in entries if t == 2),
         "n_storages": sum(1 for _, t, _ in entries if t == 1),
-        "word_text": word_text_from_stream(
-            by_name.get("WordDocument", b"")
-        ),
+        "body_text": body,
         "meta_text": by_name.get("DocMeta", b"").decode("utf-8", "replace"),
     }
 
@@ -427,12 +565,20 @@ def triage_cfb(blob: bytes, cap: int = 1 << 22):
 def docs_as_cfb(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """One .doc-style compound file per document → (doc_id, data):
-    a WordDocument stream (1024-byte FIB region + UTF-16LE text window),
-    a small DocMeta stream (rides the mini stream), and an empty Macros
-    storage the text walk must ignore. Text is whitespace-normalized in
-    JVM expressions first so the oracle's identical SQL chain is
-    engine-exact."""
+    """One legacy-Office compound file per document → (doc_id, data);
+    the family rotates on ``doc_id % 3`` so one corpus pass exercises
+    all three extraction paths:
+
+    - ``%3 == 0``: .doc — WordDocument stream (1024-byte FIB region +
+      UTF-16LE text window)
+    - ``%3 == 1``: .xls — Workbook stream (BIFF8 SST + LABELSST cells)
+    - ``%3 == 2``: .ppt — PowerPoint Document stream (container +
+      TextChars/TextBytes atoms)
+
+    Every file also ships a small DocMeta stream (rides the mini
+    stream) and an empty Macros storage the extractors must ignore.
+    Text is whitespace-normalized in JVM expressions first so the
+    oracle's identical SQL chain is engine-exact."""
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.regexp_replace(
@@ -441,20 +587,29 @@ def docs_as_cfb(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from epic_stream_processor_spark.operators.cfb import build_cfb
+        from epic_stream_processor_spark.operators.cfb import (
+            build_cfb,
+            build_ppt_stream,
+            build_xls_stream,
+        )
 
         def one(doc_id: int, norm: str) -> bytes:
-            body = norm.encode("utf-16-le")
-            fib = bytearray(1024)
-            fib[0:2] = b"\xec\xa5"  # wIdent
-            fib[2:4] = (193).to_bytes(2, "little")  # nFib (Word 97)
-            fib[24:28] = (1024).to_bytes(4, "little")  # fcMin
-            fib[28:32] = (1024 + len(body)).to_bytes(4, "little")  # fcMac
-            word = bytes(fib) + body
+            fam = doc_id % 3
+            if fam == 0:
+                body = norm.encode("utf-16-le")
+                fib = bytearray(1024)
+                fib[0:2] = b"\xec\xa5"  # wIdent
+                fib[2:4] = (193).to_bytes(2, "little")  # nFib (Word 97)
+                fib[24:28] = (1024).to_bytes(4, "little")  # fcMin
+                fib[28:32] = (1024 + len(body)).to_bytes(4, "little")
+                main = ("WordDocument", bytes(fib) + body)
+            elif fam == 1:
+                main = ("Workbook", build_xls_stream(norm))
+            else:
+                main = ("PowerPoint Document", build_ppt_stream(norm))
             meta = ("[doc %d]" % doc_id).encode("utf-8")
             return build_cfb(
-                [("WordDocument", word), ("DocMeta", meta)],
-                storages=("Macros",),
+                [main, ("DocMeta", meta)], storages=("Macros",)
             )
 
         for pdf in batches:
@@ -480,7 +635,7 @@ def parse_cfb_files(files: DataFrame, inflate_cap: int = 1 << 22) -> DataFrame:
 
         cols = [
             "doc_id", "kind", "n_streams", "n_storages",
-            "word_text", "meta_text",
+            "body_text", "meta_text",
         ]
         for pdf in batches:
             rows = []

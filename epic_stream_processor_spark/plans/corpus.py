@@ -4227,18 +4227,21 @@ FROM documents
 # --- CFB/OLE2 legacy Office (round 11) -----------------------------------------------
 
 def q_cfb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Legacy binary Office extraction (round 11, MS-CFB/MS-DOC): each
-    document becomes a .doc-style OLE2 compound file — FAT sectors,
-    directory, a WordDocument stream (FIB + UTF-16LE text window), a
-    DocMeta stream riding the 64-byte MINI stream (miniFAT exercised),
-    and a Macros storage decoy — then read back via header-validated
-    DIFAT/FAT chain walks and the honest FIB [fcMin, fcMac) text subset
-    (operators/cfb.py). The one high-volume crawl document family the
-    repo had zero coverage for.
+    """Legacy binary Office extraction (round 11, MS-CFB + MS-DOC/XLS/
+    PPT honest subsets): each document becomes an OLE2 compound file —
+    FAT sectors, directory, a DocMeta stream riding the 64-byte MINI
+    stream (miniFAT exercised), a Macros storage decoy, and a main
+    stream whose FAMILY rotates on doc_id%3 (.doc WordDocument FIB
+    text window / .xls BIFF8 SST+LABELSST cells / .ppt text atoms) —
+    then read back via header-validated DIFAT/FAT chain walks and the
+    matching honest extraction path (operators/cfb.py). The one
+    high-volume crawl document family the repo had zero coverage for.
 
-    Closed-form: kind/counts are constants of the fixture, word_text is
-    the whitespace-normalized document text, meta_text a doc_id string —
-    all SQL-recomputable.
+    Closed-form: kind follows the residue, counts are fixture
+    constants, body_text is the whitespace-normalized document text
+    for every family (both BIFF string encodings and both ppt atom
+    types picked deterministically by content), meta_text a doc_id
+    string — all SQL-recomputable.
 
     Scale: two row-local Arrow passes, zero shuffles; every chain walk
     bounded by the blob's own sector count (the multimodal budget).
@@ -4248,17 +4251,18 @@ def q_cfb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
     return parse_cfb_files(docs_as_cfb(docs)).select(
-        "doc_id", "kind", "n_streams", "n_storages", "word_text",
+        "doc_id", "kind", "n_streams", "n_storages", "body_text",
         "meta_text",
     )
 
 
 ORACLE_CFB_EXTRACT = """SELECT doc_id,
-       'doc' AS kind,
+       CASE doc_id % 3 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls'
+            ELSE 'ppt' END AS kind,
        CAST(2 AS BIGINT) AS n_streams,
        CAST(1 AS BIGINT) AS n_storages,
        regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')
-           AS word_text,
+           AS body_text,
        '[doc ' || doc_id || ']' AS meta_text
 FROM documents
 """

@@ -1325,11 +1325,14 @@ EXTRA_PARITY: dict[str, QueryDef] = {
     ),
     "cfb_extract": QueryDef(
         corpus.q_cfb_extract, corpus.ORACLE_CFB_EXTRACT,
-        "CFB/OLE2 legacy Office (round 11, MS-CFB + MS-DOC honest "
-        "subset): spec-built compound files (FAT + miniFAT + directory "
-        "+ mini stream) walked back with bounded cycle-guarded chains; "
-        ".doc text via the FIB [fcMin, fcMac) window, family triage by "
-        "well-known stream names; closed-form oracle",
+        "CFB/OLE2 legacy Office (round 11, MS-CFB + MS-DOC/XLS/PPT "
+        "honest subsets): spec-built compound files (FAT + miniFAT + "
+        "directory + mini stream) walked back with bounded cycle-"
+        "guarded chains; family rotates on doc_id%3 — .doc text via "
+        "the FIB [fcMin, fcMac) window, .xls via BIFF8 SST+LABELSST "
+        "cells (both string encodings), .ppt via TextChars/TextBytes "
+        "atoms under a depth-bounded record-tree walk; closed-form "
+        "oracle",
     ),
     "justext_blocks": QueryDef(
         corpus.q_justext_blocks, corpus.ORACLE_JUSTEXT_BLOCKS,

@@ -118,27 +118,34 @@ def test_hostile_structures_drop_not_crash():
         triage_cfb(bytes(b))  # drop or parse; never an exception
 
 
-def test_spark_roundtrip_and_decoy_storage(spark):
-    docs = spark.createDataFrame(
-        [
-            (1, "alpha  beta\tgamma"),
-            (2, "unicode é 中文 résumé"),
-            (3, None),
-            (4, "long " * 3000),  # pushes WordDocument onto the FAT path
-        ],
-        "doc_id long, text string",
-    )
+def test_spark_roundtrip_all_families_and_decoy_storage(spark):
+    """doc_id%3 rotates the family (.doc/.xls/.ppt); every family must
+    round-trip the normalized text, both BIFF string encodings and
+    both ppt atom types included (unicode rows force the wide forms),
+    and large .doc text must ride the regular FAT path."""
+    cases = [
+        (3, "alpha  beta\tgamma"),          # doc, latin-ish
+        (6, "unicode é 中文 résumé"),        # doc, wide
+        (9, None),                           # doc, empty
+        (12, "long " * 3000),                # doc, FAT path
+        (1, "cells one two three"),          # xls, compressed strings
+        (4, "cellules é 中文"),               # xls, UTF-16LE strings
+        (7, None),                           # xls, empty
+        (2, "slide text body words"),        # ppt, TextBytesAtom leg
+        (5, "diapositive é 中文"),            # ppt, TextCharsAtom leg
+        (8, None),                           # ppt, empty
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
     rows = {
         r["doc_id"]: r
         for r in parse_cfb_files(docs_as_cfb(docs)).collect()
     }
-    assert set(rows) == {1, 2, 3, 4}
-    for i, txt in ((1, "alpha  beta\tgamma"), (2, "unicode é 中文 résumé"),
-                   (3, ""), (4, "long " * 3000)):
+    assert set(rows) == {i for i, _ in cases}
+    for i, txt in cases:
         norm = re.sub(r"\s+", " ", (txt or "").strip())
         r = rows[i]
-        assert r["kind"] == "doc"
-        assert r["word_text"] == norm, i
+        assert r["kind"] == ("doc", "xls", "ppt")[i % 3], i
+        assert r["body_text"] == norm, (i, r["body_text"])
         assert r["meta_text"] == "[doc %d]" % i
         assert r["n_streams"] == 2 and r["n_storages"] == 1
 
@@ -152,3 +159,29 @@ def test_sniffer_labels_real_cfb_bytes(spark):
     df = spark.createDataFrame([(1, bytearray(blob))], "id long, data binary")
     got = df.select(sniff_format(F.col("data")).alias("f")).collect()
     assert got[0]["f"] == "cfb"
+
+
+def test_xls_and_ppt_stream_subsets_direct():
+    import struct
+
+    from epic_stream_processor_spark.operators.cfb import (
+        build_ppt_stream,
+        build_xls_stream,
+        ppt_text_from_stream,
+        xls_text_from_stream,
+    )
+
+    for text in ("one two three", "é 中文 mixed ascii", "", "single"):
+        assert xls_text_from_stream(build_xls_stream(text)) == text
+        assert ppt_text_from_stream(build_ppt_stream(text)) == text
+    # unknown BIFF records (a NUMBER cell) are skipped; truncated
+    # streams don't raise
+    blob = build_xls_stream("hello world")
+    noise = struct.pack("<HH", 0x0203, 14) + b"\x00" * 14
+    assert xls_text_from_stream(noise + blob) == "hello world"
+    assert xls_text_from_stream(blob[: len(blob) // 2]) is not None
+    # ppt: the depth bound terminates nested container bombs
+    deep = build_ppt_stream("x")
+    for _ in range(20):
+        deep = struct.pack("<HHI", 0x000F, 0x03E8, len(deep)) + deep
+    assert ppt_text_from_stream(deep) == ""  # beyond max_depth -> empty
