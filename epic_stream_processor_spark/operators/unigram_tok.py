@@ -212,6 +212,28 @@ def unigram_tokenize(
     return _viterbi_segment(wc, vocab_rows, max_piece, max_word)
 
 
+def _estep_counts(seg0: DataFrame) -> DataFrame:
+    """E-step recount: (piece, cnt1) from the chosen segmentations,
+    occurrence-weighted. NB: explode_outer + piece-level filter, NEVER
+    an inner explode or a pre-filter on the segmentation column — the
+    segmentation IS the unrolled DP expression, and the inner-explode
+    form lets InferFiltersFromGenerate push a size()>0 filter below the
+    staged projections with the whole DP chain inlined per output row
+    (measured 140 s vs 3 s for the DP itself at sf0.1 — the winnowing/
+    decontamination trap; plan pinned in tests). split(NULL) is NULL →
+    one NULL piece → filtered, so long-word NULL rows drop
+    identically."""
+    return (
+        seg0.select(
+            F.explode_outer(F.split("segmentation", r"\|")).alias("piece"),
+            "word_count",
+        )
+        .where(F.col("piece").isNotNull())
+        .groupBy("piece")
+        .agg(F.sum("word_count").alias("cnt1"))
+    )
+
+
 def unigram_tokenize_em(
     docs: DataFrame,
     v: int = 24,
@@ -247,16 +269,9 @@ def unigram_tokenize_em(
     wc = word_counts(docs, text_col)
     vocab0 = unigram_vocab(wc, v, max_piece).collect()
     seg0 = _viterbi_segment(wc, vocab0, max_piece, max_word)
-    chosen = (
-        seg0.where(F.col("segmentation").isNotNull())
-        .select(
-            F.explode(F.split("segmentation", r"\|")).alias("piece"),
-            "word_count",
-        )
-        .groupBy("piece")
-        .agg(F.sum("word_count").alias("cnt1"))
-    )
-    chosen_rows = {r["piece"]: int(r["cnt1"]) for r in chosen.collect()}
+    chosen_rows = {
+        r["piece"]: int(r["cnt1"]) for r in _estep_counts(seg0).collect()
+    }
     vocab1 = []
     for r in vocab0:
         used = chosen_rows.get(r["piece"], 0)

@@ -370,3 +370,28 @@ def test_manifest_diff_is_agg_only_plus_tiny_join(spark):
     assert "Pandas" not in plan and "PythonUDF" not in plan, plan
     assert "Window" not in plan, plan
     assert "partial_bit_xor" in plan or "bit_xor" in plan, plan
+
+
+def test_unigram_em_estep_stays_staged_no_dp_inlining(spark):
+    """Regression (r11): the EM E-step explodes the segmentation column,
+    which IS the unrolled Viterbi DP expression — the inner-explode form
+    lets InferFiltersFromGenerate push a size()>0 filter below the staged
+    projections with the whole DP chain inlined per output row (measured
+    140 s vs 3 s for the DP itself at sf0.1). Pin: exactly one Generate,
+    and no inferred size()-filter in the optimized plan."""
+    from epic_stream_processor_spark.operators.unigram_tok import (
+        _estep_counts,
+        _viterbi_segment,
+        unigram_vocab,
+        word_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wc = word_counts(docs)
+    vocab0 = unigram_vocab(wc).collect()
+    chosen = _estep_counts(_viterbi_segment(wc, vocab0, 4, 6))
+    opt = chosen._jdf.queryExecution().optimizedPlan().toString()
+    # exactly two Generates: word_counts' lexicon tokenize explode and
+    # the piece explode_outer — a third would mean the DP got re-inlined
+    assert opt.count("Generate") == 2, opt[:2000]
+    assert "size(split(" not in opt, "inferred generate filter re-inlines the DP"
