@@ -110,10 +110,19 @@ SF10_KNOWN_FLOORS = {
     "q_events_hourly": 3.0,        # §5e(b) recorder fix: 3.06 recorded r8
     "minhash_signatures": 7.0,     # §5e(a) host band 7-9 s
     "knn_cosine_ivf": 4.0,         # §5f r9 interleaved A/B floors
-    "pdf_extract": 9.9,            # §2d r9 clean-window 32-core floors
+    "pdf_extract": 10.7,           # r11 re-base for the heavier r10/r11
+    #                                fixture (hex, UTF-16BE, indirect
+    #                                /Length, ToUnicode, PDFDocEncoding,
+    #                                predefined-CMap variants): best
+    #                                observed min across two r11 windows
+    #                                (10.735 in the full-bench window; a
+    #                                drift-inflated window gave 14.5 —
+    #                                floors are MINIMA, SCALING r11 note)
     "image_near_dup": 12.5,        # §2d r8 quiet-window re-measure floors
     "dedup_substring": 10.9,       # r9 recorded floor; r10 drift-prone
-    "dedup_sentences": 8.8,        # r9 recorded floor (same shuffle class)
+    "dedup_sentences": 7.5,        # r11 full-bench window beat the r9
+    #                                floor (7.542 recorded) — floors are
+    #                                minima, ratcheted down
 }
 
 

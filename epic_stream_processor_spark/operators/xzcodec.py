@@ -5,10 +5,10 @@ Round 9 taught the sniffer the three modern compression magics
 (``operators/sniff.py``: zstd, lz4, xz) but decoded none of them; newer
 Common Crawl-adjacent drops and software mirrors ship ``.xz`` payloads
 constantly. Of the three, xz is the one with a stdlib codec (``lzma``),
-so it gets the full bounded round trip here; **zstd and lz4 remain
-label-only** — no stdlib codec exists in this environment, and the
-sniffer docstring says so rather than hiding it (the pdf.py
-honest-limitations discipline).
+so it rides that here; zstd and lz4 — which have no stdlib codec —
+got their own from-spec implementations later in round 10
+(``zstdcodec.py``: the full RFC 8878 decoder; ``lz4codec.py``: block +
+frame, both directions).
 
 Both sides are one row-local Arrow pass (the standing codec budget):
 
