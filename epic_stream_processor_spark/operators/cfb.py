@@ -22,15 +22,20 @@ subset document triage the mp4/ogg modules established:
   or allocate.
 - :func:`triage_cfb` classifies the document family by its well-known
   stream name (``WordDocument`` → doc, ``Workbook``/``Book`` → xls,
-  ``PowerPoint Document`` → ppt) and extracts .doc text through the
-  HONEST SUBSET: FIB ``wIdent`` 0xA5EC verified, text taken as the
-  contiguous ``[fcMin, fcMac)`` window of the WordDocument stream
-  decoded UTF-16LE (the Word95-style layout antiword-class tools use
-  as their fallback). Documented limitation: Word97+ piece tables
-  (``fComplex`` / CLX in the Table stream) are NOT walked — such files
-  surface their stream inventory and kind but empty text; .xls
-  (BIFF records) and .ppt (PersistDirectory) payloads are triaged by
-  kind only.
+  ``PowerPoint Document`` → ppt) and extracts text per family:
+  .doc through BOTH spec layouts — the simple contiguous
+  ``[fcMin, fcMac)`` UTF-16LE window (Word95-style) and the complex
+  ``fComplex`` layout Word 97+ actually writes (CLX piece table in
+  the ``fWhichTblStm``-selected Table stream: RgPrc skip, PlcPcd
+  CP/PCD walk, ``fCompressed`` cp1252-at-fc/2 vs UTF-16LE pieces,
+  reassembled in CP order regardless of byte order) — .xls through a
+  BIFF8 subset (SST + LABELSST cell resolution, both string
+  encodings), and .ppt through a depth-bounded record-tree walk
+  collecting TextChars/TextBytes atoms. Documented limitations:
+  .doc property revisions (Prc/prm character properties) are ignored
+  (text only), .xls numbers/formulas surface nothing, and .ppt
+  PersistDirectory indirection is not chased (atoms are taken in
+  stream order).
 
 No independent CFB implementation exists in this container (no
 olefile, no msoffice), so — per the tarfile/sqlite precedent's
@@ -509,15 +514,27 @@ def ppt_text_from_stream(ppt: bytes, max_depth: int = 8) -> str:
     return "".join(out)
 
 
-def word_text_from_stream(word: bytes) -> str:
-    """FIB-verified text from a WordDocument stream: ``wIdent`` must be
-    0xA5EC; the text is the contiguous ``[fcMin, fcMac)`` window decoded
-    UTF-16LE (the Word95-style layout; piece-table files yield '')."""
+def word_text_from_stream(word: bytes, table: bytes = b"") -> str:
+    """FIB-verified text from a WordDocument stream. Two spec layouts:
+
+    - simple (``fComplex`` clear): the contiguous ``[fcMin, fcMac)``
+      window decoded UTF-16LE (the Word95-style layout).
+    - complex (``fComplex`` set — what Word 97+ actually writes on
+      re-save): the CLX **piece table** in the Table stream
+      (``fcClx``/``lcbClx``, FibRgFcLcb97 pair 33) → ``Pcdt`` →
+      ``PlcPcd``: n+1 character positions + n PCDs, each PCD's fc
+      carrying the ``fCompressed`` bit (set → cp1252 at fc/2, clear →
+      UTF-16LE at fc) — pieces concatenate in CP order regardless of
+      their byte order in the stream.
+
+    Every offset is validated against its stream's length and the
+    piece count is bounded by ``lcbClx`` — malformed tables yield ''
+    (never a slice error)."""
     if len(word) < 32 or word[0:2] != b"\xec\xa5":
         return ""
     flags = int.from_bytes(word[10:12], "little")
-    if flags & 0x0004:  # fComplex: piece table required — honest empty
-        return ""
+    if flags & 0x0004:  # fComplex: walk the piece table
+        return _word_text_complex(word, table)
     fc_min = int.from_bytes(word[24:28], "little")
     fc_mac = int.from_bytes(word[28:32], "little")
     if fc_mac <= fc_min or fc_mac > len(word):
@@ -526,6 +543,108 @@ def word_text_from_stream(word: bytes) -> str:
     return window[: len(window) - (len(window) % 2)].decode(
         "utf-16-le", "replace"
     )
+
+
+_FC_CLX_AT = 0x01A2  # FIB base(32)+csw(2)+fibRgW(28)+cslw(2)+fibRgLw(88)
+#                      +cbRgFcLcb(2) = 154, + pair 33 * 8 = 0x1A2
+
+
+def _word_text_complex(word: bytes, table: bytes) -> str:
+    if len(word) < _FC_CLX_AT + 8 or not table:
+        return ""
+    fc_clx = int.from_bytes(word[_FC_CLX_AT : _FC_CLX_AT + 4], "little")
+    lcb_clx = int.from_bytes(
+        word[_FC_CLX_AT + 4 : _FC_CLX_AT + 8], "little"
+    )
+    if lcb_clx == 0 or fc_clx + lcb_clx > len(table):
+        return ""
+    clx = table[fc_clx : fc_clx + lcb_clx]
+    # Clx = RgPrc (clxt=0x01 blocks, each with a 2-byte size) then Pcdt
+    i = 0
+    while i < len(clx) and clx[i] == 0x01:
+        if i + 3 > len(clx):
+            return ""
+        i += 3 + int.from_bytes(clx[i + 1 : i + 3], "little")
+    if i >= len(clx) or clx[i] != 0x02 or i + 5 > len(clx):
+        return ""
+    lcb = int.from_bytes(clx[i + 1 : i + 5], "little")
+    plc = clx[i + 5 : i + 5 + lcb]
+    if len(plc) < lcb or (lcb - 4) % 12 != 0:
+        return ""
+    n = (lcb - 4) // 12
+    cps = [
+        int.from_bytes(plc[4 * k : 4 * k + 4], "little")
+        for k in range(n + 1)
+    ]
+    out: list[str] = []
+    for k in range(n):
+        chars = cps[k + 1] - cps[k]
+        if chars < 0:
+            return ""
+        pcd = plc[4 * (n + 1) + 8 * k : 4 * (n + 1) + 8 * k + 8]
+        fc_field = int.from_bytes(pcd[2:6], "little")
+        compressed = bool(fc_field & 0x40000000)
+        fc = fc_field & 0x3FFFFFFF
+        if compressed:
+            at, ln = fc // 2, chars
+            if at + ln > len(word):
+                return ""
+            out.append(word[at : at + ln].decode("cp1252", "replace"))
+        else:
+            at, ln = fc, 2 * chars
+            if at + ln > len(word):
+                return ""
+            out.append(word[at : at + ln].decode("utf-16-le", "replace"))
+    return "".join(out)
+
+
+def build_complex_doc(text: str) -> tuple[bytes, bytes]:
+    """The layout Word 97+ actually writes on re-save: a WordDocument
+    stream whose FIB sets ``fComplex`` + ``fWhichTblStm`` and a 1Table
+    stream holding the CLX piece table. The text splits into two
+    pieces (the word-halving pattern) stored in SCRAMBLED byte order —
+    piece 2's bytes precede piece 1's in the stream — so only an
+    fc-honoring walk reassembles them; piece 1 is cp1252 when its
+    chars fit (fCompressed set, fc doubled per spec), else UTF-16LE,
+    and piece 2 is always UTF-16LE, so both encodings appear across a
+    corpus. The Clx opens with a decoy Prc block the reader must skip.
+    Returns (word_stream, table_stream)."""
+    words = text.split(" ") if text else []
+    k = (len(words) + 1) // 2
+    if words:
+        piece_a = " ".join(words[:k]) + (" " if k < len(words) else "")
+        piece_b = " ".join(words[k:])
+    else:
+        piece_a, piece_b = "", ""
+    a_cp1252 = all(ord(c) <= 0xFF for c in piece_a)
+    enc_a = piece_a.encode("cp1252" if a_cp1252 else "utf-16-le", "replace")
+    enc_b = piece_b.encode("utf-16-le")
+    chars_a = len(enc_a) if a_cp1252 else len(enc_a) // 2
+    chars_b = len(enc_b) // 2
+    # stream: [1024-byte FIB region][piece B bytes][piece A bytes]
+    fc_b = 1024
+    fc_a = fc_b + len(enc_b)
+    fib = bytearray(1024)
+    fib[0:2] = b"\xec\xa5"
+    fib[2:4] = (193).to_bytes(2, "little")
+    fib[10:12] = (0x0004 | 0x0200).to_bytes(2, "little")  # fComplex|1Table
+    word = bytes(fib) + enc_b + enc_a
+
+    def pcd(fc: int, compressed: bool) -> bytes:
+        fc_field = (fc * 2 | 0x40000000) if compressed else fc
+        return b"\x00\x00" + fc_field.to_bytes(4, "little") + b"\x00\x00"
+
+    cps = [0, chars_a, chars_a + chars_b]
+    plc = b"".join(c.to_bytes(4, "little") for c in cps)
+    plc += pcd(fc_a, a_cp1252) + pcd(fc_b, False)
+    pcdt = b"\x02" + len(plc).to_bytes(4, "little") + plc
+    prc_decoy = b"\x01" + (4).to_bytes(2, "little") + b"\x00\x00\x00\x00"
+    clx = prc_decoy + pcdt
+    table = b"\x00" * 16 + clx  # fc_clx = 16: the walk must honor it
+    word = bytearray(word)
+    word[_FC_CLX_AT : _FC_CLX_AT + 4] = (16).to_bytes(4, "little")
+    word[_FC_CLX_AT + 4 : _FC_CLX_AT + 8] = len(clx).to_bytes(4, "little")
+    return bytes(word), table
 
 
 def triage_cfb(blob: bytes, cap: int = 1 << 22):
@@ -541,7 +660,15 @@ def triage_cfb(blob: bytes, cap: int = 1 << 22):
     kind, body = "cfb", ""
     if "WordDocument" in by_name:
         kind = "doc"
-        body = word_text_from_stream(by_name["WordDocument"])
+        wd = by_name["WordDocument"]
+        # fWhichTblStm picks which Table stream holds the piece table
+        tbl_name = (
+            "1Table"
+            if len(wd) >= 12
+            and int.from_bytes(wd[10:12], "little") & 0x0200
+            else "0Table"
+        )
+        body = word_text_from_stream(wd, by_name.get(tbl_name, b""))
     elif "Workbook" in by_name or "Book" in by_name:
         kind = "xls"
         body = xls_text_from_stream(
@@ -569,8 +696,10 @@ def docs_as_cfb(
     the family rotates on ``doc_id % 3`` so one corpus pass exercises
     all three extraction paths:
 
-    - ``%3 == 0``: .doc — WordDocument stream (1024-byte FIB region +
-      UTF-16LE text window)
+    - ``%3 == 0``: .doc — WordDocument stream; within the family,
+      ``%6 == 3`` ships the COMPLEX layout (fComplex FIB + 1Table
+      piece table, byte-scrambled cp1252/UTF-16 pieces) and ``%6 == 0``
+      the simple contiguous UTF-16LE window
     - ``%3 == 1``: .xls — Workbook stream (BIFF8 SST + LABELSST cells)
     - ``%3 == 2``: .ppt — PowerPoint Document stream (container +
       TextChars/TextBytes atoms)
@@ -589,27 +718,35 @@ def docs_as_cfb(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from epic_stream_processor_spark.operators.cfb import (
             build_cfb,
+            build_complex_doc,
             build_ppt_stream,
             build_xls_stream,
         )
 
         def one(doc_id: int, norm: str) -> bytes:
             fam = doc_id % 3
+            streams = []
             if fam == 0:
-                body = norm.encode("utf-16-le")
-                fib = bytearray(1024)
-                fib[0:2] = b"\xec\xa5"  # wIdent
-                fib[2:4] = (193).to_bytes(2, "little")  # nFib (Word 97)
-                fib[24:28] = (1024).to_bytes(4, "little")  # fcMin
-                fib[28:32] = (1024 + len(body)).to_bytes(4, "little")
-                main = ("WordDocument", bytes(fib) + body)
+                if doc_id % 6 == 3:
+                    # complex layout (Word 97 re-save): piece table in
+                    # a 1Table stream, pieces byte-scrambled
+                    word, table = build_complex_doc(norm)
+                    streams = [("WordDocument", word), ("1Table", table)]
+                else:
+                    body = norm.encode("utf-16-le")
+                    fib = bytearray(1024)
+                    fib[0:2] = b"\xec\xa5"  # wIdent
+                    fib[2:4] = (193).to_bytes(2, "little")  # nFib
+                    fib[24:28] = (1024).to_bytes(4, "little")  # fcMin
+                    fib[28:32] = (1024 + len(body)).to_bytes(4, "little")
+                    streams = [("WordDocument", bytes(fib) + body)]
             elif fam == 1:
-                main = ("Workbook", build_xls_stream(norm))
+                streams = [("Workbook", build_xls_stream(norm))]
             else:
-                main = ("PowerPoint Document", build_ppt_stream(norm))
+                streams = [("PowerPoint Document", build_ppt_stream(norm))]
             meta = ("[doc %d]" % doc_id).encode("utf-8")
             return build_cfb(
-                [main, ("DocMeta", meta)], storages=("Macros",)
+                streams + [("DocMeta", meta)], storages=("Macros",)
             )
 
         for pdf in batches:

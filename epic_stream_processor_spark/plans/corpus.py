@@ -4259,7 +4259,9 @@ def q_cfb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CFB_EXTRACT = """SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls'
             ELSE 'ppt' END AS kind,
-       CAST(2 AS BIGINT) AS n_streams,
+       -- complex .doc (piece table) ships its 1Table stream too
+       CAST(CASE WHEN doc_id % 6 = 3 THEN 3 ELSE 2 END AS BIGINT)
+           AS n_streams,
        CAST(1 AS BIGINT) AS n_storages,
        regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')
            AS body_text,

@@ -1329,7 +1329,9 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "honest subsets): spec-built compound files (FAT + miniFAT + "
         "directory + mini stream) walked back with bounded cycle-"
         "guarded chains; family rotates on doc_id%3 — .doc text via "
-        "the FIB [fcMin, fcMac) window, .xls via BIFF8 SST+LABELSST "
+        "the FIB [fcMin, fcMac) window AND the Word-97 complex layout "
+        "(CLX piece table, cp1252/UTF-16 pieces, scrambled byte "
+        "order), .xls via BIFF8 SST+LABELSST "
         "cells (both string encodings), .ppt via TextChars/TextBytes "
         "atoms under a depth-bounded record-tree walk; closed-form "
         "oracle",

@@ -147,7 +147,10 @@ def test_spark_roundtrip_all_families_and_decoy_storage(spark):
         assert r["kind"] == ("doc", "xls", "ppt")[i % 3], i
         assert r["body_text"] == norm, (i, r["body_text"])
         assert r["meta_text"] == "[doc %d]" % i
-        assert r["n_streams"] == 2 and r["n_storages"] == 1
+        # complex .doc (doc_id%6==3: piece-table layout) carries its
+        # 1Table stream as a third stream
+        want_streams = 3 if i % 6 == 3 else 2
+        assert r["n_streams"] == want_streams and r["n_storages"] == 1
 
 
 def test_sniffer_labels_real_cfb_bytes(spark):
@@ -185,3 +188,44 @@ def test_xls_and_ppt_stream_subsets_direct():
     for _ in range(20):
         deep = struct.pack("<HHI", 0x000F, 0x03E8, len(deep)) + deep
     assert ppt_text_from_stream(deep) == ""  # beyond max_depth -> empty
+
+
+def test_complex_doc_piece_table():
+    """The Word 97 complex layout: fComplex FIB + CLX piece table in
+    the 1Table stream, pieces byte-SCRAMBLED (piece 2's bytes precede
+    piece 1's) so only an fc-honoring walk reassembles the text, one
+    cp1252 piece and one UTF-16LE piece, a decoy Prc block before the
+    Pcdt, and fcClx pointing past table-stream padding."""
+    from epic_stream_processor_spark.operators.cfb import (
+        build_complex_doc,
+    )
+
+    for text in (
+        "alpha beta gamma delta",     # piece A cp1252, piece B utf-16
+        "héllo wörld façade étude",   # cp1252-able accents
+        "中文 piece one två tre",      # piece A forced utf-16
+        "single",
+        "",
+    ):
+        word, table = build_complex_doc(text)
+        assert word_text_from_stream(word, table) == text, text
+        # the simple-window path must NOT accidentally match: the
+        # scrambled pieces differ from any contiguous window
+        # piece-table walk without the table stream -> honest empty
+        assert word_text_from_stream(word, b"") == ""
+    word, table = build_complex_doc("order proof alpha beta")
+    # scrambling is real: the raw stream tail starts with piece B
+    tail = word[1024:]
+    assert not tail.decode("cp1252", "replace").startswith("order")
+    # hostile: truncated table, bad Pcdt marker, cp beyond stream
+    assert word_text_from_stream(word, table[: len(table) // 2]) == ""
+    bad = bytearray(table)
+    bad[16 + 7] = 0x99  # the Pcdt marker byte after the 7-byte decoy
+    assert word_text_from_stream(word, bytes(bad)) == ""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        t = bytearray(table)
+        t[rng.randrange(len(t))] ^= 0xFF
+        word_text_from_stream(word, bytes(t))  # never raises
