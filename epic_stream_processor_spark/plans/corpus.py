@@ -4268,3 +4268,113 @@ ORACLE_CFB_EXTRACT = """SELECT doc_id,
        '[doc ' || doc_id || ']' AS meta_text
 FROM documents
 """
+
+# --- Office ingest capstone (round 11) -----------------------------------------------
+
+def q_office_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-document ingest (round 11 composition): the office
+    counterpart of ``compressed_ingest`` — every document becomes a
+    blob in one of four real container formats by doc_id%4 (.docx
+    OOXML package, OLE2 compound file, RTF, PDF), the corpus is
+    shuffled together as opaque bytes, and the SNIFFER (not the
+    residue) routes each blob to the matching extractor: parse_zip +
+    JVM XML for ooxml, the FAT/piece-table walk for cfb, the stateful
+    tokenizer for rtf, the xref walk for pdf. One uniform
+    (doc_id, format, text) table comes out — the "route any fetched
+    document" front door end to end.
+
+    Closed-form: the oracle embeds each component oracle's text
+    expression verbatim per residue (the curation_ledger discipline),
+    so the composition cannot drift from its parts.
+
+    Scale: the fan-out is four filter branches off one sniffed column
+    (codegen `when` chain); each branch is the component's own
+    row-local plan; the union is append-only. Zero extra shuffles
+    beyond the components'.
+    """
+    from ..operators.cfb import docs_as_cfb, parse_cfb_files
+    from ..operators.docx import docs_as_docx, extract_docx
+    from ..operators.pdf import docs_as_pdfs, parse_pdf
+    from ..operators.rtf import docs_as_rtf, extract_rtf
+    from ..operators.sniff import sniff_format
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    blobs = (
+        docs_as_docx(docs.where(m == 0))
+        .unionAll(docs_as_cfb(docs.where(m == 1)))
+        .unionAll(
+            docs_as_rtf(docs.where(m == 2)).select(
+                "doc_id", F.encode(F.col("body"), "UTF-8").alias("data")
+            )
+        )
+        .unionAll(docs_as_pdfs(docs.where(m == 3)))
+    )
+    labeled = blobs.select(
+        "doc_id", "data", sniff_format(F.col("data")).alias("format")
+    )
+
+    def branch(fmt: str) -> DataFrame:
+        return labeled.where(F.col("format") == fmt).select(
+            "doc_id", "data"
+        )
+
+    ooxml = extract_docx(branch("ooxml")).select(
+        "doc_id", F.lit("ooxml").alias("format"), "text"
+    )
+    cfb = parse_cfb_files(branch("cfb")).select(
+        "doc_id",
+        F.lit("cfb").alias("format"),
+        F.col("body_text").alias("text"),
+    )
+    rtf = extract_rtf(
+        labeled.where(F.col("format") == "rtf").select(
+            "doc_id", F.col("data").cast("string").alias("body")
+        )
+    ).select(
+        "doc_id", F.lit("rtf").alias("format"),
+        F.col("rtf_text").alias("text"),
+    )
+    pdf = parse_pdf(branch("pdf")).select(
+        "doc_id", F.lit("pdf").alias("format"), "text"
+    )
+    return ooxml.unionAll(cfb).unionAll(rtf).unionAll(pdf)
+
+
+ORACLE_OFFICE_INGEST = r"""WITH d AS (
+  SELECT doc_id, source, lang,
+         regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         string_split(t, ' ') AS w,
+         len(string_split(t, ' ')) AS n,
+         (len(string_split(t, ' ')) + 1) // 2 AS k
+  FROM d
+)
+SELECT doc_id, 'ooxml' AS format,
+       'Doc ' || doc_id || ' from ' || source || chr(10)
+         || t || chr(10) || 'lang: ' || lang AS text
+FROM d WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id, 'cfb' AS format, t AS text
+FROM d WHERE doc_id % 4 = 1
+UNION ALL
+SELECT doc_id, 'rtf' AS format,
+       array_to_string(w[1:k], ' ') || chr(10) ||
+       array_to_string(w[k+1:n], ' ') || chr(10) ||
+       'café — fin' || chr(10) AS text
+FROM s WHERE doc_id % 4 = 2
+UNION ALL
+SELECT doc_id, 'pdf' AS format,
+       t || chr(10) || '[doc ' || doc_id || ' p1'
+         || CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+                 THEN ' v2' ELSE '' END
+         || ']'
+         || CASE WHEN doc_id % 7 = 5
+                  AND NOT (doc_id % 3 <> 0 AND doc_id % 5 = 0)
+                 THEN chr(728) || chr(8230) || chr(8482) || chr(8364)
+                 ELSE '' END AS text
+FROM d WHERE doc_id % 4 = 3
+"""

@@ -1336,6 +1336,16 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "atoms under a depth-bounded record-tree walk; closed-form "
         "oracle",
     ),
+    "office_ingest": QueryDef(
+        corpus.q_office_ingest, corpus.ORACLE_OFFICE_INGEST,
+        "mixed-document ingest capstone (round 11): docx/cfb/rtf/pdf "
+        "blobs shuffled together as opaque bytes, SNIFFER-routed (not "
+        "residue-routed) to parse_zip+XML / FAT+piece-table walk / "
+        "stateful RTF tokenizer / xref walk — one uniform (doc_id, "
+        "format, text) table; the oracle embeds each component "
+        "oracle's text expression verbatim (curation_ledger "
+        "discipline)",
+    ),
     "justext_blocks": QueryDef(
         corpus.q_justext_blocks, corpus.ORACLE_JUSTEXT_BLOCKS,
         "block-level boilerplate classification (round 9, jusText "
