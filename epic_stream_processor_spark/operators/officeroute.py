@@ -1,0 +1,63 @@
+"""Sniffer-driven office-document routing — shared batch/stream core.
+
+``route_office_blobs`` takes (doc_id, data, format) rows — ``format``
+from :func:`operators.sniff.sniff_format` — and dispatches each blob
+to the matching extractor: OOXML packages through the parse_zip +
+JVM-XML walk, OLE2 compound files through the FAT/piece-table walk,
+RTF through the stateful tokenizer, PDF through the xref walk. One
+uniform ``(doc_id, format, text)`` table comes out; blobs whose label
+has no extractor here (or that fail extraction) simply produce no row
+— the drop-not-crash contract every untrusted-bytes stage keeps.
+
+Both the batch capstone (``plans/corpus.q_office_ingest``) and the
+streaming twin (``streaming/pipeline.run_office_ingest_stream``) call
+THIS function, so stream==batch is shared code, not a parallel
+implementation (the compressed-ingest precedent).
+
+Scale: four filter branches off one codegen ``when``-chain column;
+each branch is the component's own row-local plan; the union is
+append-only — no shuffle beyond the components' own (the docx branch's
+per-package member aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def route_office_blobs(labeled: DataFrame) -> DataFrame:
+    """(doc_id, data, format) → (doc_id, format, text) via per-format
+    extractor dispatch."""
+    from .cfb import parse_cfb_files
+    from .docx import extract_docx
+    from .pdf import parse_pdf
+    from .rtf import extract_rtf
+
+    def branch(fmt: str) -> DataFrame:
+        return labeled.where(F.col("format") == fmt).select(
+            "doc_id", "data"
+        )
+
+    ooxml = extract_docx(branch("ooxml")).select(
+        "doc_id", F.lit("ooxml").alias("format"), "text"
+    )
+    cfb = parse_cfb_files(branch("cfb")).select(
+        "doc_id",
+        F.lit("cfb").alias("format"),
+        F.col("body_text").alias("text"),
+    )
+    rtf = extract_rtf(
+        labeled.where(F.col("format") == "rtf").select(
+            # cast, not decode: decode raises on malformed UTF-8 and
+            # these are untrusted bytes
+            "doc_id", F.col("data").cast("string").alias("body")
+        )
+    ).select(
+        "doc_id", F.lit("rtf").alias("format"),
+        F.col("rtf_text").alias("text"),
+    )
+    pdf = parse_pdf(branch("pdf")).select(
+        "doc_id", F.lit("pdf").alias("format"), "text"
+    )
+    return ooxml.unionAll(cfb).unionAll(rtf).unionAll(pdf)

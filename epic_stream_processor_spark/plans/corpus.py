@@ -4292,10 +4292,11 @@ def q_office_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local plan; the union is append-only. Zero extra shuffles
     beyond the components'.
     """
-    from ..operators.cfb import docs_as_cfb, parse_cfb_files
-    from ..operators.docx import docs_as_docx, extract_docx
-    from ..operators.pdf import docs_as_pdfs, parse_pdf
-    from ..operators.rtf import docs_as_rtf, extract_rtf
+    from ..operators.cfb import docs_as_cfb
+    from ..operators.docx import docs_as_docx
+    from ..operators.officeroute import route_office_blobs
+    from ..operators.pdf import docs_as_pdfs
+    from ..operators.rtf import docs_as_rtf
     from ..operators.sniff import sniff_format
 
     configure_for_parity(spark)
@@ -4314,32 +4315,8 @@ def q_office_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = blobs.select(
         "doc_id", "data", sniff_format(F.col("data")).alias("format")
     )
-
-    def branch(fmt: str) -> DataFrame:
-        return labeled.where(F.col("format") == fmt).select(
-            "doc_id", "data"
-        )
-
-    ooxml = extract_docx(branch("ooxml")).select(
-        "doc_id", F.lit("ooxml").alias("format"), "text"
-    )
-    cfb = parse_cfb_files(branch("cfb")).select(
-        "doc_id",
-        F.lit("cfb").alias("format"),
-        F.col("body_text").alias("text"),
-    )
-    rtf = extract_rtf(
-        labeled.where(F.col("format") == "rtf").select(
-            "doc_id", F.col("data").cast("string").alias("body")
-        )
-    ).select(
-        "doc_id", F.lit("rtf").alias("format"),
-        F.col("rtf_text").alias("text"),
-    )
-    pdf = parse_pdf(branch("pdf")).select(
-        "doc_id", F.lit("pdf").alias("format"), "text"
-    )
-    return ooxml.unionAll(cfb).unionAll(rtf).unionAll(pdf)
+    # the dispatch is the SHARED batch/stream router (officeroute.py)
+    return route_office_blobs(labeled)
 
 
 ORACLE_OFFICE_INGEST = r"""WITH d AS (

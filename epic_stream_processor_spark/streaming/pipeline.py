@@ -641,3 +641,64 @@ def run_compressed_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_office_ingest_stream(
+    spark: SparkSession,
+    blob_dir: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Mixed office-document ingest as a stream (round 11): opaque
+    ``<doc_id>.bin`` blobs in ANY of the routed container formats
+    (.docx / OLE2 / RTF / PDF) land in a directory; each micro-batch
+    sniffs the magic (pure JVM) and dispatches through the SAME
+    ``operators/officeroute.route_office_blobs`` the batch capstone
+    runs — stream==batch is shared code. The docx branch aggregates
+    per package (parse_zip members), so the dispatch runs inside
+    ``foreachBatch`` where a plain batch aggregation is legal; each
+    micro-batch OVERWRITES its own ``_batch_id=N`` partition (the T4
+    idempotent-sink pattern). Files whose names yield no
+    doc_id are filtered (no poison pills, the compressed-ingest fix);
+    corrupt/unknown blobs drop inside the extractors.
+
+    At 100 TB: sniff is map-only, every branch is the component's
+    row-local plan, and the only shuffle is the docx branch's
+    per-package member aggregation.
+    """
+    from ..operators.officeroute import route_office_blobs
+    from ..operators.sniff import sniff_format
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    labeled = (
+        reader.load(blob_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .try_cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("data"),
+            sniff_format(F.col("content")).alias("format"),
+        )
+        .where(F.col("doc_id").isNotNull())
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        # the repo's T4 pattern: each micro-batch lands in its own
+        # _batch_id=N partition with OVERWRITE, so a replayed batch id
+        # rewrites the same files instead of duplicating rows
+        route_office_blobs(batch_df).write.mode("overwrite").parquet(
+            f"{out_path}/_batch_id={batch_id}"
+        )
+
+    writer = labeled.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -961,3 +961,76 @@ def test_compressed_ingest_stream_matches_batch(spark, tmp_path):
     q2 = run_compressed_ingest_stream(spark, str(blob_dir), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 4
+
+
+def test_office_ingest_stream_matches_batch(spark, tmp_path):
+    """Mixed .docx/OLE2/RTF/PDF blobs through the streaming office
+    router must equal the batch dispatch over the same bytes (shared
+    route_office_blobs code); stray-named files are filtered, garbage
+    blobs drop, and a checkpoint restart adds no duplicates."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.cfb import docs_as_cfb
+    from epic_stream_processor_spark.operators.docx import docs_as_docx
+    from epic_stream_processor_spark.operators.officeroute import (
+        route_office_blobs,
+    )
+    from epic_stream_processor_spark.operators.pdf import docs_as_pdfs
+    from epic_stream_processor_spark.operators.rtf import docs_as_rtf
+    from epic_stream_processor_spark.operators.sniff import sniff_format
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_office_ingest_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (4, "word doc body text", "en", "web", 18),   # %4==0 -> docx
+            (5, "ole two compound words", "en", "web", 22),  # cfb (ppt leg)
+            (6, "rtf rich text words", "en", "web", 19),  # %4==2 -> rtf
+            (7, "pdf portable words", "en", "web", 18),   # %4==3 -> pdf
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    m = F.col("doc_id") % 4
+    blobs = (
+        docs_as_docx(docs.where(m == 0))
+        .unionAll(docs_as_cfb(docs.where(m == 1)))
+        .unionAll(
+            docs_as_rtf(docs.where(m == 2)).select(
+                "doc_id", F.encode(F.col("body"), "UTF-8").alias("data")
+            )
+        )
+        .unionAll(docs_as_pdfs(docs.where(m == 3)))
+    )
+    blob_dir = tmp_path / "office"
+    blob_dir.mkdir()
+    rows = blobs.collect()
+    for r in rows:
+        (blob_dir / f"{r['doc_id']}.bin").write_bytes(bytes(r["data"]))
+    (blob_dir / "9.bin").write_bytes(b"not any known format")  # drops
+    (blob_dir / "stray.docx").write_bytes(b"PK\x03\x04junk")  # no doc_id
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_office_ingest_stream(spark, str(blob_dir), out, ckpt)
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["format"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_in = spark.createDataFrame(
+        [(r["doc_id"], bytearray(bytes(r["data"]))) for r in rows],
+        "doc_id long, data binary",
+    ).select("doc_id", "data", sniff_format(F.col("data")).alias("format"))
+    batch = {
+        r["doc_id"]: (r["format"], r["text"])
+        for r in route_office_blobs(batch_in).collect()
+    }
+    assert got == batch and set(got) == {4, 5, 6, 7}
+    assert got[4][0] == "ooxml" and got[5][0] == "cfb"
+    assert got[6][0] == "rtf" and got[7][0] == "pdf"
+    assert "word doc body text" in got[4][1]
+    assert got[5][1] == "ole two compound words"
+    # restart on the same checkpoint: no new files -> no duplicates
+    q2 = run_office_ingest_stream(spark, str(blob_dir), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 4
