@@ -161,6 +161,18 @@ def main(argv: list[str] | None = None) -> int:
     cd.add_argument("--checkpoint", required=True)
     cd.add_argument("--available-now", action="store_true")
 
+    oi = sub.add_parser(
+        "office-ingest",
+        help="streaming mixed-document ingest: sniff magic numbers "
+             "(.docx/OLE2/RTF/PDF) → matching extractor → uniform "
+             "(doc_id, format, text) parquet (<doc_id>.bin files in "
+             "the blob dir)",
+    )
+    oi.add_argument("--blobs", required=True, help="document-blob drop dir")
+    oi.add_argument("--out", required=True)
+    oi.add_argument("--checkpoint", required=True)
+    oi.add_argument("--available-now", action="store_true")
+
     st = sub.add_parser("stream", help="run the streaming pipeline")
     st.add_argument("--epochs", required=True, help="spool/epochs parquet dir")
     st.add_argument("--watchlist", required=True)
@@ -297,6 +309,17 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         n = spark.read.parquet(args.out).count()
         print(f"decoded {n} blob(s) -> {args.out}")
+    elif args.cmd == "office-ingest":
+        from .streaming.pipeline import run_office_ingest_stream
+
+        spark = _get_spark()
+        q = run_office_ingest_stream(
+            spark, args.blobs, args.out, args.checkpoint,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.out).count()
+        print(f"extracted {n} document(s) -> {args.out}")
     elif args.cmd == "corpus-tokenize":
         from .operators.bpe import bpe_encode, train_bpe
 

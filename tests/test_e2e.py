@@ -238,3 +238,35 @@ def test_cli_decompress_ingest(spark, tmp_path):
     assert got == {
         1: ("xz", "xz text"), 2: ("lz4", "lz4 text"), 3: ("zstd", "zstd text")
     }
+
+
+def test_cli_office_ingest(spark, tmp_path):
+    """CLI surface (r11): `office-ingest` sniffs and extracts a mixed
+    document-blob drop dir (OLE2 + RTF here — the lightest two writers)
+    from argv."""
+    from epic_stream_processor_spark.__main__ import main
+    from epic_stream_processor_spark.operators.cfb import (
+        build_cfb,
+        build_ppt_stream,
+    )
+
+    blob_dir = tmp_path / "docs"
+    blob_dir.mkdir()
+    (blob_dir / "1.bin").write_bytes(
+        build_cfb([("PowerPoint Document", build_ppt_stream("slide words"))])
+    )
+    (blob_dir / "2.bin").write_bytes(
+        b"{\\rtf1\\ansi simple rtf body}"
+    )
+    out = str(tmp_path / "extracted")
+    rc = main([
+        "office-ingest", "--blobs", str(blob_dir), "--out", out,
+        "--checkpoint", str(tmp_path / "ck"), "--available-now",
+    ])
+    assert rc == 0
+    got = {
+        r["doc_id"]: (r["format"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[1] == ("cfb", "slide words")
+    assert got[2][0] == "rtf" and "simple rtf body" in got[2][1]
