@@ -253,12 +253,23 @@ QUERIES: dict[str, QueryDef] = {
         "(writer is to_json over a struct, escaping symmetric); "
         "closed-form oracle",
     ),
-    "udiff_extract": QueryDef(
-        corpus.q_udiff_extract, corpus.ORACLE_UDIFF_EXTRACT,
-        "unified-diff parsing (round 9, CommitPack stage): per-hunk "
-        "file/range/section/+−channels via line-anchored lookahead "
-        "splits + posexplode + higher-order filters, omitted-count "
-        "default handled — pure JVM; closed-form oracle",
+    # --- rotated IN round 11b (in-session): the round's marquee
+    # operator earns a driver row the round it lands (the r10b/zstd
+    # precedent). Displaced: udiff_extract (2 green rounds; its
+    # line-anchored split + posexplode + HOF-channel shape stays
+    # driver-proven via ipynb_extract and markdown_extract, and the
+    # code-corpus family keeps code_scan + ipynb_extract rows) ---
+    "cfb_extract": QueryDef(
+        corpus.q_cfb_extract, corpus.ORACLE_CFB_EXTRACT,
+        "CFB/OLE2 legacy Office (round 11, MS-CFB + MS-DOC/XLS/PPT "
+        "honest subsets): spec-built compound files (FAT + miniFAT + "
+        "directory + mini stream) walked back with bounded cycle-"
+        "guarded chains; family rotates on doc_id%3 — .doc text via "
+        "the FIB [fcMin, fcMac) window AND the Word-97 complex layout "
+        "(CLX piece table, cp1252/UTF-16 pieces, scrambled byte "
+        "order), .xls via BIFF8 SST+LABELSST cells (both string "
+        "encodings), .ppt via TextChars/TextBytes atoms under a "
+        "depth-bounded record-tree walk; closed-form oracle",
     ),
     "latex_extract": QueryDef(
         corpus.q_latex_extract, corpus.ORACLE_LATEX_EXTRACT,
@@ -1323,18 +1334,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "image dup); oracle recomputes the hash a third way in SQL - "
         "three implementations agree",
     ),
-    "cfb_extract": QueryDef(
-        corpus.q_cfb_extract, corpus.ORACLE_CFB_EXTRACT,
-        "CFB/OLE2 legacy Office (round 11, MS-CFB + MS-DOC/XLS/PPT "
-        "honest subsets): spec-built compound files (FAT + miniFAT + "
-        "directory + mini stream) walked back with bounded cycle-"
-        "guarded chains; family rotates on doc_id%3 — .doc text via "
-        "the FIB [fcMin, fcMac) window AND the Word-97 complex layout "
-        "(CLX piece table, cp1252/UTF-16 pieces, scrambled byte "
-        "order), .xls via BIFF8 SST+LABELSST "
-        "cells (both string encodings), .ppt via TextChars/TextBytes "
-        "atoms under a depth-bounded record-tree walk; closed-form "
-        "oracle",
+    # --- displaced round 11b (see QUERIES rotation note) ---
+    "udiff_extract": QueryDef(
+        corpus.q_udiff_extract, corpus.ORACLE_UDIFF_EXTRACT,
+        "unified-diff parsing (round 9, CommitPack stage): per-hunk "
+        "file/range/section/+−channels via line-anchored lookahead "
+        "splits + posexplode + higher-order filters, omitted-count "
+        "default handled — pure JVM; closed-form oracle",
     ),
     "office_ingest": QueryDef(
         corpus.q_office_ingest, corpus.ORACLE_OFFICE_INGEST,
