@@ -9,13 +9,18 @@ payloads under 4096 bytes with its own miniFAT. This module implements
 that container from the public spec, plus the headers-and-honest-
 subset document triage the mp4/ogg modules established:
 
-- :func:`build_cfb` writes a spec-legal v3 compound file (512-byte
-  sectors, header DIFAT, FAT chains, red-black-degenerate-but-legal
+- :func:`build_cfb` writes a spec-legal compound file (v3 512-byte
+  sectors by default, v4 4096-byte sectors on request — both use the
+  ``(sid+1)*sector_size`` offset rule, the v4 header region padded to
+  a full sector; header DIFAT, FAT chains,
+  red-black-degenerate-but-legal
   directory sibling chain, mini stream + miniFAT for small payloads,
   regular FAT chains for large ones) — the fixture writer.
 - :func:`parse_cfb` reads like ``olefile`` does: header validation
-  (magic, byte order, sector shift), DIFAT walk (header entries +
-  chained DIFAT sectors), FAT assembly, cycle-guarded directory chain
+  (magic, byte order, major/sector-shift pairing), DIFAT walk (header
+  entries + chained DIFAT sectors, the chain bounded by a visited set
+  and the blob's own sector count — never by the attacker-controlled
+  header ``csectDifat``), FAT assembly, cycle-guarded directory chain
   walk, and per-stream extraction via miniFAT or FAT chains — every
   walk bounded by the blob's own sector count, so crafted chains
   (loops, out-of-range sectors, absurd sizes) drop rather than spin
@@ -70,7 +75,6 @@ CFB_SCHEMA = (
     "body_text string, meta_text string"
 )
 
-_SEC = 512
 _MINI = 64
 _CUTOFF = 4096
 _ENDOFCHAIN = 0xFFFFFFFE
@@ -103,11 +107,22 @@ def _dir_entry(
     return bytes(ent)
 
 
-def build_cfb(streams: list[tuple[str, bytes]], storages: tuple = ()) -> bytes:
-    """Spec-legal v3 compound file holding ``streams`` (name, payload)
+def build_cfb(
+    streams: list[tuple[str, bytes]],
+    storages: tuple = (),
+    sector_shift: int = 9,
+) -> bytes:
+    """Spec-legal compound file holding ``streams`` (name, payload)
     plus empty ``storages``; payloads under 4096 bytes ride the mini
     stream (64-byte mini sectors + miniFAT), larger ones regular FAT
-    chains — both allocation paths in one writer."""
+    chains — both allocation paths in one writer. ``sector_shift`` 9
+    writes the common v3 layout (512-byte sectors, header immediately
+    followed by sector #0); 12 writes v4 (4096-byte sectors, the
+    header region padded to a full sector so sector #0 starts at
+    byte 4096 — the (sid+1)*sec offset rule both versions share)."""
+    if sector_shift not in (9, 12):
+        raise ValueError("cfb sector shift must be 9 (v3) or 12 (v4)")
+    sec = 1 << sector_shift
     minis = [(n, d) for n, d in streams if len(d) < _CUTOFF]
     bigs = [(n, d) for n, d in streams if len(d) >= _CUTOFF]
 
@@ -128,15 +143,15 @@ def build_cfb(streams: list[tuple[str, bytes]], storages: tuple = ()) -> bytes:
         mini_data += d + b"\x00" * (nsec * _MINI - len(d))
 
     n_entries = 1 + len(streams) + len(storages)
-    n_dir = -(-n_entries * 128 // _SEC)
-    n_minifat = -(-len(minifat) // 128) if minifat else 0
-    n_mini = -(-len(mini_data) // _SEC) if mini_data else 0
-    big_secs = {n: -(-len(d) // _SEC) for n, d in bigs}
+    n_dir = -(-n_entries * 128 // sec)
+    n_minifat = -(-len(minifat) // (sec // 4)) if minifat else 0
+    n_mini = -(-len(mini_data) // sec) if mini_data else 0
+    big_secs = {n: -(-len(d) // sec) for n, d in bigs}
     n_big = sum(big_secs.values())
     # FAT fixpoint: the FAT covers itself too
     body = n_dir + n_minifat + n_mini + n_big
     n_fat = 1
-    while -(-(body + n_fat) // 128) > n_fat:
+    while -(-(body + n_fat) // (sec // 4)) > n_fat:
         n_fat += 1
     total = n_fat + body
     if n_fat > 109:
@@ -195,14 +210,14 @@ def build_cfb(streams: list[tuple[str, bytes]], storages: tuple = ()) -> bytes:
             entries.append(_dir_entry(name, 1, 0, 0, right=right))
 
     dir_bytes = b"".join(entries)
-    dir_bytes += b"\x00" * (n_dir * _SEC - len(dir_bytes))
+    dir_bytes += b"\x00" * (n_dir * sec - len(dir_bytes))
 
     header = bytearray(512)
     header[0:8] = MAGIC
     header[24:26] = (0x003E).to_bytes(2, "little")  # minor
-    header[26:28] = (0x0003).to_bytes(2, "little")  # major: v3
+    header[26:28] = (4 if sector_shift == 12 else 3).to_bytes(2, "little")
     header[28:30] = b"\xfe\xff"  # little-endian marker
-    header[30:32] = (9).to_bytes(2, "little")  # 512-byte sectors
+    header[30:32] = sector_shift.to_bytes(2, "little")
     header[32:34] = (6).to_bytes(2, "little")  # 64-byte mini sectors
     header[44:48] = n_fat.to_bytes(4, "little")
     header[48:52] = dir_first.to_bytes(4, "little")
@@ -218,18 +233,21 @@ def build_cfb(streams: list[tuple[str, bytes]], storages: tuple = ()) -> bytes:
         header[76 + 4 * i : 80 + 4 * i] = v.to_bytes(4, "little")
 
     out = bytearray(header)
+    # v4: the header region spans a FULL 4096-byte sector (bytes
+    # 512..4095 zero per spec), so sector #0 starts at (0+1)*sec
+    out += b"\x00" * (sec - 512)
     fat_bytes = b"".join(e.to_bytes(4, "little") for e in fat)
-    fat_bytes += b"\xff" * (n_fat * _SEC - len(fat_bytes))
+    fat_bytes += b"\xff" * (n_fat * sec - len(fat_bytes))
     out += fat_bytes
     out += dir_bytes
     if n_minifat:
         mf = b"".join(e.to_bytes(4, "little") for e in minifat)
-        mf += b"\xff" * (n_minifat * _SEC - len(mf))
+        mf += b"\xff" * (n_minifat * sec - len(mf))
         out += mf
     if n_mini:
-        out += mini_data + b"\x00" * (n_mini * _SEC - len(mini_data))
+        out += mini_data + b"\x00" * (n_mini * sec - len(mini_data))
     for n, d in bigs:
-        out += d + b"\x00" * (big_secs[n] * _SEC - len(d))
+        out += d + b"\x00" * (big_secs[n] * sec - len(d))
     return bytes(out)
 
 
@@ -247,8 +265,10 @@ def parse_cfb(blob: bytes, cap: int = 1 << 22):
             return None
         if blob[28:30] != b"\xfe\xff":
             return None
+        major = int.from_bytes(blob[26:28], "little")
         shift = int.from_bytes(blob[30:32], "little")
-        if shift not in (9, 12):
+        # MS-CFB ties the pair: v3 <-> 512-byte sectors, v4 <-> 4096
+        if (major, shift) not in ((3, 9), (4, 12)):
             return None
         sec = 1 << shift
         mini_shift = int.from_bytes(blob[32:34], "little")
@@ -260,23 +280,36 @@ def parse_cfb(blob: bytes, cap: int = 1 << 22):
         minifat_first = int.from_bytes(blob[60:64], "little")
         n_minifat = int.from_bytes(blob[64:68], "little")
         difat_first = int.from_bytes(blob[68:72], "little")
-        n_difat = int.from_bytes(blob[72:76], "little")
-        max_sec = (len(blob) - 512) // sec  # hard bound on every walk
+        # sector #0 starts at (0+1)*sec per MS-CFB — for v3 that is the
+        # familiar 512+sid*512, but a v4 header region spans a FULL
+        # 4096-byte sector, so the old 512+sid*sec read every v4 sector
+        # 3584 bytes early (r12 ADVICE fix)
+        max_sec = len(blob) // sec - 1  # hard bound on every walk
+        # a file cannot hold more FAT sectors than sectors
+        if n_fat > max_sec:
+            return None
 
         def sector(sid: int) -> bytes:
             if sid < 0 or sid >= max_sec:
                 raise _Corrupt("sector out of range")
-            at = 512 + sid * sec
+            at = (sid + 1) * sec
             return blob[at : at + sec]
 
-        # DIFAT: 109 header slots + a bounded chain of DIFAT sectors
+        # DIFAT: 109 header slots + a chain of DIFAT sectors. The chain
+        # is bounded by the blob's OWN sector count with a visited set —
+        # never by the header-declared csectDifat, which is attacker-
+        # controlled (a self-looping DIFAT sector + csectDifat=2^32-1
+        # used to spin ~4e9 iterations; r12 ADVICE fix)
         difat: list[int] = []
         for i in range(109):
             difat.append(
                 int.from_bytes(blob[76 + 4 * i : 80 + 4 * i], "little")
             )
-        sid, hops = difat_first, 0
-        while sid not in (_ENDOFCHAIN, _FREESECT) and hops < n_difat + 1:
+        sid, seen_difat = difat_first, set()
+        while sid not in (_ENDOFCHAIN, _FREESECT):
+            if sid in seen_difat or len(seen_difat) >= max_sec:
+                raise _Corrupt("difat chain loop")
+            seen_difat.add(sid)
             raw = sector(sid)
             per = sec // 4 - 1
             for k in range(per):
@@ -284,7 +317,6 @@ def parse_cfb(blob: bytes, cap: int = 1 << 22):
                     int.from_bytes(raw[4 * k : 4 * k + 4], "little")
                 )
             sid = int.from_bytes(raw[-4:], "little")
-            hops += 1
         fat_sids = [s for s in difat if s != _FREESECT][:n_fat]
         if len(fat_sids) < n_fat:
             return None
@@ -706,6 +738,10 @@ def docs_as_cfb(
 
     Every file also ships a small DocMeta stream (rides the mini
     stream) and an empty Macros storage the extractors must ignore.
+    The CONTAINER version rotates independently of the family:
+    ``doc_id % 4 == 2`` writes a v4 compound file (4096-byte sectors,
+    padded header region) and the rest v3, so one corpus pass proves
+    the (sid+1)*sec offset rule on both layouts (r12).
     Text is whitespace-normalized in JVM expressions first so the
     oracle's identical SQL chain is engine-exact."""
     staged = docs.select(
@@ -746,7 +782,9 @@ def docs_as_cfb(
                 streams = [("PowerPoint Document", build_ppt_stream(norm))]
             meta = ("[doc %d]" % doc_id).encode("utf-8")
             return build_cfb(
-                streams + [("DocMeta", meta)], storages=("Macros",)
+                streams + [("DocMeta", meta)],
+                storages=("Macros",),
+                sector_shift=12 if doc_id % 4 == 2 else 9,
             )
 
         for pdf in batches:

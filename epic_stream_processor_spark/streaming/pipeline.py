@@ -689,12 +689,20 @@ def run_office_ingest_stream(
     )
 
     def process_batch(batch_df, batch_id: int) -> None:
-        # the repo's T4 pattern: each micro-batch lands in its own
-        # _batch_id=N partition with OVERWRITE, so a replayed batch id
-        # rewrites the same files instead of duplicating rows
-        route_office_blobs(batch_df).write.mode("overwrite").parquet(
-            f"{out_path}/_batch_id={batch_id}"
-        )
+        # the router fans the batch into four format branches, each a
+        # filter over the SAME input — without a persist the binaryFile
+        # read + sniff re-evaluates once per branch (r12 ADVICE fix);
+        # the write is eager inside foreachBatch, so unpersist is safe
+        batch_df.persist()
+        try:
+            # the repo's T4 pattern: each micro-batch lands in its own
+            # _batch_id=N partition with OVERWRITE, so a replayed batch
+            # id rewrites the same files instead of duplicating rows
+            route_office_blobs(batch_df).write.mode("overwrite").parquet(
+                f"{out_path}/_batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = labeled.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint

@@ -229,3 +229,174 @@ def test_complex_doc_piece_table():
         t = bytearray(table)
         t[rng.randrange(len(t))] ^= 0xFF
         word_text_from_stream(word, bytes(t))  # never raises
+
+
+def test_difat_bomb_bounded_by_sector_count():
+    """r12 ADVICE (high): the DIFAT chain walk must be bounded by the
+    blob's own sector count + a visited set, NOT by the header-declared
+    csectDifat (attacker-controlled uint32). A ~2.5KB file whose
+    difat_first points at a self-looping DIFAT sector with
+    csectDifat=0xFFFFFFFF must drop immediately, not spin ~4e9
+    iterations appending 127 entries each."""
+    import time
+
+    blob = bytearray(512 * 5)
+    blob[0:8] = MAGIC
+    blob[26:28] = (3).to_bytes(2, "little")
+    blob[28:30] = b"\xfe\xff"
+    blob[30:32] = (9).to_bytes(2, "little")
+    blob[32:34] = (6).to_bytes(2, "little")
+    blob[44:48] = (1).to_bytes(4, "little")      # n_fat
+    blob[48:52] = (1).to_bytes(4, "little")      # dir_first
+    blob[56:60] = (4096).to_bytes(4, "little")
+    blob[60:64] = (0xFFFFFFFE).to_bytes(4, "little")
+    blob[68:72] = (2).to_bytes(4, "little")      # difat_first -> sid 2
+    blob[72:76] = (0xFFFFFFFF).to_bytes(4, "little")  # csectDifat bomb
+    # sid 2 (bytes 1536..2047): last 4 bytes point back at itself
+    blob[512 * 3 + 508 : 512 * 3 + 512] = (2).to_bytes(4, "little")
+    t0 = time.perf_counter()
+    assert parse_cfb(bytes(blob)) is None
+    assert time.perf_counter() - t0 < 1.0
+    # variant: chain walks off into fresh sids until max_sec trips
+    blob[512 * 3 + 508 : 512 * 3 + 512] = (3).to_bytes(4, "little")
+    blob[512 * 4 + 508 : 512 * 4 + 512] = (2).to_bytes(4, "little")
+    t0 = time.perf_counter()
+    assert parse_cfb(bytes(blob)) is None
+    assert time.perf_counter() - t0 < 1.0
+    # n_fat larger than the blob's sector count drops up front
+    clamp = bytearray(blob)
+    clamp[44:48] = (10**6).to_bytes(4, "little")
+    assert parse_cfb(bytes(clamp)) is None
+
+
+def test_v4_roundtrip_and_header_pairing():
+    """r12 ADVICE (medium): v4 compound files (sector shift 12) place
+    sector #0 at byte 4096 — (sid+1)*sector_size — not 512. The writer
+    pads the header region to a full sector and the reader must honor
+    the offset rule on both paths (mini stream AND regular chains)."""
+    small = b"v4 mini payload"
+    big = bytes(range(256)) * 64  # 16384 B: several 4096-byte sectors
+    blob = build_cfb(
+        [("A", small), ("B", big)], storages=("S",), sector_shift=12
+    )
+    assert len(blob) % 4096 == 0
+    assert int.from_bytes(blob[26:28], "little") == 4
+    assert blob[512:4096] == b"\x00" * 3584  # padded header region
+    got = parse_cfb(blob)
+    assert got is not None
+    by_name = {n: p for n, t, p in got if t == 2}
+    assert by_name == {"A": small, "B": big}
+    # a mismatched (major, shift) pairing is rejected up front
+    bad = bytearray(blob)
+    bad[26:28] = (3).to_bytes(2, "little")
+    assert parse_cfb(bytes(bad)) is None
+    # triage works identically through a v4 container
+    word = bytearray(1024)
+    word[0:2] = b"\xec\xa5"
+    word[24:28] = (1024).to_bytes(4, "little")
+    word[28:32] = (1024 + 10).to_bytes(4, "little")
+    word_blob = bytes(word) + "hello".encode("utf-16-le")
+    got = triage_cfb(build_cfb([("WordDocument", word_blob)], sector_shift=12))
+    assert got is not None and got["kind"] == "doc"
+    assert got["body_text"] == "hello"
+
+
+def _hand_dir_entry(name, etype, start, size, child=0xFFFFFFFF):
+    raw = name.encode("utf-16-le") + b"\x00\x00"
+    ent = bytearray(128)
+    ent[0 : len(raw)] = raw
+    ent[64:66] = len(raw).to_bytes(2, "little")
+    ent[66] = etype
+    ent[67] = 1
+    ent[68:72] = (0xFFFFFFFF).to_bytes(4, "little")
+    ent[72:76] = (0xFFFFFFFF).to_bytes(4, "little")
+    ent[76:80] = child.to_bytes(4, "little")
+    ent[116:120] = start.to_bytes(4, "little")
+    ent[120:128] = size.to_bytes(8, "little")
+    return bytes(ent)
+
+
+def test_handauthored_v4_foreign_bytes():
+    """Hand-authored v4 file assembled byte-by-byte from MS-CFB —
+    independent of build_cfb, so a symmetric writer/reader offset error
+    cannot self-certify (the r9 PDF foreign-bytes precedent). Layout
+    order also differs from the writer's: [dir][FAT][payload]."""
+    END, FREE, FATS = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD
+    payload = (b"0123456789abcdef" * 256)[:4100]  # > cutoff: FAT chain
+    # sids: 0 = directory, 1 = FAT, 2..3 = payload (4100 B over 4096)
+    fat = [END, FATS, 3, END] + [FREE] * (1024 - 4)
+    fat_sec = b"".join(e.to_bytes(4, "little") for e in fat)
+    dir_sec = (
+        _hand_dir_entry("Root Entry", 5, END, 0, child=1)
+        + _hand_dir_entry("Payload", 2, 2, len(payload))
+    )
+    dir_sec += b"\x00" * (4096 - len(dir_sec))
+    hdr = bytearray(512)
+    hdr[0:8] = MAGIC
+    hdr[26:28] = (4).to_bytes(2, "little")
+    hdr[28:30] = b"\xfe\xff"
+    hdr[30:32] = (12).to_bytes(2, "little")
+    hdr[32:34] = (6).to_bytes(2, "little")
+    hdr[44:48] = (1).to_bytes(4, "little")       # 1 FAT sector
+    hdr[48:52] = (0).to_bytes(4, "little")       # dir at sid 0
+    hdr[56:60] = (4096).to_bytes(4, "little")
+    hdr[60:64] = END.to_bytes(4, "little")
+    hdr[64:68] = (0).to_bytes(4, "little")
+    hdr[68:72] = END.to_bytes(4, "little")
+    hdr[72:76] = (0).to_bytes(4, "little")
+    hdr[76:80] = (1).to_bytes(4, "little")       # DIFAT[0] -> FAT sid 1
+    for i in range(1, 109):
+        hdr[76 + 4 * i : 80 + 4 * i] = FREE.to_bytes(4, "little")
+    blob = (
+        bytes(hdr) + b"\x00" * 3584
+        + dir_sec + fat_sec
+        + payload + b"\x00" * (8192 - len(payload))
+    )
+    got = parse_cfb(blob)
+    assert got is not None
+    by_name = {n: p for n, t, p in got if t == 2}
+    assert by_name == {"Payload": payload}
+
+
+def test_handauthored_difat_sector_chain():
+    """Hand-authored v3 file large enough to genuinely NEED a DIFAT
+    sector (110 FAT sectors; the header holds only 109) — a read path
+    build_cfb never produces (it caps at the header DIFAT). The DIFAT
+    sector carries FAT sid 109 and an ENDOFCHAIN terminator."""
+    END, FREE, FATS, DIFS = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD, 0xFFFFFFFC
+    n_fat = 110
+    # sids: 0..109 FAT, 110 DIFAT, 111 dir, 112..14009 payload chain
+    first_data, n_data = 112, 13898
+    total = first_data + n_data
+    assert total > 109 * 128  # 110 FAT sectors genuinely required
+    payload = (b"\xAA\x55" * 256) * n_data  # n_data * 512 bytes
+    fat = [FATS] * n_fat + [DIFS, END]
+    fat += [first_data + k + 1 for k in range(n_data - 1)] + [END]
+    fat += [FREE] * (n_fat * 128 - len(fat))
+    fat_bytes = b"".join(e.to_bytes(4, "little") for e in fat)
+    difat_sec = (109).to_bytes(4, "little") + FREE.to_bytes(4, "little") * 126
+    difat_sec += END.to_bytes(4, "little")
+    dir_sec = (
+        _hand_dir_entry("Root Entry", 5, END, 0, child=1)
+        + _hand_dir_entry("Big", 2, first_data, len(payload))
+    )
+    dir_sec += b"\x00" * (512 - len(dir_sec))
+    hdr = bytearray(512)
+    hdr[0:8] = MAGIC
+    hdr[26:28] = (3).to_bytes(2, "little")
+    hdr[28:30] = b"\xfe\xff"
+    hdr[30:32] = (9).to_bytes(2, "little")
+    hdr[32:34] = (6).to_bytes(2, "little")
+    hdr[44:48] = n_fat.to_bytes(4, "little")
+    hdr[48:52] = (111).to_bytes(4, "little")
+    hdr[56:60] = (4096).to_bytes(4, "little")
+    hdr[60:64] = END.to_bytes(4, "little")
+    hdr[68:72] = (110).to_bytes(4, "little")     # difat_first
+    hdr[72:76] = (1).to_bytes(4, "little")       # csectDifat
+    for i in range(109):
+        hdr[76 + 4 * i : 80 + 4 * i] = (i).to_bytes(4, "little")
+    blob = bytes(hdr) + fat_bytes + difat_sec + dir_sec + payload
+    got = parse_cfb(blob, cap=1 << 23)
+    assert got is not None
+    by_name = {n: p for n, t, p in got if t == 2}
+    assert by_name == {"Big": payload}
