@@ -124,12 +124,22 @@ def _viterbi_segment(
     vocab_rows: list,
     max_piece: int,
     max_word: int,
+    with_pieces: bool = False,
 ) -> DataFrame:
     """The unrolled Viterbi DP under an explicit (piece, cost_micro)
     row list → one ``(word, word_count, n_pieces, segmentation)`` row
     per lexicon word; words longer than ``max_word`` get NULLs. The
     tie-break is the lexicographic (cost, n_pieces, path) struct order
-    — total, so the chosen segmentation is unique and engine-exact."""
+    — total, so the chosen segmentation is unique and engine-exact.
+    The path is carried as an ARRAY of pieces (element-wise string
+    order, which both engines share), never a joined string: pieces
+    are substrings of whitespace-split words, so a word containing the
+    join character itself would make a string path ambiguous and
+    corrupt any recount split back out of it (r12 ADVICE fix — the
+    E-step used to re-split on '|'). ``with_pieces`` appends the raw
+    ``pieces`` array column for consumers that recount (the EM
+    E-step); the public ``segmentation`` column stays '|'-joined for
+    display."""
     cost_map = (
         F.create_map(
             *[
@@ -154,7 +164,7 @@ def _viterbi_segment(
         F.struct(
             F.lit(0).cast("long").alias("c"),
             F.lit(0).alias("n"),
-            F.lit("").alias("p"),
+            F.array().cast("array<string>").alias("p"),
         ),
     )
     for j in range(1, max_word + 1):
@@ -166,7 +176,7 @@ def _viterbi_segment(
                 F.struct(
                     (prev["c"] + piece_cost(piece)).alias("c"),
                     (prev["n"] + 1).alias("n"),
-                    F.concat(prev["p"], F.lit("|"), piece).alias("p"),
+                    F.concat(prev["p"], F.array(piece)).alias("p"),
                 )
             )
         best = cands[0] if len(cands) == 1 else F.least(*cands)
@@ -183,17 +193,17 @@ def _viterbi_segment(
             if final is None
             else final.when(hit, F.col(f"_b{j}"))
         )
-    return df.select(
+    cols = [
         F.col("w").alias("word"),
         F.col("wcnt").alias("word_count"),
         final["n"].alias("n_pieces"),
-        # strip the leading "|" with an explicit length (len-1, never a
-        # hardcoded cap: a fixed bound would silently truncate if a
-        # caller raised max_word/max_piece — round-8 ADVICE fix)
-        final["p"]
-        .substr(F.lit(2), F.length(final["p"]) - 1)
-        .alias("segmentation"),
-    )
+        # display form; array_join(NULL) is NULL in both engines, so
+        # long-word NULL rows stay NULL
+        F.array_join(final["p"], "|").alias("segmentation"),
+    ]
+    if with_pieces:
+        cols.append(final["p"].alias("pieces"))
+    return df.select(*cols)
 
 
 def unigram_tokenize(
@@ -214,18 +224,21 @@ def unigram_tokenize(
 
 def _estep_counts(seg0: DataFrame) -> DataFrame:
     """E-step recount: (piece, cnt1) from the chosen segmentations,
-    occurrence-weighted. NB: explode_outer + piece-level filter, NEVER
-    an inner explode or a pre-filter on the segmentation column — the
-    segmentation IS the unrolled DP expression, and the inner-explode
-    form lets InferFiltersFromGenerate push a size()>0 filter below the
-    staged projections with the whole DP chain inlined per output row
+    occurrence-weighted, exploding the DP's raw ``pieces`` ARRAY —
+    never a re-split of the '|'-joined display string, which is
+    ambiguous for corpus words that themselves contain '|' (r12 ADVICE
+    fix). NB: explode_outer + piece-level filter, NEVER an inner
+    explode or a pre-filter on the array column — the array IS the
+    unrolled DP expression, and the inner-explode form lets
+    InferFiltersFromGenerate push a size()>0 filter below the staged
+    projections with the whole DP chain inlined per output row
     (measured 140 s vs 3 s for the DP itself at sf0.1 — the winnowing/
-    decontamination trap; plan pinned in tests). split(NULL) is NULL →
-    one NULL piece → filtered, so long-word NULL rows drop
+    decontamination trap; plan pinned in tests). explode_outer(NULL)
+    yields one NULL piece → filtered, so long-word NULL rows drop
     identically."""
     return (
         seg0.select(
-            F.explode_outer(F.split("segmentation", r"\|")).alias("piece"),
+            F.explode_outer(F.col("pieces")).alias("piece"),
             "word_count",
         )
         .where(F.col("piece").isNotNull())
@@ -234,59 +247,24 @@ def _estep_counts(seg0: DataFrame) -> DataFrame:
     )
 
 
-def unigram_tokenize_em(
-    docs: DataFrame,
-    v: int = 24,
-    max_piece: int = 4,
-    max_word: int = 8,
-    text_col: str = "text",
-) -> DataFrame:
-    """One Kudo-style **hard-EM (Viterbi) re-estimation** on top of the
-    raw-frequency initialization (the documented honest variant of
-    SentencePiece's soft EM — the E-step takes the single best
-    segmentation instead of expected counts, which keeps every count an
-    exact BIGINT and the oracle unrollable):
-
-    - **E-step**: Viterbi-segment the lexicon under the initial
-      frequency-derived costs (the exact DP ``unigram_tokenize`` runs).
-    - **M-step**: re-count pieces from the CHOSEN segmentations,
-      occurrence-weighted by word frequency. Multi-char pieces the
-      Viterbi never used are PRUNED (Kudo's shrinking step); single
-      chars — the fallback alphabet that must survive so segmentation
-      stays total — take their chosen count plus a Laplace floor of 1.
-      New cost = round((ln(total′) − ln(cnt′)) · 1e6), the same
-      micro-nat convention.
-    - Final pass: re-segment the lexicon under the re-estimated costs.
-
-    Output schema matches :func:`unigram_tokenize`; words over
-    ``max_word`` stay NULL and contribute nothing to the M-step (both
-    engines agree on that exclusion).
-
-    Scale: everything iterates the bounded distinct-word lexicon — one
-    extra piece-keyed count shuffle and one extra bounded collect per
-    EM iteration; the corpus itself is touched once.
-    """
-    wc = word_counts(docs, text_col)
-    vocab0 = unigram_vocab(wc, v, max_piece).collect()
-    seg0 = _viterbi_segment(wc, vocab0, max_piece, max_word)
-    chosen_rows = {
-        r["piece"]: int(r["cnt1"]) for r in _estep_counts(seg0).collect()
-    }
-    vocab1 = []
-    for r in vocab0:
-        used = chosen_rows.get(r["piece"], 0)
+def _mstep_recost(spark, vocab_prev: list, chosen: dict) -> list:
+    """The hard-EM M-step: prune multi-char pieces the Viterbi never
+    chose, Laplace-floor the single-char fallback alphabet, and re-cost
+    in micro-nats — through the SAME JVM log expression generation 1
+    used (a driver-side math.log could differ from the engines' ln in
+    the last ulp and flip a micro-nat rounding). Returns (piece,
+    cost_micro) rows for the next :func:`_viterbi_segment` pass."""
+    vocab_next = []
+    for r in vocab_prev:
+        used = chosen.get(r["piece"], 0)
         if len(r["piece"]) == 1:
-            vocab1.append((r["piece"], used + 1))  # Laplace floor
+            vocab_next.append((r["piece"], used + 1))  # Laplace floor
         elif used > 0:
-            vocab1.append((r["piece"], used))
-    # costs through the SAME JVM log expression generation 1 used —
-    # a driver-side math.log could differ from the engines' ln in the
-    # last ulp and flip a micro-nat rounding
-    spark = docs.sparkSession
-    v1df = spark.createDataFrame(vocab1, "piece string, cnt long")
-    tot = v1df.agg(F.sum("cnt").alias("total"))
-    vocab1_rows = (
-        v1df.crossJoin(F.broadcast(tot))
+            vocab_next.append((r["piece"], used))
+    vdf = spark.createDataFrame(vocab_next, "piece string, cnt long")
+    tot = vdf.agg(F.sum("cnt").alias("total"))
+    return (
+        vdf.crossJoin(F.broadcast(tot))
         .select(
             "piece",
             F.round(
@@ -301,4 +279,56 @@ def unigram_tokenize_em(
         )
         .collect()
     )
-    return _viterbi_segment(wc, vocab1_rows, max_piece, max_word)
+
+
+def unigram_tokenize_em(
+    docs: DataFrame,
+    v: int = 24,
+    max_piece: int = 4,
+    max_word: int = 8,
+    text_col: str = "text",
+    iterations: int = 1,
+) -> DataFrame:
+    """``iterations`` rounds of Kudo-style **hard-EM (Viterbi)
+    re-estimation** on top of the raw-frequency initialization (the
+    documented honest variant of SentencePiece's soft EM — the E-step
+    takes the single best segmentation instead of expected counts,
+    which keeps every count an exact BIGINT and the oracle
+    unrollable):
+
+    - **E-step**: Viterbi-segment the lexicon under the current costs
+      (the exact DP ``unigram_tokenize`` runs), recounting from the
+      DP's pieces ARRAY (never a string re-split).
+    - **M-step**: re-count pieces from the CHOSEN segmentations,
+      occurrence-weighted by word frequency. Multi-char pieces the
+      Viterbi never used are PRUNED (Kudo's shrinking step); single
+      chars — the fallback alphabet that must survive so segmentation
+      stays total — take their chosen count plus a Laplace floor of 1.
+      New cost = round((ln(total′) − ln(cnt′)) · 1e6), the same
+      micro-nat convention.
+    - Final pass: re-segment the lexicon under the last re-estimated
+      costs. Iteration k+1 prunes relative to the vocabulary that
+      SURVIVED iteration k — SentencePiece's iterate-until-stable loop
+      with an explicit bound instead of a convergence test, so the
+      registered artifact stays a fixed, oracle-unrollable depth.
+
+    Output schema matches :func:`unigram_tokenize`; words over
+    ``max_word`` stay NULL and contribute nothing to the M-step (both
+    engines agree on that exclusion).
+
+    Scale: everything iterates the bounded distinct-word lexicon — one
+    extra piece-keyed count shuffle and one extra bounded collect per
+    EM iteration; the corpus itself is touched once.
+    """
+    spark = docs.sparkSession
+    wc = word_counts(docs, text_col)
+    rows = unigram_vocab(wc, v, max_piece).collect()
+    for _ in range(iterations):
+        seg = _viterbi_segment(
+            wc, rows, max_piece, max_word, with_pieces=True
+        )
+        chosen = {
+            r["piece"]: int(r["cnt1"]) for r in _estep_counts(seg).collect()
+        }
+        rows = _mstep_recost(spark, rows, chosen)
+    return _viterbi_segment(wc, rows, max_piece, max_word)

@@ -3253,7 +3253,7 @@ def unigram_tokenize_oracle_sql(
         + ",\n".join(blocks)
         + "\n"
         + "SELECT w AS word, wcnt AS word_count, n AS n_pieces, "
-        "seg AS segmentation FROM (\n"
+        "array_to_string(p, '|') AS segmentation FROM (\n"
         + final
         + "\n)"
     )
@@ -3265,11 +3265,17 @@ def _viterbi_ctes(
     """The unrolled Viterbi DP as CTE text: ``{prefix}0..{prefix}N``
     chained over word positions against the ``vocab`` CTE — shared by
     the plain and EM oracles so the recursion cannot drift between
-    them. Returns (cte_blocks, final_select_over_the_chain)."""
+    them. The path ``p`` is a VARCHAR[] list (element-wise order, the
+    same total tie-break Spark's array comparison uses) — never a
+    '|'-joined string, which is ambiguous to recount when a corpus
+    word itself contains '|' (r12 ADVICE fix). Returns (cte_blocks,
+    final_select_over_the_chain); the final select carries the raw
+    list, callers render ``array_to_string(p, '|')``."""
     inf = 10**15
     blocks = [
         f"""{prefix}0 AS (
-  SELECT w, wcnt, len(w) AS L, CAST(0 AS BIGINT) AS c, 0 AS n, '' AS p
+  SELECT w, wcnt, len(w) AS L, CAST(0 AS BIGINT) AS c, 0 AS n,
+         CAST([] AS VARCHAR[]) AS p
   FROM wc
 )"""
     ]
@@ -3281,7 +3287,7 @@ def _viterbi_ctes(
                 f"""    SELECT b.w, b.wcnt, b.L,
            b.c + coalesce(v.cost, {inf}) AS c,
            b.n + 1 AS n,
-           b.p || '|' || {sub} AS p
+           list_append(b.p, {sub}) AS p
     FROM {prefix}{i} b LEFT JOIN {vocab} v ON v.piece = {sub}
     WHERE b.L >= {j}"""
             )
@@ -3297,12 +3303,12 @@ def _viterbi_ctes(
 )"""
         )
     fins = [
-        f"SELECT w, wcnt, CAST(n AS BIGINT) AS n, substr(p, 2) AS seg "
+        f"SELECT w, wcnt, CAST(n AS BIGINT) AS n, p "
         f"FROM {prefix}{j} WHERE L = {j}"
         for j in range(1, max_word + 1)
     ]
     fins.append(
-        f"SELECT w, wcnt, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) "
+        f"SELECT w, wcnt, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR[]) "
         f"FROM wc WHERE len(w) > {max_word}"
     )
     return blocks, "\nUNION ALL\n".join(fins)
@@ -3310,57 +3316,58 @@ def _viterbi_ctes(
 
 def unigram_em_oracle_sql(
     v: int = 24, max_piece: int = 4, max_word: int = 8,
-    table: str = "documents",
+    table: str = "documents", iterations: int = 1,
 ) -> str:
     """DuckDB twin of unigram_tokenize_em: the generation-1 vocabulary
-    and Viterbi chain exactly as the plain oracle, then the hard-EM
-    M-step in SQL — chosen-piece recount from the E-step segmentations
-    (NULL-segmented long words excluded on both engines), multi-char
-    prune, single-char Laplace floor, micro-nat re-costing — and the
-    SAME unrolled DP a second time under the re-estimated costs."""
-    prelude = _unigram_prelude(v, max_piece, table)
-    e_blocks, e_final = _viterbi_ctes("b", "vocab", max_piece, max_word)
-    f_blocks, f_final = _viterbi_ctes("f", "vocab2", max_piece, max_word)
-    mstep = f"""seg0 AS MATERIALIZED (
+    and Viterbi chain exactly as the plain oracle, then ``iterations``
+    hard-EM rounds in SQL — chosen-piece recount from each E-step's
+    pieces LIST (NULL-segmented long words excluded on both engines),
+    multi-char prune relative to the vocabulary that survived the
+    PREVIOUS round, single-char Laplace floor, micro-nat re-costing —
+    and the SAME unrolled DP one final time under the last
+    re-estimated costs. Every DP level and every seg/vocab CTE is
+    ``AS MATERIALIZED``: DuckDB inlines plain CTEs and the chain
+    explodes exponentially at plan time otherwise."""
+    parts = [_unigram_prelude(v, max_piece, table)]
+    prev_vocab, prev_kept = "vocab", "kept"
+    for it in range(1, iterations + 1):
+        e_blocks, e_final = _viterbi_ctes(
+            f"e{it}_", prev_vocab, max_piece, max_word
+        )
+        mstep = f"""seg{it} AS MATERIALIZED (
 {e_final}
 ),
-chosen AS (
+chosen{it} AS (
   SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt1
   FROM (
-    SELECT unnest(str_split(seg, '|')) AS piece, wcnt
-    FROM seg0 WHERE seg IS NOT NULL
+    SELECT unnest(p) AS piece, wcnt
+    FROM seg{it} WHERE p IS NOT NULL
   )
   GROUP BY piece
 ),
-v1 AS (
+v{it} AS (
   SELECT k.piece,
          CASE WHEN len(k.piece) = 1 THEN coalesce(c.cnt1, 0) + 1
               ELSE c.cnt1 END AS cnt
-  FROM kept k LEFT JOIN chosen c ON c.piece = k.piece
+  FROM {prev_kept} k LEFT JOIN chosen{it} c ON c.piece = k.piece
   WHERE len(k.piece) = 1 OR coalesce(c.cnt1, 0) > 0
 ),
-tot1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v1),
-vocab2 AS MATERIALIZED (
+tot{it} AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v{it}),
+vocab{it + 1} AS MATERIALIZED (
   SELECT piece,
          CAST(round((ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
               * 1000000) AS BIGINT) AS cost
-  FROM v1, tot1
+  FROM v{it}, tot{it}
 )"""
+        parts.append(",\n".join(e_blocks) + ",\n" + mstep)
+        prev_vocab, prev_kept = f"vocab{it + 1}", f"v{it}"
+    f_blocks, f_final = _viterbi_ctes("f", prev_vocab, max_piece, max_word)
+    parts.append(",\n".join(f_blocks))
     final = (
         "SELECT w AS word, wcnt AS word_count, n AS n_pieces, "
-        "seg AS segmentation FROM (\n" + f_final + "\n)"
+        "array_to_string(p, '|') AS segmentation FROM (\n" + f_final + "\n)"
     )
-    return (
-        prelude
-        + ",\n"
-        + ",\n".join(e_blocks)
-        + ",\n"
-        + mstep
-        + ",\n"
-        + ",\n".join(f_blocks)
-        + "\n"
-        + final
-    )
+    return ",\n".join(parts) + "\n" + final
 
 
 def q_unigram_tokenize_em(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3390,8 +3397,33 @@ def q_unigram_tokenize_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_tokenize_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer with TWO hard-EM (Viterbi) re-estimations
+    (round 12): iteration 2 prunes relative to the vocabulary that
+    survived iteration 1 and re-costs from the second E-step's chosen
+    counts — SentencePiece's iterate-until-stable loop at a fixed,
+    oracle-unrollable depth (three DP generations unrolled in the
+    DuckDB twin). max_word=5 bounds the tripled Catalyst tree; the
+    plain query keeps depth 8 and the 1-step EM depth 6
+    driver-proven."""
+    from ..operators.unigram_tok import unigram_tokenize_em
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_tokenize_em(
+        docs, v=24, max_piece=4, max_word=5, iterations=2
+    )
+    return out.select(
+        "word",
+        "word_count",
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        "segmentation",
+    )
+
+
 ORACLE_UNIGRAM_TOKENIZE = unigram_tokenize_oracle_sql()
 ORACLE_UNIGRAM_TOKENIZE_EM = unigram_em_oracle_sql(max_word=6)
+ORACLE_UNIGRAM_TOKENIZE_EM2 = unigram_em_oracle_sql(max_word=5, iterations=2)
 
 
 def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1045,6 +1045,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "under re-estimated micro-nat costs; oracle unrolls BOTH DP "
         "generations from the same shared CTE emitter",
     ),
+    "unigram_tokenize_em2": QueryDef(
+        llm.q_unigram_tokenize_em2, llm.ORACLE_UNIGRAM_TOKENIZE_EM2,
+        "unigram tokenizer + TWO hard-EM re-estimations (round 12): "
+        "iteration 2 prunes relative to the iteration-1 survivors — "
+        "the iterate-until-stable loop at fixed depth; oracle unrolls "
+        "THREE DP generations from the shared CTE emitter (max_word=5)",
+    ),
     "manifest_diff": QueryDef(
         corpus.q_manifest_diff, corpus.ORACLE_MANIFEST_DIFF,
         "snapshot manifest diff (round 7, the Iceberg/Delta incremental-"

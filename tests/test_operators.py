@@ -2788,14 +2788,16 @@ def test_unigram_viterbi_matches_python_reference(spark):
     assert got
 
     def viterbi(w):
-        best = {0: (0, 0, "")}
+        # list-valued path: the r12 tie-break order is element-wise over
+        # the pieces array (both engines), not over a '|'-joined string
+        best = {0: (0, 0, [])}
         for j in range(1, len(w) + 1):
             cands = []
             for i in range(max(0, j - 4), j):
                 piece = w[i:j]
                 c, n, p = best[i]
                 cands.append(
-                    (c + vocab.get(piece, INF_COST), n + 1, p + "|" + piece)
+                    (c + vocab.get(piece, INF_COST), n + 1, p + [piece])
                 )
             best[j] = min(cands)
         return best[len(w)]
@@ -2806,8 +2808,8 @@ def test_unigram_viterbi_matches_python_reference(spark):
             continue
         c, n, p = viterbi(w)
         assert r["n_pieces"] == n, (w, r, n)
-        assert r["segmentation"] == p[1:], (w, r, p)
-        assert r["segmentation"].replace("|", "") == w
+        assert r["segmentation"] == "|".join(p), (w, r, p)
+        assert "".join(p) == w
 
 
 def test_unigram_em_matches_python_reference(spark):
@@ -2838,14 +2840,14 @@ def test_unigram_em_matches_python_reference(spark):
     max_word = 6
 
     def viterbi(w, vocab):
-        best = {0: (0, 0, "")}
+        best = {0: (0, 0, [])}
         for j in range(1, len(w) + 1):
             cands = []
             for i in range(max(0, j - 4), j):
                 piece = w[i:j]
                 c, n, p = best[i]
                 cands.append(
-                    (c + vocab.get(piece, INF_COST), n + 1, p + "|" + piece)
+                    (c + vocab.get(piece, INF_COST), n + 1, p + [piece])
                 )
             best[j] = min(cands)
         return best[len(w)]
@@ -2856,7 +2858,7 @@ def test_unigram_em_matches_python_reference(spark):
         if len(w) > max_word:
             continue
         _, _, p = viterbi(w, vocab0)
-        for piece in p[1:].split("|"):
+        for piece in p:
             counts[piece] = counts.get(piece, 0) + n_w
     v1 = {}
     for piece in vocab0:
@@ -2881,8 +2883,8 @@ def test_unigram_em_matches_python_reference(spark):
             assert r["segmentation"] is None
             continue
         c, n, p = viterbi(w, vocab1)
-        assert r["segmentation"] == p[1:], (w, r["segmentation"], p)
-        assert r["segmentation"].replace("|", "") == w
+        assert r["segmentation"] == "|".join(p), (w, r["segmentation"], p)
+        assert "".join(p) == w
 
     # crafted corpus where the re-estimation PROVABLY flips a choice:
     # under raw frequency costs 'abab' segments as the whole piece;
@@ -3041,3 +3043,85 @@ def test_minhash_lsh_bucket_cap_recall_under_flood(spark):
         assert got_capped.get(pair) == got_uncapped[pair], pair
     # and nothing NEW appears under the cap
     assert set(got_capped) <= set(got_uncapped)
+
+
+def test_unigram_em_pipe_word_recount_and_iterations(spark):
+    """r12 ADVICE fix + EM depth-2: (a) a corpus word that CONTAINS the
+    '|' display separator must not corrupt the E-step recount — the
+    recount explodes the DP's pieces ARRAY (a re-split of the joined
+    string would count 'a' and 'b' instead of the chosen piece 'a|b',
+    prune 'a|b' from the vocabulary, and break the word apart); the
+    DuckDB oracle emitter must agree on the same corpus. (b) a second
+    hard-EM iteration converges (changes nothing) on an already-stable
+    corpus and provably flips a segmentation on a corpus where the
+    second re-estimation shifts the costs."""
+    import duckdb
+    import pandas as pd
+
+    from epic_stream_processor_spark.operators.unigram_tok import (
+        unigram_tokenize_em,
+    )
+    from epic_stream_processor_spark.plans.llm import unigram_em_oracle_sql
+
+    # (a) pipe-bearing word: 'a|b' is one whitespace token, chosen as a
+    # single piece; the corrupted recount would leave it 3 pieces
+    text = " ".join(["a|b"] * 10 + ["ab"] * 5 + ["cd"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["word"]: r
+        for r in unigram_tokenize_em(docs, max_word=6).collect()
+    }
+    assert got["a|b"]["n_pieces"] == 1
+    assert got["a|b"]["segmentation"] == "a|b"
+    con = duckdb.connect()
+    con.register("crafted", pd.DataFrame({"doc_id": [1], "text": [text]}))
+    want = {
+        r[0]: r
+        for r in con.execute(
+            unigram_em_oracle_sql(table="crafted", max_word=6)
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for w, r in got.items():
+        assert (
+            w, r["word_count"], r["n_pieces"], r["segmentation"]
+        ) == want[w], (w, r, want[w])
+
+    # (b) convergence: the r11 flip corpus is stable after iteration 1,
+    # so iteration 2 must change nothing
+    stable = " ".join(
+        ["cd"] * 8 + ["abab"] + ["ab"] * 7 + ["xyzw"] * 6 + ["xyz"] * 5
+    )
+    sdocs = spark.createDataFrame([(1, stable)], "doc_id long, text string")
+    one = sorted(
+        map(tuple, unigram_tokenize_em(sdocs, max_word=6).collect())
+    )
+    two = sorted(
+        map(
+            tuple,
+            unigram_tokenize_em(sdocs, max_word=6, iterations=2).collect(),
+        )
+    )
+    assert one == two
+
+    # ...and a corpus where iteration 2 genuinely flips: after the
+    # first re-estimation 'abcd' still segments whole; the second
+    # recount shifts enough weight onto 'ab'/'cd' that 'ab|cd' wins
+    # (hand-verified with the independent reference EM)
+    flip = " ".join(
+        ["cdcd"] + ["cd"] * 6 + ["abc"] * 5 + ["dab"] + ["ab"] * 6
+        + ["abcd"] * 2
+    )
+    fdocs = spark.createDataFrame([(1, flip)], "doc_id long, text string")
+    it1 = {
+        r["word"]: r["segmentation"]
+        for r in unigram_tokenize_em(fdocs, max_word=6).collect()
+    }
+    it2 = {
+        r["word"]: r["segmentation"]
+        for r in unigram_tokenize_em(
+            fdocs, max_word=6, iterations=2
+        ).collect()
+    }
+    assert it1["abcd"] == "abcd"
+    assert it2["abcd"] == "ab|cd"

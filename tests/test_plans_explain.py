@@ -389,9 +389,17 @@ def test_unigram_em_estep_stays_staged_no_dp_inlining(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     wc = word_counts(docs)
     vocab0 = unigram_vocab(wc).collect()
-    chosen = _estep_counts(_viterbi_segment(wc, vocab0, 4, 6))
+    chosen = _estep_counts(
+        _viterbi_segment(wc, vocab0, 4, 6, with_pieces=True)
+    )
     opt = chosen._jdf.queryExecution().optimizedPlan().toString()
     # exactly two Generates: word_counts' lexicon tokenize explode and
     # the piece explode_outer — a third would mean the DP got re-inlined
     assert opt.count("Generate") == 2, opt[:2000]
-    assert "size(split(" not in opt, "inferred generate filter re-inlines the DP"
+    # r12: the E-step explodes the DP's pieces ARRAY, so the inferred-
+    # filter trap would now surface as size(concat(/size(array( over the
+    # DP chain, not size(split(
+    for marker in ("size(split(", "size(concat("):
+        assert marker not in opt, (
+            "inferred generate filter re-inlines the DP"
+        )
