@@ -35,12 +35,17 @@ subset document triage the mp4/ogg modules established:
   CP/PCD walk, ``fCompressed`` cp1252-at-fc/2 vs UTF-16LE pieces,
   reassembled in CP order regardless of byte order) — .xls through a
   BIFF8 subset (SST + LABELSST cell resolution, both string
-  encodings), and .ppt through a depth-bounded record-tree walk
-  collecting TextChars/TextBytes atoms. Documented limitations:
-  .doc property revisions (Prc/prm character properties) are ignored
-  (text only), .xls numbers/formulas surface nothing, and .ppt
-  PersistDirectory indirection is not chased (atoms are taken in
-  stream order).
+  encodings, plus NUMBER / RK in all three encodings / MULRK /
+  FORMULA-cached numeric cells rendered via a documented
+  integral-or-2-decimal convention, r12), and .ppt through a
+  depth-bounded record-tree walk collecting TextChars/TextBytes
+  atoms. Documented limitations: .doc property revisions (Prc/prm
+  character properties) are ignored (they alter formatting, not the
+  text — pinned by test), FORMULA cells whose cached result is a
+  string/bool/error surface nothing, and .ppt PersistDirectory
+  indirection is not chased (atoms are taken in stream order, so a
+  deck with unpurged earlier edits surfaces stale runs — pinned as a
+  permanent limitation by test).
 
 No independent CFB implementation exists in this container (no
 olefile, no msoffice), so — per the tarfile/sqlite precedent's
@@ -416,13 +421,36 @@ def parse_cfb(blob: bytes, cap: int = 1 << 22):
 #     end to end (doc_id residue picks the family).
 
 
-def build_xls_stream(text: str) -> bytes:
+def _rk_int(v: int, mul100: bool = False) -> int:
+    """RK encoding (MS-XLS §2.5.217), integer form: value in bits
+    2..31 (two's complement), bit 1 set = integer, bit 0 set =
+    divide-by-100."""
+    if not -(1 << 29) <= v < (1 << 29):
+        raise ValueError("rk int out of 30-bit range")
+    return ((v & 0x3FFFFFFF) << 2) | 2 | (1 if mul100 else 0)
+
+
+def _rk_float(v: float) -> int:
+    """RK encoding, truncated-double form: the double's top 30 bits in
+    bits 2..31 — only exact when the double's low 34 bits are zero."""
+    import struct
+
+    bits = struct.unpack("<Q", struct.pack("<d", v))[0]
+    if bits & ((1 << 34) - 1):
+        raise ValueError("value not representable as a float RK")
+    return (bits >> 32) & 0xFFFFFFFC
+
+
+def build_xls_stream(text: str, doc_id: int | None = None) -> bytes:
     """Minimal spec-legal BIFF8 Workbook stream: BOF, an SST holding
-    the text as two shared strings (the word-halving pattern — first
-    half carries the separator), two LABELSST cells referencing them
-    in (row, col) order, EOF. Each string uses the compressed
-    (latin-1) form when its chars fit a byte, else UTF-16LE — the
-    fHighByte bit, so BOTH encodings appear across a real corpus."""
+    the text as two shared strings (word-halved), two LABELSST cells
+    referencing them in (row, col) order, then — when ``doc_id`` is
+    given — a row of NUMBER / RK (integer, x100 integer, truncated
+    double) / MULRK / FORMULA numeric cells whose values derive from
+    doc_id residues (bounded so every RK form stays exactly
+    representable), EOF. Each string uses the compressed (latin-1)
+    form when its chars fit a byte, else UTF-16LE — the fHighByte bit,
+    so BOTH encodings appear across a real corpus."""
     import struct
 
     def rec(op: int, payload: bytes) -> bytes:
@@ -435,30 +463,87 @@ def build_xls_stream(text: str) -> bytes:
 
     words = text.split(" ") if text else []
     k = (len(words) + 1) // 2
-    if words:
-        half_a = " ".join(words[:k]) + (" " if k < len(words) else "")
-        half_b = " ".join(words[k:])
-    else:
-        half_a, half_b = "", ""
+    half_a = " ".join(words[:k])
+    half_b = " ".join(words[k:])
     sst = struct.pack("<II", 2, 2) + xl_string(half_a) + xl_string(half_b)
     cells = b""
     for i in range(2):
         cells += rec(0x00FD, struct.pack("<HHHI", 0, i, 15, i))
+    if doc_id is not None:
+        m = doc_id % 1000
+        # row 1: one cell per numeric record family (MS-XLS §2.4.180
+        # NUMBER, §2.4.220 RK, §2.4.175 MulRk, §2.4.127 Formula)
+        cells += rec(
+            0x0203, struct.pack("<HHHd", 1, 0, 15, float(3 * doc_id))
+        )
+        cells += rec(
+            0x027E,
+            struct.pack("<HHHI", 1, 1, 15, _rk_int(7 * (doc_id % 1000000))),
+        )
+        cells += rec(
+            0x027E,
+            struct.pack("<HHHI", 1, 2, 15, _rk_int(m * 100 + 25, True)),
+        )
+        cells += rec(
+            0x00BD,
+            struct.pack(
+                "<HH", 1, 3
+            )
+            + struct.pack("<HI", 15, _rk_int(m + 1))
+            + struct.pack("<HI", 15, _rk_float(m + 0.5))
+            + struct.pack("<H", 4),
+        )
+        # FORMULA: cached numeric result rides the 8-byte num field;
+        # the formula body itself is empty (cce=0) — the reader only
+        # resolves cached values
+        cells += rec(
+            0x0006,
+            struct.pack(
+                "<HHHdHIH", 1, 5, 15, float(2 * doc_id + 1), 0, 0, 0
+            ),
+        )
     bof = struct.pack("<HHHHIIH", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0, 0, 0)
     return (
         rec(0x0809, bof) + rec(0x00FC, sst) + cells + rec(0x000A, b"")
     )
 
 
+def _decode_rk(u: int) -> float:
+    """RK → number: bit 1 picks integer (arithmetic >>2) vs truncated
+    double (top 30 bits), bit 0 divides by 100."""
+    import struct
+
+    if u & 2:
+        v = float(struct.unpack("<i", struct.pack("<I", u))[0] >> 2)
+    else:
+        v = struct.unpack("<d", struct.pack("<Q", (u & 0xFFFFFFFC) << 32))[0]
+    return v / 100 if u & 1 else v
+
+
+def _fmt_cell_number(v: float) -> str:
+    """The engine-symmetric rendering convention for numeric cells:
+    integral values render as integers, everything else as 2-decimal
+    fixed — a documented subset convention (NOT Excel's locale- and
+    width-dependent General format), chosen so the SQL oracle can
+    write the exact expected strings from doc_id residues."""
+    if v == int(v) and abs(v) < (1 << 53):
+        return str(int(v))
+    return f"{v:.2f}"
+
+
 def xls_text_from_stream(book: bytes) -> str:
     """BIFF walk → cell text: SST strings resolved through LABELSST
-    references, cells ordered by (row, col), concatenated. Honest
-    subset: single-record SST (no Continue-record string splits),
-    LABELSST/SST only — numbers and formulas surface nothing."""
+    references, numeric cells (NUMBER, RK in all three encodings,
+    MULRK, FORMULA cached numeric results) rendered via the
+    integral-or-2-decimal convention, cells ordered by (row, col) and
+    joined with single spaces (empty strings drop). Honest subset:
+    single-record SST (no Continue-record string splits); FORMULA
+    cells whose cached value is a string/bool/error (0xFFFF marker)
+    surface nothing."""
     import struct
 
     sst: list[str] = []
-    cells: list[tuple[int, int, int]] = []
+    cells: list[tuple[int, int, str | int]] = []
     i = 0
     while i + 4 <= len(book):
         op, ln = struct.unpack_from("<HH", book, i)
@@ -485,11 +570,38 @@ def xls_text_from_stream(book: bytes) -> str:
         elif op == 0x00FD and len(payload) >= 10:  # LABELSST
             rw, col, _ixfe, isst = struct.unpack_from("<HHHI", payload, 0)
             cells.append((rw, col, isst))
+        elif op == 0x0203 and len(payload) >= 14:  # NUMBER
+            rw, col, _ixfe = struct.unpack_from("<HHH", payload, 0)
+            (v,) = struct.unpack_from("<d", payload, 6)
+            cells.append((rw, col, _fmt_cell_number(v)))
+        elif op == 0x027E and len(payload) >= 10:  # RK
+            rw, col, _ixfe, u = struct.unpack_from("<HHHI", payload, 0)
+            cells.append((rw, col, _fmt_cell_number(_decode_rk(u))))
+        elif op == 0x00BD and len(payload) >= 12:  # MULRK
+            rw, col_first = struct.unpack_from("<HH", payload, 0)
+            n_rk = (len(payload) - 6) // 6
+            for k in range(n_rk):
+                _ixfe, u = struct.unpack_from("<HI", payload, 4 + 6 * k)
+                cells.append(
+                    (rw, col_first + k, _fmt_cell_number(_decode_rk(u)))
+                )
+        elif op == 0x0006 and len(payload) >= 14:  # FORMULA
+            rw, col, _ixfe = struct.unpack_from("<HHH", payload, 0)
+            # cached non-numeric results mark bytes 6-7 of num 0xFFFF
+            if payload[12:14] != b"\xff\xff":
+                (v,) = struct.unpack_from("<d", payload, 6)
+                cells.append((rw, col, _fmt_cell_number(v)))
     out = []
-    for _rw, _col, isst in sorted(cells):
-        if isst < len(sst):
-            out.append(sst[isst])
-    return "".join(out)
+    for _rw, _col, val in sorted(cells, key=lambda c: (c[0], c[1])):
+        if isinstance(val, int):
+            if val >= len(sst):
+                continue
+            text = sst[val]
+        else:
+            text = val
+        if text != "":
+            out.append(text)
+    return " ".join(out)
 
 
 def build_ppt_stream(text: str) -> bytes:
@@ -777,7 +889,7 @@ def docs_as_cfb(
                     fib[28:32] = (1024 + len(body)).to_bytes(4, "little")
                     streams = [("WordDocument", bytes(fib) + body)]
             elif fam == 1:
-                streams = [("Workbook", build_xls_stream(norm))]
+                streams = [("Workbook", build_xls_stream(norm, doc_id))]
             else:
                 streams = [("PowerPoint Document", build_ppt_stream(norm))]
             meta = ("[doc %d]" % doc_id).encode("utf-8")

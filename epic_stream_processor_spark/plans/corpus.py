@@ -4256,17 +4256,33 @@ def q_cfb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CFB_EXTRACT = """SELECT doc_id,
+ORACLE_CFB_EXTRACT = r"""WITH d AS (
+  SELECT doc_id,
+         regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls'
             ELSE 'ppt' END AS kind,
        -- complex .doc (piece table) ships its 1Table stream too
        CAST(CASE WHEN doc_id % 6 = 3 THEN 3 ELSE 2 END AS BIGINT)
            AS n_streams,
        CAST(1 AS BIGINT) AS n_storages,
-       regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')
-           AS body_text,
+       -- the xls family appends its row of numeric cells (NUMBER, RK
+       -- int, RK x100, MULRK int + truncated-double, FORMULA cached),
+       -- each value a doc_id residue rendered by the documented
+       -- integral-or-2-decimal convention (r12); ltrim absorbs the
+       -- joiner when the text itself is empty
+       CASE WHEN doc_id % 3 = 1 THEN
+         ltrim(t || ' ' || (3 * doc_id) || ' '
+                 || (7 * (doc_id % 1000000)) || ' '
+                 || (doc_id % 1000) || '.25 '
+                 || ((doc_id % 1000) + 1) || ' '
+                 || (doc_id % 1000) || '.50 '
+                 || (2 * doc_id + 1))
+       ELSE t END AS body_text,
        '[doc ' || doc_id || ']' AS meta_text
-FROM documents
+FROM d
 """
 
 # --- Office ingest capstone (round 11) -----------------------------------------------
@@ -4335,7 +4351,17 @@ SELECT doc_id, 'ooxml' AS format,
          || t || chr(10) || 'lang: ' || lang AS text
 FROM d WHERE doc_id % 4 = 0
 UNION ALL
-SELECT doc_id, 'cfb' AS format, t AS text
+SELECT doc_id, 'cfb' AS format,
+       -- the xls family (doc_id%3=1) appends its numeric-cell row,
+       -- same expression as the cfb_extract oracle (r12)
+       CASE WHEN doc_id % 3 = 1 THEN
+         ltrim(t || ' ' || (3 * doc_id) || ' '
+                 || (7 * (doc_id % 1000000)) || ' '
+                 || (doc_id % 1000) || '.25 '
+                 || ((doc_id % 1000) + 1) || ' '
+                 || (doc_id % 1000) || '.50 '
+                 || (2 * doc_id + 1))
+       ELSE t END AS text
 FROM d WHERE doc_id % 4 = 1
 UNION ALL
 SELECT doc_id, 'rtf' AS format,

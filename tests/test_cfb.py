@@ -145,7 +145,17 @@ def test_spark_roundtrip_all_families_and_decoy_storage(spark):
         norm = re.sub(r"\s+", " ", (txt or "").strip())
         r = rows[i]
         assert r["kind"] == ("doc", "xls", "ppt")[i % 3], i
-        assert r["body_text"] == norm, (i, r["body_text"])
+        if i % 3 == 1:
+            # xls rows append the numeric-cell tail (r12)
+            m = i % 1000
+            tail = (
+                f"{3 * i} {7 * (i % 1000000)} {m}.25 {m + 1} "
+                f"{m}.50 {2 * i + 1}"
+            )
+            want = (norm + " " + tail).lstrip()
+        else:
+            want = norm
+        assert r["body_text"] == want, (i, r["body_text"])
         assert r["meta_text"] == "[doc %d]" % i
         # complex .doc (doc_id%6==3: piece-table layout) carries its
         # 1Table stream as a third stream
@@ -177,10 +187,11 @@ def test_xls_and_ppt_stream_subsets_direct():
     for text in ("one two three", "é 中文 mixed ascii", "", "single"):
         assert xls_text_from_stream(build_xls_stream(text)) == text
         assert ppt_text_from_stream(build_ppt_stream(text)) == text
-    # unknown BIFF records (a NUMBER cell) are skipped; truncated
-    # streams don't raise
+    # genuinely unknown BIFF records are skipped; truncated streams
+    # don't raise (0x0203 NUMBER is a real cell since r12 — see the
+    # dedicated numeric-cell test)
     blob = build_xls_stream("hello world")
-    noise = struct.pack("<HH", 0x0203, 14) + b"\x00" * 14
+    noise = struct.pack("<HH", 0x1234, 14) + b"\x00" * 14
     assert xls_text_from_stream(noise + blob) == "hello world"
     assert xls_text_from_stream(blob[: len(blob) // 2]) is not None
     # ppt: the depth bound terminates nested container bombs
@@ -400,3 +411,119 @@ def test_handauthored_difat_sector_chain():
     assert got is not None
     by_name = {n: p for n, t, p in got if t == 2}
     assert by_name == {"Big": payload}
+
+
+def test_xls_numeric_cells_all_record_families():
+    """r12: BIFF8 numeric cells surface through every record family —
+    NUMBER (IEEE double), RK in all three encodings (integer,
+    x100 integer, truncated double), MULRK runs, and FORMULA cached
+    numeric results — rendered via the documented integral-or-
+    2-decimal convention and joined in (row, col) order. FORMULA
+    cells whose cached result is a string/bool/error (0xFFFF marker)
+    surface nothing."""
+    import struct
+
+    from epic_stream_processor_spark.operators.cfb import (
+        _decode_rk,
+        _rk_float,
+        _rk_int,
+        build_xls_stream,
+        xls_text_from_stream,
+    )
+
+    # fixture-writer path: residue-derived row of numeric cells
+    got = xls_text_from_stream(build_xls_stream("alpha beta", 7))
+    assert got == "alpha beta 21 49 7.25 8 7.50 15"
+    got = xls_text_from_stream(build_xls_stream("", 1234))
+    assert got == "3702 8638 234.25 235 234.50 2469"
+
+    # RK encodings round-trip, including negatives and x100 doubles
+    assert _decode_rk(_rk_int(-5)) == -5.0
+    assert _decode_rk(_rk_int(536870911)) == 536870911.0
+    assert _decode_rk(_rk_int(725, True)) == 7.25
+    assert _decode_rk(_rk_float(2.5)) == 2.5
+    bits250 = _rk_float(250.0) | 1  # x100 truncated-double form
+    assert _decode_rk(bits250) == 2.5
+
+    def rec(op, payload):
+        return struct.pack("<HH", op, len(payload)) + payload
+
+    # hand-built records: negative NUMBER, float-RK x100, MULRK run,
+    # numeric FORMULA, string-cached FORMULA (skipped)
+    book = (
+        rec(0x0203, struct.pack("<HHHd", 0, 0, 15, -1.5))
+        + rec(0x027E, struct.pack("<HHHI", 0, 1, 15, bits250))
+        + rec(
+            0x00BD,
+            struct.pack("<HH", 0, 2)
+            + struct.pack("<HI", 15, _rk_int(10))
+            + struct.pack("<HI", 15, _rk_int(11))
+            + struct.pack("<HI", 15, _rk_int(12))
+            + struct.pack("<H", 4),
+        )
+        + rec(
+            0x0006,
+            struct.pack("<HHHdHIH", 0, 5, 15, 99.0, 0, 0, 0),
+        )
+        + rec(
+            0x0006,
+            struct.pack("<HHH", 0, 6, 15)
+            + b"\x00" * 6 + b"\xff\xff"  # string-cached marker
+            + struct.pack("<HIH", 0, 0, 0),
+        )
+        + rec(0x000A, b"")
+    )
+    assert xls_text_from_stream(book) == "-1.50 2.50 10 11 12 99"
+
+
+def test_doc_prm_property_revisions_are_formatting_only():
+    """Punch-list #4 (r12): PCD ``prm`` fields carry character-property
+    revisions — they alter FORMATTING, never the text itself, so the
+    text walk correctly ignores them. Pin: nonzero prm bits in both
+    PCDs leave extraction byte-identical."""
+    from epic_stream_processor_spark.operators.cfb import (
+        build_complex_doc,
+        word_text_from_stream,
+    )
+
+    text = "alpha beta gamma delta"
+    word, table = build_complex_doc(text)
+    revised = bytearray(table)
+    # each PCD is 8 bytes at the tail of the PlcPcd: [flags(2) fc(4)
+    # prm(2)]; poke both prm fields
+    revised[-2:] = b"\xcd\xab"
+    revised[-10:-8] = b"\x34\x12"
+    assert word_text_from_stream(word, bytes(revised)) == text
+
+
+def test_ppt_persist_directory_not_chased_is_pinned():
+    """Punch-list #4 (r12): the .ppt walk takes text atoms in stream
+    order and does NOT chase UserEditAtom/PersistDirectoryAtom
+    indirection — a deck with unpurged earlier edits surfaces the
+    stale runs too. This is declared a PERMANENT honest limitation
+    (full fidelity needs the CurrentUser-stream offset chase into live
+    persist objects); this test pins the current behavior on an
+    edited-deck layout so the subset is proven, not assumed."""
+    import struct
+
+    from epic_stream_processor_spark.operators.cfb import (
+        ppt_text_from_stream,
+    )
+
+    def atom_bytes(s):
+        payload = s.encode("latin-1")
+        return struct.pack("<HHI", 0x0000, 0x0FA8, len(payload)) + payload
+
+    def container(rt, body):
+        return struct.pack("<HHI", 0x000F, rt, len(body)) + body
+
+    old_doc = container(0x03E8, atom_bytes("stale run "))
+    new_doc = container(0x03E8, atom_bytes("live text"))
+    # UserEditAtom (rt 0x0FF5) + PersistDirectoryAtom (rt 0x1772):
+    # present in every multiply-edited deck, ignored by the walk
+    user_edit = struct.pack("<HHI", 0x0000, 0x0FF5, 28) + b"\x00" * 28
+    persist_dir = struct.pack("<HHI", 0x0000, 0x1772, 8) + b"\x00" * 8
+    stream = old_doc + new_doc + user_edit + persist_dir
+    # stream-order concatenation: the stale run rides along — the
+    # documented permanent limitation
+    assert ppt_text_from_stream(stream) == "stale run live text"
