@@ -37,6 +37,14 @@ failure never loses the core numbers):
   streaming pixel pipeline → dual sinks) in images/s with per-micro-batch
   latency, against the reference's ~1 image/s cadence. Disable with
   SPARK_GRAFT_BENCH_STREAM=0.
+
+All three timed tiers carry floor telemetry (r12): per-query
+``rep_curves`` + ``known_floors`` in BENCH_DETAIL, and
+``floor_violations`` (recorded > 1.5× proven floor → drift-suspect)
+echoed on the compact line, so a drift-inflated recording
+self-adjudicates from the artifact. BENCH_DETAIL.json must be
+COMMITTED alongside each BENCH_r{N}.json recording (the r11 detail
+was lost to an overwrite during judging).
 """
 
 from __future__ import annotations
@@ -67,7 +75,7 @@ SUPERLINEAR_BY_DESIGN = {
 
 def bench_tier(
     spark, sf_dir: str, bench_queries, warm: int, sweeps: int,
-    pick: str = "median",
+    pick: str = "median", floors: dict | None = None,
 ):
     """Interleaved round-robin sweeps with per-query medians (or minima).
 
@@ -79,6 +87,13 @@ def bench_tier(
     of MANY queries and the medians survive it. ``pick="min"`` (best-of-N)
     is for the expensive 100× tier, where sweeps are few and a stall can
     still dominate the median of 2-3.
+
+    Returns (timings, rep_curves, floor_violations) — the same floor
+    telemetry the sf10 recorder carries (r12, VERDICT r11 next #1: the
+    r11 +21% sf0.1 headline took two adjudication benches because the
+    headline roster had no floors/curves; now every tier self-reports).
+    A violation = recorded value > 1.5× the query's proven floor —
+    drift-suspect, not floor-quality.
     """
 
     def run_once(q) -> float:
@@ -86,6 +101,7 @@ def bench_tier(
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    floors = floors or {}
     for _ in range(warm):
         for q in bench_queries.values():
             run_once(q)
@@ -94,9 +110,65 @@ def bench_tier(
         for name, q in bench_queries.items():
             reps[name].append(run_once(q))
     if pick == "min":
-        return {n: round(min(r), 3) for n, r in reps.items()}
-    return {n: round(sorted(r)[sweeps // 2], 3) for n, r in reps.items()}
+        timings = {n: round(min(r), 3) for n, r in reps.items()}
+    else:
+        timings = {
+            n: round(sorted(r)[sweeps // 2], 3) for n, r in reps.items()
+        }
+    violations = {
+        n: round(timings[n] / floors[n], 2)
+        for n in timings
+        if n in floors and timings[n] > 1.5 * floors[n]
+    }
+    return (
+        timings,
+        {n: [round(x, 3) for x in r] for n, r in reps.items()},
+        violations,
+    )
 
+
+# Per-query floors at the sf0.1 headline tier: the MINIMUM recorded
+# value across every round's BENCH_r{N}.json (r1-r11, 7-10 windows per
+# query) — strong floors by the "floors are minima ever observed"
+# convention (bench-quiet-window ledger). A recording > 1.5× one of
+# these is host drift (or a regression) and self-reports on the
+# compact line instead of costing the judge two adjudication benches
+# (r12, VERDICT r11 next #1).
+SF01_KNOWN_FLOORS = {
+    "epic_pixel_gather": 0.37, "epic_light_curve": 0.92,
+    "q1_pricing_summary": 0.75, "q3_top_orders": 0.49,
+    "q5_region_revenue": 0.42, "q_events_hourly": 0.43,
+    "q_sessionize": 0.37, "minhash_signatures": 0.66,
+    "knn_cosine_ivf": 0.92, "decontaminate_13gram": 1.09,
+    "dedup_substring": 2.17, "image_near_dup": 2.30,
+    "pdf_extract": 1.80, "tar_roundtrip": 0.62,
+    "winnow_fingerprints": 0.22, "bm25_search": 0.20,
+    "unigram_nll": 0.50, "dedup_exact": 0.14,
+    "q_asof_prior_purchase": 0.47, "frame_sample": 0.19,
+    "q6_forecast_revenue": 0.15, "knn_cosine": 0.48,
+    "dedup_sentences": 1.37,
+}
+
+# Per-query floors at the 10× tier: PROVISIONAL single-window seeds
+# from the r11 judge adjudication bench (the only surviving sf1
+# per-query record — the r11 final-run BENCH_DETAIL was overwritten
+# during judging). They ratchet down as quieter windows observe lower
+# values; the 1.5× violation threshold absorbs the one-window
+# uncertainty.
+SF1_KNOWN_FLOORS = {
+    "bm25_search": 0.42, "decontaminate_13gram": 2.04,
+    "dedup_exact": 0.35, "dedup_sentences": 2.52,
+    "dedup_substring": 3.60, "epic_light_curve": 1.72,
+    "epic_pixel_gather": 1.15, "frame_sample": 0.33,
+    "image_near_dup": 5.14, "knn_cosine": 3.91,
+    "knn_cosine_ivf": 1.75, "minhash_signatures": 1.63,
+    "pdf_extract": 3.17, "q1_pricing_summary": 1.28,
+    "q3_top_orders": 1.48, "q5_region_revenue": 1.05,
+    "q6_forecast_revenue": 0.23, "q_asof_prior_purchase": 1.10,
+    "q_events_hourly": 1.70, "q_sessionize": 0.89,
+    "tar_roundtrip": 1.52, "unigram_nll": 1.11,
+    "winnow_fingerprints": 0.92,
+}
 
 # Proven per-query floors at the 100× tier (SCALING.md §5b/§5d/§5f:
 # repeated clean-window measurements, survived interleaved A/Bs). The
@@ -210,7 +282,10 @@ def main() -> None:
 
     # Warm sweeps: sweep 1 compiles plans, sweep 2 lets the C2 JIT settle on
     # the hash-heavy codegen — the timed sweeps then measure steady state.
-    timings = bench_tier(spark, sf_dir, bench_queries, warm=2, sweeps=5)
+    timings, curves01, violations01 = bench_tier(
+        spark, sf_dir, bench_queries, warm=2, sweeps=5,
+        floors=SF01_KNOWN_FLOORS,
+    )
 
     out = {
         "metric": "headline query wall time (noop sink, warm)",
@@ -218,6 +293,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r12: the same floor telemetry the sf10 recorder carries, so
+        # a drift-inflated headline self-adjudicates from the artifact
+        "rep_curves": curves01,
+        "known_floors": {
+            n: SF01_KNOWN_FLOORS[n]
+            for n in timings
+            if n in SF01_KNOWN_FLOORS
+        },
+        "floor_violations": violations01,
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
@@ -230,7 +314,10 @@ def main() -> None:
             t0 = time.perf_counter()
             make_scaled_dir(spark, sf_dir, sf1_dir, copies=10)
             gen_s = round(time.perf_counter() - t0, 1)
-            t1 = bench_tier(spark, sf1_dir, bench_queries, warm=1, sweeps=3)
+            t1, curves1, violations1 = bench_tier(
+                spark, sf1_dir, bench_queries, warm=1, sweeps=3,
+                floors=SF1_KNOWN_FLOORS,
+            )
             out["sf1"] = {
                 "queries": t1,
                 "total": round(sum(t1.values()), 3),
@@ -242,6 +329,13 @@ def main() -> None:
                     if timings.get(n)
                 },
                 "notes": SUPERLINEAR_BY_DESIGN,
+                "rep_curves": curves1,
+                "known_floors": {
+                    n: SF1_KNOWN_FLOORS[n]
+                    for n in t1
+                    if n in SF1_KNOWN_FLOORS
+                },
+                "floor_violations": violations1,
             }
         except Exception:
             out["sf1"] = {"error": traceback.format_exc(limit=3)}
@@ -343,8 +437,15 @@ def main() -> None:
                 if "total" in out[tier]
                 else {"error": "see detail"}
             )
-    # self-reported drift flag: a compact-line reader sees immediately
-    # when an sf10 number is NOT floor-quality
+    # self-reported drift flags: a compact-line reader sees immediately
+    # when a number on ANY tier is NOT floor-quality (r12: sf0.1 and
+    # sf1 join the sf10 telemetry)
+    if out.get("floor_violations"):
+        compact["floor_violations"] = out["floor_violations"]
+    if isinstance(out.get("sf1"), dict) and out["sf1"].get(
+        "floor_violations"
+    ):
+        compact["sf1"]["floor_violations"] = out["sf1"]["floor_violations"]
     if out.get("sf10", {}).get("floor_violations"):
         compact["sf10"]["floor_violations"] = out["sf10"]["floor_violations"]
     if isinstance(out.get("streaming"), dict):
