@@ -531,19 +531,19 @@ def _fmt_cell_number(v: float) -> str:
     return f"{v:.2f}"
 
 
-def xls_text_from_stream(book: bytes) -> str:
-    """BIFF walk → cell text: SST strings resolved through LABELSST
-    references, numeric cells (NUMBER, RK in all three encodings,
-    MULRK, FORMULA cached numeric results) rendered via the
-    integral-or-2-decimal convention, cells ordered by (row, col) and
-    joined with single spaces (empty strings drop). Honest subset:
-    single-record SST (no Continue-record string splits); FORMULA
-    cells whose cached value is a string/bool/error (0xFFFF marker)
-    surface nothing."""
+def xls_cells_from_stream(book: bytes) -> list:
+    """BIFF walk → typed cells [(row, col, kind, value_str)]: SST
+    strings resolved through LABELSST references (kind ``label``),
+    numeric cells (kind ``number`` / ``rk`` / ``mulrk`` / ``formula``)
+    rendered via the integral-or-2-decimal convention, ordered by
+    (row, col). Honest subset: single-record SST (no Continue-record
+    string splits); FORMULA cells whose cached value is a string/bool/
+    error (0xFFFF marker) surface nothing; LABELSST references outside
+    the SST drop."""
     import struct
 
     sst: list[str] = []
-    cells: list[tuple[int, int, str | int]] = []
+    cells: list[tuple[int, int, str, str | int]] = []
     i = 0
     while i + 4 <= len(book):
         op, ln = struct.unpack_from("<HH", book, i)
@@ -569,39 +569,46 @@ def xls_text_from_stream(book: bytes) -> str:
                     sst.append(raw.decode("latin-1"))
         elif op == 0x00FD and len(payload) >= 10:  # LABELSST
             rw, col, _ixfe, isst = struct.unpack_from("<HHHI", payload, 0)
-            cells.append((rw, col, isst))
+            cells.append((rw, col, "label", isst))
         elif op == 0x0203 and len(payload) >= 14:  # NUMBER
             rw, col, _ixfe = struct.unpack_from("<HHH", payload, 0)
             (v,) = struct.unpack_from("<d", payload, 6)
-            cells.append((rw, col, _fmt_cell_number(v)))
+            cells.append((rw, col, "number", _fmt_cell_number(v)))
         elif op == 0x027E and len(payload) >= 10:  # RK
             rw, col, _ixfe, u = struct.unpack_from("<HHHI", payload, 0)
-            cells.append((rw, col, _fmt_cell_number(_decode_rk(u))))
+            cells.append((rw, col, "rk", _fmt_cell_number(_decode_rk(u))))
         elif op == 0x00BD and len(payload) >= 12:  # MULRK
             rw, col_first = struct.unpack_from("<HH", payload, 0)
             n_rk = (len(payload) - 6) // 6
             for k in range(n_rk):
                 _ixfe, u = struct.unpack_from("<HI", payload, 4 + 6 * k)
                 cells.append(
-                    (rw, col_first + k, _fmt_cell_number(_decode_rk(u)))
+                    (rw, col_first + k, "mulrk",
+                     _fmt_cell_number(_decode_rk(u)))
                 )
         elif op == 0x0006 and len(payload) >= 14:  # FORMULA
             rw, col, _ixfe = struct.unpack_from("<HHH", payload, 0)
             # cached non-numeric results mark bytes 6-7 of num 0xFFFF
             if payload[12:14] != b"\xff\xff":
                 (v,) = struct.unpack_from("<d", payload, 6)
-                cells.append((rw, col, _fmt_cell_number(v)))
+                cells.append((rw, col, "formula", _fmt_cell_number(v)))
     out = []
-    for _rw, _col, val in sorted(cells, key=lambda c: (c[0], c[1])):
+    for rw, col, kind, val in sorted(cells, key=lambda c: (c[0], c[1])):
         if isinstance(val, int):
             if val >= len(sst):
                 continue
-            text = sst[val]
-        else:
-            text = val
-        if text != "":
-            out.append(text)
-    return " ".join(out)
+            val = sst[val]
+        out.append((rw, col, kind, val))
+    return out
+
+
+def xls_text_from_stream(book: bytes) -> str:
+    """Cell text view over :func:`xls_cells_from_stream`: values in
+    (row, col) order joined with single spaces, empty strings
+    dropped."""
+    return " ".join(
+        v for _rw, _col, _kind, v in xls_cells_from_stream(book) if v != ""
+    )
 
 
 def build_ppt_stream(text: str) -> bytes:
@@ -939,3 +946,57 @@ def parse_cfb_files(files: DataFrame, inflate_cap: int = 1 << 22) -> DataFrame:
             )
 
     return files.mapInPandas(gen, schema=CFB_SCHEMA)
+
+
+XLS_CELLS_SCHEMA = "doc_id long, row long, col long, kind string, value string"
+
+
+def xls_cells_files(files: DataFrame, inflate_cap: int = 1 << 22) -> DataFrame:
+    """(doc_id, data) compound files → one TYPED row per spreadsheet
+    cell (XLS_CELLS_SCHEMA): the legacy-workbook sibling of
+    ``xlsx_extract``'s table contract — row/col position, the BIFF
+    record family that carried the cell (label / number / rk / mulrk /
+    formula), and the rendered value. Non-workbook containers and
+    corrupt blobs drop (never crash the task).
+
+    Scale: one row-local Arrow pass — the container walk and BIFF walk
+    stay inside the worker, nothing shuffles."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from epic_stream_processor_spark.operators.cfb import (
+            parse_cfb,
+            xls_cells_from_stream,
+        )
+
+        cols = ["doc_id", "row", "col", "kind", "value"]
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                entries = parse_cfb(bytes(data), inflate_cap)
+                if entries is None:
+                    continue
+                by_name = {
+                    name: payload
+                    for name, etype, payload in entries
+                    if etype == 2
+                }
+                book = by_name.get("Workbook") or by_name.get("Book")
+                if book is None:
+                    continue
+                for rw, col, kind, val in xls_cells_from_stream(book):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "row": rw,
+                            "col": col,
+                            "kind": kind,
+                            "value": val,
+                        }
+                    )
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            )
+
+    return files.mapInPandas(gen, schema=XLS_CELLS_SCHEMA)

@@ -4285,6 +4285,67 @@ SELECT doc_id,
 FROM d
 """
 
+# --- Typed .xls cell table (round 12) ------------------------------------------------
+
+def q_xls_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed legacy-spreadsheet cells (round 12): the .xls counterpart
+    of xlsx_extract's table contract. Each xls-family document
+    (doc_id%3==1) becomes an OLE2 compound file whose Workbook stream
+    carries two LABELSST string cells (word halves) and one cell per
+    numeric record family — NUMBER, RK integer, RK x100, a MULRK run
+    (integer + truncated-double), FORMULA cached result — and the walk
+    surfaces each as a (doc_id, row, col, kind, value) row, values
+    rendered by the documented integral-or-2-decimal convention
+    (operators/cfb.py:xls_cells_from_stream).
+
+    Closed-form: every cell is a pure function of doc_id residues and
+    the word halves, so the oracle enumerates the eight expected rows
+    per document directly.
+
+    Scale: one row-local Arrow pass; container + BIFF walks never
+    leave the worker, zero shuffles.
+    """
+    from ..operators.cfb import docs_as_cfb, xls_cells_files
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    xls_docs = docs.where(F.col("doc_id") % 3 == 1)
+    return xls_cells_files(docs_as_cfb(xls_docs)).select(
+        "doc_id", "row", "col", "kind", "value"
+    )
+
+
+ORACLE_XLS_CELLS = r"""WITH d AS (
+  SELECT doc_id,
+         regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id % 3 = 1
+), s AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(t, ' ') END AS w
+  FROM d
+), h AS (
+  SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM s
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS row, CAST(0 AS BIGINT) AS col,
+       'label' AS kind, array_to_string(w[1:k], ' ') AS value
+FROM h
+UNION ALL
+SELECT doc_id, 0, 1, 'label', array_to_string(w[k+1:n], ' ') FROM h
+UNION ALL
+SELECT doc_id, 1, 0, 'number', CAST(3 * doc_id AS VARCHAR) FROM d
+UNION ALL
+SELECT doc_id, 1, 1, 'rk', CAST(7 * (doc_id % 1000000) AS VARCHAR) FROM d
+UNION ALL
+SELECT doc_id, 1, 2, 'rk', (doc_id % 1000) || '.25' FROM d
+UNION ALL
+SELECT doc_id, 1, 3, 'mulrk', CAST((doc_id % 1000) + 1 AS VARCHAR) FROM d
+UNION ALL
+SELECT doc_id, 1, 4, 'mulrk', (doc_id % 1000) || '.50' FROM d
+UNION ALL
+SELECT doc_id, 1, 5, 'formula', CAST(2 * doc_id + 1 AS VARCHAR) FROM d
+"""
+
 # --- Office ingest capstone (round 11) -----------------------------------------------
 
 def q_office_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -493,6 +493,15 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # live here rather than silently past the cap (the corpus_sample_split
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
+    # --- added round 12 ---
+    "xls_cells": QueryDef(
+        corpus.q_xls_cells, corpus.ORACLE_XLS_CELLS,
+        "typed legacy-spreadsheet cells (round 12): the .xls sibling "
+        "of xlsx_extract's table contract — (doc_id, row, col, kind, "
+        "value) per cell through every BIFF record family (LABELSST, "
+        "NUMBER, RK int/x100/double, MULRK, FORMULA cached); "
+        "row-local Arrow, closed-form residue oracle",
+    ),
     # --- displaced round 12 (see QUERIES rotation note): 3 green
     # driver rows each; rtf's shape stays driver-proven inside
     # office_ingest ---

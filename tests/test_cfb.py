@@ -527,3 +527,42 @@ def test_ppt_persist_directory_not_chased_is_pinned():
     # stream-order concatenation: the stale run rides along — the
     # documented permanent limitation
     assert ppt_text_from_stream(stream) == "stale run live text"
+
+
+def test_xls_cells_typed_table(spark):
+    """r12: the typed .xls cell table — one row per cell with the BIFF
+    record family as kind; non-workbook containers (doc/ppt families)
+    and corrupt blobs produce no rows."""
+    from epic_stream_processor_spark.operators.cfb import (
+        docs_as_cfb,
+        xls_cells_files,
+    )
+
+    cases = [
+        (1, "north south east west"),  # xls
+        (4, None),                     # xls, empty halves still cells
+        (3, "a word doc"),             # doc family: no rows
+        (2, "a slide deck"),           # ppt family: no rows
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    rows = xls_cells_files(docs_as_cfb(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["row"], r["col"], r["kind"], r["value"])
+        )
+    assert set(by_doc) == {1, 4}
+    assert sorted(by_doc[1]) == [
+        (0, 0, "label", "north south"),
+        (0, 1, "label", "east west"),
+        (1, 0, "number", "3"),
+        (1, 1, "rk", "7"),
+        (1, 2, "rk", "1.25"),
+        (1, 3, "mulrk", "2"),
+        (1, 4, "mulrk", "1.50"),
+        (1, 5, "formula", "3"),
+    ]
+    # empty text: both label cells exist with empty values
+    assert (0, 0, "label", "") in by_doc[4]
+    assert (0, 1, "label", "") in by_doc[4]
+    assert (1, 0, "number", "12") in by_doc[4]
