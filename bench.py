@@ -160,13 +160,13 @@ SF1_KNOWN_FLOORS = {
     "dedup_exact": 0.35, "dedup_sentences": 2.52,
     "dedup_substring": 3.60, "epic_light_curve": 1.72,
     "epic_pixel_gather": 1.15, "frame_sample": 0.33,
-    "image_near_dup": 5.14, "knn_cosine": 3.91,
+    "image_near_dup": 5.01, "knn_cosine": 3.91,
     "knn_cosine_ivf": 1.75, "minhash_signatures": 1.63,
-    "pdf_extract": 3.17, "q1_pricing_summary": 1.28,
+    "pdf_extract": 3.17, "q1_pricing_summary": 1.20,
     "q3_top_orders": 1.48, "q5_region_revenue": 1.05,
     "q6_forecast_revenue": 0.23, "q_asof_prior_purchase": 1.10,
     "q_events_hourly": 1.70, "q_sessionize": 0.89,
-    "tar_roundtrip": 1.52, "unigram_nll": 1.11,
+    "tar_roundtrip": 1.38, "unigram_nll": 1.11,
     "winnow_fingerprints": 0.92,
 }
 
@@ -192,7 +192,7 @@ SF10_KNOWN_FLOORS = {
     #                                floors are MINIMA, SCALING r11 note)
     "image_near_dup": 12.5,        # §2d r8 quiet-window re-measure floors
     "dedup_substring": 10.9,       # r9 recorded floor; r10 drift-prone
-    "dedup_sentences": 7.5,        # r11 full-bench window beat the r9
+    "dedup_sentences": 7.3,        # r12 recording beat the r11 floor
     #                                floor (7.542 recorded) — floors are
     #                                minima, ratcheted down
 }
