@@ -135,38 +135,37 @@ def bench_tier(
 # compact line instead of costing the judge two adjudication benches
 # (r12, VERDICT r11 next #1).
 SF01_KNOWN_FLOORS = {
-    "epic_pixel_gather": 0.37, "epic_light_curve": 0.92,
-    "q1_pricing_summary": 0.75, "q3_top_orders": 0.49,
+    "epic_pixel_gather": 0.37, "epic_light_curve": 0.89,
+    "q1_pricing_summary": 0.75, "q3_top_orders": 0.47,
     "q5_region_revenue": 0.42, "q_events_hourly": 0.43,
     "q_sessionize": 0.37, "minhash_signatures": 0.66,
     "knn_cosine_ivf": 0.92, "decontaminate_13gram": 1.09,
-    "dedup_substring": 2.17, "image_near_dup": 2.30,
+    "dedup_substring": 1.98, "image_near_dup": 2.27,
     "pdf_extract": 1.80, "tar_roundtrip": 0.62,
-    "winnow_fingerprints": 0.22, "bm25_search": 0.20,
-    "unigram_nll": 0.50, "dedup_exact": 0.14,
+    "winnow_fingerprints": 0.20, "bm25_search": 0.20,
+    "unigram_nll": 0.49, "dedup_exact": 0.14,
     "q_asof_prior_purchase": 0.47, "frame_sample": 0.19,
-    "q6_forecast_revenue": 0.15, "knn_cosine": 0.48,
-    "dedup_sentences": 1.37,
+    "q6_forecast_revenue": 0.15, "knn_cosine": 0.46,
+    "dedup_sentences": 1.32,
 }
 
-# Per-query floors at the 10× tier: PROVISIONAL single-window seeds
-# from the r11 judge adjudication bench (the only surviving sf1
-# per-query record — the r11 final-run BENCH_DETAIL was overwritten
-# during judging). They ratchet down as quieter windows observe lower
-# values; the 1.5× violation threshold absorbs the one-window
-# uncertainty.
+# Per-query floors at the 10× tier: seeded from the r11 judge
+# adjudication bench, then ratcheted to the r12 Window-B full-bench
+# minima (12 queries lowered; see SCALING.md r12 recording note).
+# They keep ratcheting down as quieter windows observe lower values;
+# the 1.5× violation threshold absorbs single-window uncertainty.
 SF1_KNOWN_FLOORS = {
-    "bm25_search": 0.42, "decontaminate_13gram": 2.04,
-    "dedup_exact": 0.35, "dedup_sentences": 2.52,
-    "dedup_substring": 3.60, "epic_light_curve": 1.72,
-    "epic_pixel_gather": 1.15, "frame_sample": 0.33,
-    "image_near_dup": 5.01, "knn_cosine": 3.91,
-    "knn_cosine_ivf": 1.75, "minhash_signatures": 1.63,
-    "pdf_extract": 3.17, "q1_pricing_summary": 1.20,
-    "q3_top_orders": 1.48, "q5_region_revenue": 1.05,
+    "bm25_search": 0.42, "decontaminate_13gram": 1.82,
+    "dedup_exact": 0.35, "dedup_sentences": 2.13,
+    "dedup_substring": 3.57, "epic_light_curve": 1.68,
+    "epic_pixel_gather": 1.07, "frame_sample": 0.29,
+    "image_near_dup": 4.53, "knn_cosine": 3.91,
+    "knn_cosine_ivf": 1.59, "minhash_signatures": 1.63,
+    "pdf_extract": 3.00, "q1_pricing_summary": 1.20,
+    "q3_top_orders": 1.48, "q5_region_revenue": 1.04,
     "q6_forecast_revenue": 0.23, "q_asof_prior_purchase": 1.10,
-    "q_events_hourly": 1.70, "q_sessionize": 0.89,
-    "tar_roundtrip": 1.38, "unigram_nll": 1.11,
+    "q_events_hourly": 1.63, "q_sessionize": 0.89,
+    "tar_roundtrip": 1.23, "unigram_nll": 1.11,
     "winnow_fingerprints": 0.92,
 }
 
