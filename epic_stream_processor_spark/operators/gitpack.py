@@ -1,0 +1,614 @@
+"""Git object store — loose objects and packfiles, the container every
+code-corpus pipeline (The Stack, CodeParrot lineage) actually ingests:
+a crawl of source repositories arrives as ``.pack`` files, not files
+on disk.
+
+Everything from the public Git formats documentation
+(gitformat-pack(5), gitformat-loose(5), object storage docs):
+
+- **Loose objects**: ``zlib(b"{type} {size}\\x00" + content)``; the
+  object id is the SHA-1 of the *uncompressed* header+content.
+- **Packfile v2**: ``PACK`` magic, u32 version, u32 object count,
+  then per object a type+size varint (3 type bits in the first byte,
+  4 low size bits, 7-bit continuations), for OFS_DELTA a big-endian
+  base-128 negative offset with the +1 bias per continuation byte,
+  for REF_DELTA a raw 20-byte base id, then a zlib stream; the file
+  ends with the SHA-1 of everything before it (verified here).
+- **Delta format**: base-size and result-size varints (little-endian
+  7-bit groups), then copy instructions (MSB set; bits 0-3 pick
+  offset bytes, bits 4-6 size bytes, size 0 → 0x10000) and insert
+  instructions (literal runs); opcode 0 is reserved → corrupt.
+- **Commit / tree payloads**: ``tree``/``parent``/``author``/
+  ``committer`` header lines then the message; tree entries are
+  ``{mode} {name}\\x00`` + 20 raw id bytes in git's mode-aware sort
+  order (directories sort as ``name/``).
+
+The writer synthesizes one small repository per shard of 8 documents
+— a blob per document, a tree listing ``doc_{id}.txt`` entries, one
+commit — and packs blobs as a mix of full objects, OFS_DELTA, and
+REF_DELTA (deltas encoded against the previous document's blob with a
+real common-prefix-copy + insert encoder), so the reader's whole
+resolution surface rides every shard.
+
+Corruption posture (untrusted front door): pack trailer SHA-1
+verified before any object parse; every inflate is capped by the
+declared size (+1 slack to detect lies) and the declared size by a
+budget; delta chains cap at depth 50 (git's own limit); copy spans
+are bounds-checked against the actual base; object walks stop at the
+blob's end regardless of the header's claimed count. Anything off →
+drop the pack, never crash, never over-allocate.
+
+Foreign-implementation pin: git ITSELF ships in this container, so
+``tests/test_gitpack.py`` round-trips both directions — packs this
+module writes must pass ``git index-pack --strict`` and ``git
+cat-file`` back byte-exact, and packs ``git pack-objects`` writes
+(including its own delta choices) must parse here, object ids
+matching git's.
+
+Scale: the writer pays the one shard-keyed groupBy every group
+writer pays; the reader is a row-local Arrow pass — a pack never
+leaves its worker, the tree→blob reassembly happens inside the
+per-pack parse (no sha-keyed shuffle join), and delta resolution
+touches only in-pack bases. At crawl scale each row is one
+repository pack from a binaryFile scan.
+
+Reference note: no VCS surface exists in the astronomy reference;
+LLM-data-pipeline extension (code-corpus ingestion) from the public
+Git format docs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OBJ_COMMIT, OBJ_TREE, OBJ_BLOB, OBJ_TAG = 1, 2, 3, 4
+OBJ_OFS_DELTA, OBJ_REF_DELTA = 6, 7
+_KIND = {OBJ_COMMIT: "commit", OBJ_TREE: "tree", OBJ_BLOB: "blob",
+         OBJ_TAG: "tag"}
+
+MAX_DELTA_DEPTH = 50  # git's own chain limit
+SIZE_CAP = 1 << 26  # 64 MiB per object at fixture scale; a pack row
+# carrying more is rejected, not inflated
+
+
+class _Corrupt(Exception):
+    pass
+
+
+def obj_id(kind: str, content: bytes) -> bytes:
+    """Loose-object SHA-1 over the uncompressed header+content."""
+    h = hashlib.sha1()
+    h.update(b"%s %d\x00" % (kind.encode(), len(content)))
+    h.update(content)
+    return h.digest()
+
+
+def build_loose(kind: str, content: bytes) -> bytes:
+    return zlib.compress(b"%s %d\x00" % (kind.encode(), len(content))
+                         + content)
+
+
+def parse_loose(blob: bytes, size_cap: int = SIZE_CAP) -> Optional[tuple[str, bytes]]:
+    """Loose-object bytes → (kind, content) or None."""
+    try:
+        raw = zlib.decompress(blob, bufsize=16384)
+        if len(raw) > size_cap:
+            return None
+        nul = raw.index(b"\x00")
+        kind, _, size_s = raw[:nul].partition(b" ")
+        if kind not in (b"commit", b"tree", b"blob", b"tag"):
+            return None
+        content = raw[nul + 1 :]
+        if int(size_s) != len(content):
+            return None
+        return kind.decode(), content
+    except (zlib.error, ValueError):
+        return None
+
+
+# --- pack varints ---------------------------------------------------------
+
+
+def _type_size_header(kind: int, size: int) -> bytes:
+    b0 = (kind << 4) | (size & 0x0F)
+    size >>= 4
+    out = bytearray()
+    while size:
+        out.append(b0 | 0x80)
+        b0 = size & 0x7F
+        size >>= 7
+    out.append(b0)
+    return bytes(out)
+
+
+def _le7(n: int) -> bytes:
+    """Delta-format size varint: little-endian 7-bit groups."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ofs_encode(ofs: int) -> bytes:
+    """OFS_DELTA negative-offset encoding: big-endian 7-bit groups,
+    every byte but the last biased by +1 on the accumulated value."""
+    out = [ofs & 0x7F]
+    ofs >>= 7
+    while ofs:
+        ofs -= 1
+        out.append(0x80 | (ofs & 0x7F))
+        ofs >>= 7
+    return bytes(reversed(out))
+
+
+# --- delta encode (common-prefix copy + insert) ---------------------------
+
+
+def encode_delta(base: bytes, target: bytes) -> bytes:
+    """A real (if greedy) delta: copy the longest common prefix, then
+    insert the remainder in ≤127-byte literal runs."""
+    n = 0
+    limit = min(len(base), len(target))
+    while n < limit and base[n] == target[n]:
+        n += 1
+    out = bytearray(_le7(len(base)) + _le7(len(target)))
+    pos = 0
+    while n - pos > 0:  # copy spans cap at 0xFFFFFF per instruction
+        span = min(n - pos, 0xFFFFFF)
+        op = 0x80
+        args = bytearray()
+        for shift in range(4):  # offset bytes (bits 0-3)
+            byte = (pos >> (8 * shift)) & 0xFF
+            if byte:
+                op |= 1 << shift
+                args.append(byte)
+        for shift in range(3):  # size bytes (bits 4-6)
+            byte = (span >> (8 * shift)) & 0xFF
+            if byte:
+                op |= 1 << (4 + shift)
+                args.append(byte)
+        out.append(op)
+        out += args
+        pos += span
+    rest = target[n:]
+    for lo in range(0, len(rest), 127):
+        chunk = rest[lo : lo + 127]
+        out.append(len(chunk))
+        out += chunk
+    return bytes(out)
+
+
+def apply_delta(base: bytes, delta: bytes, size_cap: int = SIZE_CAP) -> bytes:
+    i = 0
+
+    def le7() -> int:
+        nonlocal i
+        u = shift = 0
+        while True:
+            if i >= len(delta) or shift > 63:
+                raise _Corrupt("delta varint")
+            b = delta[i]
+            i += 1
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return u
+            shift += 7
+
+    base_size = le7()
+    result_size = le7()
+    if base_size != len(base) or result_size > size_cap:
+        raise _Corrupt("delta sizes")
+    out = bytearray()
+    while i < len(delta):
+        op = delta[i]
+        i += 1
+        if op & 0x80:  # copy
+            ofs = size = 0
+            for shift in range(4):
+                if op & (1 << shift):
+                    if i >= len(delta):
+                        raise _Corrupt("copy args")
+                    ofs |= delta[i] << (8 * shift)
+                    i += 1
+            for shift in range(3):
+                if op & (1 << (4 + shift)):
+                    if i >= len(delta):
+                        raise _Corrupt("copy args")
+                    size |= delta[i] << (8 * shift)
+                    i += 1
+            if size == 0:
+                size = 0x10000
+            if ofs + size > len(base):
+                raise _Corrupt("copy span")
+            out += base[ofs : ofs + size]
+        elif op:  # insert
+            if i + op > len(delta):
+                raise _Corrupt("insert run")
+            out += delta[i : i + op]
+            i += op
+        else:
+            raise _Corrupt("reserved opcode")
+        if len(out) > result_size:
+            raise _Corrupt("result overrun")
+    if len(out) != result_size:
+        raise _Corrupt("result size")
+    return bytes(out)
+
+
+# --- pack write -----------------------------------------------------------
+
+
+def build_pack(
+    objects: list[tuple[str, bytes]],
+    deltas: Optional[dict[int, tuple[int, str]]] = None,
+) -> bytes:
+    """objects: [(kind, content)] in layout order. ``deltas`` maps an
+    object index to (base index earlier in the list, 'ofs'|'ref') —
+    that object is stored as a delta against the base. Returns the
+    packfile with its SHA-1 trailer."""
+    deltas = deltas or {}
+    out = bytearray(b"PACK" + struct.pack(">II", 2, len(objects)))
+    offsets: list[int] = []
+    for idx, (kind, content) in enumerate(objects):
+        offsets.append(len(out))
+        if idx in deltas:
+            base_idx, style = deltas[idx]
+            if not 0 <= base_idx < idx:
+                raise ValueError("delta base must precede the object")
+            delta = encode_delta(objects[base_idx][1], content)
+            if style == "ofs":
+                out += _type_size_header(OBJ_OFS_DELTA, len(delta))
+                out += _ofs_encode(offsets[idx] - offsets[base_idx])
+            else:
+                out += _type_size_header(OBJ_REF_DELTA, len(delta))
+                bk, bc = objects[base_idx]
+                out += obj_id(bk, bc)
+            out += zlib.compress(delta)
+        else:
+            kid = {"commit": OBJ_COMMIT, "tree": OBJ_TREE,
+                   "blob": OBJ_BLOB, "tag": OBJ_TAG}[kind]
+            out += _type_size_header(kid, len(content))
+            out += zlib.compress(content)
+    out += hashlib.sha1(out).digest()
+    return bytes(out)
+
+
+# --- pack read ------------------------------------------------------------
+
+
+def parse_pack(
+    blob: bytes, size_cap: int = SIZE_CAP
+) -> Optional[list[tuple[str, bytes, bytes, str, int]]]:
+    """Packfile → [(id_hex, kind, content, packed_as, depth)] or None.
+    packed_as ∈ {'full','ofs_delta','ref_delta'}; depth is the delta
+    chain length. Trailer SHA-1 verified first; all walks bounded."""
+    try:
+        if len(blob) < 32 or blob[:4] != b"PACK":
+            raise _Corrupt("magic")
+        version, count = struct.unpack(">II", blob[4:12])
+        if version != 2:
+            raise _Corrupt("version")
+        if hashlib.sha1(blob[:-20]).digest() != blob[-20:]:
+            raise _Corrupt("trailer sha1")
+        body_end = len(blob) - 20
+        i = 12
+        # first pass: inflate every entry, record delta references
+        entries: list[dict] = []
+        by_offset: dict[int, int] = {}
+        for _ in range(count):
+            if i >= body_end:
+                raise _Corrupt("truncated entry")
+            start = i
+            b = blob[i]
+            i += 1
+            kind = (b >> 4) & 7
+            size = b & 0x0F
+            shift = 4
+            while b & 0x80:
+                if i >= body_end or shift > 60:
+                    raise _Corrupt("size varint")
+                b = blob[i]
+                i += 1
+                size |= (b & 0x7F) << shift
+                shift += 7
+            if size > size_cap:
+                raise _Corrupt("size cap")
+            base_ref: Optional[object] = None
+            if kind == OBJ_OFS_DELTA:
+                ofs, i = _ofs_decode(blob, i, body_end)
+                base_ref = start - ofs
+                if not 0 <= base_ref < start:
+                    raise _Corrupt("ofs out of range")
+            elif kind == OBJ_REF_DELTA:
+                if i + 20 > body_end:
+                    raise _Corrupt("ref id")
+                base_ref = blob[i : i + 20]
+                i += 20
+            elif kind not in _KIND:
+                raise _Corrupt("kind")
+            d = zlib.decompressobj()
+            # memoryview: no per-object copy of the pack remainder
+            data = d.decompress(memoryview(blob)[i:body_end], size + 1)
+            if not d.eof or len(data) != size:
+                raise _Corrupt("inflate")
+            i = body_end - len(d.unused_data)
+            entries.append(
+                {"offset": start, "kind": kind, "data": data,
+                 "base": base_ref}
+            )
+            by_offset[start] = len(entries) - 1
+        # second pass: resolve deltas (bases always precede, so one
+        # forward sweep terminates; depth capped anyway)
+        by_id: dict[bytes, int] = {}
+        resolved: list[Optional[tuple[str, bytes, str, int]]] = [None] * len(entries)
+
+        def resolve(idx: int, depth: int) -> tuple[str, bytes, str, int]:
+            if resolved[idx] is not None:
+                return resolved[idx]
+            if depth > MAX_DELTA_DEPTH:
+                raise _Corrupt("delta depth")
+            e = entries[idx]
+            if e["kind"] in _KIND:
+                out = (_KIND[e["kind"]], e["data"], "full", 0)
+            else:
+                if e["kind"] == OBJ_OFS_DELTA:
+                    bidx = by_offset.get(e["base"])
+                else:
+                    bidx = by_id.get(e["base"])
+                    if bidx is None:
+                        # forward sweep hasn't hashed it yet (ref to a
+                        # later object is illegal anyway)
+                        for j in range(idx):
+                            k, c, _, _ = resolve(j, depth + 1)
+                            if obj_id(k, c) == e["base"]:
+                                bidx = j
+                                break
+                if bidx is None or bidx == idx:
+                    raise _Corrupt("missing delta base")
+                bkind, bcontent, _, bdepth = resolve(bidx, depth + 1)
+                if bdepth + 1 > MAX_DELTA_DEPTH:
+                    # the recursion arg alone can't see chain length:
+                    # cached bases resolve at recursion depth 1, so the
+                    # cap must ride the accumulated chain depth
+                    raise _Corrupt("delta depth")
+                content = apply_delta(bcontent, e["data"], size_cap)
+                style = ("ofs_delta" if e["kind"] == OBJ_OFS_DELTA
+                         else "ref_delta")
+                out = (bkind, content, style, bdepth + 1)
+            resolved[idx] = out
+            by_id[obj_id(out[0], out[1])] = idx
+            return out
+
+        result = []
+        for idx in range(len(entries)):
+            kind_s, content, packed_as, depth = resolve(idx, 0)
+            result.append(
+                (obj_id(kind_s, content).hex(), kind_s, content,
+                 packed_as, depth)
+            )
+        return result
+    except (_Corrupt, zlib.error, struct.error, RecursionError):
+        return None
+
+
+def _ofs_decode(blob: bytes, i: int, end: int) -> tuple[int, int]:
+    """Decode an OFS_DELTA offset starting at ``i`` (big-endian 7-bit
+    groups, +1 bias per continuation); returns (offset, next index)."""
+    ofs = 0
+    first = True
+    while True:
+        if i >= end or (not first and ofs >= 1 << 56):
+            raise _Corrupt("ofs varint")
+        b = blob[i]
+        i += 1
+        if first:
+            ofs = b & 0x7F
+            first = False
+        else:
+            ofs = ((ofs + 1) << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return ofs, i
+
+
+# --- commit / tree payloads -----------------------------------------------
+
+
+def build_tree(entries: list[tuple[str, str, bytes]]) -> bytes:
+    """[(mode, name, id20)] → tree payload in git's sort order
+    (directories compare as ``name/``)."""
+
+    def sort_key(e):
+        mode, name, _ = e
+        return name + ("/" if mode == "40000" else "")
+
+    out = bytearray()
+    for mode, name, oid in sorted(entries, key=sort_key):
+        out += b"%s %s\x00" % (mode.encode(), name.encode())
+        out += oid
+    return bytes(out)
+
+
+def parse_tree(content: bytes) -> Optional[list[tuple[str, str, str]]]:
+    """tree payload → [(mode, name, id_hex)] or None."""
+    out = []
+    i = 0
+    try:
+        while i < len(content):
+            sp = content.index(b" ", i)
+            nul = content.index(b"\x00", sp)
+            if nul + 21 > len(content):
+                return None
+            mode = content[i:sp].decode("ascii")
+            name = content[sp + 1 : nul].decode("utf-8", "replace")
+            out.append((mode, name, content[nul + 1 : nul + 21].hex()))
+            i = nul + 21
+        return out
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def build_commit(
+    tree_hex: str,
+    author: str,
+    email: str,
+    ts: int,
+    message: str,
+    parents: list[str] | None = None,
+) -> bytes:
+    lines = [b"tree " + tree_hex.encode()]
+    for p in parents or []:
+        lines.append(b"parent " + p.encode())
+    sig = "%s <%s> %d +0000" % (author, email, ts)
+    lines.append(b"author " + sig.encode())
+    lines.append(b"committer " + sig.encode())
+    return b"\n".join(lines) + b"\n\n" + message.encode()
+
+
+def parse_commit(content: bytes) -> Optional[dict]:
+    """commit payload → {tree, parents, author_name, author_email,
+    author_ts, message} or None."""
+    try:
+        head, _, message = content.partition(b"\n\n")
+        out = {"parents": [], "tree": None, "author_name": None,
+               "author_email": None, "author_ts": None,
+               "message": message.decode("utf-8", "replace")}
+        for line in head.split(b"\n"):
+            if line.startswith(b"tree "):
+                out["tree"] = line[5:].decode("ascii")
+            elif line.startswith(b"parent "):
+                out["parents"].append(line[7:].decode("ascii"))
+            elif line.startswith(b"author "):
+                sig = line[7:].decode("utf-8", "replace")
+                lt = sig.index("<")
+                gt = sig.index(">")
+                out["author_name"] = sig[:lt].strip()
+                out["author_email"] = sig[lt + 1 : gt]
+                out["author_ts"] = int(sig[gt + 1 :].split()[0])
+        if out["tree"] is None or out["author_ts"] is None:
+            return None
+        return out
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+# --- Spark plumbing -------------------------------------------------------
+
+SHARD_DOCS = 8
+AUTHOR, EMAIL = "Epic Pipeline", "pipeline@example.com"
+TS0 = 1700000000
+
+
+def docs_as_git_pack(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(shard_id, data): shards of 8 documents as one packfile each —
+    per shard: 8 blobs (doc texts; first full, odd positions
+    REF_DELTA and even positions ≥2 OFS_DELTA against the previous
+    blob), one tree of ``doc_{id}.txt`` entries, one commit."""
+    rows = docs.select(
+        (F.col(id_col) / SHARD_DOCS).cast("long").alias("shard_id"),
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    shards = rows.groupBy("shard_id").agg(
+        F.array_sort(F.collect_list(F.struct("id", "text"))).alias("recs")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for sid, recs in zip(pdf["shard_id"], pdf["recs"]):
+                objects: list[tuple[str, bytes]] = []
+                deltas: dict[int, tuple[int, str]] = {}
+                tree_entries = []
+                for pos, r in enumerate(recs):
+                    content = r["text"].encode("utf-8")
+                    objects.append(("blob", content))
+                    if pos >= 1:
+                        deltas[pos] = (
+                            pos - 1, "ref" if pos % 2 else "ofs"
+                        )
+                    tree_entries.append(
+                        ("100644", "doc_%d.txt" % r["id"],
+                         obj_id("blob", content))
+                    )
+                tree = build_tree(tree_entries)
+                objects.append(("tree", tree))
+                commit = build_commit(
+                    obj_id("tree", tree).hex(), AUTHOR, EMAIL,
+                    TS0 + int(sid),
+                    "shard %d snapshot" % int(sid),
+                )
+                objects.append(("commit", commit))
+                blobs.append(build_pack(objects, deltas))
+            yield pd.DataFrame(
+                {"shard_id": pdf["shard_id"].astype("int64"), "data": blobs}
+            )
+
+    return shards.mapInPandas(gen, schema="shard_id long, data binary")
+
+
+def read_git_pack_files(files: DataFrame) -> DataFrame:
+    """(shard_id, data) packfiles → one row per tree file entry joined
+    to its blob INSIDE the per-pack parse (no sha-keyed shuffle):
+    (doc_id, shard_id, path, packed_as, delta_depth, n_chars_text,
+    commit_msg, author_ts). Invalid packs drop whole."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "shard_id", "path", "packed_as", "delta_depth",
+                "n_chars_text", "commit_msg", "author_ts"]
+        for pdf in batches:
+            out = []
+            for sid, blob in zip(pdf["shard_id"], pdf["data"]):
+                objs = parse_pack(bytes(blob))
+                if objs is None:
+                    continue
+                by_id = {o[0]: o for o in objs}
+                commits = [o for o in objs if o[1] == "commit"]
+                if len(commits) != 1:
+                    continue
+                c = parse_commit(commits[0][2])
+                if c is None:
+                    continue
+                tree = by_id.get(c["tree"])
+                if tree is None or tree[1] != "tree":
+                    continue
+                entries = parse_tree(tree[2]) or []
+                for mode, name, oid in entries:
+                    b = by_id.get(oid)
+                    if b is None or b[1] != "blob" or mode != "100644":
+                        continue
+                    if not (name.startswith("doc_") and name.endswith(".txt")):
+                        continue
+                    out.append(
+                        (
+                            int(name[4:-4]),
+                            int(sid),
+                            name,
+                            b[3],
+                            b[4],
+                            len(b[2].decode("utf-8", "replace")),
+                            c["message"],
+                            c["author_ts"],
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, shard_id long, path string, packed_as string, "
+            "delta_depth int, n_chars_text long, commit_msg string, "
+            "author_ts long"
+        ),
+    )

@@ -1,0 +1,351 @@
+"""NumPy ``.npy`` / ``.npz`` files — the interchange format embedding
+pipelines actually ship vectors in (faiss index builds, sentence-
+transformer dumps, DSIR importance weights all round-trip through
+``np.save``/``np.savez``).
+
+Both sides from the public NumPy format spec (NEP 1 / numpy.lib.format
+docs):
+
+- ``.npy``: ``\\x93NUMPY`` magic, (major, minor) version, a
+  little-endian header length (u16 for 1.0, u32 for 2.0/3.0), a
+  Python-dict-literal header (``descr``/``fortran_order``/``shape``)
+  padded so the data start is 64-byte aligned, then the raw array
+  bytes. The header is parsed with ``ast.literal_eval`` (safe literal
+  parser, never ``eval``) after a hard length cap.
+- ``.npz``: an ordinary ZIP of ``<name>.npy`` members — STORED for
+  ``np.savez``, DEFLATE for ``np.savez_compressed``; this module
+  writes both (alternating per shard) and reads both.
+
+Supported dtype subset (covers every array this engine produces):
+little-endian/native ``f4 f8 i1 i2 i4 i8 u1 u2 u4 u8`` plus ``|b1``.
+Big-endian descrs are byteswapped on read (numpy does the same);
+object/structured/datetime descrs drop the member — documented, the
+pickle path (``allow_pickle``) is deliberately NOT implemented because
+unpickling untrusted bytes is code execution.
+
+Bomb posture (the standing codec budget): header length is capped
+before the literal parse, the shape product must equal the actual
+payload byte count exactly (a declared shape cannot allocate beyond
+the bytes present), DEFLATE members inflate with a cap derived from
+the declared uncompressed size, and the member walk is bounded by the
+central directory's own entry count.
+
+Foreign-implementation pin: numpy itself ships in this container, so
+``tests/test_npyfile.py`` round-trips BOTH directions against
+``np.save``/``np.load``/``np.savez`` — files numpy writes (v1/v2/v3
+headers, fortran order, big-endian) must parse byte-exact, and numpy
+must load this module's files back.
+
+Scale: the writer pays the one shard-keyed groupBy every group writer
+pays; the reader is a row-local Arrow pass (an archive never leaves
+its worker, nothing shuffles).
+
+Reference note: no serialization surface exists in the astronomy
+reference (its pandas/NumPy use is in-memory only); LLM-data-pipeline
+extension from the public NumPy format spec.
+"""
+
+from __future__ import annotations
+
+import ast
+import struct
+import zlib
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"\x93NUMPY"
+
+# dtype charcode+size → numpy dtype string (little-endian canonical)
+_SUPPORTED = {
+    "f4", "f8", "i1", "i2", "i4", "i8", "u1", "u2", "u4", "u8", "b1",
+}
+
+HEADER_CAP = 1 << 20  # spec allows 4 GiB in v2; a metadata dict this
+# large is an attack, not a header
+
+
+class _Corrupt(Exception):
+    pass
+
+
+def _canon_descr(descr: str) -> Optional[tuple[str, bool]]:
+    """'<f4' → ('f4', False); '>i8' → ('i8', True swap); None if out of
+    the supported subset (object/structured/datetime/pickle)."""
+    if not isinstance(descr, str) or len(descr) < 2:
+        return None
+    order, code = descr[0], descr[1:]
+    if order not in "<>|=":
+        # bare 'f8'-style descrs (no order char) are legal for 1-byte
+        # types only; treat anything else as out of subset
+        order, code = "|", descr
+    if code not in _SUPPORTED:
+        return None
+    swap = order == ">" and not code.endswith("1") and code != "b1"
+    return code, swap
+
+
+def build_npy(
+    arr: np.ndarray, version: int = 1, fortran: bool = False
+) -> bytes:
+    """Spec-built .npy for a C-contiguous array of a supported dtype.
+    ``fortran=True`` writes the transposed-layout flag (and the
+    F-ordered bytes) the way ``np.save`` does for F-contiguous input."""
+    if fortran:
+        arr = np.asfortranarray(arr)
+        body = arr.tobytes(order="F")
+    else:
+        arr = np.ascontiguousarray(arr)
+        body = arr.tobytes(order="C")
+    descr = "<" + arr.dtype.str[1:] if arr.dtype.itemsize > 1 else arr.dtype.str
+    header = (
+        "{'descr': '%s', 'fortran_order': %s, 'shape': %s, }"
+        % (descr, fortran, repr(arr.shape).replace(",)", ",)"))
+    )
+    hb = header.encode("latin1" if version < 3 else "utf-8")
+    lensize = 2 if version == 1 else 4
+    base = len(MAGIC) + 2 + lensize
+    pad = (64 - (base + len(hb) + 1) % 64) % 64
+    hb = hb + b" " * pad + b"\n"
+    out = bytearray(MAGIC)
+    out += bytes([1 if version == 1 else version, 0])
+    out += struct.pack("<H" if version == 1 else "<I", len(hb))
+    out += hb
+    out += body
+    return bytes(out)
+
+
+def parse_npy(blob: bytes) -> Optional[np.ndarray]:
+    """.npy bytes → ndarray, or None (drop) on corruption or
+    out-of-subset dtype. Never evals, never allocates past the bytes
+    actually present."""
+    try:
+        if len(blob) < 10 or blob[:6] != MAGIC:
+            raise _Corrupt("magic")
+        major, _minor = blob[6], blob[7]
+        if major == 1:
+            (hlen,) = struct.unpack("<H", blob[8:10])
+            hstart = 10
+        elif major in (2, 3):
+            if len(blob) < 12:
+                raise _Corrupt("truncated")
+            (hlen,) = struct.unpack("<I", blob[8:12])
+            hstart = 12
+        else:
+            raise _Corrupt("version")
+        if hlen > HEADER_CAP or hstart + hlen > len(blob):
+            raise _Corrupt("header")
+        htext = blob[hstart : hstart + hlen].decode(
+            "latin1" if major < 3 else "utf-8"
+        )
+        header = ast.literal_eval(htext.strip())
+        if not isinstance(header, dict):
+            raise _Corrupt("header dict")
+        canon = _canon_descr(header.get("descr"))
+        if canon is None:
+            return None  # documented subset; pickle path refused
+        code, swap = canon
+        shape = header.get("shape")
+        fortran = bool(header.get("fortran_order", False))
+        if not (
+            isinstance(shape, tuple)
+            and all(isinstance(d, int) and d >= 0 for d in shape)
+            and len(shape) <= 4
+        ):
+            raise _Corrupt("shape")
+        dt = np.dtype("<" + code) if code[-1] != "1" else np.dtype(code)
+        n = 1
+        for d in shape:
+            n *= d
+        body = blob[hstart + hlen :]
+        if n * dt.itemsize != len(body):
+            raise _Corrupt("size mismatch")  # shape can't outrun bytes
+        arr = np.frombuffer(body, dtype=dt)
+        if swap:
+            arr = arr.byteswap()
+        arr = arr.reshape(shape, order="F" if fortran else "C")
+        if not arr.flags["C_CONTIGUOUS"]:
+            # ascontiguousarray would promote 0-d to 1-d; reshape back
+            arr = np.ascontiguousarray(arr).reshape(shape)
+        return arr
+    except (_Corrupt, ValueError, SyntaxError, UnicodeDecodeError):
+        return None
+
+
+# --- minimal npz (ZIP of .npy members) ---------------------------------------
+
+
+def build_npz(members: list[tuple[str, bytes]], compressed: bool) -> bytes:
+    """ZIP the way np.savez does: one STORED (or DEFLATE) member per
+    array, classic 32-bit records, no data descriptors."""
+    out = bytearray()
+    central = bytearray()
+    for name, payload in members:
+        nb = name.encode("utf-8")
+        crc = zlib.crc32(payload)
+        if compressed:
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = c.compress(payload) + c.flush()
+            method = 8
+        else:
+            data, method = payload, 0
+        lho = len(out)
+        lh = struct.pack(
+            "<4sHHHHHIIIHH",
+            b"PK\x03\x04", 20, 0, method, 0, 0,
+            crc, len(data), len(payload), len(nb), 0,
+        )
+        out += lh + nb + data
+        central += struct.pack(
+            "<4sHHHHHHIIIHHHHHII",
+            b"PK\x01\x02", 20, 20, 0, method, 0, 0,
+            crc, len(data), len(payload), len(nb), 0, 0, 0, 0, 0, lho,
+        ) + nb
+    cd_off = len(out)
+    out += central
+    out += struct.pack(
+        "<4sHHHHIIH",
+        b"PK\x05\x06", 0, 0, len(members), len(members),
+        len(central), cd_off, 0,
+    )
+    return bytes(out)
+
+
+def walk_npz(blob: bytes, member_cap: int = 4096) -> Iterator[tuple[str, bytes]]:
+    """(name, member_bytes) per central-directory entry; corrupt
+    members drop individually, a corrupt directory drops the archive."""
+    tail = blob[-(0xFFFF + 22):] if len(blob) > 0xFFFF + 22 else blob
+    e = tail.rfind(b"PK\x05\x06")
+    if e < 0:
+        return
+    try:
+        (_d0, _d1, n, _n2, _cd_size, cd_off, _clen) = struct.unpack(
+            "<HHHHIIH", tail[e + 4 : e + 22]
+        )
+    except struct.error:
+        return
+    pos = cd_off
+    for _ in range(min(n, member_cap)):
+        if blob[pos : pos + 4] != b"PK\x01\x02":
+            return
+        try:
+            (
+                _vm, _vn, _fl, method, _t, _dt, crc, csize, usize,
+                nlen, xlen, clen, _disk, _iat, _xat, lho,
+            ) = struct.unpack("<HHHHHHIIIHHHHHII", blob[pos + 4 : pos + 46])
+        except struct.error:
+            return
+        name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        pos += 46 + nlen + xlen + clen
+        lh = blob[lho : lho + 30]
+        if len(lh) < 30 or lh[:4] != b"PK\x03\x04":
+            continue
+        lnlen, lxlen = struct.unpack("<HH", lh[26:30])
+        dstart = lho + 30 + lnlen + lxlen
+        raw = blob[dstart : dstart + csize]
+        if len(raw) != csize:
+            continue
+        if method == 8:
+            try:
+                raw = zlib.decompress(raw, -15, usize + 1)
+            except zlib.error:
+                continue
+            if len(raw) > usize:
+                continue  # lied about uncompressed size: bomb posture
+        elif method != 0:
+            continue
+        if zlib.crc32(raw) != crc:
+            continue
+        yield name, raw
+
+
+# --- Spark plumbing -----------------------------------------------------------
+
+SHARD_ROWS = 32
+
+
+def embeddings_as_npz(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(shard_id, data): shards of 32 vectors as genuine .npz archives
+    with three members — ``vec_id.npy`` (i8), ``embedding.npy`` (f4
+    matrix, one row per vector), ``label.npy`` (i4) — STORED for even
+    shards, DEFLATE (savez_compressed-style) for odd."""
+    rows = emb.select(
+        (F.col(id_col) / SHARD_ROWS).cast("long").alias("shard_id"),
+        F.col(id_col).alias("vid"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    shards = rows.groupBy("shard_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("vid", "embedding", "label"))
+        ).alias("recs")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for sid, recs in zip(pdf["shard_id"], pdf["recs"]):
+                ids = np.array([r["vid"] for r in recs], dtype="<i8")
+                mat = np.array(
+                    [np.asarray(r["embedding"], dtype="<f4") for r in recs],
+                    dtype="<f4",
+                )
+                labels = np.array([r["label"] for r in recs], dtype="<i4")
+                members = [
+                    ("vec_id.npy", build_npy(ids)),
+                    ("embedding.npy", build_npy(mat)),
+                    ("label.npy", build_npy(labels)),
+                ]
+                blobs.append(build_npz(members, compressed=int(sid) % 2 == 1))
+            yield pd.DataFrame(
+                {"shard_id": pdf["shard_id"].astype("int64"), "data": blobs}
+            )
+
+    return shards.mapInPandas(gen, schema="shard_id long, data binary")
+
+
+def read_npz_embeddings(files: DataFrame) -> DataFrame:
+    """(shard_id, data) npz archives → one row per vector:
+    (vec_id, shard_id, n_members, dim, embedding, label). Archives or
+    members that fail validation drop, never crash."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["vec_id", "shard_id", "n_members", "dim", "embedding", "label"]
+        for pdf in batches:
+            out = []
+            for sid, blob in zip(pdf["shard_id"], pdf["data"]):
+                arrays = {}
+                for name, raw in walk_npz(bytes(blob)):
+                    arr = parse_npy(raw)
+                    if arr is not None:
+                        arrays[name] = arr
+                ids = arrays.get("vec_id.npy")
+                mat = arrays.get("embedding.npy")
+                labels = arrays.get("label.npy")
+                if ids is None or mat is None or labels is None:
+                    continue
+                if not (len(ids) == len(mat) == len(labels)) or mat.ndim != 2:
+                    continue
+                for i in range(len(ids)):
+                    out.append(
+                        (
+                            int(ids[i]),
+                            int(sid),
+                            len(arrays),
+                            int(mat.shape[1]),
+                            [float(x) for x in mat[i]],
+                            int(labels[i]),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(
+        gen,
+        schema=(
+            "vec_id long, shard_id long, n_members int, dim int, "
+            "embedding array<float>, label int"
+        ),
+    )

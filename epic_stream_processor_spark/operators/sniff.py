@@ -23,11 +23,19 @@ offset-30 prefix check.
 Output: one ``format`` label per row from {png, jpeg, gif, bmp, tiff,
 pdf, gzip, bz2, zip, epub, ooxml, odf, flac, wav, mp3, tar, warc, xml,
 html, mbox, sqlite, mp4, ogg, rtf, webp, zstd, lz4, xz, parquet,
-orc, avro, cfb, unknown}. Misses are
+orc, avro, cfb, npy, gitpack, safetensors, unknown}. Misses are
 'unknown', never an error — sniffing untrusted bytes must be total.
 (r11 adds ``cfb`` — the OLE2 compound-file magic D0CF11E0A1B11AE1
 that every legacy binary Office document (.doc/.xls/.ppt) opens with,
 routing to ``operators/cfb.py``.)
+(r12b adds the ML-interchange trio: ``npy`` (\\x93NUMPY →
+``operators/npyfile.py``), ``gitpack`` (PACK + big-endian version
+guard → ``operators/gitpack.py``), and ``safetensors`` (layout
+heuristic: u64 LE header length with zero high bytes followed by the
+JSON index's ``{"`` → ``operators/safetensorsfile.py``). TFRecord is
+deliberately NOT sniffable — the format has no magic, only CRC'd
+length frames, which a codegen prefix check cannot verify; route it
+by extension/manifest.)
 (The round-9 additions: SQLite's 16-byte header string, ISO-BMFF's
 ``ftyp`` at offset 4 — the one magic that does NOT sit at offset 0 —
 Ogg's ``OggS`` capture, RTF's ``{\\rtf`` declaration, and the modern
@@ -102,6 +110,24 @@ def sniff_format(data: Column) -> Column:
         # discipline.
         .when(_ascii_at(data, 1, "Obj\x01"), F.lit("avro"))
         .when(_ascii_at(data, 1, "PAR1"), F.lit("parquet"))
+        # ML-interchange containers (r12b). npy's 6-byte magic is
+        # strong; git packs guard the 4-char ASCII "PACK" with the
+        # big-endian version field (only v2/v3 exist); safetensors has
+        # NO magic — the guarded heuristic is the spec's layout itself:
+        # a u64 LE header length whose high 4 bytes are zero (headers
+        # beyond 4 GiB are rejected by every implementation) followed
+        # by '{"' (the JSON tensor index; '{' alone would misfire on
+        # an empty-object corner but '{}' files carry no tensors).
+        .when(_hex_at(data, 1, "934E554D5059"), F.lit("npy"))
+        .when(
+            _ascii_at(data, 1, "PACK")
+            & (_hex_at(data, 5, "00000002") | _hex_at(data, 5, "00000003")),
+            F.lit("gitpack"),
+        )
+        .when(
+            _hex_at(data, 5, "00000000") & _hex_at(data, 9, "7B22"),
+            F.lit("safetensors"),
+        )
         .when(
             _ascii_at(data, 1, "ORC")
             & (F.hex(F.substring(data, -4, 3)) == "4F5243"),

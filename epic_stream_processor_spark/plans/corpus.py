@@ -4442,3 +4442,100 @@ SELECT doc_id, 'pdf' AS format,
                  ELSE '' END AS text
 FROM d WHERE doc_id % 4 = 3
 """
+
+
+# --- TFRecord container round trip (round 12) --------------------------------
+
+def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord + tf.train.Example round trip (round 12): the
+    TensorFlow-lineage training-data container, both layers from
+    public specs with no tensorflow dependency
+    (operators/tfrecordfile.py) — shards of 8 documents framed as
+    ``u64 length / masked crc32c / payload / masked crc32c`` records
+    (CRC-32C table-driven from the Castagnoli polynomial, pinned on
+    RFC 3720's published vectors) holding hand-built protobuf Example
+    messages (BytesList/FloatList/Int64List, packed and unpacked
+    float encodings both parse), then a reader that verifies BOTH
+    CRCs per record and drops the stream tail on the first failure
+    (a bad length de-syncs framing — the honest unit of loss).
+
+    Closed-form: every output column is a pure function of the
+    documents columns.
+
+    Scale: one shard-keyed groupBy (the group-writer shuffle);
+    row-local Arrow both ways, declared lengths bounded by the bytes
+    present before any allocation.
+    """
+    from ..operators.tfrecordfile import docs_as_tfrecord, read_tfrecord_docs
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return read_tfrecord_docs(docs_as_tfrecord(docs)).select(
+        "doc_id", "shard_id", "n_chars_text", "stat_chars", "lang"
+    )
+
+
+ORACLE_TFRECORD_ROUNDTRIP = """SELECT doc_id,
+       CAST(doc_id // 8 AS BIGINT) AS shard_id,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_text,
+       CAST(length(coalesce(text, '')) AS FLOAT) AS stat_chars,
+       lang
+FROM documents
+"""
+
+
+# --- Git packfile code-corpus ingestion (round 12) ---------------------------
+
+def q_git_pack_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Git packfile extraction (round 12): the container code corpora
+    actually arrive in — shards of 8 documents as one packfile each
+    (8 blobs with the first full, odd positions REF_DELTA and even
+    positions OFS_DELTA against the previous blob via a real
+    common-prefix-copy delta encoder, one tree, one commit), then a
+    from-spec reader: trailer SHA-1 verified, type+size varints, the
+    +1-biased OFS offset encoding, capped inflates, chain-depth-50
+    delta resolution, commit/tree payload parsing, and the tree→blob
+    reassembly INSIDE the per-pack parse (no sha-keyed shuffle).
+    Interop pinned in pytest against git ITSELF (in this container),
+    both directions: our packs pass ``git index-pack --strict`` and
+    ``git cat-file`` byte-exact; git's own ``pack-objects`` output
+    (its delta choices included) parses here with ids matching git's
+    (operators/gitpack.py).
+
+    Closed-form: packed_as/delta_depth follow from the position within
+    the sorted shard, everything else from the documents columns.
+
+    Scale: one shard-keyed groupBy (the group-writer shuffle);
+    row-local Arrow both ways; at crawl scale each row is one
+    repository's pack off a binaryFile scan.
+    """
+    from ..operators.gitpack import docs_as_git_pack, read_git_pack_files
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return read_git_pack_files(docs_as_git_pack(docs)).select(
+        "doc_id", "shard_id", "path", "packed_as",
+        F.col("delta_depth").cast("long").alias("delta_depth"),
+        "n_chars_text", "commit_msg", "author_ts",
+    )
+
+
+ORACLE_GIT_PACK_EXTRACT = """WITH pos AS (
+  SELECT doc_id,
+         CAST(doc_id // 8 AS BIGINT) AS shard_id,
+         length(coalesce(text, '')) AS n_chars,
+         row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) - 1
+           AS p
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       'doc_' || doc_id || '.txt' AS path,
+       CASE WHEN p = 0 THEN 'full'
+            WHEN p % 2 = 1 THEN 'ref_delta'
+            ELSE 'ofs_delta' END AS packed_as,
+       CAST(p AS BIGINT) AS delta_depth,
+       CAST(n_chars AS BIGINT) AS n_chars_text,
+       'shard ' || shard_id || ' snapshot' AS commit_msg,
+       CAST(1700000000 + shard_id AS BIGINT) AS author_ts
+FROM pos
+"""

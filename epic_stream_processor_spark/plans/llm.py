@@ -3816,3 +3816,96 @@ SELECT media_id, CAST(2 AS BIGINT) AS n_encodings,
        CAST(1 AS BIGINT) AS n_distinct_hashes, ah.ahash_hex
 FROM ah
 """
+
+
+# --- NumPy .npz embedding interchange (round 12) -----------------------------
+
+def q_npz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy .npy/.npz round trip (round 12): the interchange format
+    embedding pipelines ship vectors in — shards of 32 vectors as
+    genuine .npz archives (three .npy members: i8 ids, f4 matrix, i4
+    labels; STORED for even shards, savez_compressed-style DEFLATE for
+    odd), then a from-spec reader (central-directory walk, header cap,
+    literal-eval-only header parse, shape×itemsize must equal the
+    bytes present) back to rows. Interop pinned in pytest against
+    numpy's OWN np.save/np.load/np.savez in both directions — our .npy
+    bytes are byte-identical to np.save's (operators/npyfile.py).
+
+    Closed-form: f32 values survive the round trip bit-exact (f4 out,
+    f4 in, f64 widening on both engines), so the oracle is the
+    embeddings table itself.
+
+    Scale: one shard-keyed groupBy (the group-writer shuffle);
+    row-local Arrow both ways, bomb-bounded (header cap, inflate cap
+    from the declared size, member walk bounded by the directory's own
+    entry count).
+    """
+    from ..operators.npyfile import embeddings_as_npz, read_npz_embeddings
+
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return read_npz_embeddings(embeddings_as_npz(emb)).select(
+        "vec_id",
+        "shard_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("dim").cast("long").alias("dim"),
+        "embedding",
+        "label",
+    )
+
+
+ORACLE_NPZ_ROUNDTRIP = """SELECT vec_id,
+       CAST(vec_id // 32 AS BIGINT) AS shard_id,
+       CAST(3 AS BIGINT) AS n_members,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       embedding, label
+FROM embeddings
+"""
+
+
+# --- safetensors embedding interchange (round 12) ----------------------------
+
+def q_safetensors_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safetensors round trip (round 12): the zero-copy tensor
+    container model-derived embeddings ship in — shards of 16 vectors
+    as spec-built blobs (u64 header length, JSON tensor index, I64/F32/
+    I32 tensors tiling the byte buffer, ``__metadata__`` shard stamp),
+    then a reader enforcing the reference validator's rules (header
+    cap, in-bounds offsets, shape×itemsize == span, contiguous tiling
+    with no gaps/overlaps/trailing bytes). Reader pinned in pytest
+    against a hand-authored foreign blob transcribed from the spec's
+    own worked example (operators/safetensorsfile.py).
+
+    Closed-form: f32 values survive bit-exact, so the oracle is the
+    embeddings table plus shard arithmetic.
+
+    Scale: one shard-keyed groupBy (the group-writer shuffle);
+    row-local Arrow both ways, validation bounded by the blob's own
+    byte count.
+    """
+    from ..operators.safetensorsfile import (
+        embeddings_as_safetensors,
+        read_safetensors_embeddings,
+    )
+
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return read_safetensors_embeddings(embeddings_as_safetensors(emb)).select(
+        "vec_id",
+        "shard_id",
+        F.col("n_tensors").cast("long").alias("n_tensors"),
+        "meta_shard",
+        F.col("dim").cast("long").alias("dim"),
+        "embedding",
+        "label",
+    )
+
+
+ORACLE_SAFETENSORS_ROUNDTRIP = """SELECT vec_id,
+       CAST(vec_id // 16 AS BIGINT) AS shard_id,
+       CAST(3 AS BIGINT) AS n_tensors,
+       CAST(vec_id // 16 AS VARCHAR) AS meta_shard,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       embedding, label
+FROM embeddings
+"""

@@ -494,6 +494,35 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
     # --- added round 12 ---
+    "npz_roundtrip": QueryDef(
+        llm.q_npz_roundtrip, llm.ORACLE_NPZ_ROUNDTRIP,
+        "NumPy .npy/.npz round trip (round 12): embedding shards as "
+        "genuine npz archives (i8/f4/i4 members, STORED and DEFLATE) "
+        "through a from-spec reader; byte-identical to np.save and "
+        "interop-pinned against numpy itself both directions; "
+        "f32-bit-exact closed-form oracle",
+    ),
+    "git_pack_extract": QueryDef(
+        corpus.q_git_pack_extract, corpus.ORACLE_GIT_PACK_EXTRACT,
+        "git packfile extraction (round 12): code-corpus front door — "
+        "pack v2 with OFS/REF deltas, trailer SHA-1, commit/tree "
+        "parse, in-pack tree→blob reassembly; interop-pinned against "
+        "git itself both directions; closed-form oracle",
+    ),
+    "tfrecord_roundtrip": QueryDef(
+        corpus.q_tfrecord_roundtrip, corpus.ORACLE_TFRECORD_ROUNDTRIP,
+        "TFRecord + tf.train.Example round trip (round 12): u64/masked-"
+        "crc32c framing (Castagnoli CRC pinned on RFC 3720 vectors) "
+        "over hand-built protobuf Examples (all three list kinds); "
+        "tail-drop on CRC failure; closed-form oracle",
+    ),
+    "safetensors_roundtrip": QueryDef(
+        llm.q_safetensors_roundtrip, llm.ORACLE_SAFETENSORS_ROUNDTRIP,
+        "safetensors round trip (round 12): HF tensor container — u64+"
+        "JSON header, I64/F32/I32 tensors, reference-validator tiling "
+        "rules (no gaps/overlaps/trailing bytes); reader pinned on the "
+        "spec's own worked example; f32-bit-exact closed-form oracle",
+    ),
     "xls_cells": QueryDef(
         corpus.q_xls_cells, corpus.ORACLE_XLS_CELLS,
         "typed legacy-spreadsheet cells (round 12): the .xls sibling "

@@ -146,7 +146,13 @@ def zip_files(members: DataFrame) -> DataFrame:
     each archive stays inside classic limits — the WebDataset-style
     shard-size contract documented on :func:`docs_as_zip_members`), not
     ZIP64: many classic shards beat one giant archive for parallel
-    ranged reads anyway. :func:`parse_zip` reads classic archives only.
+    ranged reads anyway. :func:`parse_zip` additionally READS zip64
+    archives (r12b) — foreign dumps past 4 GiB arrive whether or not
+    this writer would have produced them: EOCD sentinels route through
+    the zip64-EOCD locator, and per-entry 0xFFFFFFFF sizes/offsets
+    resolve from the 0x0001 extra block, so a >4 GiB arXiv-style
+    bundle lists and slices correctly while the WRITE path keeps the
+    many-small-shards contract.
     """
 
     def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -201,6 +207,52 @@ def parse_zip(files: DataFrame, batch_rows: int = 8) -> DataFrame:
                 )
             except struct.error:
                 return
+            # ZIP64 (r12b): a foreign archive past any classic limit
+            # stores 0xFFFF/0xFFFFFFFF sentinels in the EOCD and the
+            # real values in the zip64 EOCD, found via the locator
+            # record that must sit immediately before the EOCD.
+            eocd_abs = base + e
+            if n == 0xFFFF or cd_off == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
+                loc = blob[eocd_abs - 20 : eocd_abs]
+                if len(loc) != 20 or loc[:4] != b"PK\x06\x07":
+                    return
+                (z64_off,) = struct.unpack("<Q", loc[8:16])
+                z64 = blob[z64_off : z64_off + 56]
+                if len(z64) < 56 or z64[:4] != b"PK\x06\x06":
+                    return
+                try:
+                    n, _n2_64, cd_size, cd_off = struct.unpack(
+                        "<QQQQ", z64[24:56]
+                    )
+                except struct.error:
+                    return
+                if n > len(blob):  # a count beyond one entry per byte
+                    return  # is a bomb, not an archive
+
+            def zip64_extra(extra: bytes, usize, csize, lho):
+                """Pull u64 replacements for sentinel fields from the
+                0x0001 extra block (fields appear in spec order, only
+                the sentinel ones present)."""
+                i = 0
+                while i + 4 <= len(extra):
+                    hid, hsz = struct.unpack("<HH", extra[i : i + 4])
+                    body = extra[i + 4 : i + 4 + hsz]
+                    i += 4 + hsz
+                    if hid != 0x0001 or len(body) != hsz:
+                        continue
+                    j = 0
+                    if usize == 0xFFFFFFFF and j + 8 <= hsz:
+                        (usize,) = struct.unpack("<Q", body[j : j + 8])
+                        j += 8
+                    if csize == 0xFFFFFFFF and j + 8 <= hsz:
+                        (csize,) = struct.unpack("<Q", body[j : j + 8])
+                        j += 8
+                    if lho == 0xFFFFFFFF and j + 8 <= hsz:
+                        (lho,) = struct.unpack("<Q", body[j : j + 8])
+                        j += 8
+                    break
+                return usize, csize, lho
+
             pos = cd_off
             for _ in range(n):
                 if blob[pos : pos + 4] != b"PK\x01\x02":
@@ -210,6 +262,12 @@ def parse_zip(files: DataFrame, batch_rows: int = 8) -> DataFrame:
                     nlen, xlen, clen2, _disk, _iat, _xat, lho,
                 ) = struct.unpack("<HHHHHHIIIHHHHHII", blob[pos + 4 : pos + 46])
                 name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+                if 0xFFFFFFFF in (usize, csize, lho):
+                    extra = blob[pos + 46 + nlen : pos + 46 + nlen + xlen]
+                    usize, csize, lho = zip64_extra(extra, usize, csize, lho)
+                    if 0xFFFFFFFF in (usize, csize, lho):
+                        pos += 46 + nlen + xlen + clen2
+                        continue  # sentinel without a zip64 extra: skip
                 pos += 46 + nlen + xlen + clen2
                 # ranged read of exactly this member
                 lh = blob[lho : lho + 30]

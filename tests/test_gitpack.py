@@ -1,0 +1,271 @@
+"""Git packfile tests. The foreign-implementation pin is git ITSELF
+(present in this container): packs this module writes must pass
+``git index-pack --strict`` and read back byte-exact via ``git
+cat-file``; packs ``git pack-objects`` writes (its own delta choices
+included) must parse here with object ids matching git's; git's loose
+objects parse too. The corruption suite pins drop-not-crash for every
+bounded walk (trailer SHA-1, inflate caps, delta depth, copy spans,
+reserved opcodes). Fixture parity lives in test_oracle_parity
+(git_pack_extract)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import struct
+import subprocess
+import zlib
+
+import pytest
+
+from epic_stream_processor_spark.operators.gitpack import (
+    MAX_DELTA_DEPTH,
+    apply_delta,
+    build_commit,
+    build_loose,
+    build_pack,
+    build_tree,
+    encode_delta,
+    obj_id,
+    parse_commit,
+    parse_loose,
+    parse_pack,
+    parse_tree,
+)
+
+TEXTS = [b"hello world\n", b"hello world and more\n", b"different\n"]
+
+
+def _sample_pack():
+    objects = [("blob", t) for t in TEXTS]
+    tree = build_tree(
+        [("100644", "doc_%d.txt" % i, obj_id("blob", t))
+         for i, t in enumerate(TEXTS)]
+    )
+    objects.append(("tree", tree))
+    objects.append(
+        ("commit",
+         build_commit(obj_id("tree", tree).hex(), "A", "a@b.c",
+                      1700000000, "msg"))
+    )
+    return build_pack(objects, {1: (0, "ofs"), 2: (1, "ref")})
+
+
+def test_known_object_id():
+    """git's documented example: blob 'what is up, doc?' hashes to a
+    well-known id (verified against `git hash-object` once; pinned)."""
+    assert (
+        obj_id("blob", b"what is up, doc?").hex()
+        == "bd9dbf5aae1a3862dd1526723246b20206e5fc37"
+    )
+
+
+def test_pack_roundtrip_kinds_styles_depths():
+    got = parse_pack(_sample_pack())
+    assert got is not None
+    assert [g[1] for g in got] == ["blob", "blob", "blob", "tree", "commit"]
+    assert [g[2] for g in got[:3]] == TEXTS
+    assert [g[3] for g in got[:3]] == ["full", "ofs_delta", "ref_delta"]
+    assert [g[4] for g in got[:3]] == [0, 1, 2]  # chain depths
+
+
+def test_delta_encoder_spec_cases():
+    base, target = b"abcdefgh" * 40, b"abcdefgh" * 40 + b"tail"
+    d = encode_delta(base, target)
+    assert apply_delta(base, d) == target
+    # no common prefix → insert-only delta
+    d2 = encode_delta(b"xyz", b"completely new")
+    assert apply_delta(b"xyz", d2) == b"completely new"
+    # empty target
+    assert apply_delta(b"abc", encode_delta(b"abc", b"")) == b""
+
+
+def test_commit_and_tree_payloads():
+    c = build_commit("a" * 40, "Name Part", "e@x.y", 123, "m\nbody",
+                     parents=["b" * 40])
+    p = parse_commit(c)
+    assert p["tree"] == "a" * 40 and p["parents"] == ["b" * 40]
+    assert p["author_name"] == "Name Part" and p["author_ts"] == 123
+    assert p["message"] == "m\nbody"
+    # tree sort order: directories compare as name/
+    t = build_tree([
+        ("100644", "zz", b"\x01" * 20),
+        ("40000", "a.b", b"\x02" * 20),
+        ("100644", "a.b.c", b"\x03" * 20),
+    ])
+    names = [e[1] for e in parse_tree(t)]
+    assert names == ["a.b.c", "a.b", "zz"]  # 'a.b/' sorts after 'a.b.c'
+
+
+def test_corruption_drops():
+    pack = _sample_pack()
+    assert parse_pack(b"") is None
+    assert parse_pack(b"PACK") is None
+    assert parse_pack(pack[:40]) is None  # truncated
+    bad_magic = b"KCAP" + pack[4:]
+    assert parse_pack(bad_magic) is None
+    v3 = bytearray(pack)
+    struct.pack_into(">I", v3, 4, 3)
+    assert parse_pack(bytes(v3)) is None  # version gate
+    # trailer flip: integrity gate fires before any object parse
+    flipped = bytearray(pack)
+    flipped[-1] ^= 0xFF
+    assert parse_pack(bytes(flipped)) is None
+    # payload flip: trailer catches it
+    mid = bytearray(pack)
+    mid[20] ^= 0xFF
+    assert parse_pack(bytes(mid)) is None
+
+
+def _pack_raw(entries: bytes, count: int) -> bytes:
+    body = b"PACK" + struct.pack(">II", 2, count) + entries
+    return body + hashlib.sha1(body).digest()
+
+
+def test_crafted_bombs_drop():
+    # declared size over the cap must not allocate
+    huge = bytes([0x80 | (3 << 4) | 0x0F]) + b"\xff\xff\xff\xff\x7f" \
+        + zlib.compress(b"x")
+    assert parse_pack(_pack_raw(huge, 1)) is None
+    # inflate lying about its size (decompresses to more than declared)
+    lie = bytes([(3 << 4) | 0x02]) + zlib.compress(b"xxxxxx")
+    assert parse_pack(_pack_raw(lie, 1)) is None
+    # OFS delta pointing before the pack start
+    d = encode_delta(b"", b"")
+    ofs_entry = bytes([(6 << 4) | (len(d) & 0x0F)]) + bytes([0x7F]) \
+        + zlib.compress(d)
+    assert parse_pack(_pack_raw(ofs_entry, 1)) is None
+    # REF delta whose base id is absent from the pack
+    ref_entry = bytes([(7 << 4) | (len(d) & 0x0F)]) + b"\x00" * 20 \
+        + zlib.compress(d)
+    assert parse_pack(_pack_raw(ref_entry, 1)) is None
+    # reserved delta opcode 0
+    bad_delta = b"\x01\x01\x00"
+    with pytest.raises(Exception):
+        apply_delta(b"x", bad_delta)
+    # copy span past the base
+    with pytest.raises(Exception):
+        apply_delta(b"ab", b"\x02\x05" + bytes([0x90, 5]))
+
+
+def test_delta_depth_cap():
+    n = MAX_DELTA_DEPTH + 3
+    objects = [("blob", b"chain %d" % i) for i in range(n)]
+    deltas = {i: (i - 1, "ofs") for i in range(1, n)}
+    pack = build_pack(objects, deltas)
+    assert parse_pack(pack) is None  # depth 52 > git's 50 limit
+    ok = build_pack(objects[: MAX_DELTA_DEPTH + 1],
+                    {i: (i - 1, "ofs")
+                     for i in range(1, MAX_DELTA_DEPTH + 1)})
+    got = parse_pack(ok)
+    assert got is not None and got[-1][4] == MAX_DELTA_DEPTH
+
+
+def test_loose_roundtrip_and_corruption():
+    blob = build_loose("blob", b"abc")
+    assert parse_loose(blob) == ("blob", b"abc")
+    assert parse_loose(b"not zlib") is None
+    assert parse_loose(zlib.compress(b"blob 99\x00abc")) is None  # size lie
+    assert parse_loose(zlib.compress(b"weird 3\x00abc")) is None  # bad kind
+
+
+# --- foreign pins: git itself ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tmp_repo(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gitpack"))
+    subprocess.run(["git", "init", "-q", path], check=True)
+    return path
+
+
+def test_git_accepts_our_pack_and_reads_back(tmp_repo):
+    pack = _sample_pack()
+    r = subprocess.run(
+        ["git", "-C", tmp_repo, "index-pack", "--strict", "--stdin"],
+        input=pack, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    for t in TEXTS:
+        oid = obj_id("blob", t).hex()
+        out = subprocess.run(
+            ["git", "-C", tmp_repo, "cat-file", "blob", oid],
+            capture_output=True, check=True,
+        )
+        assert out.stdout == t  # byte-exact through git
+
+
+def test_we_read_gits_own_pack(tmp_path):
+    work = str(tmp_path / "work")
+    subprocess.run(["git", "init", "-q", work], check=True)
+    base = "line\n" * 200
+    for i in range(5):
+        with open(os.path.join(work, "f%d.txt" % i), "w") as f:
+            f.write(base + "tail %d\n" % i)
+    subprocess.run(["git", "-C", work, "add", "."], check=True)
+    env = dict(
+        os.environ,
+        GIT_AUTHOR_NAME="A", GIT_AUTHOR_EMAIL="a@b.c",
+        GIT_COMMITTER_NAME="A", GIT_COMMITTER_EMAIL="a@b.c",
+    )
+    subprocess.run(
+        ["git", "-C", work, "commit", "-qm", "snap"], check=True, env=env
+    )
+    r = subprocess.run(
+        ["git", "-C", work, "pack-objects", "--revs", "--stdout",
+         "--delta-base-offset"],
+        input=b"HEAD\n", capture_output=True, check=True,
+    )
+    objs = parse_pack(r.stdout)
+    assert objs is not None
+    kinds = sorted(o[1] for o in objs)
+    assert kinds.count("blob") == 5 and "commit" in kinds and "tree" in kinds
+    # every id we compute must be an id git recognizes, contents equal
+    for oid, kind, content, _, _ in objs:
+        check = subprocess.run(
+            ["git", "-C", work, "cat-file", kind, oid], capture_output=True
+        )
+        assert check.returncode == 0
+        if kind == "blob":
+            assert check.stdout == content
+    # git chose at least one delta for the near-identical blobs
+    assert any(o[3] != "full" for o in objs)
+
+
+def test_we_read_gits_loose_objects(tmp_path):
+    work = str(tmp_path / "loose")
+    subprocess.run(["git", "init", "-q", work], check=True)
+    oid = subprocess.run(
+        ["git", "-C", work, "hash-object", "-w", "--stdin"],
+        input=b"loose test", capture_output=True, check=True,
+    ).stdout.decode().strip()
+    path = os.path.join(work, ".git", "objects", oid[:2], oid[2:])
+    kind, content = parse_loose(open(path, "rb").read())
+    assert kind == "blob" and content == b"loose test"
+    assert obj_id("blob", content).hex() == oid
+
+
+def test_spark_roundtrip_matches_documents(spark):
+    from epic_stream_processor_spark.operators.gitpack import (
+        docs_as_git_pack,
+        read_git_pack_files,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    back = read_git_pack_files(docs_as_git_pack(docs))
+    orig = {
+        r["doc_id"]: (r["text"] or "") for r in docs.select("doc_id", "text").collect()
+    }
+    got = back.collect()
+    assert len(got) == len(orig)
+    styles = set()
+    for r in got:
+        assert r["n_chars_text"] == len(orig[r["doc_id"]])
+        assert r["path"] == "doc_%d.txt" % r["doc_id"]
+        assert r["commit_msg"] == "shard %d snapshot" % r["shard_id"]
+        styles.add(r["packed_as"])
+    assert styles == {"full", "ofs_delta", "ref_delta"}

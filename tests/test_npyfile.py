@@ -1,0 +1,187 @@
+"""NumPy .npy/.npz tests. The foreign-implementation pin is numpy
+ITSELF (baked into this container): files numpy writes — v1/v2/v3
+headers, fortran order, big-endian, savez and savez_compressed — must
+parse exactly, numpy must load this module's files back, and our .npy
+bytes are byte-identical to ``np.save``'s. Corruption/bomb posture
+(header cap, shape-vs-bytes, pickle refusal, lying DEFLATE sizes)
+drops rather than crashes. Fixture parity lives in test_oracle_parity
+(npz_roundtrip)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from epic_stream_processor_spark.operators.npyfile import (
+    HEADER_CAP,
+    build_npy,
+    build_npz,
+    parse_npy,
+    walk_npz,
+)
+
+A = np.arange(12, dtype="<f4").reshape(3, 4) * 0.5
+
+
+def test_byte_identical_to_np_save():
+    buf = io.BytesIO()
+    np.save(buf, A)
+    assert build_npy(A) == buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "dt", ["<f4", "<f8", "<i2", "<i4", "<i8", "<u2", "<u4", "<u8", "|i1", "|u1"]
+)
+def test_dtype_subset_roundtrip_both_directions(dt):
+    arr = (np.arange(24) % 120).astype(dt).reshape(4, 6)
+    ours = build_npy(arr)
+    assert np.array_equal(np.load(io.BytesIO(ours)), arr)  # numpy reads ours
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    got = parse_npy(buf.getvalue())  # we read numpy's
+    assert got is not None and got.dtype == arr.dtype
+    assert np.array_equal(got, arr)
+
+
+def test_bool_roundtrip():
+    arr = np.array([True, False, True])
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    got = parse_npy(buf.getvalue())
+    assert got is not None and np.array_equal(got, arr)
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_v2_v3_headers(version):
+    from numpy.lib import format as nf
+
+    buf = io.BytesIO()
+    nf.write_array(buf, A, version=(version, 0))
+    assert np.array_equal(parse_npy(buf.getvalue()), A)
+    ours = build_npy(A, version=version)
+    assert np.array_equal(np.load(io.BytesIO(ours)), A)
+
+
+def test_fortran_order_reads_back_c_contiguous():
+    buf = io.BytesIO()
+    np.save(buf, np.asfortranarray(A))
+    got = parse_npy(buf.getvalue())
+    assert got is not None and got.flags["C_CONTIGUOUS"]
+    assert np.array_equal(got, A)
+    ours = build_npy(A, fortran=True)
+    assert np.array_equal(np.load(io.BytesIO(ours)), A)
+
+
+def test_big_endian_byteswapped_on_read():
+    buf = io.BytesIO()
+    np.save(buf, A.astype(">f4"))
+    got = parse_npy(buf.getvalue())
+    assert got is not None and np.array_equal(got, A)
+
+
+def test_scalar_and_empty_shapes():
+    for arr in (np.float64(3.25).reshape(()), np.empty((0, 4), dtype="<i4")):
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        got = parse_npy(buf.getvalue())
+        assert got is not None and got.shape == arr.shape
+
+
+def test_pickle_object_array_refused():
+    buf = io.BytesIO()
+    np.save(buf, np.array([{"a": 1}], dtype=object), allow_pickle=True)
+    assert parse_npy(buf.getvalue()) is None  # unpickling untrusted = RCE
+
+
+def test_corruption_drops():
+    good = build_npy(A)
+    assert parse_npy(b"") is None
+    assert parse_npy(b"\x93NUMPY") is None
+    assert parse_npy(good[:20]) is None  # truncated body
+    assert parse_npy(good + b"x") is None  # trailing byte: size mismatch
+    bad_magic = b"\x94" + good[1:]
+    assert parse_npy(bad_magic) is None
+    # declared shape larger than the bytes present must not allocate
+    hacked = good.replace(b"(3, 4)", b"(3000000, 4000)")
+    assert parse_npy(hacked) is None
+
+
+def test_header_cap_is_enforced():
+    blob = bytearray(build_npy(A, version=2))
+    struct.pack_into("<I", blob, 8, HEADER_CAP + 1)
+    assert parse_npy(bytes(blob)) is None
+
+
+def test_npz_interop_both_directions():
+    y = np.array([1, 2, 3], dtype="<i8")
+    members = [("x.npy", build_npy(A)), ("y.npy", build_npy(y))]
+    for comp in (False, True):
+        blob = build_npz(members, compressed=comp)
+        npz = np.load(io.BytesIO(blob))  # numpy reads ours
+        assert np.array_equal(npz["x"], A) and np.array_equal(npz["y"], y)
+        got = dict(walk_npz(blob))  # we read ours
+        assert np.array_equal(parse_npy(got["x.npy"]), A)
+    buf = io.BytesIO()
+    np.savez(buf, x=A, y=y)  # we read numpy's STORED
+    got = dict(walk_npz(buf.getvalue()))
+    assert np.array_equal(parse_npy(got["x.npy"]), A)
+    buf = io.BytesIO()
+    np.savez_compressed(buf, x=A)  # and numpy's DEFLATE
+    got = dict(walk_npz(buf.getvalue()))
+    assert np.array_equal(parse_npy(got["x.npy"]), A)
+
+
+def test_npz_member_corruption_drops_member_not_archive():
+    y = np.array([9, 8], dtype="<i8")
+    blob = bytearray(
+        build_npz([("x.npy", build_npy(A)), ("y.npy", build_npy(y))], False)
+    )
+    # flip a payload byte inside member x (after its 30+5-byte header)
+    blob[40] ^= 0xFF
+    got = dict(walk_npz(bytes(blob)))
+    assert "x.npy" not in got  # CRC catches it
+    assert np.array_equal(parse_npy(got["y.npy"]), y)  # sibling survives
+
+
+def test_npz_lying_deflate_size_drops():
+    payload = build_npy(np.zeros(1000, dtype="<i8"))
+    blob = bytearray(build_npz([("x.npy", payload)], compressed=True))
+    # shrink the declared uncompressed size in BOTH headers (local at
+    # offset 22, central mirrors it) — inflating past it must drop
+    lho = blob.find(b"PK\x03\x04")
+    struct.pack_into("<I", blob, lho + 22, 16)
+    cd = blob.find(b"PK\x01\x02")
+    struct.pack_into("<I", blob, cd + 24, 16)
+    assert dict(walk_npz(bytes(blob))) == {}
+
+
+def test_spark_roundtrip_matches_embeddings(spark):
+    from epic_stream_processor_spark.operators.npyfile import (
+        embeddings_as_npz,
+        read_npz_embeddings,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    back = read_npz_embeddings(embeddings_as_npz(emb))
+    orig = {
+        r["vec_id"]: r for r in emb.select("vec_id", "embedding", "label").collect()
+    }
+    got = back.collect()
+    assert len(got) == len(orig)
+    stored = deflated = 0
+    for r in got:
+        o = orig[r["vec_id"]]
+        assert r["label"] == o["label"] and r["n_members"] == 3
+        assert r["embedding"] == o["embedding"]  # f32 bit-exact
+        if r["shard_id"] % 2:
+            deflated += 1
+        else:
+            stored += 1
+    assert stored and deflated  # both codec paths exercised

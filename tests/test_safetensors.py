@@ -1,0 +1,159 @@
+"""safetensors tests. Foreign-bytes pin: a hand-authored blob
+transcribed from the format spec's own worked example (no safetensors
+lib ships in this container — the r9 PDF foreign-bytes precedent).
+The validator suite exercises every tiling rule the reference
+implementation enforces (gaps, overlaps, trailing bytes, out-of-bounds
+offsets, shape-vs-span mismatch, header bomb). Fixture parity lives in
+test_oracle_parity (safetensors_roundtrip)."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from epic_stream_processor_spark.operators.safetensorsfile import (
+    HEADER_CAP,
+    build_safetensors,
+    parse_safetensors,
+)
+
+A = (np.arange(12, dtype="<f4") * 0.25).reshape(3, 4)
+
+
+def _blob(header: dict, buf: bytes) -> bytes:
+    hb = json.dumps(header, separators=(",", ":")).encode()
+    return struct.pack("<Q", len(hb)) + hb + buf
+
+
+def test_spec_worked_example_foreign_bytes():
+    """The format README's own example: one I32 [2,2] zero tensor."""
+    foreign = _blob(
+        {"test": {"dtype": "I32", "shape": [2, 2], "data_offsets": [0, 16]}},
+        b"\x00" * 16,
+    )
+    meta, entries = parse_safetensors(foreign)
+    assert meta == {}
+    (name, dtype, shape, arr) = entries[0]
+    assert name == "test" and dtype == "I32" and shape == (2, 2)
+    assert np.array_equal(arr, np.zeros((2, 2), dtype="<i4"))
+
+
+@pytest.mark.parametrize(
+    "dt", ["<f8", "<f4", "<f2", "<i8", "<i4", "<i2", "|i1", "|u1"]
+)
+def test_dtype_subset_roundtrip(dt):
+    arr = (np.arange(6) % 100).astype(dt).reshape(2, 3)
+    meta, entries = parse_safetensors(build_safetensors([("t", arr)]))
+    got = entries[0][3]
+    assert got.dtype == arr.dtype and np.array_equal(got, arr)
+
+
+def test_bool_and_metadata_roundtrip():
+    arr = np.array([True, False, True])
+    meta, entries = parse_safetensors(
+        build_safetensors([("m", arr)], metadata={"k": "v"})
+    )
+    assert meta == {"k": "v"} and np.array_equal(entries[0][3], arr)
+
+
+def test_bf16_widened_by_bitshift():
+    # bf16 1.5 = 0x3FC0, -2.0 = 0xC000
+    blob = _blob(
+        {"x": {"dtype": "BF16", "shape": [2], "data_offsets": [0, 4]}},
+        struct.pack("<HH", 0x3FC0, 0xC000),
+    )
+    _, entries = parse_safetensors(blob)
+    assert entries[0][3].tolist() == [1.5, -2.0]
+
+
+def test_multi_tensor_layout_and_zero_size():
+    ids = np.array([1, 2, 3], dtype="<i8")
+    empty = np.empty((0, 4), dtype="<f4")
+    meta, entries = parse_safetensors(
+        build_safetensors([("ids", ids), ("e", empty), ("m", A)])
+    )
+    d = {e[0]: e for e in entries}
+    assert np.array_equal(d["ids"][3], ids)
+    assert d["e"][2] == (0, 4) and d["e"][3].size == 0
+    assert np.array_equal(d["m"][3], A)
+
+
+def test_validator_rules_drop():
+    # gap between tensors
+    assert parse_safetensors(_blob(
+        {"a": {"dtype": "U8", "shape": [2], "data_offsets": [0, 2]},
+         "b": {"dtype": "U8", "shape": [2], "data_offsets": [4, 6]}},
+        b"\x00" * 6,
+    )) is None
+    # overlap
+    assert parse_safetensors(_blob(
+        {"a": {"dtype": "U8", "shape": [4], "data_offsets": [0, 4]},
+         "b": {"dtype": "U8", "shape": [2], "data_offsets": [2, 4]}},
+        b"\x00" * 4,
+    )) is None
+    # trailing buffer bytes (hidden payload)
+    assert parse_safetensors(_blob(
+        {"a": {"dtype": "U8", "shape": [2], "data_offsets": [0, 2]}},
+        b"\x00" * 3,
+    )) is None
+    # offsets past the buffer
+    assert parse_safetensors(_blob(
+        {"a": {"dtype": "U8", "shape": [8], "data_offsets": [0, 8]}},
+        b"\x00" * 4,
+    )) is None
+    # declared shape cannot outrun its span
+    assert parse_safetensors(_blob(
+        {"a": {"dtype": "I32", "shape": [10 ** 6, 10 ** 6],
+               "data_offsets": [0, 4]}},
+        b"\x00" * 4,
+    )) is None
+    # negative dims, non-int dims
+    assert parse_safetensors(_blob(
+        {"a": {"dtype": "U8", "shape": [-2], "data_offsets": [0, 2]}},
+        b"\x00" * 2,
+    )) is None
+    # unknown dtype drops the file (spec: unknown dtype is invalid)
+    assert parse_safetensors(_blob(
+        {"a": {"dtype": "COMPLEX128", "shape": [1], "data_offsets": [0, 16]}},
+        b"\x00" * 16,
+    )) is None
+
+
+def test_header_bombs_drop():
+    assert parse_safetensors(b"") is None
+    assert parse_safetensors(b"abc") is None
+    assert parse_safetensors(struct.pack("<Q", 1 << 40) + b"{}") is None
+    assert parse_safetensors(
+        struct.pack("<Q", HEADER_CAP + 1) + b"\x20" * 64
+    ) is None
+    # header JSON that isn't an object
+    assert parse_safetensors(struct.pack("<Q", 2) + b"[]") is None
+    # metadata values must be strings
+    assert parse_safetensors(_blob({"__metadata__": {"k": 1}}, b"")) is None
+
+
+def test_spark_roundtrip_matches_embeddings(spark):
+    from epic_stream_processor_spark.operators.safetensorsfile import (
+        embeddings_as_safetensors,
+        read_safetensors_embeddings,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    back = read_safetensors_embeddings(embeddings_as_safetensors(emb))
+    orig = {
+        r["vec_id"]: r
+        for r in emb.select("vec_id", "embedding", "label").collect()
+    }
+    got = back.collect()
+    assert len(got) == len(orig)
+    for r in got:
+        o = orig[r["vec_id"]]
+        assert r["label"] == o["label"] and r["n_tensors"] == 3
+        assert r["meta_shard"] == str(r["shard_id"])
+        assert r["embedding"] == o["embedding"]  # f32 bit-exact

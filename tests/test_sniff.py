@@ -191,3 +191,26 @@ def test_round10_avro_writer_classifies(spark):
 
     blob = build_avro([{"id": 1, "text": "x", "lang": "en"}])
     assert _sniff_one(spark, blob) == "avro"
+
+
+def test_round12_ml_interchange_labels(spark):
+    """npy magic, PACK+version guard, safetensors layout heuristic —
+    each pinned on REAL bytes from the in-repo writers, with the
+    guard's negative cases (PACK prose, bare '{' text) staying off."""
+    import numpy as np
+
+    from epic_stream_processor_spark.operators.gitpack import build_pack
+    from epic_stream_processor_spark.operators.npyfile import build_npy
+    from epic_stream_processor_spark.operators.safetensorsfile import (
+        build_safetensors,
+    )
+
+    assert _sniff_one(spark, build_npy(np.arange(4, dtype="<f4"))) == "npy"
+    pack = build_pack([("blob", b"hello")])
+    assert _sniff_one(spark, pack) == "gitpack"
+    st = build_safetensors([("t", np.arange(3, dtype="<i4"))])
+    assert _sniff_one(spark, st) == "safetensors"
+    # guards: ASCII prose starting PACK is not a packfile; JSON text
+    # is not a safetensors header
+    assert _sniff_one(spark, b"PACKAGING list for the trip") != "gitpack"
+    assert _sniff_one(spark, b'{"dtype": "F32"}') != "safetensors"

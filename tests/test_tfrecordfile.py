@@ -1,0 +1,132 @@
+"""TFRecord tests. No tensorflow ships in this container, so the
+foreign pins are spec vectors: CRC-32C against RFC 3720's published
+test vectors, the masking formula against TensorFlow's documented
+constant, and the proto layer against hand-assembled wire bytes
+(including the unpacked float encoding this module's writer never
+emits). Fixture parity lives in test_oracle_parity
+(tfrecord_roundtrip)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from epic_stream_processor_spark.operators.tfrecordfile import (
+    build_example,
+    crc32c,
+    masked_crc32c,
+    parse_example,
+    read_tfrecords,
+    write_tfrecords,
+)
+
+
+def test_crc32c_rfc3720_vectors():
+    """RFC 3720 §B.4 published CRC-32C test vectors."""
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA
+    assert crc32c(bytes([0xFF] * 32)) == 0x62A8AB43
+    assert crc32c(bytes(range(32))) == 0x46DD794E
+
+
+def test_mask_formula():
+    """masked = ((crc >> 15) | (crc << 17)) + 0xa282ead8 (mod 2^32)."""
+    crc = crc32c(b"123456789")
+    expect = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+    assert masked_crc32c(b"123456789") == expect
+
+
+def test_example_roundtrip_all_list_kinds():
+    ex = build_example(
+        {"id": 7, "neg": [-3, 5], "text": "héllo", "stats": [0.5, -2.25]}
+    )
+    p = parse_example(ex)
+    assert p["id"] == [7] and p["neg"] == [-3, 5]
+    assert p["text"] == "héllo".encode("utf-8")
+    assert p["stats"] == [0.5, -2.25]
+
+
+def test_unpacked_float_wire_parses():
+    """tensorflow writers pack; proto2 writers may not — both must
+    parse. Hand-assembled: Feature{float_list{value: 1.5 value: -2.0}}
+    with wire-type-5 fields, wrapped in Features entry + Example."""
+    f32s = b"\x0d" + struct.pack("<f", 1.5) + b"\x0d" + struct.pack("<f", -2.0)
+    float_list = b"\x12" + bytes([len(f32s)]) + f32s  # Feature.float_list
+    feat = float_list
+    entry = (
+        b"\x0a\x01x"  # key "x"
+        + b"\x12" + bytes([len(feat)]) + feat  # value Feature
+    )
+    features = b"\x0a" + bytes([len(entry)]) + entry
+    example = b"\x0a" + bytes([len(features)]) + features
+    p = parse_example(example)
+    assert p == {"x": [1.5, -2.0]}
+
+
+def test_framing_roundtrip_and_tail_drop():
+    exs = [build_example({"id": i, "text": "t%d" % i}) for i in range(4)]
+    blob = write_tfrecords(exs)
+    assert read_tfrecords(blob) == exs
+    # corrupt record 2's payload: records 0-1 survive, 2+ drop (the
+    # honest unit of loss under length-prefixed framing)
+    off = sum(16 + len(e) for e in exs[:2]) + 13
+    bad = bytearray(blob)
+    bad[off] ^= 0xFF
+    assert read_tfrecords(bytes(bad)) == exs[:2]
+    # corrupt a LENGTH crc: everything from that record drops
+    bad2 = bytearray(blob)
+    bad2[8] ^= 0xFF
+    assert read_tfrecords(bytes(bad2)) == []
+
+
+def test_absurd_length_bounded_before_allocation():
+    ln = struct.pack("<Q", 1 << 60)
+    crafted = ln + struct.pack("<I", masked_crc32c(ln)) + b"xx"
+    assert read_tfrecords(crafted) == []
+
+
+def test_truncated_and_empty():
+    ex = build_example({"id": 1})
+    blob = write_tfrecords([ex])
+    assert read_tfrecords(b"") == []
+    assert read_tfrecords(blob[:-2]) == []
+    assert read_tfrecords(blob[:10]) == []
+
+
+def test_malformed_proto_drops_record_not_reader():
+    # valid framing around garbage payload
+    blob = write_tfrecords([b"\xff\xff\xff\xff"])
+    payloads = read_tfrecords(blob)
+    assert len(payloads) == 1
+    assert parse_example(payloads[0]) is None
+
+
+def test_varint_cap():
+    # an 11-byte varint must be rejected, not spun on
+    assert parse_example(b"\x0a" + b"\x80" * 11) is None
+
+
+def test_spark_roundtrip_matches_documents(spark):
+    from epic_stream_processor_spark.operators.tfrecordfile import (
+        docs_as_tfrecord,
+        read_tfrecord_docs,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    back = read_tfrecord_docs(docs_as_tfrecord(docs))
+    orig = {
+        r["doc_id"]: r for r in docs.select("doc_id", "text", "lang").collect()
+    }
+    got = back.collect()
+    assert len(got) == len(orig)
+    for r in got:
+        o = orig[r["doc_id"]]
+        text = o["text"] or ""
+        assert r["n_chars_text"] == len(text)
+        assert r["stat_chars"] == float(len(text))
+        assert r["lang"] == o["lang"]
