@@ -22,6 +22,13 @@ Everything from the public Git formats documentation
   ``committer`` header lines then the message; tree entries are
   ``{mode} {name}\\x00`` + 20 raw id bytes in git's mode-aware sort
   order (directories sort as ``name/``).
+- **.idx v2 sidecar** (r12b): fanout table, sorted names, per-entry
+  CRC-32 of the raw pack bytes, 31-bit offsets + large-offset table —
+  :func:`build_pack_index` emits bytes IDENTICAL to what
+  ``git index-pack`` derives from the same pack (pinned in pytest),
+  and :func:`pack_point_lookup` serves one object by ranged reads
+  (entry + its ≤50 delta bases) without inflating the rest — the
+  random-access pattern a 100 GB pack needs.
 
 The writer synthesizes one small repository per shard of 8 documents
 — a blob per document, a tree listing ``doc_{id}.txt`` entries, one
@@ -289,11 +296,13 @@ def build_pack(
 
 
 def parse_pack(
-    blob: bytes, size_cap: int = SIZE_CAP
-) -> Optional[list[tuple[str, bytes, bytes, str, int]]]:
+    blob: bytes, size_cap: int = SIZE_CAP, with_spans: bool = False
+) -> Optional[list[tuple]]:
     """Packfile → [(id_hex, kind, content, packed_as, depth)] or None.
     packed_as ∈ {'full','ofs_delta','ref_delta'}; depth is the delta
-    chain length. Trailer SHA-1 verified first; all walks bounded."""
+    chain length. Trailer SHA-1 verified first; all walks bounded.
+    ``with_spans=True`` appends each entry's raw byte span
+    ``(offset, end)`` — what the .idx builder CRCs."""
     try:
         if len(blob) < 32 or blob[:4] != b"PACK":
             raise _Corrupt("magic")
@@ -346,7 +355,7 @@ def parse_pack(
             i = body_end - len(d.unused_data)
             entries.append(
                 {"offset": start, "kind": kind, "data": data,
-                 "base": base_ref}
+                 "base": base_ref, "end": i}
             )
             by_offset[start] = len(entries) - 1
         # second pass: resolve deltas (bases always precede, so one
@@ -394,10 +403,11 @@ def parse_pack(
         result = []
         for idx in range(len(entries)):
             kind_s, content, packed_as, depth = resolve(idx, 0)
-            result.append(
-                (obj_id(kind_s, content).hex(), kind_s, content,
-                 packed_as, depth)
-            )
+            row = (obj_id(kind_s, content).hex(), kind_s, content,
+                   packed_as, depth)
+            if with_spans:
+                row += ((entries[idx]["offset"], entries[idx]["end"]),)
+            result.append(row)
         return result
     except (_Corrupt, zlib.error, struct.error, RecursionError):
         return None
@@ -612,3 +622,155 @@ def read_git_pack_files(files: DataFrame) -> DataFrame:
             "author_ts long"
         ),
     )
+
+
+# --- pack index (.idx v2) — the random-access scale path ------------------
+#
+# A 100 GB pack with millions of objects must never be fully inflated to
+# serve one object. git's answer is the v2 .idx sidecar (gitformat-pack):
+# fanout table → binary search in the sorted name list → offset table →
+# ONE ranged read of that entry (plus its delta bases). That is exactly
+# the zipshard central-directory / CDX pattern this repo uses for every
+# random-access container, so the idx builder/parser and a point lookup
+# live here; build_pack_index output is byte-identical to what
+# ``git index-pack`` emits for the same pack (pinned in pytest).
+
+IDX_MAGIC = b"\xfftOc"
+
+
+def build_pack_index(blob: bytes, size_cap: int = SIZE_CAP) -> Optional[bytes]:
+    """Packfile bytes → its v2 .idx, byte-identical to git's: fanout,
+    sorted names, per-entry CRC-32 of the raw (still-compressed) entry
+    bytes, 31-bit offsets (large-offset table appended past 2 GiB),
+    pack trailer sha, idx sha."""
+    objs = parse_pack(blob, size_cap, with_spans=True)
+    if objs is None:
+        return None
+    rows = sorted(
+        (bytes.fromhex(o[0]), o[5]) for o in objs
+    )  # (id20, (start, end)) in name order
+    fanout = [0] * 256
+    for oid, _ in rows:
+        fanout[oid[0]] += 1
+    for b in range(1, 256):
+        fanout[b] += fanout[b - 1]
+    out = bytearray(IDX_MAGIC + struct.pack(">I", 2))
+    out += struct.pack(">256I", *fanout)
+    for oid, _ in rows:
+        out += oid
+    for _oid, (s, e) in rows:
+        out += struct.pack(">I", zlib.crc32(blob[s:e]))
+    large: list[int] = []
+    for _oid, (s, _e) in rows:
+        if s < 1 << 31:
+            out += struct.pack(">I", s)
+        else:
+            out += struct.pack(">I", 0x80000000 | len(large))
+            large.append(s)
+    for s in large:
+        out += struct.pack(">Q", s)
+    out += blob[-20:]  # the pack's own trailer sha
+    out += hashlib.sha1(out).digest()
+    return bytes(out)
+
+
+def parse_pack_index(idx: bytes) -> Optional[list[tuple[str, int, int]]]:
+    """.idx v2 bytes → [(id_hex, offset, crc32)] in name order, or
+    None. Validates magic/version, both trailing SHA-1s' presence,
+    the idx's own checksum, and fanout monotonicity."""
+    try:
+        if len(idx) < 8 + 1024 + 40 or idx[:4] != IDX_MAGIC:
+            return None
+        (version,) = struct.unpack(">I", idx[4:8])
+        if version != 2:
+            return None
+        if hashlib.sha1(idx[:-20]).digest() != idx[-20:]:
+            return None
+        fanout = struct.unpack(">256I", idx[8 : 8 + 1024])
+        if any(fanout[i] > fanout[i + 1] for i in range(255)):
+            return None
+        n = fanout[255]
+        names_at = 8 + 1024
+        crc_at = names_at + 20 * n
+        ofs_at = crc_at + 4 * n
+        big_at = ofs_at + 4 * n
+        if big_at + 40 > len(idx):
+            return None  # n lies about the bytes present
+        out = []
+        n_big = (len(idx) - 40 - big_at) // 8
+        for k in range(n):
+            oid = idx[names_at + 20 * k : names_at + 20 * k + 20]
+            (crc,) = struct.unpack(">I", idx[crc_at + 4 * k : crc_at + 4 * k + 4])
+            (o32,) = struct.unpack(">I", idx[ofs_at + 4 * k : ofs_at + 4 * k + 4])
+            if o32 & 0x80000000:
+                slot = o32 & 0x7FFFFFFF
+                if slot >= n_big:
+                    return None
+                (off,) = struct.unpack(
+                    ">Q", idx[big_at + 8 * slot : big_at + 8 * slot + 8]
+                )
+            else:
+                off = o32
+            out.append((oid.hex(), off, crc))
+        return out
+    except struct.error:
+        return None
+
+
+def pack_point_lookup(
+    blob: bytes,
+    idx_entries: list[tuple[str, int, int]],
+    want_hex: str,
+    size_cap: int = SIZE_CAP,
+    _depth: int = 0,
+) -> Optional[tuple[str, bytes]]:
+    """Extract ONE object from a pack via its .idx — inflating only
+    that entry and its delta bases (≤ depth-50 of them), never the
+    rest of the pack. This is the ranged-GET access path a 100 GB
+    pack needs; the full parse_pack sweep is for whole-pack ingest."""
+    if _depth > MAX_DELTA_DEPTH:
+        return None
+    by_id = {h: off for h, off, _ in idx_entries}
+    by_off = {off: h for h, off, _ in idx_entries}
+    off = by_id.get(want_hex)
+    if off is None or off >= len(blob):
+        return None
+    try:
+        i = off
+        b = blob[i]
+        i += 1
+        kind = (b >> 4) & 7
+        size = b & 0x0F
+        shift = 4
+        while b & 0x80:
+            if i >= len(blob) or shift > 60:
+                return None
+            b = blob[i]
+            i += 1
+            size |= (b & 0x7F) << shift
+            shift += 7
+        if size > size_cap:
+            return None
+        if kind == OBJ_OFS_DELTA:
+            dist, i = _ofs_decode(blob, i, len(blob))
+            base_hex = by_off.get(off - dist)
+        elif kind == OBJ_REF_DELTA:
+            base_hex = blob[i : i + 20].hex()
+            i += 20
+        elif kind in _KIND:
+            base_hex = None
+        else:
+            return None
+        d = zlib.decompressobj()
+        data = d.decompress(memoryview(blob)[i : len(blob) - 20], size + 1)
+        if not d.eof or len(data) != size:
+            return None
+        if base_hex is None:
+            return _KIND[kind], data
+        base = pack_point_lookup(blob, idx_entries, base_hex, size_cap,
+                                 _depth + 1)
+        if base is None:
+            return None
+        return base[0], apply_delta(base[1], data, size_cap)
+    except (_Corrupt, zlib.error, struct.error):
+        return None

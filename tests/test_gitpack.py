@@ -269,3 +269,71 @@ def test_spark_roundtrip_matches_documents(spark):
         assert r["commit_msg"] == "shard %d snapshot" % r["shard_id"]
         styles.add(r["packed_as"])
     assert styles == {"full", "ofs_delta", "ref_delta"}
+
+
+# --- .idx v2: the random-access scale path --------------------------------
+
+
+def test_idx_byte_identical_to_git_index_pack(tmp_path):
+    """build_pack_index output must be BYTE-IDENTICAL to the .idx git
+    itself derives from the same pack — fanout, name order, entry
+    CRCs, offsets, both trailing SHA-1s."""
+    from epic_stream_processor_spark.operators.gitpack import (
+        build_pack_index,
+    )
+
+    pack = _sample_pack()
+    pack_path = tmp_path / "our.pack"
+    pack_path.write_bytes(pack)
+    repo = str(tmp_path / "repo")
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    r = subprocess.run(
+        ["git", "-C", repo, "index-pack", "--strict", str(pack_path)],
+        capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    git_idx = (tmp_path / "our.idx").read_bytes()
+    assert build_pack_index(pack) == git_idx
+
+
+def test_idx_parse_both_sides_and_point_lookup(tmp_path):
+    from epic_stream_processor_spark.operators.gitpack import (
+        build_pack_index,
+        pack_point_lookup,
+        parse_pack_index,
+    )
+
+    pack = _sample_pack()
+    idx = build_pack_index(pack)
+    ents = parse_pack_index(idx)
+    assert ents is not None and len(ents) == 5
+    assert [e[0] for e in ents] == sorted(e[0] for e in ents)  # name order
+    # point lookup inflates ONE chain, not the pack: every blob,
+    # including the depth-2 ref_delta, resolves byte-exact
+    for t in TEXTS:
+        h = obj_id("blob", t).hex()
+        assert pack_point_lookup(pack, ents, h) == ("blob", t)
+    # absent id → None, not a scan
+    assert pack_point_lookup(pack, ents, "0" * 40) is None
+
+
+def test_idx_corruption_drops():
+    from epic_stream_processor_spark.operators.gitpack import (
+        build_pack_index,
+        parse_pack_index,
+    )
+
+    idx = bytearray(build_pack_index(_sample_pack()))
+    assert parse_pack_index(b"") is None
+    assert parse_pack_index(bytes(idx)[:100]) is None
+    flipped = bytearray(idx)
+    flipped[-1] ^= 0xFF  # idx checksum
+    assert parse_pack_index(bytes(flipped)) is None
+    bad_fanout = bytearray(idx)
+    bad_fanout[8 + 4] = 0xFF  # fanout[1] jumps above fanout[2]
+    assert parse_pack_index(bytes(bad_fanout)) is None
+    # fanout count lying beyond the bytes present must not read past
+    lie = bytearray(idx)
+    import struct as _s
+    _s.pack_into(">I", lie, 8 + 255 * 4, 1 << 20)
+    assert parse_pack_index(bytes(lie)) is None
