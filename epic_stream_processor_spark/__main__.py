@@ -173,6 +173,18 @@ def main(argv: list[str] | None = None) -> int:
     oi.add_argument("--checkpoint", required=True)
     oi.add_argument("--available-now", action="store_true")
 
+    ti = sub.add_parser(
+        "tensor-ingest",
+        help="streaming vector-shard ingest: sniff magic (.npz/"
+             ".safetensors) → matching reader → uniform (vec_id, "
+             "source_format, embedding) parquet (<shard_id>.bin "
+             "files in the blob dir)",
+    )
+    ti.add_argument("--blobs", required=True, help="tensor-shard drop dir")
+    ti.add_argument("--out", required=True)
+    ti.add_argument("--checkpoint", required=True)
+    ti.add_argument("--available-now", action="store_true")
+
     st = sub.add_parser("stream", help="run the streaming pipeline")
     st.add_argument("--epochs", required=True, help="spool/epochs parquet dir")
     st.add_argument("--watchlist", required=True)
@@ -320,6 +332,17 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         n = spark.read.parquet(args.out).count()
         print(f"extracted {n} document(s) -> {args.out}")
+    elif args.cmd == "tensor-ingest":
+        from .streaming.pipeline import run_tensor_ingest_stream
+
+        spark = _get_spark()
+        q = run_tensor_ingest_stream(
+            spark, args.blobs, args.out, args.checkpoint,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.out).count()
+        print(f"ingested {n} vector(s) -> {args.out}")
     elif args.cmd == "corpus-tokenize":
         from .operators.bpe import bpe_encode, train_bpe
 

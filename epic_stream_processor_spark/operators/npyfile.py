@@ -267,13 +267,16 @@ def walk_npz(blob: bytes, member_cap: int = 4096) -> Iterator[tuple[str, bytes]]
 SHARD_ROWS = 32
 
 
-def embeddings_as_npz(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """(shard_id, data): shards of 32 vectors as genuine .npz archives
-    with three members — ``vec_id.npy`` (i8), ``embedding.npy`` (f4
-    matrix, one row per vector), ``label.npy`` (i4) — STORED for even
-    shards, DEFLATE (savez_compressed-style) for odd."""
+def embeddings_as_npz(
+    emb: DataFrame, id_col: str = "vec_id", shard_rows: int = SHARD_ROWS
+) -> DataFrame:
+    """(shard_id, data): shards of ``shard_rows`` vectors as genuine
+    .npz archives with three members — ``vec_id.npy`` (i8),
+    ``embedding.npy`` (f4 matrix, one row per vector), ``label.npy``
+    (i4) — STORED for even shards, DEFLATE (savez_compressed-style)
+    for odd."""
     rows = emb.select(
-        (F.col(id_col) / SHARD_ROWS).cast("long").alias("shard_id"),
+        (F.col(id_col) / shard_rows).cast("long").alias("shard_id"),
         F.col(id_col).alias("vid"),
         F.col("embedding"),
         F.col("label"),

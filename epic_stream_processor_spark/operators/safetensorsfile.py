@@ -194,13 +194,14 @@ SHARD_ROWS = 16
 
 
 def embeddings_as_safetensors(
-    emb: DataFrame, id_col: str = "vec_id"
+    emb: DataFrame, id_col: str = "vec_id", shard_rows: int = SHARD_ROWS
 ) -> DataFrame:
-    """(shard_id, data): shards of 16 vectors as .safetensors blobs —
-    tensors ``vec_id`` (I64), ``embedding`` (F32 [n, dim]), ``label``
-    (I32), plus a ``__metadata__`` shard stamp."""
+    """(shard_id, data): shards of ``shard_rows`` vectors as
+    .safetensors blobs — tensors ``vec_id`` (I64), ``embedding``
+    (F32 [n, dim]), ``label`` (I32), plus a ``__metadata__`` shard
+    stamp."""
     rows = emb.select(
-        (F.col(id_col) / SHARD_ROWS).cast("long").alias("shard_id"),
+        (F.col(id_col) / shard_rows).cast("long").alias("shard_id"),
         F.col(id_col).alias("vid"),
         F.col("embedding"),
         F.col("label"),

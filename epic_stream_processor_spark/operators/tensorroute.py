@@ -1,0 +1,72 @@
+"""Tensor-shard ingest router — the embedding sibling of the office
+capstone: a drop directory of opaque vector shards in EITHER
+interchange format (.npz archives or .safetensors blobs) becomes one
+uniform vectors table, sniffer-routed per blob.
+
+Same architecture as ``operators/officeroute.py`` (r11): the magic
+sniff is one whole-stage-codegen ``when`` chain
+(``operators/sniff.py`` — npz files open with ZIP's ``PK`` magic and
+route through the ``zip`` label; safetensors through the layout
+heuristic), each format branch is a filter over the SAME labeled
+input feeding that format's row-local reader, and the union is
+append-only. The batch capstone and the streaming twin
+(``streaming/pipeline.run_tensor_ingest_stream``) run this one
+router — stream==batch is shared code, pinned by test.
+
+Scale: sniff is map-only; both readers are row-local Arrow passes;
+the union adds no shuffle. A micro-batch is persisted across the two
+branch filters (the r12 office-ADVICE lesson) so the binaryFile scan
++ sniff evaluates once.
+
+Reference note: no tensor surface exists in the astronomy reference;
+LLM-data-pipeline extension composing operators/npyfile.py and
+operators/safetensorsfile.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def route_tensor_blobs(labeled: DataFrame) -> DataFrame:
+    """(shard_id, data, format) → uniform
+    (vec_id, shard_id, source_format, dim, embedding, label).
+    Unknown formats and corrupt blobs drop, never crash."""
+    from .npyfile import read_npz_embeddings
+    from .safetensorsfile import read_safetensors_embeddings
+
+    base = labeled.select("shard_id", "data", "format")
+    npz = read_npz_embeddings(
+        base.where(F.col("format") == "zip").select("shard_id", "data")
+    ).select(
+        "vec_id", "shard_id", F.lit("npz").alias("source_format"),
+        "dim", "embedding", "label",
+    )
+    st = read_safetensors_embeddings(
+        base.where(F.col("format") == "safetensors").select(
+            "shard_id", "data"
+        )
+    ).select(
+        "vec_id", "shard_id", F.lit("safetensors").alias("source_format"),
+        "dim", "embedding", "label",
+    )
+    return npz.unionByName(st)
+
+
+def embeddings_as_mixed_shards(
+    emb: DataFrame, shard_rows: int = 32
+) -> DataFrame:
+    """Fixture builder: one sharding (``vec_id // shard_rows``), even
+    shards rendered as .npz and odd shards as .safetensors — the
+    mixed drop directory the router exists for."""
+    from .npyfile import embeddings_as_npz
+    from .safetensorsfile import embeddings_as_safetensors
+
+    npz = embeddings_as_npz(emb, shard_rows=shard_rows).where(
+        F.col("shard_id") % 2 == 0
+    )
+    st = embeddings_as_safetensors(emb, shard_rows=shard_rows).where(
+        F.col("shard_id") % 2 == 1
+    )
+    return npz.unionByName(st)

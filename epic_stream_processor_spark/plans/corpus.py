@@ -4539,3 +4539,50 @@ SELECT doc_id, shard_id,
        CAST(1700000000 + shard_id AS BIGINT) AS author_ts
 FROM pos
 """
+
+
+def q_git_point_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Git .idx point-lookup path (round 12b): the same per-shard
+    packs as git_pack_extract but shipped WITH their v2 .idx sidecars
+    (build_pack_index — byte-identical to ``git index-pack``'s
+    output, pinned in pytest) and read back ENTIRELY through
+    idx-driven ranged reads (pack_point_lookup: one entry + its delta
+    bases per object, never a sequential sweep) — the random-access
+    pattern a 100 GB pack store serves queries with. n_objects pins
+    that every id in the index resolved (docs-in-shard + tree +
+    commit).
+
+    Closed-form: n_objects is the per-shard doc count + 2; everything
+    else follows from the documents columns.
+
+    Scale: identical shuffle profile to git_pack_extract (the one
+    group-writer shuffle); the lookup side is row-local and touches
+    each entry's bytes once.
+    """
+    from ..operators.gitpack import (
+        docs_as_git_pack_with_index,
+        read_git_pack_via_index,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return read_git_pack_via_index(
+        docs_as_git_pack_with_index(docs)
+    ).select(
+        "doc_id", "shard_id", "n_chars_text",
+        F.col("n_objects").cast("long").alias("n_objects"),
+    )
+
+
+ORACLE_GIT_POINT_FETCH = """WITH shard AS (
+  SELECT doc_id,
+         CAST(doc_id // 8 AS BIGINT) AS shard_id,
+         length(coalesce(text, '')) AS n_chars,
+         COUNT(*) OVER (PARTITION BY doc_id // 8) AS n_docs
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(n_chars AS BIGINT) AS n_chars_text,
+       CAST(n_docs + 2 AS BIGINT) AS n_objects
+FROM shard
+"""

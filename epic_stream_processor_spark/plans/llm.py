@@ -3909,3 +3909,49 @@ ORACLE_SAFETENSORS_ROUNDTRIP = """SELECT vec_id,
        embedding, label
 FROM embeddings
 """
+
+
+# --- tensor-shard ingest router (round 12b capstone) -------------------------
+
+def q_tensor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tensor-shard ingest capstone (round 12b): a mixed drop of
+    vector shards — one sharding, even shards as genuine .npz
+    archives, odd as .safetensors blobs — sniffed per blob (npz rides
+    ZIP's PK magic, safetensors its layout heuristic) and routed to
+    the matching row-local reader, one uniform vectors table out
+    (operators/tensorroute.py). The streaming twin runs this SAME
+    router (stream==batch shared code, pinned by test).
+
+    Closed-form: source_format follows shard parity, everything else
+    is the embeddings table.
+
+    Scale: sniff is map-only codegen; both branches row-local; union
+    append-only — the only shuffle is the fixture group-writer's.
+    """
+    from ..operators.sniff import sniff
+    from ..operators.tensorroute import (
+        embeddings_as_mixed_shards,
+        route_tensor_blobs,
+    )
+
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    labeled = sniff(embeddings_as_mixed_shards(emb))
+    return route_tensor_blobs(labeled).select(
+        "vec_id",
+        "shard_id",
+        "source_format",
+        F.col("dim").cast("long").alias("dim"),
+        "embedding",
+        "label",
+    )
+
+
+ORACLE_TENSOR_INGEST = """SELECT vec_id,
+       CAST(vec_id // 32 AS BIGINT) AS shard_id,
+       CASE WHEN (vec_id // 32) % 2 = 0 THEN 'npz'
+            ELSE 'safetensors' END AS source_format,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       embedding, label
+FROM embeddings
+"""

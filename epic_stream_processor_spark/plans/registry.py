@@ -281,13 +281,39 @@ QUERIES: dict[str, QueryDef] = {
         "encodings), .ppt via TextChars/TextBytes atoms under a "
         "depth-bounded record-tree walk; closed-form oracle",
     ),
-    "latex_extract": QueryDef(
-        corpus.q_latex_extract, corpus.ORACLE_LATEX_EXTRACT,
-        "LaTeX extraction (round 9, arXiv-corpus stage): title/"
-        "abstract/sections/citation-keys channels, inline math "
-        "counted, display math lifted whole, comment strip with the "
-        "\\%-escape lookbehind guard — pure JVM regexp chain; "
-        "closed-form oracle",
+    # --- rotated IN round 12b: the ML-interchange wave earns driver
+    # rows, displacing four 3+-round-green r9 extractors
+    # (latex/epub/subtitle/wikitext → EXTRA_PARITY; their row-local
+    # JVM-chain and parse_zip shapes stay driver-proven by
+    # xlsx_extract, ipynb_extract, cfb_extract, and office_ingest) ---
+    "git_pack_extract": QueryDef(
+        corpus.q_git_pack_extract, corpus.ORACLE_GIT_PACK_EXTRACT,
+        "git packfile extraction (round 12): code-corpus front door — "
+        "pack v2 with OFS/REF deltas, trailer SHA-1, commit/tree "
+        "parse, in-pack tree→blob reassembly; interop-pinned against "
+        "git itself both directions; closed-form oracle",
+    ),
+    "tfrecord_roundtrip": QueryDef(
+        corpus.q_tfrecord_roundtrip, corpus.ORACLE_TFRECORD_ROUNDTRIP,
+        "TFRecord + tf.train.Example round trip (round 12): u64/masked-"
+        "crc32c framing (Castagnoli CRC pinned on RFC 3720 vectors) "
+        "over hand-built protobuf Examples (all three list kinds); "
+        "tail-drop on CRC failure; closed-form oracle",
+    ),
+    "npz_roundtrip": QueryDef(
+        llm.q_npz_roundtrip, llm.ORACLE_NPZ_ROUNDTRIP,
+        "NumPy .npy/.npz round trip (round 12): embedding shards as "
+        "genuine npz archives (i8/f4/i4 members, STORED and DEFLATE) "
+        "through a from-spec reader; byte-identical to np.save and "
+        "interop-pinned against numpy itself both directions; "
+        "f32-bit-exact closed-form oracle",
+    ),
+    "safetensors_roundtrip": QueryDef(
+        llm.q_safetensors_roundtrip, llm.ORACLE_SAFETENSORS_ROUNDTRIP,
+        "safetensors round trip (round 12): HF tensor container — u64+"
+        "JSON header, I64/F32/I32 tensors, reference-validator tiling "
+        "rules (no gaps/overlaps/trailing bytes); reader pinned on the "
+        "spec's own worked example; f32-bit-exact closed-form oracle",
     ),
     # --- rotated IN round 10: the ten best-by-novelty round-9
     # operators earn their FIRST driver rows (VERDICT r9 next #3).
@@ -315,14 +341,6 @@ QUERIES: dict[str, QueryDef] = {
         "cells keeping position — one row per sheet row, matching the "
         "html_tables contract; closed-form 3-rows-per-doc oracle",
     ),
-    "epub_extract": QueryDef(
-        corpus.q_epub_extract, corpus.ORACLE_EPUB_EXTRACT,
-        "EPUB extraction (round 9, OCF/OPF): STORED-mimetype packages "
-        "through parse_zip, container->OPF->spine chain in pure JVM, "
-        "one row per SPINE entry with the manifest id->href "
-        "indirection resolved (fixture scrambles manifest order); "
-        "closed-form word-halving oracle with entity-decode title",
-    ),
     "sqlite_extract": QueryDef(
         corpus.q_sqlite_extract, corpus.ORACLE_SQLITE_EXTRACT,
         "SQLite file parsing (round 9): hand-rolled reader for the "
@@ -330,22 +348,6 @@ QUERIES: dict[str, QueryDef] = {
         "b-trees, varints, serial types, the ipk-NULL trap) against "
         "the stdlib sqlite3 engine as the independent writer - "
         "tarfile-interop pattern; row-local Arrow",
-    ),
-    "subtitle_extract": QueryDef(
-        corpus.q_subtitle_extract, corpus.ORACLE_SUBTITLE_EXTRACT,
-        "SRT/WebVTT subtitle parsing (round 9): one operator recovers "
-        "millisecond cue boundaries + text from both dialects (comma "
-        "vs dot, optional VTT hours, header/NOTE blocks, cue ids, cue "
-        "settings) — the timed-text leg of media-transcript alignment; "
-        "pure JVM split/filter/posexplode chain, closed-form oracle",
-    ),
-    "wikitext_extract": QueryDef(
-        corpus.q_wikitext_extract, corpus.ORACLE_WIKITEXT_EXTRACT,
-        "wikitext -> text (round 9, the Wikipedia stage of every "
-        "published LLM mix): nested-template 3-level unrolled strip, "
-        "piped/plain links, File thumbnails, refs, quotes, headings as "
-        "a pure JVM chain; oracle runs the mirrored RE2 chain from the "
-        "SAME pattern table over the identically-rebuilt fixture string",
     ),
     "sniff_formats": QueryDef(
         corpus.q_sniff_formats, corpus.ORACLE_SNIFF_FORMATS,
@@ -494,34 +496,55 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
     # --- added round 12 ---
-    "npz_roundtrip": QueryDef(
-        llm.q_npz_roundtrip, llm.ORACLE_NPZ_ROUNDTRIP,
-        "NumPy .npy/.npz round trip (round 12): embedding shards as "
-        "genuine npz archives (i8/f4/i4 members, STORED and DEFLATE) "
-        "through a from-spec reader; byte-identical to np.save and "
-        "interop-pinned against numpy itself both directions; "
-        "f32-bit-exact closed-form oracle",
+    "tensor_ingest": QueryDef(
+        llm.q_tensor_ingest, llm.ORACLE_TENSOR_INGEST,
+        "tensor-shard ingest capstone (round 12b): mixed npz/"
+        "safetensors drop sniffer-routed to the matching row-local "
+        "reader, one uniform vectors table; streaming twin runs the "
+        "same router; closed-form shard-parity oracle",
     ),
-    "git_pack_extract": QueryDef(
-        corpus.q_git_pack_extract, corpus.ORACLE_GIT_PACK_EXTRACT,
-        "git packfile extraction (round 12): code-corpus front door — "
-        "pack v2 with OFS/REF deltas, trailer SHA-1, commit/tree "
-        "parse, in-pack tree→blob reassembly; interop-pinned against "
-        "git itself both directions; closed-form oracle",
+    "git_point_fetch": QueryDef(
+        corpus.q_git_point_fetch, corpus.ORACLE_GIT_POINT_FETCH,
+        "git .idx point-lookup path (round 12b): packs shipped with "
+        "their v2 index sidecars (byte-identical to git index-pack's) "
+        "and read back entirely through idx-driven ranged reads — the "
+        "random-access pattern of a pack store; closed-form oracle "
+        "pins every indexed id resolving",
     ),
-    "tfrecord_roundtrip": QueryDef(
-        corpus.q_tfrecord_roundtrip, corpus.ORACLE_TFRECORD_ROUNDTRIP,
-        "TFRecord + tf.train.Example round trip (round 12): u64/masked-"
-        "crc32c framing (Castagnoli CRC pinned on RFC 3720 vectors) "
-        "over hand-built protobuf Examples (all three list kinds); "
-        "tail-drop on CRC failure; closed-form oracle",
+    # --- displaced round 12b (see QUERIES rotation note): 3+ green
+    # driver rounds each; shapes driver-proven by richer family
+    # members ---
+    "latex_extract": QueryDef(
+        corpus.q_latex_extract, corpus.ORACLE_LATEX_EXTRACT,
+        "LaTeX extraction (round 9, arXiv-corpus stage): title/"
+        "abstract/sections/citation-keys channels, inline math "
+        "counted, display math lifted whole, comment strip with the "
+        "\\%-escape lookbehind guard — pure JVM regexp chain; "
+        "closed-form oracle",
     ),
-    "safetensors_roundtrip": QueryDef(
-        llm.q_safetensors_roundtrip, llm.ORACLE_SAFETENSORS_ROUNDTRIP,
-        "safetensors round trip (round 12): HF tensor container — u64+"
-        "JSON header, I64/F32/I32 tensors, reference-validator tiling "
-        "rules (no gaps/overlaps/trailing bytes); reader pinned on the "
-        "spec's own worked example; f32-bit-exact closed-form oracle",
+    "epub_extract": QueryDef(
+        corpus.q_epub_extract, corpus.ORACLE_EPUB_EXTRACT,
+        "EPUB extraction (round 9, OCF/OPF): STORED-mimetype packages "
+        "through parse_zip, container->OPF->spine chain in pure JVM, "
+        "one row per SPINE entry with the manifest id->href "
+        "indirection resolved (fixture scrambles manifest order); "
+        "closed-form word-halving oracle with entity-decode title",
+    ),
+    "subtitle_extract": QueryDef(
+        corpus.q_subtitle_extract, corpus.ORACLE_SUBTITLE_EXTRACT,
+        "SRT/WebVTT subtitle parsing (round 9): one operator recovers "
+        "millisecond cue boundaries + text from both dialects (comma "
+        "vs dot, optional VTT hours, header/NOTE blocks, cue ids, cue "
+        "settings) — the timed-text leg of media-transcript alignment; "
+        "pure JVM split/filter/posexplode chain, closed-form oracle",
+    ),
+    "wikitext_extract": QueryDef(
+        corpus.q_wikitext_extract, corpus.ORACLE_WIKITEXT_EXTRACT,
+        "wikitext -> text (round 9, the Wikipedia stage of every "
+        "published LLM mix): nested-template 3-level unrolled strip, "
+        "piped/plain links, File thumbnails, refs, quotes, headings as "
+        "a pure JVM chain; oracle runs the mirrored RE2 chain from the "
+        "SAME pattern table over the identically-rebuilt fixture string",
     ),
     "xls_cells": QueryDef(
         corpus.q_xls_cells, corpus.ORACLE_XLS_CELLS,

@@ -710,3 +710,67 @@ def run_office_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_tensor_ingest_stream(
+    spark: SparkSession,
+    blob_dir: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Tensor-shard ingest as a stream (round 12b): opaque
+    ``<shard_id>.bin`` vector shards in EITHER interchange format
+    (.npz archive or .safetensors blob) land in a directory; each
+    micro-batch sniffs the magic (pure JVM — npz rides ZIP's PK, the
+    safetensors heuristic its u64+'{\"' layout) and dispatches through
+    the SAME ``operators/tensorroute.route_tensor_blobs`` the batch
+    capstone runs — stream==batch is shared code. Micro-batches land
+    in their own ``_batch_id=N`` partitions with OVERWRITE (the T4
+    idempotent-sink pattern); shardless filenames filter out before
+    decode (the poison-pill fix); corrupt blobs drop inside the
+    readers.
+
+    At 100 TB: sniff is map-only, both branches are row-local Arrow,
+    the union adds no shuffle — a replayed batch rewrites its own
+    partition and nothing else.
+    """
+    from ..operators.sniff import sniff_format
+    from ..operators.tensorroute import route_tensor_blobs
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    labeled = (
+        reader.load(blob_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .try_cast("long")
+            .alias("shard_id"),
+            F.col("content").alias("data"),
+            sniff_format(F.col("content")).alias("format"),
+        )
+        .where(F.col("shard_id").isNotNull())
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        # two branch filters over the same input: persist so the
+        # binaryFile read + sniff evaluates once (the office-router
+        # lesson, r12 ADVICE)
+        batch_df.persist()
+        try:
+            route_tensor_blobs(batch_df).write.mode("overwrite").parquet(
+                f"{out_path}/_batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = labeled.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

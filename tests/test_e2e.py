@@ -270,3 +270,57 @@ def test_cli_office_ingest(spark, tmp_path):
     }
     assert got[1] == ("cfb", "slide words")
     assert got[2][0] == "rtf" and "simple rtf body" in got[2][1]
+
+
+def test_cli_tensor_ingest(spark, tmp_path):
+    """CLI surface (r12b): `tensor-ingest` sniffs and decodes a mixed
+    vector-shard drop dir (.npz + .safetensors) from argv."""
+    import numpy as np
+
+    from epic_stream_processor_spark.__main__ import main
+    from epic_stream_processor_spark.operators.npyfile import (
+        build_npy,
+        build_npz,
+    )
+    from epic_stream_processor_spark.operators.safetensorsfile import (
+        build_safetensors,
+    )
+
+    blob_dir = tmp_path / "tensors"
+    blob_dir.mkdir()
+    ids0 = np.array([0, 1], dtype="<i8")
+    mat0 = np.array([[1.0, 2.0], [3.0, 4.0]], dtype="<f4")
+    lab0 = np.array([7, 8], dtype="<i4")
+    (blob_dir / "0.bin").write_bytes(
+        build_npz(
+            [
+                ("vec_id.npy", build_npy(ids0)),
+                ("embedding.npy", build_npy(mat0)),
+                ("label.npy", build_npy(lab0)),
+            ],
+            compressed=False,
+        )
+    )
+    (blob_dir / "1.bin").write_bytes(
+        build_safetensors(
+            [
+                ("vec_id", np.array([2], dtype="<i8")),
+                ("embedding", np.array([[5.0, 6.0]], dtype="<f4")),
+                ("label", np.array([9], dtype="<i4")),
+            ],
+            metadata={"shard": "1"},
+        )
+    )
+    out = str(tmp_path / "vectors")
+    rc = main([
+        "tensor-ingest", "--blobs", str(blob_dir), "--out", out,
+        "--checkpoint", str(tmp_path / "ck"), "--available-now",
+    ])
+    assert rc == 0
+    got = {
+        r["vec_id"]: (r["source_format"], r["embedding"], r["label"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[0] == ("npz", [1.0, 2.0], 7)
+    assert got[1] == ("npz", [3.0, 4.0], 8)
+    assert got[2] == ("safetensors", [5.0, 6.0], 9)

@@ -337,3 +337,49 @@ def test_idx_corruption_drops():
     import struct as _s
     _s.pack_into(">I", lie, 8 + 255 * 4, 1 << 20)
     assert parse_pack_index(bytes(lie)) is None
+
+
+def test_annotated_tag_roundtrip_and_gits_own(tmp_path):
+    """Tag payloads both ways: ours parses, and a REAL `git tag -a`
+    object (read back through our loose parser) parses with fields
+    matching what git itself reports."""
+    from epic_stream_processor_spark.operators.gitpack import (
+        build_tag,
+        parse_tag,
+    )
+
+    ours = build_tag("c" * 40, "commit", "v1.0", "T Agger", "t@x.y",
+                     99, "release\n")
+    p = parse_tag(ours)
+    assert p["object"] == "c" * 40 and p["type"] == "commit"
+    assert p["tag"] == "v1.0" and p["tagger_ts"] == 99
+    assert parse_tag(b"not a tag") is None
+    assert parse_tag(b"object zz\ntype weird\n\nm") is None
+
+    work = str(tmp_path / "tagrepo")
+    subprocess.run(["git", "init", "-q", work], check=True)
+    env = dict(
+        os.environ,
+        GIT_AUTHOR_NAME="A", GIT_AUTHOR_EMAIL="a@b.c",
+        GIT_COMMITTER_NAME="A", GIT_COMMITTER_EMAIL="a@b.c",
+    )
+    (tmp_path / "tagrepo" / "f.txt").write_text("x")
+    subprocess.run(["git", "-C", work, "add", "."], check=True)
+    subprocess.run(["git", "-C", work, "commit", "-qm", "c"],
+                   check=True, env=env)
+    subprocess.run(["git", "-C", work, "tag", "-a", "v2", "-m", "note"],
+                   check=True, env=env)
+    tag_oid = subprocess.run(
+        ["git", "-C", work, "rev-parse", "v2"],
+        capture_output=True, check=True,
+    ).stdout.decode().strip()
+    path = os.path.join(work, ".git", "objects", tag_oid[:2], tag_oid[2:])
+    kind, content = parse_loose(open(path, "rb").read())
+    assert kind == "tag"
+    p = parse_tag(content)
+    head_oid = subprocess.run(
+        ["git", "-C", work, "rev-parse", "HEAD"],
+        capture_output=True, check=True,
+    ).stdout.decode().strip()
+    assert p["object"] == head_oid and p["type"] == "commit"
+    assert p["tag"] == "v2" and p["message"].startswith("note")

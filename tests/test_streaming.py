@@ -1034,3 +1034,60 @@ def test_office_ingest_stream_matches_batch(spark, tmp_path):
     q2 = run_office_ingest_stream(spark, str(blob_dir), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 4
+
+
+def test_tensor_ingest_stream_matches_batch(spark, tmp_path):
+    """Mixed .npz/.safetensors vector shards through the streaming
+    tensor router must equal the batch dispatch over the same bytes
+    (shared route_tensor_blobs code); stray-named files filter,
+    garbage drops, and a checkpoint restart adds no duplicates."""
+    from pyspark.sql import functions as F
+
+    from epic_stream_processor_spark.operators.sniff import sniff_format
+    from epic_stream_processor_spark.operators.tensorroute import (
+        embeddings_as_mixed_shards,
+        route_tensor_blobs,
+    )
+    from epic_stream_processor_spark.streaming.pipeline import (
+        run_tensor_ingest_stream,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i), float(i) * 0.5, -1.25], i % 3)
+            for i in range(10)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    shards = embeddings_as_mixed_shards(emb, shard_rows=4).collect()
+    blob_dir = tmp_path / "tensors"
+    blob_dir.mkdir()
+    for r in shards:
+        (blob_dir / f"{r['shard_id']}.bin").write_bytes(bytes(r["data"]))
+    (blob_dir / "9.bin").write_bytes(b"not a tensor shard")  # drops
+    (blob_dir / "stray.npz").write_bytes(b"PK\x03\x04junk")  # no shard_id
+    out = str(tmp_path / "vectors")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_tensor_ingest_stream(spark, str(blob_dir), out, ckpt)
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: (r["source_format"], r["embedding"], r["label"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_in = spark.createDataFrame(
+        [(r["shard_id"], bytearray(bytes(r["data"]))) for r in shards],
+        "shard_id long, data binary",
+    ).select("shard_id", "data", sniff_format(F.col("data")).alias("format"))
+    batch = {
+        r["vec_id"]: (r["source_format"], r["embedding"], r["label"])
+        for r in route_tensor_blobs(batch_in).collect()
+    }
+    assert got == batch and set(got) == set(range(10))
+    # shard 0 (vec 0-3) rode npz; shard 1 (vec 4-7) safetensors
+    assert got[0][0] == "npz" and got[5][0] == "safetensors"
+    assert got[3][1] == [3.0, 1.5, -1.25]  # f32 bit-exact through npz
+    assert got[7][1] == [7.0, 3.5, -1.25]  # ...and safetensors
+    # restart on the same checkpoint: no new files -> no duplicates
+    q2 = run_tensor_ingest_stream(spark, str(blob_dir), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 10
