@@ -1,0 +1,315 @@
+"""Parquet footer triage — metadata-only inspection of parquet blobs.
+
+A data-lake crawl meets parquet files as OPAQUE BYTES long before any
+engine mounts them as tables: routing, dedup, and inventory decisions
+(how many rows? which columns? which codec? who wrote it?) should
+cost a footer read, not a table scan. Spark reads parquet *as tables*
+natively; this operator reads parquet *as data* — the sniffer's
+``parquet`` label (r10) finally routes to a parser.
+
+From the public Parquet format spec (apache/parquet-format):
+
+- File layout: ``PAR1`` … column chunks … ``FileMetaData`` (Thrift
+  Compact protocol) + u32 LE footer length + ``PAR1``.
+- The Thrift Compact protocol is implemented here from its public
+  spec (thrift/doc/specs/thrift-compact-protocol.md): short-form
+  field headers ``(delta << 4) | type`` with zigzag-varint long-form
+  ids, ULEB128 varints, zigzag i16/i32/i64, list headers
+  ``(size << 4) | elem_type`` with varint overflow size, structs
+  recursively — parsed into ``{field_id: value}`` dicts generically,
+  then interpreted per parquet.thrift's FileMetaData / SchemaElement /
+  RowGroup / ColumnChunk / ColumnMetaData field numbering.
+
+Bomb posture: footer length is bounded by the blob size before any
+slice; every varint caps at 10 bytes; collection sizes are bounded by
+the bytes remaining (an element costs ≥1 byte); struct nesting caps
+at depth 12; binary field lengths are bounds-checked before slicing.
+Anything off → drop the blob, never crash.
+
+Foreign-implementation pin: pyarrow (baked into this container) is
+the writer — footers written by ``pyarrow.parquet.write_table``
+(multiple codecs, multiple row groups, nested repetition) must parse
+with num_rows / columns / codecs matching what pyarrow itself
+reports; Spark's own parquet output parses too (it's the same
+format).
+
+Scale: a footer read is O(footer bytes) per blob — row-local Arrow,
+zero shuffles. At object-store scale this is the ranged-GET pattern:
+fetch the last ~64 KiB, never the table.
+
+Reference note: no data-lake surface exists in the astronomy
+reference; LLM-data-pipeline extension from the public Parquet and
+Thrift specs.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"PAR1"
+FOOTER_CAP = 16 << 20  # a 16 MiB footer is an attack, not metadata
+MAX_DEPTH = 12
+
+# thrift compact type codes
+_T_BOOL_T, _T_BOOL_F, _T_BYTE, _T_I16, _T_I32, _T_I64 = 1, 2, 3, 4, 5, 6
+_T_DOUBLE, _T_BINARY, _T_LIST, _T_SET, _T_MAP, _T_STRUCT = 7, 8, 9, 10, 11, 12
+
+CODECS = {
+    0: "uncompressed", 1: "snappy", 2: "gzip", 3: "lzo",
+    4: "brotli", 5: "lz4", 6: "zstd", 7: "lz4_raw",
+}
+
+
+class _Corrupt(Exception):
+    pass
+
+
+def _varint(buf: bytes, i: int) -> tuple[int, int]:
+    u = shift = 0
+    start = i
+    while True:
+        if i >= len(buf) or i - start >= 10:
+            raise _Corrupt("varint")
+        b = buf[i]
+        i += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return u, i
+        shift += 7
+
+
+def _zigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _read_value(buf: bytes, i: int, vtype: int, depth: int):
+    if vtype in (_T_BOOL_T, _T_BOOL_F):
+        # only appears inside collections, where bools are full bytes
+        if i >= len(buf):
+            raise _Corrupt("bool")
+        return buf[i] == 1, i + 1
+    if vtype == _T_BYTE:
+        if i >= len(buf):
+            raise _Corrupt("byte")
+        return struct.unpack("b", buf[i : i + 1])[0], i + 1
+    if vtype in (_T_I16, _T_I32, _T_I64):
+        u, i = _varint(buf, i)
+        return _zigzag(u), i
+    if vtype == _T_DOUBLE:
+        if i + 8 > len(buf):
+            raise _Corrupt("double")
+        return struct.unpack("<d", buf[i : i + 8])[0], i + 8
+    if vtype == _T_BINARY:
+        n, i = _varint(buf, i)
+        if n < 0 or i + n > len(buf):
+            raise _Corrupt("binary len")
+        return buf[i : i + n], i + n
+    if vtype in (_T_LIST, _T_SET):
+        if i >= len(buf):
+            raise _Corrupt("list header")
+        h = buf[i]
+        i += 1
+        size = h >> 4
+        etype = h & 0x0F
+        if size == 15:
+            size, i = _varint(buf, i)
+        if size > len(buf) - i + 1:  # an element costs >= 1 byte
+            raise _Corrupt("list size bomb")
+        out = []
+        for _ in range(size):
+            v, i = _read_value(buf, i, etype, depth)
+            out.append(v)
+        return out, i
+    if vtype == _T_MAP:
+        size, i = _varint(buf, i)
+        if size == 0:
+            return {}, i
+        if i >= len(buf):
+            raise _Corrupt("map header")
+        kt, vt = buf[i] >> 4, buf[i] & 0x0F
+        i += 1
+        if size > len(buf) - i + 1:
+            raise _Corrupt("map size bomb")
+        m = {}
+        for _ in range(size):
+            k, i = _read_value(buf, i, kt, depth)
+            v, i = _read_value(buf, i, vt, depth)
+            m[k if not isinstance(k, bytes) else bytes(k)] = v
+        return m, i
+    if vtype == _T_STRUCT:
+        return _read_struct(buf, i, depth + 1)
+    raise _Corrupt("type %d" % vtype)
+
+
+def _read_struct(buf: bytes, i: int, depth: int = 0) -> tuple[dict, int]:
+    if depth > MAX_DEPTH:
+        raise _Corrupt("depth")
+    fields: dict = {}
+    last_id = 0
+    while True:
+        if i >= len(buf):
+            raise _Corrupt("struct eof")
+        b = buf[i]
+        i += 1
+        if b == 0:  # STOP
+            return fields, i
+        delta = b >> 4
+        ftype = b & 0x0F
+        if delta:
+            fid = last_id + delta
+        else:
+            u, i = _varint(buf, i)
+            fid = _zigzag(u)
+        last_id = fid
+        if ftype == _T_BOOL_T:
+            fields[fid] = True
+        elif ftype == _T_BOOL_F:
+            fields[fid] = False
+        else:
+            fields[fid], i = _read_value(buf, i, ftype, depth)
+
+
+def parse_parquet_footer(blob: bytes) -> Optional[dict]:
+    """Parquet bytes → triage dict:
+    ``{num_rows, n_row_groups, columns (schema leaf names, file
+    order), codecs (sorted distinct), created_by, total_compressed,
+    total_uncompressed}`` — or None (drop)."""
+    try:
+        if len(blob) < 12 or blob[:4] != MAGIC or blob[-4:] != MAGIC:
+            raise _Corrupt("magic")
+        (flen,) = struct.unpack("<I", blob[-8:-4])
+        if flen > FOOTER_CAP or flen + 12 > len(blob):
+            raise _Corrupt("footer len")
+        footer = blob[len(blob) - 8 - flen : len(blob) - 8]
+        meta, _ = _read_struct(footer, 0)
+        num_rows = meta.get(3)
+        schema = meta.get(2) or []
+        row_groups = meta.get(4) or []
+        if not isinstance(num_rows, int) or not isinstance(schema, list):
+            raise _Corrupt("shape")
+        # leaf columns: SchemaElement.4 = name, .5 = num_children
+        # (first element is the root; leaves have no children)
+        columns = [
+            e[4].decode("utf-8", "replace")
+            for e in schema[1:]
+            if isinstance(e, dict) and not e.get(5) and 4 in e
+        ]
+        codecs = set()
+        total_comp = total_uncomp = 0
+        for rg in row_groups:
+            if not isinstance(rg, dict):
+                raise _Corrupt("rowgroup")
+            for col in rg.get(1) or []:  # RowGroup.1 = columns
+                cmd = col.get(3) if isinstance(col, dict) else None
+                if not isinstance(cmd, dict):
+                    continue  # ColumnChunk.3 = meta_data
+                codecs.add(CODECS.get(cmd.get(4), "codec_%s" % cmd.get(4)))
+                total_uncomp += cmd.get(6) or 0
+                total_comp += cmd.get(7) or 0
+        created = meta.get(6, b"")
+        return {
+            "num_rows": num_rows,
+            "n_row_groups": len(row_groups),
+            "columns": columns,
+            "codecs": sorted(codecs),
+            "created_by": (
+                created.decode("utf-8", "replace")
+                if isinstance(created, bytes) else ""
+            ),
+            "total_compressed": total_comp,
+            "total_uncompressed": total_uncomp,
+        }
+    except (_Corrupt, struct.error, AttributeError, TypeError):
+        return None
+
+
+# --- Spark plumbing -------------------------------------------------------
+
+SHARD_DOCS = 8
+
+
+def docs_as_parquet_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(shard_id, data): shards of 8 documents rendered as parquet
+    FILES by pyarrow (the foreign writer) — snappy for even shards,
+    zstd for odd, so two codecs ride every corpus pass."""
+    rows = docs.select(
+        (F.col(id_col) / SHARD_DOCS).cast("long").alias("shard_id"),
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.col("lang"),
+    )
+    shards = rows.groupBy("shard_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("id", "text", "lang"))
+        ).alias("recs")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            blobs = []
+            for sid, recs in zip(pdf["shard_id"], pdf["recs"]):
+                table = pa.table(
+                    {
+                        "id": pa.array(
+                            [r["id"] for r in recs], type=pa.int64()
+                        ),
+                        "text": pa.array([r["text"] for r in recs]),
+                        "lang": pa.array([r["lang"] for r in recs]),
+                    }
+                )
+                sink = pa.BufferOutputStream()
+                pq.write_table(
+                    table, sink,
+                    compression="snappy" if int(sid) % 2 == 0 else "zstd",
+                )
+                blobs.append(sink.getvalue().to_pybytes())
+            yield pd.DataFrame(
+                {"shard_id": pdf["shard_id"].astype("int64"), "data": blobs}
+            )
+
+    return shards.mapInPandas(gen, schema="shard_id long, data binary")
+
+
+def parquet_triage(files: DataFrame) -> DataFrame:
+    """(shard_id, data) parquet blobs → one triage row per file:
+    (shard_id, num_rows, n_row_groups, n_columns, col_names, codec).
+    Blobs failing footer validation drop, never crash."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "shard_id", "num_rows", "n_row_groups", "n_columns",
+            "col_names", "codec",
+        ]
+        for pdf in batches:
+            out = []
+            for sid, blob in zip(pdf["shard_id"], pdf["data"]):
+                t = parse_parquet_footer(bytes(blob))
+                if t is None:
+                    continue
+                out.append(
+                    (
+                        int(sid),
+                        t["num_rows"],
+                        t["n_row_groups"],
+                        len(t["columns"]),
+                        ",".join(t["columns"]),
+                        ",".join(t["codecs"]),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(
+        gen,
+        schema=(
+            "shard_id long, num_rows long, n_row_groups int, "
+            "n_columns int, col_names string, codec string"
+        ),
+    )

@@ -4586,3 +4586,96 @@ SELECT doc_id, shard_id,
        CAST(n_docs + 2 AS BIGINT) AS n_objects
 FROM shard
 """
+
+
+# --- Parquet footer triage (round 12b) ---------------------------------------
+
+def q_parquet_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer triage (round 12b): parquet files as DATA, not
+    tables — shards of 8 documents written as real parquet blobs by
+    pyarrow (the foreign writer; snappy even shards, zstd odd), then
+    a from-spec footer reader: PAR1 magics, bounded footer length, a
+    Thrift Compact protocol parser written from the Thrift spec
+    (short/long field headers, zigzag varints, bounded collections,
+    depth-capped structs) interpreting FileMetaData → (num_rows,
+    row groups, leaf columns, codecs). Pinned in pytest against BOTH
+    independent foreign writers this container holds: pyarrow
+    (parquet-cpp) and Spark's own output (parquet-mr)
+    (operators/parquetmeta.py).
+
+    Closed-form: per-shard row counts and the fixed fixture schema.
+
+    Scale: a footer read is O(footer bytes) per blob — the
+    ranged-GET pattern; at object-store scale this triages a lake
+    without mounting a single table.
+    """
+    from ..operators.parquetmeta import docs_as_parquet_blobs, parquet_triage
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return parquet_triage(docs_as_parquet_blobs(docs)).select(
+        "shard_id",
+        "num_rows",
+        F.col("n_row_groups").cast("long").alias("n_row_groups"),
+        F.col("n_columns").cast("long").alias("n_columns"),
+        "col_names",
+        "codec",
+    )
+
+
+ORACLE_PARQUET_TRIAGE = """SELECT CAST(doc_id // 8 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS num_rows,
+       CAST(1 AS BIGINT) AS n_row_groups,
+       CAST(3 AS BIGINT) AS n_columns,
+       'id,text,lang' AS col_names,
+       CASE WHEN (doc_id // 8) % 2 = 0 THEN 'snappy' ELSE 'zstd' END
+         AS codec
+FROM documents
+GROUP BY doc_id // 8
+"""
+
+
+def q_orc_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC tail triage (round 12b): the parquet-triage sibling — shards
+    of 8 documents written as real ORC files by pyarrow (ORC C++, the
+    foreign writer; codec rotating zlib/snappy/zstd/lz4 by shard), then
+    a from-spec tail reader: postscript length byte, protobuf
+    Postscript/Footer via the TFRecord operator's wire reader, ORC
+    compression chunks decoded through stdlib DEFLATE, pyarrow snappy,
+    and THIS REPO'S own lz4-block and zstd-frame decoders, stripe row
+    counts cross-checked against numberOfRows
+    (operators/orcmeta.py). Spark's own ORC output (ORC Java) is the
+    second foreign pin in pytest.
+
+    Closed-form: per-shard row counts, the fixed fixture schema, and
+    the shard-rotation codec.
+
+    Scale: a tail read is O(postscript + footer bytes) — the
+    ranged-GET pattern, like the parquet twin.
+    """
+    from ..operators.orcmeta import docs_as_orc_blobs, orc_triage
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return orc_triage(docs_as_orc_blobs(docs)).select(
+        "shard_id",
+        "num_rows",
+        F.col("n_stripes").cast("long").alias("n_stripes"),
+        F.col("n_columns").cast("long").alias("n_columns"),
+        "col_names",
+        "col_kinds",
+        "compression",
+    )
+
+
+ORACLE_ORC_TRIAGE = """SELECT CAST(doc_id // 8 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS num_rows,
+       CAST(1 AS BIGINT) AS n_stripes,
+       CAST(3 AS BIGINT) AS n_columns,
+       'id,text,lang' AS col_names,
+       'long,string,string' AS col_kinds,
+       CASE (doc_id // 8) % 4 WHEN 0 THEN 'zlib' WHEN 1 THEN 'snappy'
+            WHEN 2 THEN 'zstd' ELSE 'lz4' END AS compression
+FROM documents
+GROUP BY doc_id // 8
+"""

@@ -496,6 +496,22 @@ assert len(QUERIES) <= 50, f"driver caps at 50 queries; registry has {len(QUERIE
 # lesson: entry #51 produced no row at all for two rounds).
 EXTRA_PARITY: dict[str, QueryDef] = {
     # --- added round 12 ---
+    "parquet_triage": QueryDef(
+        corpus.q_parquet_triage, corpus.ORACLE_PARQUET_TRIAGE,
+        "parquet footer triage (round 12b): parquet as DATA — PAR1 "
+        "framing + a from-spec Thrift Compact parser over "
+        "FileMetaData (rows/row-groups/leaf columns/codecs), pinned "
+        "against both parquet-cpp (pyarrow) and parquet-mr (Spark) "
+        "footers; closed-form per-shard oracle",
+    ),
+    "orc_triage": QueryDef(
+        corpus.q_orc_triage, corpus.ORACLE_ORC_TRIAGE,
+        "ORC tail triage (round 12b): postscript + protobuf footer "
+        "via the TFRecord wire reader, compression chunks through "
+        "stdlib DEFLATE / pyarrow snappy / this repo's own lz4+zstd "
+        "decoders, stripe rows cross-checked; pinned against ORC C++ "
+        "(pyarrow) and ORC Java (Spark); closed-form oracle",
+    ),
     "tensor_ingest": QueryDef(
         llm.q_tensor_ingest, llm.ORACLE_TENSOR_INGEST,
         "tensor-shard ingest capstone (round 12b): mixed npz/"

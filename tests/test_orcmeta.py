@@ -1,0 +1,100 @@
+"""ORC tail triage tests. Two independent foreign writers pin the
+parser: pyarrow (ORC C++ — all five codecs) and Spark's own ORC
+output (ORC Java). The lz4 and zstd chunk paths run through THIS
+REPO'S from-spec decoders. Corruption/bomb posture drops rather than
+crashes. Fixture parity lives in test_oracle_parity (orc_triage)."""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import pyarrow as pa
+import pytest
+from pyarrow import orc as pa_orc
+
+from epic_stream_processor_spark.operators.orcmeta import (
+    parse_orc_tail,
+)
+
+T = pa.table(
+    {
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "bb", "ccc"]),
+        "lang": pa.array(["en", "de", "fr"]),
+    }
+)
+
+
+def _blob(table, **kw) -> bytes:
+    sink = pa.BufferOutputStream()
+    pa_orc.write_table(table, sink, **kw)
+    return sink.getvalue().to_pybytes()
+
+
+@pytest.mark.parametrize(
+    "codec,label",
+    [
+        ("uncompressed", "none"),
+        ("zlib", "zlib"),
+        ("snappy", "snappy"),
+        ("lz4", "lz4"),  # decoded by this repo's lz4 block decoder
+        ("zstd", "zstd"),  # ...and its RFC 8878 frame decoder
+    ],
+)
+def test_pyarrow_orc_every_codec(codec, label):
+    got = parse_orc_tail(_blob(T, compression=codec))
+    assert got is not None
+    assert got["num_rows"] == 3 and got["n_stripes"] == 1
+    assert got["columns"] == ["id", "text", "lang"]
+    assert got["column_kinds"] == ["long", "string", "string"]
+    assert got["compression"] == label
+
+
+def test_multi_stripe_and_row_crosscheck():
+    big = pa.table({"x": pa.array(range(200000))})
+    got = parse_orc_tail(_blob(big, stripe_size=64 * 1024))
+    assert got is not None
+    assert got["num_rows"] == 200000 and got["n_stripes"] > 1
+
+
+def test_spark_orc_java_writer(spark, tmp_path):
+    """The OTHER foreign implementation: Spark's ORC output."""
+    df = spark.createDataFrame(
+        [(1, "x", 0.5), (2, "y", 1.5)], "k long, v string, d double"
+    ).coalesce(1)
+    out = str(tmp_path / "t.orc")
+    df.write.mode("overwrite").orc(out)
+    part = glob.glob(out + "/*.orc")[0]
+    got = parse_orc_tail(open(part, "rb").read())
+    assert got is not None
+    assert got["num_rows"] == 2
+    assert got["columns"] == ["k", "v", "d"]
+    assert got["column_kinds"] == ["long", "string", "double"]
+
+
+def test_corruption_and_bombs_drop():
+    blob = _blob(T, compression="zlib")
+    assert parse_orc_tail(b"") is None
+    assert parse_orc_tail(b"ORC\n") is None
+    assert parse_orc_tail(blob[:-1]) is None  # lost the ps-length byte
+    assert parse_orc_tail(b"XXXX" + blob[4:]) is None
+    # postscript length byte pointing past the file
+    assert parse_orc_tail(blob[:-1] + bytes([255])) is None
+    # stripe-rows vs numberOfRows cross-check: flip a footer byte
+    # (either parse fails or the mismatch gate fires — both drop);
+    # scan a window of single-byte corruptions and require that NONE
+    # crashes and the parse-or-drop contract holds
+    for off in range(len(blob) - 40, len(blob) - 20):
+        bad = bytearray(blob)
+        bad[off] ^= 0xFF
+        parse_orc_tail(bytes(bad))  # must not raise
+
+
+def test_truncated_footer_drops():
+    blob = bytearray(_blob(T, compression="uncompressed"))
+    # shrink the file mid-footer but keep the tail intact: postscript
+    # footerLength now points past the start of the remaining bytes
+    ps_len = blob[-1]
+    tail = bytes(blob[-(ps_len + 1):])
+    assert parse_orc_tail(b"ORC\n" + tail) is None

