@@ -1,0 +1,185 @@
+"""Delta Lake transaction-log replay — snapshot reconstruction from
+the `_delta_log` action stream, entirely in JVM expressions.
+
+The third lakehouse leg after the parquet/ORC triage pair: a lake
+directory is usually not bare files but a TABLE FORMAT, and Delta's
+is the simplest public one (delta.io PROTOCOL.md): a `_delta_log/`
+directory of zero-padded ``{version}.json`` files, each a stream of
+newline-delimited JSON actions — ``protocol``, ``metaData``, ``add``
+(a data file enters the table), ``remove`` (it leaves),
+``commitInfo``. The table's state at version V is a pure fold:
+**for every path, the latest action wins** (ties broken by in-file
+order); the live set is the paths whose latest action is an ``add``;
+the schema is the latest ``metaData``.
+
+Engine stance: this is a RELATIONAL fold, so unlike the byte-format
+operators it is zero-Python end-to-end — ``from_json`` with an
+explicit action schema, a ``(version, seq)`` window per path,
+``row_number() == 1``, a filter. Catalyst sees every step.
+
+Scale: one shuffle on the path key (the window), proportional to the
+LOG, not the data — a 100 TB table with a 10 k-action log replays in
+milliseconds. Checkpoint parquet files (the protocol's log-compaction
+mechanism) are ordinary parquet — Spark reads them natively; this
+module replays the JSON tail, which is exactly what a reader does
+after the last checkpoint.
+
+Foreign-bytes pin: no delta-spark ships in this container, so pytest
+pins the replay on a hand-authored log transcribed from PROTOCOL.md's
+own action examples (the spec-example precedent), plus the
+deterministic corpus fixture the parity oracle replays closed-form.
+
+Reference note: no lakehouse surface exists in the astronomy
+reference; LLM-data-pipeline extension from the public Delta
+transaction protocol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# The action subset a snapshot replay needs (PROTOCOL.md): add.path /
+# add.size / add.dataChange, remove.path, metaData.id / schemaString /
+# partitionColumns. commitInfo/protocol lines parse to all-null and
+# fall out of the fold naturally.
+ACTION_SCHEMA = (
+    "add struct<path: string, size: bigint, modificationTime: bigint, "
+    "dataChange: boolean>, "
+    "remove struct<path: string, deletionTimestamp: bigint, "
+    "dataChange: boolean>, "
+    "metaData struct<id: string, schemaString: string, "
+    "partitionColumns: array<string>>, "
+    "protocol struct<minReaderVersion: int, minWriterVersion: int>"
+)
+
+
+def delta_snapshot(log: DataFrame) -> DataFrame:
+    """(version long, seq long, line string) action lines → the live
+    file set: (path, size, added_version). Latest action per path
+    wins; paths whose latest action is a remove drop out."""
+    acts = log.select(
+        "version", "seq",
+        F.from_json("line", ACTION_SCHEMA).alias("a"),
+    )
+    files = acts.select(
+        "version", "seq",
+        F.coalesce(F.col("a.add.path"), F.col("a.remove.path"))
+        .alias("path"),
+        F.col("a.add.path").isNotNull().alias("is_add"),
+        F.col("a.add.size").alias("size"),
+    ).where(F.col("path").isNotNull())
+    w = Window.partitionBy("path").orderBy(
+        F.col("version").desc(), F.col("seq").desc()
+    )
+    latest = files.withColumn("rn", F.row_number().over(w)).where(
+        (F.col("rn") == 1) & F.col("is_add")
+    )
+    return latest.select(
+        "path", "size", F.col("version").alias("added_version")
+    )
+
+
+def delta_table_meta(log: DataFrame) -> DataFrame:
+    """Latest ``metaData`` action: (table_id, schema_string,
+    partition_columns). Empty if the log never declared one."""
+    metas = log.select(
+        "version", "seq", F.from_json("line", ACTION_SCHEMA).alias("a")
+    ).where(F.col("a.metaData.id").isNotNull())
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("version").desc(), F.col("seq").desc()
+    )
+    return (
+        metas.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("a.metaData.id").alias("table_id"),
+            F.col("a.metaData.schemaString").alias("schema_string"),
+            F.col("a.metaData.partitionColumns").alias("partition_columns"),
+        )
+    )
+
+
+def read_delta_log(spark, table_dir: str) -> DataFrame:
+    """A real ``_delta_log`` directory → (version, seq, line): version
+    from the zero-padded filename, seq from the in-file line number —
+    the exact ordering the protocol's fold is defined over."""
+    text = spark.read.text(f"{table_dir}/_delta_log/*.json").select(
+        F.input_file_name().alias("fname"), F.col("value").alias("line")
+    )
+    w = Window.partitionBy("fname").orderBy(F.monotonically_increasing_id())
+    return text.select(
+        F.regexp_extract("fname", r"(\d{20})\.json", 1)
+        .cast("long")
+        .alias("version"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        "line",
+    ).where(F.col("line") != "")
+
+
+def docs_as_delta_log(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture: a three-commit table history over the documents —
+    v0 adds every ``part-{doc_id}.parquet`` (size = n_chars) after a
+    metaData/protocol preamble, v1 removes every doc_id % 5 == 0, v2
+    re-adds every doc_id % 10 == 0 with doubled size (an overwrite).
+    All JSON built JVM-side with to_json."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(F.lit("part-"), F.col(id_col), F.lit(".parquet"))
+        .alias("path"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        .alias("size"),
+    )
+    preamble = docs.sparkSession.createDataFrame(
+        [
+            (0, 0,
+             '{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}'),
+            (0, 1,
+             '{"metaData":{"id":"epic-docs-table","schemaString":'
+             '"{\\"type\\":\\"struct\\"}","partitionColumns":[]}}'),
+        ],
+        "version long, seq long, line string",
+    )
+    adds0 = base.select(
+        F.lit(0).cast("long").alias("version"),
+        (F.col("doc_id") + 2).alias("seq"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("path"), F.col("size"),
+                    F.lit(1700000000000).alias("modificationTime"),
+                    F.lit(True).alias("dataChange"),
+                ).alias("add")
+            )
+        ).alias("line"),
+    )
+    removes1 = base.where(F.col("doc_id") % 5 == 0).select(
+        F.lit(1).cast("long").alias("version"),
+        F.col("doc_id").alias("seq"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("path"),
+                    F.lit(1700000001000).alias("deletionTimestamp"),
+                    F.lit(True).alias("dataChange"),
+                ).alias("remove")
+            )
+        ).alias("line"),
+    )
+    readds2 = base.where(F.col("doc_id") % 10 == 0).select(
+        F.lit(2).cast("long").alias("version"),
+        F.col("doc_id").alias("seq"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("path"),
+                    (F.col("size") * 2).alias("size"),
+                    F.lit(1700000002000).alias("modificationTime"),
+                    F.lit(True).alias("dataChange"),
+                ).alias("add")
+            )
+        ).alias("line"),
+    )
+    return preamble.unionByName(adds0).unionByName(removes1).unionByName(
+        readds2
+    )

@@ -4679,3 +4679,43 @@ ORACLE_ORC_TRIAGE = """SELECT CAST(doc_id // 8 AS BIGINT) AS shard_id,
 FROM documents
 GROUP BY doc_id // 8
 """
+
+
+def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta transaction-log replay (round 12b): snapshot
+    reconstruction from a three-commit `_delta_log` action history
+    over the documents (v0 adds every file, v1 removes doc_id%5==0,
+    v2 re-adds doc_id%10==0 with doubled size) — latest-action-wins
+    per path via ONE (version, seq) window, live set = paths whose
+    latest action is an add (operators/deltalog.py). Zero Python:
+    from_json + window + filter, all Catalyst-visible.
+
+    Closed-form: liveness and size follow from doc_id arithmetic.
+
+    Scale: the one shuffle is the path-keyed window over the LOG (not
+    the data) — a 100 TB table with a 10k-action log replays in
+    milliseconds; checkpoints are plain parquet Spark already reads.
+    """
+    from ..operators.deltalog import delta_snapshot, docs_as_delta_log
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    snap = delta_snapshot(docs_as_delta_log(docs))
+    return snap.select(
+        F.regexp_extract("path", r"part-(\d+)\.parquet", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "path", "size", "added_version",
+    )
+
+
+ORACLE_DELTA_SNAPSHOT = """SELECT doc_id,
+       'part-' || doc_id || '.parquet' AS path,
+       CAST(CASE WHEN doc_id % 10 = 0
+                 THEN 2 * length(coalesce(text, ''))
+                 ELSE length(coalesce(text, '')) END AS BIGINT) AS size,
+       CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 0 END AS BIGINT)
+         AS added_version
+FROM documents
+WHERE doc_id % 5 != 0 OR doc_id % 10 = 0
+"""

@@ -504,6 +504,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "against both parquet-cpp (pyarrow) and parquet-mr (Spark) "
         "footers; closed-form per-shard oracle",
     ),
+    "delta_snapshot": QueryDef(
+        corpus.q_delta_snapshot, corpus.ORACLE_DELTA_SNAPSHOT,
+        "Delta log replay (round 12b): latest-action-wins snapshot "
+        "fold over a three-commit action history — from_json + one "
+        "path-keyed (version, seq) window, zero Python; replay cost "
+        "scales with the log, not the table; closed-form oracle",
+    ),
     "orc_triage": QueryDef(
         corpus.q_orc_triage, corpus.ORACLE_ORC_TRIAGE,
         "ORC tail triage (round 12b): postscript + protobuf footer "

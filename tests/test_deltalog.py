@@ -1,0 +1,112 @@
+"""Delta transaction-log replay tests. No delta-spark ships in this
+container, so the foreign-bytes pin is a hand-authored log
+transcribed from PROTOCOL.md's own action examples, driven through
+the real-directory reader (zero-padded filenames, in-file order).
+Fixture parity lives in test_oracle_parity (delta_snapshot)."""
+
+from __future__ import annotations
+
+import pytest
+
+from epic_stream_processor_spark.operators.deltalog import (
+    delta_snapshot,
+    delta_table_meta,
+    read_delta_log,
+)
+
+
+def _log_df(spark, rows):
+    return spark.createDataFrame(rows, "version long, seq long, line string")
+
+
+def test_latest_action_wins_per_path(spark):
+    log = _log_df(spark, [
+        (0, 0, '{"add":{"path":"a","size":10,"dataChange":true}}'),
+        (0, 1, '{"add":{"path":"b","size":20,"dataChange":true}}'),
+        (1, 0, '{"remove":{"path":"a","deletionTimestamp":1,'
+               '"dataChange":true}}'),
+        (2, 0, '{"add":{"path":"a","size":30,"dataChange":true}}'),
+        (3, 0, '{"remove":{"path":"b","deletionTimestamp":2,'
+               '"dataChange":true}}'),
+    ])
+    got = {r["path"]: r for r in delta_snapshot(log).collect()}
+    assert set(got) == {"a"}  # b removed at v3; a re-added at v2
+    assert got["a"]["size"] == 30 and got["a"]["added_version"] == 2
+
+
+def test_in_file_order_breaks_same_version_ties(spark):
+    # remove then re-add INSIDE one commit: the add (higher seq) wins
+    log = _log_df(spark, [
+        (0, 0, '{"add":{"path":"x","size":1,"dataChange":true}}'),
+        (1, 0, '{"remove":{"path":"x","deletionTimestamp":1,'
+               '"dataChange":true}}'),
+        (1, 1, '{"add":{"path":"x","size":2,"dataChange":true}}'),
+    ])
+    got = delta_snapshot(log).collect()
+    assert len(got) == 1 and got[0]["size"] == 2
+    # ...and the reverse order (add then remove) ends empty
+    log2 = _log_df(spark, [
+        (0, 0, '{"add":{"path":"x","size":1,"dataChange":true}}'),
+        (1, 0, '{"add":{"path":"x","size":2,"dataChange":true}}'),
+        (1, 1, '{"remove":{"path":"x","deletionTimestamp":1,'
+               '"dataChange":true}}'),
+    ])
+    assert delta_snapshot(log2).count() == 0
+
+
+def test_metadata_latest_wins_and_junk_lines_ignored(spark):
+    log = _log_df(spark, [
+        (0, 0, '{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}'),
+        (0, 1, '{"metaData":{"id":"old","schemaString":"s0",'
+               '"partitionColumns":["d"]}}'),
+        (0, 2, '{"commitInfo":{"operation":"WRITE"}}'),
+        (1, 0, 'not json at all'),
+        (2, 0, '{"metaData":{"id":"new","schemaString":"s1",'
+               '"partitionColumns":[]}}'),
+    ])
+    meta = delta_table_meta(log).collect()
+    assert len(meta) == 1
+    assert meta[0]["table_id"] == "new"
+    assert meta[0]["schema_string"] == "s1"
+    assert meta[0]["partition_columns"] == []
+    assert delta_snapshot(log).count() == 0  # no add/remove actions
+
+
+def test_real_directory_layout_protocol_example(spark, tmp_path):
+    """PROTOCOL.md-style log files on disk: zero-padded names, one
+    JSON action per line, replayed through read_delta_log."""
+    logdir = tmp_path / "table" / "_delta_log"
+    logdir.mkdir(parents=True)
+    (logdir / ("0" * 20 + ".json")).write_text(
+        '{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}\n'
+        '{"metaData":{"id":"t1","schemaString":"{}",'
+        '"partitionColumns":[]}}\n'
+        '{"add":{"path":"part-00000.parquet","size":100,'
+        '"modificationTime":0,"dataChange":true}}\n'
+        '{"add":{"path":"part-00001.parquet","size":200,'
+        '"modificationTime":0,"dataChange":true}}\n'
+    )
+    (logdir / ("0" * 19 + "1.json")).write_text(
+        '{"remove":{"path":"part-00000.parquet","deletionTimestamp":5,'
+        '"dataChange":true}}\n'
+        '{"add":{"path":"part-00002.parquet","size":300,'
+        '"modificationTime":0,"dataChange":true}}\n'
+    )
+    log = read_delta_log(spark, str(tmp_path / "table"))
+    snap = {r["path"]: r for r in delta_snapshot(log).collect()}
+    assert set(snap) == {"part-00001.parquet", "part-00002.parquet"}
+    assert snap["part-00002.parquet"]["added_version"] == 1
+    meta = delta_table_meta(log).collect()
+    assert meta[0]["table_id"] == "t1"
+
+
+def test_plan_is_jvm_only(spark):
+    """The replay must stay Catalyst-visible: no Python evaluation
+    nodes (BatchEvalPython / ArrowEvalPython / MapInPandas) anywhere
+    in the optimized plan — this operator's whole point."""
+    log = _log_df(spark, [
+        (0, 0, '{"add":{"path":"a","size":1,"dataChange":true}}'),
+    ])
+    plan = delta_snapshot(log)._jdf.queryExecution().optimizedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
