@@ -13,11 +13,15 @@ Both sides from the public Avro 1.12 spec:
   −15, per the spec) so both paths ride one corpus pass.
 - :func:`parse_avro` reads like the reference implementation: header
   map (including the negative-count/long-size map-block form), schema
-  JSON parsed to a field list (records of primitives — long, int,
-  string, boolean, float, double, bytes — plus two-branch
-  ``["null", T]`` unions; anything else drops the file, documented),
-  per-block bounded inflate, zigzag-varint primitive decoding, and the
-  sync marker VERIFIED after every block.
+  JSON compiled to a decoder tree — all primitives (long, int, string,
+  boolean, float, double, bytes) and, since r12b, the full complex
+  surface: NESTED records, arrays, maps, enums, fixed, and general
+  unions, with every collection block count bounded by the bytes
+  remaining, schema nesting depth-capped at 16, and zero-byte element
+  types (empty records, size-0 fixed) rejected as collection bombs.
+  Named-type REFERENCES stay out of surface (which is also what makes
+  recursive schemas un-buildable). Per-block bounded inflate and the
+  sync marker VERIFIED after every block, as before.
 
 The pytest pin uses the Apache Avro REFERENCE Java implementation
 (``avro-1.12.1.jar`` on Spark's own classpath, driven through py4j) as
@@ -124,27 +128,120 @@ class _Reader:
         return self.take(self.long()).decode("utf-8", "replace")
 
 
-def _field_decoder(ftype):
+MAX_SCHEMA_DEPTH = 16
+
+
+def _blocked_count(r: _Reader) -> int:
+    """Array/map block count; the negative form carries a byte size
+    which is read and discarded. Bounded by the bytes remaining (every
+    element consumes ≥ 1 byte under this module's decoder guards)."""
+    n = r.long()
+    if n < 0:
+        n = -n
+        r.long()
+    if n > len(r.data) - r.i + 1:
+        raise _Corrupt("collection count bomb")
+    return n
+
+
+def _field_decoder(ftype, depth: int = 0):
     """Schema field type → decode fn over _Reader, or None if out of
-    the supported subset."""
-    if isinstance(ftype, list):  # union: only ["null", primitive]
-        if len(ftype) != 2 or "null" not in ftype:
+    the supported surface. r10 shipped the primitive/null-union
+    subset; r12b extends to the full complex-type surface — nested
+    records, arrays, maps, enums, fixed, and general unions — with
+    every collection count bounded by the bytes remaining and schema
+    nesting depth-capped (which also rejects recursive named-type
+    references: any type REFERENCE by name is out of surface, so a
+    linked-list schema cannot recurse the builder)."""
+    if depth > MAX_SCHEMA_DEPTH:
+        return None
+    if isinstance(ftype, list):  # union: any branch list
+        if not ftype:
             return None
-        other = ftype[0] if ftype[1] == "null" else ftype[1]
-        inner = _field_decoder(other)
-        null_idx = ftype.index("null")
-        if inner is None:
-            return None
+        branches = []
+        for b in ftype:
+            if b == "null":
+                branches.append("null")
+            else:
+                inner = _field_decoder(b, depth + 1)
+                if inner is None:
+                    return None
+                branches.append(inner)
 
         def dec_union(r: _Reader):
             branch = r.long()
-            if branch == null_idx:
-                return None
-            if branch not in (0, 1):
+            if not 0 <= branch < len(branches):
                 raise _Corrupt("bad union branch")
-            return inner(r)
+            dec = branches[branch]
+            return None if dec == "null" else dec(r)
 
         return dec_union
+    if isinstance(ftype, dict):
+        t = ftype.get("type")
+        if t == "record":
+            subfields = []
+            for f in ftype.get("fields", []):
+                dec = _field_decoder(f.get("type"), depth + 1)
+                if dec is None or "name" not in f:
+                    return None
+                subfields.append((f["name"], dec))
+            if not subfields:
+                return None  # zero-byte records are collection bombs
+
+            def dec_record(r: _Reader):
+                return {n: d(r) for n, d in subfields}
+
+            return dec_record
+        if t == "array":
+            inner = _field_decoder(ftype.get("items"), depth + 1)
+            if inner is None:
+                return None
+
+            def dec_array(r: _Reader):
+                out = []
+                while True:
+                    n = _blocked_count(r)
+                    if n == 0:
+                        return out
+                    for _ in range(n):
+                        out.append(inner(r))
+
+            return dec_array
+        if t == "map":
+            inner = _field_decoder(ftype.get("values"), depth + 1)
+            if inner is None:
+                return None
+
+            def dec_map(r: _Reader):
+                out = {}
+                while True:
+                    n = _blocked_count(r)
+                    if n == 0:
+                        return out
+                    for _ in range(n):
+                        k = r.string()
+                        out[k] = inner(r)
+
+            return dec_map
+        if t == "enum":
+            symbols = ftype.get("symbols")
+            if not isinstance(symbols, list) or not symbols:
+                return None
+
+            def dec_enum(r: _Reader):
+                i = r.long()
+                if not 0 <= i < len(symbols):
+                    raise _Corrupt("bad enum index")
+                return symbols[i]
+
+            return dec_enum
+        if t == "fixed":
+            size = ftype.get("size")
+            if not isinstance(size, int) or not 1 <= size <= 1 << 20:
+                return None  # size-0 fixed is a zero-byte element bomb
+            return lambda r: r.take(size)
+        # {"type": "string"}-style wrapping of a simpler type
+        return _field_decoder(t, depth + 1)
     if ftype in ("long", "int"):
         return lambda r: r.long()
     if ftype == "string":
@@ -161,7 +258,8 @@ def _field_decoder(ftype):
         import struct
 
         return lambda r: struct.unpack("<d", r.take(8))[0]
-    return None
+    return None  # incl. named-type references ("null" alone is legal
+    # only inside a union and falls through here too)
 
 
 def parse_avro(blob: bytes, inflate_cap: int = 1 << 22):
@@ -190,7 +288,7 @@ def parse_avro(blob: bytes, inflate_cap: int = 1 << 22):
         for f in schema.get("fields", []):
             dec = _field_decoder(f.get("type"))
             if dec is None:
-                return None  # documented subset: primitive/null-union
+                return None  # out of the documented decode surface
             fields.append((f["name"], dec))
         if not fields:
             # A zero-field record consumes zero payload bytes per

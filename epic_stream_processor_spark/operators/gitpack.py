@@ -45,6 +45,14 @@ are bounds-checked against the actual base; object walks stop at the
 blob's end regardless of the header's claimed count. Anything off →
 drop the pack, never crash, never over-allocate.
 
+Documented limitation: THIN packs (``pack-objects --thin`` — wire
+transfers may REF_DELTA against objects the receiver already has,
+outside the pack) drop whole, by design: a self-contained ingest has
+no object store to resolve external bases from. ``git index-pack
+--fix-thin`` is the tool that completes them; on-disk packs are never
+thin (the spec requires self-containment after index-pack). Pinned by
+``test_thin_pack_drops_whole``.
+
 Foreign-implementation pin: git ITSELF ships in this container, so
 ``tests/test_gitpack.py`` round-trips both directions — packs this
 module writes must pass ``git index-pack --strict`` and ``git

@@ -2,7 +2,7 @@
 REFERENCE Java implementation (avro-1.12.1.jar on Spark's own
 classpath, driven via py4j) as foreign writer AND foreign reader, both
 codecs. Spec vectors (zigzag/varint), sync/truncation/bomb behavior,
-and the union-subset decoder run alongside. Fixture parity lives in
+and the complex-type decoder surface run alongside. Fixture parity lives in
 test_oracle_parity (avro_roundtrip)."""
 
 from __future__ import annotations
@@ -98,7 +98,9 @@ def test_union_subset_and_unsupported_schema():
     assert got is not None
     _f, _c, recs = got
     assert recs == [{"id": 1, "opt": "has"}, {"id": 2, "opt": None}]
-    # unsupported field type (nested record) drops the file, not crashes
+    # a ZERO-FIELD nested record is a zero-byte element (collection
+    # bomb class) and drops the file — non-empty nested records parse
+    # since r12b (test_complex_types_from_reference_jar)
     schema2 = json.dumps(
         {
             "type": "record", "name": "r2",
@@ -194,3 +196,125 @@ def test_zero_field_schema_and_block_count_bombs_drop():
     ok = _container(one_field, 1, write_long(7))
     got = parse_avro(ok)
     assert got is not None and got[2] == [{"id": 7}]
+
+
+def test_complex_types_from_reference_jar(spark):
+    """r12b: the decoder's complex surface — nested record, array,
+    map, enum, fixed, 3-branch union — pinned on bytes the Apache
+    Avro REFERENCE Java implementation writes."""
+    import json as _json
+
+    jvm = spark._jvm
+    schema_json = _json.dumps({
+        "type": "record", "name": "complex", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "scores", "type": {"type": "map", "values": "double"}},
+            {"name": "color", "type": {
+                "type": "enum", "name": "Color",
+                "symbols": ["RED", "GREEN", "BLUE"]}},
+            {"name": "digest", "type": {
+                "type": "fixed", "name": "MD5", "size": 4}},
+            {"name": "loc", "type": {
+                "type": "record", "name": "Loc", "fields": [
+                    {"name": "x", "type": "double"},
+                    {"name": "y", "type": "double"}]}},
+            {"name": "opt", "type": ["null", "string", "long"]},
+        ],
+    })
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    w.create(schema, jvm.java.io.File("/tmp/avro_complex_test.avro"))
+    for i, (opt_branch, color) in enumerate(
+        # the int branch uses a value past 2^31: py4j maps small ints
+        # to java Integer, which the union's "long" branch rejects
+        [(None, "RED"), ("s-val", "BLUE"), (1 << 35, "GREEN")]
+    ):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i)
+        tags = jvm.java.util.ArrayList()
+        for t in ["a%d" % i, "b"]:
+            tags.add(t)
+        rec.put("tags", tags)
+        scores = jvm.java.util.HashMap()
+        scores.put("s", float(i) + 0.5)
+        rec.put("scores", scores)
+        rec.put(
+            "color",
+            jvm.org.apache.avro.generic.GenericData.EnumSymbol(
+                schema.getField("color").schema(), color
+            ),
+        )
+        fixed_bytes = bytearray([i, i + 1, i + 2, i + 3])
+        rec.put(
+            "digest",
+            jvm.org.apache.avro.generic.GenericData.Fixed(
+                schema.getField("digest").schema(), fixed_bytes
+            ),
+        )
+        loc = jvm.org.apache.avro.generic.GenericData.Record(
+            schema.getField("loc").schema()
+        )
+        loc.put("x", 1.5 * i)
+        loc.put("y", -0.25)
+        rec.put("loc", loc)
+        rec.put("opt", opt_branch)
+        w.append(rec)
+    w.close()
+    got = parse_avro(open("/tmp/avro_complex_test.avro", "rb").read())
+    assert got is not None
+    fields, codec, records = got
+    assert fields == ["id", "tags", "scores", "color", "digest", "loc", "opt"]
+    assert records[0]["tags"] == ["a0", "b"]
+    assert records[1]["scores"] == {"s": 1.5}
+    assert [r["color"] for r in records] == ["RED", "BLUE", "GREEN"]
+    assert records[2]["digest"] == bytes([2, 3, 4, 5])
+    assert records[1]["loc"] == {"x": 1.5, "y": -0.25}
+    assert records[0]["opt"] is None
+    assert records[1]["opt"] == b"s-val" or records[1]["opt"] == "s-val"
+    assert records[2]["opt"] == 1 << 35
+
+
+def test_complex_bombs_and_recursion_drop():
+    """Collection bombs and recursive schemas must drop: a crafted
+    array block count beyond the payload, an enum index past its
+    symbols, a recursive named-type schema, and size-0 fixed."""
+    import json as _json
+
+    from epic_stream_processor_spark.operators.avrofile import (
+        _field_decoder,
+    )
+
+    # recursive schema: the self-reference is a named-type string →
+    # out of surface, so the builder cannot recurse
+    rec_schema = {
+        "type": "record", "name": "Node", "fields": [
+            {"name": "next", "type": ["null", "Node"]}],
+    }
+    assert _field_decoder(rec_schema) is None
+    assert _field_decoder({"type": "fixed", "name": "z", "size": 0}) is None
+    assert _field_decoder({"type": "record", "name": "e", "fields": []}) is None
+    # crafted container: array field whose block count is absurd
+    schema_json = _json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "long"}}],
+    })
+    blob = build_avro([], schema_json=schema_json)  # header only
+    # hand-append one block claiming 1 record whose array declares 2^40
+    # elements in 3 payload bytes
+    payload = write_long(1 << 40) + b"\x02\x02"
+    block = write_long(1) + write_long(len(payload)) + payload
+    sync = blob[-16:]
+    assert parse_avro(blob + block + sync) is None
+    # enum index out of range
+    schema2 = _json.dumps({
+        "type": "record", "name": "r2", "fields": [
+            {"name": "c", "type": {
+                "type": "enum", "name": "E", "symbols": ["A"]}}],
+    })
+    blob2 = build_avro([], schema_json=schema2)
+    bad = write_long(5)  # index 5 of 1 symbol
+    block2 = write_long(1) + write_long(len(bad)) + bad
+    assert parse_avro(blob2 + block2 + blob2[-16:]) is None

@@ -383,3 +383,31 @@ def test_annotated_tag_roundtrip_and_gits_own(tmp_path):
     ).stdout.decode().strip()
     assert p["object"] == head_oid and p["type"] == "commit"
     assert p["tag"] == "v2" and p["message"].startswith("note")
+
+
+def test_thin_pack_drops_whole():
+    """THIN packs (wire transfers REF_DELTA against objects the
+    receiver already has, OUTSIDE the pack) drop whole — a
+    self-contained ingest has no object store to resolve external
+    bases from; `git index-pack --fix-thin` is the tool that
+    completes them. Documented limitation, pinned here."""
+    from epic_stream_processor_spark.operators.gitpack import (
+        build_pack,
+        encode_delta,
+    )
+
+    from epic_stream_processor_spark.operators.gitpack import (
+        _type_size_header,
+    )
+
+    external_base = b"base content the pack does not contain"
+    delta = encode_delta(external_base, external_base + b" tail")
+    ext_id = obj_id("blob", external_base)
+    body = b"PACK" + struct.pack(">II", 2, 2)
+    # one full object + one thin REF_DELTA (well-formed header, so the
+    # drop is attributable to the missing base, not framing)
+    full = build_pack([("blob", b"present")])[12:-20]
+    body += full
+    body += _type_size_header(7, len(delta)) + ext_id + zlib.compress(delta)
+    pack = body + hashlib.sha1(body).digest()
+    assert parse_pack(pack) is None
