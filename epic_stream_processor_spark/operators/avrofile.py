@@ -351,11 +351,65 @@ def build_avro(
     out += sync
 
     def enc_field(ftype, v) -> bytes:
+        # r12b: the writer follows the reader onto the complex surface
+        # (nested records, arrays, maps, unions, bytes/bool/double) —
+        # what the Iceberg manifest fixtures need; round-trip and
+        # reference-jar pinned in tests/test_avrofile.py
+        if isinstance(ftype, list):  # union: null → its branch index,
+            # else the first non-null branch (fixture writer's choice)
+            if v is None:
+                return write_long(ftype.index("null"))
+            for bi, b in enumerate(ftype):
+                if b != "null":
+                    return write_long(bi) + enc_field(b, v)
+            raise ValueError("union without a value branch")
+        if isinstance(ftype, dict):
+            t = ftype.get("type")
+            if t == "record":
+                return b"".join(
+                    enc_field(f["type"], v[f["name"]])
+                    for f in ftype["fields"]
+                )
+            if t == "array":
+                items = ftype["items"]
+                if not v:
+                    return write_long(0)
+                return (
+                    write_long(len(v))
+                    + b"".join(enc_field(items, x) for x in v)
+                    + write_long(0)
+                )
+            if t == "map":
+                values = ftype["values"]
+                if not v:
+                    return write_long(0)
+                return (
+                    write_long(len(v))
+                    + b"".join(
+                        write_string(k) + enc_field(values, x)
+                        for k, x in v.items()
+                    )
+                    + write_long(0)
+                )
+            return enc_field(t, v)  # {"type": "string"}-style wrap
         if ftype in ("long", "int"):
             return write_long(int(v))
         if ftype == "string":
             return write_string(str(v))
-        raise ValueError("writer subset: long/int/string")
+        if ftype == "boolean":
+            return bytes([1 if v else 0])
+        if ftype == "bytes":
+            b = bytes(v)
+            return write_long(len(b)) + b
+        if ftype == "double":
+            import struct
+
+            return struct.pack("<d", float(v))
+        if ftype == "float":
+            import struct
+
+            return struct.pack("<f", float(v))
+        raise ValueError("writer surface: %r" % (ftype,))
 
     for lo in range(0, len(records), records_per_block):
         chunk = records[lo : lo + records_per_block]

@@ -4719,3 +4719,50 @@ ORACLE_DELTA_SNAPSHOT = """SELECT doc_id,
 FROM documents
 WHERE doc_id % 5 != 0 OR doc_id % 10 = 0
 """
+
+
+def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot resolution (round 12b): the second lakehouse
+    table format — a one-snapshot table over the documents (metadata
+    JSON → manifest-list Avro → per-shard manifest Avro files, all
+    through this repo's own Avro layer whose r12b complex-type
+    surface exists for exactly these nested manifest_entry records),
+    resolved to the live file set: metadata + manifest list are
+    bounded driver reads (one blob each — how real Iceberg readers
+    work), manifests parse distributed, DELETED entries (status 2,
+    doc_id % 5 == 0 in the fixture) drop (operators/iceberg.py). A
+    stale snapshot rides the metadata to prove current-snapshot
+    selection.
+
+    Closed-form: liveness, bucket, and size follow from doc_id
+    arithmetic.
+
+    Scale: the per-file work (manifest parsing) is row-local and
+    fans out; only two table-level blobs touch the driver.
+    """
+    from ..operators.iceberg import docs_as_iceberg, iceberg_live_files
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    live = iceberg_live_files(docs_as_iceberg(docs))
+    return live.select(
+        F.regexp_extract("path", r"part-(\d+)\.parquet", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "path",
+        F.col("bucket").cast("long").alias("bucket"),
+        "record_count",
+        "file_size",
+        "manifest",
+    )
+
+
+ORACLE_ICEBERG_SNAPSHOT = """SELECT doc_id,
+       'data/part-' || doc_id || '.parquet' AS path,
+       CAST(doc_id % 4 AS BIGINT) AS bucket,
+       CAST(1 AS BIGINT) AS record_count,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS file_size,
+       'manifest-' || (doc_id // 8) || '.avro' AS manifest
+FROM documents
+WHERE doc_id % 5 != 0
+"""

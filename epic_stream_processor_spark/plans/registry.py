@@ -504,6 +504,13 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "against both parquet-cpp (pyarrow) and parquet-mr (Spark) "
         "footers; closed-form per-shard oracle",
     ),
+    "iceberg_snapshot": QueryDef(
+        corpus.q_iceberg_snapshot, corpus.ORACLE_ICEBERG_SNAPSHOT,
+        "Iceberg snapshot resolution (round 12b): metadata JSON → "
+        "manifest-list Avro → distributed manifest parse through this "
+        "repo's own Avro complex-type layer; DELETED entries drop, "
+        "stale snapshot ignored; closed-form oracle",
+    ),
     "delta_snapshot": QueryDef(
         corpus.q_delta_snapshot, corpus.ORACLE_DELTA_SNAPSHOT,
         "Delta log replay (round 12b): latest-action-wins snapshot "
