@@ -3955,3 +3955,88 @@ ORACLE_TENSOR_INGEST = """SELECT vec_id,
        embedding, label
 FROM embeddings
 """
+
+
+# --- Bloom-filter decontamination (round 12b scale path) ---------------------
+
+def q_bloom_decontaminate_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline Bloom-filter decontamination (round 12b): the zero-join
+    refinement of round 7's `bloom_decontaminate` (whose probe
+    explodes k slots per gram and broadcast-joins a word table) — the benchmark's 13-gram set
+    compresses to a fixed 8 KiB bitmap (2^16 bits as 2048 32-bit
+    words, 3 md5-family hashes per gram) that rides the probe plan as
+    a LITERAL ARRAY, so the corpus-side check is pure row-local
+    expression work: zero joins, zero shuffles, constant broadcast
+    regardless of benchmark size (operators/contamination.py
+    bloom_build/bloom_decontaminate). False positives are the
+    documented price; the exact join remains the second stage for
+    flagged docs only.
+
+    Closed-form: the oracle rebuilds the SAME bitmap in SQL (identical
+    md5 positions, bit_or fold) and probes with the same three bit
+    tests — exact equality, not a tolerance.
+
+    Scale: bitmap build cost is the benchmark gram chain + a
+    2048-group aggregate; the probe adds three element_at/AND tests
+    per gram to the existing row-local profile.
+    """
+    from ..operators.contamination import (
+        bloom_bitmap,
+        bloom_decontaminate_inline,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    bitmap = bloom_bitmap(bench, k=13)
+    return bloom_decontaminate_inline(train, bitmap, k=13)
+
+
+def _bloom_pos_sql(seed: int) -> str:
+    h = seeded_hash64_sql("CAST(g AS VARCHAR)", seed)
+    return f"(({h}) % 65536)"
+
+
+def _bloom_test_sql(seed: int) -> str:
+    p = _bloom_pos_sql(seed)
+    return (
+        f"(bf[CAST({p} // 32 AS INT) + 1] & "
+        f"(1::BIGINT << CAST({p} % 32 AS INT))) != 0"
+    )
+
+
+ORACLE_BLOOM_DECONTAMINATE_INLINE = f"""WITH words AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_WORDS} END AS w
+  FROM documents
+),
+prof AS (
+  SELECT doc_id, {_SQL_GRAM13_HASHES} AS grams FROM words
+),
+bench_flat AS (
+  SELECT unnest(grams) AS g FROM prof WHERE doc_id % 20 = 0
+),
+pos AS (
+  SELECT unnest([{_bloom_pos_sql(9001)}, {_bloom_pos_sql(9002)},
+                 {_bloom_pos_sql(9003)}]) AS p
+  FROM bench_flat
+),
+bm AS (
+  SELECT CAST(p // 32 AS INT) AS w,
+         bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+arr AS (
+  SELECT list(coalesce(b.bits, 0) ORDER BY r.range) AS bf
+  FROM range(2048) r LEFT JOIN bm b ON b.w = r.range
+)
+SELECT p.doc_id, CAST(len(p.grams) AS BIGINT) AS n_grams,
+       CAST(len(list_filter(p.grams, g ->
+         {_bloom_test_sql(9001)} AND {_bloom_test_sql(9002)}
+         AND {_bloom_test_sql(9003)})) AS BIGINT) AS n_maybe_grams,
+       len(list_filter(p.grams, g ->
+         {_bloom_test_sql(9001)} AND {_bloom_test_sql(9002)}
+         AND {_bloom_test_sql(9003)})) > 0 AS flagged
+FROM prof p, arr WHERE p.doc_id % 20 <> 0
+"""

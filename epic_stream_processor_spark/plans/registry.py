@@ -504,6 +504,16 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "against both parquet-cpp (pyarrow) and parquet-mr (Spark) "
         "footers; closed-form per-shard oracle",
     ),
+    "bloom_decontaminate_inline": QueryDef(
+        llm.q_bloom_decontaminate_inline,
+        llm.ORACLE_BLOOM_DECONTAMINATE_INLINE,
+        "inline Bloom decontamination (round 12b): the zero-join "
+        "refinement of r7's bloom_decontaminate — bitmap embedded as "
+        "a fixed 8 KiB literal array (3 md5 hashes, 2048 32-bit "
+        "words), probe pure row-local expression work (plan-pinned "
+        "no Joins/Exchanges vs r7's slot-explode + word-table join); "
+        "oracle rebuilds the identical bitmap in SQL — exact",
+    ),
     "iceberg_snapshot": QueryDef(
         corpus.q_iceberg_snapshot, corpus.ORACLE_ICEBERG_SNAPSHOT,
         "Iceberg snapshot resolution (round 12b): metadata JSON → "

@@ -3125,3 +3125,100 @@ def test_unigram_em_pipe_word_recount_and_iterations(spark):
     }
     assert it1["abcd"] == "abcd"
     assert it2["abcd"] == "ab|cd"
+
+
+class TestBloomDecontaminate:
+    """r12b Bloom-filter decontamination: the fixed-8-KiB broadcast
+    sibling of the exact gram join."""
+
+    def _docs(self, spark, n=40):
+        return spark.createDataFrame(
+            [
+                (i, " ".join("w%d" % (j + i * 3) for j in range(20)), "en")
+                for i in range(n)
+            ],
+            "doc_id long, text string, lang string",
+        )
+
+    def test_superset_of_exact_and_fp_priced(self, spark):
+        from epic_stream_processor_spark.operators.contamination import (
+            bloom_bitmap,
+            bloom_decontaminate_inline,
+            decontaminate,
+        )
+
+        docs = self._docs(spark)
+        bench = docs.where("doc_id % 20 = 0")
+        train = docs.where("doc_id % 20 != 0")
+        bm = bloom_bitmap(bench, k=13)
+        got = {
+            r["doc_id"]: r
+            for r in bloom_decontaminate_inline(train, bm, k=13).collect()
+        }
+        exact = {
+            r["doc_id"]: r for r in decontaminate(train, bench, k=13).collect()
+        }
+        assert set(got) == set(exact)
+        for d, e in exact.items():
+            # no false negatives, ever: every real hit is flagged
+            assert got[d]["n_maybe_grams"] >= e["n_hit_grams"]
+            if e["contaminated"]:
+                assert got[d]["flagged"]
+        # at this size the 2^16-bit filter should be essentially FP-free
+        fps = sum(
+            1 for d in got
+            if got[d]["flagged"] and not exact[d]["contaminated"]
+        )
+        assert fps <= len(got) // 10
+
+    def test_bitmap_is_fixed_size_and_validated(self, spark):
+        from epic_stream_processor_spark.operators.contamination import (
+            BLOOM_WORDS,
+            bloom_bitmap,
+            bloom_decontaminate_inline,
+        )
+
+        bm = bloom_bitmap(self._docs(spark, 8), k=13)
+        assert len(bm) == BLOOM_WORDS == 2048
+        assert all(isinstance(w, int) for w in bm)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="2048"):
+            bloom_decontaminate_inline(self._docs(spark, 4), [0, 1], k=13)
+
+    def test_probe_plan_has_no_joins_or_exchanges(self, spark):
+        """The whole point: the probe must be row-local — no Join, no
+        Exchange anywhere in its optimized plan (the bitmap is a
+        literal, not a joined side)."""
+        from epic_stream_processor_spark.operators.contamination import (
+            BLOOM_WORDS,
+            bloom_decontaminate_inline,
+        )
+
+        probe = bloom_decontaminate_inline(
+            self._docs(spark, 8), [0] * BLOOM_WORDS, k=13
+        )
+        plan = probe._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan
+        assert "Exchange" not in plan
+
+    def test_empty_and_short_docs(self, spark):
+        from epic_stream_processor_spark.operators.contamination import (
+            BLOOM_WORDS,
+            bloom_decontaminate_inline,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "", "en"), (2, "too short", "en")],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in bloom_decontaminate_inline(
+                docs, [-1] * BLOOM_WORDS, k=13
+            ).collect()
+        }
+        # all-ones bitmap: every gram would "hit", but these docs have
+        # zero 13-grams — n_maybe must be 0, not an error
+        assert got[1]["n_maybe_grams"] == 0 and not got[1]["flagged"]
+        assert got[2]["n_maybe_grams"] == 0

@@ -153,6 +153,12 @@ DUCK_TO_SPARK_TYPES = {
     "DATE": {"date"},
     "BLOB": {"binary"},
     "BIGINT[]": {"array<bigint>"},
+    # r12b: f32 columns entered the registry (embedding round trips —
+    # DuckDB FLOAT ↔ Spark float is exact, both widen to f64 on
+    # collection identically)
+    "FLOAT": {"float"},
+    "FLOAT[]": {"array<float>"},
+    "INTEGER": {"int"},
 }
 
 
