@@ -207,10 +207,18 @@ def iceberg_live_files(files: DataFrame) -> DataFrame:
                 if isinstance(r.get("manifest_path"), str)
             ]
 
-    wanted = files.where(
-        (F.col("kind") == "manifest")
-        & F.col("name").isin(manifest_names)
-    ).select("name", "data")
+    # the manifest-list can name tens of thousands of manifests — as a
+    # broadcast semi-join, not an isin() (whose literal IN-list bloats
+    # the plan linearly with the table; measured as the growth driver
+    # of the sf10 tier before this change)
+    names_df = files.sparkSession.createDataFrame(
+        [(n,) for n in manifest_names] or [(None,)], "name string"
+    ).where(F.col("name").isNotNull())
+    wanted = (
+        files.where(F.col("kind") == "manifest")
+        .join(F.broadcast(names_df), "name", "left_semi")
+        .select("name", "data")
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from epic_stream_processor_spark.operators.avrofile import (
