@@ -1,0 +1,194 @@
+"""Chat-transcript normalization — the SFT-data front door.
+
+Instruction-tuning corpora arrive in two dominant JSON dialects:
+ShareGPT-style (``{"conversations": [{"from": "human", "value": …},
+…]}`` — the export format most community SFT sets use) and
+OpenAI-style (``{"messages": [{"role": "user", "content": …}, …]}``).
+Training pipelines need ONE turn table with normalized roles and
+structural validation before templating; this operator is that
+normalization, entirely in JVM expressions (``from_json`` with
+explicit schemas, ``posexplode``, a ``when`` role map — zero Python,
+Catalyst sees everything).
+
+Normalization rules (the de-facto community conventions):
+
+- roles map ``human``/``user`` → ``user``; ``gpt``/``assistant``/
+  ``chatgpt``/``bard`` → ``assistant``; ``system`` stays; anything
+  else → ``other`` (kept, flagged — dropping silently hides data
+  bugs).
+- empty/whitespace-only turns are flagged, not dropped.
+- per-conversation structure checks: ``starts_ok`` (system or user
+  first), ``alternates_ok`` (after collapsing the optional leading
+  system turn, user/assistant must strictly alternate) — the checks
+  SFT trainers assert before applying a chat template.
+
+Scale: one ``from_json`` + generator per document, one tiny
+per-conversation aggregate for the structure flags — the only
+shuffle is that conv-keyed aggregate, map-side combinable.
+
+Reference note: no chat surface exists in the astronomy reference;
+LLM-data-pipeline extension (SFT-corpus normalization, public
+community formats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SHAREGPT_SCHEMA = (
+    "struct<conversations: array<struct<from: string, value: string>>>"
+)
+OPENAI_SCHEMA = (
+    "struct<messages: array<struct<role: string, content: string>>>"
+)
+
+
+def _norm_role(raw) -> F.Column:
+    r = F.lower(F.coalesce(raw, F.lit("")))
+    return (
+        F.when(r.isin("human", "user"), F.lit("user"))
+        .when(r.isin("gpt", "assistant", "chatgpt", "bard"),
+              F.lit("assistant"))
+        .when(r == "system", F.lit("system"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def normalize_chats(
+    raw: DataFrame, id_col: str = "conv_id", json_col: str = "payload"
+) -> DataFrame:
+    """(conv_id, payload JSON) in EITHER dialect → one row per turn:
+    (conv_id, turn_idx, role, raw_role, content, n_chars, is_empty,
+    dialect). Documents parsing as neither dialect yield no rows
+    (drop-not-crash)."""
+    parsed = raw.select(
+        id_col,
+        F.from_json(F.col(json_col), SHAREGPT_SCHEMA).alias("sg"),
+        F.from_json(F.col(json_col), OPENAI_SCHEMA).alias("oa"),
+    )
+    turns = parsed.select(
+        id_col,
+        F.when(
+            F.col("sg.conversations").isNotNull(), F.lit("sharegpt")
+        ).otherwise(F.lit("openai")).alias("dialect"),
+        F.coalesce(
+            F.col("sg.conversations"),
+            F.transform(
+                F.col("oa.messages"),
+                lambda m: F.struct(
+                    m["role"].alias("from"), m["content"].alias("value")
+                ),
+            ),
+        ).alias("t"),
+    ).where(F.col("t").isNotNull())
+    exploded = turns.select(
+        id_col,
+        "dialect",
+        F.posexplode("t").alias("turn_idx", "turn"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        _norm_role(F.col("turn.from")).alias("role"),
+        F.coalesce(F.col("turn.from"), F.lit("")).alias("raw_role"),
+        F.coalesce(F.col("turn.value"), F.lit("")).alias("content"),
+        F.length(F.coalesce(F.col("turn.value"), F.lit("")))
+        .cast("long")
+        .alias("n_chars"),
+        (F.trim(F.coalesce(F.col("turn.value"), F.lit(""))) == "")
+        .alias("is_empty"),
+        "dialect",
+    )
+
+
+def chat_structure(turns: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """Per-conversation structure report: (conv_id, n_turns, n_user,
+    n_assistant, has_system, has_other, starts_ok, alternates_ok,
+    n_empty). ``alternates_ok``: after dropping ONE leading system
+    turn, roles at even offsets must be user and odd offsets
+    assistant."""
+    w = Window.partitionBy(id_col).orderBy("turn_idx")
+    staged = turns.withColumn(
+        "_first_role", F.first("role").over(w)
+    ).withColumn(
+        "_eff_idx",
+        F.col("turn_idx")
+        - F.when(F.col("_first_role") == "system", 1).otherwise(0),
+    )
+    ok_turn = F.when(
+        F.col("_eff_idx") < 0, F.col("role") == "system"
+    ).otherwise(
+        F.when(F.col("_eff_idx") % 2 == 0, F.col("role") == "user")
+        .otherwise(F.col("role") == "assistant")
+    )
+    return (
+        staged.withColumn("_ok", ok_turn)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum((F.col("role") == "user").cast("int"))
+            .cast("long")
+            .alias("n_user"),
+            F.sum((F.col("role") == "assistant").cast("int"))
+            .cast("long")
+            .alias("n_assistant"),
+            F.max(F.col("role") == "system").alias("has_system"),
+            F.max(F.col("role") == "other").alias("has_other"),
+            F.max(
+                F.when(F.col("turn_idx") == 0,
+                       F.col("role").isin("system", "user"))
+            ).alias("starts_ok"),
+            F.min("_ok").alias("alternates_ok"),
+            F.sum(F.col("is_empty").cast("int"))
+            .cast("long")
+            .alias("n_empty"),
+        )
+    )
+
+
+def docs_as_chats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture: each document becomes a 3-or-4-turn conversation —
+    even doc_ids as ShareGPT JSON (with a system turn when
+    doc_id % 4 == 0), odd as OpenAI JSON; doc_id % 7 == 0 injects an
+    empty assistant turn; the text's first word rides every user
+    turn. Built with to_json, all JVM."""
+    first_word = F.coalesce(
+        F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1), F.lit("")
+    )
+    user1 = F.concat(F.lit("ask "), first_word)
+    asst1 = F.concat(F.lit("answer "), first_word)
+    asst2 = F.when(F.col(id_col) % 7 == 0, F.lit("")).otherwise(
+        F.lit("closing answer")
+    )
+    sys_t = F.lit("be helpful")
+
+    def sg(role, value):
+        return F.struct(role.alias("from"), value.alias("value"))
+
+    def oa(role, value):
+        return F.struct(role.alias("role"), value.alias("content"))
+
+    sg_turns = F.when(
+        F.col(id_col) % 4 == 0,
+        F.array(
+            sg(F.lit("system"), sys_t), sg(F.lit("human"), user1),
+            sg(F.lit("gpt"), asst1), sg(F.lit("human"), F.lit("more?")),
+        ),
+    ).otherwise(
+        F.array(
+            sg(F.lit("human"), user1), sg(F.lit("gpt"), asst1),
+            sg(F.lit("human"), F.lit("more?")), sg(F.lit("gpt"), asst2),
+        )
+    )
+    oa_turns = F.array(
+        oa(F.lit("user"), user1), oa(F.lit("assistant"), asst1),
+        oa(F.lit("user"), F.lit("more?")), oa(F.lit("assistant"), asst2),
+    )
+    payload = F.when(
+        F.col(id_col) % 2 == 0,
+        F.to_json(F.struct(sg_turns.alias("conversations"))),
+    ).otherwise(F.to_json(F.struct(oa_turns.alias("messages"))))
+    return docs.select(
+        F.col(id_col).alias("conv_id"), payload.alias("payload")
+    )

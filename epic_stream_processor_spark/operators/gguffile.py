@@ -1,0 +1,348 @@
+"""GGUF — the llama.cpp model container, the format local-inference
+tooling ships tensors in (and increasingly a vehicle for embedding
+dumps). A training-data pipeline meets .gguf wherever it meets
+model-derived artifacts; triage (architecture, tensor inventory,
+quantization types) should cost a header read, not a load.
+
+From the public GGUF spec (ggml-org/ggml docs/gguf.md), version 3:
+
+- layout: ``GGUF`` magic, u32 version, u64 tensor_count, u64
+  metadata_kv_count; then metadata key/values (key = u64-length
+  string; u32 value type from {u8 i8 u16 i16 u32 i32 f32 bool string
+  array u64 i64 f64}; arrays carry elem-type + u64 count); then per
+  tensor: name string, u32 n_dims, u64 dims (ne[0] fastest-varying,
+  per ggml convention), u32 ggml type, u64 offset into the tensor
+  data region; the region itself starts aligned to
+  ``general.alignment`` (default 32).
+- ggml type ids used here: F32=0, I32=26, I64=27 (the typed-integer
+  ids the spec added for non-quantized payloads).
+
+Bomb posture: every count (kv, tensors, dims, array elements) is
+bounded by the bytes remaining before any allocation (an element
+costs ≥1 byte); string lengths bounds-checked before slicing; tensor
+extraction validates offset + nbytes against the data region; only
+version 3 parses (v1/v2 differ in width semantics — documented drop).
+
+Foreign pin: no gguf tooling ships in this container; the reader is
+pinned on a hand-authored blob transcribed from the spec's layout
+tables, plus writer/reader round trips (the CFB precedent: writer
+lays out forward, reader only follows counts).
+
+Scale: writer pays the one shard-keyed groupBy every group writer
+pays; triage reads O(header) per blob — the ranged-GET pattern; full
+extraction is a row-local Arrow pass.
+
+Reference note: no model-container surface exists in the astronomy
+reference; LLM-data-pipeline extension from the public GGUF spec.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"GGUF"
+VERSION = 3
+ALIGNMENT = 32
+
+GGML_F32, GGML_I32, GGML_I64 = 0, 26, 27
+_GGML_NP = {GGML_F32: ("<f4", 4), GGML_I32: ("<i4", 4), GGML_I64: ("<i8", 8)}
+_GGML_NAMES = {0: "F32", 1: "F16", 2: "Q4_0", 3: "Q4_1", 8: "Q8_0",
+               24: "I8", 25: "I16", 26: "I32", 27: "I64", 28: "F64"}
+
+# metadata value types
+_T_U8, _T_I8, _T_U16, _T_I16, _T_U32, _T_I32 = 0, 1, 2, 3, 4, 5
+_T_F32, _T_BOOL, _T_STRING, _T_ARRAY, _T_U64, _T_I64, _T_F64 = (
+    6, 7, 8, 9, 10, 11, 12
+)
+
+
+class _Corrupt(Exception):
+    pass
+
+
+class _R:
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.i = 0
+
+    def take(self, n: int) -> bytes:
+        if n < 0 or self.i + n > len(self.b):
+            raise _Corrupt("truncated")
+        out = self.b[self.i : self.i + n]
+        self.i += n
+        return out
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.take(4))[0]
+
+    def u64(self) -> int:
+        return struct.unpack("<Q", self.take(8))[0]
+
+    def s(self) -> str:
+        n = self.u64()
+        if n > len(self.b) - self.i:
+            raise _Corrupt("string len")
+        return self.take(n).decode("utf-8", "replace")
+
+
+def _read_value(r: _R, vtype: int, depth: int = 0):
+    if vtype == _T_U8:
+        return r.take(1)[0]
+    if vtype == _T_I8:
+        return struct.unpack("b", r.take(1))[0]
+    if vtype == _T_U16:
+        return struct.unpack("<H", r.take(2))[0]
+    if vtype == _T_I16:
+        return struct.unpack("<h", r.take(2))[0]
+    if vtype == _T_U32:
+        return r.u32()
+    if vtype == _T_I32:
+        return struct.unpack("<i", r.take(4))[0]
+    if vtype == _T_F32:
+        return struct.unpack("<f", r.take(4))[0]
+    if vtype == _T_BOOL:
+        return r.take(1)[0] != 0
+    if vtype == _T_STRING:
+        return r.s()
+    if vtype == _T_U64:
+        return r.u64()
+    if vtype == _T_I64:
+        return struct.unpack("<q", r.take(8))[0]
+    if vtype == _T_F64:
+        return struct.unpack("<d", r.take(8))[0]
+    if vtype == _T_ARRAY:
+        if depth > 2:
+            raise _Corrupt("array nesting")
+        et = r.u32()
+        n = r.u64()
+        if n > len(r.b) - r.i + 1:  # an element costs >= 1 byte
+            raise _Corrupt("array count bomb")
+        return [_read_value(r, et, depth + 1) for _ in range(n)]
+    raise _Corrupt("value type %d" % vtype)
+
+
+def _write_value(v, vtype: int) -> bytes:
+    if vtype == _T_STRING:
+        b = str(v).encode("utf-8")
+        return struct.pack("<Q", len(b)) + b
+    if vtype == _T_U32:
+        return struct.pack("<I", v)
+    if vtype == _T_U64:
+        return struct.pack("<Q", v)
+    if vtype == _T_I64:
+        return struct.pack("<q", v)
+    if vtype == _T_F32:
+        return struct.pack("<f", v)
+    if vtype == _T_BOOL:
+        return bytes([1 if v else 0])
+    raise ValueError("writer surface")
+
+
+def build_gguf(
+    metadata: list[tuple[str, int, object]],
+    tensors: list[tuple[str, np.ndarray]],
+    alignment: int = ALIGNMENT,
+) -> bytes:
+    """Spec-built GGUF v3: metadata (name, value_type, value) triples,
+    then tensor infos (dims stored ne[0]-first per ggml), then the
+    aligned data region."""
+    np_to_ggml = {"float32": GGML_F32, "int32": GGML_I32,
+                  "int64": GGML_I64}
+    out = bytearray(MAGIC)
+    out += struct.pack("<IQQ", VERSION, len(tensors), len(metadata))
+    for key, vtype, val in metadata:
+        out += _write_value(key, _T_STRING)
+        out += struct.pack("<I", vtype)
+        out += _write_value(val, vtype)
+    bodies = []
+    offset = 0
+    for name, arr in tensors:
+        arr = np.ascontiguousarray(arr)
+        body = arr.tobytes(order="C")
+        out += _write_value(name, _T_STRING)
+        dims = list(arr.shape[::-1]) or [1]  # ne[0] fastest
+        out += struct.pack("<I", len(dims))
+        for d in dims:
+            out += struct.pack("<Q", d)
+        out += struct.pack("<I", np_to_ggml[str(arr.dtype)])
+        out += struct.pack("<Q", offset)
+        pad = (-len(body)) % alignment
+        bodies.append(body + b"\x00" * pad)
+        offset += len(body) + pad
+    out += b"\x00" * ((-len(out)) % alignment)  # data region aligned
+    for b in bodies:
+        out += b
+    return bytes(out)
+
+
+def parse_gguf(
+    blob: bytes, data_cap: int = 1 << 26
+) -> Optional[tuple[dict, list[dict]]]:
+    """GGUF bytes → (metadata dict, [tensor info dicts with optional
+    'array' for the supported plain types]) or None (drop)."""
+    try:
+        r = _R(blob)
+        if r.take(4) != MAGIC:
+            raise _Corrupt("magic")
+        version = r.u32()
+        if version != VERSION:
+            return None  # v1/v2 width semantics differ: documented
+        n_tensors = r.u64()
+        n_kv = r.u64()
+        if n_tensors > len(blob) or n_kv > len(blob):
+            raise _Corrupt("count bomb")
+        meta: dict = {}
+        for _ in range(n_kv):
+            key = r.s()
+            vtype = r.u32()
+            meta[key] = _read_value(r, vtype)
+        alignment = meta.get("general.alignment", ALIGNMENT)
+        if not (isinstance(alignment, int) and 1 <= alignment <= 65536):
+            raise _Corrupt("alignment")
+        infos = []
+        for _ in range(n_tensors):
+            name = r.s()
+            n_dims = r.u32()
+            if n_dims > 8:
+                raise _Corrupt("dims")
+            dims = [r.u64() for _ in range(n_dims)]
+            ggml_type = r.u32()
+            offset = r.u64()
+            infos.append(
+                {"name": name, "dims": dims, "ggml_type": ggml_type,
+                 "type_name": _GGML_NAMES.get(
+                     ggml_type, "type_%d" % ggml_type),
+                 "offset": offset}
+            )
+        data_start = r.i + ((-r.i) % alignment)
+        region = blob[data_start:]
+        for info in infos:
+            npdt = _GGML_NP.get(info["ggml_type"])
+            n = 1
+            for d in info["dims"]:
+                n *= d
+            info["n_elems"] = n
+            if npdt is None:
+                info["array"] = None  # quantized/unsupported: inventory only
+                continue
+            dt, itemsize = npdt
+            nbytes = n * itemsize
+            if nbytes > data_cap or info["offset"] + nbytes > len(region):
+                raise _Corrupt("tensor span")
+            arr = np.frombuffer(
+                region[info["offset"] : info["offset"] + nbytes], dtype=dt
+            )
+            # ne[0] is fastest: numpy shape is the reverse
+            info["array"] = arr.reshape(tuple(info["dims"][::-1]))
+        return meta, infos
+    except (_Corrupt, struct.error, UnicodeDecodeError):
+        return None
+
+
+# --- Spark plumbing -------------------------------------------------------
+
+SHARD_ROWS = 16
+
+
+def embeddings_as_gguf(
+    emb: DataFrame, id_col: str = "vec_id", shard_rows: int = SHARD_ROWS
+) -> DataFrame:
+    """(shard_id, data): shards of vectors as GGUF blobs — metadata
+    (general.architecture, general.alignment, epic.shard) + tensors
+    ``vec_id`` (I64), ``embedding`` (F32 [n, dim]), ``label``
+    (I32)."""
+    rows = emb.select(
+        (F.col(id_col) / shard_rows).cast("long").alias("shard_id"),
+        F.col(id_col).alias("vid"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    shards = rows.groupBy("shard_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("vid", "embedding", "label"))
+        ).alias("recs")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for sid, recs in zip(pdf["shard_id"], pdf["recs"]):
+                ids = np.array([r["vid"] for r in recs], dtype="<i8")
+                mat = np.array(
+                    [np.asarray(r["embedding"], dtype="<f4") for r in recs],
+                    dtype="<f4",
+                )
+                labels = np.array([r["label"] for r in recs], dtype="<i4")
+                blobs.append(
+                    build_gguf(
+                        [
+                            ("general.architecture", _T_STRING,
+                             "epic-embed"),
+                            ("general.alignment", _T_U32, ALIGNMENT),
+                            ("epic.shard", _T_I64, int(sid)),
+                        ],
+                        [("vec_id", ids), ("embedding", mat),
+                         ("label", labels)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"shard_id": pdf["shard_id"].astype("int64"), "data": blobs}
+            )
+
+    return shards.mapInPandas(gen, schema="shard_id long, data binary")
+
+
+def read_gguf_embeddings(files: DataFrame) -> DataFrame:
+    """(shard_id, data) GGUF blobs → one row per vector:
+    (vec_id, shard_id, arch, n_tensors, dim, embedding, label)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["vec_id", "shard_id", "arch", "n_tensors", "dim",
+                "embedding", "label"]
+        for pdf in batches:
+            out = []
+            for sid, blob in zip(pdf["shard_id"], pdf["data"]):
+                got = parse_gguf(bytes(blob))
+                if got is None:
+                    continue
+                meta, infos = got
+                by = {t["name"]: t for t in infos}
+                ids = (by.get("vec_id") or {}).get("array")
+                mat = (by.get("embedding") or {}).get("array")
+                labels = (by.get("label") or {}).get("array")
+                if (
+                    ids is None or mat is None or labels is None
+                    or mat.ndim != 2
+                    or not (len(ids) == len(mat) == len(labels))
+                ):
+                    continue
+                arch = meta.get("general.architecture", "")
+                for i in range(len(ids)):
+                    out.append(
+                        (
+                            int(ids[i]),
+                            int(sid),
+                            arch,
+                            len(infos),
+                            int(mat.shape[1]),
+                            [float(x) for x in mat[i]],
+                            int(labels[i]),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(
+        gen,
+        schema=(
+            "vec_id long, shard_id long, arch string, n_tensors int, "
+            "dim int, embedding array<float>, label int"
+        ),
+    )

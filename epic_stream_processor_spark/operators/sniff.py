@@ -23,12 +23,13 @@ offset-30 prefix check.
 Output: one ``format`` label per row from {png, jpeg, gif, bmp, tiff,
 pdf, gzip, bz2, zip, epub, ooxml, odf, flac, wav, mp3, tar, warc, xml,
 html, mbox, sqlite, mp4, ogg, rtf, webp, zstd, lz4, xz, parquet,
-orc, avro, cfb, npy, gitpack, safetensors, unknown}. Misses are
+orc, avro, cfb, npy, gguf, gitpack, safetensors, unknown}. Misses are
 'unknown', never an error — sniffing untrusted bytes must be total.
 (r11 adds ``cfb`` — the OLE2 compound-file magic D0CF11E0A1B11AE1
 that every legacy binary Office document (.doc/.xls/.ppt) opens with,
 routing to ``operators/cfb.py``.)
-(r12b adds the ML-interchange trio: ``npy`` (\\x93NUMPY →
+(r12b adds the ML-interchange labels: ``gguf`` (GGUF + LE version
+guard → ``operators/gguffile.py``), ``npy`` (\\x93NUMPY →
 ``operators/npyfile.py``), ``gitpack`` (PACK + big-endian version
 guard → ``operators/gitpack.py``), and ``safetensors`` (layout
 heuristic: u64 LE header length with zero high bytes followed by the
@@ -119,6 +120,11 @@ def sniff_format(data: Column) -> Column:
         # by '{"' (the JSON tensor index; '{' alone would misfire on
         # an empty-object corner but '{}' files carry no tensors).
         .when(_hex_at(data, 1, "934E554D5059"), F.lit("npy"))
+        .when(
+            _ascii_at(data, 1, "GGUF")
+            & (_hex_at(data, 5, "02000000") | _hex_at(data, 5, "03000000")),
+            F.lit("gguf"),
+        )
         .when(
             _ascii_at(data, 1, "PACK")
             & (_hex_at(data, 5, "00000002") | _hex_at(data, 5, "00000003")),

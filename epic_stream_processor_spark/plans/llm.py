@@ -4040,3 +4040,167 @@ SELECT p.doc_id, CAST(len(p.grams) AS BIGINT) AS n_grams,
          AND {_bloom_test_sql(9003)})) > 0 AS flagged
 FROM prof p, arr WHERE p.doc_id % 20 <> 0
 """
+
+
+# --- chat-transcript normalization (round 12b, SFT front door) ---------------
+
+_CHAT_FIRST_WORD = (
+    "CASE WHEN trim(text) = '' THEN '' ELSE "
+    "str_split_regex(trim(text), '\\s+')[1] END"
+)
+
+
+def q_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-transcript normalization (round 12b): every document
+    becomes a conversation in one of the two dominant SFT dialects
+    (even doc_ids ShareGPT ``conversations/from/value`` — with a
+    system turn when doc_id % 4 == 0 — odd doc_ids OpenAI
+    ``messages/role/content``), then ONE turn table out: roles
+    normalized (human→user, gpt→assistant), empties flagged not
+    dropped, dialect recorded. Zero Python — from_json with explicit
+    schemas + posexplode + a when-chain role map
+    (operators/chat.py).
+
+    Closed-form: every turn is a pure function of doc_id arithmetic
+    and the text's first word.
+
+    Scale: one generator per document; no shuffle at all in the turn
+    table (the structure aggregate is the sibling query).
+    """
+    from ..operators.chat import docs_as_chats, normalize_chats
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return normalize_chats(docs_as_chats(docs))
+
+
+ORACLE_CHAT_TURNS = f"""WITH base AS (
+  SELECT doc_id AS conv_id, {_CHAT_FIRST_WORD} AS fw,
+         doc_id % 2 = 0 AS is_sg,
+         doc_id % 4 = 0 AS has_sys,
+         CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'closing answer' END AS a2
+  FROM documents
+),
+turns AS (
+  SELECT conv_id, i.range AS turn_idx, fw, is_sg, has_sys, a2
+  FROM base CROSS JOIN range(4) i
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+  CASE
+    WHEN has_sys AND turn_idx = 0 THEN 'system'
+    WHEN has_sys THEN CASE WHEN turn_idx % 2 = 1 THEN 'user'
+                           ELSE 'assistant' END
+    ELSE CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
+  END AS role,
+  CASE
+    WHEN has_sys AND turn_idx = 0 THEN 'system'
+    WHEN is_sg THEN CASE
+        WHEN (has_sys AND turn_idx % 2 = 1)
+             OR (NOT has_sys AND turn_idx % 2 = 0) THEN 'human'
+        ELSE 'gpt' END
+    ELSE CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
+  END AS raw_role,
+  CASE
+    WHEN has_sys THEN
+      CASE turn_idx WHEN 0 THEN 'be helpful'
+                    WHEN 1 THEN 'ask ' || fw
+                    WHEN 2 THEN 'answer ' || fw
+                    ELSE 'more?' END
+    ELSE
+      CASE turn_idx WHEN 0 THEN 'ask ' || fw
+                    WHEN 1 THEN 'answer ' || fw
+                    WHEN 2 THEN 'more?'
+                    ELSE a2 END
+  END AS content,
+  CAST(length(CASE
+    WHEN has_sys THEN
+      CASE turn_idx WHEN 0 THEN 'be helpful'
+                    WHEN 1 THEN 'ask ' || fw
+                    WHEN 2 THEN 'answer ' || fw
+                    ELSE 'more?' END
+    ELSE
+      CASE turn_idx WHEN 0 THEN 'ask ' || fw
+                    WHEN 1 THEN 'answer ' || fw
+                    WHEN 2 THEN 'more?'
+                    ELSE a2 END
+  END) AS BIGINT) AS n_chars,
+  (NOT has_sys AND turn_idx = 3 AND a2 = '') AS is_empty,
+  CASE WHEN is_sg THEN 'sharegpt' ELSE 'openai' END AS dialect
+FROM turns
+"""
+
+
+def q_chat_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structure report over the normalized turns
+    (round 12b): counts by role, system/other presence, the
+    starts-ok and strict-alternation checks SFT trainers assert
+    before templating, empty-turn counts. One conv-keyed aggregate,
+    map-side combinable (operators/chat.py chat_structure).
+    """
+    from ..operators.chat import (
+        chat_structure,
+        docs_as_chats,
+        normalize_chats,
+    )
+
+    configure_for_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return chat_structure(normalize_chats(docs_as_chats(docs)))
+
+
+ORACLE_CHAT_STRUCTURE = """SELECT doc_id AS conv_id,
+       CAST(4 AS BIGINT) AS n_turns,
+       CAST(2 AS BIGINT) AS n_user,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS BIGINT)
+         AS n_assistant,
+       doc_id % 4 = 0 AS has_system,
+       FALSE AS has_other,
+       TRUE AS starts_ok,
+       TRUE AS alternates_ok,
+       CAST(CASE WHEN doc_id % 7 = 0 AND doc_id % 4 <> 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_empty
+FROM documents
+"""
+
+
+# --- GGUF container round trip (round 12b) -----------------------------------
+
+def q_gguf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GGUF round trip (round 12b): the llama.cpp model container as
+    an embedding vehicle — shards of 16 vectors as spec-built v3
+    blobs (metadata kv stream, tensor infos with ggml's ne[0]-fastest
+    dim order, 32-byte-aligned data region; I64/F32/I32 tensors),
+    then a reader whose every count is bounded by the bytes remaining
+    and whose quantized types surface as inventory-only
+    (operators/gguffile.py; hand-authored spec bytes pinned in
+    pytest).
+
+    Closed-form: f32 survives bit-exact; metadata is shard
+    arithmetic.
+
+    Scale: one shard-keyed groupBy (the group writer); triage is
+    O(header) per blob, extraction row-local Arrow.
+    """
+    from ..operators.gguffile import embeddings_as_gguf, read_gguf_embeddings
+
+    configure_for_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return read_gguf_embeddings(embeddings_as_gguf(emb)).select(
+        "vec_id",
+        "shard_id",
+        "arch",
+        F.col("n_tensors").cast("long").alias("n_tensors"),
+        F.col("dim").cast("long").alias("dim"),
+        "embedding",
+        "label",
+    )
+
+
+ORACLE_GGUF_ROUNDTRIP = """SELECT vec_id,
+       CAST(vec_id // 16 AS BIGINT) AS shard_id,
+       'epic-embed' AS arch,
+       CAST(3 AS BIGINT) AS n_tensors,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       embedding, label
+FROM embeddings
+"""

@@ -504,6 +504,27 @@ EXTRA_PARITY: dict[str, QueryDef] = {
         "against both parquet-cpp (pyarrow) and parquet-mr (Spark) "
         "footers; closed-form per-shard oracle",
     ),
+    "gguf_roundtrip": QueryDef(
+        llm.q_gguf_roundtrip, llm.ORACLE_GGUF_ROUNDTRIP,
+        "GGUF round trip (round 12b): llama.cpp model container — v3 "
+        "kv stream + tensor infos (ne[0]-fastest dims) + aligned data "
+        "region, counts bounded, quantized types inventory-only; "
+        "hand-authored spec bytes pinned; f32-bit-exact oracle",
+    ),
+    "chat_turns": QueryDef(
+        llm.q_chat_turns, llm.ORACLE_CHAT_TURNS,
+        "chat-transcript normalization (round 12b): ShareGPT and "
+        "OpenAI dialects → one turn table, roles normalized, empties "
+        "flagged, dialect recorded — zero Python (from_json + "
+        "posexplode + when-chain); closed-form oracle",
+    ),
+    "chat_structure": QueryDef(
+        llm.q_chat_structure, llm.ORACLE_CHAT_STRUCTURE,
+        "per-conversation SFT structure report (round 12b): role "
+        "counts, system presence, starts-ok + strict-alternation "
+        "checks (leading system collapsed), empty-turn counts; one "
+        "map-side-combinable aggregate; closed-form oracle",
+    ),
     "bloom_decontaminate_inline": QueryDef(
         llm.q_bloom_decontaminate_inline,
         llm.ORACLE_BLOOM_DECONTAMINATE_INLINE,

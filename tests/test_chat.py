@@ -1,0 +1,79 @@
+"""Chat-normalization tests: the dialect-detection, role-mapping, and
+structure-validation rules on hand-authored transcripts — including
+the malformed and rule-breaking cases the closed-form fixture can't
+express. Fixture parity lives in test_oracle_parity (chat_turns,
+chat_structure)."""
+
+from __future__ import annotations
+
+from epic_stream_processor_spark.operators.chat import (
+    chat_structure,
+    normalize_chats,
+)
+
+
+def _raw(spark, rows):
+    return spark.createDataFrame(rows, "conv_id long, payload string")
+
+
+def test_dialects_and_role_map(spark):
+    raw = _raw(spark, [
+        (1, '{"conversations": [{"from": "human", "value": "hi"},'
+            '{"from": "gpt", "value": "hello"}]}'),
+        (2, '{"messages": [{"role": "user", "content": "q"},'
+            '{"role": "assistant", "content": "a"}]}'),
+        (3, '{"conversations": [{"from": "bard", "value": "x"},'
+            '{"from": "tool", "value": "y"}]}'),
+    ])
+    turns = normalize_chats(raw).collect()
+    by = {(r["conv_id"], r["turn_idx"]): r for r in turns}
+    assert by[(1, 0)]["role"] == "user" and by[(1, 0)]["raw_role"] == "human"
+    assert by[(1, 1)]["role"] == "assistant"
+    assert by[(1, 0)]["dialect"] == "sharegpt"
+    assert by[(2, 0)]["dialect"] == "openai"
+    assert by[(3, 0)]["role"] == "assistant"  # bard → assistant
+    assert by[(3, 1)]["role"] == "other"  # unknown kept, flagged
+
+
+def test_malformed_payloads_drop_not_crash(spark):
+    raw = _raw(spark, [
+        (1, "not json"),
+        (2, '{"something_else": 1}'),
+        (3, '{"messages": [{"role": "user", "content": "ok"}]}'),
+        (4, ""),
+    ])
+    turns = normalize_chats(raw).collect()
+    assert {r["conv_id"] for r in turns} == {3}
+
+
+def test_structure_checks(spark):
+    raw = _raw(spark, [
+        # valid: system, then strict alternation
+        (1, '{"messages": [{"role": "system", "content": "s"},'
+            '{"role": "user", "content": "q"},'
+            '{"role": "assistant", "content": "a"}]}'),
+        # broken: assistant first
+        (2, '{"messages": [{"role": "assistant", "content": "a"},'
+            '{"role": "user", "content": "q"}]}'),
+        # broken: double user turn
+        (3, '{"messages": [{"role": "user", "content": "q"},'
+            '{"role": "user", "content": "q2"}]}'),
+        # empty assistant content flagged
+        (4, '{"messages": [{"role": "user", "content": "q"},'
+            '{"role": "assistant", "content": "  "}]}'),
+    ])
+    rep = {r["conv_id"]: r for r in chat_structure(normalize_chats(raw)).collect()}
+    assert rep[1]["has_system"] and rep[1]["starts_ok"]
+    assert rep[1]["alternates_ok"]
+    assert not rep[2]["starts_ok"] and not rep[2]["alternates_ok"]
+    assert rep[3]["starts_ok"] and not rep[3]["alternates_ok"]
+    assert rep[4]["n_empty"] == 1
+
+
+def test_plan_is_jvm_only(spark):
+    raw = _raw(spark, [(1, '{"messages": []}')])
+    plan = (
+        normalize_chats(raw)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan

@@ -1,0 +1,152 @@
+"""GGUF tests. No gguf tooling ships in this container, so the pins
+are a hand-authored blob transcribed from the spec's layout tables
+(the CFB/safetensors precedent) plus writer/reader round trips over
+every supported value type, the ne[0]-fastest dim convention, and the
+alignment rule. Corruption/bomb posture (count bombs, string-length
+bombs, array bombs, truncation into real tensor bytes, v1/v2 drop)
+pins drop-not-crash. Fixture parity lives in test_oracle_parity
+(gguf_roundtrip)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from epic_stream_processor_spark.operators.gguffile import (
+    ALIGNMENT,
+    build_gguf,
+    parse_gguf,
+)
+
+IDS = np.array([5, 6], dtype="<i8")
+MAT = (np.arange(8, dtype="<f4") * 0.5).reshape(2, 4)
+LAB = np.array([1, 2], dtype="<i4")
+
+
+def _blob(meta=None):
+    return build_gguf(
+        meta or [
+            ("general.architecture", 8, "epic-embed"),
+            ("general.alignment", 4, ALIGNMENT),
+            ("epic.shard", 11, 3),
+        ],
+        [("vec_id", IDS), ("embedding", MAT), ("label", LAB)],
+    )
+
+
+def test_roundtrip_types_dims_alignment():
+    meta, infos = parse_gguf(_blob())
+    assert meta["general.architecture"] == "epic-embed"
+    assert meta["epic.shard"] == 3
+    by = {t["name"]: t for t in infos}
+    assert np.array_equal(by["vec_id"]["array"], IDS)
+    assert np.array_equal(by["embedding"]["array"], MAT)
+    assert by["embedding"]["dims"] == [4, 2]  # ne[0] fastest (ggml)
+    assert by["embedding"]["type_name"] == "F32"
+    assert by["vec_id"]["type_name"] == "I64"
+    assert by["label"]["type_name"] == "I32"
+
+
+def test_handauthored_spec_bytes():
+    """Spec-layout bytes written byte-by-byte: v3 header, one U32 kv,
+    zero tensors."""
+    hand = (
+        b"GGUF" + struct.pack("<IQQ", 3, 0, 1)
+        + struct.pack("<Q", 3) + b"abc"
+        + struct.pack("<I", 4)  # value type U32
+        + struct.pack("<I", 42)
+    )
+    meta, infos = parse_gguf(hand)
+    assert meta == {"abc": 42} and infos == []
+
+
+def test_metadata_value_types_roundtrip():
+    hand = (
+        b"GGUF" + struct.pack("<IQQ", 3, 0, 4)
+        + struct.pack("<Q", 1) + b"b" + struct.pack("<I", 7) + b"\x01"
+        + struct.pack("<Q", 1) + b"f" + struct.pack("<I", 6)
+        + struct.pack("<f", 1.5)
+        + struct.pack("<Q", 1) + b"s" + struct.pack("<I", 8)
+        + struct.pack("<Q", 2) + b"hi"
+        + struct.pack("<Q", 1) + b"a" + struct.pack("<I", 9)
+        + struct.pack("<I", 5) + struct.pack("<Q", 2)  # array<i32>[2]
+        + struct.pack("<ii", -1, 7)
+    )
+    meta, _ = parse_gguf(hand)
+    assert meta == {"b": True, "f": 1.5, "s": "hi", "a": [-1, 7]}
+
+
+def test_quantized_tensor_is_inventory_only():
+    """A ggml type without a plain numpy twin (Q4_0) still surfaces in
+    the inventory, with array=None — triage never needs the values."""
+    blob = bytearray(_blob())
+    # rewrite the label tensor's ggml type to Q4_0 (id 2): find the
+    # type field right after the name+dims of 'label'
+    i = bytes(blob).find(b"label") + len("label")
+    n_dims = struct.unpack_from("<I", blob, i)[0]
+    type_at = i + 4 + 8 * n_dims
+    struct.pack_into("<I", blob, type_at, 2)
+    got = parse_gguf(bytes(blob))
+    assert got is not None
+    by = {t["name"]: t for t in got[1]}
+    assert by["label"]["array"] is None
+    assert by["label"]["type_name"] == "Q4_0"
+    assert by["embedding"]["array"] is not None  # siblings unaffected
+
+
+def test_bombs_and_corruption_drop():
+    blob = _blob()
+    assert parse_gguf(b"") is None
+    assert parse_gguf(b"GGU") is None
+    assert parse_gguf(b"XGUF" + blob[4:]) is None
+    # v2 uses different width semantics: documented drop
+    assert parse_gguf(b"GGUF" + struct.pack("<IQQ", 2, 0, 0)) is None
+    # kv / tensor counts beyond the bytes present
+    assert parse_gguf(b"GGUF" + struct.pack("<IQQ", 3, 0, 1 << 40)) is None
+    assert parse_gguf(b"GGUF" + struct.pack("<IQQ", 3, 1 << 40, 0)) is None
+    # string-length bomb
+    s_bomb = (
+        b"GGUF" + struct.pack("<IQQ", 3, 0, 1)
+        + struct.pack("<Q", 1 << 40) + b"x"
+    )
+    assert parse_gguf(s_bomb) is None
+    # array-count bomb
+    a_bomb = (
+        b"GGUF" + struct.pack("<IQQ", 3, 0, 1)
+        + struct.pack("<Q", 1) + b"k" + struct.pack("<I", 9)
+        + struct.pack("<I", 0) + struct.pack("<Q", 1 << 40)
+    )
+    assert parse_gguf(a_bomb) is None
+    # truncation into REAL tensor bytes (past the padding)
+    assert parse_gguf(blob[:-30]) is None
+    # absurd alignment
+    bad_align = build_gguf(
+        [("general.alignment", 4, 1 << 20)], [("t", IDS)]
+    )
+    assert parse_gguf(bad_align) is None
+
+
+def test_spark_roundtrip_matches_embeddings(spark):
+    from epic_stream_processor_spark.operators.gguffile import (
+        embeddings_as_gguf,
+        read_gguf_embeddings,
+    )
+    from epic_stream_processor_spark.sources.fixtures import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    back = read_gguf_embeddings(embeddings_as_gguf(emb))
+    orig = {
+        r["vec_id"]: r
+        for r in emb.select("vec_id", "embedding", "label").collect()
+    }
+    got = back.collect()
+    assert len(got) == len(orig)
+    for r in got:
+        o = orig[r["vec_id"]]
+        assert r["arch"] == "epic-embed" and r["n_tensors"] == 3
+        assert r["label"] == o["label"]
+        assert r["embedding"] == o["embedding"]  # f32 bit-exact

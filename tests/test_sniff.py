@@ -205,7 +205,12 @@ def test_round12_ml_interchange_labels(spark):
         build_safetensors,
     )
 
+    from epic_stream_processor_spark.operators.gguffile import build_gguf
+
     assert _sniff_one(spark, build_npy(np.arange(4, dtype="<f4"))) == "npy"
+    gguf = build_gguf([("general.architecture", 8, "x")], [])
+    assert _sniff_one(spark, gguf) == "gguf"
+    assert _sniff_one(spark, b"GGUFfy prose, not a model") != "gguf"
     pack = build_pack([("blob", b"hello")])
     assert _sniff_one(spark, pack) == "gitpack"
     st = build_safetensors([("t", np.arange(3, dtype="<i4"))])
