@@ -1,0 +1,53 @@
+"""Dump ``explain("formatted")`` for named queries to ``plans/r12/``.
+
+Usage::
+
+    python -m epic_stream_processor_spark.tools.dump_plans SUFFIX [name ...]
+
+Writes ``plans/r12/<name>_<SUFFIX>.txt`` for each query (default: the
+bench roster). SUFFIX is ``before`` / ``after`` per the optimization-round
+deliverable contract. Reads the data dir from ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> None:
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sys.path.insert(0, repo)
+    from epic_stream_processor_spark.plans import QUERIES
+    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY
+    from epic_stream_processor_spark.session import get_spark
+
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    all_q = {**QUERIES, **EXTRA_PARITY}
+    names = sys.argv[2:] or [n for n, q in all_q.items() if q.bench]
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(repo, "plans", "r12")
+    os.makedirs(out_dir, exist_ok=True)
+
+    spark = get_spark("plan-dump", profile="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        q = all_q[name]
+        df = q.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Quick isolated per-query timing for optimization work.
+
+Usage::
+
+    python -m epic_stream_processor_spark.tools.quickbench [name ...]
+
+Times each named query (default: the bench roster) with the noop sink,
+``warm`` warm reps then ``sweeps`` interleaved timed reps (median), the
+same methodology as ``bench.py``'s sf0.1 tier. Reads the data dir from
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``), reps from
+``$QB_WARM`` / ``$QB_SWEEPS`` (default 2 / 5). Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sys.path.insert(0, repo)
+    from epic_stream_processor_spark.plans import QUERIES
+    from epic_stream_processor_spark.plans.registry import EXTRA_PARITY
+    from epic_stream_processor_spark.session import get_spark
+
+    all_q = {**QUERIES, **EXTRA_PARITY}
+    names = sys.argv[1:] or [n for n, q in all_q.items() if q.bench]
+    warm = int(os.environ.get("QB_WARM", "2"))
+    sweeps = int(os.environ.get("QB_SWEEPS", "5"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    spark = get_spark("quickbench", profile="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run_once(name: str) -> float:
+        spark.sparkContext.setJobDescription(f"quickbench: {name}")
+        t0 = time.perf_counter()
+        all_q[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
+        return dt
+
+    for _ in range(warm):
+        for n in names:
+            run_once(n)
+    reps: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(sweeps):
+        for n in names:
+            reps[n].append(run_once(n))
+    out = {
+        n: {
+            "median": round(sorted(r)[len(r) // 2], 3),
+            "min": round(min(r), 3),
+            "reps": [round(x, 3) for x in r],
+        }
+        for n, r in reps.items()
+    }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
