@@ -54,10 +54,23 @@ def _positional_hits(
         staged.select(id_col, F.posexplode_outer("_ds_g").alias("pos", "h"))
         .where(F.col("pos").isNotNull())
     )
-    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(
-        F.col("c") >= 2
-    ).select("h")
-    hits = grams.join(dup, "h")
+    # Occurrence count as a whole-partition window over the hash, NOT the
+    # old groupBy(h)+join-back: the join's second arm re-derived the full
+    # tokenize -> 13-gram concat -> md5 chain from a SECOND scan (Spark
+    # cannot share the subtree across join arms), so every position paid
+    # the gram hash TWICE, plus an aggregate and a join. The window shape
+    # computes the chain once and replaces agg+join with one h-keyed
+    # exchange+sort (the same exchange+sort an SMJ arm would need anyway).
+    # Measured r12 (sf0.1, isolated 5-rep medians, same harness both
+    # legs): 2.17 s -> 1.36 s (1.6x); plan 2 Generates / 3 scans ->
+    # 1 Generate / 2 scans. Skew note: a hot gram's
+    # positions land in one window partition — the same per-key bound as
+    # the pre-AQE-split SMJ partition, and the hottest-gram occurrence
+    # count bounds the straggler exactly as SCALING.md §2j's LSH analysis.
+    w_h = Window.partitionBy("h")
+    hits = grams.withColumn("_c", F.count(F.lit(1)).over(w_h)).where(
+        F.col("_c") >= 2
+    )
     cols = [id_col, "pos"] + (["h"] if keep_hash else [])
     return hits.select(*cols)
 
