@@ -76,6 +76,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 PDF_SCHEMA = (
     "doc_id long, n_pages long, n_show_ops long, pdf_filter string, "
     "xref_kind string, text string"
@@ -104,25 +106,38 @@ def docs_as_pdfs(
     identical SQL chain is engine-exact; the Python side only ever sees
     the already-normalized string.
     """
-    staged = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.regexp_replace(
-            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
-        ).alias("norm"),
+    staged = fan_out(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.regexp_replace(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+            ).alias("norm"),
+        )
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _esc_re
         import zlib as _zlib
+
+        # specials: \ ( ) plus anything outside printable ASCII; spans
+        # of plain bytes copy as slices (r12 optimization — the old
+        # per-byte loop was the render pass's hottest line)
+        esc_special = _esc_re.compile(rb"[\\()]|[^ -~]")
 
         def esc(data: bytes) -> bytes:
             out = bytearray()
-            for b in data:
+            last = 0
+            for m in esc_special.finditer(data):
+                out += data[last : m.start()]
+                b = m.group()[0]
                 if b in (0x5C, 0x28, 0x29):  # \ ( )
                     out += b"\\" + bytes([b])
-                elif 32 <= b <= 126:
-                    out.append(b)
                 else:
                     out += ("\\%03o" % b).encode()
+                last = m.end()
+            if not last:
+                return data
+            out += data[last:]
             return bytes(out)
 
         def body_stream(norm: str) -> bytes:
@@ -643,15 +658,34 @@ def parse_pdf(
             0x66: b"\x0c", 0x28: b"(", 0x29: b")", 0x5C: b"\\",
         }
 
+        # only backslash and parens need per-byte handling inside a
+        # literal string; everything between them copies verbatim
+        _STR_SPECIAL = _re.compile(rb"[\\()]")
+
         def scan_string(content: bytes, i: int):
             """Parse a literal string starting at '(' — escapes, octal,
             line continuations, and BALANCED unescaped parens (legal in
-            PDF). Returns (decoded_bytes, next_index)."""
+            PDF). Returns (decoded_bytes, next_index).
+
+            Bulk-span fast path (r12 optimization): the old loop
+            appended one byte at a time (1.4M bytearray.append calls
+            across an sf0.1 parse — the module's hottest profile line at
+            33% of parse CPU); plain spans between the rare special
+            bytes now copy as slices, same byte semantics."""
             out = bytearray()
             depth = 1
             i += 1
             n = len(content)
             while i < n and depth:
+                m = _STR_SPECIAL.search(content, i)
+                if m is None:
+                    out += content[i:]
+                    i = n
+                    break
+                j = m.start()
+                if j > i:
+                    out += content[i:j]
+                    i = j
                 b = content[i]
                 if b == 0x5C and i + 1 < n:  # backslash
                     nxt = content[i + 1]
