@@ -71,6 +71,8 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .fanout import fan_out
 from pyspark.sql import functions as F
 
 MAGIC = bytes.fromhex("D0CF11E0A1B11AE1")
@@ -917,7 +919,7 @@ def docs_as_cfb(
                 }
             )
 
-    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+    return fan_out(staged).mapInPandas(gen, schema="doc_id long, data binary")
 
 
 def parse_cfb_files(files: DataFrame, inflate_cap: int = 1 << 22) -> DataFrame:

@@ -1,0 +1,38 @@
+"""Scale-adaptive fan-out for expensive per-row (Python/Arrow) stages.
+
+Small parquet inputs produce one scan partition per ~128 MB
+(``spark.sql.files.maxPartitionBytes``), so a tiny fixture table — sf0.1's
+``documents.parquet`` is 0.6 MB — reaches a heavyweight ``mapInPandas``
+codec chain as a SINGLE task and the whole decode runs on one core of a
+32-core cluster (measured r12: pdf_extract 2.62 s -> 1.06 s at sf0.1 just
+by repartitioning its input to 32). 128 MB-per-task is the right split for
+JVM scans; it is far too coarse when each ROW costs milliseconds of Python.
+
+``fan_out`` is the guide-§2.5 "repartition immediately after the read"
+fix, made scale-adaptive instead of constant-tuned: it round-robin
+repartitions ONLY when the input has fewer partitions than the cluster's
+default parallelism. At real scale (thousands of scan partitions) it is a
+no-op — no added exchange — so the shuffle cost exists exactly where the
+starvation exists. Round-robin keeps no key skew, and Spark's
+sort-before-repartition (on by default) keeps retries deterministic.
+
+This round-robin exchange never reorders rows within a document (each row
+IS one document for every caller), so any row-local operator composes
+safely. Do NOT use it upstream of operators whose output depends on
+partition layout (e.g. group-writer shards packing adjacent rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Repartition ``df`` to ``defaultParallelism * multiple`` when it has
+    fewer partitions than that — a no-op on inputs that already fan wide
+    (cluster-scale scans, post-shuffle stages)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiple
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

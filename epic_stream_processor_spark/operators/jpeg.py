@@ -50,6 +50,8 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .fanout import fan_out
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -845,7 +847,7 @@ def docs_as_jpeg(
             )
 
     return (
-        docs.selectExpr(f"CAST({id_col} AS LONG) AS {id_col}", text_col)
+        fan_out(docs.selectExpr(f"CAST({id_col} AS LONG) AS {id_col}", text_col))
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
 
@@ -969,7 +971,7 @@ def docs_as_color_jpeg(
             )
 
     return (
-        docs.selectExpr(f"CAST({id_col} AS LONG) AS {id_col}", text_col)
+        fan_out(docs.selectExpr(f"CAST({id_col} AS LONG) AS {id_col}", text_col))
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
 
@@ -1120,7 +1122,7 @@ def docs_as_mjpeg(
     from pyspark.sql import functions as F
 
     return (
-        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        fan_out(docs.select(F.col(id_col).cast("long"), F.col(text_col)))
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
 

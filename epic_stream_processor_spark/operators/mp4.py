@@ -49,6 +49,8 @@ from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .fanout import fan_out
 from pyspark.sql import functions as F
 
 MP4_SCHEMA = (
@@ -207,6 +209,8 @@ def docs_as_mp4(
                 ],
             })
 
+    # no fan_out: the box-tree walk is cheap per row — measured r12 at
+    # sf0.1, fanning REGRESSED mp4_triage 1.40 s -> 1.80 s
     return docs.select(id_col, text_col).mapInPandas(
         gen, schema="doc_id long, data binary"
     )

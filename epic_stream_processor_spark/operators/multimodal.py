@@ -43,6 +43,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .fanout import fan_out
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -113,6 +115,8 @@ def decode_media(media: DataFrame, batch_rows: int = 256) -> DataFrame:
             for start in range(0, len(pdf), batch_rows):
                 yield decode_batch(pdf.iloc[start : start + batch_rows])
 
+    # no fan_out: the stub decode is trivial per row — measured r12, the
+    # round-robin exchange costs more than the Python stage saves
     return media.mapInPandas(gen, schema=DECODED_SCHEMA)
 
 
@@ -208,7 +212,7 @@ def docs_as_bmp(
     # positional column access in the worker (pdf[0]/pdf[1]) keeps the
     # closure independent of caller column names
     return (
-        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        fan_out(docs.select(F.col(id_col).cast("long"), F.col(text_col)))
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
 
@@ -435,7 +439,7 @@ def docs_as_png(
             )
 
     return (
-        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        fan_out(docs.select(F.col(id_col).cast("long"), F.col(text_col)))
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
 
@@ -636,7 +640,7 @@ def docs_as_wav(
             )
 
     return (
-        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        fan_out(docs.select(F.col(id_col).cast("long"), F.col(text_col)))
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
 
@@ -791,7 +795,7 @@ def docs_as_avi(
             )
 
     return (
-        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        fan_out(docs.select(F.col(id_col).cast("long"), F.col(text_col)))
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
 
@@ -919,6 +923,8 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                 }
             )
 
+    # no fan_out: the stub resize is byte-slicing — measured r12, the
+    # round-robin exchange costs more than the Python stage saves
     return media.mapInPandas(gen, schema=RESIZED_SCHEMA)
 
 
@@ -964,7 +970,11 @@ def frame_sample(media: DataFrame, n_samples: int = 4) -> DataFrame:
                     out["frame_len"].append(min(fb, max(int(blen) - off, 0)))
             yield _pd.DataFrame(out)
 
-    return media.select("media_id", "byte_len").mapInPandas(gen, schema=FRAMES_SCHEMA)
+    # no fan_out: byte-length arithmetic only — measured r12 at sf0.1,
+    # fanning REGRESSED 0.22 s -> 0.36 s (exchange > trivial Python)
+    return media.select("media_id", "byte_len").mapInPandas(
+        gen, schema=FRAMES_SCHEMA
+    )
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
@@ -1307,7 +1317,7 @@ def docs_as_gif(
             )
 
     return (
-        docs.select(F.col(id_col).cast("long"), F.col(text_col))
+        fan_out(docs.select(F.col(id_col).cast("long"), F.col(text_col)))
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
 

@@ -38,6 +38,8 @@ from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .fanout import fan_out
 from pyspark.sql import functions as F
 
 OGG_SCHEMA = (
@@ -170,7 +172,7 @@ def docs_as_ogg(
                 ],
             })
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
         gen, schema="doc_id long, data binary"
     )
 

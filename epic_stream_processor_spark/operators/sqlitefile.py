@@ -40,6 +40,8 @@ from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .fanout import fan_out
 from pyspark.sql import functions as F
 
 SQLITE_SCHEMA = (
@@ -229,5 +231,5 @@ def docs_as_sqlite(
                          for i, t in zip(pdf[id_col], pdf[text_col])],
             })
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
         gen, schema="doc_id long, data binary")
