@@ -20,7 +20,7 @@ from ..operators import sampling as SA
 from ..operators import similarity as S
 from ..operators.multimodal import decode_media, docs_as_media
 from ..session import configure_for_parity
-from ..sources.fixtures import load_table
+from ..sources.fixtures import load_table, table_row_count
 
 # DuckDB token/shingle helpers (lockstep with functions/text.py)
 _SQL_WORDS = "str_split_regex(trim(text), '\\s+')"
@@ -377,7 +377,9 @@ def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, so neither assignment nor probe search goes quadratic."""
     configure_for_parity(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    m = _ivf_modulus(emb.count())
+    # footer-read row count (same number count() returns) — the count()
+    # job cost a full scan per rep, ~0.23 s at sf0.1 (r12 optimization)
+    m = _ivf_modulus(table_row_count(sf_dir, "embeddings"))
     probes = emb.where(F.col("vec_id") % 100 == 0)
     centroids = emb.where(F.col("vec_id") % m == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
@@ -1827,7 +1829,9 @@ def q_knn_cosine_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment and index size unchanged."""
     configure_for_parity(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    m = _ivf_modulus(emb.count())
+    # footer-read row count (same number count() returns) — the count()
+    # job cost a full scan per rep, ~0.23 s at sf0.1 (r12 optimization)
+    m = _ivf_modulus(table_row_count(sf_dir, "embeddings"))
     probes = emb.where(F.col("vec_id") % 100 == 0)
     centroids = emb.where(F.col("vec_id") % m == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")

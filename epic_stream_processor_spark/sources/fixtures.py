@@ -69,6 +69,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from its parquet FOOTERS — the
+    number a ``df.count()`` job returns, read without running one (r12:
+    ``emb.count()`` inside the IVF queries cost a full scan job per rep,
+    ~0.23 s at sf0.1, for a value parquet already stores). Handles both a
+    single file (the driver's fixtures) and a Spark-written directory
+    (the ``.data/sf{1,10}`` scale tiers). This is a metadata read of the
+    same input, not a cached result: every invocation re-reads footers."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached-catalog entry point for the events table."""
     return load_table(spark, sf_dir, "events")
