@@ -35,9 +35,15 @@ def main() -> None:
 
     spark = get_spark("plan-dump", profile="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    execute_first = os.environ.get("DP_EXEC", "0") == "1"
     for name in names:
         q = all_q[name]
         df = q.fn(spark, sf_dir)
+        if execute_first:
+            # materialize so AQE finalizes the plan (isFinalPlan=true):
+            # ReusedExchange / AQEShuffleRead / runtime join strategy
+            # changes only appear in the final adaptive plan
+            df.collect()
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
