@@ -140,10 +140,10 @@ SF01_KNOWN_FLOORS = {
     "q5_region_revenue": 0.42, "q_events_hourly": 0.43,
     "q_sessionize": 0.37, "minhash_signatures": 0.66,
     "knn_cosine_ivf": 0.92, "decontaminate_13gram": 1.09,
-    "dedup_substring": 1.98, "image_near_dup": 2.27,
-    "pdf_extract": 1.80, "tar_roundtrip": 0.62,
+    "dedup_substring": 1.5, "image_near_dup": 1.29,
+    "pdf_extract": 0.73, "tar_roundtrip": 0.62,
     "winnow_fingerprints": 0.20, "bm25_search": 0.20,
-    "unigram_nll": 0.49, "dedup_exact": 0.14,
+    "unigram_nll": 0.48, "dedup_exact": 0.12,
     "q_asof_prior_purchase": 0.47, "frame_sample": 0.19,
     "q6_forecast_revenue": 0.15, "knn_cosine": 0.46,
     "dedup_sentences": 1.32,
@@ -155,17 +155,17 @@ SF01_KNOWN_FLOORS = {
 # They keep ratcheting down as quieter windows observe lower values;
 # the 1.5× violation threshold absorbs single-window uncertainty.
 SF1_KNOWN_FLOORS = {
-    "bm25_search": 0.42, "decontaminate_13gram": 1.82,
-    "dedup_exact": 0.35, "dedup_sentences": 2.13,
-    "dedup_substring": 3.57, "epic_light_curve": 1.68,
-    "epic_pixel_gather": 1.07, "frame_sample": 0.29,
-    "image_near_dup": 4.53, "knn_cosine": 3.91,
-    "knn_cosine_ivf": 1.59, "minhash_signatures": 1.63,
-    "pdf_extract": 3.00, "q1_pricing_summary": 1.20,
-    "q3_top_orders": 1.48, "q5_region_revenue": 1.04,
-    "q6_forecast_revenue": 0.23, "q_asof_prior_purchase": 1.10,
-    "q_events_hourly": 1.63, "q_sessionize": 0.89,
-    "tar_roundtrip": 1.23, "unigram_nll": 1.11,
+    "bm25_search": 0.31, "decontaminate_13gram": 1.48,
+    "dedup_exact": 0.27, "dedup_sentences": 1.89,
+    "dedup_substring": 2.06, "epic_light_curve": 1.04,
+    "epic_pixel_gather": 0.75, "frame_sample": 0.22,
+    "image_near_dup": 2.1, "knn_cosine": 2.94,
+    "knn_cosine_ivf": 1.25, "minhash_signatures": 1.32,
+    "pdf_extract": 1.56, "q1_pricing_summary": 1.0,
+    "q3_top_orders": 1.19, "q5_region_revenue": 0.85,
+    "q6_forecast_revenue": 0.19, "q_asof_prior_purchase": 0.88,
+    "q_events_hourly": 1.25, "q_sessionize": 0.73,
+    "tar_roundtrip": 0.9, "unigram_nll": 0.87,
     "winnow_fingerprints": 0.92,
 }
 
@@ -178,20 +178,17 @@ SF1_KNOWN_FLOORS = {
 # into BENCH_DETAIL so readers compare mechanically.
 SF10_KNOWN_FLOORS = {
     "q5_region_revenue": 3.3,      # §5b join-reorder floor, 6-rep curve §5d
-    "q_events_hourly": 3.0,        # §5e(b) recorder fix: 3.06 recorded r8
-    "minhash_signatures": 7.0,     # §5e(a) host band 7-9 s
-    "knn_cosine_ivf": 4.0,         # §5f r9 interleaved A/B floors
-    "pdf_extract": 10.7,           # r11 re-base for the heavier r10/r11
-    #                                fixture (hex, UTF-16BE, indirect
-    #                                /Length, ToUnicode, PDFDocEncoding,
-    #                                predefined-CMap variants): best
-    #                                observed min across two r11 windows
-    #                                (10.735 in the full-bench window; a
-    #                                drift-inflated window gave 14.5 —
-    #                                floors are MINIMA, SCALING r11 note)
+    "q_events_hourly": 2.3,        # r12 recording (was 3.0, §5e(b))
+    "minhash_signatures": 6.49,     # §5e(a) host band 7-9 s
+    "knn_cosine_ivf": 3.97,         # §5f r9 interleaved A/B floors
+    "pdf_extract": 8.59,           # r12 optimization: scan_string/esc
+    #                                bulk-span fast paths cut parse CPU
+    #                                (r11 floor was 10.7 on the same
+    #                                heavier fixture)
     "image_near_dup": 12.5,        # §2d r8 quiet-window re-measure floors
-    "dedup_substring": 10.9,       # r9 recorded floor; r10 drift-prone
-    "dedup_sentences": 7.3,        # r12 recording beat the r11 floor
+    "dedup_substring": 7.27,       # r12 count-over-window shape (was
+    #                                10.9 for the r9 agg+join shape)
+    "dedup_sentences": 7.2,        # r12 recordings beat the r11 floor
     #                                floor (7.542 recorded) — floors are
     #                                minima, ratcheted down
 }
