@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 CONTENT_TYPES_XML = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
     '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
@@ -141,7 +143,9 @@ def docs_as_docx(
                 {"doc_id": pdf["doc_id"].astype("int64"), "data": blobs}
             )
 
-    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+    # fan_out: the per-row package build is heavyweight Python and the
+    # fixture input is a single scan partition (r12 optimization)
+    return fan_out(staged).mapInPandas(gen, schema="doc_id long, data binary")
 
 
 def _decode_xml_entities(col: Column) -> Column:

@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 from .docx import _decode_xml_entities, _xml_escape
 
 CONTAINER_XML = (
@@ -154,7 +156,9 @@ def docs_as_epubs(
                 {"doc_id": pdf["doc_id"].astype("int64"), "data": blobs}
             )
 
-    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+    # fan_out: the per-row package build is heavyweight Python and the
+    # fixture input is a single scan partition (r12 optimization)
+    return fan_out(staged).mapInPandas(gen, schema="doc_id long, data binary")
 
 
 _BLOCK_RE = r"(?s)<(?:h1|h2|h3|p)[^>]*>(.*?)</(?:h1|h2|h3|p)>"

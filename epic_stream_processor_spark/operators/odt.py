@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 from .docx import _decode_xml_entities, _xml_escape
 
 ODT_MANIFEST = (
@@ -124,7 +126,9 @@ def docs_as_odt(
                 {"doc_id": pdf["doc_id"].astype("int64"), "data": blobs}
             )
 
-    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+    # fan_out: the per-row package build is heavyweight Python and the
+    # fixture input is a single scan partition (r12 optimization)
+    return fan_out(staged).mapInPandas(gen, schema="doc_id long, data binary")
 
 
 def odt_text(xml: Column) -> Column:

@@ -53,6 +53,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 from .docx import _decode_xml_entities, _xml_escape
 
 CONTENT_TYPES_PPTX = (
@@ -185,7 +187,9 @@ def docs_as_pptx(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+    # fan_out: the per-row package build is heavyweight Python and the
+    # fixture input is a single scan partition (r12 optimization)
+    return fan_out(staged).mapInPandas(gen, schema="doc_id long, data binary")
 
 
 def _slide_text(slide: Column) -> Column:

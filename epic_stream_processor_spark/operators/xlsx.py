@@ -51,6 +51,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 from .docx import _decode_xml_entities, _xml_escape
 
 CONTENT_TYPES_XLSX = (
@@ -173,7 +175,9 @@ def docs_as_xlsx(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": pdf["doc_id"].astype("int64"), "data": blobs}
             )
 
-    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+    # fan_out: the per-row package build is heavyweight Python and the
+    # fixture input is a single scan partition (r12 optimization)
+    return fan_out(staged).mapInPandas(gen, schema="doc_id long, data binary")
 
 
 def _cell_value(cell: Column, shared: Column) -> Column:

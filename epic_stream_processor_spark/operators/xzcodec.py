@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 XZ_SCHEMA = "doc_id long, ok boolean, n_raw long, text string"
 
 
@@ -64,7 +66,9 @@ def docs_as_xz(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+    # fan_out: the per-row compress is heavyweight Python and the
+    # fixture input is a single scan partition (r12 optimization)
+    return fan_out(staged).mapInPandas(gen, schema="doc_id long, data binary")
 
 
 def decode_xz(

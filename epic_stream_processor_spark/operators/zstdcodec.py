@@ -64,6 +64,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 ZSTD_SCHEMA = "doc_id long, ok boolean, n_raw long, text string"
 
 _MAGIC = b"\x28\xb5\x2f\xfd"
@@ -822,7 +824,9 @@ def docs_as_zstd(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return staged.mapInPandas(gen, schema="doc_id long, data binary")
+    # fan_out: the per-row compress is heavyweight Python and the
+    # fixture input is a single scan partition (r12 optimization)
+    return fan_out(staged).mapInPandas(gen, schema="doc_id long, data binary")
 
 
 def decode_zstd(files: DataFrame, inflate_cap: int = 1 << 22) -> DataFrame:
