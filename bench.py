@@ -135,18 +135,18 @@ def bench_tier(
 # compact line instead of costing the judge two adjudication benches
 # (r12, VERDICT r11 next #1).
 SF01_KNOWN_FLOORS = {
-    "epic_pixel_gather": 0.37, "epic_light_curve": 0.89,
-    "q1_pricing_summary": 0.75, "q3_top_orders": 0.47,
+    "epic_pixel_gather": 0.32, "epic_light_curve": 0.77,
+    "q1_pricing_summary": 0.72, "q3_top_orders": 0.39,
     "q5_region_revenue": 0.42, "q_events_hourly": 0.43,
-    "q_sessionize": 0.37, "minhash_signatures": 0.66,
-    "knn_cosine_ivf": 0.92, "decontaminate_13gram": 1.09,
-    "dedup_substring": 1.5, "image_near_dup": 1.29,
-    "pdf_extract": 0.73, "tar_roundtrip": 0.62,
-    "winnow_fingerprints": 0.20, "bm25_search": 0.20,
-    "unigram_nll": 0.48, "dedup_exact": 0.12,
-    "q_asof_prior_purchase": 0.47, "frame_sample": 0.19,
-    "q6_forecast_revenue": 0.15, "knn_cosine": 0.46,
-    "dedup_sentences": 1.32,
+    "q_sessionize": 0.37, "minhash_signatures": 0.61,
+    "knn_cosine_ivf": 0.8, "decontaminate_13gram": 1.02,
+    "dedup_substring": 1.16, "image_near_dup": 0.98,
+    "pdf_extract": 0.61, "tar_roundtrip": 0.54,
+    "winnow_fingerprints": 0.19, "bm25_search": 0.17,
+    "unigram_nll": 0.41, "dedup_exact": 0.11,
+    "q_asof_prior_purchase": 0.44, "frame_sample": 0.17,
+    "q6_forecast_revenue": 0.13, "knn_cosine": 0.42,
+    "dedup_sentences": 1.27,
 }
 
 # Per-query floors at the 10× tier: seeded from the r11 judge
@@ -156,17 +156,17 @@ SF01_KNOWN_FLOORS = {
 # the 1.5× violation threshold absorbs single-window uncertainty.
 SF1_KNOWN_FLOORS = {
     "bm25_search": 0.31, "decontaminate_13gram": 1.48,
-    "dedup_exact": 0.27, "dedup_sentences": 1.89,
-    "dedup_substring": 2.06, "epic_light_curve": 1.04,
+    "dedup_exact": 0.24, "dedup_sentences": 1.84,
+    "dedup_substring": 1.86, "epic_light_curve": 1.04,
     "epic_pixel_gather": 0.75, "frame_sample": 0.22,
-    "image_near_dup": 2.1, "knn_cosine": 2.94,
-    "knn_cosine_ivf": 1.25, "minhash_signatures": 1.32,
-    "pdf_extract": 1.56, "q1_pricing_summary": 1.0,
-    "q3_top_orders": 1.19, "q5_region_revenue": 0.85,
-    "q6_forecast_revenue": 0.19, "q_asof_prior_purchase": 0.88,
-    "q_events_hourly": 1.25, "q_sessionize": 0.73,
-    "tar_roundtrip": 0.9, "unigram_nll": 0.87,
-    "winnow_fingerprints": 0.92,
+    "image_near_dup": 1.9, "knn_cosine": 2.94,
+    "knn_cosine_ivf": 1.14, "minhash_signatures": 1.2,
+    "pdf_extract": 1.48, "q1_pricing_summary": 0.91,
+    "q3_top_orders": 1.1, "q5_region_revenue": 0.81,
+    "q6_forecast_revenue": 0.19, "q_asof_prior_purchase": 0.85,
+    "q_events_hourly": 1.16, "q_sessionize": 0.66,
+    "tar_roundtrip": 0.86, "unigram_nll": 0.84,
+    "winnow_fingerprints": 0.84,
 }
 
 # Proven per-query floors at the 100× tier (SCALING.md §5b/§5d/§5f:
@@ -180,15 +180,15 @@ SF10_KNOWN_FLOORS = {
     "q5_region_revenue": 3.3,      # §5b join-reorder floor, 6-rep curve §5d
     "q_events_hourly": 2.3,        # r12 recording (was 3.0, §5e(b))
     "minhash_signatures": 6.49,     # §5e(a) host band 7-9 s
-    "knn_cosine_ivf": 3.97,         # §5f r9 interleaved A/B floors
+    "knn_cosine_ivf": 3.62,         # §5f r9 interleaved A/B floors
     "pdf_extract": 8.59,           # r12 optimization: scan_string/esc
     #                                bulk-span fast paths cut parse CPU
     #                                (r11 floor was 10.7 on the same
     #                                heavier fixture)
     "image_near_dup": 12.5,        # §2d r8 quiet-window re-measure floors
-    "dedup_substring": 7.27,       # r12 count-over-window shape (was
+    "dedup_substring": 6.26,       # r12 count-over-window shape (was
     #                                10.9 for the r9 agg+join shape)
-    "dedup_sentences": 7.2,        # r12 recordings beat the r11 floor
+    "dedup_sentences": 6.6,        # r12 recordings beat the r11 floor
     #                                floor (7.542 recorded) — floors are
     #                                minima, ratcheted down
 }
