@@ -403,3 +403,56 @@ def test_unigram_em_estep_stays_staged_no_dp_inlining(spark):
         assert marker not in opt, (
             "inferred generate filter re-inlines the DP"
         )
+
+
+def test_dup_substring_single_gram_pass(spark):
+    """r12 optimization pin: duplicated-position marking is a count-over-
+    window on the gram hash from ONE explode — the old agg+join shape
+    re-derived the whole tokenize→13-gram-md5 chain from a second scan
+    (two Generates, three scans, every position hashing twice)."""
+    df = ALL_GUARDED["dedup_substring"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Generate") == 1, plan
+    assert "Window" in plan, plan
+    # the old shape's second arm ended in a gram-keyed join — gone
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_image_near_dup_python_chain_runs_once(spark):
+    """r12 optimization pin: both self-join arms (and the bucket_cap
+    probe, when set) must read ONE band-key exchange — the final
+    adaptive plan shows ReusedExchange, so the encode→decode→hash
+    MapInPandas chain executes once, not once per arm."""
+    df = ALL_GUARDED["image_near_dup"].fn(spark, SF_DIR)
+    df.collect()  # finalize THIS DataFrame's adaptive plan (a noop
+    # write runs its own QueryExecution and leaves df's un-finalized)
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, plan
+
+
+def test_fan_out_is_conditional(spark):
+    """fan_out repartitions a narrow input to defaultParallelism and is
+    a NO-OP (no added exchange) on an input that is already wide — the
+    property that keeps it from adding shuffles at cluster scale."""
+    from epic_stream_processor_spark.operators.fanout import fan_out
+
+    narrow = spark.range(0, 1000, 1, 1)
+    target = spark.sparkContext.defaultParallelism
+    assert fan_out(narrow).rdd.getNumPartitions() == target
+
+    wide = spark.range(0, 1000, 1, target + 3)
+    fanned = wide.toDF("id")
+    assert fan_out(fanned).rdd.getNumPartitions() == target + 3
+    assert "Exchange" not in fan_out(fanned)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+
+
+def test_office_route_single_fixture_build(spark):
+    """r12 optimization pin: the four format branches read a
+    materialization barrier (localCheckpoint → LogicalRDD/ExistingRDD),
+    not four re-derivations of the writers+sniff subtree. The before
+    shape planned 16 MapInPandas writer pipelines; the barrier plan
+    contains none above the branch filters."""
+    df = ALL_GUARDED["office_ingest"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in opt or "ExistingRDD" in opt, opt
