@@ -185,7 +185,8 @@ SF10_KNOWN_FLOORS = {
     #                                bulk-span fast paths cut parse CPU
     #                                (r11 floor was 10.7 on the same
     #                                heavier fixture)
-    "image_near_dup": 12.5,        # §2d r8 quiet-window re-measure floors
+    "image_near_dup": 8.87,       # r12 vectorized BMP writer (was
+    #                                12.5 for the per-pixel loop)
     "dedup_substring": 6.26,       # r12 count-over-window shape (was
     #                                10.9 for the r9 agg+join shape)
     "dedup_sentences": 6.6,        # r12 recordings beat the r11 floor
