@@ -26,13 +26,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..session import session_key
+
+# ``df.rdd.getNumPartitions()`` forces a full physical-plan/RDD translation
+# on the driver — paid at every fan_out call site on every query build,
+# even on the no-op wide path (ADVICE r12). The decision is a pure function
+# of (session, analyzed plan, target): DataFrames are immutable plans and
+# the fixture files never change under a live session, so memoize it the
+# way ``load_table`` memoizes footer reads. Keyed on the session's
+# applicationId (not id()) so a restarted driver re-decides.
+_DECISION_CACHE: dict[tuple[str, int, int], bool] = {}
+
+
+def clear_fan_out_cache() -> None:
+    _DECISION_CACHE.clear()
+
 
 def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism * multiple`` when it has
     fewer partitions than that — a no-op on inputs that already fan wide
     (cluster-scale scans, post-shuffle stages)."""
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = sc.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    key = (session_key(spark), df.semanticHash(), target)
+    few = _DECISION_CACHE.get(key)
+    if few is None:
+        few = df.rdd.getNumPartitions() < target
+        _DECISION_CACHE[key] = few
+    return df.repartition(target) if few else df

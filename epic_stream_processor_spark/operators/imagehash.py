@@ -122,6 +122,130 @@ def ahash_images(decoded: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+def ahash_docs_as_bmp(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    grid: int = 8,
+) -> DataFrame:
+    """Fused ``ahash_images(decode_bmp(docs_as_bmp(docs)))`` — one Python
+    crossing instead of three.
+
+    The three-stage chain pays THREE Arrow boundaries per row, and the
+    two inner ones ship the heavyweight columns both ways: the BMP
+    payload crosses JVM→Python→JVM→Python and the decoded pixel bytes
+    cross Python→JVM→Python before the hash reduces everything to five
+    scalars (guide §4.1: you cannot remove the boundary cost, but you
+    control how many columns cross — here the payload and pixels now
+    cross ZERO boundaries). The encode → decode → hash bodies below are
+    copied verbatim from ``multimodal.docs_as_bmp`` /
+    ``multimodal.decode_bmp`` / :func:`ahash_images`, so the output is
+    row-for-row identical to the chain (pinned by
+    ``tests/test_operators.py::test_ahash_docs_as_bmp_matches_chain``);
+    the BMP bytes are still genuinely written and re-parsed, in the
+    worker. Self-contained closure: executors never need this package
+    on PYTHONPATH.
+    """
+    from .fanout import fan_out
+
+    gb = int(grid)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def enc(data: bytes, width: int) -> bytes:
+            w = max(int(width), 1)
+            h = max((len(data) + w - 1) // w, 1)
+            stride = (w * 3 + 3) // 4 * 4
+            size = 14 + 40 + h * stride
+            out = bytearray()
+            out += _struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+            out += _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                h * stride, 2835, 2835, 0, 0)
+            arr = _np.zeros(h * w, dtype=_np.uint8)
+            arr[: len(data)] = _np.frombuffer(data, dtype=_np.uint8)
+            rows = _np.zeros((h, stride), dtype=_np.uint8)
+            rows[:, : w * 3] = arr.repeat(3).reshape(h, w * 3)
+            out += rows[::-1].tobytes()
+            return bytes(out)
+
+        def dec(payload: bytes):
+            b = bytes(payload)
+            if len(b) < 54 or b[:2] != b"BM":
+                return None
+            size, _r1, _r2, off = _struct.unpack_from("<IHHI", b, 2)
+            hsz, w, h, _planes, bpp, comp = _struct.unpack_from(
+                "<IiiHHI", b, 14
+            )
+            if hsz < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                return None
+            bottom_up = h > 0
+            h = abs(h)
+            stride = (w * 3 + 3) // 4 * 4
+            if off + h * stride > len(b):
+                return None
+            gray = bytearray(w * h)
+            for r in range(h):
+                src = (h - 1 - r) if bottom_up else r
+                base = off + src * stride
+                row = b[base : base + w * 3 : 3]
+                gray[r * w : (r + 1) * w] = row
+            return w, h, len(b), bytes(gray)
+
+        def one(w: int, h: int, gray: bytes) -> tuple[int, int, str]:
+            px = _np.frombuffer(gray, dtype=_np.uint8).astype(_np.int64)
+            gh, gw = min(gb, h), min(gb, w)
+            r = _np.arange(h * w) // w
+            c = _np.arange(h * w) % w
+            cell = (r * gh // h) * gw + (c * gw // w)
+            n_cells = gh * gw
+            sums = _np.bincount(
+                cell, weights=px, minlength=n_cells
+            ).astype(_np.int64)
+            cnts = _np.bincount(cell, minlength=n_cells).astype(_np.int64)
+            total_sum = int(px.sum())
+            total_n = h * w
+            bits = sums * total_n >= total_sum * cnts
+            val = 0
+            for i in range(n_cells):
+                if bits[i]:
+                    val |= 1 << i
+            return gh, gw, format(val, "016x")
+
+        for pdf in batches:
+            ids_in, texts = pdf.iloc[:, 0], pdf.iloc[:, 1]
+            ids, ghs, gws, nps, hx = [], [], [], [], []
+            for mid, t in zip(ids_in, texts):
+                payload = enc((t or "").encode("utf-8"), int(mid) % 13 + 4)
+                got = dec(payload)
+                if got is None:  # unreachable for our own writer; kept
+                    continue     # for chain-identical drop semantics
+                w, h, _blen, gray = got
+                gh, gw, s = one(int(w), int(h), bytes(gray))
+                ids.append(int(mid))
+                ghs.append(gh)
+                gws.append(gw)
+                nps.append(int(w) * int(h))
+                hx.append(s)
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.Series(ids, dtype="int64"),
+                    "grid_h": _pd.Series(ghs, dtype="int64"),
+                    "grid_w": _pd.Series(gws, dtype="int64"),
+                    "n_pixels": _pd.Series(nps, dtype="int64"),
+                    "ahash_hex": _pd.Series(hx, dtype="object"),
+                }
+            )
+
+    return (
+        fan_out(docs.select(F.col(id_col).cast("long"), F.col(text_col)))
+        .mapInPandas(gen, schema=AHASH_SCHEMA)
+    )
+
+
 def ahash_near_dup_pairs(
     hashes: DataFrame,
     max_hamming: int = 8,

@@ -2731,14 +2731,15 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs), exact Hamming distance (bit_count over 32-bit halves,
     pure JVM) verifies candidates only.
     """
-    from ..operators.imagehash import ahash_images, ahash_near_dup_pairs
-    from ..operators.multimodal import decode_bmp, docs_as_bmp
+    from ..operators.imagehash import ahash_docs_as_bmp, ahash_near_dup_pairs
 
     configure_for_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return ahash_near_dup_pairs(
-        ahash_images(decode_bmp(docs_as_bmp(docs))), max_hamming=8
-    )
+    # fused encode->decode->hash (ONE MapInPandas instead of three: the
+    # BMP payload and pixel bytes no longer cross the Arrow boundary at
+    # all — guide §4.1); output pinned row-identical to the 3-stage
+    # chain by tests/test_operators.py::test_ahash_docs_as_bmp_matches_chain
+    return ahash_near_dup_pairs(ahash_docs_as_bmp(docs), max_hamming=8)
 
 
 _HAM_HALF = (

@@ -83,11 +83,22 @@ def table_row_count(sf_dir: str, name: str) -> int:
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{name}.parquet"
+    if path.startswith("file:"):
+        path = path[len("file:"):]
     files = (
         [path]
         if os.path.isfile(path)
-        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        else sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True))
     )
+    if not files:
+        # A silent 0 here would make _ivf_modulus(0)=1 and quietly diverge
+        # the IVF queries from the oracle's COUNT(*)-based modulus
+        # (ADVICE r12). A path-resolution mismatch must fail loudly, the
+        # way the old df.count() did.
+        raise FileNotFoundError(
+            f"table_row_count: no parquet files under {path!r}"
+        )
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 

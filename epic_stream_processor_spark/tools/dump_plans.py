@@ -1,13 +1,15 @@
-"""Dump ``explain("formatted")`` for named queries to ``plans/r12/``.
+"""Dump ``explain("formatted")`` for named queries to ``plans/$DP_ROUND/``.
 
 Usage::
 
     python -m epic_stream_processor_spark.tools.dump_plans SUFFIX [name ...]
 
-Writes ``plans/r12/<name>_<SUFFIX>.txt`` for each query (default: the
-bench roster). SUFFIX is ``before`` / ``after`` per the optimization-round
-deliverable contract. Reads the data dir from ``$SPARK_GRAFT_SF_DIR``
-(default ``/root/testdata/sf0.1``).
+Writes ``plans/<round>/<name>_<SUFFIX>.txt`` for each query (default: the
+bench roster), with ``round`` from ``$DP_ROUND`` (default ``r13``). SUFFIX
+is ``before`` / ``after`` per the optimization-round deliverable contract.
+Reads the data dir from ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``); ``DP_EXEC=1`` executes first so the
+dump carries the finalized adaptive plan.
 """
 
 from __future__ import annotations
@@ -30,7 +32,9 @@ def main() -> None:
     names = sys.argv[2:] or [n for n, q in all_q.items() if q.bench]
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(repo, "plans", "r12")
+    out_dir = os.path.join(
+        repo, "plans", os.environ.get("DP_ROUND", "r13")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("plan-dump", profile="bench")

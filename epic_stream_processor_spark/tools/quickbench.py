@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -56,7 +57,11 @@ def main() -> None:
             reps[n].append(run_once(n))
     out = {
         n: {
-            "median": round(sorted(r)[len(r) // 2], 3),
+            # statistics.median, not sorted(r)[len(r)//2]: the latter is
+            # the UPPER middle element for even rep counts (QB_SWEEPS is
+            # env-configurable), biasing medians high vs bench.py (ADVICE
+            # r12)
+            "median": round(statistics.median(r), 3),
             "min": round(min(r), 3),
             "reps": [round(x, 3) for x in r],
         }

@@ -2391,6 +2391,40 @@ def test_ahash_known_image_and_flat_ties(spark):
     assert got[2]["ahash_hex"] == format((1 << 12) - 1, "016x")
 
 
+def test_ahash_docs_as_bmp_matches_chain(spark):
+    """The fused encode→decode→hash operator (one mapInPandas, r13) is
+    row-for-row identical to the three-stage
+    ahash_images(decode_bmp(docs_as_bmp(docs))) chain it replaces —
+    including the padding tail, every width class (doc_id % 13 + 4),
+    and empty/None text."""
+    from epic_stream_processor_spark.operators.imagehash import (
+        ahash_docs_as_bmp,
+        ahash_images,
+    )
+    from epic_stream_processor_spark.operators.multimodal import (
+        decode_bmp,
+        docs_as_bmp,
+    )
+
+    docs = FX.load_table(spark, SF_DIR, "documents")
+    # edge rows the fixture may not cover: empty text, None text, 1 char
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, None), (100003, "x")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionAll(extra)
+    chain = {
+        r["media_id"]: tuple(r)
+        for r in ahash_images(decode_bmp(docs_as_bmp(docs))).collect()
+    }
+    fused = {
+        r["media_id"]: tuple(r)
+        for r in ahash_docs_as_bmp(docs).collect()
+    }
+    assert fused == chain
+    assert len(fused) > 0
+
+
 def test_ahash_near_dup_banding_and_hamming(spark):
     """Identical hashes pair at hamming 0; a 1-nibble flip still shares 3
     of 4 bands and pairs with its true bit distance; two unrelated

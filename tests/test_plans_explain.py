@@ -432,6 +432,12 @@ def test_image_near_dup_python_chain_runs_once(spark):
     # write runs its own QueryExecution and leaves df's un-finalized)
     plan = _plan(df)
     assert "ReusedExchange" in plan, plan
+    # r13: the encode→decode→hash chain is FUSED into one mapInPandas
+    # (ahash_docs_as_bmp) — exactly one Python crossing in the FINAL
+    # adaptive section (the Initial section still plans one per arm,
+    # before ReusedExchange dedups them), where the r12 shape chained
+    # three per arm
+    assert plan.split("== Initial Plan ==")[0].count("MapInPandas") == 1, plan
 
 
 def test_fan_out_is_conditional(spark):

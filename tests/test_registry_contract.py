@@ -1,0 +1,42 @@
+"""Driver-slot output contract.
+
+The external driver canonicalizes each declared query's result with a
+pandas ``sort_values`` over every output column, which raises
+``TypeError: unhashable type: 'list'`` on array/map/struct cells — both
+``npz_roundtrip`` and ``safetensors_roundtrip`` died that way in
+CORRECTNESS_r12 while the repo's own parity harness (which canonicalizes
+complex cells before sorting) passed them. A query whose output the
+driver cannot sort is an unverifiable driver slot no matter how correct
+it is locally, so: no ``QUERIES`` entry may emit a complex-typed
+top-level column. ``EXTRA_PARITY`` entries may — they are only compared
+by the local harness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from epic_stream_processor_spark.plans.registry import QUERIES
+
+SF_DIR = os.environ.get("EPIC_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+COMPLEX_TYPES = (T.ArrayType, T.MapType, T.StructType)
+
+
+def test_no_complex_output_columns_in_driver_slots(spark):
+    bad: dict[str, list[str]] = {}
+    for name, qd in QUERIES.items():
+        schema = qd.fn(spark, SF_DIR).schema
+        complex_cols = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, COMPLEX_TYPES)
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, (
+        "driver slots whose output the external canonicalizer cannot "
+        f"sort (pandas sort_values on list cells): {bad}; move them to "
+        "EXTRA_PARITY or project the complex column to a scalar"
+    )
